@@ -1,0 +1,143 @@
+"""StandardAnalyzer-equivalent analysis chain, vectorized for Arrow batches.
+
+Reference semantics re-expressed (NOT ported) from:
+- ``analysis/common/.../standard/StandardTokenizer.java:42,96,147-170`` — UAX#29
+  word-break tokenization; tokens longer than ``maxTokenLength`` (default 255)
+  are dropped but still consume a position.
+- ``analysis/common/.../core/LowerCaseFilter.java:37`` — lowercase each term.
+- ``analysis/common/.../core/StopFilter.java:124-126`` — drop stop words while
+  preserving position increments (a removed word still consumes a position).
+- ``analysis/common/.../standard/StandardAnalyzer.java:55,110-123`` — the chain
+  Tokenizer -> StandardFilter(no-op) -> LowerCase -> Stop(33 English words).
+- Stop set: ``analysis/common/.../core/StopAnalyzer.java:48-61`` (copied verbatim).
+
+Tokenizer notes: we implement the practically-relevant subset of UAX#29 for
+source code and prose: runs of word characters (letters/digits/underscore —
+underscore is ExtendNumLet in UAX#29 and joins words, so ``snake_case`` is ONE
+token, as in the reference) optionally joined by MidLetter/MidNumLet characters
+(``'``, ``’``, ``.``) with word characters on both sides (so ``don't``,
+``3.14``, ``a.b.c`` are single tokens); CJK ideographs are emitted as
+single-character tokens (the reference's <IDEOGRAPHIC> type). Matches that
+contain no letter or digit (e.g. ``___``) are not tokens and consume no
+position.
+
+The batch API returns flat (doc_id, position, term) arrays plus per-doc kept
+lengths — the shape the inverted-index builder consumes directly.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+# StopAnalyzer.ENGLISH_STOP_WORDS_SET, StopAnalyzer.java:51-57 (33 words).
+ENGLISH_STOP_WORDS = frozenset(
+    [
+        "a", "an", "and", "are", "as", "at", "be", "but", "by",
+        "for", "if", "in", "into", "is", "it",
+        "no", "not", "of", "on", "or", "such",
+        "that", "the", "their", "then", "there", "these",
+        "they", "this", "to", "was", "will", "with",
+    ]
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardTokenizer default maxTokenLength
+
+_IDEO = "㐀-䶿一-鿿豈-﫿"
+# ASCII fast path (text already lowercased before matching); the lookahead
+# requires at least one letter/digit so pure-underscore runs are non-tokens
+_ASCII_TOKEN = re.compile(r"(?=[_'.]*[a-z0-9])[a-z0-9_]+(?:['.][a-z0-9_]+)*")
+# Unicode path: single ideograph, else word-char run with mid-joiners
+_WORDCHAR = rf"(?:(?![{_IDEO}])\w)"
+_UNI_TOKEN = re.compile(rf"[{_IDEO}]|{_WORDCHAR}+(?:['’.]{_WORDCHAR}+)*", re.UNICODE)
+_HAS_ALNUM = re.compile(r"[^\W_]", re.UNICODE)  # letter or digit
+
+
+def tokenize_raw(text: str) -> list[str]:
+    """Tokenize one document; lowercased output; includes stop words and
+    overlong tokens (callers apply those filters). Non-tokens (no letter or
+    digit) are already removed and consume no position."""
+    if text.isascii():
+        return _ASCII_TOKEN.findall(text.lower())
+    toks = _UNI_TOKEN.findall(text)
+    return [t.lower() for t in toks if _HAS_ALNUM.search(t)]
+
+
+def analyze_text(text: str) -> list[str]:
+    """Full chain for a single string (query-time analysis): returns kept terms
+    in order. Stop words and overlong tokens removed."""
+    return [
+        t
+        for t in tokenize_raw(text)
+        if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS
+    ]
+
+
+@dataclass
+class AnalyzedBatch:
+    """Flat token stream for a batch of documents, post full analysis chain.
+
+    ``doc_ids``/``positions``/``term_codes`` are aligned arrays of kept token
+    instances; ``term_codes`` indexes into ``uniques`` (the batch vocabulary),
+    so the index builder never re-hashes strings. ``field_lengths[d]`` =
+    number of kept tokens of doc ``d`` (the BM25 norm length — stop/overlong
+    tokens consume positions but do not count toward length, mirroring
+    FieldInvertState semantics, ``index/DocInverterPerField.java:116-137``).
+    """
+
+    doc_ids: np.ndarray        # int32, index into the batch
+    positions: np.ndarray      # int32, token position within the doc
+    term_codes: np.ndarray     # int64, index into uniques
+    uniques: np.ndarray        # object array of str (batch vocabulary)
+    field_lengths: np.ndarray  # int32 per doc in batch
+
+
+def analyze_batch(texts: list[str]) -> AnalyzedBatch:
+    """Vectorized chain over a batch of content strings.
+
+    Per-token Python work is limited to tokenization; the overlong/stop
+    filters run on the (much smaller) unique-term vocabulary after a
+    factorize, then broadcast back to token instances.
+    """
+    import pandas as pd
+
+    n_docs = len(texts)
+    counts = np.empty(n_docs, dtype=np.int64)
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        toks = tokenize_raw(t if isinstance(t, str) else "")
+        counts[i] = len(toks)
+        flat.extend(toks)
+
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+    # position = index among position-consuming tokens of the doc
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    positions = (np.arange(len(flat), dtype=np.int64) - starts[doc_ids]).astype(
+        np.int32
+    )
+
+    if flat:
+        codes, uniques = pd.factorize(np.array(flat, dtype=object), sort=False)
+        uniq_keep = np.fromiter(
+            (
+                len(u) <= MAX_TOKEN_LENGTH and u not in ENGLISH_STOP_WORDS
+                for u in uniques
+            ),
+            dtype=bool,
+            count=len(uniques),
+        )
+        keep = uniq_keep[codes]
+        codes, doc_ids, positions = codes[keep], doc_ids[keep], positions[keep]
+        # re-map codes to the kept vocabulary
+        remap = np.cumsum(uniq_keep) - 1
+        codes = remap[codes]
+        uniques = np.asarray(uniques, dtype=object)[uniq_keep]
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+
+    field_lengths = np.bincount(doc_ids, minlength=n_docs).astype(np.int32)
+    return AnalyzedBatch(doc_ids, positions, codes, uniques, field_lengths)

@@ -1,0 +1,90 @@
+"""BM25 scoring math, float32-exact to the reference.
+
+Reference: ``search/similarities/BM25Similarity.java``:
+- idf (line ~74): ``(float) log(1 + (N - df + 0.5)/(df + 0.5))`` (double log,
+  cast to float).
+- avgdl (avgFieldLength): ``(float)(sumTotalTermFreq / (double) maxDoc)``, or 1
+  if the stat is missing.
+- computeWeight: 256-entry freq-independent cache
+  ``cache[b] = k1 * ((1 - b_param) + b_param * NORM_TABLE[b] / avgdl)`` — each
+  step float32.
+- BM25DocScorer.score: ``weightValue * freq / (freq + cache[normByte])`` with
+  ``weightValue = boost * idf * (k1 + 1)``; evaluation order
+  ``(weightValue * freq) / (freq + norm)``, all float32.
+
+Every operation below is forced through float32 so scores are bit-identical to
+the Java float arithmetic (needed for rank-identity incl. tie-breaks).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .smallfloat import NORM_TABLE
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+F1 = np.float32(1.0)
+
+
+def idf(df: int, max_doc: int) -> np.float32:
+    """BM25Similarity.idf — double-precision log, cast to float32."""
+    return np.float32(math.log(1 + (max_doc - df + 0.5) / (df + 0.5)))
+
+
+def avg_field_length(sum_total_term_freq: int, max_doc: int) -> np.float32:
+    """BM25Similarity.avgFieldLength."""
+    if sum_total_term_freq <= 0:
+        return np.float32(1.0)
+    return np.float32(sum_total_term_freq / float(max_doc))
+
+
+def norm_cache(avgdl: np.float32, k1: np.float32 = K1, b: np.float32 = B) -> np.ndarray:
+    """The 256-entry freq-independent denominator cache (computeWeight).
+
+    Each arithmetic step is float32: k1 * ((1-b) + b * NORM_TABLE[i] / avgdl).
+    """
+    one_minus_b = np.float32(F1 - b)
+    t = np.multiply(b, NORM_TABLE, dtype=np.float32)
+    t = np.divide(t, np.float32(avgdl), dtype=np.float32)
+    t = np.add(one_minus_b, t, dtype=np.float32)
+    return np.multiply(k1, t, dtype=np.float32)
+
+
+def weight_value(term_idf: np.float32, boost: float = 1.0, k1: np.float32 = K1) -> np.float32:
+    """boost * idf * (k1 + 1), float32 steps (BM25Stats.normalize + scorer)."""
+    w = np.float32(np.float32(term_idf) * np.float32(boost))
+    return np.float32(w * np.float32(k1 + F1))
+
+
+def score_postings(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    wv: np.float32,
+    cache: np.ndarray,
+) -> np.ndarray:
+    """Vectorized BM25DocScorer.score over one term's postings.
+
+    score = (weightValue * freq) / (freq + cache[normByte]) — float32 per step.
+    """
+    freq = tfs.astype(np.float32)
+    denom = np.add(freq, cache[norm_bytes], dtype=np.float32)
+    num = np.multiply(wv, freq, dtype=np.float32)
+    return np.divide(num, denom, dtype=np.float32)
+
+
+@dataclass(frozen=True)
+class CollectionStats:
+    """Field-level collection statistics (IndexSearcher.collectionStatistics,
+    ``search/IndexSearcher.java:929-945``): maxDoc counts every doc in the
+    index (including empty ones)."""
+
+    max_doc: int
+    sum_total_term_freq: int
+
+    @property
+    def avgdl(self) -> np.float32:
+        return avg_field_length(self.sum_total_term_freq, self.max_doc)

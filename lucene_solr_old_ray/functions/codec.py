@@ -1,0 +1,218 @@
+"""Postings codec: 128-entry bit-packed blocks with block-max skip data.
+
+Re-expresses (NOT ports) the reference's Lucene41 postings layout
+(``codecs/lucene41/Lucene41PostingsFormat.java:40-384`` — BLOCK_SIZE=128
+FOR-packed doc-delta/freq blocks with per-block bit width; skip entries every
+block) as a numpy-vectorized, self-describing binary blob, extended with a
+per-block impact table (max tf, max norm byte) to support score-safe
+Block-Max WAND pruning (a north-star addition; Ding & Suel, SIGIR'11 — the
+reference has only multi-level skip lists, ``codecs/MultiLevelSkipListWriter.java``).
+
+A term's postings value is a **blob = sequence of chunks**. Each chunk is
+self-contained (its docIDs are chunk-local, shifted by the chunk's
+``doc_offset`` at decode time), which makes segment merge a byte-level
+concatenation: patch each incoming chunk's ``doc_offset`` by the segment's
+docBase and append — no decode/re-encode, preserving strict docID order
+(mirrors SegmentMerger's docBase remapping, ``index/SegmentMerger.java:75-135``).
+
+Chunk layout (little-endian)::
+
+    u32 ndocs
+    u32 nblocks          # ceil(ndocs / 128)
+    u32 doc_offset       # added to every decoded docID
+    u32 packed_len       # byte length of the packed region
+    u32 last_docids[nblocks]   # chunk-local last docID per block (skip data)
+    u32 max_tfs[nblocks]       # block impact: max term freq
+    u8  max_norms[nblocks]     # block impact: max norm byte (= shortest doc)
+    u32 offsets[nblocks+1]     # byte offsets of blocks within packed region
+    packed region: per block: u8 wdoc, u8 wtf, bitpacked(doc_delta-?),
+                   bitpacked(tf-1)
+
+Doc deltas are stored as ``delta - 1`` with ``delta[0] = docid[0] + 1``
+(strictly ascending docIDs ⇒ all stored values ≥ 0); widths are exact bit
+widths (0..32), width 0 ⇒ zero bytes (the reference's all-equal optimization,
+``ForUtil.java:157-214``, generalized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_HDR = 16  # bytes of fixed chunk header
+
+
+def pack_ints(arr: np.ndarray, width: int) -> bytes:
+    """Bit-pack uint32 values into ``width`` bits each (big-endian bit order
+    within the stream). width==0 -> b''."""
+    if width == 0 or len(arr) == 0:
+        return b""
+    a = arr.astype(np.uint32)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint32)
+    bits = ((a[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def unpack_ints(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_ints -> uint32 array of length n."""
+    if width == 0:
+        return np.zeros(n, dtype=np.uint32)
+    bits = np.unpackbits(buf, count=n * width).reshape(n, width).astype(np.uint32)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint32)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+
+
+def _width(arr: np.ndarray) -> int:
+    if len(arr) == 0:
+        return 0
+    m = int(arr.max())
+    return m.bit_length()
+
+
+def encode_chunk(
+    docids: np.ndarray, tfs: np.ndarray, norms: np.ndarray | None
+) -> bytes:
+    """Encode one chunk (doc_offset=0). ``docids`` strictly ascending uint32
+    (chunk-local), ``tfs`` >= 1, ``norms`` = the segment's per-doc norm bytes
+    (indexed by local docID) used only to compute block impact data."""
+    n = len(docids)
+    assert n > 0
+    docids = docids.astype(np.uint32)
+    tfs = tfs.astype(np.uint32)
+    deltas = np.diff(docids.astype(np.int64), prepend=-1).astype(np.uint32) - 1
+    tfm1 = tfs - 1
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+
+    last_docids = np.empty(nblocks, dtype=np.uint32)
+    max_tfs = np.empty(nblocks, dtype=np.uint32)
+    max_norms = np.empty(nblocks, dtype=np.uint8)
+    offsets = np.empty(nblocks + 1, dtype=np.uint32)
+    parts: list[bytes] = []
+    pos = 0
+    doc_norms = (
+        norms[docids] if norms is not None else np.full(n, 255, dtype=np.uint8)
+    )
+    for bi in range(nblocks):
+        s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+        bd, bt = deltas[s:e], tfm1[s:e]
+        wd, wt = _width(bd), _width(bt)
+        pd, pt = pack_ints(bd, wd), pack_ints(bt, wt)
+        parts.append(bytes((wd, wt)) + pd + pt)
+        offsets[bi] = pos
+        pos += 2 + len(pd) + len(pt)
+        last_docids[bi] = docids[e - 1]
+        max_tfs[bi] = tfs[s:e].max()
+        max_norms[bi] = doc_norms[s:e].max()
+    offsets[nblocks] = pos
+
+    header = np.array([n, nblocks, 0, pos], dtype=np.uint32).tobytes()
+    return b"".join(
+        [
+            header,
+            last_docids.tobytes(),
+            max_tfs.tobytes(),
+            max_norms.tobytes(),
+            offsets.tobytes(),
+            *parts,
+        ]
+    )
+
+
+def chunk_total_size(ndocs: int, nblocks: int, packed_len: int) -> int:
+    return _HDR + nblocks * 9 + (nblocks + 1) * 4 + packed_len
+
+
+class ChunkView:
+    """Zero-copy view over one chunk of a blob (arrays reference the blob
+    buffer). Used by the searcher for skip/advance and WAND."""
+
+    __slots__ = (
+        "ndocs", "nblocks", "doc_offset", "last_docids", "max_tfs",
+        "max_norms", "offsets", "packed", "size",
+    )
+
+    def __init__(self, buf: np.ndarray, start: int):
+        hdr = buf[start : start + _HDR].view(np.uint32)
+        self.ndocs = int(hdr[0])
+        self.nblocks = int(hdr[1])
+        self.doc_offset = int(hdr[2])
+        packed_len = int(hdr[3])
+        p = start + _HDR
+        nb = self.nblocks
+        self.last_docids = buf[p : p + 4 * nb].view(np.uint32); p += 4 * nb
+        self.max_tfs = buf[p : p + 4 * nb].view(np.uint32); p += 4 * nb
+        self.max_norms = buf[p : p + nb]; p += nb
+        self.offsets = buf[p : p + 4 * (nb + 1)].view(np.uint32); p += 4 * (nb + 1)
+        self.packed = buf[p : p + packed_len]
+        self.size = chunk_total_size(self.ndocs, nb, packed_len)
+
+    def decode_block(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decode block bi -> (docids int64 with doc_offset applied, tfs uint32)."""
+        s = int(self.offsets[bi])
+        e = int(self.offsets[bi + 1])
+        raw = self.packed[s:e]
+        n = min(BLOCK_SIZE, self.ndocs - bi * BLOCK_SIZE)
+        wd, wt = int(raw[0]), int(raw[1])
+        db = 2 + ((n * wd + 7) // 8)
+        deltas = unpack_ints(raw[2:db], n, wd).astype(np.int64) + 1
+        tfs = unpack_ints(raw[db:], n, wt) + 1
+        docids = np.cumsum(deltas) - 1
+        if bi > 0:
+            docids += int(self.last_docids[bi - 1]) + 1
+        docids += self.doc_offset
+        return docids, tfs
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        n = self.ndocs
+        ids = np.empty(n, dtype=np.int64)
+        tfs = np.empty(n, dtype=np.uint32)
+        for bi in range(self.nblocks):
+            s = bi * BLOCK_SIZE
+            e = min(s + BLOCK_SIZE, n)
+            d, t = self.decode_block(bi)
+            ids[s:e] = d
+            tfs[s:e] = t
+        return ids, tfs
+
+
+def iter_chunks(blob: bytes | np.ndarray) -> list[ChunkView]:
+    buf = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, bytearray, memoryview)) else blob
+    views = []
+    pos = 0
+    total = len(buf)
+    while pos < total:
+        cv = ChunkView(buf, pos)
+        views.append(cv)
+        pos += cv.size
+    return views
+
+
+def decode_blob(blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full blob -> (docids int64 ascending, tfs uint32)."""
+    parts = [cv.decode_all() for cv in iter_chunks(blob)]
+    if len(parts) == 1:
+        return parts[0]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+    )
+
+
+def shift_blob(blob: bytes, doc_offset: int) -> bytes:
+    """Add ``doc_offset`` to every chunk's doc_offset field (merge docBase
+    remap). Pure byte surgery — no decode."""
+    if doc_offset == 0:
+        return blob
+    out = bytearray(blob)
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    pos = 0
+    while pos < len(buf):
+        hdr = buf[pos : pos + _HDR].view(np.uint32)
+        new_off = np.uint32(int(hdr[2]) + doc_offset)
+        out[pos + 8 : pos + 12] = new_off.tobytes()
+        pos += chunk_total_size(int(hdr[0]), int(hdr[1]), int(hdr[3]))
+    return bytes(out)
+
+
+def blob_ndocs(blob: bytes | np.ndarray) -> int:
+    return sum(cv.ndocs for cv in iter_chunks(blob))

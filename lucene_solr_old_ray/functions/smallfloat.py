@@ -1,0 +1,62 @@
+"""Lossy 8-bit float norm encoding, bit-exact with the reference.
+
+Reference semantics: ``lucene/core/src/java/org/apache/lucene/util/SmallFloat.java:78-98``
+(``floatToByte315`` / ``byte315ToFloat``: 3 mantissa bits, zero exponent 15) and the
+BM25 norm use-site ``search/similarities/BM25Similarity.java:95-97,127-141``
+(``encodeNormValue = floatToByte315(boost / sqrt(fieldLength))``,
+``NORM_TABLE[b] = 1/f**2``).
+
+All functions are vectorized numpy; rank-identity of BM25 scores depends on these
+being bit-exact, so everything goes through explicit float32/int32 views.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EXP_OFFSET = (63 - 15) << 3  # 384
+
+
+def float_to_byte315(f: np.ndarray | float) -> np.ndarray:
+    """Vectorized floatToByte315. Input float32 array-like; output uint8 array."""
+    f32 = np.asarray(f, dtype=np.float32)
+    bits = f32.view(np.int32)
+    smallfloat = bits >> (24 - 3)  # arithmetic shift, matches Java >>
+    out = (smallfloat - _EXP_OFFSET).astype(np.int64)
+    # overflow clamp: byte -1 == 255 unsigned
+    out = np.where(smallfloat >= _EXP_OFFSET + 0x100, 255, out)
+    # underflow: 0 for <= +0.0, else 1
+    tiny = smallfloat <= _EXP_OFFSET
+    out = np.where(tiny & (bits <= 0), 0, np.where(tiny, 1, out))
+    return out.astype(np.uint8)
+
+
+def byte315_to_float(b: np.ndarray | int) -> np.ndarray:
+    """Vectorized byte315ToFloat. Input uint8 array-like; output float32 array."""
+    bu = np.asarray(b, dtype=np.uint8).astype(np.int32)
+    bits = (bu << (24 - 3)) + ((63 - 15) << 24)
+    out = bits.astype(np.int32).view(np.float32).copy()
+    out[bu == 0] = 0.0
+    return out
+
+
+# BM25Similarity.NORM_TABLE (BM25Similarity.java:127-134): decoded length = 1/f^2
+NORM_TABLE: np.ndarray = np.zeros(256, dtype=np.float32)
+_f = byte315_to_float(np.arange(256, dtype=np.uint8))
+with np.errstate(divide="ignore"):
+    NORM_TABLE = (np.float32(1.0) / (_f * _f)).astype(np.float32)
+del _f
+
+
+def encode_norm(field_lengths: np.ndarray, boost: float = 1.0) -> np.ndarray:
+    """Per-doc norm byte: floatToByte315(boost / sqrt(length)).
+
+    ``field_lengths`` = number of tokens kept after the analysis chain,
+    excluding overlap tokens (BM25Similarity.computeNorm, discountOverlaps=true).
+    Length 0 (empty doc) encodes boost/sqrt(0) = +inf -> byte 255, same as Java
+    (Float.POSITIVE_INFINITY bits >> 21 overflows the clamp).
+    """
+    lens = np.asarray(field_lengths, dtype=np.float32)
+    with np.errstate(divide="ignore"):
+        f = (np.float32(boost) / np.sqrt(lens)).astype(np.float32)
+    return float_to_byte315(f)

@@ -1,0 +1,84 @@
+"""Analysis chain tests (StandardAnalyzer-equivalent semantics).
+
+Mirrors the reference's analysis test style (TestStandardAnalyzer /
+TestStopFilter, analysis/common/src/test/.../core/).
+"""
+
+import numpy as np
+
+from lucene_solr_old_ray.functions.analysis import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    AnalyzedBatch,
+    analyze_batch,
+    analyze_text,
+    tokenize_raw,
+)
+
+
+def flat_terms(b: AnalyzedBatch) -> list[str]:
+    return [b.uniques[c] for c in b.term_codes]
+
+
+def test_stop_words_verbatim():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert "the" in ENGLISH_STOP_WORDS and "with" in ENGLISH_STOP_WORDS
+    assert "i" not in ENGLISH_STOP_WORDS
+
+
+def test_basic_tokenize():
+    assert tokenize_raw("Hello, World! foo-bar") == ["hello", "world", "foo", "bar"]
+    # underscore joins (ExtendNumLet), camelCase stays one token
+    assert tokenize_raw("snake_case camelCase") == ["snake_case", "camelcase"]
+    # mid-letter apostrophe and mid-num dot join
+    assert tokenize_raw("don't 3.14 a.b.c") == ["don't", "3.14", "a.b.c"]
+    # trailing punctuation excluded
+    assert tokenize_raw("end. The x") == ["end", "the", "x"]
+    # all-underscore runs are not tokens
+    assert tokenize_raw("___ x") == ["x"]
+
+
+def test_unicode_and_cjk():
+    assert tokenize_raw("Čáp über") == ["čáp", "über"]
+    # CJK ideographs: one token per character (reference <IDEOGRAPHIC> type)
+    assert tokenize_raw("漢字 test") == ["漢", "字", "test"]
+
+
+def test_stop_filter_positions_preserved():
+    b = analyze_batch(["the quick fox"])
+    assert flat_terms(b) == ["quick", "fox"]
+    # "the" consumed position 0
+    assert b.positions.tolist() == [1, 2]
+    assert b.field_lengths.tolist() == [2]
+
+
+def test_overlong_token_consumes_position():
+    long_tok = "x" * (MAX_TOKEN_LENGTH + 1)
+    b = analyze_batch([f"alpha {long_tok} beta"])
+    assert flat_terms(b) == ["alpha", "beta"]
+    assert b.positions.tolist() == [0, 2]  # dropped token still counted a position
+    assert b.field_lengths.tolist() == [2]
+    # exactly-255 kept
+    ok = "y" * MAX_TOKEN_LENGTH
+    assert analyze_text(f"a {ok}") == [ok]
+
+
+def test_empty_and_null_docs():
+    b = analyze_batch(["", "   ", "the a an", "word"])
+    assert b.field_lengths.tolist() == [0, 0, 0, 1]
+    assert flat_terms(b) == ["word"]
+    assert b.doc_ids.tolist() == [3]
+
+
+def test_analyze_text_query_path():
+    assert analyze_text("The Quick FOX") == ["quick", "fox"]
+    assert analyze_text("the a an") == []
+
+
+def test_batch_shapes_align():
+    docs = ["a b c d", "x y z", "", "q q q q q"]
+    b = analyze_batch(docs)
+    assert len(b.doc_ids) == len(b.positions) == len(b.term_codes)
+    assert len(b.field_lengths) == 4
+    assert b.field_lengths.sum() == len(b.doc_ids)
+    assert int(b.term_codes.max()) < len(b.uniques)

@@ -1,0 +1,113 @@
+"""Postings codec round-trip property tests.
+
+Analogue of the reference's BasePostingsFormatTestCase
+(test-framework/.../index/BasePostingsFormatTestCase.java:87,121-148):
+seeded generators around the BLOCK_SIZE=128 boundaries, encode -> decode
+identity, chunk concatenation with docBase shifts, block impact bounds.
+"""
+
+import numpy as np
+import pytest
+
+from lucene_solr_old_ray.functions.codec import (
+    BLOCK_SIZE,
+    blob_ndocs,
+    decode_blob,
+    encode_chunk,
+    iter_chunks,
+    pack_ints,
+    shift_blob,
+    unpack_ints,
+)
+
+
+def gen_postings(rng, n, max_gap=1000, max_tf=300):
+    gaps = rng.integers(1, max_gap, size=n)
+    docids = np.cumsum(gaps) - 1
+    tfs = rng.integers(1, max_tf, size=n)
+    return docids.astype(np.uint32), tfs.astype(np.uint32)
+
+
+@pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 256, 1000, 5000])
+def test_round_trip(n):
+    rng = np.random.default_rng(42 + n)
+    docids, tfs = gen_postings(rng, n)
+    norms = rng.integers(0, 256, size=int(docids[-1]) + 1).astype(np.uint8)
+    blob = encode_chunk(docids, tfs, norms)
+    d, t = decode_blob(blob)
+    assert np.array_equal(d, docids.astype(np.int64))
+    assert np.array_equal(t, tfs)
+    assert blob_ndocs(blob) == n
+
+
+def test_pack_unpack_all_widths():
+    rng = np.random.default_rng(7)
+    for width in range(0, 33):
+        hi = 1 if width == 0 else 2**width
+        vals = rng.integers(0, hi, size=301).astype(np.uint32)
+        if width == 0:
+            vals[:] = 0
+        buf = np.frombuffer(pack_ints(vals, width), dtype=np.uint8)
+        out = unpack_ints(buf, len(vals), width)
+        assert np.array_equal(out, vals)
+
+
+def test_all_equal_block_is_tiny():
+    # tf==1 everywhere and constant gaps -> width 0 streams
+    docids = np.arange(0, BLOCK_SIZE, dtype=np.uint32)
+    tfs = np.ones(BLOCK_SIZE, dtype=np.uint32)
+    norms = np.zeros(BLOCK_SIZE, dtype=np.uint8)
+    blob = encode_chunk(docids, tfs, norms)
+    (cv,) = iter_chunks(blob)
+    assert int(cv.offsets[1]) - int(cv.offsets[0]) == 2  # just the two width bytes
+
+
+def test_chunk_concat_with_shift():
+    rng = np.random.default_rng(3)
+    d1, t1 = gen_postings(rng, 200)
+    d2, t2 = gen_postings(rng, 300)
+    norms1 = rng.integers(0, 256, size=int(d1[-1]) + 1).astype(np.uint8)
+    norms2 = rng.integers(0, 256, size=int(d2[-1]) + 1).astype(np.uint8)
+    b1 = encode_chunk(d1, t1, norms1)
+    b2 = encode_chunk(d2, t2, norms2)
+    doc_base2 = int(d1[-1]) + 10
+    merged = b1 + shift_blob(b2, doc_base2)
+    d, t = decode_blob(merged)
+    assert np.array_equal(d, np.concatenate([d1.astype(np.int64), d2.astype(np.int64) + doc_base2]))
+    assert np.array_equal(t, np.concatenate([t1, t2]))
+    # shift is cumulative across merge rounds
+    again = shift_blob(merged, 5)
+    d3, _ = decode_blob(again)
+    assert np.array_equal(d3, d + 5)
+
+
+def test_block_impact_bounds_dominate():
+    rng = np.random.default_rng(11)
+    docids, tfs = gen_postings(rng, 1000, max_tf=50)
+    norms = rng.integers(0, 256, size=int(docids[-1]) + 1).astype(np.uint8)
+    blob = encode_chunk(docids, tfs, norms)
+    (cv,) = iter_chunks(blob)
+    for bi in range(cv.nblocks):
+        d, t = cv.decode_block(bi)
+        assert int(cv.last_docids[bi]) == d[-1]
+        assert int(cv.max_tfs[bi]) == t.max()
+        assert int(cv.max_norms[bi]) == norms[d].max()
+
+
+def test_advance_semantics_block_skip():
+    """searchsorted on block last_docids finds the right block (skip list
+    analogue, Lucene41PostingsReader.advance)."""
+    docids = np.arange(0, 10000, 7, dtype=np.uint32)
+    tfs = np.ones_like(docids)
+    norms = np.zeros(int(docids[-1]) + 1, dtype=np.uint8)
+    blob = encode_chunk(docids, tfs, norms)
+    (cv,) = iter_chunks(blob)
+    for target in [0, 6, 7, 5000, 9994, 9995]:
+        bi = int(np.searchsorted(cv.last_docids, target))
+        d, _ = cv.decode_block(bi)
+        idx = np.searchsorted(d, target)
+        got = d[idx] if idx < len(d) else None
+        all_d, _ = decode_blob(blob)
+        j = np.searchsorted(all_d, target)
+        want = all_d[j] if j < len(all_d) else None
+        assert got == want

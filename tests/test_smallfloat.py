@@ -1,0 +1,60 @@
+"""Bit-exactness tests for the SmallFloat port (SmallFloat.java:78-98)."""
+
+import math
+import struct
+
+import numpy as np
+
+from lucene_solr_old_ray.functions.smallfloat import (
+    NORM_TABLE,
+    byte315_to_float,
+    encode_norm,
+    float_to_byte315,
+)
+
+
+def java_float_to_byte315(f: float) -> int:
+    """Straight scalar transcription of the Java reference for cross-checking."""
+    bits = struct.unpack("<i", struct.pack("<f", f))[0]
+    smallfloat = bits >> (24 - 3)
+    if smallfloat <= ((63 - 15) << 3):
+        return 0 if bits <= 0 else 1
+    if smallfloat >= ((63 - 15) << 3) + 0x100:
+        return 255
+    return (smallfloat - ((63 - 15) << 3)) & 0xFF
+
+
+def test_round_trip_all_bytes():
+    bs = np.arange(256, dtype=np.uint8)
+    fs = byte315_to_float(bs)
+    back = float_to_byte315(fs)
+    # bytes 0..255 round-trip except byte 0 (0.0 -> 0) which is exact too
+    assert np.array_equal(back, bs)
+
+
+def test_against_scalar_reference():
+    vals = [0.0, -1.0, 1e-12, 5.8e-10, 1.0, 0.5, 0.3333, 2.0, 100.0, 7.5e9, 1e30,
+            float("inf"), 1.0 / math.sqrt(7)]
+    got = float_to_byte315(np.array(vals, dtype=np.float32))
+    want = [java_float_to_byte315(np.float32(v)) for v in vals]
+    assert got.tolist() == want
+
+
+def test_known_values():
+    # SmallFloat.java doc: smallest non-zero = 5.820766E-10, largest = 7.5161928E9
+    assert byte315_to_float(np.array([1], dtype=np.uint8))[0] == np.float32(5.820766e-10)
+    assert byte315_to_float(np.array([255], dtype=np.uint8))[0] == np.float32(7.5161928e9)
+
+
+def test_encode_norm_matches_reference_semantics():
+    lens = np.array([1, 2, 3, 7, 100, 10000], dtype=np.int64)
+    got = encode_norm(lens)
+    want = [java_float_to_byte315(np.float32(1.0) / np.float32(math.sqrt(np.float32(l)))) for l in lens]
+    assert got.tolist() == want
+
+
+def test_norm_table_shape():
+    assert NORM_TABLE.dtype == np.float32
+    assert NORM_TABLE[0] == np.inf  # 1/0^2
+    # decreasing decoded length as byte increases (monotonic within normal range)
+    assert NORM_TABLE[100] > NORM_TABLE[101]
