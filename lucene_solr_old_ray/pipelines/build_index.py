@@ -1,0 +1,83 @@
+"""End-to-end index build pipeline (SURVEY §3.1 re-expressed on Ray Data).
+
+plan (metadata-only, driver) -> map_batches(build_segment) one task per
+partition -> metrics/stats roll-up (tiny) -> atomic manifest publish.
+
+The per-partition segment build is embarrassingly parallel and shared-nothing
+(the DWPT license, ``index/DocumentsWriter.java:60-100``); global collection
+statistics (maxDoc, sumTotalTermFreq — ``search/IndexSearcher.java:929-945``)
+are a prefix-sum/total over per-segment manifests, rolled up on the driver
+from the small metrics table. Resume: partitions whose segment manifest
+already exists are skipped inside the task (cheap no-op), and the final
+manifest generation is re-published atomically.
+
+At 100 TB: the planner reads only Parquet footers; build tasks stream row
+groups; nothing materializes the corpus. Partition size (docs per segment) is
+the only knob that must scale — default 50k docs targets segment term-dicts
+that fit comfortably in a worker heap (the 16 MB RAM-buffer analogue,
+``index/IndexWriterConfig.java:88``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict
+
+import ray.data
+
+from ..sources.corpus import CorpusSpec, plan_partitions
+from ..stages.build import make_build_fn, segment_dir
+from ..state import manifest as mf
+
+
+def build_index(
+    spec: CorpusSpec,
+    index_dir: str,
+    *,
+    target_docs_per_partition: int = 50_000,
+    sub_batch_docs: int = 4096,
+) -> dict:
+    """Build (or resume) an index; returns the published index manifest."""
+    plans = plan_partitions(spec, target_docs_per_partition)
+    if not plans:
+        raise ValueError(f"no input rows in {spec.files}")
+    os.makedirs(os.path.join(index_dir, "segments"), exist_ok=True)
+
+    descriptors = [asdict(p) for p in plans]
+    ds = ray.data.from_items(descriptors, override_num_blocks=len(descriptors))
+    metrics = ds.map_batches(
+        make_build_fn(spec, index_dir, sub_batch_docs),
+        batch_format="pandas",
+        batch_size=1,
+    ).to_pandas()  # one small row per partition
+
+    max_doc = int(metrics["num_docs"].sum())
+    sum_tf = int(metrics["sum_tf"].sum())
+    segments = [
+        {
+            "dir": os.path.relpath(segment_dir(index_dir, p.part_id), index_dir),
+            "part_id": p.part_id,
+            "doc_base": p.doc_base,
+            "num_docs": p.num_docs,
+        }
+        for p in plans
+    ]
+    manifest = {
+        "kind": "segments",
+        "segments": segments,
+        "stats": {"max_doc": max_doc, "sum_total_term_freq": sum_tf},
+        "spec": {
+            "files": list(spec.files),
+            "content_col": spec.content_col,
+            "meta_cols": list(spec.meta_cols),
+        },
+        "metrics": {
+            "build_wall_s": float(metrics["wall_s"].sum()),
+            "docs_per_s_per_task": float(metrics["docs_per_s"].median()),
+            "postings": int(metrics["postings"].sum()),
+            "skipped_partitions": int(metrics["skipped"].sum()),
+            "partitions": len(plans),
+        },
+    }
+    mf.publish_index_manifest(index_dir, manifest)
+    return mf.read_index_manifest(index_dir)

@@ -1,0 +1,96 @@
+"""CheckIndex analogue (``index/CheckIndex.java:59,356,600-608,1215``):
+re-validate every segment/shard of the latest manifest — term order, postings
+integrity, docID bounds and ascent, norms/docmap alignment, docBase
+contiguity, global stats. Runs as a map_batches sweep (one task per leaf)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from ..functions.codec import decode_blob
+from ..state import manifest as mf
+
+
+def check_leaf(index_dir: str, leaf: dict) -> dict:
+    sd = os.path.join(index_dir, leaf["dir"])
+    sm = mf.read_json(os.path.join(sd, mf.SEGMENT_MANIFEST))
+    terms = pq.read_table(os.path.join(sd, "terms.parquet"))
+    with open(os.path.join(sd, "postings.bin"), "rb") as f:
+        blob_all = f.read()
+    norms = np.frombuffer(open(os.path.join(sd, "norms.bin"), "rb").read(),
+                          dtype=np.uint8)
+    docmap = pq.read_table(os.path.join(sd, "docmap.parquet"))
+    n = leaf["num_docs"]
+    errors: list[str] = []
+    if sm["num_docs"] != n:
+        errors.append("manifest num_docs mismatch")
+    if len(norms) != n:
+        errors.append(f"norms length {len(norms)} != {n}")
+    if docmap.num_rows != n:
+        errors.append(f"docmap rows {docmap.num_rows} != {n}")
+
+    names = terms["term"].to_pylist()
+    if names != sorted(names):
+        errors.append("terms not sorted")
+    offs = terms["off"].to_numpy()
+    lens = terms["len"].to_numpy()
+    dfs = terms["df"].to_numpy()
+    ttfs = terms["ttf"].to_numpy()
+    if len(offs) and (offs[0] != 0 or not np.array_equal(offs[1:], (offs + lens)[:-1])):
+        errors.append("postings offsets not contiguous")
+    if len(offs) and offs[-1] + lens[-1] != len(blob_all):
+        errors.append("postings file length mismatch")
+
+    sum_tf = 0
+    for i in range(len(names)):
+        d, t = decode_blob(blob_all[offs[i] : offs[i] + lens[i]])
+        if len(d) != dfs[i]:
+            errors.append(f"term {names[i]}: df {dfs[i]} != decoded {len(d)}")
+            break
+        if int(t.sum()) != ttfs[i]:
+            errors.append(f"term {names[i]}: ttf mismatch")
+            break
+        if len(d) and (np.any(np.diff(d) <= 0) or d[0] < 0 or d[-1] >= n):
+            errors.append(f"term {names[i]}: docIDs not ascending/in-bounds")
+            break
+        sum_tf += int(t.sum())
+    if not errors and sum_tf != sm["sum_tf"]:
+        errors.append(f"sum_tf {sum_tf} != manifest {sm['sum_tf']}")
+    return {
+        "dir": leaf["dir"],
+        "num_docs": n,
+        "num_terms": len(names),
+        "sum_tf": sum_tf,
+        "ok": not errors,
+        "errors": "; ".join(errors),
+    }
+
+
+def check_index(index_dir: str, raise_on_error: bool = True) -> pd.DataFrame:
+    manifest = mf.read_index_manifest(index_dir)
+    leaves = sorted(manifest["segments"], key=lambda s: s["doc_base"])
+    # docBase contiguity (AtomicReaderContext docBase contract)
+    base = 0
+    for leaf in leaves:
+        assert leaf["doc_base"] == base, f"docBase gap at {leaf['dir']}"
+        base += leaf["num_docs"]
+    assert base == manifest["stats"]["max_doc"]
+
+    ds = ray.data.from_items(leaves, override_num_blocks=max(1, len(leaves)))
+    report = ds.map_batches(
+        lambda b: pd.DataFrame(
+            [check_leaf(index_dir, r) for r in b.to_dict("records")]
+        ),
+        batch_format="pandas",
+        batch_size=4,
+    ).to_pandas()
+    if raise_on_error and not report["ok"].all():
+        bad = report[~report["ok"]]
+        raise AssertionError(f"index validation failed:\n{bad}")
+    assert int(report["sum_tf"].sum()) == manifest["stats"]["sum_total_term_freq"]
+    return report

@@ -1,0 +1,204 @@
+"""Corpus sources: schema adapters, metadata-only partition planning, and the
+deterministic synthetic source-code corpus generator.
+
+Partition planning is the Ray-Data analogue of Lucene's shared-nothing DWPT
+ingest (``index/DocumentsWriter.java:60-100``): each plan entry is a contiguous
+run of Parquet row groups that one build task turns into one immutable segment.
+Plans are computed from Parquet footers alone (no data read on the driver), are
+deterministic (files sorted by path, row groups in order), and carry the
+docBase prefix sum — so docIDs are stable across retries and resumes
+(the leaf-docBase contract of ``index/AtomicReaderContext.java:30-42``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    """Where the corpus lives and how its columns map onto the engine.
+
+    ``content_col`` is analyzed/indexed; ``meta_cols`` are carried into the
+    per-segment docmap (the stored-fields analogue) for result rendering.
+    """
+
+    files: tuple[str, ...]
+    content_col: str = "content"
+    meta_cols: tuple[str, ...] = ("repo", "path", "commit", "lang")
+
+    @staticmethod
+    def source_code(path_or_dir: str) -> "CorpusSpec":
+        """The BASELINE input_hint shape: (repo, path, commit, lang, content)."""
+        return CorpusSpec(files=_expand(path_or_dir))
+
+    @staticmethod
+    def documents(sf_dir: str) -> "CorpusSpec":
+        """Adapter over the driver testdata ``documents`` table."""
+        return CorpusSpec(
+            files=(os.path.join(sf_dir, "documents.parquet"),),
+            content_col="text",
+            meta_cols=("doc_id", "lang", "source"),
+        )
+
+
+def _expand(path_or_dir: str) -> tuple[str, ...]:
+    if os.path.isdir(path_or_dir):
+        return tuple(
+            sorted(
+                os.path.join(path_or_dir, n)
+                for n in os.listdir(path_or_dir)
+                if n.endswith(".parquet")
+            )
+        )
+    return (path_or_dir,)
+
+
+@dataclass
+class PartitionPlan:
+    part_id: int
+    file: str
+    row_groups: list[int]
+    num_docs: int
+    doc_base: int = 0  # filled by plan_partitions prefix sum
+    row_start: int = 0  # first row index within the file (lineage)
+    slice_start: int = 0  # row offset within the selected row groups
+
+
+def plan_partitions(
+    spec: CorpusSpec, target_docs_per_partition: int = 50_000
+) -> list[PartitionPlan]:
+    """Metadata-only planner: group row groups into partitions of roughly
+    ``target_docs_per_partition`` docs. Whole row groups are the preferred
+    unit (Parquet's IO granularity); a row group larger than the target is
+    split into row-range slices (the build task reads the group once and
+    slices — needed for small single-row-group inputs and shard-equivalence
+    tests).
+    """
+    plans: list[PartitionPlan] = []
+    tgt = max(1, target_docs_per_partition)
+    for f in spec.files:
+        md = pq.ParquetFile(f).metadata
+        cur_rgs: list[int] = []
+        cur_rows = 0
+        row_off = 0
+        cur_start = 0
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            if n > tgt and not cur_rgs:
+                # split this oversized row group into slices
+                for s in range(0, n, tgt):
+                    cnt = min(tgt, n - s)
+                    plans.append(
+                        PartitionPlan(0, f, [rg], cnt,
+                                      row_start=row_off + s, slice_start=s)
+                    )
+                row_off += n
+                cur_start = row_off
+                continue
+            if cur_rgs and cur_rows + n > tgt:
+                plans.append(
+                    PartitionPlan(0, f, cur_rgs, cur_rows, row_start=cur_start)
+                )
+                cur_rgs, cur_rows, cur_start = [], 0, row_off
+                if n > tgt:
+                    for s in range(0, n, tgt):
+                        cnt = min(tgt, n - s)
+                        plans.append(
+                            PartitionPlan(0, f, [rg], cnt,
+                                          row_start=row_off + s, slice_start=s)
+                        )
+                    row_off += n
+                    cur_start = row_off
+                    continue
+            cur_rgs.append(rg)
+            cur_rows += n
+            row_off += n
+        if cur_rgs:
+            plans.append(PartitionPlan(0, f, cur_rgs, cur_rows, row_start=cur_start))
+    doc_base = 0
+    for i, p in enumerate(plans):
+        p.part_id = i
+        p.doc_base = doc_base
+        doc_base += p.num_docs
+    return plans
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic source-code corpus (FIXTURES.md F1) — used for unit
+# tests and for bench scale beyond the driver testdata. Seeded, no external
+# data. Zipf-hot keywords exercise stop-word-like skew; occasional >255-char
+# tokens exercise the max-token-length drop; unicode rows exercise UAX#29.
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = [
+    "if", "return", "for", "while", "else", "class", "def", "import",
+    "public", "static", "void", "int", "string", "new", "null", "true",
+    "false", "self", "this", "func", "var", "let", "const", "struct",
+]
+_STOPPISH = [
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "with",
+]
+_IDENT_PARTS = [
+    "get", "set", "parse", "build", "index", "query", "merge", "score",
+    "token", "stream", "batch", "shard", "norm", "delta", "block", "term",
+    "doc", "field", "reader", "writer", "cache", "heap", "pool", "util",
+]
+
+
+def generate_corpus(
+    out_path: str,
+    n_docs: int,
+    seed: int = 42,
+    rows_per_group: int = 8192,
+) -> str:
+    """Write a deterministic synthetic corpus parquet in the input_hint shape
+    ``(repo, path, commit, lang, content)``. Returns out_path."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    exts = {"java": "java", "py": "py", "c": "c", "go": "go", "js": "js", "txt": "txt"}
+    langs = list(exts)
+    lang_p = np.array([0.3, 0.25, 0.15, 0.12, 0.12, 0.06])
+
+    # Zipf-weighted vocabulary: keywords hot, identifiers long tail
+    idents = [
+        a + "_" + b for a in _IDENT_PARTS for b in _IDENT_PARTS
+    ] + [a + b.capitalize() for a in _IDENT_PARTS for b in _IDENT_PARTS]
+    vocab = np.array(_KEYWORDS * 30 + _STOPPISH * 20 + idents, dtype=object)
+
+    repos, paths, commits, lang_col, contents = [], [], [], [], []
+    hexd = np.array(list("0123456789abcdef"))
+    for i in range(n_docs):
+        lang = langs[int(rng.choice(len(langs), p=lang_p))]
+        n_words = int(rng.integers(5, 400))
+        words = list(vocab[rng.integers(0, len(vocab), size=n_words)])
+        r = rng.random()
+        if r < 0.01:
+            words.append("x" * 300)  # overlong token (dropped, consumes position)
+        elif r < 0.02:
+            words.append("héllo_wörld 漢字")  # unicode / CJK
+        elif r < 0.03:
+            words = []  # empty doc
+        repos.append(f"org{i % 7}/proj{i % 23}")
+        paths.append(f"src/m{i % 13}/f{i}.{exts[lang]}")
+        commits.append("".join(hexd[rng.integers(0, 16, size=40)]))
+        lang_col.append(lang)
+        contents.append(" ".join(words))
+
+    table = pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(lang_col, pa.string()),
+            "content": pa.array(contents, pa.large_string()),
+        }
+    )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    pq.write_table(table, out_path, row_group_size=rows_per_group)
+    return out_path

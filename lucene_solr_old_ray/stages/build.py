@@ -1,0 +1,237 @@
+"""Segment build stage: one Parquet partition -> one immutable index segment.
+
+This is the DWPT flush collapsed into a single ``map_batches`` task (SURVEY
+§3.1): read the partition's row groups, run the analysis chain, invert to
+per-term postings, encode, and atomically publish a segment directory.
+Re-expresses (NOT ports) ``index/DocumentsWriterPerThread`` +
+``index/FreqProxTermsWriter.java:85-110`` (sort terms in UTF-8 order at flush;
+Python ``sorted`` on str == UTF-8 byte order since UTF-8 preserves code-point
+order) + ``codecs/lucene41/Lucene41PostingsWriter.java`` (the codec step).
+
+Segment directory layout::
+
+    seg-XXXXXX/
+      terms.parquet     term, df, ttf, off, len   (sorted by term)
+      postings.bin      concatenated per-term chunk blobs
+      norms.bin         uint8 norm byte per local docID
+      docmap.parquet    meta cols + sha256 + field_len + norm_byte
+      manifest.json     doc_base, num_docs, sum_tf, lineage, metrics
+
+Resumability: if ``manifest.json`` already exists for a partition the task
+returns its recorded metrics without reading any data (checkpoint skip).
+Retries are safe: output is staged under a pid-suffixed tmp dir and
+os.rename'd into place.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.analysis import analyze_batch
+from ..functions.codec import encode_chunk
+from ..functions.smallfloat import encode_norm
+from ..state import manifest as mf
+from ..sources.corpus import CorpusSpec
+
+
+def segment_dir(index_dir: str, part_id: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg-{part_id:06d}")
+
+
+def _invert_subbatch(ab, doc_offset: int, acc: dict[str, list]) -> int:
+    """Accumulate (term -> [(docids, tfs), ...]) from one analyzed sub-batch.
+    Returns number of postings added. Vectorized: one np.unique over the
+    (term_code, doc) key space (the BytesRefHash + FreqProx parallel-array
+    analogue, ``index/TermsHashPerField.java:103-105``)."""
+    if len(ab.term_codes) == 0:
+        return 0
+    n_docs = len(ab.field_lengths)
+    key = ab.term_codes.astype(np.int64) * n_docs + ab.doc_ids
+    uk, counts = np.unique(key, return_counts=True)
+    codes = (uk // n_docs).astype(np.int64)
+    docs = (uk % n_docs + doc_offset).astype(np.uint32)
+    tfs = counts.astype(np.uint32)
+    # split by term code (codes ascending; docids ascending within a code)
+    bounds = np.flatnonzero(np.diff(codes)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(codes)]))
+    uniques = ab.uniques
+    for s, e in zip(starts, ends):
+        term = uniques[codes[s]]
+        acc.setdefault(term, []).append((docs[s:e], tfs[s:e]))
+    return len(uk)
+
+
+def build_segment(
+    spec: CorpusSpec,
+    index_dir: str,
+    part_id: int,
+    file: str,
+    row_groups: list[int],
+    doc_base: int,
+    num_docs: int,
+    row_start: int,
+    slice_start: int = 0,
+    sub_batch_docs: int = 4096,
+) -> dict:
+    """Build one segment; returns a metrics row."""
+    seg = segment_dir(index_dir, part_id)
+    if mf.segment_exists(seg):
+        m = mf.read_json(os.path.join(seg, mf.SEGMENT_MANIFEST))
+        return {**m["metrics"], "part_id": part_id, "num_docs": m["num_docs"],
+                "sum_tf": m["sum_tf"], "skipped": True}
+
+    t0 = time.perf_counter()
+    pf = pq.ParquetFile(file)
+    cols = [spec.content_col] + [c for c in spec.meta_cols if c != spec.content_col]
+    acc: dict[str, list] = {}
+    field_lengths: list[np.ndarray] = []
+    meta_tables: list[pa.Table] = []
+    sha_list: list[str] = []
+    doc_off = 0
+    n_postings = 0
+    tok_s = 0.0
+    skip = slice_start
+    remaining = num_docs
+    for batch in pf.iter_batches(batch_size=sub_batch_docs, row_groups=row_groups,
+                                 columns=cols):
+        if remaining <= 0:
+            break
+        if skip >= batch.num_rows:
+            skip -= batch.num_rows
+            continue
+        if skip or batch.num_rows > remaining + skip:
+            batch = batch.slice(skip, min(batch.num_rows - skip, remaining))
+            skip = 0
+        tb = pa.Table.from_batches([batch])
+        remaining -= tb.num_rows
+        texts = tb[spec.content_col].to_pylist()
+        sha_list.extend(
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
+        )
+        t1 = time.perf_counter()
+        ab = analyze_batch(texts)
+        tok_s += time.perf_counter() - t1
+        n_postings += _invert_subbatch(ab, doc_off, acc)
+        field_lengths.append(ab.field_lengths)
+        meta_tables.append(tb.select([c for c in spec.meta_cols]))
+        doc_off += len(texts)
+    assert doc_off == num_docs, f"partition {part_id}: read {doc_off} != planned {num_docs}"
+
+    lens = (np.concatenate(field_lengths) if field_lengths
+            else np.zeros(0, dtype=np.int32))
+    norms = encode_norm(lens)
+    sum_tf = int(lens.sum())
+
+    # flush: sort terms (UTF-8 order), encode postings
+    t2 = time.perf_counter()
+    terms = sorted(acc)
+    offs = np.zeros(len(terms), dtype=np.int64)
+    lens_b = np.zeros(len(terms), dtype=np.int64)
+    dfs = np.zeros(len(terms), dtype=np.int64)
+    ttfs = np.zeros(len(terms), dtype=np.int64)
+    blobs: list[bytes] = []
+    pos = 0
+    for i, term in enumerate(terms):
+        parts = acc[term]
+        if len(parts) == 1:
+            docids, tfs = parts[0]
+        else:
+            docids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+        blob = encode_chunk(docids, tfs, norms)
+        blobs.append(blob)
+        offs[i] = pos
+        lens_b[i] = len(blob)
+        dfs[i] = len(docids)
+        ttfs[i] = int(tfs.sum())
+        pos += len(blob)
+    encode_s = time.perf_counter() - t2
+
+    tmp = f"{seg}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+        for b in blobs:
+            f.write(b)
+    with open(os.path.join(tmp, "norms.bin"), "wb") as f:
+        f.write(norms.tobytes())
+    pq.write_table(
+        pa.table({"term": pa.array(terms, pa.string()),
+                  "df": dfs, "ttf": ttfs, "off": offs, "len": lens_b}),
+        os.path.join(tmp, "terms.parquet"),
+    )
+    docmap = pa.concat_tables(meta_tables) if meta_tables else pa.table({})
+    docmap = docmap.append_column("sha256", pa.array(sha_list, pa.string()))
+    docmap = docmap.append_column("field_len", pa.array(lens.astype(np.int32)))
+    docmap = docmap.append_column("norm_byte", pa.array(norms.astype(np.uint8)))
+    pq.write_table(docmap, os.path.join(tmp, "docmap.parquet"))
+
+    wall = time.perf_counter() - t0
+    metrics = {
+        "docs": num_docs,
+        "postings": n_postings,
+        "terms": len(terms),
+        "postings_bytes": int(pos),
+        "tokenize_s": round(tok_s, 4),
+        "encode_s": round(encode_s, 4),
+        "wall_s": round(wall, 4),
+        "docs_per_s": round(num_docs / wall, 1) if wall > 0 else 0.0,
+        "postings_per_s": round(n_postings / wall, 1) if wall > 0 else 0.0,
+    }
+    # per-segment df partial aggregate of the hottest terms: consumed by the
+    # merge planner for skew-aware salting (SURVEY §4 "Skew")
+    if len(terms):
+        top = np.argsort(dfs)[::-1][:50]
+        hot_terms = {terms[i]: int(dfs[i]) for i in top}
+    else:
+        hot_terms = {}
+    mf.atomic_write_json(
+        os.path.join(tmp, mf.SEGMENT_MANIFEST),
+        {
+            "name": os.path.basename(seg),
+            "part_id": part_id,
+            "doc_base": doc_base,
+            "num_docs": num_docs,
+            "sum_tf": sum_tf,
+            "num_terms": len(terms),
+            "hot_terms": hot_terms,
+            "lineage": {"file": file, "row_groups": list(row_groups),
+                        "row_start": row_start, "num_rows": num_docs},
+            "metrics": metrics,
+            "format_version": 1,
+        },
+    )
+    mf.publish_dir(tmp, seg)
+    return {**metrics, "part_id": part_id, "num_docs": num_docs,
+            "sum_tf": sum_tf, "skipped": False}
+
+
+def make_build_fn(spec: CorpusSpec, index_dir: str, sub_batch_docs: int = 4096):
+    """Returns the map_batches function over partition-descriptor rows."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in batch.to_dict("records"):
+            rows.append(
+                build_segment(
+                    spec, index_dir,
+                    part_id=int(r["part_id"]), file=r["file"],
+                    row_groups=[int(x) for x in r["row_groups"]],
+                    doc_base=int(r["doc_base"]), num_docs=int(r["num_docs"]),
+                    row_start=int(r["row_start"]),
+                    slice_start=int(r.get("slice_start", 0)),
+                    sub_batch_docs=sub_batch_docs,
+                )
+            )
+        return pd.DataFrame(rows)
+
+    return fn

@@ -1,0 +1,292 @@
+"""Segment merge stages: term-keyed shuffle with skew-aware salting.
+
+Re-expresses (NOT ports) Lucene's segment merging
+(``index/SegmentMerger.java:75-135`` — concatenate per-term postings with
+docBase remapping; ``index/TieredMergePolicy.java:81-88`` — bounded merge
+fan-in) as Ray Data stages. Because postings chunks are offset-relocatable
+(see functions/codec.py), merging a term is header-patch + byte-concat in
+segment order — no decode/re-encode — so strict docID ascent is preserved by
+construction (the invariant asserted at
+``index/FreqProxTermsWriterPerField.java:199``).
+
+Two strategies, identical output:
+
+- ``termwise`` (default; the north-star path): one Dataset of per-(segment,
+  term) rows -> ``groupby(shard, term, salt).map_groups`` merges each term ->
+  ``groupby(shard).map_groups`` assembles + writes the shard. The ``salt``
+  column splits stop-word-like hot terms (taken from the build-time per-segment
+  df partial aggregates) into per-segment sub-groups so no reducer receives an
+  unbounded posting list; salts are a function of ``seg_ord`` for terms in the
+  shared hot set, so (salt asc, seg_ord asc) ordering is globally consistent.
+- ``local``: one task per output shard does a k-way merge reading its ~fan_in
+  segments straight from shared storage — zero object-store shuffle. This is
+  the 100 TB fast path (postings bytes move exactly once, storage -> task ->
+  storage); ``termwise`` demonstrates the same merge as an explicit Ray Data
+  shuffle and balances extreme vocabulary skew across the cluster.
+
+Shard directories have the same layout as segments, so merge is closed under
+composition (multi-round merges = tiered merging; ForceMerge(1) = fan_in >=
+num segments).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.codec import shift_blob
+from ..state import manifest as mf
+
+
+def shard_dir(index_dir: str, gen: int, shard_id: int) -> str:
+    return os.path.join(index_dir, f"shards-g{gen}", f"shard-{shard_id:05d}")
+
+
+def plan_merge(manifest: dict, index_dir: str, fan_in: int = 10) -> list[dict]:
+    """Group consecutive segments (doc_base order) into merge groups of
+    ``fan_in``. Returns shard descriptors with per-segment doc offsets."""
+    segs = sorted(manifest["segments"], key=lambda s: s["doc_base"])
+    groups = [segs[i : i + fan_in] for i in range(0, len(segs), fan_in)]
+    shards = []
+    for sid, grp in enumerate(groups):
+        base = grp[0]["doc_base"]
+        hot: set[str] = set()
+        for g in grp:
+            sm = mf.read_json(os.path.join(index_dir, g["dir"], mf.SEGMENT_MANIFEST))
+            hot.update(sm.get("hot_terms", {}))
+        shards.append(
+            {
+                "shard_id": sid,
+                "doc_base": base,
+                "num_docs": sum(g["num_docs"] for g in grp),
+                "segments": [
+                    {
+                        "dir": g["dir"],
+                        "seg_ord": i,
+                        "doc_offset": g["doc_base"] - base,
+                        "num_docs": g["num_docs"],
+                    }
+                    for i, g in enumerate(grp)
+                ],
+                "hot_terms": sorted(hot),
+            }
+        )
+    return shards
+
+
+def read_segment_term_rows(index_dir: str, shard: dict) -> pd.DataFrame:
+    """Emit one row per (segment, term): blobs already docBase-relocated so the
+    downstream merge is order-preserving concatenation."""
+    hot = set(shard["hot_terms"])
+    out = []
+    for seg in shard["segments"]:
+        sd = os.path.join(index_dir, seg["dir"])
+        terms = pq.read_table(os.path.join(sd, "terms.parquet"))
+        with open(os.path.join(sd, "postings.bin"), "rb") as f:
+            blob_all = f.read()
+        offs = terms["off"].to_numpy()
+        lens = terms["len"].to_numpy()
+        names = terms["term"].to_pylist()
+        dfs = terms["df"].to_numpy()
+        ttfs = terms["ttf"].to_numpy()
+        doc_offset = seg["doc_offset"]
+        seg_ord = seg["seg_ord"]
+        for i, term in enumerate(names):
+            blob = shift_blob(blob_all[offs[i] : offs[i] + lens[i]], doc_offset)
+            out.append(
+                {
+                    "shard_id": shard["shard_id"],
+                    "term": term,
+                    "salt": seg_ord if term in hot else 0,
+                    "seg_ord": seg_ord,
+                    "df": int(dfs[i]),
+                    "ttf": int(ttfs[i]),
+                    "blob": blob,
+                }
+            )
+    return pd.DataFrame(out)
+
+
+def merge_term_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge one (shard, term, salt) group: concat blobs in seg_ord order."""
+    g = g.sort_values("seg_ord")
+    return pd.DataFrame(
+        [
+            {
+                "shard_id": g["shard_id"].iloc[0],
+                "term": g["term"].iloc[0],
+                "salt": int(g["salt"].iloc[0]),
+                "df": int(g["df"].sum()),
+                "ttf": int(g["ttf"].sum()),
+                "blob": b"".join(g["blob"].tolist()),
+            }
+        ]
+    )
+
+
+def write_shard_files(
+    index_dir: str,
+    out_dir: str,
+    shard: dict,
+    terms: list[str],
+    dfs: np.ndarray,
+    ttfs: np.ndarray,
+    blobs: list[bytes],
+) -> dict:
+    """Write a merged shard directory (same layout as a segment) atomically.
+    Norms and docmap are concatenations of the input segments' in seg_ord
+    order (docBase order)."""
+    t0 = time.perf_counter()
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    offs = np.zeros(len(terms), dtype=np.int64)
+    lens_b = np.zeros(len(terms), dtype=np.int64)
+    pos = 0
+    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+        for i, b in enumerate(blobs):
+            f.write(b)
+            offs[i] = pos
+            lens_b[i] = len(b)
+            pos += len(b)
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+                "ttf": pa.array(ttfs, pa.int64()),
+                "off": offs,
+                "len": lens_b,
+            }
+        ),
+        os.path.join(tmp, "terms.parquet"),
+    )
+
+    norm_parts = []
+    docmaps = []
+    sum_tf = 0
+    hot_union: dict[str, int] = {}
+    for seg in shard["segments"]:
+        sd = os.path.join(index_dir, seg["dir"])
+        with open(os.path.join(sd, "norms.bin"), "rb") as f:
+            norm_parts.append(f.read())
+        docmaps.append(pq.read_table(os.path.join(sd, "docmap.parquet")))
+        sm = mf.read_json(os.path.join(sd, mf.SEGMENT_MANIFEST))
+        sum_tf += sm["sum_tf"]
+        for t, d in sm.get("hot_terms", {}).items():
+            hot_union[t] = hot_union.get(t, 0) + d
+    with open(os.path.join(tmp, "norms.bin"), "wb") as f:
+        for p in norm_parts:
+            f.write(p)
+    pq.write_table(pa.concat_tables(docmaps), os.path.join(tmp, "docmap.parquet"))
+
+    hot_top = dict(sorted(hot_union.items(), key=lambda kv: -kv[1])[:50])
+    metrics = {
+        "fan_in": len(shard["segments"]),
+        "terms": len(terms),
+        "postings_bytes": int(pos),
+        "wall_s": round(time.perf_counter() - t0, 4),
+    }
+    mf.atomic_write_json(
+        os.path.join(tmp, mf.SEGMENT_MANIFEST),
+        {
+            "name": os.path.basename(out_dir),
+            "doc_base": shard["doc_base"],
+            "num_docs": shard["num_docs"],
+            "sum_tf": sum_tf,
+            "num_terms": len(terms),
+            "hot_terms": hot_top,
+            "lineage": {"segments": [s["dir"] for s in shard["segments"]]},
+            "metrics": metrics,
+            "format_version": 1,
+        },
+    )
+    mf.publish_dir(tmp, out_dir)
+    return {**metrics, "shard_id": shard["shard_id"],
+            "num_docs": shard["num_docs"], "sum_tf": sum_tf, "skipped": False}
+
+
+def assemble_shard(index_dir: str, out_dir: str, shard: dict, g: pd.DataFrame) -> dict:
+    """Assembly for the termwise strategy: rows are merged (term, salt) groups;
+    (salt asc == seg_ord asc for hot terms) so per-term blob concat keeps
+    docID order."""
+    if mf.segment_exists(out_dir):
+        m = mf.read_json(os.path.join(out_dir, mf.SEGMENT_MANIFEST))
+        return {**m["metrics"], "shard_id": shard["shard_id"],
+                "num_docs": m["num_docs"], "sum_tf": m["sum_tf"], "skipped": True}
+    g = g.sort_values(["term", "salt"], kind="mergesort")
+    terms: list[str] = []
+    dfs: list[int] = []
+    ttfs: list[int] = []
+    blobs: list[bytes] = []
+    for term, sub in g.groupby("term", sort=True):
+        terms.append(term)
+        dfs.append(int(sub["df"].sum()))
+        ttfs.append(int(sub["ttf"].sum()))
+        blobs.append(b"".join(sub["blob"].tolist()))
+    return write_shard_files(
+        index_dir, out_dir, shard, terms,
+        np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64), blobs,
+    )
+
+
+def local_merge_shard(index_dir: str, out_dir: str, shard: dict) -> dict:
+    """The zero-shuffle strategy: k-way merge of the shard's segments in one
+    task, reading from shared storage."""
+    if mf.segment_exists(out_dir):
+        m = mf.read_json(os.path.join(out_dir, mf.SEGMENT_MANIFEST))
+        return {**m["metrics"], "shard_id": shard["shard_id"],
+                "num_docs": m["num_docs"], "sum_tf": m["sum_tf"], "skipped": True}
+    per_seg = []
+    for seg in sorted(shard["segments"], key=lambda s: s["seg_ord"]):
+        sd = os.path.join(index_dir, seg["dir"])
+        t = pq.read_table(os.path.join(sd, "terms.parquet"))
+        with open(os.path.join(sd, "postings.bin"), "rb") as f:
+            blob_all = f.read()
+        per_seg.append((seg, t, blob_all))
+
+    # k-way merge over already-sorted term lists, vectorized with one argsort
+    all_terms = np.concatenate([np.asarray(t["term"].to_pylist(), dtype=object)
+                                for _, t, _ in per_seg])
+    all_ord = np.concatenate([np.full(len(t), s["seg_ord"], dtype=np.int32)
+                              for s, t, _ in per_seg])
+    all_df = np.concatenate([t["df"].to_numpy() for _, t, _ in per_seg])
+    all_ttf = np.concatenate([t["ttf"].to_numpy() for _, t, _ in per_seg])
+    all_off = np.concatenate([t["off"].to_numpy() for _, t, _ in per_seg])
+    all_len = np.concatenate([t["len"].to_numpy() for _, t, _ in per_seg])
+    src = np.concatenate([np.full(len(t), i, dtype=np.int32)
+                          for i, (_, t, _) in enumerate(per_seg)])
+    order = np.lexsort((all_ord, all_terms))
+
+    terms: list[str] = []
+    dfs: list[int] = []
+    ttfs: list[int] = []
+    blobs: list[bytes] = []
+    prev = None
+    for idx in order:
+        term = all_terms[idx]
+        seg, _, blob_all = per_seg[src[idx]]
+        piece = shift_blob(
+            blob_all[all_off[idx] : all_off[idx] + all_len[idx]], seg["doc_offset"]
+        )
+        if term == prev:
+            blobs[-1] = blobs[-1] + piece
+            dfs[-1] += int(all_df[idx])
+            ttfs[-1] += int(all_ttf[idx])
+        else:
+            terms.append(term)
+            dfs.append(int(all_df[idx]))
+            ttfs.append(int(all_ttf[idx]))
+            blobs.append(piece)
+            prev = term
+    return write_shard_files(
+        index_dir, out_dir, shard, terms,
+        np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64), blobs,
+    )

