@@ -1,0 +1,163 @@
+"""Single-process pure-Python oracle with the reference's exact semantics.
+
+An INDEPENDENT implementation (naive per-doc loops, scalar float32 steps) of
+the scoring contract in SURVEY §7 — used by tests to assert the distributed
+engine is rank-identical. Mirrors, per the citations:
+- norms: floatToByte315(1/sqrt(len)) scalar transcription (SmallFloat.java:78-88)
+- idf/avgdl/cache/score: BM25Similarity.java:64-67,201-212,234-238
+- boolean: float32 sum of clause scores in clause order; MUST intersection,
+  SHOULD union with minShouldMatch, MUST_NOT exclusion (BooleanQuery.java)
+- top-k: (score desc, docID asc) (HitQueue.java:76-81)
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .functions.analysis import analyze_text
+from .queries import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    TermRangeQuery,
+)
+
+F = np.float32
+
+
+def _float_to_byte315(f: float) -> int:
+    bits = struct.unpack("<i", struct.pack("<f", f))[0]
+    smallfloat = bits >> (24 - 3)
+    if smallfloat <= ((63 - 15) << 3):
+        return 0 if bits <= 0 else 1
+    if smallfloat >= ((63 - 15) << 3) + 0x100:
+        return 255
+    return (smallfloat - ((63 - 15) << 3)) & 0xFF
+
+
+def _byte315_to_float(b: int) -> float:
+    if b == 0:
+        return 0.0
+    bits = ((b & 0xFF) << (24 - 3)) + ((63 - 15) << 24)
+    return struct.unpack("<f", struct.pack("<i", bits))[0]
+
+
+class OracleIndex:
+    def __init__(self, texts: list[str]):
+        self.n = len(texts)
+        self.tf: list[dict[str, int]] = []
+        self.lens: list[int] = []
+        self.df: dict[str, int] = {}
+        for t in texts:
+            toks = analyze_text(t or "")
+            m: dict[str, int] = {}
+            for tok in toks:
+                m[tok] = m.get(tok, 0) + 1
+            self.tf.append(m)
+            self.lens.append(len(toks))
+            for tok in m:
+                self.df[tok] = self.df.get(tok, 0) + 1
+        self.sum_ttf = sum(self.lens)
+        with np.errstate(divide="ignore"):  # empty docs: 1/sqrt(0) -> inf -> byte 255
+            self.norm_bytes = [
+                _float_to_byte315(F(F(1.0) / F(math.sqrt(F(l))))) for l in self.lens
+            ]
+        self.avgdl = F(self.sum_ttf / float(self.n)) if self.sum_ttf > 0 else F(1.0)
+        self.cache = []
+        for b in range(256):
+            f = _byte315_to_float(b)
+            decoded = F(F(1.0) / F(f * f)) if f != 0.0 else F(np.inf)
+            self.cache.append(
+                F(F(1.2) * F(F(0.25) + F(F(F(0.75) * decoded) / self.avgdl)))
+            )
+        self.vocab = sorted(self.df)
+
+    def weight(self, term: str, boost: float) -> F:
+        df = self.df.get(term, 0)
+        idf = F(math.log(1 + (self.n - df + 0.5) / (df + 0.5)))
+        return F(F(idf * F(boost)) * F(F(1.2) + F(1.0)))
+
+    def _match(self, q: Query, d: int, boost: float) -> tuple[bool, F]:
+        if isinstance(q, TermQuery):
+            tf = self.tf[d].get(q.term, 0)
+            if tf == 0:
+                return False, F(0)
+            wv = self.weight(q.term, boost * q.boost)
+            freq = F(tf)
+            norm = self.cache[self.norm_bytes[d]]
+            return True, F(F(wv * freq) / F(freq + norm))
+        if isinstance(q, MatchAllDocsQuery):
+            return True, F(boost * q.boost)
+        if isinstance(q, PrefixQuery):
+            ok = any(t.startswith(q.prefix) for t in self.tf[d])
+            return ok, F(boost * q.boost) if ok else F(0)
+        if isinstance(q, TermRangeQuery):
+            for t in self.tf[d]:
+                if q.lower is not None:
+                    if t < q.lower or (t == q.lower and not q.include_lower):
+                        continue
+                if q.upper is not None:
+                    if t > q.upper or (t == q.upper and not q.include_upper):
+                        continue
+                return True, F(boost * q.boost)
+            return False, F(0)
+        if isinstance(q, DisjunctionMaxQuery):
+            smax, ssum, any_match = F(0), F(0), False
+            first = True
+            for dq in q.disjuncts:
+                m, s = self._match(dq, d, boost * q.boost)
+                if m:
+                    if first:
+                        smax, ssum, first = s, s, False
+                    else:
+                        smax = max(smax, s)
+                        ssum = F(ssum + s)
+                    any_match = True
+            if not any_match:
+                return False, F(0)
+            return True, F(smax + F(F(ssum - smax) * F(q.tie_breaker)))
+        if isinstance(q, BooleanQuery):
+            b = boost * q.boost
+            score = F(0)
+            n_should = 0
+            has_must = any(c.occur == MUST for c in q.clauses)
+            has_should = any(c.occur == SHOULD for c in q.clauses)
+            for c in q.clauses:
+                m, s = self._match(c.query, d, b)
+                if c.occur == MUST:
+                    if not m:
+                        return False, F(0)
+                    score = F(score + s)
+                elif c.occur == SHOULD:
+                    if m:
+                        n_should += 1
+                        score = F(score + s)
+                elif c.occur == MUST_NOT:
+                    if m:
+                        return False, F(0)
+            if not has_must and not has_should:
+                return False, F(0)
+            need = q.min_should_match if has_must else max(q.min_should_match, 1)
+            if has_should and n_should < need:
+                return False, F(0)
+            return True, score
+        raise TypeError(type(q))
+
+    def search(self, q: Query, k: int = 10) -> list[tuple[int, float, int]]:
+        """-> [(docid, score, total_hits)] top-k, (score desc, docid asc)."""
+        hits = []
+        for d in range(self.n):
+            m, s = self._match(q, d, 1.0)
+            if m:
+                hits.append((d, s))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return [(d, float(s), len(hits)) for d, s in hits[:k]]

@@ -1,0 +1,237 @@
+"""Distributed search pipeline (SURVEY §3.2 re-expressed on Ray Data).
+
+Two passes over the leaf set, both as Dataset stages over the (tiny) leaf
+descriptor table — the postings themselves never move; actors mmap them:
+
+1. **stats pass** — sum df/ttf for the query's terms across every leaf
+   (``TermContext.build`` over all leaves), roll up on the driver, broadcast
+   via ``ray.put`` (ShardSearchingTestBase's stats-exchange protocol).
+2. **scoring pass** — ``map_batches(SearcherStage, concurrency=N)``: a
+   stateful actor pool; each actor caches opened ``LeafSearcher``s (term dict
+   in RAM, postings/norms mmap'd) across batches and runs every query against
+   its leaves, emitting per-leaf top-k rows.
+
+Driver merge follows ``TopDocs.merge`` exactly (``search/TopDocs.java:82-118``):
+(score desc, leaf ord asc, per-leaf rank asc) — leaf ords ascend with docBase,
+so ties resolve identically to a single-reader search.
+
+Scale notes: the shuffle-free design holds at 10^12 docs — queries and stats
+are broadcast (small), per-leaf top-k rows are k × leaves × queries (small);
+actors hold only term dictionaries in heap and fault postings pages on demand.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import bm25
+from ..queries import Query, collect_terms
+from ..stages.search import (
+    LeafSearcher,
+    SearchContext,
+    collect_leaf_stats,
+    execute,
+    top_k,
+)
+from ..state import manifest as mf
+
+
+def _leaves(manifest: dict) -> list[dict]:
+    return sorted(manifest["segments"], key=lambda s: s["doc_base"])
+
+
+class SearcherStage:
+    """Actor-pool stage over leaf descriptor rows."""
+
+    def __init__(self, index_dir: str, queries_ref, ctx_ref, k: int, algo: str):
+        self.index_dir = index_dir
+        self.queries: list[tuple[int, Query]] = ray.get(queries_ref)
+        self.ctx: SearchContext = ray.get(ctx_ref)
+        self.k = k
+        self.algo = algo
+        self._open: dict[str, LeafSearcher] = {}
+
+    def _leaf(self, row) -> LeafSearcher:
+        d = row["dir"]
+        ls = self._open.get(d)
+        if ls is None:
+            ls = LeafSearcher(
+                os.path.join(self.index_dir, d),
+                int(row["doc_base"]),
+                int(row["leaf_ord"]),
+                int(row["num_docs"]),
+            )
+            if len(self._open) > 64:  # bounded leaf cache per actor
+                self._open.pop(next(iter(self._open)))
+            self._open[d] = ls
+        return ls
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "qid": [], "leaf_ord": [], "rank": [], "docid": [],
+            "score": [], "hits": [],
+        }
+        for row in batch.to_dict("records"):
+            leaf = self._leaf(row)
+            for qid, q in self.queries:
+                if self.algo == "wand":
+                    from ..stages.wand import execute_wand_or_fallback
+
+                    docids, scores, nhits = execute_wand_or_fallback(
+                        q, leaf, self.ctx, self.k
+                    )
+                else:
+                    docids, scores = execute(q, leaf, self.ctx)
+                    nhits = len(docids)
+                    docids, scores = top_k(docids, scores, self.k)
+                n = len(docids)
+                out["qid"].extend([qid] * n)
+                out["leaf_ord"].extend([leaf.ord] * n)
+                out["rank"].extend(range(n))
+                out["docid"].extend((docids + leaf.doc_base).tolist())
+                out["score"].extend(scores.tolist())
+                out["hits"].extend([nhits] * n)
+        return pd.DataFrame(
+            {
+                "qid": pd.array(out["qid"], dtype="int64"),
+                "leaf_ord": pd.array(out["leaf_ord"], dtype="int32"),
+                "rank": pd.array(out["rank"], dtype="int32"),
+                "docid": pd.array(out["docid"], dtype="int64"),
+                "score": pd.array(out["score"], dtype="float32"),
+                "hits": pd.array(out["hits"], dtype="int64"),
+            }
+        )
+
+
+def gather_stats(
+    index_dir: str, manifest: dict, terms: Sequence[str]
+) -> SearchContext:
+    """Stats pass + roll-up -> broadcastable SearchContext."""
+    st = manifest["stats"]
+    coll = bm25.CollectionStats(st["max_doc"], st["sum_total_term_freq"])
+    terms = sorted(set(terms))
+    agg: dict[str, list[int]] = {}
+    if terms:
+        leaves = _leaves(manifest)
+        items = [
+            {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
+             "num_docs": l["num_docs"]}
+            for i, l in enumerate(leaves)
+        ]
+        ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+
+        def leaf_stats(batch: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for row in batch.to_dict("records"):
+                leaf = LeafSearcher(
+                    os.path.join(index_dir, row["dir"]),
+                    int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                )
+                for t, (df, ttf) in collect_leaf_stats(leaf, list(terms)).items():
+                    rows.append({"term": t, "df": df, "ttf": ttf})
+            return pd.DataFrame(rows, columns=["term", "df", "ttf"])
+
+        parts = ds.map_batches(leaf_stats, batch_format="pandas", batch_size=8).to_pandas()
+        if len(parts):
+            g = parts.groupby("term").sum()
+            agg = {t: [int(r["df"]), int(r["ttf"])] for t, r in g.iterrows()}
+    return SearchContext(coll, {t: tuple(v) for t, v in agg.items()})
+
+
+def search(
+    index_dir: str,
+    queries: Sequence[Query] | dict[int, Query],
+    k: int = 10,
+    *,
+    algo: str = "exhaustive",
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Run a batch of queries -> table (qid, rank[1-based], docid, score,
+    total_hits), rank-ordered per qid with TopDocs.merge tie semantics."""
+    manifest = mf.read_index_manifest(index_dir)
+    if not isinstance(queries, dict):
+        queries = dict(enumerate(queries))
+    qitems = sorted(queries.items())
+
+    all_terms: set[str] = set()
+    for _, q in qitems:
+        all_terms |= collect_terms(q)
+    ctx = gather_stats(index_dir, manifest, sorted(all_terms))
+
+    leaves = _leaves(manifest)
+    items = [
+        {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
+         "num_docs": l["num_docs"]}
+        for i, l in enumerate(leaves)
+    ]
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    queries_ref = ray.put(qitems)
+    ctx_ref = ray.put(ctx)
+    conc = concurrency or min(len(items), 8)
+    rows = ds.map_batches(
+        SearcherStage,
+        fn_constructor_kwargs={
+            "index_dir": index_dir, "queries_ref": queries_ref,
+            "ctx_ref": ctx_ref, "k": k, "algo": algo,
+        },
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=conc,
+    ).to_pandas()  # k × leaves × queries rows — small
+
+    # TopDocs.merge: (score desc, leaf ord asc, per-leaf rank asc)
+    out = {
+        "qid": [], "rank": [], "docid": [], "score": [], "total_hits": [],
+    }
+    for qid, _ in qitems:
+        sub = rows[rows["qid"] == qid]
+        hits = int(sub.drop_duplicates("leaf_ord")["hits"].sum()) if len(sub) else 0
+        if len(sub):
+            order = np.lexsort(
+                (sub["rank"].to_numpy(), sub["leaf_ord"].to_numpy(),
+                 -sub["score"].to_numpy(np.float32))
+            )[:k]
+            sel = sub.iloc[order]
+            n = len(sel)
+            out["qid"].extend([qid] * n)
+            out["rank"].extend(range(1, n + 1))
+            out["docid"].extend(sel["docid"].tolist())
+            out["score"].extend(sel["score"].tolist())
+            out["total_hits"].extend([hits] * n)
+    return pa.table(
+        {
+            "qid": pa.array(out["qid"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int32()),
+            "docid": pa.array(out["docid"], pa.int64()),
+            "score": pa.array(np.asarray(out["score"], dtype=np.float32), pa.float32()),
+            "total_hits": pa.array(out["total_hits"], pa.int64()),
+        }
+    )
+
+
+def fetch_doc_meta(index_dir: str, docids: Sequence[int]) -> pa.Table:
+    """Stored-fields retrieval for a (small) set of global docIDs: read only
+    the leaves that contain them, take local rows."""
+    manifest = mf.read_index_manifest(index_dir)
+    leaves = _leaves(manifest)
+    bases = np.array([l["doc_base"] for l in leaves], dtype=np.int64)
+    ids = np.asarray(sorted(set(int(d) for d in docids)), dtype=np.int64)
+    leaf_idx = np.searchsorted(bases, ids, side="right") - 1
+    tables = []
+    import pyarrow.parquet as pq
+
+    for li in np.unique(leaf_idx):
+        l = leaves[int(li)]
+        local = ids[leaf_idx == li] - l["doc_base"]
+        dm = pq.read_table(os.path.join(index_dir, l["dir"], "docmap.parquet"))
+        t = dm.take(pa.array(local))
+        t = t.append_column("docid", pa.array(local + l["doc_base"], pa.int64()))
+        tables.append(t)
+    return pa.concat_tables(tables) if tables else pa.table({"docid": pa.array([], pa.int64())})

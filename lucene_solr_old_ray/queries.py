@@ -1,0 +1,181 @@
+"""Query model + minimal classic-syntax parser.
+
+Re-expresses the reference's query tree (``search/TermQuery.java``,
+``search/BooleanQuery.java`` MUST/SHOULD/MUST_NOT + minimumNumberShouldMatch,
+``search/MatchAllDocsQuery.java``, ``search/PrefixQuery.java``,
+``search/TermRangeQuery.java``, ``search/DisjunctionMaxQuery.java``) as plain
+dataclasses, and the classic parser subset
+(``queryparser/.../classic/QueryParserBase.java``): ``term``, ``+term``,
+``-term``, ``AND/OR/NOT``, ``field:term`` (single-field engine: field ignored).
+
+Query-time text goes through the same analysis chain as indexing (the
+reference's QueryParser analyzes terms); a term that analyzes to nothing
+(stop word) produces no clause, mirroring the parser dropping empty tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.analysis import analyze_text
+
+MUST = "MUST"
+SHOULD = "SHOULD"
+MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery:
+    """Rewrites to a constant-score set over all terms with the prefix
+    (CONSTANT_SCORE rewrite of MultiTermQuery, ``search/PrefixQuery.java:34``)."""
+
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery:
+    """Term-dictionary range scan (``search/TermRangeQuery.java:43``);
+    constant-score rewrite."""
+
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: str  # MUST | SHOULD | MUST_NOT
+    query: "Query"
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    clauses: tuple[BooleanClause, ...]
+    min_should_match: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """Max of clause scores + tie_breaker * sum of the rest
+    (``search/DisjunctionMaxQuery.java:44``)."""
+
+    disjuncts: tuple["Query", ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    """Exact phrase (slop=0) over positions (``search/PhraseQuery.java:47``)."""
+
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+Query = (
+    TermQuery
+    | PrefixQuery
+    | TermRangeQuery
+    | MatchAllDocsQuery
+    | BooleanQuery
+    | DisjunctionMaxQuery
+    | PhraseQuery
+)
+
+
+def term(text: str) -> TermQuery | None:
+    """Analyze one term's text; None if it analyzes away (stop word)."""
+    toks = analyze_text(text)
+    if not toks:
+        return None
+    return TermQuery(toks[0])
+
+
+def bool_query(
+    musts: list[str] = (),
+    shoulds: list[str] = (),
+    must_nots: list[str] = (),
+    min_should_match: int = 0,
+) -> BooleanQuery:
+    """Build a BooleanQuery from raw (unanalyzed) single-term strings; terms
+    that analyze away are dropped (parser semantics)."""
+    clauses: list[BooleanClause] = []
+    for occur, texts in ((MUST, musts), (SHOULD, shoulds), (MUST_NOT, must_nots)):
+        for t in texts:
+            tq = term(t)
+            if tq is not None:
+                clauses.append(BooleanClause(occur, tq))
+    return BooleanQuery(tuple(clauses), min_should_match)
+
+
+def collect_terms(q: Query) -> set[str]:
+    """All exact terms a query needs statistics/postings for."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= collect_terms(c.query)
+        return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for d in q.disjuncts:
+            out |= collect_terms(d)
+        return out
+    return set()
+
+
+def parse(text: str) -> Query:
+    """Minimal classic-syntax parser: whitespace-separated terms with +/-
+    prefixes and AND/OR/NOT connectors. ``field:term`` drops the field part.
+    Bare terms are SHOULD; ``x AND y`` makes both MUST; ``NOT x`` == ``-x``.
+    """
+    tokens = text.split()
+    clauses: list[BooleanClause] = []
+    pending_occur = None
+    conj_and = any(t == "AND" for t in tokens)
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        if tok in ("AND", "OR"):
+            i += 1
+            continue
+        if tok == "NOT":
+            pending_occur = MUST_NOT
+            i += 1
+            continue
+        occur = SHOULD if not conj_and else MUST
+        if tok.startswith("+"):
+            occur, tok = MUST, tok[1:]
+        elif tok.startswith("-"):
+            occur, tok = MUST_NOT, tok[1:]
+        if pending_occur:
+            occur = pending_occur
+            pending_occur = None
+        if ":" in tok:
+            tok = tok.split(":", 1)[1]
+        tq = term(tok)
+        if tq is not None:
+            clauses.append(BooleanClause(occur, tq))
+        i += 1
+    if len(clauses) == 1 and clauses[0].occur != MUST_NOT:
+        return clauses[0].query
+    return BooleanQuery(tuple(clauses))

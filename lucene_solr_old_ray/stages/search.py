@@ -1,0 +1,286 @@
+"""Query execution: leaf searchers, boolean algebra over posting lists, BM25.
+
+Re-expresses (NOT ports) the reference's search path (SURVEY §3.2):
+
+- ``search/IndexSearcher.java:259,674`` — weights built from GLOBAL statistics
+  (df/ttf summed across every leaf, ``index/TermContext.java:81-101``) before
+  any leaf is scored; here the stats pass runs as a map_batches sweep and the
+  summed stats are broadcast to searcher actors via the object store
+  (the ShardSearchingTestBase distributed-stats protocol,
+  ``test-framework/.../search/ShardSearchingTestBase.java:139-148``).
+- ``search/BooleanQuery.java`` / ``ConjunctionScorer`` / ``DisjunctionSumScorer``
+  / ``MinShouldMatchSumScorer`` / ``ReqExclScorer`` — re-expressed as sorted
+  docID-array set algebra (intersection via searchsorted, union via unique,
+  MUST_NOT as anti-join); scores are float32 sums accumulated in CLAUSE ORDER
+  (the reference sums float-by-float in scorer order; clause order is our
+  documented deterministic equivalent — coord()==queryNorm()==1 for BM25,
+  ``search/similarities/Similarity.java:122-141``).
+- ``search/TopScoreDocCollector.java:37-259`` + ``search/HitQueue.java:76-81``
+  — per-leaf top-k with (score desc, docID asc) tie-break via one lexsort.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..functions import bm25
+from ..functions.codec import decode_blob, iter_chunks
+from ..queries import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    TermQuery,
+    TermRangeQuery,
+)
+
+
+class LeafSearcher:
+    """One open segment/shard: term dict in RAM, postings + norms memory-mapped
+    (``store/MMapDirectory.java:79`` analogue). Loaded once per actor per leaf
+    and cached across query batches."""
+
+    def __init__(self, leaf_dir: str, doc_base: int, leaf_ord: int, num_docs: int):
+        self.dir = leaf_dir
+        self.doc_base = doc_base
+        self.ord = leaf_ord
+        self.num_docs = num_docs
+        t = pq.read_table(os.path.join(leaf_dir, "terms.parquet"))
+        self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        self.df = t["df"].to_numpy()
+        self.ttf = t["ttf"].to_numpy()
+        self.off = t["off"].to_numpy()
+        self.len = t["len"].to_numpy()
+        self.postings_mm = (
+            np.memmap(os.path.join(leaf_dir, "postings.bin"), dtype=np.uint8, mode="r")
+            if self.len.sum() > 0
+            else np.zeros(0, dtype=np.uint8)
+        )
+        self.norms = np.frombuffer(
+            open(os.path.join(leaf_dir, "norms.bin"), "rb").read(), dtype=np.uint8
+        )
+        self._docmap = None
+
+    def lookup(self, term: str) -> int:
+        i = int(np.searchsorted(self.terms, term))
+        if i < len(self.terms) and self.terms[i] == term:
+            return i
+        return -1
+
+    def term_range(self, lo, hi, inc_lo: bool, inc_hi: bool) -> tuple[int, int]:
+        """Index range [s, e) of terms within the bounds (term-dict scan of
+        MultiTermQuery rewrites)."""
+        s = 0 if lo is None else int(
+            np.searchsorted(self.terms, lo, side="left" if inc_lo else "right")
+        )
+        e = len(self.terms) if hi is None else int(
+            np.searchsorted(self.terms, hi, side="right" if inc_hi else "left")
+        )
+        return s, max(s, e)
+
+    def blob(self, ti: int) -> np.ndarray:
+        o = int(self.off[ti])
+        return self.postings_mm[o : o + int(self.len[ti])]
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        ti = self.lookup(term)
+        if ti < 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint32)
+        return decode_blob(self.blob(ti))
+
+    def chunks(self, term: str):
+        ti = self.lookup(term)
+        return [] if ti < 0 else iter_chunks(self.blob(ti))
+
+    @property
+    def docmap(self):
+        if self._docmap is None:
+            self._docmap = pq.read_table(os.path.join(self.dir, "docmap.parquet"))
+        return self._docmap
+
+
+@dataclass
+class SearchContext:
+    """Broadcast once per query batch: global collection + term statistics."""
+
+    coll: bm25.CollectionStats
+    term_stats: dict[str, tuple[int, int]]  # term -> (df, ttf) summed over leaves
+
+    def __post_init__(self):
+        self.cache = bm25.norm_cache(self.coll.avgdl)
+        self._wv: dict[tuple[str, float], np.float32] = {}
+
+    def weight(self, term: str, boost: float) -> np.float32:
+        key = (term, boost)
+        w = self._wv.get(key)
+        if w is None:
+            df = self.term_stats.get(term, (0, 0))[0]
+            w = bm25.weight_value(bm25.idf(df, self.coll.max_doc), boost)
+            self._wv[key] = w
+        return w
+
+
+def collect_leaf_stats(leaf: LeafSearcher, terms: list[str]) -> dict[str, tuple[int, int]]:
+    out = {}
+    for t in terms:
+        ti = leaf.lookup(t)
+        if ti >= 0:
+            out[t] = (int(leaf.df[ti]), int(leaf.ttf[ti]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scoring executors (exhaustive DAAT; WAND lives in stages/wand.py)
+# ---------------------------------------------------------------------------
+
+
+def _scores_for_term(
+    leaf: LeafSearcher, ctx: SearchContext, term: str, boost: float
+) -> tuple[np.ndarray, np.ndarray]:
+    docids, tfs = leaf.postings(term)
+    if len(docids) == 0:
+        return docids, np.empty(0, dtype=np.float32)
+    wv = ctx.weight(term, boost)
+    scores = bm25.score_postings(tfs, leaf.norms[docids], wv, ctx.cache)
+    return docids, scores
+
+
+def _const_docs(leaf: LeafSearcher, ti_range: tuple[int, int]) -> np.ndarray:
+    """Union of docIDs of a run of terms (constant-score MultiTermQuery
+    rewrite)."""
+    s, e = ti_range
+    if s >= e:
+        return np.empty(0, dtype=np.int64)
+    parts = [decode_blob(leaf.blob(ti))[0] for ti in range(s, e)]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+
+def execute(
+    q: Query, leaf: LeafSearcher, ctx: SearchContext, boost: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate a query on one leaf -> (local docids ascending, float32 scores)."""
+    if isinstance(q, TermQuery):
+        return _scores_for_term(leaf, ctx, q.term, boost * q.boost)
+    if isinstance(q, MatchAllDocsQuery):
+        docs = np.arange(leaf.num_docs, dtype=np.int64)
+        return docs, np.full(leaf.num_docs, np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, PrefixQuery):
+        docs = _const_docs(leaf, leaf.term_range(q.prefix, q.prefix + "￿", True, True))
+        return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, TermRangeQuery):
+        docs = _const_docs(
+            leaf, leaf.term_range(q.lower, q.upper, q.include_lower, q.include_upper)
+        )
+        return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, DisjunctionMaxQuery):
+        return _execute_dismax(q, leaf, ctx, boost)
+    if isinstance(q, BooleanQuery):
+        return _execute_bool(q, leaf, ctx, boost)
+    if isinstance(q, PhraseQuery):
+        raise NotImplementedError(
+            "phrase queries require the positions sidecar (v1; format supports it)"
+        )
+    raise TypeError(f"unknown query type {type(q)}")
+
+
+def _execute_dismax(
+    q: DisjunctionMaxQuery, leaf: LeafSearcher, ctx: SearchContext, boost: float
+):
+    parts = [execute(d, leaf, ctx, boost * q.boost) for d in q.disjuncts]
+    parts = [(d, s) for d, s in parts if len(d)]
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    union = np.unique(np.concatenate([d for d, _ in parts]))
+    smax = np.zeros(len(union), dtype=np.float32)
+    ssum = np.zeros(len(union), dtype=np.float32)
+    for d, s in parts:
+        idx = np.searchsorted(union, d)
+        np.maximum.at(smax, idx, s)
+        ssum[idx] = np.add(ssum[idx], s, dtype=np.float32)
+    # scoreMax + (scoreSum - scoreMax) * tieBreaker, float32 steps
+    t = np.subtract(ssum, smax, dtype=np.float32)
+    t = np.multiply(t, np.float32(q.tie_breaker), dtype=np.float32)
+    return union, np.add(smax, t, dtype=np.float32)
+
+
+def _execute_bool(
+    q: BooleanQuery, leaf: LeafSearcher, ctx: SearchContext, boost: float
+):
+    b = boost * q.boost
+    musts, shoulds, nots = [], [], []
+    for c in q.clauses:
+        if c.occur == MUST:
+            musts.append(execute(c.query, leaf, ctx, b))
+        elif c.occur == SHOULD:
+            shoulds.append(execute(c.query, leaf, ctx, b))
+        elif c.occur == MUST_NOT:
+            nots.append(execute(c.query, leaf, ctx, 1.0)[0])
+    msm = q.min_should_match
+
+    if musts:
+        base = musts[0][0]
+        for d, _ in musts[1:]:
+            base = base[np.isin(base, d, assume_unique=True)]
+        if len(base) == 0:
+            return base, np.empty(0, dtype=np.float32)
+        scores = np.zeros(len(base), dtype=np.float32)
+        for d, s in musts:  # clause order
+            idx = np.searchsorted(d, base)
+            scores = np.add(scores, s[idx], dtype=np.float32)
+        if shoulds:
+            match_count = np.zeros(len(base), dtype=np.int32)
+            for d, s in shoulds:  # clause order
+                pos = np.searchsorted(d, base)
+                pos_ok = pos < len(d)
+                hit = np.zeros(len(base), dtype=bool)
+                hit[pos_ok] = d[pos[pos_ok]] == base[pos_ok]
+                add = np.zeros(len(base), dtype=np.float32)
+                add[hit] = s[np.searchsorted(d, base[hit])]
+                scores = np.add(scores, add, dtype=np.float32)
+                match_count += hit
+            if msm > 0:
+                keep = match_count >= msm
+                base, scores = base[keep], scores[keep]
+        docids = base
+    elif shoulds:
+        need = max(msm, 1)
+        union = np.unique(np.concatenate([d for d, _ in shoulds])) if shoulds else None
+        scores = np.zeros(len(union), dtype=np.float32)
+        count = np.zeros(len(union), dtype=np.int32)
+        for d, s in shoulds:  # clause order
+            idx = np.searchsorted(union, d)
+            scores[idx] = np.add(scores[idx], s, dtype=np.float32)
+            count[idx] += 1
+        keep = count >= need
+        docids, scores = union[keep], scores[keep]
+    else:
+        # only MUST_NOT (or empty): matches nothing (BooleanQuery semantics)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+    if nots and len(docids):
+        excl = np.unique(np.concatenate(nots)) if len(nots) > 1 else nots[0]
+        if len(excl):
+            keep = ~np.isin(docids, excl, assume_unique=True)
+            docids, scores = docids[keep], scores[keep]
+    return docids, scores
+
+
+def top_k(
+    docids: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(score desc, docID asc) — HitQueue.lessThan semantics, one lexsort."""
+    if len(docids) > k:
+        order = np.lexsort((docids, -scores))[:k]
+    else:
+        order = np.lexsort((docids, -scores))
+    return docids[order], scores[order]

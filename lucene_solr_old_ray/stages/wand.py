@@ -1,0 +1,188 @@
+"""Score-safe Block-Max WAND top-k pruning (north-star addition).
+
+The reference (Lucene 4.x) prunes only via the collector's
+``score <= pqTop.score`` early reject (``search/TopScoreDocCollector.java:53-59``)
+and multi-level skip lists; Block-Max WAND (Ding & Suel, SIGIR 2011; shipped in
+Lucene 8) is the standard improvement: per-block score upper bounds let whole
+blocks be skipped without decoding, while remaining EXACT for the returned
+top-k.
+
+Implementation: interval-at-a-time over the union of 128-doc block boundaries.
+For each interval [prev_end+1, b_end] we sum the active terms' block upper
+bounds; if the sum cannot beat the current k-th score the interval is skipped
+(blocks ending at b_end advance without decode), else the overlapping block
+portions are decoded and scored vectorized, accumulating in clause order like
+the exhaustive path (bit-identical scores).
+
+Safety: block UBs are computed with the same float32 formula as real scores at
+(max_tf, max_norm) — the block impact data stored by the codec — then inflated
+by 4 ulps to absorb float32 rounding non-monotonicity, and summed in float64.
+Pruning with ``ub_sum <= θ`` is safe including equality because the in-order
+collector also rejects ``score <= pqTop.score`` (later-doc ties lose).
+
+Semantics note (as in Lucene 8): with pruning, ``total_hits`` becomes a lower
+bound (GREATER_THAN_OR_EQUAL_TO) — the top-k docIDs and scores are exact.
+
+Applicability: single terms and pure term disjunctions with
+min_should_match <= 1 and no MUST/MUST_NOT; everything else falls back to the
+exhaustive executor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import bm25
+from ..queries import SHOULD, BooleanQuery, Query, TermQuery
+from .search import LeafSearcher, SearchContext, execute, top_k
+
+
+class _TermBlocks:
+    """Flattened per-block view of one term's postings across chunks."""
+
+    __slots__ = ("chunks", "block_last", "block_ub", "chunk_of", "block_in_chunk",
+                 "wv", "n_blocks", "_decoded")
+
+    def __init__(self, leaf: LeafSearcher, ctx: SearchContext, term: str, boost: float):
+        self.chunks = leaf.chunks(term)
+        self.wv = ctx.weight(term, boost)
+        lasts, ubs, chunk_of, bic = [], [], [], []
+        for ci, cv in enumerate(self.chunks):
+            if cv.nblocks == 0:
+                continue
+            last = cv.last_docids.astype(np.int64) + cv.doc_offset
+            max_tf = cv.max_tfs.astype(np.float32)
+            cmin = ctx.cache[cv.max_norms]  # max norm byte = min denominator
+            num = np.multiply(self.wv, max_tf, dtype=np.float32)
+            den = np.add(max_tf, cmin, dtype=np.float32)
+            ub = np.divide(num, den, dtype=np.float32)
+            # inflate 4 ulps: absorb float32 rounding non-monotonicity
+            for _ in range(4):
+                ub = np.nextafter(ub, np.float32(np.inf), dtype=np.float32)
+            lasts.append(last)
+            ubs.append(ub)
+            chunk_of.append(np.full(cv.nblocks, ci, dtype=np.int32))
+            bic.append(np.arange(cv.nblocks, dtype=np.int32))
+        if lasts:
+            self.block_last = np.concatenate(lasts)
+            self.block_ub = np.concatenate(ubs)
+            self.chunk_of = np.concatenate(chunk_of)
+            self.block_in_chunk = np.concatenate(bic)
+        else:
+            self.block_last = np.empty(0, dtype=np.int64)
+            self.block_ub = np.empty(0, dtype=np.float32)
+            self.chunk_of = np.empty(0, dtype=np.int32)
+            self.block_in_chunk = np.empty(0, dtype=np.int32)
+        self.n_blocks = len(self.block_last)
+        self._decoded: tuple[int, np.ndarray, np.ndarray] | None = None
+
+    def decode(self, bi: int, leaf: LeafSearcher, ctx: SearchContext):
+        """-> (docids int64, scores f32) of block bi (cached for current bi)."""
+        if self._decoded is not None and self._decoded[0] == bi:
+            return self._decoded[1], self._decoded[2]
+        cv = self.chunks[self.chunk_of[bi]]
+        d, t = cv.decode_block(int(self.block_in_chunk[bi]))
+        scores = bm25.score_postings(t, leaf.norms[d], self.wv, ctx.cache)
+        self._decoded = (bi, d, scores)
+        return d, scores
+
+
+def _wand_terms(q: Query) -> list[tuple[str, float]] | None:
+    """Terms of a WAND-eligible query, in clause order; None if ineligible."""
+    if isinstance(q, TermQuery):
+        return [(q.term, q.boost)]
+    if isinstance(q, BooleanQuery) and q.min_should_match <= 1 and q.clauses:
+        out = []
+        for c in q.clauses:
+            if c.occur != SHOULD or not isinstance(c.query, TermQuery):
+                return None
+            out.append((c.query.term, c.query.boost * q.boost))
+        return out
+    return None
+
+
+def execute_wand_or_fallback(
+    q: Query, leaf: LeafSearcher, ctx: SearchContext, k: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """-> (top-k docids, scores, total_hits[lower bound under pruning])."""
+    terms = _wand_terms(q)
+    if terms is None:
+        docids, scores = execute(q, leaf, ctx)
+        nhits = len(docids)
+        d, s = top_k(docids, scores, k)
+        return d, s, nhits
+
+    tbs = [_TermBlocks(leaf, ctx, t, b) for t, b in terms]
+    tbs_active = [tb for tb in tbs if tb.n_blocks > 0]
+    if not tbs_active:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float32), 0
+
+    ptr = {id(tb): 0 for tb in tbs_active}
+    consumed = {id(tb): 0 for tb in tbs_active}  # docs consumed within current block
+    top_d = np.empty(0, dtype=np.int64)
+    top_s = np.empty(0, dtype=np.float32)
+    theta = -np.inf
+    n_scored = 0
+
+    while tbs_active:
+        b_end = min(int(tb.block_last[ptr[id(tb)]]) for tb in tbs_active)
+        ub_sum = float(np.sum([tb.block_ub[ptr[id(tb)]] for tb in tbs_active],
+                              dtype=np.float64))
+        if len(top_d) >= k and ub_sum <= theta:
+            # skip: advance every term whose block ends at b_end
+            nxt = []
+            for tb in tbs_active:
+                p = ptr[id(tb)]
+                if int(tb.block_last[p]) == b_end:
+                    ptr[id(tb)] = p + 1
+                    consumed[id(tb)] = 0
+                    if ptr[id(tb)] < tb.n_blocks:
+                        nxt.append(tb)
+                else:
+                    nxt.append(tb)
+            tbs_active = nxt
+            continue
+
+        # decode interval (.., b_end] portions, accumulate in clause order
+        parts = []
+        for tb in tbs_active:
+            p = ptr[id(tb)]
+            d, s = tb.decode(p, leaf, ctx)
+            c0 = consumed[id(tb)]
+            hi = int(np.searchsorted(d, b_end, side="right"))
+            if hi > c0:
+                parts.append((tb, d[c0:hi], s[c0:hi]))
+                consumed[id(tb)] = hi
+        if parts:
+            union = np.unique(np.concatenate([d for _, d, _ in parts]))
+            acc = np.zeros(len(union), dtype=np.float32)
+            for tb in tbs_active:  # clause order == tbs order
+                for tb2, d, s in parts:
+                    if tb2 is tb:
+                        idx = np.searchsorted(union, d)
+                        acc[idx] = np.add(acc[idx], s, dtype=np.float32)
+            n_scored += len(union)
+            # merge into running top-k
+            top_d = np.concatenate([top_d, union])
+            top_s = np.concatenate([top_s, acc])
+            if len(top_d) > k:
+                order = np.lexsort((top_d, -top_s))[:k]
+                top_d, top_s = top_d[order], top_s[order]
+            if len(top_d) >= k:
+                theta = float(top_s.min())
+
+        nxt = []
+        for tb in tbs_active:
+            p = ptr[id(tb)]
+            if int(tb.block_last[p]) == b_end:
+                ptr[id(tb)] = p + 1
+                consumed[id(tb)] = 0
+                if ptr[id(tb)] < tb.n_blocks:
+                    nxt.append(tb)
+            else:
+                nxt.append(tb)
+        tbs_active = nxt
+
+    order = np.lexsort((top_d, -top_s))[:k]
+    return top_d[order], top_s[order], n_scored

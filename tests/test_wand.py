@@ -1,0 +1,128 @@
+"""Block-Max WAND: pruned top-k must be identical (docids AND float32 scores)
+to the exhaustive executor; pruning must actually skip work on hot terms."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions import bm25
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.merge import merge_index
+from lucene_solr_old_ray.pipelines.search import gather_stats, search
+from lucene_solr_old_ray.queries import TermQuery, bool_query
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+from lucene_solr_old_ray.stages.search import LeafSearcher, execute, top_k
+from lucene_solr_old_ray.stages.wand import execute_wand_or_fallback
+from lucene_solr_old_ray.state import manifest as mf
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def big_index(ray_session, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("c") / "corpus.parquet")
+    generate_corpus(p, 4000, seed=13, rows_per_group=512)
+    idx = str(tmp_path_factory.mktemp("i") / "idx")
+    build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=2000)
+    merge_index(idx, fan_in=10, strategy="local")  # single merged shard
+    return idx
+
+
+def wand_queries():
+    return {
+        0: TermQuery("return"),
+        1: TermQuery("get_index"),
+        2: bool_query(shoulds=["return", "class", "static"]),
+        3: bool_query(shoulds=["merge_score", "tokenstream"]),
+        4: bool_query(shoulds=["return", "null", "def", "import", "heap_pool",
+                               "parse_batch"]),
+        5: bool_query(shoulds=["zzz_missing"]),
+        # ineligible -> must fall back and still be correct
+        6: bool_query(musts=["return", "class"]),
+        7: bool_query(shoulds=["class", "def", "static"], min_should_match=2),
+    }
+
+
+def test_wand_equals_exhaustive_pipeline(big_index):
+    qs = wand_queries()
+    a = search(big_index, qs, k=K, algo="exhaustive").to_pandas()
+    b = search(big_index, qs, k=K, algo="wand").to_pandas()
+    for qid in qs:
+        ga = a[a["qid"] == qid].sort_values("rank")
+        gb = b[b["qid"] == qid].sort_values("rank")
+        assert ga["docid"].tolist() == gb["docid"].tolist(), f"qid {qid}"
+        np.testing.assert_array_equal(
+            ga["score"].to_numpy(np.float32), gb["score"].to_numpy(np.float32)
+        )
+        # pruned total_hits is a lower bound
+        if len(ga):
+            assert gb["total_hits"].iloc[0] <= ga["total_hits"].iloc[0]
+
+
+def test_wand_actually_prunes(ray_session, tmp_path):
+    """Skewed blocks: a few early short/high-tf docs dominate; the long tail
+    of low-impact blocks must be skipped without decoding."""
+    import os
+    import pyarrow as pa
+
+    docs = []
+    for i in range(16):  # block 0: high impact
+        docs.append("hot hot hot hot spice")
+    for i in range(2000):  # tail: tf=1 in long docs -> low block UBs
+        filler = " ".join(f"w{j}" for j in range(80))
+        docs.append(f"hot {filler}")
+    n = len(docs)
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"repo": ["r"] * n, "path": [f"p{i}" for i in range(n)],
+                  "commit": ["c"] * n, "lang": ["txt"] * n, "content": docs}), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=10_000)
+    man = mf.read_index_manifest(idx)
+    leaf_row = man["segments"][0]
+    leaf = LeafSearcher(os.path.join(idx, leaf_row["dir"]), 0, 0,
+                        leaf_row["num_docs"])
+    q = TermQuery("hot")
+    ctx = gather_stats(idx, man, ["hot"])
+    d_ex, s_ex = execute(q, leaf, ctx)
+    n_total = len(d_ex)
+    d_w, s_w, n_scored = execute_wand_or_fallback(q, leaf, ctx, K)
+    d_t, s_t = top_k(d_ex, s_ex, K)
+    assert d_w.tolist() == d_t.tolist()
+    np.testing.assert_array_equal(s_w, s_t)
+    assert n_scored < n_total / 2, f"pruning too weak ({n_scored}/{n_total})"
+
+
+def test_wand_randomized_postings(ray_session):
+    """Property check on raw block data: random tf/norm distributions, many
+    boundary shapes; WAND == exhaustive for every k."""
+    rng = np.random.default_rng(99)
+    import pyarrow as pa
+    import tempfile, os
+
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    for _ in range(700):
+        n = int(rng.integers(1, 60))
+        docs.append(" ".join(rng.choice(words, size=n)))
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "c.parquet")
+        pq.write_table(
+            pa.table({"repo": ["r"] * 700, "path": [f"p{i}" for i in range(700)],
+                      "commit": ["c"] * 700, "lang": ["txt"] * 700,
+                      "content": docs}), p)
+        idx = os.path.join(td, "idx")
+        build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=10_000)
+        man = mf.read_index_manifest(idx)
+        leaf_row = man["segments"][0]
+        leaf = LeafSearcher(os.path.join(idx, leaf_row["dir"]), 0, 0,
+                            leaf_row["num_docs"])
+        for terms in (["w0"], ["w1", "w2"], ["w3", "w4", "w5", "w6"]):
+            q = bool_query(shoulds=terms)
+            ctx = gather_stats(idx, man, terms)
+            d_ex, s_ex = execute(q, leaf, ctx)
+            for k in (1, 3, 10, 50):
+                d_t, s_t = top_k(d_ex, s_ex, k)
+                d_w, s_w, _ = execute_wand_or_fallback(q, leaf, ctx, k)
+                assert d_w.tolist() == d_t.tolist(), (terms, k)
+                np.testing.assert_array_equal(s_w, s_t)
