@@ -1,44 +1,250 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the engine's operator surface over the testdata
+``documents`` / ``embeddings`` tables; each entry has a DuckDB ``oracle_sql()``
+twin (float32 BM25 arithmetic mirrored via REAL casts — see
+lucene_solr_old_ray/sqlgen.py) unless the operation is not SQL-expressible, in
+which case the driver records a rows-only check.
+
+Indexes are built (resumably) under /tmp/lsor_cache/<sf-tag>/ on first use and
+reused across calls — rebuilding is a no-op thanks to per-partition manifests.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_old_ray import sqlgen
+from lucene_solr_old_ray.pipelines.analytics import (
+    facet_counts,
+    group_topk,
+    match_doc_ids,
+)
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.merge import merge_index
+from lucene_solr_old_ray.pipelines.search import fetch_doc_meta, search
+from lucene_solr_old_ray.queries import (
+    DisjunctionMaxQuery,
+    PrefixQuery,
+    TermQuery,
+    TermRangeQuery,
+    bool_query,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+from lucene_solr_old_ray.state import manifest as mf
+
+_CACHE_ROOT = "/tmp/lsor_cache"
+
+
+def _index_for(sf_dir: str) -> str:
+    """Build-or-reuse the documents fulltext index for one sf dir."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = os.path.join(_CACHE_ROOT, tag)
+    spec = CorpusSpec.documents(sf_dir)
+    n = pq.ParquetFile(spec.files[0]).metadata.num_rows
+    target = max(64, n // 16)
+    done = os.path.join(idx, ".complete")
+    if not os.path.exists(done):
+        build_index(spec, idx, target_docs_per_partition=target)
+        merge_index(idx, fan_in=8, strategy="local")
+        with open(done, "w") as f:
+            f.write("ok")
+    return idx
+
+
+def _docid_to_doc_id(idx: str, table: pa.Table) -> pa.Table:
+    """Map engine global docIDs to the corpus doc_id column via the docmap."""
+    if table.num_rows == 0:
+        return table.append_column("doc_id", pa.array([], pa.int64()))
+    meta = fetch_doc_meta(idx, table["docid"].to_pylist())
+    m = dict(zip(meta["docid"].to_pylist(), meta["doc_id"].to_pylist()))
+    return table.append_column(
+        "doc_id", pa.array([m[d] for d in table["docid"].to_pylist()], pa.int64())
+    )
+
+
+def _bm25_result(idx: str, q, k: int = 10, offset: int = 0) -> pa.Table:
+    res = search(idx, {0: q}, k=offset + k)
+    res = _docid_to_doc_id(idx, res)
+    t = res.select(["rank", "doc_id", "score"])
+    t = t.set_column(0, "rank", t["rank"].cast(pa.int64()))
+    if offset:
+        t = t.filter(pa.compute.greater(t["rank"], offset))
+    return t
+
+
+def _hits_result(idx: str, q) -> pa.Table:
+    hits = match_doc_ids(idx, q)
+    hits = _docid_to_doc_id(idx, hits)
+    return hits.select(["doc_id"]).sort_by("doc_id")
+
+
+# --------------------------------------------------------------------------
+# driver API
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build+merge the sf0.001 documents index, run a BM25 query
+    batch, return ranked hits joined with doc metadata."""
+    sf = "/root/testdata/sf0.001"
+    idx = _index_for(sf)
+    qs = {
+        0: TermQuery("spark"),
+        1: bool_query(musts=["table", "merge"], must_nots=["slow"]),
+        2: bool_query(shoulds=["vector", "stream", "batch"], min_should_match=2),
+    }
+    res = search(idx, qs, k=10)
+    meta = fetch_doc_meta(idx, res["docid"].to_pylist())
+    m = {d: (l, s) for d, l, s in zip(meta["docid"].to_pylist(),
+                                      meta["lang"].to_pylist(),
+                                      meta["source"].to_pylist())}
+    langs = [m[d][0] for d in res["docid"].to_pylist()]
+    srcs = [m[d][1] for d in res["docid"].to_pylist()]
+    res = res.append_column("lang", pa.array(langs, pa.string()))
+    return res.append_column("source", pa.array(srcs, pa.string()))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- index-structure views -------------------------------------------
+    def term_stats(sf_dir: str) -> pa.Table:
+        """Global (term, df, ttf) from the merged index's term dictionaries —
+        exercises analyze+invert+encode+merge end to end."""
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        idx = _index_for(sf_dir)
+        man = mf.read_index_manifest(idx)
+        files = [os.path.join(idx, s["dir"], "terms.parquet")
+                 for s in man["segments"]]
+        ds = ray.data.read_parquet(files, columns=["term", "df", "ttf"])
+        out = ds.groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
+        )
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+    q["term_stats"] = term_stats
+
+    def doc_norms(sf_dir: str) -> pa.Table:
+        """Per-doc analyzed field length + quantized norm byte (floatToByte315)."""
+        import ray.data
+
+        idx = _index_for(sf_dir)
+        man = mf.read_index_manifest(idx)
+        files = [os.path.join(idx, s["dir"], "docmap.parquet")
+                 for s in man["segments"]]
+        ds = ray.data.read_parquet(files, columns=["doc_id", "field_len", "norm_byte"])
+        t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "field_len": t["field_len"].cast(pa.int64()),
+            "norm_byte": t["norm_byte"].cast(pa.int64()),
+        })
+
+    q["doc_norms"] = doc_norms
+
+    # --- BM25 ranked retrieval -------------------------------------------
+    q["bm25_top10_term"] = lambda sf: _bm25_result(_index_for(sf), TermQuery("spark"))
+    q["bm25_top10_and"] = lambda sf: _bm25_result(
+        _index_for(sf), bool_query(musts=["spark", "window"]))
+    q["bm25_top10_or"] = lambda sf: _bm25_result(
+        _index_for(sf), bool_query(shoulds=["vector", "stream", "batch"]))
+    q["bm25_top10_msm"] = lambda sf: _bm25_result(
+        _index_for(sf),
+        bool_query(shoulds=["vector", "stream", "batch", "window"],
+                   min_should_match=2))
+    q["bm25_top10_not"] = lambda sf: _bm25_result(
+        _index_for(sf), bool_query(musts=["spark"], must_nots=["slow"]))
+    q["bm25_searchafter_page2"] = lambda sf: _bm25_result(
+        _index_for(sf), TermQuery("table"), k=10, offset=10)
+    q["bm25_dismax_top10"] = lambda sf: _bm25_result(
+        _index_for(sf),
+        DisjunctionMaxQuery((TermQuery("spark"), TermQuery("window")), 0.3))
+
+    # --- docID-set queries (constant score) ------------------------------
+    q["boolean_hits_and"] = lambda sf: _hits_result(
+        _index_for(sf), bool_query(musts=["spark", "window"]))
+    q["boolean_hits_not"] = lambda sf: _hits_result(
+        _index_for(sf), bool_query(musts=["table"], must_nots=["merge", "slow"]))
+    q["prefix_hits"] = lambda sf: _hits_result(_index_for(sf), PrefixQuery("s"))
+    q["range_hits"] = lambda sf: _hits_result(
+        _index_for(sf), TermRangeQuery("batch", "customer", True, False))
+
+    # --- faceting / grouping ---------------------------------------------
+    def facet_by_source(sf_dir: str) -> pa.Table:
+        idx = _index_for(sf_dir)
+        t = facet_counts(idx, TermQuery("spark"), "source")
+        return pa.table({
+            "source": t["source"].cast(pa.string()),
+            "count": t["count"].cast(pa.int64()),
+        })
+
+    q["facet_counts_source"] = facet_by_source
+
+    def group_top2_by_lang(sf_dir: str) -> pa.Table:
+        idx = _index_for(sf_dir)
+        t = group_topk(idx, TermQuery("table"), "lang", per_group_k=2)
+        t = _docid_to_doc_id(idx, t)
+        return pa.table({
+            "lang": t["lang"].cast(pa.string()),
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"],
+            "score": t["score"],
+        })
+
+    q["group_top2_by_lang"] = group_top2_by_lang
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    g = sqlgen
+    sqls: dict[str, str] = {}
+    sqls["term_stats"] = (
+        f"WITH {g.base_ctes()} "
+        "SELECT term, df AS df, ttf AS ttf FROM df ORDER BY term"
+    )
+    sqls["doc_norms"] = (
+        f"WITH {g.base_ctes()} "
+        "SELECT dc.doc_id AS doc_id, CAST(dc.flen AS BIGINT) AS field_len, "
+        "CAST(dc.nb AS BIGINT) AS norm_byte FROM doccache dc ORDER BY doc_id"
+    )
+    sqls["bm25_top10_term"] = g.bm25_sql(musts=["spark"])
+    sqls["bm25_top10_and"] = g.bm25_sql(musts=["spark", "window"])
+    sqls["bm25_top10_or"] = g.bm25_sql(shoulds=["vector", "stream", "batch"])
+    sqls["bm25_top10_msm"] = g.bm25_sql(
+        shoulds=["vector", "stream", "batch", "window"], min_should_match=2)
+    sqls["bm25_top10_not"] = g.bm25_sql(musts=["spark"], must_nots=["slow"])
+    sqls["bm25_searchafter_page2"] = g.bm25_sql(musts=["table"], k=10, offset=10)
+    sqls["bm25_dismax_top10"] = g.dismax_sql(["spark", "window"], 0.3)
+    sqls["boolean_hits_and"] = g.hits_sql(musts=["spark", "window"])
+    sqls["boolean_hits_not"] = g.hits_sql(musts=["table"], must_nots=["merge", "slow"])
+    sqls["prefix_hits"] = g.hits_sql(prefix="s")
+    sqls["range_hits"] = g.hits_sql(term_range=("batch", "customer"))
+    sqls["facet_counts_source"] = (
+        f"WITH {g.base_ctes()} "
+        "SELECT d.source AS source, count(*) AS count FROM documents d "
+        "WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+        "GROUP BY d.source ORDER BY d.source"
+    )
+    sqls["group_top2_by_lang"] = (
+        "WITH " + g.base_ctes() + "," + g.term_score_cte("t0", "table")
+        + """
+SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT d.lang AS lang, t0.doc_id AS doc_id, t0.s AS score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY t0.s DESC, t0.doc_id ASC) AS rank
+  FROM t0 JOIN documents d ON d.doc_id = t0.doc_id
+) WHERE rank <= 2 ORDER BY lang, rank"""
+    )
+    return sqls

@@ -1,0 +1,182 @@
+"""Faceting / grouping / counting over query matches (reference modules
+``lucene/facet`` and ``lucene/grouping`` re-expressed as Ray Data partial
+aggregates).
+
+Shapes that scale: each leaf task computes a SMALL partial (per-facet counts,
+or per-group top-k rows); only partials cross the wire; the driver (or a tiny
+groupby) finishes the reduction. Matching docs never materialize globally.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..queries import Query, collect_terms
+from ..stages.search import LeafSearcher, execute, top_k
+from ..state import manifest as mf
+from .search import _leaves, gather_stats
+
+
+def _leaf_items(manifest: dict) -> list[dict]:
+    leaves = _leaves(manifest)
+    return [
+        {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
+         "num_docs": l["num_docs"]}
+        for i, l in enumerate(leaves)
+    ]
+
+
+def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
+    """Count matching docs per value of a docmap column
+    (``lucene/facet`` sorted-set counting analogue). -> (value, count)."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
+                                int(row["doc_base"]), int(row["leaf_ord"]),
+                                int(row["num_docs"]))
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            vals = leaf.docmap[facet_col].take(pa.array(docids)).to_pandas()
+            vc = vals.value_counts()
+            parts.append(pd.DataFrame({facet_col: vc.index, "count": vc.values}))
+        if not parts:
+            return pd.DataFrame({facet_col: pd.Series([], dtype=object),
+                                 "count": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_counts, batch_format="pandas", batch_size=4).to_pandas()
+    if len(partials) == 0:
+        return pa.table({facet_col: pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64())})
+    out = partials.groupby(facet_col, as_index=False)["count"].sum()
+    out = out.sort_values(facet_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def group_topk(
+    index_dir: str, query: Query, group_col: str, per_group_k: int = 2
+) -> pa.Table:
+    """Top-k docs by BM25 within each group value (``lucene/grouping``
+    two-pass collector analogue). Per-leaf per-group top-k partials are a
+    superset of the global answer, so the driver reduce is exact.
+    -> (group value, rank, docid, score)."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_group_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
+                                int(row["doc_base"]), int(row["leaf_ord"]),
+                                int(row["num_docs"]))
+            docids, scores = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            vals = leaf.docmap[group_col].take(pa.array(docids)).to_pandas()
+            df = pd.DataFrame({
+                group_col: vals.values,
+                "docid": docids + leaf.doc_base,
+                "score": scores,
+            })
+            df = df.sort_values(["score", "docid"], ascending=[False, True],
+                                kind="mergesort")
+            parts.append(df.groupby(group_col, sort=False).head(per_group_k))
+        if not parts:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "docid": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float32")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_group_topk, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int32()),
+                         "docid": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    sc = partials["score"].to_numpy(np.float32)
+    order = np.lexsort((partials["docid"].to_numpy(), -sc))
+    partials = partials.iloc[order]
+    out = partials.groupby(group_col, sort=True).head(per_group_k).copy()
+    out["rank"] = out.groupby(group_col).cumcount() + 1
+    out = out.sort_values([group_col, "rank"]).reset_index(drop=True)
+    out["score"] = out["score"].astype(np.float32)
+    return pa.Table.from_pandas(out[[group_col, "rank", "docid", "score"]],
+                                preserve_index=False)
+
+
+def match_doc_ids(index_dir: str, query: Query) -> pa.Table:
+    """All matching global docIDs (sorted) — the docID-set view of a query
+    (constant-score / filter semantics). Partial per-leaf sets concatenate
+    without a shuffle because leaves partition the docID space."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_hits(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
+                                int(row["doc_base"]), int(row["leaf_ord"]),
+                                int(row["num_docs"]))
+            docids, _ = execute(q, leaf, ctx_l)
+            parts.append(pd.DataFrame({"docid": docids + leaf.doc_base}))
+        return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+            {"docid": pd.Series([], dtype="int64")})
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    out = ds.map_batches(leaf_hits, batch_format="pandas", batch_size=4).to_pandas()
+    out = out.sort_values("docid").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def count_matches(index_dir: str, query: Query) -> int:
+    """totalHits across the index (partial counts per leaf, summed)."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_count(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        rows = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
+                                int(row["doc_base"]), int(row["leaf_ord"]),
+                                int(row["num_docs"]))
+            docids, _ = execute(q, leaf, ctx_l)
+            rows.append({"n": len(docids)})
+        return pd.DataFrame(rows)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    return int(ds.map_batches(leaf_count, batch_format="pandas",
+                              batch_size=4).to_pandas()["n"].sum())

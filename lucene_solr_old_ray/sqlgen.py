@@ -1,0 +1,221 @@
+"""DuckDB oracle-SQL generators for the driver correctness gate.
+
+These produce ANSI-ish SQL that replicates the engine's semantics on the
+``documents`` testdata table — including float32 BM25 arithmetic: DuckDB
+``REAL op REAL`` is true float32 (verified: bit-identical to numpy), so every
+arithmetic step is wrapped in CAST(... AS REAL) mirroring the Java float
+evaluation order. Norm quantization (floatToByte315) is injected as a
+precomputed (field_len range -> decoded length) interval table, since the
+encode→decode composition is a monotonic step function of length.
+
+The testdata documents' text is space-separated lowercase ASCII words, on
+which the engine's UAX#29 chain reduces to: split on spaces, drop empties,
+drop >255-char tokens, drop the 33 reference stop words — exactly what the
+``toks`` CTE does. (The full chain is exercised against the pure-Python
+oracle in tests; the SQL gate checks the distributed pipeline end to end.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .functions.analysis import ENGLISH_STOP_WORDS
+from .functions.smallfloat import NORM_TABLE, encode_norm
+
+K1 = "CAST(1.2 AS REAL)"
+B = "CAST(0.75 AS REAL)"
+ONE_MINUS_B = "CAST(0.25 AS REAL)"
+K1P1 = "CAST(2.2 AS REAL)"
+
+
+def stops_list() -> str:
+    return ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+
+def f32(expr: str) -> str:
+    return f"CAST({expr} AS REAL)"
+
+
+def norm_interval_values(max_len: int = 100_000) -> str:
+    """(lo, hi, nb, dec) rows: field lengths in [lo, hi] encode to norm byte
+    nb whose decoded length is dec (float32 literal)."""
+    lens = np.arange(0, max_len + 1, dtype=np.int64)
+    bs = encode_norm(lens)
+    rows = []
+    start = 0
+    for i in range(1, len(lens) + 1):
+        if i == len(lens) or bs[i] != bs[start]:
+            b = int(bs[start])
+            dec = NORM_TABLE[b]
+            dec_lit = repr(float(np.float32(dec)))
+            rows.append(f"({int(lens[start])},{int(lens[i-1])},{b},{dec_lit})")
+            start = i
+    return ",".join(rows)
+
+
+def base_ctes(max_len: int = 100_000) -> str:
+    """Shared CTEs: toks, doclen (incl. empty docs), coll stats, norm map,
+    per-doc cache value (the freq-independent BM25 denominator)."""
+    return f"""
+toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({stops_list()})
+),
+doclen AS (
+  SELECT d.doc_id, count(t.term) AS flen
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+coll AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) AS sttf
+),
+normmap(lo, hi, nb, dec) AS (VALUES {norm_interval_values(max_len)}),
+avgdl AS (
+  SELECT CAST(CAST(sttf AS DOUBLE) / n AS REAL) AS v FROM coll
+),
+doccache AS (
+  SELECT dl.doc_id, dl.flen, nm.nb,
+         {f32(f"{K1} * " + f32(f"{ONE_MINUS_B} + " + f32(f32(f"{B} * CAST(nm.dec AS REAL)") + " / (SELECT v FROM avgdl)")))} AS cache
+  FROM doclen dl JOIN normmap nm ON dl.flen BETWEEN nm.lo AND nm.hi
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term
+)"""
+
+
+def term_score_cte(name: str, term: str) -> str:
+    """Per-doc float32 BM25 scores of one term: (doc_id, s)."""
+    idf = f32(
+        f"ln(1 + ((SELECT n FROM coll) - ts.df + 0.5) / (ts.df + 0.5))"
+    )
+    w = f32(f"{idf} * {K1P1}")
+    num = f32(f"{w} * CAST(t.freq AS REAL)")
+    den = f32(f"CAST(t.freq AS REAL) + dc.cache")
+    return f"""
+{name} AS (
+  SELECT t.doc_id, {f32(f"{num} / {den}")} AS s
+  FROM tf t
+  JOIN (SELECT df FROM df WHERE term = '{term}') ts ON TRUE
+  JOIN doccache dc ON dc.doc_id = t.doc_id
+  WHERE t.term = '{term}'
+)"""
+
+
+def f32_sum(exprs: list[str]) -> str:
+    """Left-to-right float32 sum (clause-order accumulation)."""
+    acc = exprs[0]
+    for e in exprs[1:]:
+        acc = f32(f"{acc} + {e}")
+    return acc
+
+
+def hits_sql(
+    musts: list[str] = (),
+    must_nots: list[str] = (),
+    prefix: str | None = None,
+    term_range: tuple[str | None, str | None] | None = None,
+) -> str:
+    """DocID-set query -> (doc_id) sorted; constant-score semantics."""
+    ctes = [base_ctes()]
+    sets = []
+    for t in musts:
+        sets.append(f"SELECT DISTINCT doc_id FROM toks WHERE term = '{t}'")
+    if prefix is not None:
+        esc = prefix.replace("%", "\\%").replace("_", "\\_")
+        sets.append(
+            f"SELECT DISTINCT doc_id FROM toks WHERE term LIKE '{esc}%' ESCAPE '\\'"
+        )
+    if term_range is not None:
+        lo, hi = term_range
+        conds = []
+        if lo is not None:
+            conds.append(f"term >= '{lo}'")
+        if hi is not None:
+            conds.append(f"term < '{hi}'")
+        sets.append(
+            f"SELECT DISTINCT doc_id FROM toks WHERE {' AND '.join(conds)}"
+        )
+    if not sets:
+        raise ValueError("need at least one positive clause")
+    q = " INTERSECT ".join(f"({s})" for s in sets)
+    for t in must_nots:
+        q = f"({q}) EXCEPT (SELECT DISTINCT doc_id FROM toks WHERE term = '{t}')"
+    return f"WITH {','.join(ctes)} SELECT doc_id FROM ({q}) ORDER BY doc_id"
+
+
+def dismax_sql(terms: list[str], tie: float, k: int = 10) -> str:
+    """DisjunctionMax oracle -> (rank, doc_id, score)."""
+    ctes = [base_ctes()]
+    names = []
+    for i, t in enumerate(terms):
+        ctes.append(term_score_cte(f"d{i}", t))
+        names.append(f"d{i}")
+    joins = " ".join(f"LEFT JOIN {n} ON {n}.doc_id = dc.doc_id" for n in names)
+    matched = " OR ".join(f"{n}.doc_id IS NOT NULL" for n in names)
+    smax = "GREATEST(" + ", ".join(
+        f"COALESCE({n}.s, CAST('-infinity' AS REAL))" for n in names) + ")"
+    ssum = f32_sum([f"COALESCE({n}.s, CAST(0 AS REAL))" for n in names])
+    tie_l = f"CAST({tie} AS REAL)"
+    score = f32(f"{smax} + " + f32(f32(f"{ssum} - {smax}") + f" * {tie_l}"))
+    return f"""WITH {",".join(ctes)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM (SELECT dc.doc_id AS doc_id, {score} AS score
+        FROM doccache dc {joins} WHERE {matched})
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def bm25_sql(
+    musts: list[str] = (),
+    shoulds: list[str] = (),
+    must_nots: list[str] = (),
+    min_should_match: int = 0,
+    k: int = 10,
+    offset: int = 0,
+) -> str:
+    """Full oracle query -> (rank, doc_id, score) float32-exact top-k."""
+    ctes = [base_ctes()]
+    score_terms: list[str] = []
+    joins: list[str] = []
+    conds: list[str] = []
+    i = 0
+    base = "doccache d"  # every doc
+    for t in musts:
+        i += 1
+        ctes.append(term_score_cte(f"m{i}", t))
+        joins.append(f"JOIN m{i} ON m{i}.doc_id = d.doc_id")
+        score_terms.append(f"m{i}.s")
+    should_names = []
+    for t in shoulds:
+        i += 1
+        ctes.append(term_score_cte(f"s{i}", t))
+        joins.append(f"LEFT JOIN s{i} ON s{i}.doc_id = d.doc_id")
+        score_terms.append(f"COALESCE(s{i}.s, CAST(0 AS REAL))")
+        should_names.append(f"s{i}")
+    for t in must_nots:
+        i += 1
+        ctes.append(term_score_cte(f"x{i}", t))
+        joins.append(f"LEFT JOIN x{i} ON x{i}.doc_id = d.doc_id")
+        conds.append(f"x{i}.doc_id IS NULL")
+    if should_names:
+        matched = " + ".join(
+            f"(CASE WHEN {s}.doc_id IS NULL THEN 0 ELSE 1 END)" for s in should_names
+        )
+        need = min_should_match if musts else max(min_should_match, 1)
+        conds.append(f"({matched}) >= {need}")
+    if not musts and not shoulds:
+        raise ValueError("need at least one scoring clause")
+    score = f32_sum(score_terms)
+    where = ("WHERE " + " AND ".join(conds)) if conds else ""
+    return f"""WITH {",".join(ctes)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (SELECT d.doc_id AS doc_id, {score} AS score FROM {base} {' '.join(joins)} {where})
+) WHERE rank > {offset} AND rank <= {offset + k}
+ORDER BY rank"""

@@ -1,0 +1,99 @@
+"""Emulate the driver's correctness gate: run every queries() entry and its
+oracle SQL side by side on one sf dir, compare row count + (sorted) values.
+
+Usage: python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_df(x):
+    if hasattr(x, "to_pandas"):
+        return x.to_pandas()
+    return pd.DataFrame(x)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs, sqls = e.queries(), e.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = canon(to_df(fn(sf)))
+        except Exception as ex:
+            print(f"FAIL {name}: engine raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        if name not in sqls:
+            print(f"ROWS {name}: {len(got)} rows (no oracle)")
+            continue
+        try:
+            want = canon(con.execute(sqls[name]).df())
+        except Exception as ex:
+            print(f"FAIL {name}: oracle SQL raised: {ex}")
+            n_fail += 1
+            continue
+        ok_rows = len(got) == len(want)
+        ok_cols = list(got.columns) == list(want.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              check_exact=True)
+                ok_vals = True
+            except AssertionError as ex:
+                msg = str(ex).splitlines()[0]
+        if ok_rows and ok_cols and ok_vals:
+            print(f"OK   {name}: {len(got)} rows")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows {len(got)}/{len(want)} cols {list(got.columns)} vs {list(want.columns)}")
+            if ok_rows and ok_cols:
+                print("  value diff:", msg)
+                merged = got.compare(want) if got.shape == want.shape else None
+                if merged is not None and len(merged):
+                    print(merged.head(10))
+    print("FAILURES:", n_fail)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
