@@ -205,6 +205,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["group_top2_by_lang"] = group_top2_by_lang
 
+    # --- training-data extras (dedup / ANN / text analysis / multimodal) --
+    from lucene_solr_old_ray.stages.ann import brute_topk, lsh_topk
+    from lucene_solr_old_ray.stages.dedup import (
+        embedding_dedup_pairs,
+        exact_dedup,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from lucene_solr_old_ray.stages.multimodal import media_features
+    from lucene_solr_old_ray.stages.textstats import (
+        fingerprints,
+        lang_id,
+        quality_stats,
+        token_count_by_lang,
+    )
+
+    q["quality_stats"] = quality_stats
+    q["token_count_by_lang"] = token_count_by_lang
+    q["exact_dedup"] = exact_dedup
+    q["jaccard_pairs"] = lambda sf: jaccard_pairs(sf, threshold=0.95)
+    q["embedding_dedup_pairs"] = lambda sf: embedding_dedup_pairs(sf, threshold=0.4)
+    q["ann_topk_cosine"] = lambda sf: brute_topk(sf, k=10)
+    q["media_features"] = media_features
+    # rows-only (not SQL-expressible: probabilistic recall / custom hashes)
+    q["minhash_lsh_pairs"] = lambda sf: minhash_lsh_pairs(sf, threshold=0.95)
+    q["ann_lsh_topk"] = lambda sf: lsh_topk(sf, k=10)
+    q["lang_id"] = lang_id
+    q["doc_fingerprints"] = fingerprints
+
     return q
 
 
@@ -247,4 +276,70 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
   FROM t0 JOIN documents d ON d.doc_id = t0.doc_id
 ) WHERE rank <= 2 ORDER BY lang, rank"""
     )
+    stops = g.stops_list()
+    sqls["quality_stats"] = f"""
+WITH ta AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> '' AND length(t) <= 255
+)
+SELECT d.doc_id AS doc_id,
+       count(ta.t) AS n_tokens,
+       coalesce(sum(CASE WHEN ta.t IN ({stops}) THEN 1 ELSE 0 END), 0) AS n_stop,
+       coalesce(sum(CASE WHEN ta.t IN ({stops}) THEN 0 ELSE 1 END), 0) AS n_kept,
+       count(DISTINCT CASE WHEN ta.t NOT IN ({stops}) THEN ta.t END) AS n_unique,
+       coalesce(max(length(ta.t)), 0) AS max_token_len
+FROM documents d LEFT JOIN ta ON d.doc_id = ta.doc_id
+GROUP BY d.doc_id ORDER BY doc_id"""
+    sqls["token_count_by_lang"] = f"""
+WITH {g.base_ctes()}
+SELECT d.lang AS lang, count(DISTINCT d.doc_id) AS n_docs,
+       count(t.term) AS n_tokens
+FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+GROUP BY d.lang ORDER BY lang"""
+    sqls["exact_dedup"] = (
+        "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents "
+        "GROUP BY text ORDER BY doc_id"
+    )
+    sqls["jaccard_pairs"] = f"""
+WITH {g.base_ctes()},
+s AS (SELECT DISTINCT doc_id, term FROM toks),
+sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM s s1 JOIN s s2 ON s1.term = s2.term AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+FROM inter JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.95
+ORDER BY doc_a, doc_b"""
+    sqls["embedding_dedup_pairs"] = """
+SELECT e1.vec_id AS vec_a, e2.vec_id AS vec_b,
+       CAST(round(list_cosine_similarity(e1.embedding, e2.embedding) * 10000) AS BIGINT) AS cos_bp
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4
+ORDER BY vec_a, vec_b"""
+    sqls["ann_topk_cosine"] = """
+SELECT query_id, rank, vec_id, cos_bp FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         CAST(round(list_cosine_similarity(q.embedding, e.embedding) * 10000) AS BIGINT) AS cos_bp,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id ASC
+         ) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id IN (0,1,2,3,4)) q
+  JOIN embeddings e ON e.vec_id <> q.vec_id
+) WHERE rank <= 10 ORDER BY query_id, rank"""
+    sqls["media_features"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST((length(text) + 255) // 256 AS BIGINT) AS chunk_count,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE ascii(substring(text, 1, 1)) END AS head_byte
+FROM documents ORDER BY doc_id"""
     return sqls

@@ -94,12 +94,13 @@ class AnalyzedBatch:
     field_lengths: np.ndarray  # int32 per doc in batch
 
 
-def analyze_batch(texts: list[str]) -> AnalyzedBatch:
+def analyze_batch(texts: list[str], with_positions: bool = False) -> AnalyzedBatch:
     """Vectorized chain over a batch of content strings.
 
     Per-token Python work is limited to tokenization; the overlong/stop
     filters run on the (much smaller) unique-term vocabulary after a
-    factorize, then broadcast back to token instances.
+    factorize, then broadcast back to token instances. Positions (needed only
+    for phrase support) are computed when ``with_positions`` is set.
     """
     import pandas as pd
 
@@ -112,12 +113,15 @@ def analyze_batch(texts: list[str]) -> AnalyzedBatch:
         flat.extend(toks)
 
     doc_ids = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
-    # position = index among position-consuming tokens of the doc
-    starts = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    positions = (np.arange(len(flat), dtype=np.int64) - starts[doc_ids]).astype(
-        np.int32
-    )
+    if with_positions:
+        # position = index among position-consuming tokens of the doc
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        positions = (np.arange(len(flat), dtype=np.int64) - starts[doc_ids]).astype(
+            np.int32
+        )
+    else:
+        positions = np.empty(0, dtype=np.int32)
 
     if flat:
         codes, uniques = pd.factorize(np.array(flat, dtype=object), sort=False)
@@ -130,7 +134,9 @@ def analyze_batch(texts: list[str]) -> AnalyzedBatch:
             count=len(uniques),
         )
         keep = uniq_keep[codes]
-        codes, doc_ids, positions = codes[keep], doc_ids[keep], positions[keep]
+        if with_positions:
+            positions = positions[keep]
+        codes, doc_ids = codes[keep], doc_ids[keep]
         # re-map codes to the kept vocabulary
         remap = np.cumsum(uniq_keep) - 1
         codes = remap[codes]

@@ -48,7 +48,9 @@ def _leaves(manifest: dict) -> list[dict]:
 
 
 class SearcherStage:
-    """Actor-pool stage over leaf descriptor rows."""
+    """Actor-pool stage over (leaf, query-chunk) descriptor rows — the work
+    fans out across BOTH leaves and query chunks, so parallelism is
+    leaves × ceil(nq / chunk) rather than bounded by shard count."""
 
     def __init__(self, index_dir: str, queries_ref, ctx_ref, k: int, algo: str):
         self.index_dir = index_dir
@@ -80,7 +82,8 @@ class SearcherStage:
         }
         for row in batch.to_dict("records"):
             leaf = self._leaf(row)
-            for qid, q in self.queries:
+            q_lo, q_hi = int(row.get("q_lo", 0)), int(row.get("q_hi", len(self.queries)))
+            for qid, q in self.queries[q_lo:q_hi]:
                 if self.algo == "wand":
                     from ..stages.wand import execute_wand_or_fallback
 
@@ -166,15 +169,19 @@ def search(
     ctx = gather_stats(index_dir, manifest, sorted(all_terms))
 
     leaves = _leaves(manifest)
+    # fan out over (leaf × query-chunk) so few-shard indexes still parallelize
+    n_chunks = max(1, min(len(qitems) // 8, 16))
+    bounds = np.linspace(0, len(qitems), n_chunks + 1).astype(int)
     items = [
         {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
-         "num_docs": l["num_docs"]}
+         "num_docs": l["num_docs"], "q_lo": int(bounds[c]), "q_hi": int(bounds[c + 1])}
         for i, l in enumerate(leaves)
+        for c in range(n_chunks)
     ]
     ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
     queries_ref = ray.put(qitems)
     ctx_ref = ray.put(ctx)
-    conc = concurrency or min(len(items), 8)
+    conc = concurrency or min(len(items), 16)
     rows = ds.map_batches(
         SearcherStage,
         fn_constructor_kwargs={
@@ -182,7 +189,7 @@ def search(
             "ctx_ref": ctx_ref, "k": k, "algo": algo,
         },
         batch_format="pandas",
-        batch_size=4,
+        batch_size=1,
         concurrency=conc,
     ).to_pandas()  # k × leaves × queries rows — small
 

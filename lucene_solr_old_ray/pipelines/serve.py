@@ -1,0 +1,134 @@
+"""Low-latency query serving: a persistent searcher actor pool.
+
+The batch `search()` pipeline launches a fresh Dataset execution per query
+batch — right for throughput, wrong for per-query latency (Ray Data scheduling
+costs ~100s of ms). Serving is the one place the Dataset API genuinely cannot
+express the semantics (long-lived mmap'd state + sub-second fan-out), so this
+module drops to raw Ray actors as the documented exception: one
+``@ray.remote`` searcher actor per shard group, created once, queried many
+times (the architecture the north star names: "query serving is a stateful
+actor-pool stage holding memory-mapped segment shards").
+
+Identical results to ``pipelines.search.search`` (same executors, same
+TopDocs.merge), verified in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions import bm25
+from ..queries import Query, collect_terms
+from ..stages.search import LeafSearcher, SearchContext, collect_leaf_stats, execute, top_k
+from ..state import manifest as mf
+
+
+@ray.remote
+class SearcherActor:
+    """Holds a group of leaves open (term dict in RAM, postings mmap'd)."""
+
+    def __init__(self, index_dir: str, leaves: list[dict]):
+        self.leaves = [
+            LeafSearcher(os.path.join(index_dir, l["dir"]), int(l["doc_base"]),
+                         int(l["leaf_ord"]), int(l["num_docs"]))
+            for l in leaves
+        ]
+
+    def stats(self, terms: list[str]) -> dict:
+        agg: dict[str, list[int]] = {}
+        for leaf in self.leaves:
+            for t, (df, ttf) in collect_leaf_stats(leaf, terms).items():
+                cur = agg.setdefault(t, [0, 0])
+                cur[0] += df
+                cur[1] += ttf
+        return agg
+
+    def search(self, queries: list[tuple[int, Query]], ctx: SearchContext,
+               k: int, algo: str) -> pd.DataFrame:
+        out = []
+        for leaf in self.leaves:
+            for qid, q in queries:
+                if algo == "wand":
+                    from ..stages.wand import execute_wand_or_fallback
+
+                    d, s, nh = execute_wand_or_fallback(q, leaf, ctx, k)
+                else:
+                    d0, s0 = execute(q, leaf, ctx)
+                    nh = len(d0)
+                    d, s = top_k(d0, s0, k)
+                for r in range(len(d)):
+                    out.append((qid, leaf.ord, r, int(d[r]) + leaf.doc_base,
+                                float(s[r]), nh))
+        return pd.DataFrame(
+            out, columns=["qid", "leaf_ord", "rank", "docid", "score", "hits"]
+        )
+
+
+class SearchService:
+    """Create once per index; ``query()`` is then a low-latency call."""
+
+    def __init__(self, index_dir: str, num_actors: int = 8, algo: str = "wand"):
+        manifest = mf.read_index_manifest(index_dir)
+        st = manifest["stats"]
+        self.coll = bm25.CollectionStats(st["max_doc"], st["sum_total_term_freq"])
+        leaves = sorted(manifest["segments"], key=lambda s: s["doc_base"])
+        items = [
+            {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
+             "num_docs": l["num_docs"]}
+            for i, l in enumerate(leaves)
+        ]
+        n = min(num_actors, len(items))
+        groups = [items[i::n] for i in range(n)]
+        self.actors = [SearcherActor.remote(index_dir, g) for g in groups]
+        self.algo = algo
+        # warm: force actor construction (mmap + term dict load)
+        ray.get([a.stats.remote([]) for a in self.actors])
+
+    def query(self, queries: dict[int, Query] | list[Query], k: int = 10) -> pa.Table:
+        if not isinstance(queries, dict):
+            queries = dict(enumerate(queries))
+        qitems = sorted(queries.items())
+        terms = sorted(set().union(*[collect_terms(q) for _, q in qitems]) if qitems else set())
+        # stats exchange (one round trip), then broadcast scoring pass
+        partials = ray.get([a.stats.remote(terms) for a in self.actors])
+        agg: dict[str, tuple[int, int]] = {}
+        for p in partials:
+            for t, (df, ttf) in p.items():
+                cur = agg.get(t, (0, 0))
+                agg[t] = (cur[0] + df, cur[1] + ttf)
+        ctx = SearchContext(self.coll, agg)
+        frames = ray.get([
+            a.search.remote(qitems, ctx, k, self.algo) for a in self.actors
+        ])
+        rows = pd.concat(frames, ignore_index=True)
+        out = {"qid": [], "rank": [], "docid": [], "score": [], "total_hits": []}
+        for qid, _ in qitems:
+            sub = rows[rows["qid"] == qid]
+            hits = int(sub.drop_duplicates("leaf_ord")["hits"].sum()) if len(sub) else 0
+            if len(sub) == 0:
+                continue
+            order = np.lexsort((sub["rank"].to_numpy(), sub["leaf_ord"].to_numpy(),
+                                -sub["score"].to_numpy(np.float32)))[:k]
+            sel = sub.iloc[order]
+            out["qid"].extend([qid] * len(sel))
+            out["rank"].extend(range(1, len(sel) + 1))
+            out["docid"].extend(sel["docid"].tolist())
+            out["score"].extend(sel["score"].tolist())
+            out["total_hits"].extend([hits] * len(sel))
+        return pa.table({
+            "qid": pa.array(out["qid"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int32()),
+            "docid": pa.array(out["docid"], pa.int64()),
+            "score": pa.array(np.asarray(out["score"], dtype=np.float32)),
+            "total_hits": pa.array(out["total_hits"], pa.int64()),
+        })
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

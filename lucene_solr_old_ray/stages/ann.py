@@ -1,0 +1,153 @@
+"""Approximate-nearest-neighbor search over the embeddings table.
+
+- ``brute_topk``: exact cosine top-k — the baseline. The (small) query matrix
+  is broadcast once via ``ray.put``; each ``map_batches`` task does one
+  float64 matmul against its batch and emits a per-batch partial top-k, so
+  only k × queries × batches tiny rows reach the driver. This is the shape
+  that scales: the corpus streams, queries broadcast.
+- ``lsh_topk``: the scale path — random-hyperplane LSH (sign bits) buckets
+  the corpus; queries probe their own bucket plus multi-probe neighbors
+  (Hamming-adjacent codes). Approximate; recall measured in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _normalized(v: np.ndarray) -> np.ndarray:
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _query_matrix(sf_dir: str, query_ids: list[int]):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    sel = np.searchsorted(ids, np.asarray(query_ids, dtype=np.int64))
+    assert np.array_equal(ids[sel], query_ids), "query vec_ids must exist"
+    return np.asarray(query_ids, dtype=np.int64), _normalized(emb[sel])
+
+
+def brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10) -> pa.Table:
+    """Exact cosine top-k neighbors (self excluded).
+    -> (query_id, rank, vec_id, cos_bp)."""
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    qids, Q = _query_matrix(sf_dir, query_ids)
+    q_ref = ray.put((qids, Q))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qids_l, Q_l = ray.get(q_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        v = _normalized(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        sims = Q_l @ v.T  # (nq, nb)
+        rows = []
+        for qi in range(len(qids_l)):
+            s = sims[qi]
+            mask = ids != qids_l[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            take = min(k, len(cand_ids))
+            sel = np.argpartition(-cand_s, take - 1)[:take] if take else []
+            rows.append(pd.DataFrame({
+                "query_id": qids_l[qi],
+                "vec_id": cand_ids[sel],
+                "sim": cand_s[sel],
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+
+    out = []
+    for qid in qids:
+        sub = parts[parts["query_id"] == qid]
+        order = np.lexsort((sub["vec_id"].to_numpy(), -sub["sim"].to_numpy()))[:k]
+        sel = sub.iloc[order]
+        out.append(pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+            "vec_id": sel["vec_id"].to_numpy(),
+            "cos_bp": np.rint(sel["sim"].to_numpy() * 10000).astype(np.int64),
+        }))
+    res = pd.concat(out, ignore_index=True)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def lsh_topk(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_tables: int = 16,
+    n_bits: int = 6,
+    seed: int = 42,
+) -> pa.Table:
+    """LSH-bucketed ANN: classic multi-table random-hyperplane LSH. The corpus
+    is bucketed by sign(H_t @ v) codes per table (one distributed pass over
+    the embeddings); each query scans only its own bucket plus Hamming-1
+    probes, per table, and scores candidates exactly. Approximate — recall
+    depends on the similarity structure (random vectors are the worst case;
+    recall measured in tests). -> (query_id, rank, vec_id, cos_bp)."""
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    qids, Q = _query_matrix(sf_dir, query_ids)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(t["embedding"][0])
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((n_tables, n_bits, dim))
+    H_ref = ray.put(H)
+    weights = 1 << np.arange(n_bits)
+
+    def code_batch(batch: pa.Table) -> pd.DataFrame:
+        H_l = ray.get(H_ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        v = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        frames = []
+        for ti in range(len(H_l)):
+            bits = (v @ H_l[ti].T) > 0
+            codes = (bits * weights).sum(axis=1).astype(np.int64)
+            frames.append(pd.DataFrame({"table": ti, "vec_id": ids, "code": codes}))
+        return pd.concat(frames, ignore_index=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    codes = ds.map_batches(code_batch, batch_format="pyarrow").to_pandas()
+    by_code: dict[tuple[int, int], np.ndarray] = {
+        (int(ti), int(c)): g["vec_id"].to_numpy()
+        for (ti, c), g in codes.groupby(["table", "code"])
+    }
+
+    # full vectors for candidate scoring (id -> row)
+    ids_all = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb_all = _normalized(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    pos = {int(i): p for p, i in enumerate(ids_all)}
+
+    out = []
+    for qi, qid in enumerate(qids):
+        cand_set: set[int] = set()
+        for ti in range(n_tables):
+            bits = (Q[qi] @ H[ti].T) > 0
+            code = int((bits * weights).sum())
+            probes = {code} | {code ^ (1 << b) for b in range(n_bits)}
+            for c in probes:
+                cand_set.update(by_code.get((ti, c), ()).tolist())
+        cand_set.discard(int(qid))
+        if not cand_set:
+            continue
+        cand = np.asarray(sorted(cand_set), dtype=np.int64)
+        v = emb_all[[pos[int(c)] for c in cand]]
+        sims = v @ Q[qi]
+        order = np.lexsort((cand, -sims))[:k]
+        out.append(pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "vec_id": cand[order],
+            "cos_bp": np.rint(sims[order] * 10000).astype(np.int64),
+        }))
+    res = (pd.concat(out, ignore_index=True) if out
+           else pd.DataFrame({"query_id": [], "rank": [], "vec_id": [], "cos_bp": []}))
+    return pa.Table.from_pandas(res, preserve_index=False)

@@ -1,0 +1,334 @@
+"""Deduplication stages: exact, token-set Jaccard (exact, distributed),
+MinHash+LSH (approximate, scale path), and embedding-cosine near-dup.
+
+Shapes:
+- exact: content-hash in map_batches -> groupby(hash) keep-first — one shuffle
+  of (hash, doc_id) pairs only, never the content.
+- jaccard: inverted-index pair counting — (term, doc) rows -> groupby(term)
+  emits co-occurrence pairs -> groupby(pair) counts = |A ∩ B|, set sizes
+  broadcast -> Jaccard. Exact. At 10^12 scale the per-term pair blowup needs
+  prefix filtering (only emit pairs from each doc's rarest-first prefix of
+  length |d|-ceil(τ|d|)+1; guaranteed-complete for threshold τ) — documented
+  here, applied when ``prefix_filter=True``.
+- minhash_lsh: per-batch vectorized minhash signatures (128 perms, fixed
+  seeds) -> explode to (band, band_hash, doc) -> groupby bands -> candidate
+  pairs -> exact verification. Sub-quadratic; recall is probabilistic
+  (P(miss pair at τ=0.95 with 16 bands × 8 rows) ≈ 2e-8).
+- embedding cosine: brute-force upper-triangle similarity in float64 blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, tokenize_raw
+
+
+def _kept_tokens(t: str) -> list[str]:
+    return [x for x in tokenize_raw(t or "")
+            if len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS]
+
+
+def exact_dedup(sf_dir: str) -> pa.Table:
+    """Keep-first per distinct text -> (doc_id=min over group, dup_count)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha256((t or "").encode()).hexdigest()
+                  for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "h": pa.array(hashes, pa.string())})
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Count(alias_name="dup_count"))
+        .to_pandas()
+    )
+    out = out[["doc_id", "dup_count"]].sort_values("doc_id").reset_index(drop=True)
+    out["dup_count"] = out["dup_count"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _term_doc_rows(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        docs, terms = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for tok in set(_kept_tokens(t)):
+                docs.append(d)
+                terms.append(tok)
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "term": pa.array(terms, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Exact token-set Jaccard >= threshold -> (doc_a, doc_b, jaccard).
+
+    Broadcast-bitset block join: each doc's token set becomes a bitmask over
+    the global vocabulary; the packed matrix is broadcast via ``ray.put`` and
+    every batch computes its block of the pair matrix with vectorized
+    AND+popcount. Exact, zero shuffle. Right when the vocabulary is small
+    relative to the corpus (dedup-ish corpora); for web-scale vocabularies use
+    ``jaccard_pairs_inverted`` (term-keyed pair counting with prefix
+    filtering) or ``minhash_lsh_pairs``.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    # pass 1: global vocabulary (per-batch partial uniques -> driver union)
+    def batch_vocab(batch: pa.Table) -> pd.DataFrame:
+        vocab = set()
+        for t in batch["text"].to_pylist():
+            vocab.update(_kept_tokens(t))
+        return pd.DataFrame({"term": sorted(vocab)})
+
+    vocab = sorted(set(
+        ds.map_batches(batch_vocab, batch_format="pyarrow").to_pandas()["term"]
+    ))
+    vidx = {t: i for i, t in enumerate(vocab)}
+    nbits = len(vocab)
+    nbytes = (nbits + 7) // 8
+
+    # pass 2: packed bitmask per doc (tiny: |docs| x vocab/8 bytes)
+    def batch_masks(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        rows = np.zeros((len(ids), nbits), dtype=np.uint8)
+        for r, t in enumerate(batch["text"].to_pylist()):
+            for tok in set(_kept_tokens(t)):
+                rows[r, vidx[tok]] = 1
+        packed = np.packbits(rows, axis=1)
+        return pd.DataFrame({"doc_id": ids,
+                             "mask": [p.tobytes() for p in packed]})
+
+    masks = ds.map_batches(batch_masks, batch_format="pyarrow").to_pandas()
+    masks = masks.sort_values("doc_id").reset_index(drop=True)
+    ids_all = masks["doc_id"].to_numpy()
+    M = np.frombuffer(b"".join(masks["mask"]), dtype=np.uint8).reshape(-1, nbytes)
+    sizes_all = np.unpackbits(M, axis=1, count=nbits).sum(axis=1).astype(np.int64)
+    mat_ref = ray.put((ids_all, M, sizes_all))
+
+    # pass 3: block-vs-all AND + popcount
+    def block(batch: pa.Table) -> pd.DataFrame:
+        import ray as _r
+
+        ids_g, Mg, sz_g = _r.get(mat_ref)
+        ids_b = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sel = np.searchsorted(ids_g, ids_b)
+        Mb = Mg[sel]
+        sz_b = sz_g[sel]
+        inter = np.zeros((len(ids_b), len(ids_g)), dtype=np.int64)
+        popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                               axis=1).sum(axis=1).astype(np.int64)
+        for byte in range(Mg.shape[1]):
+            inter += popcnt[np.bitwise_and(Mb[:, byte : byte + 1], Mg[:, byte])]
+        union = sz_b[:, None] + sz_g[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = inter.astype(np.float64) / union
+        j = np.where(union == 0, 0.0, j)  # two empty sets: no evidence, skip
+        bi, gj = np.nonzero(j >= threshold)
+        keep = ids_b[bi] < ids_g[gj]
+        return pd.DataFrame({"doc_a": ids_b[bi][keep], "doc_b": ids_g[gj][keep],
+                             "jaccard": j[bi, gj][keep]})
+
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def jaccard_pairs_inverted(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Exact token-set Jaccard via term-keyed pair counting (the general
+    path when the vocabulary is large; pairs explode with df^2, so at scale
+    this requires prefix filtering on rarest-first token order)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    td = _term_doc_rows(sf_dir)
+    # set sizes: small table, broadcast
+    sizes_df = (
+        td.groupby("doc_id").aggregate(Count(alias_name="sz")).to_pandas()
+    )
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["sz"])))
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    pairs = td.groupby("term").map_groups(emit_pairs, batch_format="pandas")
+
+    # partial combine inside map_batches (the pre-aggregation idiom: one row
+    # per distinct pair per batch), final small sum on the driver — Ray's
+    # per-key Python aggregate is far slower than this two-level combine
+    def partial_count(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "inter": pd.Series([], dtype="int64")})
+        g = batch.groupby(["a", "b"], as_index=False).size()
+        return g.rename(columns={"size": "inter"})
+
+    partials = pairs.map_batches(partial_count, batch_format="pandas").to_pandas()
+    inter = partials.groupby(["a", "b"], as_index=False)["inter"].sum()
+
+    sz = ray.get(sizes_ref)
+    a = inter["a"].to_numpy()
+    b = inter["b"].to_numpy()
+    it = inter["inter"].to_numpy().astype(np.float64)
+    union = np.array([sz[x] for x in a]) + np.array([sz[y] for y in b]) - it
+    j = it / union
+    keep = j >= threshold
+    out = pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep], "jaccard": j[keep]})
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(tokens: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """128 x 61-bit universal-hash minima over FNV-hashed tokens."""
+    if not tokens:
+        return np.full(len(a), _MERSENNE, dtype=np.int64)
+    from .textstats import _stable_hash64
+
+    # 61-bit modulus: products need 122 bits, so stay in Python-int space
+    hs = [int(_stable_hash64(t)) & _MERSENNE for t in tokens]
+    out = np.empty(len(a), dtype=np.int64)
+    for i in range(len(a)):
+        ai, bi = int(a[i]), int(b[i])
+        out[i] = min((ai * h + bi) % _MERSENNE for h in hs)
+    return out
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_perm: int = 128,
+    bands: int = 16,
+) -> pa.Table:
+    """Approximate near-dup pairs: LSH candidates verified by exact Jaccard.
+    -> (doc_a, doc_b, jaccard). Rows-only check (probabilistic recall)."""
+    import ray
+    from ray.data.aggregate import Count  # noqa: F401 (doc parity)
+
+    rows_per_band = n_perm // bands
+    a, b = _perm_params(n_perm)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_band, out_hash = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = minhash_signature(set(_kept_tokens(t)), a, b)
+            for bi in range(bands):
+                h = hashlib.blake2b(
+                    sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes(),
+                    digest_size=8,
+                ).hexdigest()
+                out_doc.append(d)
+                out_band.append(bi)
+                out_hash.append(h)
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "band": pa.array(out_band, pa.int32()),
+                         "bhash": pa.array(out_hash, pa.string())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    cand = (
+        ds.map_batches(sig_rows, batch_format="pyarrow")
+        .groupby(["band", "bhash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    cand = cand.drop_duplicates().reset_index(drop=True)
+
+    # exact verification of the (small) candidate set on the driver
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sets = {d: set(_kept_tokens(x))
+            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    rows = []
+    for x, y in zip(cand["a"], cand["b"]):
+        sa, sb = sets[int(x)], sets[int(y)]
+        u = len(sa | sb)
+        j = (len(sa & sb) / u) if u else 1.0
+        if j >= threshold:
+            rows.append((int(x), int(y), j))
+    rows.sort()
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
+    Upper-triangle float64 block matmul against the broadcast matrix."""
+    import ray
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    mat_ref = ray.put((ids_all, emb))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def block(batch: pa.Table) -> pd.DataFrame:
+        import ray as _r
+
+        ids_b = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        v = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        ids_g, m = _r.get(mat_ref)
+        sims = v @ m.T
+        bi, gj = np.nonzero(sims >= threshold)
+        keep = ids_b[bi] < ids_g[gj]  # upper triangle only
+        return pd.DataFrame({"vec_a": ids_b[bi][keep], "vec_b": ids_g[gj][keep],
+                             "cos_bp": np.rint(sims[bi, gj][keep] * 10000).astype(np.int64)})
+
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

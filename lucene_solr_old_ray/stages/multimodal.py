@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded/feature-extracted by an actor-pool stage.
+
+The image/audio decode libraries are not in this container, so the decode step
+is STUBBED: ``MediaFeatureStage`` tries to import PIL at actor init and falls
+back to a deterministic byte-level feature extractor. Everything around the
+stub is real and tested — the binary Arrow schema, the actor-pool stage shape
+(decoder state built once per actor in ``__init__``), small batch sizes for
+wide binary rows, and the output layout.
+
+Scale notes: binary payloads stay in Arrow ``binary`` columns end to end
+(zero-copy from the object store; no pandas object-dtype detour);
+``batch_size`` is small (256) because row width dominates; a real decoder
+slots into ``_decode_real`` without touching the pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def media_table_from_documents(sf_dir: str) -> str:
+    """Derive a deterministic media table: payload = utf-8 bytes of the text
+    (a stand-in blob), media_type by doc_id. Returns a parquet path under /tmp."""
+    import os
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/lsor_media/{sf_dir.strip('/').replace('/', '_')}.parquet"
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    payloads = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
+    kinds = ["image" if int(d) % 3 == 0 else ("audio" if int(d) % 3 == 1 else "video")
+             for d in t["doc_id"].to_pylist()]
+    media = pa.table({
+        "doc_id": t["doc_id"],
+        "media_type": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    pq.write_table(media, out)
+    return out
+
+
+class MediaFeatureStage:
+    """Actor-pool stage: decoder initialised once per actor; per-batch feature
+    extraction over Arrow binary columns."""
+
+    def __init__(self):
+        try:  # real decoder if ever available
+            import PIL.Image  # noqa: F401
+
+            self.backend = "pil"
+        except Exception:
+            self.backend = "stub"
+
+    def _decode_real(self, payload: bytes, media_type: str) -> dict:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg, not present in this container"
+        )
+
+    def _decode_stub(self, payload: bytes, media_type: str) -> dict:
+        """Deterministic byte-level features standing in for decode output."""
+        n = len(payload)
+        head = payload[0] if n else 0
+        return {
+            "byte_len": n,
+            "chunk_count": (n + 255) // 256,
+            "head_byte": int(head),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = {"byte_len": [], "chunk_count": [], "head_byte": []}
+        types = batch["media_type"].to_pylist()
+        for payload, mt in zip(batch["payload"].to_pylist(), types):
+            d = (self._decode_stub if self.backend == "stub" else self._decode_real)(
+                payload or b"", mt
+            )
+            for k in feats:
+                feats[k].append(d[k])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_type": batch["media_type"],
+            "byte_len": pa.array(feats["byte_len"], pa.int64()),
+            "chunk_count": pa.array(feats["chunk_count"], pa.int64()),
+            "head_byte": pa.array(feats["head_byte"], pa.int64()),
+        })
+
+
+def media_features(sf_dir: str) -> pa.Table:
+    """Actor-pool feature extraction over the derived media table."""
+    path = media_table_from_documents(sf_dir)
+    ds = ray.data.read_parquet(path)
+    out = ds.map_batches(
+        MediaFeatureStage,
+        batch_format="pyarrow",
+        batch_size=256,      # wide binary rows -> small batches
+        concurrency=2,
+        num_cpus=1,
+    ).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,164 @@
+"""Text-analysis stages for training-data pipelines over the documents table:
+quality scoring, token counting, language-ID heuristic, fingerprinting.
+
+All per-doc work is vectorized inside ``map_batches`` over Arrow batches; the
+only aggregation is a tiny per-lang groupby. Fingerprints (rolling hash,
+simhash) use fixed multipliers/seeds so results are deterministic across runs
+and workers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, tokenize_raw
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _stable_hash64(token: str) -> np.uint64:
+    """FNV-1a, fixed constants -> deterministic across processes (unlike
+    Python's salted hash())."""
+    h = _FNV_OFFSET
+    for b in token.encode("utf-8"):
+        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc integer quality counters (exactly SQL-replicable)."""
+    rows = {"doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)}
+    n_tok, n_stop, n_kept, n_uniq, max_len = [], [], [], [], []
+    for t in batch["text"].to_pylist():
+        toks = tokenize_raw(t or "")
+        toks = [x for x in toks if len(x) <= MAX_TOKEN_LENGTH]
+        kept = [x for x in toks if x not in ENGLISH_STOP_WORDS]
+        n_tok.append(len(toks))
+        n_stop.append(len(toks) - len(kept))
+        n_kept.append(len(kept))
+        n_uniq.append(len(set(kept)))
+        max_len.append(max((len(x) for x in toks), default=0))
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_unique": pa.array(n_uniq, pa.int64()),
+            "max_token_len": pa.array(max_len, pa.int64()),
+        }
+    )
+
+
+def quality_stats(sf_dir: str) -> pa.Table:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def token_count_by_lang(sf_dir: str) -> pa.Table:
+    """(lang, n_docs, n_tokens-kept) — partial counts per batch, tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_pylist(),
+            "n_tokens": [
+                sum(1 for x in tokenize_raw(t or "")
+                    if len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS)
+                for t in batch["text"].to_pylist()
+            ],
+        })
+        g = df.groupby("lang").agg(n_docs=("lang", "size"),
+                                   n_tokens=("n_tokens", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens")
+    ).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("lang").reset_index(drop=True),
+                                preserve_index=False)
+
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "that", "with", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "pas", "une", "pour"},
+    "es": {"el", "la", "los", "las", "es", "una", "por", "para"},
+}
+
+
+def lang_id(sf_dir: str) -> pa.Table:
+    """Stop-word-marker language-ID heuristic (rows-only check: the synthetic
+    corpus has no language-specific surface forms, so this demonstrates the
+    operator, not linguistic accuracy). CJK-codepoint ratio shortcuts to zh."""
+
+    def guess(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        guesses = []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            if sum(1 for ch in t[:400] if "一" <= ch <= "鿿") > 3:
+                guesses.append("zh")
+                continue
+            toks = set(t.lower().split())
+            best, bestn = "en", -1
+            for lang, markers in _LANG_MARKERS.items():
+                n = len(toks & markers)
+                if n > bestn:
+                    best, bestn = lang, n
+            guesses.append(best)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "lang_guess": pa.array(guesses, pa.string())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(guess, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def fingerprints(sf_dir: str) -> pa.Table:
+    """Deterministic doc fingerprints: Rabin-Karp-style rolling hash over the
+    kept-token sequence + 64-bit SimHash over the token multiset."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        rolls, sims = [], []
+        mult = np.uint64(1000003)
+        for t in batch["text"].to_pylist():
+            toks = [x for x in tokenize_raw(t or "")
+                    if len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS]
+            h = np.uint64(0)
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in toks:
+                th = _stable_hash64(tok)
+                h = np.uint64((int(h) * int(mult) + int(th)) & 0xFFFFFFFFFFFFFFFF)
+                bits = (np.uint64(th) >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sim = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    sim |= 1 << i
+            rolls.append(np.int64(np.uint64(h).astype(np.int64)))
+            sims.append(np.int64(np.uint64(sim).astype(np.int64)))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "rolling_hash": pa.array(rolls, pa.int64()),
+                         "simhash": pa.array(sims, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)

@@ -45,7 +45,7 @@ def test_unicode_and_cjk():
 
 
 def test_stop_filter_positions_preserved():
-    b = analyze_batch(["the quick fox"])
+    b = analyze_batch(["the quick fox"], with_positions=True)
     assert flat_terms(b) == ["quick", "fox"]
     # "the" consumed position 0
     assert b.positions.tolist() == [1, 2]
@@ -54,7 +54,7 @@ def test_stop_filter_positions_preserved():
 
 def test_overlong_token_consumes_position():
     long_tok = "x" * (MAX_TOKEN_LENGTH + 1)
-    b = analyze_batch([f"alpha {long_tok} beta"])
+    b = analyze_batch([f"alpha {long_tok} beta"], with_positions=True)
     assert flat_terms(b) == ["alpha", "beta"]
     assert b.positions.tolist() == [0, 2]  # dropped token still counted a position
     assert b.field_lengths.tolist() == [2]
@@ -77,7 +77,7 @@ def test_analyze_text_query_path():
 
 def test_batch_shapes_align():
     docs = ["a b c d", "x y z", "", "q q q q q"]
-    b = analyze_batch(docs)
+    b = analyze_batch(docs, with_positions=True)
     assert len(b.doc_ids) == len(b.positions) == len(b.term_codes)
     assert len(b.field_lengths) == 4
     assert b.field_lengths.sum() == len(b.doc_ids)

@@ -1,0 +1,97 @@
+"""Training-data extras: dedup family, ANN, text stats, multimodal plumbing."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.stages.ann import brute_topk, lsh_topk
+from lucene_solr_old_ray.stages.dedup import (
+    embedding_dedup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    jaccard_pairs_inverted,
+    minhash_lsh_pairs,
+)
+from lucene_solr_old_ray.stages.multimodal import MediaFeatureStage, media_features
+from lucene_solr_old_ray.stages.textstats import fingerprints, quality_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_counts(ray_session):
+    out = exact_dedup(SF).to_pandas()
+    n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    assert out["dup_count"].sum() == n
+    assert (out["dup_count"] >= 1).all()
+
+
+def test_jaccard_strategies_agree(ray_session):
+    a = jaccard_pairs(SF, threshold=0.97).to_pandas()
+    b = jaccard_pairs_inverted(SF, threshold=0.97).to_pandas()
+    assert a[["doc_a", "doc_b"]].values.tolist() == b[["doc_a", "doc_b"]].values.tolist()
+    np.testing.assert_allclose(a["jaccard"], b["jaccard"], rtol=0, atol=0)
+
+
+def test_minhash_lsh_matches_exact(ray_session):
+    """At tau=0.95 with 16x8 bands the per-pair miss probability is ~2e-8, so
+    LSH-verified pairs must equal the exact join on this corpus."""
+    exact = jaccard_pairs(SF, threshold=0.95).to_pandas()
+    lsh = minhash_lsh_pairs(SF, threshold=0.95).to_pandas()
+    assert lsh[["doc_a", "doc_b"]].values.tolist() == exact[["doc_a", "doc_b"]].values.tolist()
+
+
+def test_ann_lsh_recall(ray_session):
+    """Multi-probe hyperplane LSH should recover most of the true top-10."""
+    exact = brute_topk(SF, k=10).to_pandas()
+    approx = lsh_topk(SF, k=10).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        t = set(exact[exact["query_id"] == qid]["vec_id"])
+        g = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(t & g) / len(t))
+    assert np.mean(recalls) >= 0.6, recalls  # 16 tables x 6 bits on 500 vecs
+
+
+def test_embedding_dedup_threshold(ray_session):
+    out = embedding_dedup_pairs(SF, threshold=0.4).to_pandas()
+    assert (out["vec_a"] < out["vec_b"]).all()
+    assert (out["cos_bp"] >= 4000).all()
+
+
+def test_fingerprints_deterministic(ray_session):
+    a = fingerprints(SF).to_pandas()
+    b = fingerprints(SF).to_pandas()
+    assert a.equals(b)
+    # similar docs -> closer simhash than random ones on average (weak sanity)
+    assert a["simhash"].nunique() > 1
+
+
+def test_quality_stats_consistency(ray_session):
+    out = quality_stats(SF).to_pandas()
+    assert (out["n_tokens"] == out["n_stop"] + out["n_kept"]).all()
+    assert (out["n_unique"] <= out["n_kept"]).all()
+
+
+def test_media_stage_stub(ray_session):
+    st = MediaFeatureStage()
+    assert st.backend == "stub"  # no PIL in this container
+    import pyarrow as pa
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "media_type": pa.array(["image", "audio"]),
+        "payload": pa.array([b"hello world", b""], pa.binary()),
+    })
+    out = st(batch).to_pandas()
+    assert out["byte_len"].tolist() == [11, 0]
+    assert out["chunk_count"].tolist() == [1, 0]
+    assert out["head_byte"].tolist() == [ord("h"), 0]
+    with pytest.raises(NotImplementedError):
+        st._decode_real(b"x", "image")
+
+
+def test_media_features_pipeline(ray_session):
+    out = media_features(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    merged = out.merge(docs, on="doc_id")
+    assert (merged["byte_len"] == merged["text"].str.len()).all()  # ascii corpus
