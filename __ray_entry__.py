@@ -205,6 +205,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["group_top2_by_lang"] = group_top2_by_lang
 
+    # --- positions / term-expansion / field-sort operators ----------------
+    from lucene_solr_old_ray.pipelines.analytics import sort_by_field
+    from lucene_solr_old_ray.queries import FuzzyQuery, PhraseQuery, WildcardQuery
+
+    q["phrase_top10"] = lambda sf: _bm25_result(
+        _index_for(sf), PhraseQuery(("table", "value")))
+    q["wildcard_hits"] = lambda sf: _hits_result(
+        _index_for(sf), WildcardQuery("s*m"))
+    q["fuzzy_hits"] = lambda sf: _hits_result(
+        _index_for(sf), FuzzyQuery("spork", 1))
+
+    def sort_by_len(sf_dir: str) -> pa.Table:
+        idx = _index_for(sf_dir)
+        t = sort_by_field(idx, TermQuery("table"), "field_len", True, 10)
+        t = _docid_to_doc_id(idx, t)
+        return pa.table({
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"],
+            "field_len": t["field_len"].cast(pa.int64()),
+        })
+
+    q["sort_by_len_top10"] = sort_by_len
+
     # --- training-data extras (dedup / ANN / text analysis / multimodal) --
     from lucene_solr_old_ray.stages.ann import brute_topk, lsh_topk
     from lucene_solr_old_ray.stages.dedup import (
@@ -275,6 +298,21 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
          row_number() OVER (PARTITION BY d.lang ORDER BY t0.s DESC, t0.doc_id ASC) AS rank
   FROM t0 JOIN documents d ON d.doc_id = t0.doc_id
 ) WHERE rank <= 2 ORDER BY lang, rank"""
+    )
+    sqls["phrase_top10"] = g.phrase_sql(["table", "value"])
+    sqls["wildcard_hits"] = g.hits_sql(like="s%m")
+    sqls["fuzzy_hits"] = (
+        f"WITH {g.base_ctes()} SELECT DISTINCT doc_id FROM toks "
+        "WHERE levenshtein(term, 'spork') <= 1 ORDER BY doc_id"
+    )
+    sqls["sort_by_len_top10"] = (
+        f"WITH {g.base_ctes()} "
+        "SELECT CAST(rank AS BIGINT) AS rank, doc_id, field_len FROM ("
+        "  SELECT row_number() OVER (ORDER BY dl.flen DESC, dl.doc_id ASC) AS rank,"
+        "         dl.doc_id AS doc_id, CAST(dl.flen AS BIGINT) AS field_len"
+        "  FROM doclen dl WHERE dl.doc_id IN "
+        "    (SELECT DISTINCT doc_id FROM toks WHERE term = 'table')"
+        ") WHERE rank <= 10 ORDER BY rank"
     )
     stops = g.stops_list()
     sqls["quality_stats"] = f"""

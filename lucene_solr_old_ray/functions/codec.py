@@ -216,3 +216,40 @@ def shift_blob(blob: bytes, doc_offset: int) -> bytes:
 
 def blob_ndocs(blob: bytes | np.ndarray) -> int:
     return sum(cv.ndocs for cv in iter_chunks(blob))
+
+
+# ---------------------------------------------------------------------------
+# positions sidecar (the .pos analogue, Lucene41PostingsFormat "PosFile").
+# A term's positions value is a sequence of chunks aligned 1:1 with its
+# postings chunks; positions are doc-local, so merge is plain byte concat
+# (no patching at all). Layout per chunk (little-endian):
+#   u32 n_positions, u8 width, bitpacked absolute positions
+# Per-doc slices are recovered from the postings tfs (prefix sums).
+# ---------------------------------------------------------------------------
+
+
+def encode_positions_chunk(positions: np.ndarray) -> bytes:
+    """positions: uint32 array, doc-major (ascending within each doc)."""
+    n = len(positions)
+    w = _width(positions.astype(np.uint32)) if n else 0
+    return (
+        np.uint32(n).tobytes()
+        + bytes((w,))
+        + pack_ints(positions.astype(np.uint32), w)
+    )
+
+
+def decode_positions_blob(blob: bytes | np.ndarray) -> np.ndarray:
+    """Decode all chunks -> one flat uint32 array (doc-major across chunks,
+    matching the postings chunk order)."""
+    buf = (np.frombuffer(blob, dtype=np.uint8)
+           if isinstance(blob, (bytes, bytearray, memoryview)) else blob)
+    out = []
+    pos = 0
+    while pos < len(buf):
+        n = int(buf[pos : pos + 4].view(np.uint32)[0])
+        w = int(buf[pos + 4])
+        nbytes = (n * w + 7) // 8
+        out.append(unpack_ints(buf[pos + 5 : pos + 5 + nbytes], n, w))
+        pos += 5 + nbytes
+    return np.concatenate(out) if out else np.empty(0, dtype=np.uint32)

@@ -24,11 +24,14 @@ from .queries import (
     SHOULD,
     BooleanQuery,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
+    PhraseQuery,
     PrefixQuery,
     Query,
     TermQuery,
     TermRangeQuery,
+    WildcardQuery,
 )
 
 F = np.float32
@@ -53,17 +56,30 @@ def _byte315_to_float(b: int) -> float:
 
 class OracleIndex:
     def __init__(self, texts: list[str]):
+        from .functions.analysis import (
+            ENGLISH_STOP_WORDS,
+            MAX_TOKEN_LENGTH,
+            tokenize_raw,
+        )
+
         self.n = len(texts)
         self.tf: list[dict[str, int]] = []
+        self.pos: list[dict[str, list[int]]] = []  # post-chain positions
         self.lens: list[int] = []
         self.df: dict[str, int] = {}
         for t in texts:
-            toks = analyze_text(t or "")
-            m: dict[str, int] = {}
-            for tok in toks:
-                m[tok] = m.get(tok, 0) + 1
+            pm: dict[str, list[int]] = {}
+            p = 0
+            for tok in tokenize_raw(t or ""):
+                if len(tok) > MAX_TOKEN_LENGTH or tok in ENGLISH_STOP_WORDS:
+                    p += 1  # dropped tokens still consume a position
+                    continue
+                pm.setdefault(tok, []).append(p)
+                p += 1
+            m = {tok: len(v) for tok, v in pm.items()}
+            self.pos.append(pm)
             self.tf.append(m)
-            self.lens.append(len(toks))
+            self.lens.append(sum(m.values()))
             for tok in m:
                 self.df[tok] = self.df.get(tok, 0) + 1
         self.sum_ttf = sum(self.lens)
@@ -125,6 +141,46 @@ class OracleIndex:
             if not any_match:
                 return False, F(0)
             return True, F(smax + F(F(ssum - smax) * F(q.tie_breaker)))
+        if isinstance(q, WildcardQuery):
+            import fnmatch
+
+            ok = any(fnmatch.fnmatchcase(t, q.pattern) for t in self.tf[d])
+            return ok, F(boost * q.boost) if ok else F(0)
+        if isinstance(q, FuzzyQuery):
+            def ed(a: str, b: str) -> int:
+                if abs(len(a) - len(b)) > q.max_edits:
+                    return q.max_edits + 1
+                prev = list(range(len(b) + 1))
+                for i, ca in enumerate(a, 1):
+                    cur = [i]
+                    for j, cb in enumerate(b, 1):
+                        cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                       prev[j - 1] + (ca != cb)))
+                    prev = cur
+                return prev[-1]
+
+            ok = any(ed(t, q.term) <= q.max_edits for t in self.tf[d])
+            return ok, F(boost * q.boost) if ok else F(0)
+        if isinstance(q, PhraseQuery):
+            assert q.slop == 0
+            cand = None
+            for i, t in enumerate(q.terms):
+                ps = self.pos[d].get(t)
+                if not ps:
+                    return False, F(0)
+                s = {p - i for p in ps}
+                cand = s if cand is None else cand & s
+                if not cand:
+                    return False, F(0)
+            freq = len(cand)
+            sum_idf = F(0)
+            for t in q.terms:
+                df = self.df.get(t, 0)
+                sum_idf = F(sum_idf + F(math.log(1 + (self.n - df + 0.5) / (df + 0.5))))
+            wv = F(F(sum_idf * F(boost * q.boost)) * F(F(1.2) + F(1.0)))
+            fr = F(freq)
+            norm = self.cache[self.norm_bytes[d]]
+            return True, F(F(wv * fr) / F(fr + norm))
         if isinstance(q, BooleanQuery):
             b = boost * q.boost
             score = F(0)

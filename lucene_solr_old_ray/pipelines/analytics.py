@@ -157,6 +157,56 @@ def match_doc_ids(index_dir: str, query: Query) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def sort_by_field(
+    index_dir: str, query: Query, field: str, descending: bool = True, k: int = 10
+) -> pa.Table:
+    """Top-k matches ordered by a docmap (docvalues) column instead of score
+    (``search/Sort.java`` / ``TopFieldCollector.java`` analogue). Per-leaf
+    top-k by (field, docid) partials -> exact driver reduce.
+    -> (rank, docid, field value)."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
+                                int(row["doc_base"]), int(row["leaf_ord"]),
+                                int(row["num_docs"]))
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            vals = leaf.docmap[field].take(pa.array(docids)).to_pandas().to_numpy()
+            key = -vals if descending else vals
+            order = np.lexsort((docids, key))[:k]
+            parts.append(pd.DataFrame({
+                "docid": docids[order] + leaf.doc_base,
+                field: vals[order],
+            }))
+        if not parts:
+            return pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                                 field: pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_topk, batch_format="pandas", batch_size=4).to_pandas()
+    if len(partials) == 0:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "docid": pa.array([], pa.int64()),
+                         field: pa.array([], pa.int64())})
+    vals = partials[field].to_numpy()
+    key = -vals if descending else vals
+    order = np.lexsort((partials["docid"].to_numpy(), key))[:k]
+    sel = partials.iloc[order].reset_index(drop=True)
+    sel.insert(0, "rank", np.arange(1, len(sel) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(sel, preserve_index=False)
+
+
 def count_matches(index_dir: str, query: Query) -> int:
     """totalHits across the index (partial counts per leaf, summed)."""
     manifest = mf.read_index_manifest(index_dir)

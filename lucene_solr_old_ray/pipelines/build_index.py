@@ -36,6 +36,7 @@ def build_index(
     *,
     target_docs_per_partition: int = 50_000,
     sub_batch_docs: int = 4096,
+    store_positions: bool = True,
 ) -> dict:
     """Build (or resume) an index; returns the published index manifest."""
     plans = plan_partitions(spec, target_docs_per_partition)
@@ -46,7 +47,7 @@ def build_index(
     descriptors = [asdict(p) for p in plans]
     ds = ray.data.from_items(descriptors, override_num_blocks=len(descriptors))
     metrics = ds.map_batches(
-        make_build_fn(spec, index_dir, sub_batch_docs),
+        make_build_fn(spec, index_dir, sub_batch_docs, store_positions),
         batch_format="pandas",
         batch_size=1,
     ).to_pandas()  # one small row per partition

@@ -1,0 +1,47 @@
+"""Index composition: union of indexes (IndexWriter.addIndexes analogue,
+``index/IndexWriter.java:2399,2515``) as a manifest-level operation.
+
+The union concatenates the source indexes' leaves with re-based docIDs — no
+file is touched (leaf dirs are referenced by absolute path), matching the
+reference's segment-copy semantics without the copy. A follow-up
+``merge_index`` physically consolidates if desired (the addIndexes+forceMerge
+pattern).
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..state import manifest as mf
+
+
+def union_indexes(dst_dir: str, src_dirs: list[str]) -> dict:
+    """Publish dst as the union of the sources (doc order = source order)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    segments = []
+    doc_base = 0
+    max_doc = 0
+    sum_tf = 0
+    part = 0
+    for src in src_dirs:
+        man = mf.read_index_manifest(src)
+        for leaf in sorted(man["segments"], key=lambda s: s["doc_base"]):
+            segments.append({
+                "dir": os.path.abspath(os.path.join(src, leaf["dir"])),
+                "part_id": part,
+                "doc_base": doc_base + leaf["doc_base"],
+                "num_docs": leaf["num_docs"],
+            })
+            part += 1
+        max_doc += man["stats"]["max_doc"]
+        sum_tf += man["stats"]["sum_total_term_freq"]
+        doc_base += man["stats"]["max_doc"]
+    manifest = {
+        "kind": "union",
+        "segments": segments,
+        "stats": {"max_doc": max_doc, "sum_total_term_freq": sum_tf},
+        "spec": {"union_of": [os.path.abspath(s) for s in src_dirs]},
+        "metrics": {"sources": len(src_dirs), "leaves": len(segments)},
+    }
+    mf.publish_index_manifest(dst_dir, manifest)
+    return mf.read_index_manifest(dst_dir)

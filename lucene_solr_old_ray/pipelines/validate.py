@@ -46,9 +46,24 @@ def check_leaf(index_dir: str, leaf: dict) -> dict:
     if len(offs) and offs[-1] + lens[-1] != len(blob_all):
         errors.append("postings file length mismatch")
 
+    has_pos = "pos_off" in terms.column_names
+    if has_pos:
+        from ..functions.codec import decode_positions_blob
+
+        pos_all = open(os.path.join(sd, "positions.bin"), "rb").read()
+        pos_offs = terms["pos_off"].to_numpy()
+        pos_lens = terms["pos_len"].to_numpy()
+
     sum_tf = 0
     for i in range(len(names)):
         d, t = decode_blob(blob_all[offs[i] : offs[i] + lens[i]])
+        if has_pos:
+            flat = decode_positions_blob(
+                pos_all[pos_offs[i] : pos_offs[i] + pos_lens[i]]
+            )
+            if len(flat) != ttfs[i]:
+                errors.append(f"term {names[i]}: positions {len(flat)} != ttf")
+                break
         if len(d) != dfs[i]:
             errors.append(f"term {names[i]}: df {dfs[i]} != decoded {len(d)}")
             break

@@ -52,6 +52,26 @@ class TermRangeQuery:
 
 
 @dataclass(frozen=True)
+class WildcardQuery:
+    """``*`` = any run, ``?`` = one char; expands over the term dictionary
+    then rewrites constant-score (``search/WildcardQuery.java:43``)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    """Terms within ``max_edits`` Levenshtein edits of ``term``
+    (``search/FuzzyQuery.java:54``); constant-score rewrite here (the
+    reference's top-terms scoring rewrite is a documented deviation)."""
+
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery:
     boost: float = 1.0
 
@@ -92,11 +112,18 @@ Query = (
     TermQuery
     | PrefixQuery
     | TermRangeQuery
+    | WildcardQuery
+    | FuzzyQuery
     | MatchAllDocsQuery
     | BooleanQuery
     | DisjunctionMaxQuery
     | PhraseQuery
 )
+
+
+def phrase(text: str, slop: int = 0) -> PhraseQuery:
+    """Analyze a phrase string into a PhraseQuery (consecutive positions)."""
+    return PhraseQuery(tuple(analyze_text(text)), slop)
 
 
 def term(text: str) -> TermQuery | None:

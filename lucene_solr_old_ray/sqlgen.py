@@ -119,6 +119,7 @@ def hits_sql(
     must_nots: list[str] = (),
     prefix: str | None = None,
     term_range: tuple[str | None, str | None] | None = None,
+    like: str | None = None,
 ) -> str:
     """DocID-set query -> (doc_id) sorted; constant-score semantics."""
     ctes = [base_ctes()]
@@ -130,6 +131,8 @@ def hits_sql(
         sets.append(
             f"SELECT DISTINCT doc_id FROM toks WHERE term LIKE '{esc}%' ESCAPE '\\'"
         )
+    if like is not None:
+        sets.append(f"SELECT DISTINCT doc_id FROM toks WHERE term LIKE '{like}'")
     if term_range is not None:
         lo, hi = term_range
         conds = []
@@ -167,6 +170,51 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
   FROM (SELECT dc.doc_id AS doc_id, {score} AS score
         FROM doccache dc {joins} WHERE {matched})
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def phrase_sql(terms: list[str], k: int = 10, pos_cap: int = 1024) -> str:
+    """Exact-phrase oracle -> (rank, doc_id, score). Positions are 0-based
+    word ordinals of the space-separated text (== the engine's post-analysis
+    positions on this corpus, since every raw token consumes a position);
+    ``pos_cap`` bounds the static ordinal join (docs here are far shorter)."""
+    ctes = [base_ctes()]
+    posd = f"""
+posd AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  CROSS JOIN range(1, {pos_cap + 1}) r(i)
+  WHERE i <= len(toks)
+)"""
+    joins = []
+    conds = [f"t0.term = '{terms[0]}'"]
+    for i in range(1, len(terms)):
+        joins.append(
+            f"JOIN posd t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
+        )
+        conds.append(f"t{i}.term = '{terms[i]}'")
+    hits = f"""
+hits AS (
+  SELECT t0.doc_id AS doc_id, count(*) AS freq
+  FROM posd t0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY t0.doc_id
+)"""
+    idf_acc = "CAST(0 AS REAL)"
+    for i, t in enumerate(terms):
+        idf_i = f32(
+            f"ln(1 + ((SELECT n FROM coll) - "
+            f"(SELECT df FROM df WHERE term = '{t}') + 0.5) / "
+            f"((SELECT df FROM df WHERE term = '{t}') + 0.5))"
+        )
+        idf_acc = f32(f"{idf_acc} + {idf_i}")
+    wv = f32(f"{f32(idf_acc + ' * CAST(1 AS REAL)')} * {K1P1}")
+    num = f32(f"{wv} * CAST(h.freq AS REAL)")
+    return f"""WITH {",".join(ctes)},{posd},{hits}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM (SELECT h.doc_id AS doc_id, {f32(num + ' / ' + f32("CAST(h.freq AS REAL) + dc.cache"))} AS score
+        FROM hits h JOIN doccache dc ON dc.doc_id = h.doc_id)
 ) WHERE rank <= {k} ORDER BY rank"""
 
 

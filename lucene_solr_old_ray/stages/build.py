@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.analysis import analyze_batch
-from ..functions.codec import encode_chunk
+from ..functions.codec import encode_chunk, encode_positions_chunk
 from ..functions.smallfloat import encode_norm
 from ..state import manifest as mf
 from ..sources.corpus import CorpusSpec
@@ -46,16 +46,27 @@ def segment_dir(index_dir: str, part_id: int) -> str:
     return os.path.join(index_dir, "segments", f"seg-{part_id:06d}")
 
 
-def _invert_subbatch(ab, doc_offset: int, acc: dict[str, list]) -> int:
-    """Accumulate (term -> [(docids, tfs), ...]) from one analyzed sub-batch.
-    Returns number of postings added. Vectorized: one np.unique over the
-    (term_code, doc) key space (the BytesRefHash + FreqProx parallel-array
-    analogue, ``index/TermsHashPerField.java:103-105``)."""
+def _invert_subbatch(
+    ab, doc_offset: int, acc: dict[str, list], with_positions: bool = False
+) -> int:
+    """Accumulate (term -> [(docids, tfs, positions|None), ...]) from one
+    analyzed sub-batch. Returns number of postings added. Vectorized: one
+    np.unique over the (term_code, doc) key space (the BytesRefHash +
+    FreqProx parallel-array analogue, ``index/TermsHashPerField.java:103-105``).
+    With positions, a stable argsort groups token instances by (term, doc)
+    while preserving in-doc position order (FreqProx writeProx analogue)."""
     if len(ab.term_codes) == 0:
         return 0
     n_docs = len(ab.field_lengths)
     key = ab.term_codes.astype(np.int64) * n_docs + ab.doc_ids
-    uk, counts = np.unique(key, return_counts=True)
+    if with_positions:
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        spos = ab.positions[order].astype(np.uint32)
+        uk, first, counts = np.unique(skey, return_index=True, return_counts=True)
+    else:
+        uk, counts = np.unique(key, return_counts=True)
+        first = spos = None
     codes = (uk // n_docs).astype(np.int64)
     docs = (uk % n_docs + doc_offset).astype(np.uint32)
     tfs = counts.astype(np.uint32)
@@ -66,7 +77,12 @@ def _invert_subbatch(ab, doc_offset: int, acc: dict[str, list]) -> int:
     uniques = ab.uniques
     for s, e in zip(starts, ends):
         term = uniques[codes[s]]
-        acc.setdefault(term, []).append((docs[s:e], tfs[s:e]))
+        if with_positions:
+            p0 = first[s]
+            p1 = first[e] if e < len(first) else len(spos)
+            acc.setdefault(term, []).append((docs[s:e], tfs[s:e], spos[p0:p1]))
+        else:
+            acc.setdefault(term, []).append((docs[s:e], tfs[s:e], None))
     return len(uk)
 
 
@@ -81,6 +97,7 @@ def build_segment(
     row_start: int,
     slice_start: int = 0,
     sub_batch_docs: int = 4096,
+    store_positions: bool = True,
 ) -> dict:
     """Build one segment; returns a metrics row."""
     seg = segment_dir(index_dir, part_id)
@@ -118,9 +135,9 @@ def build_segment(
             hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
         )
         t1 = time.perf_counter()
-        ab = analyze_batch(texts)
+        ab = analyze_batch(texts, with_positions=store_positions)
         tok_s += time.perf_counter() - t1
-        n_postings += _invert_subbatch(ab, doc_off, acc)
+        n_postings += _invert_subbatch(ab, doc_off, acc, store_positions)
         field_lengths.append(ab.field_lengths)
         meta_tables.append(tb.select([c for c in spec.meta_cols]))
         doc_off += len(texts)
@@ -136,17 +153,23 @@ def build_segment(
     terms = sorted(acc)
     offs = np.zeros(len(terms), dtype=np.int64)
     lens_b = np.zeros(len(terms), dtype=np.int64)
+    pos_offs = np.zeros(len(terms), dtype=np.int64)
+    pos_lens = np.zeros(len(terms), dtype=np.int64)
     dfs = np.zeros(len(terms), dtype=np.int64)
     ttfs = np.zeros(len(terms), dtype=np.int64)
     blobs: list[bytes] = []
+    pos_blobs: list[bytes] = []
     pos = 0
+    ppos = 0
     for i, term in enumerate(terms):
         parts = acc[term]
         if len(parts) == 1:
-            docids, tfs = parts[0]
+            docids, tfs, positions = parts[0]
         else:
             docids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
+            positions = (np.concatenate([p[2] for p in parts])
+                         if store_positions else None)
         blob = encode_chunk(docids, tfs, norms)
         blobs.append(blob)
         offs[i] = pos
@@ -154,6 +177,12 @@ def build_segment(
         dfs[i] = len(docids)
         ttfs[i] = int(tfs.sum())
         pos += len(blob)
+        if store_positions:
+            pblob = encode_positions_chunk(positions)
+            pos_blobs.append(pblob)
+            pos_offs[i] = ppos
+            pos_lens[i] = len(pblob)
+            ppos += len(pblob)
     encode_s = time.perf_counter() - t2
 
     tmp = f"{seg}.tmp-{os.getpid()}"
@@ -164,11 +193,15 @@ def build_segment(
             f.write(b)
     with open(os.path.join(tmp, "norms.bin"), "wb") as f:
         f.write(norms.tobytes())
-    pq.write_table(
-        pa.table({"term": pa.array(terms, pa.string()),
-                  "df": dfs, "ttf": ttfs, "off": offs, "len": lens_b}),
-        os.path.join(tmp, "terms.parquet"),
-    )
+    tcols = {"term": pa.array(terms, pa.string()),
+             "df": dfs, "ttf": ttfs, "off": offs, "len": lens_b}
+    if store_positions:
+        with open(os.path.join(tmp, "positions.bin"), "wb") as f:
+            for b in pos_blobs:
+                f.write(b)
+        tcols["pos_off"] = pos_offs
+        tcols["pos_len"] = pos_lens
+    pq.write_table(pa.table(tcols), os.path.join(tmp, "terms.parquet"))
     docmap = pa.concat_tables(meta_tables) if meta_tables else pa.table({})
     docmap = docmap.append_column("sha256", pa.array(sha_list, pa.string()))
     docmap = docmap.append_column("field_len", pa.array(lens.astype(np.int32)))
@@ -215,7 +248,8 @@ def build_segment(
             "sum_tf": sum_tf, "skipped": False}
 
 
-def make_build_fn(spec: CorpusSpec, index_dir: str, sub_batch_docs: int = 4096):
+def make_build_fn(spec: CorpusSpec, index_dir: str, sub_batch_docs: int = 4096,
+                  store_positions: bool = True):
     """Returns the map_batches function over partition-descriptor rows."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -230,6 +264,7 @@ def make_build_fn(spec: CorpusSpec, index_dir: str, sub_batch_docs: int = 4096):
                     row_start=int(r["row_start"]),
                     slice_start=int(r.get("slice_start", 0)),
                     sub_batch_docs=sub_batch_docs,
+                    store_positions=store_positions,
                 )
             )
         return pd.DataFrame(rows)

@@ -90,6 +90,12 @@ def read_segment_term_rows(index_dir: str, shard: dict) -> pd.DataFrame:
         terms = pq.read_table(os.path.join(sd, "terms.parquet"))
         with open(os.path.join(sd, "postings.bin"), "rb") as f:
             blob_all = f.read()
+        has_pos = "pos_off" in terms.column_names
+        if has_pos:
+            with open(os.path.join(sd, "positions.bin"), "rb") as f:
+                pos_all = f.read()
+            pos_offs = terms["pos_off"].to_numpy()
+            pos_lens = terms["pos_len"].to_numpy()
         offs = terms["off"].to_numpy()
         lens = terms["len"].to_numpy()
         names = terms["term"].to_pylist()
@@ -108,6 +114,8 @@ def read_segment_term_rows(index_dir: str, shard: dict) -> pd.DataFrame:
                     "df": int(dfs[i]),
                     "ttf": int(ttfs[i]),
                     "blob": blob,
+                    "pos_blob": (pos_all[pos_offs[i] : pos_offs[i] + pos_lens[i]]
+                                 if has_pos else b""),
                 }
             )
     return pd.DataFrame(out)
@@ -125,6 +133,7 @@ def merge_term_group(g: pd.DataFrame) -> pd.DataFrame:
                 "df": int(g["df"].sum()),
                 "ttf": int(g["ttf"].sum()),
                 "blob": b"".join(g["blob"].tolist()),
+                "pos_blob": b"".join(g["pos_blob"].tolist()),
             }
         ]
     )
@@ -138,6 +147,7 @@ def write_shard_files(
     dfs: np.ndarray,
     ttfs: np.ndarray,
     blobs: list[bytes],
+    pos_blobs: list[bytes] | None = None,
 ) -> dict:
     """Write a merged shard directory (same layout as a segment) atomically.
     Norms and docmap are concatenations of the input segments' in seg_ord
@@ -156,18 +166,26 @@ def write_shard_files(
             offs[i] = pos
             lens_b[i] = len(b)
             pos += len(b)
-    pq.write_table(
-        pa.table(
-            {
-                "term": pa.array(terms, pa.string()),
-                "df": pa.array(dfs, pa.int64()),
-                "ttf": pa.array(ttfs, pa.int64()),
-                "off": offs,
-                "len": lens_b,
-            }
-        ),
-        os.path.join(tmp, "terms.parquet"),
-    )
+    tcols = {
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array(dfs, pa.int64()),
+        "ttf": pa.array(ttfs, pa.int64()),
+        "off": offs,
+        "len": lens_b,
+    }
+    if pos_blobs is not None:
+        pos_offs = np.zeros(len(terms), dtype=np.int64)
+        pos_lens = np.zeros(len(terms), dtype=np.int64)
+        ppos = 0
+        with open(os.path.join(tmp, "positions.bin"), "wb") as f:
+            for i, b in enumerate(pos_blobs):
+                f.write(b)
+                pos_offs[i] = ppos
+                pos_lens[i] = len(b)
+                ppos += len(b)
+        tcols["pos_off"] = pos_offs
+        tcols["pos_len"] = pos_lens
+    pq.write_table(pa.table(tcols), os.path.join(tmp, "terms.parquet"))
 
     norm_parts = []
     docmaps = []
@@ -222,18 +240,23 @@ def assemble_shard(index_dir: str, out_dir: str, shard: dict, g: pd.DataFrame) -
         return {**m["metrics"], "shard_id": shard["shard_id"],
                 "num_docs": m["num_docs"], "sum_tf": m["sum_tf"], "skipped": True}
     g = g.sort_values(["term", "salt"], kind="mergesort")
+    has_pos = "pos_blob" in g.columns and int(g["pos_blob"].map(len).sum()) > 0
     terms: list[str] = []
     dfs: list[int] = []
     ttfs: list[int] = []
     blobs: list[bytes] = []
+    pos_blobs: list[bytes] = []
     for term, sub in g.groupby("term", sort=True):
         terms.append(term)
         dfs.append(int(sub["df"].sum()))
         ttfs.append(int(sub["ttf"].sum()))
         blobs.append(b"".join(sub["blob"].tolist()))
+        if has_pos:
+            pos_blobs.append(b"".join(sub["pos_blob"].tolist()))
     return write_shard_files(
         index_dir, out_dir, shard, terms,
         np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64), blobs,
+        pos_blobs if has_pos else None,
     )
 
 
@@ -250,43 +273,59 @@ def local_merge_shard(index_dir: str, out_dir: str, shard: dict) -> dict:
         t = pq.read_table(os.path.join(sd, "terms.parquet"))
         with open(os.path.join(sd, "postings.bin"), "rb") as f:
             blob_all = f.read()
-        per_seg.append((seg, t, blob_all))
+        pos_all = b""
+        if "pos_off" in t.column_names:
+            with open(os.path.join(sd, "positions.bin"), "rb") as f:
+                pos_all = f.read()
+        per_seg.append((seg, t, blob_all, pos_all))
 
     # k-way merge over already-sorted term lists, vectorized with one argsort
     all_terms = np.concatenate([np.asarray(t["term"].to_pylist(), dtype=object)
-                                for _, t, _ in per_seg])
+                                for _, t, _, _ in per_seg])
     all_ord = np.concatenate([np.full(len(t), s["seg_ord"], dtype=np.int32)
-                              for s, t, _ in per_seg])
-    all_df = np.concatenate([t["df"].to_numpy() for _, t, _ in per_seg])
-    all_ttf = np.concatenate([t["ttf"].to_numpy() for _, t, _ in per_seg])
-    all_off = np.concatenate([t["off"].to_numpy() for _, t, _ in per_seg])
-    all_len = np.concatenate([t["len"].to_numpy() for _, t, _ in per_seg])
+                              for s, t, _, _ in per_seg])
+    all_df = np.concatenate([t["df"].to_numpy() for _, t, _, _ in per_seg])
+    all_ttf = np.concatenate([t["ttf"].to_numpy() for _, t, _, _ in per_seg])
+    all_off = np.concatenate([t["off"].to_numpy() for _, t, _, _ in per_seg])
+    all_len = np.concatenate([t["len"].to_numpy() for _, t, _, _ in per_seg])
+    has_pos = all("pos_off" in t.column_names for _, t, _, _ in per_seg)
+    if has_pos:
+        all_poff = np.concatenate([t["pos_off"].to_numpy() for _, t, _, _ in per_seg])
+        all_plen = np.concatenate([t["pos_len"].to_numpy() for _, t, _, _ in per_seg])
     src = np.concatenate([np.full(len(t), i, dtype=np.int32)
-                          for i, (_, t, _) in enumerate(per_seg)])
+                          for i, (_, t, _, _) in enumerate(per_seg)])
     order = np.lexsort((all_ord, all_terms))
 
     terms: list[str] = []
     dfs: list[int] = []
     ttfs: list[int] = []
     blobs: list[bytes] = []
+    pos_blobs: list[bytes] = []
     prev = None
     for idx in order:
         term = all_terms[idx]
-        seg, _, blob_all = per_seg[src[idx]]
+        seg, _, blob_all, pos_all = per_seg[src[idx]]
         piece = shift_blob(
             blob_all[all_off[idx] : all_off[idx] + all_len[idx]], seg["doc_offset"]
         )
+        ppiece = (pos_all[all_poff[idx] : all_poff[idx] + all_plen[idx]]
+                  if has_pos else b"")
         if term == prev:
             blobs[-1] = blobs[-1] + piece
             dfs[-1] += int(all_df[idx])
             ttfs[-1] += int(all_ttf[idx])
+            if has_pos:
+                pos_blobs[-1] = pos_blobs[-1] + ppiece
         else:
             terms.append(term)
             dfs.append(int(all_df[idx]))
             ttfs.append(int(all_ttf[idx]))
             blobs.append(piece)
+            if has_pos:
+                pos_blobs.append(ppiece)
             prev = term
     return write_shard_files(
         index_dir, out_dir, shard, terms,
         np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64), blobs,
+        pos_blobs if has_pos else None,
     )

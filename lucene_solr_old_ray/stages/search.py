@@ -29,19 +29,21 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from ..functions import bm25
-from ..functions.codec import decode_blob, iter_chunks
+from ..functions.codec import decode_blob, decode_positions_blob, iter_chunks
 from ..queries import (
     MUST,
     MUST_NOT,
     SHOULD,
     BooleanQuery,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
     PrefixQuery,
     Query,
     TermQuery,
     TermRangeQuery,
+    WildcardQuery,
 )
 
 
@@ -66,6 +68,16 @@ class LeafSearcher:
             if self.len.sum() > 0
             else np.zeros(0, dtype=np.uint8)
         )
+        self.has_positions = "pos_off" in t.column_names
+        if self.has_positions:
+            self.pos_off = t["pos_off"].to_numpy()
+            self.pos_len = t["pos_len"].to_numpy()
+            self.positions_mm = (
+                np.memmap(os.path.join(leaf_dir, "positions.bin"),
+                          dtype=np.uint8, mode="r")
+                if self.pos_len.sum() > 0
+                else np.zeros(0, dtype=np.uint8)
+            )
         self.norms = np.frombuffer(
             open(os.path.join(leaf_dir, "norms.bin"), "rb").read(), dtype=np.uint8
         )
@@ -101,6 +113,24 @@ class LeafSearcher:
     def chunks(self, term: str):
         ti = self.lookup(term)
         return [] if ti < 0 else iter_chunks(self.blob(ti))
+
+    def postings_with_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """-> (docids, tfs, flat positions, per-doc start offsets into flat).
+        Doc d's positions are flat[starts[i]:starts[i+1]] where i is the index
+        of d in docids."""
+        ti = self.lookup(term)
+        if ti < 0 or not self.has_positions:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.uint32), \
+                np.zeros(1, dtype=np.int64)
+        docids, tfs = decode_blob(self.blob(ti))
+        po = int(self.pos_off[ti])
+        flat = decode_positions_blob(self.positions_mm[po : po + int(self.pos_len[ti])])
+        starts = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=starts[1:])
+        return docids, tfs, flat, starts
 
     @property
     def docmap(self):
@@ -165,6 +195,58 @@ def _const_docs(leaf: LeafSearcher, ti_range: tuple[int, int]) -> np.ndarray:
     return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
 
 
+def _const_docs_of(leaf: LeafSearcher, tis: list[int]) -> np.ndarray:
+    parts = [decode_blob(leaf.blob(ti))[0] for ti in tis]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+
+def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
+    """Term-dict expansion: narrow by the literal prefix, regex-filter the
+    range (the TermsEnum-over-automaton analogue; a compiled automaton is the
+    10^9-vocab path)."""
+    import re as _re
+
+    first = len(pattern)
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            first = i
+            break
+    prefix = pattern[:first]
+    s, e = (leaf.term_range(prefix, prefix + "￿", True, True)
+            if prefix else (0, len(leaf.terms)))
+    rx = _re.compile(
+        "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern) + r"\Z"
+    )
+    return [ti for ti in range(s, e) if rx.match(leaf.terms[ti])]
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein <= k (small k); early-exits on the band."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > k and cur[0] > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def _expand_fuzzy(leaf: LeafSearcher, term: str, max_edits: int) -> list[int]:
+    """Vocabulary scan with a length band (the Levenshtein-automaton
+    TermsEnum is the at-scale path, ``search/FuzzyQuery.java:54``)."""
+    return [
+        ti for ti in range(len(leaf.terms))
+        if _edit_distance_le(leaf.terms[ti], term, max_edits)
+    ]
+
+
 def execute(
     q: Query, leaf: LeafSearcher, ctx: SearchContext, boost: float = 1.0
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -182,15 +264,67 @@ def execute(
             leaf, leaf.term_range(q.lower, q.upper, q.include_lower, q.include_upper)
         )
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, WildcardQuery):
+        docs = _const_docs_of(leaf, _expand_wildcard(leaf, q.pattern))
+        return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, FuzzyQuery):
+        docs = _const_docs_of(leaf, _expand_fuzzy(leaf, q.term, q.max_edits))
+        return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, DisjunctionMaxQuery):
         return _execute_dismax(q, leaf, ctx, boost)
     if isinstance(q, BooleanQuery):
         return _execute_bool(q, leaf, ctx, boost)
     if isinstance(q, PhraseQuery):
-        raise NotImplementedError(
-            "phrase queries require the positions sidecar (v1; format supports it)"
-        )
+        return _execute_phrase(q, leaf, ctx, boost)
     raise TypeError(f"unknown query type {type(q)}")
+
+
+def _execute_phrase(
+    q: PhraseQuery, leaf: LeafSearcher, ctx: SearchContext, boost: float
+):
+    """ExactPhraseScorer semantics (``search/ExactPhraseScorer.java:26``):
+    docs where term_i occurs at position p+i for some p; phrase freq = number
+    of such p; scored like a term with tf=phrase_freq and
+    idf = float32 sum of the terms' idfs (BM25Similarity.idfExplain over the
+    phrase's terms)."""
+    if q.slop != 0:
+        raise NotImplementedError("sloppy phrase matching lands with v2")
+    if not leaf.has_positions:
+        raise ValueError("index was built without positions (store_positions)")
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    per_term = [leaf.postings_with_positions(t) for t in q.terms]
+    if any(len(p[0]) == 0 for p in per_term):
+        return empty
+    base = per_term[0][0]
+    for d, *_ in per_term[1:]:
+        base = base[np.isin(base, d, assume_unique=True)]
+    if len(base) == 0:
+        return empty
+    freqs = np.zeros(len(base), dtype=np.int64)
+    for bi, doc in enumerate(base):
+        cand = None
+        for i, (d, tfs, flat, starts) in enumerate(per_term):
+            j = int(np.searchsorted(d, doc))
+            pos_i = flat[starts[j] : starts[j + 1]].astype(np.int64) - i
+            cand = pos_i if cand is None else np.intersect1d(
+                cand, pos_i, assume_unique=True)
+            if len(cand) == 0:
+                break
+        freqs[bi] = len(cand) if cand is not None else 0
+    match = freqs > 0
+    docids = base[match]
+    if len(docids) == 0:
+        return empty
+    # idf = float32 += accumulation over the phrase's terms (idfExplain)
+    sum_idf = np.float32(0.0)
+    for t in q.terms:
+        df = ctx.term_stats.get(t, (0, 0))[0]
+        sum_idf = np.float32(sum_idf + bm25.idf(df, ctx.coll.max_doc))
+    wv = bm25.weight_value(sum_idf, boost * q.boost)
+    scores = bm25.score_postings(
+        freqs[match].astype(np.uint32), leaf.norms[docids], wv, ctx.cache
+    )
+    return docids, scores
 
 
 def _execute_dismax(

@@ -1,0 +1,38 @@
+"""addIndexes analogue: union of two half-corpus indexes must equal the
+whole-corpus index for search and stats."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.compose import union_indexes
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import TermQuery, bool_query
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+
+def test_union_equals_whole(ray_session, tmp_path):
+    p = str(tmp_path / "c.parquet")
+    generate_corpus(p, 400, seed=3, rows_per_group=100)
+    t = pq.read_table(p)
+    pq.write_table(t.slice(0, 200), str(tmp_path / "a.parquet"), row_group_size=100)
+    pq.write_table(t.slice(200, 200), str(tmp_path / "b.parquet"), row_group_size=100)
+
+    whole = str(tmp_path / "whole")
+    build_index(CorpusSpec.source_code(p), whole, target_docs_per_partition=100)
+    ia = str(tmp_path / "ia")
+    build_index(CorpusSpec.source_code(str(tmp_path / "a.parquet")), ia,
+                target_docs_per_partition=100)
+    ib = str(tmp_path / "ib")
+    build_index(CorpusSpec.source_code(str(tmp_path / "b.parquet")), ib,
+                target_docs_per_partition=100)
+    uni = str(tmp_path / "union")
+    man = union_indexes(uni, [ia, ib])
+    assert man["stats"]["max_doc"] == 400
+
+    qs = {0: TermQuery("return"), 1: bool_query(musts=["return", "class"])}
+    rw = search(whole, qs, k=10).to_pandas()
+    ru = search(uni, qs, k=10).to_pandas()
+    assert rw[["qid", "rank", "docid"]].values.tolist() == \
+           ru[["qid", "rank", "docid"]].values.tolist()
+    assert rw["score"].tolist() == ru["score"].tolist()

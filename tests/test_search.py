@@ -18,10 +18,13 @@ from lucene_solr_old_ray.queries import (
     BooleanClause,
     BooleanQuery,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchAllDocsQuery,
+    PhraseQuery,
     PrefixQuery,
     TermQuery,
     TermRangeQuery,
+    WildcardQuery,
     bool_query,
     parse,
 )
@@ -69,6 +72,14 @@ def query_set():
                 ),
             )
         ),
+        PhraseQuery(("return", "class")),          # exact phrase (positions)
+        PhraseQuery(("get_index", "return")),
+        PhraseQuery(("return", "zzz_missing")),    # 0 hits
+        WildcardQuery("get*"),
+        WildcardQuery("*_index"),
+        WildcardQuery("s?atic"),
+        FuzzyQuery("retorn", 1),
+        FuzzyQuery("clazz", 2),
     ]
     return dict(enumerate(qs))
 
