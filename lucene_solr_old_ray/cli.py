@@ -1,0 +1,112 @@
+"""Command-line entry points — the ``ray job submit`` launch surface.
+
+Examples (single node; on a cluster submit the same commands via
+``ray job submit --working-dir . -- python -m lucene_solr_old_ray.cli ...``)::
+
+    python -m lucene_solr_old_ray.cli build  --corpus /data/code.parquet --index /tmp/idx
+    python -m lucene_solr_old_ray.cli merge  --index /tmp/idx --fan-in 10 --strategy local
+    python -m lucene_solr_old_ray.cli check  --index /tmp/idx
+    python -m lucene_solr_old_ray.cli search --index /tmp/idx --query "+return class -static" -k 10
+    python -m lucene_solr_old_ray.cli stats  --index /tmp/idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lucene_solr_old_ray")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="local ray.init num_cpus (omit under ray job submit)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--corpus", required=True,
+                   help="parquet file/dir with (repo,path,commit,lang,content)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--partition-docs", type=int, default=50_000)
+    b.add_argument("--no-positions", action="store_true")
+
+    m = sub.add_parser("merge", help="one tiered merge round")
+    m.add_argument("--index", required=True)
+    m.add_argument("--fan-in", type=int, default=10)
+    m.add_argument("--strategy", choices=["termwise", "local"], default="termwise")
+
+    c = sub.add_parser("check", help="CheckIndex-style validation")
+    c.add_argument("--index", required=True)
+
+    s = sub.add_parser("search", help="run one query (classic syntax)")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--algo", choices=["exhaustive", "wand"], default="wand")
+
+    st = sub.add_parser("stats", help="print the latest manifest")
+    st.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+
+    if args.cmd == "build":
+        from .pipelines.build_index import build_index
+        from .sources.corpus import CorpusSpec
+
+        man = build_index(
+            CorpusSpec.source_code(args.corpus), args.index,
+            target_docs_per_partition=args.partition_docs,
+            store_positions=not args.no_positions,
+        )
+        print(json.dumps({"generation": man["generation"],
+                          "stats": man["stats"], "metrics": man["metrics"]}))
+    elif args.cmd == "merge":
+        from .pipelines.merge import merge_index
+
+        man = merge_index(args.index, fan_in=args.fan_in, strategy=args.strategy)
+        print(json.dumps({"generation": man["generation"],
+                          "shards": len(man["segments"]),
+                          "metrics": man["metrics"]}))
+    elif args.cmd == "check":
+        from .pipelines.validate import check_index
+
+        report = check_index(args.index)
+        print(json.dumps({"leaves": len(report), "ok": bool(report["ok"].all())}))
+    elif args.cmd == "search":
+        from .pipelines.search import fetch_doc_meta, search
+        from .queries import parse
+
+        res = search(args.index, {0: parse(args.query)}, k=args.k, algo=args.algo)
+        meta = fetch_doc_meta(args.index, res["docid"].to_pylist()).to_pandas()
+        meta = meta.set_index("docid")
+        for row in res.to_pylist():
+            m = meta.loc[row["docid"]].to_dict()
+            ident = {k: m[k] for k in ("repo", "path", "doc_id", "source")
+                     if k in m and m[k] is not None}
+            print(json.dumps({"rank": row["rank"], "score": round(row["score"], 4),
+                              "docid": row["docid"], **ident,
+                              "total_hits": row["total_hits"]}))
+    elif args.cmd == "stats":
+        from .state import manifest as mf
+
+        man = mf.read_index_manifest(args.index)
+        print(json.dumps({"generation": man["generation"], "kind": man["kind"],
+                          "leaves": len(man["segments"]), "stats": man["stats"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -153,6 +153,8 @@ def match_doc_ids(index_dir: str, query: Query) -> pa.Table:
     items = _leaf_items(manifest)
     ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
     out = ds.map_batches(leaf_hits, batch_format="pandas", batch_size=4).to_pandas()
+    if "docid" not in out.columns:
+        out = pd.DataFrame({"docid": pd.Series([], dtype="int64")})
     out = out.sort_values("docid").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 

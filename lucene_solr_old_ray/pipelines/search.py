@@ -192,6 +192,13 @@ def search(
         batch_size=1,
         concurrency=conc,
     ).to_pandas()  # k × leaves × queries rows — small
+    if "qid" not in rows.columns:  # zero matches anywhere: schema-less empty df
+        rows = pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                             "leaf_ord": pd.Series([], dtype="int32"),
+                             "rank": pd.Series([], dtype="int32"),
+                             "docid": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float32"),
+                             "hits": pd.Series([], dtype="int64")})
 
     # TopDocs.merge: (score desc, leaf ord asc, per-leaf rank asc)
     out = {
