@@ -228,6 +228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sort_by_len_top10"] = sort_by_len
 
+    from lucene_solr_old_ray.queries import FilteredQuery
+
+    q["filtered_top10"] = lambda sf: _bm25_result(
+        _index_for(sf), FilteredQuery(TermQuery("spark"), TermQuery("window")))
+
     # --- training-data extras (dedup / ANN / text analysis / multimodal) --
     from lucene_solr_old_ray.stages.ann import brute_topk, lsh_topk
     from lucene_solr_old_ray.stages.dedup import (
@@ -300,6 +305,7 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= 2 ORDER BY lang, rank"""
     )
     sqls["phrase_top10"] = g.phrase_sql(["table", "value"])
+    sqls["filtered_top10"] = g.bm25_sql(musts=["spark"], filter_terms=["window"])
     sqls["wildcard_hits"] = g.hits_sql(like="s%m")
     sqls["fuzzy_hits"] = (
         f"WITH {g.base_ctes()} SELECT DISTINCT doc_id FROM toks "

@@ -75,6 +75,30 @@ def analyze_text(text: str) -> list[str]:
     ]
 
 
+# cased variants for the code analyzer (camelCase must survive tokenization)
+_ASCII_TOKEN_CASED = re.compile(
+    r"(?=[_'.]*[A-Za-z0-9])[A-Za-z0-9_]+(?:['.][A-Za-z0-9_]+)*"
+)
+_SUBTOKEN = re.compile(r"[0-9]+|[a-z]+|[A-Z]+(?![a-z])|[A-Z][a-z]+")
+
+
+def code_subtokens(cased_token: str) -> list[str]:
+    """camelCase/snake_case splitter (the per-language filter hook, SURVEY
+    §2.2 — WordDelimiterFilter-style): ``getIndexReader`` -> [get, index,
+    reader], ``snake_case`` -> [snake, case]. Returns [] when the token does
+    not decompose (single run)."""
+    subs = [m.lower() for m in _SUBTOKEN.findall(cased_token)]
+    return subs if len(subs) > 1 else []
+
+
+def tokenize_raw_cased(text: str) -> list[str]:
+    """Tokenize preserving case (code analyzer's first stage)."""
+    if text.isascii():
+        return _ASCII_TOKEN_CASED.findall(text)
+    toks = _UNI_TOKEN.findall(text)
+    return [t for t in toks if _HAS_ALNUM.search(t)]
+
+
 @dataclass
 class AnalyzedBatch:
     """Flat token stream for a batch of documents, post full analysis chain.
@@ -91,24 +115,38 @@ class AnalyzedBatch:
     positions: np.ndarray      # int32, token position within the doc
     term_codes: np.ndarray     # int64, index into uniques
     uniques: np.ndarray        # object array of str (batch vocabulary)
-    field_lengths: np.ndarray  # int32 per doc in batch
+    field_lengths: np.ndarray  # int32 per doc in batch (overlaps excluded)
 
 
-def analyze_batch(texts: list[str], with_positions: bool = False) -> AnalyzedBatch:
+def analyze_batch(
+    texts: list[str], with_positions: bool = False, analyzer: str = "standard"
+) -> AnalyzedBatch:
     """Vectorized chain over a batch of content strings.
 
     Per-token Python work is limited to tokenization; the overlong/stop
     filters run on the (much smaller) unique-term vocabulary after a
     factorize, then broadcast back to token instances. Positions (needed only
     for phrase support) are computed when ``with_positions`` is set.
+
+    ``analyzer="code"`` additionally emits camelCase/snake_case subtokens at
+    the SAME position as their parent (position increment 0 — overlap tokens,
+    ``index/DocInverterPerField.java:116-137``); overlaps are indexed but do
+    not count toward the norm field length (discountOverlaps, BM25Similarity).
     """
     import pandas as pd
 
     n_docs = len(texts)
     counts = np.empty(n_docs, dtype=np.int64)
     flat: list[str] = []
+    cased: list[str] | None = [] if analyzer == "code" else None
     for i, t in enumerate(texts):
-        toks = tokenize_raw(t if isinstance(t, str) else "")
+        t = t if isinstance(t, str) else ""
+        if analyzer == "code":
+            ctoks = tokenize_raw_cased(t)
+            cased.extend(ctoks)
+            toks = [c.lower() for c in ctoks]
+        else:
+            toks = tokenize_raw(t)
         counts[i] = len(toks)
         flat.extend(toks)
 
@@ -142,8 +180,48 @@ def analyze_batch(texts: list[str], with_positions: bool = False) -> AnalyzedBat
         codes = remap[codes]
         uniques = np.asarray(uniques, dtype=object)[uniq_keep]
     else:
+        keep = np.empty(0, dtype=bool)
         codes = np.empty(0, dtype=np.int64)
         uniques = np.empty(0, dtype=object)
 
+    # norm field length counts only position-consuming (non-overlap) tokens
     field_lengths = np.bincount(doc_ids, minlength=n_docs).astype(np.int32)
+
+    if analyzer == "code" and len(codes):
+        # overlap subtokens: same position as the parent, posIncr 0; indexed
+        # but excluded from field_lengths (computed above, parents only)
+        sub_cache: dict[str, list[str]] = {}
+        s_docs: list[int] = []
+        s_pos: list[int] = []
+        s_terms: list[str] = []
+        kept_idx = np.flatnonzero(keep)
+        for row, j in enumerate(kept_idx):
+            c = cased[j]
+            subs = sub_cache.get(c)
+            if subs is None:
+                subs = [
+                    s for s in code_subtokens(c)
+                    if len(s) <= MAX_TOKEN_LENGTH and s not in ENGLISH_STOP_WORDS
+                ]
+                sub_cache[c] = subs
+            for s in subs:
+                s_docs.append(int(doc_ids[row]))
+                s_terms.append(s)
+                if with_positions:
+                    s_pos.append(int(positions[row]))
+        if s_terms:
+            parent_strs = uniques[codes]
+            all_strs = np.concatenate(
+                [parent_strs, np.array(s_terms, dtype=object)]
+            )
+            codes, uniques = pd.factorize(all_strs, sort=False)
+            uniques = np.asarray(uniques, dtype=object)
+            doc_ids = np.concatenate(
+                [doc_ids, np.array(s_docs, dtype=np.int32)]
+            )
+            if with_positions:
+                positions = np.concatenate(
+                    [positions, np.array(s_pos, dtype=np.int32)]
+                )
+
     return AnalyzedBatch(doc_ids, positions, codes, uniques, field_lengths)

@@ -23,7 +23,9 @@ from .queries import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FilteredQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
@@ -141,6 +143,14 @@ class OracleIndex:
             if not any_match:
                 return False, F(0)
             return True, F(smax + F(F(ssum - smax) * F(q.tie_breaker)))
+        if isinstance(q, ConstantScoreQuery):
+            m, _ = self._match(q.query, d, 1.0)
+            return m, F(boost * q.boost) if m else F(0)
+        if isinstance(q, FilteredQuery):
+            mf_, _ = self._match(q.filter, d, 1.0)
+            if not mf_:
+                return False, F(0)
+            return self._match(q.query, d, boost * q.boost)
         if isinstance(q, WildcardQuery):
             import fnmatch
 

@@ -71,6 +71,7 @@ def build_index(
             "files": list(spec.files),
             "content_col": spec.content_col,
             "meta_cols": list(spec.meta_cols),
+            "analyzer": spec.analyzer,
         },
         "metrics": {
             "build_wall_s": float(metrics["wall_s"].sum()),

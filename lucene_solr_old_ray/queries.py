@@ -100,6 +100,26 @@ class DisjunctionMaxQuery:
 
 
 @dataclass(frozen=True)
+class FilteredQuery:
+    """Score by ``query``, restrict to docs matching ``filter`` — the filter
+    contributes no score (``search/FilteredQuery.java``). Filter docID sets
+    are cached per leaf (CachingWrapperFilter analogue)."""
+
+    query: "Query"
+    filter: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Matches like the wrapped query; every hit scores ``boost``
+    (``search/ConstantScoreQuery.java:36``)."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PhraseQuery:
     """Exact phrase (slop=0) over positions (``search/PhraseQuery.java:47``)."""
 
@@ -118,6 +138,8 @@ Query = (
     | BooleanQuery
     | DisjunctionMaxQuery
     | PhraseQuery
+    | FilteredQuery
+    | ConstantScoreQuery
 )
 
 
@@ -167,6 +189,10 @@ def collect_terms(q: Query) -> set[str]:
         for d in q.disjuncts:
             out |= collect_terms(d)
         return out
+    if isinstance(q, FilteredQuery):
+        return collect_terms(q.query) | collect_terms(q.filter)
+    if isinstance(q, ConstantScoreQuery):
+        return collect_terms(q.query)
     return set()
 
 

@@ -29,11 +29,12 @@ class CorpusSpec:
     files: tuple[str, ...]
     content_col: str = "content"
     meta_cols: tuple[str, ...] = ("repo", "path", "commit", "lang")
+    analyzer: str = "standard"  # "standard" | "code" (identifier splitter)
 
     @staticmethod
-    def source_code(path_or_dir: str) -> "CorpusSpec":
+    def source_code(path_or_dir: str, analyzer: str = "standard") -> "CorpusSpec":
         """The BASELINE input_hint shape: (repo, path, commit, lang, content)."""
-        return CorpusSpec(files=_expand(path_or_dir))
+        return CorpusSpec(files=_expand(path_or_dir), analyzer=analyzer)
 
     @staticmethod
     def documents(sf_dir: str) -> "CorpusSpec":

@@ -225,6 +225,7 @@ def bm25_sql(
     min_should_match: int = 0,
     k: int = 10,
     offset: int = 0,
+    filter_terms: list[str] = (),
 ) -> str:
     """Full oracle query -> (rank, doc_id, score) float32-exact top-k."""
     ctes = [base_ctes()]
@@ -250,6 +251,10 @@ def bm25_sql(
         ctes.append(term_score_cte(f"x{i}", t))
         joins.append(f"LEFT JOIN x{i} ON x{i}.doc_id = d.doc_id")
         conds.append(f"x{i}.doc_id IS NULL")
+    for t in filter_terms:  # FilteredQuery: restricts matches, adds no score
+        conds.append(
+            f"d.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = '{t}')"
+        )
     if should_names:
         matched = " + ".join(
             f"(CASE WHEN {s}.doc_id IS NULL THEN 0 ELSE 1 END)" for s in should_names

@@ -115,6 +115,7 @@ def build_segment(
     sha_list: list[str] = []
     doc_off = 0
     n_postings = 0
+    n_instances = 0  # indexed token instances incl. overlap subtokens
     tok_s = 0.0
     skip = slice_start
     remaining = num_docs
@@ -135,9 +136,11 @@ def build_segment(
             hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
         )
         t1 = time.perf_counter()
-        ab = analyze_batch(texts, with_positions=store_positions)
+        ab = analyze_batch(texts, with_positions=store_positions,
+                           analyzer=spec.analyzer)
         tok_s += time.perf_counter() - t1
         n_postings += _invert_subbatch(ab, doc_off, acc, store_positions)
+        n_instances += len(ab.term_codes)
         field_lengths.append(ab.field_lengths)
         meta_tables.append(tb.select([c for c in spec.meta_cols]))
         doc_off += len(texts)
@@ -146,7 +149,9 @@ def build_segment(
     lens = (np.concatenate(field_lengths) if field_lengths
             else np.zeros(0, dtype=np.int32))
     norms = encode_norm(lens)
-    sum_tf = int(lens.sum())
+    # sumTotalTermFreq counts every indexed instance (overlap subtokens
+    # included); the norm length above excludes overlaps (discountOverlaps)
+    sum_tf = int(n_instances)
 
     # flush: sort terms (UTF-8 order), encode postings
     t2 = time.perf_counter()

@@ -35,7 +35,9 @@ from ..queries import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ConstantScoreQuery,
     DisjunctionMaxQuery,
+    FilteredQuery,
     FuzzyQuery,
     MatchAllDocsQuery,
     PhraseQuery,
@@ -82,6 +84,7 @@ class LeafSearcher:
             open(os.path.join(leaf_dir, "norms.bin"), "rb").read(), dtype=np.uint8
         )
         self._docmap = None
+        self._filter_cache: dict = {}  # CachingWrapperFilter analogue (per leaf)
 
     def lookup(self, term: str) -> int:
         i = int(np.searchsorted(self.terms, term))
@@ -276,6 +279,20 @@ def execute(
         return _execute_bool(q, leaf, ctx, boost)
     if isinstance(q, PhraseQuery):
         return _execute_phrase(q, leaf, ctx, boost)
+    if isinstance(q, ConstantScoreQuery):
+        docs, _ = execute(q.query, leaf, ctx, 1.0)
+        return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, FilteredQuery):
+        docids, scores = execute(q.query, leaf, ctx, boost * q.boost)
+        fkey = repr(q.filter)
+        fdocs = leaf._filter_cache.get(fkey)
+        if fdocs is None:
+            fdocs, _ = execute(q.filter, leaf, ctx, 1.0)
+            if len(leaf._filter_cache) > 128:
+                leaf._filter_cache.pop(next(iter(leaf._filter_cache)))
+            leaf._filter_cache[fkey] = fdocs
+        keep = np.isin(docids, fdocs, assume_unique=True)
+        return docids[keep], scores[keep]
     raise TypeError(f"unknown query type {type(q)}")
 
 
@@ -407,6 +424,55 @@ def _execute_bool(
             keep = ~np.isin(docids, excl, assume_unique=True)
             docids, scores = docids[keep], scores[keep]
     return docids, scores
+
+
+def explain(
+    q: Query, leaf: LeafSearcher, ctx: SearchContext, docid: int, boost: float = 1.0
+) -> dict:
+    """Explanation tree for one (query, local docid) — the ``Weight.explain``
+    / CheckHits.checkExplanations analogue: the returned ``value`` is
+    bit-identical to the score the executor produces for that doc."""
+    def node(match, value, desc, details=()):
+        return {"match": bool(match), "value": float(value),
+                "description": desc, "details": list(details)}
+
+    if isinstance(q, TermQuery):
+        docids, tfs = leaf.postings(q.term)
+        i = int(np.searchsorted(docids, docid))
+        if i >= len(docids) or docids[i] != docid:
+            return node(False, 0.0, f"no matching term {q.term!r}")
+        df = ctx.term_stats.get(q.term, (0, 0))[0]
+        term_idf = bm25.idf(df, ctx.coll.max_doc)
+        wv = ctx.weight(q.term, boost * q.boost)
+        nb = int(leaf.norms[docid])
+        sc = bm25.score_postings(
+            tfs[i : i + 1], leaf.norms[docid : docid + 1], wv, ctx.cache)[0]
+        return node(True, sc,
+                    f"weight({q.term} in {docid}) [BM25], product of:",
+                    [node(True, term_idf,
+                          f"idf(docFreq={df}, maxDocs={ctx.coll.max_doc})"),
+                     node(True, float(tfs[i]), "termFreq"),
+                     node(True, float(ctx.cache[nb]),
+                          f"normCache[normByte={nb}] (k1=1.2, b=0.75, "
+                          f"avgdl={float(ctx.coll.avgdl)})")])
+    if isinstance(q, BooleanQuery):
+        docids, scores = _execute_bool(q, leaf, ctx, boost * q.boost)
+        i = int(np.searchsorted(docids, docid))
+        if i >= len(docids) or docids[i] != docid:
+            return node(False, 0.0, "no match on required clauses")
+        details = []
+        for c in q.clauses:
+            sub = explain(c.query, leaf, ctx, docid, boost * q.boost)
+            sub["description"] = f"[{c.occur}] " + sub["description"]
+            if sub["match"] or c.occur == MUST_NOT:
+                details.append(sub)
+        return node(True, scores[i], "sum of:", details)
+    # generic fallback: evaluate and report the produced score
+    docids, scores = execute(q, leaf, ctx, boost)
+    i = int(np.searchsorted(docids, docid))
+    if i >= len(docids) or docids[i] != docid:
+        return node(False, 0.0, f"no match ({type(q).__name__})")
+    return node(True, scores[i], f"{type(q).__name__} score")
 
 
 def top_k(

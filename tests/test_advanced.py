@@ -1,0 +1,128 @@
+"""FilteredQuery/ConstantScore, explain(), and the code-identifier analyzer."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch, code_subtokens
+from lucene_solr_old_ray.oracle import OracleIndex
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.search import gather_stats, search
+from lucene_solr_old_ray.pipelines.validate import check_index
+from lucene_solr_old_ray.queries import (
+    ConstantScoreQuery,
+    FilteredQuery,
+    TermQuery,
+    bool_query,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+from lucene_solr_old_ray.stages.search import LeafSearcher, execute, explain
+from lucene_solr_old_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("c") / "c.parquet")
+    generate_corpus(p, 500, seed=8, rows_per_group=100)
+    d = str(tmp_path_factory.mktemp("i") / "idx")
+    build_index(CorpusSpec.source_code(p), d, target_docs_per_partition=200)
+    texts = pq.read_table(p)["content"].to_pylist()
+    return d, texts
+
+
+def test_filtered_and_constant_score(idx):
+    d, texts = idx
+    oracle = OracleIndex(texts)
+    qs = {
+        0: FilteredQuery(TermQuery("return"), TermQuery("class")),
+        1: ConstantScoreQuery(bool_query(musts=["return", "class"]), boost=2.5),
+        2: FilteredQuery(bool_query(shoulds=["return", "def"]),
+                         bool_query(musts=["class"])),
+    }
+    res = search(d, qs, k=10).to_pandas()
+    for qid, q in qs.items():
+        want = oracle.search(q, 10)
+        got = res[res["qid"] == qid].sort_values("rank")
+        assert got["docid"].tolist() == [w[0] for w in want], f"qid {qid}"
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(np.float32),
+            np.array([w[1] for w in want], dtype=np.float32))
+
+
+def test_explain_matches_scores(idx):
+    """CheckHits.checkExplanations analogue: explanation value == score."""
+    d, texts = idx
+    man = mf.read_index_manifest(d)
+    queries = [
+        TermQuery("return"),
+        bool_query(musts=["return", "class"], shoulds=["def"]),
+        bool_query(shoulds=["return", "static"], must_nots=["zzz"]),
+    ]
+    for q in queries:
+        from lucene_solr_old_ray.queries import collect_terms
+
+        ctx = gather_stats(d, man, sorted(collect_terms(q)))
+        leaf_row = sorted(man["segments"], key=lambda s: s["doc_base"])[0]
+        leaf = LeafSearcher(os.path.join(d, leaf_row["dir"]),
+                            leaf_row["doc_base"], 0, leaf_row["num_docs"])
+        docids, scores = execute(q, leaf, ctx)
+        for i in range(min(5, len(docids))):
+            ex = explain(q, leaf, ctx, int(docids[i]))
+            assert ex["match"]
+            assert np.float32(ex["value"]) == scores[i], (q, docids[i])
+        # non-matching doc explains as no match
+        all_docs = set(docids.tolist())
+        for cand in range(leaf.num_docs):
+            if cand not in all_docs:
+                assert not explain(q, leaf, ctx, cand)["match"]
+                break
+
+
+def test_code_subtokens():
+    assert code_subtokens("getIndexReader") == ["get", "index", "reader"]
+    assert code_subtokens("snake_case_name") == ["snake", "case", "name"]
+    assert code_subtokens("HTTPServer2") == ["http", "server", "2"]
+    assert code_subtokens("simple") == []
+    assert code_subtokens("UPPER") == []
+
+
+def test_code_analyzer_batch_semantics():
+    b = analyze_batch(["getIndex snake_case plain"], analyzer="code",
+                      with_positions=True)
+    terms = {b.uniques[c] for c in b.term_codes}
+    assert {"getindex", "get", "index", "snake_case", "snake", "case",
+            "plain"} <= terms
+    # norm length counts only the 3 parents (overlaps discounted)
+    assert b.field_lengths.tolist() == [3]
+    # subtokens share the parent's position
+    by_term = {}
+    for c, p in zip(b.term_codes, b.positions):
+        by_term.setdefault(b.uniques[c], []).append(int(p))
+    assert by_term["getindex"] == by_term["get"] == by_term["index"] == [0]
+    assert by_term["snake_case"] == by_term["snake"] == [1]
+
+
+def test_code_analyzer_index(ray_session, tmp_path):
+    n = 50
+    table = pa.table({
+        "repo": ["r"] * n, "path": [f"p{i}" for i in range(n)],
+        "commit": ["c"] * n, "lang": ["java"] * n,
+        "content": [f"getIndexReader{i % 5} parseToken other_word" for i in range(n)],
+    })
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(table, p)
+    d = str(tmp_path / "idx")
+    man = build_index(CorpusSpec.source_code(p, analyzer="code"), d,
+                      target_docs_per_partition=25)
+    assert man["spec"]["analyzer"] == "code"
+    check_index(d)
+    # subtoken search hits every doc; parent token still searchable
+    r1 = search(d, {0: TermQuery("reader")}, k=5).to_pandas()
+    assert r1["total_hits"].iloc[0] == n
+    r2 = search(d, {0: TermQuery("getindexreader0")}, k=5).to_pandas()
+    assert r2["total_hits"].iloc[0] == n / 5
+    # sumTotalTermFreq includes overlaps; norm lengths don't
+    assert man["stats"]["sum_total_term_freq"] > 3 * n
