@@ -53,6 +53,7 @@ _ASCII_TOKEN = re.compile(r"(?=[_'.]*[a-z0-9])[a-z0-9_]+(?:['.][a-z0-9_]+)*")
 _WORDCHAR = rf"(?:(?![{_IDEO}])\w)"
 _UNI_TOKEN = re.compile(rf"[{_IDEO}]|{_WORDCHAR}+(?:['’.]{_WORDCHAR}+)*", re.UNICODE)
 _HAS_ALNUM = re.compile(r"[^\W_]", re.UNICODE)  # letter or digit
+_FAST_SHAPE = re.compile(r"[a-z0-9_]+(?:['.][a-z0-9_]+)*\Z")
 
 
 def tokenize_raw(text: str) -> list[str]:
@@ -118,21 +119,73 @@ class AnalyzedBatch:
     field_lengths: np.ndarray  # int32 per doc in batch (overlaps excluded)
 
 
-def analyze_batch(
-    texts: list[str], with_positions: bool = False, analyzer: str = "standard"
-) -> AnalyzedBatch:
-    """Vectorized chain over a batch of content strings.
 
-    Per-token Python work is limited to tokenization; the overlong/stop
-    filters run on the (much smaller) unique-term vocabulary after a
-    factorize, then broadcast back to token instances. Positions (needed only
-    for phrase support) are computed when ``with_positions`` is set.
+def _fast_tokenize_ascii(arr):
+    """Vectorized tokenizer for ASCII standard-analyzer docs: Arrow C++
+    kernels do lowercase, separator split, and dictionary encoding; string
+    munging (edge ['.]-trim, junk drop) then runs on the SMALL vocabulary in
+    Python — token instances are never touched per element.
 
-    ``analyzer="code"`` additionally emits camelCase/snake_case subtokens at
-    the SAME position as their parent (position increment 0 — overlap tokens,
-    ``index/DocInverterPerField.java:116-137``); overlaps are indexed but do
-    not count toward the norm field length (discountOverlaps, BM25Similarity).
+    Equivalence with the regex tokenizer: separator-split + edge-trim yields
+    exactly one regex token per split piece UNLESS the piece contains inner
+    punctuation runs like ``a..b`` (which the regex breaks into several
+    position-consuming tokens) — then this returns None and the caller takes
+    the exact per-doc Python path. Pieces without any letter/digit are
+    non-tokens and consume no position, matching the regex.
+
+    ``arr``: pa.Array of strings (no nulls). Returns
+    (doc_ids int32 local, positions int32, codes int64, uniques, counts) or
+    None.
     """
+    import pyarrow.compute as pc
+
+    lower = pc.utf8_lower(arr)
+    parts = pc.split_pattern_regex(lower, pattern="[^a-z0-9_'.]+")
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    parents = parents.filter(nonempty)
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_uniques = denc.dictionary.to_pylist()
+
+    final_terms: list[str] = []
+    final_index: dict[str, int] = {}
+    mapping = np.empty(len(raw_uniques), dtype=np.int64)  # -1 = non-token
+    for i, u in enumerate(raw_uniques):
+        t = u.strip("'.")
+        if not t or not any(c.isalnum() for c in t):
+            mapping[i] = -1
+            continue
+        if not _FAST_SHAPE.fullmatch(t):
+            return None  # inner punctuation runs (a..b): exact path required
+        j = final_index.get(t)
+        if j is None:
+            j = len(final_terms)
+            final_index[t] = j
+            final_terms.append(t)
+        mapping[i] = j
+    codes = mapping[codes]
+    inst_keep = codes >= 0
+    codes = codes[inst_keep]
+    doc_ids = parents.to_numpy(zero_copy_only=False).astype(np.int32)[inst_keep]
+    n_docs = len(arr)
+    counts = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
+    positions = _positions_from(doc_ids, counts)
+    return doc_ids, positions, codes, np.asarray(final_terms, dtype=object), counts
+
+
+def _positions_from(doc_ids: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Positions for doc-contiguous instance runs: arange within each doc."""
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return (np.arange(len(doc_ids), dtype=np.int64) - starts[doc_ids]).astype(np.int32)
+
+
+def _python_tokenize(texts: list[str], analyzer: str):
+    """Exact per-doc path -> (doc_ids, positions, codes, uniques, counts,
+    cased-or-None)."""
     import pandas as pd
 
     n_docs = len(texts)
@@ -149,20 +202,93 @@ def analyze_batch(
             toks = tokenize_raw(t)
         counts[i] = len(toks)
         flat.extend(toks)
-
     doc_ids = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
-    if with_positions:
-        # position = index among position-consuming tokens of the doc
-        starts = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        positions = (np.arange(len(flat), dtype=np.int64) - starts[doc_ids]).astype(
-            np.int32
-        )
-    else:
-        positions = np.empty(0, dtype=np.int32)
-
     if flat:
         codes, uniques = pd.factorize(np.array(flat, dtype=object), sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    positions = _positions_from(doc_ids, counts)
+    return doc_ids, positions, codes, uniques, counts, cased
+
+
+def analyze_batch(
+    texts, with_positions: bool = False, analyzer: str = "standard"
+) -> AnalyzedBatch:
+    """Vectorized chain over a batch of content strings (list or pa.Array).
+
+    ASCII docs go through the Arrow fast tokenizer; non-ASCII (or
+    punctuation-pathological) docs take the exact per-doc Python path; the
+    two streams are stitched. The overlong/stop filters always run on the
+    unique-term vocabulary, never per instance.
+
+    ``analyzer="code"`` additionally emits camelCase/snake_case subtokens at
+    the SAME position as their parent (position increment 0 — overlap tokens,
+    ``index/DocInverterPerField.java:116-137``); overlaps are indexed but do
+    not count toward the norm field length (discountOverlaps, BM25Similarity).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    cased = None
+
+    if analyzer == "standard":
+        arr = (texts if isinstance(texts, pa.Array)
+               else pa.array([t if isinstance(t, str) else "" for t in texts]))
+        if arr.null_count:
+            arr = arr.fill_null("")
+        ascii_mask = pc.equal(
+            pc.binary_length(arr), pc.utf8_length(arr)
+        ).to_numpy(zero_copy_only=False)
+        if ascii_mask.all():
+            fast = _fast_tokenize_ascii(arr)
+            if fast is not None:
+                doc_ids, positions, codes, uniques, counts = fast
+            else:
+                doc_ids, positions, codes, uniques, counts, _ = _python_tokenize(
+                    arr.to_pylist(), analyzer)
+        elif not ascii_mask.any():
+            doc_ids, positions, codes, uniques, counts, _ = _python_tokenize(
+                arr.to_pylist(), analyzer)
+        else:
+            a_idx = np.flatnonzero(ascii_mask)
+            o_idx = np.flatnonzero(~ascii_mask)
+            sub = arr.take(pa.array(a_idx))
+            fast = _fast_tokenize_ascii(sub)
+            if fast is None:
+                doc_ids, positions, codes, uniques, counts, _ = _python_tokenize(
+                    arr.to_pylist(), analyzer)
+            else:
+                d1, p1, c1, u1, cnt1 = fast
+                d2, p2, c2, u2, cnt2, _ = _python_tokenize(
+                    arr.take(pa.array(o_idx)).to_pylist(), analyzer)
+                merged, vocab = pd.factorize(np.concatenate([u1, u2]), sort=False)
+                r1, r2 = merged[: len(u1)], merged[len(u1):]
+                doc_ids = np.concatenate(
+                    [a_idx[d1], o_idx[d2]]).astype(np.int32)
+                positions = np.concatenate([p1, p2])
+                codes = np.concatenate(
+                    [r1[c1] if len(c1) else c1, r2[c2] if len(c2) else c2]
+                ).astype(np.int64)
+                uniques = np.asarray(vocab, dtype=object)
+                counts = np.zeros(n_docs, dtype=np.int64)
+                counts[a_idx] = cnt1
+                counts[o_idx] = cnt2
+    else:
+        texts_list = texts.to_pylist() if isinstance(texts, pa.Array) else list(texts)
+        doc_ids, positions, codes, uniques, counts, cased = _python_tokenize(
+            texts_list, analyzer)
+
+    if not with_positions:
+        positions = np.empty(0, dtype=np.int32)
+
+    if len(codes):
         uniq_keep = np.fromiter(
             (
                 len(u) <= MAX_TOKEN_LENGTH and u not in ENGLISH_STOP_WORDS
@@ -181,8 +307,6 @@ def analyze_batch(
         uniques = np.asarray(uniques, dtype=object)[uniq_keep]
     else:
         keep = np.empty(0, dtype=bool)
-        codes = np.empty(0, dtype=np.int64)
-        uniques = np.empty(0, dtype=object)
 
     # norm field length counts only position-consuming (non-overlap) tokens
     field_lengths = np.bincount(doc_ids, minlength=n_docs).astype(np.int32)

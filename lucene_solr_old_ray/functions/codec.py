@@ -69,12 +69,43 @@ def _width(arr: np.ndarray) -> int:
     return m.bit_length()
 
 
+def _widths_of_rows(vals2d: np.ndarray) -> np.ndarray:
+    """Per-row exact bit widths of a (k, BLOCK_SIZE) uint32 matrix."""
+    mx = vals2d.max(axis=1)
+    return np.where(
+        mx == 0, 0,
+        (np.floor(np.log2(np.maximum(mx, 1).astype(np.float64))) + 1).astype(np.int64),
+    )
+
+
+def _pack_rows(vals2d: np.ndarray, widths: np.ndarray) -> list[bytes]:
+    """Pack each (BLOCK_SIZE-wide) row at its own width. Rows are grouped by
+    width and packed in one ``np.packbits(axis=1)`` per group — BLOCK_SIZE*w
+    bits is always a whole number of bytes, so rows never share a byte."""
+    out: list[bytes] = [b""] * len(vals2d)
+    for w in np.unique(widths):
+        w = int(w)
+        rows = np.flatnonzero(widths == w)
+        if w == 0:
+            continue
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint32)
+        bits = ((vals2d[rows][:, :, None] >> shifts[None, None, :]) & 1).astype(
+            np.uint8
+        ).reshape(len(rows), -1)
+        packed = np.packbits(bits, axis=1)
+        for i, r in enumerate(rows):
+            out[r] = packed[i].tobytes()
+    return out
+
+
 def encode_chunk(
     docids: np.ndarray, tfs: np.ndarray, norms: np.ndarray | None
 ) -> bytes:
     """Encode one chunk (doc_offset=0). ``docids`` strictly ascending uint32
     (chunk-local), ``tfs`` >= 1, ``norms`` = the segment's per-doc norm bytes
-    (indexed by local docID) used only to compute block impact data."""
+    (indexed by local docID) used only to compute block impact data.
+    Full 128-entry blocks are packed vectorized across blocks (grouped by bit
+    width); only the tail block takes the scalar path."""
     n = len(docids)
     assert n > 0
     docids = docids.astype(np.uint32)
@@ -82,28 +113,46 @@ def encode_chunk(
     deltas = np.diff(docids.astype(np.int64), prepend=-1).astype(np.uint32) - 1
     tfm1 = tfs - 1
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nfull = n // BLOCK_SIZE
+
+    doc_norms = (
+        norms[docids] if norms is not None else np.full(n, 255, dtype=np.uint8)
+    )
+    parts: list[bytes] = []
+    if nfull:
+        d2 = deltas[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE)
+        t2 = tfm1[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE)
+        wd = _widths_of_rows(d2)
+        wt = _widths_of_rows(t2)
+        pd = _pack_rows(d2, wd)
+        pt = _pack_rows(t2, wt)
+        for bi in range(nfull):
+            parts.append(bytes((int(wd[bi]), int(wt[bi]))) + pd[bi] + pt[bi])
+    if nblocks > nfull:  # tail block
+        s = nfull * BLOCK_SIZE
+        bd, bt = deltas[s:], tfm1[s:]
+        twd, twt = _width(bd), _width(bt)
+        parts.append(bytes((twd, twt)) + pack_ints(bd, twd) + pack_ints(bt, twt))
 
     last_docids = np.empty(nblocks, dtype=np.uint32)
     max_tfs = np.empty(nblocks, dtype=np.uint32)
     max_norms = np.empty(nblocks, dtype=np.uint8)
-    offsets = np.empty(nblocks + 1, dtype=np.uint32)
-    parts: list[bytes] = []
-    pos = 0
-    doc_norms = (
-        norms[docids] if norms is not None else np.full(n, 255, dtype=np.uint8)
-    )
-    for bi in range(nblocks):
-        s, e = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
-        bd, bt = deltas[s:e], tfm1[s:e]
-        wd, wt = _width(bd), _width(bt)
-        pd, pt = pack_ints(bd, wd), pack_ints(bt, wt)
-        parts.append(bytes((wd, wt)) + pd + pt)
-        offsets[bi] = pos
-        pos += 2 + len(pd) + len(pt)
-        last_docids[bi] = docids[e - 1]
-        max_tfs[bi] = tfs[s:e].max()
-        max_norms[bi] = doc_norms[s:e].max()
-    offsets[nblocks] = pos
+    if nfull:
+        last_docids[:nfull] = docids[BLOCK_SIZE - 1 : nfull * BLOCK_SIZE : BLOCK_SIZE]
+        max_tfs[:nfull] = tfs[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE).max(axis=1)
+        max_norms[:nfull] = (
+            doc_norms[: nfull * BLOCK_SIZE].reshape(nfull, BLOCK_SIZE).max(axis=1)
+        )
+    if nblocks > nfull:
+        s = nfull * BLOCK_SIZE
+        last_docids[-1] = docids[-1]
+        max_tfs[-1] = tfs[s:].max()
+        max_norms[-1] = doc_norms[s:].max()
+
+    lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=nblocks)
+    offsets = np.zeros(nblocks + 1, dtype=np.uint32)
+    offsets[1:] = np.cumsum(lens)
+    pos = int(offsets[-1])
 
     header = np.array([n, nblocks, 0, pos], dtype=np.uint32).tobytes()
     return b"".join(

@@ -136,8 +136,8 @@ def build_segment(
             hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
         )
         t1 = time.perf_counter()
-        ab = analyze_batch(texts, with_positions=store_positions,
-                           analyzer=spec.analyzer)
+        ab = analyze_batch(tb[spec.content_col], with_positions=store_positions,
+                           analyzer=spec.analyzer)  # zero-copy Arrow in
         tok_s += time.perf_counter() - t1
         n_postings += _invert_subbatch(ab, doc_off, acc, store_positions)
         n_instances += len(ab.term_codes)
