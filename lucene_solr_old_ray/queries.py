@@ -198,9 +198,21 @@ def collect_terms(q: Query) -> set[str]:
 
 def parse(text: str) -> Query:
     """Minimal classic-syntax parser: whitespace-separated terms with +/-
-    prefixes and AND/OR/NOT connectors. ``field:term`` drops the field part.
-    Bare terms are SHOULD; ``x AND y`` makes both MUST; ``NOT x`` == ``-x``.
+    prefixes, AND/OR/NOT connectors, ``"quoted phrases"``, ``wild*card`` /
+    ``wild?card`` patterns, and trailing-``~`` fuzzy terms. ``field:term``
+    drops the field part. Bare terms are SHOULD; ``x AND y`` makes both MUST;
+    ``NOT x`` == ``-x``.
     """
+    import re as _re
+
+    # extract quoted phrases first
+    phrases: list[tuple[str, str]] = []  # (occur-prefix, phrase text)
+
+    def _grab(m):
+        phrases.append((m.group(1) or "", m.group(2)))
+        return " "
+
+    text = _re.sub(r'([+-]?)"([^"]*)"', _grab, text)
     tokens = text.split()
     clauses: list[BooleanClause] = []
     pending_occur = None
@@ -225,10 +237,26 @@ def parse(text: str) -> Query:
             pending_occur = None
         if ":" in tok:
             tok = tok.split(":", 1)[1]
+        if tok.endswith("~"):
+            base = analyze_text(tok[:-1])
+            if base:
+                clauses.append(BooleanClause(occur, FuzzyQuery(base[0], 2)))
+            i += 1
+            continue
+        if "*" in tok or "?" in tok:
+            clauses.append(BooleanClause(occur, WildcardQuery(tok.lower())))
+            i += 1
+            continue
         tq = term(tok)
         if tq is not None:
             clauses.append(BooleanClause(occur, tq))
         i += 1
+    default_occur = MUST if conj_and else SHOULD
+    for prefix, ptext in phrases:
+        occ = MUST if prefix == "+" else MUST_NOT if prefix == "-" else default_occur
+        terms = tuple(analyze_text(ptext))
+        if terms:
+            clauses.append(BooleanClause(occ, PhraseQuery(terms)))
     if len(clauses) == 1 and clauses[0].occur != MUST_NOT:
         return clauses[0].query
     return BooleanQuery(tuple(clauses))
