@@ -251,8 +251,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["quality_stats"] = quality_stats
     q["token_count_by_lang"] = token_count_by_lang
+    from lucene_solr_old_ray.stages.dedup import dedup_clusters
+
     q["exact_dedup"] = exact_dedup
     q["jaccard_pairs"] = lambda sf: jaccard_pairs(sf, threshold=0.95)
+    q["dedup_clusters"] = lambda sf: dedup_clusters(sf, threshold=0.95)
     q["embedding_dedup_pairs"] = lambda sf: embedding_dedup_pairs(sf, threshold=0.4)
     q["ann_topk_cosine"] = lambda sf: brute_topk(sf, k=10)
     q["media_features"] = media_features
@@ -359,6 +362,30 @@ SELECT a AS doc_a, b AS doc_b,
 FROM inter JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
 WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.95
 ORDER BY doc_a, doc_b"""
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE {g.base_ctes().lstrip()},
+s AS (SELECT DISTINCT doc_id, term FROM toks),
+sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+  FROM s s1 JOIN s s2 ON s1.term = s2.term AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+),
+jp AS (
+  SELECT a, b FROM inter JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.95
+),
+edges AS (SELECT a, b FROM jp UNION ALL SELECT b AS a, a AS b FROM jp),
+reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+lab AS (SELECT n AS doc_id, min(m) AS mn FROM reach GROUP BY n)
+SELECT d.doc_id AS doc_id,
+       CAST(CASE WHEN l.mn IS NULL OR l.mn > d.doc_id THEN d.doc_id
+                 ELSE l.mn END AS BIGINT) AS cluster
+FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id ORDER BY doc_id"""
     sqls["embedding_dedup_pairs"] = """
 SELECT e1.vec_id AS vec_a, e2.vec_id AS vec_b,
        CAST(round(list_cosine_similarity(e1.embedding, e2.embedding) * 10000) AS BIGINT) AS cos_bp

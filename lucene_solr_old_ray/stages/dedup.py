@@ -301,6 +301,53 @@ def minhash_lsh_pairs(
     })
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Near-duplicate CLUSTERS: connected components over the exact Jaccard
+    pair graph, via distributed min-label propagation — each round is one
+    groupby(node).min(label) over the edge list; converges in O(diameter)
+    rounds (the ray_guide dedup idiom; union-find on a driver only works when
+    the candidate set is provably small, label propagation does not care).
+    -> (doc_id, cluster) where cluster = min doc_id of the component."""
+    import ray
+    from ray.data.aggregate import Min
+
+    pairs = jaccard_pairs(sf_dir, threshold=threshold).to_pandas()
+    import pyarrow.parquet as pq
+
+    all_ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_pylist()
+    if len(pairs) == 0:
+        return pa.table({"doc_id": pa.array(sorted(all_ids), pa.int64()),
+                         "cluster": pa.array(sorted(all_ids), pa.int64())})
+
+    edges = pd.DataFrame({
+        "a": np.concatenate([pairs["doc_a"], pairs["doc_b"]]),
+        "b": np.concatenate([pairs["doc_b"], pairs["doc_a"]]),
+    })
+    labels = pd.DataFrame({"node": edges["a"].unique()})
+    labels["label"] = labels["node"]
+    for _ in range(64):  # rounds bounded by component diameter
+        e = ray.data.from_pandas(
+            edges.merge(labels, left_on="b", right_on="node")[["a", "label"]]
+        )
+        new = (
+            e.groupby("a").aggregate(Min("label", alias_name="nbr"))
+            .to_pandas().rename(columns={"a": "node"})
+        )
+        merged = labels.merge(new, on="node", how="left")
+        nl = np.minimum(merged["label"],
+                        merged["nbr"].fillna(merged["label"]).astype(np.int64))
+        if np.array_equal(nl.to_numpy(), merged["label"].to_numpy()):
+            break
+        labels = pd.DataFrame({"node": merged["node"], "label": nl})
+    in_graph = dict(zip(labels["node"], labels["label"]))
+    out = pd.DataFrame({
+        "doc_id": sorted(all_ids),
+    })
+    out["cluster"] = [int(in_graph.get(d, d)) for d in out["doc_id"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
     Upper-triangle float64 block matmul against the broadcast matrix."""

@@ -95,3 +95,28 @@ def test_media_features_pipeline(ray_session):
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
     merged = out.merge(docs, on="doc_id")
     assert (merged["byte_len"] == merged["text"].str.len()).all()  # ascii corpus
+
+
+def test_dedup_clusters_are_connected_components(ray_session):
+    from lucene_solr_old_ray.stages.dedup import dedup_clusters
+
+    pairs = jaccard_pairs(SF, threshold=0.95).to_pandas()
+    clusters = dedup_clusters(SF, threshold=0.95).to_pandas()
+    # independent union-find over the same pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(int(d)) if int(d) in parent else int(d)
+            for d in clusters["doc_id"]}
+    got = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    assert got == want
