@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["phrase_top10"] = lambda sf: _bm25_result(
         _index_for(sf), PhraseQuery(("table", "value")))
+    q["phrase_sloppy_top10"] = lambda sf: _bm25_result(
+        _index_for(sf), PhraseQuery(("table", "value"), slop=2))
     q["wildcard_hits"] = lambda sf: _hits_result(
         _index_for(sf), WildcardQuery("s*m"))
     q["fuzzy_hits"] = lambda sf: _hits_result(
@@ -308,6 +310,7 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= 2 ORDER BY lang, rank"""
     )
     sqls["phrase_top10"] = g.phrase_sql(["table", "value"])
+    sqls["phrase_sloppy_top10"] = g.phrase_sql(["table", "value"], slop=2)
     sqls["filtered_top10"] = g.bm25_sql(musts=["spark"], filter_terms=["window"])
     sqls["wildcard_hits"] = g.hits_sql(like="s%m")
     sqls["fuzzy_hits"] = (

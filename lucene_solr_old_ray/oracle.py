@@ -172,14 +172,19 @@ class OracleIndex:
             ok = any(ed(t, q.term) <= q.max_edits for t in self.tf[d])
             return ok, F(boost * q.boost) if ok else F(0)
         if isinstance(q, PhraseQuery):
-            assert q.slop == 0
             cand = None
             for i, t in enumerate(q.terms):
                 ps = self.pos[d].get(t)
                 if not ps:
                     return False, F(0)
                 s = {p - i for p in ps}
-                cand = s if cand is None else cand & s
+                if q.slop == 0:
+                    cand = s if cand is None else cand & s
+                elif cand is None:
+                    cand = s
+                else:
+                    cand = {c for c in cand
+                            if any(abs(x - c) <= q.slop for x in s)}
                 if not cand:
                     return False, F(0)
             freq = len(cand)

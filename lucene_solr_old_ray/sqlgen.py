@@ -173,11 +173,15 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
-def phrase_sql(terms: list[str], k: int = 10, pos_cap: int = 1024) -> str:
-    """Exact-phrase oracle -> (rank, doc_id, score). Positions are 0-based
-    word ordinals of the space-separated text (== the engine's post-analysis
+def phrase_sql(
+    terms: list[str], k: int = 10, pos_cap: int = 1024, slop: int = 0
+) -> str:
+    """Phrase oracle -> (rank, doc_id, score). Positions are 0-based word
+    ordinals of the space-separated text (== the engine's post-analysis
     positions on this corpus, since every raw token consumes a position);
-    ``pos_cap`` bounds the static ordinal join (docs here are far shorter)."""
+    ``pos_cap`` bounds the static ordinal join (docs here are far shorter).
+    slop > 0 uses the engine's proximity-window semantics (anchors whose
+    every term has an occurrence within slop of its expected position)."""
     ctes = [base_ctes()]
     posd = f"""
 posd AS (
@@ -189,13 +193,16 @@ posd AS (
     joins = []
     conds = [f"t0.term = '{terms[0]}'"]
     for i in range(1, len(terms)):
-        joins.append(
-            f"JOIN posd t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i}"
-        )
+        if slop == 0:
+            on = f"t{i}.p = t0.p + {i}"
+        else:
+            on = f"t{i}.p BETWEEN t0.p + {i} - {slop} AND t0.p + {i} + {slop}"
+        joins.append(f"JOIN posd t{i} ON t{i}.doc_id = t0.doc_id AND {on}")
         conds.append(f"t{i}.term = '{terms[i]}'")
+    agg = "count(*)" if slop == 0 else "count(DISTINCT t0.p)"
     hits = f"""
 hits AS (
-  SELECT t0.doc_id AS doc_id, count(*) AS freq
+  SELECT t0.doc_id AS doc_id, {agg} AS freq
   FROM posd t0 {' '.join(joins)}
   WHERE {' AND '.join(conds)}
   GROUP BY t0.doc_id

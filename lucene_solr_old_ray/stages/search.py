@@ -299,13 +299,22 @@ def execute(
 def _execute_phrase(
     q: PhraseQuery, leaf: LeafSearcher, ctx: SearchContext, boost: float
 ):
-    """ExactPhraseScorer semantics (``search/ExactPhraseScorer.java:26``):
-    docs where term_i occurs at position p+i for some p; phrase freq = number
-    of such p; scored like a term with tf=phrase_freq and
-    idf = float32 sum of the terms' idfs (BM25Similarity.idfExplain over the
-    phrase's terms)."""
-    if q.slop != 0:
-        raise NotImplementedError("sloppy phrase matching lands with v2")
+    """Phrase scoring over positions.
+
+    slop == 0: ExactPhraseScorer semantics (``search/ExactPhraseScorer.java:26``)
+    — docs where term_i occurs at position p+i for some p; phrase freq =
+    number of such p.
+
+    slop > 0: proximity-window semantics — an anchor p matches when every
+    term_i has an occurrence within ``slop`` of its expected position p+i;
+    freq = number of matching anchors. This is a DOCUMENTED DEVIATION from
+    the reference's SloppyPhraseScorer (``search/SloppyPhraseScorer.java:32``),
+    which counts non-overlapping minimal alignments weighted by
+    1/(matchLength+1); the window form is order-tolerant within the slop and
+    integer-valued, which keeps the oracle SQL exact.
+
+    Either way the match count scores like a term with tf=freq and
+    idf = float32 sum of the terms' idfs (BM25Similarity.idfExplain)."""
     if not leaf.has_positions:
         raise ValueError("index was built without positions (store_positions)")
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
@@ -318,13 +327,25 @@ def _execute_phrase(
     if len(base) == 0:
         return empty
     freqs = np.zeros(len(base), dtype=np.int64)
+    slop = q.slop
     for bi, doc in enumerate(base):
         cand = None
         for i, (d, tfs, flat, starts) in enumerate(per_term):
             j = int(np.searchsorted(d, doc))
-            pos_i = flat[starts[j] : starts[j + 1]].astype(np.int64) - i
-            cand = pos_i if cand is None else np.intersect1d(
-                cand, pos_i, assume_unique=True)
+            pos_i = np.unique(flat[starts[j] : starts[j + 1]].astype(np.int64)) - i
+            if slop == 0:
+                cand = pos_i if cand is None else np.intersect1d(
+                    cand, pos_i, assume_unique=True)
+            else:
+                if cand is None:
+                    cand = pos_i
+                else:
+                    # keep anchors with some occurrence within +/- slop
+                    lo = np.searchsorted(pos_i, cand - slop, side="left")
+                    ok = (lo < len(pos_i)) & (
+                        pos_i[np.minimum(lo, len(pos_i) - 1)] <= cand + slop
+                    )
+                    cand = cand[ok]
             if len(cand) == 0:
                 break
         freqs[bi] = len(cand) if cand is not None else 0

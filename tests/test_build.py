@@ -131,3 +131,35 @@ def test_synthetic_corpus_build(ray_session, tmp_path):
     texts = pq.read_table(p)["content"].to_pylist()
     _, want_lens = brute_force_postings(texts)
     assert man["stats"]["sum_total_term_freq"] == sum(want_lens)
+
+
+def test_multi_file_corpus(ray_session, tmp_path):
+    """Directory corpora: several parquet files, deterministic file order."""
+    import pyarrow as pa
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for fi in range(3):
+        n = 100 + fi * 20
+        pq.write_table(
+            pa.table({
+                "repo": [f"r{fi}"] * n, "path": [f"f{fi}/p{i}" for i in range(n)],
+                "commit": ["c" * 40] * n, "lang": ["py"] * n,
+                "content": [f"alpha beta file{fi} doc{i}" for i in range(n)],
+            }),
+            str(d / f"part-{fi:03d}.parquet"), row_group_size=64)
+    spec = CorpusSpec.source_code(str(d))
+    assert len(spec.files) == 3
+    idx = str(tmp_path / "idx")
+    man = build_index(spec, idx, target_docs_per_partition=80)
+    assert man["stats"]["max_doc"] == 100 + 120 + 140
+    # docmap order across segments == file order then row order
+    import os as _os
+    from lucene_solr_old_ray.state import manifest as _mf
+    paths = []
+    for seg in sorted(man["segments"], key=lambda s: s["doc_base"]):
+        dm = pq.read_table(_os.path.join(idx, seg["dir"], "docmap.parquet"))
+        paths.extend(dm["path"].to_pylist())
+    want = [f"f{fi}/p{i}" for fi, n in ((0, 100), (1, 120), (2, 140))
+            for i in range(n)]
+    assert paths == want

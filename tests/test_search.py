@@ -75,6 +75,8 @@ def query_set():
         PhraseQuery(("return", "class")),          # exact phrase (positions)
         PhraseQuery(("get_index", "return")),
         PhraseQuery(("return", "zzz_missing")),    # 0 hits
+        PhraseQuery(("return", "class"), slop=2),  # proximity window
+        PhraseQuery(("class", "return"), slop=3),
         WildcardQuery("get*"),
         WildcardQuery("*_index"),
         WildcardQuery("s?atic"),
