@@ -209,6 +209,50 @@ def sort_by_field(
     return pa.Table.from_pandas(sel, preserve_index=False)
 
 
+def export_matches(index_dir: str, query: Query, out_dir: str) -> int:
+    """Export EVERY matching doc (meta + score) as partitioned Parquet — one
+    atomically-written file per leaf, skipped when it already exists, so a
+    failed export resumes where it stopped. This is the scale-correct way to
+    materialize large result sets (matching docs never gather on the driver).
+    Returns the number of exported rows."""
+    import pyarrow.parquet as pq_
+
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def leaf_export(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        rows = []
+        for row in batch.to_dict("records"):
+            ord_ = int(row["leaf_ord"])
+            final = os.path.join(out_dir, f"part-{ord_:05d}.parquet")
+            if os.path.exists(final):
+                rows.append({"leaf_ord": ord_,
+                             "rows": pq_.read_metadata(final).num_rows,
+                             "skipped": True})
+                continue
+            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
+                                int(row["doc_base"]), ord_, int(row["num_docs"]))
+            docids, scores = execute(q, leaf, ctx_l)
+            t = leaf.docmap.take(pa.array(docids))
+            t = t.append_column("docid", pa.array(docids + leaf.doc_base))
+            t = t.append_column("score", pa.array(scores))
+            tmp = f"{final}.tmp-{os.getpid()}"
+            pq_.write_table(t, tmp)
+            os.rename(tmp, final)
+            rows.append({"leaf_ord": ord_, "rows": t.num_rows, "skipped": False})
+        return pd.DataFrame(rows)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    rep = ds.map_batches(leaf_export, batch_format="pandas", batch_size=2).to_pandas()
+    return int(rep["rows"].sum())
+
+
 def count_matches(index_dir: str, query: Query) -> int:
     """totalHits across the index (partial counts per leaf, summed)."""
     manifest = mf.read_index_manifest(index_dir)

@@ -109,6 +109,22 @@ def build_segment(
     t0 = time.perf_counter()
     pf = pq.ParquetFile(file)
     cols = [spec.content_col] + [c for c in spec.meta_cols if c != spec.content_col]
+    # byte-aware sub-batching: very wide content rows (100KB+ source files)
+    # must not blow up the analyze batch — target ~32 MB of content per batch
+    try:
+        md = pf.metadata
+        tot_bytes = tot_rows = 0
+        ci = pf.schema_arrow.get_field_index(spec.content_col)
+        for rg in row_groups:
+            rgm = md.row_group(rg)
+            tot_bytes += rgm.column(ci).total_uncompressed_size
+            tot_rows += rgm.num_rows
+        if tot_rows:
+            avg = max(1, tot_bytes // tot_rows)
+            sub_batch_docs = int(min(sub_batch_docs,
+                                     max(256, 32 * 1024 * 1024 // avg)))
+    except Exception:
+        pass  # metadata quirks: keep the configured batch size
     acc: dict[str, list] = {}
     field_lengths: list[np.ndarray] = []
     meta_tables: list[pa.Table] = []

@@ -126,3 +126,21 @@ def test_code_analyzer_index(ray_session, tmp_path):
     assert r2["total_hits"].iloc[0] == n / 5
     # sumTotalTermFreq includes overlaps; norm lengths don't
     assert man["stats"]["sum_total_term_freq"] > 3 * n
+
+
+def test_export_matches(idx, tmp_path):
+    from lucene_solr_old_ray.pipelines.analytics import count_matches, export_matches
+
+    d, _ = idx
+    out = str(tmp_path / "export")
+    n = export_matches(d, TermQuery("return"), out)
+    assert n == count_matches(d, TermQuery("return"))
+    import glob
+    import pyarrow.parquet as pq2
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 1
+    total = sum(pq2.read_metadata(f).num_rows for f in files)
+    assert total == n
+    # resume: second run skips all files, same count
+    assert export_matches(d, TermQuery("return"), out) == n

@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import pyarrow.parquet as pq
+import pyarrow.parquet as pqt
 import pytest
 
 from lucene_solr_old_ray.functions.codec import decode_blob
@@ -95,3 +96,45 @@ def test_merge_resume_skips(ray_session, corpus, tmp_path):
     m2 = merge_index(idx, fan_in=4, strategy="local")
     # second merge consumed the SHARDS manifest (closed under composition)
     assert m2["metrics"]["shards"] == 1 or m2["metrics"]["skipped_shards"] >= 0
+
+
+def test_termwise_salting_engages_for_hot_terms(ray_session, tmp_path):
+    """A term hot in every segment must be split into per-segment salt groups
+    during the termwise shuffle, and the merged result must stay correct."""
+    import pyarrow as pa
+    from lucene_solr_old_ray.stages.merge import plan_merge, read_segment_term_rows
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import TermQuery
+
+    n = 400
+    pqt.write_table(
+        pa.table({"repo": ["r"] * n, "path": [f"p{i}" for i in range(n)],
+                  "commit": ["c" * 40] * n, "lang": ["txt"] * n,
+                  "content": [f"hotterm filler{i % 37} x{i}" for i in range(n)]}),
+        str(tmp_path / "c.parquet"), row_group_size=100)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.source_code(str(tmp_path / "c.parquet")), idx,
+                target_docs_per_partition=100)
+    man = mf.read_index_manifest(idx)
+    shards = plan_merge(man, idx, fan_in=4)
+    rows = read_segment_term_rows(idx, shards[0])
+    hot_rows = rows[rows["term"] == "hotterm"]
+    assert (hot_rows["salt"] > 0).sum() >= 3  # per-segment sub-groups
+    merged = merge_index(idx, fan_in=4, strategy="termwise")
+    check_index(idx)
+    res = search(idx, {0: TermQuery("hotterm")}, k=5).to_pandas()
+    assert res["total_hits"].iloc[0] == n
+
+
+def test_orphan_tmp_dir_is_replaced(ray_session, tmp_path):
+    """A crashed task's stale tmp dir must not break a rebuild."""
+    import os
+    generate_corpus(str(tmp_path / "c.parquet"), 120, seed=2, rows_per_group=60)
+    idx = str(tmp_path / "idx")
+    os.makedirs(f"{idx}/segments/seg-000000.tmp-{os.getpid()}", exist_ok=True)
+    with open(f"{idx}/segments/seg-000000.tmp-{os.getpid()}/junk", "w") as f:
+        f.write("stale")
+    man = build_index(CorpusSpec.source_code(str(tmp_path / "c.parquet")), idx,
+                      target_docs_per_partition=60)
+    assert man["stats"]["max_doc"] == 120
+    check_index(idx)
