@@ -385,10 +385,135 @@ def _execute_dismax(
     return union, np.add(smax, t, dtype=np.float32)
 
 
+def gather_tfs(
+    leaf: LeafSearcher, term: str, targets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Term frequencies for the sorted ``targets`` docids, decoding ONLY the
+    128-doc blocks that can contain a target — the skip-list advance analogue
+    (``codecs/lucene41/Lucene41PostingsReader.java:446-492``; per-block
+    last-doc array replaces the multi-level skip list).
+    -> (found mask, tfs aligned with targets)."""
+    found = np.zeros(len(targets), dtype=bool)
+    tfs = np.zeros(len(targets), dtype=np.uint32)
+    for cv in leaf.chunks(term):
+        lastg = cv.last_docids.astype(np.int64) + cv.doc_offset
+        bidx = np.searchsorted(lastg, targets)  # nondecreasing (both sorted)
+        valid = np.flatnonzero(bidx < cv.nblocks)
+        if len(valid) == 0:
+            continue
+        vb = bidx[valid]
+        run_starts = np.concatenate(([0], np.flatnonzero(np.diff(vb)) + 1))
+        run_ends = np.concatenate((run_starts[1:], [len(vb)]))
+        for rs, re_ in zip(run_starts, run_ends):
+            bi = int(vb[rs])
+            d, t = cv.decode_block(bi)
+            sel = valid[rs:re_]
+            pos = np.searchsorted(d, targets[sel])
+            ok = pos < len(d)
+            ok[ok] = d[pos[ok]] == targets[sel][ok]
+            hit = sel[ok]
+            found[hit] = True
+            tfs[hit] = t[pos[ok]]
+    return found, tfs
+
+
+def _tfs_for_targets(
+    leaf: LeafSearcher, term: str, targets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Adaptive advance: block-selective decode when the candidate set is
+    sparse relative to the term's block count, full decode + searchsorted
+    when it is dense (where skipping would decode everything anyway, with
+    per-block overhead on top)."""
+    ti = leaf.lookup(term)
+    if ti < 0:
+        return np.zeros(len(targets), dtype=bool), np.zeros(len(targets), np.uint32)
+    df = int(leaf.df[ti])
+    nblocks = (df + 127) // 128
+    if len(targets) < nblocks // 2:
+        return gather_tfs(leaf, term, targets)
+    d, t = leaf.postings(term)
+    pos = np.searchsorted(d, targets)
+    ok = pos < len(d)
+    ok[ok] = d[pos[ok]] == targets[ok]
+    tfs = np.zeros(len(targets), dtype=np.uint32)
+    tfs[ok] = t[pos[ok]]
+    return ok, tfs
+
+
+def _bool_all_terms(q: BooleanQuery) -> bool:
+    return all(isinstance(c.query, TermQuery) for c in q.clauses)
+
+
+def _execute_bool_terms_leapfrog(
+    q: BooleanQuery, leaf: LeafSearcher, ctx: SearchContext, b: float
+):
+    """Fast path when every clause is a TermQuery and at least one MUST
+    exists: fully decode only the rarest MUST term (the ConjunctionScorer
+    lead, ``search/ConjunctionScorer.java:28,57-84``); every other clause
+    advances via block-selective ``gather_tfs``. Bit-identical scores: per-doc
+    accumulation still happens in CLAUSE ORDER over the surviving docids."""
+    musts = [(i, c.query) for i, c in enumerate(q.clauses) if c.occur == MUST]
+    shoulds = [(i, c.query) for i, c in enumerate(q.clauses) if c.occur == SHOULD]
+    nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
+
+    dfs = []
+    for i, tq in musts:
+        ti = leaf.lookup(tq.term)
+        if ti < 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        dfs.append((int(leaf.df[ti]), i, tq))
+    dfs.sort()
+    _, lead_i, lead_q = dfs[0]
+    base, lead_tfs = leaf.postings(lead_q.term)
+    per_clause_tf: dict[int, np.ndarray] = {}
+    for df_, i, tq in dfs[1:]:
+        found, tfs = _tfs_for_targets(leaf, tq.term, base)
+        base = base[found]
+        lead_tfs = lead_tfs[found]
+        for k in per_clause_tf:
+            per_clause_tf[k] = per_clause_tf[k][found]
+        per_clause_tf[i] = tfs[found]
+        if len(base) == 0:
+            return base, np.empty(0, dtype=np.float32)
+    per_clause_tf[lead_i] = lead_tfs
+
+    norms_b = leaf.norms[base]
+    scores = np.zeros(len(base), dtype=np.float32)
+    match_count = np.zeros(len(base), dtype=np.int32)
+    for ci, c in enumerate(q.clauses):  # clause order accumulation
+        if c.occur == MUST:
+            tq = c.query
+            wv = ctx.weight(tq.term, b * tq.boost)
+            scores = np.add(
+                scores, bm25.score_postings(per_clause_tf[ci], norms_b, wv, ctx.cache),
+                dtype=np.float32)
+        elif c.occur == SHOULD:
+            tq = c.query
+            found, tfs = _tfs_for_targets(leaf, tq.term, base)
+            if found.any():
+                wv = ctx.weight(tq.term, b * tq.boost)
+                add = np.zeros(len(base), dtype=np.float32)
+                add[found] = bm25.score_postings(
+                    tfs[found], norms_b[found], wv, ctx.cache)
+                scores = np.add(scores, add, dtype=np.float32)
+                match_count += found
+    if shoulds and q.min_should_match > 0:
+        keep = match_count >= q.min_should_match
+        base, scores = base[keep], scores[keep]
+    for nq in nots:
+        if len(base) == 0:
+            break
+        found, _ = _tfs_for_targets(leaf, nq.term, base)
+        base, scores = base[~found], scores[~found]
+    return base, scores
+
+
 def _execute_bool(
     q: BooleanQuery, leaf: LeafSearcher, ctx: SearchContext, boost: float
 ):
     b = boost * q.boost
+    if any(c.occur == MUST for c in q.clauses) and _bool_all_terms(q):
+        return _execute_bool_terms_leapfrog(q, leaf, ctx, b)
     musts, shoulds, nots = [], [], []
     for c in q.clauses:
         if c.occur == MUST:
