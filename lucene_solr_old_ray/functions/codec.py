@@ -167,6 +167,106 @@ def encode_chunk(
     )
 
 
+def encode_chunks_batch(
+    flat_docids: np.ndarray,
+    flat_tfs: np.ndarray,
+    ns: np.ndarray,
+    norms: np.ndarray | None,
+) -> list[bytes]:
+    """Encode MANY single-block terms (each n <= BLOCK_SIZE) in one vectorized
+    pass — byte-identical to per-term ``encode_chunk``. ``flat_docids`` /
+    ``flat_tfs`` are the terms' postings concatenated; ``ns`` their lengths.
+    Under realistic Zipf vocabularies most terms are tiny, so this removes
+    the per-term numpy overhead from the flush hot loop."""
+    k = len(ns)
+    ns = ns.astype(np.int64)
+    starts = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(ns, out=starts[1:])
+    d = flat_docids.astype(np.uint32)
+    t = flat_tfs.astype(np.uint32)
+    d64 = d.astype(np.int64)
+    prev = np.empty_like(d64)
+    prev[1:] = d64[:-1]
+    prev[starts[:-1]] = -1
+    deltas = (d64 - prev - 1).astype(np.uint32)
+    tfm1 = t - 1
+
+    maxd = np.maximum.reduceat(deltas, starts[:-1]) if len(d) else np.empty(0)
+    maxt1 = np.maximum.reduceat(tfm1, starts[:-1]) if len(d) else np.empty(0)
+    def _w(mx):
+        return np.where(
+            mx == 0, 0,
+            (np.floor(np.log2(np.maximum(mx, 1).astype(np.float64))) + 1)
+            .astype(np.int64))
+    wd = _w(maxd)
+    wt = _w(maxt1)
+
+    def _pack_group(vals: np.ndarray, widths: np.ndarray) -> list[bytes]:
+        out: list[bytes] = [b""] * k
+        # group by (width, pow2-size bucket) so one long term cannot force
+        # full-width padding onto thousands of tiny ones
+        size_bucket = np.uint64(1) << np.uint64(
+            np.ceil(np.log2(np.maximum(ns, 1))).astype(np.int64))
+        gkey = widths.astype(np.int64) * 1024 + size_bucket.astype(np.int64)
+        for key in np.unique(gkey):
+            w = int(key // 1024)
+            rows = np.flatnonzero(gkey == key)
+            if w == 0:
+                continue
+            ns_g = ns[rows]
+            L = int(ns_g.max())
+            M = np.zeros((len(rows), L), dtype=np.uint32)
+            ridx = np.repeat(np.arange(len(rows)), ns_g)
+            total = int(ns_g.sum())
+            csum = np.cumsum(ns_g)
+            cidx = np.arange(total) - np.repeat(csum - ns_g, ns_g)
+            if len(rows) == k:  # single group: vals already laid out in order
+                M[ridx, cidx] = vals
+            else:
+                flat_idx = np.repeat(starts[rows], ns_g) + cidx
+                M[ridx, cidx] = vals[flat_idx]
+            shifts = np.arange(w - 1, -1, -1, dtype=np.uint32)
+            bits = ((M[:, :, None] >> shifts[None, None, :]) & 1).astype(
+                np.uint8).reshape(len(rows), -1)
+            packed = np.packbits(bits, axis=1)
+            nbytes_t = (ns_g * w + 7) // 8
+            for i, r in enumerate(rows):
+                out[r] = packed[i, : nbytes_t[i]].tobytes()
+        return out
+
+    pd_ = _pack_group(deltas, wd)
+    pt_ = _pack_group(tfm1, wt)
+
+    doc_norms = norms[d] if norms is not None else np.full(len(d), 255, np.uint8)
+    last = d[starts[1:] - 1] if len(d) else np.empty(0, np.uint32)
+    maxtf = np.maximum.reduceat(t, starts[:-1]) if len(d) else np.empty(0)
+    maxnorm = (np.maximum.reduceat(doc_norms, starts[:-1])
+               if len(d) else np.empty(0))
+
+    plens = 2 + (ns * wd + 7) // 8 + (ns * wt + 7) // 8
+    # fixed 33-byte header per term, fields little-endian
+    H = np.zeros((k, 33), dtype=np.uint8)
+    hv = np.zeros((k, 4), dtype=np.uint32)  # n, nblocks, doc_offset, plen
+    hv[:, 0] = ns
+    hv[:, 1] = 1
+    hv[:, 3] = plens
+    H[:, 0:16] = hv.view(np.uint8).reshape(k, 16)
+    H[:, 16:20] = last.astype(np.uint32)[:, None].view(np.uint8).reshape(k, 4)
+    H[:, 20:24] = maxtf.astype(np.uint32)[:, None].view(np.uint8).reshape(k, 4)
+    H[:, 24] = maxnorm.astype(np.uint8)
+    # offsets[0]=0 already; offsets[1]=plen
+    H[:, 29:33] = plens.astype(np.uint32)[:, None].view(np.uint8).reshape(k, 4)
+
+    out: list[bytes] = []
+    wdb = wd.astype(np.uint8)
+    wtb = wt.astype(np.uint8)
+    for i in range(k):
+        out.append(
+            H[i].tobytes() + bytes((wdb[i], wtb[i])) + pd_[i] + pt_[i]
+        )
+    return out
+
+
 def chunk_total_size(ndocs: int, nblocks: int, packed_len: int) -> int:
     return _HDR + nblocks * 9 + (nblocks + 1) * 4 + packed_len
 
@@ -286,6 +386,54 @@ def encode_positions_chunk(positions: np.ndarray) -> bytes:
         + bytes((w,))
         + pack_ints(positions.astype(np.uint32), w)
     )
+
+
+def encode_positions_batch(
+    flat_positions: np.ndarray, ns: np.ndarray
+) -> list[bytes]:
+    """Encode many terms' position chunks in one grouped pass (byte-identical
+    to per-term ``encode_positions_chunk``)."""
+    k = len(ns)
+    ns = ns.astype(np.int64)
+    starts = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(ns, out=starts[1:])
+    vals = flat_positions.astype(np.uint32)
+    assert (ns >= 1).all(), "every term has at least one position (ttf >= 1)"
+    mx = np.maximum.reduceat(vals, starts[:-1]) if len(vals) else np.zeros(0)
+    widths = np.where(
+        mx == 0, 0,
+        (np.floor(np.log2(np.maximum(mx, 1).astype(np.float64))) + 1)
+        .astype(np.int64))
+    size_bucket = np.uint64(1) << np.uint64(
+        np.ceil(np.log2(np.maximum(ns, 1))).astype(np.int64))
+    gkey = widths * 100000 + size_bucket.astype(np.int64)
+    packed_out: list[bytes] = [b""] * k
+    for key in np.unique(gkey):
+        w = int(key // 100000)
+        rows = np.flatnonzero(gkey == key)
+        if w == 0:
+            continue
+        ns_g = ns[rows]
+        L = int(ns_g.max())
+        M = np.zeros((len(rows), L), dtype=np.uint32)
+        ridx = np.repeat(np.arange(len(rows)), ns_g)
+        csum = np.cumsum(ns_g)
+        cidx = np.arange(int(ns_g.sum())) - np.repeat(csum - ns_g, ns_g)
+        flat_idx = np.repeat(starts[rows], ns_g) + cidx
+        M[ridx, cidx] = vals[flat_idx]
+        shifts = np.arange(w - 1, -1, -1, dtype=np.uint32)
+        bits = ((M[:, :, None] >> shifts[None, None, :]) & 1).astype(
+            np.uint8).reshape(len(rows), -1)
+        packed = np.packbits(bits, axis=1)
+        nbytes_t = (ns_g * w + 7) // 8
+        for i, r in enumerate(rows):
+            packed_out[r] = packed[i, : nbytes_t[i]].tobytes()
+    out = []
+    wb = widths.astype(np.uint8)
+    nsu = ns.astype(np.uint32)
+    for i in range(k):
+        out.append(nsu[i].tobytes() + bytes((wb[i],)) + packed_out[i])
+    return out
 
 
 def decode_positions_blob(blob: bytes | np.ndarray) -> np.ndarray:

@@ -166,11 +166,14 @@ def generate_corpus(
     langs = list(exts)
     lang_p = np.array([0.3, 0.25, 0.15, 0.12, 0.12, 0.06])
 
-    # Zipf-weighted vocabulary: keywords hot, identifiers long tail
+    # Zipf-weighted vocabulary: keywords hot, identifiers mid, plus a long
+    # tail of rare symbols (realistic code vocab — exercises sparse postings,
+    # block skipping, and merge of many small terms)
     idents = [
         a + "_" + b for a in _IDENT_PARTS for b in _IDENT_PARTS
     ] + [a + b.capitalize() for a in _IDENT_PARTS for b in _IDENT_PARTS]
     vocab = np.array(_KEYWORDS * 30 + _STOPPISH * 20 + idents, dtype=object)
+    n_tail = 50_000
 
     repos, paths, commits, lang_col, contents = [], [], [], [], []
     hexd = np.array(list("0123456789abcdef"))
@@ -178,6 +181,11 @@ def generate_corpus(
         lang = langs[int(rng.choice(len(langs), p=lang_p))]
         n_words = int(rng.integers(5, 400))
         words = list(vocab[rng.integers(0, len(vocab), size=n_words)])
+        # ~15% tail symbols drawn Zipf(1.3) from a 50k-symbol space
+        n_rare = n_words // 6
+        if n_rare:
+            tail_ids = np.minimum(rng.zipf(1.3, size=n_rare), n_tail) - 1
+            words.extend(f"sym_{int(t)}" for t in tail_ids)
         r = rng.random()
         if r < 0.01:
             words.append("x" * 300)  # overlong token (dropped, consumes position)

@@ -172,16 +172,15 @@ def build_segment(
     # flush: sort terms (UTF-8 order), encode postings
     t2 = time.perf_counter()
     terms = sorted(acc)
-    offs = np.zeros(len(terms), dtype=np.int64)
-    lens_b = np.zeros(len(terms), dtype=np.int64)
-    pos_offs = np.zeros(len(terms), dtype=np.int64)
-    pos_lens = np.zeros(len(terms), dtype=np.int64)
-    dfs = np.zeros(len(terms), dtype=np.int64)
-    ttfs = np.zeros(len(terms), dtype=np.int64)
-    blobs: list[bytes] = []
-    pos_blobs: list[bytes] = []
-    pos = 0
-    ppos = 0
+    k = len(terms)
+    offs = np.zeros(k, dtype=np.int64)
+    lens_b = np.zeros(k, dtype=np.int64)
+    pos_offs = np.zeros(k, dtype=np.int64)
+    pos_lens = np.zeros(k, dtype=np.int64)
+    dfs = np.zeros(k, dtype=np.int64)
+    ttfs = np.zeros(k, dtype=np.int64)
+
+    per_term: list = []
     for i, term in enumerate(terms):
         parts = acc[term]
         if len(parts) == 1:
@@ -191,19 +190,41 @@ def build_segment(
             tfs = np.concatenate([p[1] for p in parts])
             positions = (np.concatenate([p[2] for p in parts])
                          if store_positions else None)
-        blob = encode_chunk(docids, tfs, norms)
-        blobs.append(blob)
-        offs[i] = pos
-        lens_b[i] = len(blob)
+        per_term.append((docids, tfs, positions))
         dfs[i] = len(docids)
         ttfs[i] = int(tfs.sum())
-        pos += len(blob)
+
+    # batch-encode all single-block terms at once (the Zipf-dominant case);
+    # only multi-block terms take the per-term path
+    from ..functions.codec import BLOCK_SIZE, encode_chunks_batch
+
+    blobs: list[bytes] = [b""] * k
+    single = np.flatnonzero(dfs <= BLOCK_SIZE) if k else np.empty(0, np.int64)
+    if len(single):
+        flat_d = np.concatenate([per_term[i][0] for i in single])
+        flat_t = np.concatenate([per_term[i][1] for i in single])
+        for i, b in zip(single, encode_chunks_batch(
+                flat_d, flat_t, dfs[single], norms)):
+            blobs[i] = b
+    for i in np.flatnonzero(dfs > BLOCK_SIZE):
+        blobs[i] = encode_chunk(per_term[i][0], per_term[i][1], norms)
+
+    pos_blobs: list[bytes] = []
+    if store_positions and k:
+        from ..functions.codec import encode_positions_batch
+
+        flat_p = np.concatenate([pt[2] for pt in per_term])
+        pos_blobs = encode_positions_batch(flat_p, ttfs)
+    pos = 0
+    ppos = 0
+    for i in range(k):
+        offs[i] = pos
+        lens_b[i] = len(blobs[i])
+        pos += lens_b[i]
         if store_positions:
-            pblob = encode_positions_chunk(positions)
-            pos_blobs.append(pblob)
             pos_offs[i] = ppos
-            pos_lens[i] = len(pblob)
-            ppos += len(pblob)
+            pos_lens[i] = len(pos_blobs[i])
+            ppos += len(pos_blobs[i])
     encode_s = time.perf_counter() - t2
 
     tmp = f"{seg}.tmp-{os.getpid()}"
