@@ -313,14 +313,58 @@ class ChunkView:
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
         n = self.ndocs
+        nfull = n // BLOCK_SIZE
+        if nfull < 2:  # small chunks: per-block path is cheapest
+            ids = np.empty(n, dtype=np.int64)
+            tfs = np.empty(n, dtype=np.uint32)
+            for bi in range(self.nblocks):
+                s = bi * BLOCK_SIZE
+                e = min(s + BLOCK_SIZE, n)
+                d, t = self.decode_block(bi)
+                ids[s:e] = d
+                tfs[s:e] = t
+            return ids, tfs
+
+        # vectorized full-block decode: group blocks by bit width and
+        # unpack each group with one np.unpackbits (inverse of the grouped
+        # encoder; byte alignment is guaranteed by 128*w % 8 == 0)
         ids = np.empty(n, dtype=np.int64)
         tfs = np.empty(n, dtype=np.uint32)
-        for bi in range(self.nblocks):
+        offs = self.offsets[:nfull].astype(np.int64)
+        wd = self.packed[offs].astype(np.int64)
+        wt = self.packed[offs + 1].astype(np.int64)
+
+        def _unpack_group(rows, base_off, w, out2d):
+            if w == 0:
+                out2d[rows] = 0
+                return
+            nb = BLOCK_SIZE * w // 8
+            idx = base_off[rows][:, None] + np.arange(nb)
+            raw = np.asarray(self.packed)[idx]
+            bits = np.unpackbits(raw, axis=1).reshape(len(rows), BLOCK_SIZE, w)
+            shifts = np.arange(w - 1, -1, -1, dtype=np.uint32)
+            out2d[rows] = (bits.astype(np.uint32) << shifts[None, None, :]).sum(
+                axis=2, dtype=np.uint32)
+
+        deltas2d = np.empty((nfull, BLOCK_SIZE), dtype=np.uint32)
+        tfs2d = np.empty((nfull, BLOCK_SIZE), dtype=np.uint32)
+        for w in np.unique(wd):
+            _unpack_group(np.flatnonzero(wd == w), offs + 2, int(w), deltas2d)
+        tf_base = offs + 2 + (BLOCK_SIZE * wd + 7) // 8
+        for w in np.unique(wt):
+            _unpack_group(np.flatnonzero(wt == w), tf_base, int(w), tfs2d)
+
+        csum = np.cumsum(deltas2d.astype(np.int64) + 1, axis=1) - 1
+        bases = np.empty(nfull, dtype=np.int64)
+        bases[0] = self.doc_offset
+        bases[1:] = self.last_docids[: nfull - 1].astype(np.int64) + 1 + self.doc_offset
+        ids[: nfull * BLOCK_SIZE] = (csum + bases[:, None]).reshape(-1)
+        tfs[: nfull * BLOCK_SIZE] = (tfs2d + 1).reshape(-1)
+        for bi in range(nfull, self.nblocks):  # tail
             s = bi * BLOCK_SIZE
-            e = min(s + BLOCK_SIZE, n)
             d, t = self.decode_block(bi)
-            ids[s:e] = d
-            tfs[s:e] = t
+            ids[s:n] = d
+            tfs[s:n] = t
         return ids, tfs
 
 
