@@ -258,6 +258,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["exact_dedup"] = exact_dedup
     q["jaccard_pairs"] = lambda sf: jaccard_pairs(sf, threshold=0.95)
     q["dedup_clusters"] = lambda sf: dedup_clusters(sf, threshold=0.95)
+
+    from lucene_solr_old_ray.stages.dedup import jaccard_ngram_pairs, simhash_pairs
+
+    q["jaccard_ngram_pairs"] = lambda sf: jaccard_ngram_pairs(sf, n=3, threshold=0.04)
+    q["simhash_pairs"] = lambda sf: simhash_pairs(sf, max_hamming=8)  # rows-only
     q["embedding_dedup_pairs"] = lambda sf: embedding_dedup_pairs(sf, threshold=0.4)
     q["ann_topk_cosine"] = lambda sf: brute_topk(sf, k=10)
     q["media_features"] = media_features
@@ -389,6 +394,38 @@ SELECT d.doc_id AS doc_id,
        CAST(CASE WHEN l.mn IS NULL OR l.mn > d.doc_id THEN d.doc_id
                  ELSE l.mn END AS BIGINT) AS cluster
 FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id ORDER BY doc_id"""
+    sqls["jaccard_ngram_pairs"] = f"""
+WITH {g.base_ctes()},
+posd AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  CROSS JOIN range(1, 1025) r(i)
+  WHERE i <= len(toks)
+),
+kept AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS q
+  FROM posd
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({g.stops_list()})
+),
+sh AS (
+  SELECT DISTINCT k0.doc_id,
+         k0.term || ' ' || k1.term || ' ' || k2.term AS s
+  FROM kept k0
+  JOIN kept k1 ON k1.doc_id = k0.doc_id AND k1.q = k0.q + 1
+  JOIN kept k2 ON k2.doc_id = k0.doc_id AND k2.q = k0.q + 2
+),
+ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sinter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+FROM sinter JOIN ssz za ON za.doc_id = a JOIN ssz zb ON zb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.04
+ORDER BY doc_a, doc_b"""
     sqls["embedding_dedup_pairs"] = """
 SELECT e1.vec_id AS vec_a, e2.vec_id AS vec_b,
        CAST(round(list_cosine_similarity(e1.embedding, e2.embedding) * 10000) AS BIGINT) AS cos_bp

@@ -348,6 +348,115 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pa.Table:
+    """SimHash near-dup pairs: 64-bit fingerprints banded into 4x16-bit keys
+    (pigeonhole: any pair within hamming distance <= 3*16/... practically,
+    pairs differing in <= max_hamming bits almost surely collide in >= 1 band
+    when max_hamming < 4*... for a guarantee, pairs with hamming <= 3 always
+    share a band; larger distances are probabilistic) -> candidates verified
+    by exact Hamming distance. -> (doc_a, doc_b, hamming)."""
+    from .textstats import fingerprints
+
+    fp = fingerprints(sf_dir).to_pandas()
+    sims = fp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = fp["doc_id"].to_numpy()
+    cand: set[tuple[int, int]] = set()
+    for b in range(4):
+        band = (sims >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        df = pd.DataFrame({"id": ids, "band": band})
+        for _, g in df.groupby("band"):
+            if len(g) < 2:
+                continue
+            gi = np.sort(g["id"].to_numpy())
+            ii, jj = np.triu_indices(len(gi), 1)
+            cand.update(zip(gi[ii].tolist(), gi[jj].tolist()))
+    pos = {int(i): p for p, i in enumerate(ids)}
+    rows = []
+    for a, b in sorted(cand):
+        x = int(sims[pos[a]]) ^ int(sims[pos[b]])
+        h = bin(x).count("1")
+        if h <= max_hamming:
+            rows.append((a, b, h))
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+        "hamming": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def jaccard_ngram_pairs(
+    sf_dir: str, n: int = 3, threshold: float = 0.04
+) -> pa.Table:
+    """Exact n-gram (token shingle) Jaccard pairs — the order-sensitive
+    variant of ``jaccard_pairs``: shingles are consecutive kept-token
+    n-grams, so near-dups must share phrasing, not just vocabulary. Same
+    broadcast-bitset block join over the (larger) shingle vocabulary.
+    -> (doc_a, doc_b, jaccard)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def shingles(t: str) -> set[tuple]:
+        toks = _kept_tokens(t)
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def batch_vocab(batch: pa.Table) -> pd.DataFrame:
+        vocab = set()
+        for t in batch["text"].to_pylist():
+            vocab.update(shingles(t))
+        return pd.DataFrame({"sh": [" ".join(s) for s in sorted(vocab)]})
+
+    vocab = sorted(set(
+        ds.map_batches(batch_vocab, batch_format="pyarrow").to_pandas()["sh"]
+    ))
+    vidx = {t: i for i, t in enumerate(vocab)}
+    nbits = len(vocab)
+    nbytes = (nbits + 7) // 8
+
+    def batch_masks(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        rows = np.zeros((len(ids), nbits), dtype=np.uint8)
+        for r, t in enumerate(batch["text"].to_pylist()):
+            for s in shingles(t):
+                rows[r, vidx[" ".join(s)]] = 1
+        packed = np.packbits(rows, axis=1)
+        return pd.DataFrame({"doc_id": ids, "mask": [p.tobytes() for p in packed]})
+
+    masks = ds.map_batches(batch_masks, batch_format="pyarrow").to_pandas()
+    masks = masks.sort_values("doc_id").reset_index(drop=True)
+    ids_all = masks["doc_id"].to_numpy()
+    import ray as _r
+
+    M = np.frombuffer(b"".join(masks["mask"]), dtype=np.uint8).reshape(-1, nbytes)
+    sizes_all = np.unpackbits(M, axis=1, count=nbits).sum(axis=1).astype(np.int64)
+    mat_ref = _r.put((ids_all, M, sizes_all))
+
+    def block(batch: pa.Table) -> pd.DataFrame:
+        ids_g, Mg, sz_g = _r.get(mat_ref)
+        ids_b = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sel = np.searchsorted(ids_g, ids_b)
+        Mb = Mg[sel]
+        sz_b = sz_g[sel]
+        inter = np.zeros((len(ids_b), len(ids_g)), dtype=np.int64)
+        popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                               axis=1).sum(axis=1).astype(np.int64)
+        for byte in range(Mg.shape[1]):
+            inter += popcnt[np.bitwise_and(Mb[:, byte : byte + 1], Mg[:, byte])]
+        union = sz_b[:, None] + sz_g[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = inter.astype(np.float64) / union
+        j = np.where(union == 0, 0.0, j)
+        bi, gj = np.nonzero(j >= threshold)
+        keep = ids_b[bi] < ids_g[gj]
+        return pd.DataFrame({"doc_a": ids_b[bi][keep], "doc_b": ids_g[gj][keep],
+                             "jaccard": j[bi, gj][keep]})
+
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
     Upper-triangle float64 block matmul against the broadcast matrix."""

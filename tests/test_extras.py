@@ -120,3 +120,24 @@ def test_dedup_clusters_are_connected_components(ray_session):
             for d in clusters["doc_id"]}
     got = dict(zip(clusters["doc_id"], clusters["cluster"]))
     assert got == want
+
+
+def test_simhash_pairs_verified(ray_session):
+    from lucene_solr_old_ray.stages.dedup import simhash_pairs
+    from lucene_solr_old_ray.stages.textstats import fingerprints
+
+    pairs = simhash_pairs(SF, max_hamming=8).to_pandas()
+    fp = fingerprints(SF).to_pandas().set_index("doc_id")["simhash"]
+    for a, b, h in pairs.itertuples(index=False):
+        x = int(np.uint64(np.int64(fp[a]))) ^ int(np.uint64(np.int64(fp[b])))
+        assert bin(x).count("1") == h <= 8
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+
+
+def test_jaccard_ngram_more_selective_than_unigram(ray_session):
+    from lucene_solr_old_ray.stages.dedup import jaccard_ngram_pairs
+
+    uni = jaccard_pairs(SF, threshold=0.5).to_pandas()
+    tri = jaccard_ngram_pairs(SF, n=3, threshold=0.5).to_pandas()
+    # order-sensitive shingles are far more selective on bag-of-words data
+    assert len(tri) < len(uni)
