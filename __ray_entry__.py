@@ -172,6 +172,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _index_for(sf),
         DisjunctionMaxQuery((TermQuery("spark"), TermQuery("window")), 0.3))
 
+    # --- ClassicSimilarity (TF-IDF) — the Similarity SPI's second strategy --
+    def _classic_result(sf_dir: str, qq) -> pa.Table:
+        idx = _index_for(sf_dir)
+        res = search(idx, {0: qq}, k=10, similarity="classic")
+        res = _docid_to_doc_id(idx, res)
+        t = res.select(["rank", "doc_id", "score"])
+        return t.set_column(0, "rank", t["rank"].cast(pa.int64()))
+
+    q["classic_top10_term"] = lambda sf: _classic_result(sf, TermQuery("spark"))
+    q["classic_top10_or"] = lambda sf: _classic_result(
+        sf, bool_query(shoulds=["vector", "stream", "batch"]))
+
     # --- docID-set queries (constant score) ------------------------------
     q["boolean_hits_and"] = lambda sf: _hits_result(
         _index_for(sf), bool_query(musts=["spark", "window"]))
@@ -295,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["bm25_top10_not"] = g.bm25_sql(musts=["spark"], must_nots=["slow"])
     sqls["bm25_searchafter_page2"] = g.bm25_sql(musts=["table"], k=10, offset=10)
     sqls["bm25_dismax_top10"] = g.dismax_sql(["spark", "window"], 0.3)
+    sqls["classic_top10_term"] = g.classic_term_sql("spark")
+    sqls["classic_top10_or"] = g.classic_bool_or_sql(["vector", "stream", "batch"])
     sqls["boolean_hits_and"] = g.hits_sql(musts=["spark", "window"])
     sqls["boolean_hits_not"] = g.hits_sql(musts=["table"], must_nots=["merge", "slow"])
     sqls["prefix_hits"] = g.hits_sql(prefix="s")

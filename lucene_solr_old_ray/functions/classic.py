@@ -1,0 +1,63 @@
+"""ClassicSimilarity (TF-IDF) scoring math, float32-exact to the reference.
+
+The 4.x default similarity (``search/similarities/DefaultSimilarity.java`` /
+``TFIDFSimilarity.java``) — implemented as the second strategy behind the
+Similarity SPI hook (SURVEY §2.10; ``PerFieldSimilarityWrapper`` analogue):
+
+- ``tf(freq) = (float) sqrt(freq)``
+- ``idf(df, N) = (float)(log(N / (double)(df + 1)) + 1.0)``
+- ``queryNorm(sumSq) = (float)(1.0 / sqrt(sumSq))`` where sumSq is the float
+  sum (clause order) of per-term ``(idf * boost)^2``
+- normalized term weight: ``queryWeight = idf * boost * queryNorm`` then
+  ``value = queryWeight * idf``
+- per-doc: ``raw = tf(freq) * value`` then ``score = raw * decodeNorm`` with
+  ``decodeNorm = byte315ToFloat(normByte)`` (NOT BM25's 1/f^2 table — the
+  norms FILE is shared, the decode differs)
+- BooleanQuery applies ``coord(overlap, maxOverlap) = overlap /
+  (float) maxOverlap`` to the clause-score sum (BM25 disables coord; classic
+  does not — ``search/BooleanQuery.java:208-213``).
+
+Every step is float32 so the DuckDB oracle can mirror it exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .smallfloat import byte315_to_float
+
+F = np.float32
+
+# decode table: byte315ToFloat for all 256 bytes
+CLASSIC_NORM_TABLE: np.ndarray = byte315_to_float(np.arange(256, dtype=np.uint8))
+
+
+def idf_classic(df: int, max_doc: int) -> np.float32:
+    return np.float32(math.log(max_doc / float(df + 1)) + 1.0)
+
+
+def query_norm(sum_sq: np.float32) -> np.float32:
+    if float(sum_sq) == 0.0:
+        return np.float32(1.0)
+    return np.float32(1.0 / math.sqrt(float(sum_sq)))
+
+
+def term_value(term_idf: np.float32, boost: float, qn: np.float32) -> np.float32:
+    """Normalized weight.value for one term: (idf*boost*queryNorm) * idf."""
+    qw = F(F(term_idf * F(boost)) * qn)
+    return F(qw * term_idf)
+
+
+def score_postings_classic(
+    tfs: np.ndarray, norm_bytes: np.ndarray, value: np.float32
+) -> np.ndarray:
+    """score = (sqrt(freq) * value) * byte315ToFloat(norm)."""
+    tf = np.sqrt(tfs.astype(np.float32)).astype(np.float32)
+    raw = np.multiply(tf, value, dtype=np.float32)
+    return np.multiply(raw, CLASSIC_NORM_TABLE[norm_bytes], dtype=np.float32)
+
+
+def coord(overlap: int, max_overlap: int) -> np.float32:
+    return F(F(overlap) / F(max_overlap))

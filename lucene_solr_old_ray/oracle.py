@@ -223,6 +223,79 @@ class OracleIndex:
             return True, score
         raise TypeError(type(q))
 
+    def search_classic(self, q: Query, k: int = 10) -> list[tuple[int, float, int]]:
+        """ClassicSimilarity (TF-IDF + coord + queryNorm) scalar reference."""
+        import math as _m
+
+        def idf(df):
+            return F(_m.log(self.n / float(df + 1)) + 1.0)
+
+        def sum_sq(qq, boost):
+            if isinstance(qq, TermQuery):
+                qw = F(idf(self.df.get(qq.term, 0)) * F(boost * qq.boost))
+                return F(qw * qw)
+            s = F(0.0)
+            for c in qq.clauses:
+                if c.occur != MUST_NOT:
+                    s = F(s + sum_sq(c.query, boost * qq.boost))
+            return s
+
+        ssq = sum_sq(q, 1.0)
+        qn = F(1.0 / _m.sqrt(float(ssq))) if float(ssq) else F(1.0)
+
+        def cnorm(d):
+            return F(_byte315_to_float(self.norm_bytes[d]))
+
+        def score_term(tq, d, boost):
+            tf_ = self.tf[d].get(tq.term, 0)
+            if tf_ == 0:
+                return False, F(0)
+            i = idf(self.df.get(tq.term, 0))
+            value = F(F(F(i * F(boost * tq.boost)) * qn) * i)
+            raw = F(F(_m.sqrt(tf_)) * value)
+            return True, F(raw * cnorm(d))
+
+        def match(qq, d, boost):
+            if isinstance(qq, TermQuery):
+                return score_term(qq, d, boost)
+            b = boost * qq.boost
+            score = F(0)
+            overlap = 0
+            max_overlap = sum(1 for c in qq.clauses if c.occur != MUST_NOT)
+            has_must = any(c.occur == MUST for c in qq.clauses)
+            has_should = any(c.occur == SHOULD for c in qq.clauses)
+            n_should = 0
+            for c in qq.clauses:
+                m, s = match(c.query, d, b)
+                if c.occur == MUST:
+                    if not m:
+                        return False, F(0)
+                    score = F(score + s)
+                    overlap += 1
+                elif c.occur == SHOULD:
+                    if m:
+                        score = F(score + s)
+                        overlap += 1
+                        n_should += 1
+                elif c.occur == MUST_NOT and m:
+                    return False, F(0)
+            if not has_must and not has_should:
+                return False, F(0)
+            need = qq.min_should_match if has_must else max(qq.min_should_match, 1)
+            if has_should and n_should < need:
+                return False, F(0)
+            if max_overlap > 1:
+                score = F(score * F(F(overlap) / F(max_overlap)))
+            return True, score
+
+        hits = []
+        for d in range(self.n):
+            m, s = match(q, d, 1.0)
+            if m:
+                hits.append((d, s))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return [(d, float(s), len(hits)) for d, s in hits[:k]]
+
     def search(self, q: Query, k: int = 10) -> list[tuple[int, float, int]]:
         """-> [(docid, score, total_hits)] top-k, (score desc, docid asc)."""
         hits = []

@@ -114,7 +114,8 @@ class SearcherStage:
 
 
 def gather_stats(
-    index_dir: str, manifest: dict, terms: Sequence[str]
+    index_dir: str, manifest: dict, terms: Sequence[str],
+    similarity: str = "bm25",
 ) -> SearchContext:
     """Stats pass + roll-up -> broadcastable SearchContext."""
     st = manifest["stats"]
@@ -145,7 +146,7 @@ def gather_stats(
         if len(parts):
             g = parts.groupby("term").sum()
             agg = {t: [int(r["df"]), int(r["ttf"])] for t, r in g.iterrows()}
-    return SearchContext(coll, {t: tuple(v) for t, v in agg.items()})
+    return SearchContext(coll, {t: tuple(v) for t, v in agg.items()}, similarity)
 
 
 def search(
@@ -154,6 +155,7 @@ def search(
     k: int = 10,
     *,
     algo: str = "exhaustive",
+    similarity: str = "bm25",
     concurrency: int | None = None,
 ) -> pa.Table:
     """Run a batch of queries -> table (qid, rank[1-based], docid, score,
@@ -166,7 +168,9 @@ def search(
     all_terms: set[str] = set()
     for _, q in qitems:
         all_terms |= collect_terms(q)
-    ctx = gather_stats(index_dir, manifest, sorted(all_terms))
+    ctx = gather_stats(index_dir, manifest, sorted(all_terms), similarity)
+    if similarity != "bm25":
+        algo = "exhaustive"  # WAND bounds are BM25-specific
 
     leaves = _leaves(manifest)
     # fan out over (leaf × query-chunk) so few-shard indexes still parallelize

@@ -173,6 +173,85 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def classic_norm_values() -> str:
+    """(nb, cf) rows: norm byte -> byte315ToFloat decode (ClassicSimilarity)."""
+    from .functions.classic import CLASSIC_NORM_TABLE
+
+    return ",".join(
+        f"({b},{repr(float(np.float32(CLASSIC_NORM_TABLE[b])))})"
+        for b in range(1, 256)
+    )
+
+
+def classic_term_sql(term: str, k: int = 10) -> str:
+    """ClassicSimilarity (TF-IDF) single-term oracle -> (rank, doc_id, score).
+    boost=1: queryNorm = 1/sqrt(idf^2) in float steps; value = (idf*qn)*idf;
+    score = (sqrt(freq)*value) * byte315ToFloat(norm)."""
+    idf = f32(
+        f"ln((SELECT n FROM coll) / CAST(ts.df + 1 AS DOUBLE)) + 1.0"
+    )
+    return f"""WITH {base_ctes()},
+cnorm(nb, cf) AS (VALUES {classic_norm_values()}),
+w AS (
+  SELECT {idf} AS idf,
+         {f32(f"CAST(1.0 / sqrt(CAST({f32(idf + ' * ' + idf)} AS DOUBLE)) AS REAL)")} AS qn
+  FROM (SELECT df FROM df WHERE term = '{term}') ts
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM (
+    SELECT t.doc_id AS doc_id,
+           {f32(f32(f32("CAST(sqrt(CAST(t.freq AS DOUBLE)) AS REAL)" + " * " + f32(f32("w.idf * w.qn") + " * w.idf")) ) + " * cn.cf")} AS score
+    FROM tf t
+    JOIN w ON TRUE
+    JOIN doccache dc ON dc.doc_id = t.doc_id
+    JOIN cnorm cn ON cn.nb = dc.nb
+    WHERE t.term = '{term}'
+  )
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def classic_bool_or_sql(terms: list[str], k: int = 10) -> str:
+    """Classic TF-IDF pure-SHOULD boolean with coord: per-clause normalized
+    values share one queryNorm; score = f32-chain clause sum * coord."""
+    idfs = [
+        f32(f"ln((SELECT n FROM coll) / CAST("
+            f"(SELECT df FROM df WHERE term = '{t}') + 1 AS DOUBLE)) + 1.0")
+        for t in terms
+    ]
+    ssq = "CAST(0 AS REAL)"
+    for e in idfs:
+        ssq = f32(f"{ssq} + {f32(e + ' * ' + e)}")
+    qn = f32(f"CAST(1.0 / sqrt(CAST({ssq} AS DOUBLE)) AS REAL)")
+    ctes = [base_ctes(), f"cnorm(nb, cf) AS (VALUES {classic_norm_values()})"]
+    joins = []
+    score_terms = []
+    matched = []
+    for i, t in enumerate(terms):
+        value = f32(f32(f"{idfs[i]} * {qn}") + f" * {idfs[i]}")
+        ctes.append(f"""
+c{i} AS (
+  SELECT t.doc_id,
+         {f32(f32("CAST(sqrt(CAST(t.freq AS DOUBLE)) AS REAL) * " + value) + " * cn.cf")} AS s
+  FROM tf t JOIN doccache dc ON dc.doc_id = t.doc_id
+  JOIN cnorm cn ON cn.nb = dc.nb
+  WHERE t.term = '{t}'
+)""")
+        joins.append(f"LEFT JOIN c{i} ON c{i}.doc_id = d.doc_id")
+        score_terms.append(f"COALESCE(c{i}.s, CAST(0 AS REAL))")
+        matched.append(f"(CASE WHEN c{i}.doc_id IS NULL THEN 0 ELSE 1 END)")
+    ssum = f32_sum(score_terms)
+    nmatched = " + ".join(matched)
+    coord = f32(f"CAST(({nmatched}) AS REAL) / CAST({len(terms)} AS REAL)")
+    return f"""WITH {",".join(ctes)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM (SELECT d.doc_id AS doc_id, {f32(f"{ssum} * {coord}")} AS score
+        FROM doccache d {' '.join(joins)}
+        WHERE ({nmatched}) >= 1)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def phrase_sql(
     terms: list[str], k: int = 10, pos_cap: int = 1024, slop: int = 0
 ) -> str:

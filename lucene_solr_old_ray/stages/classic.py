@@ -1,0 +1,132 @@
+"""ClassicSimilarity (TF-IDF) query execution — the Similarity-SPI strategy
+next to BM25 (SURVEY §2.10). Supports TermQuery and (nested) BooleanQuery
+with boosts, minShouldMatch and coord; the 4.x createNormalizedWeight flow:
+
+1. walk the query tree summing ``(idf * boost)^2`` over scoring (non-
+   prohibited) term weights in clause order, float32
+   (``Weight.getValueForNormalization`` / ``BooleanWeight``);
+2. queryNorm = 1/sqrt(sum) (float); normalize every term weight top-down with
+   accumulated boosts;
+3. score leaves: sqrt(tf) * value * decodeNorm; booleans sum clause scores in
+   clause order and multiply by coord(matched, maxOverlap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import classic as cl
+from ..queries import MUST, MUST_NOT, SHOULD, BooleanQuery, Query, TermQuery
+from .search import LeafSearcher, SearchContext
+
+F = np.float32
+
+
+def _sum_squares(q: Query, ctx: SearchContext, boost: float) -> np.float32:
+    """Float32 clause-order sum of (idf * boost)^2 over scoring terms."""
+    if isinstance(q, TermQuery):
+        df = ctx.term_stats.get(q.term, (0, 0))[0]
+        qw = F(cl.idf_classic(df, ctx.coll.max_doc) * F(boost * q.boost))
+        return F(qw * qw)
+    if isinstance(q, BooleanQuery):
+        s = F(0.0)
+        for c in q.clauses:
+            if c.occur == MUST_NOT:
+                continue
+            s = F(s + _sum_squares(c.query, ctx, boost * q.boost))
+        return s
+    raise NotImplementedError(
+        f"classic similarity supports Term/Boolean queries, not {type(q).__name__}"
+    )
+
+
+def execute_classic(
+    q: Query, leaf: LeafSearcher, ctx: SearchContext
+) -> tuple[np.ndarray, np.ndarray]:
+    qn = cl.query_norm(_sum_squares(q, ctx, 1.0))
+    return _exec(q, leaf, ctx, qn, 1.0)
+
+
+def _term_scores(leaf, ctx, term: str, boost: float, qn):
+    docids, tfs = leaf.postings(term)
+    if len(docids) == 0:
+        return docids, np.empty(0, dtype=np.float32)
+    df = ctx.term_stats.get(term, (0, 0))[0]
+    value = cl.term_value(cl.idf_classic(df, ctx.coll.max_doc), boost, qn)
+    return docids, cl.score_postings_classic(tfs, leaf.norms[docids], value)
+
+
+def _exec(q, leaf, ctx, qn, boost):
+    if isinstance(q, TermQuery):
+        return _term_scores(leaf, ctx, q.term, boost * q.boost, qn)
+    if isinstance(q, BooleanQuery):
+        return _exec_bool(q, leaf, ctx, qn, boost * q.boost)
+    raise NotImplementedError(type(q).__name__)
+
+
+def _exec_bool(q: BooleanQuery, leaf, ctx, qn, boost):
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    musts, shoulds, nots = [], [], []
+    for c in q.clauses:
+        if c.occur == MUST:
+            musts.append(_exec(c.query, leaf, ctx, qn, boost))
+        elif c.occur == SHOULD:
+            shoulds.append(_exec(c.query, leaf, ctx, qn, boost))
+        elif c.occur == MUST_NOT:
+            nots.append(_exec(c.query, leaf, ctx, qn, boost)[0]
+                        if isinstance(c.query, BooleanQuery)
+                        else leaf.postings(c.query.term)[0])
+    max_overlap = len(musts) + len(shoulds)
+    msm = q.min_should_match
+
+    if musts:
+        base = musts[0][0]
+        for d, _ in musts[1:]:
+            base = base[np.isin(base, d, assume_unique=True)]
+        if len(base) == 0:
+            return empty
+        scores = np.zeros(len(base), dtype=np.float32)
+        overlap = np.full(len(base), len(musts), dtype=np.int32)
+        for d, s in musts:
+            idx = np.searchsorted(d, base)
+            scores = np.add(scores, s[idx], dtype=np.float32)
+        for d, s in shoulds:
+            pos = np.searchsorted(d, base)
+            ok = pos < len(d)
+            ok[ok] = d[pos[ok]] == base[ok]
+            add = np.zeros(len(base), dtype=np.float32)
+            add[ok] = s[np.searchsorted(d, base[ok])]
+            scores = np.add(scores, add, dtype=np.float32)
+            overlap += ok
+        if shoulds and msm > 0:
+            keep = (overlap - len(musts)) >= msm
+            base, scores, overlap = base[keep], scores[keep], overlap[keep]
+        docids = base
+    elif shoulds:
+        need = max(msm, 1)
+        union = np.unique(np.concatenate([d for d, _ in shoulds]))
+        scores = np.zeros(len(union), dtype=np.float32)
+        overlap = np.zeros(len(union), dtype=np.int32)
+        for d, s in shoulds:
+            idx = np.searchsorted(union, d)
+            scores[idx] = np.add(scores[idx], s, dtype=np.float32)
+            overlap[idx] += 1
+        keep = overlap >= need
+        docids, scores, overlap = union[keep], scores[keep], overlap[keep]
+    else:
+        return empty
+
+    if nots and len(docids):
+        excl = np.unique(np.concatenate(nots)) if len(nots) > 1 else nots[0]
+        if len(excl):
+            keep = ~np.isin(docids, excl, assume_unique=True)
+            docids, scores, overlap = docids[keep], scores[keep], overlap[keep]
+
+    if max_overlap > 1 and len(docids):
+        # coordFactors[overlap] = overlap / (float) maxOverlap
+        factors = np.array(
+            [cl.coord(i, max_overlap) for i in range(max_overlap + 1)],
+            dtype=np.float32,
+        )
+        scores = np.multiply(scores, factors[overlap], dtype=np.float32)
+    return docids, scores

@@ -144,10 +144,14 @@ class LeafSearcher:
 
 @dataclass
 class SearchContext:
-    """Broadcast once per query batch: global collection + term statistics."""
+    """Broadcast once per query batch: global collection + term statistics.
+    ``similarity`` selects the scoring strategy (the Similarity SPI hook,
+    SURVEY §2.10): "bm25" (default) or "classic" (TF-IDF w/ coord+queryNorm).
+    """
 
     coll: bm25.CollectionStats
     term_stats: dict[str, tuple[int, int]]  # term -> (df, ttf) summed over leaves
+    similarity: str = "bm25"
 
     def __post_init__(self):
         self.cache = bm25.norm_cache(self.coll.avgdl)
@@ -254,6 +258,10 @@ def execute(
     q: Query, leaf: LeafSearcher, ctx: SearchContext, boost: float = 1.0
 ) -> tuple[np.ndarray, np.ndarray]:
     """Evaluate a query on one leaf -> (local docids ascending, float32 scores)."""
+    if ctx.similarity == "classic":
+        from .classic import execute_classic
+
+        return execute_classic(q, leaf, ctx)
     if isinstance(q, TermQuery):
         return _scores_for_term(leaf, ctx, q.term, boost * q.boost)
     if isinstance(q, MatchAllDocsQuery):

@@ -144,3 +144,26 @@ def test_export_matches(idx, tmp_path):
     assert total == n
     # resume: second run skips all files, same count
     assert export_matches(d, TermQuery("return"), out) == n
+
+
+def test_classic_similarity_matches_oracle(idx):
+    """ClassicSimilarity (TF-IDF + coord + queryNorm) rank/score identity."""
+    d, texts = idx
+    oracle = OracleIndex(texts)
+    qs = {
+        0: TermQuery("return"),
+        1: bool_query(shoulds=["return", "class", "static"]),
+        2: bool_query(musts=["return", "class"]),
+        3: bool_query(musts=["return"], shoulds=["class", "def"]),
+        4: bool_query(shoulds=["class", "def", "static"], min_should_match=2),
+        5: bool_query(musts=["return"], must_nots=["class"]),
+    }
+    res = search(d, qs, k=10, similarity="classic").to_pandas()
+    for qid, q in qs.items():
+        want = oracle.search_classic(q, 10)
+        got = res[res["qid"] == qid].sort_values("rank")
+        assert got["docid"].tolist() == [w[0] for w in want], f"qid {qid}"
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(np.float32),
+            np.array([w[1] for w in want], dtype=np.float32),
+            err_msg=f"qid {qid}")
