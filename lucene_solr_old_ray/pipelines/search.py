@@ -113,15 +113,35 @@ class SearcherStage:
         )
 
 
+@ray.remote
+def _leaf_stats_task(index_dir: str, rows: list[dict], terms: list[str]) -> dict:
+    out: dict[str, list[int]] = {}
+    for row in rows:
+        leaf = LeafSearcher(
+            os.path.join(index_dir, row["dir"]),
+            int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+        )
+        for t, (df, ttf) in collect_leaf_stats(leaf, terms).items():
+            cur = out.setdefault(t, [0, 0])
+            cur[0] += df
+            cur[1] += ttf
+    return out
+
+
 def gather_stats(
     index_dir: str, manifest: dict, terms: Sequence[str],
     similarity: str = "bm25",
 ) -> SearchContext:
-    """Stats pass + roll-up -> broadcastable SearchContext."""
+    """Stats pass + roll-up -> broadcastable SearchContext.
+
+    This is control-plane work (a handful of term-dict lookups per leaf), so
+    it runs as plain Ray tasks rather than a Dataset execution — the Dataset
+    machinery's fixed scheduling cost dwarfs the lookups themselves. The
+    summed result is the ShardSearchingTestBase stats-exchange payload."""
     st = manifest["stats"]
     coll = bm25.CollectionStats(st["max_doc"], st["sum_total_term_freq"])
     terms = sorted(set(terms))
-    agg: dict[str, list[int]] = {}
+    agg: dict[str, tuple[int, int]] = {}
     if terms:
         leaves = _leaves(manifest)
         items = [
@@ -129,24 +149,16 @@ def gather_stats(
              "num_docs": l["num_docs"]}
             for i, l in enumerate(leaves)
         ]
-        ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
-
-        def leaf_stats(batch: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for row in batch.to_dict("records"):
-                leaf = LeafSearcher(
-                    os.path.join(index_dir, row["dir"]),
-                    int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                )
-                for t, (df, ttf) in collect_leaf_stats(leaf, list(terms)).items():
-                    rows.append({"term": t, "df": df, "ttf": ttf})
-            return pd.DataFrame(rows, columns=["term", "df", "ttf"])
-
-        parts = ds.map_batches(leaf_stats, batch_format="pandas", batch_size=8).to_pandas()
-        if len(parts):
-            g = parts.groupby("term").sum()
-            agg = {t: [int(r["df"]), int(r["ttf"])] for t, r in g.iterrows()}
-    return SearchContext(coll, {t: tuple(v) for t, v in agg.items()}, similarity)
+        n_tasks = min(8, len(items))
+        groups = [items[i::n_tasks] for i in range(n_tasks)]
+        partials = ray.get([
+            _leaf_stats_task.remote(index_dir, g, list(terms)) for g in groups
+        ])
+        for p in partials:
+            for t, (df, ttf) in p.items():
+                cur = agg.get(t, (0, 0))
+                agg[t] = (cur[0] + df, cur[1] + ttf)
+    return SearchContext(coll, dict(agg), similarity)
 
 
 def search(
