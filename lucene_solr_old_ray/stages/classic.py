@@ -66,16 +66,18 @@ def _exec(q, leaf, ctx, qn, boost):
 
 def _exec_bool(q: BooleanQuery, leaf, ctx, qn, boost):
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
-    musts, shoulds, nots = [], [], []
+    results = []
     for c in q.clauses:
-        if c.occur == MUST:
-            musts.append(_exec(c.query, leaf, ctx, qn, boost))
-        elif c.occur == SHOULD:
-            shoulds.append(_exec(c.query, leaf, ctx, qn, boost))
-        elif c.occur == MUST_NOT:
-            nots.append(_exec(c.query, leaf, ctx, qn, boost)[0]
-                        if isinstance(c.query, BooleanQuery)
-                        else leaf.postings(c.query.term)[0])
+        if c.occur == MUST_NOT:
+            d = (_exec(c.query, leaf, ctx, qn, boost)[0]
+                 if isinstance(c.query, BooleanQuery)
+                 else leaf.postings(c.query.term)[0])
+            results.append((MUST_NOT, (d, None)))
+        else:
+            results.append((c.occur, _exec(c.query, leaf, ctx, qn, boost)))
+    musts = [r for o, r in results if o == MUST]
+    shoulds = [r for o, r in results if o == SHOULD]
+    nots = [r[0] for o, r in results if o == MUST_NOT]
     max_overlap = len(musts) + len(shoulds)
     msm = q.min_should_match
 
@@ -87,17 +89,18 @@ def _exec_bool(q: BooleanQuery, leaf, ctx, qn, boost):
             return empty
         scores = np.zeros(len(base), dtype=np.float32)
         overlap = np.full(len(base), len(musts), dtype=np.int32)
-        for d, s in musts:
-            idx = np.searchsorted(d, base)
-            scores = np.add(scores, s[idx], dtype=np.float32)
-        for d, s in shoulds:
-            pos = np.searchsorted(d, base)
-            ok = pos < len(d)
-            ok[ok] = d[pos[ok]] == base[ok]
-            add = np.zeros(len(base), dtype=np.float32)
-            add[ok] = s[np.searchsorted(d, base[ok])]
-            scores = np.add(scores, add, dtype=np.float32)
-            overlap += ok
+        for occur, (d, s) in results:  # strict clause order (float32 contract)
+            if occur == MUST:
+                idx = np.searchsorted(d, base)
+                scores = np.add(scores, s[idx], dtype=np.float32)
+            elif occur == SHOULD:
+                pos = np.searchsorted(d, base)
+                ok = pos < len(d)
+                ok[ok] = d[pos[ok]] == base[ok]
+                add = np.zeros(len(base), dtype=np.float32)
+                add[ok] = s[np.searchsorted(d, base[ok])]
+                scores = np.add(scores, add, dtype=np.float32)
+                overlap += ok
         if shoulds and msm > 0:
             keep = (overlap - len(musts)) >= msm
             base, scores, overlap = base[keep], scores[keep], overlap[keep]

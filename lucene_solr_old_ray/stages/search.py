@@ -522,14 +522,16 @@ def _execute_bool(
     b = boost * q.boost
     if any(c.occur == MUST for c in q.clauses) and _bool_all_terms(q):
         return _execute_bool_terms_leapfrog(q, leaf, ctx, b)
-    musts, shoulds, nots = [], [], []
-    for c in q.clauses:
-        if c.occur == MUST:
-            musts.append(execute(c.query, leaf, ctx, b))
-        elif c.occur == SHOULD:
-            shoulds.append(execute(c.query, leaf, ctx, b))
-        elif c.occur == MUST_NOT:
-            nots.append(execute(c.query, leaf, ctx, 1.0)[0])
+    # evaluate every clause once, in clause order; accumulation below also
+    # runs in STRICT clause order (the documented float32 contract — MUST and
+    # SHOULD contributions interleave exactly as written in the query)
+    results = [
+        (c.occur, execute(c.query, leaf, ctx, b if c.occur != MUST_NOT else 1.0))
+        for c in q.clauses
+    ]
+    musts = [r for o, r in results if o == MUST]
+    shoulds = [r for o, r in results if o == SHOULD]
+    nots = [r[0] for o, r in results if o == MUST_NOT]
     msm = q.min_should_match
 
     if musts:
@@ -539,12 +541,12 @@ def _execute_bool(
         if len(base) == 0:
             return base, np.empty(0, dtype=np.float32)
         scores = np.zeros(len(base), dtype=np.float32)
-        for d, s in musts:  # clause order
-            idx = np.searchsorted(d, base)
-            scores = np.add(scores, s[idx], dtype=np.float32)
-        if shoulds:
-            match_count = np.zeros(len(base), dtype=np.int32)
-            for d, s in shoulds:  # clause order
+        match_count = np.zeros(len(base), dtype=np.int32)
+        for occur, (d, s) in results:
+            if occur == MUST:
+                idx = np.searchsorted(d, base)
+                scores = np.add(scores, s[idx], dtype=np.float32)
+            elif occur == SHOULD:
                 pos = np.searchsorted(d, base)
                 pos_ok = pos < len(d)
                 hit = np.zeros(len(base), dtype=bool)
@@ -553,16 +555,16 @@ def _execute_bool(
                 add[hit] = s[np.searchsorted(d, base[hit])]
                 scores = np.add(scores, add, dtype=np.float32)
                 match_count += hit
-            if msm > 0:
-                keep = match_count >= msm
-                base, scores = base[keep], scores[keep]
+        if shoulds and msm > 0:
+            keep = match_count >= msm
+            base, scores = base[keep], scores[keep]
         docids = base
     elif shoulds:
         need = max(msm, 1)
-        union = np.unique(np.concatenate([d for d, _ in shoulds])) if shoulds else None
+        union = np.unique(np.concatenate([d for d, _ in shoulds]))
         scores = np.zeros(len(union), dtype=np.float32)
         count = np.zeros(len(union), dtype=np.int32)
-        for d, s in shoulds:  # clause order
+        for d, s in shoulds:  # clause order (only SHOULDs score here)
             idx = np.searchsorted(union, d)
             scores[idx] = np.add(scores[idx], s, dtype=np.float32)
             count[idx] += 1

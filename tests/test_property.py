@@ -1,0 +1,157 @@
+"""Property-based randomized testing (the reference's randomized layer:
+RandomIndexWriter / BasePostingsFormatTestCase / SearchEquivalenceTestBase,
+SURVEY §5) — hypothesis generates corpora and query trees; the engine must be
+rank- and score-identical to the scalar oracle, and algebraic identities must
+hold exactly."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_old_ray.functions.codec import (
+    decode_blob,
+    encode_chunk,
+    encode_chunks_batch,
+)
+from lucene_solr_old_ray.oracle import OracleIndex
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import (
+    BooleanClause,
+    BooleanQuery,
+    ConstantScoreQuery,
+    FilteredQuery,
+    MatchAllDocsQuery,
+    PrefixQuery,
+    TermQuery,
+    WildcardQuery,
+)
+
+VOCAB = [f"w{i}" for i in range(12)] + ["the", "a", "of"]  # incl. stop words
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip under arbitrary posting shapes
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=50_000), min_size=1, max_size=400),
+    st.data(),
+)
+def test_codec_round_trip_property(gaps, data):
+    docids = (np.cumsum(np.asarray(gaps, dtype=np.int64)) - 1).astype(np.uint32)
+    tfs = np.asarray(
+        data.draw(st.lists(st.integers(1, 1000), min_size=len(gaps),
+                           max_size=len(gaps))),
+        dtype=np.uint32,
+    )
+    norms = np.random.default_rng(0).integers(
+        0, 256, size=int(docids[-1]) + 1).astype(np.uint8)
+    blob = encode_chunk(docids, tfs, norms)
+    d, t = decode_blob(blob)
+    assert np.array_equal(d, docids.astype(np.int64))
+    assert np.array_equal(t, tfs)
+    if len(docids) <= 128:  # batch encoder must agree byte-for-byte
+        (b2,) = encode_chunks_batch(docids, tfs, np.array([len(docids)]), norms)
+        assert b2 == blob
+
+
+# ---------------------------------------------------------------------------
+# random corpora + random query trees vs the oracle
+# ---------------------------------------------------------------------------
+
+def _query_strategy(depth=2):
+    term = st.sampled_from(VOCAB).map(TermQuery)
+    if depth == 0:
+        return term
+    sub = _query_strategy(depth - 1)
+    clause = st.tuples(
+        st.sampled_from(["MUST", "SHOULD", "SHOULD", "MUST_NOT"]), sub
+    ).map(lambda t: BooleanClause(*t))
+    boolean = st.builds(
+        lambda cs, msm: BooleanQuery(tuple(cs), msm),
+        st.lists(clause, min_size=1, max_size=4),
+        st.integers(0, 2),
+    )
+    return st.one_of(term, boolean)
+
+
+@pytest.fixture(scope="module")
+def random_indexes(ray_session, tmp_path_factory):
+    """A few seeded random corpora, each built multi-partition."""
+    rng = np.random.default_rng(1234)
+    out = []
+    for ci in range(3):
+        n = int(rng.integers(30, 120))
+        texts = [
+            " ".join(rng.choice(VOCAB, size=rng.integers(0, 40)))
+            for _ in range(n)
+        ]
+        p = str(tmp_path_factory.mktemp("pc") / f"c{ci}.parquet")
+        pq.write_table(
+            pa.table({"repo": ["r"] * n, "path": [f"p{i}" for i in range(n)],
+                      "commit": ["c"] * n, "lang": ["txt"] * n,
+                      "content": texts}), p, row_group_size=16)
+        idx = str(tmp_path_factory.mktemp("pi") / f"i{ci}")
+        build_index(CorpusSpecLocal(p), idx, target_docs_per_partition=16)
+        out.append((idx, OracleIndex(texts)))
+    return out
+
+
+def CorpusSpecLocal(p):
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    return CorpusSpec.source_code(p)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=_query_strategy(2), data=st.data())
+def test_random_queries_match_oracle(random_indexes, q, data):
+    idx, oracle = random_indexes[data.draw(st.integers(0, 2))]
+    k = data.draw(st.sampled_from([1, 3, 10, 50]))
+    got = search(idx, {0: q}, k=k).to_pandas()
+    want = oracle.search(q, k)
+    assert got["docid"].tolist() == [w[0] for w in want], q
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(np.float32),
+        np.array([w[1] for w in want], dtype=np.float32), err_msg=repr(q))
+
+
+# ---------------------------------------------------------------------------
+# query algebra equivalences (SearchEquivalenceTestBase analogue)
+# ---------------------------------------------------------------------------
+
+def _res(idx, q, k=20):
+    t = search(idx, {0: q}, k=k).to_pandas()
+    return list(zip(t["docid"], t["score"]))
+
+
+def test_equivalences(random_indexes):
+    idx, _ = random_indexes[0]
+    t = TermQuery("w1")
+    # single-clause identities
+    assert _res(idx, BooleanQuery((BooleanClause("MUST", t),))) == _res(idx, t)
+    assert _res(idx, BooleanQuery((BooleanClause("SHOULD", t),))) == _res(idx, t)
+    # filter by match-all is identity
+    assert _res(idx, FilteredQuery(t, MatchAllDocsQuery())) == _res(idx, t)
+    # constant score: same doc set, constant scores
+    a = _res(idx, ConstantScoreQuery(t, boost=2.0), k=1000)
+    b = _res(idx, t, k=1000)
+    assert {d for d, _ in a} == {d for d, _ in b}
+    assert all(s == 2.0 for _, s in a)
+    # prefix == wildcard with trailing star (hit sets)
+    pa_ = {d for d, _ in _res(idx, PrefixQuery("w"), k=1000)}
+    wa = {d for d, _ in _res(idx, WildcardQuery("w*"), k=1000)}
+    assert pa_ == wa
+    # a OR a scores exactly double (float32 x+x is exact)
+    one = _res(idx, t)
+    two = _res(idx, BooleanQuery((BooleanClause("SHOULD", t),
+                                  BooleanClause("SHOULD", t))))
+    assert [d for d, _ in two] == [d for d, _ in one]
+    for (_, s1), (_, s2) in zip(one, two):
+        assert np.float32(s2) == np.float32(np.float32(s1) + np.float32(s1))
