@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="print the latest manifest")
     st.add_argument("--index", required=True)
 
+    dl = sub.add_parser("delete", help="delete docs matching a query (liveDocs)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--query", required=True)
+
+    ex = sub.add_parser("expunge", help="physically drop deleted docs")
+    ex.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -99,6 +106,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rank": row["rank"], "score": round(row["score"], 4),
                               "docid": row["docid"], **ident,
                               "total_hits": row["total_hits"]}))
+    elif args.cmd == "delete":
+        from .pipelines.deletes import delete_by_query
+        from .queries import parse
+
+        man = delete_by_query(args.index, parse(args.query))
+        print(json.dumps({"generation": man["generation"],
+                          "metrics": man["metrics"]}))
+    elif args.cmd == "expunge":
+        from .pipelines.deletes import expunge_deletes
+
+        man = expunge_deletes(args.index)
+        print(json.dumps({"generation": man["generation"],
+                          "stats": man["stats"]}))
     elif args.cmd == "stats":
         from .state import manifest as mf
 

@@ -207,9 +207,9 @@ def encode_chunks_batch(
         # full-width padding onto thousands of tiny ones
         size_bucket = np.uint64(1) << np.uint64(
             np.ceil(np.log2(np.maximum(ns, 1))).astype(np.int64))
-        gkey = widths.astype(np.int64) * 1024 + size_bucket.astype(np.int64)
+        gkey = (widths.astype(np.int64) << 40) + size_bucket.astype(np.int64)
         for key in np.unique(gkey):
-            w = int(key // 1024)
+            w = int(key >> 40)
             rows = np.flatnonzero(gkey == key)
             if w == 0:
                 continue
@@ -450,10 +450,11 @@ def encode_positions_batch(
         .astype(np.int64))
     size_bucket = np.uint64(1) << np.uint64(
         np.ceil(np.log2(np.maximum(ns, 1))).astype(np.int64))
-    gkey = widths * 100000 + size_bucket.astype(np.int64)
+    # width in the high bits, far above any size bucket (ns < 2^40)
+    gkey = (widths << 40) + size_bucket.astype(np.int64)
     packed_out: list[bytes] = [b""] * k
     for key in np.unique(gkey):
-        w = int(key // 100000)
+        w = int(key >> 40)
         rows = np.flatnonzero(gkey == key)
         if w == 0:
             continue

@@ -27,7 +27,7 @@ def _leaf_items(manifest: dict) -> list[dict]:
     leaves = _leaves(manifest)
     return [
         {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
-         "num_docs": l["num_docs"]}
+         "num_docs": l["num_docs"], "deletes": l.get("deletes")}
         for i, l in enumerate(leaves)
     ]
 
@@ -45,9 +45,11 @@ def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
-                                int(row["doc_base"]), int(row["leaf_ord"]),
-                                int(row["num_docs"]))
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -87,9 +89,11 @@ def group_topk(
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
-                                int(row["doc_base"]), int(row["leaf_ord"]),
-                                int(row["num_docs"]))
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
             docids, scores = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -142,9 +146,11 @@ def match_doc_ids(index_dir: str, query: Query) -> pa.Table:
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
-                                int(row["doc_base"]), int(row["leaf_ord"]),
-                                int(row["num_docs"]))
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
             docids, _ = execute(q, leaf, ctx_l)
             parts.append(pd.DataFrame({"docid": docids + leaf.doc_base}))
         return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
@@ -176,9 +182,11 @@ def sort_by_field(
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
-                                int(row["doc_base"]), int(row["leaf_ord"]),
-                                int(row["num_docs"]))
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -265,9 +273,11 @@ def count_matches(index_dir: str, query: Query) -> int:
         ctx_l = ray.get(ctx_ref)
         rows = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
-                                int(row["doc_base"]), int(row["leaf_ord"]),
-                                int(row["num_docs"]))
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
             docids, _ = execute(q, leaf, ctx_l)
             rows.append({"n": len(docids)})
         return pd.DataFrame(rows)

@@ -64,11 +64,13 @@ class SearcherStage:
         d = row["dir"]
         ls = self._open.get(d)
         if ls is None:
+            dp = row.get("deletes")
             ls = LeafSearcher(
                 os.path.join(self.index_dir, d),
                 int(row["doc_base"]),
                 int(row["leaf_ord"]),
                 int(row["num_docs"]),
+                deletes_path=(os.path.join(self.index_dir, dp) if dp else None),
             )
             if len(self._open) > 64:  # bounded leaf cache per actor
                 self._open.pop(next(iter(self._open)))
@@ -190,7 +192,8 @@ def search(
     bounds = np.linspace(0, len(qitems), n_chunks + 1).astype(int)
     items = [
         {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
-         "num_docs": l["num_docs"], "q_lo": int(bounds[c]), "q_hi": int(bounds[c + 1])}
+         "num_docs": l["num_docs"], "deletes": l.get("deletes"),
+         "q_lo": int(bounds[c]), "q_hi": int(bounds[c + 1])}
         for i, l in enumerate(leaves)
         for c in range(n_chunks)
     ]

@@ -34,8 +34,11 @@ class SearcherActor:
 
     def __init__(self, index_dir: str, leaves: list[dict]):
         self.leaves = [
-            LeafSearcher(os.path.join(index_dir, l["dir"]), int(l["doc_base"]),
-                         int(l["leaf_ord"]), int(l["num_docs"]))
+            LeafSearcher(
+                os.path.join(index_dir, l["dir"]), int(l["doc_base"]),
+                int(l["leaf_ord"]), int(l["num_docs"]),
+                deletes_path=(os.path.join(index_dir, l["deletes"])
+                              if l.get("deletes") else None))
             for l in leaves
         ]
 
@@ -79,7 +82,7 @@ class SearchService:
         leaves = sorted(manifest["segments"], key=lambda s: s["doc_base"])
         items = [
             {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
-             "num_docs": l["num_docs"]}
+             "num_docs": l["num_docs"], "deletes": l.get("deletes")}
             for i, l in enumerate(leaves)
         ]
         n = min(num_actors, len(items))

@@ -54,8 +54,12 @@ class LeafSearcher:
     (``store/MMapDirectory.java:79`` analogue). Loaded once per actor per leaf
     and cached across query batches."""
 
-    def __init__(self, leaf_dir: str, doc_base: int, leaf_ord: int, num_docs: int):
+    def __init__(self, leaf_dir: str, doc_base: int, leaf_ord: int, num_docs: int,
+                 deletes_path: str | None = None):
         self.dir = leaf_dir
+        # liveDocs bitmap (None = no deletes); stats stay pre-delete like the
+        # reference until expunge (codecs/LiveDocsFormat.java semantics)
+        self.live = np.load(deletes_path) if deletes_path else None
         self.doc_base = doc_base
         self.ord = leaf_ord
         self.num_docs = num_docs
@@ -261,7 +265,24 @@ def execute(
     if ctx.similarity == "classic":
         from .classic import execute_classic
 
-        return execute_classic(q, leaf, ctx)
+        docids, scores = execute_classic(q, leaf, ctx)
+        return _apply_live(leaf, docids, scores)
+    if leaf.live is not None:
+        docids, scores = _execute_raw(q, leaf, ctx, boost)
+        return _apply_live(leaf, docids, scores)
+    return _execute_raw(q, leaf, ctx, boost)
+
+
+def _apply_live(leaf, docids, scores):
+    if leaf.live is None or len(docids) == 0:
+        return docids, scores
+    m = leaf.live[docids]
+    return docids[m], scores[m]
+
+
+def _execute_raw(
+    q: Query, leaf: LeafSearcher, ctx: SearchContext, boost: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(q, TermQuery):
         return _scores_for_term(leaf, ctx, q.term, boost * q.boost)
     if isinstance(q, MatchAllDocsQuery):

@@ -106,6 +106,8 @@ def execute_wand_or_fallback(
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """-> (top-k docids, scores, total_hits[lower bound under pruning])."""
     terms = _wand_terms(q)
+    if leaf.live is not None:
+        terms = None  # deleted docs must be masked; exhaustive path handles it
     if terms is None:
         docids, scores = execute(q, leaf, ctx)
         nhits = len(docids)

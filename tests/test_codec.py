@@ -111,3 +111,31 @@ def test_advance_semantics_block_skip():
         j = np.searchsorted(all_d, target)
         want = all_d[j] if j < len(all_d) else None
         assert got == want
+
+
+def test_positions_batch_hot_term_regression():
+    """ttf > 65536 once overflowed the (width, size-bucket) group key into the
+    width field, corrupting the blob header; must stay byte-identical."""
+    from lucene_solr_old_ray.functions.codec import (
+        encode_positions_batch,
+        encode_positions_chunk,
+        decode_positions_blob,
+        encode_chunks_batch,
+        encode_chunk,
+    )
+
+    rng = np.random.default_rng(1)
+    big = np.sort(rng.integers(0, 500, size=70_000)).astype(np.uint32)
+    small = np.array([3, 7], dtype=np.uint32)
+    flat = np.concatenate([big, small])
+    ns = np.array([len(big), len(small)])
+    batch = encode_positions_batch(flat, ns)
+    assert batch[0] == encode_positions_chunk(big)
+    assert batch[1] == encode_positions_chunk(small)
+    assert np.array_equal(decode_positions_blob(batch[0]), big)
+    # postings batch key hardened the same way (single-block ns <= 128)
+    d = np.arange(128, dtype=np.uint32) * 7
+    t = np.full(128, 70_000, dtype=np.uint32)  # huge tf values
+    norms = np.zeros(int(d[-1]) + 1, dtype=np.uint8)
+    (b,) = encode_chunks_batch(d, t, np.array([128]), norms)
+    assert b == encode_chunk(d, t, norms)

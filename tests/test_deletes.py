@@ -1,0 +1,117 @@
+"""Deletes/updates: liveDocs masking, document append, physical expunge."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.oracle import OracleIndex
+from lucene_solr_old_ray.pipelines.analytics import count_matches, match_doc_ids
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.deletes import (
+    add_documents,
+    delete_by_query,
+    expunge_deletes,
+)
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.pipelines.validate import check_index
+from lucene_solr_old_ray.queries import TermQuery, bool_query
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+
+@pytest.fixture()
+def idx(ray_session, tmp_path):
+    p = str(tmp_path / "c.parquet")
+    generate_corpus(p, 400, seed=17, rows_per_group=100)
+    d = str(tmp_path / "idx")
+    build_index(CorpusSpec.source_code(p), d, target_docs_per_partition=100)
+    texts = pq.read_table(p)["content"].to_pylist()
+    return d, texts, tmp_path
+
+
+def test_delete_by_query_masks_everywhere(idx):
+    d, texts, _ = idx
+    oracle = OracleIndex(texts)
+    deleted = {h[0] for h in oracle.search(TermQuery("class"), 10**6)}
+    man = delete_by_query(d, TermQuery("class"))
+    assert sum(s.get("num_deleted", 0) for s in man["segments"]) == len(deleted)
+    # stats unchanged until expunge (reference semantics)
+    assert man["stats"]["max_doc"] == len(texts)
+
+    q = TermQuery("return")
+    res = search(d, {0: q}, k=50).to_pandas()
+    want = [(h, s) for h, s, _ in oracle.search(q, 10**6) if h not in deleted][:50]
+    assert res["docid"].tolist() == [w[0] for w in want]
+    # survivor scores unchanged (df/avgdl still count deleted docs)
+    np.testing.assert_array_equal(
+        res["score"].to_numpy(np.float32),
+        np.array([w[1] for w in want], dtype=np.float32))
+    assert res["total_hits"].iloc[0] == len(
+        [1 for h, _, _ in oracle.search(q, 10**6) if h not in deleted])
+    # analytics paths respect liveDocs too
+    hits = set(match_doc_ids(d, TermQuery("class")).to_pandas()["docid"])
+    assert hits == set()
+    assert count_matches(d, q) == res["total_hits"].iloc[0]
+    # WAND path returns the same masked top-k
+    rw = search(d, {0: q}, k=50, algo="wand").to_pandas()
+    assert rw["docid"].tolist() == res["docid"].tolist()
+
+
+def test_add_documents_appends(idx):
+    d, texts, tmp_path = idx
+    p2 = str(tmp_path / "more.parquet")
+    generate_corpus(p2, 150, seed=99, rows_per_group=75)
+    man = add_documents(d, CorpusSpec.source_code(p2),
+                        target_docs_per_partition=75)
+    assert man["stats"]["max_doc"] == 550
+    texts2 = texts + pq.read_table(p2)["content"].to_pylist()
+    oracle = OracleIndex(texts2)
+    q = TermQuery("return")
+    res = search(d, {0: q}, k=30).to_pandas()
+    want = oracle.search(q, 30)
+    assert res["docid"].tolist() == [w[0] for w in want]
+    np.testing.assert_array_equal(
+        res["score"].to_numpy(np.float32),
+        np.array([w[1] for w in want], dtype=np.float32))
+
+
+def test_expunge_equals_fresh_build(idx):
+    d, texts, tmp_path = idx
+    oracle = OracleIndex(texts)
+    deleted = {h[0] for h in oracle.search(TermQuery("class"), 10**6)}
+    delete_by_query(d, TermQuery("class"))
+    man = expunge_deletes(d)
+    survivors = [t for i, t in enumerate(texts) if i not in deleted]
+    assert man["stats"]["max_doc"] == len(survivors)
+    check_index(d)
+
+    fresh_oracle = OracleIndex(survivors)
+    for q in (TermQuery("return"),
+              bool_query(musts=["return", "static"]),
+              bool_query(shoulds=["def", "import", "null"], min_should_match=2)):
+        res = search(d, {0: q}, k=20).to_pandas()
+        want = fresh_oracle.search(q, 20)
+        assert res["docid"].tolist() == [w[0] for w in want], q
+        np.testing.assert_array_equal(
+            res["score"].to_numpy(np.float32),
+            np.array([w[1] for w in want], dtype=np.float32), err_msg=repr(q))
+
+
+def test_update_documents_flow(idx):
+    """updateDocument = delete-by-key + add (IndexWriter.java:1494)."""
+    d, texts, tmp_path = idx
+    import pyarrow as pa
+
+    # "update" all docs of repo org1/proj1: delete by its unique-ish term set
+    delete_by_query(d, TermQuery("zzz_nothing"))  # no-op delete is safe
+    man0 = delete_by_query(d, bool_query(musts=["return", "class", "static"]))
+    n_del = sum(s.get("num_deleted", 0) for s in man0["segments"])
+    p2 = str(tmp_path / "updated.parquet")
+    n_new = max(1, n_del)
+    pq.write_table(pa.table({
+        "repo": ["upd"] * n_new, "path": [f"u{i}" for i in range(n_new)],
+        "commit": ["c" * 40] * n_new, "lang": ["py"] * n_new,
+        "content": ["updated return class static doc"] * n_new}), p2)
+    man = add_documents(d, CorpusSpec.source_code(p2))
+    res = search(d, {0: TermQuery("updated")}, k=5).to_pandas()
+    assert res["total_hits"].iloc[0] == n_new
+    assert (res["docid"] >= 400).all()  # appended docBase
