@@ -56,11 +56,20 @@ def check_leaf(index_dir: str, leaf: dict) -> dict:
 
     sum_tf = 0
     for i in range(len(names)):
-        d, t = decode_blob(blob_all[offs[i] : offs[i] + lens[i]])
+        try:
+            d, t = decode_blob(blob_all[offs[i] : offs[i] + lens[i]])
+        except Exception as ex:
+            errors.append(f"term {names[i]}: postings decode failed ({type(ex).__name__})")
+            break
         if has_pos:
-            flat = decode_positions_blob(
-                pos_all[pos_offs[i] : pos_offs[i] + pos_lens[i]]
-            )
+            try:
+                flat = decode_positions_blob(
+                    pos_all[pos_offs[i] : pos_offs[i] + pos_lens[i]]
+                )
+            except Exception as ex:
+                errors.append(
+                    f"term {names[i]}: positions decode failed ({type(ex).__name__})")
+                break
             if len(flat) != ttfs[i]:
                 errors.append(f"term {names[i]}: positions {len(flat)} != ttf")
                 break
