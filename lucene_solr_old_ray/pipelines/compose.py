@@ -26,12 +26,17 @@ def union_indexes(dst_dir: str, src_dirs: list[str]) -> dict:
     for src in src_dirs:
         man = mf.read_index_manifest(src)
         for leaf in sorted(man["segments"], key=lambda s: s["doc_base"]):
-            segments.append({
+            entry = {
                 "dir": os.path.abspath(os.path.join(src, leaf["dir"])),
                 "part_id": part,
                 "doc_base": doc_base + leaf["doc_base"],
                 "num_docs": leaf["num_docs"],
-            })
+            }
+            if leaf.get("deletes"):  # tombstones travel with the leaf
+                entry["deletes"] = os.path.abspath(
+                    os.path.join(src, leaf["deletes"]))
+                entry["num_deleted"] = leaf.get("num_deleted", 0)
+            segments.append(entry)
             part += 1
         max_doc += man["stats"]["max_doc"]
         sum_tf += man["stats"]["sum_total_term_freq"]

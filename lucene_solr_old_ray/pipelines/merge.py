@@ -89,6 +89,33 @@ def merge_index(
     else:
         raise ValueError(f"unknown merge strategy {strategy!r}")
 
+    # carry liveDocs through the merge: a merged shard's bitmap is the
+    # docBase-ordered concatenation of its inputs' bitmaps (deletions must
+    # never resurrect; physical reclaim is expunge_deletes' job)
+    import numpy as np
+
+    by_dir = {s["dir"]: s for s in manifest["segments"]}
+    shard_deletes: dict[int, str] = {}
+    for s in shards:
+        segs = sorted(s["segments"], key=lambda x: x["seg_ord"])
+        if any(by_dir[g["dir"]].get("deletes") for g in segs):
+            parts = []
+            for g in segs:
+                rel = by_dir[g["dir"]].get("deletes")
+                parts.append(
+                    np.load(os.path.join(index_dir, rel)) if rel
+                    else np.ones(g["num_docs"], dtype=bool)
+                )
+            live = np.concatenate(parts)
+            rel_out = os.path.join("deletes", f"g{out_gen}",
+                                   f"shard-{s['shard_id']:05d}.npy")
+            os.makedirs(os.path.join(index_dir, "deletes", f"g{out_gen}"),
+                        exist_ok=True)
+            tmp = os.path.join(index_dir, rel_out + f".tmp-{os.getpid()}.npy")
+            np.save(tmp, live, allow_pickle=False)
+            os.replace(tmp, os.path.join(index_dir, rel_out))
+            shard_deletes[s["shard_id"]] = rel_out
+
     new_manifest = {
         "kind": "shards",
         "segments": [
@@ -99,6 +126,8 @@ def merge_index(
                 "part_id": s["shard_id"],
                 "doc_base": s["doc_base"],
                 "num_docs": s["num_docs"],
+                **({"deletes": shard_deletes[s["shard_id"]]}
+                   if s["shard_id"] in shard_deletes else {}),
             }
             for s in shards
         ],

@@ -115,3 +115,27 @@ def test_update_documents_flow(idx):
     res = search(d, {0: TermQuery("updated")}, k=5).to_pandas()
     assert res["total_hits"].iloc[0] == n_new
     assert (res["docid"] >= 400).all()  # appended docBase
+
+
+@pytest.mark.parametrize("strategy", ["local", "termwise"])
+def test_merge_carries_tombstones(idx, strategy):
+    """Deleting then merging must not resurrect deleted docs."""
+    d, texts, _ = idx
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+
+    oracle = OracleIndex(texts)
+    deleted = {h[0] for h in oracle.search(TermQuery("class"), 10**6)}
+    delete_by_query(d, TermQuery("class"))
+    man = merge_index(d, fan_in=2, strategy=strategy)
+    assert any(s.get("deletes") for s in man["segments"])
+    res = search(d, {0: TermQuery("class")}, k=5).to_pandas()
+    assert len(res) == 0
+    q = TermQuery("return")
+    res = search(d, {0: q}, k=30).to_pandas()
+    want = [(h, s) for h, s, _ in oracle.search(q, 10**6)
+            if h not in deleted][:30]
+    assert res["docid"].tolist() == [w[0] for w in want]
+    # and expunge still works on the merged index
+    man2 = expunge_deletes(d)
+    assert man2["stats"]["max_doc"] == len(texts) - len(deleted)
+    check_index(d)
