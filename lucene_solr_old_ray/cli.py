@@ -59,6 +59,15 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="print the latest manifest")
     st.add_argument("--index", required=True)
 
+    ad = sub.add_parser("add", help="append documents (update = delete + add)")
+    ad.add_argument("--corpus", required=True)
+    ad.add_argument("--index", required=True)
+    ad.add_argument("--partition-docs", type=int, default=50_000)
+
+    un = sub.add_parser("union", help="compose indexes (addIndexes analogue)")
+    un.add_argument("--index", required=True, help="destination index dir")
+    un.add_argument("--sources", nargs="+", required=True)
+
     dl = sub.add_parser("delete", help="delete docs matching a query (liveDocs)")
     dl.add_argument("--index", required=True)
     dl.add_argument("--query", required=True)
@@ -106,6 +115,21 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rank": row["rank"], "score": round(row["score"], 4),
                               "docid": row["docid"], **ident,
                               "total_hits": row["total_hits"]}))
+    elif args.cmd == "add":
+        from .pipelines.deletes import add_documents
+        from .sources.corpus import CorpusSpec
+
+        man = add_documents(args.index, CorpusSpec.source_code(args.corpus),
+                            target_docs_per_partition=args.partition_docs)
+        print(json.dumps({"generation": man["generation"],
+                          "stats": man["stats"], "metrics": man["metrics"]}))
+    elif args.cmd == "union":
+        from .pipelines.compose import union_indexes
+
+        man = union_indexes(args.index, args.sources)
+        print(json.dumps({"generation": man["generation"],
+                          "stats": man["stats"],
+                          "leaves": len(man["segments"])}))
     elif args.cmd == "delete":
         from .pipelines.deletes import delete_by_query
         from .queries import parse

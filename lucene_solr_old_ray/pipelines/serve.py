@@ -73,7 +73,12 @@ class SearcherActor:
 
 
 class SearchService:
-    """Create once per index; ``query()`` is then a low-latency call."""
+    """Create once per index; ``query()`` is then a low-latency call.
+
+    The service is a POINT-IN-TIME view (DirectoryReader.open semantics):
+    it binds the manifest generation current at construction, including its
+    liveDocs. Re-create the service to observe later generations (adds,
+    deletes, merges) — the refresh/reopen analogue."""
 
     def __init__(self, index_dir: str, num_actors: int = 8, algo: str = "wand"):
         manifest = mf.read_index_manifest(index_dir)
