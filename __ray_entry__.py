@@ -172,6 +172,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _index_for(sf),
         DisjunctionMaxQuery((TermQuery("spark"), TermQuery("window")), 0.3))
 
+    from lucene_solr_old_ray.queries import BooleanClause, BooleanQuery
+
+    q["bm25_boosted_top10"] = lambda sf: _bm25_result(
+        _index_for(sf),
+        BooleanQuery((
+            BooleanClause("SHOULD", TermQuery("spark", boost=2.5)),
+            BooleanClause("SHOULD", TermQuery("window", boost=0.5)),
+        )))
+
     # --- ClassicSimilarity (TF-IDF) — the Similarity SPI's second strategy --
     def _classic_result(sf_dir: str, qq) -> pa.Table:
         idx = _index_for(sf_dir)
@@ -307,6 +316,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["bm25_top10_not"] = g.bm25_sql(musts=["spark"], must_nots=["slow"])
     sqls["bm25_searchafter_page2"] = g.bm25_sql(musts=["table"], k=10, offset=10)
     sqls["bm25_dismax_top10"] = g.dismax_sql(["spark", "window"], 0.3)
+    sqls["bm25_boosted_top10"] = g.bm25_sql(
+        shoulds=["spark", "window"], boosts={"spark": 2.5, "window": 0.5})
     sqls["classic_top10_term"] = g.classic_term_sql("spark")
     sqls["classic_top10_or"] = g.classic_bool_or_sql(["vector", "stream", "batch"])
     sqls["boolean_hits_and"] = g.hits_sql(musts=["spark", "window"])

@@ -88,12 +88,13 @@ df AS (
 )"""
 
 
-def term_score_cte(name: str, term: str) -> str:
-    """Per-doc float32 BM25 scores of one term: (doc_id, s)."""
+def term_score_cte(name: str, term: str, boost: float = 1.0) -> str:
+    """Per-doc float32 BM25 scores of one term: (doc_id, s). Boost follows
+    the engine's weight_value order: f32(f32(idf * boost) * (k1+1))."""
     idf = f32(
         f"ln(1 + ((SELECT n FROM coll) - ts.df + 0.5) / (ts.df + 0.5))"
     )
-    w = f32(f"{idf} * {K1P1}")
+    w = f32(f"{f32(f'{idf} * CAST({boost} AS REAL)')} * {K1P1}")
     num = f32(f"{w} * CAST(t.freq AS REAL)")
     den = f32(f"CAST(t.freq AS REAL) + dc.cache")
     return f"""
@@ -312,6 +313,7 @@ def bm25_sql(
     k: int = 10,
     offset: int = 0,
     filter_terms: list[str] = (),
+    boosts: dict[str, float] | None = None,
 ) -> str:
     """Full oracle query -> (rank, doc_id, score) float32-exact top-k."""
     ctes = [base_ctes()]
@@ -319,16 +321,17 @@ def bm25_sql(
     joins: list[str] = []
     conds: list[str] = []
     i = 0
+    boosts = boosts or {}
     base = "doccache d"  # every doc
     for t in musts:
         i += 1
-        ctes.append(term_score_cte(f"m{i}", t))
+        ctes.append(term_score_cte(f"m{i}", t, boosts.get(t, 1.0)))
         joins.append(f"JOIN m{i} ON m{i}.doc_id = d.doc_id")
         score_terms.append(f"m{i}.s")
     should_names = []
     for t in shoulds:
         i += 1
-        ctes.append(term_score_cte(f"s{i}", t))
+        ctes.append(term_score_cte(f"s{i}", t, boosts.get(t, 1.0)))
         joins.append(f"LEFT JOIN s{i} ON s{i}.doc_id = d.doc_id")
         score_terms.append(f"COALESCE(s{i}.s, CAST(0 AS REAL))")
         should_names.append(f"s{i}")
