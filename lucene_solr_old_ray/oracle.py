@@ -17,7 +17,6 @@ import struct
 
 import numpy as np
 
-from .functions.analysis import analyze_text
 from .queries import (
     MUST,
     MUST_NOT,

@@ -18,7 +18,7 @@ import ray
 import ray.data
 
 from ..queries import Query, collect_terms
-from ..stages.search import LeafSearcher, execute, top_k
+from ..stages.search import LeafSearcher, execute
 from ..state import manifest as mf
 from .search import _leaves, gather_stats
 

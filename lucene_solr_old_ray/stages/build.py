@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.analysis import analyze_batch
-from ..functions.codec import encode_chunk, encode_positions_chunk
+from ..functions.codec import encode_chunk
 from ..functions.smallfloat import encode_norm
 from ..state import manifest as mf
 from ..sources.corpus import CorpusSpec

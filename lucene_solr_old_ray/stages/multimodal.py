@@ -16,7 +16,6 @@ slots into ``_decode_real`` without touching the pipeline.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import ray.data
 

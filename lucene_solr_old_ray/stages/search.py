@@ -25,7 +25,6 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow.parquet as pq
 
 from ..functions import bm25
