@@ -132,7 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ds.groupby("term").aggregate(
             Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf")
         )
-        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+        tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+        return tbl.sort_by("term")
 
     q["term_stats"] = term_stats
 
@@ -301,7 +302,7 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["term_stats"] = (
         f"WITH {g.base_ctes()} "
-        "SELECT term, df AS df, ttf AS ttf FROM df ORDER BY term"
+        "SELECT term, df AS df, CAST(ttf AS BIGINT) AS ttf FROM df ORDER BY term"
     )
     sqls["doc_norms"] = (
         f"WITH {g.base_ctes()} "
@@ -365,8 +366,8 @@ WITH ta AS (
 )
 SELECT d.doc_id AS doc_id,
        count(ta.t) AS n_tokens,
-       coalesce(sum(CASE WHEN ta.t IN ({stops}) THEN 1 ELSE 0 END), 0) AS n_stop,
-       coalesce(sum(CASE WHEN ta.t IN ({stops}) THEN 0 ELSE 1 END), 0) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN ta.t IN ({stops}) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stop,
+       CAST(coalesce(sum(CASE WHEN ta.t IN ({stops}) THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_kept,
        count(DISTINCT CASE WHEN ta.t NOT IN ({stops}) THEN ta.t END) AS n_unique,
        coalesce(max(length(ta.t)), 0) AS max_token_len
 FROM documents d LEFT JOIN ta ON d.doc_id = ta.doc_id

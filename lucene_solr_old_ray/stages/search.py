@@ -25,6 +25,7 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions import bm25
@@ -63,7 +64,27 @@ class LeafSearcher:
         self.ord = leaf_ord
         self.num_docs = num_docs
         t = pq.read_table(os.path.join(leaf_dir, "terms.parquet"))
-        self.terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        # Term dict as compact UTF-8 bytes + offsets (BlockTreeTermsReader's
+        # byte-oriented dict, NOT a Python object array): one bytes buffer +
+        # an int offset array; lookups bisect with C-level memcmp. UTF-8 byte
+        # order == code-point order, matching the codec's term sort.
+        tarr = t["term"].combine_chunks()
+        if isinstance(tarr, pa.ChunkedArray):
+            tarr = (tarr.chunk(0) if tarr.num_chunks else
+                    pa.array([], pa.string()))
+        bufs = tarr.buffers()
+        if bufs[1] is None or len(tarr) == 0:
+            self._toff = np.zeros(1, dtype=np.int64)
+            self._tbuf = b""
+        else:
+            odt = np.int64 if pa.types.is_large_string(tarr.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt)
+            offs = offs[tarr.offset : tarr.offset + len(tarr) + 1]
+            self._toff = offs.astype(np.int64)
+            self._tbuf = bufs[2].to_pybytes()[self._toff[0] : self._toff[-1]]
+            if self._toff[0]:
+                self._toff = self._toff - self._toff[0]
+        self.nterms = len(tarr)
         self.df = t["df"].to_numpy()
         self.ttf = t["ttf"].to_numpy()
         self.off = t["off"].to_numpy()
@@ -89,22 +110,57 @@ class LeafSearcher:
         self._docmap = None
         self._filter_cache: dict = {}  # CachingWrapperFilter analogue (per leaf)
 
+    def term_at(self, ti: int) -> bytes:
+        o = self._toff
+        return self._tbuf[o[ti] : o[ti + 1]]
+
+    def term_str(self, ti: int) -> str:
+        return self.term_at(ti).decode("utf-8")
+
+    def _bisect(self, key: bytes, right: bool) -> int:
+        """searchsorted over the byte-packed term dict (left/right side)."""
+        lo, hi = 0, self.nterms
+        off, buf = self._toff, self._tbuf
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            t = buf[off[mid] : off[mid + 1]]
+            if (t <= key) if right else (t < key):
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
     def lookup(self, term: str) -> int:
-        i = int(np.searchsorted(self.terms, term))
-        if i < len(self.terms) and self.terms[i] == term:
+        key = term.encode("utf-8")
+        i = self._bisect(key, right=False)
+        if i < self.nterms and self.term_at(i) == key:
             return i
         return -1
 
     def term_range(self, lo, hi, inc_lo: bool, inc_hi: bool) -> tuple[int, int]:
         """Index range [s, e) of terms within the bounds (term-dict scan of
         MultiTermQuery rewrites)."""
-        s = 0 if lo is None else int(
-            np.searchsorted(self.terms, lo, side="left" if inc_lo else "right")
-        )
-        e = len(self.terms) if hi is None else int(
-            np.searchsorted(self.terms, hi, side="right" if inc_hi else "left")
-        )
+        s = 0 if lo is None else self._bisect(
+            lo.encode("utf-8"), right=not inc_lo)
+        e = self.nterms if hi is None else self._bisect(
+            hi.encode("utf-8"), right=inc_hi)
         return s, max(s, e)
+
+    def prefix_range(self, prefix: str) -> tuple[int, int]:
+        """[s, e) of terms starting with ``prefix``. The exclusive upper bound
+        increments the last prefix BYTE with carry, so terms whose next code
+        point is supplementary-plane (> U+FFFF) are included — unlike the
+        prefix+'\\uffff' bound (``search/PrefixTermsEnum.java`` byte-prefix
+        semantics)."""
+        key = prefix.encode("utf-8")
+        s = self._bisect(key, right=False)
+        up = bytearray(key)
+        while up and up[-1] == 0xFF:
+            up.pop()
+        if not up:
+            return s, self.nterms
+        up[-1] += 1
+        return s, max(s, self._bisect(bytes(up), right=False))
 
     def blob(self, ti: int) -> np.ndarray:
         o = int(self.off[ti])
@@ -222,13 +278,12 @@ def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
             first = i
             break
     prefix = pattern[:first]
-    s, e = (leaf.term_range(prefix, prefix + "￿", True, True)
-            if prefix else (0, len(leaf.terms)))
+    s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
     rx = _re.compile(
         "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
                 for c in pattern) + r"\Z"
     )
-    return [ti for ti in range(s, e) if rx.match(leaf.terms[ti])]
+    return [ti for ti in range(s, e) if rx.match(leaf.term_str(ti))]
 
 
 def _edit_distance_le(a: str, b: str, k: int) -> bool:
@@ -251,10 +306,18 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
 def _expand_fuzzy(leaf: LeafSearcher, term: str, max_edits: int) -> list[int]:
     """Vocabulary scan with a length band (the Levenshtein-automaton
     TermsEnum is the at-scale path, ``search/FuzzyQuery.java:54``)."""
-    return [
-        ti for ti in range(len(leaf.terms))
-        if _edit_distance_le(leaf.terms[ti], term, max_edits)
-    ]
+    kb = len(term.encode("utf-8"))
+    out = []
+    for ti in range(leaf.nterms):
+        # cheap byte-length band before the DP (|len(a)-len(b)| <= k holds in
+        # code points; UTF-8 byte length differs by at most 4x, so band by
+        # bytes conservatively)
+        tb = leaf._toff[ti + 1] - leaf._toff[ti]
+        if tb + 4 * max_edits < kb or kb + 4 * max_edits < tb:
+            continue
+        if _edit_distance_le(leaf.term_str(ti), term, max_edits):
+            out.append(ti)
+    return out
 
 
 def execute(
@@ -288,7 +351,7 @@ def _execute_raw(
         docs = np.arange(leaf.num_docs, dtype=np.int64)
         return docs, np.full(leaf.num_docs, np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, PrefixQuery):
-        docs = _const_docs(leaf, leaf.term_range(q.prefix, q.prefix + "￿", True, True))
+        docs = _const_docs(leaf, leaf.prefix_range(q.prefix))
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, TermRangeQuery):
         docs = _const_docs(
@@ -401,7 +464,10 @@ def _execute_dismax(
     if not parts:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     union = np.unique(np.concatenate([d for d, _ in parts]))
-    smax = np.zeros(len(union), dtype=np.float32)
+    # -inf seed: every union doc matches >=1 clause, so max is over ACTUAL
+    # clause scores (a zero seed would clamp all-negative maxima to 0,
+    # diverging from DisjunctionMaxQuery)
+    smax = np.full(len(union), -np.inf, dtype=np.float32)
     ssum = np.zeros(len(union), dtype=np.float32)
     for d, s in parts:
         idx = np.searchsorted(union, d)
