@@ -33,23 +33,29 @@ from lucene_solr_old_ray.pipelines.build_index import build_index
 from lucene_solr_old_ray.pipelines.merge import merge_index
 from lucene_solr_old_ray.pipelines.search import fetch_doc_meta, search
 from lucene_solr_old_ray.queries import (
+    MUST,
+    BooleanClause,
+    BooleanQuery,
     DisjunctionMaxQuery,
     PrefixQuery,
     TermQuery,
     TermRangeQuery,
     bool_query,
 )
-from lucene_solr_old_ray.sources.corpus import CorpusSpec
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
 from lucene_solr_old_ray.state import manifest as mf
 
 _CACHE_ROOT = "/tmp/lsor_cache"
 
 
 def _index_for(sf_dir: str) -> str:
-    """Build-or-reuse the documents fulltext index for one sf dir."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    """Build-or-reuse the documents fulltext index for one sf dir. The
+    ``source`` column is additionally indexed as keyword field ``source``
+    (multi-field schema: per-field term dict / postings / norms / stats)."""
+    tag = sf_dir.strip("/").replace("/", "_") + "-v2"
     idx = os.path.join(_CACHE_ROOT, tag)
-    spec = CorpusSpec.documents(sf_dir)
+    spec = CorpusSpec.documents(
+        sf_dir, extra_fields=(FieldSpec("source", "source", "standard"),))
     n = pq.ParquetFile(spec.files[0]).metadata.num_rows
     target = max(64, n // 16)
     done = os.path.join(idx, ".complete")
@@ -180,6 +186,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         BooleanQuery((
             BooleanClause("SHOULD", TermQuery("spark", boost=2.5)),
             BooleanClause("SHOULD", TermQuery("window", boost=0.5)),
+        )))
+
+    # --- multi-field: the `source` column is a second indexed field --------
+    q["bm25_field_source_top10"] = lambda sf: _bm25_result(
+        _index_for(sf), TermQuery("src3", field="source"))
+    q["bm25_cross_field_top10"] = lambda sf: _bm25_result(
+        _index_for(sf),
+        BooleanQuery((
+            BooleanClause(MUST, TermQuery("spark")),
+            BooleanClause(MUST, TermQuery("src3", field="source")),
         )))
 
     # --- ClassicSimilarity (TF-IDF) — the Similarity SPI's second strategy --
@@ -317,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["bm25_top10_not"] = g.bm25_sql(musts=["spark"], must_nots=["slow"])
     sqls["bm25_searchafter_page2"] = g.bm25_sql(musts=["table"], k=10, offset=10)
     sqls["bm25_dismax_top10"] = g.dismax_sql(["spark", "window"], 0.3)
+    sqls["bm25_field_source_top10"] = g.bm25_kw_field_sql("src3")
+    sqls["bm25_cross_field_top10"] = g.bm25_cross_field_sql("spark", "src3")
     sqls["bm25_boosted_top10"] = g.bm25_sql(
         shoulds=["spark", "window"], boosts={"spark": 2.5, "window": 0.5})
     sqls["classic_top10_term"] = g.classic_term_sql("spark")

@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..queries import Query, collect_terms
+from ..queries import Query, collect_field_terms, collect_terms
 from ..stages.search import LeafSearcher, execute
 from ..state import manifest as mf
 from .search import _leaves, gather_stats
@@ -36,7 +36,8 @@ def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
     """Count matching docs per value of a docmap column
     (``lucene/facet`` sorted-set counting analogue). -> (value, count)."""
     manifest = mf.read_index_manifest(index_dir)
-    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
     ctx_ref = ray.put(ctx)
     q_ref = ray.put(query)
 
@@ -80,7 +81,8 @@ def group_topk(
     superset of the global answer, so the driver reduce is exact.
     -> (group value, rank, docid, score)."""
     manifest = mf.read_index_manifest(index_dir)
-    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
     ctx_ref = ray.put(ctx)
     q_ref = ray.put(query)
 
@@ -137,7 +139,8 @@ def match_doc_ids(index_dir: str, query: Query) -> pa.Table:
     (constant-score / filter semantics). Partial per-leaf sets concatenate
     without a shuffle because leaves partition the docID space."""
     manifest = mf.read_index_manifest(index_dir)
-    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
     ctx_ref = ray.put(ctx)
     q_ref = ray.put(query)
 
@@ -173,7 +176,8 @@ def sort_by_field(
     top-k by (field, docid) partials -> exact driver reduce.
     -> (rank, docid, field value)."""
     manifest = mf.read_index_manifest(index_dir)
-    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
     ctx_ref = ray.put(ctx)
     q_ref = ray.put(query)
 
@@ -226,7 +230,8 @@ def export_matches(index_dir: str, query: Query, out_dir: str) -> int:
     import pyarrow.parquet as pq_
 
     manifest = mf.read_index_manifest(index_dir)
-    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
     ctx_ref = ray.put(ctx)
     q_ref = ray.put(query)
     os.makedirs(out_dir, exist_ok=True)
@@ -264,7 +269,8 @@ def export_matches(index_dir: str, query: Query, out_dir: str) -> int:
 def count_matches(index_dir: str, query: Query) -> int:
     """totalHits across the index (partial counts per leaf, summed)."""
     manifest = mf.read_index_manifest(index_dir)
-    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
     ctx_ref = ray.put(ctx)
     q_ref = ray.put(query)
 

@@ -54,6 +54,13 @@ def build_index(
 
     max_doc = int(metrics["num_docs"].sum())
     sum_tf = int(metrics["sum_tf"].sum())
+    import json as _json
+
+    field_totals: dict[str, int] = {}
+    if "fields_json" in metrics.columns:
+        for fj in metrics["fields_json"]:
+            for name, m in _json.loads(fj or "{}").items():
+                field_totals[name] = field_totals.get(name, 0) + int(m["sum_tf"])
     segments = [
         {
             "dir": os.path.relpath(segment_dir(index_dir, p.part_id), index_dir),
@@ -66,12 +73,15 @@ def build_index(
     manifest = {
         "kind": "segments",
         "segments": segments,
-        "stats": {"max_doc": max_doc, "sum_total_term_freq": sum_tf},
+        "stats": {"max_doc": max_doc, "sum_total_term_freq": sum_tf,
+                  "fields": {n: {"sum_total_term_freq": v}
+                             for n, v in field_totals.items()}},
         "spec": {
             "files": list(spec.files),
             "content_col": spec.content_col,
             "meta_cols": list(spec.meta_cols),
             "analyzer": spec.analyzer,
+            "extra_fields": [asdict(fs) for fs in spec.extra_fields],
         },
         "metrics": {
             "build_wall_s": float(metrics["wall_s"].sum()),

@@ -22,9 +22,12 @@ def union_indexes(dst_dir: str, src_dirs: list[str]) -> dict:
     doc_base = 0
     max_doc = 0
     sum_tf = 0
+    field_tf: dict[str, int] = {}
     part = 0
     for src in src_dirs:
         man = mf.read_index_manifest(src)
+        for fn, fs in man["stats"].get("fields", {}).items():
+            field_tf[fn] = field_tf.get(fn, 0) + int(fs["sum_total_term_freq"])
         for leaf in sorted(man["segments"], key=lambda s: s["doc_base"]):
             entry = {
                 "dir": os.path.abspath(os.path.join(src, leaf["dir"])),
@@ -44,7 +47,10 @@ def union_indexes(dst_dir: str, src_dirs: list[str]) -> dict:
     manifest = {
         "kind": "union",
         "segments": segments,
-        "stats": {"max_doc": max_doc, "sum_total_term_freq": sum_tf},
+        "stats": {"max_doc": max_doc, "sum_total_term_freq": sum_tf,
+                  **({"fields": {n: {"sum_total_term_freq": v}
+                                 for n, v in field_tf.items()}}
+                     if field_tf else {})},
         "spec": {"union_of": [os.path.abspath(s) for s in src_dirs]},
         "metrics": {"sources": len(src_dirs), "leaves": len(segments)},
     }

@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..queries import Query, collect_terms
+from ..queries import Query, collect_field_terms, collect_terms
 from ..stages.search import LeafSearcher, execute
 from ..state import manifest as mf
 from .search import _leaves, gather_stats
@@ -52,7 +52,8 @@ def delete_by_query(index_dir: str, query: Query) -> dict:
     gen = manifest["generation"] + 1
     out_dir = os.path.join(index_dir, "deletes", f"g{gen}")
     os.makedirs(out_dir, exist_ok=True)
-    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)))
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
     ctx_ref = ray.put(ctx)
     q_ref = ray.put(query)
 
@@ -134,10 +135,20 @@ def add_documents(index_dir: str, spec, *, target_docs_per_partition=50_000) -> 
          "part_id": p.part_id, "doc_base": p.doc_base, "num_docs": p.num_docs}
         for p in plans
     ]
+    import json as _json
+
+    field_tf = {n: int(fs["sum_total_term_freq"])
+                for n, fs in manifest["stats"].get("fields", {}).items()}
+    if "fields_json" in metrics.columns:
+        for fj in metrics["fields_json"]:
+            for n, m in _json.loads(fj or "{}").items():
+                field_tf[n] = field_tf.get(n, 0) + int(m["sum_tf"])
     new_manifest["stats"] = {
         "max_doc": base + int(metrics["num_docs"].sum()),
         "sum_total_term_freq": manifest["stats"]["sum_total_term_freq"]
         + int(metrics["sum_tf"].sum()),
+        **({"fields": {n: {"sum_total_term_freq": v}
+                       for n, v in field_tf.items()}} if field_tf else {}),
     }
     new_manifest["metrics"] = {"op": "add_documents",
                                "added": int(metrics["num_docs"].sum())}
@@ -158,56 +169,71 @@ def expunge_deletes(index_dir: str) -> dict:
     manifest = mf.read_index_manifest(index_dir)
     gen = manifest["generation"] + 1
 
+    def rebuild_field(sd: str, prefix: str, live: np.ndarray,
+                      remap: np.ndarray):
+        """Drop dead docs from one field's postings; returns
+        (terms, dfs, ttfs, blobs, pblobs|None, new_norms, sum_tf)."""
+        terms_t = pq.read_table(os.path.join(sd, prefix + "terms.parquet"))
+        blob_all = open(os.path.join(sd, prefix + "postings.bin"), "rb").read()
+        has_pos = "pos_off" in terms_t.column_names
+        pos_all = (open(os.path.join(sd, prefix + "positions.bin"), "rb").read()
+                   if has_pos else b"")
+        norms = np.frombuffer(
+            open(os.path.join(sd, prefix + "norms.bin"), "rb").read(),
+            dtype=np.uint8)
+        new_norms = norms[live]
+        names = terms_t["term"].to_pylist()
+        offs = terms_t["off"].to_numpy()
+        lens = terms_t["len"].to_numpy()
+        if has_pos:
+            poffs = terms_t["pos_off"].to_numpy()
+            plens = terms_t["pos_len"].to_numpy()
+
+        out_terms, dfs, ttfs, blobs, pblobs = [], [], [], [], []
+        sum_tf = 0
+        for i, term in enumerate(names):
+            d, t = decode_blob(blob_all[offs[i] : offs[i] + lens[i]])
+            keep = live[d]
+            if has_pos:
+                flat = decode_positions_blob(
+                    pos_all[poffs[i] : poffs[i] + plens[i]])
+                pkeep = np.repeat(keep, t.astype(np.int64))
+                flat = flat[pkeep]
+            d, t = d[keep], t[keep]
+            if len(d) == 0:
+                continue
+            nd = remap[d].astype(np.uint32)
+            out_terms.append(term)
+            dfs.append(len(nd))
+            ttfs.append(int(t.sum()))
+            sum_tf += int(t.sum())
+            blobs.append(encode_chunk(nd, t, new_norms))
+            if has_pos:
+                pblobs.append(encode_positions_chunk(flat))
+        return (out_terms, dfs, ttfs, blobs, pblobs if has_pos else None,
+                new_norms, sum_tf)
+
     def rebuild(batch: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        from ..state.fields import fprefix, list_extra_fields
+
         rows = []
         for row in batch.to_dict("records"):
             if not row.get("deletes"):
                 rows.append({"leaf_ord": int(row["leaf_ord"]),
                              "dir": row["dir"],
                              "num_docs": int(row["num_docs"]),
-                             "sum_tf": -1})
+                             "sum_tf": -1, "fields_json": "{}"})
                 continue
             sd = os.path.join(index_dir, row["dir"])
             live = np.load(os.path.join(index_dir, row["deletes"]))
             remap = np.cumsum(live) - 1  # old local id -> new local id
-            terms_t = pq.read_table(os.path.join(sd, "terms.parquet"))
-            blob_all = open(os.path.join(sd, "postings.bin"), "rb").read()
-            has_pos = "pos_off" in terms_t.column_names
-            pos_all = (open(os.path.join(sd, "positions.bin"), "rb").read()
-                       if has_pos else b"")
-            norms = np.frombuffer(
-                open(os.path.join(sd, "norms.bin"), "rb").read(), dtype=np.uint8)
-            new_norms = norms[live]
-            names = terms_t["term"].to_pylist()
-            offs = terms_t["off"].to_numpy()
-            lens = terms_t["len"].to_numpy()
-            if has_pos:
-                poffs = terms_t["pos_off"].to_numpy()
-                plens = terms_t["pos_len"].to_numpy()
-
-            out_terms, dfs, ttfs, blobs, pblobs = [], [], [], [], []
-            sum_tf = 0
-            for i, term in enumerate(names):
-                d, t = decode_blob(blob_all[offs[i] : offs[i] + lens[i]])
-                keep = live[d]
-                if has_pos:
-                    flat = decode_positions_blob(
-                        pos_all[poffs[i] : poffs[i] + plens[i]])
-                    starts = np.zeros(len(t) + 1, dtype=np.int64)
-                    np.cumsum(t, out=starts[1:])
-                    pkeep = np.repeat(keep, t.astype(np.int64))
-                    flat = flat[pkeep]
-                d, t = d[keep], t[keep]
-                if len(d) == 0:
-                    continue
-                nd = remap[d].astype(np.uint32)
-                out_terms.append(term)
-                dfs.append(len(nd))
-                ttfs.append(int(t.sum()))
-                sum_tf += int(t.sum())
-                blobs.append(encode_chunk(nd, t, new_norms))
-                if has_pos:
-                    pblobs.append(encode_positions_chunk(flat))
+            out_terms, dfs, ttfs, blobs, pblobs, new_norms, sum_tf = (
+                rebuild_field(sd, "", live, remap))
+            extras = {}
+            for fname in list_extra_fields(sd):
+                extras[fname] = rebuild_field(sd, fprefix(fname), live, remap)
             # write with the shared shard writer (expects shard descriptor)
             out_dir = os.path.join(index_dir, f"shards-g{gen}",
                                    f"shard-{int(row['leaf_ord']):05d}")
@@ -215,10 +241,12 @@ def expunge_deletes(index_dir: str) -> dict:
             dm = pq.read_table(os.path.join(sd, "docmap.parquet"))
             dm = dm.filter(pa.array(live))
             _write_plain_leaf(out_dir, out_terms, dfs, ttfs, blobs,
-                              pblobs if has_pos else None, new_norms, dm, sum_tf)
+                              pblobs, new_norms, dm, sum_tf, extras)
             rows.append({"leaf_ord": int(row["leaf_ord"]),
                          "dir": os.path.relpath(out_dir, index_dir),
-                         "num_docs": int(live.sum()), "sum_tf": sum_tf})
+                         "num_docs": int(live.sum()), "sum_tf": sum_tf,
+                         "fields_json": _json.dumps(
+                             {f: e[6] for f, e in extras.items()})})
         return pd.DataFrame(rows)
 
     items = _leaf_items(index_dir, manifest)
@@ -226,18 +254,25 @@ def expunge_deletes(index_dir: str) -> dict:
     rep = ds.map_batches(rebuild, batch_format="pandas", batch_size=1).to_pandas()
     rep = rep.sort_values("leaf_ord")
 
+    import json as _json
+
     old = {i: l for i, l in enumerate(_leaves(manifest))}
     segments = []
     doc_base = 0
     sum_tf_total = 0
+    field_tf: dict[str, int] = {}
     for r in rep.itertuples(index=False):
         if r.sum_tf < 0:  # untouched leaf
             l = dict(old[r.leaf_ord])
             sm = mf.read_json(os.path.join(index_dir, l["dir"], mf.SEGMENT_MANIFEST))
             sum_tf_total += sm["sum_tf"]
+            for fn, fm in sm.get("fields", {}).items():
+                field_tf[fn] = field_tf.get(fn, 0) + int(fm["sum_tf"])
         else:
             l = {"dir": r.dir, "part_id": r.leaf_ord, "num_docs": int(r.num_docs)}
             sum_tf_total += int(r.sum_tf)
+            for fn, v in _json.loads(r.fields_json or "{}").items():
+                field_tf[fn] = field_tf.get(fn, 0) + int(v)
         l["doc_base"] = doc_base
         l["num_docs"] = int(r.num_docs)
         l.pop("deletes", None)
@@ -247,25 +282,21 @@ def expunge_deletes(index_dir: str) -> dict:
     new_manifest = dict(manifest)
     new_manifest["kind"] = "shards"
     new_manifest["segments"] = segments
-    new_manifest["stats"] = {"max_doc": doc_base,
-                             "sum_total_term_freq": sum_tf_total}
+    new_manifest["stats"] = {
+        "max_doc": doc_base, "sum_total_term_freq": sum_tf_total,
+        **({"fields": {n: {"sum_total_term_freq": v}
+                       for n, v in field_tf.items()}} if field_tf else {}),
+    }
     new_manifest["metrics"] = {"op": "expunge_deletes"}
     mf.publish_index_manifest(index_dir, new_manifest)
     return mf.read_index_manifest(index_dir)
 
 
-def _write_plain_leaf(out_dir, terms, dfs, ttfs, blobs, pblobs, norms, docmap,
-                      sum_tf):
-    import shutil
-    import time
-
-    tmp = f"{out_dir}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+def _write_field(tmp, prefix, terms, dfs, ttfs, blobs, pblobs, norms):
     offs = np.zeros(len(terms), dtype=np.int64)
     lens_b = np.zeros(len(terms), dtype=np.int64)
     pos = 0
-    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+    with open(os.path.join(tmp, prefix + "postings.bin"), "wb") as f:
         for i, b in enumerate(blobs):
             f.write(b)
             offs[i] = pos
@@ -278,7 +309,7 @@ def _write_plain_leaf(out_dir, terms, dfs, ttfs, blobs, pblobs, norms, docmap,
         po = np.zeros(len(terms), dtype=np.int64)
         pl = np.zeros(len(terms), dtype=np.int64)
         pp = 0
-        with open(os.path.join(tmp, "positions.bin"), "wb") as f:
+        with open(os.path.join(tmp, prefix + "positions.bin"), "wb") as f:
             for i, b in enumerate(pblobs):
                 f.write(b)
                 po[i] = pp
@@ -286,14 +317,31 @@ def _write_plain_leaf(out_dir, terms, dfs, ttfs, blobs, pblobs, norms, docmap,
                 pp += len(b)
         tcols["pos_off"] = po
         tcols["pos_len"] = pl
-    pq.write_table(pa.table(tcols), os.path.join(tmp, "terms.parquet"))
-    with open(os.path.join(tmp, "norms.bin"), "wb") as f:
+    pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
+    with open(os.path.join(tmp, prefix + "norms.bin"), "wb") as f:
         f.write(norms.tobytes())
+
+
+def _write_plain_leaf(out_dir, terms, dfs, ttfs, blobs, pblobs, norms, docmap,
+                      sum_tf, extras=None):
+    import shutil
+
+    from ..state.fields import fprefix
+
+    tmp = f"{out_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _write_field(tmp, "", terms, dfs, ttfs, blobs, pblobs, norms)
+    field_meta = {}
+    for fname, (ft, fd, fttf, fb, fpb, fn, fstf) in (extras or {}).items():
+        _write_field(tmp, fprefix(fname), ft, fd, fttf, fb, fpb, fn)
+        field_meta[fname] = {"sum_tf": int(fstf), "num_terms": len(ft)}
     pq.write_table(docmap, os.path.join(tmp, "docmap.parquet"))
     mf.atomic_write_json(
         os.path.join(tmp, mf.SEGMENT_MANIFEST),
         {"name": os.path.basename(out_dir), "doc_base": 0,
          "num_docs": len(norms), "sum_tf": sum_tf, "num_terms": len(terms),
+         "fields": field_meta,
          "hot_terms": {}, "lineage": {"expunged_from": True},
          "metrics": {}, "format_version": 1},
     )

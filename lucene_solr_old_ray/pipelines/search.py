@@ -32,7 +32,7 @@ import ray
 import ray.data
 
 from ..functions import bm25
-from ..queries import Query, collect_terms
+from ..queries import Query, collect_field_terms, collect_terms
 from ..stages.search import (
     LeafSearcher,
     SearchContext,
@@ -116,8 +116,15 @@ class SearcherStage:
 
 
 @ray.remote
-def _leaf_stats_task(index_dir: str, rows: list[dict], terms: list[str]) -> dict:
+def _leaf_stats_task(
+    index_dir: str, rows: list[dict], terms: list[str],
+    field_terms: list[tuple[str, str]] = (),
+) -> tuple[dict, dict]:
     out: dict[str, list[int]] = {}
+    fout: dict[str, dict[str, list[int]]] = {}
+    by_field: dict[str, list[str]] = {}
+    for f, t in field_terms:
+        by_field.setdefault(f, []).append(t)
     for row in rows:
         leaf = LeafSearcher(
             os.path.join(index_dir, row["dir"]),
@@ -127,12 +134,20 @@ def _leaf_stats_task(index_dir: str, rows: list[dict], terms: list[str]) -> dict
             cur = out.setdefault(t, [0, 0])
             cur[0] += df
             cur[1] += ttf
-    return out
+        for f, fts in by_field.items():
+            sib = leaf.sibling(f)
+            dst = fout.setdefault(f, {})
+            for t, (df, ttf) in collect_leaf_stats(sib, fts).items():
+                cur = dst.setdefault(t, [0, 0])
+                cur[0] += df
+                cur[1] += ttf
+    return out, fout
 
 
 def gather_stats(
     index_dir: str, manifest: dict, terms: Sequence[str],
     similarity: str = "bm25",
+    field_terms: Sequence[tuple[str, str]] = (),
 ) -> SearchContext:
     """Stats pass + roll-up -> broadcastable SearchContext.
 
@@ -142,9 +157,15 @@ def gather_stats(
     summed result is the ShardSearchingTestBase stats-exchange payload."""
     st = manifest["stats"]
     coll = bm25.CollectionStats(st["max_doc"], st["sum_total_term_freq"])
+    field_colls = {
+        name: bm25.CollectionStats(st["max_doc"], fs["sum_total_term_freq"])
+        for name, fs in st.get("fields", {}).items()
+    }
     terms = sorted(set(terms))
+    field_terms = sorted(set(field_terms))
     agg: dict[str, tuple[int, int]] = {}
-    if terms:
+    fagg: dict[str, dict[str, tuple[int, int]]] = {}
+    if terms or field_terms:
         leaves = _leaves(manifest)
         items = [
             {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
@@ -154,13 +175,21 @@ def gather_stats(
         n_tasks = min(8, len(items))
         groups = [items[i::n_tasks] for i in range(n_tasks)]
         partials = ray.get([
-            _leaf_stats_task.remote(index_dir, g, list(terms)) for g in groups
+            _leaf_stats_task.remote(index_dir, g, list(terms),
+                                    list(field_terms))
+            for g in groups
         ])
-        for p in partials:
+        for p, fp in partials:
             for t, (df, ttf) in p.items():
                 cur = agg.get(t, (0, 0))
                 agg[t] = (cur[0] + df, cur[1] + ttf)
-    return SearchContext(coll, dict(agg), similarity)
+            for f, fstats in fp.items():
+                dst = fagg.setdefault(f, {})
+                for t, (df, ttf) in fstats.items():
+                    cur = dst.get(t, (0, 0))
+                    dst[t] = (cur[0] + df, cur[1] + ttf)
+    return SearchContext(coll, dict(agg), similarity,
+                         field_colls=field_colls, field_term_stats=fagg)
 
 
 def search(
@@ -180,9 +209,12 @@ def search(
     qitems = sorted(queries.items())
 
     all_terms: set[str] = set()
+    all_fterms: set[tuple[str, str]] = set()
     for _, q in qitems:
         all_terms |= collect_terms(q)
-    ctx = gather_stats(index_dir, manifest, sorted(all_terms), similarity)
+        all_fterms |= collect_field_terms(q)
+    ctx = gather_stats(index_dir, manifest, sorted(all_terms), similarity,
+                       field_terms=sorted(all_fterms))
     if similarity != "bm25":
         algo = "exhaustive"  # WAND bounds are BM25-specific
 

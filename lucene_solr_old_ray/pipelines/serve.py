@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 
 from ..functions import bm25
-from ..queries import Query, collect_terms
+from ..queries import Query, collect_field_terms, collect_terms
 from ..stages.search import LeafSearcher, SearchContext, collect_leaf_stats, execute, top_k
 from ..state import manifest as mf
 
@@ -42,14 +42,25 @@ class SearcherActor:
             for l in leaves
         ]
 
-    def stats(self, terms: list[str]) -> dict:
+    def stats(self, terms: list[str],
+              field_terms: list[tuple[str, str]] = ()) -> tuple[dict, dict]:
         agg: dict[str, list[int]] = {}
+        fagg: dict[str, dict[str, list[int]]] = {}
+        by_field: dict[str, list[str]] = {}
+        for f, t in field_terms:
+            by_field.setdefault(f, []).append(t)
         for leaf in self.leaves:
             for t, (df, ttf) in collect_leaf_stats(leaf, terms).items():
                 cur = agg.setdefault(t, [0, 0])
                 cur[0] += df
                 cur[1] += ttf
-        return agg
+            for f, fts in by_field.items():
+                dst = fagg.setdefault(f, {})
+                for t, (df, ttf) in collect_leaf_stats(leaf.sibling(f), fts).items():
+                    cur = dst.setdefault(t, [0, 0])
+                    cur[0] += df
+                    cur[1] += ttf
+        return agg, fagg
 
     def search(self, queries: list[tuple[int, Query]], ctx: SearchContext,
                k: int, algo: str) -> pd.DataFrame:
@@ -84,6 +95,10 @@ class SearchService:
         manifest = mf.read_index_manifest(index_dir)
         st = manifest["stats"]
         self.coll = bm25.CollectionStats(st["max_doc"], st["sum_total_term_freq"])
+        self.field_colls = {
+            name: bm25.CollectionStats(st["max_doc"], fs["sum_total_term_freq"])
+            for name, fs in st.get("fields", {}).items()
+        }
         leaves = sorted(manifest["segments"], key=lambda s: s["doc_base"])
         items = [
             {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
@@ -102,14 +117,23 @@ class SearchService:
             queries = dict(enumerate(queries))
         qitems = sorted(queries.items())
         terms = sorted(set().union(*[collect_terms(q) for _, q in qitems]) if qitems else set())
+        fterms = sorted(set().union(
+            *[collect_field_terms(q) for _, q in qitems]) if qitems else set())
         # stats exchange (one round trip), then broadcast scoring pass
-        partials = ray.get([a.stats.remote(terms) for a in self.actors])
+        partials = ray.get([a.stats.remote(terms, fterms) for a in self.actors])
         agg: dict[str, tuple[int, int]] = {}
-        for p in partials:
+        fagg: dict[str, dict[str, tuple[int, int]]] = {}
+        for p, fp in partials:
             for t, (df, ttf) in p.items():
                 cur = agg.get(t, (0, 0))
                 agg[t] = (cur[0] + df, cur[1] + ttf)
-        ctx = SearchContext(self.coll, agg)
+            for f, fstats in fp.items():
+                dst = fagg.setdefault(f, {})
+                for t, (df, ttf) in fstats.items():
+                    cur = dst.get(t, (0, 0))
+                    dst[t] = (cur[0] + df, cur[1] + ttf)
+        ctx = SearchContext(self.coll, agg, field_colls=self.field_colls,
+                            field_term_stats=fagg)
         frames = ray.get([
             a.search.remote(qitems, ctx, k, self.algo) for a in self.actors
         ])

@@ -26,8 +26,13 @@ MUST_NOT = "MUST_NOT"
 
 @dataclass(frozen=True)
 class TermQuery:
+    """``field=None`` targets the index's default (content) field; a name
+    targets that indexed field (``index/Term.java`` is always (field, text);
+    here the default field keeps the unqualified fast path)."""
+
     term: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -37,6 +42,7 @@ class PrefixQuery:
 
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -49,6 +55,7 @@ class TermRangeQuery:
     include_lower: bool = True
     include_upper: bool = False
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -58,6 +65,7 @@ class WildcardQuery:
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -69,6 +77,7 @@ class FuzzyQuery:
     term: str
     max_edits: int = 2
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -126,6 +135,7 @@ class PhraseQuery:
     terms: tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
 
 Query = (
@@ -174,11 +184,12 @@ def bool_query(
 
 
 def collect_terms(q: Query) -> set[str]:
-    """All exact terms a query needs statistics/postings for."""
+    """Exact DEFAULT-FIELD terms a query needs statistics/postings for
+    (field-qualified terms come from :func:`collect_field_terms`)."""
     if isinstance(q, TermQuery):
-        return {q.term}
+        return {q.term} if q.field is None else set()
     if isinstance(q, PhraseQuery):
-        return set(q.terms)
+        return set(q.terms) if q.field is None else set()
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in q.clauses:
@@ -196,12 +207,37 @@ def collect_terms(q: Query) -> set[str]:
     return set()
 
 
-def parse(text: str) -> Query:
+def collect_field_terms(q: Query) -> set[tuple[str, str]]:
+    """(field, term) pairs for every FIELD-QUALIFIED exact term in the query
+    (the per-field TermContext pass, ``index/TermContext.java:81-101``)."""
+    if isinstance(q, TermQuery):
+        return {(q.field, q.term)} if q.field is not None else set()
+    if isinstance(q, PhraseQuery):
+        return {(q.field, t) for t in q.terms} if q.field is not None else set()
+    if isinstance(q, BooleanQuery):
+        out: set[tuple[str, str]] = set()
+        for c in q.clauses:
+            out |= collect_field_terms(c.query)
+        return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for d in q.disjuncts:
+            out |= collect_field_terms(d)
+        return out
+    if isinstance(q, FilteredQuery):
+        return collect_field_terms(q.query) | collect_field_terms(q.filter)
+    if isinstance(q, ConstantScoreQuery):
+        return collect_field_terms(q.query)
+    return set()
+
+
+def parse(text: str, default_field: str | None = None) -> Query:
     """Minimal classic-syntax parser: whitespace-separated terms with +/-
     prefixes, AND/OR/NOT connectors, ``"quoted phrases"``, ``wild*card`` /
     ``wild?card`` patterns, and trailing-``~`` fuzzy terms. ``field:term``
-    drops the field part. Bare terms are SHOULD; ``x AND y`` makes both MUST;
-    ``NOT x`` == ``-x``.
+    targets the named indexed field (``QueryParserBase.getFieldQuery``); a
+    field equal to ``default_field`` maps to the unqualified content field.
+    Bare terms are SHOULD; ``x AND y`` makes both MUST; ``NOT x`` == ``-x``.
     """
     import re as _re
 
@@ -235,20 +271,27 @@ def parse(text: str) -> Query:
         if pending_occur:
             occur = pending_occur
             pending_occur = None
+        fld: str | None = None
         if ":" in tok:
-            tok = tok.split(":", 1)[1]
+            fld, tok = tok.split(":", 1)
+            if not fld or fld == default_field:
+                fld = None
         if tok.endswith("~"):
             base = analyze_text(tok[:-1])
             if base:
-                clauses.append(BooleanClause(occur, FuzzyQuery(base[0], 2)))
+                clauses.append(
+                    BooleanClause(occur, FuzzyQuery(base[0], 2, field=fld)))
             i += 1
             continue
         if "*" in tok or "?" in tok:
-            clauses.append(BooleanClause(occur, WildcardQuery(tok.lower())))
+            clauses.append(
+                BooleanClause(occur, WildcardQuery(tok.lower(), field=fld)))
             i += 1
             continue
         tq = term(tok)
         if tq is not None:
+            if fld is not None:
+                tq = TermQuery(tq.term, tq.boost, field=fld)
             clauses.append(BooleanClause(occur, tq))
         i += 1
     default_occur = MUST if conj_and else SHOULD

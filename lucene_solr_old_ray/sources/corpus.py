@@ -19,30 +19,55 @@ import pyarrow.parquet as pq
 
 
 @dataclass(frozen=True)
+class FieldSpec:
+    """One ADDITIONAL indexed field (``document/FieldType.java`` options +
+    ``index/FieldInfos.java`` registration re-expressed): ``name`` is the
+    query-time field name (``name:term``), ``col`` the Parquet column it is
+    analyzed from. Names must be ``[A-Za-z0-9_-]+`` (they appear in segment
+    file names as ``F.<name>.*``)."""
+
+    name: str
+    col: str
+    analyzer: str = "standard"
+    store_positions: bool = True
+
+
+@dataclass(frozen=True)
 class CorpusSpec:
     """Where the corpus lives and how its columns map onto the engine.
 
-    ``content_col`` is analyzed/indexed; ``meta_cols`` are carried into the
-    per-segment docmap (the stored-fields analogue) for result rendering.
+    ``content_col`` is analyzed/indexed as the DEFAULT field; ``extra_fields``
+    are additionally-indexed named fields with their own term dict, postings,
+    norms, and collection stats (per-field inverted index, the FieldInfos
+    model — ``index/FieldInfos.java:1-341``). ``meta_cols`` are carried into
+    the per-segment docmap (the stored-fields analogue) for result rendering.
     """
 
     files: tuple[str, ...]
     content_col: str = "content"
     meta_cols: tuple[str, ...] = ("repo", "path", "commit", "lang")
     analyzer: str = "standard"  # "standard" | "code" (identifier splitter)
+    extra_fields: tuple[FieldSpec, ...] = ()
 
     @staticmethod
-    def source_code(path_or_dir: str, analyzer: str = "standard") -> "CorpusSpec":
-        """The BASELINE input_hint shape: (repo, path, commit, lang, content)."""
-        return CorpusSpec(files=_expand(path_or_dir), analyzer=analyzer)
+    def source_code(path_or_dir: str, analyzer: str = "standard",
+                    with_path_field: bool = False) -> "CorpusSpec":
+        """The BASELINE input_hint shape: (repo, path, commit, lang, content).
+        ``with_path_field`` also indexes ``path`` under the code analyzer
+        (identifier/path-segment splitting) as field ``path``."""
+        extra = ((FieldSpec("path", "path", analyzer="code"),)
+                 if with_path_field else ())
+        return CorpusSpec(files=_expand(path_or_dir), analyzer=analyzer,
+                          extra_fields=extra)
 
     @staticmethod
-    def documents(sf_dir: str) -> "CorpusSpec":
+    def documents(sf_dir: str, extra_fields: tuple[FieldSpec, ...] = ()) -> "CorpusSpec":
         """Adapter over the driver testdata ``documents`` table."""
         return CorpusSpec(
             files=(os.path.join(sf_dir, "documents.parquet"),),
             content_col="text",
             meta_cols=("doc_id", "lang", "source"),
+            extra_fields=extra_fields,
         )
 
 

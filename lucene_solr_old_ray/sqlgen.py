@@ -88,6 +88,66 @@ df AS (
 )"""
 
 
+def kw_cache_literal() -> str:
+    """The engine's per-doc BM25 denominator cache for a single-token-per-doc
+    keyword field: every field length is 1, avgdl is exactly 1.0, so the
+    cache is one float32 value — computed with the ENGINE's own norm_cache
+    (bit-exact by construction)."""
+    from .functions import bm25 as _bm25
+
+    b1 = int(encode_norm(np.array([1]))[0])
+    v = float(_bm25.norm_cache(np.float32(1.0))[b1])
+    # string->DOUBLE->REAL: a bare literal would parse as DECIMAL, whose
+    # cast to REAL rounds differently (1 ulp) than double->float32
+    return f"CAST(CAST('{v!r}' AS DOUBLE) AS REAL)"
+
+
+def kw_field_ctes(col: str = "source") -> str:
+    """Per-field df CTE for a keyword (one token per doc) field."""
+    return (f"kwdf AS (SELECT {col} AS term, count(*) AS df "
+            f"FROM documents GROUP BY {col})")
+
+
+def kw_term_score_cte(name: str, term: str, col: str = "source",
+                      boost: float = 1.0) -> str:
+    """Per-doc float32 BM25 score of one keyword-field term (freq = 1,
+    per-FIELD df/avgdl/norms — Lucene's stats are always per field)."""
+    idf = f32("ln(1 + ((SELECT n FROM coll) - kd.df + 0.5) / (kd.df + 0.5))")
+    w = f32(f"{f32(f'{idf} * CAST({boost} AS REAL)')} * {K1P1}")
+    num = f32(f"{w} * CAST(1 AS REAL)")
+    den = f32(f"CAST(1 AS REAL) + {kw_cache_literal()}")
+    return f"""
+{name} AS (
+  SELECT d.doc_id AS doc_id, {f32(f"{num} / {den}")} AS s
+  FROM documents d
+  JOIN (SELECT df FROM kwdf WHERE term = '{term}') kd ON TRUE
+  WHERE d.{col} = '{term}'
+)"""
+
+
+def bm25_kw_field_sql(term: str, k: int = 10, col: str = "source") -> str:
+    """Top-k of a single keyword-FIELD term query -> (rank, doc_id, score)."""
+    return f"""WITH {base_ctes()},
+{kw_field_ctes(col)},{kw_term_score_cte('f1', term, col)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank,
+         doc_id, s AS score FROM f1
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def bm25_cross_field_sql(text_term: str, kw_term: str, k: int = 10,
+                         col: str = "source") -> str:
+    """MUST(text term) + MUST(keyword-field term): clause-order float32 sum
+    of the per-field scores -> (rank, doc_id, score)."""
+    return f"""WITH {base_ctes()},{term_score_cte('m1', text_term)},
+{kw_field_ctes(col)},{kw_term_score_cte('f1', kw_term, col)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM (SELECT m1.doc_id AS doc_id, {f32("m1.s + f1.s")} AS score
+        FROM m1 JOIN f1 ON f1.doc_id = m1.doc_id)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def term_score_cte(name: str, term: str, boost: float = 1.0) -> str:
     """Per-doc float32 BM25 scores of one term: (doc_id, s). Boost follows
     the engine's weight_value order: f32(f32(idf * boost) * (k1+1))."""

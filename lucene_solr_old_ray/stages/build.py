@@ -39,6 +39,7 @@ from ..functions.analysis import analyze_batch
 from ..functions.codec import encode_chunk
 from ..functions.smallfloat import encode_norm
 from ..state import manifest as mf
+from ..state.fields import fprefix
 from ..sources.corpus import CorpusSpec
 
 
@@ -86,91 +87,14 @@ def _invert_subbatch(
     return len(uk)
 
 
-def build_segment(
-    spec: CorpusSpec,
-    index_dir: str,
-    part_id: int,
-    file: str,
-    row_groups: list[int],
-    doc_base: int,
-    num_docs: int,
-    row_start: int,
-    slice_start: int = 0,
-    sub_batch_docs: int = 4096,
-    store_positions: bool = True,
-) -> dict:
-    """Build one segment; returns a metrics row."""
-    seg = segment_dir(index_dir, part_id)
-    if mf.segment_exists(seg):
-        m = mf.read_json(os.path.join(seg, mf.SEGMENT_MANIFEST))
-        return {**m["metrics"], "part_id": part_id, "num_docs": m["num_docs"],
-                "sum_tf": m["sum_tf"], "skipped": True}
-
-    t0 = time.perf_counter()
-    pf = pq.ParquetFile(file)
-    cols = [spec.content_col] + [c for c in spec.meta_cols if c != spec.content_col]
-    # byte-aware sub-batching: very wide content rows (100KB+ source files)
-    # must not blow up the analyze batch — target ~32 MB of content per batch
-    try:
-        md = pf.metadata
-        tot_bytes = tot_rows = 0
-        ci = pf.schema_arrow.get_field_index(spec.content_col)
-        for rg in row_groups:
-            rgm = md.row_group(rg)
-            tot_bytes += rgm.column(ci).total_uncompressed_size
-            tot_rows += rgm.num_rows
-        if tot_rows:
-            avg = max(1, tot_bytes // tot_rows)
-            sub_batch_docs = int(min(sub_batch_docs,
-                                     max(256, 32 * 1024 * 1024 // avg)))
-    except Exception:
-        pass  # metadata quirks: keep the configured batch size
-    acc: dict[str, list] = {}
-    field_lengths: list[np.ndarray] = []
-    meta_tables: list[pa.Table] = []
-    sha_list: list[str] = []
-    doc_off = 0
-    n_postings = 0
-    n_instances = 0  # indexed token instances incl. overlap subtokens
-    tok_s = 0.0
-    skip = slice_start
-    remaining = num_docs
-    for batch in pf.iter_batches(batch_size=sub_batch_docs, row_groups=row_groups,
-                                 columns=cols):
-        if remaining <= 0:
-            break
-        if skip >= batch.num_rows:
-            skip -= batch.num_rows
-            continue
-        if skip or batch.num_rows > remaining + skip:
-            batch = batch.slice(skip, min(batch.num_rows - skip, remaining))
-            skip = 0
-        tb = pa.Table.from_batches([batch])
-        remaining -= tb.num_rows
-        texts = tb[spec.content_col].to_pylist()
-        sha_list.extend(
-            hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
-        )
-        t1 = time.perf_counter()
-        ab = analyze_batch(tb[spec.content_col], with_positions=store_positions,
-                           analyzer=spec.analyzer)  # zero-copy Arrow in
-        tok_s += time.perf_counter() - t1
-        n_postings += _invert_subbatch(ab, doc_off, acc, store_positions)
-        n_instances += len(ab.term_codes)
-        field_lengths.append(ab.field_lengths)
-        meta_tables.append(tb.select([c for c in spec.meta_cols]))
-        doc_off += len(texts)
-    assert doc_off == num_docs, f"partition {part_id}: read {doc_off} != planned {num_docs}"
-
-    lens = (np.concatenate(field_lengths) if field_lengths
-            else np.zeros(0, dtype=np.int32))
-    norms = encode_norm(lens)
-    # sumTotalTermFreq counts every indexed instance (overlap subtokens
-    # included); the norm length above excludes overlaps (discountOverlaps)
-    sum_tf = int(n_instances)
-
-    # flush: sort terms (UTF-8 order), encode postings
-    t2 = time.perf_counter()
+def _flush_field(
+    tmp: str, prefix: str, acc: dict[str, list], norms: np.ndarray,
+    store_positions: bool,
+) -> tuple[list[str], np.ndarray, int]:
+    """Flush one field's accumulated postings: sort terms (UTF-8 order),
+    encode chunk blobs (+ positions), write ``{prefix}terms.parquet`` and
+    ``{prefix}postings.bin`` (+ ``{prefix}positions.bin``) under ``tmp``.
+    Returns (terms, dfs, postings_bytes)."""
     terms = sorted(acc)
     k = len(terms)
     offs = np.zeros(k, dtype=np.int64)
@@ -225,25 +149,147 @@ def build_segment(
             pos_offs[i] = ppos
             pos_lens[i] = len(pos_blobs[i])
             ppos += len(pos_blobs[i])
-    encode_s = time.perf_counter() - t2
 
-    tmp = f"{seg}.tmp-{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
+    with open(os.path.join(tmp, prefix + "postings.bin"), "wb") as f:
         for b in blobs:
             f.write(b)
-    with open(os.path.join(tmp, "norms.bin"), "wb") as f:
-        f.write(norms.tobytes())
     tcols = {"term": pa.array(terms, pa.string()),
              "df": dfs, "ttf": ttfs, "off": offs, "len": lens_b}
     if store_positions:
-        with open(os.path.join(tmp, "positions.bin"), "wb") as f:
+        with open(os.path.join(tmp, prefix + "positions.bin"), "wb") as f:
             for b in pos_blobs:
                 f.write(b)
         tcols["pos_off"] = pos_offs
         tcols["pos_len"] = pos_lens
-    pq.write_table(pa.table(tcols), os.path.join(tmp, "terms.parquet"))
+    pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
+    return terms, dfs, int(pos)
+
+
+def build_segment(
+    spec: CorpusSpec,
+    index_dir: str,
+    part_id: int,
+    file: str,
+    row_groups: list[int],
+    doc_base: int,
+    num_docs: int,
+    row_start: int,
+    slice_start: int = 0,
+    sub_batch_docs: int = 4096,
+    store_positions: bool = True,
+) -> dict:
+    """Build one segment; returns a metrics row."""
+    seg = segment_dir(index_dir, part_id)
+    if mf.segment_exists(seg):
+        import json as _json
+
+        m = mf.read_json(os.path.join(seg, mf.SEGMENT_MANIFEST))
+        return {**m["metrics"], "part_id": part_id, "num_docs": m["num_docs"],
+                "sum_tf": m["sum_tf"],
+                "fields_json": _json.dumps(m.get("fields", {})),
+                "skipped": True}
+
+    t0 = time.perf_counter()
+    pf = pq.ParquetFile(file)
+    # fields[0] is the default content field; extras follow (FieldInfos order)
+    fields = [(None, spec.content_col, spec.analyzer, store_positions)] + [
+        (fs.name, fs.col, fs.analyzer, fs.store_positions and store_positions)
+        for fs in spec.extra_fields
+    ]
+    cols = list(dict.fromkeys(
+        [spec.content_col, *(fs.col for fs in spec.extra_fields),
+         *spec.meta_cols]))
+    # byte-aware sub-batching: very wide content rows (100KB+ source files)
+    # must not blow up the analyze batch — target ~32 MB of content per batch
+    try:
+        md = pf.metadata
+        tot_bytes = tot_rows = 0
+        ci = pf.schema_arrow.get_field_index(spec.content_col)
+        for rg in row_groups:
+            rgm = md.row_group(rg)
+            tot_bytes += rgm.column(ci).total_uncompressed_size
+            tot_rows += rgm.num_rows
+        if tot_rows:
+            avg = max(1, tot_bytes // tot_rows)
+            sub_batch_docs = int(min(sub_batch_docs,
+                                     max(256, 32 * 1024 * 1024 // avg)))
+    except Exception:
+        pass  # metadata quirks: keep the configured batch size
+    accs: list[dict[str, list]] = [dict() for _ in fields]
+    flen_parts: list[list[np.ndarray]] = [[] for _ in fields]
+    n_post = [0] * len(fields)
+    n_inst = [0] * len(fields)  # indexed token instances incl. overlap subtokens
+    meta_tables: list[pa.Table] = []
+    sha_list: list[str] = []
+    doc_off = 0
+    tok_s = 0.0
+    skip = slice_start
+    remaining = num_docs
+    for batch in pf.iter_batches(batch_size=sub_batch_docs, row_groups=row_groups,
+                                 columns=cols):
+        if remaining <= 0:
+            break
+        if skip >= batch.num_rows:
+            skip -= batch.num_rows
+            continue
+        if skip or batch.num_rows > remaining + skip:
+            batch = batch.slice(skip, min(batch.num_rows - skip, remaining))
+            skip = 0
+        tb = pa.Table.from_batches([batch])
+        remaining -= tb.num_rows
+        texts = tb[spec.content_col].to_pylist()
+        sha_list.extend(
+            hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
+        )
+        t1 = time.perf_counter()
+        for fi, (_fname, col, anlz, wpos) in enumerate(fields):
+            ab = analyze_batch(tb[col], with_positions=wpos,
+                               analyzer=anlz)  # zero-copy Arrow in
+            n_post[fi] += _invert_subbatch(ab, doc_off, accs[fi], wpos)
+            n_inst[fi] += len(ab.term_codes)
+            flen_parts[fi].append(ab.field_lengths)
+        tok_s += time.perf_counter() - t1
+        meta_tables.append(tb.select([c for c in spec.meta_cols]))
+        doc_off += len(texts)
+    assert doc_off == num_docs, f"partition {part_id}: read {doc_off} != planned {num_docs}"
+
+    # flush every field: sort terms (UTF-8 order), encode, write files
+    t2 = time.perf_counter()
+    tmp = f"{seg}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    field_meta: dict[str, dict] = {}
+    hot_terms: dict[str, int] = {}
+    lens = norms = None
+    n_terms_main = 0
+    pbytes_main = 0
+    for fi, (fname, _col, _anlz, wpos) in enumerate(fields):
+        lens_f = (np.concatenate(flen_parts[fi]) if flen_parts[fi]
+                  else np.zeros(0, dtype=np.int32))
+        norms_f = encode_norm(lens_f)
+        prefix = fprefix(fname)
+        terms_f, dfs_f, pbytes_f = _flush_field(
+            tmp, prefix, accs[fi], norms_f, wpos)
+        with open(os.path.join(tmp, prefix + "norms.bin"), "wb") as f:
+            f.write(norms_f.tobytes())
+        if fi == 0:
+            lens, norms = lens_f, norms_f
+            n_terms_main = len(terms_f)
+            pbytes_main = pbytes_f
+            # per-segment df partial aggregate of the hottest terms: consumed
+            # by the merge planner for skew-aware salting (SURVEY §4 "Skew")
+            if len(terms_f):
+                top = np.argsort(dfs_f)[::-1][:50]
+                hot_terms = {terms_f[i]: int(dfs_f[i]) for i in top}
+        else:
+            # sumTotalTermFreq counts every indexed instance (overlap
+            # subtokens included; discountOverlaps applies to norms only)
+            field_meta[fname] = {"sum_tf": int(n_inst[fi]),
+                                 "num_terms": len(terms_f),
+                                 "postings": int(n_post[fi])}
+    sum_tf = int(n_inst[0])
+    encode_s = time.perf_counter() - t2
+
     docmap = pa.concat_tables(meta_tables) if meta_tables else pa.table({})
     docmap = docmap.append_column("sha256", pa.array(sha_list, pa.string()))
     docmap = docmap.append_column("field_len", pa.array(lens.astype(np.int32)))
@@ -251,24 +297,18 @@ def build_segment(
     pq.write_table(docmap, os.path.join(tmp, "docmap.parquet"))
 
     wall = time.perf_counter() - t0
+    n_postings = n_post[0]
     metrics = {
         "docs": num_docs,
         "postings": n_postings,
-        "terms": len(terms),
-        "postings_bytes": int(pos),
+        "terms": n_terms_main,
+        "postings_bytes": int(pbytes_main),
         "tokenize_s": round(tok_s, 4),
         "encode_s": round(encode_s, 4),
         "wall_s": round(wall, 4),
         "docs_per_s": round(num_docs / wall, 1) if wall > 0 else 0.0,
         "postings_per_s": round(n_postings / wall, 1) if wall > 0 else 0.0,
     }
-    # per-segment df partial aggregate of the hottest terms: consumed by the
-    # merge planner for skew-aware salting (SURVEY §4 "Skew")
-    if len(terms):
-        top = np.argsort(dfs)[::-1][:50]
-        hot_terms = {terms[i]: int(dfs[i]) for i in top}
-    else:
-        hot_terms = {}
     mf.atomic_write_json(
         os.path.join(tmp, mf.SEGMENT_MANIFEST),
         {
@@ -277,7 +317,8 @@ def build_segment(
             "doc_base": doc_base,
             "num_docs": num_docs,
             "sum_tf": sum_tf,
-            "num_terms": len(terms),
+            "num_terms": n_terms_main,
+            "fields": field_meta,
             "hot_terms": hot_terms,
             "lineage": {"file": file, "row_groups": list(row_groups),
                         "row_start": row_start, "num_rows": num_docs},
@@ -286,8 +327,11 @@ def build_segment(
         },
     )
     mf.publish_dir(tmp, seg)
+    import json as _json
+
     return {**metrics, "part_id": part_id, "num_docs": num_docs,
-            "sum_tf": sum_tf, "skipped": False}
+            "sum_tf": sum_tf, "fields_json": _json.dumps(field_meta),
+            "skipped": False}
 
 
 def make_build_fn(spec: CorpusSpec, index_dir: str, sub_batch_docs: int = 4096,

@@ -42,6 +42,108 @@ import pyarrow.parquet as pq
 
 from ..functions.codec import shift_blob
 from ..state import manifest as mf
+from ..state.fields import fprefix, list_extra_fields
+
+
+def _read_seg_field(index_dir: str, seg: dict, prefix: str):
+    """Load one segment's (terms table, postings bytes, positions bytes) for
+    the field named by ``prefix``."""
+    sd = os.path.join(index_dir, seg["dir"])
+    t = pq.read_table(os.path.join(sd, prefix + "terms.parquet"))
+    with open(os.path.join(sd, prefix + "postings.bin"), "rb") as f:
+        blob_all = f.read()
+    pos_all = b""
+    if "pos_off" in t.column_names:
+        with open(os.path.join(sd, prefix + "positions.bin"), "rb") as f:
+            pos_all = f.read()
+    return seg, t, blob_all, pos_all
+
+
+def _kway_merge(per_seg) -> tuple[list[str], list[int], list[int],
+                                  list[bytes], list[bytes] | None]:
+    """K-way merge of already-sorted per-segment term lists (one argsort);
+    blobs are docBase-relocated then concatenated in seg_ord order."""
+    all_terms = np.concatenate([np.asarray(t["term"].to_pylist(), dtype=object)
+                                for _, t, _, _ in per_seg])
+    all_ord = np.concatenate([np.full(len(t), s["seg_ord"], dtype=np.int32)
+                              for s, t, _, _ in per_seg])
+    all_df = np.concatenate([t["df"].to_numpy() for _, t, _, _ in per_seg])
+    all_ttf = np.concatenate([t["ttf"].to_numpy() for _, t, _, _ in per_seg])
+    all_off = np.concatenate([t["off"].to_numpy() for _, t, _, _ in per_seg])
+    all_len = np.concatenate([t["len"].to_numpy() for _, t, _, _ in per_seg])
+    has_pos = all("pos_off" in t.column_names for _, t, _, _ in per_seg)
+    if has_pos:
+        all_poff = np.concatenate([t["pos_off"].to_numpy() for _, t, _, _ in per_seg])
+        all_plen = np.concatenate([t["pos_len"].to_numpy() for _, t, _, _ in per_seg])
+    src = np.concatenate([np.full(len(t), i, dtype=np.int32)
+                          for i, (_, t, _, _) in enumerate(per_seg)])
+    order = np.lexsort((all_ord, all_terms))
+
+    terms: list[str] = []
+    dfs: list[int] = []
+    ttfs: list[int] = []
+    blobs: list[bytes] = []
+    pos_blobs: list[bytes] = []
+    prev = None
+    for idx in order:
+        term = all_terms[idx]
+        seg, _, blob_all, pos_all = per_seg[src[idx]]
+        piece = shift_blob(
+            blob_all[all_off[idx] : all_off[idx] + all_len[idx]], seg["doc_offset"]
+        )
+        ppiece = (pos_all[all_poff[idx] : all_poff[idx] + all_plen[idx]]
+                  if has_pos else b"")
+        if term == prev:
+            blobs[-1] = blobs[-1] + piece
+            dfs[-1] += int(all_df[idx])
+            ttfs[-1] += int(all_ttf[idx])
+            if has_pos:
+                pos_blobs[-1] = pos_blobs[-1] + ppiece
+        else:
+            terms.append(term)
+            dfs.append(int(all_df[idx]))
+            ttfs.append(int(all_ttf[idx]))
+            blobs.append(piece)
+            if has_pos:
+                pos_blobs.append(ppiece)
+            prev = term
+    return terms, dfs, ttfs, blobs, (pos_blobs if has_pos else None)
+
+
+def _write_field_files(tmp: str, prefix: str, terms, dfs, ttfs, blobs,
+                       pos_blobs) -> int:
+    """Write one field's terms/postings(/positions) under ``tmp``; returns
+    postings byte count."""
+    offs = np.zeros(len(terms), dtype=np.int64)
+    lens_b = np.zeros(len(terms), dtype=np.int64)
+    pos = 0
+    with open(os.path.join(tmp, prefix + "postings.bin"), "wb") as f:
+        for i, b in enumerate(blobs):
+            f.write(b)
+            offs[i] = pos
+            lens_b[i] = len(b)
+            pos += len(b)
+    tcols = {
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array(np.asarray(dfs, dtype=np.int64)),
+        "ttf": pa.array(np.asarray(ttfs, dtype=np.int64)),
+        "off": offs,
+        "len": lens_b,
+    }
+    if pos_blobs is not None:
+        pos_offs = np.zeros(len(terms), dtype=np.int64)
+        pos_lens = np.zeros(len(terms), dtype=np.int64)
+        ppos = 0
+        with open(os.path.join(tmp, prefix + "positions.bin"), "wb") as f:
+            for i, b in enumerate(pos_blobs):
+                f.write(b)
+                pos_offs[i] = ppos
+                pos_lens[i] = len(b)
+                ppos += len(b)
+        tcols["pos_off"] = pos_offs
+        tcols["pos_len"] = pos_lens
+    pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
+    return int(pos)
 
 
 def shard_dir(index_dir: str, gen: int, shard_id: int) -> str:
@@ -157,49 +259,46 @@ def write_shard_files(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
-    offs = np.zeros(len(terms), dtype=np.int64)
-    lens_b = np.zeros(len(terms), dtype=np.int64)
-    pos = 0
-    with open(os.path.join(tmp, "postings.bin"), "wb") as f:
-        for i, b in enumerate(blobs):
-            f.write(b)
-            offs[i] = pos
-            lens_b[i] = len(b)
-            pos += len(b)
-    tcols = {
-        "term": pa.array(terms, pa.string()),
-        "df": pa.array(dfs, pa.int64()),
-        "ttf": pa.array(ttfs, pa.int64()),
-        "off": offs,
-        "len": lens_b,
-    }
-    if pos_blobs is not None:
-        pos_offs = np.zeros(len(terms), dtype=np.int64)
-        pos_lens = np.zeros(len(terms), dtype=np.int64)
-        ppos = 0
-        with open(os.path.join(tmp, "positions.bin"), "wb") as f:
-            for i, b in enumerate(pos_blobs):
-                f.write(b)
-                pos_offs[i] = ppos
-                pos_lens[i] = len(b)
-                ppos += len(b)
-        tcols["pos_off"] = pos_offs
-        tcols["pos_len"] = pos_lens
-    pq.write_table(pa.table(tcols), os.path.join(tmp, "terms.parquet"))
+    pos = _write_field_files(tmp, "", terms, dfs, ttfs, blobs, pos_blobs)
+
+    # extra fields: k-way merge per field (fields are typically far smaller
+    # than the content field, so they ride along in the same shard task)
+    segs_sorted = sorted(shard["segments"], key=lambda s: s["seg_ord"])
+    extra_fields = list_extra_fields(
+        os.path.join(index_dir, segs_sorted[0]["dir"]))
+    field_meta: dict[str, dict] = {}
+    for fname in extra_fields:
+        prefix = fprefix(fname)
+        per_seg = [_read_seg_field(index_dir, seg, prefix)
+                   for seg in segs_sorted]
+        f_terms, f_dfs, f_ttfs, f_blobs, f_pblobs = _kway_merge(per_seg)
+        _write_field_files(tmp, prefix, f_terms, f_dfs, f_ttfs,
+                           f_blobs, f_pblobs)
+        with open(os.path.join(tmp, prefix + "norms.bin"), "wb") as f:
+            for seg in segs_sorted:
+                sd = os.path.join(index_dir, seg["dir"])
+                with open(os.path.join(sd, prefix + "norms.bin"), "rb") as g:
+                    f.write(g.read())
+        field_meta[fname] = {"num_terms": len(f_terms)}
 
     norm_parts = []
     docmaps = []
     sum_tf = 0
+    field_sum_tf: dict[str, int] = {}
     hot_union: dict[str, int] = {}
-    for seg in shard["segments"]:
+    for seg in segs_sorted:
         sd = os.path.join(index_dir, seg["dir"])
         with open(os.path.join(sd, "norms.bin"), "rb") as f:
             norm_parts.append(f.read())
         docmaps.append(pq.read_table(os.path.join(sd, "docmap.parquet")))
         sm = mf.read_json(os.path.join(sd, mf.SEGMENT_MANIFEST))
         sum_tf += sm["sum_tf"]
+        for fn, fm in sm.get("fields", {}).items():
+            field_sum_tf[fn] = field_sum_tf.get(fn, 0) + int(fm["sum_tf"])
         for t, d in sm.get("hot_terms", {}).items():
             hot_union[t] = hot_union.get(t, 0) + d
+    for fn in field_meta:
+        field_meta[fn]["sum_tf"] = field_sum_tf.get(fn, 0)
     with open(os.path.join(tmp, "norms.bin"), "wb") as f:
         for p in norm_parts:
             f.write(p)
@@ -220,6 +319,7 @@ def write_shard_files(
             "num_docs": shard["num_docs"],
             "sum_tf": sum_tf,
             "num_terms": len(terms),
+            "fields": field_meta,
             "hot_terms": hot_top,
             "lineage": {"segments": [s["dir"] for s in shard["segments"]]},
             "metrics": metrics,
@@ -267,65 +367,11 @@ def local_merge_shard(index_dir: str, out_dir: str, shard: dict) -> dict:
         m = mf.read_json(os.path.join(out_dir, mf.SEGMENT_MANIFEST))
         return {**m["metrics"], "shard_id": shard["shard_id"],
                 "num_docs": m["num_docs"], "sum_tf": m["sum_tf"], "skipped": True}
-    per_seg = []
-    for seg in sorted(shard["segments"], key=lambda s: s["seg_ord"]):
-        sd = os.path.join(index_dir, seg["dir"])
-        t = pq.read_table(os.path.join(sd, "terms.parquet"))
-        with open(os.path.join(sd, "postings.bin"), "rb") as f:
-            blob_all = f.read()
-        pos_all = b""
-        if "pos_off" in t.column_names:
-            with open(os.path.join(sd, "positions.bin"), "rb") as f:
-                pos_all = f.read()
-        per_seg.append((seg, t, blob_all, pos_all))
-
-    # k-way merge over already-sorted term lists, vectorized with one argsort
-    all_terms = np.concatenate([np.asarray(t["term"].to_pylist(), dtype=object)
-                                for _, t, _, _ in per_seg])
-    all_ord = np.concatenate([np.full(len(t), s["seg_ord"], dtype=np.int32)
-                              for s, t, _, _ in per_seg])
-    all_df = np.concatenate([t["df"].to_numpy() for _, t, _, _ in per_seg])
-    all_ttf = np.concatenate([t["ttf"].to_numpy() for _, t, _, _ in per_seg])
-    all_off = np.concatenate([t["off"].to_numpy() for _, t, _, _ in per_seg])
-    all_len = np.concatenate([t["len"].to_numpy() for _, t, _, _ in per_seg])
-    has_pos = all("pos_off" in t.column_names for _, t, _, _ in per_seg)
-    if has_pos:
-        all_poff = np.concatenate([t["pos_off"].to_numpy() for _, t, _, _ in per_seg])
-        all_plen = np.concatenate([t["pos_len"].to_numpy() for _, t, _, _ in per_seg])
-    src = np.concatenate([np.full(len(t), i, dtype=np.int32)
-                          for i, (_, t, _, _) in enumerate(per_seg)])
-    order = np.lexsort((all_ord, all_terms))
-
-    terms: list[str] = []
-    dfs: list[int] = []
-    ttfs: list[int] = []
-    blobs: list[bytes] = []
-    pos_blobs: list[bytes] = []
-    prev = None
-    for idx in order:
-        term = all_terms[idx]
-        seg, _, blob_all, pos_all = per_seg[src[idx]]
-        piece = shift_blob(
-            blob_all[all_off[idx] : all_off[idx] + all_len[idx]], seg["doc_offset"]
-        )
-        ppiece = (pos_all[all_poff[idx] : all_poff[idx] + all_plen[idx]]
-                  if has_pos else b"")
-        if term == prev:
-            blobs[-1] = blobs[-1] + piece
-            dfs[-1] += int(all_df[idx])
-            ttfs[-1] += int(all_ttf[idx])
-            if has_pos:
-                pos_blobs[-1] = pos_blobs[-1] + ppiece
-        else:
-            terms.append(term)
-            dfs.append(int(all_df[idx]))
-            ttfs.append(int(all_ttf[idx]))
-            blobs.append(piece)
-            if has_pos:
-                pos_blobs.append(ppiece)
-            prev = term
+    per_seg = [_read_seg_field(index_dir, seg, "")
+               for seg in sorted(shard["segments"], key=lambda s: s["seg_ord"])]
+    terms, dfs, ttfs, blobs, pos_blobs = _kway_merge(per_seg)
     return write_shard_files(
         index_dir, out_dir, shard, terms,
-        np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64), blobs,
-        pos_blobs if has_pos else None,
+        np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64),
+        blobs, pos_blobs,
     )

@@ -55,15 +55,20 @@ class LeafSearcher:
     and cached across query batches."""
 
     def __init__(self, leaf_dir: str, doc_base: int, leaf_ord: int, num_docs: int,
-                 deletes_path: str | None = None):
+                 deletes_path: str | None = None, field: str | None = None):
+        from ..state.fields import fprefix
+
         self.dir = leaf_dir
+        self.field = field
+        fp = fprefix(field)
         # liveDocs bitmap (None = no deletes); stats stay pre-delete like the
         # reference until expunge (codecs/LiveDocsFormat.java semantics)
         self.live = np.load(deletes_path) if deletes_path else None
         self.doc_base = doc_base
         self.ord = leaf_ord
         self.num_docs = num_docs
-        t = pq.read_table(os.path.join(leaf_dir, "terms.parquet"))
+        self._siblings: dict[str, LeafSearcher] = {}
+        t = pq.read_table(os.path.join(leaf_dir, fp + "terms.parquet"))
         # Term dict as compact UTF-8 bytes + offsets (BlockTreeTermsReader's
         # byte-oriented dict, NOT a Python object array): one bytes buffer +
         # an int offset array; lookups bisect with C-level memcmp. UTF-8 byte
@@ -90,7 +95,8 @@ class LeafSearcher:
         self.off = t["off"].to_numpy()
         self.len = t["len"].to_numpy()
         self.postings_mm = (
-            np.memmap(os.path.join(leaf_dir, "postings.bin"), dtype=np.uint8, mode="r")
+            np.memmap(os.path.join(leaf_dir, fp + "postings.bin"),
+                      dtype=np.uint8, mode="r")
             if self.len.sum() > 0
             else np.zeros(0, dtype=np.uint8)
         )
@@ -99,16 +105,33 @@ class LeafSearcher:
             self.pos_off = t["pos_off"].to_numpy()
             self.pos_len = t["pos_len"].to_numpy()
             self.positions_mm = (
-                np.memmap(os.path.join(leaf_dir, "positions.bin"),
+                np.memmap(os.path.join(leaf_dir, fp + "positions.bin"),
                           dtype=np.uint8, mode="r")
                 if self.pos_len.sum() > 0
                 else np.zeros(0, dtype=np.uint8)
             )
         self.norms = np.frombuffer(
-            open(os.path.join(leaf_dir, "norms.bin"), "rb").read(), dtype=np.uint8
+            open(os.path.join(leaf_dir, fp + "norms.bin"), "rb").read(),
+            dtype=np.uint8
         )
         self._docmap = None
         self._filter_cache: dict = {}  # CachingWrapperFilter analogue (per leaf)
+
+    def sibling(self, field: str | None) -> "LeafSearcher":
+        """The same segment's reader for another indexed field (shared docID
+        space / liveDocs / docmap; per-field terms+postings+norms files —
+        the FieldInfos per-field reader, ``index/FieldInfos.java``)."""
+        if field == self.field or (field is None and self.field is None):
+            return self
+        if self.field is not None:
+            raise ValueError("sibling() must be called on the default-field reader")
+        ls = self._siblings.get(field)
+        if ls is None:
+            ls = LeafSearcher(self.dir, self.doc_base, self.ord, self.num_docs,
+                              field=field)
+            ls.live = self.live  # share tombstones
+            self._siblings[field] = ls
+        return ls
 
     def term_at(self, ti: int) -> bytes:
         o = self._toff
@@ -211,16 +234,40 @@ class SearchContext:
     coll: bm25.CollectionStats
     term_stats: dict[str, tuple[int, int]]  # term -> (df, ttf) summed over leaves
     similarity: str = "bm25"
+    # per-NAMED-field statistics (default field uses the unqualified members):
+    # field -> CollectionStats (same max_doc, per-field sumTotalTermFreq) and
+    # field -> {term -> (df, ttf)} — Lucene's CollectionStatistics/TermStatistics
+    # are always per field (search/IndexSearcher.java:929-945)
+    field_colls: dict[str, bm25.CollectionStats] | None = None
+    field_term_stats: dict[str, dict[str, tuple[int, int]]] | None = None
 
     def __post_init__(self):
         self.cache = bm25.norm_cache(self.coll.avgdl)
-        self._wv: dict[tuple[str, float], np.float32] = {}
+        self._wv: dict[tuple[str | None, str, float], np.float32] = {}
+        self._fcaches: dict[str, np.ndarray] = {}
 
-    def weight(self, term: str, boost: float) -> np.float32:
-        key = (term, boost)
+    def cache_for(self, field: str | None) -> np.ndarray:
+        if field is None:
+            return self.cache
+        c = self._fcaches.get(field)
+        if c is None:
+            coll = (self.field_colls or {}).get(field)
+            if coll is None:
+                raise KeyError(f"no collection stats for field {field!r}")
+            c = bm25.norm_cache(coll.avgdl)
+            self._fcaches[field] = c
+        return c
+
+    def stats_for(self, field: str | None, term: str) -> tuple[int, int]:
+        if field is None:
+            return self.term_stats.get(term, (0, 0))
+        return (self.field_term_stats or {}).get(field, {}).get(term, (0, 0))
+
+    def weight(self, term: str, boost: float, field: str | None = None) -> np.float32:
+        key = (field, term, boost)
         w = self._wv.get(key)
         if w is None:
-            df = self.term_stats.get(term, (0, 0))[0]
+            df = self.stats_for(field, term)[0]
             w = bm25.weight_value(bm25.idf(df, self.coll.max_doc), boost)
             self._wv[key] = w
         return w
@@ -241,13 +288,15 @@ def collect_leaf_stats(leaf: LeafSearcher, terms: list[str]) -> dict[str, tuple[
 
 
 def _scores_for_term(
-    leaf: LeafSearcher, ctx: SearchContext, term: str, boost: float
+    leaf: LeafSearcher, ctx: SearchContext, term: str, boost: float,
+    field: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    docids, tfs = leaf.postings(term)
+    lf = leaf.sibling(field)
+    docids, tfs = lf.postings(term)
     if len(docids) == 0:
         return docids, np.empty(0, dtype=np.float32)
-    wv = ctx.weight(term, boost)
-    scores = bm25.score_postings(tfs, leaf.norms[docids], wv, ctx.cache)
+    wv = ctx.weight(term, boost, field)
+    scores = bm25.score_postings(tfs, lf.norms[docids], wv, ctx.cache_for(field))
     return docids, scores
 
 
@@ -346,23 +395,27 @@ def _execute_raw(
     q: Query, leaf: LeafSearcher, ctx: SearchContext, boost: float = 1.0
 ) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(q, TermQuery):
-        return _scores_for_term(leaf, ctx, q.term, boost * q.boost)
+        return _scores_for_term(leaf, ctx, q.term, boost * q.boost, q.field)
     if isinstance(q, MatchAllDocsQuery):
         docs = np.arange(leaf.num_docs, dtype=np.int64)
         return docs, np.full(leaf.num_docs, np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, PrefixQuery):
-        docs = _const_docs(leaf, leaf.prefix_range(q.prefix))
+        lf = leaf.sibling(q.field)
+        docs = _const_docs(lf, lf.prefix_range(q.prefix))
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, TermRangeQuery):
+        lf = leaf.sibling(q.field)
         docs = _const_docs(
-            leaf, leaf.term_range(q.lower, q.upper, q.include_lower, q.include_upper)
+            lf, lf.term_range(q.lower, q.upper, q.include_lower, q.include_upper)
         )
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, WildcardQuery):
-        docs = _const_docs_of(leaf, _expand_wildcard(leaf, q.pattern))
+        lf = leaf.sibling(q.field)
+        docs = _const_docs_of(lf, _expand_wildcard(lf, q.pattern))
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, FuzzyQuery):
-        docs = _const_docs_of(leaf, _expand_fuzzy(leaf, q.term, q.max_edits))
+        lf = leaf.sibling(q.field)
+        docs = _const_docs_of(lf, _expand_fuzzy(lf, q.term, q.max_edits))
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, DisjunctionMaxQuery):
         return _execute_dismax(q, leaf, ctx, boost)
@@ -406,6 +459,7 @@ def _execute_phrase(
 
     Either way the match count scores like a term with tf=freq and
     idf = float32 sum of the terms' idfs (BM25Similarity.idfExplain)."""
+    leaf = leaf.sibling(q.field)
     if not leaf.has_positions:
         raise ValueError("index was built without positions (store_positions)")
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
@@ -447,11 +501,12 @@ def _execute_phrase(
     # idf = float32 += accumulation over the phrase's terms (idfExplain)
     sum_idf = np.float32(0.0)
     for t in q.terms:
-        df = ctx.term_stats.get(t, (0, 0))[0]
+        df = ctx.stats_for(q.field, t)[0]
         sum_idf = np.float32(sum_idf + bm25.idf(df, ctx.coll.max_doc))
     wv = bm25.weight_value(sum_idf, boost * q.boost)
     scores = bm25.score_postings(
-        freqs[match].astype(np.uint32), leaf.norms[docids], wv, ctx.cache
+        freqs[match].astype(np.uint32), leaf.norms[docids], wv,
+        ctx.cache_for(q.field)
     )
     return docids, scores
 
@@ -535,7 +590,11 @@ def _tfs_for_targets(
 
 
 def _bool_all_terms(q: BooleanQuery) -> bool:
-    return all(isinstance(c.query, TermQuery) for c in q.clauses)
+    # default-field TermQueries only: the leapfrog path reads the default
+    # leaf's term dict directly, so field-qualified clauses take the generic
+    # path (which dispatches to sibling field readers)
+    return all(isinstance(c.query, TermQuery) and c.query.field is None
+               for c in q.clauses)
 
 
 def _execute_bool_terms_leapfrog(
@@ -679,22 +738,24 @@ def explain(
                 "description": desc, "details": list(details)}
 
     if isinstance(q, TermQuery):
-        docids, tfs = leaf.postings(q.term)
+        lf = leaf.sibling(q.field)
+        docids, tfs = lf.postings(q.term)
         i = int(np.searchsorted(docids, docid))
         if i >= len(docids) or docids[i] != docid:
             return node(False, 0.0, f"no matching term {q.term!r}")
-        df = ctx.term_stats.get(q.term, (0, 0))[0]
+        df = ctx.stats_for(q.field, q.term)[0]
         term_idf = bm25.idf(df, ctx.coll.max_doc)
-        wv = ctx.weight(q.term, boost * q.boost)
-        nb = int(leaf.norms[docid])
+        wv = ctx.weight(q.term, boost * q.boost, q.field)
+        nb = int(lf.norms[docid])
         sc = bm25.score_postings(
-            tfs[i : i + 1], leaf.norms[docid : docid + 1], wv, ctx.cache)[0]
+            tfs[i : i + 1], lf.norms[docid : docid + 1], wv,
+            ctx.cache_for(q.field))[0]
         return node(True, sc,
                     f"weight({q.term} in {docid}) [BM25], product of:",
                     [node(True, term_idf,
                           f"idf(docFreq={df}, maxDocs={ctx.coll.max_doc})"),
                      node(True, float(tfs[i]), "termFreq"),
-                     node(True, float(ctx.cache[nb]),
+                     node(True, float(ctx.cache_for(q.field)[nb]),
                           f"normCache[normByte={nb}] (k1=1.2, b=0.75, "
                           f"avgdl={float(ctx.coll.avgdl)})")])
     if isinstance(q, BooleanQuery):

@@ -90,11 +90,13 @@ class _TermBlocks:
 def _wand_terms(q: Query) -> list[tuple[str, float]] | None:
     """Terms of a WAND-eligible query, in clause order; None if ineligible."""
     if isinstance(q, TermQuery):
-        return [(q.term, q.boost)]
+        # field-qualified terms take the exhaustive path (per-field norms)
+        return [(q.term, q.boost)] if q.field is None else None
     if isinstance(q, BooleanQuery) and q.min_should_match <= 1 and q.clauses:
         out = []
         for c in q.clauses:
-            if c.occur != SHOULD or not isinstance(c.query, TermQuery):
+            if (c.occur != SHOULD or not isinstance(c.query, TermQuery)
+                    or c.query.field is not None):
                 return None
             out.append((c.query.term, c.query.boost * q.boost))
         return out

@@ -1,0 +1,36 @@
+"""Per-field segment file naming (the FieldInfos file-layout contract).
+
+The default (content) field keeps the unprefixed legacy names
+(``terms.parquet``, ``postings.bin``, ``norms.bin``, ``positions.bin``);
+every additional field ``f`` stores the same four files prefixed
+``F.<f>.`` in the SAME segment directory, sharing the segment's docID
+space, liveDocs and docmap. Re-expresses (NOT ports) Lucene's per-field
+postings/norms files (``index/FieldInfos.java``,
+``codecs/perfield/PerFieldPostingsFormat.java:54`` — per-field suffixed
+files inside one segment).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+
+
+def fprefix(field: str | None) -> str:
+    """File-name prefix for a field (empty for the default field)."""
+    if not field:
+        return ""
+    if not _NAME_RE.match(field):
+        raise ValueError(f"illegal field name {field!r} (need [A-Za-z0-9_-]+)")
+    return f"F.{field}."
+
+
+def list_extra_fields(seg_dir: str) -> list[str]:
+    """Names of the extra fields present in a segment directory."""
+    out = []
+    for n in os.listdir(seg_dir):
+        if n.startswith("F.") and n.endswith(".terms.parquet"):
+            out.append(n[2 : -len(".terms.parquet")])
+    return sorted(out)

@@ -1,0 +1,157 @@
+"""Multi-field schema tests: per-field term dict / postings / norms /
+collection stats, ``field:term`` queries, cross-field booleans, and field
+survival through merge + delete + expunge. Mirrors TestFieldInfos /
+multi-field query coverage (``index/FieldInfos.java``,
+``index/Term.java`` (field, text) pairs)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.oracle import OracleIndex
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.deletes import delete_by_query, expunge_deletes
+from lucene_solr_old_ray.pipelines.merge import merge_index
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import (
+    BooleanClause,
+    BooleanQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    WildcardQuery,
+    parse,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec, generate_corpus
+from lucene_solr_old_ray.state import manifest as mf
+
+K = 10
+F = np.float32
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("c") / "corpus.parquet")
+    generate_corpus(p, 600, seed=11, rows_per_group=100)
+    t = pq.read_table(p)
+    return p, t["content"].to_pylist(), t["path"].to_pylist()
+
+
+@pytest.fixture(scope="module")
+def oracles(corpus):
+    # the path field is analyzed with the same standard chain in this test,
+    # so a second single-field oracle over the path strings is exact
+    return OracleIndex(corpus[1]), OracleIndex(corpus[2])
+
+
+def _spec(path):
+    return CorpusSpec(
+        files=(path,),
+        extra_fields=(FieldSpec("pathf", "path", analyzer="standard"),),
+    )
+
+
+@pytest.fixture(scope="module", params=["segments", "merged"])
+def index(request, ray_session, corpus, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("i") / request.param)
+    build_index(_spec(corpus[0]), idx, target_docs_per_partition=150)
+    if request.param == "merged":
+        merge_index(idx, fan_in=2, strategy="local")
+        merge_index(idx, fan_in=2, strategy="termwise")
+    return idx
+
+
+def _expected_topk(scores: dict[int, float], k: int = K):
+    order = sorted(scores, key=lambda d: (-F(scores[d]), d))[:k]
+    return order, [F(scores[d]) for d in order]
+
+
+def test_field_stats_in_manifest(index, oracles):
+    man = mf.read_index_manifest(index)
+    fs = man["stats"]["fields"]
+    assert fs["pathf"]["sum_total_term_freq"] == oracles[1].sum_ttf
+
+
+def test_field_term_query(index, oracles):
+    _, opath = oracles
+    res = search(index, {0: TermQuery("m3", field="pathf")}, k=K).to_pandas()
+    want = opath.search(TermQuery("m3"), K)
+    assert res["docid"].tolist() == [w[0] for w in want]
+    np.testing.assert_array_equal(
+        res["score"].to_numpy(np.float32),
+        np.array([w[1] for w in want], dtype=np.float32))
+
+
+def test_field_term_query_wand_identical(index):
+    q = {0: TermQuery("m3", field="pathf")}
+    a = search(index, q, k=K, algo="exhaustive").to_pandas()
+    b = search(index, q, k=K, algo="wand").to_pandas()
+    assert a["docid"].tolist() == b["docid"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(np.float32),
+                                  b["score"].to_numpy(np.float32))
+
+
+def test_cross_field_must(index, oracles):
+    otext, opath = oracles
+    q = BooleanQuery((
+        BooleanClause("MUST", TermQuery("return")),
+        BooleanClause("MUST", TermQuery("m3", field="pathf")),
+    ))
+    res = search(index, {0: q}, k=K).to_pandas()
+    st = {d: s for d, s, _ in otext.search(TermQuery("return"), 10**9)}
+    sp = {d: s for d, s, _ in opath.search(TermQuery("m3"), 10**9)}
+    both = {d: F(F(st[d]) + F(sp[d])) for d in st if d in sp}
+    docs, scores = _expected_topk(both)
+    assert res["docid"].tolist() == docs
+    np.testing.assert_array_equal(res["score"].to_numpy(np.float32),
+                                  np.array(scores, dtype=np.float32))
+    assert res["total_hits"].iloc[0] == len(both)
+
+
+def test_parse_field_syntax(index, oracles):
+    otext, opath = oracles
+    res = search(index, {0: parse("pathf:m3 AND return")}, k=K).to_pandas()
+    st = {d: s for d, s, _ in otext.search(TermQuery("return"), 10**9)}
+    sp = {d: s for d, s, _ in opath.search(TermQuery("m3"), 10**9)}
+    # parser clause order: pathf:java first (float32 accumulation order)
+    both = {d: F(F(sp[d]) + F(st[d])) for d in sp if d in st}
+    docs, scores = _expected_topk(both)
+    assert res["docid"].tolist() == docs
+    np.testing.assert_array_equal(res["score"].to_numpy(np.float32),
+                                  np.array(scores, dtype=np.float32))
+
+
+def test_field_multiterm_and_phrase(index, oracles):
+    _, opath = oracles
+    qs = {
+        0: PrefixQuery("f1", field="pathf"),
+        1: WildcardQuery("m?", field="pathf"),
+        2: PhraseQuery(("src", "m3"), field="pathf"),
+    }
+    res = search(index, qs, k=K).to_pandas()
+    plain = {0: PrefixQuery("f1"), 1: WildcardQuery("m?"),
+             2: PhraseQuery(("src", "m3"))}
+    for qid, q in plain.items():
+        want = opath.search(q, K)
+        got = res[res["qid"] == qid].sort_values("rank")
+        assert got["docid"].tolist() == [w[0] for w in want], f"qid {qid}"
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(np.float32),
+            np.array([w[1] for w in want], dtype=np.float32),
+            err_msg=f"qid {qid}")
+
+
+def test_field_delete_expunge(ray_session, corpus, tmp_path_factory, oracles):
+    idx = str(tmp_path_factory.mktemp("i") / "del")
+    build_index(_spec(corpus[0]), idx, target_docs_per_partition=200)
+    delete_by_query(idx, TermQuery("m3", field="pathf"))
+    res = search(idx, {0: TermQuery("m3", field="pathf")}, k=K)
+    assert res.num_rows == 0
+    expunge_deletes(idx)
+    # post-expunge: field stats shrank, survivors still searchable by field
+    man = mf.read_index_manifest(idx)
+    assert man["stats"]["fields"]["pathf"]["sum_total_term_freq"] < \
+        oracles[1].sum_ttf
+    res2 = search(idx, {0: TermQuery("m4", field="pathf")}, k=K)
+    assert res2.num_rows > 0
+    assert search(idx, {0: TermQuery("m3", field="pathf")}, k=K).num_rows == 0
