@@ -171,28 +171,52 @@ class OracleIndex:
             ok = any(ed(t, q.term) <= q.max_edits for t in self.tf[d])
             return ok, F(boost * q.boost) if ok else F(0)
         if isinstance(q, PhraseQuery):
-            cand = None
+            streams = []
             for i, t in enumerate(q.terms):
                 ps = self.pos[d].get(t)
                 if not ps:
                     return False, F(0)
-                s = {p - i for p in ps}
-                if q.slop == 0:
-                    cand = s if cand is None else cand & s
-                elif cand is None:
-                    cand = s
-                else:
-                    cand = {c for c in cand
-                            if any(abs(x - c) <= q.slop for x in s)}
-                if not cand:
+                streams.append(sorted({p - i for p in ps}))
+            if q.slop == 0:
+                cand = set(streams[0])
+                for s in streams[1:]:
+                    cand &= set(s)
+                    if not cand:
+                        return False, F(0)
+                freq = F(len(cand))
+            elif len(q.terms) == 2 and q.terms[0] != q.terms[1]:
+                # independently-derived closed form of the SloppyPhraseScorer
+                # greedy walk for 2 distinct terms: merge both streams in
+                # (position, phrase-offset) order; each stream switch scores
+                # one match with distance = switch position - previous
+                # position (see stages/sloppy.py derivation)
+                merged = sorted([(p, 0) for p in streams[0]] +
+                                [(p, 1) for p in streams[1]])
+                freq = F(0)
+                for j in range(1, len(merged)):
+                    if merged[j][1] != merged[j - 1][1]:
+                        dist = merged[j][0] - merged[j - 1][0]
+                        if dist <= q.slop:
+                            freq = F(freq + F(F(1.0) / F(dist + 1)))
+                if freq == 0:
                     return False, F(0)
-            freq = len(cand)
+            else:
+                from .stages.sloppy import sloppy_freq_doc
+                import numpy as _np
+
+                tid: dict = {}
+                term_ids = [tid.setdefault(t, len(tid)) for t in q.terms]
+                freq = sloppy_freq_doc(
+                    [_np.asarray(s, dtype=_np.int64) for s in streams],
+                    term_ids, q.slop)
+                if freq == 0:
+                    return False, F(0)
             sum_idf = F(0)
             for t in q.terms:
                 df = self.df.get(t, 0)
                 sum_idf = F(sum_idf + F(math.log(1 + (self.n - df + 0.5) / (df + 0.5))))
             wv = F(F(sum_idf * F(boost * q.boost)) * F(F(1.2) + F(1.0)))
-            fr = F(freq)
+            fr = F(freq)  # float sloppyFreq for slop>0, integer count else
             norm = self.cache[self.norm_bytes[d]]
             return True, F(F(wv * fr) / F(fr + norm))
         if isinstance(q, BooleanQuery):

@@ -320,32 +320,18 @@ def phrase_sql(
     ordinals of the space-separated text (== the engine's post-analysis
     positions on this corpus, since every raw token consumes a position);
     ``pos_cap`` bounds the static ordinal join (docs here are far shorter).
-    slop > 0 uses the engine's proximity-window semantics (anchors whose
-    every term has an occurrence within slop of its expected position)."""
-    ctes = [base_ctes()]
+
+    slop > 0 (2 distinct terms) replicates Lucene's SloppyPhraseScorer
+    exactly via the merged-stream run form (see stages/sloppy.py): each
+    stream switch in (position, phrase-offset) order scores one match of
+    distance = switch gap; sloppyFreq folds 1/(d+1) in float32 MATCH ORDER
+    through a recursive CTE."""
     posd = f"""
 posd AS (
   SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
   CROSS JOIN range(1, {pos_cap + 1}) r(i)
   WHERE i <= len(toks)
-)"""
-    joins = []
-    conds = [f"t0.term = '{terms[0]}'"]
-    for i in range(1, len(terms)):
-        if slop == 0:
-            on = f"t{i}.p = t0.p + {i}"
-        else:
-            on = f"t{i}.p BETWEEN t0.p + {i} - {slop} AND t0.p + {i} + {slop}"
-        joins.append(f"JOIN posd t{i} ON t{i}.doc_id = t0.doc_id AND {on}")
-        conds.append(f"t{i}.term = '{terms[i]}'")
-    agg = "count(*)" if slop == 0 else "count(DISTINCT t0.p)"
-    hits = f"""
-hits AS (
-  SELECT t0.doc_id AS doc_id, {agg} AS freq
-  FROM posd t0 {' '.join(joins)}
-  WHERE {' AND '.join(conds)}
-  GROUP BY t0.doc_id
 )"""
     idf_acc = "CAST(0 AS REAL)"
     for i, t in enumerate(terms):
@@ -357,12 +343,82 @@ hits AS (
         idf_acc = f32(f"{idf_acc} + {idf_i}")
     wv = f32(f"{f32(idf_acc + ' * CAST(1 AS REAL)')} * {K1P1}")
     num = f32(f"{wv} * CAST(h.freq AS REAL)")
-    return f"""WITH {",".join(ctes)},{posd},{hits}
+    tail = f"""
 SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
   FROM (SELECT h.doc_id AS doc_id, {f32(num + ' / ' + f32("CAST(h.freq AS REAL) + dc.cache"))} AS score
         FROM hits h JOIN doccache dc ON dc.doc_id = h.doc_id)
 ) WHERE rank <= {k} ORDER BY rank"""
+
+    if slop == 0:
+        joins = []
+        conds = [f"t0.term = '{terms[0]}'"]
+        for i in range(1, len(terms)):
+            joins.append(f"JOIN posd t{i} ON t{i}.doc_id = t0.doc_id "
+                         f"AND t{i}.p = t0.p + {i}")
+            conds.append(f"t{i}.term = '{terms[i]}'")
+        hits = f"""
+hits AS (
+  SELECT t0.doc_id AS doc_id, count(*) AS freq
+  FROM posd t0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY t0.doc_id
+)"""
+        return f"WITH {base_ctes()},{posd},{hits}{tail}"
+
+    if len(terms) != 2 or terms[0] == terms[1]:
+        raise NotImplementedError(
+            "sloppy phrase oracle SQL covers the 2-distinct-term closed form")
+    # zig-zag of strict successors (stages/sloppy.py derivation): the leader
+    # L alternates streams; each leader scores distance L - max(other <= L);
+    # next leader = min(other > L); float32 fold in match order
+    add = f32("z.acc + " + f32(f32("CAST(1 AS REAL) / CAST(z.d + 1 AS REAL)")))
+    fold = f"""
+mstream AS (
+  SELECT doc_id, p, 0 AS strm FROM posd WHERE term = '{terms[0]}'
+  UNION ALL
+  SELECT doc_id, p - 1 AS p, 1 AS strm FROM posd WHERE term = '{terms[1]}'
+),
+firsts AS (
+  SELECT doc_id,
+         min(CASE WHEN strm = 0 THEN p END) AS a0,
+         min(CASE WHEN strm = 1 THEN p END) AS b0
+  FROM mstream GROUP BY doc_id
+  HAVING a0 IS NOT NULL AND b0 IS NOT NULL
+),
+zig(doc_id, lead, s, d, acc, fin) AS (
+  SELECT f.doc_id,
+         CASE WHEN b0 >= a0 THEN b0 ELSE a0 END,
+         CASE WHEN b0 >= a0 THEN 1 ELSE 0 END,
+         CASE WHEN b0 >= a0 THEN b0 ELSE a0 END
+         - (SELECT max(m.p) FROM mstream m
+            WHERE m.doc_id = f.doc_id
+              AND m.strm = CASE WHEN b0 >= a0 THEN 0 ELSE 1 END
+              AND m.p <= CASE WHEN b0 >= a0 THEN b0 ELSE a0 END),
+         CAST(0 AS REAL), FALSE
+  FROM firsts f
+  UNION ALL
+  SELECT z.doc_id,
+         (SELECT min(m.p) FROM mstream m
+          WHERE m.doc_id = z.doc_id AND m.strm = 1 - z.s AND m.p > z.lead),
+         1 - z.s,
+         (SELECT min(m.p) FROM mstream m
+          WHERE m.doc_id = z.doc_id AND m.strm = 1 - z.s AND m.p > z.lead)
+         - (SELECT max(m.p) FROM mstream m
+            WHERE m.doc_id = z.doc_id AND m.strm = z.s
+              AND m.p <= (SELECT min(m2.p) FROM mstream m2
+                          WHERE m2.doc_id = z.doc_id AND m2.strm = 1 - z.s
+                            AND m2.p > z.lead)),
+         CASE WHEN z.d <= {slop} THEN {add} ELSE z.acc END,
+         (SELECT min(m.p) FROM mstream m
+          WHERE m.doc_id = z.doc_id AND m.strm = 1 - z.s AND m.p > z.lead)
+         IS NULL
+  FROM zig z WHERE NOT z.fin
+),
+hits AS (
+  SELECT doc_id, acc AS freq FROM zig WHERE fin AND acc > 0
+)"""
+    return f"WITH RECURSIVE {base_ctes()},{posd},{fold}{tail}"
 
 
 def bm25_sql(

@@ -443,22 +443,22 @@ def _execute_raw(
 def _execute_phrase(
     q: PhraseQuery, leaf: LeafSearcher, ctx: SearchContext, boost: float
 ):
-    """Phrase scoring over positions.
+    """Phrase scoring over positions, vectorized over the candidate docs.
 
     slop == 0: ExactPhraseScorer semantics (``search/ExactPhraseScorer.java:26``)
     — docs where term_i occurs at position p+i for some p; phrase freq =
-    number of such p.
+    number of such p. Computed as one k-way ``np.intersect1d`` over
+    (doc << 32 | shifted position) keys — no per-doc Python loop.
 
-    slop > 0: proximity-window semantics — an anchor p matches when every
-    term_i has an occurrence within ``slop`` of its expected position p+i;
-    freq = number of matching anchors. This is a DOCUMENTED DEVIATION from
-    the reference's SloppyPhraseScorer (``search/SloppyPhraseScorer.java:32``),
-    which counts non-overlapping minimal alignments weighted by
-    1/(matchLength+1); the window form is order-tolerant within the slop and
-    integer-valued, which keeps the oracle SQL exact.
+    slop > 0: Lucene-exact SloppyPhraseScorer semantics
+    (``search/SloppyPhraseScorer.java:32``): greedy minimal-alignment
+    matching; each match contributes ``1/(matchLength+1)``; freq is the
+    float32 running sum (see stages/sloppy.py). The 2-distinct-term case is
+    fully vectorized (closed form); longer/repeating phrases run the
+    faithful per-doc queue walk over the matched docs only.
 
-    Either way the match count scores like a term with tf=freq and
-    idf = float32 sum of the terms' idfs (BM25Similarity.idfExplain)."""
+    Either way the freq scores like a term with tf=freq and idf = float32
+    sum of the terms' idfs (BM25Similarity idfExplain / PhraseWeight)."""
     leaf = leaf.sibling(q.field)
     if not leaf.has_positions:
         raise ValueError("index was built without positions (store_positions)")
@@ -471,29 +471,58 @@ def _execute_phrase(
         base = base[np.isin(base, d, assume_unique=True)]
     if len(base) == 0:
         return empty
-    freqs = np.zeros(len(base), dtype=np.int64)
+
+    k = len(q.terms)
+    guard = k  # keeps shifted positions non-negative inside the packed key
+
+    def keys_for(i: int) -> np.ndarray:
+        """Sorted unique (base_index << 32 | pos - i + guard) keys of slot i
+        restricted to the base docs (flat multi-range gather)."""
+        d, _tfs, flat, starts = per_term[i]
+        j = np.searchsorted(d, base)
+        s0 = starts[j].astype(np.int64)
+        cnt = starts[j + 1].astype(np.int64) - s0
+        tot = int(cnt.sum())
+        if tot == 0:
+            return np.empty(0, dtype=np.int64)
+        ends = np.cumsum(cnt)
+        idx = np.arange(tot, dtype=np.int64) - np.repeat(ends - cnt, cnt) \
+            + np.repeat(s0, cnt)
+        pos = flat[idx].astype(np.int64) - i + guard
+        docs_rep = np.repeat(np.arange(len(base), dtype=np.int64), cnt)
+        return np.unique((docs_rep << 32) | pos)
+
+    keys = [keys_for(i) for i in range(k)]
     slop = q.slop
-    for bi, doc in enumerate(base):
-        cand = None
-        for i, (d, tfs, flat, starts) in enumerate(per_term):
-            j = int(np.searchsorted(d, doc))
-            pos_i = np.unique(flat[starts[j] : starts[j + 1]].astype(np.int64)) - i
-            if slop == 0:
-                cand = pos_i if cand is None else np.intersect1d(
-                    cand, pos_i, assume_unique=True)
-            else:
-                if cand is None:
-                    cand = pos_i
-                else:
-                    # keep anchors with some occurrence within +/- slop
-                    lo = np.searchsorted(pos_i, cand - slop, side="left")
-                    ok = (lo < len(pos_i)) & (
-                        pos_i[np.minimum(lo, len(pos_i) - 1)] <= cand + slop
-                    )
-                    cand = cand[ok]
+    if slop == 0:
+        cand = keys[0]
+        for kk in keys[1:]:
+            cand = np.intersect1d(cand, kk, assume_unique=True)
             if len(cand) == 0:
-                break
-        freqs[bi] = len(cand) if cand is not None else 0
+                return empty
+        di, cnt = np.unique(cand >> 32, return_counts=True)
+        freqs = np.zeros(len(base), dtype=np.float32)
+        freqs[di] = cnt
+    elif k == 2 and q.terms[0] != q.terms[1]:
+        from .sloppy import two_term_sloppy_freqs
+
+        freqs = two_term_sloppy_freqs(keys[0], keys[1], slop, len(base))
+    else:
+        from .sloppy import sloppy_freq_doc
+
+        tid = {}
+        term_ids = [tid.setdefault(t, len(tid)) for t in q.terms]
+        docs_of = [kk >> 32 for kk in keys]
+        pos_of = [kk & 0xFFFFFFFF for kk in keys]
+        freqs = np.zeros(len(base), dtype=np.float32)
+        for bi in range(len(base)):
+            plists = []
+            for i in range(k):
+                lo = int(np.searchsorted(docs_of[i], bi))
+                hi = int(np.searchsorted(docs_of[i], bi, side="right"))
+                plists.append(pos_of[i][lo:hi])
+            freqs[bi] = sloppy_freq_doc(plists, term_ids, slop)
+
     match = freqs > 0
     docids = base[match]
     if len(docids) == 0:
@@ -505,8 +534,7 @@ def _execute_phrase(
         sum_idf = np.float32(sum_idf + bm25.idf(df, ctx.coll.max_doc))
     wv = bm25.weight_value(sum_idf, boost * q.boost)
     scores = bm25.score_postings(
-        freqs[match].astype(np.uint32), leaf.norms[docids], wv,
-        ctx.cache_for(q.field)
+        freqs[match], leaf.norms[docids], wv, ctx.cache_for(q.field)
     )
     return docids, scores
 

@@ -1,0 +1,212 @@
+"""Lucene-exact sloppy phrase frequency.
+
+Re-expresses (NOT ports) ``search/SloppyPhraseScorer.java:32`` semantics:
+per matching doc, traverse the PhrasePositions (position = raw − phrase
+offset) with a priority queue of minimum position; every time the advancing
+minimum overtakes the queue head, one match is scored with
+``computeSlopFactor(matchLength) = 1/(matchLength+1)`` where matchLength is
+the smallest (end − min position) observed while minimizing; freq is the
+float32 running sum of slop factors (``TFIDFSimilarity.sloppyFreq``,
+``similarities/TFIDFSimilarity.java:562``). Repeated phrase terms are
+resolved by the collision protocol of ``SloppyPhraseScorer.advanceRpts``
+(the lesser of two same-raw-position repeats advances; displaced queue
+entries are re-queued).
+
+Two implementations, verified equivalent in tests:
+
+- :func:`sloppy_freq_doc` — the faithful per-doc queue walk (any number of
+  terms, repeats supported; single-term positions only — the engine has no
+  multi-term phrase slots).
+- :func:`two_term_sloppy_freqs` — a closed form for the dominant 2-distinct-
+  term case: the queue walk reduces to a zig-zag of STRICT successors.
+  While one stream leads at position L, only the chaser advances (ties keep
+  minimizing, they do not switch), so the match scored for leader L has
+  distance = L − max(chaser position ≤ L), and the next leader is the
+  smallest chaser position STRICTLY greater than L. Leaders therefore
+  alternate streams: L₀ = max(first_A, first_B) (tie → the later-popped
+  stream), L_{k+1} = min{other(L_k) > L_k}; one match per leader, including
+  the last (chaser exhaustion). This is also the form the DuckDB oracle SQL
+  uses (recursive CTE).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+F = np.float32
+
+
+def sloppy_freq_doc(pos_lists: list[np.ndarray], term_ids: list[int],
+                    slop: int) -> np.float32:
+    """Float32 sloppy freq of one doc.
+
+    ``pos_lists[i]``: sorted PHRASE positions (raw − i) of phrase slot i in
+    this doc; ``term_ids[i]``: identity of the slot's term (slots sharing a
+    term id form a repeat group). Returns 0.0 if no match.
+    """
+    k = len(pos_lists)
+    pos = [p.astype(np.int64) for p in pos_lists]
+    cur = [0] * k          # current value index per slot
+    ptr = [0] * k          # next unread index per slot
+
+    def first_position(i: int) -> bool:
+        if len(pos[i]) == 0:
+            return False
+        cur[i] = int(pos[i][0])
+        ptr[i] = 1
+        return True
+
+    def next_position(i: int) -> bool:
+        if ptr[i] < len(pos[i]):
+            cur[i] = int(pos[i][ptr[i]])
+            ptr[i] += 1
+            return True
+        return False
+
+    for i in range(k):
+        if not first_position(i):
+            return F(0.0)
+
+    # repeat groups: slots sharing a term, sorted by phrase offset
+    groups: dict[int, list[int]] = {}
+    for i, t in enumerate(term_ids):
+        groups.setdefault(t, []).append(i)
+    rpt_groups = [sorted(v) for v in groups.values() if len(v) > 1]
+    rpt_of = {}
+    rpt_ind = {}
+    for g, rg in enumerate(rpt_groups):
+        for j, i in enumerate(rg):
+            rpt_of[i] = g
+            rpt_ind[i] = j
+
+    end = max(cur)
+
+    def advance_pp(i: int) -> bool:
+        nonlocal end
+        if not next_position(i):
+            return False
+        if cur[i] > end:
+            end = cur[i]
+        return True
+
+    if rpt_groups:
+        # advanceRepeatGroups: j-th slot of a group starts j occurrences in
+        # (no collisions at start)
+        for rg in rpt_groups:
+            for j in range(1, len(rg)):
+                for _ in range(j):
+                    if not advance_pp(rg[j]):
+                        return F(0.0)
+
+    heap = [(cur[i], i) for i in range(k)]
+    heapq.heapify(heap)
+
+    def collide(i: int) -> int:
+        """rg-index of a slot in i's group at the same RAW position, or -1."""
+        rg = rpt_groups[rpt_of[i]]
+        tp = cur[i] + i
+        for j, i2 in enumerate(rg):
+            if i2 != i and cur[i2] + i2 == tp:
+                return j
+        return -1
+
+    def advance_rpts(i: int) -> bool:
+        """Resolve collisions caused by advancing slot i; re-queue displaced
+        entries (SloppyPhraseScorer.advanceRpts protocol)."""
+        if i not in rpt_of:
+            return True
+        rg = rpt_groups[rpt_of[i]]
+        bits: set[int] = set()
+        k0 = rpt_ind[i]
+        pp = i
+        while True:
+            j = collide(pp)
+            if j < 0:
+                break
+            i2 = rg[j]
+            # lesser by (position, offset) advances
+            pp = i2 if (cur[i2], i2) < (cur[pp], pp) else pp
+            if not advance_pp(pp):
+                return False
+            if j != k0:
+                bits.add(j)
+        # re-queue every entry popped while flushing the displaced ones
+        if bits:
+            stack = []
+            while bits:
+                c, i2 = heapq.heappop(heap)
+                stack.append(i2)
+                if i2 in rpt_of and rpt_ind[i2] in bits:
+                    bits.discard(rpt_ind[i2])
+            for i2 in reversed(stack):
+                heapq.heappush(heap, (cur[i2], i2))
+        return True
+
+    freq = F(0.0)
+    _, pp = heapq.heappop(heap)
+    match_length = end - cur[pp]
+    next_pos = heap[0][0]
+    while advance_pp(pp):
+        if rpt_groups and not advance_rpts(pp):
+            break
+        if cur[pp] > next_pos:  # done minimizing the current match length
+            if match_length <= slop:
+                freq = F(freq + F(F(1.0) / F(match_length + 1)))
+            heapq.heappush(heap, (cur[pp], pp))
+            _, pp = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - cur[pp]
+        else:
+            ml2 = end - cur[pp]
+            if ml2 < match_length:
+                match_length = ml2
+    if match_length <= slop:
+        freq = F(freq + F(F(1.0) / F(match_length + 1)))
+    return freq
+
+
+def two_term_sloppy_freqs(
+    keys_a: np.ndarray, keys_b: np.ndarray, slop: int, n_docs: int
+) -> np.ndarray:
+    """Vectorized sloppy freqs for a 2-distinct-term phrase.
+
+    ``keys_a`` / ``keys_b``: sorted unique int64 ``(doc_index << 32) | pos``
+    keys of each term's PHRASE positions (already offset-shifted, with a
+    shared non-negativity guard added to pos). Returns float32 freq per doc
+    index (< n_docs), accumulating per-doc slop factors in match order.
+    """
+    freqs = np.zeros(n_docs, dtype=np.float32)
+    docs_a = keys_a >> 32
+    docs_b = keys_b >> 32
+    pos_a = (keys_a & 0xFFFFFFFF).astype(np.int64)
+    pos_b = (keys_b & 0xFFFFFFFF).astype(np.int64)
+    common = np.intersect1d(np.unique(docs_a), np.unique(docs_b),
+                            assume_unique=True)
+    a_lo = np.searchsorted(docs_a, common)
+    a_hi = np.searchsorted(docs_a, common, side="right")
+    b_lo = np.searchsorted(docs_b, common)
+    b_hi = np.searchsorted(docs_b, common, side="right")
+    for di, alo, ahi, blo, bhi in zip(common, a_lo, a_hi, b_lo, b_hi):
+        A = pos_a[alo:ahi]
+        B = pos_b[blo:bhi]
+        # zig-zag of strict successors (see module docstring)
+        streams = (A, B)
+        if B[0] >= A[0]:
+            lead, s = int(B[0]), 1  # tie -> the later-popped stream leads
+        else:
+            lead, s = int(A[0]), 0
+        freq = F(0.0)
+        while True:
+            other = streams[1 - s]
+            i = int(np.searchsorted(other, lead, side="right"))
+            d = int(lead - other[i - 1])  # i >= 1 by construction
+            if d <= slop:
+                freq = F(freq + F(F(1.0) / F(d + 1)))
+            if i >= len(other):
+                break  # chaser exhausted: the match above was the final one
+            lead = int(other[i])
+            s = 1 - s
+        freqs[int(di)] = freq
+    return freqs

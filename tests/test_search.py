@@ -75,7 +75,7 @@ def query_set():
         PhraseQuery(("return", "class")),          # exact phrase (positions)
         PhraseQuery(("get_index", "return")),
         PhraseQuery(("return", "zzz_missing")),    # 0 hits
-        PhraseQuery(("return", "class"), slop=2),  # proximity window
+        PhraseQuery(("return", "class"), slop=2),  # Lucene sloppy semantics
         PhraseQuery(("class", "return"), slop=3),
         WildcardQuery("get*"),
         WildcardQuery("*_index"),

@@ -1,0 +1,125 @@
+"""Lucene-exact SloppyPhraseScorer semantics tests.
+
+Ports the behavioral assertions of the reference's
+``core/src/test/org/apache/lucene/search/TestSloppyPhraseQuery.java``
+(slop thresholds for repeat-heavy queries, LUCENE-1310 / LUCENE-3412 cases)
+against stages/sloppy.py, plus a property check that the vectorized
+2-distinct-term closed form is bit-identical to the faithful queue walk,
+and an end-to-end check through the engine's phrase executor via the
+pure-Python OracleIndex (which shares semantics but not code paths)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_old_ray.oracle import OracleIndex
+from lucene_solr_old_ray.queries import PhraseQuery
+from lucene_solr_old_ray.stages.sloppy import sloppy_freq_doc, two_term_sloppy_freqs
+
+F = np.float32
+
+DOC_1 = "X A A A Y"                        # S_1 = "A A A"
+DOC_2 = "X A 1 2 3 A 4 5 6 A Y"           # S_2 = "A 1 2 3 A 4 5 6 A"
+DOC_3 = "X A A A A Y"
+DOC_1_B = "X A A A Y N N N N A A A Z"
+DOC_2_B = "X A 1 2 3 A 4 5 6 A Y N N N N A 1 2 3 A 4 5 6 A Z"
+DOC_3_B = "X A A A A Y N N N N A A A A Y"
+DOC_4 = "A A X A X B A X B B A A X B A A"
+DOC_5_3 = "H H H X X X H H H X X X H H H"
+DOC_5_4 = "H H H H"
+
+Q_1 = "A A A"
+Q_2 = "A 1 2 3 A 4 5 6 A"
+Q_4 = "X A A"
+Q_5_4 = "H H H H"
+
+
+def freq(doc: str, query: str, slop: int) -> float:
+    toks = doc.split()
+    qt = query.split()
+    streams = []
+    for i, t in enumerate(qt):
+        ps = sorted({p - i for p, w in enumerate(toks) if w == t})
+        if not ps:
+            return 0.0
+        streams.append(np.asarray(ps, dtype=np.int64))
+    tid: dict = {}
+    ids = [tid.setdefault(t, len(tid)) for t in qt]
+    return float(sloppy_freq_doc(streams, ids, slop))
+
+
+def test_doc4_query4_all_slops():
+    # only slop >= 1 matches; the 3rd run of A's provides the fuzzy match
+    for slop in range(30):
+        assert (freq(DOC_4, Q_4, slop) > 0) == (slop >= 1), slop
+
+
+def test_doc1_query1_all_slops_and_b_doc_scores_higher():
+    for slop in range(30):
+        f1 = freq(DOC_1, Q_1, slop)
+        f2 = freq(DOC_1_B, Q_1, slop)
+        assert f1 > 0 and f2 > 0
+        assert f2 > f1, (slop, f1, f2)
+
+
+def test_doc2_query1_slop_6_or_more():
+    for slop in range(30):
+        f1 = freq(DOC_2, Q_1, slop)
+        assert (f1 > 0) == (slop >= 6), slop
+        if f1 > 0:
+            assert freq(DOC_2_B, Q_1, slop) > f1
+
+
+def test_doc2_query2_all_slops():
+    for slop in range(30):
+        f1 = freq(DOC_2, Q_2, slop)
+        f2 = freq(DOC_2_B, Q_2, slop)
+        assert f1 > 0 and f2 > f1, slop
+
+
+def test_doc3_query1_all_slops():
+    for slop in range(30):
+        f1 = freq(DOC_3, Q_1, slop)
+        f2 = freq(DOC_3_B, Q_1, slop)
+        assert f1 > 0 and f2 > f1, slop
+
+
+def test_doc5_lucene3412_consistency():
+    for slop in range(3):
+        assert freq(DOC_5_4, Q_5_4, slop) > 0
+        assert freq(DOC_5_3, Q_5_4, slop) == 0
+
+
+def test_docstring_example_two_matches():
+    # SloppyPhraseScorer javadoc: "a b"~2 over "x a b a y" scores twice —
+    # "a b" (distance 0) and "b a" (distance 2)
+    got = freq("x a b a y", "a b", 2)
+    want = float(F(F(1.0) + F(F(1.0) / F(3.0))))
+    assert got == want
+
+
+def test_two_term_closed_form_matches_queue_walk():
+    rng = np.random.default_rng(99)
+    for _ in range(2000):
+        na, nb = rng.integers(1, 10), rng.integers(1, 10)
+        a = np.unique(rng.integers(0, 20, na)).astype(np.int64)
+        b = np.unique(rng.integers(0, 20, nb)).astype(np.int64) - 1
+        slop = int(rng.integers(0, 6))
+        f1 = float(sloppy_freq_doc([a, b], [0, 1], slop))
+        ka = np.sort((a + 4).astype(np.int64))
+        kb = np.sort((b + 4).astype(np.int64))
+        f2 = float(two_term_sloppy_freqs(ka, kb, slop, 1)[0])
+        assert f1 == f2, (a, b, slop, f1, f2)
+
+
+def test_oracle_index_uses_same_semantics():
+    # OracleIndex (independent pure-Python path) must produce freq-derived
+    # scores consistent with sloppy_freq_doc through the BM25 formula
+    docs = ["xx aa bb aa yy", "aa bb", "bb aa xx", "aa xx xx bb", "xx yy"]
+    oi = OracleIndex(docs)
+    res = oi.search(PhraseQuery(("aa", "bb"), slop=2), k=10)
+    assert [d for d, _, _ in res]  # matches exist
+    for d, score, _ in res:
+        assert np.isfinite(score) and score > 0
+    # matched doc set == docs with positive queue-walk freq
+    want = {i for i, t in enumerate(docs) if freq(t, "aa bb", 2) > 0}
+    assert {d for d, _, _ in res} == want
