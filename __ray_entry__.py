@@ -294,7 +294,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_old_ray.stages.dedup import dedup_clusters
 
     q["exact_dedup"] = exact_dedup
-    q["jaccard_pairs"] = lambda sf: jaccard_pairs(sf, threshold=0.95)
+    # scale path (prefix-filtered inverted index + distributed verify) is
+    # the oracle-checked default; the bitset variant stays for tests
+    from lucene_solr_old_ray.stages.dedup import jaccard_pairs_inverted
+    q["jaccard_pairs"] = lambda sf: jaccard_pairs_inverted(sf, threshold=0.95)
     q["dedup_clusters"] = lambda sf: dedup_clusters(sf, threshold=0.95)
 
     from lucene_solr_old_ray.stages.dedup import jaccard_ngram_pairs, simhash_pairs

@@ -251,25 +251,24 @@ def search(
                              "score": pd.Series([], dtype="float32"),
                              "hits": pd.Series([], dtype="int64")})
 
-    # TopDocs.merge: (score desc, leaf ord asc, per-leaf rank asc)
+    # TopDocs.merge: (score desc, leaf ord asc, per-leaf rank asc) — group
+    # the result frame ONCE (O(rows log rows)), not a per-qid scan
     out = {
         "qid": [], "rank": [], "docid": [], "score": [], "total_hits": [],
     }
-    for qid, _ in qitems:
-        sub = rows[rows["qid"] == qid]
-        hits = int(sub.drop_duplicates("leaf_ord")["hits"].sum()) if len(sub) else 0
-        if len(sub):
-            order = np.lexsort(
-                (sub["rank"].to_numpy(), sub["leaf_ord"].to_numpy(),
-                 -sub["score"].to_numpy(np.float32))
-            )[:k]
-            sel = sub.iloc[order]
-            n = len(sel)
-            out["qid"].extend([qid] * n)
-            out["rank"].extend(range(1, n + 1))
-            out["docid"].extend(sel["docid"].tolist())
-            out["score"].extend(sel["score"].tolist())
-            out["total_hits"].extend([hits] * n)
+    for qid, sub in rows.groupby("qid", sort=True):
+        hits = int(sub.drop_duplicates("leaf_ord")["hits"].sum())
+        order = np.lexsort(
+            (sub["rank"].to_numpy(), sub["leaf_ord"].to_numpy(),
+             -sub["score"].to_numpy(np.float32))
+        )[:k]
+        sel = sub.iloc[order]
+        n = len(sel)
+        out["qid"].extend([int(qid)] * n)
+        out["rank"].extend(range(1, n + 1))
+        out["docid"].extend(sel["docid"].tolist())
+        out["score"].extend(sel["score"].tolist())
+        out["total_hits"].extend([hits] * n)
     return pa.table(
         {
             "qid": pa.array(out["qid"], pa.int64()),

@@ -139,11 +139,8 @@ class SearchService:
         ])
         rows = pd.concat(frames, ignore_index=True)
         out = {"qid": [], "rank": [], "docid": [], "score": [], "total_hits": []}
-        for qid, _ in qitems:
-            sub = rows[rows["qid"] == qid]
-            hits = int(sub.drop_duplicates("leaf_ord")["hits"].sum()) if len(sub) else 0
-            if len(sub) == 0:
-                continue
+        for qid, sub in rows.groupby("qid", sort=True):
+            hits = int(sub.drop_duplicates("leaf_ord")["hits"].sum())
             order = np.lexsort((sub["rank"].to_numpy(), sub["leaf_ord"].to_numpy(),
                                 -sub["score"].to_numpy(np.float32)))[:k]
             sel = sub.iloc[order]

@@ -86,67 +86,83 @@ def lsh_topk(
     n_bits: int = 6,
     seed: int = 42,
 ) -> pa.Table:
-    """LSH-bucketed ANN: classic multi-table random-hyperplane LSH. The corpus
-    is bucketed by sign(H_t @ v) codes per table (one distributed pass over
-    the embeddings); each query scans only its own bucket plus Hamming-1
-    probes, per table, and scores candidates exactly. Approximate — recall
-    depends on the similarity structure (random vectors are the worst case;
-    recall measured in tests). -> (query_id, rank, vec_id, cos_bp)."""
+    """LSH ANN: multi-table random-hyperplane codes with Hamming-1 multi-probe.
+    The query-side probe sets are broadcast; each corpus batch codes its own
+    vectors, selects candidates by probe membership, scores them exactly and
+    emits a per-batch partial top-k — fully streaming, no bucket shuffle and
+    no driver-side index. Approximate — recall depends on the similarity
+    structure (random vectors are the worst case; measured in tests).
+    -> (query_id, rank, vec_id, cos_bp)."""
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
     qids, Q = _query_matrix(sf_dir, query_ids)
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    dim = len(t["embedding"][0])
     rng = np.random.default_rng(seed)
+    dim = Q.shape[1]
     H = rng.standard_normal((n_tables, n_bits, dim))
-    H_ref = ray.put(H)
     weights = 1 << np.arange(n_bits)
 
-    def code_batch(batch: pa.Table) -> pd.DataFrame:
-        H_l = ray.get(H_ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        v = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        frames = []
-        for ti in range(len(H_l)):
-            bits = (v @ H_l[ti].T) > 0
-            codes = (bits * weights).sum(axis=1).astype(np.int64)
-            frames.append(pd.DataFrame({"table": ti, "vec_id": ids, "code": codes}))
-        return pd.concat(frames, ignore_index=True)
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    codes = ds.map_batches(code_batch, batch_format="pyarrow").to_pandas()
-    by_code: dict[tuple[int, int], np.ndarray] = {
-        (int(ti), int(c)): g["vec_id"].to_numpy()
-        for (ti, c), g in codes.groupby(["table", "code"])
-    }
-
-    # full vectors for candidate scoring (id -> row)
-    ids_all = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    emb_all = _normalized(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
-    pos = {int(i): p for p, i in enumerate(ids_all)}
-
-    out = []
-    for qi, qid in enumerate(qids):
-        cand_set: set[int] = set()
+    # per-query probe sets (query-side bucketing is driver-tiny:
+    # queries x tables x (1 + n_bits) codes); membership of a corpus vector
+    # in a query's candidate set is a pure function of the vector's codes,
+    # so candidate selection + exact scoring run INSIDE each corpus batch —
+    # no bucket shuffle, no driver-side bucket dict, no full-matrix gather
+    probe_sets = []
+    for qi in range(len(qids)):
+        ps = []
         for ti in range(n_tables):
             bits = (Q[qi] @ H[ti].T) > 0
             code = int((bits * weights).sum())
-            probes = {code} | {code ^ (1 << b) for b in range(n_bits)}
-            for c in probes:
-                cand_set.update(by_code.get((ti, c), ()).tolist())
-        cand_set.discard(int(qid))
-        if not cand_set:
+            ps.append(frozenset({code} | {code ^ (1 << b)
+                                          for b in range(n_bits)}))
+        probe_sets.append(ps)
+    bcast = ray.put((qids, Q, H, probe_sets))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qids_l, Q_l, H_l, probes_l = ray.get(bcast)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        raw = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        v = _normalized(raw)
+        codes = np.empty((len(ids), len(H_l)), dtype=np.int64)
+        for ti in range(len(H_l)):
+            bits = (raw @ H_l[ti].T) > 0
+            codes[:, ti] = (bits * weights).sum(axis=1)
+        rows = []
+        for qi in range(len(qids_l)):
+            cand_mask = np.zeros(len(ids), dtype=bool)
+            for ti, probe in enumerate(probes_l[qi]):
+                cand_mask |= np.isin(codes[:, ti], list(probe))
+            cand_mask &= ids != qids_l[qi]
+            if not cand_mask.any():
+                continue
+            cids = ids[cand_mask]
+            sims = v[cand_mask] @ Q_l[qi]
+            take = min(k, len(cids))
+            sel = np.argpartition(-sims, take - 1)[:take]
+            rows.append(pd.DataFrame({
+                "query_id": qids_l[qi], "vec_id": cids[sel], "sim": sims[sel],
+            }))
+        if not rows:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    out = []
+    for qid in qids:
+        sub = parts[parts["query_id"] == qid]
+        if len(sub) == 0:
             continue
-        cand = np.asarray(sorted(cand_set), dtype=np.int64)
-        v = emb_all[[pos[int(c)] for c in cand]]
-        sims = v @ Q[qi]
-        order = np.lexsort((cand, -sims))[:k]
+        order = np.lexsort((sub["vec_id"].to_numpy(), -sub["sim"].to_numpy()))[:k]
+        sel = sub.iloc[order]
         out.append(pd.DataFrame({
             "query_id": qid,
-            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
-            "vec_id": cand[order],
-            "cos_bp": np.rint(sims[order] * 10000).astype(np.int64),
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+            "vec_id": sel["vec_id"].to_numpy(),
+            "cos_bp": np.rint(sel["sim"].to_numpy() * 10000).astype(np.int64),
         }))
     res = (pd.concat(out, ignore_index=True) if out
            else pd.DataFrame({"query_id": [], "rank": [], "vec_id": [], "cos_bp": []}))

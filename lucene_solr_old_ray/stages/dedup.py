@@ -4,12 +4,12 @@ MinHash+LSH (approximate, scale path), and embedding-cosine near-dup.
 Shapes:
 - exact: content-hash in map_batches -> groupby(hash) keep-first — one shuffle
   of (hash, doc_id) pairs only, never the content.
-- jaccard: inverted-index pair counting — (term, doc) rows -> groupby(term)
-  emits co-occurrence pairs -> groupby(pair) counts = |A ∩ B|, set sizes
-  broadcast -> Jaccard. Exact. At 10^12 scale the per-term pair blowup needs
-  prefix filtering (only emit pairs from each doc's rarest-first prefix of
-  length |d|-ceil(τ|d|)+1; guaranteed-complete for threshold τ) — documented
-  here, applied when ``prefix_filter=True``.
+- jaccard: inverted-index candidate generation with PPJoin-style prefix
+  filtering (default): each doc emits only its rarest-first token prefix of
+  length |d|-ceil(τ|d|)+1 (guaranteed-complete for threshold τ), candidate
+  pairs come from per-term groups over those prefixes, and a distributed
+  verify pass computes exact Jaccard with only the needed docs fetched.
+  ``prefix_filter=False`` falls back to full df² pair counting.
 - minhash_lsh: per-batch vectorized minhash signatures (128 perms, fixed
   seeds) -> explode to (band, band_hash, doc) -> groupby bands -> candidate
   pairs -> exact verification. Sub-quadratic; recall is probabilistic
@@ -151,12 +151,87 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def jaccard_pairs_inverted(sf_dir: str, threshold: float = 0.95) -> pa.Table:
-    """Exact token-set Jaccard via term-keyed pair counting (the general
-    path when the vocabulary is large; pairs explode with df^2, so at scale
-    this requires prefix filtering on rarest-first token order)."""
+def jaccard_pairs_inverted(
+    sf_dir: str, threshold: float = 0.95, prefix_filter: bool = True
+) -> pa.Table:
+    """Exact token-set Jaccard via term-keyed pair generation — the general
+    path when the vocabulary is large.
+
+    ``prefix_filter=True`` (default, the scale path): tokens get a global
+    rarest-first order (df asc, term asc); a doc with m distinct tokens
+    emits only its first ``m - ceil(threshold*m) + 1`` tokens. Complete for
+    the threshold: if J(A,B) >= t, the smallest-ordered shared token w
+    satisfies |A∩B| <= ceil(t|A|)-1 < t|A| whenever w is outside A's prefix
+    — contradiction — so w lies in BOTH prefixes and the pair surfaces in
+    w's group (PPJoin-style prefix filtering). Hot terms thus emit pairs
+    only from docs whose prefix reaches them — df² blowup on stop-word-like
+    terms disappears. Candidates are verified by a distributed exact-Jaccard
+    map with only the needed docs' token sets fetched.
+
+    ``prefix_filter=False``: full df² pair counting (exact intersections by
+    counting; no verify pass) — quadratic in hot-term df, test/debug only."""
     import ray
     from ray.data.aggregate import Count
+
+    if prefix_filter:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+
+        # global term order: df asc, term asc (per-batch partial counts,
+        # small driver combine; at 10^12 docs this becomes a groupby + join
+        # on rank, same shape)
+        def partial_df(batch: pa.Table) -> pd.DataFrame:
+            from collections import Counter
+
+            c: Counter = Counter()
+            for t in batch["text"].to_pylist():
+                c.update(set(_kept_tokens(t)))
+            return pd.DataFrame({"term": list(c.keys()),
+                                 "df": list(c.values())})
+
+        parts = ds.map_batches(partial_df, batch_format="pyarrow").to_pandas()
+        dfs = parts.groupby("term", as_index=False)["df"].sum()
+        dfs = dfs.sort_values(["df", "term"]).reset_index(drop=True)
+        rank = {t: i for i, t in enumerate(dfs["term"])}
+        rank_ref = ray.put(rank)
+        import math
+
+        def emit_prefix(batch: pa.Table) -> pd.DataFrame:
+            rk = ray.get(rank_ref)
+            out_r, out_d = [], []
+            for d, t in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+                toks = set(_kept_tokens(t))
+                m = len(toks)
+                if m == 0:
+                    continue
+                L = m - math.ceil(threshold * m) + 1
+                pref = sorted(rk[x] for x in toks)[:L]
+                out_r.extend(pref)
+                out_d.extend([d] * len(pref))
+            return pd.DataFrame({"r": pd.Series(out_r, dtype="int64"),
+                                 "doc_id": pd.Series(out_d, dtype="int64")})
+
+        def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                     "b": pd.Series([], dtype="int64")})
+            ii, jj = np.triu_indices(len(ids), 1)
+            return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+        cand = (
+            ds.map_batches(emit_prefix, batch_format="pyarrow")
+            .groupby("r")
+            .map_groups(emit_pairs, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(cand) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        cand = cand.drop_duplicates().reset_index(drop=True)
+        return _verify_pairs_distributed(sf_dir, cand, threshold)
 
     td = _term_doc_rows(sf_dir)
     # set sizes: small table, broadcast
@@ -203,29 +278,133 @@ def jaccard_pairs_inverted(sf_dir: str, threshold: float = 0.95) -> pa.Table:
 
 # --- MinHash + LSH ----------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _perm_params(n_perm: int, seed: int = 42):
+    """n_perm (a, b) pairs for the multiply-add uint64 hash family
+    perm(h) = a*h + b (mod 2^64), a odd — fully vectorizable (no 61-bit
+    modulus, which would need 128-bit products)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    a = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)
     return a, b
 
 
-def minhash_signature(tokens: set[str], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """128 x 61-bit universal-hash minima over FNV-hashed tokens."""
-    if not tokens:
-        return np.full(len(a), _MERSENNE, dtype=np.int64)
-    from .textstats import _stable_hash64
+def minhash_signatures_batch(
+    token_lists: list[list[str]], a: np.ndarray, b: np.ndarray,
+    chunk_tokens: int = 200_000,
+) -> np.ndarray:
+    """(n_docs, n_perm) uint64 minhash signatures, vectorized: one FNV hash
+    pass over every token, then per-permutation affine maps with a
+    segment-min (``np.minimum.reduceat``) over each doc's token range.
+    Empty docs get all-ones signatures. Memory-bounded by ``chunk_tokens``."""
+    from .textstats import stable_hash64_batch
 
-    # 61-bit modulus: products need 122 bits, so stay in Python-int space
-    hs = [int(_stable_hash64(t)) & _MERSENNE for t in tokens]
-    out = np.empty(len(a), dtype=np.int64)
-    for i in range(len(a)):
-        ai, bi = int(a[i]), int(b[i])
-        out[i] = min((ai * h + bi) % _MERSENNE for h in hs)
+    n = len(token_lists)
+    n_perm = len(a)
+    out = np.full((n, n_perm), _U64_MAX, dtype=np.uint64)
+    lo = 0
+    while lo < n:
+        hi = lo
+        tot = 0
+        while hi < n and (tot == 0 or tot + len(token_lists[hi]) <= chunk_tokens):
+            tot += len(token_lists[hi])
+            hi += 1
+        flat = [t for toks in token_lists[lo:hi] for t in toks]
+        counts = np.fromiter((len(t) for t in token_lists[lo:hi]),
+                             count=hi - lo, dtype=np.int64)
+        if len(flat):
+            H = stable_hash64_batch(flat)
+            starts = np.zeros(hi - lo, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            clamped = np.minimum(starts, len(H) - 1)
+            with np.errstate(over="ignore"):
+                M = a[:, None] * H[None, :] + b[:, None]  # (n_perm, tot)
+            sig = np.minimum.reduceat(M, clamped, axis=1).T  # (docs, n_perm)
+            sig[counts == 0] = _U64_MAX
+            out[lo:hi] = sig
+        lo = hi
     return out
+
+
+_BAND_SEED = np.uint64(0xCBF29CE484222325)
+_BAND_PRIME = np.uint64(0x100000001B3)
+
+
+def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 band keys: FNV-style fold of each band's
+    signature rows (vectorized across docs)."""
+    n, n_perm = sig.shape
+    rows_per_band = n_perm // bands
+    keys = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            k = np.full(n, _BAND_SEED, dtype=np.uint64)
+            for r in range(rows_per_band):
+                k = np.multiply(np.bitwise_xor(k, sig[:, bi * rows_per_band + r]),
+                                _BAND_PRIME, dtype=np.uint64)
+            keys[:, bi] = k
+    return keys
+
+
+def _fetch_token_sets(sf_dir: str, doc_ids: set[int]):
+    """Distributed fetch of ONLY the named docs' kept-token sets -> dict.
+    The corpus streams; each task keeps just its batch's needed docs, so the
+    driver materializes |doc_ids| sets, never the corpus."""
+    import ray
+
+    need_ref = ray.put(doc_ids)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def pick(batch: pa.Table) -> pd.DataFrame:
+        need = ray.get(need_ref)
+        out_d, out_t = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if d in need:
+                out_d.append(d)
+                out_t.append("\x00".join(sorted(set(_kept_tokens(t)))))
+        return pd.DataFrame({"doc_id": out_d, "toks": out_t})
+
+    picked = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return {int(d): (set(t.split("\x00")) if t else set())
+            for d, t in zip(picked["doc_id"], picked["toks"])}
+
+
+def _verify_pairs_distributed(
+    sf_dir: str, cand: pd.DataFrame, threshold: float
+) -> pa.Table:
+    """Exact-Jaccard verification of candidate (a, b) pairs as a distributed
+    map over candidate partitions with only the NEEDED docs' token sets
+    broadcast (never a full-corpus driver read)."""
+    import ray
+
+    needed = set(int(x) for x in cand["a"]) | set(int(x) for x in cand["b"])
+    sets_ref = ray.put(_fetch_token_sets(sf_dir, needed))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = ray.get(sets_ref)
+        rows = []
+        for x, y in zip(batch["a"], batch["b"]):
+            sa, sb = sets[int(x)], sets[int(y)]
+            u = len(sa | sb)
+            j = (len(sa & sb) / u) if u else 1.0
+            if j >= threshold:
+                rows.append((int(x), int(y), j))
+        return pd.DataFrame({
+            "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
+            "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
+            "jaccard": pd.Series([r[2] for r in rows], dtype="float64"),
+        })
+
+    verified = (
+        ray.data.from_pandas(cand.reset_index(drop=True))
+        .map_batches(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
 
 
 def minhash_lsh_pairs(
@@ -235,30 +414,29 @@ def minhash_lsh_pairs(
     bands: int = 16,
 ) -> pa.Table:
     """Approximate near-dup pairs: LSH candidates verified by exact Jaccard.
-    -> (doc_a, doc_b, jaccard). Rows-only check (probabilistic recall)."""
-    import ray
-    from ray.data.aggregate import Count  # noqa: F401 (doc parity)
+    -> (doc_a, doc_b, jaccard). Rows-only check (probabilistic recall).
 
-    rows_per_band = n_perm // bands
+    Scale shape: signatures vectorized per batch; banding shuffles only
+    (band, key, doc) triples; verification is a distributed map over the
+    candidate pairs with only the needed docs' token sets fetched."""
+    import ray
+
     a, b = _perm_params(n_perm)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        out_doc, out_band, out_hash = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = minhash_signature(set(_kept_tokens(t)), a, b)
-            for bi in range(bands):
-                h = hashlib.blake2b(
-                    sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes(),
-                    digest_size=8,
-                ).hexdigest()
-                out_doc.append(d)
-                out_band.append(bi)
-                out_hash.append(h)
-        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                         "band": pa.array(out_band, pa.int32()),
-                         "bhash": pa.array(out_hash, pa.string())})
+        ids = batch["doc_id"].to_pylist()
+        token_lists = [sorted(set(_kept_tokens(t)))
+                       for t in batch["text"].to_pylist()]
+        sig = minhash_signatures_batch(token_lists, a, b)
+        keys = _band_keys(sig, bands)
+        n = len(ids)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "bkey": pa.array(keys.reshape(-1).view(np.int64)),
+        })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
@@ -270,7 +448,7 @@ def minhash_lsh_pairs(
 
     cand = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby(["band", "bhash"])
+        .groupby(["band", "bkey"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
@@ -279,26 +457,7 @@ def minhash_lsh_pairs(
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
     cand = cand.drop_duplicates().reset_index(drop=True)
-
-    # exact verification of the (small) candidate set on the driver
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sets = {d: set(_kept_tokens(x))
-            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
-    rows = []
-    for x, y in zip(cand["a"], cand["b"]):
-        sa, sb = sets[int(x)], sets[int(y)]
-        u = len(sa | sb)
-        j = (len(sa & sb) / u) if u else 1.0
-        if j >= threshold:
-            rows.append((int(x), int(y), j))
-    rows.sort()
-    return pa.table({
-        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-    })
+    return _verify_pairs_distributed(sf_dir, cand, threshold)
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:
@@ -350,38 +509,61 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pa.Table:
     """SimHash near-dup pairs: 64-bit fingerprints banded into 4x16-bit keys
-    (pigeonhole: any pair within hamming distance <= 3*16/... practically,
-    pairs differing in <= max_hamming bits almost surely collide in >= 1 band
-    when max_hamming < 4*... for a guarantee, pairs with hamming <= 3 always
-    share a band; larger distances are probabilistic) -> candidates verified
-    by exact Hamming distance. -> (doc_a, doc_b, hamming)."""
-    from .textstats import fingerprints
+    (pigeonhole guarantee for hamming <= 3; larger distances probabilistic)
+    -> per-band groupby carries both fingerprints, so Hamming verification
+    happens INSIDE each group (vectorized popcount) — nothing but the final
+    pairs reaches the driver. -> (doc_a, doc_b, hamming)."""
+    import ray
 
-    fp = fingerprints(sf_dir).to_pandas()
-    sims = fp["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-    ids = fp["doc_id"].to_numpy()
-    cand: set[tuple[int, int]] = set()
-    for b in range(4):
-        band = (sims >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"id": ids, "band": band})
-        for _, g in df.groupby("band"):
-            if len(g) < 2:
-                continue
-            gi = np.sort(g["id"].to_numpy())
-            ii, jj = np.triu_indices(len(gi), 1)
-            cand.update(zip(gi[ii].tolist(), gi[jj].tolist()))
-    pos = {int(i): p for p, i in enumerate(ids)}
-    rows = []
-    for a, b in sorted(cand):
-        x = int(sims[pos[a]]) ^ int(sims[pos[b]])
-        h = bin(x).count("1")
-        if h <= max_hamming:
-            rows.append((a, b, h))
-    return pa.table({
-        "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-        "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-        "hamming": pa.array([r[2] for r in rows], pa.int64()),
-    })
+    from ..functions.analysis import tokenize_raw  # noqa: F401 (doc parity)
+    from .textstats import fingerprints_ds
+
+    fp = fingerprints_ds(sf_dir)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sims = np.asarray(batch["simhash"].to_pylist(),
+                          dtype=np.int64).view(np.uint64)
+        n = len(ids)
+        bands = np.arange(4, dtype=np.uint64)
+        keys = (sims[:, None] >> (bands[None, :] * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "bkey": pa.array(keys.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "sim": pa.array(np.repeat(sims.view(np.int64), 4)),
+        })
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ids = g["doc_id"].to_numpy()
+        sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), 1)
+        x = np.bitwise_xor(sims[ii], sims[jj])
+        h = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):  # vectorized popcount (bounded unroll)
+            h += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        keep = h <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
+                             "hamming": h[keep]})
+
+    out = (
+        fp.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "bkey"])
+        .map_groups(group_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (out.drop_duplicates(["doc_a", "doc_b"])
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def jaccard_ngram_pairs(
@@ -457,34 +639,53 @@ def jaccard_ngram_pairs(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+def embedding_dedup_pairs(
+    sf_dir: str, threshold: float = 0.4, target_block: int = 4096
+) -> pa.Table:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
-    Upper-triangle float64 block matmul against the broadcast matrix."""
+
+    EXACT all-pairs as a block-partitioned pairwise join: the corpus is cut
+    into row ranges; one task per block pair (i <= j) reads ITS two blocks
+    from storage, normalizes, and emits its tile of the similarity matrix.
+    Per-task memory is two blocks — nothing broadcasts the whole matrix and
+    the driver sees only result pairs. (Work is inherently O(N²/2) tiles;
+    for sub-quadratic near-dup at high thresholds use LSH/minhash paths.)"""
     import ray
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids_all = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-    mat_ref = ray.put((ids_all, emb))
+    path = f"{sf_dir}/embeddings.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    nblocks = max(1, (n + target_block - 1) // target_block)
+    bounds = np.linspace(0, n, nblocks + 1).astype(np.int64)
+    tiles = [{"i": i, "j": j} for i in range(nblocks)
+             for j in range(i, nblocks)]
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    def read_block(i: int):
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        t = t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        return ids, v / np.linalg.norm(v, axis=1, keepdims=True)
 
-    def block(batch: pa.Table) -> pd.DataFrame:
-        import ray as _r
+    def tile(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for i, j in zip(batch["i"], batch["j"]):
+            ids_a, va = read_block(int(i))
+            ids_b, vb = (ids_a, va) if i == j else read_block(int(j))
+            sims = va @ vb.T
+            ai, bj = np.nonzero(sims >= threshold)
+            keep = ids_a[ai] < ids_b[bj]
+            frames.append(pd.DataFrame({
+                "vec_a": ids_a[ai][keep], "vec_b": ids_b[bj][keep],
+                "cos_bp": np.rint(sims[ai, bj][keep] * 10000).astype(np.int64),
+            }))
+        if not frames:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cos_bp": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
 
-        ids_b = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        v = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        v = v / np.linalg.norm(v, axis=1, keepdims=True)
-        ids_g, m = _r.get(mat_ref)
-        sims = v @ m.T
-        bi, gj = np.nonzero(sims >= threshold)
-        keep = ids_b[bi] < ids_g[gj]  # upper triangle only
-        return pd.DataFrame({"vec_a": ids_b[bi][keep], "vec_b": ids_g[gj][keep],
-                             "cos_bp": np.rint(sims[bi, gj][keep] * 10000).astype(np.int64)})
-
-    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    ds = ray.data.from_items(tiles, override_num_blocks=len(tiles))
+    out = ds.map_batches(tile, batch_format="pandas", batch_size=1).to_pandas()
     out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)

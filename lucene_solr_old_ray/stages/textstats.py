@@ -29,6 +29,34 @@ def _stable_hash64(token: str) -> np.uint64:
     return h
 
 
+def stable_hash64_batch(tokens: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a over a token batch -> uint64 array, bit-identical to
+    :func:`_stable_hash64` per token. The sequential-per-byte recurrence is
+    run over byte POSITIONS (≤ max token length steps), vectorized across
+    all tokens at each step."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), count=n, dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    pad = np.zeros((n, maxlen), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    col = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - lens, lens)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pad[row, col] = flat
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            hj = np.bitwise_xor(h[active], pad[active, j].astype(np.uint64))
+            h[active] = np.multiply(hj, _FNV_PRIME, dtype=np.uint64)
+    return h
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Per-doc integer quality counters (exactly SQL-replicable)."""
     rows = {"doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)}
@@ -131,34 +159,58 @@ def lang_id(sf_dir: str) -> pa.Table:
 def fingerprints(sf_dir: str) -> pa.Table:
     """Deterministic doc fingerprints: Rabin-Karp-style rolling hash over the
     kept-token sequence + 64-bit SimHash over the token multiset."""
+    out = fingerprints_ds(sf_dir).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def fingerprints_ds(sf_dir: str):
+    """Streaming Dataset variant of :func:`fingerprints` (for downstream
+    distributed consumers like simhash banding)."""
 
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        rolls, sims = [], []
         mult = np.uint64(1000003)
-        for t in batch["text"].to_pylist():
-            toks = [x for x in tokenize_raw(t or "")
-                    if len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS]
-            h = np.uint64(0)
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in toks:
-                th = _stable_hash64(tok)
-                h = np.uint64((int(h) * int(mult) + int(th)) & 0xFFFFFFFFFFFFFFFF)
-                bits = (np.uint64(th) >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sim = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    sim |= 1 << i
-            rolls.append(np.int64(np.uint64(h).astype(np.int64)))
-            sims.append(np.int64(np.uint64(sim).astype(np.int64)))
+        tok_lists = [
+            [x for x in tokenize_raw(t or "")
+             if len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS]
+            for t in batch["text"].to_pylist()
+        ]
+        n = len(ids)
+        counts = np.fromiter((len(t) for t in tok_lists), count=n, dtype=np.int64)
+        flat = [tok for toks in tok_lists for tok in toks]
+        th = stable_hash64_batch(flat)  # one vectorized hash pass
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+
+        # rolling hash h = h*mult + th, folded over token RANKS (vectorized
+        # across docs; steps = max tokens per doc)
+        rolls = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(int(counts.max()) if n else 0):
+                active = counts > r
+                idx = starts[:-1][active] + r
+                rolls[active] = np.multiply(
+                    rolls[active], mult, dtype=np.uint64) + th[idx]
+
+        # simhash: per-doc signed bit sums via one reduceat per bit-plane
+        sims = np.zeros(n, dtype=np.uint64)
+        if len(th):
+            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            signed = 2 * bits - 1  # (total_tokens, 64)
+            acc = np.add.reduceat(signed, np.minimum(starts[:-1], len(th) - 1),
+                                  axis=0)
+            # reduceat quirk: equal consecutive indices (empty docs) return a
+            # single row instead of an empty sum — zero those docs
+            acc[counts == 0] = 0
+            sims = np.bitwise_or.reduce(
+                (acc > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :], axis=1)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "rolling_hash": pa.array(rolls, pa.int64()),
-                         "simhash": pa.array(sims, pa.int64())})
+                         "rolling_hash": pa.array(rolls.view(np.int64), pa.int64()),
+                         "simhash": pa.array(sims.view(np.int64), pa.int64())})
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
-    return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
-                                preserve_index=False)
+    return ds.map_batches(fp, batch_format="pyarrow")
