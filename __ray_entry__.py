@@ -67,6 +67,25 @@ def _index_for(sf_dir: str) -> str:
     return idx
 
 
+def _index_for_english(sf_dir: str) -> str:
+    """Second cached index: same documents, analyzer="english" (the standard
+    chain + PorterStemFilter — analyzer-registry strategy #3)."""
+    tag = sf_dir.strip("/").replace("/", "_") + "-en"
+    idx = os.path.join(_CACHE_ROOT, tag)
+    spec = CorpusSpec(
+        files=(os.path.join(sf_dir, "documents.parquet"),),
+        content_col="text", meta_cols=("doc_id", "lang", "source"),
+        analyzer="english")
+    n = pq.ParquetFile(spec.files[0]).metadata.num_rows
+    done = os.path.join(idx, ".complete")
+    if not os.path.exists(done):
+        build_index(spec, idx, target_docs_per_partition=max(64, n // 16))
+        merge_index(idx, fan_in=8, strategy="local")
+        with open(done, "w") as f:
+            f.write("ok")
+    return idx
+
+
 def _docid_to_doc_id(idx: str, table: pa.Table) -> pa.Table:
     """Map engine global docIDs to the corpus doc_id column via the docmap."""
     if table.num_rows == 0:
@@ -191,6 +210,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- multi-field: the `source` column is a second indexed field --------
     q["bm25_field_source_top10"] = lambda sf: _bm25_result(
         _index_for(sf), TermQuery("src3", field="source"))
+
+    # --- MultiTermQuery rewrites ------------------------------------------
+    from lucene_solr_old_ray.queries import FuzzyQuery, RegexpQuery
+
+    q["regexp_hits"] = lambda sf: _hits_result(
+        _index_for(sf), RegexpQuery("s(low|mall|park)"))
+    q["fuzzy_scored_top10"] = lambda sf: _bm25_result(
+        _index_for(sf), FuzzyQuery("spark", 2, rewrite="scoring_boolean"))
+
+    # --- english analyzer (Porter stemming) -------------------------------
+    def english_term_stats(sf_dir: str) -> pa.Table:
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        idx = _index_for_english(sf_dir)
+        man = mf.read_index_manifest(idx)
+        files = [os.path.join(idx, s["dir"], "terms.parquet")
+                 for s in man["segments"]]
+        ds = ray.data.read_parquet(files, columns=["term", "df", "ttf"])
+        out = ds.groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
+        return pa.Table.from_pandas(
+            out.to_pandas(), preserve_index=False).sort_by("term")
+
+    q["english_term_stats"] = english_term_stats
+    q["bm25_english_top10"] = lambda sf: _bm25_result(
+        _index_for_english(sf), TermQuery("tabl"))
     q["bm25_cross_field_top10"] = lambda sf: _bm25_result(
         _index_for(sf),
         BooleanQuery((
@@ -336,6 +382,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["bm25_top10_not"] = g.bm25_sql(musts=["spark"], must_nots=["slow"])
     sqls["bm25_searchafter_page2"] = g.bm25_sql(musts=["table"], k=10, offset=10)
     sqls["bm25_dismax_top10"] = g.dismax_sql(["spark", "window"], 0.3)
+    sqls["english_term_stats"] = g.english_term_stats_sql()
+    sqls["bm25_english_top10"] = g.bm25_english_sql("tabl")
+    sqls["regexp_hits"] = g.regexp_hits_sql("s(low|mall|park)")
+    sqls["fuzzy_scored_top10"] = g.fuzzy_scored_sql("spark", 2)
     sqls["bm25_field_source_top10"] = g.bm25_kw_field_sql("src3")
     sqls["bm25_cross_field_top10"] = g.bm25_cross_field_sql("spark", "src3")
     sqls["bm25_boosted_top10"] = g.bm25_sql(

@@ -66,14 +66,21 @@ def tokenize_raw(text: str) -> list[str]:
     return [t.lower() for t in toks if _HAS_ALNUM.search(t)]
 
 
-def analyze_text(text: str) -> list[str]:
+def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
     """Full chain for a single string (query-time analysis): returns kept terms
-    in order. Stop words and overlong tokens removed."""
-    return [
+    in order. Stop words and overlong tokens removed; ``analyzer="english"``
+    additionally Porter-stems each kept term (tokenize -> lowercase -> stop ->
+    PorterStemFilter, ``analysis/common/.../en/PorterStemFilter.java:56``)."""
+    kept = [
         t
         for t in tokenize_raw(text)
         if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS
     ]
+    if analyzer == "english":
+        from .stem import porter_stem
+
+        kept = [porter_stem(t) for t in kept]
+    return kept
 
 
 # cased variants for the code analyzer (camelCase must survive tokenization)
@@ -238,7 +245,9 @@ def analyze_batch(
     n_docs = len(texts)
     cased = None
 
-    if analyzer == "standard":
+    if analyzer in ("standard", "english"):
+        # english = the standard chain + a vocabulary-level Porter stem pass
+        # applied after the stop/overlong filter (filters below)
         arr = (texts if isinstance(texts, pa.Array)
                else pa.array([t if isinstance(t, str) else "" for t in texts]))
         if arr.null_count:
@@ -305,6 +314,16 @@ def analyze_batch(
         remap = np.cumsum(uniq_keep) - 1
         codes = remap[codes]
         uniques = np.asarray(uniques, dtype=object)[uniq_keep]
+        if analyzer == "english" and len(uniques):
+            # PorterStemFilter on the UNIQUE vocabulary only (never per
+            # instance); stems may collide, so re-encode
+            from .stem import porter_stem
+
+            stemmed = np.asarray([porter_stem(u) for u in uniques],
+                                 dtype=object)
+            new_uniques, inverse = np.unique(stemmed, return_inverse=True)
+            codes = inverse[codes].astype(np.int64)
+            uniques = np.asarray(new_uniques, dtype=object)
     else:
         keep = np.empty(0, dtype=bool)
 

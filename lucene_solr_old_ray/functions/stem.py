@@ -1,0 +1,248 @@
+"""Porter stemming algorithm (M.F. Porter, "An algorithm for suffix
+stripping", Program 14(3) 1980 — public algorithm, revised porter.c
+variant).
+
+Re-expresses (NOT ports) the semantics of the reference's
+``analysis/common/.../en/PorterStemmer.java`` (the revised algorithm with
+the bli->ble / logi->log step-3 rules and the two documented bug fixes:
+the k==k0 guards and the j>=0 check in the -ion rule). Verified in tests
+against the reference's full 23k-word vector set
+(``analysis/common/src/test/.../en/porterTestData.zip``).
+
+Words shorter than 3 letters are returned unchanged.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    b = list(word)
+    k = len(b) - 1
+    j = 0
+
+    def cons(i: int) -> bool:
+        ch = b[i]
+        if ch in _VOWELS:
+            return False
+        if ch == "y":
+            return True if i == 0 else not cons(i - 1)
+        return True
+
+    def m() -> int:
+        n = 0
+        i = 0
+        while True:
+            if i > j:
+                return n
+            if not cons(i):
+                break
+            i += 1
+        i += 1
+        while True:
+            while True:
+                if i > j:
+                    return n
+                if cons(i):
+                    break
+                i += 1
+            i += 1
+            n += 1
+            while True:
+                if i > j:
+                    return n
+                if not cons(i):
+                    break
+                i += 1
+            i += 1
+
+    def vowel_in_stem() -> bool:
+        return any(not cons(i) for i in range(j + 1))
+
+    def doublec(jj: int) -> bool:
+        if jj < 1 or b[jj] != b[jj - 1]:
+            return False
+        return cons(jj)
+
+    def cvc(i: int) -> bool:
+        if i < 2 or not cons(i) or cons(i - 1) or not cons(i - 2):
+            return False
+        return b[i] not in ("w", "x", "y")
+
+    def ends(s: str) -> bool:
+        nonlocal j
+        ln = len(s)
+        o = k - ln + 1
+        if o < 0:
+            return False
+        if b[o : o + ln] != list(s):
+            return False
+        j = k - ln
+        return True
+
+    def setto(s: str) -> None:
+        nonlocal k
+        o = j + 1
+        for i, ch in enumerate(s):
+            if o + i < len(b):
+                b[o + i] = ch
+            else:
+                b.append(ch)
+        k = j + len(s)
+
+    def r(s: str) -> None:
+        if m() > 0:
+            setto(s)
+
+    # step 1: plurals and -ed / -ing
+    if b[k] == "s":
+        if ends("sses"):
+            k -= 2
+        elif ends("ies"):
+            setto("i")
+        elif b[k - 1] != "s":
+            k -= 1
+    if ends("eed"):
+        if m() > 0:
+            k -= 1
+    elif (ends("ed") or ends("ing")) and vowel_in_stem():
+        k = j
+        if ends("at"):
+            setto("ate")
+        elif ends("bl"):
+            setto("ble")
+        elif ends("iz"):
+            setto("ize")
+        elif doublec(k):
+            ch = b[k]
+            k -= 1
+            if ch in ("l", "s", "z"):
+                k += 1
+        elif m() == 1 and cvc(k):
+            setto("e")
+
+    # step 2: terminal y -> i when the stem has another vowel
+    if ends("y") and vowel_in_stem():
+        b[k] = "i"
+
+    # step 3: double suffixes -> single (stem must give m() > 0)
+    if k != 0:
+        c = b[k - 1]
+        if c == "a":
+            if ends("ational"):
+                r("ate")
+            elif ends("tional"):
+                r("tion")
+        elif c == "c":
+            if ends("enci"):
+                r("ence")
+            elif ends("anci"):
+                r("ance")
+        elif c == "e":
+            if ends("izer"):
+                r("ize")
+        elif c == "l":
+            if ends("bli"):
+                r("ble")
+            elif ends("alli"):
+                r("al")
+            elif ends("entli"):
+                r("ent")
+            elif ends("eli"):
+                r("e")
+            elif ends("ousli"):
+                r("ous")
+        elif c == "o":
+            if ends("ization"):
+                r("ize")
+            elif ends("ation"):
+                r("ate")
+            elif ends("ator"):
+                r("ate")
+        elif c == "s":
+            if ends("alism"):
+                r("al")
+            elif ends("iveness"):
+                r("ive")
+            elif ends("fulness"):
+                r("ful")
+            elif ends("ousness"):
+                r("ous")
+        elif c == "t":
+            if ends("aliti"):
+                r("al")
+            elif ends("iviti"):
+                r("ive")
+            elif ends("biliti"):
+                r("ble")
+        elif c == "g":
+            if ends("logi"):
+                r("log")
+
+    # step 4: -ic-, -ful, -ness etc.
+    c = b[k]
+    if c == "e":
+        if ends("icate"):
+            r("ic")
+        elif ends("ative"):
+            r("")
+        elif ends("alize"):
+            r("al")
+    elif c == "i":
+        if ends("iciti"):
+            r("ic")
+    elif c == "l":
+        if ends("ical"):
+            r("ic")
+        elif ends("ful"):
+            r("")
+    elif c == "s":
+        if ends("ness"):
+            r("")
+
+    # step 5: -ant, -ence etc. in context <c>vcvc<v>
+    if k != 0:
+        c = b[k - 1]
+        matched = False
+        if c == "a":
+            matched = ends("al")
+        elif c == "c":
+            matched = ends("ance") or ends("ence")
+        elif c == "e":
+            matched = ends("er")
+        elif c == "i":
+            matched = ends("ic")
+        elif c == "l":
+            matched = ends("able") or ends("ible")
+        elif c == "n":
+            matched = (ends("ant") or ends("ement") or ends("ment")
+                       or ends("ent"))
+        elif c == "o":
+            matched = (ends("ion") and j >= 0
+                       and b[j] in ("s", "t")) or ends("ou")
+        elif c == "s":
+            matched = ends("ism")
+        elif c == "t":
+            matched = ends("ate") or ends("iti")
+        elif c == "u":
+            matched = ends("ous")
+        elif c == "v":
+            matched = ends("ive")
+        elif c == "z":
+            matched = ends("ize")
+        if matched and m() > 1:
+            k = j
+
+    # step 6: final -e and -ll cleanup
+    j = k
+    if b[k] == "e":
+        a = m()
+        if a > 1 or (a == 1 and not cvc(k - 1)):
+            k -= 1
+    if b[k] == "l" and doublec(k) and m() > 1:
+        k -= 1
+
+    return "".join(b[: k + 1])

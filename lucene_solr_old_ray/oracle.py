@@ -30,6 +30,7 @@ from .queries import (
     PhraseQuery,
     PrefixQuery,
     Query,
+    RegexpQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -103,7 +104,56 @@ class OracleIndex:
         idf = F(math.log(1 + (self.n - df + 0.5) / (df + 0.5)))
         return F(F(idf * F(boost)) * F(F(1.2) + F(1.0)))
 
+    def _rewrite_scoring_mtq(self, q) -> BooleanQuery:
+        """Scoring rewrite against the oracle's global vocabulary (independent
+        re-derivation of SCORING_BOOLEAN_QUERY_REWRITE + fuzzy top-terms)."""
+        import fnmatch
+        import re as _re
+
+        def ed(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        matched: dict[str, int] = {}
+        for t in self.df:
+            if isinstance(q, PrefixQuery) and t.startswith(q.prefix):
+                matched[t] = 0
+            elif isinstance(q, WildcardQuery) and fnmatch.fnmatchcase(t, q.pattern):
+                matched[t] = 0
+            elif isinstance(q, RegexpQuery) and _re.fullmatch(q.pattern, t):
+                matched[t] = 0
+            elif isinstance(q, FuzzyQuery):
+                e = ed(t, q.term)
+                if e <= q.max_edits:
+                    matched[t] = e
+        scored = []
+        for t in sorted(matched):
+            e = matched[t]
+            b = 1.0 if e == 0 else float(F(F(1.0) - F(F(e) / F(min(len(t), len(q.term))))))
+            scored.append((t, b))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        scored = sorted(scored[: q.max_expansions])
+        from .queries import BooleanClause
+
+        return BooleanQuery(
+            tuple(BooleanClause(SHOULD, TermQuery(t, boost=b))
+                  for t, b in scored), 0, q.boost)
+
     def _match(self, q: Query, d: int, boost: float) -> tuple[bool, F]:
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)) \
+                and getattr(q, "rewrite", "constant") == "scoring_boolean":
+            return self._match(self._rewrite_scoring_mtq(q), d, boost)
+        if isinstance(q, RegexpQuery):
+            import re as _re
+
+            ok = any(_re.fullmatch(q.pattern, t) for t in self.tf[d])
+            return ok, F(boost * q.boost) if ok else F(0)
         if isinstance(q, TermQuery):
             tf = self.tf[d].get(q.term, 0)
             if tf == 0:

@@ -32,11 +32,28 @@ import ray
 import ray.data
 
 from ..functions import bm25
-from ..queries import Query, collect_field_terms, collect_terms
+from ..queries import (
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FilteredQuery,
+    FuzzyQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    TermQuery,
+    WildcardQuery,
+    collect_field_terms,
+    collect_terms,
+    needs_rewrite,
+)
 from ..stages.search import (
     LeafSearcher,
     SearchContext,
     collect_leaf_stats,
+    collect_mtq_terms,
     execute,
     top_k,
 )
@@ -144,6 +161,118 @@ def _leaf_stats_task(
     return out, fout
 
 
+_MTQ_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)
+
+
+def _collect_scoring_mtqs(q: Query, out: list) -> None:
+    if isinstance(q, _MTQ_TYPES) and q.rewrite == "scoring_boolean":
+        if q not in out:
+            out.append(q)
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            _collect_scoring_mtqs(c.query, out)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for d in q.disjuncts:
+            _collect_scoring_mtqs(d, out)
+    elif isinstance(q, FilteredQuery):
+        _collect_scoring_mtqs(q.query, out)
+        _collect_scoring_mtqs(q.filter, out)
+    elif isinstance(q, ConstantScoreQuery):
+        _collect_scoring_mtqs(q.query, out)
+
+
+def _replace_mtqs(q: Query, repl: dict) -> Query:
+    if isinstance(q, _MTQ_TYPES) and q.rewrite == "scoring_boolean":
+        return repl[q]
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            tuple(BooleanClause(c.occur, _replace_mtqs(c.query, repl))
+                  for c in q.clauses),
+            q.min_should_match, q.boost)
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(
+            tuple(_replace_mtqs(d, repl) for d in q.disjuncts),
+            q.tie_breaker, q.boost)
+    if isinstance(q, FilteredQuery):
+        return FilteredQuery(_replace_mtqs(q.query, repl),
+                             _replace_mtqs(q.filter, repl), q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(_replace_mtqs(q.query, repl), q.boost)
+    return q
+
+
+def expansion_to_bool(q, terms: dict[str, int]) -> BooleanQuery:
+    """SCORING_BOOLEAN_QUERY_REWRITE: matched terms -> SHOULD TermQueries.
+    Fuzzy terms carry the similarity boost ``1 - ed/min(|t|,|q|)`` in float32
+    (exact match 1.0 — ``search/FuzzyTermsEnum.java:361-371``); the
+    ``max_expansions`` highest-boost terms are kept (TopTermsRewrite) and
+    clauses are ordered term-ascending (the deterministic float32 contract)."""
+    F = np.float32
+    scored: list[tuple[str, float]] = []
+    for t, ed in sorted(terms.items()):
+        if isinstance(q, FuzzyQuery) and ed > 0:
+            m = min(len(t), len(q.term))
+            boost = float(F(F(1.0) - F(F(ed) / F(m))))
+        else:
+            boost = 1.0
+        scored.append((t, boost))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    scored = sorted(scored[: q.max_expansions])  # cap, then term order
+    return BooleanQuery(
+        tuple(BooleanClause(SHOULD, TermQuery(t, boost=b, field=q.field))
+              for t, b in scored),
+        0, q.boost)
+
+
+@ray.remote
+def _leaf_expand_task(index_dir: str, rows: list[dict], mtqs: list) -> list[dict]:
+    out: list[dict[str, int]] = [dict() for _ in mtqs]
+    for row in rows:
+        leaf = LeafSearcher(
+            os.path.join(index_dir, row["dir"]),
+            int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+        )
+        for i, q in enumerate(mtqs):
+            for t, ed in collect_mtq_terms(leaf, q).items():
+                cur = out[i].get(t)
+                if cur is None or ed < cur:
+                    out[i][t] = ed
+    return out
+
+
+def rewrite_queries(
+    index_dir: str, manifest: dict, qitems: list[tuple[int, Query]]
+) -> list[tuple[int, Query]]:
+    """Expand every scoring MultiTermQuery against the WHOLE index (one
+    fan-out over the leaves, all MTQs batched) and substitute the SHOULD
+    BooleanQuery expansions — IndexSearcher.rewrite against global vocab."""
+    mtqs: list = []
+    for _, q in qitems:
+        _collect_scoring_mtqs(q, mtqs)
+    if not mtqs:
+        return qitems
+    leaves = _leaves(manifest)
+    items = [
+        {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
+         "num_docs": l["num_docs"]}
+        for i, l in enumerate(leaves)
+    ]
+    n_tasks = min(8, len(items))
+    groups = [items[i::n_tasks] for i in range(n_tasks)]
+    partials = ray.get([
+        _leaf_expand_task.remote(index_dir, g, mtqs) for g in groups
+    ])
+    union: list[dict[str, int]] = [dict() for _ in mtqs]
+    for p in partials:
+        for i, d in enumerate(p):
+            for t, ed in d.items():
+                cur = union[i].get(t)
+                if cur is None or ed < cur:
+                    union[i][t] = ed
+    repl = {q: expansion_to_bool(q, union[i]) for i, q in enumerate(mtqs)}
+    return [(qid, _replace_mtqs(q, repl)) for qid, q in qitems]
+
+
 def gather_stats(
     index_dir: str, manifest: dict, terms: Sequence[str],
     similarity: str = "bm25",
@@ -207,6 +336,8 @@ def search(
     if not isinstance(queries, dict):
         queries = dict(enumerate(queries))
     qitems = sorted(queries.items())
+    if any(needs_rewrite(q) for _, q in qitems):
+        qitems = rewrite_queries(index_dir, manifest, qitems)
 
     all_terms: set[str] = set()
     all_fterms: set[tuple[str, str]] = set()

@@ -38,11 +38,16 @@ class TermQuery:
 @dataclass(frozen=True)
 class PrefixQuery:
     """Rewrites to a constant-score set over all terms with the prefix
-    (CONSTANT_SCORE rewrite of MultiTermQuery, ``search/PrefixQuery.java:34``)."""
+    (CONSTANT_SCORE rewrite of MultiTermQuery, ``search/PrefixQuery.java:34``).
+    ``rewrite="scoring_boolean"`` selects SCORING_BOOLEAN_QUERY_REWRITE
+    (``search/MultiTermQuery.java:114``): the expansion becomes a SHOULD
+    BooleanQuery of TermQueries that score normally."""
 
     prefix: str
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant"
+    max_expansions: int = 1024
 
 
 @dataclass(frozen=True)
@@ -60,24 +65,47 @@ class TermRangeQuery:
 
 @dataclass(frozen=True)
 class WildcardQuery:
-    """``*`` = any run, ``?`` = one char; expands over the term dictionary
-    then rewrites constant-score (``search/WildcardQuery.java:43``)."""
+    """``*`` = any run, ``?`` = one char; expands over the term dictionary,
+    constant-score by default; ``rewrite="scoring_boolean"`` scores the
+    expansion (``search/WildcardQuery.java:43``)."""
 
     pattern: str
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant"
+    max_expansions: int = 1024
+
+
+@dataclass(frozen=True)
+class RegexpQuery:
+    """Anchored regular-expression match over the term dictionary
+    (``search/RegexpQuery.java:49``; Python ``re`` subset of the RegExp
+    operator set — no ``~`` complement / ``<n-m>`` intervals). Constant
+    score by default; ``rewrite="scoring_boolean"`` scores the expansion."""
+
+    pattern: str
+    boost: float = 1.0
+    field: str | None = None
+    rewrite: str = "constant"
+    max_expansions: int = 1024
 
 
 @dataclass(frozen=True)
 class FuzzyQuery:
     """Terms within ``max_edits`` Levenshtein edits of ``term``
-    (``search/FuzzyQuery.java:54``); constant-score rewrite here (the
-    reference's top-terms scoring rewrite is a documented deviation)."""
+    (``search/FuzzyQuery.java:54``). ``rewrite="constant"`` (default) is the
+    constant-score set rewrite; ``rewrite="scoring_boolean"`` follows the
+    reference's top-terms scoring rewrite: each expanded term scores as a
+    TermQuery boosted by its similarity ``1 - ed/min(|t|,|q|)`` (exact match
+    boost 1.0, ``search/FuzzyTermsEnum.java:361-371``), keeping the
+    ``max_expansions`` highest-boost terms."""
 
     term: str
     max_edits: int = 2
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant"
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)
@@ -143,6 +171,7 @@ Query = (
     | PrefixQuery
     | TermRangeQuery
     | WildcardQuery
+    | RegexpQuery
     | FuzzyQuery
     | MatchAllDocsQuery
     | BooleanQuery
@@ -151,6 +180,22 @@ Query = (
     | FilteredQuery
     | ConstantScoreQuery
 )
+
+
+def needs_rewrite(q: "Query") -> bool:
+    """True if the query (tree) contains a scoring MultiTermQuery that must
+    be expanded against the index before stats/scoring (ScoringRewrite)."""
+    if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)):
+        return q.rewrite == "scoring_boolean"
+    if isinstance(q, BooleanQuery):
+        return any(needs_rewrite(c.query) for c in q.clauses)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(needs_rewrite(d) for d in q.disjuncts)
+    if isinstance(q, (FilteredQuery,)):
+        return needs_rewrite(q.query) or needs_rewrite(q.filter)
+    if isinstance(q, ConstantScoreQuery):
+        return needs_rewrite(q.query)
+    return False
 
 
 def phrase(text: str, slop: int = 0) -> PhraseQuery:

@@ -148,6 +148,134 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def stem_map_values() -> str:
+    """(term, stem) VALUES rows for every kept token in the testdata corpora,
+    stemmed with the ENGINE's Porter implementation (itself validated against
+    the reference's 23k-word porterTestData vectors in tests). DuckDB has no
+    offline stemmer, so the oracle checks the distributed english-analyzer
+    pipeline through this injected map."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .functions.analysis import (
+        ENGLISH_STOP_WORDS,
+        MAX_TOKEN_LENGTH,
+        tokenize_raw,
+    )
+    from .functions.stem import porter_stem
+
+    terms: set[str] = set()
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        p = f"{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        for x in _pq.read_table(p, columns=["text"])["text"].to_pylist():
+            terms.update(tokenize_raw(x or ""))
+    kept = sorted(t for t in terms
+                  if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS)
+    return ",".join(f"('{t}','{porter_stem(t)}')" for t in kept)
+
+
+def english_ctes() -> str:
+    """CTEs for the english (Porter-stemmed) analyzer view of the corpus:
+    stemmed token stream + per-stem tf/df. Field lengths (and so norms and
+    the doccache) are unchanged by stemming."""
+    return f"""
+stemmap(term, stem) AS (VALUES {stem_map_values()}),
+etoks AS (
+  SELECT t.doc_id, sm.stem AS term FROM toks t
+  JOIN stemmap sm ON sm.term = t.term
+),
+etf AS (
+  SELECT doc_id, term, count(*) AS freq FROM etoks GROUP BY doc_id, term
+),
+edf AS (
+  SELECT term, count(*) AS df, sum(freq) AS ttf FROM etf GROUP BY term
+)"""
+
+
+def english_term_stats_sql() -> str:
+    return (f"WITH {base_ctes()},{english_ctes()} "
+            "SELECT term, df AS df, CAST(ttf AS BIGINT) AS ttf "
+            "FROM edf ORDER BY term")
+
+
+def bm25_english_sql(term: str, k: int = 10) -> str:
+    """Single stemmed-term BM25 top-k over the english-analyzer index
+    -> (rank, doc_id, score); ``term`` is the POST-STEM form."""
+    idf = f32("ln(1 + ((SELECT n FROM coll) - ts.df + 0.5) / (ts.df + 0.5))")
+    w = f32(f"{f32(idf + ' * CAST(1.0 AS REAL)')} * {K1P1}")
+    num = f32(f"{w} * CAST(t.freq AS REAL)")
+    den = f32("CAST(t.freq AS REAL) + dc.cache")
+    return f"""WITH {base_ctes()},{english_ctes()}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank,
+         doc_id, s AS score
+  FROM (SELECT t.doc_id AS doc_id, {f32(f"{num} / {den}")} AS s
+        FROM etf t
+        JOIN (SELECT df FROM edf WHERE term = '{term}') ts ON TRUE
+        JOIN doccache dc ON dc.doc_id = t.doc_id
+        WHERE t.term = '{term}')
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def regexp_hits_sql(pattern: str) -> str:
+    """Constant-score regexp docID set -> (doc_id) sorted (RegexpQuery)."""
+    return (f"WITH {base_ctes()} SELECT doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM toks "
+            f"WHERE regexp_full_match(term, '{pattern}')) ORDER BY doc_id")
+
+
+def fuzzy_scored_sql(term: str, max_edits: int = 2, k: int = 10) -> str:
+    """SCORING_BOOLEAN_QUERY_REWRITE fuzzy oracle -> (rank, doc_id, score).
+
+    Expanded terms (levenshtein <= max_edits over the corpus vocabulary —
+    assumed under the engine's max_expansions cap) score as SHOULD
+    TermQueries with similarity boost 1 - ed/min(|t|,|q|) (float32,
+    ``search/FuzzyTermsEnum.java:361-371``); per-doc clause scores fold in
+    TERM ORDER through a recursive CTE (the engine's clause-order float32
+    contract)."""
+    qlen = len(term)
+    boost = f32(
+        "CAST(1 AS REAL) - " + f32(
+            f"CAST(levenshtein(term, '{term}') AS REAL) / "
+            f"CAST(least(length(term), {qlen}) AS REAL)"))
+    idf = f32("ln(1 + ((SELECT n FROM coll) - mt.df + 0.5) / (mt.df + 0.5))")
+    w = f32(f"{f32(idf + ' * mt.boost')} * {K1P1}")
+    num = f32(f"{w} * CAST(t.freq AS REAL)")
+    den = f32("CAST(t.freq AS REAL) + dc.cache")
+    return f"""WITH RECURSIVE {base_ctes()},
+mterms AS (
+  SELECT term, df,
+         CASE WHEN term = '{term}' THEN CAST(1 AS REAL) ELSE {boost} END AS boost,
+         row_number() OVER (ORDER BY term) AS mi
+  FROM df WHERE levenshtein(term, '{term}') <= {max_edits}
+),
+pscore AS (
+  SELECT t.doc_id, mt.mi, {f32(f"{num} / {den}")} AS s
+  FROM tf t JOIN mterms mt ON mt.term = t.term
+  JOIN doccache dc ON dc.doc_id = t.doc_id
+),
+ranked AS (
+  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY mi) AS ri
+  FROM pscore
+),
+nm AS (SELECT doc_id, count(*) AS m FROM ranked GROUP BY doc_id),
+fold(doc_id, i, acc) AS (
+  SELECT doc_id, 0, CAST(0 AS REAL) FROM nm
+  UNION ALL
+  SELECT f.doc_id, f.i + 1, {f32("f.acc + r.s")}
+  FROM fold f JOIN ranked r ON r.doc_id = f.doc_id AND r.ri = f.i + 1
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM (SELECT f.doc_id AS doc_id, f.acc AS score
+        FROM fold f JOIN nm ON nm.doc_id = f.doc_id AND f.i = nm.m)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def term_score_cte(name: str, term: str, boost: float = 1.0) -> str:
     """Per-doc float32 BM25 scores of one term: (doc_id, s). Boost follows
     the engine's weight_value order: f32(f32(idf * boost) * (k1+1))."""

@@ -39,6 +39,7 @@ from ..queries import (
     DisjunctionMaxQuery,
     FilteredQuery,
     FuzzyQuery,
+    RegexpQuery,
     MatchAllDocsQuery,
     PhraseQuery,
     PrefixQuery,
@@ -335,6 +336,66 @@ def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
     return [ti for ti in range(s, e) if rx.match(leaf.term_str(ti))]
 
 
+def _regexp_literal_prefix(pattern: str) -> str:
+    """Leading literal characters of a regex (stop at the first char that
+    could be an operator) — the term-dict narrowing prefix."""
+    out = []
+    for ch in pattern:
+        if ch.isalnum() or ch == "_":
+            out.append(ch)
+        else:
+            break
+    # a trailing quantifier applies to the last literal: drop it then
+    if out and len(pattern) > len(out) and pattern[len(out)] in "*?+{":
+        out.pop()
+    return "".join(out)
+
+
+def _expand_regexp(leaf: LeafSearcher, pattern: str) -> list[int]:
+    """Term-dict expansion of an anchored regexp, narrowed by the literal
+    prefix (``search/RegexpQuery.java:49``; the compiled-automaton intersect
+    is the 10^9-vocab path)."""
+    import re as _re
+
+    prefix = _regexp_literal_prefix(pattern)
+    s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
+    rx = _re.compile(pattern)
+    return [ti for ti in range(s, e) if rx.fullmatch(leaf.term_str(ti))]
+
+
+def collect_mtq_terms(leaf: LeafSearcher, q) -> dict[str, int]:
+    """Matching terms of a MultiTermQuery in one leaf -> {term: edit_distance}
+    (distance 0 for non-fuzzy MTQs). The per-leaf half of ScoringRewrite's
+    term collection (``search/ScoringRewrite.java``)."""
+    lf = leaf.sibling(q.field)
+    if isinstance(q, PrefixQuery):
+        s, e = lf.prefix_range(q.prefix)
+        return {lf.term_str(ti): 0 for ti in range(s, e)}
+    if isinstance(q, WildcardQuery):
+        return {lf.term_str(ti): 0 for ti in _expand_wildcard(lf, q.pattern)}
+    if isinstance(q, RegexpQuery):
+        return {lf.term_str(ti): 0 for ti in _expand_regexp(lf, q.pattern)}
+    if isinstance(q, FuzzyQuery):
+        out = {}
+        for ti in _expand_fuzzy(lf, q.term, q.max_edits):
+            t = lf.term_str(ti)
+            # exact distance for the boost (the banded check only bounds it)
+            out[t] = _edit_distance(t, q.term)
+        return out
+    raise TypeError(f"not a MultiTermQuery: {type(q).__name__}")
+
+
+def _edit_distance(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _edit_distance_le(a: str, b: str, k: int) -> bool:
     """Banded Levenshtein <= k (small k); early-exits on the band."""
     if abs(len(a) - len(b)) > k:
@@ -394,6 +455,14 @@ def _apply_live(leaf, docids, scores):
 def _execute_raw(
     q: Query, leaf: LeafSearcher, ctx: SearchContext, boost: float = 1.0
 ) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)) \
+            and q.rewrite == "scoring_boolean":
+        # ScoringRewrite happens against GLOBAL stats before leaves execute
+        # (pipelines.search.rewrite_query); reaching a leaf un-rewritten
+        # would score with wrong (per-leaf) expansions
+        raise ValueError(
+            f"{type(q).__name__}(rewrite='scoring_boolean') must be "
+            "rewritten before leaf execution (use pipelines.search.search)")
     if isinstance(q, TermQuery):
         return _scores_for_term(leaf, ctx, q.term, boost * q.boost, q.field)
     if isinstance(q, MatchAllDocsQuery):
@@ -412,6 +481,10 @@ def _execute_raw(
     if isinstance(q, WildcardQuery):
         lf = leaf.sibling(q.field)
         docs = _const_docs_of(lf, _expand_wildcard(lf, q.pattern))
+        return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, RegexpQuery):
+        lf = leaf.sibling(q.field)
+        docs = _const_docs_of(lf, _expand_regexp(lf, q.pattern))
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, FuzzyQuery):
         lf = leaf.sibling(q.field)

@@ -22,6 +22,7 @@ from lucene_solr_old_ray.queries import (
     MatchAllDocsQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexpQuery,
     TermQuery,
     TermRangeQuery,
     WildcardQuery,
@@ -82,6 +83,13 @@ def query_set():
         WildcardQuery("s?atic"),
         FuzzyQuery("retorn", 1),
         FuzzyQuery("clazz", 2),
+        RegexpQuery("get_[a-z]+"),                 # regexp, constant score
+        RegexpQuery("zz+9?q"),                     # regexp, no hits
+        FuzzyQuery("retorn", 1, rewrite="scoring_boolean"),
+        FuzzyQuery("clazz", 2, rewrite="scoring_boolean"),
+        PrefixQuery("get_p", rewrite="scoring_boolean"),
+        WildcardQuery("merge_*", rewrite="scoring_boolean"),
+        RegexpQuery("index_[a-z]{4,5}", rewrite="scoring_boolean"),
     ]
     return dict(enumerate(qs))
 

@@ -1,0 +1,60 @@
+"""Porter stemmer tests: the full reference vector set
+(``analysis/common/src/test/.../en/porterTestData.zip``, 23k words) plus the
+english analyzer chain (tokenize -> lowercase -> stop -> PorterStemFilter,
+``analysis/common/.../en/PorterStemFilter.java:56``)."""
+
+import io
+import os
+import zipfile
+
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch, analyze_text
+from lucene_solr_old_ray.functions.stem import porter_stem
+
+_ZIP = ("/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+        "analysis/en/porterTestData.zip")
+
+
+@pytest.mark.skipif(not os.path.exists(_ZIP), reason="reference data absent")
+def test_full_reference_vector_set():
+    with zipfile.ZipFile(_ZIP) as z:
+        voc = io.TextIOWrapper(z.open("voc.txt")).read().split()
+        out = io.TextIOWrapper(z.open("output.txt")).read().split()
+    assert len(voc) == len(out) and len(voc) > 20000
+    bad = [(v, porter_stem(v), o) for v, o in zip(voc, out)
+           if porter_stem(v) != o]
+    assert not bad, bad[:10]
+
+
+def test_analyze_text_english():
+    assert analyze_text("Running Queries On Tables", "english") == \
+        ["run", "queri", "tabl"]
+    # stop words removed BEFORE stemming (the/on dropped, never stemmed)
+    assert analyze_text("the caresses of the ponies", "english") == \
+        ["caress", "poni"]
+    # short words unchanged
+    assert analyze_text("we go up", "english") == ["we", "go", "up"]
+
+
+def test_analyze_batch_english_collisions():
+    ab = analyze_batch(["connect connected connection connecting",
+                        "disconnect"], analyzer="english")
+    vocab = set(ab.uniques.tolist())
+    assert vocab == {"connect", "disconnect"}
+    # all four variants collapse to one term with tf=4 in doc 0
+    import numpy as np
+
+    d0 = ab.term_codes[ab.doc_ids == 0]
+    assert len(d0) == 4 and len(np.unique(d0)) == 1
+    # norm length counts kept tokens pre-collapse
+    assert ab.field_lengths.tolist() == [4, 1]
+
+
+def test_english_positions_preserved():
+    ab = analyze_batch(["the running dogs"], with_positions=True,
+                       analyzer="english")
+    # "the" consumes position 0; run=1, dog=2
+    got = sorted(zip(ab.positions.tolist(),
+                     [ab.uniques[c] for c in ab.term_codes]))
+    assert got == [(1, "run"), (2, "dog")]
