@@ -50,12 +50,16 @@ _CACHE_ROOT = "/tmp/lsor_cache"
 
 def _index_for(sf_dir: str) -> str:
     """Build-or-reuse the documents fulltext index for one sf dir. The
-    ``source`` column is additionally indexed as keyword field ``source``
+    ``source`` column is additionally indexed as keyword field ``source`` and
+    ``n_chars`` as a NUMERIC field
     (multi-field schema: per-field term dict / postings / norms / stats)."""
-    tag = sf_dir.strip("/").replace("/", "_") + "-v2"
+    tag = sf_dir.strip("/").replace("/", "_") + "-v3"
     idx = os.path.join(_CACHE_ROOT, tag)
     spec = CorpusSpec.documents(
-        sf_dir, extra_fields=(FieldSpec("source", "source", "standard"),))
+        sf_dir, extra_fields=(
+            FieldSpec("source", "source", "standard"),
+            FieldSpec("n_chars", "n_chars", kind="numeric"),
+        ))
     n = pq.ParquetFile(spec.files[0]).metadata.num_rows
     target = max(64, n // 16)
     done = os.path.join(idx, ".complete")
@@ -235,6 +239,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.to_pandas(), preserve_index=False).sort_by("term")
 
     q["english_term_stats"] = english_term_stats
+
+    # --- highlighting (rows-only: snippet strings) ------------------------
+    def highlight_top5(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.highlight import highlight_hits
+
+        idx = _index_for(sf_dir)
+        return highlight_hits(
+            idx, os.path.join(sf_dir, "documents.parquet"),
+            bool_query(musts=["spark", "window"]), k=5)
+
+    q["highlight_top5"] = highlight_top5
+
+    # --- MoreLikeThis -----------------------------------------------------
+    def mlt_top10(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.mlt import mlt_search
+
+        idx = _index_for(sf_dir)
+        res = mlt_search(idx, os.path.join(sf_dir, "documents.parquet"), 7, k=10)
+        res = _docid_to_doc_id(idx, res)
+        t = res.select(["rank", "doc_id", "score"])
+        return t.set_column(0, "rank", t["rank"].cast(pa.int64()))
+
+    q["mlt_top10"] = mlt_top10
+
+    # --- numeric field range ----------------------------------------------
+    from lucene_solr_old_ray.queries import NumericRangeQuery
+
+    q["numeric_range_hits"] = lambda sf: _hits_result(
+        _index_for(sf), NumericRangeQuery("n_chars", 200, 400))
+    q["numeric_range_open_hits"] = lambda sf: _hits_result(
+        _index_for(sf), NumericRangeQuery("n_chars", 450, None,
+                                          include_lower=False))
     q["bm25_english_top10"] = lambda sf: _bm25_result(
         _index_for_english(sf), TermQuery("tabl"))
     q["bm25_cross_field_top10"] = lambda sf: _bm25_result(
@@ -382,6 +418,12 @@ def oracle_sql() -> dict[str, str]:
     sqls["bm25_top10_not"] = g.bm25_sql(musts=["spark"], must_nots=["slow"])
     sqls["bm25_searchafter_page2"] = g.bm25_sql(musts=["table"], k=10, offset=10)
     sqls["bm25_dismax_top10"] = g.dismax_sql(["spark", "window"], 0.3)
+    sqls["mlt_top10"] = g.mlt_sql(7)
+    sqls["numeric_range_hits"] = (
+        "SELECT doc_id FROM documents WHERE n_chars BETWEEN 200 AND 400 "
+        "ORDER BY doc_id")
+    sqls["numeric_range_open_hits"] = (
+        "SELECT doc_id FROM documents WHERE n_chars > 450 ORDER BY doc_id")
     sqls["english_term_stats"] = g.english_term_stats_sql()
     sqls["bm25_english_top10"] = g.bm25_english_sql("tabl")
     sqls["regexp_hits"] = g.regexp_hits_sql("s(low|mall|park)")

@@ -77,9 +77,12 @@ def run_bench() -> dict:
     _rd.range(NCPU * 2, override_num_blocks=NCPU * 2).map_batches(
         _warm, batch_size=1).materialize()
 
+    # ~50 partitions regardless of corpus size (same plan at every CPU
+    # count, so scaling measures the engine, not per-task fixed costs)
+    part = max(1000, BENCH_DOCS // 50)
     t0 = time.perf_counter()
     man = build_index(CorpusSpec.source_code(corpus), idx,
-                      target_docs_per_partition=1000)
+                      target_docs_per_partition=part)
     q["build"] = round(time.perf_counter() - t0, 3)
     n_docs = man["stats"]["max_doc"]
     n_postings = man["metrics"]["postings"]
@@ -127,6 +130,15 @@ def run_bench() -> dict:
     exact_dedup(SF_DIR)
     quality_stats(SF_DIR)
     q["docs_extras"] = round(time.perf_counter() - t0, 3)
+    from lucene_solr_old_ray.stages.dedup import minhash_lsh_pairs
+    from lucene_solr_old_ray.stages.textstats import fingerprints
+
+    t0 = time.perf_counter()
+    fingerprints(SF_DIR)
+    q["fingerprints"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(SF_DIR, threshold=0.95)
+    q["minhash_lsh"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     brute_topk(SF_DIR, k=10)
     q["ann_brute"] = round(time.perf_counter() - t0, 3)

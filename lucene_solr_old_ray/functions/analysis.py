@@ -83,6 +83,23 @@ def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
     return kept
 
 
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """(term, start_char, end_char) triples of the standard chain's KEPT
+    terms (stop/overlong removed) — the OffsetAttribute view the highlighter
+    re-analysis needs (``analysis/.../tokenattributes/OffsetAttribute.java``).
+    """
+    out = []
+    rx = _ASCII_TOKEN if text.isascii() else _UNI_TOKEN
+    low = text.lower()
+    for m in rx.finditer(low):
+        t = m.group(0)
+        if not text.isascii() and not _HAS_ALNUM.search(t):
+            continue
+        if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS:
+            out.append((t, m.start(), m.end()))
+    return out
+
+
 # cased variants for the code analyzer (camelCase must survive tokenization)
 _ASCII_TOKEN_CASED = re.compile(
     r"(?=[_'.]*[A-Za-z0-9])[A-Za-z0-9_]+(?:['.][A-Za-z0-9_]+)*"

@@ -1,0 +1,43 @@
+"""Numeric field term encoding.
+
+Re-expresses (NOT ports) the reference's numeric-field contract
+(``document/IntField.java`` / ``util/NumericUtils.java:113-180`` /
+``search/NumericRangeQuery.java:168``): numeric values index as TERMS whose
+byte order equals numeric order, so a numeric range is a term-dictionary
+range scan. The reference additionally stores trie-shifted prefix terms so
+wide ranges touch few terms (precisionStep); here the codec's sorted term
+dict + binary-searched range scan plays that role — the visible semantics
+(constant-score docID set of values in [lower, upper]) are identical.
+
+Encoding: offset-binary int64 rendered as 16 hex digits —
+``order-preserving: a <= b  <=>  enc(a) <= enc(b)`` for the full int64
+domain (NumericUtils' sortable-bits transform).
+"""
+
+from __future__ import annotations
+
+_BIAS = 1 << 63
+
+
+def numeric_term(v: int) -> str:
+    """Order-preserving term for an int64 value."""
+    x = int(v) + _BIAS
+    if not (0 <= x < (1 << 64)):
+        raise OverflowError(f"value out of int64 range: {v}")
+    return f"{x:016x}"
+
+
+def numeric_bounds(
+    lower: int | None, upper: int | None,
+    include_lower: bool, include_upper: bool,
+) -> tuple[str | None, str | None]:
+    """(lo_term, hi_term) for an INCLUSIVE-on-both-sides term range — open
+    bounds are nudged one ulp inward so the term-dict scan stays a simple
+    closed interval (NumericRangeQuery's getDecimal[Min|Max] handling)."""
+    lo = None
+    hi = None
+    if lower is not None:
+        lo = numeric_term(lower if include_lower else lower + 1)
+    if upper is not None:
+        hi = numeric_term(upper if include_upper else upper - 1)
+    return lo, hi

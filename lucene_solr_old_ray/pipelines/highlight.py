@@ -1,0 +1,138 @@
+"""Query highlighting: best-fragment snippets for search hits.
+
+Re-expresses (NOT ports) the reference highlighter's default pipeline
+(``lucene/highlighter/src/java/org/apache/lucene/search/highlight/
+Highlighter.java:57`` + ``SimpleFragmenter.java`` + ``QueryTermScorer.java``
++ ``SimpleHTMLFormatter.java``):
+
+- hit texts are RE-ANALYZED with offsets (the stored-field re-analysis path
+  the reference uses when term vectors are absent);
+- fragments are fixed-size character windows advanced at token boundaries
+  (SimpleFragmenter: a token starts a new fragment when its end offset
+  crosses the next fragment boundary);
+- fragment score = sum of the query terms' idf weights, one per matched
+  token occurrence (QueryTermScorer with index-reader weights);
+- the top ``max_fragments`` fragments (score desc, position asc) are
+  emitted with matched tokens wrapped in pre/post tags.
+
+Distribution shape: highlighting runs as a ``map_batches`` over the hit
+docs' source rows (fetched by doc_id from the corpus parquet — the row
+store); query terms + weights broadcast. Hit sets are k-sized, so this is
+a cheap tail stage after search.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import bm25
+from ..functions.analysis import tokenize_with_offsets
+from ..queries import Query, collect_terms
+from ..state import manifest as mf
+from .search import fetch_doc_meta, gather_stats, search
+
+
+def _best_fragments(
+    text: str, weights: dict[str, float], frag_size: int, max_fragments: int,
+    pre: str, post: str,
+) -> list[tuple[float, str]]:
+    """(score, formatted fragment) of the best fragments of one text."""
+    toks = tokenize_with_offsets(text or "")
+    if not toks:
+        return []
+    # SimpleFragmenter: assign tokens to fixed-size char windows, breaking
+    # only at token starts
+    frags: list[dict] = []
+    cur = {"start": 0, "end": 0, "score": 0.0, "marks": []}
+    boundary = frag_size
+    for t, s, e in toks:
+        if e > boundary and s > cur["start"]:
+            cur["end"] = s
+            frags.append(cur)
+            cur = {"start": s, "end": s, "score": 0.0, "marks": []}
+            boundary = s + frag_size
+        w = weights.get(t)
+        if w is not None:
+            cur["score"] += w
+            cur["marks"].append((s, e))
+    cur["end"] = len(text)
+    frags.append(cur)
+
+    scored = [f for f in frags if f["score"] > 0.0]
+    scored.sort(key=lambda f: (-f["score"], f["start"]))
+    out = []
+    for f in scored[:max_fragments]:
+        piece = text[f["start"] : f["end"]]
+        res = []
+        prev = f["start"]
+        for s, e in f["marks"]:
+            res.append(piece[prev - f["start"] : s - f["start"]])
+            res.append(pre + text[s:e] + post)
+            prev = e
+        res.append(piece[prev - f["start"] :])
+        out.append((f["score"], "".join(res).strip()))
+    return out
+
+
+def highlight_hits(
+    index_dir: str,
+    corpus_parquet: str,
+    query: Query,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frag_size: int = 120,
+    max_fragments: int = 1,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> pa.Table:
+    """Search, then snippet the top-k hits.
+    -> (doc_id, rank, frag, snippet, score_bp) sorted by (rank, frag)."""
+    import ray
+    import ray.data
+
+    res = search(index_dir, {0: query}, k=k)
+    if res.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "frag": pa.array([], pa.int64()),
+                         "snippet": pa.array([], pa.string()),
+                         "score_bp": pa.array([], pa.int64())})
+    meta = fetch_doc_meta(index_dir, res["docid"].to_pylist())
+    id_of = dict(zip(meta["docid"].to_pylist(), meta[id_col].to_pylist()))
+    rank_of = {id_of[d]: r for d, r in zip(res["docid"].to_pylist(),
+                                           res["rank"].to_pylist())}
+
+    manifest = mf.read_index_manifest(index_dir)
+    terms = sorted(collect_terms(query))
+    ctx = gather_stats(index_dir, manifest, terms)
+    weights = {t: float(bm25.idf(ctx.term_stats.get(t, (0, 0))[0],
+                                 ctx.coll.max_doc)) for t in terms}
+    need = set(rank_of)
+    bcast = ray.put((need, weights, rank_of))
+
+    def snip(batch: pa.Table) -> pa.Table:
+        need_l, weights_l, rank_l = ray.get(bcast)
+        rows = []
+        for did, txt in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            if did not in need_l:
+                continue
+            for fi, (sc, frag) in enumerate(_best_fragments(
+                    txt, weights_l, frag_size, max_fragments, pre, post)):
+                rows.append((did, int(rank_l[did]), fi,
+                             frag, int(round(sc * 10000))))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "frag": pa.array([r[2] for r in rows], pa.int64()),
+            "snippet": pa.array([r[3] for r in rows], pa.string()),
+            "score_bp": pa.array([r[4] for r in rows], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_parquet, columns=[id_col, text_col])
+    out = ds.map_batches(snip, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["rank", "frag"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,76 @@
+"""MoreLikeThis: build a similarity query from an example document.
+
+Re-expresses (NOT ports) ``lucene/queries/src/java/org/apache/lucene/
+queries/mlt/MoreLikeThis.java`` (like()/retrieveInterestingTerms):
+
+- the example doc's text is re-analyzed (the no-term-vectors path);
+- candidate terms need tf >= min_term_freq and df >= min_doc_freq;
+- each candidate scores tf * idf with the CLASSIC idf
+  ``log(numDocs/(docFreq+1)) + 1`` (MoreLikeThis uses
+  DefaultSimilarity.idf for ranking only);
+- the ``max_query_terms`` best terms (score desc, term asc) become an
+  unboosted SHOULD BooleanQuery (MoreLikeThis default boost=false),
+  clauses in term order (the engine's deterministic float32 contract).
+
+The query then runs through the normal BM25 pipeline; the source document
+itself typically ranks first (callers may drop it).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.analysis import analyze_text
+from ..queries import SHOULD, BooleanClause, BooleanQuery, Query, TermQuery
+from ..state import manifest as mf
+from .search import gather_stats, search
+
+
+def more_like_this_query(
+    index_dir: str,
+    corpus_parquet: str,
+    doc_id: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    max_query_terms: int = 25,
+) -> Query:
+    t = pq.read_table(corpus_parquet, columns=[id_col, text_col],
+                      filters=[(id_col, "=", doc_id)])
+    if t.num_rows == 0:
+        raise KeyError(f"{id_col}={doc_id} not found")
+    text = t[text_col][0].as_py()
+
+    tf: dict[str, int] = {}
+    for tok in analyze_text(text or ""):
+        tf[tok] = tf.get(tok, 0) + 1
+    cand = sorted(t_ for t_, f in tf.items() if f >= min_term_freq)
+
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, cand)
+    n = ctx.coll.max_doc
+    scored = []
+    for t_ in cand:
+        df = ctx.term_stats.get(t_, (0, 0))[0]
+        if df < min_doc_freq:
+            continue
+        idf = math.log(n / (df + 1)) + 1.0
+        scored.append((t_, tf[t_] * idf))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    top = sorted(t_ for t_, _ in scored[:max_query_terms])
+    return BooleanQuery(
+        tuple(BooleanClause(SHOULD, TermQuery(t_)) for t_ in top))
+
+
+def mlt_search(
+    index_dir: str, corpus_parquet: str, doc_id: int, k: int = 10, **kw
+) -> pa.Table:
+    """MoreLikeThis end to end -> (rank, docid, score) top-k."""
+    q = more_like_this_query(index_dir, corpus_parquet, doc_id, **kw)
+    return search(index_dir, {0: q}, k=k)

@@ -109,6 +109,23 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class NumericRangeQuery:
+    """Constant-score set of docs whose NUMERIC field value lies in
+    [lower, upper] (``search/NumericRangeQuery.java:168``): executes as a
+    term-dict range scan over the field's order-preserving value terms
+    (functions/numeric.py; the trie decomposition is an IO optimization the
+    sorted term dict replaces). ``field`` must name a ``kind="numeric"``
+    extra field."""
+
+    field: str
+    lower: int | None
+    upper: int | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery:
     boost: float = 1.0
 
@@ -173,6 +190,7 @@ Query = (
     | WildcardQuery
     | RegexpQuery
     | FuzzyQuery
+    | NumericRangeQuery
     | MatchAllDocsQuery
     | BooleanQuery
     | DisjunctionMaxQuery

@@ -30,6 +30,7 @@ class FieldSpec:
     col: str
     analyzer: str = "standard"
     store_positions: bool = True
+    kind: str = "text"  # "text" | "numeric" (order-preserving value terms)
 
 
 @dataclass(frozen=True)

@@ -276,6 +276,53 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def mlt_sql(doc_id: int, k: int = 10, min_tf: int = 2, min_df: int = 5,
+            max_terms: int = 25) -> str:
+    """MoreLikeThis oracle -> (rank, doc_id, score): interesting terms of the
+    example doc (tf >= min_tf, df >= min_df, ranked by tf * classic idf,
+    top max_terms), then an unboosted SHOULD BM25 query folded per doc in
+    term order (float32 recursive fold)."""
+    idf = f32("ln(1 + ((SELECT n FROM coll) - mt.df + 0.5) / (mt.df + 0.5))")
+    w = f32(f"{f32(idf + ' * CAST(1.0 AS REAL)')} * {K1P1}")
+    num = f32(f"{w} * CAST(t.freq AS REAL)")
+    den = f32("CAST(t.freq AS REAL) + dc.cache")
+    return f"""WITH RECURSIVE {base_ctes()},
+cand AS (
+  SELECT t.term, t.freq AS ctf, d.df
+  FROM tf t JOIN df d ON d.term = t.term
+  WHERE t.doc_id = {doc_id} AND t.freq >= {min_tf} AND d.df >= {min_df}
+),
+mterms AS (
+  SELECT term, df, row_number() OVER (ORDER BY term) AS mi FROM (
+    SELECT term, df
+    FROM (SELECT term, df,
+                 ctf * (ln(CAST((SELECT n FROM coll) AS DOUBLE) / (df + 1)) + 1.0) AS msc
+          FROM cand)
+    ORDER BY msc DESC, term ASC LIMIT {max_terms})
+),
+pscore AS (
+  SELECT t.doc_id, mt.mi, {f32(f"{num} / {den}")} AS s
+  FROM tf t JOIN mterms mt ON mt.term = t.term
+  JOIN doccache dc ON dc.doc_id = t.doc_id
+),
+ranked AS (
+  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY mi) AS ri
+  FROM pscore
+),
+nm AS (SELECT doc_id, count(*) AS m FROM ranked GROUP BY doc_id),
+fold(doc_id, i, acc) AS (
+  SELECT doc_id, 0, CAST(0 AS REAL) FROM nm
+  UNION ALL
+  SELECT f.doc_id, f.i + 1, {f32("f.acc + r.s")}
+  FROM fold f JOIN ranked r ON r.doc_id = f.doc_id AND r.ri = f.i + 1
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM (SELECT f.doc_id AS doc_id, f.acc AS score
+        FROM fold f JOIN nm ON nm.doc_id = f.doc_id AND f.i = nm.m)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def term_score_cte(name: str, term: str, boost: float = 1.0) -> str:
     """Per-doc float32 BM25 scores of one term: (doc_id, s). Boost follows
     the engine's weight_value order: f32(f32(idf * boost) * (k1+1))."""

@@ -87,6 +87,38 @@ def _invert_subbatch(
     return len(uk)
 
 
+def _analyze_numeric(col) -> "object":
+    """One order-preserving value term per non-null row (numeric field,
+    functions/numeric.py). Nulls index nothing and have field length 0."""
+    from ..functions.analysis import AnalyzedBatch
+    from ..functions.numeric import numeric_term
+
+    import pandas as pd
+
+    vals = col.to_pylist()
+    n = len(vals)
+    doc_ids = []
+    terms = []
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        doc_ids.append(i)
+        terms.append(numeric_term(int(v)))
+    if terms:
+        codes, uniques = pd.factorize(np.asarray(terms, dtype=object),
+                                      sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    doc_arr = np.asarray(doc_ids, dtype=np.int32)
+    lens = np.zeros(n, dtype=np.int32)
+    lens[doc_arr] = 1
+    return AnalyzedBatch(doc_arr, np.zeros(len(doc_arr), dtype=np.int32),
+                         codes, uniques, lens)
+
+
 def _flush_field(
     tmp: str, prefix: str, acc: dict[str, list], norms: np.ndarray,
     store_positions: bool,
@@ -192,8 +224,11 @@ def build_segment(
     t0 = time.perf_counter()
     pf = pq.ParquetFile(file)
     # fields[0] is the default content field; extras follow (FieldInfos order)
-    fields = [(None, spec.content_col, spec.analyzer, store_positions)] + [
-        (fs.name, fs.col, fs.analyzer, fs.store_positions and store_positions)
+    fields = [(None, spec.content_col, spec.analyzer, store_positions,
+               "text")] + [
+        (fs.name, fs.col, fs.analyzer,
+         fs.store_positions and store_positions and fs.kind == "text",
+         getattr(fs, "kind", "text"))
         for fs in spec.extra_fields
     ]
     cols = list(dict.fromkeys(
@@ -242,9 +277,12 @@ def build_segment(
             hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts
         )
         t1 = time.perf_counter()
-        for fi, (_fname, col, anlz, wpos) in enumerate(fields):
-            ab = analyze_batch(tb[col], with_positions=wpos,
-                               analyzer=anlz)  # zero-copy Arrow in
+        for fi, (_fname, col, anlz, wpos, kind) in enumerate(fields):
+            if kind == "numeric":
+                ab = _analyze_numeric(tb[col])
+            else:
+                ab = analyze_batch(tb[col], with_positions=wpos,
+                                   analyzer=anlz)  # zero-copy Arrow in
             n_post[fi] += _invert_subbatch(ab, doc_off, accs[fi], wpos)
             n_inst[fi] += len(ab.term_codes)
             flen_parts[fi].append(ab.field_lengths)
@@ -263,7 +301,7 @@ def build_segment(
     lens = norms = None
     n_terms_main = 0
     pbytes_main = 0
-    for fi, (fname, _col, _anlz, wpos) in enumerate(fields):
+    for fi, (fname, _col, _anlz, wpos, _kind) in enumerate(fields):
         lens_f = (np.concatenate(flen_parts[fi]) if flen_parts[fi]
                   else np.zeros(0, dtype=np.int32))
         norms_f = encode_norm(lens_f)

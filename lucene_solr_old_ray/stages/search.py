@@ -39,6 +39,7 @@ from ..queries import (
     DisjunctionMaxQuery,
     FilteredQuery,
     FuzzyQuery,
+    NumericRangeQuery,
     RegexpQuery,
     MatchAllDocsQuery,
     PhraseQuery,
@@ -477,6 +478,18 @@ def _execute_raw(
         docs = _const_docs(
             lf, lf.term_range(q.lower, q.upper, q.include_lower, q.include_upper)
         )
+        return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, NumericRangeQuery):
+        from ..functions.numeric import numeric_bounds
+
+        lf = leaf.sibling(q.field)
+        try:
+            lo, hi = numeric_bounds(q.lower, q.upper,
+                                    q.include_lower, q.include_upper)
+        except OverflowError:  # open bound nudged past the int64 domain
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float32))
+        docs = _const_docs(lf, lf.term_range(lo, hi, True, True))
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, WildcardQuery):
         lf = leaf.sibling(q.field)

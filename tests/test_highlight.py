@@ -1,0 +1,67 @@
+"""Highlighter tests: SimpleFragmenter windows, QueryTermScorer weighting,
+formatter tags (mirrors HighlighterTest-style coverage)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.highlight import _best_fragments, highlight_hits
+from lucene_solr_old_ray.queries import TermQuery, bool_query
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+
+def test_best_fragments_marks_and_windows():
+    text = ("alpha beta gamma " * 10 + "needle here " +
+            "delta epsilon " * 30 + "needle again at the end")
+    frags = _best_fragments(text, {"needle": 2.0}, frag_size=60,
+                            max_fragments=2, pre="<b>", post="</b>")
+    assert len(frags) == 2
+    for sc, f in frags:
+        assert "<b>needle</b>" in f
+        assert sc >= 2.0
+
+
+def test_stop_words_never_highlighted():
+    frags = _best_fragments("the quick fox", {"the": 1.0, "quick": 1.0},
+                            frag_size=100, max_fragments=1,
+                            pre="<b>", post="</b>")
+    assert len(frags) == 1
+    assert "<b>quick</b>" in frags[0][1]
+    assert "<b>the</b>" not in frags[0][1]
+
+
+def test_fragment_scores_rank_best_window_first():
+    text = "one junk junk junk junk " * 4 + "one two three " + "junk " * 20
+    frags = _best_fragments(text, {"one": 1.0, "two": 1.0, "three": 1.0},
+                            frag_size=16, max_fragments=3,
+                            pre="[", post="]")
+    # the window containing all three terms must rank first (score 3 vs 1)
+    assert "[two]" in frags[0][1] and "[three]" in frags[0][1]
+
+
+def test_highlight_hits_end_to_end(ray_session, tmp_path):
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "spark window spark",        # best hit
+            "spark alone here",
+            "window pane",
+            "nothing relevant at all",
+            "spark window",
+            "filler filler filler",
+        ], pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+    })
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.documents(str(tmp_path)), idx,
+                target_docs_per_partition=3)
+    out = highlight_hits(idx, p, bool_query(musts=["spark", "window"]),
+                         k=3).to_pandas()
+    assert set(out["doc_id"]) == {0, 4}
+    top = out[out["rank"] == 1].iloc[0]
+    assert top["snippet"].count("<b>") == 3  # spark, window, spark
+    assert "<b>spark</b>" in top["snippet"] and "<b>window</b>" in top["snippet"]

@@ -1,0 +1,127 @@
+"""Numeric field + NumericRangeQuery and MoreLikeThis tests."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.numeric import numeric_term
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.merge import merge_index
+from lucene_solr_old_ray.pipelines.mlt import mlt_search, more_like_this_query
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import NumericRangeQuery, TermQuery
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+
+def test_numeric_term_order_preserving():
+    rng = np.random.default_rng(3)
+    vals = sorted(int(v) for v in rng.integers(-(2**62), 2**62, 200))
+    vals = [-(2**63), -1, 0, 1, 2**63 - 1] + vals
+    encs = [numeric_term(v) for v in sorted(vals)]
+    assert encs == sorted(encs)
+    assert len(set(encs)) == len(set(sorted(vals)))
+
+
+@pytest.fixture(scope="module")
+def num_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("num")
+    n = 300
+    rng = np.random.default_rng(8)
+    sizes = rng.integers(-50, 1000, n)
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"w{i % 7} common" for i in range(n)], pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "size": pa.array(sizes, pa.int64()),
+    })
+    pq.write_table(docs, str(d / "documents.parquet"))
+    idx = str(d / "idx")
+    spec = CorpusSpec(
+        files=(str(d / "documents.parquet"),),
+        content_col="text", meta_cols=("doc_id",),
+        extra_fields=(FieldSpec("size", "size", kind="numeric"),))
+    build_index(spec, idx, target_docs_per_partition=100)
+    merge_index(idx, fan_in=2, strategy="local")
+    return idx, sizes
+
+
+@pytest.mark.parametrize("lo,hi,il,iu", [
+    (0, 500, True, True),
+    (0, 500, False, False),
+    (None, 100, True, True),
+    (-10, None, True, False),
+    (700, 700, True, True),
+    (999999, None, True, True),      # empty
+])
+def test_numeric_range_matches_brute(num_index, lo, hi, il, iu):
+    idx, sizes = num_index
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+
+    got = match_doc_ids(
+        idx, NumericRangeQuery("size", lo, hi, il, iu))["docid"].to_pylist()
+    want = []
+    for i, v in enumerate(sizes):
+        v = int(v)
+        if lo is not None and (v < lo or (v == lo and not il)):
+            continue
+        if hi is not None and (v > hi or (v == hi and not iu)):
+            continue
+        want.append(i)
+    assert sorted(got) == want
+
+
+def test_numeric_open_bound_overflow_is_empty(num_index):
+    idx, _ = num_index
+    res = search(idx, {0: NumericRangeQuery(
+        "size", None, -(2**63), include_upper=False)}, k=5)
+    assert res.num_rows == 0
+
+
+@pytest.fixture(scope="module")
+def mlt_setup(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("mlt")
+    texts = [
+        "apple banana apple banana cherry cherry",   # doc 0: the example
+        "apple banana apple cherry",                 # near-dup
+        "apple apple banana banana",                 # close
+        "zebra yak xylophone",                       # unrelated
+        "banana cherry banana cherry",               # close
+    ] + ["apple banana cherry common filler"] * 6    # keep df >= min_doc_freq
+    n = len(texts)
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+    })
+    p = str(d / "documents.parquet")
+    pq.write_table(docs, p)
+    idx = str(d / "idx")
+    build_index(CorpusSpec.documents(str(d)), idx, target_docs_per_partition=4)
+    return idx, p
+
+
+def test_mlt_query_term_selection(mlt_setup):
+    idx, p = mlt_setup
+    q = more_like_this_query(idx, p, 0, min_term_freq=2, min_doc_freq=5)
+    terms = sorted(c.query.term for c in q.clauses)
+    # apple/banana/cherry all have tf=2 in doc 0 and df >= 5; zebra etc never
+    assert terms == ["apple", "banana", "cherry"]
+
+
+def test_mlt_search_ranks_similar_docs(mlt_setup):
+    idx, p = mlt_setup
+    res = mlt_search(idx, p, 0, k=3).to_pandas()
+    # the example doc and its near-dup dominate (shorter near-dup may win on
+    # BM25 length normalization); the unrelated doc never appears
+    assert set(res["docid"].iloc[:2]) == {0, 1}
+    assert 3 not in set(res["docid"])
+
+
+def test_mlt_min_term_freq_filter(mlt_setup):
+    idx, p = mlt_setup
+    q = more_like_this_query(idx, p, 1, min_term_freq=2, min_doc_freq=5)
+    # doc 1: apple tf=2, banana tf=1, cherry tf=1 -> only apple survives
+    assert [c.query.term for c in q.clauses] == ["apple"]
