@@ -271,6 +271,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["numeric_range_open_hits"] = lambda sf: _hits_result(
         _index_for(sf), NumericRangeQuery("n_chars", 450, None,
                                           include_lower=False))
+
+    # --- join module (broadcast semi-join, ScoreMode.None) ----------------
+    def join_semi_hits(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.join import semi_join_doc_ids
+        from lucene_solr_old_ray.queries import PhraseQuery
+
+        idx = _index_for(sf_dir)
+        hits = semi_join_doc_ids(
+            idx, PhraseQuery(("spark", "window")), "source", "source")
+        hits = _docid_to_doc_id(idx, hits)
+        return hits.select(["doc_id"]).sort_by("doc_id")
+
+    q["join_semi_hits"] = join_semi_hits
     q["bm25_english_top10"] = lambda sf: _bm25_result(
         _index_for_english(sf), TermQuery("tabl"))
     q["bm25_cross_field_top10"] = lambda sf: _bm25_result(
@@ -424,6 +437,22 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_id")
     sqls["numeric_range_open_hits"] = (
         "SELECT doc_id FROM documents WHERE n_chars > 450 ORDER BY doc_id")
+    sqls["join_semi_hits"] = f"""
+WITH {g.base_ctes()},
+posd AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  CROSS JOIN range(1, 1025) r(i) WHERE i <= len(toks)
+),
+fromdocs AS (
+  SELECT DISTINCT t0.doc_id FROM posd t0
+  JOIN posd t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+  WHERE t0.term = 'spark' AND t1.term = 'window'
+)
+SELECT doc_id FROM documents
+WHERE source IN (SELECT DISTINCT d.source FROM documents d
+                 JOIN fromdocs f ON f.doc_id = d.doc_id)
+ORDER BY doc_id"""
     sqls["english_term_stats"] = g.english_term_stats_sql()
     sqls["bm25_english_top10"] = g.bm25_english_sql("tabl")
     sqls["regexp_hits"] = g.regexp_hits_sql("s(low|mall|park)")

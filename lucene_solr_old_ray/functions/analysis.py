@@ -163,13 +163,15 @@ def _fast_tokenize_ascii(arr):
     """
     import pyarrow.compute as pc
 
-    lower = pc.utf8_lower(arr)
-    parts = pc.split_pattern_regex(lower, pattern="[^a-z0-9_'.]+")
+    # NO full-size lowercase pass: split the CASED text (A-Z are word chars
+    # either way, so the split points are identical) and lowercase only the
+    # SMALL dictionary below — one fewer pass over the corpus bytes, which
+    # matters because this stage is memory-bandwidth-bound under concurrency
+    parts = pc.split_pattern_regex(arr, pattern="[^a-zA-Z0-9_'.]+")
     flat = pc.list_flatten(parts)
     parents = pc.list_parent_indices(parts)
-    nonempty = pc.not_equal(flat, "")
-    flat = flat.filter(nonempty)
-    parents = parents.filter(nonempty)
+    # empty split pieces are NOT pre-filtered (two saved passes): "" maps to
+    # -1 in the vocabulary pass below and drops with the other non-tokens
     denc = pc.dictionary_encode(flat)
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     raw_uniques = denc.dictionary.to_pylist()
@@ -178,7 +180,7 @@ def _fast_tokenize_ascii(arr):
     final_index: dict[str, int] = {}
     mapping = np.empty(len(raw_uniques), dtype=np.int64)  # -1 = non-token
     for i, u in enumerate(raw_uniques):
-        t = u.strip("'.")
+        t = u.lower().strip("'.")
         if not t or not any(c.isalnum() for c in t):
             mapping[i] = -1
             continue

@@ -168,6 +168,39 @@ def match_doc_ids(index_dir: str, query: Query) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def collect_hits(index_dir: str, query: Query, collector) -> pa.Table:
+    """PUBLIC Collector hook (``search/Collector.java`` analogue): the
+    user-supplied ``collector(leaf_ord, doc_base, docids, scores) ->
+    pd.DataFrame`` runs once per leaf INSIDE the distributed scoring pass
+    (acceptsDocsOutOfOrder across leaves, in-order within a leaf — docids
+    ascend); the per-leaf frames concatenate into the result. The callable
+    must be serializable (it is broadcast to the actor pool)."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    bcast = ray.put((ctx, query, collector))
+
+    def leaf_collect(batch: pd.DataFrame) -> pd.DataFrame:
+        ctx_l, q, coll = ray.get(bcast)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
+            docids, scores = execute(q, leaf, ctx_l)
+            parts.append(coll(leaf.ord, leaf.doc_base, docids, scores))
+        return (pd.concat(parts, ignore_index=True) if parts
+                else pd.DataFrame())
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    out = ds.map_batches(leaf_collect, batch_format="pandas",
+                         batch_size=4).to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def sort_by_field(
     index_dir: str, query: Query, field: str, descending: bool = True, k: int = 10
 ) -> pa.Table:

@@ -1,0 +1,61 @@
+"""Index-time join queries (the ``lucene/join`` module's query-time join).
+
+Re-expresses (NOT ports) ``lucene/join/src/java/org/apache/lucene/search/
+join/JoinUtil.java:46`` (createJoinQuery, ScoreMode.None): collect the
+distinct ``from_field`` values of documents matching ``from_query``, then
+match documents whose ``to_field`` contains any collected value — a
+broadcast semi-join. The collected value set is the SMALL side (it is at
+most |distinct field values|), so it travels to the second pass as a query,
+never as a shuffle (the survey's broadcast-join shape).
+
+``from_field`` values come from the docmap (stored fields);
+``to_field`` must be an indexed extra field.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..queries import (
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    ConstantScoreQuery,
+    Query,
+    TermQuery,
+)
+from .analytics import match_doc_ids
+from .search import fetch_doc_meta
+
+
+def join_query(
+    index_dir: str,
+    from_query: Query,
+    from_field: str,
+    to_field: str,
+    *,
+    max_terms: int = 10_000,
+) -> Query:
+    """Build the to-side query of a semi-join (ScoreMode.None: every hit
+    scores the constant 1.0)."""
+    hits = match_doc_ids(index_dir, from_query)
+    if hits.num_rows == 0:
+        return ConstantScoreQuery(BooleanQuery(()))
+    meta = fetch_doc_meta(index_dir, hits["docid"].to_pylist())
+    values = sorted({str(v) for v in meta[from_field].to_pylist()
+                     if v is not None})
+    if len(values) > max_terms:
+        raise ValueError(
+            f"join from-side produced {len(values)} terms (> {max_terms}); "
+            "pre-aggregate or raise max_terms")
+    return ConstantScoreQuery(BooleanQuery(
+        tuple(BooleanClause(SHOULD, TermQuery(v.lower(), field=to_field))
+              for v in values), 0))
+
+
+def semi_join_doc_ids(
+    index_dir: str, from_query: Query, from_field: str, to_field: str
+) -> pa.Table:
+    """Global docIDs of the semi-join result, sorted. -> (docid)."""
+    q = join_query(index_dir, from_query, from_field, to_field)
+    return match_doc_ids(index_dir, q)

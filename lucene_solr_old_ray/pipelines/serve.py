@@ -93,6 +93,8 @@ class SearchService:
 
     def __init__(self, index_dir: str, num_actors: int = 8, algo: str = "wand"):
         manifest = mf.read_index_manifest(index_dir)
+        self.index_dir = index_dir
+        self.manifest = manifest
         st = manifest["stats"]
         self.coll = bm25.CollectionStats(st["max_doc"], st["sum_total_term_freq"])
         self.field_colls = {
@@ -116,6 +118,14 @@ class SearchService:
         if not isinstance(queries, dict):
             queries = dict(enumerate(queries))
         qitems = sorted(queries.items())
+        from ..queries import needs_rewrite
+
+        if any(needs_rewrite(q) for _, q in qitems):
+            # scoring MultiTermQueries expand against the point-in-time
+            # manifest (one extra leaf fan-out before the scoring pass)
+            from .search import rewrite_queries
+
+            qitems = rewrite_queries(self.index_dir, self.manifest, qitems)
         terms = sorted(set().union(*[collect_terms(q) for _, q in qitems]) if qitems else set())
         fterms = sorted(set().union(
             *[collect_field_terms(q) for _, q in qitems]) if qitems else set())

@@ -470,7 +470,9 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     import ray
     from ray.data.aggregate import Min
 
-    pairs = jaccard_pairs(sf_dir, threshold=threshold).to_pandas()
+    # edges from the scale path (prefix-filtered inverted index +
+    # distributed verify) — identical pair set to the bitset variant
+    pairs = jaccard_pairs_inverted(sf_dir, threshold=threshold).to_pandas()
     import pyarrow.parquet as pq
 
     all_ids = pq.read_table(f"{sf_dir}/documents.parquet",

@@ -1,0 +1,75 @@
+"""Join module (broadcast semi-join) + public Collector hook tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.analytics import collect_hits, match_doc_ids
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.join import join_query, semi_join_doc_ids
+from lucene_solr_old_ray.queries import TermQuery
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+
+@pytest.fixture(scope="module")
+def join_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("join")
+    texts = ["needle alpha", "beta", "gamma", "needle delta",
+             "epsilon", "zeta", "eta", "theta"]
+    groups = ["g1", "g2", "g1", "g3", "g3", "g2", "g1", "g4"]
+    n = len(texts)
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(groups, pa.string()),
+    })
+    p = str(d / "documents.parquet")
+    pq.write_table(docs, p)
+    idx = str(d / "idx")
+    build_index(CorpusSpec.documents(
+        str(d), extra_fields=(FieldSpec("source", "source", "standard"),)),
+        idx, target_docs_per_partition=3)
+    return idx, groups
+
+
+def test_semi_join(join_index):
+    idx, groups = join_index
+    # docs matching "needle" live in groups g1 and g3 -> all docs in those
+    hits = semi_join_doc_ids(idx, TermQuery("needle"), "source", "source")
+    want = [i for i, g in enumerate(groups) if g in {"g1", "g3"}]
+    assert sorted(hits["docid"].to_pylist()) == want
+
+
+def test_semi_join_empty_from(join_index):
+    idx, _ = join_index
+    assert semi_join_doc_ids(
+        idx, TermQuery("absent_term"), "source", "source").num_rows == 0
+
+
+def test_join_query_is_constant_score(join_index):
+    idx, _ = join_index
+    from lucene_solr_old_ray.pipelines.search import search
+
+    q = join_query(idx, TermQuery("needle"), "source", "source")
+    res = search(idx, {0: q}, k=10).to_pandas()
+    assert set(res["score"]) == {1.0}
+
+
+def test_collector_hook(join_index):
+    idx, _ = join_index
+
+    def coll(leaf_ord, doc_base, docids, scores):
+        return pd.DataFrame({
+            "leaf": np.full(len(docids), leaf_ord, dtype=np.int64),
+            "docid": docids + doc_base,
+            "score_sq": (scores.astype(np.float64)) ** 2,
+        })
+
+    out = collect_hits(idx, TermQuery("needle"), coll).to_pandas()
+    want = match_doc_ids(idx, TermQuery("needle"))["docid"].to_pylist()
+    assert sorted(out["docid"]) == sorted(want)
+    assert (out["score_sq"] > 0).all()
+    assert out["leaf"].nunique() >= 1
