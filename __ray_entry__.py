@@ -71,15 +71,16 @@ def _index_for(sf_dir: str) -> str:
     return idx
 
 
-def _index_for_english(sf_dir: str) -> str:
-    """Second cached index: same documents, analyzer="english" (the standard
-    chain + PorterStemFilter — analyzer-registry strategy #3)."""
-    tag = sf_dir.strip("/").replace("/", "_") + "-en"
+def _index_for_analyzer(sf_dir: str, analyzer: str, tag_suffix: str) -> str:
+    """Cached index over documents with an alternate analyzer-registry chain
+    ("english" = Porter stem, "shingle" = unigrams+2-shingles, "synonym" =
+    SYNONYMS overlay)."""
+    tag = sf_dir.strip("/").replace("/", "_") + tag_suffix
     idx = os.path.join(_CACHE_ROOT, tag)
     spec = CorpusSpec(
         files=(os.path.join(sf_dir, "documents.parquet"),),
         content_col="text", meta_cols=("doc_id", "lang", "source"),
-        analyzer="english")
+        analyzer=analyzer)
     n = pq.ParquetFile(spec.files[0]).metadata.num_rows
     done = os.path.join(idx, ".complete")
     if not os.path.exists(done):
@@ -88,6 +89,10 @@ def _index_for_english(sf_dir: str) -> str:
         with open(done, "w") as f:
             f.write("ok")
     return idx
+
+
+def _index_for_english(sf_dir: str) -> str:
+    return _index_for_analyzer(sf_dir, "english", "-en")
 
 
 def _docid_to_doc_id(idx: str, table: pa.Table) -> pa.Table:
@@ -284,6 +289,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hits.select(["doc_id"]).sort_by("doc_id")
 
     q["join_semi_hits"] = join_semi_hits
+
+    # --- shingle + synonym analyzers --------------------------------------
+    q["bm25_shingle_top10"] = lambda sf: _bm25_result(
+        _index_for_analyzer(sf, "shingle", "-sh"), TermQuery("spark window"))
+
+    def synonym_hits(sf_dir: str) -> pa.Table:
+        idx = _index_for_analyzer(sf_dir, "synonym", "-syn")
+        return _hits_result(idx, TermQuery("rapid"))
+
+    q["synonym_hits"] = synonym_hits
+
+    # --- IVF ANN (trained coarse quantizer; rows-only, approximate) -------
+    from lucene_solr_old_ray.stages.ann import ivf_topk
+
+    q["ann_ivf_topk"] = lambda sf: ivf_topk(sf, k=10)
     q["bm25_english_top10"] = lambda sf: _bm25_result(
         _index_for_english(sf), TermQuery("tabl"))
     q["bm25_cross_field_top10"] = lambda sf: _bm25_result(
@@ -437,6 +457,8 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY doc_id")
     sqls["numeric_range_open_hits"] = (
         "SELECT doc_id FROM documents WHERE n_chars > 450 ORDER BY doc_id")
+    sqls["bm25_shingle_top10"] = g.bm25_shingle_sql("spark window")
+    sqls["synonym_hits"] = g.synonym_hits_sql("rapid", ["fast"])
     sqls["join_semi_hits"] = f"""
 WITH {g.base_ctes()},
 posd AS (

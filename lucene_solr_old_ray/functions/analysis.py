@@ -124,6 +124,17 @@ def tokenize_raw_cased(text: str) -> list[str]:
     return [t for t in toks if _HAS_ALNUM.search(t)]
 
 
+# SynonymFilter demo map (module-level so every worker process resolves the
+# SAME map deterministically; a custom map means registering it here before
+# building AND searching — the SynonymMap build-time contract,
+# ``analysis/common/.../synonym/SynonymFilter.java:54``)
+SYNONYMS: dict[str, tuple[str, ...]] = {
+    "fast": ("rapid",),
+    "slow": ("sluggish",),
+    "big": ("large",),
+}
+
+
 @dataclass
 class AnalyzedBatch:
     """Flat token stream for a batch of documents, post full analysis chain.
@@ -240,6 +251,68 @@ def _python_tokenize(texts: list[str], analyzer: str):
     return doc_ids, positions, codes, uniques, counts, cased
 
 
+def _analyze_overlay(
+    texts: list[str], analyzer: str, with_positions: bool
+) -> AnalyzedBatch:
+    """Exact path for the overlay analyzers (tokens emitted at the SAME
+    position as an anchor token, posIncr 0, excluded from norm lengths):
+
+    - ``"shingle"``: unigrams + adjacent 2-shingles ``"a b"``
+      (``analysis/common/.../shingle/ShingleFilter.java:65`` — shingles
+      overlay their first token's position; built over the pre-stop stream,
+      so stop words participate in shingles while their unigrams drop);
+    - ``"synonym"``: unigrams + :data:`SYNONYMS` expansions at the matched
+      token's position (``analysis/common/.../synonym/SynonymFilter.java:54``).
+    """
+    import pandas as pd
+
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    f_docs: list[int] = []
+    f_pos: list[int] = []
+    f_terms: list[str] = []
+
+    def emit(d: int, p: int, term: str) -> None:
+        f_docs.append(d)
+        f_pos.append(p)
+        f_terms.append(term)
+
+    for i, t in enumerate(texts):
+        raw = tokenize_raw(t if isinstance(t, str) else "")
+        kept = 0
+        for p, tok in enumerate(raw):
+            if len(tok) <= MAX_TOKEN_LENGTH and tok not in ENGLISH_STOP_WORDS:
+                emit(i, p, tok)
+                kept += 1
+            if analyzer == "synonym":
+                for syn in SYNONYMS.get(tok, ()):
+                    if (len(syn) <= MAX_TOKEN_LENGTH
+                            and syn not in ENGLISH_STOP_WORDS):
+                        emit(i, p, syn)
+            else:  # shingle
+                if p + 1 < len(raw):
+                    a, b = tok, raw[p + 1]
+                    if (len(a) <= MAX_TOKEN_LENGTH
+                            and len(b) <= MAX_TOKEN_LENGTH
+                            and len(a) + len(b) + 1 <= MAX_TOKEN_LENGTH):
+                        emit(i, p, a + " " + b)
+        counts[i] = kept
+
+    if f_terms:
+        codes, uniques = pd.factorize(np.asarray(f_terms, dtype=object),
+                                      sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    positions = (np.asarray(f_pos, dtype=np.int32) if with_positions
+                 else np.empty(0, dtype=np.int32))
+    return AnalyzedBatch(
+        np.asarray(f_docs, dtype=np.int32), positions, codes, uniques,
+        counts.astype(np.int32))
+
+
 def analyze_batch(
     texts, with_positions: bool = False, analyzer: str = "standard"
 ) -> AnalyzedBatch:
@@ -263,6 +336,11 @@ def analyze_batch(
         texts = texts.combine_chunks()
     n_docs = len(texts)
     cased = None
+
+    if analyzer in ("shingle", "synonym"):
+        texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                      else list(texts))
+        return _analyze_overlay(texts_list, analyzer, with_positions)
 
     if analyzer in ("standard", "english"):
         # english = the standard chain + a vocabulary-level Porter stem pass

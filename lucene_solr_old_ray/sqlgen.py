@@ -276,6 +276,64 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def bm25_shingle_sql(term: str, k: int = 10, pos_cap: int = 1024) -> str:
+    """Single SHINGLE-term BM25 top-k over the shingle-analyzer index ->
+    (rank, doc_id, score). The field's sumTotalTermFreq counts unigram AND
+    shingle instances (overlays are indexed; norms count unigrams only), so
+    avgdl and the per-doc cache are recomputed here."""
+    idf = f32("ln(1 + ((SELECT n FROM coll) - sdf.df + 0.5) / (sdf.df + 0.5))")
+    w = f32(f"{f32(idf + ' * CAST(1.0 AS REAL)')} * {K1P1}")
+    num = f32(f"{w} * CAST(st.freq AS REAL)")
+    den = f32("CAST(st.freq AS REAL) + sdc.cache")
+    return f"""WITH {base_ctes()},
+posd AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  CROSS JOIN range(1, {pos_cap + 1}) r(i) WHERE i <= len(toks)
+),
+sh AS (
+  SELECT a.doc_id, a.p, a.term || ' ' || b.term AS term
+  FROM posd a JOIN posd b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term <> '' AND b.term <> ''
+    AND length(a.term) <= 255 AND length(b.term) <= 255
+    AND length(a.term) + length(b.term) + 1 <= 255
+),
+scoll AS (
+  SELECT (SELECT count(*) FROM toks) + (SELECT count(*) FROM sh) AS sttf
+),
+savgdl AS (
+  SELECT CAST(CAST(sttf AS DOUBLE) / (SELECT n FROM coll) AS REAL) AS v
+  FROM scoll
+),
+sdoccache AS (
+  SELECT dl.doc_id, nm.nb,
+         {f32(f"{K1} * " + f32(f"{ONE_MINUS_B} + " + f32(f32(f"{B} * CAST(nm.dec AS REAL)") + " / (SELECT v FROM savgdl)")))} AS cache
+  FROM doclen dl JOIN normmap nm ON dl.flen BETWEEN nm.lo AND nm.hi
+),
+stf AS (
+  SELECT doc_id, count(*) AS freq FROM sh WHERE term = '{term}'
+  GROUP BY doc_id
+),
+sdf AS (SELECT count(*) AS df FROM stf)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank,
+         doc_id, s AS score
+  FROM (SELECT st.doc_id AS doc_id, {f32(f"{num} / {den}")} AS s
+        FROM stf st JOIN sdf ON TRUE
+        JOIN sdoccache sdc ON sdc.doc_id = st.doc_id)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def synonym_hits_sql(query_term: str, source_terms: list[str]) -> str:
+    """Constant-score docID set of a term query on the synonym-analyzer
+    index: the query term matches its own literal occurrences plus every
+    source token that expands to it."""
+    terms = ", ".join(f"'{t}'" for t in [query_term, *source_terms])
+    return (f"WITH {base_ctes()} SELECT doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM toks WHERE term IN ({terms})"
+            f") ORDER BY doc_id")
+
+
 def mlt_sql(doc_id: int, k: int = 10, min_tf: int = 2, min_df: int = 5,
             max_terms: int = 25) -> str:
     """MoreLikeThis oracle -> (rank, doc_id, score): interesting terms of the

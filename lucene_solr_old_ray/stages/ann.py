@@ -78,6 +78,116 @@ def brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10) -> 
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+def _train_centroids(
+    sf_dir: str, n_lists: int, seed: int, sample: int = 20_000,
+    iters: int = 10,
+) -> np.ndarray:
+    """K-means centroids over a corpus sample (Lloyd, deterministic seed).
+    The sample streams out of one distributed pass; training runs on the
+    driver (centroid sets are tiny — the IVF training contract)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+    n = ds.count()
+    frac = min(1.0, sample / max(1, n))
+    vecs = (ds.random_sample(frac, seed=seed).take_all()
+            if frac < 1.0 else ds.take_all())
+    X = _normalized(np.asarray([r["embedding"] for r in vecs],
+                               dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    k = min(n_lists, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized vectors
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                nc = np.linalg.norm(c)
+                if nc > 0:
+                    C[j] = c / nc
+    return C
+
+
+def ivf_topk(
+    sf_dir: str,
+    query_ids: list[int] | None = None,
+    k: int = 10,
+    n_lists: int = 64,
+    nprobe: int = 8,
+    seed: int = 42,
+) -> pa.Table:
+    """IVF ANN: trained k-means coarse quantizer; each query probes its
+    ``nprobe`` nearest lists. List membership of a corpus vector is a pure
+    function of the broadcast centroids, so — like :func:`lsh_topk` — each
+    corpus batch assigns its own vectors, keeps those whose list is probed
+    by a query, scores them exactly, and emits a per-batch partial top-k:
+    fully streaming, no bucket shuffle. (At persistent-index scale the
+    assignment pass would be materialized once as list-partitioned Parquet;
+    the probe/score stage is unchanged.)
+    -> (query_id, rank, vec_id, cos_bp)."""
+    import ray
+    import ray.data
+
+    query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
+    qids, Q = _query_matrix(sf_dir, query_ids)
+    C = _train_centroids(sf_dir, n_lists, seed)
+    # per-query probed lists (driver-tiny)
+    sims_qc = Q @ C.T
+    probes = [frozenset(np.argsort(-sims_qc[qi])[:nprobe].tolist())
+              for qi in range(len(qids))]
+    bcast = ray.put((qids, Q, C, probes))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qids_l, Q_l, C_l, probes_l = ray.get(bcast)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        v = _normalized(np.asarray(batch["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        assign = np.argmax(v @ C_l.T, axis=1)
+        rows = []
+        for qi in range(len(qids_l)):
+            mask = np.isin(assign, list(probes_l[qi]))
+            mask &= ids != qids_l[qi]
+            if not mask.any():
+                continue
+            cids = ids[mask]
+            sims = v[mask] @ Q_l[qi]
+            take = min(k, len(cids))
+            sel = np.argpartition(-sims, take - 1)[:take]
+            rows.append(pd.DataFrame({
+                "query_id": qids_l[qi], "vec_id": cids[sel], "sim": sims[sel],
+            }))
+        if not rows:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096).to_pandas()
+    out = []
+    for qid in qids:
+        sub = parts[parts["query_id"] == qid]
+        if len(sub) == 0:
+            continue
+        order = np.lexsort((sub["vec_id"].to_numpy(),
+                            -sub["sim"].to_numpy()))[:k]
+        sel = sub.iloc[order]
+        out.append(pd.DataFrame({
+            "query_id": qid,
+            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+            "vec_id": sel["vec_id"].to_numpy(),
+            "cos_bp": np.rint(sel["sim"].to_numpy() * 10000).astype(np.int64),
+        }))
+    res = (pd.concat(out, ignore_index=True) if out
+           else pd.DataFrame({"query_id": [], "rank": [], "vec_id": [],
+                              "cos_bp": []}))
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
 def lsh_topk(
     sf_dir: str,
     query_ids: list[int] | None = None,

@@ -141,3 +141,18 @@ def test_jaccard_ngram_more_selective_than_unigram(ray_session):
     tri = jaccard_ngram_pairs(SF, n=3, threshold=0.5).to_pandas()
     # order-sensitive shingles are far more selective on bag-of-words data
     assert len(tri) < len(uni)
+
+
+def test_ann_ivf_recall(ray_session):
+    from lucene_solr_old_ray.stages.ann import ivf_topk
+
+    exact = brute_topk(SF, k=10).to_pandas()
+    approx = ivf_topk(SF, k=10, n_lists=16, nprobe=8).to_pandas()
+    hits = 0
+    total = 0
+    for qid in exact["query_id"].unique():
+        want = set(exact[exact["query_id"] == qid]["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.4  # probing half the lists on random vectors

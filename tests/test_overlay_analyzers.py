@@ -1,0 +1,92 @@
+"""Shingle + synonym overlay analyzers: token/position/norm-length
+semantics and end-to-end retrieval."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import SYNONYMS, analyze_batch
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import PhraseQuery, TermQuery
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+
+def _stream(ab):
+    return sorted(zip(ab.doc_ids.tolist(), ab.positions.tolist(),
+                      [ab.uniques[c] for c in ab.term_codes]))
+
+
+def test_shingle_tokens_positions_norms():
+    ab = analyze_batch(["the fast fox"], with_positions=True,
+                       analyzer="shingle")
+    got = _stream(ab)
+    # unigrams: fast@1, fox@2 (the = stop, dropped but consumes position);
+    # shingles overlay: "the fast"@0, "fast fox"@1
+    assert got == [(0, 0, "the fast"), (0, 1, "fast"), (0, 1, "fast fox"),
+                   (0, 2, "fox")]
+    assert ab.field_lengths.tolist() == [2]  # discountOverlaps
+
+
+def test_synonym_tokens_positions_norms():
+    assert SYNONYMS["fast"] == ("rapid",)
+    ab = analyze_batch(["fast car", "rapid car"], with_positions=True,
+                       analyzer="synonym")
+    got = _stream(ab)
+    assert got == [(0, 0, "fast"), (0, 0, "rapid"), (0, 1, "car"),
+                   (1, 0, "rapid"), (1, 1, "car")]
+    assert ab.field_lengths.tolist() == [2, 2]
+
+
+@pytest.fixture(scope="module")
+def syn_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("syn")
+    texts = ["fast car", "rapid car", "slow bus", "boat"]
+    n = len(texts)
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+    })
+    pq.write_table(docs, str(d / "documents.parquet"))
+    idx = str(d / "idx")
+    spec = CorpusSpec(files=(str(d / "documents.parquet"),),
+                      content_col="text", meta_cols=("doc_id",),
+                      analyzer="synonym")
+    build_index(spec, idx, target_docs_per_partition=2)
+    return idx
+
+
+def test_synonym_search(syn_index):
+    # "rapid" matches its literal occurrence AND the synonym overlay of fast
+    res = search(syn_index, {0: TermQuery("rapid")}, k=10).to_pandas()
+    assert sorted(res["docid"]) == [0, 1]
+    # "sluggish" matches only via the slow -> sluggish expansion
+    res2 = search(syn_index, {0: TermQuery("sluggish")}, k=10).to_pandas()
+    assert res2["docid"].tolist() == [2]
+
+
+def test_shingle_search_and_phrase(ray_session, tmp_path):
+    texts = ["spark window open", "window spark", "spark shut window"]
+    n = len(texts)
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    idx = str(tmp_path / "idx")
+    spec = CorpusSpec(files=(str(tmp_path / "documents.parquet"),),
+                      content_col="text", meta_cols=("doc_id",),
+                      analyzer="shingle")
+    build_index(spec, idx, target_docs_per_partition=10)
+    # the shingle TERM only exists where the words are adjacent in order
+    res = search(idx, {0: TermQuery("spark window")}, k=10).to_pandas()
+    assert res["docid"].tolist() == [0]
+    # unigrams still searchable; shingle phrase of two shingles spans 3 words
+    res2 = search(idx, {0: PhraseQuery(("spark window", "window open"))},
+                  k=10).to_pandas()
+    assert res2["docid"].tolist() == [0]
