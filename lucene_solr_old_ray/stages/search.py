@@ -377,12 +377,8 @@ def collect_mtq_terms(leaf: LeafSearcher, q) -> dict[str, int]:
     if isinstance(q, RegexpQuery):
         return {lf.term_str(ti): 0 for ti in _expand_regexp(lf, q.pattern)}
     if isinstance(q, FuzzyQuery):
-        out = {}
-        for ti in _expand_fuzzy(lf, q.term, q.max_edits):
-            t = lf.term_str(ti)
-            # exact distance for the boost (the banded check only bounds it)
-            out[t] = _edit_distance(t, q.term)
-        return out
+        # exact distances ride along for the similarity boosts
+        return _expand_fuzzy(lf, q.term, q.max_edits, with_distances=True)
     raise TypeError(f"not a MultiTermQuery: {type(q).__name__}")
 
 
@@ -414,21 +410,54 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
-def _expand_fuzzy(leaf: LeafSearcher, term: str, max_edits: int) -> list[int]:
-    """Vocabulary scan with a length band (the Levenshtein-automaton
-    TermsEnum is the at-scale path, ``search/FuzzyQuery.java:54``)."""
+def fuzzy_distances_batch(strs: list[str], q: str) -> np.ndarray:
+    """Vectorized Levenshtein distances of every string to ``q``: the DP
+    runs column-by-column (bounded by the longest candidate) with every row
+    operation vectorized ACROSS candidates — no per-term Python DP."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    L = int(lens.max())
+    if L == 0:
+        return np.full(n, len(q), dtype=np.int32)
+    # utf-32 decode yields the code-point matrix without per-char loops
+    flat = np.frombuffer("".join(strs).encode("utf-32-le"), dtype="<u4")
+    M = np.zeros((n, L), dtype=np.uint32)
+    ends = np.cumsum(lens)
+    col = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - lens, lens)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    M[row, col] = flat
+    dp = np.broadcast_to(np.arange(L + 1, dtype=np.int32), (n, L + 1)).copy()
+    for i, qc in enumerate(q, 1):
+        ndp = np.empty_like(dp)
+        ndp[:, 0] = i
+        sub = (M != np.uint32(ord(qc))).astype(np.int32)
+        for j in range(1, L + 1):
+            ndp[:, j] = np.minimum(
+                np.minimum(dp[:, j] + 1, ndp[:, j - 1] + 1),
+                dp[:, j - 1] + sub[:, j - 1])
+        dp = ndp
+    return dp[np.arange(n), lens].astype(np.int32)
+
+
+def _expand_fuzzy(leaf: LeafSearcher, term: str, max_edits: int,
+                  with_distances: bool = False):
+    """Vocabulary scan: byte-length band prune, then one vectorized DP over
+    the surviving candidates (the Levenshtein-automaton TermsEnum intersect
+    is the 10^9-vocab path, ``search/FuzzyQuery.java:54``)."""
     kb = len(term.encode("utf-8"))
-    out = []
-    for ti in range(leaf.nterms):
-        # cheap byte-length band before the DP (|len(a)-len(b)| <= k holds in
-        # code points; UTF-8 byte length differs by at most 4x, so band by
-        # bytes conservatively)
-        tb = leaf._toff[ti + 1] - leaf._toff[ti]
-        if tb + 4 * max_edits < kb or kb + 4 * max_edits < tb:
-            continue
-        if _edit_distance_le(leaf.term_str(ti), term, max_edits):
-            out.append(ti)
-    return out
+    blens = np.diff(leaf._toff)
+    cand = np.flatnonzero((blens >= kb - 4 * max_edits)
+                          & (blens <= kb + 4 * max_edits))
+    if len(cand) == 0:
+        return ({} if with_distances else [])
+    strs = [leaf.term_str(int(ti)) for ti in cand]
+    dists = fuzzy_distances_batch(strs, term)
+    ok = dists <= max_edits
+    if with_distances:
+        return {strs[i]: int(dists[i]) for i in np.flatnonzero(ok)}
+    return [int(cand[i]) for i in np.flatnonzero(ok)]
 
 
 def execute(
