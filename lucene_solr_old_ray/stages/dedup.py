@@ -209,29 +209,32 @@ def jaccard_pairs_inverted(
                 pref = sorted(rk[x] for x in toks)[:L]
                 out_r.extend(pref)
                 out_d.extend([d] * len(pref))
-            return pd.DataFrame({"r": pd.Series(out_r, dtype="int64"),
-                                 "doc_id": pd.Series(out_d, dtype="int64")})
+            rarr = pd.Series(out_r, dtype="int64")
+            return pd.DataFrame({"r": rarr,
+                                 "doc_id": pd.Series(out_d, dtype="int64"),
+                                 # coarse shuffle key (bounded Ray group
+                                 # count; see minhash_lsh_pairs)
+                                 "g": rarr % 256})
 
-        def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-            ids = np.sort(g["doc_id"].unique())
-            if len(ids) < 2:
+        def emit_pairs(gb: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for _, g in gb.groupby("r", sort=False):
+                ids = np.sort(g["doc_id"].unique())
+                if len(ids) < 2:
+                    continue
+                ii, jj = np.triu_indices(len(ids), 1)
+                outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
+            if not outs:
                 return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                      "b": pd.Series([], dtype="int64")})
-            ii, jj = np.triu_indices(len(ids), 1)
-            return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+            return pd.concat(outs, ignore_index=True)
 
-        cand = (
+        cand_ds = (
             ds.map_batches(emit_prefix, batch_format="pyarrow")
-            .groupby("r")
+            .groupby("g")
             .map_groups(emit_pairs, batch_format="pandas")
-            .to_pandas()
         )
-        if len(cand) == 0:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        cand = cand.drop_duplicates().reset_index(drop=True)
-        return _verify_pairs_distributed(sf_dir, cand, threshold)
+        return _verify_pairs_ds(sf_dir, cand_ds, threshold)
 
     td = _term_doc_rows(sf_dir)
     # set sizes: small table, broadcast
@@ -372,6 +375,99 @@ def _fetch_token_sets(sf_dir: str, doc_ids: set[int]):
             for d, t in zip(picked["doc_id"], picked["toks"])}
 
 
+def _verify_pairs_ds(sf_dir: str, cand_ds, threshold: float) -> pa.Table:
+    """Distributed dedupe + exact-Jaccard verify of a candidate-pair
+    DATASET: pairs shuffle once by pair hash (cross-band duplicates land in
+    the same group and drop there), each group verifies against the
+    broadcast token-id arrays of only the PARTICIPATING docs. The driver
+    sees nothing bigger than the verified output."""
+    import ray
+
+    def doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = np.union1d(batch["a"].to_numpy(), batch["b"].to_numpy())
+        return pd.DataFrame({"doc_id": u})
+
+    needed_df = cand_ds.map_batches(
+        doc_partial, batch_format="pandas").to_pandas()
+    needed = (set(int(x) for x in needed_df["doc_id"].unique())
+              if "doc_id" in needed_df.columns else set())
+    if not needed:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    raw_sets = _fetch_token_sets(sf_dir, needed)
+    vocab: dict[str, int] = {}
+    id_arrays: dict[int, np.ndarray] = {}
+    for d, toks in raw_sets.items():
+        ids = [vocab.setdefault(t, len(vocab)) for t in toks]
+        id_arrays[d] = np.sort(np.asarray(ids, dtype=np.int64))
+    # fully-vectorized bitmask verify when the needed docs' joint vocabulary
+    # is small (packed AND + popcount over whole pair batches); the sorted
+    # id-array intersect path covers the big-vocab regime
+    masks = sizes = pos_of = None
+    if len(vocab) <= 8192:
+        doc_list = sorted(id_arrays)
+        pos_of = {d: i for i, d in enumerate(doc_list)}
+        nbits = max(1, len(vocab))
+        bits = np.zeros((len(doc_list), nbits), dtype=np.uint8)
+        for i, d in enumerate(doc_list):
+            bits[i, id_arrays[d]] = 1
+        masks = np.packbits(bits, axis=1)
+        sizes = bits.sum(axis=1).astype(np.int64)
+    sets_ref = ray.put((id_arrays, masks, sizes, pos_of))
+    popcnt_tbl = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+
+    def dedupe_verify(g: pd.DataFrame) -> pd.DataFrame:
+        arrs, masks_l, sizes_l, pos_l = ray.get(sets_ref)
+        g = g.drop_duplicates(["a", "b"])
+        if masks_l is not None and len(g):
+            ia = np.asarray([pos_l[int(x)] for x in g["a"]], dtype=np.int64)
+            ib = np.asarray([pos_l[int(x)] for x in g["b"]], dtype=np.int64)
+            inter = popcnt_tbl[np.bitwise_and(masks_l[ia], masks_l[ib])].sum(axis=1)
+            union = sizes_l[ia] + sizes_l[ib] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                j = inter / union
+            j = np.where(union == 0, 1.0, j)
+            keep = j >= threshold
+            return pd.DataFrame({
+                "doc_a": g["a"].to_numpy()[keep].astype(np.int64),
+                "doc_b": g["b"].to_numpy()[keep].astype(np.int64),
+                "jaccard": j[keep],
+            })
+        rows = []
+        for x, y in zip(g["a"], g["b"]):
+            sa, sb = arrs[int(x)], arrs[int(y)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - inter
+            j = (inter / u) if u else 1.0
+            if j >= threshold:
+                rows.append((int(x), int(y), j))
+        return pd.DataFrame({
+            "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
+            "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
+            "jaccard": pd.Series([r[2] for r in rows], dtype="float64"),
+        })
+
+    def add_ph(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["a", "b"]]
+        batch = batch.assign(ph=(batch["a"] * 1_000_003 + batch["b"]) % 256)
+        return batch
+
+    verified = (
+        cand_ds.map_batches(add_ph, batch_format="pandas")
+        .groupby("ph")
+        .map_groups(dedupe_verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_a" not in verified.columns:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
+
+
 def _verify_pairs_distributed(
     sf_dir: str, cand: pd.DataFrame, threshold: float
 ) -> pa.Table:
@@ -381,15 +477,24 @@ def _verify_pairs_distributed(
     import ray
 
     needed = set(int(x) for x in cand["a"]) | set(int(x) for x in cand["b"])
-    sets_ref = ray.put(_fetch_token_sets(sf_dir, needed))
+    raw_sets = _fetch_token_sets(sf_dir, needed)
+    # tokens -> int ids over the NEEDED docs only; per-doc sorted id arrays
+    # make each pair verification a C-level intersect instead of Python sets
+    vocab: dict[str, int] = {}
+    id_arrays: dict[int, np.ndarray] = {}
+    for d, toks in raw_sets.items():
+        ids = [vocab.setdefault(t, len(vocab)) for t in toks]
+        id_arrays[d] = np.sort(np.asarray(ids, dtype=np.int64))
+    sets_ref = ray.put(id_arrays)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        sets = ray.get(sets_ref)
+        arrs = ray.get(sets_ref)
         rows = []
         for x, y in zip(batch["a"], batch["b"]):
-            sa, sb = sets[int(x)], sets[int(y)]
-            u = len(sa | sb)
-            j = (len(sa & sb) / u) if u else 1.0
+            sa, sb = arrs[int(x)], arrs[int(y)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - inter
+            j = (inter / u) if u else 1.0
             if j >= threshold:
                 rows.append((int(x), int(y), j))
         return pd.DataFrame({
@@ -398,8 +503,10 @@ def _verify_pairs_distributed(
             "jaccard": pd.Series([r[2] for r in rows], dtype="float64"),
         })
 
+    nblocks = max(1, min(64, len(cand) // 2000))
     verified = (
         ray.data.from_pandas(cand.reset_index(drop=True))
+        .repartition(nblocks)
         .map_batches(verify, batch_format="pandas")
         .to_pandas()
     )
@@ -432,32 +539,37 @@ def minhash_lsh_pairs(
         sig = minhash_signatures_batch(token_lists, a, b)
         keys = _band_keys(sig, bands)
         n = len(ids)
+        flat_keys = keys.reshape(-1).view(np.int64)
         return pa.table({
             "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "bkey": pa.array(keys.reshape(-1).view(np.int64)),
+            "bkey": pa.array(flat_keys),
+            # coarse shuffle key: Ray's groupby/map_groups pays per-GROUP
+            # overhead, so millions of singleton (band, bkey) buckets are
+            # pathological — shuffle on 256 coarse buckets and sub-group
+            # with pandas inside each (same result, bounded group count)
+            "g": pa.array((flat_keys % 256).astype(np.int64)),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+        outs = []
+        for _, sub in g.groupby(["band", "bkey"], sort=False):
+            ids = np.sort(sub["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), 1)
+            outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
+        if not outs:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
-        ii, jj = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+        return pd.concat(outs, ignore_index=True)
 
-    cand = (
+    cand_ds = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby(["band", "bkey"])
+        .groupby("g")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if len(cand) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    cand = cand.drop_duplicates().reset_index(drop=True)
-    return _verify_pairs_distributed(sf_dir, cand, threshold)
+    return _verify_pairs_ds(sf_dir, cand_ds, threshold)
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:
@@ -530,36 +642,46 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pa.Table:
         bands = np.arange(4, dtype=np.uint64)
         keys = (sims[:, None] >> (bands[None, :] * np.uint64(16))) \
             & np.uint64(0xFFFF)
+        flat_keys = keys.reshape(-1).view(np.int64)
+        band_col = np.tile(np.arange(4, dtype=np.int64), n)
         return pa.table({
-            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
-            "bkey": pa.array(keys.reshape(-1).view(np.int64)),
+            "band": pa.array(band_col.astype(np.int32)),
+            "bkey": pa.array(flat_keys),
             "doc_id": pa.array(np.repeat(ids, 4)),
             "sim": pa.array(np.repeat(sims.view(np.int64), 4)),
+            # coarse shuffle key (bounded Ray group count; see minhash)
+            "g": pa.array((band_col * 65536 + flat_keys) % 256),
         })
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
+    def group_pairs(gb: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in gb.groupby(["band", "bkey"], sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
+            ii, jj = np.triu_indices(len(ids), 1)
+            x = np.bitwise_xor(sims[ii], sims[jj])
+            h = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):  # vectorized popcount (bounded unroll)
+                h += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+                if not x.any():
+                    break
+            keep = h <= max_hamming
+            outs.append(pd.DataFrame({"doc_a": ids[ii][keep],
+                                      "doc_b": ids[jj][keep],
+                                      "hamming": h[keep]}))
+        if not outs:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
-        ids = g["doc_id"].to_numpy()
-        sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
-        ii, jj = np.triu_indices(len(ids), 1)
-        x = np.bitwise_xor(sims[ii], sims[jj])
-        h = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):  # vectorized popcount (bounded unroll)
-            h += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-            if not x.any():
-                break
-        keep = h <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ii][keep], "doc_b": ids[jj][keep],
-                             "hamming": h[keep]})
+        return pd.concat(outs, ignore_index=True)
 
     out = (
         fp.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bkey"])
+        .groupby("g")
         .map_groups(group_pairs, batch_format="pandas")
         .to_pandas()
     )
