@@ -89,12 +89,25 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     re-analysis needs (``analysis/.../tokenattributes/OffsetAttribute.java``).
     """
     out = []
-    rx = _ASCII_TOKEN if text.isascii() else _UNI_TOKEN
+    is_ascii = text.isascii()
+    rx = _ASCII_TOKEN if is_ascii else _UNI_TOKEN
     low = text.lower()
-    for m in rx.finditer(low):
+    if len(low) == len(text):
+        for m in rx.finditer(low):
+            t = m.group(0)
+            if not is_ascii and not _HAS_ALNUM.search(t):
+                continue
+            if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS:
+                out.append((t, m.start(), m.end()))
+        return out
+    # lowercase changed the string LENGTH (e.g. U+0130): offsets into the
+    # lowercased text would mis-slice the original — match on the original
+    # and lowercase each token individually
+    for m in _UNI_TOKEN.finditer(text):
         t = m.group(0)
-        if not text.isascii() and not _HAS_ALNUM.search(t):
+        if not _HAS_ALNUM.search(t):
             continue
+        t = t.lower()
         if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS:
             out.append((t, m.start(), m.end()))
     return out
@@ -313,6 +326,78 @@ def _analyze_overlay(
         counts.astype(np.int32))
 
 
+def _tokenize_standard(texts):
+    """Standard-chain tokenize over a batch -> (doc_ids, positions, codes,
+    uniques, counts) of ALL tokens (stop words and overlong tokens still
+    present; filters run at the vocabulary level in the callers). ASCII docs
+    go through the Arrow C++ fast path, non-ASCII (or pathological) docs take
+    the exact per-doc Python path; the two streams are stitched (each doc's
+    instances stay contiguous and in order, but doc runs are then NOT
+    globally sorted — sort with a stable argsort if run order matters).
+
+    This is the ONE tokenize hot path: the index build, quality stats, token
+    counts, fingerprints and the dedup signature/prefix stages all consume
+    it (no per-doc ``tokenize_raw`` loops in any hot stage)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    arr = (texts if isinstance(texts, pa.Array)
+           else pa.array([t if isinstance(t, str) else "" for t in texts]))
+    if arr.null_count:
+        arr = arr.fill_null("")
+    ascii_mask = pc.equal(
+        pc.binary_length(arr), pc.utf8_length(arr)
+    ).to_numpy(zero_copy_only=False)
+    if ascii_mask.all():
+        fast = _fast_tokenize_ascii(arr)
+        if fast is not None:
+            return fast
+        return _python_tokenize(arr.to_pylist(), "standard")[:5]
+    if not ascii_mask.any():
+        return _python_tokenize(arr.to_pylist(), "standard")[:5]
+    a_idx = np.flatnonzero(ascii_mask)
+    o_idx = np.flatnonzero(~ascii_mask)
+    sub = arr.take(pa.array(a_idx))
+    fast = _fast_tokenize_ascii(sub)
+    if fast is None:
+        return _python_tokenize(arr.to_pylist(), "standard")[:5]
+    d1, p1, c1, u1, cnt1 = fast
+    d2, p2, c2, u2, cnt2, _ = _python_tokenize(
+        arr.take(pa.array(o_idx)).to_pylist(), "standard")
+    merged, vocab = pd.factorize(np.concatenate([u1, u2]), sort=False)
+    r1, r2 = merged[: len(u1)], merged[len(u1):]
+    doc_ids = np.concatenate([a_idx[d1], o_idx[d2]]).astype(np.int32)
+    positions = np.concatenate([p1, p2])
+    codes = np.concatenate(
+        [r1[c1] if len(c1) else c1, r2[c2] if len(c2) else c2]
+    ).astype(np.int64)
+    uniques = np.asarray(vocab, dtype=object)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    counts[a_idx] = cnt1
+    counts[o_idx] = cnt2
+    return doc_ids, positions, codes, uniques, counts
+
+
+def kept_stream_sorted(texts):
+    """KEPT-token (len <= 255, non-stop) instance stream of the standard
+    chain, guaranteed doc-ascending (stable within doc) ->
+    (doc_ids int32, codes int64, uniques object[], kept_counts int64).
+
+    The vectorized replacement for per-doc ``_kept_tokens`` loops: one
+    Arrow-kernel tokenize per batch, vocabulary-level filters, and a single
+    stable sort when the ascii/non-ascii stitch left doc runs unordered."""
+    ab = analyze_batch(texts, with_positions=False, analyzer="standard")
+    d, c = ab.doc_ids, ab.term_codes
+    if len(d) and not (np.diff(d) >= 0).all():
+        o = np.argsort(d, kind="stable")
+        d, c = d[o], c[o]
+    return d, c, ab.uniques, ab.field_lengths.astype(np.int64)
+
+
 def analyze_batch(
     texts, with_positions: bool = False, analyzer: str = "standard"
 ) -> AnalyzedBatch:
@@ -345,47 +430,7 @@ def analyze_batch(
     if analyzer in ("standard", "english"):
         # english = the standard chain + a vocabulary-level Porter stem pass
         # applied after the stop/overlong filter (filters below)
-        arr = (texts if isinstance(texts, pa.Array)
-               else pa.array([t if isinstance(t, str) else "" for t in texts]))
-        if arr.null_count:
-            arr = arr.fill_null("")
-        ascii_mask = pc.equal(
-            pc.binary_length(arr), pc.utf8_length(arr)
-        ).to_numpy(zero_copy_only=False)
-        if ascii_mask.all():
-            fast = _fast_tokenize_ascii(arr)
-            if fast is not None:
-                doc_ids, positions, codes, uniques, counts = fast
-            else:
-                doc_ids, positions, codes, uniques, counts, _ = _python_tokenize(
-                    arr.to_pylist(), analyzer)
-        elif not ascii_mask.any():
-            doc_ids, positions, codes, uniques, counts, _ = _python_tokenize(
-                arr.to_pylist(), analyzer)
-        else:
-            a_idx = np.flatnonzero(ascii_mask)
-            o_idx = np.flatnonzero(~ascii_mask)
-            sub = arr.take(pa.array(a_idx))
-            fast = _fast_tokenize_ascii(sub)
-            if fast is None:
-                doc_ids, positions, codes, uniques, counts, _ = _python_tokenize(
-                    arr.to_pylist(), analyzer)
-            else:
-                d1, p1, c1, u1, cnt1 = fast
-                d2, p2, c2, u2, cnt2, _ = _python_tokenize(
-                    arr.take(pa.array(o_idx)).to_pylist(), analyzer)
-                merged, vocab = pd.factorize(np.concatenate([u1, u2]), sort=False)
-                r1, r2 = merged[: len(u1)], merged[len(u1):]
-                doc_ids = np.concatenate(
-                    [a_idx[d1], o_idx[d2]]).astype(np.int32)
-                positions = np.concatenate([p1, p2])
-                codes = np.concatenate(
-                    [r1[c1] if len(c1) else c1, r2[c2] if len(c2) else c2]
-                ).astype(np.int64)
-                uniques = np.asarray(vocab, dtype=object)
-                counts = np.zeros(n_docs, dtype=np.int64)
-                counts[a_idx] = cnt1
-                counts[o_idx] = cnt2
+        doc_ids, positions, codes, uniques, counts = _tokenize_standard(texts)
     else:
         texts_list = texts.to_pylist() if isinstance(texts, pa.Array) else list(texts)
         doc_ids, positions, codes, uniques, counts, cased = _python_tokenize(

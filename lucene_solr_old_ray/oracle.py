@@ -39,6 +39,17 @@ from .queries import (
 F = np.float32
 
 
+def _wildcard_re(pattern: str):
+    """Wildcard -> regex exactly as the engine's ``_expand_wildcard`` does
+    (``*`` -> ``.*``, ``?`` -> ``.``, everything else escaped). fnmatch would
+    add '[seq]' character-class semantics the engine does not have."""
+    import re as _re
+
+    return _re.compile(
+        "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern) + r"\Z")
+
+
 def _float_to_byte315(f: float) -> int:
     bits = struct.unpack("<i", struct.pack("<f", f))[0]
     smallfloat = bits >> (24 - 3)
@@ -107,7 +118,6 @@ class OracleIndex:
     def _rewrite_scoring_mtq(self, q) -> BooleanQuery:
         """Scoring rewrite against the oracle's global vocabulary (independent
         re-derivation of SCORING_BOOLEAN_QUERY_REWRITE + fuzzy top-terms)."""
-        import fnmatch
         import re as _re
 
         def ed(a: str, b: str) -> int:
@@ -124,7 +134,7 @@ class OracleIndex:
         for t in self.df:
             if isinstance(q, PrefixQuery) and t.startswith(q.prefix):
                 matched[t] = 0
-            elif isinstance(q, WildcardQuery) and fnmatch.fnmatchcase(t, q.pattern):
+            elif isinstance(q, WildcardQuery) and _wildcard_re(q.pattern).match(t):
                 matched[t] = 0
             elif isinstance(q, RegexpQuery) and _re.fullmatch(q.pattern, t):
                 matched[t] = 0
@@ -201,9 +211,8 @@ class OracleIndex:
                 return False, F(0)
             return self._match(q.query, d, boost * q.boost)
         if isinstance(q, WildcardQuery):
-            import fnmatch
-
-            ok = any(fnmatch.fnmatchcase(t, q.pattern) for t in self.tf[d])
+            rx = _wildcard_re(q.pattern)
+            ok = any(rx.match(t) for t in self.tf[d])
             return ok, F(boost * q.boost) if ok else F(0)
         if isinstance(q, FuzzyQuery):
             def ed(a: str, b: str) -> int:

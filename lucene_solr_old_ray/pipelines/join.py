@@ -16,11 +16,13 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..functions.analysis import analyze_text
 from ..queries import (
     SHOULD,
     BooleanClause,
     BooleanQuery,
     ConstantScoreQuery,
+    PhraseQuery,
     Query,
     TermQuery,
 )
@@ -35,9 +37,17 @@ def join_query(
     to_field: str,
     *,
     max_terms: int = 10_000,
+    to_analyzer: str = "standard",
 ) -> Query:
     """Build the to-side query of a semi-join (ScoreMode.None: every hit
-    scores the constant 1.0)."""
+    scores the constant 1.0).
+
+    Each collected value is run through the TO field's analyzer
+    (``to_analyzer`` — the chain the field was indexed with), mirroring
+    JoinUtil's TermsCollector-over-analyzed-terms contract: a value that
+    analyzes to several terms becomes a PhraseQuery (all terms adjacent),
+    one that analyzes to a single term a TermQuery, and one that analyzes
+    to nothing (pure stop words) is skipped."""
     hits = match_doc_ids(index_dir, from_query)
     if hits.num_rows == 0:
         return ConstantScoreQuery(BooleanQuery(()))
@@ -48,14 +58,22 @@ def join_query(
         raise ValueError(
             f"join from-side produced {len(values)} terms (> {max_terms}); "
             "pre-aggregate or raise max_terms")
-    return ConstantScoreQuery(BooleanQuery(
-        tuple(BooleanClause(SHOULD, TermQuery(v.lower(), field=to_field))
-              for v in values), 0))
+    clauses = []
+    for v in values:
+        terms = analyze_text(v, to_analyzer)
+        if not terms:
+            continue
+        q: Query = (TermQuery(terms[0], field=to_field) if len(terms) == 1
+                    else PhraseQuery(tuple(terms), field=to_field))
+        clauses.append(BooleanClause(SHOULD, q))
+    return ConstantScoreQuery(BooleanQuery(tuple(clauses), 0))
 
 
 def semi_join_doc_ids(
-    index_dir: str, from_query: Query, from_field: str, to_field: str
+    index_dir: str, from_query: Query, from_field: str, to_field: str,
+    to_analyzer: str = "standard",
 ) -> pa.Table:
     """Global docIDs of the semi-join result, sorted. -> (docid)."""
-    q = join_query(index_dir, from_query, from_field, to_field)
+    q = join_query(index_dir, from_query, from_field, to_field,
+                   to_analyzer=to_analyzer)
     return match_doc_ids(index_dir, q)

@@ -1,20 +1,32 @@
 """Deduplication stages: exact, token-set Jaccard (exact, distributed),
-MinHash+LSH (approximate, scale path), and embedding-cosine near-dup.
+n-gram (shingle) Jaccard, MinHash+LSH (approximate, scale path), SimHash,
+embedding-cosine near-dup, and near-dup clustering.
 
-Shapes:
+Scale shapes (nothing corpus-sized ever lands on the driver):
 - exact: content-hash in map_batches -> groupby(hash) keep-first — one shuffle
   of (hash, doc_id) pairs only, never the content.
-- jaccard: inverted-index candidate generation with PPJoin-style prefix
-  filtering (default): each doc emits only its rarest-first token prefix of
-  length |d|-ceil(τ|d|)+1 (guaranteed-complete for threshold τ), candidate
-  pairs come from per-term groups over those prefixes, and a distributed
-  verify pass computes exact Jaccard with only the needed docs fetched.
-  ``prefix_filter=False`` falls back to full df² pair counting.
-- minhash_lsh: per-batch vectorized minhash signatures (128 perms, fixed
-  seeds) -> explode to (band, band_hash, doc) -> groupby bands -> candidate
-  pairs -> exact verification. Sub-quadratic; recall is probabilistic
-  (P(miss pair at τ=0.95 with 16 bands × 8 rows) ≈ 2e-8).
-- embedding cosine: brute-force upper-triangle similarity in float64 blocks.
+- jaccard / jaccard_ngram: inverted-index candidate generation with
+  PPJoin-style prefix filtering: tokens (or shingle hashes) get a global
+  rarest-first order; each doc emits only its prefix of length
+  |d| - ceil(τ|d|) + 1 (guaranteed-complete for threshold τ); candidate
+  pairs come from per-term groups over those prefixes.
+- verify: a TWO-SHUFFLE streaming join — (1) the candidate pairs' demand
+  rows (doc, pair-bucket) join the corpus token-hash stream by doc,
+  (2) the co-shipped hash sets meet their pairs in per-bucket groups where
+  cross-band dedupe + exact Jaccard run vectorized. The driver materializes
+  only the verified output (never token sets).
+- clustering: min-label propagation with edges AND labels as Datasets;
+  each round is two bucketed groupbys; the driver sees one changed-count
+  scalar per round and the final labels.
+- minhash_lsh: per-batch vectorized signatures over pre-hashed vocabularies
+  -> (band, band_hash, doc) triples -> bounded-bucket groupby -> candidates
+  -> the shared verify join. Sub-quadratic; recall probabilistic.
+- embedding cosine: block-tiled exact pairwise join; each tile task reads
+  only its two blocks' parquet ROW GROUPS.
+
+Token sets travel as sorted uint64 FNV-1a hash arrays (8 bytes/token,
+vocabulary-level hashing); exactness is up to 64-bit collisions, i.e.
+vanishing at any per-group vocabulary this side of 2^32.
 """
 
 from __future__ import annotations
@@ -26,12 +38,16 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, tokenize_raw
+from ..functions.analysis import kept_stream_sorted
+from .textstats import stable_hash64_batch
 
+# coarse shuffle-bucket count: Ray's groupby/map_groups pays per-GROUP
+# overhead, so millions of fine-grained keys are pathological — shuffle on
+# a bounded bucket count and sub-group with pandas inside each bucket
+_NBUCKETS = 256
 
-def _kept_tokens(t: str) -> list[str]:
-    return [x for x in tokenize_raw(t or "")
-            if len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS]
+_SHINGLE_SEED = np.uint64(0x9E3779B97F4A7C15)
+_SHINGLE_PRIME = np.uint64(0x100000001B3)
 
 
 def exact_dedup(sf_dir: str) -> pa.Table:
@@ -59,20 +75,310 @@ def exact_dedup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _term_doc_rows(sf_dir: str):
+# --- shared hash-stream plumbing -------------------------------------------
+
+
+def _unique_per_doc(d: np.ndarray, H: np.ndarray):
+    """Distinct (doc, hash) pairs, sorted by (doc, hash) ->
+    (docs int64, hashes uint64). ``d`` is batch-local doc index."""
+    if len(d) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    order = np.lexsort((H, d))
+    ds_, hs_ = np.asarray(d, dtype=np.int64)[order], H[order]
+    first = np.ones(len(ds_), dtype=bool)
+    first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    return ds_[first], hs_[first]
+
+
+def _shingle_windows(d: np.ndarray, Hinst: np.ndarray, n: int):
+    """Order-sensitive n-token shingle hashes over a doc-contiguous kept
+    instance stream: FNV-style fold of each window of n consecutive token
+    hashes that lies entirely inside one doc -> (docs, shingle_hashes)."""
+    if len(d) < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    valid = d[: len(d) - n + 1] == d[n - 1 :]
+    idx = np.flatnonzero(valid)
+    h = np.full(len(idx), _SHINGLE_SEED, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(n):
+            h = np.multiply(np.bitwise_xor(h, Hinst[idx + k]),
+                            _SHINGLE_PRIME, dtype=np.uint64)
+    return np.asarray(d, dtype=np.int64)[idx], h
+
+
+def _doc_hash_stream(texts, shingle_n: int | None):
+    """Per-doc DISTINCT token (or shingle) hashes of a text batch ->
+    (docs int64 batch-local ascending, hashes uint64 sorted within doc).
+    One Arrow-kernel tokenize; hashes computed on the batch vocabulary."""
+    d, codes, uniques, _counts = kept_stream_sorted(texts)
+    uh = stable_hash64_batch(list(uniques))
+    Hinst = uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+    if shingle_n is not None:
+        d2, H = _shingle_windows(d, Hinst, shingle_n)
+        return _unique_per_doc(d2, H)
+    return _unique_per_doc(d, Hinst)
+
+
+def _hset_rows(batch: pa.Table, shingle_n: int | None) -> pd.DataFrame:
+    """(doc_id global, hset bytes) rows: each doc's sorted distinct hash
+    array packed little-endian — the token-set payload the verify join
+    ships (docs with empty sets included, hset=b'')."""
+    gid = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+    d, H = _doc_hash_stream(batch["text"], shingle_n)
+    counts = np.bincount(d, minlength=batch.num_rows)
+    offs = np.zeros(batch.num_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    hsets = [H[offs[i]: offs[i + 1]].tobytes() for i in range(batch.num_rows)]
+    return pd.DataFrame({"doc_id": gid, "hset": hsets})
+
+
+_POPCNT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+
+
+def _verify_pairs_ds(
+    sf_dir: str, cand_ds, threshold: float, shingle_n: int | None = None,
+    nbuckets: int = _NBUCKETS,
+) -> pa.Table:
+    """Distributed dedupe + exact-Jaccard verify of a candidate-pair DATASET.
+
+    Token sets are CO-SHUFFLED with the pairs (never driver-held):
+      stage 1 — pairs emit demand rows (doc, ph) for both endpoints; the
+        corpus hash-set stream joins them by doc (bounded-bucket groupby),
+        emitting one (ph, doc, hset) row per demanded (doc, bucket);
+      stage 2 — pair rows and their docs' hset rows meet in per-ph groups:
+        cross-band duplicate pairs drop there, then exact Jaccard runs
+        vectorized (group-local bitmask + popcount when the group vocabulary
+        is small, sorted-array intersects otherwise).
+    The driver sees nothing bigger than the verified output."""
+    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+
+    def token_rows(batch: pa.Table) -> pd.DataFrame:
+        r = _hset_rows(batch, shingle_n)
+        return pd.DataFrame({
+            "doc_id": r["doc_id"].astype("int64"),
+            "ph": np.full(len(r), -1, dtype=np.int64),
+            "hset": r["hset"],
+            "g": (r["doc_id"].to_numpy() % nbuckets).astype(np.int64),
+        })
+
+    def demand_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "ph": pd.Series([], dtype="int64"),
+                                 "hset": pd.Series([], dtype=object),
+                                 "g": pd.Series([], dtype="int64")})
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        ph = (a * 1_000_003 + b) % nbuckets
+        doc = np.concatenate([a, b])
+        phh = np.concatenate([ph, ph])
+        out = pd.DataFrame({"doc_id": doc, "ph": phh}).drop_duplicates()
+        out["hset"] = b""
+        out["g"] = out["doc_id"] % nbuckets
+        return out[["doc_id", "ph", "hset", "g"]]
+
+    def join_by_doc(g: pd.DataFrame) -> pd.DataFrame:
+        tok = g[g["ph"] < 0]
+        dem = g[g["ph"] >= 0].drop_duplicates(["doc_id", "ph"])
+        if len(dem) == 0 or len(tok) == 0:
+            return pd.DataFrame({"ph": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hset": pd.Series([], dtype=object)})
+        m = dem[["doc_id", "ph"]].merge(
+            tok.drop_duplicates("doc_id")[["doc_id", "hset"]], on="doc_id")
+        m["a"] = -1
+        m["b"] = -1
+        return m[["ph", "doc_id", "a", "b", "hset"]]
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"ph": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hset": pd.Series([], dtype=object)})
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"ph": (a * 1_000_003 + b) % nbuckets,
+                             "doc_id": np.full(len(a), -1, dtype=np.int64),
+                             "a": a, "b": b,
+                             "hset": [b""] * len(a)})
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")})
+        pairs = g[g["doc_id"] < 0].drop_duplicates(["a", "b"])
+        toks = g[g["doc_id"] >= 0].drop_duplicates("doc_id")
+        if len(pairs) == 0 or len(toks) == 0:
+            return empty
+        arrs = {int(r.doc_id): np.frombuffer(r.hset, dtype=np.uint64)
+                for r in toks.itertuples()}
+        doc_list = sorted(arrs)
+        pos_of = {d_: i for i, d_ in enumerate(doc_list)}
+        pa_ = pairs["a"].to_numpy(dtype=np.int64)
+        pb_ = pairs["b"].to_numpy(dtype=np.int64)
+        known = np.array([x in pos_of and y in pos_of
+                          for x, y in zip(pa_, pb_)], dtype=bool)
+        pa_, pb_ = pa_[known], pb_[known]
+        if len(pa_) == 0:
+            return empty
+        vocab = (np.unique(np.concatenate([arrs[d_] for d_ in doc_list]))
+                 if doc_list else np.empty(0, dtype=np.uint64))
+        if len(vocab) <= 1 << 16:
+            # group-local bitmask verify: packed AND + popcount, fully
+            # vectorized over the whole pair batch
+            nbits = max(1, len(vocab))
+            bits = np.zeros((len(doc_list), nbits), dtype=np.uint8)
+            for i, d_ in enumerate(doc_list):
+                bits[i, np.searchsorted(vocab, arrs[d_])] = 1
+            masks = np.packbits(bits, axis=1)
+            sizes = bits.sum(axis=1).astype(np.int64)
+            ia = np.fromiter((pos_of[int(x)] for x in pa_),
+                             count=len(pa_), dtype=np.int64)
+            ib = np.fromiter((pos_of[int(x)] for x in pb_),
+                             count=len(pb_), dtype=np.int64)
+            inter = _POPCNT[np.bitwise_and(masks[ia], masks[ib])].sum(axis=1)
+            union = sizes[ia] + sizes[ib] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                j = inter / union
+            j = np.where(union == 0, 1.0, j)
+            keep = j >= threshold
+            return pd.DataFrame({"doc_a": pa_[keep], "doc_b": pb_[keep],
+                                 "jaccard": j[keep]})
+        rows = []
+        for x, y in zip(pa_, pb_):
+            sa, sb = arrs[int(x)], arrs[int(y)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            u = len(sa) + len(sb) - inter
+            j = (inter / u) if u else 1.0
+            if j >= threshold:
+                rows.append((int(x), int(y), j))
+        return pd.DataFrame({
+            "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
+            "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
+            "jaccard": pd.Series([r[2] for r in rows], dtype="float64")})
+
+    tok_ds = corpus.map_batches(token_rows, batch_format="pyarrow")
+    dem_ds = cand_ds.map_batches(demand_rows, batch_format="pandas")
+    shipped = (
+        tok_ds.union(dem_ds)
+        .groupby("g")
+        .map_groups(join_by_doc, batch_format="pandas")
+    )
+    pr_ds = cand_ds.map_batches(pair_rows, batch_format="pandas")
+    verified = (
+        shipped.union(pr_ds)
+        .groupby("ph")
+        .map_groups(verify_group, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_a" not in verified.columns:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(verified, preserve_index=False)
+
+
+# --- prefix-filtered inverted-index candidate generation --------------------
+
+
+def _prefix_filtered_pairs(
+    sf_dir: str, threshold: float, shingle_n: int | None,
+    nbuckets: int = _NBUCKETS,
+) -> pa.Table:
+    """PPJoin-style prefix-filtered exact Jaccard over token sets
+    (``shingle_n=None``) or order-sensitive n-gram shingle sets.
+
+    Hashes get a global rarest-first order (df asc, hash asc); a doc with m
+    distinct hashes emits only its first ``m - ceil(threshold*m) + 1``.
+    Complete for the threshold: if J(A,B) >= t the smallest-ordered shared
+    hash lies in BOTH prefixes, so the pair surfaces in its group. Hot
+    terms thus emit pairs only from docs whose prefix reaches them — the
+    df² blowup on stop-word-like terms disappears. Candidates verify via
+    the co-shuffled exact-Jaccard join (:func:`_verify_pairs_ds`)."""
+    import ray
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        docs, terms = [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for tok in set(_kept_tokens(t)):
-                docs.append(d)
-                terms.append(tok)
-        return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                         "term": pa.array(terms, pa.string())})
+    # pass 1 — global df per hash: per-batch partial counts, small driver
+    # combine into a (sorted hashes, rank) lookup shipped once via ray.put.
+    # (At 10^12 docs this combine becomes a groupby + rank join — same
+    # shape, still never the corpus.)
+    def partial_df(batch: pa.Table) -> pd.DataFrame:
+        d, H = _doc_hash_stream(batch["text"], shingle_n)
+        if len(H) == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype="uint64"),
+                                 "df": pd.Series([], dtype="int64")})
+        hu, cnt = np.unique(H, return_counts=True)
+        return pd.DataFrame({"h": hu, "df": cnt.astype(np.int64)})
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    parts = ds.map_batches(partial_df, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    agg = parts.groupby("h", as_index=False)["df"].sum()
+    hashes = agg["h"].to_numpy().astype(np.uint64)
+    dfs = agg["df"].to_numpy()
+    order = np.lexsort((hashes, dfs))  # df asc, hash asc
+    rank_of = np.empty(len(hashes), dtype=np.int64)
+    rank_of[order] = np.arange(len(hashes), dtype=np.int64)
+    hsort = np.sort(hashes)
+    # rank_arr[i] = global rank of hsort[i]
+    rank_arr = rank_of[np.argsort(hashes, kind="stable")]
+    rank_ref = ray.put((hsort, rank_arr))
+
+    def emit_prefix(batch: pa.Table) -> pd.DataFrame:
+        hs, ra = ray.get(rank_ref)
+        gid = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        d, H = _doc_hash_stream(batch["text"], shingle_n)
+        if len(d) == 0:
+            return pd.DataFrame({"r": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "g": pd.Series([], dtype="int64")})
+        ranks = ra[np.searchsorted(hs, H)]
+        m = np.bincount(d, minlength=batch.num_rows)
+        L = m - np.ceil(threshold * m).astype(np.int64) + 1
+        # per-doc rarest-first prefix: sort instances by (doc, rank), keep
+        # the first L[doc] of each run
+        o = np.lexsort((ranks, d))
+        ds_, rs_ = d[o], ranks[o]
+        starts = np.zeros(batch.num_rows, dtype=np.int64)
+        np.cumsum(m[:-1], out=starts[1:])
+        pos = np.arange(len(ds_), dtype=np.int64) - starts[ds_]
+        keep = pos < L[ds_]
+        rk = rs_[keep]
+        return pd.DataFrame({"r": rk, "doc_id": gid[ds_[keep]],
+                             "g": rk % nbuckets})
+
+    def emit_pairs(gb: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in gb.groupby("r", sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), 1)
+            outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cand_ds = (
+        ds.map_batches(emit_prefix, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(emit_pairs, batch_format="pandas")
+    )
+    return _verify_pairs_ds(sf_dir, cand_ds, threshold, shingle_n=shingle_n,
+                            nbuckets=nbuckets)
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
@@ -82,10 +388,9 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     the global vocabulary; the packed matrix is broadcast via ``ray.put`` and
     every batch computes its block of the pair matrix with vectorized
     AND+popcount. Exact, zero shuffle. Right when the vocabulary is small
-    relative to the corpus (dedup-ish corpora); for web-scale vocabularies use
-    ``jaccard_pairs_inverted`` (term-keyed pair counting with prefix
-    filtering) or ``minhash_lsh_pairs``.
-    """
+    relative to the corpus (dedup-ish corpora); for web-scale vocabularies
+    use :func:`jaccard_pairs_inverted` (prefix-filtered) or
+    :func:`minhash_lsh_pairs`."""
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -93,10 +398,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
 
     # pass 1: global vocabulary (per-batch partial uniques -> driver union)
     def batch_vocab(batch: pa.Table) -> pd.DataFrame:
-        vocab = set()
-        for t in batch["text"].to_pylist():
-            vocab.update(_kept_tokens(t))
-        return pd.DataFrame({"term": sorted(vocab)})
+        _, _, uniques, _ = kept_stream_sorted(batch["text"])
+        return pd.DataFrame({"term": sorted(uniques)})
 
     vocab = sorted(set(
         ds.map_batches(batch_vocab, batch_format="pyarrow").to_pandas()["term"]
@@ -108,11 +411,14 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     # pass 2: packed bitmask per doc (tiny: |docs| x vocab/8 bytes)
     def batch_masks(batch: pa.Table) -> pd.DataFrame:
         ids = batch["doc_id"].to_pylist()
-        rows = np.zeros((len(ids), nbits), dtype=np.uint8)
-        for r, t in enumerate(batch["text"].to_pylist()):
-            for tok in set(_kept_tokens(t)):
-                rows[r, vidx[tok]] = 1
-        packed = np.packbits(rows, axis=1)
+        d, codes, uniques, _ = kept_stream_sorted(batch["text"])
+        gmap = np.fromiter((vidx[u] for u in uniques),
+                           count=len(uniques), dtype=np.int64)
+        rows = np.zeros((len(ids), max(nbits, 1)), dtype=np.uint8)
+        if len(codes):
+            rows[d, gmap[codes]] = 1
+        packed = np.packbits(rows[:, :nbits], axis=1) if nbits else \
+            np.zeros((len(ids), 0), dtype=np.uint8)
         return pd.DataFrame({"doc_id": ids,
                              "mask": [p.tobytes() for p in packed]})
 
@@ -133,10 +439,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
         Mb = Mg[sel]
         sz_b = sz_g[sel]
         inter = np.zeros((len(ids_b), len(ids_g)), dtype=np.int64)
-        popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                               axis=1).sum(axis=1).astype(np.int64)
         for byte in range(Mg.shape[1]):
-            inter += popcnt[np.bitwise_and(Mb[:, byte : byte + 1], Mg[:, byte])]
+            inter += _POPCNT[np.bitwise_and(Mb[:, byte : byte + 1], Mg[:, byte])]
         union = sz_b[:, None] + sz_g[None, :] - inter
         with np.errstate(invalid="ignore", divide="ignore"):
             j = inter.astype(np.float64) / union
@@ -157,16 +461,8 @@ def jaccard_pairs_inverted(
     """Exact token-set Jaccard via term-keyed pair generation — the general
     path when the vocabulary is large.
 
-    ``prefix_filter=True`` (default, the scale path): tokens get a global
-    rarest-first order (df asc, term asc); a doc with m distinct tokens
-    emits only its first ``m - ceil(threshold*m) + 1`` tokens. Complete for
-    the threshold: if J(A,B) >= t, the smallest-ordered shared token w
-    satisfies |A∩B| <= ceil(t|A|)-1 < t|A| whenever w is outside A's prefix
-    — contradiction — so w lies in BOTH prefixes and the pair surfaces in
-    w's group (PPJoin-style prefix filtering). Hot terms thus emit pairs
-    only from docs whose prefix reaches them — df² blowup on stop-word-like
-    terms disappears. Candidates are verified by a distributed exact-Jaccard
-    map with only the needed docs' token sets fetched.
+    ``prefix_filter=True`` (default, the scale path): PPJoin prefix
+    filtering + the co-shuffled verify join (:func:`_prefix_filtered_pairs`).
 
     ``prefix_filter=False``: full df² pair counting (exact intersections by
     counting; no verify pass) — quadratic in hot-term df, test/debug only."""
@@ -174,69 +470,23 @@ def jaccard_pairs_inverted(
     from ray.data.aggregate import Count
 
     if prefix_filter:
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                   columns=["doc_id", "text"])
+        return _prefix_filtered_pairs(sf_dir, threshold, shingle_n=None)
 
-        # global term order: df asc, term asc (per-batch partial counts,
-        # small driver combine; at 10^12 docs this becomes a groupby + join
-        # on rank, same shape)
-        def partial_df(batch: pa.Table) -> pd.DataFrame:
-            from collections import Counter
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
 
-            c: Counter = Counter()
-            for t in batch["text"].to_pylist():
-                c.update(set(_kept_tokens(t)))
-            return pd.DataFrame({"term": list(c.keys()),
-                                 "df": list(c.values())})
+    def explode(batch: pa.Table) -> pa.Table:
+        gid = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        d, codes, uniques, _ = kept_stream_sorted(batch["text"])
+        key = d * max(1, len(uniques)) + codes
+        uk = np.unique(key)
+        dd = uk // max(1, len(uniques))
+        cc = uk % max(1, len(uniques))
+        return pa.table({"doc_id": pa.array(gid[dd], pa.int64()),
+                         "term": pa.array([uniques[c] for c in cc],
+                                          pa.string())})
 
-        parts = ds.map_batches(partial_df, batch_format="pyarrow").to_pandas()
-        dfs = parts.groupby("term", as_index=False)["df"].sum()
-        dfs = dfs.sort_values(["df", "term"]).reset_index(drop=True)
-        rank = {t: i for i, t in enumerate(dfs["term"])}
-        rank_ref = ray.put(rank)
-        import math
-
-        def emit_prefix(batch: pa.Table) -> pd.DataFrame:
-            rk = ray.get(rank_ref)
-            out_r, out_d = [], []
-            for d, t in zip(batch["doc_id"].to_pylist(),
-                            batch["text"].to_pylist()):
-                toks = set(_kept_tokens(t))
-                m = len(toks)
-                if m == 0:
-                    continue
-                L = m - math.ceil(threshold * m) + 1
-                pref = sorted(rk[x] for x in toks)[:L]
-                out_r.extend(pref)
-                out_d.extend([d] * len(pref))
-            rarr = pd.Series(out_r, dtype="int64")
-            return pd.DataFrame({"r": rarr,
-                                 "doc_id": pd.Series(out_d, dtype="int64"),
-                                 # coarse shuffle key (bounded Ray group
-                                 # count; see minhash_lsh_pairs)
-                                 "g": rarr % 256})
-
-        def emit_pairs(gb: pd.DataFrame) -> pd.DataFrame:
-            outs = []
-            for _, g in gb.groupby("r", sort=False):
-                ids = np.sort(g["doc_id"].unique())
-                if len(ids) < 2:
-                    continue
-                ii, jj = np.triu_indices(len(ids), 1)
-                outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
-            if not outs:
-                return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                     "b": pd.Series([], dtype="int64")})
-            return pd.concat(outs, ignore_index=True)
-
-        cand_ds = (
-            ds.map_batches(emit_prefix, batch_format="pyarrow")
-            .groupby("g")
-            .map_groups(emit_pairs, batch_format="pandas")
-        )
-        return _verify_pairs_ds(sf_dir, cand_ds, threshold)
-
-    td = _term_doc_rows(sf_dir)
+    td = ds.map_batches(explode, batch_format="pyarrow")
     # set sizes: small table, broadcast
     sizes_df = (
         td.groupby("doc_id").aggregate(Count(alias_name="sz")).to_pandas()
@@ -279,6 +529,19 @@ def jaccard_pairs_inverted(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def jaccard_ngram_pairs(
+    sf_dir: str, n: int = 3, threshold: float = 0.04
+) -> pa.Table:
+    """Exact n-gram (token shingle) Jaccard pairs — the order-sensitive
+    variant of :func:`jaccard_pairs`: shingles are consecutive kept-token
+    n-grams, so near-dups must share phrasing, not just vocabulary. Uses
+    the SAME prefix-filtered inverted index + co-shuffled verify as the
+    unigram path (shingle rank = df asc over shingle hashes); no broadcast
+    shingle-vocab matrix, no all-pairs block join.
+    -> (doc_a, doc_b, jaccard)."""
+    return _prefix_filtered_pairs(sf_dir, threshold, shingle_n=n)
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -294,41 +557,53 @@ def _perm_params(n_perm: int, seed: int = 42):
     return a, b
 
 
-def minhash_signatures_batch(
-    token_lists: list[list[str]], a: np.ndarray, b: np.ndarray,
+def minhash_signatures_from_hashes(
+    H: np.ndarray, counts: np.ndarray, a: np.ndarray, b: np.ndarray,
     chunk_tokens: int = 200_000,
 ) -> np.ndarray:
-    """(n_docs, n_perm) uint64 minhash signatures, vectorized: one FNV hash
-    pass over every token, then per-permutation affine maps with a
-    segment-min (``np.minimum.reduceat``) over each doc's token range.
-    Empty docs get all-ones signatures. Memory-bounded by ``chunk_tokens``."""
-    from .textstats import stable_hash64_batch
-
-    n = len(token_lists)
+    """(n_docs, n_perm) uint64 minhash signatures from a doc-contiguous
+    token-hash stream (``H`` uint64 instances, ``counts`` per doc):
+    per-permutation affine maps with a segment-min (``np.minimum.reduceat``)
+    over each doc's range. Duplicate tokens are harmless (min over a
+    multiset == min over its set). Empty docs get all-ones signatures.
+    Memory-bounded by ``chunk_tokens``."""
+    n = len(counts)
     n_perm = len(a)
     out = np.full((n, n_perm), _U64_MAX, dtype=np.uint64)
+    starts_all = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts_all[1:])
     lo = 0
     while lo < n:
         hi = lo
         tot = 0
-        while hi < n and (tot == 0 or tot + len(token_lists[hi]) <= chunk_tokens):
-            tot += len(token_lists[hi])
+        while hi < n and (tot == 0
+                          or tot + counts[hi] <= chunk_tokens):
+            tot += int(counts[hi])
             hi += 1
-        flat = [t for toks in token_lists[lo:hi] for t in toks]
-        counts = np.fromiter((len(t) for t in token_lists[lo:hi]),
-                             count=hi - lo, dtype=np.int64)
-        if len(flat):
-            H = stable_hash64_batch(flat)
-            starts = np.zeros(hi - lo, dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            clamped = np.minimum(starts, len(H) - 1)
+        seg = H[starts_all[lo]: starts_all[hi]]
+        if len(seg):
+            starts = starts_all[lo:hi] - starts_all[lo]
+            clamped = np.minimum(starts, len(seg) - 1)
             with np.errstate(over="ignore"):
-                M = a[:, None] * H[None, :] + b[:, None]  # (n_perm, tot)
+                M = a[:, None] * seg[None, :] + b[:, None]  # (n_perm, tot)
             sig = np.minimum.reduceat(M, clamped, axis=1).T  # (docs, n_perm)
-            sig[counts == 0] = _U64_MAX
+            sig[counts[lo:hi] == 0] = _U64_MAX
             out[lo:hi] = sig
         lo = hi
     return out
+
+
+def minhash_signatures_batch(
+    token_lists: list[list[str]], a: np.ndarray, b: np.ndarray,
+    chunk_tokens: int = 200_000,
+) -> np.ndarray:
+    """String-list front-end of :func:`minhash_signatures_from_hashes`
+    (one vectorized FNV pass over every token, then the segment-min)."""
+    counts = np.fromiter((len(t) for t in token_lists),
+                         count=len(token_lists), dtype=np.int64)
+    flat = [t for toks in token_lists for t in toks]
+    H = stable_hash64_batch(flat)
+    return minhash_signatures_from_hashes(H, counts, a, b, chunk_tokens)
 
 
 _BAND_SEED = np.uint64(0xCBF29CE484222325)
@@ -351,169 +626,6 @@ def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     return keys
 
 
-def _fetch_token_sets(sf_dir: str, doc_ids: set[int]):
-    """Distributed fetch of ONLY the named docs' kept-token sets -> dict.
-    The corpus streams; each task keeps just its batch's needed docs, so the
-    driver materializes |doc_ids| sets, never the corpus."""
-    import ray
-
-    need_ref = ray.put(doc_ids)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-    def pick(batch: pa.Table) -> pd.DataFrame:
-        need = ray.get(need_ref)
-        out_d, out_t = [], []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if d in need:
-                out_d.append(d)
-                out_t.append("\x00".join(sorted(set(_kept_tokens(t)))))
-        return pd.DataFrame({"doc_id": out_d, "toks": out_t})
-
-    picked = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    return {int(d): (set(t.split("\x00")) if t else set())
-            for d, t in zip(picked["doc_id"], picked["toks"])}
-
-
-def _verify_pairs_ds(sf_dir: str, cand_ds, threshold: float) -> pa.Table:
-    """Distributed dedupe + exact-Jaccard verify of a candidate-pair
-    DATASET: pairs shuffle once by pair hash (cross-band duplicates land in
-    the same group and drop there), each group verifies against the
-    broadcast token-id arrays of only the PARTICIPATING docs. The driver
-    sees nothing bigger than the verified output."""
-    import ray
-
-    def doc_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        u = np.union1d(batch["a"].to_numpy(), batch["b"].to_numpy())
-        return pd.DataFrame({"doc_id": u})
-
-    needed_df = cand_ds.map_batches(
-        doc_partial, batch_format="pandas").to_pandas()
-    needed = (set(int(x) for x in needed_df["doc_id"].unique())
-              if "doc_id" in needed_df.columns else set())
-    if not needed:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    raw_sets = _fetch_token_sets(sf_dir, needed)
-    vocab: dict[str, int] = {}
-    id_arrays: dict[int, np.ndarray] = {}
-    for d, toks in raw_sets.items():
-        ids = [vocab.setdefault(t, len(vocab)) for t in toks]
-        id_arrays[d] = np.sort(np.asarray(ids, dtype=np.int64))
-    # fully-vectorized bitmask verify when the needed docs' joint vocabulary
-    # is small (packed AND + popcount over whole pair batches); the sorted
-    # id-array intersect path covers the big-vocab regime
-    masks = sizes = pos_of = None
-    if len(vocab) <= 8192:
-        doc_list = sorted(id_arrays)
-        pos_of = {d: i for i, d in enumerate(doc_list)}
-        nbits = max(1, len(vocab))
-        bits = np.zeros((len(doc_list), nbits), dtype=np.uint8)
-        for i, d in enumerate(doc_list):
-            bits[i, id_arrays[d]] = 1
-        masks = np.packbits(bits, axis=1)
-        sizes = bits.sum(axis=1).astype(np.int64)
-    sets_ref = ray.put((id_arrays, masks, sizes, pos_of))
-    popcnt_tbl = np.unpackbits(
-        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
-
-    def dedupe_verify(g: pd.DataFrame) -> pd.DataFrame:
-        arrs, masks_l, sizes_l, pos_l = ray.get(sets_ref)
-        g = g.drop_duplicates(["a", "b"])
-        if masks_l is not None and len(g):
-            ia = np.asarray([pos_l[int(x)] for x in g["a"]], dtype=np.int64)
-            ib = np.asarray([pos_l[int(x)] for x in g["b"]], dtype=np.int64)
-            inter = popcnt_tbl[np.bitwise_and(masks_l[ia], masks_l[ib])].sum(axis=1)
-            union = sizes_l[ia] + sizes_l[ib] - inter
-            with np.errstate(invalid="ignore", divide="ignore"):
-                j = inter / union
-            j = np.where(union == 0, 1.0, j)
-            keep = j >= threshold
-            return pd.DataFrame({
-                "doc_a": g["a"].to_numpy()[keep].astype(np.int64),
-                "doc_b": g["b"].to_numpy()[keep].astype(np.int64),
-                "jaccard": j[keep],
-            })
-        rows = []
-        for x, y in zip(g["a"], g["b"]):
-            sa, sb = arrs[int(x)], arrs[int(y)]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            u = len(sa) + len(sb) - inter
-            j = (inter / u) if u else 1.0
-            if j >= threshold:
-                rows.append((int(x), int(y), j))
-        return pd.DataFrame({
-            "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
-            "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
-            "jaccard": pd.Series([r[2] for r in rows], dtype="float64"),
-        })
-
-    def add_ph(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[["a", "b"]]
-        batch = batch.assign(ph=(batch["a"] * 1_000_003 + batch["b"]) % 256)
-        return batch
-
-    verified = (
-        cand_ds.map_batches(add_ph, batch_format="pandas")
-        .groupby("ph")
-        .map_groups(dedupe_verify, batch_format="pandas")
-        .to_pandas()
-    )
-    if "doc_a" not in verified.columns:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(verified, preserve_index=False)
-
-
-def _verify_pairs_distributed(
-    sf_dir: str, cand: pd.DataFrame, threshold: float
-) -> pa.Table:
-    """Exact-Jaccard verification of candidate (a, b) pairs as a distributed
-    map over candidate partitions with only the NEEDED docs' token sets
-    broadcast (never a full-corpus driver read)."""
-    import ray
-
-    needed = set(int(x) for x in cand["a"]) | set(int(x) for x in cand["b"])
-    raw_sets = _fetch_token_sets(sf_dir, needed)
-    # tokens -> int ids over the NEEDED docs only; per-doc sorted id arrays
-    # make each pair verification a C-level intersect instead of Python sets
-    vocab: dict[str, int] = {}
-    id_arrays: dict[int, np.ndarray] = {}
-    for d, toks in raw_sets.items():
-        ids = [vocab.setdefault(t, len(vocab)) for t in toks]
-        id_arrays[d] = np.sort(np.asarray(ids, dtype=np.int64))
-    sets_ref = ray.put(id_arrays)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        arrs = ray.get(sets_ref)
-        rows = []
-        for x, y in zip(batch["a"], batch["b"]):
-            sa, sb = arrs[int(x)], arrs[int(y)]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            u = len(sa) + len(sb) - inter
-            j = (inter / u) if u else 1.0
-            if j >= threshold:
-                rows.append((int(x), int(y), j))
-        return pd.DataFrame({
-            "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
-            "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
-            "jaccard": pd.Series([r[2] for r in rows], dtype="float64"),
-        })
-
-    nblocks = max(1, min(64, len(cand) // 2000))
-    verified = (
-        ray.data.from_pandas(cand.reset_index(drop=True))
-        .repartition(nblocks)
-        .map_batches(verify, batch_format="pandas")
-        .to_pandas()
-    )
-    verified = verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(verified, preserve_index=False)
-
-
 def minhash_lsh_pairs(
     sf_dir: str,
     threshold: float = 0.95,
@@ -521,34 +633,31 @@ def minhash_lsh_pairs(
     bands: int = 16,
 ) -> pa.Table:
     """Approximate near-dup pairs: LSH candidates verified by exact Jaccard.
-    -> (doc_a, doc_b, jaccard). Rows-only check (probabilistic recall).
+    -> (doc_a, doc_b, jaccard). Rows-only check (probabilistic recall;
+    P(miss pair at τ=0.95 with 16 bands × 8 rows) ≈ 2e-8).
 
-    Scale shape: signatures vectorized per batch; banding shuffles only
-    (band, key, doc) triples; verification is a distributed map over the
-    candidate pairs with only the needed docs' token sets fetched."""
-    import ray
-
+    Scale shape: signatures vectorized per batch over the pre-hashed batch
+    vocabulary; banding shuffles only (band, key, doc) triples; verification
+    is the co-shuffled exact-Jaccard join (:func:`_verify_pairs_ds`)."""
     a, b = _perm_params(n_perm)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        token_lists = [sorted(set(_kept_tokens(t)))
-                       for t in batch["text"].to_pylist()]
-        sig = minhash_signatures_batch(token_lists, a, b)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        d, codes, uniques, counts = kept_stream_sorted(batch["text"])
+        uh = stable_hash64_batch(list(uniques))
+        H = uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+        sig = minhash_signatures_from_hashes(H, counts, a, b)
         keys = _band_keys(sig, bands)
         n = len(ids)
         flat_keys = keys.reshape(-1).view(np.int64)
         return pa.table({
-            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), bands)),
+            "doc_id": pa.array(np.repeat(ids, bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "bkey": pa.array(flat_keys),
-            # coarse shuffle key: Ray's groupby/map_groups pays per-GROUP
-            # overhead, so millions of singleton (band, bkey) buckets are
-            # pathological — shuffle on 256 coarse buckets and sub-group
-            # with pandas inside each (same result, bounded group count)
-            "g": pa.array((flat_keys % 256).astype(np.int64)),
+            # coarse shuffle key (bounded Ray group count)
+            "g": pa.array((flat_keys % _NBUCKETS).astype(np.int64)),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -574,50 +683,125 @@ def minhash_lsh_pairs(
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     """Near-duplicate CLUSTERS: connected components over the exact Jaccard
-    pair graph, via distributed min-label propagation — each round is one
-    groupby(node).min(label) over the edge list; converges in O(diameter)
-    rounds (the ray_guide dedup idiom; union-find on a driver only works when
-    the candidate set is provably small, label propagation does not care).
-    -> (doc_id, cluster) where cluster = min doc_id of the component."""
+    pair graph, via DATASET-RESIDENT min-label propagation — edges and
+    labels stay Ray Datasets; each round is two bounded-bucket groupbys
+    (join labels onto edges by dst, then per-node min + changed count);
+    the driver sees one changed-count scalar per round. Converges in
+    O(component diameter) rounds. -> (doc_id, cluster) where cluster = min
+    doc_id of the component. (The final table is returned driver-side
+    because that IS the output; at 100 TB the same labels Dataset would
+    ``write_parquet`` instead.)"""
     import ray
-    from ray.data.aggregate import Min
 
-    # edges from the scale path (prefix-filtered inverted index +
-    # distributed verify) — identical pair set to the bitset variant
-    pairs = jaccard_pairs_inverted(sf_dir, threshold=threshold).to_pandas()
-    import pyarrow.parquet as pq
+    pairs = jaccard_pairs_inverted(sf_dir, threshold=threshold)
+    corpus_ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id"])
+    if pairs.num_rows == 0:
+        out = corpus_ids.to_pandas().sort_values("doc_id")
+        out["cluster"] = out["doc_id"]
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
 
-    all_ids = pq.read_table(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id"])["doc_id"].to_pylist()
-    if len(pairs) == 0:
-        return pa.table({"doc_id": pa.array(sorted(all_ids), pa.int64()),
-                         "cluster": pa.array(sorted(all_ids), pa.int64())})
-
-    edges = pd.DataFrame({
-        "a": np.concatenate([pairs["doc_a"], pairs["doc_b"]]),
-        "b": np.concatenate([pairs["doc_b"], pairs["doc_a"]]),
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    edges_pd = pd.DataFrame({
+        "dst": np.concatenate([b, a]),
+        "src": np.concatenate([a, b]),
     })
-    labels = pd.DataFrame({"node": edges["a"].unique()})
-    labels["label"] = labels["node"]
+    edges = ray.data.from_pandas(edges_pd).repartition(
+        max(1, min(64, len(edges_pd) // 50_000 + 1))).materialize()
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = ray.data.from_pandas(
+        pd.DataFrame({"node": nodes, "label": nodes})).materialize()
+
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["dst"].astype("int64"),
+            "src": batch["src"].astype("int64"),
+            "label": np.full(len(batch), -1, dtype=np.int64),
+            "g": (batch["dst"].to_numpy() % _NBUCKETS).astype(np.int64)})
+
+    def label_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["node"].astype("int64"),
+            "src": np.full(len(batch), -1, dtype=np.int64),
+            "label": batch["label"].astype("int64"),
+            "g": (batch["node"].to_numpy() % _NBUCKETS).astype(np.int64)})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        """Per dst-bucket: each edge emits (node=src, cand=label_of_dst);
+        each label row also emits its own (node, cand=label, self=1)."""
+        lab = g[g["src"] < 0][["key", "label"]]
+        ed = g[g["src"] >= 0]
+        m = ed.merge(lab, on="key", suffixes=("", "_dst"))
+        out = pd.DataFrame({
+            "node": np.concatenate([m["src"].to_numpy(dtype=np.int64),
+                                    lab["key"].to_numpy(dtype=np.int64)]),
+            "cand": np.concatenate([m["label_dst"].to_numpy(dtype=np.int64),
+                                    lab["label"].to_numpy(dtype=np.int64)]),
+            "self": np.concatenate([np.zeros(len(m), dtype=np.int64),
+                                    np.ones(len(lab), dtype=np.int64)]),
+        })
+        out["g2"] = out["node"] % _NBUCKETS
+        return out
+
+    def relabel(g: pd.DataFrame) -> pd.DataFrame:
+        mn = g.groupby("node")["cand"].min()
+        olds = g[g["self"] == 1].drop_duplicates("node") \
+            .set_index("node")["cand"]
+        out = pd.DataFrame({"node": mn.index.to_numpy(dtype=np.int64),
+                            "label": mn.to_numpy(dtype=np.int64)})
+        old = out["node"].map(olds).fillna(out["label"]).astype("int64")
+        out["changed"] = (out["label"] != old).astype(np.int64)
+        return out
+
     for _ in range(64):  # rounds bounded by component diameter
-        e = ray.data.from_pandas(
-            edges.merge(labels, left_on="b", right_on="node")[["a", "label"]]
+        msgs = (
+            edges.map_batches(edge_rows, batch_format="pandas")
+            .union(labels.map_batches(label_rows, batch_format="pandas"))
+            .groupby("g")
+            .map_groups(propagate, batch_format="pandas")
         )
-        new = (
-            e.groupby("a").aggregate(Min("label", alias_name="nbr"))
-            .to_pandas().rename(columns={"a": "node"})
+        new_labels = (
+            msgs.groupby("g2")
+            .map_groups(relabel, batch_format="pandas")
+            .materialize()
         )
-        merged = labels.merge(new, on="node", how="left")
-        nl = np.minimum(merged["label"],
-                        merged["nbr"].fillna(merged["label"]).astype(np.int64))
-        if np.array_equal(nl.to_numpy(), merged["label"].to_numpy()):
+        changed = new_labels.sum("changed") or 0
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if changed == 0:
             break
-        labels = pd.DataFrame({"node": merged["node"], "label": nl})
-    in_graph = dict(zip(labels["node"], labels["label"]))
-    out = pd.DataFrame({
-        "doc_id": sorted(all_ids),
-    })
-    out["cluster"] = [int(in_graph.get(d, d)) for d in out["doc_id"]]
+
+    # stitch labels onto the full corpus id list (left join; unlabeled docs
+    # are their own cluster)
+    def corpus_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        return pd.DataFrame({"key": ids,
+                             "label": np.full(len(ids), -1, dtype=np.int64),
+                             "g": ids % _NBUCKETS})
+
+    def final_label_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": batch["node"].astype("int64"),
+                             "label": batch["label"].astype("int64"),
+                             "g": (batch["node"].to_numpy() % _NBUCKETS
+                                   ).astype(np.int64)})
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["label"] >= 0].set_index("key")["label"]
+        docs = g[g["label"] < 0]["key"]
+        mapped = docs.map(lab)
+        return pd.DataFrame({
+            "doc_id": docs.to_numpy(dtype=np.int64),
+            "cluster": mapped.fillna(docs).astype("int64").to_numpy()})
+
+    out = (
+        corpus_ids.map_batches(corpus_rows, batch_format="pyarrow")
+        .union(labels.map_batches(final_label_rows, batch_format="pandas"))
+        .groupby("g")
+        .map_groups(stitch, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -627,9 +811,6 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pa.Table:
     -> per-band groupby carries both fingerprints, so Hamming verification
     happens INSIDE each group (vectorized popcount) — nothing but the final
     pairs reaches the driver. -> (doc_a, doc_b, hamming)."""
-    import ray
-
-    from ..functions.analysis import tokenize_raw  # noqa: F401 (doc parity)
     from .textstats import fingerprints_ds
 
     fp = fingerprints_ds(sf_dir)
@@ -650,7 +831,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pa.Table:
             "doc_id": pa.array(np.repeat(ids, 4)),
             "sim": pa.array(np.repeat(sims.view(np.int64), 4)),
             # coarse shuffle key (bounded Ray group count; see minhash)
-            "g": pa.array((band_col * 65536 + flat_keys) % 256),
+            "g": pa.array((band_col * 65536 + flat_keys) % _NBUCKETS),
         })
 
     def group_pairs(gb: pd.DataFrame) -> pd.DataFrame:
@@ -690,103 +871,44 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def jaccard_ngram_pairs(
-    sf_dir: str, n: int = 3, threshold: float = 0.04
-) -> pa.Table:
-    """Exact n-gram (token shingle) Jaccard pairs — the order-sensitive
-    variant of ``jaccard_pairs``: shingles are consecutive kept-token
-    n-grams, so near-dups must share phrasing, not just vocabulary. Same
-    broadcast-bitset block join over the (larger) shingle vocabulary.
-    -> (doc_a, doc_b, jaccard)."""
-    import ray
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-    def shingles(t: str) -> set[tuple]:
-        toks = _kept_tokens(t)
-        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-
-    def batch_vocab(batch: pa.Table) -> pd.DataFrame:
-        vocab = set()
-        for t in batch["text"].to_pylist():
-            vocab.update(shingles(t))
-        return pd.DataFrame({"sh": [" ".join(s) for s in sorted(vocab)]})
-
-    vocab = sorted(set(
-        ds.map_batches(batch_vocab, batch_format="pyarrow").to_pandas()["sh"]
-    ))
-    vidx = {t: i for i, t in enumerate(vocab)}
-    nbits = len(vocab)
-    nbytes = (nbits + 7) // 8
-
-    def batch_masks(batch: pa.Table) -> pd.DataFrame:
-        ids = batch["doc_id"].to_pylist()
-        rows = np.zeros((len(ids), nbits), dtype=np.uint8)
-        for r, t in enumerate(batch["text"].to_pylist()):
-            for s in shingles(t):
-                rows[r, vidx[" ".join(s)]] = 1
-        packed = np.packbits(rows, axis=1)
-        return pd.DataFrame({"doc_id": ids, "mask": [p.tobytes() for p in packed]})
-
-    masks = ds.map_batches(batch_masks, batch_format="pyarrow").to_pandas()
-    masks = masks.sort_values("doc_id").reset_index(drop=True)
-    ids_all = masks["doc_id"].to_numpy()
-    import ray as _r
-
-    M = np.frombuffer(b"".join(masks["mask"]), dtype=np.uint8).reshape(-1, nbytes)
-    sizes_all = np.unpackbits(M, axis=1, count=nbits).sum(axis=1).astype(np.int64)
-    mat_ref = _r.put((ids_all, M, sizes_all))
-
-    def block(batch: pa.Table) -> pd.DataFrame:
-        ids_g, Mg, sz_g = _r.get(mat_ref)
-        ids_b = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        sel = np.searchsorted(ids_g, ids_b)
-        Mb = Mg[sel]
-        sz_b = sz_g[sel]
-        inter = np.zeros((len(ids_b), len(ids_g)), dtype=np.int64)
-        popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                               axis=1).sum(axis=1).astype(np.int64)
-        for byte in range(Mg.shape[1]):
-            inter += popcnt[np.bitwise_and(Mb[:, byte : byte + 1], Mg[:, byte])]
-        union = sz_b[:, None] + sz_g[None, :] - inter
-        with np.errstate(invalid="ignore", divide="ignore"):
-            j = inter.astype(np.float64) / union
-        j = np.where(union == 0, 0.0, j)
-        bi, gj = np.nonzero(j >= threshold)
-        keep = ids_b[bi] < ids_g[gj]
-        return pd.DataFrame({"doc_a": ids_b[bi][keep], "doc_b": ids_g[gj][keep],
-                             "jaccard": j[bi, gj][keep]})
-
-    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
-    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
-
-
 def embedding_dedup_pairs(
     sf_dir: str, threshold: float = 0.4, target_block: int = 4096
 ) -> pa.Table:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= threshold).
 
     EXACT all-pairs as a block-partitioned pairwise join: the corpus is cut
-    into row ranges; one task per block pair (i <= j) reads ITS two blocks
-    from storage, normalizes, and emits its tile of the similarity matrix.
-    Per-task memory is two blocks — nothing broadcasts the whole matrix and
-    the driver sees only result pairs. (Work is inherently O(N²/2) tiles;
-    for sub-quadratic near-dup at high thresholds use LSH/minhash paths.)"""
+    into ROW-GROUP-aligned blocks; one task per block pair (i <= j) reads
+    only ITS two blocks' row groups from storage, normalizes, and emits its
+    tile of the similarity matrix. Per-task memory and I/O are two blocks —
+    nothing broadcasts the whole matrix and the driver sees only result
+    pairs. (Work is inherently O(N²/2) tiles; for sub-quadratic near-dup at
+    high thresholds use LSH/minhash paths.)"""
     import ray
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
-    n = pq.ParquetFile(path).metadata.num_rows
-    nblocks = max(1, (n + target_block - 1) // target_block)
-    bounds = np.linspace(0, n, nblocks + 1).astype(np.int64)
+    meta = pq.ParquetFile(path).metadata
+    # blocks are whole ROW GROUPS (>= target_block rows each) so a tile task
+    # reads only its two blocks' row groups, never the full file
+    rg_rows = [meta.row_group(i).num_rows for i in range(meta.num_row_groups)]
+    rg_of_block: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for gi, rows in enumerate(rg_rows):
+        cur.append(gi)
+        cur_rows += rows
+        if cur_rows >= target_block:
+            rg_of_block.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        rg_of_block.append(cur)
+    nblocks = len(rg_of_block)
     tiles = [{"i": i, "j": j} for i in range(nblocks)
              for j in range(i, nblocks)]
 
     def read_block(i: int):
-        t = pq.read_table(path, columns=["vec_id", "embedding"])
-        t = t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        pf = pq.ParquetFile(path)
+        t = pf.read_row_groups(rg_of_block[i], columns=["vec_id", "embedding"])
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         return ids, v / np.linalg.norm(v, axis=1, keepdims=True)
@@ -798,9 +920,17 @@ def embedding_dedup_pairs(
             ids_b, vb = (ids_a, va) if i == j else read_block(int(j))
             sims = va @ vb.T
             ai, bj = np.nonzero(sims >= threshold)
-            keep = ids_a[ai] < ids_b[bj]
+            xa, xb = ids_a[ai], ids_b[bj]
+            if i != j:
+                # off-diagonal tiles: normalize pair order instead of
+                # filtering — correctness must not depend on vec_id being
+                # nondecreasing with row order (tile (j,i) never runs)
+                lo, hi = np.minimum(xa, xb), np.maximum(xa, xb)
+            else:
+                lo, hi = xa, xb
+            keep = lo < hi
             frames.append(pd.DataFrame({
-                "vec_a": ids_a[ai][keep], "vec_b": ids_b[bj][keep],
+                "vec_a": lo[keep], "vec_b": hi[keep],
                 "cos_bp": np.rint(sims[ai, bj][keep] * 10000).astype(np.int64),
             }))
         if not frames:

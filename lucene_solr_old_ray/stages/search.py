@@ -339,7 +339,32 @@ def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
 
 def _regexp_literal_prefix(pattern: str) -> str:
     """Leading literal characters of a regex (stop at the first char that
-    could be an operator) — the term-dict narrowing prefix."""
+    could be an operator) — the term-dict narrowing prefix.
+
+    A top-level alternation makes any leading literal OPTIONAL
+    (``slow|small`` must match terms starting 'small' too), so the prefix
+    is only usable when no unescaped ``|`` exists at paren depth 0 outside
+    a character class; otherwise return "" (full-dict scan)."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            return ""
+        i += 1
     out = []
     for ch in pattern:
         if ch.isalnum() or ch == "_":

@@ -14,7 +14,13 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, tokenize_raw
+from ..functions.analysis import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    _tokenize_standard,
+    analyze_batch,
+    kept_stream_sorted,
+)
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -58,21 +64,50 @@ def stable_hash64_batch(tokens: list[str]) -> np.ndarray:
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
-    """Per-doc integer quality counters (exactly SQL-replicable)."""
-    rows = {"doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)}
-    n_tok, n_stop, n_kept, n_uniq, max_len = [], [], [], [], []
-    for t in batch["text"].to_pylist():
-        toks = tokenize_raw(t or "")
-        toks = [x for x in toks if len(x) <= MAX_TOKEN_LENGTH]
-        kept = [x for x in toks if x not in ENGLISH_STOP_WORDS]
-        n_tok.append(len(toks))
-        n_stop.append(len(toks) - len(kept))
-        n_kept.append(len(kept))
-        n_uniq.append(len(set(kept)))
-        max_len.append(max((len(x) for x in toks), default=0))
+    """Per-doc integer quality counters (exactly SQL-replicable).
+
+    One Arrow-kernel tokenize per batch; all filters and counters run at the
+    vocabulary / flat-instance level (no per-doc Python loop)."""
+    n = batch.num_rows
+    d, _, codes, uniques, _ = _tokenize_standard(batch["text"])
+    nvocab = max(1, len(uniques))
+    lens = np.fromiter((len(u) for u in uniques),
+                       count=len(uniques), dtype=np.int64)
+    is_stop = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniques),
+                          count=len(uniques), dtype=bool)
+    ok = lens <= MAX_TOKEN_LENGTH
+
+    inst_ok = ok[codes] if len(codes) else np.empty(0, dtype=bool)
+    d_ok = d[inst_ok]
+    n_tok = np.bincount(d_ok, minlength=n).astype(np.int64)
+    inst_stop = inst_ok & is_stop[codes] if len(codes) else inst_ok
+    n_stop = np.bincount(d[inst_stop], minlength=n).astype(np.int64)
+    n_kept = n_tok - n_stop
+
+    # n_unique over kept tokens: distinct (doc, code) pairs
+    kept_mask = inst_ok & ~is_stop[codes] if len(codes) else inst_ok
+    key = d[kept_mask].astype(np.int64) * nvocab + codes[kept_mask]
+    uk = np.unique(key)
+    n_uniq = np.bincount(uk // nvocab, minlength=n).astype(np.int64)
+
+    # per-doc max token length over ok instances (sort + reduceat; the
+    # instance stream is only piecewise doc-contiguous after the
+    # ascii/non-ascii stitch)
+    max_len = np.zeros(n, dtype=np.int64)
+    if len(d_ok):
+        order = np.argsort(d_ok, kind="stable")
+        ds_, ls_ = d_ok[order], lens[codes[inst_ok]][order]
+        cnt = np.bincount(ds_, minlength=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        mx = np.maximum.reduceat(ls_, np.minimum(starts, len(ls_) - 1))
+        mx[cnt == 0] = 0
+        max_len = mx.astype(np.int64)
+
     return pa.table(
         {
-            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False), pa.int64()),
             "n_tokens": pa.array(n_tok, pa.int64()),
             "n_stop": pa.array(n_stop, pa.int64()),
             "n_kept": pa.array(n_kept, pa.int64()),
@@ -98,14 +133,11 @@ def token_count_by_lang(sf_dir: str) -> pa.Table:
                                columns=["doc_id", "lang", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "lang": batch["lang"].to_pylist(),
-            "n_tokens": [
-                sum(1 for x in tokenize_raw(t or "")
-                    if len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS)
-                for t in batch["text"].to_pylist()
-            ],
-        })
+        # vectorized: per-doc kept counts come straight from the analysis
+        # fast path (field_lengths == kept-token count for "standard")
+        kept = analyze_batch(batch["text"]).field_lengths.astype(np.int64)
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist(),
+                           "n_tokens": kept})
         g = df.groupby("lang").agg(n_docs=("lang", "size"),
                                    n_tokens=("n_tokens", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -171,15 +203,12 @@ def fingerprints_ds(sf_dir: str):
     def fp(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         mult = np.uint64(1000003)
-        tok_lists = [
-            [x for x in tokenize_raw(t or "")
-             if len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS]
-            for t in batch["text"].to_pylist()
-        ]
         n = len(ids)
-        counts = np.fromiter((len(t) for t in tok_lists), count=n, dtype=np.int64)
-        flat = [tok for toks in tok_lists for tok in toks]
-        th = stable_hash64_batch(flat)  # one vectorized hash pass
+        # Arrow-kernel tokenize; hash only the VOCABULARY, gather per
+        # instance (the doc-ascending stream keeps token order within docs)
+        d, codes, uniques, counts = kept_stream_sorted(batch["text"])
+        uh = stable_hash64_batch(list(uniques))
+        th = uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
         starts = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=starts[1:])
 

@@ -90,6 +90,10 @@ def query_set():
         PrefixQuery("get_p", rewrite="scoring_boolean"),
         WildcardQuery("merge_*", rewrite="scoring_boolean"),
         RegexpQuery("index_[a-z]{4,5}", rewrite="scoring_boolean"),
+        RegexpQuery("return|static"),              # BARE top-level alternation:
+        # the leading literal run is NOT a mandatory prefix (regression for
+        # the prefix-narrowing bug that scanned only 'return…' terms)
+        RegexpQuery("stat(ic|us)|merge_score", rewrite="scoring_boolean"),
     ]
     return dict(enumerate(qs))
 
