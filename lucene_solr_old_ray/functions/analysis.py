@@ -265,65 +265,96 @@ def _python_tokenize(texts: list[str], analyzer: str):
 
 
 def _analyze_overlay(
-    texts: list[str], analyzer: str, with_positions: bool
+    texts, analyzer: str, with_positions: bool,
+    shingle_size: int = 2, synonyms: dict[str, tuple[str, ...]] | None = None,
 ) -> AnalyzedBatch:
-    """Exact path for the overlay analyzers (tokens emitted at the SAME
-    position as an anchor token, posIncr 0, excluded from norm lengths):
+    """Overlay analyzers (tokens emitted at the SAME position as an anchor
+    token, posIncr 0, excluded from norm lengths), VECTORIZED over the
+    standard chain's Arrow fast path:
 
-    - ``"shingle"``: unigrams + adjacent 2-shingles ``"a b"``
-      (``analysis/common/.../shingle/ShingleFilter.java:65`` — shingles
-      overlay their first token's position; built over the pre-stop stream,
-      so stop words participate in shingles while their unigrams drop);
-    - ``"synonym"``: unigrams + :data:`SYNONYMS` expansions at the matched
-      token's position (``analysis/common/.../synonym/SynonymFilter.java:54``).
+    - ``"shingle"`` (size n, default 2): unigrams + n-token shingles
+      ``"a b ..."`` (``analysis/common/.../shingle/ShingleFilter.java:65`` —
+      shingles overlay their first token's position; built over the
+      pre-stop stream, so stop words participate in shingles while their
+      unigrams drop);
+    - ``"synonym"``: unigrams + synonym-map expansions at the matched
+      token's position (``analysis/common/.../synonym/SynonymFilter.java:54``;
+      the map defaults to :data:`SYNONYMS` and can be supplied per build
+      via ``CorpusSpec.synonyms`` — it must be identical at build time for
+      every partition, the SynonymMap build-time contract).
+
+    All filters and string work run on the BATCH VOCABULARY (or unique
+    shingle code-tuples), never per token instance.
     """
     import pandas as pd
 
+    syn_map = SYNONYMS if synonyms is None else synonyms
+    d, p, codes, uniques, _counts_all = _tokenize_standard(texts)
     n_docs = len(texts)
-    counts = np.zeros(n_docs, dtype=np.int64)
-    f_docs: list[int] = []
-    f_pos: list[int] = []
-    f_terms: list[str] = []
+    nu = len(uniques)
+    lens = np.fromiter((len(u) for u in uniques), count=nu, dtype=np.int64)
+    stop = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniques),
+                       count=nu, dtype=bool)
+    keep_u = (lens <= MAX_TOKEN_LENGTH) & ~stop
 
-    def emit(d: int, p: int, term: str) -> None:
-        f_docs.append(d)
-        f_pos.append(p)
-        f_terms.append(term)
+    inst_keep = keep_u[codes] if len(codes) else np.empty(0, dtype=bool)
+    counts = np.bincount(d[inst_keep], minlength=n_docs).astype(np.int32)
 
-    for i, t in enumerate(texts):
-        raw = tokenize_raw(t if isinstance(t, str) else "")
-        kept = 0
-        for p, tok in enumerate(raw):
-            if len(tok) <= MAX_TOKEN_LENGTH and tok not in ENGLISH_STOP_WORDS:
-                emit(i, p, tok)
-                kept += 1
-            if analyzer == "synonym":
-                for syn in SYNONYMS.get(tok, ()):
-                    if (len(syn) <= MAX_TOKEN_LENGTH
-                            and syn not in ENGLISH_STOP_WORDS):
-                        emit(i, p, syn)
-            else:  # shingle
-                if p + 1 < len(raw):
-                    a, b = tok, raw[p + 1]
-                    if (len(a) <= MAX_TOKEN_LENGTH
-                            and len(b) <= MAX_TOKEN_LENGTH
-                            and len(a) + len(b) + 1 <= MAX_TOKEN_LENGTH):
-                        emit(i, p, a + " " + b)
-        counts[i] = kept
+    streams: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # (d, p, terms)
+    uni_terms = uniques[codes[inst_keep]] if len(codes) else \
+        np.empty(0, dtype=object)
+    streams.append((d[inst_keep], p[inst_keep], uni_terms))
 
-    if f_terms:
-        codes, uniques = pd.factorize(np.asarray(f_terms, dtype=object),
-                                      sort=False)
-        codes = codes.astype(np.int64)
-        uniques = np.asarray(uniques, dtype=object)
+    if analyzer == "shingle" and len(codes) >= shingle_size:
+        n = shingle_size
+        # windows fully inside one doc (doc runs are contiguous; every raw
+        # token consumes a position, so instance-adjacent == pos-adjacent)
+        valid = d[: len(d) - n + 1] == d[n - 1:]
+        # length filters on the window's tokens (vocabulary-level lens)
+        tot = np.zeros(len(d) - n + 1, dtype=np.int64)
+        for k in range(n):
+            lk = lens[codes[k: len(codes) - n + 1 + k]]
+            valid = valid & (lk <= MAX_TOKEN_LENGTH)
+            tot += lk
+        valid = valid & (tot + (n - 1) <= MAX_TOKEN_LENGTH)
+        w = np.flatnonzero(valid)
+        if len(w):
+            mat = np.stack([codes[w + k] for k in range(n)], axis=1)
+            urows, inv = np.unique(mat, axis=0, return_inverse=True)
+            sh_strs = np.asarray(
+                [" ".join(uniques[c] for c in row) for row in urows],
+                dtype=object)
+            streams.append((d[w], p[w], sh_strs[inv]))
+    elif analyzer == "synonym" and len(codes):
+        # triggers on ANY raw token (incl. stop/overlong anchors, as the
+        # reference SynonymFilter sees the pre-stop stream)
+        for ui in np.flatnonzero(
+                np.fromiter((u in syn_map for u in uniques),
+                            count=nu, dtype=bool)):
+            mask = codes == ui
+            for syn in syn_map[uniques[ui]]:
+                if (len(syn) <= MAX_TOKEN_LENGTH
+                        and syn not in ENGLISH_STOP_WORDS):
+                    streams.append((
+                        d[mask], p[mask],
+                        np.full(int(mask.sum()), syn, dtype=object)))
+
+    f_docs = np.concatenate([s[0] for s in streams]).astype(np.int32)
+    f_pos = np.concatenate([s[1] for s in streams]).astype(np.int32)
+    f_terms = np.concatenate([s[2] for s in streams])
+    # postings need doc-ascending, position-ascending instance order
+    order = np.lexsort((f_pos, f_docs))
+    f_docs, f_pos, f_terms = f_docs[order], f_pos[order], f_terms[order]
+
+    if len(f_terms):
+        out_codes, out_uniques = pd.factorize(f_terms, sort=False)
+        out_codes = out_codes.astype(np.int64)
+        out_uniques = np.asarray(out_uniques, dtype=object)
     else:
-        codes = np.empty(0, dtype=np.int64)
-        uniques = np.empty(0, dtype=object)
-    positions = (np.asarray(f_pos, dtype=np.int32) if with_positions
-                 else np.empty(0, dtype=np.int32))
-    return AnalyzedBatch(
-        np.asarray(f_docs, dtype=np.int32), positions, codes, uniques,
-        counts.astype(np.int32))
+        out_codes = np.empty(0, dtype=np.int64)
+        out_uniques = np.empty(0, dtype=object)
+    positions = (f_pos if with_positions else np.empty(0, dtype=np.int32))
+    return AnalyzedBatch(f_docs, positions, out_codes, out_uniques, counts)
 
 
 def _tokenize_standard(texts):
@@ -399,9 +430,15 @@ def kept_stream_sorted(texts):
 
 
 def analyze_batch(
-    texts, with_positions: bool = False, analyzer: str = "standard"
+    texts, with_positions: bool = False, analyzer: str = "standard",
+    synonyms: dict[str, tuple[str, ...]] | None = None,
 ) -> AnalyzedBatch:
     """Vectorized chain over a batch of content strings (list or pa.Array).
+
+    ``analyzer`` accepts ``"standard" | "english" | "code" | "synonym" |
+    "shingle"`` plus parameterized ``"shingle:<n>"``; ``synonyms`` overrides
+    the default :data:`SYNONYMS` map for the synonym overlay (pass the same
+    map at build time for every partition).
 
     ASCII docs go through the Arrow fast tokenizer; non-ASCII (or
     punctuation-pathological) docs take the exact per-doc Python path; the
@@ -422,10 +459,16 @@ def analyze_batch(
     n_docs = len(texts)
     cased = None
 
-    if analyzer in ("shingle", "synonym"):
-        texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
-                      else list(texts))
-        return _analyze_overlay(texts_list, analyzer, with_positions)
+    if analyzer.startswith("shingle") or analyzer == "synonym":
+        # "shingle" (size 2) or "shingle:<n>"
+        size = 2
+        kind = analyzer
+        if analyzer.startswith("shingle"):
+            kind = "shingle"
+            if ":" in analyzer:
+                size = int(analyzer.split(":", 1)[1])
+        return _analyze_overlay(texts, kind, with_positions,
+                                shingle_size=size, synonyms=synonyms)
 
     if analyzer in ("standard", "english"):
         # english = the standard chain + a vocabulary-level Porter stem pass

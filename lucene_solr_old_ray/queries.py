@@ -183,6 +183,102 @@ class PhraseQuery:
     field: str | None = None
 
 
+@dataclass(frozen=True)
+class SpanTermQuery:
+    """Primitive span: one (position, position+1) span per occurrence of
+    ``term`` (``search/spans/SpanTermQuery.java``, ``TermSpans.java``)."""
+
+    term: str
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNearQuery:
+    """Spans of ``clauses`` within ``slop`` of each other, optionally in
+    order (``search/spans/SpanNearQuery.java``; matching protocols in
+    ``NearSpansOrdered.java`` / ``NearSpansUnordered.java``). The field is
+    taken from the clauses (all must agree)."""
+
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOrQuery:
+    """Union of the clause spans (``search/spans/SpanOrQuery.java``)."""
+
+    clauses: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery:
+    """Spans of ``include`` that do not overlap (within ``pre`` tokens
+    before / ``post`` after) any span of ``exclude``
+    (``search/spans/SpanNotQuery.java``)."""
+
+    include: "Query"
+    exclude: "Query"
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery:
+    """Spans of ``match`` fully within the first ``end`` positions
+    (``search/spans/SpanFirstQuery.java:40-48``)."""
+
+    match: "Query"
+    end: int = 1
+    boost: float = 1.0
+
+
+SpanQuery = (
+    SpanTermQuery | SpanNearQuery | SpanOrQuery | SpanNotQuery | SpanFirstQuery
+)
+
+
+def span_field(q: "SpanQuery") -> str | None:
+    """The (single) field a span-query tree runs over; Lucene requires all
+    clauses to share a field (``SpanNearQuery.java`` ctor check)."""
+    if isinstance(q, SpanTermQuery):
+        return q.field
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        fields = {span_field(c) for c in q.clauses}
+        if len(fields) > 1:
+            raise ValueError("span clauses must share a field")
+        return next(iter(fields)) if fields else None
+    if isinstance(q, SpanNotQuery):
+        fields = {span_field(q.include), span_field(q.exclude)}
+        if len(fields) > 1:
+            raise ValueError("span clauses must share a field")
+        return next(iter(fields))
+    if isinstance(q, SpanFirstQuery):
+        return span_field(q.match)
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+def span_weight_terms(q: "SpanQuery") -> set[str]:
+    """Terms SpanWeight gathers statistics for (``SpanWeight.java:46-63``
+    via extractTerms — note SpanNotQuery extracts the INCLUDE side only)."""
+    if isinstance(q, SpanTermQuery):
+        return {q.term}
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= span_weight_terms(c)
+        return out
+    if isinstance(q, SpanNotQuery):
+        return span_weight_terms(q.include)
+    if isinstance(q, SpanFirstQuery):
+        return span_weight_terms(q.match)
+    return set()
+
+
 Query = (
     TermQuery
     | PrefixQuery
@@ -197,6 +293,11 @@ Query = (
     | PhraseQuery
     | FilteredQuery
     | ConstantScoreQuery
+    | SpanTermQuery
+    | SpanNearQuery
+    | SpanOrQuery
+    | SpanNotQuery
+    | SpanFirstQuery
 )
 
 
@@ -267,6 +368,9 @@ def collect_terms(q: Query) -> set[str]:
         return collect_terms(q.query) | collect_terms(q.filter)
     if isinstance(q, ConstantScoreQuery):
         return collect_terms(q.query)
+    if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
+                      SpanNotQuery, SpanFirstQuery)):
+        return span_weight_terms(q) if span_field(q) is None else set()
     return set()
 
 
@@ -291,6 +395,11 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
         return collect_field_terms(q.query) | collect_field_terms(q.filter)
     if isinstance(q, ConstantScoreQuery):
         return collect_field_terms(q.query)
+    if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
+                      SpanNotQuery, SpanFirstQuery)):
+        f = span_field(q)
+        return ({(f, t) for t in span_weight_terms(q)}
+                if f is not None else set())
     return set()
 
 

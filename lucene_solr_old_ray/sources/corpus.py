@@ -47,8 +47,12 @@ class CorpusSpec:
     files: tuple[str, ...]
     content_col: str = "content"
     meta_cols: tuple[str, ...] = ("repo", "path", "commit", "lang")
-    analyzer: str = "standard"  # "standard" | "code" (identifier splitter)
+    analyzer: str = "standard"  # standard | code | english | shingle[:n] | synonym
     extra_fields: tuple[FieldSpec, ...] = ()
+    # synonym-overlay map for analyzer="synonym": ((term, (syn, ...)), ...).
+    # Serialized into every build task (the SynonymMap build-time contract);
+    # None -> the default functions.analysis.SYNONYMS demo map.
+    synonyms: tuple[tuple[str, tuple[str, ...]], ...] | None = None
 
     @staticmethod
     def source_code(path_or_dir: str, analyzer: str = "standard",

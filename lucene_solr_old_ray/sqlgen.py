@@ -710,3 +710,189 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
   FROM (SELECT d.doc_id AS doc_id, {score} AS score FROM {base} {' '.join(joins)} {where})
 ) WHERE rank > {offset} AND rank <= {offset + k}
 ORDER BY rank"""
+
+
+# --- span queries -----------------------------------------------------------
+
+
+def _span_posd(pos_cap: int = 1024) -> str:
+    """0-based word-ordinal positions (== engine positions on this corpus)."""
+    return f"""
+posd AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  CROSS JOIN range(1, {pos_cap + 1}) r(i)
+  WHERE i <= len(toks)
+)"""
+
+
+def _span_wv(terms: list[str]) -> str:
+    """SpanWeight idf: float32 fold over the DISTINCT terms in sorted order
+    (TreeSet iteration, ``SpanWeight.java:46-63``), times (k1+1)."""
+    idf_acc = "CAST(0 AS REAL)"
+    for t in sorted(set(terms)):
+        idf_i = f32(
+            f"ln(1 + ((SELECT n FROM coll) - "
+            f"(SELECT df FROM df WHERE term = '{t}') + 0.5) / "
+            f"((SELECT df FROM df WHERE term = '{t}') + 0.5))"
+        )
+        idf_acc = f32(f"{idf_acc} + {idf_i}")
+    return f32(f"{idf_acc} * {K1P1}")
+
+
+def span_near_ordered_hits_sql(t1: str, t2: str, slop: int) -> str:
+    """Ordered 2-clause SpanNear hit set: a match exists iff SOME pair
+    p1 < p2 with gap <= slop exists (the minimal-pair argument: the mutual
+    predecessor/successor pair inside it has a smaller gap)."""
+    return f"""
+WITH {base_ctes()},{_span_posd()}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM posd a JOIN posd b ON b.doc_id = a.doc_id
+WHERE a.term = '{t1}' AND b.term = '{t2}'
+  AND b.p > a.p AND b.p - a.p - 1 <= {slop}
+ORDER BY doc_id"""
+
+
+def span_near_unordered_hits_sql(t1: str, t2: str, slop: int) -> str:
+    return f"""
+WITH {base_ctes()},{_span_posd()}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM posd a JOIN posd b ON b.doc_id = a.doc_id
+WHERE a.term = '{t1}' AND b.term = '{t2}'
+  AND abs(b.p - a.p) - 1 <= {slop}
+ORDER BY doc_id"""
+
+
+def span_first_hits_sql(term: str, end: int) -> str:
+    """SpanFirstQuery hit set: a span (p, p+1) accepted iff p + 1 <= end."""
+    return f"""
+WITH {base_ctes()},{_span_posd()}
+SELECT DISTINCT doc_id FROM posd
+WHERE term = '{term}' AND p + 1 <= {end}
+ORDER BY doc_id"""
+
+
+def span_not_hits_sql(include: str, exclude: str, pre: int, post: int) -> str:
+    """SpanNotQuery hit set: an include span (p, p+1) survives iff no
+    exclude span intersects [p - pre, p + 1 + post), i.e. no exclude
+    position x with p - pre <= x <= p + post (``SpanNotQuery.java:96-105``)."""
+    return f"""
+WITH {base_ctes()},{_span_posd()}
+SELECT DISTINCT i.doc_id AS doc_id
+FROM posd i
+WHERE i.term = '{include}'
+  AND NOT EXISTS (
+    SELECT 1 FROM posd x
+    WHERE x.doc_id = i.doc_id AND x.term = '{exclude}'
+      AND x.p >= i.p - {pre} AND x.p <= i.p + {post})
+ORDER BY doc_id"""
+
+
+def span_near_ordered_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
+    """Scored ordered 2-clause SpanNear -> (rank, doc_id, score).
+
+    Match set = the NearSpansOrdered protocol's minimal matches, which for
+    two clauses is the MUTUAL predecessor/successor pairs (property-proven
+    equal to the walk in tests/test_spans.py): a = max{{A < b}} and
+    b = min{{B > a}}. Each match scores sloppyFreq(end - start) =
+    1/(2 + b - a); freq folds float32 in match (b-ascending) order via a
+    recursive CTE; then the standard BM25 doc score with SpanWeight's
+    distinct-sorted-terms idf."""
+    wv = _span_wv([t1, t2])
+    num = f32(f"{wv} * CAST(h.freq AS REAL)")
+    add = f32("f.acc + " + f32(
+        f32("CAST(1 AS REAL) / CAST(2 + m.bp - m.ap AS REAL)")))
+    return f"""
+WITH RECURSIVE {base_ctes()},{_span_posd()},
+ta AS (SELECT doc_id, p FROM posd WHERE term = '{t1}'),
+tb AS (SELECT doc_id, p FROM posd WHERE term = '{t2}'),
+cand AS (
+  SELECT b.doc_id AS doc_id,
+         (SELECT max(a.p) FROM ta a
+          WHERE a.doc_id = b.doc_id AND a.p < b.p) AS ap,
+         b.p AS bp
+  FROM tb b
+),
+matches AS (
+  SELECT doc_id, ap, bp,
+         row_number() OVER (PARTITION BY doc_id ORDER BY bp) AS rn
+  FROM cand
+  WHERE ap IS NOT NULL
+    AND bp = (SELECT min(b2.p) FROM tb b2
+              WHERE b2.doc_id = cand.doc_id AND b2.p > cand.ap)
+    AND bp - ap - 1 <= {slop}
+),
+cnt AS (SELECT doc_id, max(rn) AS nm FROM matches GROUP BY doc_id),
+fold(doc_id, rn, acc) AS (
+  SELECT doc_id, 0, CAST(0 AS REAL) FROM cnt
+  UNION ALL
+  SELECT f.doc_id, f.rn + 1, {add}
+  FROM fold f JOIN matches m ON m.doc_id = f.doc_id AND m.rn = f.rn + 1
+),
+hits AS (
+  SELECT f.doc_id, f.acc AS freq
+  FROM fold f JOIN cnt c ON c.doc_id = f.doc_id AND f.rn = c.nm
+  WHERE f.acc > 0
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (SELECT h.doc_id AS doc_id,
+               {f32(num + ' / ' + f32("CAST(h.freq AS REAL) + dc.cache"))} AS score
+        FROM hits h JOIN doccache dc ON dc.doc_id = h.doc_id)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def span_or_sql(t1: str, t2: str, k: int = 10) -> str:
+    """Scored SpanOr over two terms -> (rank, doc_id, score): every
+    occurrence is a length-1 span scoring sloppyFreq(1) = 0.5, so
+    freq = 0.5 * (tf1 + tf2) exactly (0.5 steps are exact in float32 at
+    these magnitudes); idf folds over the distinct sorted terms."""
+    wv = _span_wv([t1, t2])
+    num = f32(f"{wv} * CAST(h.freq AS REAL)")
+    return f"""
+WITH {base_ctes()},{_span_posd()},
+hits AS (
+  SELECT doc_id, CAST(count(*) AS REAL) * CAST(0.5 AS REAL) AS freq
+  FROM posd WHERE term IN ('{t1}', '{t2}')
+  GROUP BY doc_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (SELECT h.doc_id AS doc_id,
+               {f32(num + ' / ' + f32("CAST(h.freq AS REAL) + dc.cache"))} AS score
+        FROM hits h JOIN doccache dc ON dc.doc_id = h.doc_id)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def lang_id_sql() -> str:
+    """lang_id oracle: marker-overlap argmax with the engine's iteration
+    order (en, de, fr, es; first-strictly-greater wins, default 'en'); the
+    CJK shortcut never fires on this ASCII corpus -> (doc_id, lang_guess)."""
+    from .stages.textstats import _LANG_MARKERS
+
+    rows = []
+    for ordn, (lang, markers) in enumerate(_LANG_MARKERS.items()):
+        for t in sorted(markers):
+            rows.append(f"('{lang}', {ordn}, '{t}')")
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+marks(lang, ord, term) AS (VALUES {",".join(rows)}),
+langs AS (SELECT DISTINCT lang, ord FROM marks),
+cnts AS (
+  SELECT d.doc_id, l.lang, l.ord,
+         (SELECT count(DISTINCT r.t) FROM raw r
+          JOIN marks mk ON mk.term = lower(r.t) AND mk.lang = l.lang
+          WHERE r.doc_id = d.doc_id) AS n
+  FROM documents d CROSS JOIN langs l
+),
+best AS (
+  SELECT doc_id, lang AS lang_guess,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, ord ASC) AS rn
+  FROM cnts
+)
+SELECT doc_id, lang_guess FROM best WHERE rn = 1 ORDER BY doc_id"""

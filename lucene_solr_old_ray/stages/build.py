@@ -281,8 +281,11 @@ def build_segment(
             if kind == "numeric":
                 ab = _analyze_numeric(tb[col])
             else:
-                ab = analyze_batch(tb[col], with_positions=wpos,
-                                   analyzer=anlz)  # zero-copy Arrow in
+                ab = analyze_batch(
+                    tb[col], with_positions=wpos, analyzer=anlz,
+                    synonyms=(dict(spec.synonyms)
+                              if getattr(spec, "synonyms", None) else None),
+                )  # zero-copy Arrow in
             n_post[fi] += _invert_subbatch(ab, doc_off, accs[fi], wpos)
             n_inst[fi] += len(ab.term_codes)
             flen_parts[fi].append(ab.field_lengths)

@@ -577,6 +577,13 @@ def _execute_raw(
             leaf._filter_cache[fkey] = fdocs
         keep = np.isin(docids, fdocs, assume_unique=True)
         return docids[keep], scores[keep]
+    from ..queries import (SpanFirstQuery, SpanNearQuery, SpanNotQuery,
+                           SpanOrQuery, SpanTermQuery)
+    if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
+                      SpanNotQuery, SpanFirstQuery)):
+        from .spans import execute_span
+
+        return execute_span(q, leaf, ctx, boost)
     raise TypeError(f"unknown query type {type(q)}")
 
 
@@ -758,11 +765,10 @@ def _tfs_for_targets(
 
 
 def _bool_all_terms(q: BooleanQuery) -> bool:
-    # default-field TermQueries only: the leapfrog path reads the default
-    # leaf's term dict directly, so field-qualified clauses take the generic
-    # path (which dispatches to sibling field readers)
-    return all(isinstance(c.query, TermQuery) and c.query.field is None
-               for c in q.clauses)
+    # every clause a TermQuery (field-qualified included — the leapfrog
+    # dispatches each clause through its field's sibling reader; all fields
+    # of a segment share one docID space, so the intersection is field-free)
+    return all(isinstance(c.query, TermQuery) for c in q.clauses)
 
 
 def _execute_bool_terms_leapfrog(
@@ -772,23 +778,26 @@ def _execute_bool_terms_leapfrog(
     exists: fully decode only the rarest MUST term (the ConjunctionScorer
     lead, ``search/ConjunctionScorer.java:28,57-84``); every other clause
     advances via block-selective ``gather_tfs``. Bit-identical scores: per-doc
-    accumulation still happens in CLAUSE ORDER over the surviving docids."""
+    accumulation still happens in CLAUSE ORDER over the surviving docids.
+    Field-qualified clauses read/score through their sibling field reader
+    (own term dict, norms and norm cache)."""
     musts = [(i, c.query) for i, c in enumerate(q.clauses) if c.occur == MUST]
     shoulds = [(i, c.query) for i, c in enumerate(q.clauses) if c.occur == SHOULD]
     nots = [c.query for c in q.clauses if c.occur == MUST_NOT]
 
     dfs = []
     for i, tq in musts:
-        ti = leaf.lookup(tq.term)
+        lf = leaf.sibling(tq.field)
+        ti = lf.lookup(tq.term)
         if ti < 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        dfs.append((int(leaf.df[ti]), i, tq))
-    dfs.sort()
+        dfs.append((int(lf.df[ti]), i, tq))
+    dfs.sort(key=lambda x: (x[0], x[1]))
     _, lead_i, lead_q = dfs[0]
-    base, lead_tfs = leaf.postings(lead_q.term)
+    base, lead_tfs = leaf.sibling(lead_q.field).postings(lead_q.term)
     per_clause_tf: dict[int, np.ndarray] = {}
     for df_, i, tq in dfs[1:]:
-        found, tfs = _tfs_for_targets(leaf, tq.term, base)
+        found, tfs = _tfs_for_targets(leaf.sibling(tq.field), tq.term, base)
         base = base[found]
         lead_tfs = lead_tfs[found]
         for k in per_clause_tf:
@@ -798,33 +807,47 @@ def _execute_bool_terms_leapfrog(
             return base, np.empty(0, dtype=np.float32)
     per_clause_tf[lead_i] = lead_tfs
 
-    norms_b = leaf.norms[base]
+    norms_of: dict[str | None, np.ndarray] = {}
+
+    def norms_for(field: str | None) -> np.ndarray:
+        n = norms_of.get(field)
+        if n is None:
+            n = leaf.sibling(field).norms[base]
+            norms_of[field] = n
+        return n
+
     scores = np.zeros(len(base), dtype=np.float32)
     match_count = np.zeros(len(base), dtype=np.int32)
     for ci, c in enumerate(q.clauses):  # clause order accumulation
         if c.occur == MUST:
             tq = c.query
-            wv = ctx.weight(tq.term, b * tq.boost)
+            wv = ctx.weight(tq.term, b * tq.boost, tq.field)
             scores = np.add(
-                scores, bm25.score_postings(per_clause_tf[ci], norms_b, wv, ctx.cache),
+                scores,
+                bm25.score_postings(per_clause_tf[ci], norms_for(tq.field),
+                                    wv, ctx.cache_for(tq.field)),
                 dtype=np.float32)
         elif c.occur == SHOULD:
             tq = c.query
-            found, tfs = _tfs_for_targets(leaf, tq.term, base)
+            found, tfs = _tfs_for_targets(
+                leaf.sibling(tq.field), tq.term, base)
             if found.any():
-                wv = ctx.weight(tq.term, b * tq.boost)
+                wv = ctx.weight(tq.term, b * tq.boost, tq.field)
                 add = np.zeros(len(base), dtype=np.float32)
                 add[found] = bm25.score_postings(
-                    tfs[found], norms_b[found], wv, ctx.cache)
+                    tfs[found], norms_for(tq.field)[found], wv,
+                    ctx.cache_for(tq.field))
                 scores = np.add(scores, add, dtype=np.float32)
                 match_count += found
     if shoulds and q.min_should_match > 0:
         keep = match_count >= q.min_should_match
         base, scores = base[keep], scores[keep]
+        # keep cached norm gathers aligned if MUST_NOT still needs base
+        norms_of.clear()
     for nq in nots:
         if len(base) == 0:
             break
-        found, _ = _tfs_for_targets(leaf, nq.term, base)
+        found, _ = _tfs_for_targets(leaf.sibling(nq.field), nq.term, base)
         base, scores = base[~found], scores[~found]
     return base, scores
 

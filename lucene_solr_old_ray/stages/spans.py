@@ -1,0 +1,262 @@
+"""Span queries: ordered/unordered proximity algebra over positions.
+
+Re-expresses (NOT ports) the reference's spans package:
+- ``search/spans/TermSpans.java`` — one (pos, pos+1) span per term occurrence;
+- ``search/spans/NearSpansOrdered.java:200-320`` — the stretchToOrder /
+  shrinkToAfterShortestMatch protocol emitting minimal-slop ordered matches
+  (slop = sum of non-overlapping gaps, matchSlop <= allowedSlop);
+- ``search/spans/NearSpansUnordered.java:330-335`` — candidate when all
+  clauses share a doc; match when ``max.end - min.start - totalLength <=
+  slop``; the min cell advances each step (atMatch checked per state);
+- ``search/spans/SpanOrQuery.java:149-240`` — priority-queue merge ordered
+  by (doc, start, end);
+- ``search/spans/SpanNotQuery.java:79-110`` — include spans that no exclude
+  span overlaps within the [start-pre, end+post) window;
+- ``search/spans/SpanFirstQuery.java:40-48`` — accept spans with
+  ``end <= limit`` (via SpanPositionRangeQuery with start=0);
+- ``search/spans/SpanScorer.java:79-87`` + ``SpanWeight.java:46-63`` —
+  freq = float32 running sum of ``sloppyFreq(end - start)`` = ``1/(1+len)``
+  per emitted match; weight idf = float32 sum over the extracted DISTINCT
+  terms in sorted order (TreeSet iteration), then the usual BM25 doc score.
+
+Execution shape: span queries run inside the searcher actors like every
+other scorer — doc candidates come from postings-list set algebra first
+(conjunction for NEAR, union for OR), then the per-doc span walk runs only
+over candidate docs' (start, end) lists. The walk is per-doc Python over
+in-memory position slices (bounded by the conjunction's match set — the
+same contract as the k>=3 sloppy-phrase walk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import bm25
+from ..queries import (
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    span_field,
+    span_weight_terms,
+)
+
+F = np.float32
+
+
+def _ordered(a: tuple[int, int], b: tuple[int, int]) -> bool:
+    """docSpansOrdered (``NearSpansOrdered.java:246-258``): strict
+    lexicographic (start, end)."""
+    return a[1] < b[1] if a[0] == b[0] else a[0] < b[0]
+
+
+def near_ordered_matches(
+    sub: list[list[tuple[int, int]]], slop: int
+) -> list[tuple[int, int]]:
+    """Minimal-slop ordered matches over one doc's per-clause span lists
+    (each sorted by (start, end)) — the NearSpansOrdered advance protocol."""
+    k = len(sub)
+    n = [len(s) for s in sub]
+    if any(x == 0 for x in n):
+        return []
+    idx = [0] * k
+    matches: list[tuple[int, int]] = []
+    alive = True
+    while alive:
+        # stretchToOrder: advance each later clause until ordered after the
+        # previous one
+        for i in range(1, k):
+            while not _ordered(sub[i - 1][idx[i - 1]], sub[i][idx[i]]):
+                idx[i] += 1
+                if idx[i] >= n[i]:
+                    alive = False
+                    break
+            if not alive:
+                break
+        if not alive:
+            break
+        # shrinkToAfterShortestMatch: walk backwards, advancing each earlier
+        # clause as far as possible while still ordered before its successor
+        match_start, match_end = sub[k - 1][idx[k - 1]]
+        match_slop = 0
+        last_start, last_end = match_start, match_end
+        for i in range(k - 2, -1, -1):
+            prev_start, prev_end = sub[i][idx[i]]
+            while True:
+                idx[i] += 1
+                if idx[i] >= n[i]:
+                    alive = False
+                    break
+                pp = sub[i][idx[i]]
+                if not _ordered(pp, (last_start, last_end)):
+                    break
+                prev_start, prev_end = pp
+            if match_start > prev_end:  # only non-overlap adds to slop
+                match_slop += match_start - prev_end
+            match_start = prev_start
+            last_start, last_end = prev_start, prev_end
+        if match_slop <= slop:
+            matches.append((match_start, match_end))
+    return matches
+
+
+def near_unordered_matches(
+    sub: list[list[tuple[int, int]]], slop: int
+) -> list[tuple[int, int]]:
+    """Unordered near matches over one doc's per-clause span lists — the
+    NearSpansUnordered cell-queue protocol: each state emits (min.start,
+    max.end) when ``max.end - min.start - totalLength <= slop``; the min
+    cell then advances."""
+    import heapq
+
+    k = len(sub)
+    if any(len(s) == 0 for s in sub):
+        return []
+    idx = [0] * k
+    total_len = 0
+    max_end = -1
+    heap = []
+    for i in range(k):  # cells adjust in query order (initList)
+        s, e = sub[i][0]
+        total_len += e - s
+        if e > max_end:
+            max_end = e
+        heap.append((s, e, i))
+    heapq.heapify(heap)
+    matches: list[tuple[int, int]] = []
+    while True:
+        s0, e0, i0 = heap[0]
+        if (max_end - s0 - total_len) <= slop:
+            matches.append((s0, max_end))
+        idx[i0] += 1
+        if idx[i0] >= len(sub[i0]):
+            break  # cell exhausted == doc change in the reference walk
+        ns, ne = sub[i0][idx[i0]]
+        total_len += (ne - ns) - (e0 - s0)
+        if ne > max_end:
+            max_end = ne
+        heapq.heapreplace(heap, (ns, ne, i0))
+    return matches
+
+
+def _docs_of(q, leaf) -> np.ndarray:
+    """Candidate doc superset of a span clause (postings-level set algebra;
+    spans may still be empty for some candidates — e.g. ordered misses)."""
+    if isinstance(q, SpanTermQuery):
+        d, *_ = leaf.postings_with_positions(q.term)
+        return d
+    if isinstance(q, SpanOrQuery):
+        parts = [_docs_of(c, leaf) for c in q.clauses]
+        parts = [p for p in parts if len(p)]
+        return (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, dtype=np.int64))
+    if isinstance(q, SpanNearQuery):
+        base = None
+        for c in q.clauses:
+            d = _docs_of(c, leaf)
+            base = d if base is None else base[np.isin(base, d,
+                                                       assume_unique=True)]
+            if len(base) == 0:
+                break
+        return base if base is not None else np.empty(0, dtype=np.int64)
+    if isinstance(q, SpanNotQuery):
+        return _docs_of(q.include, leaf)
+    if isinstance(q, SpanFirstQuery):
+        return _docs_of(q.match, leaf)
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+def _spans_tree(q, leaf, docs: np.ndarray) -> list[list[tuple[int, int]]]:
+    """Per-doc span lists of a span-query tree, aligned with ``docs``
+    (sorted global candidate docids); lists sorted by (start, end)."""
+    if isinstance(q, SpanTermQuery):
+        d, _tfs, flat, starts = leaf.postings_with_positions(q.term)
+        out: list[list[tuple[int, int]]] = [[] for _ in range(len(docs))]
+        if len(d) == 0:
+            return out
+        j = np.searchsorted(d, docs)
+        for bi in range(len(docs)):
+            jj = j[bi]
+            if jj < len(d) and d[jj] == docs[bi]:
+                ps = flat[starts[jj]: starts[jj + 1]]
+                out[bi] = [(int(p), int(p) + 1) for p in ps]
+        return out
+    if isinstance(q, SpanOrQuery):
+        parts = [_spans_tree(c, leaf, docs) for c in q.clauses]
+        return [sorted([sp for part in parts for sp in part[bi]])
+                for bi in range(len(docs))]
+    if isinstance(q, SpanNearQuery):
+        parts = [_spans_tree(c, leaf, docs) for c in q.clauses]
+        fn = near_ordered_matches if q.in_order else near_unordered_matches
+        return [fn([part[bi] for part in parts], q.slop)
+                for bi in range(len(docs))]
+    if isinstance(q, SpanNotQuery):
+        inc = _spans_tree(q.include, leaf, docs)
+        exc = _spans_tree(q.exclude, leaf, docs)
+        out = []
+        for bi in range(len(docs)):
+            ex = exc[bi]
+            if not ex:
+                out.append(inc[bi])
+                continue
+            kept = []
+            for s, e in inc[bi]:
+                # rejected iff an exclude span intersects
+                # [s - pre, e + post): NOT (x.end <= s - pre) and
+                # NOT (e + post <= x.start)  (SpanNotQuery.java:96-105)
+                if not any(x_end > s - q.pre and e + q.post > x_start
+                           for x_start, x_end in ex):
+                    kept.append((s, e))
+            out.append(kept)
+        return out
+    if isinstance(q, SpanFirstQuery):
+        inner = _spans_tree(q.match, leaf, docs)
+        return [[(s, e) for s, e in sp if e <= q.end] for sp in inner]
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+def span_freqs(q, leaf, docs: np.ndarray) -> np.ndarray:
+    """Per-candidate-doc sloppy freq: float32 running sum of
+    ``1/(1 + (end - start))`` over emitted matches in emission order
+    (``SpanScorer.setFreqCurrentDoc``, BM25 ``sloppyFreq``)."""
+    spans = _spans_tree(q, leaf, docs)
+    freqs = np.zeros(len(docs), dtype=np.float32)
+    one = F(1.0)
+    for bi, sp in enumerate(spans):
+        f = F(0.0)
+        for s, e in sp:
+            f = F(f + F(one / F(1 + (e - s))))
+        freqs[bi] = f
+    return freqs
+
+
+def execute_span(q, leaf, ctx, boost: float):
+    """Score a span query in one leaf -> (docids, float32 scores).
+
+    Weight: idf = float32 sum over the DISTINCT extracted terms in sorted
+    order (SpanWeight's TreeSet iteration; dedup — unlike PhraseWeight,
+    which keeps duplicates); then the standard BM25 doc score with the
+    span sloppy freq as tf."""
+    field = span_field(q)
+    lf = leaf.sibling(field)
+    if not lf.has_positions:
+        raise ValueError("index was built without positions (store_positions)")
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    docs = _docs_of(q, lf)
+    if len(docs) == 0:
+        return empty
+    freqs = span_freqs(q, lf, docs)
+    match = freqs > 0
+    docids = docs[match]
+    if len(docids) == 0:
+        return empty
+    sum_idf = F(0.0)
+    for t in sorted(span_weight_terms(q)):
+        df = ctx.stats_for(field, t)[0]
+        sum_idf = F(sum_idf + bm25.idf(df, ctx.coll.max_doc))
+    wv = bm25.weight_value(sum_idf, boost * q.boost)
+    scores = bm25.score_postings(
+        freqs[match], lf.norms[docids], wv, ctx.cache_for(field)
+    )
+    return docids, scores

@@ -38,21 +38,29 @@ from .search import LeafSearcher, SearchContext, execute, top_k
 
 
 class _TermBlocks:
-    """Flattened per-block view of one term's postings across chunks."""
+    """Flattened per-block view of one term's postings across chunks.
+
+    ``field`` selects the sibling per-field reader, weight, norms and norm
+    cache — field-qualified terms leapfrog over the SAME docID space, so
+    mixed-field disjunctions work; each term just scores through its own
+    field's statistics."""
 
     __slots__ = ("chunks", "block_last", "block_ub", "chunk_of", "block_in_chunk",
-                 "wv", "n_blocks", "_decoded")
+                 "wv", "n_blocks", "_decoded", "lf", "cache")
 
-    def __init__(self, leaf: LeafSearcher, ctx: SearchContext, term: str, boost: float):
-        self.chunks = leaf.chunks(term)
-        self.wv = ctx.weight(term, boost)
+    def __init__(self, leaf: LeafSearcher, ctx: SearchContext, term: str,
+                 boost: float, field: str | None = None):
+        self.lf = leaf.sibling(field)
+        self.cache = ctx.cache_for(field)
+        self.chunks = self.lf.chunks(term)
+        self.wv = ctx.weight(term, boost, field)
         lasts, ubs, chunk_of, bic = [], [], [], []
         for ci, cv in enumerate(self.chunks):
             if cv.nblocks == 0:
                 continue
             last = cv.last_docids.astype(np.int64) + cv.doc_offset
             max_tf = cv.max_tfs.astype(np.float32)
-            cmin = ctx.cache[cv.max_norms]  # max norm byte = min denominator
+            cmin = self.cache[cv.max_norms]  # max norm byte = min denominator
             num = np.multiply(self.wv, max_tf, dtype=np.float32)
             den = np.add(max_tf, cmin, dtype=np.float32)
             ub = np.divide(num, den, dtype=np.float32)
@@ -82,23 +90,23 @@ class _TermBlocks:
             return self._decoded[1], self._decoded[2]
         cv = self.chunks[self.chunk_of[bi]]
         d, t = cv.decode_block(int(self.block_in_chunk[bi]))
-        scores = bm25.score_postings(t, leaf.norms[d], self.wv, ctx.cache)
+        scores = bm25.score_postings(t, self.lf.norms[d], self.wv, self.cache)
         self._decoded = (bi, d, scores)
         return d, scores
 
 
-def _wand_terms(q: Query) -> list[tuple[str, float]] | None:
-    """Terms of a WAND-eligible query, in clause order; None if ineligible."""
+def _wand_terms(q: Query) -> list[tuple[str, float, str | None]] | None:
+    """(term, boost, field) triples of a WAND-eligible query, in clause
+    order; None if ineligible. Field-qualified terms are eligible — each
+    scores through its own field's sibling reader/norms/stats."""
     if isinstance(q, TermQuery):
-        # field-qualified terms take the exhaustive path (per-field norms)
-        return [(q.term, q.boost)] if q.field is None else None
+        return [(q.term, q.boost, q.field)]
     if isinstance(q, BooleanQuery) and q.min_should_match <= 1 and q.clauses:
         out = []
         for c in q.clauses:
-            if (c.occur != SHOULD or not isinstance(c.query, TermQuery)
-                    or c.query.field is not None):
+            if c.occur != SHOULD or not isinstance(c.query, TermQuery):
                 return None
-            out.append((c.query.term, c.query.boost * q.boost))
+            out.append((c.query.term, c.query.boost * q.boost, c.query.field))
         return out
     return None
 
@@ -116,7 +124,7 @@ def execute_wand_or_fallback(
         d, s = top_k(docids, scores, k)
         return d, s, nhits
 
-    tbs = [_TermBlocks(leaf, ctx, t, b) for t, b in terms]
+    tbs = [_TermBlocks(leaf, ctx, t, b, f) for t, b, f in terms]
     tbs_active = [tb for tb in tbs if tb.n_blocks > 0]
     if not tbs_active:
         e = np.empty(0, dtype=np.int64)

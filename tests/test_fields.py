@@ -155,3 +155,46 @@ def test_field_delete_expunge(ray_session, corpus, tmp_path_factory, oracles):
     res2 = search(idx, {0: TermQuery("m4", field="pathf")}, k=K)
     assert res2.num_rows > 0
     assert search(idx, {0: TermQuery("m3", field="pathf")}, k=K).num_rows == 0
+
+
+def test_field_disjunction_wand_identical(index):
+    """WAND over a MIXED-field term disjunction (round-3: field-qualified
+    terms are WAND-eligible via sibling readers) == exhaustive, exactly."""
+    q = {0: BooleanQuery((
+        BooleanClause("SHOULD", TermQuery("return")),
+        BooleanClause("SHOULD", TermQuery("m3", field="pathf")),
+        BooleanClause("SHOULD", TermQuery("class")),
+    ))}
+    a = search(index, q, k=K, algo="exhaustive").to_pandas()
+    b = search(index, q, k=K, algo="wand").to_pandas()
+    assert a["docid"].tolist() == b["docid"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(np.float32),
+                                  b["score"].to_numpy(np.float32))
+
+
+def test_cross_field_must_with_should_and_not(index, oracles):
+    """Leapfrog fast path with field-qualified MUST/SHOULD/MUST_NOT clauses
+    (round-3: sibling-reader dispatch) vs the two single-field oracles."""
+    otext, opath = oracles
+    q = BooleanQuery((
+        BooleanClause("MUST", TermQuery("return")),
+        BooleanClause("MUST", TermQuery("m3", field="pathf")),
+        BooleanClause("SHOULD", TermQuery("class")),
+        BooleanClause("MUST_NOT", TermQuery("m7", field="pathf")),
+    ))
+    res = search(index, {0: q}, k=K).to_pandas()
+    st = {d: s for d, s, _ in otext.search(TermQuery("return"), 10**9)}
+    scl = {d: s for d, s, _ in otext.search(TermQuery("class"), 10**9)}
+    sp = {d: s for d, s, _ in opath.search(TermQuery("m3"), 10**9)}
+    sn = {d for d, _, _ in opath.search(TermQuery("m7"), 10**9)}
+    both = {}
+    for d in st:
+        if d in sp and d not in sn:
+            s = F(F(st[d]) + F(sp[d]))
+            if d in scl:
+                s = F(s + F(scl[d]))
+            both[d] = s
+    docs, scores = _expected_topk(both)
+    assert res["docid"].tolist() == docs
+    np.testing.assert_array_equal(res["score"].to_numpy(np.float32),
+                                  np.array(scores, dtype=np.float32))

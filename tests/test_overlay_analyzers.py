@@ -90,3 +90,82 @@ def test_shingle_search_and_phrase(ray_session, tmp_path):
     res2 = search(idx, {0: PhraseQuery(("spark window", "window open"))},
                   k=10).to_pandas()
     assert res2["docid"].tolist() == [0]
+
+
+def test_shingle_parameterized_size3():
+    ab = analyze_batch(["one two three four"], with_positions=True,
+                       analyzer="shingle:3")
+    got = _stream(ab)
+    assert (0, 0, "one two three") in got
+    assert (0, 1, "two three four") in got
+    assert (0, 0, "one two") not in got  # size 3, not 2
+    assert ab.field_lengths.tolist() == [4]
+
+
+def test_synonym_custom_map():
+    ab = analyze_batch(["green car"], with_positions=True,
+                       analyzer="synonym",
+                       synonyms={"car": ("auto", "vehicle")})
+    got = _stream(ab)
+    assert got == [(0, 0, "green"), (0, 1, "auto"), (0, 1, "car"),
+                   (0, 1, "vehicle")]
+    # default map does NOT fire under a custom map
+    ab2 = analyze_batch(["fast car"], with_positions=True,
+                        analyzer="synonym",
+                        synonyms={"car": ("auto",)})
+    assert (0, 0, "rapid") not in _stream(ab2)
+
+
+def test_overlay_matches_naive_reference():
+    """Vectorized overlay == a per-token naive re-derivation on a batch
+    mixing stop words, punctuation, repeated terms and multiple docs."""
+    from lucene_solr_old_ray.functions.analysis import (
+        ENGLISH_STOP_WORDS,
+        MAX_TOKEN_LENGTH,
+        tokenize_raw,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "fast fast big and slow",
+        "",
+        "a b c d e",  # stop words only
+        "alpha, beta; gamma! alpha",
+    ]
+
+    def naive(analyzer, size=2, syn=None):
+        syn = SYNONYMS if syn is None else syn
+        out = []
+        lens = []
+        for i, t in enumerate(texts):
+            raw = tokenize_raw(t)
+            kept = 0
+            for p, tok in enumerate(raw):
+                if (len(tok) <= MAX_TOKEN_LENGTH
+                        and tok not in ENGLISH_STOP_WORDS):
+                    out.append((i, p, tok))
+                    kept += 1
+                if analyzer == "synonym":
+                    for s in syn.get(tok, ()):
+                        if (len(s) <= MAX_TOKEN_LENGTH
+                                and s not in ENGLISH_STOP_WORDS):
+                            out.append((i, p, s))
+                else:
+                    win = raw[p : p + size]
+                    if len(win) == size and all(
+                            len(w) <= MAX_TOKEN_LENGTH for w in win) and \
+                            sum(len(w) for w in win) + size - 1 \
+                            <= MAX_TOKEN_LENGTH:
+                        out.append((i, p, " ".join(win)))
+            lens.append(kept)
+        return sorted(out), lens
+
+    for analyzer, size, syn in [("shingle", 2, None), ("shingle:3", 3, None),
+                                ("synonym", 2, None),
+                                ("synonym", 2, {"fox": ("wolf",)})]:
+        kind = "synonym" if analyzer == "synonym" else "shingle"
+        ab = analyze_batch(texts, with_positions=True, analyzer=analyzer,
+                           synonyms=syn)
+        want, want_lens = naive(kind, size, syn)
+        assert _stream(ab) == want, analyzer
+        assert ab.field_lengths.tolist() == want_lens, analyzer

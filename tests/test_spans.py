@@ -1,0 +1,292 @@
+"""Span-query tests: ports (in spirit) of the reference's
+``core/src/test/.../search/spans/TestSpans.java`` and
+``TestNearSpansOrdered.java`` fixed expectations, plus property tests that
+the 2-clause closed forms used by the SQL oracles equal the faithful walk."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_old_ray.stages.spans import (
+    near_ordered_matches,
+    near_unordered_matches,
+)
+
+# TestSpans.java:75-89 docFields
+DOC_FIELDS = [
+    "w1 w2 w3 w4 w5",
+    "w1 w3 w2 w3",
+    "w1 xx w2 yy w3",
+    "w1 w3 xx w2 yy w3",
+    "u2 u2 u1",
+    "u2 xx u2 u1",
+    "u2 u2 xx u1",
+    "u2 xx u2 yy u1",
+    "u2 xx u1 u2",
+    "u2 u1 xx u2",
+    "u1 u2 xx u2",
+    "t1 t2 t1 t3 t2 t3",
+    "s2 s1 s1 xx xx s2 xx s2 xx s1 xx xx xx xx xx s2 xx",
+]
+
+
+def positions(doc: str, term: str) -> list[tuple[int, int]]:
+    return [(i, i + 1) for i, t in enumerate(doc.split()) if t == term]
+
+
+def ordered_hits(terms: list[str], slop: int) -> list[int]:
+    out = []
+    for d, doc in enumerate(DOC_FIELDS):
+        sub = [positions(doc, t) for t in terms]
+        if near_ordered_matches(sub, slop):
+            out.append(d)
+    return out
+
+
+# TestSpans.testSpanNearOrdered01-05
+@pytest.mark.parametrize("slop,expected", [
+    (0, [0]), (1, [0, 1]), (2, [0, 1, 2]), (3, [0, 1, 2, 3]),
+    (4, [0, 1, 2, 3]),
+])
+def test_ordered_slop3(slop, expected):
+    assert ordered_hits(["w1", "w2", "w3"], slop) == expected
+
+
+# TestSpans.testSpanNearOrderedEqual01-04 (repeated clause term)
+@pytest.mark.parametrize("slop,expected", [
+    (0, []), (1, [1]), (2, [1]), (3, [1, 3]),
+])
+def test_ordered_slop3_equal(slop, expected):
+    assert ordered_hits(["w1", "w3", "w3"], slop) == expected
+
+
+# TestSpans.testSpanNearOrderedEqual11-15
+@pytest.mark.parametrize("slop,expected", [
+    (0, [4]), (1, [4, 5, 6]), (2, [4, 5, 6, 7]), (3, [4, 5, 6, 7]),
+])
+def test_ordered_slop1_equal(slop, expected):
+    assert ordered_hits(["u2", "u2", "u1"], slop) == expected
+
+
+def test_ordered_overlap():
+    # TestSpans.testSpanNearOrderedOverlap: doc 11, slop 1 -> (0,4), (2,6)
+    doc = DOC_FIELDS[11]
+    sub = [positions(doc, t) for t in ("t1", "t2", "t3")]
+    assert near_ordered_matches(sub, 1) == [(0, 4), (2, 6)]
+
+
+def test_unordered_two_term():
+    # TestSpans.testSpanNearUnOrdered: (u1, u2) slop 0
+    expected = {4: [(1, 3)], 5: [(2, 4)], 8: [(2, 4)], 9: [(0, 2)],
+                10: [(0, 2)]}
+    for d, doc in enumerate(DOC_FIELDS):
+        sub = [positions(doc, "u1"), positions(doc, "u2")]
+        got = near_unordered_matches(sub, 0) if all(sub) else []
+        assert got == expected.get(d, []), f"doc {d}"
+
+
+def test_unordered_nested():
+    # TestSpans.testSpanNearUnOrdered part 2: ((u1 u2 slop0), u2) slop 1 —
+    # nested unordered spans; expected per-doc span sequences 4..10
+    expected = {4: [(0, 3), (1, 3)], 5: [(0, 4), (2, 4)],
+                8: [(0, 4), (2, 4)], 9: [(0, 2), (0, 4)],
+                10: [(0, 2)]}
+    for d, doc in enumerate(DOC_FIELDS):
+        inner_sub = [positions(doc, "u1"), positions(doc, "u2")]
+        inner = (near_unordered_matches(inner_sub, 0)
+                 if all(inner_sub) else [])
+        u2 = positions(doc, "u2")
+        got = (near_unordered_matches([sorted(inner), u2], 1)
+               if inner and u2 else [])
+        assert got == expected.get(d, []), f"doc {d}"
+
+
+# --- TestNearSpansOrdered ports --------------------------------------------
+
+NSO_FIELDS = [
+    "w1 w2 w3 w4 w5",
+    "w1 w3 w2 w3 zz",
+    "w1 xx w2 yy w3",
+    "w1 w3 xx w2 yy w3 zz",
+]
+
+
+def test_near_spans_next():
+    # testNearSpansNext: (w1,w2,w3) slop 1 -> doc0 (0,3), doc1 (0,4)
+    subs = [[positions(doc, t) for t in ("w1", "w2", "w3")]
+            for doc in NSO_FIELDS]
+    assert near_ordered_matches(subs[0], 1) == [(0, 3)]
+    assert near_ordered_matches(subs[1], 1) == [(0, 4)]
+    assert near_ordered_matches(subs[2], 1) == []
+    assert near_ordered_matches(subs[3], 1) == []
+
+
+# --- closed-form equivalence (the SQL oracle's semantics) ------------------
+
+
+def ordered2_closed_form(A, B, slop):
+    """Mutual predecessor/successor pairs: a = max{A < b}, b = min{B > a}."""
+    out = []
+    for b in B:
+        preds = [a for a in A if a < b]
+        if not preds:
+            continue
+        a = max(preds)
+        succs = [x for x in B if x > a]
+        if succs and min(succs) == b and b - a - 1 <= slop:
+            out.append((a, b + 1))
+    return out
+
+
+def unordered2_closed_form(A, B, slop):
+    """Visited merge states: (x, succ_other(x)) for x in either list."""
+    out = []
+    for a in A:
+        succs = [x for x in B if x > a]
+        if succs:
+            b = min(succs)
+            if b - a - 1 <= slop:
+                out.append((a, b + 1))
+    for b in B:
+        succs = [x for x in A if x > b]
+        if succs:
+            a = min(succs)
+            if a - b - 1 <= slop:
+                out.append((b, a + 1))
+    return sorted(out)
+
+
+@st.composite
+def two_disjoint_pos_lists(draw):
+    pool = draw(st.lists(st.integers(0, 40), min_size=2, max_size=16,
+                         unique=True))
+    pool = sorted(pool)
+    mask = draw(st.lists(st.booleans(), min_size=len(pool),
+                         max_size=len(pool)))
+    A = [p for p, m in zip(pool, mask) if m]
+    B = [p for p, m in zip(pool, mask) if not m]
+    return A, B
+
+
+@given(two_disjoint_pos_lists(), st.integers(0, 6))
+@settings(max_examples=300, deadline=None)
+def test_ordered2_closed_form_equals_walk(lists, slop):
+    A, B = lists
+    if not A or not B:
+        return
+    walk = near_ordered_matches(
+        [[(a, a + 1) for a in A], [(b, b + 1) for b in B]], slop)
+    assert sorted(walk) == sorted(ordered2_closed_form(A, B, slop))
+
+
+@given(two_disjoint_pos_lists(), st.integers(0, 6))
+@settings(max_examples=300, deadline=None)
+def test_unordered2_closed_form_equals_walk(lists, slop):
+    A, B = lists
+    if not A or not B:
+        return
+    walk = near_unordered_matches(
+        [[(a, a + 1) for a in A], [(b, b + 1) for b in B]], slop)
+    assert sorted(walk) == unordered2_closed_form(A, B, slop)
+
+
+# --- end-to-end through the index ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_index(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    root = tmp_path_factory.mktemp("spanidx")
+    corpus = str(root / "c.parquet")
+    pq.write_table(
+        pa.table({
+            "repo": ["r"] * len(DOC_FIELDS),
+            "path": [f"p{i}" for i in range(len(DOC_FIELDS))],
+            "commit": ["c"] * len(DOC_FIELDS),
+            "lang": ["en"] * len(DOC_FIELDS),
+            "content": DOC_FIELDS,
+        }),
+        corpus,
+    )
+    idx = str(root / "segs")
+    build_index(CorpusSpec.source_code(corpus), idx,
+                target_docs_per_partition=5)
+    return idx
+
+
+def _span_search(idx, q, k=13):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    res = search(idx, {0: q}, k=k).to_pandas()
+    return res.sort_values("rank")
+
+
+def test_span_near_end_to_end(span_index):
+    from lucene_solr_old_ray.queries import SpanNearQuery, SpanTermQuery
+
+    q = SpanNearQuery(
+        (SpanTermQuery("w1"), SpanTermQuery("w2"), SpanTermQuery("w3")),
+        slop=1, in_order=True)
+    res = _span_search(span_index, q)
+    assert sorted(res["docid"]) == [0, 1]
+
+    # scores: freq from the walk, idf over distinct sorted terms, bit-exact
+    from lucene_solr_old_ray.functions import bm25
+    from lucene_solr_old_ray.functions.smallfloat import encode_norm
+
+    F = np.float32
+    n_docs = len(DOC_FIELDS)
+    sttf = sum(len(d.split()) for d in DOC_FIELDS)
+    avgdl = np.float32(np.float64(sttf) / n_docs)
+    cache = bm25.norm_cache(avgdl)
+    dfs = {t: sum(1 for d in DOC_FIELDS if t in d.split())
+           for t in ("w1", "w2", "w3")}
+    sum_idf = F(0.0)
+    for t in sorted(dfs):
+        sum_idf = F(sum_idf + bm25.idf(dfs[t], n_docs))
+    wv = bm25.weight_value(sum_idf, 1.0)
+    for _, row in res.iterrows():
+        doc = DOC_FIELDS[int(row["docid"])]
+        sub = [positions(doc, t) for t in ("w1", "w2", "w3")]
+        f = F(0.0)
+        for s, e in near_ordered_matches(sub, 1):
+            f = F(f + F(F(1.0) / F(1 + (e - s))))
+        nb = encode_norm(np.array([len(doc.split())]))[0]
+        want = float(wv * f / F(f + cache[nb]))
+        assert row["score"] == pytest.approx(want, abs=0), row
+
+
+def test_span_or_not_first_end_to_end(span_index):
+    from lucene_solr_old_ray.queries import (
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    # or: docs containing u1 or u2 (4..10)
+    res = _span_search(span_index, SpanOrQuery(
+        (SpanTermQuery("u1"), SpanTermQuery("u2"))))
+    assert sorted(res["docid"]) == [4, 5, 6, 7, 8, 9, 10]
+
+    # first: w2 within the first 2 positions -> doc 0 only ("w1 w2 ...")
+    res = _span_search(span_index, SpanFirstQuery(SpanTermQuery("w2"), 2))
+    assert sorted(res["docid"]) == [0]
+
+    # not: w3 not preceded immediately by w1 (via near) — doc coverage check:
+    # include = w3 spans, exclude = ordered (w1 w3) slop 0 spans
+    res = _span_search(span_index, SpanNotQuery(
+        SpanTermQuery("w3"),
+        SpanNearQuery((SpanTermQuery("w1"), SpanTermQuery("w3")),
+                      slop=0, in_order=True)))
+    # docs with a w3 span not covered by a "w1 w3" adjacency span:
+    # doc0 w3@2 (w1@0 not adjacent) -> kept; doc1 w3@{1,3}: (0,2) excludes
+    # w3@1, w3@3 kept; doc2 w3@4 kept; doc3 w3@{1,5}: (0,2) excludes @1,
+    # @5 kept
+    assert sorted(res["docid"]) == [0, 1, 2, 3]
