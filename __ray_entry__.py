@@ -232,8 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- MultiTermQuery rewrites ------------------------------------------
     from lucene_solr_old_ray.queries import FuzzyQuery, RegexpQuery
 
+    # Lucene RegExp syntax incl. complement: 's' + any string except "park"
     q["regexp_hits"] = lambda sf: _hits_result(
-        _index_for(sf), RegexpQuery("s(low|mall|park)"))
+        _index_for(sf), RegexpQuery("s~(park)"))
     q["fuzzy_scored_top10"] = lambda sf: _bm25_result(
         _index_for(sf), FuzzyQuery("spark", 2, rewrite="scoring_boolean"))
 
@@ -302,7 +303,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- IVF ANN (trained coarse quantizer; rows-only, approximate) -------
     from lucene_solr_old_ray.stages.ann import ivf_topk
 
-    q["ann_ivf_topk"] = lambda sf: ivf_topk(sf, k=10)
+    def ann_ivf(sf_dir: str) -> pa.Table:
+        # persistent list-partitioned assignment (built once, cached);
+        # the probe pass reads only the probed lists' parquet partitions
+        from lucene_solr_old_ray.stages.ann import ivf_build
+
+        tag = sf_dir.strip("/").replace("/", "_") + "-ivf"
+        idx = ivf_build(sf_dir, os.path.join(_CACHE_ROOT, tag))
+        return ivf_topk(sf_dir, k=10, index_dir=idx)
+
+    q["ann_ivf_topk"] = ann_ivf
     q["bm25_english_top10"] = lambda sf: _bm25_result(
         _index_for_english(sf), TermQuery("tabl"))
     q["bm25_cross_field_top10"] = lambda sf: _bm25_result(
@@ -327,8 +337,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["boolean_hits_not"] = lambda sf: _hits_result(
         _index_for(sf), bool_query(musts=["table"], must_nots=["merge", "slow"]))
     q["prefix_hits"] = lambda sf: _hits_result(_index_for(sf), PrefixQuery("s"))
-    q["range_hits"] = lambda sf: _hits_result(
-        _index_for(sf), TermRangeQuery("batch", "customer", True, False))
+    # (range_hits consolidated out — TermRangeQuery stays pytest-covered in
+    # tests/test_search.py — to keep a slot for spell_suggest under the
+    # driver's 50-entry cap)
+
+    # --- spellcheck (DirectSpellChecker analogue) -------------------------
+    def spell(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.spell import spell_suggest
+
+        return spell_suggest(_index_for(sf_dir),
+                             ["tabel", "strem", "vektor"], num_sug=5)
+
+    q["spell_suggest"] = spell
 
     # --- faceting / grouping ---------------------------------------------
     def facet_by_source(sf_dir: str) -> pa.Table:
@@ -494,7 +514,12 @@ WHERE source IN (SELECT DISTINCT d.source FROM documents d
 ORDER BY doc_id"""
     sqls["english_term_stats"] = g.english_term_stats_sql()
     sqls["bm25_english_top10"] = g.bm25_english_sql("tabl")
-    sqls["regexp_hits"] = g.regexp_hits_sql("s(low|mall|park)")
+    # s~(park): terms starting 's' whose remainder is not 'park'
+    sqls["regexp_hits"] = f"""
+WITH {g.base_ctes()}
+SELECT DISTINCT doc_id FROM toks
+WHERE term LIKE 's%' AND substr(term, 2) <> 'park'
+ORDER BY doc_id"""
     sqls["fuzzy_scored_top10"] = g.fuzzy_scored_sql("spark", 2)
     sqls["bm25_field_source_top10"] = g.bm25_kw_field_sql("src3")
     sqls["bm25_cross_field_top10"] = g.bm25_cross_field_sql("spark", "src3")
@@ -503,7 +528,8 @@ ORDER BY doc_id"""
     sqls["classic_top10_or"] = g.classic_bool_or_sql(["vector", "stream", "batch"])
     sqls["boolean_hits_not"] = g.hits_sql(musts=["table"], must_nots=["merge", "slow"])
     sqls["prefix_hits"] = g.hits_sql(prefix="s")
-    sqls["range_hits"] = g.hits_sql(term_range=("batch", "customer"))
+    sqls["spell_suggest"] = g.spell_suggest_sql(
+        ["tabel", "strem", "vektor"], num_sug=5)
     sqls["facet_counts_source"] = (
         f"WITH {g.base_ctes()} "
         "SELECT d.source AS source, count(*) AS count FROM documents d "

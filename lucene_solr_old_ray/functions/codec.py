@@ -495,3 +495,41 @@ def decode_positions_blob(blob: bytes | np.ndarray) -> np.ndarray:
         out.append(unpack_ints(buf[pos + 5 : pos + 5 + nbytes], n, w))
         pos += 5 + nbytes
     return np.concatenate(out) if out else np.empty(0, dtype=np.uint32)
+
+
+def _read_u32_at(buf: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Vectorized little-endian u32 gather at (unaligned) byte positions."""
+    return (buf[p].astype(np.uint32)
+            | (buf[p + 1].astype(np.uint32) << np.uint32(8))
+            | (buf[p + 2].astype(np.uint32) << np.uint32(16))
+            | (buf[p + 3].astype(np.uint32) << np.uint32(24)))
+
+
+def shift_segment_blob(
+    blob_all: bytes, offs: np.ndarray, lens: np.ndarray, doc_offset: int
+) -> bytes:
+    """Add ``doc_offset`` to EVERY chunk's doc_offset field across a whole
+    segment postings blob in one vectorized level-walk: level k patches the
+    k-th chunk of every term that has one (gather/scatter on the byte
+    array); iterations = max chunks per term, not number of terms. Byte-
+    identical to per-term :func:`shift_blob`."""
+    if doc_offset == 0 or len(blob_all) == 0:
+        return blob_all
+    buf = np.frombuffer(blob_all, dtype=np.uint8).copy()
+    p = np.asarray(offs, dtype=np.int64).copy()
+    end = np.asarray(offs, dtype=np.int64) + np.asarray(lens, dtype=np.int64)
+    active = p < end
+    off32 = np.uint32(doc_offset)
+    while active.any():
+        pa_ = p[active]
+        nblocks = _read_u32_at(buf, pa_ + 4).astype(np.int64)
+        packed = _read_u32_at(buf, pa_ + 12).astype(np.int64)
+        with np.errstate(over="ignore"):
+            cur = _read_u32_at(buf, pa_ + 8) + off32
+        buf[pa_ + 8] = (cur & np.uint32(0xFF)).astype(np.uint8)
+        buf[pa_ + 9] = ((cur >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8)
+        buf[pa_ + 10] = ((cur >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8)
+        buf[pa_ + 11] = ((cur >> np.uint32(24)) & np.uint32(0xFF)).astype(np.uint8)
+        p[active] = pa_ + _HDR + nblocks * 9 + (nblocks + 1) * 4 + packed
+        active = p < end
+    return buf.tobytes()

@@ -16,7 +16,7 @@ import ray.data
 from ..stages.merge import (
     assemble_shard,
     local_merge_shard,
-    merge_term_group,
+    merge_bucket,
     plan_merge,
     read_segment_term_rows,
     shard_dir,
@@ -70,8 +70,10 @@ def merge_index(
             )
 
         term_rows = ds.map_batches(read, batch_format="pandas", batch_size=1)
-        merged = term_rows.groupby(["shard_id", "term", "salt"]).map_groups(
-            merge_term_group, batch_format="pandas"
+        # coarse-bucket shuffle (256 keys) + in-bucket pandas sub-groupby:
+        # same (shard, term, salt) merge without per-term Ray group overhead
+        merged = term_rows.groupby("g").map_groups(
+            merge_bucket, batch_format="pandas"
         )
 
         def write(g: pd.DataFrame) -> pd.DataFrame:

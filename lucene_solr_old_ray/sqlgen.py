@@ -896,3 +896,38 @@ best AS (
   FROM cnts
 )
 SELECT doc_id, lang_guess FROM best WHERE rn = 1 ORDER BY doc_id"""
+
+
+def spell_suggest_sql(queries: list[str], num_sug: int = 5,
+                      max_edits: int = 2, accuracy: float = 0.5) -> str:
+    """DirectSpellChecker-analogue oracle -> (query, rank, suggestion,
+    score, df): candidates share the query's first char, within max_edits
+    (DuckDB levenshtein = the same plain Levenshtein); similarity =
+    float32 ``1 - ed / max(|a|, |b|)`` (LevensteinDistance.java:107);
+    queries present in the index produce no rows; order = score desc,
+    df desc, term asc (SuggestWordScoreComparator)."""
+    qvals = ", ".join(f"('{q}')" for q in queries)
+    score = f32("CAST(1 AS REAL) - " + f32(
+        "CAST(levenshtein(term, q) AS REAL) / "
+        "CAST(greatest(length(term), length(q)) AS REAL)"))
+    return f"""
+WITH {base_ctes()},
+qs(q) AS (VALUES {qvals}),
+cand AS (
+  SELECT q, term, df, {score} AS score
+  FROM df CROSS JOIN qs
+  WHERE term <> q
+    AND substr(term, 1, 1) = substr(q, 1, 1)
+    AND abs(length(term) - length(q)) <= {max_edits}
+    AND levenshtein(term, q) <= {max_edits}
+    AND NOT EXISTS (SELECT 1 FROM df d2 WHERE d2.term = q)
+),
+ranked AS (
+  SELECT q AS query, term AS suggestion, df, score,
+         row_number() OVER (PARTITION BY q
+                            ORDER BY score DESC, df DESC, term ASC) AS rank
+  FROM cand WHERE score >= CAST({accuracy} AS REAL)
+)
+SELECT query, CAST(rank AS BIGINT) AS rank, suggestion, score,
+       CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= {num_sug} ORDER BY query, rank"""

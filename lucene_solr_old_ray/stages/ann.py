@@ -110,6 +110,48 @@ def _train_centroids(
     return C
 
 
+def ivf_build(
+    sf_dir: str, index_dir: str, n_lists: int = 64, seed: int = 42
+) -> str:
+    """Materialize the IVF index ONCE: trained centroids (``centroids.npy``)
+    plus the corpus re-written as LIST-PARTITIONED Parquet
+    (``lists/list=<j>/*.parquet``) — the persistent-assignment shape the
+    probe pass needs to touch only its probed lists' files. Idempotent
+    (skips when the ``.complete`` marker exists); the assignment pass is one
+    streaming ``map_batches`` + partitioned ``write_parquet`` (no shuffle —
+    files per (task, list) pair, Arrow dataset partitioning)."""
+    import os
+
+    import ray
+    import ray.data
+
+    done = os.path.join(index_dir, ".complete")
+    if os.path.exists(done):
+        return index_dir
+    os.makedirs(index_dir, exist_ok=True)
+    C = _train_centroids(sf_dir, n_lists, seed)
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    c_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_l = ray.get(c_ref)
+        v = _normalized(np.asarray(batch["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        lst = np.argmax(v @ C_l.T, axis=1).astype(np.int64)
+        return batch.append_column("list", pa.array(lst))
+
+    (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow", batch_size=4096)
+        .write_parquet(os.path.join(index_dir, "lists"),
+                       partition_cols=["list"])
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
 def ivf_topk(
     sf_dir: str,
     query_ids: list[int] | None = None,
@@ -117,21 +159,76 @@ def ivf_topk(
     n_lists: int = 64,
     nprobe: int = 8,
     seed: int = 42,
+    index_dir: str | None = None,
 ) -> pa.Table:
     """IVF ANN: trained k-means coarse quantizer; each query probes its
-    ``nprobe`` nearest lists. List membership of a corpus vector is a pure
-    function of the broadcast centroids, so — like :func:`lsh_topk` — each
-    corpus batch assigns its own vectors, keeps those whose list is probed
-    by a query, scores them exactly, and emits a per-batch partial top-k:
-    fully streaming, no bucket shuffle. (At persistent-index scale the
-    assignment pass would be materialized once as list-partitioned Parquet;
-    the probe/score stage is unchanged.)
+    ``nprobe`` nearest lists.
+
+    With ``index_dir`` (built by :func:`ivf_build`): the probe pass READS
+    ONLY the probed lists' Parquet partitions — I/O proportional to
+    nprobe/n_lists of the corpus, the persistent-index scale shape.
+
+    Without: list membership is recomputed per batch from the broadcast
+    centroids (one streaming pass over the corpus, no index on disk).
+    Both paths produce identical output (assignment is a pure function of
+    the deterministic centroids).
     -> (query_id, rank, vec_id, cos_bp)."""
     import ray
     import ray.data
 
     query_ids = query_ids if query_ids is not None else [0, 1, 2, 3, 4]
     qids, Q = _query_matrix(sf_dir, query_ids)
+    if index_dir is not None:
+        import os
+
+        C = np.load(os.path.join(index_dir, "centroids.npy"))
+        sims_qc = Q @ C.T
+        probes = [frozenset(np.argsort(-sims_qc[qi])[:nprobe].tolist())
+                  for qi in range(len(qids))]
+        union_lists = sorted(set().union(*probes))
+        import glob
+
+        paths = []
+        for j in union_lists:
+            paths.extend(sorted(glob.glob(
+                os.path.join(index_dir, "lists", f"list={j}", "*.parquet"))))
+        bcast = ray.put((qids, Q, C, probes))
+
+        def partial_listed(batch: pa.Table) -> pd.DataFrame:
+            qids_l, Q_l, C_l, probes_l = ray.get(bcast)
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            v = _normalized(np.asarray(batch["embedding"].to_pylist(),
+                                       dtype=np.float64))
+            # partition files carry their list id; recompute (cheap) keeps
+            # the batch schema independent of partition-value parsing
+            assign = np.argmax(v @ C_l.T, axis=1)
+            rows = []
+            for qi in range(len(qids_l)):
+                mask = np.isin(assign, list(probes_l[qi]))
+                mask &= ids != qids_l[qi]
+                if not mask.any():
+                    continue
+                cids = ids[mask]
+                sims = v[mask] @ Q_l[qi]
+                take = min(k, len(cids))
+                sel = np.argpartition(-sims, take - 1)[:take]
+                rows.append(pd.DataFrame({
+                    "query_id": qids_l[qi], "vec_id": cids[sel],
+                    "sim": sims[sel]}))
+            if not rows:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64")})
+            return pd.concat(rows, ignore_index=True)
+
+        parts = (
+            ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+            .map_batches(partial_listed, batch_format="pyarrow",
+                         batch_size=4096)
+            .to_pandas()
+        )
+        return _ivf_rollup(parts, qids, k)
     C = _train_centroids(sf_dir, n_lists, seed)
     # per-query probed lists (driver-tiny)
     sims_qc = Q @ C.T
@@ -168,6 +265,10 @@ def ivf_topk(
                                columns=["vec_id", "embedding"])
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=4096).to_pandas()
+    return _ivf_rollup(parts, qids, k)
+
+
+def _ivf_rollup(parts: pd.DataFrame, qids, k: int) -> pa.Table:
     out = []
     for qid in qids:
         sub = parts[parts["query_id"] == qid]

@@ -40,7 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.codec import shift_blob
+from ..functions.codec import shift_blob, shift_segment_blob
 from ..state import manifest as mf
 from ..state.fields import fprefix, list_extra_fields
 
@@ -182,63 +182,79 @@ def plan_merge(manifest: dict, index_dir: str, fan_in: int = 10) -> list[dict]:
     return shards
 
 
+_MERGE_BUCKETS = 256  # coarse shuffle keys (bounded Ray group count)
+
+
 def read_segment_term_rows(index_dir: str, shard: dict) -> pd.DataFrame:
-    """Emit one row per (segment, term): blobs already docBase-relocated so the
-    downstream merge is order-preserving concatenation."""
+    """Emit one row per (segment, term), fully COLUMN-built: the docBase
+    relocation patches the whole segment blob in one vectorized level-walk
+    (``shift_segment_blob``), per-term pieces are bytes slices of it, and
+    every other column is a numpy array — no per-term Python dict rows.
+    ``g`` is the coarse shuffle bucket (hash of (term, salt) mod 256), so
+    a hot term's salted per-segment rows spread across buckets while the
+    Ray groupby only ever sees 256 keys per shard."""
+    from ..stages.textstats import stable_hash64_batch
+
     hot = set(shard["hot_terms"])
-    out = []
+    frames = []
     for seg in shard["segments"]:
         sd = os.path.join(index_dir, seg["dir"])
         terms = pq.read_table(os.path.join(sd, "terms.parquet"))
         with open(os.path.join(sd, "postings.bin"), "rb") as f:
             blob_all = f.read()
         has_pos = "pos_off" in terms.column_names
+        offs = terms["off"].to_numpy()
+        lens = terms["len"].to_numpy()
+        names = np.asarray(terms["term"].to_pylist(), dtype=object)
+        doc_offset = seg["doc_offset"]
+        seg_ord = seg["seg_ord"]
+        shifted = shift_segment_blob(blob_all, offs, lens, doc_offset)
+        blobs = [shifted[o: o + l] for o, l in zip(offs, lens)]
         if has_pos:
             with open(os.path.join(sd, "positions.bin"), "rb") as f:
                 pos_all = f.read()
             pos_offs = terms["pos_off"].to_numpy()
             pos_lens = terms["pos_len"].to_numpy()
-        offs = terms["off"].to_numpy()
-        lens = terms["len"].to_numpy()
-        names = terms["term"].to_pylist()
-        dfs = terms["df"].to_numpy()
-        ttfs = terms["ttf"].to_numpy()
-        doc_offset = seg["doc_offset"]
-        seg_ord = seg["seg_ord"]
-        for i, term in enumerate(names):
-            blob = shift_blob(blob_all[offs[i] : offs[i] + lens[i]], doc_offset)
-            out.append(
-                {
-                    "shard_id": shard["shard_id"],
-                    "term": term,
-                    "salt": seg_ord if term in hot else 0,
-                    "seg_ord": seg_ord,
-                    "df": int(dfs[i]),
-                    "ttf": int(ttfs[i]),
-                    "blob": blob,
-                    "pos_blob": (pos_all[pos_offs[i] : pos_offs[i] + pos_lens[i]]
-                                 if has_pos else b""),
-                }
-            )
-    return pd.DataFrame(out)
+            pblobs = [pos_all[o: o + l] for o, l in zip(pos_offs, pos_lens)]
+        else:
+            pblobs = [b""] * len(names)
+        salt = np.where(
+            np.fromiter((t in hot for t in names), count=len(names),
+                        dtype=bool),
+            np.int64(seg_ord), np.int64(0))
+        th = stable_hash64_batch(list(names))
+        with np.errstate(over="ignore"):
+            g = ((th + salt.astype(np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15))
+                 % np.uint64(_MERGE_BUCKETS)).astype(np.int64)
+        frames.append(pd.DataFrame({
+            "shard_id": np.full(len(names), shard["shard_id"],
+                                dtype=np.int64),
+            "term": names,
+            "salt": salt,
+            "seg_ord": np.full(len(names), seg_ord, dtype=np.int64),
+            "df": terms["df"].to_numpy().astype(np.int64),
+            "ttf": terms["ttf"].to_numpy().astype(np.int64),
+            "blob": pd.Series(blobs, dtype=object),
+            "pos_blob": pd.Series(pblobs, dtype=object),
+            "g": g,
+        }))
+    return pd.concat(frames, ignore_index=True)
 
 
-def merge_term_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Merge one (shard, term, salt) group: concat blobs in seg_ord order."""
-    g = g.sort_values("seg_ord")
-    return pd.DataFrame(
-        [
-            {
-                "shard_id": g["shard_id"].iloc[0],
-                "term": g["term"].iloc[0],
-                "salt": int(g["salt"].iloc[0]),
-                "df": int(g["df"].sum()),
-                "ttf": int(g["ttf"].sum()),
-                "blob": b"".join(g["blob"].tolist()),
-                "pos_blob": b"".join(g["pos_blob"].tolist()),
-            }
-        ]
-    )
+def merge_bucket(gb: pd.DataFrame) -> pd.DataFrame:
+    """Merge every (term, salt) group of one coarse bucket: blobs concat in
+    seg_ord order inside a single pandas sub-groupby (no per-term Ray
+    groups, no one-row DataFrames)."""
+    gb = gb.sort_values(["shard_id", "term", "salt", "seg_ord"],
+                        kind="mergesort")
+    agg = gb.groupby(["shard_id", "term", "salt"], sort=False).agg(
+        df=("df", "sum"),
+        ttf=("ttf", "sum"),
+        blob=("blob", lambda s: b"".join(s)),
+        pos_blob=("pos_blob", lambda s: b"".join(s)),
+    ).reset_index()
+    return agg[["shard_id", "term", "salt", "df", "ttf", "blob", "pos_blob"]]
 
 
 def write_shard_files(

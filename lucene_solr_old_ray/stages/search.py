@@ -344,7 +344,14 @@ def _regexp_literal_prefix(pattern: str) -> str:
     A top-level alternation makes any leading literal OPTIONAL
     (``slow|small`` must match terms starting 'small' too), so the prefix
     is only usable when no unescaped ``|`` exists at paren depth 0 outside
-    a character class; otherwise return "" (full-dict scan)."""
+    a character class; otherwise return "" (full-dict scan). Patterns using
+    Lucene-only operators (complement/intersection/anystring/interval) can
+    invalidate any leading literal (``~(spark)`` matches terms NOT starting
+    's'), so they always full-scan."""
+    from ..functions.regexp import has_lucene_operators
+
+    if has_lucene_operators(pattern):
+        return ""
     depth = 0
     in_class = False
     i = 0
@@ -380,11 +387,22 @@ def _regexp_literal_prefix(pattern: str) -> str:
 def _expand_regexp(leaf: LeafSearcher, pattern: str) -> list[int]:
     """Term-dict expansion of an anchored regexp, narrowed by the literal
     prefix (``search/RegexpQuery.java:49``; the compiled-automaton intersect
-    is the 10^9-vocab path)."""
+    is the 10^9-vocab path).
+
+    Patterns are Lucene RegExp syntax (``util/automaton/RegExp.java``) —
+    including complement ``~``, intersection ``&``, anystring ``@`` and
+    intervals ``<n-m>`` (functions/regexp.py). The common operator subset
+    (literals, ``| ? * + {n,m} [..] .``) means the same thing in Python
+    ``re``, which stays as the fast matcher for those patterns."""
     import re as _re
+
+    from ..functions.regexp import compile_regexp, has_lucene_operators
 
     prefix = _regexp_literal_prefix(pattern)
     s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
+    if has_lucene_operators(pattern):
+        lrx = compile_regexp(pattern)
+        return [ti for ti in range(s, e) if lrx.fullmatch(leaf.term_str(ti))]
     rx = _re.compile(pattern)
     return [ti for ti in range(s, e) if rx.fullmatch(leaf.term_str(ti))]
 

@@ -167,3 +167,63 @@ def test_classic_similarity_matches_oracle(idx):
             got["score"].to_numpy(np.float32),
             np.array([w[1] for w in want], dtype=np.float32),
             err_msg=f"qid {qid}")
+
+
+def test_spell_suggest_matches_naive(ray_session, tmp_path):
+    """DirectSpellChecker analogue vs a naive per-term re-derivation:
+    same candidates, float32 similarity = 1 - ed/max(len), order
+    (score desc, df desc, term asc), in-index queries suppressed."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.spell import spell_suggest
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    F = np.float32
+    p = str(tmp_path / "c.parquet")
+    generate_corpus(p, 400, seed=23, rows_per_group=100)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=100)
+
+    texts = pq.read_table(p)["content"].to_pylist()
+    from collections import Counter
+
+    from lucene_solr_old_ray.functions.analysis import analyze_text
+
+    dfc: Counter = Counter()
+    for t in texts:
+        dfc.update(set(analyze_text(t)))
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    queries = ["retorn", "clazz", "get_indxe", "return"]
+    got = spell_suggest(idx, queries, num_sug=5).to_pandas()
+
+    for q in queries:
+        sub = got[got["query"] == q].sort_values("rank")
+        if q in dfc:  # SUGGEST_WHEN_NOT_IN_INDEX
+            assert len(sub) == 0, q
+            continue
+        cand = []
+        for t, d in dfc.items():
+            if t != q and t[0] == q[0] and abs(len(t) - len(q)) <= 2:
+                e = ed(t, q)
+                if e <= 2:
+                    s = F(F(1.0) - F(F(e) / F(max(len(t), len(q)))))
+                    if s >= F(0.5):
+                        cand.append((t, d, float(s)))
+        cand.sort(key=lambda x: (-x[2], -x[1], x[0]))
+        want = cand[:5]
+        assert list(sub["suggestion"]) == [w[0] for w in want], q
+        assert list(sub["df"]) == [w[1] for w in want], q
+        np.testing.assert_array_equal(
+            sub["score"].to_numpy(np.float32),
+            np.array([w[2] for w in want], dtype=np.float32))

@@ -139,3 +139,39 @@ def test_positions_batch_hot_term_regression():
     norms = np.zeros(int(d[-1]) + 1, dtype=np.uint8)
     (b,) = encode_chunks_batch(d, t, np.array([128]), norms)
     assert b == encode_chunk(d, t, norms)
+
+
+def test_shift_segment_blob_matches_scalar():
+    """Vectorized whole-segment docBase shift == per-term shift_blob, incl.
+    multi-chunk terms."""
+    import numpy as np
+
+    from lucene_solr_old_ray.functions.codec import (
+        encode_chunk,
+        shift_blob,
+        shift_segment_blob,
+    )
+
+    rng = np.random.default_rng(7)
+    norms = rng.integers(90, 130, size=5000).astype(np.uint8)
+    blobs = []
+    for t in range(50):
+        pieces = []
+        for _ in range(int(rng.integers(1, 4))):  # multi-chunk terms
+            n = int(rng.integers(1, 400))
+            docs = np.sort(rng.choice(5000, size=n,
+                                      replace=False)).astype(np.uint32)
+            tfs = rng.integers(1, 9, size=n).astype(np.uint32)
+            pieces.append(encode_chunk(docs, tfs, norms))
+        blobs.append(b"".join(pieces))
+    offs = np.zeros(len(blobs), dtype=np.int64)
+    lens = np.zeros(len(blobs), dtype=np.int64)
+    pos = 0
+    for i, b in enumerate(blobs):
+        offs[i] = pos
+        lens[i] = len(b)
+        pos += len(b)
+    blob_all = b"".join(blobs)
+    got = shift_segment_blob(blob_all, offs, lens, 1234)
+    want = b"".join(shift_blob(b, 1234) for b in blobs)
+    assert got == want

@@ -156,3 +156,50 @@ def test_ann_ivf_recall(ray_session):
         hits += len(want & got)
         total += len(want)
     assert hits / total >= 0.4  # probing half the lists on random vectors
+
+
+def test_ann_ivf_persistent_index(ray_session, tmp_path):
+    """ivf_build materializes list-partitioned parquet; the probe pass over
+    the index (a) returns output identical to the recompute-per-batch path
+    and (b) reads strictly fewer bytes than the whole index (only the
+    probed lists' partitions)."""
+    import os
+
+    import numpy as np
+
+    from lucene_solr_old_ray.stages.ann import ivf_build, ivf_topk
+
+    idx = ivf_build(SF, str(tmp_path / "ivf"), n_lists=16)
+    a = ivf_topk(SF, k=10, n_lists=16, nprobe=4).to_pandas()
+    b = ivf_topk(SF, k=10, n_lists=16, nprobe=4, index_dir=idx).to_pandas()
+    pdt = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pdt2 = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert pdt.equals(pdt2)
+
+    # probed partitions are a strict byte subset of the index
+    C = np.load(os.path.join(idx, "centroids.npy"))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    sel = np.searchsorted(ids, np.asarray([0, 1, 2, 3, 4]))
+    Q = emb[sel] / np.linalg.norm(emb[sel], axis=1, keepdims=True)
+    probes = set()
+    for qi in range(len(Q)):
+        probes |= set(np.argsort(-(Q[qi] @ C.T))[:4].tolist())
+
+    def dir_bytes(paths):
+        tot = 0
+        for p in paths:
+            for root, _, files in os.walk(p):
+                tot += sum(os.path.getsize(os.path.join(root, f))
+                           for f in files)
+        return tot
+
+    all_lists = [os.path.join(idx, "lists", d)
+                 for d in os.listdir(os.path.join(idx, "lists"))]
+    probed = [os.path.join(idx, "lists", f"list={j}") for j in sorted(probes)
+              if os.path.isdir(os.path.join(idx, "lists", f"list={j}"))]
+    assert len(probed) < len(all_lists)
+    assert dir_bytes(probed) < dir_bytes(all_lists)

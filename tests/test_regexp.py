@@ -1,0 +1,98 @@
+"""Lucene RegExp syntax tests: ports of TestRegexpQuery.java semantics
+(complement, intervals, backtracking) plus a property test that the
+common-operator subset agrees with Python ``re``."""
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_old_ray.functions.regexp import (
+    LuceneRegexp,
+    has_lucene_operators,
+)
+
+# TestRegexpQuery.java:51 doc terms (standard-analyzed)
+TERMS = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+         "493432", "49344"]
+
+
+def hits(pattern: str) -> list[str]:
+    rx = LuceneRegexp(pattern)
+    return [t for t in TERMS if rx.fullmatch(t)]
+
+
+def test_regex1_2_3():
+    assert hits("q.[aeiou]c.*") == ["quick"]          # testRegex1
+    assert hits(".[aeiou]c.*") == []                  # testRegex2 (anchored)
+    assert hits("q.[aeiou]c") == []                   # testRegex3
+
+
+def test_numeric_interval():
+    assert hits("<420000-600000>") == ["493432"]      # testNumericRange
+    assert hits("<493433-600000>") == []
+    # leading zeros accepted (BasicAutomata.makeInterval digits=0)
+    assert LuceneRegexp("<42-45>").fullmatch("0043")
+    assert not LuceneRegexp("<42-45>").fullmatch("46")
+    assert not LuceneRegexp("<42-45>").fullmatch("4a")
+
+
+def test_complement():
+    assert hits("4934~[3]") == ["493432", "49344"]    # testRegexComplement:
+    # '4934' + any-string-except-"3": 493432 rest '32', 49344 rest '4'
+    assert hits("~#") == TERMS                        # not-empty-language
+    assert hits("sp~(ark)") == []                     # no 'sp...' terms here
+    lr = LuceneRegexp("sp~(ark)")
+    assert lr.fullmatch("spoon") and lr.fullmatch("sp")
+    assert not lr.fullmatch("spark")
+
+
+def test_backtracking():
+    assert hits("4934[314]") == ["49344"]             # testBacktracking
+
+
+def test_intersection_and_anystring():
+    lr = LuceneRegexp("[a-z]*&~(dog)")
+    assert lr.fullmatch("fox") and not lr.fullmatch("dog")
+    assert not lr.fullmatch("493432")
+    lr2 = LuceneRegexp("f@x")
+    assert lr2.fullmatch("fox") and lr2.fullmatch("fx") \
+        and lr2.fullmatch("fabcx")
+    lr3 = LuceneRegexp('"a.b"')  # quoted: literal dot
+    assert lr3.fullmatch("a.b") and not lr3.fullmatch("axb")
+
+
+def test_named_automaton_unsupported():
+    with pytest.raises(ValueError):
+        LuceneRegexp("<quickBrown>")
+
+
+# --- common-subset equivalence with Python re ------------------------------
+
+_ATOMS = ["a", "b", "c", "0", "[ab]", "[^a]", "[a-c]", "."]
+_SUFF = ["", "?", "*", "+", "{2}", "{1,2}", "{0,3}"]
+
+
+@st.composite
+def subset_pattern(draw):
+    n = draw(st.integers(1, 4))
+    parts = []
+    for _ in range(n):
+        atom = draw(st.sampled_from(_ATOMS))
+        if draw(st.booleans()):
+            alt = draw(st.sampled_from(_ATOMS))
+            atom = f"({atom}|{alt})"
+        parts.append(atom + draw(st.sampled_from(_SUFF)))
+    return "".join(parts)
+
+
+@given(subset_pattern(),
+       st.lists(st.text(alphabet="abc0", max_size=6), max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_subset_equals_python_re(pattern, strings):
+    assert not has_lucene_operators(pattern)
+    lr = LuceneRegexp(pattern)
+    rx = re.compile(pattern)
+    for s in strings + ["", "a", "abc", "0ab"]:
+        assert lr.fullmatch(s) == bool(rx.fullmatch(s)), (pattern, s)
