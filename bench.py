@@ -114,6 +114,25 @@ def run_bench() -> dict:
     q["query_batch100"] = round(time.perf_counter() - t0, 3)
     assert res.num_rows > 0
 
+    # span proximity batch (ordered/unordered alternating) + spellcheck
+    from lucene_solr_old_ray.pipelines.spell import spell_suggest
+    from lucene_solr_old_ray.queries import SpanNearQuery, SpanTermQuery
+
+    span_qs = {
+        i: SpanNearQuery(
+            (SpanTermQuery(hot[i % len(hot)]),
+             SpanTermQuery(hot[(i + 1) % len(hot)])),
+            slop=3, in_order=(i % 2 == 0))
+        for i in range(20)
+    }
+    t0 = time.perf_counter()
+    sres = search(idx, span_qs, k=10)
+    q["span_batch20"] = round(time.perf_counter() - t0, 3)
+    assert sres.num_rows > 0
+    t0 = time.perf_counter()
+    spell_suggest(idx, [h + "x" for h in hot[:10]], num_sug=5)
+    q["spell_10"] = round(time.perf_counter() - t0, 3)
+
     # serving latency: persistent actors, sequential single queries
     svc = SearchService(idx, num_actors=min(8, NCPU), algo="wand")
     lat = []

@@ -429,6 +429,86 @@ def kept_stream_sorted(texts):
     return d, c, ab.uniques, ab.field_lengths.astype(np.int64)
 
 
+def _analyze_ngram(
+    texts, min_g: int, max_g: int, with_positions: bool,
+    edges_only: bool = False,
+) -> AnalyzedBatch:
+    """Character n-gram tokenizer chain (NGramTokenizer + LowerCaseFilter;
+    no stop filter — grams are not words).
+
+    Re-expresses (NOT ports) ``analysis/common/.../ngram/NGramTokenizer.java``
+    (the 4.4+ streaming semantics): grams emitted by increasing start
+    offset, sizes min..max at each start, every gram consumes one position
+    (posIncr 1) and counts toward the norm length; code-point based.
+    ``edges_only`` = EdgeNGramTokenizer (grams anchored at offset 0).
+
+    Vectorized: one code-point array per batch; per gram size, windows come
+    from a stride view, uniqueness via ``np.unique`` over fixed-width rows
+    (strings built only for the UNIQUE grams, never per instance)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                  else [t if isinstance(t, str) else "" for t in texts])
+    low = [(t or "").lower() for t in texts_list]
+    n_docs = len(low)
+    lens = np.fromiter((len(t) for t in low), count=n_docs, dtype=np.int64)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    flat = np.frombuffer("".join(low).encode("utf-32-le"), dtype="<u4")
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    d_parts: list[np.ndarray] = []
+    s_parts: list[np.ndarray] = []
+    g_parts: list[np.ndarray] = []
+    code_parts: list[np.ndarray] = []
+    vocab: list[str] = []
+    for g in range(min_g, max_g + 1):
+        if len(flat) < g:
+            continue
+        n_w = len(flat) - g + 1
+        valid = doc_of[:n_w] == doc_of[g - 1:]
+        idx = np.flatnonzero(valid)
+        if edges_only:
+            idx = idx[idx == starts[doc_of[idx]]]
+        if len(idx) == 0:
+            continue
+        W = np.lib.stride_tricks.sliding_window_view(flat, g)[idx]
+        rows = np.ascontiguousarray(W).view(
+            np.dtype((np.void, 4 * g))).ravel()
+        uniq, inv = np.unique(rows, return_inverse=True)
+        ustr = [bytes(u).decode("utf-32-le") for u in uniq]
+        base = len(vocab)
+        vocab.extend(ustr)
+        d_parts.append(doc_of[idx])
+        s_parts.append(idx - starts[doc_of[idx]])
+        g_parts.append(np.full(len(idx), g, dtype=np.int64))
+        code_parts.append(inv.astype(np.int64) + base)
+
+    if not d_parts:
+        return AnalyzedBatch(
+            np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32),
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=object),
+            np.zeros(n_docs, dtype=np.int32))
+    d = np.concatenate(d_parts)
+    s = np.concatenate(s_parts)
+    gs = np.concatenate(g_parts)
+    codes = np.concatenate(code_parts)
+    # emission order: (doc, start asc, size asc); every gram consumes a
+    # position, so position = emission ordinal within the doc
+    order = np.lexsort((gs, s, d))
+    d, codes = d[order].astype(np.int32), codes[order]
+    counts = np.bincount(d, minlength=n_docs).astype(np.int32)
+    if with_positions:
+        positions = _positions_from(d, counts.astype(np.int64))
+    else:
+        positions = np.empty(0, dtype=np.int32)
+    return AnalyzedBatch(d, positions, codes,
+                         np.asarray(vocab, dtype=object), counts)
+
+
 def analyze_batch(
     texts, with_positions: bool = False, analyzer: str = "standard",
     synonyms: dict[str, tuple[str, ...]] | None = None,
@@ -459,6 +539,14 @@ def analyze_batch(
     n_docs = len(texts)
     cased = None
 
+    if analyzer.startswith("ngram") or analyzer.startswith("edge_ngram"):
+        # "ngram[:min[:max]]" (defaults 1:2, NGramTokenizer.java:60-61) or
+        # "edge_ngram[:min[:max]]" (grams anchored at offset 0)
+        parts = analyzer.split(":")
+        min_g = int(parts[1]) if len(parts) > 1 else 1
+        max_g = int(parts[2]) if len(parts) > 2 else max(2, min_g)
+        return _analyze_ngram(texts, min_g, max_g, with_positions,
+                              edges_only=analyzer.startswith("edge_ngram"))
     if analyzer.startswith("shingle") or analyzer == "synonym":
         # "shingle" (size 2) or "shingle:<n>"
         size = 2

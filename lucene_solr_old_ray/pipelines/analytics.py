@@ -134,6 +134,141 @@ def group_topk(
                                 preserve_index=False)
 
 
+def group_topk_two_pass(
+    index_dir: str, query: Query, group_col: str,
+    n_groups: int = 10, per_group_k: int = 2, nbuckets: int = 256,
+) -> pa.Table:
+    """DISTRIBUTED two-pass grouping (``lucene/grouping``'s
+    TermFirstPassGroupingCollector + TermSecondPassGroupingCollector),
+    the high-cardinality-safe variant of :func:`group_topk`:
+
+    - pass 1: each leaf emits ONE row per matched group (its best
+      (score desc, docid asc) competitive sort value); rows shuffle by a
+      bounded group-hash bucket; each bucket reduces to its own top-
+      ``n_groups`` candidates, so the driver sees at most
+      ``nbuckets * n_groups`` rows and picks the global top groups
+      (best score desc, docid asc, group asc — AbstractFirstPassGrouping-
+      Collector relevance order) — never one row per group.
+    - pass 2: the selected group set broadcasts; each leaf re-scores and
+      collects per-group top-``per_group_k`` partials for SELECTED groups
+      only; the final merge is the TopDocs.merge order within each group.
+
+    -> (group value, grp_rank, rank, docid, score). Like the reference's
+    two-pass collectors, the query is executed twice (CachingCollector is
+    the reference's own mitigation)."""
+    from .search import gather_stats
+
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_of(row) -> LeafSearcher:
+        return LeafSearcher(
+            os.path.join(index_dir, row["dir"]),
+            int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+            deletes_path=(os.path.join(index_dir, row["deletes"])
+                          if row.get("deletes") else None))
+
+    def first_pass(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = leaf_of(row)
+            docids, scores = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            vals = leaf.docmap[group_col].take(pa.array(docids)).to_pandas()
+            df = pd.DataFrame({"grp": vals.values,
+                               "docid": docids + leaf.doc_base,
+                               "score": scores})
+            df = df.sort_values(["score", "docid"],
+                                ascending=[False, True], kind="mergesort")
+            parts.append(df.drop_duplicates("grp"))  # per-group best
+        if not parts:
+            return pd.DataFrame({"grp": pd.Series([], dtype=object),
+                                 "docid": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float32"),
+                                 "g": pd.Series([], dtype="int64")})
+        out = pd.concat(parts, ignore_index=True)
+        out["g"] = pd.util.hash_array(
+            out["grp"].to_numpy(dtype=object)).astype(np.int64) % nbuckets
+        return out
+
+    def bucket_top(gb: pd.DataFrame) -> pd.DataFrame:
+        gb = gb.sort_values(["score", "docid"], ascending=[False, True],
+                            kind="mergesort").drop_duplicates("grp")
+        return gb.head(n_groups)[["grp", "docid", "score"]]
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    cand = (
+        ds.map_batches(first_pass, batch_format="pandas", batch_size=4)
+        .groupby("g")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pa.table({group_col: pa.array([], pa.string()),
+                      "grp_rank": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "docid": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float32())})
+    if len(cand) == 0 or "grp" not in cand.columns:
+        return empty
+    sc = cand["score"].to_numpy(np.float32)
+    order = np.lexsort((cand["grp"].to_numpy(dtype=object),
+                        cand["docid"].to_numpy(), -sc))
+    cand = cand.iloc[order].drop_duplicates("grp").head(n_groups)
+    selected = list(cand["grp"])
+    grp_rank = {g: i + 1 for i, g in enumerate(selected)}
+    sel_ref = ray.put(set(selected))
+
+    def second_pass(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        sel = ray.get(sel_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = leaf_of(row)
+            docids, scores = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            vals = leaf.docmap[group_col].take(pa.array(docids)).to_pandas()
+            df = pd.DataFrame({"grp": vals.values,
+                               "docid": docids + leaf.doc_base,
+                               "score": scores})
+            df = df[df["grp"].isin(sel)]
+            if len(df) == 0:
+                continue
+            df = df.sort_values(["score", "docid"],
+                                ascending=[False, True], kind="mergesort")
+            parts.append(df.groupby("grp", sort=False).head(per_group_k))
+        if not parts:
+            return pd.DataFrame({"grp": pd.Series([], dtype=object),
+                                 "docid": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float32")})
+        return pd.concat(parts, ignore_index=True)
+
+    partials = ds.map_batches(second_pass, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0 or "grp" not in partials.columns:
+        return empty
+    sc = partials["score"].to_numpy(np.float32)
+    order = np.lexsort((partials["docid"].to_numpy(), -sc))
+    partials = partials.iloc[order]
+    out = partials.groupby("grp", sort=False).head(per_group_k).copy()
+    out["rank"] = out.groupby("grp").cumcount() + 1
+    out["grp_rank"] = out["grp"].map(grp_rank).astype(np.int64)
+    out = out.sort_values(["grp_rank", "rank"]).reset_index(drop=True)
+    out["score"] = out["score"].astype(np.float32)
+    out = out.rename(columns={"grp": group_col})
+    return pa.Table.from_pandas(
+        out[[group_col, "grp_rank", "rank", "docid", "score"]],
+        preserve_index=False)
+
+
 def match_doc_ids(index_dir: str, query: Query) -> pa.Table:
     """All matching global docIDs (sorted) — the docID-set view of a query
     (constant-score / filter semantics). Partial per-leaf sets concatenate

@@ -136,9 +136,37 @@ _POPCNT = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
 
 
+def _doc_sizes_ref(sf_dir: str, shingle_n: int | None):
+    """Broadcastable per-doc distinct-hash-set sizes: one streaming pass of
+    (doc_id, size) partials -> driver dict -> ``ray.put``. The object is 16
+    bytes/doc — a SIZE-only broadcast (fine to ~10^8 docs; past that the
+    sizes would ride the verify join as rows instead). Used for the sound
+    prefilter J(A,B) >= t  =>  min(|A|,|B|) >= t * max(|A|,|B|)."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        d, _H = _doc_hash_stream(batch["text"], shingle_n)
+        c = np.bincount(d, minlength=batch.num_rows)
+        return pd.DataFrame({"doc_id": ids, "sz": c.astype(np.int64)})
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sizes = np.zeros(int(df["doc_id"].max()) + 1 if len(df) else 1,
+                     dtype=np.int64)
+    sizes[df["doc_id"].to_numpy()] = df["sz"].to_numpy()
+    return ray.put(sizes)
+
+
+_VERIFY_BUCKETS = 32  # verify-stage buckets: each participating doc's hash
+# set ships at most this many times (vs. once per pair-hash bucket)
+
+
 def _verify_pairs_ds(
     sf_dir: str, cand_ds, threshold: float, shingle_n: int | None = None,
-    nbuckets: int = _NBUCKETS,
+    nbuckets: int = _NBUCKETS, sizes_ref=None,
 ) -> pa.Table:
     """Distributed dedupe + exact-Jaccard verify of a candidate-pair DATASET.
 
@@ -153,6 +181,47 @@ def _verify_pairs_ds(
     The driver sees nothing bigger than the verified output."""
     corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                    columns=["doc_id", "text"])
+
+    # dedupe candidate pairs ONCE (cross-band duplicates collapse here) and
+    # materialize: the deduped pair set feeds BOTH the demand side and the
+    # verify side — without this the whole candidate-generation lineage
+    # would execute twice and every later shuffle would carry the raw
+    # (duplicated) pair stream
+    def add_ph0(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "ph": pd.Series([], dtype="int64")})
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"a": a, "b": b,
+                             "ph": (a * 1_000_003 + b) % nbuckets})
+
+    def dedupe_ph(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["a", "b"])
+        if sizes_ref is not None and len(g):
+            import ray as _r
+
+            sz = _r.get(sizes_ref)
+            sa = sz[g["a"].to_numpy(dtype=np.int64)]
+            sb = sz[g["b"].to_numpy(dtype=np.int64)]
+            # sound prefilter: J >= t requires min size >= t * max size
+            keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            g = g[keep]
+        if len(g):
+            # re-key for the verify stage: fewer buckets bound how many
+            # times a doc's hash set ships
+            a = g["a"].to_numpy(dtype=np.int64)
+            b = g["b"].to_numpy(dtype=np.int64)
+            g = g.assign(ph=(a * 1_000_003 + b) % _VERIFY_BUCKETS)
+        return g
+
+    cand_ds = (
+        cand_ds.map_batches(add_ph0, batch_format="pandas")
+        .groupby("ph")
+        .map_groups(dedupe_ph, batch_format="pandas")
+        .materialize()
+    )
 
     def token_rows(batch: pa.Table) -> pd.DataFrame:
         r = _hset_rows(batch, shingle_n)
@@ -171,7 +240,7 @@ def _verify_pairs_ds(
                                  "g": pd.Series([], dtype="int64")})
         a = batch["a"].to_numpy(dtype=np.int64)
         b = batch["b"].to_numpy(dtype=np.int64)
-        ph = (a * 1_000_003 + b) % nbuckets
+        ph = batch["ph"].to_numpy(dtype=np.int64)
         doc = np.concatenate([a, b])
         phh = np.concatenate([ph, ph])
         out = pd.DataFrame({"doc_id": doc, "ph": phh}).drop_duplicates()
@@ -203,7 +272,7 @@ def _verify_pairs_ds(
                                  "hset": pd.Series([], dtype=object)})
         a = batch["a"].to_numpy(dtype=np.int64)
         b = batch["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"ph": (a * 1_000_003 + b) % nbuckets,
+        return pd.DataFrame({"ph": batch["ph"].to_numpy(dtype=np.int64),
                              "doc_id": np.full(len(a), -1, dtype=np.int64),
                              "a": a, "b": b,
                              "hset": [b""] * len(a)})
@@ -213,7 +282,7 @@ def _verify_pairs_ds(
             "doc_a": pd.Series([], dtype="int64"),
             "doc_b": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64")})
-        pairs = g[g["doc_id"] < 0].drop_duplicates(["a", "b"])
+        pairs = g[g["doc_id"] < 0]  # already globally deduped
         toks = g[g["doc_id"] >= 0].drop_duplicates("doc_id")
         if len(pairs) == 0 or len(toks) == 0:
             return empty
@@ -637,9 +706,15 @@ def minhash_lsh_pairs(
     P(miss pair at τ=0.95 with 16 bands × 8 rows) ≈ 2e-8).
 
     Scale shape: signatures vectorized per batch over the pre-hashed batch
-    vocabulary; banding shuffles only (band, key, doc) triples; verification
-    is the co-shuffled exact-Jaccard join (:func:`_verify_pairs_ds`)."""
+    vocabulary; banding shuffles only (band, key, doc) triples; candidate
+    emission inside each band bucket is SIZE-WINDOWED (docs sorted by set
+    size; a pair emits only if min >= t*max — a sound requirement of
+    J >= t), and verification is the co-shuffled exact-Jaccard join
+    (:func:`_verify_pairs_ds`)."""
+    import ray
+
     a, b = _perm_params(n_perm)
+    sizes_ref = _doc_sizes_ref(sf_dir, None)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -661,13 +736,33 @@ def minhash_lsh_pairs(
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(sizes_ref)
         outs = []
         for _, sub in g.groupby(["band", "bkey"], sort=False):
             ids = np.sort(sub["doc_id"].unique())
             if len(ids) < 2:
                 continue
-            ii, jj = np.triu_indices(len(ids), 1)
-            outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
+            # size-windowed emission: sort by set size; only pairs with
+            # min >= t*max can reach the threshold
+            s = sz[ids]
+            o = np.argsort(s, kind="stable")
+            ids, s = ids[o], s[o]
+            aa, bb = [], []
+            j = 0
+            for i in range(len(ids)):
+                hi = s[i] / threshold if threshold > 0 else np.inf
+                j = max(j, i + 1)
+                while j < len(ids) and s[j] <= hi:
+                    j += 1
+                if j > i + 1:
+                    part = ids[i + 1: j]
+                    x = np.minimum(ids[i], part)
+                    y = np.maximum(ids[i], part)
+                    aa.append(x)
+                    bb.append(y)
+            if aa:
+                outs.append(pd.DataFrame({"a": np.concatenate(aa),
+                                          "b": np.concatenate(bb)}))
         if not outs:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
@@ -678,7 +773,7 @@ def minhash_lsh_pairs(
         .groupby("g")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return _verify_pairs_ds(sf_dir, cand_ds, threshold)
+    return _verify_pairs_ds(sf_dir, cand_ds, threshold, sizes_ref=sizes_ref)
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:

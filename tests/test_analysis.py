@@ -82,3 +82,74 @@ def test_batch_shapes_align():
     assert len(b.field_lengths) == 4
     assert b.field_lengths.sum() == len(b.doc_ids)
     assert int(b.term_codes.max()) < len(b.uniques)
+
+
+def test_ngram_tokenizer_reference_example():
+    """NGramTokenizer.java:36-42 javadoc example: "abcde" min2 max3 ->
+    ab abc bc bcd cd cde de, every gram posIncr 1."""
+    from lucene_solr_old_ray.functions.analysis import analyze_batch
+
+    ab = analyze_batch(["abcde"], with_positions=True, analyzer="ngram:2:3")
+    stream = [(int(d), int(p), ab.uniques[c]) for d, p, c in
+              zip(ab.doc_ids, ab.positions, ab.term_codes)]
+    assert stream == [(0, 0, "ab"), (0, 1, "abc"), (0, 2, "bc"),
+                      (0, 3, "bcd"), (0, 4, "cd"), (0, 5, "cde"),
+                      (0, 6, "de")]
+    assert ab.field_lengths.tolist() == [7]
+
+
+def test_ngram_tokenizer_matches_naive():
+    from lucene_solr_old_ray.functions.analysis import analyze_batch
+
+    texts = ["Hello World", "", "ab", "xyzzy plugh"]
+
+    def naive(min_g, max_g, edges=False):
+        out = []
+        lens = []
+        for i, t in enumerate(texts):
+            low = t.lower()
+            p = 0
+            for s in range(len(low)):
+                if edges and s != 0:
+                    break
+                for g in range(min_g, max_g + 1):
+                    if s + g <= len(low):
+                        out.append((i, p, low[s: s + g]))
+                        p += 1
+            lens.append(p)
+        return out, lens
+
+    for anlz, args in [("ngram:2:3", (2, 3, False)),
+                       ("ngram", (1, 2, False)),
+                       ("edge_ngram:1:4", (1, 4, True))]:
+        ab = analyze_batch(texts, with_positions=True, analyzer=anlz)
+        got = [(int(d), int(p), ab.uniques[c]) for d, p, c in
+               zip(ab.doc_ids, ab.positions, ab.term_codes)]
+        want, want_lens = naive(*args)
+        assert got == want, anlz
+        assert ab.field_lengths.tolist() == want_lens, anlz
+
+
+def test_ngram_index_end_to_end(ray_session, tmp_path):
+    """Build an index under the ngram analyzer; substring-ish retrieval via
+    gram TermQuery works and scores like a normal term."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = ["sparkling water", "spark core", "dark matter"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["x"] * 3,
+        "lang": ["en"] * 3, "content": docs}), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(files=(p,), analyzer="ngram:3:3"), idx,
+                target_docs_per_partition=2)
+    res = search(idx, {0: TermQuery("ark")}, k=5).to_pandas()
+    assert sorted(res["docid"]) == [0, 1, 2]  # 'ark' gram in all three
+    res2 = search(idx, {0: TermQuery("spa")}, k=5).to_pandas()
+    assert sorted(res2["docid"]) == [0, 1]
