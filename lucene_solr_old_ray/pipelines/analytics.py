@@ -73,6 +73,70 @@ def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def facet_counts_hierarchical(
+    index_dir: str, query: Query, facet_col: str, delimiter: str = "/",
+    max_depth: int | None = None,
+) -> pa.Table:
+    """Hierarchical (taxonomy) facet counts over a path-valued docmap column
+    (``lucene/facet``'s taxonomy roll-up re-expressed: a doc labeled
+    ``a/b/c`` increments every ancestor ordinal — ``a``, ``a/b``,
+    ``a/b/c``; ``TaxonomyReader``/``FacetsCollector`` counting semantics).
+
+    Per-leaf: matched docs' facet values counted per DISTINCT value, then
+    prefixes expanded at the value (vocabulary) level — partial rows are
+    (path, depth, count) per leaf, summed in one small groupby.
+    -> (path, depth, count) sorted by path."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            vals = leaf.docmap[facet_col].take(pa.array(docids)).to_pandas()
+            vc = vals.value_counts()  # distinct values only
+            rows_p, rows_d, rows_c = [], [], []
+            for v, c in vc.items():
+                segs = str(v).split(delimiter)
+                depth = (len(segs) if max_depth is None
+                         else min(len(segs), max_depth))
+                for k in range(1, depth + 1):
+                    rows_p.append(delimiter.join(segs[:k]))
+                    rows_d.append(k)
+                    rows_c.append(int(c))
+            parts.append(pd.DataFrame({"path": rows_p, "depth": rows_d,
+                                       "count": rows_c}))
+        if not parts:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "depth": pd.Series([], dtype="int64"),
+                                 "count": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_counts, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0:
+        return pa.table({"path": pa.array([], pa.string()),
+                         "depth": pa.array([], pa.int64()),
+                         "count": pa.array([], pa.int64())})
+    out = partials.groupby(["path", "depth"], as_index=False)["count"].sum()
+    out = out.sort_values("path").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def group_topk(
     index_dir: str, query: Query, group_col: str, per_group_k: int = 2
 ) -> pa.Table:

@@ -52,22 +52,27 @@ _SHINGLE_PRIME = np.uint64(0x100000001B3)
 
 def exact_dedup(sf_dir: str) -> pa.Table:
     """Keep-first per distinct text -> (doc_id=min over group, dup_count)."""
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        # pre-aggregation (combiner): one row per distinct hash per batch,
+        # so the groupby shuffle moves partials, not per-doc rows
         hashes = [hashlib.sha256((t or "").encode()).hexdigest()
                   for t in batch["text"].to_pylist()]
-        return pa.table({"doc_id": batch["doc_id"],
-                         "h": pa.array(hashes, pa.string())})
+        df = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(
+            zero_copy_only=False), "h": hashes})
+        g = df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), dup_count=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        ds.map_batches(hash_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"),
-                   Count(alias_name="dup_count"))
+                   Sum("dup_count", alias_name="dup_count"))
         .to_pandas()
     )
     out = out[["doc_id", "dup_count"]].sort_values("doc_id").reset_index(drop=True)

@@ -216,6 +216,96 @@ def _spans_tree(q, leaf, docs: np.ndarray) -> list[list[tuple[int, int]]]:
     raise TypeError(f"not a span query: {type(q)}")
 
 
+def _fold_f32(doc_idx: np.ndarray, factors: np.ndarray,
+              n_docs: int) -> np.ndarray:
+    """Per-doc float32 running sum of ``factors`` in array order (matches
+    are already emission-ordered): rank-loop accumulation — vectorized
+    across docs, sequential within each doc like SpanScorer."""
+    freqs = np.zeros(n_docs, dtype=np.float32)
+    if len(doc_idx) == 0:
+        return freqs
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    for r in range(int(counts.max())):
+        active = counts > r
+        idx = starts[active] + r
+        freqs[active] = np.add(freqs[active], factors[idx], dtype=np.float32)
+    return freqs
+
+
+def two_term_span_freqs(
+    keys_a: np.ndarray, keys_b: np.ndarray, slop: int, n_docs: int,
+    ordered: bool,
+) -> np.ndarray | None:
+    """Vectorized 2-term SpanNear freqs over packed (doc_index << 32 | pos)
+    keys (sorted, per-term unique). Uses the closed forms property-proven
+    equal to the reference walk in tests/test_spans.py:
+
+    - ordered: matches = mutual predecessor/successor pairs
+      (a = max{A < b}, b = min{B > a}), emitted in b order;
+    - unordered: matches = (x, strict-successor-in-other(x)) both ways,
+      emitted in consumed-element (min position) order.
+
+    Both closed forms assume no equal packed keys across the two streams
+    (same doc+position, possible only with overlay/posIncr-0 tokens) —
+    returns None then and the caller runs the faithful per-doc walk."""
+    if len(keys_a) == 0 or len(keys_b) == 0:
+        return np.zeros(n_docs, dtype=np.float32)
+    if len(np.intersect1d(keys_a, keys_b, assume_unique=True)):
+        return None
+    docs_b = (keys_b >> 32).astype(np.int64)
+    pos_b = (keys_b & 0xFFFFFFFF).astype(np.int64)
+    docs_a = (keys_a >> 32).astype(np.int64)
+    pos_a = (keys_a & 0xFFFFFFFF).astype(np.int64)
+
+    def ordered_matches(A, B, docs_A, pos_A, docs_B, pos_B):
+        """(doc, sort_key, factor) of ordered matches A-before-B."""
+        i = np.searchsorted(A, B) - 1
+        valid = i >= 0
+        ii = np.maximum(i, 0)
+        valid &= docs_A[ii] == docs_B
+        j = np.searchsorted(B, A[ii], side="right")
+        valid &= j == np.arange(len(B))
+        gap = pos_B - pos_A[ii] - 1
+        valid &= gap <= slop
+        w = np.flatnonzero(valid)
+        # matchLength = end - start = pos_b + 1 - pos_a
+        length = pos_B[w] + 1 - pos_A[ii[w]]
+        factors = np.divide(np.float32(1.0),
+                            (1 + length).astype(np.float32),
+                            dtype=np.float32)
+        return docs_B[w], B[w], factors
+
+    if ordered:
+        d, _, factors = ordered_matches(keys_a, keys_b,
+                                        docs_a, pos_a, docs_b, pos_b)
+        return _fold_f32(d, factors, n_docs)  # B-keys ascending == emission
+
+    # unordered: strict successor both directions, ordered by consumed key
+    def succ_states(X, other, docs_X, pos_X, docs_O, pos_O):
+        j = np.searchsorted(other, X, side="right")
+        valid = j < len(other)
+        jj = np.minimum(j, len(other) - 1)
+        valid &= docs_O[jj] == docs_X
+        dist = pos_O[jj] - pos_X - 1
+        valid &= dist <= slop
+        w = np.flatnonzero(valid)
+        length = pos_O[jj[w]] + 1 - pos_X[w]
+        factors = np.divide(np.float32(1.0),
+                            (1 + length).astype(np.float32),
+                            dtype=np.float32)
+        return X[w], docs_X[w], factors
+
+    ka, da, fa = succ_states(keys_a, keys_b, docs_a, pos_a, docs_b, pos_b)
+    kb, db, fb = succ_states(keys_b, keys_a, docs_b, pos_b, docs_a, pos_a)
+    allk = np.concatenate([ka, kb])
+    alld = np.concatenate([da, db])
+    allf = np.concatenate([fa, fb])
+    order = np.argsort(allk, kind="stable")
+    return _fold_f32(alld[order], allf[order], n_docs)
+
+
 def span_freqs(q, leaf, docs: np.ndarray) -> np.ndarray:
     """Per-candidate-doc sloppy freq: float32 running sum of
     ``1/(1 + (end - start))`` over emitted matches in emission order
@@ -229,6 +319,32 @@ def span_freqs(q, leaf, docs: np.ndarray) -> np.ndarray:
             f = F(f + F(one / F(1 + (e - s))))
         freqs[bi] = f
     return freqs
+
+
+def _packed_keys(leaf, term: str, base: np.ndarray) -> np.ndarray:
+    """Sorted (base_index << 32 | position) keys of a term restricted to
+    the candidate docs ``base`` (which, for NEAR conjunctions, is a subset
+    of the term's doc list) — the flat multi-range gather of the phrase
+    executor."""
+    d, _tfs, flat, starts = leaf.postings_with_positions(term)
+    if len(d) == 0:
+        return np.empty(0, dtype=np.int64)
+    j = np.searchsorted(d, base)
+    ok = j < len(d)
+    ok[ok] &= d[j[ok]] == base[ok]
+    bi = np.flatnonzero(ok)
+    jj = j[bi]
+    s0 = starts[jj].astype(np.int64)
+    cnt = starts[jj + 1].astype(np.int64) - s0
+    tot = int(cnt.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(cnt)
+    idx = np.arange(tot, dtype=np.int64) - np.repeat(ends - cnt, cnt) \
+        + np.repeat(s0, cnt)
+    pos = flat[idx].astype(np.int64)
+    docs_rep = np.repeat(bi.astype(np.int64), cnt)
+    return (docs_rep << 32) | pos
 
 
 def execute_span(q, leaf, ctx, boost: float):
@@ -246,7 +362,14 @@ def execute_span(q, leaf, ctx, boost: float):
     docs = _docs_of(q, lf)
     if len(docs) == 0:
         return empty
-    freqs = span_freqs(q, lf, docs)
+    freqs = None
+    if (isinstance(q, SpanNearQuery) and len(q.clauses) == 2
+            and all(isinstance(c, SpanTermQuery) for c in q.clauses)):
+        ka = _packed_keys(lf, q.clauses[0].term, docs)
+        kb = _packed_keys(lf, q.clauses[1].term, docs)
+        freqs = two_term_span_freqs(ka, kb, q.slop, len(docs), q.in_order)
+    if freqs is None:
+        freqs = span_freqs(q, lf, docs)
     match = freqs > 0
     docids = docs[match]
     if len(docids) == 0:

@@ -73,3 +73,90 @@ def test_collector_hook(join_index):
     assert sorted(out["docid"]) == sorted(want)
     assert (out["score_sq"] > 0).all()
     assert out["leaf"].nunique() >= 1
+
+
+def test_group_topk_two_pass_matches_single_pass(ray_session, tmp_path):
+    """Two-pass grouping (first-pass top-N groups + second-pass per-group
+    top-k) == the single-pass collector restricted to its best N groups,
+    with groups ordered by best hit (score desc, docid asc, group asc)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.analytics import (
+        group_topk,
+        group_topk_two_pass,
+    )
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    p = str(tmp_path / "c.parquet")
+    generate_corpus(p, 500, seed=31, rows_per_group=100)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=100)
+
+    q = TermQuery("return")
+    n_groups, k = 3, 2
+    two = group_topk_two_pass(idx, q, "lang", n_groups=n_groups,
+                              per_group_k=k).to_pandas()
+    single = group_topk(idx, q, "lang", per_group_k=k).to_pandas()
+
+    # expected group order: best (score desc, docid asc) per group, then
+    # groups ranked by that value (score desc, docid asc, group asc)
+    best = single.sort_values(["score", "docid"],
+                              ascending=[False, True], kind="mergesort") \
+        .drop_duplicates("lang")
+    best = best.sort_values(["score", "docid", "lang"],
+                            ascending=[False, True, True], kind="mergesort")
+    sel = list(best["lang"].head(n_groups))
+    assert list(two.drop_duplicates("lang")["lang"]) == sel
+    for gi, g in enumerate(sel, 1):
+        a = two[two["lang"] == g].sort_values("rank")
+        b = single[single["lang"] == g].sort_values("rank")
+        assert (a["grp_rank"] == gi).all()
+        assert a["docid"].tolist() == b["docid"].tolist()
+        np.testing.assert_array_equal(a["score"].to_numpy(np.float32),
+                                      b["score"].to_numpy(np.float32))
+
+
+def test_facet_counts_hierarchical(ray_session, tmp_path):
+    """Taxonomy roll-up: every ancestor path counts each matching doc once;
+    leaf-level counts equal the flat facet counts."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.analytics import (
+        facet_counts,
+        facet_counts_hierarchical,
+    )
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    p = str(tmp_path / "c.parquet")
+    generate_corpus(p, 400, seed=17, rows_per_group=100)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=100)
+
+    q = TermQuery("return")
+    hier = facet_counts_hierarchical(idx, q, "path").to_pandas()
+    flat = facet_counts(idx, q, "path").to_pandas()
+
+    # naive recomputation from the corpus
+    t = pq.read_table(p)
+    texts = t["content"].to_pylist()
+    paths = t["path"].to_pylist()
+    from collections import Counter
+
+    want: Counter = Counter()
+    for txt, pth in zip(texts, paths):
+        if "return" in txt.split():
+            segs = pth.split("/")
+            for k in range(1, len(segs) + 1):
+                want["/".join(segs[:k])] += 1
+    got = dict(zip(hier["path"], hier["count"]))
+    assert got == dict(want)
+    # depth column consistent; leaf rows match the flat facet
+    for _, r in hier.iterrows():
+        assert r["depth"] == r["path"].count("/") + 1
+    leaf = {p_: c for p_, c in got.items() if p_.count("/") == 2}
+    assert leaf == dict(zip(flat["path"], flat["count"]))

@@ -290,3 +290,61 @@ def test_span_or_not_first_end_to_end(span_index):
     # w3@1, w3@3 kept; doc2 w3@4 kept; doc3 w3@{1,5}: (0,2) excludes @1,
     # @5 kept
     assert sorted(res["docid"]) == [0, 1, 2, 3]
+
+
+F32 = np.float32
+
+
+def _walk_freqs(A, B, slop, ordered):
+    sub = [[(a, a + 1) for a in A], [(b, b + 1) for b in B]]
+    fn = near_ordered_matches if ordered else near_unordered_matches
+    f = F32(0.0)
+    for s, e in fn(sub, slop):
+        f = F32(f + F32(F32(1.0) / F32(1 + (e - s))))
+    return f
+
+
+@given(two_disjoint_pos_lists(), st.integers(0, 6), st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_two_term_span_fast_path_bit_exact(lists, slop, ordered):
+    """Vectorized 2-term closed-form freqs == the faithful walk, bit-exact
+    (multiple docs packed into one key array)."""
+    from lucene_solr_old_ray.stages.spans import two_term_span_freqs
+
+    A, B = lists
+    if not A or not B:
+        return
+    # two docs with the same content exercise per-doc fold isolation
+    ka = np.sort(np.concatenate([np.asarray(A, dtype=np.int64),
+                                 (np.int64(1) << 32) | np.asarray(A)]))
+    kb = np.sort(np.concatenate([np.asarray(B, dtype=np.int64),
+                                 (np.int64(1) << 32) | np.asarray(B)]))
+    got = two_term_span_freqs(ka, kb, slop, 2, ordered)
+    assert got is not None
+    want = _walk_freqs(A, B, slop, ordered)
+    assert got[0] == want and got[1] == want
+
+
+def test_two_term_span_fast_path_end_to_end(span_index):
+    """The searcher's fast path produces the same results as before (walk)
+    for the TestSpans corpus queries."""
+    from lucene_solr_old_ray.queries import SpanNearQuery, SpanTermQuery
+
+    for ordered in (True, False):
+        for t1, t2, slop in [("w1", "w3", 2), ("u1", "u2", 0),
+                             ("t1", "t3", 1)]:
+            q = SpanNearQuery((SpanTermQuery(t1), SpanTermQuery(t2)),
+                              slop=slop, in_order=ordered)
+            res = _span_search(span_index, q)
+            # independent recomputation from raw text via the walk
+            from lucene_solr_old_ray.stages.spans import (
+                near_ordered_matches,
+                near_unordered_matches,
+            )
+            fn = near_ordered_matches if ordered else near_unordered_matches
+            expect_docs = []
+            for d, doc in enumerate(DOC_FIELDS):
+                sub = [positions(doc, t1), positions(doc, t2)]
+                if all(sub) and fn(sub, slop):
+                    expect_docs.append(d)
+            assert sorted(res["docid"]) == expect_docs, (t1, t2, slop, ordered)
