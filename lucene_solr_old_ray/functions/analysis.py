@@ -66,20 +66,68 @@ def tokenize_raw(text: str) -> list[str]:
     return [t.lower() for t in toks if _HAS_ALNUM.search(t)]
 
 
+def _stem_porter():
+    from .stem import porter_stem
+
+    return porter_stem
+
+
+def _stem_french():
+    from .stem import french_minimal_stem
+
+    return french_minimal_stem
+
+
+def _stem_german():
+    from .stem import german_minimal_stem
+
+    return german_minimal_stem
+
+
+def _stem_spanish():
+    from .stem import spanish_light_stem
+
+    return spanish_light_stem
+
+
+def _stem_named(name):
+    def load():
+        from . import stem
+
+        return getattr(stem, name)
+
+    return load
+
+
+# vocabulary-level stem filters of the per-language analyzer registry
+# (en: PorterStemFilter.java:56; the rest: the Savoy-family minimal/light
+# stemmers in analysis/common/src/java/org/apache/lucene/analysis/<lang>/)
+_VOCAB_STEMMERS = {
+    "english": _stem_porter,
+    "french": _stem_french,
+    "german": _stem_german,
+    "spanish": _stem_spanish,
+    "italian": _stem_named("italian_light_stem"),
+    "portuguese": _stem_named("portuguese_light_stem"),
+    "swedish": _stem_named("swedish_light_stem"),
+    "russian": _stem_named("russian_light_stem"),
+}
+
+
 def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
     """Full chain for a single string (query-time analysis): returns kept terms
-    in order. Stop words and overlong tokens removed; ``analyzer="english"``
-    additionally Porter-stems each kept term (tokenize -> lowercase -> stop ->
-    PorterStemFilter, ``analysis/common/.../en/PorterStemFilter.java:56``)."""
+    in order. Stop words and overlong tokens removed; stemmed analyzers
+    ("english" = Porter; fr/de/es/it/pt/sv/ru = the Savoy-family
+    minimal/light stemmers) additionally stem each kept term (tokenize ->
+    lowercase -> stop -> stem, the reference chain order)."""
     kept = [
         t
         for t in tokenize_raw(text)
         if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS
     ]
-    if analyzer == "english":
-        from .stem import porter_stem
-
-        kept = [porter_stem(t) for t in kept]
+    if analyzer in _VOCAB_STEMMERS:
+        fn = _VOCAB_STEMMERS[analyzer]()
+        kept = [fn(t) for t in kept]
     return kept
 
 
@@ -515,8 +563,11 @@ def analyze_batch(
 ) -> AnalyzedBatch:
     """Vectorized chain over a batch of content strings (list or pa.Array).
 
-    ``analyzer`` accepts ``"standard" | "english" | "code" | "synonym" |
-    "shingle"`` plus parameterized ``"shingle:<n>"``; ``synonyms`` overrides
+    ``analyzer`` accepts ``"standard" | "code" | "synonym" | "shingle" |
+    "ngram" | "edge_ngram"``, a stemmed language chain (``"english"
+    "french" "german" "spanish" "italian" "portuguese" "swedish"
+    "russian"``), plus parameterized ``"shingle:<n>"`` /
+    ``"[edge_]ngram:<min>:<max>"``; ``synonyms`` overrides
     the default :data:`SYNONYMS` map for the synonym overlay (pass the same
     map at build time for every partition).
 
@@ -558,9 +609,9 @@ def analyze_batch(
         return _analyze_overlay(texts, kind, with_positions,
                                 shingle_size=size, synonyms=synonyms)
 
-    if analyzer in ("standard", "english"):
-        # english = the standard chain + a vocabulary-level Porter stem pass
-        # applied after the stop/overlong filter (filters below)
+    if analyzer == "standard" or analyzer in _VOCAB_STEMMERS:
+        # stemmed analyzers = the standard chain + a vocabulary-level stem
+        # pass applied after the stop/overlong filter (filters below)
         doc_ids, positions, codes, uniques, counts = _tokenize_standard(texts)
     else:
         texts_list = texts.to_pylist() if isinstance(texts, pa.Array) else list(texts)
@@ -587,12 +638,11 @@ def analyze_batch(
         remap = np.cumsum(uniq_keep) - 1
         codes = remap[codes]
         uniques = np.asarray(uniques, dtype=object)[uniq_keep]
-        if analyzer == "english" and len(uniques):
-            # PorterStemFilter on the UNIQUE vocabulary only (never per
+        if analyzer in _VOCAB_STEMMERS and len(uniques):
+            # stem filter on the UNIQUE vocabulary only (never per
             # instance); stems may collide, so re-encode
-            from .stem import porter_stem
-
-            stemmed = np.asarray([porter_stem(u) for u in uniques],
+            stem_fn = _VOCAB_STEMMERS[analyzer]()
+            stemmed = np.asarray([stem_fn(u) for u in uniques],
                                  dtype=object)
             new_uniques, inverse = np.unique(stemmed, return_inverse=True)
             codes = inverse[codes].astype(np.int64)

@@ -246,3 +246,213 @@ def porter_stem(word: str) -> str:
         k -= 1
 
     return "".join(b[: k + 1])
+
+
+def french_minimal_stem(t: str) -> str:
+    """Re-expresses (NOT ports) ``analysis/common/.../fr/
+    FrenchMinimalStemmer.java:63-78`` (Savoy's minimal French stemmer)."""
+    if len(t) < 6:
+        return t
+    s = list(t)
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s[-2] = "l"
+        return "".join(s[:-1])
+    ln = len(s)
+    if s[ln - 1] == "s":
+        ln -= 1
+    if s[ln - 1] == "r":
+        ln -= 1
+    if s[ln - 1] == "e":
+        ln -= 1
+    if s[ln - 1] == "é":  # é
+        ln -= 1
+    if s[ln - 1] == s[ln - 2]:
+        ln -= 1
+    return "".join(s[:ln])
+
+
+def german_minimal_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../de/GermanMinimalStemmer.java:62-94``
+    (umlaut folding + plural/case suffix stripping)."""
+    if len(t) < 5:
+        return t
+    s = list(t)
+    fold = {"ä": "a", "ö": "o", "ü": "u"}
+    s = [fold.get(c, c) for c in s]
+    ln = len(s)
+    if ln > 6 and s[ln - 3] == "n" and s[ln - 2] == "e" and s[ln - 1] == "n":
+        return "".join(s[: ln - 3])
+    if ln > 5:
+        last, prev = s[ln - 1], s[ln - 2]
+        if (last == "n" and prev == "e") or (last == "e" and prev == "s") \
+                or (last == "s" and prev == "e") or (last == "r" and prev == "e"):
+            return "".join(s[: ln - 2])
+    if s[ln - 1] in ("n", "e", "s", "r"):
+        return "".join(s[: ln - 1])
+    return "".join(s)
+
+
+def spanish_light_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../es/SpanishLightStemmer.java:62-107``
+    (accent folding + light suffix stripping incl. the 'ces'->'z' rule)."""
+    if len(t) < 5:
+        return t
+    fold = {}
+    for ch in "àáâä":
+        fold[ch] = "a"
+    for ch in "òóôö":
+        fold[ch] = "o"
+    for ch in "èéêë":
+        fold[ch] = "e"
+    for ch in "ùúûü":
+        fold[ch] = "u"
+    for ch in "ìíîï":
+        fold[ch] = "i"
+    s = [fold.get(c, c) for c in t]
+    ln = len(s)
+    last = s[ln - 1]
+    if last in ("o", "a", "e"):
+        return "".join(s[: ln - 1])
+    if last == "s":
+        if s[ln - 2] == "e" and s[ln - 3] == "s" and s[ln - 4] == "e":
+            return "".join(s[: ln - 2])
+        if s[ln - 2] == "e" and s[ln - 3] == "c":
+            s[ln - 3] = "z"
+            return "".join(s[: ln - 2])
+        if s[ln - 2] in ("o", "a", "e"):
+            return "".join(s[: ln - 2])
+    return "".join(s)
+
+
+_IT_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï",
+                         "aaaaooooeeeeuuuuiiii")
+
+
+def italian_light_stem(t: str) -> str:
+    """Re-expresses (NOT ports) ``analysis/common/.../it/
+    ItalianLightStemmer.java:64-115`` (Savoy CLEF-2001: accent fold +
+    final-vowel stripping with ch/gh-aware doubles)."""
+    if len(t) < 6:
+        return t
+    s = t.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in ("i", "h") else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in ("h", "i") else s[:-1]
+    if last in ("a", "o"):
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+_PT_FOLD = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç",
+                         "aaaaaoooooeeeeuuuuiiiic")
+
+
+def _pt_remove_suffix(s: str) -> str:
+    ln = len(s)
+    if ln > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if ln > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if ln > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if ln > 4 and s.endswith("ais"):
+        return s[:-2] + "l"
+    if ln > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if ln > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if ln > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if ln > 6 and s.endswith("mente"):
+        return s[:-5]
+    if ln > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    ln = len(s)
+    if ln > 7 and s[-4:] in ("inha", "iaca", "eira"):
+        return s[:-1] + "o"
+    if ln > 6:
+        if s[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../pt/PortugueseLightStemmer.java:
+    66-206`` (Savoy UniNE: plural/adverb suffixes, feminine
+    normalization, final-vowel strip, accent fold LAST — the reference's
+    operation order)."""
+    if len(t) < 4:
+        return t
+    s = _pt_remove_suffix(t)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in ("e", "a", "o"):
+        s = s[:-1]
+    return s.translate(_PT_FOLD)
+
+
+def swedish_light_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../sv/SwedishLightStemmer.java:
+    66-109`` (Savoy CLEF-2003: longest-first suffix ladder)."""
+    s = t
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    ln = len(s)
+    if ln > 7 and s[-5:] in ("elser", "heten"):
+        return s[:-5]
+    if ln > 6 and s[-4:] in ("arne", "erna", "ande", "else",
+                             "aste", "orna", "aren"):
+        return s[:-4]
+    if ln > 5 and s[-3:] in ("are", "ast", "het"):
+        return s[:-3]
+    if ln > 4 and s[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:-2]
+    if ln > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+_RU_CASE_4 = ("иями", "оями")
+_RU_CASE_3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его",
+              "ему", "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_CASE_2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию",
+              "ьв", "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей",
+              "ём", "ев", "ий", "им", "ое", "ой", "ом", "ов", "ые",
+              "ый", "ым", "ми")
+
+
+def russian_light_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../ru/RussianLightStemmer.java:
+    66-152`` (Dolamic & Savoy: case-suffix ladder + ь/и/нн
+    normalization)."""
+    s = t
+    ln = len(s)
+    if ln > 6 and s[-4:] in _RU_CASE_4:
+        s = s[:-4]
+    elif ln > 5 and s[-3:] in _RU_CASE_3:
+        s = s[:-3]
+    elif ln > 4 and s[-2:] in _RU_CASE_2:
+        s = s[:-2]
+    elif ln > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    if len(s) > 3:
+        if s[-1] in ("ь", "и"):
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s

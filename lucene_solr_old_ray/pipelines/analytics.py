@@ -54,9 +54,15 @@ def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
-            vals = leaf.docmap[facet_col].take(pa.array(docids)).to_pandas()
-            vc = vals.value_counts()
-            parts.append(pd.DataFrame({facet_col: vc.index, "count": vc.values}))
+            # SortedSetDocValues counting: bincount over the leaf's int32
+            # ords, values looked up once from the segment dict
+            ords, values = leaf.dv_sorted(facet_col)
+            o = np.asarray(ords)[docids]
+            o = o[o >= 0]
+            cnt = np.bincount(o, minlength=len(values))
+            nz = np.nonzero(cnt)[0]
+            parts.append(pd.DataFrame({facet_col: values[nz],
+                                       "count": cnt[nz]}))
         if not parts:
             return pd.DataFrame({facet_col: pd.Series([], dtype=object),
                                  "count": pd.Series([], dtype="int64")})
@@ -105,10 +111,13 @@ def facet_counts_hierarchical(
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
-            vals = leaf.docmap[facet_col].take(pa.array(docids)).to_pandas()
-            vc = vals.value_counts()  # distinct values only
+            ords, values = leaf.dv_sorted(facet_col)
+            o = np.asarray(ords)[docids]
+            o = o[o >= 0]
+            cnt = np.bincount(o, minlength=len(values))
+            nz = np.nonzero(cnt)[0]
             rows_p, rows_d, rows_c = [], [], []
-            for v, c in vc.items():
+            for v, c in zip(values[nz], cnt[nz]):  # distinct values only
                 segs = str(v).split(delimiter)
                 depth = (len(segs) if max_depth is None
                          else min(len(segs), max_depth))
@@ -163,9 +172,9 @@ def group_topk(
             docids, scores = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
-            vals = leaf.docmap[group_col].take(pa.array(docids)).to_pandas()
+            vals = leaf.doc_values(group_col, docids)
             df = pd.DataFrame({
-                group_col: vals.values,
+                group_col: vals,
                 "docid": docids + leaf.doc_base,
                 "score": scores,
             })
@@ -244,8 +253,8 @@ def group_topk_two_pass(
             docids, scores = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
-            vals = leaf.docmap[group_col].take(pa.array(docids)).to_pandas()
-            df = pd.DataFrame({"grp": vals.values,
+            vals = leaf.doc_values(group_col, docids)
+            df = pd.DataFrame({"grp": vals,
                                "docid": docids + leaf.doc_base,
                                "score": scores})
             df = df.sort_values(["score", "docid"],
@@ -299,8 +308,8 @@ def group_topk_two_pass(
             docids, scores = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
-            vals = leaf.docmap[group_col].take(pa.array(docids)).to_pandas()
-            df = pd.DataFrame({"grp": vals.values,
+            vals = leaf.doc_values(group_col, docids)
+            df = pd.DataFrame({"grp": vals,
                                "docid": docids + leaf.doc_base,
                                "score": scores})
             df = df[df["grp"].isin(sel)]
@@ -426,7 +435,7 @@ def sort_by_field(
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
-            vals = leaf.docmap[field].take(pa.array(docids)).to_pandas().to_numpy()
+            vals = leaf.doc_values(field, docids)
             key = -vals if descending else vals
             order = np.lexsort((docids, key))[:k]
             parts.append(pd.DataFrame({

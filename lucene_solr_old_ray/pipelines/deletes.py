@@ -34,6 +34,7 @@ import ray.data
 
 from ..queries import Query, collect_field_terms, collect_terms
 from ..stages.search import LeafSearcher, execute
+from ..state import docvalues as dv
 from ..state import manifest as mf
 from .search import _leaves, gather_stats
 
@@ -337,6 +338,7 @@ def _write_plain_leaf(out_dir, terms, dfs, ttfs, blobs, pblobs, norms, docmap,
         _write_field(tmp, fprefix(fname), ft, fd, fttf, fb, fpb, fn)
         field_meta[fname] = {"sum_tf": int(fstf), "num_terms": len(ft)}
     pq.write_table(docmap, os.path.join(tmp, "docmap.parquet"))
+    dv.write_docvalues(tmp, docmap)
     mf.atomic_write_json(
         os.path.join(tmp, mf.SEGMENT_MANIFEST),
         {"name": os.path.basename(out_dir), "doc_base": 0,

@@ -47,7 +47,10 @@ class CorpusSpec:
     files: tuple[str, ...]
     content_col: str = "content"
     meta_cols: tuple[str, ...] = ("repo", "path", "commit", "lang")
-    analyzer: str = "standard"  # standard | code | english | shingle[:n] | synonym
+    # standard | code | shingle[:n] | synonym | [edge_]ngram[:min[:max]] |
+    # a stemmed language chain (english french german spanish italian
+    # portuguese swedish russian)
+    analyzer: str = "standard"
     extra_fields: tuple[FieldSpec, ...] = ()
     # synonym-overlay map for analyzer="synonym": ((term, (syn, ...)), ...).
     # Serialized into every build task (the SynonymMap build-time contract);

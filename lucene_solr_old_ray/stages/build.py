@@ -38,6 +38,7 @@ import pyarrow.parquet as pq
 from ..functions.analysis import analyze_batch
 from ..functions.codec import encode_chunk
 from ..functions.smallfloat import encode_norm
+from ..state import docvalues as dv
 from ..state import manifest as mf
 from ..state.fields import fprefix
 from ..sources.corpus import CorpusSpec
@@ -336,6 +337,7 @@ def build_segment(
     docmap = docmap.append_column("field_len", pa.array(lens.astype(np.int32)))
     docmap = docmap.append_column("norm_byte", pa.array(norms.astype(np.uint8)))
     pq.write_table(docmap, os.path.join(tmp, "docmap.parquet"))
+    dv.write_docvalues(tmp, docmap)
 
     wall = time.perf_counter() - t0
     n_postings = n_post[0]

@@ -41,6 +41,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.codec import shift_blob, shift_segment_blob
+from ..state import docvalues as dv
 from ..state import manifest as mf
 from ..state.fields import fprefix, list_extra_fields
 
@@ -318,7 +319,12 @@ def write_shard_files(
     with open(os.path.join(tmp, "norms.bin"), "wb") as f:
         for p in norm_parts:
             f.write(p)
-    pq.write_table(pa.concat_tables(docmaps), os.path.join(tmp, "docmap.parquet"))
+    merged_docmap = pa.concat_tables(docmaps)
+    pq.write_table(merged_docmap, os.path.join(tmp, "docmap.parquet"))
+    # regenerate the doc-values sidecars over the merged doc space (the
+    # MultiDocValues.OrdinalMap-on-merge semantics: dense sorted ords per
+    # output segment)
+    dv.write_docvalues(tmp, merged_docmap)
 
     hot_top = dict(sorted(hot_union.items(), key=lambda kv: -kv[1])[:50])
     metrics = {

@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 
 from ..functions import bm25
 from ..functions.codec import decode_blob, decode_positions_blob, iter_chunks
+from ..state import docvalues as dvals
 from ..queries import (
     MUST,
     MUST_NOT,
@@ -224,6 +225,21 @@ class LeafSearcher:
         if self._docmap is None:
             self._docmap = pq.read_table(os.path.join(self.dir, "docmap.parquet"))
         return self._docmap
+
+    def dv_sorted(self, field: str):
+        """SORTED doc-values for ``field``: (per-doc int32 ords memmap,
+        sorted value dict). Cached per leaf (DocValues reader reuse)."""
+        key = ("dv_sorted", field)
+        if key not in self._filter_cache:
+            self._filter_cache[key] = dvals.read_sorted(self.dir, field)
+        return self._filter_cache[key]
+
+    def doc_values(self, field: str, docids: np.ndarray) -> np.ndarray:
+        """Matched docs' values of a doc-values field (sort/group/facet
+        path — reads ONLY that field's typed sidecar, never the whole
+        stored-fields row store)."""
+        return dvals.take_values(self.dir, field, docids,
+                                 cache=self._filter_cache)
 
 
 @dataclass

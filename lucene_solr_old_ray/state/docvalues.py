@@ -1,0 +1,160 @@
+"""Per-segment typed DocValues column family.
+
+Re-expresses (NOT ports) Lucene's per-field doc-values sidecars
+(``index/FieldInfo.java:91-114`` DocValuesType NUMERIC/SORTED and the
+``codecs/lucene45/Lucene45DocValuesConsumer`` column-per-field layout) as
+memmap-able numpy sidecars next to the segment's postings files:
+
+  ``dv.<field>.num.npy``       NUMERIC: one int64/float64 per doc
+  ``dv.<field>.miss.npy``      NUMERIC missing-bits (only when nulls exist;
+                               the docsWithField analogue)
+  ``dv.<field>.ords.npy``      SORTED: one int32 ord per doc, -1 = missing
+  ``dv.<field>.terms.parquet`` SORTED: the segment's value dictionary; ord
+                               order == UTF-8 byte order (== code-point
+                               order), Lucene's term-sort invariant
+
+Sidecars are written at BUILD time and REGENERATED at merge/expunge time
+over the merged doc space — the ``MultiDocValues.OrdinalMap``-on-merge
+semantics (each output segment owns a dense, sorted ord space). Readers
+fall back to deriving the same arrays from a column-pruned read of
+``docmap.parquet`` when the sidecar is absent (older segments), so the
+format change is backward-compatible.
+
+Scale shape: sort/group/facet touch ONLY the requested field's sidecar
+(int32 ords memmap + a small dict), never the whole stored-fields row
+store; facet counting becomes an ``np.bincount`` over ords.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.types as pat
+
+# high-cardinality unique identifier column: dict-encoding it doubles the
+# bytes for zero queries — stored-fields-only, like a Lucene field with
+# docValues disabled
+DV_EXCLUDE = ("sha256",)
+
+
+def _sorted_encode(vals: np.ndarray):
+    """Object array of str/None -> (int32 ords w/ -1 missing, sorted uniques)."""
+    n = len(vals)
+    ords = np.full(n, -1, dtype=np.int32)
+    notnull = np.fromiter((v is not None for v in vals), dtype=bool, count=n)
+    if notnull.any():
+        uniq, inv = np.unique(vals[notnull].astype(str), return_inverse=True)
+        ords[notnull] = inv.astype(np.int32)
+    else:
+        uniq = np.empty(0, dtype=object)
+    return ords, np.asarray(uniq, dtype=object)
+
+
+def write_docvalues(seg_dir: str, docmap: pa.Table,
+                    exclude: tuple[str, ...] = DV_EXCLUDE) -> None:
+    """Write one typed sidecar per docmap column (numeric or string)."""
+    for name in docmap.column_names:
+        if name in exclude:
+            continue
+        col = docmap[name]
+        typ = col.type
+        if pat.is_integer(typ) or pat.is_floating(typ):
+            arr = col.to_numpy(zero_copy_only=False)
+            if col.null_count:
+                miss = np.asarray(
+                    col.is_null().combine_chunks().to_numpy(
+                        zero_copy_only=False))
+                np.save(os.path.join(seg_dir, f"dv.{name}.miss.npy"), miss)
+                arr = np.where(miss, 0, arr)
+            out = arr.astype(np.float64 if pat.is_floating(typ) else np.int64)
+            np.save(os.path.join(seg_dir, f"dv.{name}.num.npy"), out)
+        elif pat.is_string(typ) or pat.is_large_string(typ):
+            ords, uniq = _sorted_encode(col.to_numpy(zero_copy_only=False))
+            np.save(os.path.join(seg_dir, f"dv.{name}.ords.npy"), ords)
+            pq.write_table(
+                pa.table({"value": pa.array(uniq, pa.string())}),
+                os.path.join(seg_dir, f"dv.{name}.terms.parquet"))
+        # other types (binary/list/...) stay stored-fields-only
+
+
+def _docmap_col(seg_dir: str, field: str) -> pa.ChunkedArray:
+    return pq.read_table(
+        os.path.join(seg_dir, "docmap.parquet"), columns=[field])[field]
+
+
+def read_sorted(seg_dir: str, field: str):
+    """-> (per-doc int32 ords, sorted value dict). Memmaps the sidecar;
+    derives from docmap.parquet (that column only) when absent."""
+    p = os.path.join(seg_dir, f"dv.{field}.ords.npy")
+    if os.path.exists(p):
+        ords = np.load(p, mmap_mode="r")
+        vals = pq.read_table(
+            os.path.join(seg_dir, f"dv.{field}.terms.parquet")
+        )["value"].to_numpy(zero_copy_only=False)
+        return ords, np.asarray(vals, dtype=object)
+    col = _docmap_col(seg_dir, field)
+    return _sorted_encode(col.to_numpy(zero_copy_only=False))
+
+
+def read_numeric(seg_dir: str, field: str):
+    """-> (per-doc numeric array, missing-bool array or None)."""
+    p = os.path.join(seg_dir, f"dv.{field}.num.npy")
+    if os.path.exists(p):
+        mp = os.path.join(seg_dir, f"dv.{field}.miss.npy")
+        miss = np.load(mp, mmap_mode="r") if os.path.exists(mp) else None
+        return np.load(p, mmap_mode="r"), miss
+    col = _docmap_col(seg_dir, field)
+    arr = col.to_numpy(zero_copy_only=False)
+    miss = None
+    if col.null_count:
+        miss = np.asarray(
+            col.is_null().combine_chunks().to_numpy(zero_copy_only=False))
+        arr = np.where(miss, 0, arr)
+    flt = pat.is_floating(col.type)
+    return arr.astype(np.float64 if flt else np.int64), miss
+
+
+def field_kind(seg_dir: str, field: str) -> str:
+    """'sorted' | 'numeric' for a field, from sidecars or docmap schema."""
+    if os.path.exists(os.path.join(seg_dir, f"dv.{field}.ords.npy")):
+        return "sorted"
+    if os.path.exists(os.path.join(seg_dir, f"dv.{field}.num.npy")):
+        return "numeric"
+    schema = pq.read_schema(os.path.join(seg_dir, "docmap.parquet"))
+    typ = schema.field(field).type
+    if pat.is_integer(typ) or pat.is_floating(typ):
+        return "numeric"
+    return "sorted"
+
+
+def take_values(seg_dir: str, field: str, docids: np.ndarray,
+                cache: dict | None = None) -> np.ndarray:
+    """Matched docs' raw values for grouping/sorting: values[ords[docids]]
+    (None for missing) or the numeric memmap slice. ``cache`` keys the
+    loaded sidecars per leaf (the per-segment DocValues reader reuse)."""
+    key = ("dvk", field)
+    if cache is not None and key in cache:
+        kind, payload = cache[key]
+    else:
+        kind = field_kind(seg_dir, field)
+        payload = (read_sorted(seg_dir, field) if kind == "sorted"
+                   else read_numeric(seg_dir, field))
+        if cache is not None:
+            cache[key] = (kind, payload)
+    if kind == "sorted":
+        ords, vals = payload
+        o = np.asarray(ords)[docids]
+        out = np.empty(len(o), dtype=object)
+        hit = o >= 0
+        out[hit] = vals[o[hit]]
+        out[~hit] = None
+        return out
+    arr, miss = payload
+    out = np.asarray(arr)[docids]
+    if miss is not None:
+        out = out.astype(object)
+        out[np.asarray(miss)[docids]] = None
+    return out

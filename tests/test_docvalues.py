@@ -1,0 +1,125 @@
+"""DocValues column-family tests: typed per-field sidecars (NUMERIC/SORTED),
+fallback derivation from docmap.parquet, build/merge regeneration, and the
+analytics paths reading through them."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.state import docvalues as dv
+
+
+def _docmap():
+    return pa.table({
+        "lang": pa.array(["py", "go", None, "py", "rs"], pa.string()),
+        "stars": pa.array([3, 1, 4, None, 5], pa.int64()),
+        "sha256": pa.array(list("abcde"), pa.string()),
+    })
+
+
+def test_roundtrip_and_fallback_equivalence(tmp_path):
+    d = str(tmp_path)
+    t = _docmap()
+    pq.write_table(t, os.path.join(d, "docmap.parquet"))
+
+    # BEFORE sidecars exist: reader derives from docmap
+    ords0, vals0 = dv.read_sorted(d, "lang")
+    num0, miss0 = dv.read_numeric(d, "stars")
+
+    dv.write_docvalues(d, t)
+    assert os.path.exists(os.path.join(d, "dv.lang.ords.npy"))
+    assert os.path.exists(os.path.join(d, "dv.stars.num.npy"))
+    assert os.path.exists(os.path.join(d, "dv.stars.miss.npy"))
+    # sha256 excluded (stored-fields-only, high-cardinality id)
+    assert not os.path.exists(os.path.join(d, "dv.sha256.ords.npy"))
+
+    ords1, vals1 = dv.read_sorted(d, "lang")
+    num1, miss1 = dv.read_numeric(d, "stars")
+    np.testing.assert_array_equal(np.asarray(ords0), np.asarray(ords1))
+    assert list(vals0) == list(vals1) == ["go", "py", "rs"]  # sorted dict
+    np.testing.assert_array_equal(np.asarray(num0), np.asarray(num1))
+    np.testing.assert_array_equal(np.asarray(miss0), np.asarray(miss1))
+
+    # ord order == value order (the SortedDocValues invariant); -1 = missing
+    assert list(np.asarray(ords1)) == [1, 0, -1, 1, 2]
+    assert np.asarray(ords1).dtype == np.int32
+
+    got = dv.take_values(d, "lang", np.array([0, 2, 4]))
+    assert list(got) == ["py", None, "rs"]
+    got_n = dv.take_values(d, "stars", np.array([0, 3, 4]))
+    assert list(got_n) == [3, None, 5]
+
+
+def test_build_and_merge_write_sidecars(ray_session, tmp_path):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+    from lucene_solr_old_ray.state import manifest as mf
+
+    d = str(tmp_path)
+    n = 30
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"alpha beta doc{i}" for i in range(n)], pa.string()),
+        "lang": pa.array([("en", "fr", "de")[i % 3] for i in range(n)],
+                         pa.string()),
+        "source": pa.array(["s0"] * n, pa.string()),
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), idx, target_docs_per_partition=8)
+
+    man = mf.read_index_manifest(idx)
+    segs = [s["dir"] for s in man["segments"]]
+    assert len(segs) > 1
+    for s in segs:
+        assert os.path.exists(os.path.join(idx, s, "dv.lang.ords.npy")), s
+
+    merge_index(idx, fan_in=8)
+    man2 = mf.read_index_manifest(idx)
+    for s in man2["segments"]:
+        sd = os.path.join(idx, s["dir"])
+        ords, vals = dv.read_sorted(sd, "lang")
+        assert os.path.exists(os.path.join(sd, "dv.lang.ords.npy"))
+        # merged segment ords are dense + sorted over the merged doc space
+        counts = np.bincount(np.asarray(ords), minlength=len(vals))
+        assert list(vals) == sorted(vals)
+        assert counts.sum() == s["num_docs"]
+
+
+def test_facet_counts_match_docmap_scan(ray_session, tmp_path):
+    """facet_counts (bincount-over-ords) == a direct docmap value count."""
+    import pandas as pd
+
+    from lucene_solr_old_ray.pipelines.analytics import facet_counts
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path)
+    n = 40
+    langs = [("en", "fr", "de", "es")[i % 4] for i in range(n)]
+    texts = [("needle word" if i % 2 == 0 else "other word")
+             for i in range(n)]
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s0"] * n, pa.string()),
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), idx, target_docs_per_partition=9)
+
+    got = facet_counts(idx, TermQuery("needle"), "lang").to_pandas()
+    want = (pd.DataFrame({"lang": langs, "m": [t.startswith("needle")
+                                               for t in texts]})
+            .query("m").groupby("lang").size()
+            .rename("count").reset_index())
+    pd.testing.assert_frame_equal(
+        got.sort_values("lang").reset_index(drop=True)[["lang", "count"]],
+        want.sort_values("lang").reset_index(drop=True)[["lang", "count"]],
+        check_dtype=False)

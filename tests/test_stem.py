@@ -58,3 +58,68 @@ def test_english_positions_preserved():
     got = sorted(zip(ab.positions.tolist(),
                      [ab.uniques[c] for c in ab.term_codes]))
     assert got == [(1, "run"), (2, "dog")]
+
+
+def test_light_stemmers_reference_examples():
+    """Savoy minimal/light stemmers (fr/de/es): spot vectors derived from
+    the reference algorithms' rules."""
+    from lucene_solr_old_ray.functions.stem import (
+        french_minimal_stem,
+        german_minimal_stem,
+        spanish_light_stem,
+    )
+
+    # FrenchMinimalStemmer: -aux -> -al; strip s/r/e/é + doubled consonant
+    assert french_minimal_stem("chevaux") == "cheval"
+    assert french_minimal_stem("chevalx") == "cheval"
+    assert french_minimal_stem("fromages") == "fromag"
+    assert french_minimal_stem("tomber") == "tomb"
+    assert french_minimal_stem("court") == "court"  # < 6 chars untouched
+    # GermanMinimalStemmer: umlaut fold + nen/en/se/es/er/single suffixes
+    assert german_minimal_stem("häusern") == "hauser"
+    assert german_minimal_stem("bäumen") == "baum"
+    assert german_minimal_stem("frauen") == "frau"
+    assert german_minimal_stem("hund") == "hund"
+    # SpanishLightStemmer: accent fold + o/a/e(+s), ces->z
+    assert spanish_light_stem("canciones") == "cancion"
+    assert spanish_light_stem("luces") == "luz"
+    assert spanish_light_stem("casas") == "cas"
+    assert spanish_light_stem("días") == "días"  # < 5 chars untouched
+    assert spanish_light_stem("diarias") == "diari"
+
+
+def test_light_stemmers_second_wave():
+    from lucene_solr_old_ray.functions.stem import (
+        italian_light_stem,
+        portuguese_light_stem,
+        russian_light_stem,
+        swedish_light_stem,
+    )
+
+    # ItalianLightStemmer: accent fold + final-vowel strip (ch/gh doubles)
+    assert italian_light_stem("abitanti") == "abitant"
+    assert italian_light_stem("lunghe") == "lung"
+    assert italian_light_stem("città") == "città"  # < 6 untouched
+    # PortugueseLightStemmer: ões->ão, plural s, feminine, fold last
+    assert portuguese_light_stem("corações") == "coraca"
+    assert portuguese_light_stem("bonitas") == "bonit"
+    assert portuguese_light_stem("chilenas") == "chilen"
+    # SwedishLightStemmer: longest-first ladder after plural s
+    assert swedish_light_stem("flickorna") == "flick"
+    assert swedish_light_stem("jakter") == "jakt"
+    assert swedish_light_stem("starkaste") == "stark"
+    # RussianLightStemmer: case ladder + ь/и/нн normalization
+    assert russian_light_stem("книгами") == "книг"
+    assert russian_light_stem("большие") == "больш"
+
+
+def test_language_analyzers_end_to_end():
+    from lucene_solr_old_ray.functions.analysis import analyze_batch, analyze_text
+
+    # "les" is < 6 chars: untouched by the minimal stemmer
+    assert analyze_text("les chevaux tomber", "french") == \
+        ["les", "cheval", "tomb"]
+    ab = analyze_batch(["häusern bäumen"], analyzer="german")
+    assert sorted(ab.uniques) == ["baum", "hauser"]
+    ab2 = analyze_batch(["canciones luces"], analyzer="spanish")
+    assert sorted(ab2.uniques) == ["cancion", "luz"]
