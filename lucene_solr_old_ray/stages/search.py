@@ -188,6 +188,24 @@ class LeafSearcher:
         up[-1] += 1
         return s, max(s, self._bisect(bytes(up), right=False))
 
+    def terms_range_arrow(self, s: int, e: int) -> pa.Array:
+        """Dict range [s, e) as a ZERO-COPY Arrow string view over the
+        packed term buffer (no per-term ``term_str`` calls) — the input to
+        vectorized MTQ expansion kernels."""
+        arr = self._filter_cache.get("terms_arrow")
+        if arr is None:
+            arr = pa.Array.from_buffers(
+                pa.large_utf8(), self.nterms,
+                [None, pa.py_buffer(self._toff), pa.py_buffer(self._tbuf)])
+            self._filter_cache["terms_arrow"] = arr
+        return arr.slice(s, e - s)
+
+    def terms_range_np(self, s: int, e: int) -> np.ndarray:
+        """Decoded terms of dict range [s, e) as one object ndarray (one
+        batch decode pass)."""
+        return np.asarray(
+            self.terms_range_arrow(s, e).to_numpy(zero_copy_only=False))
+
     def blob(self, ti: int) -> np.ndarray:
         o = int(self.off[ti])
         return self.postings_mm[o : o + int(self.len[ti])]
@@ -334,10 +352,12 @@ def _const_docs_of(leaf: LeafSearcher, tis: list[int]) -> np.ndarray:
 
 
 def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
-    """Term-dict expansion: narrow by the literal prefix, regex-filter the
-    range (the TermsEnum-over-automaton analogue; a compiled automaton is the
-    10^9-vocab path)."""
-    import re as _re
+    """Term-dict expansion: narrow by the literal prefix, then one
+    VECTORIZED anchored-LIKE pass over the range's packed term buffer
+    (``*``/``?`` map exactly onto SQL LIKE ``%``/``_`` — no regex-engine
+    semantics in play; the TermsEnum-over-automaton analogue, with a
+    compiled automaton as the 10^9-vocab path)."""
+    import pyarrow.compute as pc
 
     first = len(pattern)
     for i, ch in enumerate(pattern):
@@ -346,11 +366,13 @@ def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
             break
     prefix = pattern[:first]
     s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
-    rx = _re.compile(
-        "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                for c in pattern) + r"\Z"
-    )
-    return [ti for ti in range(s, e) if rx.match(leaf.term_str(ti))]
+    if e <= s:
+        return []
+    like = "".join("%" if c == "*" else "_" if c == "?"
+                   else "\\" + c if c in ("%", "_", "\\") else c
+                   for c in pattern)
+    mask = pc.match_like(leaf.terms_range_arrow(s, e), like)
+    return (s + np.flatnonzero(np.asarray(mask))).tolist()
 
 
 def _regexp_literal_prefix(pattern: str) -> str:
@@ -416,11 +438,14 @@ def _expand_regexp(leaf: LeafSearcher, pattern: str) -> list[int]:
 
     prefix = _regexp_literal_prefix(pattern)
     s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
+    if e <= s:
+        return []
+    strs = leaf.terms_range_np(s, e)  # one batch decode, no per-term calls
     if has_lucene_operators(pattern):
         lrx = compile_regexp(pattern)
-        return [ti for ti in range(s, e) if lrx.fullmatch(leaf.term_str(ti))]
+        return [s + i for i, t in enumerate(strs) if lrx.fullmatch(t)]
     rx = _re.compile(pattern)
-    return [ti for ti in range(s, e) if rx.fullmatch(leaf.term_str(ti))]
+    return [s + i for i, t in enumerate(strs) if rx.fullmatch(t)]
 
 
 def collect_mtq_terms(leaf: LeafSearcher, q) -> dict[str, int]:
@@ -430,7 +455,7 @@ def collect_mtq_terms(leaf: LeafSearcher, q) -> dict[str, int]:
     lf = leaf.sibling(q.field)
     if isinstance(q, PrefixQuery):
         s, e = lf.prefix_range(q.prefix)
-        return {lf.term_str(ti): 0 for ti in range(s, e)}
+        return {t: 0 for t in lf.terms_range_np(s, e)}
     if isinstance(q, WildcardQuery):
         return {lf.term_str(ti): 0 for ti in _expand_wildcard(lf, q.pattern)}
     if isinstance(q, RegexpQuery):

@@ -96,3 +96,48 @@ def test_subset_equals_python_re(pattern, strings):
     rx = re.compile(pattern)
     for s in strings + ["", "a", "abc", "0ab"]:
         assert lr.fullmatch(s) == bool(rx.fullmatch(s)), (pattern, s)
+
+
+# --- vectorized wildcard expansion == regex reference ----------------------
+
+class _FakeLeaf:
+    """Minimal term-dict stand-in for _expand_wildcard (sorted ASCII terms)."""
+
+    def __init__(self, terms):
+        import pyarrow as pa
+
+        self.terms = sorted(set(terms))
+        self.nterms = len(self.terms)
+        self._arr = pa.array(self.terms, pa.large_string())
+
+    def prefix_range(self, prefix):
+        s = sum(1 for t in self.terms if t < prefix)
+        e = s + sum(1 for t in self.terms if t.startswith(prefix))
+        return s, e
+
+    def terms_range_arrow(self, s, e):
+        return self._arr.slice(s, e - s)
+
+
+@st.composite
+def wildcard_pattern(draw):
+    chars = "ab%_\\*?c"
+    return "".join(draw(st.sampled_from(chars))
+                   for _ in range(draw(st.integers(1, 6))))
+
+
+@given(wildcard_pattern(),
+       st.lists(st.text(alphabet="ab%_\\c", max_size=6), min_size=0,
+                max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_wildcard_like_equals_re(pattern, terms):
+    """pc.match_like translation == the anchored-regex reference for every
+    wildcard pattern, including literal %, _ and backslash in terms."""
+    from lucene_solr_old_ray.stages.search import _expand_wildcard
+
+    leaf = _FakeLeaf(terms)
+    rx = re.compile(
+        "".join(".*" if c == "*" else "." if c == "?" else re.escape(c)
+                for c in pattern) + r"\Z")
+    want = [i for i, t in enumerate(leaf.terms) if rx.match(t)]
+    assert _expand_wildcard(leaf, pattern) == want, (pattern, leaf.terms)
