@@ -45,6 +45,7 @@ from lucene_solr_old_ray.queries import (
     MUST,
     BooleanClause,
     BooleanQuery,
+    CustomScoreQuery,
     DisjunctionMaxQuery,
     PrefixQuery,
     TermQuery,
@@ -334,8 +335,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, bool_query(shoulds=["vector", "stream", "batch"]))
 
     # --- docID-set queries (constant score) ------------------------------
-    q["boolean_hits_not"] = lambda sf: _hits_result(
-        _index_for(sf), bool_query(musts=["table"], must_nots=["merge", "slow"]))
+    # (boolean_hits_not consolidated out — MUST/MUST_NOT hit sets stay
+    # covered by bm25_top10_not + pytest — to keep a slot for the function
+    # query under the driver's 50-entry cap)
+    q["custom_score_top10"] = lambda sf: _bm25_result(
+        _index_for(sf),
+        CustomScoreQuery(TermQuery("spark"), "doc_id"))
     q["prefix_hits"] = lambda sf: _hits_result(_index_for(sf), PrefixQuery("s"))
     # (range_hits consolidated out — TermRangeQuery stays pytest-covered in
     # tests/test_search.py — to keep a slot for spell_suggest under the
@@ -526,7 +531,7 @@ ORDER BY doc_id"""
     sqls["bm25_boosted_top10"] = g.bm25_sql(
         shoulds=["spark", "window"], boosts={"spark": 2.5, "window": 0.5})
     sqls["classic_top10_or"] = g.classic_bool_or_sql(["vector", "stream", "batch"])
-    sqls["boolean_hits_not"] = g.hits_sql(musts=["table"], must_nots=["merge", "slow"])
+    sqls["custom_score_top10"] = g.custom_score_sql("spark")
     sqls["prefix_hits"] = g.hits_sql(prefix="s")
     sqls["spell_suggest"] = g.spell_suggest_sql(
         ["tabel", "strem", "vektor"], num_sug=5)

@@ -37,6 +37,7 @@ from ..queries import (
     BooleanClause,
     BooleanQuery,
     ConstantScoreQuery,
+    CustomScoreQuery,
     DisjunctionMaxQuery,
     FilteredQuery,
     FuzzyQuery,
@@ -179,6 +180,8 @@ def _collect_scoring_mtqs(q: Query, out: list) -> None:
         _collect_scoring_mtqs(q.filter, out)
     elif isinstance(q, ConstantScoreQuery):
         _collect_scoring_mtqs(q.query, out)
+    elif isinstance(q, CustomScoreQuery):
+        _collect_scoring_mtqs(q.query, out)
 
 
 def _replace_mtqs(q: Query, repl: dict) -> Query:
@@ -198,6 +201,8 @@ def _replace_mtqs(q: Query, repl: dict) -> Query:
                              _replace_mtqs(q.filter, repl), q.boost)
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(_replace_mtqs(q.query, repl), q.boost)
+    if isinstance(q, CustomScoreQuery):
+        return CustomScoreQuery(_replace_mtqs(q.query, repl), q.field, q.boost)
     return q
 
 

@@ -131,6 +131,32 @@ class MatchAllDocsQuery:
 
 
 @dataclass(frozen=True)
+class FunctionQuery:
+    """Re-expresses (NOT ports) ``queries/function/FunctionQuery.java:36``
+    with a ``FloatFieldSource`` value source
+    (``queries/function/valuesource/FloatFieldSource.java``): matches every
+    live doc; score(doc) = boost * float32(v(doc)) where v is a NUMERIC
+    doc-values field (missing value -> 0.0f, the FieldCache default)."""
+
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class CustomScoreQuery:
+    """Re-expresses ``queries/CustomScoreQuery.java:47``'s default
+    CustomScoreProvider with one value source: score =
+    subQueryScore * valSrcScore, in float32, where valSrc is the numeric
+    doc-values ``field`` (missing -> 0.0f). The query ``boost`` folds into
+    the subquery's execution boost (Lucene's topLevelBoost normalization
+    order)."""
+
+    query: "Query"
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     occur: str  # MUST | SHOULD | MUST_NOT
     query: "Query"
@@ -314,6 +340,8 @@ def needs_rewrite(q: "Query") -> bool:
         return needs_rewrite(q.query) or needs_rewrite(q.filter)
     if isinstance(q, ConstantScoreQuery):
         return needs_rewrite(q.query)
+    if isinstance(q, CustomScoreQuery):
+        return needs_rewrite(q.query)
     return False
 
 
@@ -368,6 +396,8 @@ def collect_terms(q: Query) -> set[str]:
         return collect_terms(q.query) | collect_terms(q.filter)
     if isinstance(q, ConstantScoreQuery):
         return collect_terms(q.query)
+    if isinstance(q, CustomScoreQuery):
+        return collect_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
@@ -394,6 +424,8 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, FilteredQuery):
         return collect_field_terms(q.query) | collect_field_terms(q.filter)
     if isinstance(q, ConstantScoreQuery):
+        return collect_field_terms(q.query)
+    if isinstance(q, CustomScoreQuery):
         return collect_field_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery)):

@@ -712,6 +712,22 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ORDER BY rank"""
 
 
+def custom_score_sql(term: str, k: int = 10) -> str:
+    """CustomScoreQuery(TermQuery(term), field=doc_id) oracle
+    (``queries/CustomScoreQuery.java:47`` default provider): score =
+    f32(bm25_f32 * f32(doc_id)) -> (rank, doc_id, score) top-k."""
+    ctes = [base_ctes(), term_score_cte("m1", term, 1.0)]
+    score = f32(f"m1.s * {f32('d.doc_id')}")
+    return f"""WITH {",".join(ctes)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (SELECT d.doc_id AS doc_id, {score} AS score
+        FROM doccache d JOIN m1 ON m1.doc_id = d.doc_id)
+) WHERE rank <= {k}
+ORDER BY rank"""
+
+
 # --- span queries -----------------------------------------------------------
 
 

@@ -37,8 +37,10 @@ from ..queries import (
     SHOULD,
     BooleanQuery,
     ConstantScoreQuery,
+    CustomScoreQuery,
     DisjunctionMaxQuery,
     FilteredQuery,
+    FunctionQuery,
     FuzzyQuery,
     NumericRangeQuery,
     RegexpQuery,
@@ -258,6 +260,20 @@ class LeafSearcher:
         stored-fields row store)."""
         return dvals.take_values(self.dir, field, docids,
                                  cache=self._filter_cache)
+
+    def dv_numeric_f32(self, field: str) -> np.ndarray:
+        """NUMERIC doc-values as a per-doc float32 array (missing -> 0.0f,
+        the FieldCache default) — the FloatFieldSource value stream for
+        function queries. Cached per leaf."""
+        key = ("dv_num_f32", field)
+        v = self._filter_cache.get(key)
+        if v is None:
+            arr, miss = dvals.read_numeric(self.dir, field)
+            v = np.asarray(arr, dtype=np.float32)
+            if miss is not None:
+                v = np.where(np.asarray(miss), np.float32(0.0), v)
+            self._filter_cache[key] = v
+        return v
 
 
 @dataclass
@@ -582,6 +598,14 @@ def _execute_raw(
     if isinstance(q, MatchAllDocsQuery):
         docs = np.arange(leaf.num_docs, dtype=np.int64)
         return docs, np.full(leaf.num_docs, np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, FunctionQuery):
+        docs = np.arange(leaf.num_docs, dtype=np.int64)
+        vals = leaf.dv_numeric_f32(q.field)
+        return docs, (np.float32(boost * q.boost) * vals).astype(np.float32)
+    if isinstance(q, CustomScoreQuery):
+        docids, scores = execute(q.query, leaf, ctx, boost * q.boost)
+        vals = leaf.dv_numeric_f32(q.field)[docids]
+        return docids, (scores * vals).astype(np.float32)
     if isinstance(q, PrefixQuery):
         lf = leaf.sibling(q.field)
         docs = _const_docs(lf, lf.prefix_range(q.prefix))
