@@ -688,13 +688,30 @@ SELECT query_id, rank, vec_id, cos_bp FROM (
   FROM (SELECT * FROM embeddings WHERE vec_id IN (0,1,2,3,4)) q
   JOIN embeddings e ON e.vec_id <> q.vec_id
 ) WHERE rank <= 10 ORDER BY query_id, rank"""
+    # closed forms of the deterministic WAV/BMP/RVID payload generators in
+    # stages/multimodal.py; the Ray side reads every one of these features
+    # from the DECODED bytes, so a green row proves the decode itself
     sqls["media_features"] = """
 SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CAST(length(text) AS BIGINT) AS byte_len,
-       CAST((length(text) + 255) // 256 AS BIGINT) AS chunk_count,
-       CASE WHEN length(text) = 0 THEN 0
-            ELSE ascii(substring(text, 1, 1)) END AS head_byte
+       CAST(CASE
+         WHEN doc_id % 3 = 0 THEN
+           54 + (((3 * (8 + doc_id % 32) + 3) // 4) * 4) * (8 + doc_id % 24)
+         WHEN doc_id % 3 = 1 THEN 44 + 2 * (400 + (doc_id % 97) * 8)
+         ELSE 16 + (2 + doc_id % 7) * 144 END AS BIGINT) AS byte_len,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 0 END AS BIGINT)
+         AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 400 + (doc_id % 97) * 8
+                 ELSE 0 END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 32
+                 WHEN doc_id % 3 = 2 THEN 16 ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 24
+                 WHEN doc_id % 3 = 2 THEN 9 ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 2 + doc_id % 7
+                 ELSE 0 END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256
+                 WHEN doc_id % 3 = 1 THEN 1000 + doc_id % 20000
+                 ELSE (doc_id * 7) % 256 END AS DOUBLE) AS mean_value
 FROM documents ORDER BY doc_id"""
     return sqls

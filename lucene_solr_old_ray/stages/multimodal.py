@@ -1,39 +1,125 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata,
-decoded/feature-extracted by an actor-pool stage.
+"""Multimodal columns: opaque binary payloads + typed metadata, decoded and
+feature-extracted by an actor-pool ``map_batches`` stage.
 
-The image/audio decode libraries are not in this container, so the decode step
-is STUBBED: ``MediaFeatureStage`` tries to import PIL at actor init and falls
-back to a deterministic byte-level feature extractor. Everything around the
-stub is real and tested — the binary Arrow schema, the actor-pool stage shape
-(decoder state built once per actor in ``__init__``), small batch sizes for
-wide binary rows, and the output layout.
+The payloads are REAL encoded media in formats decodable with the stdlib +
+numpy alone (no PIL/ffmpeg in this container):
 
-Scale notes: binary payloads stay in Arrow ``binary`` columns end to end
-(zero-copy from the object store; no pandas object-dtype detour);
-``batch_size`` is small (256) because row width dominates; a real decoder
-slots into ``_decode_real`` without touching the pipeline.
+  - audio  -> WAV (RIFF, PCM 16-bit mono; written with stdlib ``wave``)
+  - image  -> BMP (BITMAPINFOHEADER, 24-bit bottom-up rows, 4-byte row pad)
+  - video  -> ``RVID`` — a tiny documented raw container:
+              magic ``RVID`` | u32 n_frames | u32 width | u32 height,
+              then n_frames planes of width*height grayscale bytes
+              (little-endian header fields)
+
+``MediaFeatureStage`` sniffs the container magic and genuinely decodes:
+WAV via ``wave`` + ``np.frombuffer`` (sample rate, sample count, RMS over
+the decoded PCM), BMP via header struct + row-unpadded numpy view (width,
+height, mean over decoded pixels), RVID via its header (frame count, mean
+of the first decoded frame). Compressed codecs (JPEG/PNG magic) raise
+``NotImplementedError`` — a format-coverage gap (needs PIL), not a stub of
+the decode step.
+
+Scale shape: payloads stay in Arrow ``binary`` columns end to end
+(zero-copy from the object store; no pandas object-dtype detour); the
+decoder is a callable CLASS so per-actor state (format dispatch table) is
+built once in ``__init__``; ``batch_size`` is small (256) because row
+width dominates; per-batch output is columnar.
+
+The synthetic media table is DETERMINISTIC in ``doc_id`` (waveform
+amplitude, image color, frame values are fixed arithmetic on the id), so
+every decoded feature has a closed form and the driver oracle can verify
+the decode end-to-end in SQL — the features below are read from the
+DECODED bytes, never from the generator's parameters.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+
+import numpy as np
 import pyarrow as pa
 import ray.data
 
 
+# ---------------------------------------------------------------- encoders
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    """PCM16 mono 8 kHz square wave: amplitude 1000 + doc_id % 20000,
+    n_samples = 400 + (doc_id % 97) * 8 (even, so +A/-A alternation has
+    RMS exactly A and mean exactly 0)."""
+    amp = 1000 + doc_id % 20000
+    n = 400 + (doc_id % 97) * 8
+    samples = np.empty(n, dtype=np.int16)
+    samples[0::2] = amp
+    samples[1::2] = -amp
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _bmp_bytes(doc_id: int) -> bytes:
+    """24-bit BMP, width 8 + doc_id % 32, height 8 + doc_id % 24, solid
+    gray level doc_id % 256 in all three channels."""
+    w = 8 + doc_id % 32
+    h = 8 + doc_id % 24
+    c = doc_id % 256
+    stride = (3 * w + 3) // 4 * 4
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.full((h, stride), 0, dtype=np.uint8)
+    rows[:, : 3 * w] = c
+    return header + rows.tobytes()
+
+
+def _rvid_bytes(doc_id: int) -> bytes:
+    """RVID container: 2 + doc_id % 7 frames of 16x9 grayscale; frame k is
+    the solid value (doc_id * 7 + k) % 256."""
+    n_frames = 2 + doc_id % 7
+    w, h = 16, 9
+    head = b"RVID" + struct.pack("<III", n_frames, w, h)
+    frames = [
+        np.full(w * h, (doc_id * 7 + k) % 256, dtype=np.uint8).tobytes()
+        for k in range(n_frames)
+    ]
+    return head + b"".join(frames)
+
+
 def media_table_from_documents(sf_dir: str) -> str:
-    """Derive a deterministic media table: payload = utf-8 bytes of the text
-    (a stand-in blob), media_type by doc_id. Returns a parquet path under /tmp."""
+    """Derive the deterministic media table (doc_id, media_type, payload)
+    with REAL encoded payloads; cached under /tmp. media_type cycles
+    image/audio/video by ``doc_id % 3``."""
     import os
     import pyarrow.parquet as pq
 
-    out = f"/tmp/lsor_media/{sf_dir.strip('/').replace('/', '_')}.parquet"
+    out = f"/tmp/lsor_media/{sf_dir.strip('/').replace('/', '_')}-v2.parquet"
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    payloads = [(x or "").encode("utf-8") for x in t["text"].to_pylist()]
-    kinds = ["image" if int(d) % 3 == 0 else ("audio" if int(d) % 3 == 1 else "video")
-             for d in t["doc_id"].to_pylist()]
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = [int(d) for d in t["doc_id"].to_pylist()]
+    kinds, payloads = [], []
+    for d in ids:
+        m = d % 3
+        if m == 0:
+            kinds.append("image")
+            payloads.append(_bmp_bytes(d))
+        elif m == 1:
+            kinds.append("audio")
+            payloads.append(_wav_bytes(d))
+        else:
+            kinds.append("video")
+            payloads.append(_rvid_bytes(d))
     media = pa.table({
         "doc_id": t["doc_id"],
         "media_type": pa.array(kinds, pa.string()),
@@ -43,53 +129,88 @@ def media_table_from_documents(sf_dir: str) -> str:
     return out
 
 
+# ---------------------------------------------------------------- decoders
+
+
+def _decode_wav(payload: bytes) -> dict:
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
+    return {"sample_rate": rate, "n_samples": n * ch,
+            "width": 0, "height": 0, "n_frames": 0, "mean_value": rms}
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_sz, w, h = struct.unpack_from("<Iii", payload, 14)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24 or hdr_sz < 40:
+        raise NotImplementedError("only 24-bit BITMAPINFOHEADER BMPs")
+    hh = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * hh, offset=off).reshape(hh, stride)
+    pix = rows[:, : 3 * w].astype(np.float64)
+    return {"sample_rate": 0, "n_samples": 0, "width": w, "height": hh,
+            "n_frames": 0, "mean_value": float(pix.mean())}
+
+
+def _decode_rvid(payload: bytes) -> dict:
+    n_frames, w, h = struct.unpack_from("<III", payload, 4)
+    f0 = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=16)
+    return {"sample_rate": 0, "n_samples": 0, "width": w, "height": h,
+            "n_frames": n_frames, "mean_value": float(f0.astype(np.float64).mean())}
+
+
 class MediaFeatureStage:
-    """Actor-pool stage: decoder initialised once per actor; per-batch feature
-    extraction over Arrow binary columns."""
+    """Actor-pool stage: magic-sniffing decode dispatch built once per actor
+    in ``__init__``; per-batch decode + columnar feature assembly in
+    ``__call__``."""
 
     def __init__(self):
-        try:  # real decoder if ever available
-            import PIL.Image  # noqa: F401
+        self.dispatch = [
+            (b"RIFF", _decode_wav),
+            (b"BM", _decode_bmp),
+            (b"RVID", _decode_rvid),
+        ]
 
-            self.backend = "pil"
-        except Exception:
-            self.backend = "stub"
-
-    def _decode_real(self, payload: bytes, media_type: str) -> dict:
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg, not present in this container"
-        )
-
-    def _decode_stub(self, payload: bytes, media_type: str) -> dict:
-        """Deterministic byte-level features standing in for decode output."""
-        n = len(payload)
-        head = payload[0] if n else 0
-        return {
-            "byte_len": n,
-            "chunk_count": (n + 255) // 256,
-            "head_byte": int(head),
-        }
+    def _decode(self, payload: bytes) -> dict:
+        for magic, fn in self.dispatch:
+            if payload[: len(magic)] == magic:
+                return fn(payload)
+        if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError(
+                "JPEG/PNG decode requires PIL, not present in this container")
+        raise ValueError(f"unknown media container: {payload[:4]!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = {"byte_len": [], "chunk_count": [], "head_byte": []}
-        types = batch["media_type"].to_pylist()
-        for payload, mt in zip(batch["payload"].to_pylist(), types):
-            d = (self._decode_stub if self.backend == "stub" else self._decode_real)(
-                payload or b"", mt
-            )
-            for k in feats:
-                feats[k].append(d[k])
+        payloads = batch["payload"].to_pylist()
+        cols = {"sample_rate": [], "n_samples": [], "width": [],
+                "height": [], "n_frames": [], "mean_value": []}
+        for payload in payloads:
+            d = self._decode(payload or b"")
+            for k in cols:
+                cols[k].append(d[k])
         return pa.table({
             "doc_id": batch["doc_id"],
             "media_type": batch["media_type"],
-            "byte_len": pa.array(feats["byte_len"], pa.int64()),
-            "chunk_count": pa.array(feats["chunk_count"], pa.int64()),
-            "head_byte": pa.array(feats["head_byte"], pa.int64()),
+            "byte_len": pa.array([len(p or b"") for p in payloads], pa.int64()),
+            "sample_rate": pa.array(cols["sample_rate"], pa.int64()),
+            "n_samples": pa.array(cols["n_samples"], pa.int64()),
+            "width": pa.array(cols["width"], pa.int64()),
+            "height": pa.array(cols["height"], pa.int64()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
+            "mean_value": pa.array(cols["mean_value"], pa.float64()),
         })
 
 
 def media_features(sf_dir: str) -> pa.Table:
-    """Actor-pool feature extraction over the derived media table."""
+    """Actor-pool decode + feature extraction over the derived media table."""
     path = media_table_from_documents(sf_dir)
     ds = ray.data.read_parquet(path)
     out = ds.map_batches(

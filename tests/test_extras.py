@@ -72,29 +72,53 @@ def test_quality_stats_consistency(ray_session):
     assert (out["n_unique"] <= out["n_kept"]).all()
 
 
-def test_media_stage_stub(ray_session):
+def test_media_stage_decodes_real_containers(ray_session):
+    from lucene_solr_old_ray.stages.multimodal import (
+        _bmp_bytes, _rvid_bytes, _wav_bytes)
+
     st = MediaFeatureStage()
-    assert st.backend == "stub"  # no PIL in this container
     import pyarrow as pa
 
     batch = pa.table({
-        "doc_id": pa.array([1, 2], pa.int64()),
-        "media_type": pa.array(["image", "audio"]),
-        "payload": pa.array([b"hello world", b""], pa.binary()),
+        "doc_id": pa.array([3, 4, 5], pa.int64()),
+        "media_type": pa.array(["image", "audio", "video"]),
+        "payload": pa.array(
+            [_bmp_bytes(3), _wav_bytes(4), _rvid_bytes(5)], pa.binary()),
     })
     out = st(batch).to_pandas()
-    assert out["byte_len"].tolist() == [11, 0]
-    assert out["chunk_count"].tolist() == [1, 0]
-    assert out["head_byte"].tolist() == [ord("h"), 0]
+    # BMP doc 3: 11x11 solid gray 3
+    assert out.loc[0, ["width", "height", "mean_value"]].tolist() == [11, 11, 3.0]
+    # WAV doc 4: 8 kHz, 400 + 4*8 samples, square wave RMS == amplitude 1004
+    assert out.loc[1, "sample_rate"] == 8000
+    assert out.loc[1, "n_samples"] == 432
+    assert out.loc[1, "mean_value"] == 1004.0
+    # RVID doc 5: 2 + 5%7 = 7 frames of 16x9, frame 0 value (5*7)%256 = 35
+    assert out.loc[2, ["n_frames", "width", "height", "mean_value"]].tolist() \
+        == [7, 16, 9, 35.0]
+    # byte_len comes from the encoded container, not the generator
+    assert out.loc[1, "byte_len"] == 44 + 2 * 432
+
+
+def test_media_stage_rejects_compressed_and_unknown():
+    st = MediaFeatureStage()
     with pytest.raises(NotImplementedError):
-        st._decode_real(b"x", "image")
+        st._decode(b"\xff\xd8\xff\xe0 jpeg")
+    with pytest.raises(NotImplementedError):
+        st._decode(b"\x89PNG\r\n\x1a\nrest")
+    with pytest.raises(ValueError):
+        st._decode(b"????")
 
 
 def test_media_features_pipeline(ray_session):
     out = media_features(SF).to_pandas()
-    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
-    merged = out.merge(docs, on="doc_id")
-    assert (merged["byte_len"] == merged["text"].str.len()).all()  # ascii corpus
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    assert len(out) == len(docs)
+    img = out[out["media_type"] == "image"]
+    assert (img["mean_value"] == (img["doc_id"] % 256).astype(float)).all()
+    aud = out[out["media_type"] == "audio"]
+    assert (aud["mean_value"] == (1000 + aud["doc_id"] % 20000).astype(float)).all()
+    vid = out[out["media_type"] == "video"]
+    assert (vid["n_frames"] == 2 + vid["doc_id"] % 7).all()
 
 
 def test_dedup_clusters_are_connected_components(ray_session):
