@@ -4,9 +4,12 @@ Re-expresses the reference's query tree (``search/TermQuery.java``,
 ``search/BooleanQuery.java`` MUST/SHOULD/MUST_NOT + minimumNumberShouldMatch,
 ``search/MatchAllDocsQuery.java``, ``search/PrefixQuery.java``,
 ``search/TermRangeQuery.java``, ``search/DisjunctionMaxQuery.java``) as plain
-dataclasses, and the classic parser subset
+dataclasses, and the classic parser
 (``queryparser/.../classic/QueryParserBase.java``): ``term``, ``+term``,
-``-term``, ``AND/OR/NOT``, ``field:term`` (single-field engine: field ignored).
+``-term``, ``AND/OR/NOT/&&/||/!`` with Lucene's pairwise occur rules,
+``(groups)``, ``field:term`` / ``field:(...)``, ``"phrase"~slop``,
+``[a TO b]`` / ``{a TO b}`` ranges, ``term~edits`` fuzzy, wildcard /
+prefix atoms, and ``^boost`` postfixes.
 
 Query-time text goes through the same analysis chain as indexing (the
 reference's QueryParser analyzes terms); a term that analyzes to nothing
@@ -435,75 +438,196 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
     return set()
 
 
+import re as _pre
+
+# lexer for the classic syntax: connectors, modifiers, grouping, a field
+# prefix, quoted phrases, [..] / {..} ranges, and bare terms; ~fuzzy/slop
+# and ^boost postfixes are matched separately after each atom
+_LEX = _pre.compile(r"""
+    (?P<ws>\s+)
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<field>[A-Za-z_][\w.]*(?=:)):
+  | "(?P<quoted>[^"]*)"
+  | (?P<range>[\[{][^\]}]*?\s+TO\s+[^\]}]*?[\]}])
+  | (?P<term>[^\s()^~"]+)
+""", _pre.VERBOSE)
+_POSTFIX = _pre.compile(r"(?:~(?P<sim>\d+(?:\.\d+)?)?)?(?:\^(?P<boost>\d+(?:\.\d+)?))?")
+
+
+def _fuzzy_edits(sim: str | None, term_len: int) -> int:
+    """``~`` postfix value -> max edits (``search/FuzzyQuery.java:234``
+    floatToEdits: floats < 1 are the legacy similarity scale)."""
+    if sim is None or sim == "":
+        return 2
+    v = float(sim)
+    if v >= 1.0:
+        return min(int(v), 2)
+    return min(int((1.0 - v) * term_len), 2)
+
+
 def parse(text: str, default_field: str | None = None) -> Query:
-    """Minimal classic-syntax parser: whitespace-separated terms with +/-
-    prefixes, AND/OR/NOT connectors, ``"quoted phrases"``, ``wild*card`` /
-    ``wild?card`` patterns, and trailing-``~`` fuzzy terms. ``field:term``
-    targets the named indexed field (``QueryParserBase.getFieldQuery``); a
-    field equal to ``default_field`` maps to the unqualified content field.
-    Bare terms are SHOULD; ``x AND y`` makes both MUST; ``NOT x`` == ``-x``.
-    """
-    import re as _re
+    """Classic-syntax parser (``queryparser/classic/QueryParserBase.java``
+    semantics with the default-OR operator): ``+term -term``, ``AND OR NOT
+    && || !`` connectors with Lucene's pairwise occur rules (``x AND y``
+    promotes x to MUST and makes y MUST; bare terms are SHOULD),
+    ``(grouped clauses)``, ``field:term`` and ``field:(...)`` scoping,
+    ``"quoted phrases"`` with ``~slop``, ``[a TO b]`` / ``{a TO b}`` term
+    ranges (``*`` = open bound), trailing-``*`` prefix / embedded
+    ``*``/``?`` wildcard, ``term~`` fuzzy (optional edits or legacy
+    similarity float), and ``^boost`` on any atom or group. A field equal
+    to ``default_field`` maps to the unqualified content field."""
+    q, _ = _parse_clauses(text, 0, None, default_field)
+    return q
 
-    # extract quoted phrases first
-    phrases: list[tuple[str, str]] = []  # (occur-prefix, phrase text)
 
-    def _grab(m):
-        phrases.append((m.group(1) or "", m.group(2)))
-        return " "
+def _with_boost(q: Query, boost: float) -> Query:
+    if boost == 1.0:
+        return q
+    from dataclasses import replace as _replace
 
-    text = _re.sub(r'([+-]?)"([^"]*)"', _grab, text)
-    tokens = text.split()
+    return _replace(q, boost=q.boost * boost)
+
+
+def _add_clause(clauses: list[BooleanClause], conj: str | None,
+                mods: str | None, q: Query) -> None:
+    """``QueryParserBase.addClause``: AND promotes the previous
+    non-prohibited clause to MUST; the new clause is MUST if ``+`` or an
+    un-modified AND operand, MUST_NOT if ``-``/NOT, else SHOULD."""
+    if clauses and conj == "AND":
+        prev = clauses[-1]
+        if prev.occur != MUST_NOT:
+            clauses[-1] = BooleanClause(MUST, prev.query)
+    if mods == "NOT":
+        occur = MUST_NOT
+    elif mods == "REQ" or conj == "AND":
+        occur = MUST
+    else:
+        occur = SHOULD
+    clauses.append(BooleanClause(occur, q))
+
+
+def _parse_clauses(text: str, pos: int, field_ctx: str | None,
+                   default_field: str | None) -> tuple[Query, int]:
     clauses: list[BooleanClause] = []
-    pending_occur = None
-    conj_and = any(t == "AND" for t in tokens)
-    i = 0
-    while i < len(tokens):
-        tok = tokens[i]
-        if tok in ("AND", "OR"):
-            i += 1
+    conj: str | None = None
+    mods: str | None = None
+    n = len(text)
+    while pos < n:
+        m = _LEX.match(text, pos)
+        if m is None:  # unlexable char (stray ^/~/"): skip it
+            pos += 1
             continue
-        if tok == "NOT":
-            pending_occur = MUST_NOT
-            i += 1
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
             continue
-        occur = SHOULD if not conj_and else MUST
-        if tok.startswith("+"):
-            occur, tok = MUST, tok[1:]
-        elif tok.startswith("-"):
-            occur, tok = MUST_NOT, tok[1:]
-        if pending_occur:
-            occur = pending_occur
-            pending_occur = None
-        fld: str | None = None
-        if ":" in tok:
-            fld, tok = tok.split(":", 1)
-            if not fld or fld == default_field:
-                fld = None
-        if tok.endswith("~"):
-            base = analyze_text(tok[:-1])
-            if base:
-                clauses.append(
-                    BooleanClause(occur, FuzzyQuery(base[0], 2, field=fld)))
-            i += 1
+        if kind == "rparen":
+            pos -= 1  # caller consumes it
+            break
+        if kind == "and":
+            conj = "AND"
             continue
-        if "*" in tok or "?" in tok:
-            clauses.append(
-                BooleanClause(occur, WildcardQuery(tok.lower(), field=fld)))
-            i += 1
+        if kind == "or":
+            conj = "OR"
             continue
-        tq = term(tok)
-        if tq is not None:
-            if fld is not None:
-                tq = TermQuery(tq.term, tq.boost, field=fld)
-            clauses.append(BooleanClause(occur, tq))
-        i += 1
-    default_occur = MUST if conj_and else SHOULD
-    for prefix, ptext in phrases:
-        occ = MUST if prefix == "+" else MUST_NOT if prefix == "-" else default_occur
-        terms = tuple(analyze_text(ptext))
-        if terms:
-            clauses.append(BooleanClause(occ, PhraseQuery(terms)))
+        if kind in ("not", "minus"):
+            mods = "NOT"
+            continue
+        if kind == "plus":
+            mods = "REQ"
+            continue
+
+        fld = field_ctx
+        if kind == "field":
+            name = m.group("field")
+            fld = None if name == default_field else name
+            nxt = _LEX.match(text, pos)
+            if nxt is None:
+                break
+            pos = nxt.end()
+            kind = nxt.lastgroup
+            m = nxt
+            if kind in ("ws", "and", "or", "not", "plus", "minus",
+                        "rparen"):
+                # dangling "field:" — treat the connector normally next loop
+                pos = m.start()
+                continue
+
+        q: Query | None = None
+        if kind == "lparen":
+            q, pos = _parse_clauses(text, pos, fld, default_field)
+            cm = _pre.compile(r"\s*\)").match(text, pos)
+            if cm:
+                pos = cm.end()
+        elif kind == "quoted":
+            terms = tuple(analyze_text(m.group("quoted")))
+            pf = _POSTFIX.match(text, pos)
+            slop = 0
+            boost = 1.0
+            if pf and pf.end() > pf.start():
+                slop = int(float(pf.group("sim") or 0))
+                boost = float(pf.group("boost") or 1.0)
+                pos = pf.end()
+            if len(terms) == 1:
+                q = TermQuery(terms[0], boost, field=fld)
+            elif terms:
+                q = PhraseQuery(terms, slop=slop, boost=boost, field=fld)
+            if q is not None:
+                _add_clause(clauses, conj, mods, q)
+            conj = mods = None
+            continue
+        elif kind == "range":
+            r = m.group("range")
+            lo_inc, hi_inc = r[0] == "[", r[-1] == "]"
+            body = r[1:-1]
+            lo_s, hi_s = _pre.split(r"\s+TO\s+", body, maxsplit=1)
+            lo = None if lo_s.strip() in ("*", "") else lo_s.strip().lower()
+            hi = None if hi_s.strip() in ("*", "") else hi_s.strip().lower()
+            q = TermRangeQuery(lo, hi, include_lower=lo_inc,
+                               include_upper=hi_inc, field=fld)
+        else:  # bare term
+            tok = m.group("term")
+            pf = _POSTFIX.match(text, pos)
+            sim = boost_s = None
+            if pf and pf.end() > pf.start():
+                sim = pf.group("sim")
+                boost_s = pf.group("boost")
+                fuzzy = text[pos] == "~"
+                pos = pf.end()
+            else:
+                fuzzy = False
+            boost = float(boost_s) if boost_s else 1.0
+            if fuzzy:
+                base = analyze_text(tok)
+                if base:
+                    q = FuzzyQuery(base[0], _fuzzy_edits(sim, len(base[0])),
+                                   boost=boost, field=fld)
+            elif "*" in tok or "?" in tok:
+                low = tok.lower()
+                if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+                    q = PrefixQuery(low[:-1], boost=boost, field=fld)
+                else:
+                    q = WildcardQuery(low, boost=boost, field=fld)
+            else:
+                terms = analyze_text(tok)
+                if len(terms) == 1:
+                    q = TermQuery(terms[0], boost, field=fld)
+                elif terms:  # analyzer split the token: positional phrase
+                    q = PhraseQuery(tuple(terms), boost=boost, field=fld)
+        if q is not None:
+            if kind in ("lparen", "range"):
+                pf = _POSTFIX.match(text, pos)
+                if pf and pf.end() > pf.start():
+                    q = _with_boost(q, float(pf.group("boost") or 1.0))
+                    pos = pf.end()
+            _add_clause(clauses, conj, mods, q)
+        conj = mods = None
     if len(clauses) == 1 and clauses[0].occur != MUST_NOT:
-        return clauses[0].query
-    return BooleanQuery(tuple(clauses))
+        return clauses[0].query, pos
+    return BooleanQuery(tuple(clauses)), pos

@@ -1,0 +1,134 @@
+"""Classic query-parser syntax (queryparser/classic/QueryParserBase.java
+semantics, default-OR operator; cases modeled on the reference's
+queryparser/src/test/.../classic/TestQueryParser.java)."""
+
+import pytest
+
+from lucene_solr_old_ray.queries import (
+    MUST, MUST_NOT, SHOULD,
+    BooleanQuery, FuzzyQuery, PhraseQuery, PrefixQuery, TermQuery,
+    TermRangeQuery, WildcardQuery, parse,
+)
+
+
+def occurs(q):
+    assert isinstance(q, BooleanQuery)
+    return [(c.occur, c.query) for c in q.clauses]
+
+
+def test_bare_terms_are_should():
+    got = occurs(parse("foo bar"))
+    assert got == [(SHOULD, TermQuery("foo")), (SHOULD, TermQuery("bar"))]
+
+
+def test_and_promotes_both_operands():
+    got = occurs(parse("foo AND bar"))
+    assert [o for o, _ in got] == [MUST, MUST]
+
+
+def test_and_or_mix_is_pairwise_not_global():
+    # Lucene: "a AND b OR c" -> +a +b c (AND only touches its operands)
+    got = occurs(parse("foo AND bar OR baz"))
+    assert [o for o, _ in got] == [MUST, MUST, SHOULD]
+
+
+def test_plus_minus_and_not():
+    got = occurs(parse("+foo -bar NOT baz"))
+    assert [o for o, _ in got] == [MUST, MUST_NOT, MUST_NOT]
+
+
+def test_double_amp_and_bang_aliases():
+    assert [o for o, _ in occurs(parse("foo && bar"))] == [MUST, MUST]
+    assert [o for o, _ in occurs(parse("!foo bar"))] == [MUST_NOT, SHOULD]
+
+
+def test_grouping_parens():
+    q = parse("(error OR warning) AND fatal")
+    (o1, inner), (o2, t2) = occurs(q)
+    assert o1 == MUST and o2 == MUST and t2 == TermQuery("fatal")
+    assert [o for o, _ in occurs(inner)] == [SHOULD, SHOULD]
+
+
+def test_group_boost():
+    q = parse("(error warning)^2")
+    assert isinstance(q, BooleanQuery) and q.boost == 2.0
+
+
+def test_field_scoping_single_and_group():
+    q = parse("pathf:m3")
+    assert q == TermQuery("m3", field="pathf")
+    q = parse("pathf:(m3 OR m4)")
+    assert all(c.query.field == "pathf" for c in q.clauses)
+
+
+def test_default_field_maps_to_unqualified():
+    assert parse("content:foo", default_field="content") == TermQuery("foo")
+
+
+def test_phrase_with_slop_and_boost():
+    q = parse('"token stream"~3^2')
+    assert q == PhraseQuery(("token", "stream"), slop=3, boost=2.0)
+
+
+def test_single_term_phrase_is_term_query():
+    assert parse('"foo"') == TermQuery("foo")
+
+
+def test_term_range_inclusive_exclusive():
+    q = parse("titlef:[apple TO banana]")
+    assert q == TermRangeQuery("apple", "banana", include_lower=True,
+                               include_upper=True, field="titlef")
+    q = parse("{apple TO banana}")
+    assert (q.include_lower, q.include_upper) == (False, False)
+
+
+def test_open_ended_range():
+    q = parse("[* TO zoo]")
+    assert q.lower is None and q.upper == "zoo"
+
+
+def test_fuzzy_suffix_edits_and_legacy_similarity():
+    assert parse("roam~") == FuzzyQuery("roam", 2)
+    assert parse("roam~1") == FuzzyQuery("roam", 1)
+    # legacy float: edits = int((1-0.5)*4) = 2
+    assert parse("roam~0.5") == FuzzyQuery("roam", 2)
+    assert parse("roam~0.8") == FuzzyQuery("roam", 0)
+
+
+def test_fuzzy_with_boost():
+    assert parse("roam~2^3") == FuzzyQuery("roam", 2, boost=3.0)
+
+
+def test_trailing_star_is_prefix_embedded_is_wildcard():
+    assert parse("pre*") == PrefixQuery("pre")
+    assert parse("wild*card") == WildcardQuery("wild*card")
+    assert parse("one?two") == WildcardQuery("one?two")
+
+
+def test_term_boost():
+    assert parse("term^4") == TermQuery("term", boost=4.0)
+
+
+def test_stop_words_drop_out():
+    # "the" is a stop word: clause vanishes, lone survivor unwraps
+    assert parse("the foo") == TermQuery("foo")
+
+
+def test_lone_must_not_stays_boolean():
+    q = parse("NOT deprecated")
+    assert isinstance(q, BooleanQuery)
+    assert occurs(q) == [(MUST_NOT, TermQuery("deprecated"))]
+
+
+def test_analyzer_splitting_token_becomes_phrase():
+    # tokenizer splits on '-': multi-token text -> positional phrase,
+    # QueryParserBase.getFieldQuery's analyzed-phrase behavior
+    q = parse("foo-bar")
+    assert q == PhraseQuery(("foo", "bar"))
+
+
+def test_empty_and_degenerate_inputs():
+    assert parse("") == BooleanQuery(())
+    assert parse("   ") == BooleanQuery(())
+    assert parse('"') == BooleanQuery(())
+    assert parse("field:") == BooleanQuery(())
