@@ -105,6 +105,49 @@ def _index_for_english(sf_dir: str) -> str:
     return _index_for_analyzer(sf_dir, "english", "-en")
 
 
+def _index_for_payload(sf_dir: str) -> str:
+    """Cached index over the derived delimited-payload corpus: token i of
+    doc d carries integer payload ``(d + i) % 7 + 1`` as ``token|payload``
+    (DelimitedPayloadTokenFilter + IntegerEncoder chain), indexed with a
+    per-position payload lane next to the positions lane."""
+    import numpy as np
+    import pandas as pd
+
+    tag = sf_dir.strip("/").replace("/", "_") + "-pay"
+    idx = os.path.join(_CACHE_ROOT, tag)
+    done = os.path.join(idx, ".complete")
+    if os.path.exists(done):
+        return idx
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]).to_pandas()
+    toks = src["text"].fillna("").str.split()
+    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = toks.explode().dropna().to_numpy(dtype=object)
+    doc_rep = np.repeat(src["doc_id"].to_numpy(), lens)
+    pos = np.concatenate([np.arange(n) for n in lens]) if lens.sum() else \
+        np.empty(0, dtype=np.int64)
+    pay = (doc_rep + pos) % 7 + 1
+    tagged = pd.Series(flat, dtype=object) + "|" + pd.Series(pay).astype(str)
+    bounds = np.zeros(len(src) + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    ptext = [" ".join(tagged.iloc[bounds[i]:bounds[i + 1]])
+             for i in range(len(src))]
+    os.makedirs("/tmp/lsor_payload", exist_ok=True)
+    path = f"/tmp/lsor_payload/{tag}.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(src["doc_id"].to_numpy(), pa.int64()),
+        "ptext": pa.array(ptext, pa.string()),
+    }), path)
+    spec = CorpusSpec(files=(path,), content_col="ptext",
+                      meta_cols=("doc_id",), analyzer="delimited_payload")
+    n = pq.ParquetFile(path).metadata.num_rows
+    build_index(spec, idx, target_docs_per_partition=max(64, n // 16))
+    merge_index(idx, fan_in=8, strategy="local")
+    with open(done, "w") as f:
+        f.write("ok")
+    return idx
+
+
 def _docid_to_doc_id(idx: str, table: pa.Table) -> pa.Table:
     """Map engine global docIDs to the corpus doc_id column via the docmap."""
     if table.num_rows == 0:
@@ -420,10 +463,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _index_for(sf),
         SpanNearQuery((SpanTermQuery("merge"), SpanTermQuery("spark")),
                       slop=3, in_order=True))
-    q["span_near_ordered_hits"] = lambda sf: _hits_result(
-        _index_for(sf),
-        SpanNearQuery((SpanTermQuery("merge"), SpanTermQuery("spark")),
-                      slop=2, in_order=True))
+    from lucene_solr_old_ray.queries import PayloadTermQuery
+
+    q["payload_term_top10"] = lambda sf: _bm25_result(
+        _index_for_payload(sf), PayloadTermQuery("merge", function="avg"))
     q["span_near_unordered_hits"] = lambda sf: _hits_result(
         _index_for(sf),
         SpanNearQuery((SpanTermQuery("vector"), SpanTermQuery("batch")),
@@ -554,8 +597,7 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
     sqls["phrase_sloppy_top10"] = g.phrase_sql(["table", "value"], slop=2)
     sqls["span_near_ordered_top10"] = g.span_near_ordered_sql(
         "merge", "spark", slop=3)
-    sqls["span_near_ordered_hits"] = g.span_near_ordered_hits_sql(
-        "merge", "spark", slop=2)
+    sqls["payload_term_top10"] = g.payload_term_sql("merge", fn="avg")
     sqls["span_near_unordered_hits"] = g.span_near_unordered_hits_sql(
         "vector", "batch", slop=1)
     sqls["span_not_hits"] = g.span_not_hits_sql("table", "merge", pre=1, post=1)

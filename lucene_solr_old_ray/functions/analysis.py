@@ -213,6 +213,8 @@ class AnalyzedBatch:
     term_codes: np.ndarray     # int64, index into uniques
     uniques: np.ndarray        # object array of str (batch vocabulary)
     field_lengths: np.ndarray  # int32 per doc in batch (overlaps excluded)
+    payloads: np.ndarray | None = None  # uint32 per instance (payload lane,
+    #                            aligned with positions; None = no payloads)
 
 
 
@@ -403,6 +405,65 @@ def _analyze_overlay(
         out_uniques = np.empty(0, dtype=object)
     positions = (f_pos if with_positions else np.empty(0, dtype=np.int32))
     return AnalyzedBatch(f_docs, positions, out_codes, out_uniques, counts)
+
+
+def _analyze_delimited_payload(
+    texts, with_positions: bool, delimiter: str = "|",
+) -> AnalyzedBatch:
+    """Whitespace tokenizer + DelimitedPayloadTokenFilter(IntegerEncoder) +
+    LowerCaseFilter + StopFilter, re-expressing (NOT porting) the chain
+    ``analysis/common/.../payloads/DelimitedPayloadTokenFilter.java:30`` +
+    ``IntegerEncoder.java``: each whitespace token ``text<delim>payload``
+    carries an integer payload on its position (no suffix / non-integer
+    suffix -> payload 0). Every whitespace token consumes a position;
+    stop/overlong tokens are dropped after payload extraction (leaving
+    position gaps) and do not count toward the norm length.
+
+    Vectorized: one pandas str.split/explode per batch, rsplit + to_numeric
+    on the instance column, vocabulary-level filters."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                  else [t if isinstance(t, str) else "" for t in texts])
+    n_docs = len(texts_list)
+    s = pd.Series(texts_list, dtype=object).fillna("")
+    toks = s.str.split()
+    lens = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int32), lens)
+    positions = _positions_from(doc_ids, lens)
+    flat = toks.explode().dropna()
+    raw = pd.Series(flat.to_numpy(dtype=object))
+    parts = raw.str.rsplit(delimiter, n=1)
+    has_pay = parts.str.len() == 2
+    pay = pd.to_numeric(
+        parts.str[1].where(has_pay, other=None), errors="coerce")
+    payloads = pay.fillna(0).clip(lower=0).astype(np.int64) \
+        .to_numpy().astype(np.uint32)
+    terms = raw.where(~has_pay | pay.isna(), parts.str[0]).str.lower()
+    codes, uniques = pd.factorize(terms.to_numpy(dtype=object), sort=False)
+    codes = codes.astype(np.int64)
+    uniques = np.asarray(uniques, dtype=object)
+    # vocabulary-level stop/overlong filter (instances keep position gaps)
+    nu = len(uniques)
+    keep_u = np.fromiter(
+        ((len(u) <= MAX_TOKEN_LENGTH and u not in ENGLISH_STOP_WORDS and
+          bool(u)) for u in uniques), count=nu, dtype=bool)
+    inst_keep = keep_u[codes] if len(codes) else np.empty(0, dtype=bool)
+    counts = np.bincount(doc_ids[inst_keep],
+                         minlength=n_docs).astype(np.int32)
+    remap = np.cumsum(keep_u) - 1
+    return AnalyzedBatch(
+        doc_ids[inst_keep],
+        (positions[inst_keep] if with_positions
+         else np.empty(0, dtype=np.int32)),
+        remap[codes[inst_keep]].astype(np.int64),
+        uniques[keep_u],
+        counts,
+        payloads[inst_keep],
+    )
 
 
 def _tokenize_standard(texts):
@@ -598,6 +659,11 @@ def analyze_batch(
         max_g = int(parts[2]) if len(parts) > 2 else max(2, min_g)
         return _analyze_ngram(texts, min_g, max_g, with_positions,
                               edges_only=analyzer.startswith("edge_ngram"))
+    if analyzer.startswith("delimited_payload"):
+        # "delimited_payload" or "delimited_payload:<delim>"
+        delim = (analyzer.split(":", 1)[1] if ":" in analyzer else "|")
+        return _analyze_delimited_payload(texts, with_positions,
+                                          delimiter=delim)
     if analyzer.startswith("shingle") or analyzer == "synonym":
         # "shingle" (size 2) or "shingle:<n>"
         size = 2

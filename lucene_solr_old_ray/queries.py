@@ -266,15 +266,35 @@ class SpanFirstQuery:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class PayloadTermQuery:
+    """Re-expresses (NOT ports) ``search/payloads/PayloadTermQuery.java:55``:
+    a SpanTermQuery whose score folds in a PayloadFunction over the
+    payloads of the term's occurrences in each matching doc —
+    ``function`` = ``"avg" | "min" | "max"`` (``AveragePayloadFunction`` /
+    ``MinPayloadFunction`` / ``MaxPayloadFunction``), payload value =
+    the indexed integer payload as a float (IntegerEncoder analogue of
+    ``PayloadHelper.decodeInt``). ``include_span_score=True`` multiplies
+    the span BM25 score by the payload factor; ``False`` scores the
+    payload factor alone (both float32)."""
+
+    term: str
+    function: str = "avg"
+    include_span_score: bool = True
+    field: str | None = None
+    boost: float = 1.0
+
+
 SpanQuery = (
-    SpanTermQuery | SpanNearQuery | SpanOrQuery | SpanNotQuery | SpanFirstQuery
+    SpanTermQuery | SpanNearQuery | SpanOrQuery | SpanNotQuery
+    | SpanFirstQuery | PayloadTermQuery
 )
 
 
 def span_field(q: "SpanQuery") -> str | None:
     """The (single) field a span-query tree runs over; Lucene requires all
     clauses to share a field (``SpanNearQuery.java`` ctor check)."""
-    if isinstance(q, SpanTermQuery):
+    if isinstance(q, (SpanTermQuery, PayloadTermQuery)):
         return q.field
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         fields = {span_field(c) for c in q.clauses}
@@ -294,7 +314,7 @@ def span_field(q: "SpanQuery") -> str | None:
 def span_weight_terms(q: "SpanQuery") -> set[str]:
     """Terms SpanWeight gathers statistics for (``SpanWeight.java:46-63``
     via extractTerms — note SpanNotQuery extracts the INCLUDE side only)."""
-    if isinstance(q, SpanTermQuery):
+    if isinstance(q, (SpanTermQuery, PayloadTermQuery)):
         return {q.term}
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         out: set[str] = set()
@@ -327,6 +347,7 @@ Query = (
     | SpanOrQuery
     | SpanNotQuery
     | SpanFirstQuery
+    | PayloadTermQuery
 )
 
 
@@ -402,7 +423,7 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, CustomScoreQuery):
         return collect_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
-                      SpanNotQuery, SpanFirstQuery)):
+                      SpanNotQuery, SpanFirstQuery, PayloadTermQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
     return set()
 
@@ -431,7 +452,7 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, CustomScoreQuery):
         return collect_field_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
-                      SpanNotQuery, SpanFirstQuery)):
+                      SpanNotQuery, SpanFirstQuery, PayloadTermQuery)):
         f = span_field(q)
         return ({(f, t) for t in span_weight_terms(q)}
                 if f is not None else set())

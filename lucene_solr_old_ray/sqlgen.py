@@ -947,3 +947,39 @@ ranked AS (
 SELECT query, CAST(rank AS BIGINT) AS rank, suggestion, score,
        CAST(df AS BIGINT) AS df
 FROM ranked WHERE rank <= {num_sug} ORDER BY query, rank"""
+
+
+def payload_term_sql(term: str, fn: str = "avg", k: int = 10,
+                     mod: int = 7) -> str:
+    """Scored PayloadTermQuery -> (rank, doc_id, score).
+
+    The payload of the occurrence at whitespace position p of doc d is the
+    synthesized ``(d + p) % mod + 1`` (the derived delimited-payload corpus
+    in __ray_entry__). Every occurrence is a length-1 term span: span freq
+    = float32(0.5 * tf); payload factor = ``fn`` (avg/min/max) over the
+    doc's payloads in DOUBLE, cast to REAL; final score = float32(spanScore
+    * payloadFactor) — the engine's execute_payload_term order of ops."""
+    wv = _span_wv([term])
+    pay_expr = {
+        "avg": "CAST(sum((doc_id + p) % {m} + 1) AS DOUBLE) / count(*)",
+        "min": "CAST(min((doc_id + p) % {m} + 1) AS DOUBLE)",
+        "max": "CAST(max((doc_id + p) % {m} + 1) AS DOUBLE)",
+    }[fn].format(m=mod)
+    freq = f32("CAST(0.5 AS REAL) * CAST(tf.freq AS REAL)")
+    span = f32(f32(f"{wv} * {freq}") + " / " + f32(f"{freq} + dc.cache"))
+    return f"""
+WITH {base_ctes()},{_span_posd()},
+pay AS (
+  SELECT doc_id, CAST({pay_expr} AS REAL) AS payf
+  FROM posd WHERE term = '{term}' GROUP BY doc_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (SELECT tf.doc_id AS doc_id,
+               {f32(span + " * pay.payf")} AS score
+        FROM tf
+        JOIN doccache dc ON dc.doc_id = tf.doc_id
+        JOIN pay ON pay.doc_id = tf.doc_id
+        WHERE tf.term = '{term}')
+) WHERE rank <= {k} ORDER BY rank"""

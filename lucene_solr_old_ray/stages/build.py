@@ -61,10 +61,13 @@ def _invert_subbatch(
         return 0
     n_docs = len(ab.field_lengths)
     key = ab.term_codes.astype(np.int64) * n_docs + ab.doc_ids
+    spay = None
     if with_positions:
         order = np.argsort(key, kind="stable")
         skey = key[order]
         spos = ab.positions[order].astype(np.uint32)
+        if ab.payloads is not None:
+            spay = ab.payloads[order].astype(np.uint32)
         uk, first, counts = np.unique(skey, return_index=True, return_counts=True)
     else:
         uk, counts = np.unique(key, return_counts=True)
@@ -82,9 +85,11 @@ def _invert_subbatch(
         if with_positions:
             p0 = first[s]
             p1 = first[e] if e < len(first) else len(spos)
-            acc.setdefault(term, []).append((docs[s:e], tfs[s:e], spos[p0:p1]))
+            acc.setdefault(term, []).append(
+                (docs[s:e], tfs[s:e], spos[p0:p1],
+                 spay[p0:p1] if spay is not None else None))
         else:
-            acc.setdefault(term, []).append((docs[s:e], tfs[s:e], None))
+            acc.setdefault(term, []).append((docs[s:e], tfs[s:e], None, None))
     return len(uk)
 
 
@@ -137,17 +142,21 @@ def _flush_field(
     dfs = np.zeros(k, dtype=np.int64)
     ttfs = np.zeros(k, dtype=np.int64)
 
+    has_payloads = store_positions and any(
+        parts and parts[0][3] is not None for parts in acc.values())
     per_term: list = []
     for i, term in enumerate(terms):
         parts = acc[term]
         if len(parts) == 1:
-            docids, tfs, positions = parts[0]
+            docids, tfs, positions, payloads = parts[0]
         else:
             docids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             positions = (np.concatenate([p[2] for p in parts])
                          if store_positions else None)
-        per_term.append((docids, tfs, positions))
+            payloads = (np.concatenate([p[3] for p in parts])
+                        if has_payloads else None)
+        per_term.append((docids, tfs, positions, payloads))
         dfs[i] = len(docids)
         ttfs[i] = int(tfs.sum())
 
@@ -167,13 +176,22 @@ def _flush_field(
         blobs[i] = encode_chunk(per_term[i][0], per_term[i][1], norms)
 
     pos_blobs: list[bytes] = []
+    pay_blobs: list[bytes] = []
     if store_positions and k:
         from ..functions.codec import encode_positions_batch
 
         flat_p = np.concatenate([pt[2] for pt in per_term])
         pos_blobs = encode_positions_batch(flat_p, ttfs)
+        if has_payloads:
+            # payload lane: same u32-chunk format, aligned 1:1 with the
+            # positions lane (the .pay-stream analogue)
+            flat_pay = np.concatenate([pt[3] for pt in per_term])
+            pay_blobs = encode_positions_batch(flat_pay, ttfs)
+    pay_offs = np.zeros(k, dtype=np.int64)
+    pay_lens = np.zeros(k, dtype=np.int64)
     pos = 0
     ppos = 0
+    ypos = 0
     for i in range(k):
         offs[i] = pos
         lens_b[i] = len(blobs[i])
@@ -182,6 +200,10 @@ def _flush_field(
             pos_offs[i] = ppos
             pos_lens[i] = len(pos_blobs[i])
             ppos += len(pos_blobs[i])
+        if has_payloads:
+            pay_offs[i] = ypos
+            pay_lens[i] = len(pay_blobs[i])
+            ypos += len(pay_blobs[i])
 
     with open(os.path.join(tmp, prefix + "postings.bin"), "wb") as f:
         for b in blobs:
@@ -194,6 +216,12 @@ def _flush_field(
                 f.write(b)
         tcols["pos_off"] = pos_offs
         tcols["pos_len"] = pos_lens
+    if has_payloads:
+        with open(os.path.join(tmp, prefix + "payloads.bin"), "wb") as f:
+            for b in pay_blobs:
+                f.write(b)
+        tcols["pay_off"] = pay_offs
+        tcols["pay_len"] = pay_lens
     pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
     return terms, dfs, int(pos)
 

@@ -57,7 +57,11 @@ def _read_seg_field(index_dir: str, seg: dict, prefix: str):
     if "pos_off" in t.column_names:
         with open(os.path.join(sd, prefix + "positions.bin"), "rb") as f:
             pos_all = f.read()
-    return seg, t, blob_all, pos_all
+    pay_all = b""
+    if "pay_off" in t.column_names:
+        with open(os.path.join(sd, prefix + "payloads.bin"), "rb") as f:
+            pay_all = f.read()
+    return seg, t, blob_all, pos_all, pay_all
 
 
 def _kway_merge(per_seg) -> tuple[list[str], list[int], list[int],
@@ -65,19 +69,23 @@ def _kway_merge(per_seg) -> tuple[list[str], list[int], list[int],
     """K-way merge of already-sorted per-segment term lists (one argsort);
     blobs are docBase-relocated then concatenated in seg_ord order."""
     all_terms = np.concatenate([np.asarray(t["term"].to_pylist(), dtype=object)
-                                for _, t, _, _ in per_seg])
+                                for _, t, *_ in per_seg])
     all_ord = np.concatenate([np.full(len(t), s["seg_ord"], dtype=np.int32)
-                              for s, t, _, _ in per_seg])
-    all_df = np.concatenate([t["df"].to_numpy() for _, t, _, _ in per_seg])
-    all_ttf = np.concatenate([t["ttf"].to_numpy() for _, t, _, _ in per_seg])
-    all_off = np.concatenate([t["off"].to_numpy() for _, t, _, _ in per_seg])
-    all_len = np.concatenate([t["len"].to_numpy() for _, t, _, _ in per_seg])
-    has_pos = all("pos_off" in t.column_names for _, t, _, _ in per_seg)
+                              for s, t, *_ in per_seg])
+    all_df = np.concatenate([t["df"].to_numpy() for _, t, *_ in per_seg])
+    all_ttf = np.concatenate([t["ttf"].to_numpy() for _, t, *_ in per_seg])
+    all_off = np.concatenate([t["off"].to_numpy() for _, t, *_ in per_seg])
+    all_len = np.concatenate([t["len"].to_numpy() for _, t, *_ in per_seg])
+    has_pos = all("pos_off" in t.column_names for _, t, *_ in per_seg)
     if has_pos:
-        all_poff = np.concatenate([t["pos_off"].to_numpy() for _, t, _, _ in per_seg])
-        all_plen = np.concatenate([t["pos_len"].to_numpy() for _, t, _, _ in per_seg])
+        all_poff = np.concatenate([t["pos_off"].to_numpy() for _, t, *_ in per_seg])
+        all_plen = np.concatenate([t["pos_len"].to_numpy() for _, t, *_ in per_seg])
+    has_pay = all("pay_off" in t.column_names for _, t, *_ in per_seg)
+    if has_pay:
+        all_yoff = np.concatenate([t["pay_off"].to_numpy() for _, t, *_ in per_seg])
+        all_ylen = np.concatenate([t["pay_len"].to_numpy() for _, t, *_ in per_seg])
     src = np.concatenate([np.full(len(t), i, dtype=np.int32)
-                          for i, (_, t, _, _) in enumerate(per_seg)])
+                          for i, (_, t, *_) in enumerate(per_seg)])
     order = np.lexsort((all_ord, all_terms))
 
     terms: list[str] = []
@@ -85,21 +93,26 @@ def _kway_merge(per_seg) -> tuple[list[str], list[int], list[int],
     ttfs: list[int] = []
     blobs: list[bytes] = []
     pos_blobs: list[bytes] = []
+    pay_blobs: list[bytes] = []
     prev = None
     for idx in order:
         term = all_terms[idx]
-        seg, _, blob_all, pos_all = per_seg[src[idx]]
+        seg, _, blob_all, pos_all, pay_all = per_seg[src[idx]]
         piece = shift_blob(
             blob_all[all_off[idx] : all_off[idx] + all_len[idx]], seg["doc_offset"]
         )
         ppiece = (pos_all[all_poff[idx] : all_poff[idx] + all_plen[idx]]
                   if has_pos else b"")
+        ypiece = (pay_all[all_yoff[idx] : all_yoff[idx] + all_ylen[idx]]
+                  if has_pay else b"")
         if term == prev:
             blobs[-1] = blobs[-1] + piece
             dfs[-1] += int(all_df[idx])
             ttfs[-1] += int(all_ttf[idx])
             if has_pos:
                 pos_blobs[-1] = pos_blobs[-1] + ppiece
+            if has_pay:
+                pay_blobs[-1] = pay_blobs[-1] + ypiece
         else:
             terms.append(term)
             dfs.append(int(all_df[idx]))
@@ -107,14 +120,17 @@ def _kway_merge(per_seg) -> tuple[list[str], list[int], list[int],
             blobs.append(piece)
             if has_pos:
                 pos_blobs.append(ppiece)
+            if has_pay:
+                pay_blobs.append(ypiece)
             prev = term
-    return terms, dfs, ttfs, blobs, (pos_blobs if has_pos else None)
+    return terms, dfs, ttfs, blobs, (pos_blobs if has_pos else None), \
+        (pay_blobs if has_pay else None)
 
 
 def _write_field_files(tmp: str, prefix: str, terms, dfs, ttfs, blobs,
-                       pos_blobs) -> int:
-    """Write one field's terms/postings(/positions) under ``tmp``; returns
-    postings byte count."""
+                       pos_blobs, pay_blobs=None) -> int:
+    """Write one field's terms/postings(/positions/payloads) under ``tmp``;
+    returns postings byte count."""
     offs = np.zeros(len(terms), dtype=np.int64)
     lens_b = np.zeros(len(terms), dtype=np.int64)
     pos = 0
@@ -143,6 +159,18 @@ def _write_field_files(tmp: str, prefix: str, terms, dfs, ttfs, blobs,
                 ppos += len(b)
         tcols["pos_off"] = pos_offs
         tcols["pos_len"] = pos_lens
+    if pay_blobs is not None:
+        pay_offs = np.zeros(len(terms), dtype=np.int64)
+        pay_lens = np.zeros(len(terms), dtype=np.int64)
+        ypos = 0
+        with open(os.path.join(tmp, prefix + "payloads.bin"), "wb") as f:
+            for i, b in enumerate(pay_blobs):
+                f.write(b)
+                pay_offs[i] = ypos
+                pay_lens[i] = len(b)
+                ypos += len(b)
+        tcols["pay_off"] = pay_offs
+        tcols["pay_len"] = pay_lens
     pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
     return int(pos)
 
@@ -267,6 +295,7 @@ def write_shard_files(
     ttfs: np.ndarray,
     blobs: list[bytes],
     pos_blobs: list[bytes] | None = None,
+    pay_blobs: list[bytes] | None = None,
 ) -> dict:
     """Write a merged shard directory (same layout as a segment) atomically.
     Norms and docmap are concatenations of the input segments' in seg_ord
@@ -276,7 +305,8 @@ def write_shard_files(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
-    pos = _write_field_files(tmp, "", terms, dfs, ttfs, blobs, pos_blobs)
+    pos = _write_field_files(tmp, "", terms, dfs, ttfs, blobs, pos_blobs,
+                             pay_blobs)
 
     # extra fields: k-way merge per field (fields are typically far smaller
     # than the content field, so they ride along in the same shard task)
@@ -288,9 +318,10 @@ def write_shard_files(
         prefix = fprefix(fname)
         per_seg = [_read_seg_field(index_dir, seg, prefix)
                    for seg in segs_sorted]
-        f_terms, f_dfs, f_ttfs, f_blobs, f_pblobs = _kway_merge(per_seg)
+        f_terms, f_dfs, f_ttfs, f_blobs, f_pblobs, f_yblobs = \
+            _kway_merge(per_seg)
         _write_field_files(tmp, prefix, f_terms, f_dfs, f_ttfs,
-                           f_blobs, f_pblobs)
+                           f_blobs, f_pblobs, f_yblobs)
         with open(os.path.join(tmp, prefix + "norms.bin"), "wb") as f:
             for seg in segs_sorted:
                 sd = os.path.join(index_dir, seg["dir"])
@@ -391,9 +422,9 @@ def local_merge_shard(index_dir: str, out_dir: str, shard: dict) -> dict:
                 "num_docs": m["num_docs"], "sum_tf": m["sum_tf"], "skipped": True}
     per_seg = [_read_seg_field(index_dir, seg, "")
                for seg in sorted(shard["segments"], key=lambda s: s["seg_ord"])]
-    terms, dfs, ttfs, blobs, pos_blobs = _kway_merge(per_seg)
+    terms, dfs, ttfs, blobs, pos_blobs, pay_blobs = _kway_merge(per_seg)
     return write_shard_files(
         index_dir, out_dir, shard, terms,
         np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64),
-        blobs, pos_blobs,
+        blobs, pos_blobs, pay_blobs,
     )

@@ -115,6 +115,16 @@ class LeafSearcher:
                 if self.pos_len.sum() > 0
                 else np.zeros(0, dtype=np.uint8)
             )
+        self.has_payloads = "pay_off" in t.column_names
+        if self.has_payloads:
+            self.pay_off = t["pay_off"].to_numpy()
+            self.pay_len = t["pay_len"].to_numpy()
+            self.payloads_mm = (
+                np.memmap(os.path.join(leaf_dir, fp + "payloads.bin"),
+                          dtype=np.uint8, mode="r")
+                if self.pay_len.sum() > 0
+                else np.zeros(0, dtype=np.uint8)
+            )
         self.norms = np.frombuffer(
             open(os.path.join(leaf_dir, fp + "norms.bin"), "rb").read(),
             dtype=np.uint8
@@ -239,6 +249,25 @@ class LeafSearcher:
         starts = np.zeros(len(tfs) + 1, dtype=np.int64)
         np.cumsum(tfs, out=starts[1:])
         return docids, tfs, flat, starts
+
+    def postings_with_payloads(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """-> (docids, tfs, flat positions, per-doc starts, flat payloads);
+        the payload lane is aligned 1:1 with the positions lane (the
+        ``Lucene41PostingsFormat`` .pay-stream analogue)."""
+        if not getattr(self, "has_payloads", False):
+            raise ValueError(
+                "field was indexed without payloads (use a payload-producing "
+                "analyzer, e.g. 'delimited_payload')")
+        docids, tfs, flat, starts = self.postings_with_positions(term)
+        ti = self.lookup(term)
+        if ti < 0:
+            return docids, tfs, flat, starts, np.empty(0, dtype=np.uint32)
+        yo = int(self.pay_off[ti])
+        pay = decode_positions_blob(
+            self.payloads_mm[yo : yo + int(self.pay_len[ti])])
+        return docids, tfs, flat, starts, pay
 
     @property
     def docmap(self):
@@ -660,8 +689,12 @@ def _execute_raw(
             leaf._filter_cache[fkey] = fdocs
         keep = np.isin(docids, fdocs, assume_unique=True)
         return docids[keep], scores[keep]
-    from ..queries import (SpanFirstQuery, SpanNearQuery, SpanNotQuery,
-                           SpanOrQuery, SpanTermQuery)
+    from ..queries import (PayloadTermQuery, SpanFirstQuery, SpanNearQuery,
+                           SpanNotQuery, SpanOrQuery, SpanTermQuery)
+    if isinstance(q, PayloadTermQuery):
+        from .spans import execute_payload_term
+
+        return execute_payload_term(q, leaf, ctx, boost)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery)):
         from .spans import execute_span

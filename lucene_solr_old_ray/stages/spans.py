@@ -383,3 +383,40 @@ def execute_span(q, leaf, ctx, boost: float):
         freqs[match], lf.norms[docids], wv, ctx.cache_for(field)
     )
     return docids, scores
+
+
+def execute_payload_term(q, leaf, ctx, boost: float):
+    """PayloadTermQuery scoring in one leaf -> (docids, float32 scores).
+
+    Re-expresses (NOT ports) ``search/payloads/PayloadTermQuery.java:70-120``
+    (PayloadTermSpanScorer): every occurrence is a length-1 term span, so
+    the span freq is ``0.5 * tf`` (sloppyFreq(1), exact in float32); the
+    payload factor is ``function`` (avg/min/max — Average/Min/Max
+    PayloadFunction) over the doc's decoded integer payloads; final score =
+    float32(spanScore * payloadFactor) when ``include_span_score`` else the
+    payload factor alone (getPayloadScore ignores the boost, as the
+    reference's does)."""
+    field = q.field
+    lf = leaf.sibling(field)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    docids, tfs, _flat, starts, pay = lf.postings_with_payloads(q.term)
+    if len(docids) == 0:
+        return empty
+    pay64 = pay.astype(np.float64)
+    if q.function == "avg":
+        payf = np.add.reduceat(pay64, starts[:-1]) / tfs
+    elif q.function == "min":
+        payf = np.minimum.reduceat(pay64, starts[:-1])
+    elif q.function == "max":
+        payf = np.maximum.reduceat(pay64, starts[:-1])
+    else:
+        raise ValueError(f"unknown payload function {q.function!r}")
+    payf = payf.astype(np.float32)
+    if not q.include_span_score:
+        return docids, payf
+    freqs = (F(0.5) * tfs.astype(np.float32)).astype(np.float32)
+    df = ctx.stats_for(field, q.term)[0]
+    wv = bm25.weight_value(bm25.idf(df, ctx.coll.max_doc), boost * q.boost)
+    span_scores = bm25.score_postings(
+        freqs, lf.norms[docids], wv, ctx.cache_for(field))
+    return docids, (span_scores * payf).astype(np.float32)

@@ -1,0 +1,122 @@
+"""Payload lane: DelimitedPayloadTokenFilter analyzer, per-position payload
+sidecar through build + merge, PayloadTermQuery scoring
+(search/payloads/PayloadTermQuery.java + payloads/DelimitedPayloadTokenFilter
+semantics, re-expressed)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch
+from lucene_solr_old_ray.queries import PayloadTermQuery
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+
+DOCS = [
+    "apple|3 banana|5 apple|1 cherry",
+    "banana|2 the|9 apple|7",
+    "plain tokens only",
+    "apple|4",
+]
+
+
+def test_delimited_payload_analyzer():
+    ab = analyze_batch(DOCS, with_positions=True, analyzer="delimited_payload")
+    rows = [(int(ab.doc_ids[i]), int(ab.positions[i]),
+             ab.uniques[ab.term_codes[i]], int(ab.payloads[i]))
+            for i in range(len(ab.doc_ids))]
+    assert (0, 0, "apple", 3) in rows
+    assert (0, 2, "apple", 1) in rows
+    assert (0, 3, "cherry", 0) in rows       # no suffix -> payload 0
+    # "the|9" is a stop word: dropped after payload extraction, position gap
+    assert (1, 2, "apple", 7) in rows
+    assert not any(t == "the" for _, _, t, _ in rows)
+    assert (2, 0, "plain", 0) in rows
+    # norm lengths count kept tokens only
+    assert ab.field_lengths.tolist() == [4, 2, 3, 1]
+
+
+def test_delimited_payload_custom_delimiter():
+    ab = analyze_batch(["x#2 y"], with_positions=True,
+                       analyzer="delimited_payload:#")
+    got = {ab.uniques[ab.term_codes[i]]: int(ab.payloads[i])
+           for i in range(len(ab.doc_ids))}
+    assert got == {"x": 2, "y": 0}
+
+
+@pytest.fixture(scope="module")
+def payload_index(ray_session, tmp_path_factory):
+    """4-partition build + merge over the payload corpus (payload lane must
+    survive both the flush and the k-way merge byte concat)."""
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+
+    root = tmp_path_factory.mktemp("payidx")
+    path = str(root / "corpus.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "ptext": pa.array(DOCS, pa.string()),
+    }), path)
+    idx = str(root / "idx")
+    spec = CorpusSpec(files=(path,), content_col="ptext",
+                      meta_cols=("doc_id",), analyzer="delimited_payload")
+    build_index(spec, idx, target_docs_per_partition=1)
+    merge_index(idx, fan_in=8, strategy="local")
+    return idx
+
+
+def test_payload_lane_roundtrip_through_merge(payload_index):
+    from lucene_solr_old_ray.state import manifest as mf
+    from lucene_solr_old_ray.stages.search import LeafSearcher
+
+    man = mf.read_index_manifest(payload_index)
+    segs = sorted(man["segments"], key=lambda s: s["doc_base"])
+    leaf = LeafSearcher(os.path.join(payload_index, segs[0]["dir"]),
+                        segs[0]["doc_base"], 0, segs[0]["num_docs"])
+    d, tfs, flat, starts, pay = leaf.postings_with_payloads("apple")
+    assert d.tolist() == [0, 1, 3]
+    assert tfs.tolist() == [2, 1, 1]
+    # doc 0: payloads at positions 0 and 2 -> [3, 1]; doc 1 -> [7]; doc 3 -> [4]
+    assert pay.tolist() == [3, 1, 7, 4]
+    assert flat.tolist() == [0, 2, 2, 0]
+
+
+def test_payload_term_query_scoring(payload_index):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    res = search(payload_index,
+                 {0: PayloadTermQuery("apple", function="avg"),
+                  1: PayloadTermQuery("apple", function="min"),
+                  2: PayloadTermQuery("apple", function="max"),
+                  3: PayloadTermQuery("apple", function="avg",
+                                      include_span_score=False)},
+                 k=10).to_pandas()
+    by = {qid: g.set_index("docid")["score"] for qid, g in res.groupby("qid")}
+    # include_span_score=False -> the payload factor alone
+    assert by[3][0] == np.float32(2.0)    # avg(3, 1)
+    assert by[3][1] == np.float32(7.0)
+    assert by[3][3] == np.float32(4.0)
+    # avg = span * payload-factor; min/max scale the same span score
+    span0 = by[0][0] / np.float32(2.0)
+    assert by[1][0] == pytest.approx(float(span0 * np.float32(1.0)), rel=1e-6)
+    assert by[2][0] == pytest.approx(float(span0 * np.float32(3.0)), rel=1e-6)
+
+
+def test_payload_query_on_payloadless_field_raises(payload_index, tmp_path):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+
+    idx = str(tmp_path / "plain")
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "ptext": pa.array(["apple banana"], pa.string()),
+    }), path)
+    spec = CorpusSpec(files=(path,), content_col="ptext",
+                      meta_cols=("doc_id",))
+    build_index(spec, idx, target_docs_per_partition=8)
+    with pytest.raises(Exception, match="without payloads"):
+        search(idx, {0: PayloadTermQuery("apple")}, k=5)
