@@ -50,6 +50,36 @@ def more_like_this_query(
     tf: dict[str, int] = {}
     for tok in analyze_text(text or ""):
         tf[tok] = tf.get(tok, 0) + 1
+    return _mlt_from_tf(index_dir, tf, min_term_freq=min_term_freq,
+                        min_doc_freq=min_doc_freq,
+                        max_query_terms=max_query_terms)
+
+
+def more_like_this_from_docid(
+    index_dir: str,
+    docid: int,
+    *,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    max_query_terms: int = 25,
+) -> Query:
+    """MoreLikeThis over a STORED term vector (MoreLikeThis.java's
+    retrieveTerms(int docNum) term-vectors fast path): the example doc's
+    (term, freq) pairs come from the index's tv.parquet sidecar — no stored
+    text, no re-analysis. Produces the identical query to the re-analysis
+    path for the same doc."""
+    from .search import fetch_term_vectors
+
+    tvt = fetch_term_vectors(index_dir, [docid])
+    tf = dict(zip(tvt["term"].to_pylist(),
+                  (int(f) for f in tvt["freq"].to_pylist())))
+    return _mlt_from_tf(index_dir, tf, min_term_freq=min_term_freq,
+                        min_doc_freq=min_doc_freq,
+                        max_query_terms=max_query_terms)
+
+
+def _mlt_from_tf(index_dir: str, tf: dict[str, int], *, min_term_freq: int,
+                 min_doc_freq: int, max_query_terms: int) -> Query:
     cand = sorted(t_ for t_, f in tf.items() if f >= min_term_freq)
 
     manifest = mf.read_index_manifest(index_dir)

@@ -435,3 +435,45 @@ def fetch_doc_meta(index_dir: str, docids: Sequence[int]) -> pa.Table:
         t = t.append_column("docid", pa.array(local + l["doc_base"], pa.int64()))
         tables.append(t)
     return pa.concat_tables(tables) if tables else pa.table({"docid": pa.array([], pa.int64())})
+
+
+def fetch_term_vectors(index_dir: str, docids: Sequence[int]) -> pa.Table:
+    """Term-vector retrieval (IndexReader.getTermVector analogue) for a
+    (small) set of global docIDs -> (docid, term, freq, positions).
+
+    Reads ONLY the tv.parquet sidecars of the leaves containing the docs,
+    with a doc-range predicate — the sidecar is doc-major-sorted, so
+    parquet row-group stats prune the read to the touched groups. Requires
+    the index to have been built with ``store_term_vectors=True``."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    manifest = mf.read_index_manifest(index_dir)
+    leaves = _leaves(manifest)
+    bases = np.array([l["doc_base"] for l in leaves], dtype=np.int64)
+    ids = np.asarray(sorted(set(int(d) for d in docids)), dtype=np.int64)
+    leaf_idx = np.searchsorted(bases, ids, side="right") - 1
+    tables = []
+    for li in np.unique(leaf_idx):
+        l = leaves[int(li)]
+        path = os.path.join(index_dir, l["dir"], "tv.parquet")
+        if not os.path.exists(path):
+            raise ValueError(
+                "index was built without term vectors "
+                "(CorpusSpec.store_term_vectors=True)")
+        local = ids[leaf_idx == li] - l["doc_base"]
+        t = pq.read_table(
+            path, filters=[("doc", ">=", int(local.min())),
+                           ("doc", "<=", int(local.max()))])
+        t = t.filter(pc.is_in(t["doc"], pa.array(local.astype(np.int32))))
+        docid = pc.add(t["doc"].cast(pa.int64()), l["doc_base"])
+        tables.append(pa.table({
+            "docid": docid, "term": t["term"], "freq": t["freq"],
+            "positions": t["positions"],
+        }))
+    if not tables:
+        return pa.table({"docid": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "freq": pa.array([], pa.int32()),
+                         "positions": pa.array([], pa.list_(pa.int32()))})
+    return pa.concat_tables(tables)

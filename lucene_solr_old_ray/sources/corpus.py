@@ -56,6 +56,11 @@ class CorpusSpec:
     # Serialized into every build task (the SynonymMap build-time contract);
     # None -> the default functions.analysis.SYNONYMS demo map.
     synonyms: tuple[tuple[str, tuple[str, ...]], ...] | None = None
+    # store per-doc term vectors for the DEFAULT field (tv.parquet sidecar:
+    # doc-major (doc, term, freq, positions) — Field.TermVector.WITH_POSITIONS,
+    # ``index/TermVectorsTermsWriter.java`` re-expressed columnar). Opt-in:
+    # roughly doubles segment bytes, exactly like Lucene's .tvf cost.
+    store_term_vectors: bool = False
 
     @staticmethod
     def source_code(path_or_dir: str, analyzer: str = "standard",

@@ -93,6 +93,42 @@ def _invert_subbatch(
     return len(uk)
 
 
+def _tv_subbatch(ab, doc_offset: int, with_positions: bool) -> pa.Table:
+    """Doc-major term-vector rows of one analyzed sub-batch ->
+    (doc int32, term str, freq int32, positions list<int32>|null).
+    Re-expresses ``index/TermVectorsTermsWriter.java``'s per-doc (term,
+    freq, positions) payload as columnar parquet rows; ``ab=None`` -> the
+    empty schema table."""
+    schema = pa.schema([
+        ("doc", pa.int32()), ("term", pa.string()), ("freq", pa.int32()),
+        ("positions", pa.list_(pa.int32())),
+    ])
+    if ab is None or len(ab.term_codes) == 0:
+        return schema.empty_table()
+    nu = len(ab.uniques)
+    key = ab.doc_ids.astype(np.int64) * nu + ab.term_codes
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    uk, first, counts = np.unique(skey, return_index=True, return_counts=True)
+    docs = (uk // nu + doc_offset).astype(np.int32)
+    terms = ab.uniques[(uk % nu).astype(np.int64)]
+    if with_positions and len(ab.positions):
+        spos = ab.positions[order].astype(np.int32)
+        offsets = np.zeros(len(uk) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        offsets = offsets.astype(np.int32)
+        plist = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                         pa.array(spos, pa.int32()))
+    else:
+        plist = pa.nulls(len(uk), pa.list_(pa.int32()))
+    return pa.table({
+        "doc": pa.array(docs, pa.int32()),
+        "term": pa.array(terms, pa.string()),
+        "freq": pa.array(counts.astype(np.int32), pa.int32()),
+        "positions": plist,
+    })
+
+
 def _analyze_numeric(col) -> "object":
     """One order-preserving value term per non-null row (numeric field,
     functions/numeric.py). Nulls index nothing and have field length 0."""
@@ -284,6 +320,8 @@ def build_segment(
     n_post = [0] * len(fields)
     n_inst = [0] * len(fields)  # indexed token instances incl. overlap subtokens
     meta_tables: list[pa.Table] = []
+    store_tv = bool(getattr(spec, "store_term_vectors", False))
+    tv_parts: list[pa.Table] = []
     sha_list: list[str] = []
     doc_off = 0
     tok_s = 0.0
@@ -318,6 +356,8 @@ def build_segment(
             n_post[fi] += _invert_subbatch(ab, doc_off, accs[fi], wpos)
             n_inst[fi] += len(ab.term_codes)
             flen_parts[fi].append(ab.field_lengths)
+            if fi == 0 and store_tv:
+                tv_parts.append(_tv_subbatch(ab, doc_off, wpos))
         tok_s += time.perf_counter() - t1
         meta_tables.append(tb.select([c for c in spec.meta_cols]))
         doc_off += len(texts)
@@ -366,6 +406,13 @@ def build_segment(
     docmap = docmap.append_column("norm_byte", pa.array(norms.astype(np.uint8)))
     pq.write_table(docmap, os.path.join(tmp, "docmap.parquet"))
     dv.write_docvalues(tmp, docmap)
+    if store_tv:
+        tv = (pa.concat_tables(tv_parts) if tv_parts
+              else _tv_subbatch(None, 0, False))
+        # doc-ascending row groups -> the reader's per-doc fetch prunes to
+        # one row group via parquet min/max stats
+        pq.write_table(tv, os.path.join(tmp, "tv.parquet"),
+                       row_group_size=65536)
 
     wall = time.perf_counter() - t0
     n_postings = n_post[0]

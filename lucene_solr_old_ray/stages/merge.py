@@ -352,6 +352,24 @@ def write_shard_files(
             f.write(p)
     merged_docmap = pa.concat_tables(docmaps)
     pq.write_table(merged_docmap, os.path.join(tmp, "docmap.parquet"))
+    # term vectors ride along doc-major: remap each segment's local docs by
+    # its doc_offset and concat (docBase remap, SegmentMerger's TV pass)
+    tv_in = [seg for seg in segs_sorted if os.path.exists(
+        os.path.join(index_dir, seg["dir"], "tv.parquet"))]
+    if len(tv_in) == len(segs_sorted) and tv_in:
+        tv_parts = []
+        for seg in segs_sorted:
+            t = pq.read_table(
+                os.path.join(index_dir, seg["dir"], "tv.parquet"))
+            if seg["doc_offset"]:
+                t = t.set_column(
+                    0, "doc",
+                    pa.compute.add(t["doc"], seg["doc_offset"]).cast(
+                        pa.int32()))
+            tv_parts.append(t)
+        pq.write_table(pa.concat_tables(tv_parts),
+                       os.path.join(tmp, "tv.parquet"),
+                       row_group_size=65536)
     # regenerate the doc-values sidecars over the merged doc space (the
     # MultiDocValues.OrdinalMap-on-merge semantics: dense sorted ords per
     # output segment)

@@ -1,0 +1,98 @@
+"""Term vectors: per-doc (term, freq, positions) sidecar through build +
+merge (index/TermVectorsTermsWriter + IndexReader.getTermVector analogue,
+re-expressed columnar), and the MoreLikeThis term-vectors fast path."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_text
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tv_index(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+
+    idx = str(tmp_path_factory.mktemp("tvidx") / "idx")
+    spec = CorpusSpec.documents(SF)
+    spec = CorpusSpec(files=spec.files, content_col=spec.content_col,
+                      meta_cols=spec.meta_cols, store_term_vectors=True)
+    build_index(spec, idx, target_docs_per_partition=128)
+    merge_index(idx, fan_in=8, strategy="local")
+    return idx
+
+
+def test_term_vector_matches_reanalysis(tv_index):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.search import (
+        fetch_doc_meta, fetch_term_vectors)
+
+    docids = [3, 141, 400]
+    tvt = fetch_term_vectors(tv_index, docids).to_pandas()
+    meta = fetch_doc_meta(tv_index, docids).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for docid in docids:
+        doc_id = meta.loc[meta["docid"] == docid, "doc_id"].iloc[0]
+        toks = analyze_text(texts[doc_id] or "")
+        want_tf: dict[str, int] = {}
+        want_pos: dict[str, list[int]] = {}
+        for p, t in enumerate(toks):
+            want_tf[t] = want_tf.get(t, 0) + 1
+            want_pos.setdefault(t, []).append(p)
+        got = tvt[tvt["docid"] == docid]
+        assert dict(zip(got["term"], got["freq"])) == want_tf
+        got_pos = dict(zip(got["term"], got["positions"]))
+        # engine standard-chain positions are pre-filter ordinals; on this
+        # corpus stop words occupy positions, so compare against the raw
+        # whitespace ordinals of the kept tokens
+        raw = (texts[doc_id] or "").split()
+        want_raw_pos: dict[str, list[int]] = {}
+        for p, t in enumerate(raw):
+            if t in want_tf:
+                want_raw_pos.setdefault(t, []).append(p)
+        for t, ps in got_pos.items():
+            assert list(ps) == want_raw_pos[t]
+
+
+def test_term_vectors_absent_raises(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import fetch_term_vectors
+
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["alpha beta"], pa.string()),
+    }), path)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(files=(path,), content_col="text",
+                           meta_cols=("doc_id",)), idx,
+                target_docs_per_partition=8)
+    with pytest.raises(ValueError, match="without term vectors"):
+        fetch_term_vectors(idx, [0])
+
+
+def test_mlt_term_vectors_path_matches_reanalysis(tv_index):
+    from lucene_solr_old_ray.pipelines.mlt import (
+        more_like_this_from_docid, more_like_this_query)
+    from lucene_solr_old_ray.pipelines.search import fetch_doc_meta
+
+    docid = 42
+    doc_id = fetch_doc_meta(tv_index, [docid]).to_pandas() \
+        .set_index("docid").loc[docid, "doc_id"]
+    q_reanalyze = more_like_this_query(
+        tv_index, f"{SF}/documents.parquet", int(doc_id),
+        min_term_freq=2, min_doc_freq=5, max_query_terms=15)
+    q_vectors = more_like_this_from_docid(
+        tv_index, docid,
+        min_term_freq=2, min_doc_freq=5, max_query_terms=15)
+    assert q_vectors == q_reanalyze
+    assert len(q_vectors.clauses) > 0
