@@ -53,6 +53,27 @@ def check_leaf(index_dir: str, leaf: dict) -> dict:
         pos_all = open(os.path.join(sd, "positions.bin"), "rb").read()
         pos_offs = terms["pos_off"].to_numpy()
         pos_lens = terms["pos_len"].to_numpy()
+    has_pay = "pay_off" in terms.column_names
+    if has_pay:
+        pay_all = open(os.path.join(sd, "payloads.bin"), "rb").read()
+        pay_offs = terms["pay_off"].to_numpy()
+        pay_lens = terms["pay_len"].to_numpy()
+    # term-vector sidecar: doc-major ascent, docs in bounds, per-row
+    # freq == len(positions) when positions stored (CheckIndex's
+    # testTermVectors analogue)
+    tv_path = os.path.join(sd, "tv.parquet")
+    if os.path.exists(tv_path):
+        tv = pq.read_table(tv_path)
+        tvd = tv["doc"].to_numpy()
+        if len(tvd) and (np.any(np.diff(tvd) < 0) or tvd[0] < 0
+                         or tvd[-1] >= n):
+            errors.append("term vectors: docs not ascending/in-bounds")
+        if tv["positions"].null_count < tv.num_rows:
+            pl = tv["positions"].combine_chunks()
+            npos = (np.diff(pl.offsets.to_numpy())
+                    if tv.num_rows else np.zeros(0, np.int64))
+            if not np.array_equal(npos, tv["freq"].to_numpy()):
+                errors.append("term vectors: freq != len(positions)")
 
     sum_tf = 0
     for i in range(len(names)):
@@ -72,6 +93,19 @@ def check_leaf(index_dir: str, leaf: dict) -> dict:
                 break
             if len(flat) != ttfs[i]:
                 errors.append(f"term {names[i]}: positions {len(flat)} != ttf")
+                break
+        if has_pay:
+            try:
+                pay = decode_positions_blob(
+                    pay_all[pay_offs[i] : pay_offs[i] + pay_lens[i]]
+                )
+            except Exception as ex:
+                errors.append(
+                    f"term {names[i]}: payloads decode failed ({type(ex).__name__})")
+                break
+            if len(pay) != ttfs[i]:
+                errors.append(
+                    f"term {names[i]}: payload lane {len(pay)} != ttf")
                 break
         if len(d) != dfs[i]:
             errors.append(f"term {names[i]}: df {dfs[i]} != decoded {len(d)}")

@@ -120,3 +120,10 @@ def test_payload_query_on_payloadless_field_raises(payload_index, tmp_path):
     build_index(spec, idx, target_docs_per_partition=8)
     with pytest.raises(Exception, match="without payloads"):
         search(idx, {0: PayloadTermQuery("apple")}, k=5)
+
+
+def test_check_index_validates_payload_and_tv_sidecars(payload_index, ray_session):
+    from lucene_solr_old_ray.pipelines.validate import check_index
+
+    report = check_index(payload_index)
+    assert report["ok"].all()

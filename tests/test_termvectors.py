@@ -96,3 +96,10 @@ def test_mlt_term_vectors_path_matches_reanalysis(tv_index):
         min_term_freq=2, min_doc_freq=5, max_query_terms=15)
     assert q_vectors == q_reanalyze
     assert len(q_vectors.clauses) > 0
+
+
+def test_check_index_validates_tv_sidecar(tv_index):
+    from lucene_solr_old_ray.pipelines.validate import check_index
+
+    report = check_index(tv_index)
+    assert report["ok"].all()
