@@ -282,22 +282,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fuzzy_scored_top10"] = lambda sf: _bm25_result(
         _index_for(sf), FuzzyQuery("spark", 2, rewrite="scoring_boolean"))
 
-    # --- english analyzer (Porter stemming) -------------------------------
-    def english_term_stats(sf_dir: str) -> pa.Table:
-        import ray.data
-        from ray.data.aggregate import Sum
+    # --- completion suggester (AnalyzingSuggester/WFST analogue) ----------
+    def suggest_entry(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.suggest import suggest_topk
 
-        idx = _index_for_english(sf_dir)
-        man = mf.read_index_manifest(idx)
-        files = [os.path.join(idx, s["dir"], "terms.parquet")
-                 for s in man["segments"]]
-        ds = ray.data.read_parquet(files, columns=["term", "df", "ttf"])
-        out = ds.groupby("term").aggregate(
-            Sum("df", alias_name="df"), Sum("ttf", alias_name="ttf"))
-        return pa.Table.from_pandas(
-            out.to_pandas(), preserve_index=False).sort_by("term")
+        return suggest_topk(_index_for(sf_dir), ["", "b", "dup", "s"], k=5)
 
-    q["english_term_stats"] = english_term_stats
+    q["suggest_topk"] = suggest_entry
 
     # --- MoreLikeThis -----------------------------------------------------
     def mlt_top10(sf_dir: str) -> pa.Table:
@@ -560,7 +551,7 @@ SELECT doc_id FROM documents
 WHERE source IN (SELECT DISTINCT d.source FROM documents d
                  JOIN fromdocs f ON f.doc_id = d.doc_id)
 ORDER BY doc_id"""
-    sqls["english_term_stats"] = g.english_term_stats_sql()
+    sqls["suggest_topk"] = g.suggest_sql(["", "b", "dup", "s"], k=5)
     sqls["bm25_english_top10"] = g.bm25_english_sql("tabl")
     # s~(park): terms starting 's' whose remainder is not 'park'
     sqls["regexp_hits"] = f"""

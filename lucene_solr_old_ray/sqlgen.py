@@ -202,6 +202,24 @@ def english_term_stats_sql() -> str:
             "FROM edf ORDER BY term")
 
 
+def suggest_sql(prefixes: list[str], k: int = 5) -> str:
+    """Completion-suggester oracle: top-k index terms under each prefix
+    ordered by (weight=ttf desc, term asc) -> (query, rank, suggestion,
+    weight). Mirrors pipelines/suggest.py's Lookup order."""
+    vals = ",".join(f"('{p}')" for p in prefixes)
+    return f"""WITH {base_ctes()},
+pre(q) AS (VALUES {vals}),
+ranked AS (
+  SELECT pre.q AS query, d.term AS suggestion, d.ttf AS weight,
+         row_number() OVER (PARTITION BY pre.q
+                            ORDER BY d.ttf DESC, d.term ASC) AS rank
+  FROM pre JOIN df d ON substr(d.term, 1, length(pre.q)) = pre.q
+)
+SELECT query, CAST(rank AS BIGINT) AS rank, suggestion,
+       CAST(weight AS BIGINT) AS weight
+FROM ranked WHERE rank <= {k} ORDER BY query, rank"""
+
+
 def bm25_english_sql(term: str, k: int = 10) -> str:
     """Single stemmed-term BM25 top-k over the english-analyzer index
     -> (rank, doc_id, score); ``term`` is the POST-STEM form."""

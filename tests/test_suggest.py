@@ -1,0 +1,122 @@
+"""Completion suggester (pipelines/suggest.py): build from term dicts,
+range-partitioned sidecar, block-max pruned weight-ordered prefix lookup."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.suggest import (
+    Suggester,
+    _Partition,
+    build_suggester,
+    suggest_topk,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def sugg(ray_session, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("c") / "c.parquet")
+    generate_corpus(p, 400, seed=11, rows_per_group=100)
+    d = str(tmp_path_factory.mktemp("i") / "idx")
+    # multiple segments: cross-segment weight summing must happen
+    build_index(CorpusSpec.source_code(p), d, target_docs_per_partition=100)
+    # tiny files force a multi-partition sidecar (manifest range routing)
+    sdir = build_suggester(d, target_rows_per_file=16)
+    return d, sdir, str(p)
+
+
+def _brute(index_dir: str, prefix: str, k: int):
+    """Reference lookup: term-dict aggregate + full sort."""
+    import glob
+
+    tables = [pq.read_table(f, columns=["term", "ttf"])
+              for f in glob.glob(os.path.join(index_dir, "segments", "*",
+                                              "terms.parquet"))]
+    t = pa.concat_tables(tables).to_pandas()
+    t["term"] = t["term"].map(
+        lambda b: b.decode() if isinstance(b, bytes) else b)
+    g = t.groupby("term", as_index=False).agg(w=("ttf", "sum"))
+    g = g[g["term"].str.startswith(prefix)]
+    g = g.sort_values(["w", "term"], ascending=[False, True],
+                      kind="mergesort")
+    return list(zip(g["term"].head(k), g["w"].astype(int).head(k)))
+
+
+def test_manifest_is_range_partitioned(sugg):
+    _, sdir, _ = sugg
+    with open(os.path.join(sdir, "manifest.json")) as f:
+        m = json.load(f)
+    files = m["files"]
+    assert len(files) > 3  # actually multi-partition
+    for a, b in zip(files, files[1:]):
+        assert a["first"] <= a["last"] < b["first"] <= b["last"]
+
+
+def test_lookup_matches_brute(sugg):
+    d, sdir, _ = sugg
+    sg = Suggester(sdir)
+    for prefix in ["", "r", "re", "cl", "def", "zzz", "x"]:
+        for k in (1, 3, 5, 50):
+            got = sg.lookup(prefix, k)
+            want = _brute(d, prefix, k)
+            assert got == want, (prefix, k)
+
+
+def test_blockmax_pruning_skips_blocks(sugg):
+    """A big single partition: top-1 lookup must not touch every block."""
+    _, sdir, _ = sugg
+    rng = np.random.default_rng(5)
+    n = 8192
+    terms = sorted({f"t{i:06d}" for i in range(n)})
+    w = rng.integers(1, 10_000, size=len(terms))
+    # one hot term so the kth threshold rises immediately
+    w[100] = 10_000_000
+    tdir = sdir + "-big"
+    os.makedirs(tdir, exist_ok=True)
+    pq.write_table(pa.table({"term": pa.array(terms, pa.string()),
+                             "weight": pa.array(w, pa.int64())}),
+                   os.path.join(tdir, "suggest-00000.parquet"))
+    with open(os.path.join(tdir, "manifest.json"), "w") as f:
+        json.dump({"files": [{"file": "suggest-00000.parquet",
+                              "rows": len(terms), "first": terms[0],
+                              "last": terms[-1]}], "weight": "ttf"}, f)
+    sg = Suggester(tdir)
+    p = sg._part(0)
+    s, e = p.prefix_range("t")
+    ci, _ = p.candidates(s, e, 1)
+    assert len(ci) < (e - s) // 2  # pruned, not a full scan
+    got = sg.lookup("t", 1)
+    assert got[0][0] == terms[100] and got[0][1] == 10_000_000
+
+
+def test_weight_tie_breaks_on_term(sugg):
+    _, sdir, _ = sugg
+    tdir = sdir + "-ties"
+    os.makedirs(tdir, exist_ok=True)
+    terms = ["aa", "ab", "ac", "b"]
+    pq.write_table(pa.table({"term": pa.array(terms, pa.string()),
+                             "weight": pa.array([7, 7, 7, 9], pa.int64())}),
+                   os.path.join(tdir, "suggest-00000.parquet"))
+    with open(os.path.join(tdir, "manifest.json"), "w") as f:
+        json.dump({"files": [{"file": "suggest-00000.parquet", "rows": 4,
+                              "first": "aa", "last": "b"}],
+                   "weight": "ttf"}, f)
+    sg = Suggester(tdir)
+    assert sg.lookup("", 3) == [("b", 9), ("aa", 7), ("ab", 7)]
+    assert sg.lookup("a", 2) == [("aa", 7), ("ab", 7)]
+
+
+def test_suggest_topk_table(sugg):
+    d, _, _ = sugg
+    t = suggest_topk(d, ["re", "zzz"], k=3)
+    df = t.to_pandas()
+    assert list(df.columns) == ["query", "rank", "suggestion", "weight"]
+    assert (df[df["query"] == "re"]["rank"].tolist()
+            == list(range(1, len(df[df["query"] == "re"]) + 1)))
+    assert not (df["query"] == "zzz").any()
