@@ -215,10 +215,63 @@ class AnalyzedBatch:
     field_lengths: np.ndarray  # int32 per doc in batch (overlaps excluded)
     payloads: np.ndarray | None = None  # uint32 per instance (payload lane,
     #                            aligned with positions; None = no payloads)
+    start_offsets: np.ndarray | None = None  # int32 char offsets per
+    end_offsets: np.ndarray | None = None    # instance (OffsetAttribute
+    #                            lane for stored term vectors; None unless
+    #                            analyze_batch(with_offsets=True))
 
 
 
-def _fast_tokenize_ascii(arr):
+# byte class for the ASCII separator split [^a-zA-Z0-9_'.]+ (True = in-token)
+_WORD_LUT = np.zeros(256, dtype=bool)
+_WORD_LUT[np.frombuffer(
+    (b"abcdefghijklmnopqrstuvwxyz"
+     b"ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_'."), dtype=np.uint8)] = True
+
+
+def _piece_offsets(arr) -> tuple[np.ndarray, np.ndarray] | None:
+    """Doc-relative (start, end) char offsets of every NON-EMPTY split piece
+    of an all-ASCII string array, in flat piece order — computed straight
+    off the Arrow value buffer with one byte-class pass (no per-doc regex).
+    Returns None when the array layout is unexpected (caller falls back)."""
+    import pyarrow as pa
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    bufs = a.buffers()
+    n = len(a)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    if bufs[1] is None:
+        return None
+    odt = np.int64 if pa.types.is_large_string(a.type) else np.int32
+    voff = np.frombuffer(bufs[1], dtype=odt)[a.offset : a.offset + n + 1]
+    voff = voff.astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[voff[0] : voff[-1]]
+    voff = voff - voff[0]
+    nb = len(data)
+    if nb == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    w = _WORD_LUT[data]
+    starts = w.copy()
+    starts[1:] &= ~w[:-1]
+    ends = w.copy()
+    ends[:-1] &= ~w[1:]
+    # doc boundaries break runs (consecutive docs are contiguous in the buf)
+    inner = voff[1:-1]
+    b = inner[(inner < nb)]
+    starts[b[w[b]]] = True
+    b = inner[(inner > 0) & (inner <= nb)]
+    ends[b[w[b - 1]] - 1] = True
+    rs = np.flatnonzero(starts)
+    re_ = np.flatnonzero(ends) + 1
+    if len(rs) != len(re_):
+        return None
+    # doc-relative: subtract the owning doc's value offset
+    owner = np.searchsorted(voff, rs, side="right") - 1
+    return rs - voff[owner], re_ - voff[owner]
+
+
+def _fast_tokenize_ascii(arr, want_offsets: bool = False):
     """Vectorized tokenizer for ASCII standard-analyzer docs: Arrow C++
     kernels do lowercase, separator split, and dictionary encoding; string
     munging (edge ['.]-trim, junk drop) then runs on the SMALL vocabulary in
@@ -247,12 +300,14 @@ def _fast_tokenize_ascii(arr):
     # empty split pieces are NOT pre-filtered (two saved passes): "" maps to
     # -1 in the vocabulary pass below and drops with the other non-tokens
     denc = pc.dictionary_encode(flat)
-    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     raw_uniques = denc.dictionary.to_pylist()
 
     final_terms: list[str] = []
     final_index: dict[str, int] = {}
     mapping = np.empty(len(raw_uniques), dtype=np.int64)  # -1 = non-token
+    ltrim = np.zeros(len(raw_uniques), dtype=np.int64)
+    rtrim = np.zeros(len(raw_uniques), dtype=np.int64)
     for i, u in enumerate(raw_uniques):
         t = u.lower().strip("'.")
         if not t or not any(c.isalnum() for c in t):
@@ -260,20 +315,39 @@ def _fast_tokenize_ascii(arr):
             continue
         if not _FAST_SHAPE.fullmatch(t):
             return None  # inner punctuation runs (a..b): exact path required
+        if want_offsets:
+            # offsets of the TRIMMED match within the raw split piece (the
+            # regex excludes edge '. runs, exactly str.strip("'."))
+            ltrim[i] = len(u) - len(u.lstrip("'."))
+            rtrim[i] = len(u) - len(u.rstrip("'."))
         j = final_index.get(t)
         if j is None:
             j = len(final_terms)
             final_index[t] = j
             final_terms.append(t)
         mapping[i] = j
-    codes = mapping[codes]
+    codes = mapping[raw_codes]
     inst_keep = codes >= 0
     codes = codes[inst_keep]
     doc_ids = parents.to_numpy(zero_copy_only=False).astype(np.int32)[inst_keep]
     n_docs = len(arr)
     counts = np.bincount(doc_ids, minlength=n_docs).astype(np.int64)
     positions = _positions_from(doc_ids, counts)
-    return doc_ids, positions, codes, np.asarray(final_terms, dtype=object), counts
+    uniques = np.asarray(final_terms, dtype=object)
+    if not want_offsets:
+        return doc_ids, positions, codes, uniques, counts
+    po = _piece_offsets(arr)
+    plen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    nonempty = plen > 0
+    if po is None or len(po[0]) != int(nonempty.sum()):
+        return None  # unexpected layout: exact path computes offsets
+    pstart = np.zeros(len(raw_codes), dtype=np.int64)
+    pend = np.zeros(len(raw_codes), dtype=np.int64)
+    pstart[nonempty], pend[nonempty] = po
+    kept_raw = raw_codes[inst_keep]
+    starts = (pstart[inst_keep] + ltrim[kept_raw]).astype(np.int32)
+    ends = (pend[inst_keep] - rtrim[kept_raw]).astype(np.int32)
+    return doc_ids, positions, codes, uniques, counts, starts, ends
 
 
 def _positions_from(doc_ids: np.ndarray, counts: np.ndarray) -> np.ndarray:
@@ -312,6 +386,51 @@ def _python_tokenize(texts: list[str], analyzer: str):
         uniques = np.empty(0, dtype=object)
     positions = _positions_from(doc_ids, counts)
     return doc_ids, positions, codes, uniques, counts, cased
+
+
+def _python_tokenize_std_offsets(texts: list[str]):
+    """Exact standard-chain tokenize WITH char offsets -> (doc_ids,
+    positions, codes, uniques, counts, starts, ends). Token stream is
+    bit-identical to :func:`tokenize_raw` per doc (stop/overlong filters run
+    later at the vocabulary level); offsets span the ORIGINAL text."""
+    import pandas as pd
+
+    n_docs = len(texts)
+    counts = np.empty(n_docs, dtype=np.int64)
+    flat: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for i, t in enumerate(texts):
+        t = t if isinstance(t, str) else ""
+        k0 = len(flat)
+        if t.isascii():
+            for m in _ASCII_TOKEN.finditer(t.lower()):
+                flat.append(m.group(0))
+                starts.append(m.start())
+                ends.append(m.end())
+        else:
+            # match the ORIGINAL text (tokenize_raw's boundaries), lowercase
+            # per token — offsets stay valid even when lower() changes length
+            for m in _UNI_TOKEN.finditer(t):
+                tok = m.group(0)
+                if not _HAS_ALNUM.search(tok):
+                    continue
+                flat.append(tok.lower())
+                starts.append(m.start())
+                ends.append(m.end())
+        counts[i] = len(flat) - k0
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+    if flat:
+        codes, uniques = pd.factorize(np.array(flat, dtype=object), sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    positions = _positions_from(doc_ids, counts)
+    return (doc_ids, positions, codes, uniques, counts,
+            np.asarray(starts, dtype=np.int32),
+            np.asarray(ends, dtype=np.int32))
 
 
 def _analyze_overlay(
@@ -466,7 +585,7 @@ def _analyze_delimited_payload(
     )
 
 
-def _tokenize_standard(texts):
+def _tokenize_standard(texts, want_offsets: bool = False):
     """Standard-chain tokenize over a batch -> (doc_ids, positions, codes,
     uniques, counts) of ALL tokens (stop words and overlong tokens still
     present; filters run at the vocabulary level in the callers). ASCII docs
@@ -493,21 +612,32 @@ def _tokenize_standard(texts):
         pc.binary_length(arr), pc.utf8_length(arr)
     ).to_numpy(zero_copy_only=False)
     if ascii_mask.all():
-        fast = _fast_tokenize_ascii(arr)
+        fast = _fast_tokenize_ascii(arr, want_offsets)
         if fast is not None:
             return fast
+        if want_offsets:
+            return _python_tokenize_std_offsets(arr.to_pylist())
         return _python_tokenize(arr.to_pylist(), "standard")[:5]
     if not ascii_mask.any():
+        if want_offsets:
+            return _python_tokenize_std_offsets(arr.to_pylist())
         return _python_tokenize(arr.to_pylist(), "standard")[:5]
     a_idx = np.flatnonzero(ascii_mask)
     o_idx = np.flatnonzero(~ascii_mask)
     sub = arr.take(pa.array(a_idx))
-    fast = _fast_tokenize_ascii(sub)
+    fast = _fast_tokenize_ascii(sub, want_offsets)
     if fast is None:
+        if want_offsets:
+            return _python_tokenize_std_offsets(arr.to_pylist())
         return _python_tokenize(arr.to_pylist(), "standard")[:5]
-    d1, p1, c1, u1, cnt1 = fast
-    d2, p2, c2, u2, cnt2, _ = _python_tokenize(
-        arr.take(pa.array(o_idx)).to_pylist(), "standard")
+    if want_offsets:
+        d1, p1, c1, u1, cnt1, s1, e1 = fast
+        d2, p2, c2, u2, cnt2, s2, e2 = _python_tokenize_std_offsets(
+            arr.take(pa.array(o_idx)).to_pylist())
+    else:
+        d1, p1, c1, u1, cnt1 = fast
+        d2, p2, c2, u2, cnt2, _ = _python_tokenize(
+            arr.take(pa.array(o_idx)).to_pylist(), "standard")
     merged, vocab = pd.factorize(np.concatenate([u1, u2]), sort=False)
     r1, r2 = merged[: len(u1)], merged[len(u1):]
     doc_ids = np.concatenate([a_idx[d1], o_idx[d2]]).astype(np.int32)
@@ -519,6 +649,10 @@ def _tokenize_standard(texts):
     counts = np.zeros(n_docs, dtype=np.int64)
     counts[a_idx] = cnt1
     counts[o_idx] = cnt2
+    if want_offsets:
+        return (doc_ids, positions, codes, uniques, counts,
+                np.concatenate([s1, s2]).astype(np.int32),
+                np.concatenate([e1, e2]).astype(np.int32))
     return doc_ids, positions, codes, uniques, counts
 
 
@@ -621,6 +755,7 @@ def _analyze_ngram(
 def analyze_batch(
     texts, with_positions: bool = False, analyzer: str = "standard",
     synonyms: dict[str, tuple[str, ...]] | None = None,
+    with_offsets: bool = False,
 ) -> AnalyzedBatch:
     """Vectorized chain over a batch of content strings (list or pa.Array).
 
@@ -675,11 +810,22 @@ def analyze_batch(
         return _analyze_overlay(texts, kind, with_positions,
                                 shingle_size=size, synonyms=synonyms)
 
+    s_off = e_off = None
     if analyzer == "standard" or analyzer in _VOCAB_STEMMERS:
         # stemmed analyzers = the standard chain + a vocabulary-level stem
-        # pass applied after the stop/overlong filter (filters below)
-        doc_ids, positions, codes, uniques, counts = _tokenize_standard(texts)
+        # pass applied after the stop/overlong filter (filters below);
+        # offsets always span the ORIGINAL (pre-stem) token
+        if with_offsets:
+            doc_ids, positions, codes, uniques, counts, s_off, e_off = (
+                _tokenize_standard(texts, want_offsets=True))
+        else:
+            doc_ids, positions, codes, uniques, counts = _tokenize_standard(
+                texts)
     else:
+        if with_offsets:
+            raise ValueError(
+                f"offsets lane is only supported for the standard/stemmed "
+                f"chains, not analyzer={analyzer!r}")
         texts_list = texts.to_pylist() if isinstance(texts, pa.Array) else list(texts)
         doc_ids, positions, codes, uniques, counts, cased = _python_tokenize(
             texts_list, analyzer)
@@ -699,6 +845,8 @@ def analyze_batch(
         keep = uniq_keep[codes]
         if with_positions:
             positions = positions[keep]
+        if s_off is not None:
+            s_off, e_off = s_off[keep], e_off[keep]
         codes, doc_ids = codes[keep], doc_ids[keep]
         # re-map codes to the kept vocabulary
         remap = np.cumsum(uniq_keep) - 1
@@ -756,4 +904,5 @@ def analyze_batch(
                     [positions, np.array(s_pos, dtype=np.int32)]
                 )
 
-    return AnalyzedBatch(doc_ids, positions, codes, uniques, field_lengths)
+    return AnalyzedBatch(doc_ids, positions, codes, uniques, field_lengths,
+                         start_offsets=s_off, end_offsets=e_off)

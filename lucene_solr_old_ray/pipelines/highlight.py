@@ -23,6 +23,7 @@ a cheap tail stage after search.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -36,9 +37,14 @@ from .search import fetch_doc_meta, gather_stats, search
 def _best_fragments(
     text: str, weights: dict[str, float], frag_size: int, max_fragments: int,
     pre: str, post: str,
+    toks: list[tuple[str, int, int]] | None = None,
 ) -> list[tuple[float, str]]:
-    """(score, formatted fragment) of the best fragments of one text."""
-    toks = tokenize_with_offsets(text or "")
+    """(score, formatted fragment) of the best fragments of one text.
+    ``toks`` is the (term, start, end) stream — re-analyzed when None
+    (Highlighter.java's TokenSources re-analysis path), or supplied from
+    stored term vectors (the FastVectorHighlighter input)."""
+    if toks is None:
+        toks = tokenize_with_offsets(text or "")
     if not toks:
         return []
     # SimpleFragmenter: assign tokens to fixed-size char windows, breaking
@@ -122,6 +128,105 @@ def highlight_hits(
                 continue
             for fi, (sc, frag) in enumerate(_best_fragments(
                     txt, weights_l, frag_size, max_fragments, pre, post)):
+                rows.append((did, int(rank_l[did]), fi,
+                             frag, int(round(sc * 10000))))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "frag": pa.array([r[2] for r in rows], pa.int64()),
+            "snippet": pa.array([r[3] for r in rows], pa.string()),
+            "score_bp": pa.array([r[4] for r in rows], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(corpus_parquet, columns=[id_col, text_col])
+    out = ds.map_batches(snip, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["rank", "frag"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def highlight_hits_fvh(
+    index_dir: str,
+    corpus_parquet: str,
+    query: Query,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frag_size: int = 120,
+    max_fragments: int = 1,
+    pre: str = "<b>",
+    post: str = "</b>",
+) -> pa.Table:
+    """FastVectorHighlighter path: snippets from STORED term-vector offsets,
+    no re-analysis of hit texts.
+
+    Re-expresses (NOT ports) ``lucene/highlighter/src/java/org/apache/
+    lucene/search/vectorhighlight/FastVectorHighlighter.java:44`` — the
+    token stream is reconstructed from the index's tv.parquet offsets lane
+    (build with ``CorpusSpec.store_term_vectors=True, store_tv_offsets=
+    True``), so stemmed/filtered terms still mark their ORIGINAL character
+    spans. Output is bit-identical to :func:`highlight_hits` on the same
+    index (parity-tested): the stored stream equals the re-analyzed one by
+    construction, minus the per-hit tokenize cost.
+
+    Distribution shape: the hit set is k-sized, so term vectors are fetched
+    with doc-pruned row-group reads (fetch_term_vectors) and only the text
+    SLICING streams over the corpus rows."""
+    import ray
+    import ray.data
+
+    from .search import fetch_term_vectors
+
+    res = search(index_dir, {0: query}, k=k)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "frag": pa.array([], pa.int64()),
+                      "snippet": pa.array([], pa.string()),
+                      "score_bp": pa.array([], pa.int64())})
+    if res.num_rows == 0:
+        return empty
+    docids = res["docid"].to_pylist()
+    meta = fetch_doc_meta(index_dir, docids)
+    id_of = dict(zip(meta["docid"].to_pylist(), meta[id_col].to_pylist()))
+    rank_of = {id_of[d]: r for d, r in zip(docids, res["rank"].to_pylist())}
+
+    tv = fetch_term_vectors(index_dir, docids)
+    if "start_offsets" not in tv.column_names:
+        raise ValueError(
+            "index has no term-vector offsets lane "
+            "(CorpusSpec.store_tv_offsets=True)")
+    # per-doc (term, start, end) stream in offset order — the reconstructed
+    # OffsetAttribute view FVH reads instead of re-analyzing
+    streams: dict = {}
+    tvp = tv.to_pandas()
+    for docid, g in tvp.groupby("docid"):
+        terms = np.repeat(g["term"].to_numpy(dtype=object),
+                          [len(s) for s in g["start_offsets"]])
+        ss = np.concatenate([np.asarray(s) for s in g["start_offsets"]])
+        ee = np.concatenate([np.asarray(e) for e in g["end_offsets"]])
+        o = np.argsort(ss, kind="stable")
+        streams[id_of[int(docid)]] = [
+            (str(t), int(s), int(e))
+            for t, s, e in zip(terms[o], ss[o], ee[o])]
+
+    manifest = mf.read_index_manifest(index_dir)
+    terms = sorted(collect_terms(query))
+    ctx = gather_stats(index_dir, manifest, terms)
+    weights = {t: float(bm25.idf(ctx.term_stats.get(t, (0, 0))[0],
+                                 ctx.coll.max_doc)) for t in terms}
+    bcast = ray.put((streams, weights, rank_of))
+
+    def snip(batch: pa.Table) -> pa.Table:
+        streams_l, weights_l, rank_l = ray.get(bcast)
+        rows = []
+        for did, txt in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            toks = streams_l.get(did)
+            if toks is None:
+                continue
+            for fi, (sc, frag) in enumerate(_best_fragments(
+                    txt, weights_l, frag_size, max_fragments, pre, post,
+                    toks=toks)):
                 rows.append((did, int(rank_l[did]), fi,
                              frag, int(round(sc * 10000))))
         return pa.table({

@@ -467,10 +467,12 @@ def fetch_term_vectors(index_dir: str, docids: Sequence[int]) -> pa.Table:
                            ("doc", "<=", int(local.max()))])
         t = t.filter(pc.is_in(t["doc"], pa.array(local.astype(np.int32))))
         docid = pc.add(t["doc"].cast(pa.int64()), l["doc_base"])
-        tables.append(pa.table({
-            "docid": docid, "term": t["term"], "freq": t["freq"],
-            "positions": t["positions"],
-        }))
+        cols = {"docid": docid, "term": t["term"], "freq": t["freq"],
+                "positions": t["positions"]}
+        if "start_offsets" in t.column_names:  # WITH_POSITIONS_OFFSETS build
+            cols["start_offsets"] = t["start_offsets"]
+            cols["end_offsets"] = t["end_offsets"]
+        tables.append(pa.table(cols))
     if not tables:
         return pa.table({"docid": pa.array([], pa.int64()),
                          "term": pa.array([], pa.string()),

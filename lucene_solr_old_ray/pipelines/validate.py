@@ -74,6 +74,20 @@ def check_leaf(index_dir: str, leaf: dict) -> dict:
                     if tv.num_rows else np.zeros(0, np.int64))
             if not np.array_equal(npos, tv["freq"].to_numpy()):
                 errors.append("term vectors: freq != len(positions)")
+        if "start_offsets" in tv.column_names:
+            # offsets lane: per-row list lengths == freq, end > start >= 0
+            for cname in ("start_offsets", "end_offsets"):
+                cl = tv[cname].combine_chunks()
+                nofs = (np.diff(cl.offsets.to_numpy())
+                        if tv.num_rows else np.zeros(0, np.int64))
+                if not np.array_equal(nofs, tv["freq"].to_numpy()):
+                    errors.append(f"term vectors: freq != len({cname})")
+            ss = tv["start_offsets"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)
+            ee = tv["end_offsets"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False)
+            if len(ss) and (np.any(ss < 0) or np.any(ee <= ss)):
+                errors.append("term vectors: bad offset spans")
 
     sum_tf = 0
     for i in range(len(names)):

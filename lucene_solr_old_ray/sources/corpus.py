@@ -61,6 +61,10 @@ class CorpusSpec:
     # ``index/TermVectorsTermsWriter.java`` re-expressed columnar). Opt-in:
     # roughly doubles segment bytes, exactly like Lucene's .tvf cost.
     store_term_vectors: bool = False
+    # additionally store per-occurrence char offsets in tv.parquet
+    # (Field.TermVector.WITH_POSITIONS_OFFSETS — the FastVectorHighlighter
+    # input). Requires store_term_vectors and a standard/stemmed analyzer.
+    store_tv_offsets: bool = False
 
     @staticmethod
     def source_code(path_or_dir: str, analyzer: str = "standard",

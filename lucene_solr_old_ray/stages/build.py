@@ -95,15 +95,23 @@ def _invert_subbatch(
 
 def _tv_subbatch(ab, doc_offset: int, with_positions: bool) -> pa.Table:
     """Doc-major term-vector rows of one analyzed sub-batch ->
-    (doc int32, term str, freq int32, positions list<int32>|null).
+    (doc int32, term str, freq int32, positions list<int32>|null
+    [, start_offsets, end_offsets list<int32>]).
     Re-expresses ``index/TermVectorsTermsWriter.java``'s per-doc (term,
-    freq, positions) payload as columnar parquet rows; ``ab=None`` -> the
-    empty schema table."""
+    freq, positions[, offsets]) payload as columnar parquet rows; offsets
+    columns appear only when the analyzed batch carries the offsets lane
+    (CorpusSpec.store_tv_offsets — WITH_POSITIONS_OFFSETS). ``ab=None`` ->
+    the empty schema table."""
     schema = pa.schema([
         ("doc", pa.int32()), ("term", pa.string()), ("freq", pa.int32()),
         ("positions", pa.list_(pa.int32())),
     ])
     if ab is None or len(ab.term_codes) == 0:
+        if ab is not None and ab.start_offsets is not None:
+            schema = schema.append(pa.field("start_offsets",
+                                            pa.list_(pa.int32())))
+            schema = schema.append(pa.field("end_offsets",
+                                            pa.list_(pa.int32())))
         return schema.empty_table()
     nu = len(ab.uniques)
     key = ab.doc_ids.astype(np.int64) * nu + ab.term_codes
@@ -112,21 +120,28 @@ def _tv_subbatch(ab, doc_offset: int, with_positions: bool) -> pa.Table:
     uk, first, counts = np.unique(skey, return_index=True, return_counts=True)
     docs = (uk // nu + doc_offset).astype(np.int32)
     terms = ab.uniques[(uk % nu).astype(np.int64)]
+    loff = np.zeros(len(uk) + 1, dtype=np.int64)
+    np.cumsum(counts, out=loff[1:])
+    loff = pa.array(loff.astype(np.int32), pa.int32())
+
+    def lanes(vals: np.ndarray) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            loff, pa.array(vals[order].astype(np.int32), pa.int32()))
+
     if with_positions and len(ab.positions):
-        spos = ab.positions[order].astype(np.int32)
-        offsets = np.zeros(len(uk) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        offsets = offsets.astype(np.int32)
-        plist = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                         pa.array(spos, pa.int32()))
+        plist = lanes(ab.positions)
     else:
         plist = pa.nulls(len(uk), pa.list_(pa.int32()))
-    return pa.table({
+    cols = {
         "doc": pa.array(docs, pa.int32()),
         "term": pa.array(terms, pa.string()),
         "freq": pa.array(counts.astype(np.int32), pa.int32()),
         "positions": plist,
-    })
+    }
+    if ab.start_offsets is not None:
+        cols["start_offsets"] = lanes(ab.start_offsets)
+        cols["end_offsets"] = lanes(ab.end_offsets)
+    return pa.table(cols)
 
 
 def _analyze_numeric(col) -> "object":
@@ -321,6 +336,7 @@ def build_segment(
     n_inst = [0] * len(fields)  # indexed token instances incl. overlap subtokens
     meta_tables: list[pa.Table] = []
     store_tv = bool(getattr(spec, "store_term_vectors", False))
+    tv_offsets = bool(getattr(spec, "store_tv_offsets", False))
     tv_parts: list[pa.Table] = []
     sha_list: list[str] = []
     doc_off = 0
@@ -352,6 +368,7 @@ def build_segment(
                     tb[col], with_positions=wpos, analyzer=anlz,
                     synonyms=(dict(spec.synonyms)
                               if getattr(spec, "synonyms", None) else None),
+                    with_offsets=(fi == 0 and store_tv and tv_offsets),
                 )  # zero-copy Arrow in
             n_post[fi] += _invert_subbatch(ab, doc_off, accs[fi], wpos)
             n_inst[fi] += len(ab.term_codes)

@@ -1,0 +1,108 @@
+"""Term-vector OFFSETS lane (WITH_POSITIONS_OFFSETS) and the
+FastVectorHighlighter path: stored offsets == re-analysis offsets, and
+highlight-from-vectors output is bit-identical to the re-analysis
+highlighter."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import (
+    analyze_batch,
+    tokenize_with_offsets,
+)
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.highlight import (
+    highlight_hits,
+    highlight_hits_fvh,
+)
+from lucene_solr_old_ray.pipelines.merge import merge_index
+from lucene_solr_old_ray.pipelines.search import fetch_term_vectors
+from lucene_solr_old_ray.queries import TermQuery, bool_query
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+SF = "/root/testdata/sf0.001"
+
+
+def _offsets_stream(ab, doc):
+    sel = ab.doc_ids == doc
+    trips = [(str(ab.uniques[c]), int(s), int(e))
+             for c, s, e in zip(ab.term_codes[sel], ab.start_offsets[sel],
+                                ab.end_offsets[sel])]
+    return sorted(trips, key=lambda t: t[1])
+
+
+def test_offsets_lane_matches_tokenize_with_offsets():
+    texts = [
+        "Hello world, the QUICK brown.fox jumps'over trail.",
+        "a..b pathological '' ... punctuation_runs",
+        "ünïcode tëxt mixed with ascii and 漢字 ideographs",
+        "",
+        "plain words only here",
+    ]
+    ab = analyze_batch(texts, with_positions=True, with_offsets=True)
+    for i, t in enumerate(texts):
+        assert _offsets_stream(ab, i) == tokenize_with_offsets(t), i
+
+
+def test_offsets_only_for_standard_chain():
+    with pytest.raises(ValueError):
+        analyze_batch(["getFoo"], analyzer="code", with_offsets=True)
+
+
+@pytest.fixture(scope="module")
+def fvh_index(ray_session, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("fvhidx") / "idx")
+    spec = CorpusSpec.documents(SF)
+    spec = CorpusSpec(files=spec.files, content_col=spec.content_col,
+                      meta_cols=spec.meta_cols, store_term_vectors=True,
+                      store_tv_offsets=True)
+    build_index(spec, idx, target_docs_per_partition=128)
+    merge_index(idx, fan_in=8, strategy="local")
+    return idx
+
+
+def test_tv_offsets_survive_build_and_merge(fvh_index):
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    tvt = fetch_term_vectors(fvh_index, [1, 99, 255]).to_pandas()
+    assert "start_offsets" in tvt.columns
+    from lucene_solr_old_ray.pipelines.search import fetch_doc_meta
+
+    meta = fetch_doc_meta(fvh_index, [1, 99, 255]).to_pandas()
+    docid_to_id = dict(zip(meta["docid"], meta["doc_id"]))
+    for docid, g in tvt.groupby("docid"):
+        text = texts[docid_to_id[docid]]
+        got = []
+        for _, r in g.iterrows():
+            for s, e in zip(r["start_offsets"], r["end_offsets"]):
+                got.append((r["term"], int(s), int(e)))
+                # the span slices back to the term (lowercased)
+                assert text[int(s):int(e)].lower() == r["term"]
+        assert sorted(got, key=lambda t: (t[1], t[0])) == sorted(
+            tokenize_with_offsets(text), key=lambda t: (t[1], t[0]))
+
+
+def test_fvh_matches_reanalysis_highlighter(fvh_index):
+    corpus = f"{SF}/documents.parquet"
+    for q in (TermQuery("spark"),
+              bool_query(shoulds=["merge", "window"]),
+              bool_query(musts=["hash"], shoulds=["join"])):
+        a = highlight_hits(fvh_index, corpus, q, k=8,
+                           max_fragments=2).to_pandas()
+        b = highlight_hits_fvh(fvh_index, corpus, q, k=8,
+                               max_fragments=2).to_pandas()
+        assert a.equals(b), q
+
+
+def test_fvh_requires_offsets_lane(ray_session, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("noofs") / "idx")
+    spec = CorpusSpec.documents(SF)
+    spec = CorpusSpec(files=spec.files, content_col=spec.content_col,
+                      meta_cols=spec.meta_cols, store_term_vectors=True)
+    build_index(spec, idx, target_docs_per_partition=512)
+    merge_index(idx, fan_in=8, strategy="local")
+    with pytest.raises(ValueError, match="offsets"):
+        highlight_hits_fvh(idx, f"{SF}/documents.parquet", TermQuery("spark"))
