@@ -1,0 +1,100 @@
+"""Per-segment bloom filter over the term dictionary.
+
+Re-expresses (NOT ports) ``lucene/codecs/src/java/org/apache/lucene/codecs/
+bloom/BloomFilteringPostingsFormat.java`` + ``FuzzySet.java``: a single hash
+function over a power-of-two bitset sized ~10 bits/term (the
+DefaultBloomFilterFactory saturation target), consulted BEFORE the term-dict
+bisect so single-term lookups of ABSENT terms short-circuit without touching
+the packed dict — the reference's primary-key-lookup use case. False
+positives only cost the bisect they would have paid anyway; false negatives
+are impossible (CheckIndex asserts it).
+
+The sidecar is ``{prefix}bloom.npy`` next to ``{prefix}terms.parquet``,
+written at segment flush AND at merge (each merged segment re-hashes its own
+vocabulary, like the reference's per-segment FuzzySet), loaded with
+``np.load(mmap_mode="r")`` so open segments pay one page, not the bitset.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def bloom_nbits(nterms: int) -> int:
+    """Power-of-two bitset size targeting ~10 bits/term (<=10% saturation
+    with one hash function, FuzzySet.createSetBasedOnQuality analogue)."""
+    want = max(64, nterms * 10)
+    return 1 << int(want - 1).bit_length()
+
+
+def _hash_terms(terms) -> np.ndarray:
+    """Vectorized FNV-1a over a term sequence (str or bytes) -> uint64."""
+    bs = [t if isinstance(t, bytes) else str(t).encode("utf-8")
+          for t in terms]
+    n = len(bs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in bs), count=n, dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    pad = np.zeros((n, maxlen), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    col = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - lens, lens)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    pad[row, col] = flat
+    h = np.full(n, np.uint64(_FNV_OFFSET), dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            hj = np.bitwise_xor(h[active], pad[active, j].astype(np.uint64))
+            h[active] = np.multiply(hj, prime, dtype=np.uint64)
+    return h
+
+
+def hash_term(term) -> int:
+    """Scalar FNV-1a, bit-identical to :func:`_hash_terms` per element."""
+    b = term if isinstance(term, bytes) else str(term).encode("utf-8")
+    h = _FNV_OFFSET
+    for byte in b:
+        h = ((h ^ byte) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def build_bloom(terms) -> np.ndarray:
+    """Bitset (uint8 array, little-endian bit order) covering ``terms``."""
+    nbits = bloom_nbits(len(terms))
+    bits = np.zeros(nbits >> 3, dtype=np.uint8)
+    if len(terms):
+        h = _hash_terms(terms)
+        pos = (h & np.uint64(nbits - 1)).astype(np.int64)
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.left_shift(np.uint8(1),
+                                       (pos & 7).astype(np.uint8)))
+    return bits
+
+
+def write_bloom(terms, path: str) -> None:
+    np.save(path, build_bloom(terms))
+
+
+def maybe_contains(bits: np.ndarray, term) -> bool:
+    """False -> the term is DEFINITELY absent from the segment."""
+    nbits = len(bits) << 3
+    pos = hash_term(term) & (nbits - 1)
+    return bool(bits[pos >> 3] & (1 << (pos & 7)))
+
+
+def load_bloom(dir_path: str, prefix: str = "") -> np.ndarray | None:
+    p = os.path.join(dir_path, prefix + "bloom.npy")
+    if not os.path.exists(p):
+        return None
+    return np.load(p, mmap_mode="r")

@@ -37,6 +37,21 @@ def check_leaf(index_dir: str, leaf: dict) -> dict:
     names = terms["term"].to_pylist()
     if names != sorted(names):
         errors.append("terms not sorted")
+    # bloom sidecar: every dict term MUST test positive (false negatives
+    # would silently drop hits), saturation within the ~10 bits/term design
+    bloom_path = os.path.join(sd, "bloom.npy")
+    if os.path.exists(bloom_path):
+        from ..functions.bloom import _hash_terms
+
+        bits = np.load(bloom_path)
+        nbits = len(bits) << 3
+        if names:
+            pos = (_hash_terms(names) & np.uint64(nbits - 1)).astype(np.int64)
+            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            if not hit.all():
+                errors.append("bloom: false negative on a dict term")
+        if np.unpackbits(bits).sum() > max(1, len(names)):
+            errors.append("bloom: saturation above one bit per term bound")
     offs = terms["off"].to_numpy()
     lens = terms["len"].to_numpy()
     dfs = terms["df"].to_numpy()

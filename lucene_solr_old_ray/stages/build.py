@@ -274,6 +274,9 @@ def _flush_field(
         tcols["pay_off"] = pay_offs
         tcols["pay_len"] = pay_lens
     pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
+    from ..functions.bloom import write_bloom
+
+    write_bloom(terms, os.path.join(tmp, prefix + "bloom.npy"))
     return terms, dfs, int(pos)
 
 

@@ -172,6 +172,9 @@ def _write_field_files(tmp: str, prefix: str, terms, dfs, ttfs, blobs,
         tcols["pay_off"] = pay_offs
         tcols["pay_len"] = pay_lens
     pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
+    from ..functions.bloom import write_bloom
+
+    write_bloom(terms, os.path.join(tmp, prefix + "bloom.npy"))
     return int(pos)
 
 

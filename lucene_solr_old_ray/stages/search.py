@@ -54,6 +54,9 @@ from ..queries import (
 )
 
 
+_BLOOM_UNSET = object()  # sentinel: bloom sidecar not yet probed on disk
+
+
 class LeafSearcher:
     """One open segment/shard: term dict in RAM, postings + norms memory-mapped
     (``store/MMapDirectory.java:79`` analogue). Loaded once per actor per leaf
@@ -130,6 +133,7 @@ class LeafSearcher:
             dtype=np.uint8
         )
         self._docmap = None
+        self._bloom = _BLOOM_UNSET  # lazy-loaded bloom.npy (may be absent)
         self._filter_cache: dict = {}  # CachingWrapperFilter analogue (per leaf)
 
     def sibling(self, field: str | None) -> "LeafSearcher":
@@ -170,6 +174,19 @@ class LeafSearcher:
 
     def lookup(self, term: str) -> int:
         key = term.encode("utf-8")
+        bloom = self._bloom
+        if bloom is _BLOOM_UNSET:
+            from ..functions.bloom import load_bloom
+            from ..state.fields import fprefix
+
+            bloom = self._bloom = load_bloom(self.dir, fprefix(self.field))
+        if bloom is not None:
+            # BloomFilteringPostingsFormat short-circuit: definitely-absent
+            # terms skip the dict bisect (no false negatives, CheckIndexed)
+            from ..functions.bloom import maybe_contains
+
+            if not maybe_contains(bloom, key):
+                return -1
         i = self._bisect(key, right=False)
         if i < self.nterms and self.term_at(i) == key:
             return i

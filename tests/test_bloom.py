@@ -1,0 +1,81 @@
+"""Bloom-filter term-dict sidecar (BloomFilteringPostingsFormat/FuzzySet
+analogue): no false negatives, bounded false positives, lookup parity."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from lucene_solr_old_ray.functions.bloom import (
+    bloom_nbits,
+    build_bloom,
+    hash_term,
+    load_bloom,
+    maybe_contains,
+)
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.merge import merge_index
+from lucene_solr_old_ray.pipelines.validate import check_index
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+from lucene_solr_old_ray.stages.search import LeafSearcher
+from lucene_solr_old_ray.state import manifest as mf
+
+
+def test_no_false_negatives_and_bounded_fp():
+    rng = np.random.default_rng(3)
+    terms = sorted({f"term{int(x):08d}" for x in rng.integers(0, 10**8, 5000)})
+    bits = build_bloom(terms)
+    assert len(bits) * 8 == bloom_nbits(len(terms))
+    for t in terms[::97]:
+        assert maybe_contains(bits, t)
+    absent = [f"absent{int(x):08d}" for x in rng.integers(0, 10**8, 2000)]
+    fp = sum(maybe_contains(bits, t) for t in absent) / len(absent)
+    assert fp < 0.15, fp  # ~10 bits/term, one hash -> <=10% expected
+
+
+def test_vector_scalar_hash_agree():
+    from lucene_solr_old_ray.functions.bloom import _hash_terms
+
+    terms = ["", "a", "spark", "漢字", b"bytes-term"]
+    hv = _hash_terms(terms)
+    for t, h in zip(terms, hv):
+        assert hash_term(t) == int(h)
+
+
+@pytest.fixture(scope="module")
+def bloom_idx(ray_session, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("c") / "c.parquet")
+    generate_corpus(p, 300, seed=4, rows_per_group=100)
+    d = str(tmp_path_factory.mktemp("i") / "idx")
+    build_index(CorpusSpec.source_code(p), d, target_docs_per_partition=100)
+    merge_index(d, fan_in=8, strategy="local")
+    return d
+
+
+def test_sidecar_written_and_checkindex_clean(bloom_idx):
+    blooms = glob.glob(os.path.join(bloom_idx, "**", "bloom.npy"),
+                       recursive=True)
+    assert blooms, "no bloom sidecars written"
+    rep = check_index(bloom_idx)
+    assert rep["ok"].all(), rep
+
+
+def test_lookup_parity_and_negative_short_circuit(bloom_idx):
+    man = mf.read_index_manifest(bloom_idx)
+    seg = man["segments"][0]
+    leaf = LeafSearcher(os.path.join(bloom_idx, seg["dir"]),
+                        0, 0, seg["num_docs"])
+    # every dict term resolves through the bloom-guarded path
+    for ti in range(0, leaf.nterms, max(1, leaf.nterms // 50)):
+        t = leaf.term_str(ti)
+        assert leaf.lookup(t) == ti
+    # absent terms: -1, and when the bloom says absent the bisect is skipped
+    assert leaf.lookup("definitely-not-a-term-xyzzy") == -1
+    bloom = load_bloom(leaf.dir)
+    assert bloom is not None
+    misses = [f"zz-missing-{i}" for i in range(200)]
+    pruned = sum(not maybe_contains(bloom, m.encode()) for m in misses)
+    assert pruned > 150  # the short-circuit actually fires
+    for m in misses[:20]:
+        assert leaf.lookup(m) == -1
