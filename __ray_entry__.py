@@ -246,8 +246,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_top10_term"] = lambda sf: _bm25_result(_index_for(sf), TermQuery("spark"))
     q["bm25_top10_and"] = lambda sf: _bm25_result(
         _index_for(sf), bool_query(musts=["spark", "window"]))
-    q["bm25_top10_or"] = lambda sf: _bm25_result(
-        _index_for(sf), bool_query(shoulds=["vector", "stream", "batch"]))
+    from lucene_solr_old_ray.queries import CommonTermsQuery
+
+    # low/high split is df-dependent (mtf=0.5 -> cutoff ceil(maxDoc/2)):
+    # rare 'dup' stays required, stop-like 'join'/'hash' demote to optional
+    q["common_terms_top10"] = lambda sf: _bm25_result(
+        _index_for(sf),
+        CommonTermsQuery(("dup", "join", "hash"), max_term_frequency=0.5))
     q["bm25_top10_msm"] = lambda sf: _bm25_result(
         _index_for(sf),
         bool_query(shoulds=["vector", "stream", "batch", "window"],
@@ -523,7 +528,8 @@ def oracle_sql() -> dict[str, str]:
     )
     sqls["bm25_top10_term"] = g.bm25_sql(musts=["spark"])
     sqls["bm25_top10_and"] = g.bm25_sql(musts=["spark", "window"])
-    sqls["bm25_top10_or"] = g.bm25_sql(shoulds=["vector", "stream", "batch"])
+    sqls["common_terms_top10"] = g.common_terms_sql(
+        ["dup", "join", "hash"], max_term_frequency=0.5)
     sqls["bm25_top10_msm"] = g.bm25_sql(
         shoulds=["vector", "stream", "batch", "window"], min_should_match=2)
     sqls["bm25_top10_not"] = g.bm25_sql(musts=["spark"], must_nots=["slow"])

@@ -33,9 +33,11 @@ import ray.data
 
 from ..functions import bm25
 from ..queries import (
+    MUST,
     SHOULD,
     BooleanClause,
     BooleanQuery,
+    CommonTermsQuery,
     ConstantScoreQuery,
     CustomScoreQuery,
     DisjunctionMaxQuery,
@@ -184,9 +186,77 @@ def _collect_scoring_mtqs(q: Query, out: list) -> None:
         _collect_scoring_mtqs(q.query, out)
 
 
+def _collect_common_terms(q: Query, out: list) -> None:
+    if isinstance(q, CommonTermsQuery):
+        if q not in out:
+            out.append(q)
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            _collect_common_terms(c.query, out)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for d in q.disjuncts:
+            _collect_common_terms(d, out)
+    elif isinstance(q, FilteredQuery):
+        _collect_common_terms(q.query, out)
+        _collect_common_terms(q.filter, out)
+    elif isinstance(q, (ConstantScoreQuery, CustomScoreQuery)):
+        _collect_common_terms(q.query, out)
+
+
+def _common_to_bool(q: CommonTermsQuery, dfs: dict[str, int],
+                    max_doc: int) -> BooleanQuery:
+    """CommonTermsQuery.rewrite against global df stats (buildQuery,
+    ``queries/CommonTermsQuery.java:139-188``)."""
+    import math
+
+    if q.field is not None:
+        raise NotImplementedError(
+            "CommonTermsQuery rewrite is default-field only")
+    if q.max_term_frequency >= 1.0:
+        cutoff = q.max_term_frequency
+    else:
+        cutoff = math.ceil(q.max_term_frequency * max_doc)
+    low = [t for t in q.terms if dfs.get(t, 0) <= cutoff]
+    high = [t for t in q.terms if dfs.get(t, 0) > cutoff]
+    lowb = BooleanQuery(
+        tuple(BooleanClause(q.low_freq_occur, TermQuery(t, field=q.field))
+              for t in low),
+        q.low_freq_msm, 1.0)
+    highb = BooleanQuery(
+        tuple(BooleanClause(q.high_freq_occur, TermQuery(t, field=q.field))
+              for t in high),
+        0, 1.0)
+    if not high:
+        return BooleanQuery(lowb.clauses, q.low_freq_msm, q.boost)
+    if not low:
+        return BooleanQuery(highb.clauses, 0, q.boost)
+    return BooleanQuery(
+        (BooleanClause(MUST, lowb), BooleanClause(SHOULD, highb)),
+        0, q.boost)
+
+
+def rewrite_common_terms(
+    index_dir: str, manifest: dict, qitems: list[tuple[int, Query]]
+) -> list[tuple[int, Query]]:
+    """Rewrite every CommonTermsQuery against the GLOBAL df stats (one
+    control-plane stats pass shared by all of them)."""
+    ctqs: list[CommonTermsQuery] = []
+    for _, q in qitems:
+        _collect_common_terms(q, ctqs)
+    if not ctqs:
+        return qitems
+    terms = sorted({t for q in ctqs for t in q.terms})
+    ctx = gather_stats(index_dir, manifest, terms)
+    dfs = {t: st[0] for t, st in ctx.term_stats.items()}
+    repl = {q: _common_to_bool(q, dfs, ctx.coll.max_doc) for q in ctqs}
+    return [(qid, _replace_mtqs(q, repl)) for qid, q in qitems]
+
+
 def _replace_mtqs(q: Query, repl: dict) -> Query:
     if isinstance(q, _MTQ_TYPES) and q.rewrite == "scoring_boolean":
         return repl[q]
+    if isinstance(q, CommonTermsQuery):
+        return repl.get(q, q)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
             tuple(BooleanClause(c.occur, _replace_mtqs(c.query, repl))
@@ -343,6 +413,7 @@ def search(
     qitems = sorted(queries.items())
     if any(needs_rewrite(q) for _, q in qitems):
         qitems = rewrite_queries(index_dir, manifest, qitems)
+    qitems = rewrite_common_terms(index_dir, manifest, qitems)
 
     all_terms: set[str] = set()
     all_fterms: set[tuple[str, str]] = set()

@@ -173,6 +173,31 @@ class BooleanQuery:
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery:
+    """Term query that demotes HIGH-frequency terms to optional clauses at
+    rewrite time — re-expresses (NOT ports) ``lucene/queries/src/java/org/
+    apache/lucene/queries/CommonTermsQuery.java:63``: a term is
+    high-frequency when ``df > max_term_frequency`` (absolute when >= 1,
+    else ``df > ceil(max_term_frequency * max_doc)``). The rewrite (df from
+    the GLOBAL stats pass) builds:
+
+    - only low terms  -> Boolean(low_freq_occur per term, low_freq_msm)
+    - only high terms -> Boolean(high_freq_occur per term)
+    - both            -> Boolean(MUST(low-bool), SHOULD(high-bool))
+
+    so a doc must satisfy the low-frequency group, and matching
+    high-frequency terms still contribute their BM25 score."""
+
+    terms: tuple[str, ...]
+    max_term_frequency: float = 0.01
+    low_freq_occur: str = SHOULD   # SHOULD | MUST
+    high_freq_occur: str = SHOULD
+    low_freq_msm: int = 0
+    boost: float = 1.0
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery:
     """Max of clause scores + tie_breaker * sum of the rest
     (``search/DisjunctionMaxQuery.java:44``)."""
@@ -425,6 +450,8 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, PayloadTermQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
+    if isinstance(q, CommonTermsQuery):
+        return set(q.terms) if q.field is None else set()
     return set()
 
 

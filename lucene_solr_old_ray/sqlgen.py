@@ -730,6 +730,56 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ORDER BY rank"""
 
 
+def common_terms_sql(terms: list[str], max_term_frequency: float,
+                     k: int = 10, low_freq_msm: int = 0) -> str:
+    """CommonTermsQuery oracle (SHOULD/SHOULD occurs): terms are classified
+    low/high IN SQL by ``df > ceil(mtf * max_doc)`` (absolute when mtf >= 1),
+    matching requires >= max(1, msm) LOW matches when any low term exists
+    (else >= 1 high match), and the float32 score folds the low group then
+    the high group in term order — mirroring the engine's rewritten
+    Boolean(MUST(low-bool), SHOULD(high-bool)) accumulation exactly
+    (+0.0 identities make the grouped CASE fold bit-equal)."""
+    if max_term_frequency >= 1.0:
+        cutoff = f"CAST({int(max_term_frequency)} AS BIGINT)"
+    else:
+        cutoff = (f"CAST(ceil(CAST({max_term_frequency!r} AS DOUBLE) * "
+                  f"(SELECT n FROM coll)) AS BIGINT)")
+    ctes = [base_ctes()]
+    flags = []
+    joins = []
+    low_parts, high_parts = [], []
+    low_match, high_match, any_low = [], [], []
+    for i, t in enumerate(terms, start=1):
+        ctes.append(term_score_cte(f"c{i}", t))
+        joins.append(f"LEFT JOIN c{i} ON c{i}.doc_id = d.doc_id")
+        flags.append(
+            f"(COALESCE((SELECT df FROM df WHERE term = '{t}'), 0)"
+            f" <= {cutoff}) AS l{i}")
+        coal = f"COALESCE(c{i}.s, CAST(0 AS REAL))"
+        low_parts.append(
+            f"(CASE WHEN lf.l{i} THEN {coal} ELSE CAST(0 AS REAL) END)")
+        high_parts.append(
+            f"(CASE WHEN lf.l{i} THEN CAST(0 AS REAL) ELSE {coal} END)")
+        hit = f"(CASE WHEN c{i}.doc_id IS NULL THEN 0 ELSE 1 END)"
+        low_match.append(f"(CASE WHEN lf.l{i} THEN {hit} ELSE 0 END)")
+        high_match.append(f"(CASE WHEN lf.l{i} THEN 0 ELSE {hit} END)")
+        any_low.append(f"(CASE WHEN lf.l{i} THEN 1 ELSE 0 END)")
+    ctes.append("lowflag AS (SELECT " + ", ".join(flags) + ")")
+    score = f32(f"{f32_sum(low_parts)} + {f32_sum(high_parts)}")
+    need = max(1, low_freq_msm)
+    cond = (f"CASE WHEN ({' + '.join(any_low)}) > 0 "
+            f"THEN ({' + '.join(low_match)}) >= {need} "
+            f"ELSE ({' + '.join(high_match)}) >= 1 END")
+    return f"""WITH {",".join(ctes)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (SELECT d.doc_id AS doc_id, {score} AS score
+        FROM doccache d CROSS JOIN lowflag lf {' '.join(joins)}
+        WHERE {cond})
+) WHERE rank <= {k} ORDER BY rank"""
+
+
 def custom_score_sql(term: str, k: int = 10) -> str:
     """CustomScoreQuery(TermQuery(term), field=doc_id) oracle
     (``queries/CustomScoreQuery.java:47`` default provider): score =

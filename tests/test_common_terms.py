@@ -1,0 +1,121 @@
+"""CommonTermsQuery: df-dependent low/high rewrite, scoring parity with the
+equivalent Boolean tree, and the absolute-cutoff / single-group edges."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.oracle import OracleIndex
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import (
+    MUST,
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    CommonTermsQuery,
+    TermQuery,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("c") / "c.parquet")
+    generate_corpus(p, 400, seed=13, rows_per_group=100)
+    d = str(tmp_path_factory.mktemp("i") / "idx")
+    build_index(CorpusSpec.source_code(p), d, target_docs_per_partition=150)
+    texts = pq.read_table(p)["content"].to_pylist()
+    return d, texts
+
+
+def _dfs(texts, terms):
+    from lucene_solr_old_ray.functions.analysis import analyze_text
+
+    dfs = {t: 0 for t in terms}
+    for txt in texts:
+        toks = set(analyze_text(txt))
+        for t in terms:
+            if t in toks:
+                dfs[t] += 1
+    return dfs
+
+
+def _expected_bool(terms, dfs, cutoff, msm=0, low_occur=SHOULD):
+    low = [t for t in terms if dfs.get(t, 0) <= cutoff]
+    high = [t for t in terms if dfs.get(t, 0) > cutoff]
+    lowb = BooleanQuery(
+        tuple(BooleanClause(low_occur, TermQuery(t)) for t in low), msm)
+    highb = BooleanQuery(
+        tuple(BooleanClause(SHOULD, TermQuery(t)) for t in high), 0)
+    if not high:
+        return BooleanQuery(lowb.clauses, msm)
+    if not low:
+        return BooleanQuery(highb.clauses, 0)
+    return BooleanQuery(
+        (BooleanClause(MUST, lowb), BooleanClause(SHOULD, highb)), 0)
+
+
+def _assert_same(idx_dir, ctq, expected):
+    a = search(idx_dir, {0: ctq}, k=20).to_pandas()
+    b = search(idx_dir, {0: expected}, k=20).to_pandas()
+    assert a["docid"].tolist() == b["docid"].tolist()
+    np.testing.assert_array_equal(a["score"].to_numpy(),
+                                  b["score"].to_numpy())
+
+
+def test_mixed_groups_fractional_cutoff(idx):
+    d, texts = idx
+    import math
+
+    terms = ("lambda", "return", "def")
+    dfs = _dfs(texts, terms)
+    cutoff = math.ceil(0.3 * len(texts))
+    assert any(v <= cutoff for v in dfs.values()) and any(
+        v > cutoff for v in dfs.values()), dfs  # genuinely mixed
+    ctq = CommonTermsQuery(terms, max_term_frequency=0.3)
+    _assert_same(d, ctq, _expected_bool(terms, dfs, cutoff))
+
+
+def test_all_low_and_all_high(idx):
+    d, texts = idx
+    terms = ("lambda", "yield")
+    dfs = _dfs(texts, terms)
+    # absolute cutoff high enough -> all low
+    ctq = CommonTermsQuery(terms, max_term_frequency=10**9)
+    _assert_same(d, ctq, _expected_bool(terms, dfs, 10**9))
+    # cutoff 1 -> (almost certainly) all high
+    ctq = CommonTermsQuery(("return", "def"), max_term_frequency=1.0)
+    _assert_same(d, ctq, _expected_bool(("return", "def"),
+                                        _dfs(texts, ("return", "def")), 1))
+
+
+def test_low_freq_msm_and_must(idx):
+    d, texts = idx
+    import math
+
+    terms = ("lambda", "yield", "return")
+    dfs = _dfs(texts, terms)
+    cutoff = math.ceil(0.5 * len(texts))
+    ctq = CommonTermsQuery(terms, max_term_frequency=0.5, low_freq_msm=2)
+    _assert_same(d, ctq, _expected_bool(terms, dfs, cutoff, msm=2))
+    ctq = CommonTermsQuery(terms, max_term_frequency=0.5,
+                           low_freq_occur=MUST)
+    _assert_same(d, ctq, _expected_bool(terms, dfs, cutoff, low_occur=MUST))
+
+
+def test_matches_oracle_scoring(idx):
+    d, texts = idx
+    import math
+
+    terms = ("lambda", "return", "def")
+    dfs = _dfs(texts, terms)
+    cutoff = math.ceil(0.3 * len(texts))
+    expected = _expected_bool(terms, dfs, cutoff)
+    want = OracleIndex(texts).search(expected, 15)
+    got = search(d, {0: CommonTermsQuery(terms, max_term_frequency=0.3)},
+                 k=15).to_pandas()
+    assert got["docid"].tolist() == [w[0] for w in want]
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(),
+        np.asarray([w[1] for w in want], dtype=np.float32))
