@@ -250,6 +250,14 @@ def read_segment_term_rows(index_dir: str, shard: dict) -> pd.DataFrame:
             pblobs = [pos_all[o: o + l] for o, l in zip(pos_offs, pos_lens)]
         else:
             pblobs = [b""] * len(names)
+        if "pay_off" in terms.column_names:  # payload lane rides the shuffle
+            with open(os.path.join(sd, "payloads.bin"), "rb") as f:
+                pay_all = f.read()
+            yo = terms["pay_off"].to_numpy()
+            yl = terms["pay_len"].to_numpy()
+            yblobs = [pay_all[o: o + l] for o, l in zip(yo, yl)]
+        else:
+            yblobs = [b""] * len(names)
         salt = np.where(
             np.fromiter((t in hot for t in names), count=len(names),
                         dtype=bool),
@@ -269,6 +277,7 @@ def read_segment_term_rows(index_dir: str, shard: dict) -> pd.DataFrame:
             "ttf": terms["ttf"].to_numpy().astype(np.int64),
             "blob": pd.Series(blobs, dtype=object),
             "pos_blob": pd.Series(pblobs, dtype=object),
+            "pay_blob": pd.Series(yblobs, dtype=object),
             "g": g,
         }))
     return pd.concat(frames, ignore_index=True)
@@ -285,8 +294,10 @@ def merge_bucket(gb: pd.DataFrame) -> pd.DataFrame:
         ttf=("ttf", "sum"),
         blob=("blob", lambda s: b"".join(s)),
         pos_blob=("pos_blob", lambda s: b"".join(s)),
+        pay_blob=("pay_blob", lambda s: b"".join(s)),
     ).reset_index()
-    return agg[["shard_id", "term", "salt", "df", "ttf", "blob", "pos_blob"]]
+    return agg[["shard_id", "term", "salt", "df", "ttf", "blob",
+                "pos_blob", "pay_blob"]]
 
 
 def write_shard_files(
@@ -415,11 +426,13 @@ def assemble_shard(index_dir: str, out_dir: str, shard: dict, g: pd.DataFrame) -
                 "num_docs": m["num_docs"], "sum_tf": m["sum_tf"], "skipped": True}
     g = g.sort_values(["term", "salt"], kind="mergesort")
     has_pos = "pos_blob" in g.columns and int(g["pos_blob"].map(len).sum()) > 0
+    has_pay = "pay_blob" in g.columns and int(g["pay_blob"].map(len).sum()) > 0
     terms: list[str] = []
     dfs: list[int] = []
     ttfs: list[int] = []
     blobs: list[bytes] = []
     pos_blobs: list[bytes] = []
+    pay_blobs: list[bytes] = []
     for term, sub in g.groupby("term", sort=True):
         terms.append(term)
         dfs.append(int(sub["df"].sum()))
@@ -427,10 +440,13 @@ def assemble_shard(index_dir: str, out_dir: str, shard: dict, g: pd.DataFrame) -
         blobs.append(b"".join(sub["blob"].tolist()))
         if has_pos:
             pos_blobs.append(b"".join(sub["pos_blob"].tolist()))
+        if has_pay:
+            pay_blobs.append(b"".join(sub["pay_blob"].tolist()))
     return write_shard_files(
         index_dir, out_dir, shard, terms,
         np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64), blobs,
         pos_blobs if has_pos else None,
+        pay_blobs if has_pay else None,
     )
 
 

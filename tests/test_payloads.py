@@ -105,6 +105,43 @@ def test_payload_term_query_scoring(payload_index):
     assert by[2][0] == pytest.approx(float(span0 * np.float32(3.0)), rel=1e-6)
 
 
+def test_payload_lane_survives_termwise_merge(ray_session, tmp_path_factory):
+    """The distributed termwise shuffle must carry payload blobs: merged
+    output bit-identical to the local-strategy merge."""
+    import filecmp
+    import glob
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.pipelines.search import search
+
+    root = tmp_path_factory.mktemp("paytw")
+    path = str(root / "corpus.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "ptext": pa.array(DOCS, pa.string()),
+    }), path)
+    spec = CorpusSpec(files=(path,), content_col="ptext",
+                      meta_cols=("doc_id",), analyzer="delimited_payload")
+    idxs = {}
+    for strat in ("local", "termwise"):
+        idx = str(root / f"idx-{strat}")
+        build_index(spec, idx, target_docs_per_partition=1)
+        merge_index(idx, fan_in=8, strategy=strat)
+        idxs[strat] = idx
+    pays = {s: sorted(glob.glob(os.path.join(i, "shards-g2", "*",
+                                             "payloads.bin")))
+            for s, i in idxs.items()}
+    assert pays["termwise"], "termwise merge dropped payloads.bin"
+    assert len(pays["local"]) == len(pays["termwise"])
+    for a, b in zip(pays["local"], pays["termwise"]):
+        assert filecmp.cmp(a, b, shallow=False)
+    res = {s: search(i, {0: PayloadTermQuery("apple", function="avg")},
+                     k=10).to_pandas()
+           for s, i in idxs.items()}
+    assert res["local"].equals(res["termwise"])
+
+
 def test_payload_query_on_payloadless_field_raises(payload_index, tmp_path):
     from lucene_solr_old_ray.pipelines.build_index import build_index
     from lucene_solr_old_ray.pipelines.search import search
