@@ -587,11 +587,89 @@ def fuzzy_distances_batch(strs: list[str], q: str) -> np.ndarray:
     return dp[np.arange(n), lens].astype(np.int32)
 
 
+# dict sizes above this use the automaton walk (sublinear via subtree seek)
+# instead of the full-vocabulary vectorized DP scan
+_FUZZY_AUTOMATON_MIN_TERMS = 200_000
+
+
+def fuzzy_automaton_walk(leaf: LeafSearcher, term: str, max_edits: int):
+    """Levenshtein-automaton TermsEnum intersection, re-expressed (NOT
+    ported) over the SORTED packed dict instead of an FST
+    (``util/automaton/LevenshteinAutomata.java`` +
+    ``CompiledAutomaton.getTermsEnum`` seek semantics,
+    ``search/FuzzyQuery.java:54``):
+
+    - walk terms in sorted order keeping one banded DP row per PREFIX depth;
+      consecutive terms share their LCP's rows, so each term costs only its
+      new suffix characters;
+    - when a prefix's row minimum exceeds ``max_edits`` the automaton has no
+      live state for that subtree: binary-search past every term sharing the
+      dead prefix (the TermsEnum seekCeil jump) — this is what makes the
+      walk sublinear on large dictionaries.
+
+    Returns ({term: distance}, terms_visited) — visited counts DP-advanced
+    terms, for the sublinearity assertion in tests."""
+    m = len(term)
+    q = term
+    rows: list[list[int]] = [list(range(m + 1))]
+    prefix = ""
+    out: dict[str, int] = {}
+    ti = 0
+    visited = 0
+    nt = leaf.nterms
+    while ti < nt:
+        t = leaf.term_str(ti)
+        visited += 1
+        lcp = 0
+        lim = min(len(t), len(prefix), len(rows) - 1)
+        while lcp < lim and t[lcp] == prefix[lcp]:
+            lcp += 1
+        del rows[lcp + 1:]
+        dead_at = 0
+        for d in range(lcp, len(t)):
+            prev = rows[d]
+            c = t[d]
+            new = [prev[0] + 1] * (m + 1)
+            best = new[0]
+            for j in range(1, m + 1):
+                v = prev[j - 1] + (c != q[j - 1])
+                if prev[j] + 1 < v:
+                    v = prev[j] + 1
+                if new[j - 1] + 1 < v:
+                    v = new[j - 1] + 1
+                new[j] = v
+                if v < best:
+                    best = v
+            rows.append(new)
+            if best > max_edits:
+                dead_at = d + 1
+                break
+        if dead_at:
+            # no live automaton state at this prefix: seek past its subtree
+            dead = t[:dead_at]
+            del rows[dead_at:]  # rows above the dead prefix stay valid
+            prefix = dead
+            _, e = leaf.prefix_range(dead)
+            ti = max(e, ti + 1)
+            continue
+        dist = rows[len(t)][m]
+        if dist <= max_edits:
+            out[t] = int(dist)
+        prefix = t
+        ti += 1
+    return out, visited
+
+
 def _expand_fuzzy(leaf: LeafSearcher, term: str, max_edits: int,
                   with_distances: bool = False):
-    """Vocabulary scan: byte-length band prune, then one vectorized DP over
-    the surviving candidates (the Levenshtein-automaton TermsEnum intersect
-    is the 10^9-vocab path, ``search/FuzzyQuery.java:54``)."""
+    """Fuzzy term expansion. Small dicts: byte-length band prune + one
+    vectorized DP over the survivors. Large dicts (>= 200k terms): the
+    automaton walk above — sublinear, no full-vocabulary pass."""
+    if leaf.nterms >= _FUZZY_AUTOMATON_MIN_TERMS:
+        dists, _ = fuzzy_automaton_walk(leaf, term, max_edits)
+        if with_distances:
+            return dists
+        return sorted(leaf.lookup(t) for t in dists)
     kb = len(term.encode("utf-8"))
     blens = np.diff(leaf._toff)
     cand = np.flatnonzero((blens >= kb - 4 * max_edits)

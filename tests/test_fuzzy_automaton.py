@@ -1,0 +1,79 @@
+"""Levenshtein-automaton walk over the sorted packed dict (CompiledAutomaton
+TermsEnum-intersection analogue): equivalence with the vectorized DP scan and
+sublinear visit counts via dead-prefix seeks."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_old_ray.stages import search as S
+from lucene_solr_old_ray.stages.search import (
+    LeafSearcher,
+    fuzzy_automaton_walk,
+    fuzzy_distances_batch,
+)
+
+
+class FakeLeaf(LeafSearcher):
+    """Packed term dict only — enough surface for the walk + expansion."""
+
+    def __init__(self, terms):
+        enc = [t.encode("utf-8") for t in sorted(set(terms))]
+        self._tbuf = b"".join(enc)
+        self._toff = np.cumsum([0] + [len(b) for b in enc]).astype(np.int64)
+        self.nterms = len(enc)
+        self._bloom = None
+        self._filter_cache = {}
+
+
+def _scan(leaf, q, k):
+    strs = [leaf.term_str(i) for i in range(leaf.nterms)]
+    d = fuzzy_distances_batch(strs, q)
+    return {s: int(x) for s, x in zip(strs, d) if x <= k}
+
+
+def test_walk_matches_scan_random_vocab():
+    rng = np.random.default_rng(7)
+    alpha = "abcd"
+    vocab = {"".join(rng.choice(list(alpha), size=rng.integers(1, 8)))
+             for _ in range(3000)}
+    vocab |= {"", "a", "abcdabcd"}
+    leaf = FakeLeaf(vocab)
+    for q in ["abca", "d", "abcdabc", "zzzz", "", "bbb"]:
+        for k in (0, 1, 2):
+            got, _ = fuzzy_automaton_walk(leaf, q, k)
+            assert got == _scan(leaf, q, k), (q, k)
+
+
+def test_walk_matches_scan_unicode():
+    vocab = ["héllo", "hello", "hallo", "漢字", "漢宇", "naïve", "naive"]
+    leaf = FakeLeaf(vocab)
+    for q in ["hello", "漢字", "naive"]:
+        got, _ = fuzzy_automaton_walk(leaf, q, 1)
+        assert got == _scan(leaf, q, 1), q
+
+
+def test_walk_is_sublinear_on_big_dict():
+    # 60k terms under prefixes far from the query: one dead-prefix seek per
+    # top-level subtree, so visits stay a tiny fraction of the dict
+    terms = [f"{p}{i:05d}" for p in
+             ("alpha", "bravo", "chile", "delta", "echoo", "fxtrt")
+             for i in range(10_000)]
+    terms += ["zzq", "zzqa", "zzqb"]
+    leaf = FakeLeaf(terms)
+    got, visited = fuzzy_automaton_walk(leaf, "zzq", 1)
+    assert got == {"zzq": 0, "zzqa": 1, "zzqb": 1}
+    assert visited < len(terms) // 100, visited
+
+
+def test_expand_fuzzy_dispatches_to_walk(monkeypatch):
+    leaf = FakeLeaf(["spark", "spork", "sparkle", "stark", "merge"])
+    monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", 1)
+    via_walk = S._expand_fuzzy(leaf, "spark", 1, with_distances=True)
+    monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", 10**9)
+    via_scan = S._expand_fuzzy(leaf, "spark", 1, with_distances=True)
+    assert via_walk == via_scan == {"spark": 0, "spork": 1, "stark": 1}
+    monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", 1)
+    ids_walk = S._expand_fuzzy(leaf, "spark", 1)
+    monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", 10**9)
+    ids_scan = S._expand_fuzzy(leaf, "spark", 1)
+    assert ids_walk == ids_scan
