@@ -133,6 +133,16 @@ def _measure_once() -> tuple[dict, int, int, float, float]:
     spell_suggest(idx, [h + "x" for h in hot[:10]], num_sug=5)
     q["spell_10"] = round(time.perf_counter() - t0, 3)
 
+    # completion suggester: sidecar build + 100 prefix lookups
+    from lucene_solr_old_ray.pipelines.suggest import Suggester, build_suggester
+
+    t0 = time.perf_counter()
+    sdir = build_suggester(idx)
+    sg = Suggester(sdir)
+    for i in range(100):
+        sg.lookup(hot[i % len(hot)][: 1 + i % 3], k=5)
+    q["suggest_build_lookup100"] = round(time.perf_counter() - t0, 3)
+
     # serving latency: persistent actors, sequential single queries
     svc = SearchService(idx, num_actors=min(8, NCPU), algo="wand")
     lat = []
