@@ -291,6 +291,200 @@ def _matchset(node, s: str, i: int, memo) -> frozenset[int]:
     return out
 
 
+# --- Brzozowski derivatives (the CompiledAutomaton analogue) -----------------
+#
+# deriv(node, c) is the residual language after consuming character c;
+# nullable(node) is acceptance; is_empty_lang(node) is a SOUND (never falsely
+# True) emptiness test. Together they drive the sorted-dict automaton walk in
+# stages/search.py: a prefix whose derivative is empty has NO matching
+# continuation, so the walk binary-searches past the whole subtree — the
+# seekCeil jump of RegExp.java -> CompiledAutomaton.getTermsEnum, re-expressed
+# without building a byte automaton. Complement and intersection derive
+# compositionally (d(~r) = ~d(r); d(r&s) = d(r)&d(s)) — exactly the operators
+# a Python-re translation cannot express.
+
+_EPS = ("str", "")
+_NOTHING = ("nothing",)
+_ANYSTR = ("anystr",)
+
+
+def _u(parts) -> tuple:
+    """Simplifying union constructor."""
+    flat: list = []
+    seen = set()
+    for p in parts:
+        if p[0] == "union":
+            ps = p[1]
+        else:
+            ps = (p,)
+        for x in ps:
+            if x == _NOTHING:
+                continue
+            if x == _ANYSTR:
+                return _ANYSTR
+            if x not in seen:
+                seen.add(x)
+                flat.append(x)
+    if not flat:
+        return _NOTHING
+    return flat[0] if len(flat) == 1 else ("union", tuple(flat))
+
+
+def _cat(parts) -> tuple:
+    flat: list = []
+    for p in parts:
+        if p == _NOTHING:
+            return _NOTHING
+        if p == _EPS:
+            continue
+        if p[0] == "concat":
+            flat.extend(p[1])
+        else:
+            flat.append(p)
+    if not flat:
+        return _EPS
+    return flat[0] if len(flat) == 1 else ("concat", tuple(flat))
+
+
+def _i(parts) -> tuple:
+    flat: list = []
+    seen = set()
+    for p in parts:
+        ps = p[1] if p[0] == "inter" else (p,)
+        for x in ps:
+            if x == _NOTHING:
+                return _NOTHING
+            if x == _ANYSTR:
+                continue
+            if x not in seen:
+                seen.add(x)
+                flat.append(x)
+    if not flat:
+        return _ANYSTR
+    return flat[0] if len(flat) == 1 else ("inter", tuple(flat))
+
+
+def _n(x) -> tuple:
+    if x == _NOTHING:
+        return _ANYSTR
+    if x == _ANYSTR:
+        return _NOTHING
+    if x[0] == "not":
+        return x[1]
+    return ("not", x)
+
+
+def nullable(node) -> bool:
+    """Does the node's language contain the empty string?"""
+    kind = node[0]
+    if kind in ("char", "any", "class", "interval"):
+        return False
+    if kind == "str":
+        return node[1] == ""
+    if kind == "nothing":
+        return False
+    if kind == "anystr":
+        return True
+    if kind == "union":
+        return any(nullable(p) for p in node[1])
+    if kind == "inter":
+        return all(nullable(p) for p in node[1])
+    if kind == "not":
+        return not nullable(node[1])
+    if kind == "concat":
+        return all(nullable(p) for p in node[1])
+    if kind == "rep":
+        return node[2] == 0 or nullable(node[1])
+    if kind == "ivres":
+        return node[1] <= int(node[3]) <= node[2]
+    raise AssertionError(kind)
+
+
+def deriv(node, c: str) -> tuple:
+    """Brzozowski derivative of the node w.r.t. one character."""
+    kind = node[0]
+    if kind == "char":
+        return _EPS if node[1] == c else _NOTHING
+    if kind == "any":
+        return _EPS
+    if kind == "class":
+        inside = any(a <= c <= b for a, b in node[1])
+        return _EPS if inside != node[2] else _NOTHING
+    if kind == "str":
+        t = node[1]
+        if not t or t[0] != c:
+            return _NOTHING
+        return ("str", t[1:]) if len(t) > 1 else _EPS
+    if kind == "nothing":
+        return _NOTHING
+    if kind == "anystr":
+        return _ANYSTR
+    if kind == "union":
+        return _u(deriv(p, c) for p in node[1])
+    if kind == "inter":
+        return _i(deriv(p, c) for p in node[1])
+    if kind == "not":
+        return _n(deriv(node[1], c))
+    if kind == "concat":
+        parts = node[1]
+        head, rest = parts[0], parts[1:]
+        out = _cat((deriv(head, c),) + rest)
+        if nullable(head):
+            out = _u((out, deriv(_cat(rest), c)))
+        return out
+    if kind == "rep":
+        _, x, lo, hi = node
+        if hi is not None and hi == 0:
+            return _NOTHING
+        nxt = ("rep", x, max(lo - 1, 0), None if hi is None else hi - 1)
+        return _cat((deriv(x, c), nxt))
+    if kind == "interval":
+        return ("ivres", node[1], node[2], c) if c.isdigit() else _NOTHING
+    if kind == "ivres":
+        # terms are <= 255 chars, so the consumed digit prefix stays small
+        return (("ivres", node[1], node[2], node[3] + c)
+                if c.isdigit() else _NOTHING)
+    raise AssertionError(kind)
+
+
+def is_empty_lang(node) -> bool:
+    """SOUND emptiness: True only when the language is definitely empty
+    (the walk's subtree-skip test; False = keep walking, always safe)."""
+    kind = node[0]
+    if kind == "nothing":
+        return True
+    if kind in ("char", "any", "str", "anystr", "interval"):
+        return kind == "interval" and node[1] > node[2]
+    if kind == "class":
+        if node[2]:
+            return False  # negated class: assume non-empty (sound)
+        return all(a > b for a, b in node[1]) or not node[1]
+    if kind == "union":
+        return all(is_empty_lang(p) for p in node[1])
+    if kind == "inter":
+        return any(is_empty_lang(p) for p in node[1])
+    if kind == "not":
+        return False  # ~anystr simplifies away; otherwise assume non-empty
+    if kind == "concat":
+        return any(is_empty_lang(p) for p in node[1])
+    if kind == "rep":
+        return node[2] > 0 and is_empty_lang(node[1])
+    if kind == "ivres":
+        lo, hi, p = node[1], node[2], int(node[3])
+        # reachable values from digit-prefix p: {p} and, per extension
+        # length k, [p*10^k, (p+1)*10^k - 1] (leading zeros allowed, so
+        # p == 0 reaches every value 0..10^k-1)
+        if lo <= p <= hi:
+            return False
+        scale = 1
+        for _ in range(len(str(hi)) + 1):
+            scale *= 10
+            if p * scale <= hi and (p + 1) * scale - 1 >= lo:
+                return False
+        return True
+    raise AssertionError(kind)
+
+
 def has_lucene_operators(pattern: str) -> bool:
     """True if the pattern uses syntax beyond the Python-``re``-compatible
     common subset (complement, intersection, anystring, empty-language,

@@ -484,16 +484,82 @@ def _regexp_literal_prefix(pattern: str) -> str:
     return "".join(out)
 
 
+def regexp_automaton_walk(leaf: LeafSearcher, pattern: str,
+                          s: int, e: int) -> tuple[list[int], int]:
+    """Regexp-automaton TermsEnum intersection over dict range [s, e) via
+    Brzozowski derivatives (``RegExp.java`` -> ``CompiledAutomaton``
+    seekCeil, re-expressed — functions/regexp.py): one residual-language
+    node per prefix depth, LCP-shared between consecutive terms; a prefix
+    whose derivative is provably empty skips its whole subtree with a
+    binary search. Exact for the full Lucene operator set (complement,
+    intersection, intervals). Returns (matching term indexes, visited)."""
+    from ..functions.regexp import (
+        compile_regexp,
+        deriv,
+        is_empty_lang,
+        nullable,
+    )
+
+    ast = compile_regexp(pattern).ast
+    nodes: list = [ast]
+    prefix = ""
+    out: list[int] = []
+    ti = s
+    visited = 0
+    dcache: dict[tuple, dict[str, tuple]] = {}
+    while ti < e:
+        t = leaf.term_str(ti)
+        visited += 1
+        lcp = 0
+        lim = min(len(t), len(prefix), len(nodes) - 1)
+        while lcp < lim and t[lcp] == prefix[lcp]:
+            lcp += 1
+        del nodes[lcp + 1:]
+        dead_at = 0
+        for d in range(lcp, len(t)):
+            cur = nodes[d]
+            cd = dcache.setdefault(cur, {})
+            nxt = cd.get(t[d])
+            if nxt is None:
+                nxt = deriv(cur, t[d])
+                cd[t[d]] = nxt
+            nodes.append(nxt)
+            if is_empty_lang(nxt):
+                dead_at = d + 1
+                break
+        if dead_at:
+            dead = t[:dead_at]
+            del nodes[dead_at:]
+            prefix = dead
+            _, pe = leaf.prefix_range(dead)
+            ti = max(min(pe, e), ti + 1)
+            continue
+        if nullable(nodes[len(t)]):
+            out.append(ti)
+        prefix = t
+        ti += 1
+    return out, visited
+
+
+def _re_walk_safe(pattern: str) -> bool:
+    """True when the pattern means the same thing under the Lucene RegExp
+    grammar and Python ``re`` (no backslash escapes — ``\\d`` is a class in
+    re, a literal in Lucene —, no ``^``/``$`` anchors, no ``(?`` groups)."""
+    return not ("\\" in pattern or "^" in pattern or "$" in pattern
+                or "(?" in pattern)
+
+
 def _expand_regexp(leaf: LeafSearcher, pattern: str) -> list[int]:
     """Term-dict expansion of an anchored regexp, narrowed by the literal
-    prefix (``search/RegexpQuery.java:49``; the compiled-automaton intersect
-    is the 10^9-vocab path).
+    prefix (``search/RegexpQuery.java:49``).
 
     Patterns are Lucene RegExp syntax (``util/automaton/RegExp.java``) —
     including complement ``~``, intersection ``&``, anystring ``@`` and
     intervals ``<n-m>`` (functions/regexp.py). The common operator subset
     (literals, ``| ? * + {n,m} [..] .``) means the same thing in Python
-    ``re``, which stays as the fast matcher for those patterns."""
+    ``re``, which stays as the fast matcher for those patterns on small
+    dicts; large dicts (>= 200k terms in the narrowed range) take the
+    derivative automaton walk above instead of a full-range scan."""
     import re as _re
 
     from ..functions.regexp import compile_regexp, has_lucene_operators
@@ -502,6 +568,12 @@ def _expand_regexp(leaf: LeafSearcher, pattern: str) -> list[int]:
     s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
     if e <= s:
         return []
+    if (e - s >= _FUZZY_AUTOMATON_MIN_TERMS
+            and (has_lucene_operators(pattern) or _re_walk_safe(pattern))):
+        try:
+            return regexp_automaton_walk(leaf, pattern, s, e)[0]
+        except ValueError:
+            pass  # not parseable as Lucene RegExp: fall through to re
     strs = leaf.terms_range_np(s, e)  # one batch decode, no per-term calls
     if has_lucene_operators(pattern):
         lrx = compile_regexp(pattern)

@@ -1,0 +1,101 @@
+"""Brzozowski-derivative regexp walk (RegExp -> CompiledAutomaton TermsEnum
+intersection analogue): derivative semantics vs the match-set evaluator,
+walk-vs-scan equivalence, and dead-prefix sublinearity."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_old_ray.functions.regexp import (
+    compile_regexp,
+    deriv,
+    is_empty_lang,
+    nullable,
+)
+from lucene_solr_old_ray.stages import search as S
+from lucene_solr_old_ray.stages.search import regexp_automaton_walk
+from tests.test_fuzzy_automaton import FakeLeaf
+
+PATTERNS = [
+    "ab*c",
+    "a(b|c)+d?",
+    "[a-c]{2,3}",
+    "~(abc)",
+    "ab&a.",
+    "a@",
+    "(ab)|(cd)|e",
+    "a[^b]c",
+    "<5-17>",
+    "x<10-99>y",
+    "a{2}b{0,1}",
+    ".*bc",
+    '"lit[]"',
+    "#|ab",
+]
+
+
+def _derivative_fullmatch(pattern: str, s: str) -> bool:
+    node = compile_regexp(pattern).ast
+    for c in s:
+        node = deriv(node, c)
+        if is_empty_lang(node):
+            return False
+    return nullable(node)
+
+
+def test_derivatives_agree_with_matchset():
+    rng = np.random.default_rng(11)
+    alpha = list("abcde0123456789x") + ["[", "]"]
+    words = ["", "a", "ab", "abc", "abcd", "bc", "cd", "e", "aa", "acc",
+             "5", "17", "170", "05", "x42y", "x5y", "lit[]", "abd"]
+    words += ["".join(rng.choice(alpha[:5], size=rng.integers(1, 6)))
+              for _ in range(300)]
+    for p in PATTERNS:
+        rx = compile_regexp(p)
+        for w in words:
+            assert _derivative_fullmatch(p, w) == rx.fullmatch(w), (p, w)
+
+
+def test_walk_matches_scan():
+    rng = np.random.default_rng(3)
+    vocab = {"".join(rng.choice(list("abcde"), size=rng.integers(1, 7)))
+             for _ in range(2000)}
+    vocab |= {"abc", "abd", "x42y", "5", "17", "042"}
+    leaf = FakeLeaf(vocab)
+    for p in PATTERNS:
+        rx = compile_regexp(p)
+        want = [i for i in range(leaf.nterms)
+                if rx.fullmatch(leaf.term_str(i))]
+        got, _ = regexp_automaton_walk(leaf, p, 0, leaf.nterms)
+        assert got == want, p
+
+
+def test_walk_is_sublinear():
+    terms = [f"{p}{i:05d}" for p in
+             ("alpha", "bravo", "chile", "delta", "whisk", "tango")
+             for i in range(10_000)]
+    terms += ["zzq1", "zzq22", "zzq333"]
+    leaf = FakeLeaf(terms)
+    got, visited = regexp_automaton_walk(leaf, "zzq[0-9]+", 0, leaf.nterms)
+    assert [leaf.term_str(i) for i in got] == ["zzq1", "zzq22", "zzq333"]
+    assert visited < len(terms) // 100, visited
+    # complement: everything NOT under the six prefixes
+    got, visited = regexp_automaton_walk(leaf, "~((alpha|bravo|chile|delta"
+                                         "|whisk|tango)[0-9]*)",
+                                         0, leaf.nterms)
+    assert [leaf.term_str(i) for i in got] == ["zzq1", "zzq22", "zzq333"]
+
+
+def test_expand_regexp_dispatches_to_walk(monkeypatch):
+    leaf = FakeLeaf(["spark", "spork", "stark", "s42", "merge"])
+    monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", 1)
+    via_walk = S._expand_regexp(leaf, "s(low|park|tark)")
+    monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", 10**9)
+    via_scan = S._expand_regexp(leaf, "s(low|park|tark)")
+    assert via_walk == via_scan
+    monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", 1)
+    assert (S._expand_regexp(leaf, "s~(park)")
+            == [leaf.lookup("s42"), leaf.lookup("spork"),
+                leaf.lookup("stark")])
+    # unsafe-for-walk pattern (backslash) still answers via re
+    assert S._expand_regexp(leaf, r"sp\w+") == [leaf.lookup("spark"),
+                                                leaf.lookup("spork")]
