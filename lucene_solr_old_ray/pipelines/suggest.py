@@ -208,6 +208,79 @@ class _Partition:
             [self._tbuf[o[i] : o[i + 1]].decode("utf-8") for i in idx],
             dtype=object)
 
+    def fuzzy_prefix_ranges(
+        self, key: str, max_edits: int, non_fuzzy_prefix: int,
+    ) -> list[tuple[int, int]]:
+        """MINIMAL dict prefixes within ``max_edits`` of ``key`` -> their
+        disjoint subtree ranges [s, e). The FuzzySuggester intersection
+        (LevenshteinAutomata x FST): walk terms keeping one banded DP row
+        per prefix depth; a prefix whose row end-cell <= max_edits QUALIFIES
+        (every completion under it is a suggestion) and its whole subtree is
+        taken in one prefix_range; a prefix whose row minimum exceeds
+        max_edits skips its subtree. The first ``non_fuzzy_prefix`` chars
+        must match exactly (no edits in the anchor)."""
+        anchor = key[:non_fuzzy_prefix]
+        lo, hi = self.prefix_range(anchor) if anchor else (0, self.n)
+        m = len(key)
+        rows: list[list[int]] = [list(range(m + 1))]
+        prefix = ""
+        spans: list[tuple[int, int]] = []
+        ti = lo
+        while ti < hi:
+            t = self.term_at(ti).decode("utf-8")
+            lim = min(len(t), len(prefix), len(rows) - 1)
+            lcp = 0
+            while lcp < lim and t[lcp] == prefix[lcp]:
+                lcp += 1
+            del rows[lcp + 1:]
+            # a shorter shared prefix may already have qualified
+            qual_at = next((d for d in range(len(rows))
+                            if rows[d][m] <= max_edits and d > 0), 0)
+            dead_at = 0
+            d = lcp
+            if not qual_at:
+                for d in range(lcp, len(t)):
+                    prev = rows[d]
+                    c = t[d]
+                    new = [prev[0] + 1] * (m + 1)
+                    best = new[0]
+                    for j in range(1, m + 1):
+                        v = prev[j - 1] + (c != key[j - 1])
+                        if prev[j] + 1 < v:
+                            v = prev[j] + 1
+                        if new[j - 1] + 1 < v:
+                            v = new[j - 1] + 1
+                        new[j] = v
+                        if v < best:
+                            best = v
+                    rows.append(new)
+                    if new[m] <= max_edits:
+                        qual_at = d + 1
+                        break
+                    if best > max_edits:
+                        dead_at = d + 1
+                        break
+                else:
+                    # term exhausted unqualified (len(t) < qualifying depth
+                    # and rows[len(t)][m] > max_edits): move on
+                    prefix = t
+                    ti += 1
+                    continue
+            if qual_at:
+                good = t[:qual_at]
+                s, e = self.prefix_range(good)
+                spans.append((max(s, lo), min(e, hi)))
+                del rows[qual_at:]
+                prefix = good
+                ti = max(min(e, hi), ti + 1)
+            else:
+                dead = t[:dead_at]
+                del rows[dead_at:]
+                prefix = dead
+                _, e = self.prefix_range(dead)
+                ti = max(min(e, hi), ti + 1)
+        return spans
+
     def candidates(self, s: int, e: int, k: int) -> tuple[np.ndarray, np.ndarray]:
         """(indices, weights) of every term in [s, e) that can reach the
         top-k by weight — block-max pruned."""
@@ -268,6 +341,42 @@ class Suggester:
                 break
             out.append(i)
         return out
+
+    def lookup_fuzzy(
+        self, key: str, k: int = 5, *, max_edits: int = 1,
+        non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 3,
+    ) -> list[tuple[str, int]]:
+        """Typo-tolerant completion — re-expresses (NOT ports)
+        ``lucene/suggest/src/java/org/apache/lucene/search/suggest/
+        analyzing/FuzzySuggester.java:60`` (defaults maxEdits=1,
+        nonFuzzyPrefix=1, minFuzzyLength=3): completions of every dict
+        prefix within ``max_edits`` of ``key`` (LevenshteinAutomata
+        intersected with the completion structure), ordered
+        (weight desc, term asc). Keys shorter than ``min_fuzzy_length``
+        fall back to the exact lookup."""
+        if max_edits == 0 or len(key) < min_fuzzy_length:
+            return self.lookup(key, k)
+        w_all: list[np.ndarray] = []
+        t_all: list[np.ndarray] = []
+        anchor = key[:non_fuzzy_prefix]
+        for fi, f in enumerate(self.files):
+            if anchor and (f["last"] < anchor
+                           or f["first"][: len(anchor)] > anchor):
+                continue
+            p = self._part(fi)
+            for s, e in p.fuzzy_prefix_ranges(key, max_edits,
+                                              non_fuzzy_prefix):
+                ci, cw = p.candidates(s, e, k)
+                if len(ci) == 0:
+                    continue
+                w_all.append(cw)
+                t_all.append(p.terms_np(ci))
+        if not w_all:
+            return []
+        w = np.concatenate(w_all)
+        t = np.concatenate(t_all)
+        order = np.lexsort((t, -w))[:k]
+        return [(str(t[i]), int(w[i])) for i in order]
 
     def lookup(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
         """Top-k completions of ``prefix`` -> [(term, weight)] ordered by

@@ -112,6 +112,69 @@ def test_weight_tie_breaks_on_term(sugg):
     assert sg.lookup("a", 2) == [("aa", 7), ("ab", 7)]
 
 
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        ndp = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            ndp[j] = min(dp[j] + 1, ndp[j - 1] + 1, dp[j - 1] + (ca != cb))
+        dp = ndp
+    return dp[-1]
+
+
+def _fuzzy_brute(index_dir, key, k, max_edits=1, nfp=1):
+    cand = []
+    for t, w in _brute(index_dir, "", 10**9):
+        if not t.startswith(key[:nfp]):
+            continue
+        if any(_lev(t[:d], key) <= max_edits for d in range(1, len(t) + 1)):
+            cand.append((t, int(w)))
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    return cand[:k]
+
+
+def test_fuzzy_lookup_matches_brute(sugg):
+    d, sdir, _ = sugg
+    sg = Suggester(sdir)
+    for key in ["retrn", "clss", "deff", "lambda", "xqzy", "imp"]:
+        for k in (3, 10):
+            got = sg.lookup_fuzzy(key, k)
+            want = _fuzzy_brute(d, key, k)
+            assert got == want, (key, k)
+
+
+def test_fuzzy_short_key_falls_back_to_exact(sugg):
+    _, sdir, _ = sugg
+    sg = Suggester(sdir)
+    assert sg.lookup_fuzzy("re", 5) == sg.lookup("re", 5)
+    assert sg.lookup_fuzzy("retrn", 5, max_edits=0) == sg.lookup("retrn", 5)
+
+
+def test_fuzzy_qualifying_prefix_takes_whole_subtree(sugg):
+    _, sdir, _ = sugg
+    tdir = sdir + "-fz"
+    os.makedirs(tdir, exist_ok=True)
+    terms = ["retarn", "return", "returnable", "returns", "rot", "zeturn"]
+    w = [5, 9, 7, 8, 1, 4]
+    pq.write_table(pa.table({"term": pa.array(sorted(terms), pa.string()),
+                             "weight": pa.array(
+                                 [w[terms.index(t)] for t in sorted(terms)],
+                                 pa.int64())}),
+                   os.path.join(tdir, "suggest-00000.parquet"))
+    with open(os.path.join(tdir, "manifest.json"), "w") as f:
+        json.dump({"files": [{"file": "suggest-00000.parquet",
+                              "rows": len(terms), "first": min(terms),
+                              "last": max(terms)}], "weight": "ttf"}, f)
+    sg = Suggester(tdir)
+    # 'retrn' is 1 edit from prefix 'return' -> its completions all qualify;
+    # 'retarn' (1 sub) and 'rot'... 'rot' prefix 'rot' vs 'retrn' = 3 edits
+    got = sg.lookup_fuzzy("retrn", 10, max_edits=1)
+    assert got == [("return", 9), ("returns", 8), ("returnable", 7),
+                   ("retarn", 5)]
+    # anchor: 'zeturn' differs in the first char -> excluded by nonFuzzyPrefix
+    assert all(t != "zeturn" for t, _ in got)
+
+
 def test_suggest_topk_table(sugg):
     d, _, _ = sugg
     t = suggest_topk(d, ["re", "zzz"], k=3)
