@@ -126,6 +126,9 @@ class SearchService:
             from .search import rewrite_queries
 
             qitems = rewrite_queries(self.index_dir, self.manifest, qitems)
+        from .search import rewrite_common_terms
+
+        qitems = rewrite_common_terms(self.index_dir, self.manifest, qitems)
         terms = sorted(set().union(*[collect_terms(q) for _, q in qitems]) if qitems else set())
         fterms = sorted(set().union(
             *[collect_field_terms(q) for _, q in qitems]) if qitems else set())

@@ -229,12 +229,44 @@ class ConstantScoreQuery:
 
 @dataclass(frozen=True)
 class PhraseQuery:
-    """Exact phrase (slop=0) over positions (``search/PhraseQuery.java:47``)."""
+    """Exact phrase (slop=0) over positions (``search/PhraseQuery.java:47``).
+
+    ``positions`` (the ``PhraseQuery.add(Term, int)`` API) pins each term to
+    an explicit position with gaps allowed; None means consecutive 0..k-1.
+    Explicit positions require slop == 0."""
 
     terms: tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
     field: str | None = None
+    positions: tuple[int, ...] | None = None
+
+
+@dataclass(frozen=True)
+class NGramPhraseQuery:
+    """Phrase over CONSECUTIVE n-gram terms, rewritten to check only every
+    n-th gram plus the last — match-equivalent with ~1/n the position
+    intersections (``core/src/java/org/apache/lucene/search/
+    NGramPhraseQuery.java:31`` rewrite)."""
+
+    terms: tuple[str, ...]
+    n: int
+    boost: float = 1.0
+    field: str | None = None
+
+
+def ngram_phrase_rewrite(q: "NGramPhraseQuery") -> PhraseQuery:
+    """The NGramPhraseQuery.rewrite optimization: phrases of < 3 grams (or
+    n < 2) stay dense; otherwise keep grams at positions 0, n, 2n, ... and
+    the last gram, each pinned to its original position."""
+    k = len(q.terms)
+    if q.n < 2 or k < 3:
+        return PhraseQuery(q.terms, 0, q.boost, q.field)
+    idxs = [i for i in range(k) if i % q.n == 0]
+    if idxs[-1] != k - 1:
+        idxs.append(k - 1)
+    return PhraseQuery(tuple(q.terms[i] for i in idxs), 0, q.boost,
+                       q.field, tuple(idxs))
 
 
 @dataclass(frozen=True)
@@ -452,6 +484,8 @@ def collect_terms(q: Query) -> set[str]:
         return span_weight_terms(q) if span_field(q) is None else set()
     if isinstance(q, CommonTermsQuery):
         return set(q.terms) if q.field is None else set()
+    if isinstance(q, NGramPhraseQuery):
+        return collect_terms(ngram_phrase_rewrite(q))
     return set()
 
 
@@ -483,6 +517,8 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
         f = span_field(q)
         return ({(f, t) for t in span_weight_terms(q)}
                 if f is not None else set())
+    if isinstance(q, NGramPhraseQuery):
+        return collect_field_terms(ngram_phrase_rewrite(q))
     return set()
 
 

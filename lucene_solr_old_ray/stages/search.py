@@ -42,10 +42,12 @@ from ..queries import (
     FilteredQuery,
     FunctionQuery,
     FuzzyQuery,
+    NGramPhraseQuery,
     NumericRangeQuery,
     RegexpQuery,
     MatchAllDocsQuery,
     PhraseQuery,
+    ngram_phrase_rewrite,
     PrefixQuery,
     Query,
     TermQuery,
@@ -842,6 +844,8 @@ def _execute_raw(
         return _execute_bool(q, leaf, ctx, boost)
     if isinstance(q, PhraseQuery):
         return _execute_phrase(q, leaf, ctx, boost)
+    if isinstance(q, NGramPhraseQuery):
+        return _execute_phrase(ngram_phrase_rewrite(q), leaf, ctx, boost)
     if isinstance(q, ConstantScoreQuery):
         docs, _ = execute(q.query, leaf, ctx, 1.0)
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
@@ -903,11 +907,16 @@ def _execute_phrase(
         return empty
 
     k = len(q.terms)
-    guard = k  # keeps shifted positions non-negative inside the packed key
+    offs = (q.positions if getattr(q, "positions", None) is not None
+            else tuple(range(k)))
+    if q.positions is not None and q.slop:
+        raise NotImplementedError(
+            "explicit phrase positions require slop == 0")
+    guard = max(offs) + 1  # keeps shifted positions non-negative in the key
 
     def keys_for(i: int) -> np.ndarray:
-        """Sorted unique (base_index << 32 | pos - i + guard) keys of slot i
-        restricted to the base docs (flat multi-range gather)."""
+        """Sorted unique (base_index << 32 | pos - offs[i] + guard) keys of
+        slot i restricted to the base docs (flat multi-range gather)."""
         d, _tfs, flat, starts = per_term[i]
         j = np.searchsorted(d, base)
         s0 = starts[j].astype(np.int64)
@@ -918,7 +927,7 @@ def _execute_phrase(
         ends = np.cumsum(cnt)
         idx = np.arange(tot, dtype=np.int64) - np.repeat(ends - cnt, cnt) \
             + np.repeat(s0, cnt)
-        pos = flat[idx].astype(np.int64) - i + guard
+        pos = flat[idx].astype(np.int64) - offs[i] + guard
         docs_rep = np.repeat(np.arange(len(base), dtype=np.int64), cnt)
         return np.unique((docs_rep << 32) | pos)
 

@@ -1,0 +1,71 @@
+"""NGramPhraseQuery rewrite + explicit phrase positions: the every-n-th-gram
+optimized phrase must match exactly the same docs as the dense gram phrase
+(NGramPhraseQuery.java's equivalence contract)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import (
+    NGramPhraseQuery,
+    PhraseQuery,
+    ngram_phrase_rewrite,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+
+def _grams(word: str, n: int) -> tuple[str, ...]:
+    return tuple(word[i:i + n] for i in range(len(word) - n + 1))
+
+
+def test_rewrite_keeps_every_nth_plus_last():
+    q = NGramPhraseQuery(_grams("searchable", 3), 3)
+    opt = ngram_phrase_rewrite(q)
+    assert opt.terms == ("sea", "rch", "abl", "ble")
+    assert opt.positions == (0, 3, 6, 7)
+    short = NGramPhraseQuery(_grams("sear", 3), 3)
+    assert ngram_phrase_rewrite(short).positions is None
+
+
+@pytest.fixture(scope="module")
+def gram_idx(ray_session, tmp_path_factory):
+    words = ["searchable", "searching", "reachable", "search", "teachable",
+             "sea", "unsearchable", "researcher"]
+    docs = [f"{w} filler token" for w in words] + ["sea rch able split"]
+    root = tmp_path_factory.mktemp("ngp")
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "body": pa.array(docs, pa.string()),
+    }), path)
+    idx = str(root / "idx")
+    spec = CorpusSpec(files=(path,), content_col="body",
+                      meta_cols=("doc_id",), analyzer="ngram:3:3")
+    build_index(spec, idx, target_docs_per_partition=3)
+    return idx, words
+
+
+def test_optimized_matches_dense(gram_idx):
+    idx, words = gram_idx
+    for word in ["searchable", "search", "reachable", "able"]:
+        grams = _grams(word, 3)
+        dense = search(idx, {0: PhraseQuery(grams)}, k=20).to_pandas()
+        opt = search(idx, {0: NGramPhraseQuery(grams, 3)}, k=20).to_pandas()
+        assert sorted(dense["docid"]) == sorted(opt["docid"]), word
+        assert len(dense), word  # the phrase actually matches something
+
+
+def test_explicit_positions_gap(gram_idx):
+    idx, _ = gram_idx
+    # "sea" at 0 and "ble" at 7 only line up inside searchable-like words
+    gapped = search(idx, {0: PhraseQuery(("sea", "ble"),
+                                         positions=(0, 7))}, k=20).to_pandas()
+    dense = search(idx, {0: PhraseQuery(_grams("searchable", 3))},
+                   k=20).to_pandas()
+    assert set(dense["docid"]) <= set(gapped["docid"])
+    with pytest.raises(Exception, match="slop == 0"):
+        search(idx, {0: PhraseQuery(("sea", "ble"), slop=1,
+                                    positions=(0, 7))}, k=5)
