@@ -79,6 +79,63 @@ def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def facet_counts_set(index_dir: str, query: Query, facet_col: str) -> pa.Table:
+    """Count matching docs per value of a MULTI-VALUED (list<string>) docmap
+    column — SortedSetDocValuesFacetCounts semantics
+    (``lucene/facet/src/java/org/apache/lucene/facet/sortedset/
+    SortedSetDocValuesFacetCounts.java:58``): each doc contributes each of
+    its set's values once. -> (value, count) sorted by value."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            offs, flat, values = leaf.dv_sorted_set(facet_col)
+            offs = np.asarray(offs)
+            s0 = offs[docids]
+            cnt_d = offs[docids + 1] - s0
+            tot = int(cnt_d.sum())
+            if tot == 0:
+                continue
+            ends = np.cumsum(cnt_d)
+            idx = (np.arange(tot, dtype=np.int64)
+                   - np.repeat(ends - cnt_d, cnt_d) + np.repeat(s0, cnt_d))
+            o = np.asarray(flat)[idx]
+            cnt = np.bincount(o, minlength=len(values))
+            nz = np.nonzero(cnt)[0]
+            parts.append(pd.DataFrame({facet_col: values[nz],
+                                       "count": cnt[nz]}))
+        if not parts:
+            return pd.DataFrame({facet_col: pd.Series([], dtype=object),
+                                 "count": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_counts, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0:
+        return pa.table({facet_col: pa.array([], pa.string()),
+                         "count": pa.array([], pa.int64())})
+    out = partials.groupby(facet_col, as_index=False)["count"].sum()
+    out = out.sort_values(facet_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def facet_counts_hierarchical(
     index_dir: str, query: Query, facet_col: str, delimiter: str = "/",
     max_depth: int | None = None,

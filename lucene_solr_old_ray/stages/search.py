@@ -309,6 +309,14 @@ class LeafSearcher:
         return dvals.take_values(self.dir, field, docids,
                                  cache=self._filter_cache)
 
+    def dv_sorted_set(self, field: str):
+        """SORTED_SET doc-values: (int64 offsets, int32 flat ords unique+
+        ascending per doc, value dict). Cached per leaf."""
+        key = ("dv_sorted_set", field)
+        if key not in self._filter_cache:
+            self._filter_cache[key] = dvals.read_sorted_set(self.dir, field)
+        return self._filter_cache[key]
+
     def dv_numeric_f32(self, field: str) -> np.ndarray:
         """NUMERIC doc-values as a per-doc float32 array (missing -> 0.0f,
         the FieldCache default) — the FloatFieldSource value stream for

@@ -53,6 +53,43 @@ def _sorted_encode(vals: np.ndarray):
     return ords, np.asarray(uniq, dtype=object)
 
 
+def _sorted_set_encode(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """list<string> column -> (int64 doc offsets [n+1], int32 flat ords
+    UNIQUE+ascending per doc, sorted value dict). Null list == empty set."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):  # zero chunks
+        arr = pa.array([], pa.list_(pa.string()))
+    n = len(arr)
+    lists = arr.to_pylist()
+    sets = [sorted(set(v)) if v else [] for v in lists]
+    lens = np.fromiter((len(s) for s in sets), count=n, dtype=np.int64)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat_vals = np.asarray([v for s in sets for v in s], dtype=object)
+    if len(flat_vals):
+        uniq, inv = np.unique(flat_vals.astype(str), return_inverse=True)
+        flat = inv.astype(np.int32)
+    else:
+        uniq = np.empty(0, dtype=object)
+        flat = np.empty(0, dtype=np.int32)
+    return offs, flat, np.asarray(uniq, dtype=object)
+
+
+def read_sorted_set(seg_dir: str, field: str):
+    """-> (int64 offsets memmap, int32 flat ords memmap, value dict);
+    derives from docmap.parquet when the sidecar is absent."""
+    p = os.path.join(seg_dir, f"dv.{field}.setoff.npy")
+    if os.path.exists(p):
+        offs = np.load(p, mmap_mode="r")
+        flat = np.load(os.path.join(seg_dir, f"dv.{field}.setords.npy"),
+                       mmap_mode="r")
+        vals = pq.read_table(
+            os.path.join(seg_dir, f"dv.{field}.terms.parquet")
+        )["value"].to_numpy(zero_copy_only=False)
+        return offs, flat, np.asarray(vals, dtype=object)
+    return _sorted_set_encode(_docmap_col(seg_dir, field))
+
+
 def write_docvalues(seg_dir: str, docmap: pa.Table,
                     exclude: tuple[str, ...] = DV_EXCLUDE) -> None:
     """Write one typed sidecar per docmap column (numeric or string)."""
@@ -77,7 +114,18 @@ def write_docvalues(seg_dir: str, docmap: pa.Table,
             pq.write_table(
                 pa.table({"value": pa.array(uniq, pa.string())}),
                 os.path.join(seg_dir, f"dv.{name}.terms.parquet"))
-        # other types (binary/list/...) stay stored-fields-only
+        elif ((pat.is_list(typ) or pat.is_large_list(typ))
+              and (pat.is_string(typ.value_type)
+                   or pat.is_large_string(typ.value_type))):
+            # SORTED_SET (DocValuesType.SORTED_SET): per-doc set of ords,
+            # unique and ascending within each doc, over one sorted dict
+            offs, flat, uniq = _sorted_set_encode(col)
+            np.save(os.path.join(seg_dir, f"dv.{name}.setoff.npy"), offs)
+            np.save(os.path.join(seg_dir, f"dv.{name}.setords.npy"), flat)
+            pq.write_table(
+                pa.table({"value": pa.array(uniq, pa.string())}),
+                os.path.join(seg_dir, f"dv.{name}.terms.parquet"))
+        # other types (binary/...) stay stored-fields-only
 
 
 def _docmap_col(seg_dir: str, field: str) -> pa.ChunkedArray:
@@ -118,15 +166,19 @@ def read_numeric(seg_dir: str, field: str):
 
 
 def field_kind(seg_dir: str, field: str) -> str:
-    """'sorted' | 'numeric' for a field, from sidecars or docmap schema."""
+    """'sorted' | 'sorted_set' | 'numeric', from sidecars or docmap schema."""
     if os.path.exists(os.path.join(seg_dir, f"dv.{field}.ords.npy")):
         return "sorted"
+    if os.path.exists(os.path.join(seg_dir, f"dv.{field}.setoff.npy")):
+        return "sorted_set"
     if os.path.exists(os.path.join(seg_dir, f"dv.{field}.num.npy")):
         return "numeric"
     schema = pq.read_schema(os.path.join(seg_dir, "docmap.parquet"))
     typ = schema.field(field).type
     if pat.is_integer(typ) or pat.is_floating(typ):
         return "numeric"
+    if pat.is_list(typ) or pat.is_large_list(typ):
+        return "sorted_set"
     return "sorted"
 
 

@@ -123,3 +123,51 @@ def test_facet_counts_match_docmap_scan(ray_session, tmp_path):
         got.sort_values("lang").reset_index(drop=True)[["lang", "count"]],
         want.sort_values("lang").reset_index(drop=True)[["lang", "count"]],
         check_dtype=False)
+
+
+def test_sorted_set_roundtrip_and_fallback(tmp_path):
+    d = str(tmp_path)
+    t = pa.table({
+        "tags": pa.array([["b", "a", "b"], [], None, ["c"], ["a", "c"]],
+                         pa.list_(pa.string())),
+        "lang": pa.array(["py"] * 5, pa.string()),
+    })
+    pq.write_table(t, os.path.join(d, "docmap.parquet"))
+    offs0, flat0, vals0 = dv.read_sorted_set(d, "tags")  # docmap fallback
+    dv.write_docvalues(d, t)
+    assert os.path.exists(os.path.join(d, "dv.tags.setoff.npy"))
+    assert dv.field_kind(d, "tags") == "sorted_set"
+    offs1, flat1, vals1 = dv.read_sorted_set(d, "tags")
+    np.testing.assert_array_equal(np.asarray(offs0), np.asarray(offs1))
+    np.testing.assert_array_equal(np.asarray(flat0), np.asarray(flat1))
+    np.testing.assert_array_equal(vals0, vals1)
+    # doc 0: {a, b} deduped + ascending; null list == empty set
+    assert list(np.asarray(offs1)) == [0, 2, 2, 2, 3, 5]
+    assert [vals1[o] for o in np.asarray(flat1)] == ["a", "b", "c", "a", "c"]
+
+
+def test_sorted_set_facet_through_build_and_merge(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.analytics import facet_counts_set
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    root = tmp_path_factory.mktemp("ssdv")
+    docs = ["spark merge row", "spark join", "window table", "spark window"]
+    tags = [["etl", "hot"], ["etl"], ["cold"], ["hot", "ui", "etl"]]
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "body": pa.array(docs, pa.string()),
+        "tags": pa.array(tags, pa.list_(pa.string())),
+    }), path)
+    idx = str(root / "idx")
+    spec = CorpusSpec(files=(path,), content_col="body",
+                      meta_cols=("doc_id", "tags"))
+    build_index(spec, idx, target_docs_per_partition=2)
+    merge_index(idx, fan_in=8, strategy="local")
+    out = facet_counts_set(idx, TermQuery("spark"), "tags").to_pandas()
+    # docs 0, 1, 3 match 'spark': etl x3, hot x2, ui x1
+    assert dict(zip(out["tags"], out["count"])) == {
+        "etl": 3, "hot": 2, "ui": 1}
