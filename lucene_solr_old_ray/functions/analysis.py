@@ -111,6 +111,9 @@ _VOCAB_STEMMERS = {
     "portuguese": _stem_named("portuguese_light_stem"),
     "swedish": _stem_named("swedish_light_stem"),
     "russian": _stem_named("russian_light_stem"),
+    "norwegian": _stem_named("norwegian_minimal_stem"),
+    "finnish": _stem_named("finnish_light_stem"),
+    "hungarian": _stem_named("hungarian_light_stem"),
 }
 
 

@@ -456,3 +456,212 @@ def russian_light_stem(t: str) -> str:
         if s[-1] == "н" and s[-2] == "н":
             return s[:-1]
     return s
+
+
+def norwegian_minimal_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../no/NorwegianMinimalStemmer.java:
+    82-110`` (Bokmål flags: genitiv -s, plural/definite noun endings)."""
+    s = t
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    if len(s) > 5 and s.endswith("ene"):
+        return s[:-3]
+    if len(s) > 4 and s[-2:] in ("er", "en", "et"):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s
+
+
+_VOWELS_Y = "aeiouy"  # StemmerUtil-style vowel set (post accent fold)
+
+
+def _fi_step1(s: str) -> str:
+    if len(s) > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[:-3])
+        if s.endswith("ko"):
+            return _fi_step1(s[:-2])
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    if len(s) > 5:
+        if s.endswith(("lla", "tse", "sti")):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    ln = len(s)
+    if ln > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if ln > 6:
+        if s.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _VOWELS_Y and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return s[:-3]
+    if ln > 5:
+        if s.endswith(("na", "ne")):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if ln > 4:
+        if s.endswith(("ja", "ta")):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _VOWELS_Y:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"
+    if len(s) > 4 and s.endswith(("ei", "at")):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse repeated k/p/t runs (the in-place delete loop)
+            lst = list(s)
+            ch = lst[0]
+            i = 1
+            while i < len(lst):
+                if lst[i] == ch and ch in "kpt":
+                    del lst[i]
+                else:
+                    ch = lst[i]
+                    i += 1
+            s = "".join(lst)
+    return s
+
+
+def finnish_light_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../fi/FinnishLightStemmer.java:
+    66-246`` (Savoy CLEF-2003: accent fold, enclitic strip, case ladder,
+    two normalization passes)."""
+    if len(t) < 4:
+        return t
+    s = (t.replace("ä", "a").replace("å", "a").replace("ö", "o"))
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+
+
+_HU_FOLD = str.maketrans({
+    "á": "a", "ë": "e", "é": "e", "í": "i", "ó": "o", "ő": "o", "õ": "o",
+    "ö": "o", "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u",
+})
+
+
+def _hu_case(s: str) -> str:
+    ln = len(s)
+    if ln > 6 and s.endswith("kent"):
+        return s[:-4]
+    if ln > 5:
+        if s.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return s[:-3]
+        if (s.endswith(("al", "el")) and s[-3] not in _VOWELS_Y
+                and s[-3] == s[-4]):
+            return s[:-3]
+    if ln > 4:
+        if s.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return s[:-2]
+        if s.endswith(("on", "en")) and s[-3] not in _VOWELS_Y:
+            return s[:-2]
+        c = s[-1]
+        if c in "tn":
+            return s[:-1]
+        if c in "ae" and s[-2] == s[-3] and s[-2] not in _VOWELS_Y:
+            return s[:-2]
+    return s
+
+
+def _hu_poss(s: str) -> str:
+    ln = len(s)
+    if ln > 6:
+        if s[-5] not in _VOWELS_Y and s.endswith(("atok", "otok", "etek")):
+            return s[:-4]
+        if s.endswith(("itek", "itok")):
+            return s[:-4]
+    if ln > 5:
+        if s[-4] not in _VOWELS_Y and s.endswith(("unk", "tok", "tek")):
+            return s[:-3]
+        if s[-4] in _VOWELS_Y and s.endswith("juk"):
+            return s[:-3]
+        if s.endswith("ink"):
+            return s[:-3]
+    if ln > 4:
+        if s[-3] not in _VOWELS_Y and s.endswith(
+                ("am", "em", "om", "ad", "ed", "od", "uk")):
+            return s[:-2]
+        if s[-3] in _VOWELS_Y and s.endswith(("nk", "ja", "je")):
+            return s[:-2]
+        if s.endswith(("im", "id", "ik")):
+            return s[:-2]
+    if ln > 3:
+        c = s[-1]
+        if c in "ae":
+            if s[-2] not in _VOWELS_Y:
+                return s[:-1]
+        elif c in "md":
+            if s[-2] in _VOWELS_Y:
+                return s[:-1]
+        elif c == "i":
+            return s[:-1]
+    return s
+
+
+def _hu_plural(s: str) -> str:
+    ln = len(s)
+    if ln > 3 and s[-1] == "k":
+        if s[-2] in "aoe" and ln > 4:
+            return s[:-2]
+        return s[:-1]
+    return s
+
+
+def hungarian_light_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../hu/HungarianLightStemmer.java:
+    65-225`` (Savoy UniNE: accent fold, case, possessive, plural,
+    final-vowel normalization)."""
+    s = t.translate(_HU_FOLD)
+    s = _hu_plural(_hu_poss(_hu_case(s)))
+    if len(s) > 3 and s[-1] in "aeio":
+        return s[:-1]
+    return s

@@ -123,3 +123,54 @@ def test_language_analyzers_end_to_end():
     assert sorted(ab.uniques) == ["baum", "hauser"]
     ab2 = analyze_batch(["canciones luces"], analyzer="spanish")
     assert sorted(ab2.uniques) == ["cancion", "luz"]
+
+
+_REF_ANALYSIS = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+                 "lucene/analysis")
+
+
+def _pairs_from_zip(lang: str, zname: str, tname: str):
+    import zipfile
+
+    path = os.path.join(_REF_ANALYSIS, lang, zname)
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with zipfile.ZipFile(path) as z:
+        txt = io.TextIOWrapper(z.open(tname), encoding="utf-8").read()
+    return [ln.split("\t") for ln in txt.splitlines()
+            if ln and not ln.startswith("#") and "\t" in ln]
+
+
+def test_finnish_light_full_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import finnish_light_stem
+
+    pairs = _pairs_from_zip("fi", "filighttestdata.zip", "filight.txt")
+    assert len(pairs) > 40000
+    bad = [(w, finnish_light_stem(w), want) for w, want in pairs
+           if finnish_light_stem(w) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_hungarian_light_full_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import hungarian_light_stem
+
+    pairs = _pairs_from_zip("hu", "hulighttestdata.zip", "hulight.txt")
+    assert len(pairs) > 25000
+    bad = [(w, hungarian_light_stem(w), want) for w, want in pairs
+           if hungarian_light_stem(w) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_norwegian_minimal_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import norwegian_minimal_stem
+
+    path = os.path.join(_REF_ANALYSIS, "no", "nb_minimal.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with open(path, encoding="utf-8") as f:
+        pairs = [ln.split("\t") for ln in f.read().splitlines()
+                 if ln and not ln.startswith("#") and "\t" in ln]
+    assert len(pairs) > 50
+    bad = [(w, norwegian_minimal_stem(w), want) for w, want in pairs
+           if norwegian_minimal_stem(w) != want]
+    assert not bad, bad
