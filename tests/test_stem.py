@@ -174,3 +174,25 @@ def test_norwegian_minimal_reference_vectors():
     bad = [(w, norwegian_minimal_stem(w), want) for w, want in pairs
            if norwegian_minimal_stem(w) != want]
     assert not bad, bad
+
+
+@pytest.mark.parametrize("lang,zname,tname,fname", [
+    ("fr", "frminimaltestdata.zip", "frminimal.txt", "french_minimal_stem"),
+    ("de", "deminimaltestdata.zip", "deminimal.txt", "german_minimal_stem"),
+    ("es", "eslighttestdata.zip", "eslight.txt", "spanish_light_stem"),
+    ("it", "itlighttestdata.zip", "itlight.txt", "italian_light_stem"),
+    ("pt", "ptlighttestdata.zip", "ptlight.txt", "portuguese_light_stem"),
+    ("sv", "svlighttestdata.zip", "svlight.txt", "swedish_light_stem"),
+    ("ru", "rulighttestdata.zip", "rulight.txt", "russian_light_stem"),
+])
+def test_language_stemmer_full_reference_vectors(lang, zname, tname, fname):
+    """Every Savoy-family chain validated against the reference's FULL
+    vector set (20k-50k words each, read from the reference test data at
+    test time — the Porter-vectors methodology applied to all languages)."""
+    from lucene_solr_old_ray.functions import stem as S
+
+    fn = getattr(S, fname)
+    pairs = _pairs_from_zip(lang, zname, tname)
+    assert len(pairs) > 15000
+    bad = [(w, fn(w), want) for w, want in pairs if fn(w) != want]
+    assert not bad, (len(bad), bad[:10])
