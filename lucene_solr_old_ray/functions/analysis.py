@@ -123,6 +123,10 @@ def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
     ("english" = Porter; fr/de/es/it/pt/sv/ru = the Savoy-family
     minimal/light stemmers) additionally stem each kept term (tokenize ->
     lowercase -> stop -> stem, the reference chain order)."""
+    if analyzer == "cjk":
+        ab = _analyze_cjk([text], with_positions=True)
+        order = np.argsort(ab.positions, kind="stable")
+        return [str(ab.uniques[c]) for c in ab.term_codes[order]]
     kept = [
         t
         for t in tokenize_raw(text)
@@ -389,6 +393,79 @@ def _python_tokenize(texts: list[str], analyzer: str):
         uniques = np.empty(0, dtype=object)
     positions = _positions_from(doc_ids, counts)
     return doc_ids, positions, codes, uniques, counts, cased
+
+
+_IDEO_RANGES = (("㐀", "䶿"), ("一", "鿿"),
+                ("豈", "﫿"))  # the _IDEO tokenizer ranges
+
+
+def _analyze_cjk(texts, with_positions: bool) -> AnalyzedBatch:
+    """CJK bigram chain — re-expresses (NOT ports) ``analysis/common/.../
+    cjk/CJKAnalyzer.java`` + ``CJKBigramFilter.java`` (bigrams-only mode)
+    for the HAN script: maximal runs of adjacent ideographs become
+    overlapping bigrams (``c1c2 c2c3``, one position each), lone ideographs
+    stay unigrams, non-ideograph tokens pass through; the stop filter runs
+    AFTER bigramming (the reference chain order). Hiragana/katakana/hangul
+    runs are already multi-char word tokens in this tokenizer, so the HAN
+    flag subset is the faithful mapping."""
+    import pyarrow as pa
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    d, p, c, u, _counts = _tokenize_standard(texts)
+    if len(d) and not (np.diff(d) >= 0).all():
+        o = np.argsort(d, kind="stable")
+        d, c = d[o], c[o]
+    N = len(c)
+    if len(u):
+        is_ideo_u = np.fromiter(
+            (len(x) == 1 and any(a <= x <= b for a, b in _IDEO_RANGES)
+             for x in u), dtype=bool, count=len(u))
+    else:
+        is_ideo_u = np.zeros(0, dtype=bool)
+    m = is_ideo_u[c] if N else np.zeros(0, dtype=bool)
+    has_next = np.zeros(N, dtype=bool)
+    if N > 1:
+        has_next[:-1] = m[:-1] & m[1:] & (d[:-1] == d[1:])
+    has_prev = np.zeros(N, dtype=bool)
+    if N > 1:
+        has_prev[1:] = has_next[:-1]
+    # emit: pass-through (non-ideo), singleton ideo, or bigram (ideo w/ next)
+    emit = ~m | (m & ~has_prev & ~has_next) | has_next
+    terms_out = np.empty(N, dtype=object)
+    if N:
+        terms_out[:] = u[c]
+        bi = np.flatnonzero(has_next)
+        for i in bi:
+            terms_out[i] = u[c[i]] + u[c[i + 1]]
+    d2 = d[emit]
+    t2 = terms_out[emit]
+    counts2 = np.bincount(d2, minlength=n_docs).astype(np.int64)
+    pos2 = _positions_from(d2, counts2)
+    # stop/overlong filter on the final stream (position holes remain)
+    if len(t2):
+        import pandas as pd
+
+        codes2, uniques2 = pd.factorize(t2, sort=False)
+        codes2 = codes2.astype(np.int64)
+        uniques2 = np.asarray(uniques2, dtype=object)
+        uk = np.fromiter(
+            (len(x) <= MAX_TOKEN_LENGTH and x not in ENGLISH_STOP_WORDS
+             for x in uniques2), dtype=bool, count=len(uniques2))
+        keep = uk[codes2]
+        remap = np.cumsum(uk) - 1
+        codes2 = remap[codes2[keep]]
+        d2, pos2 = d2[keep], pos2[keep]
+        uniques2 = uniques2[uk]
+    else:
+        codes2 = np.empty(0, dtype=np.int64)
+        uniques2 = np.empty(0, dtype=object)
+    flens = np.bincount(d2, minlength=n_docs).astype(np.int32)
+    return AnalyzedBatch(
+        d2.astype(np.int32),
+        pos2 if with_positions else np.empty(0, dtype=np.int32),
+        codes2, uniques2, flens)
 
 
 def _python_tokenize_std_offsets(texts: list[str]):
@@ -797,6 +874,8 @@ def analyze_batch(
         max_g = int(parts[2]) if len(parts) > 2 else max(2, min_g)
         return _analyze_ngram(texts, min_g, max_g, with_positions,
                               edges_only=analyzer.startswith("edge_ngram"))
+    if analyzer == "cjk":
+        return _analyze_cjk(texts, with_positions)
     if analyzer.startswith("delimited_payload"):
         # "delimited_payload" or "delimited_payload:<delim>"
         delim = (analyzer.split(":", 1)[1] if ":" in analyzer else "|")

@@ -153,3 +153,49 @@ def test_ngram_index_end_to_end(ray_session, tmp_path):
     assert sorted(res["docid"]) == [0, 1, 2]  # 'ark' gram in all three
     res2 = search(idx, {0: TermQuery("spa")}, k=5).to_pandas()
     assert sorted(res2["docid"]) == [0, 1]
+
+
+def test_cjk_bigram_chain():
+    from lucene_solr_old_ray.functions.analysis import analyze_batch, analyze_text
+
+    # han runs -> overlapping bigrams; katakana stays a word token;
+    # lone ideographs stay unigrams (CJKBigramFilter bigrams-only mode)
+    assert analyze_text("漢字データ処理", "cjk") == ["漢字", "データ", "処理"]
+    assert analyze_text("水曜日", "cjk") == ["水曜", "曜日"]
+    assert analyze_text("一 spark", "cjk") == ["一", "spark"]
+    # stop filter runs AFTER bigramming (chain order)
+    assert analyze_text("the 漢字 index", "cjk") == ["漢字", "index"]
+    ab = analyze_batch(["水曜日 batch", "漢字"], with_positions=True,
+                       analyzer="cjk")
+    got = sorted(
+        (int(d), int(p), str(ab.uniques[c]))
+        for d, p, c in zip(ab.doc_ids, ab.positions, ab.term_codes))
+    assert got == [(0, 0, "水曜"), (0, 1, "曜日"), (0, 2, "batch"),
+                   (1, 0, "漢字")]
+    assert ab.field_lengths.tolist() == [3, 1]
+
+
+def test_cjk_index_end_to_end(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = ["漢字処理 engine", "処理 only here", "漢字 alone", "no cjk at all"]
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "body": pa.array(docs, pa.string()),
+    }), path)
+    idx = str(tmp_path / "idx")
+    spec = CorpusSpec(files=(path,), content_col="body",
+                      meta_cols=("doc_id",), analyzer="cjk")
+    build_index(spec, idx, target_docs_per_partition=2)
+    # doc 0 tokens: 漢字, 字処, 処理, engine; doc 2: 漢字
+    hits = search(idx, {0: TermQuery("漢字"), 1: TermQuery("字処"),
+                        2: TermQuery("処理")}, k=10).to_pandas()
+    by = {qid: sorted(g["docid"]) for qid, g in hits.groupby("qid")}
+    assert by[0] == [0, 2] and by[1] == [0] and by[2] == [0, 1]
