@@ -114,6 +114,7 @@ _VOCAB_STEMMERS = {
     "norwegian": _stem_named("norwegian_minimal_stem"),
     "finnish": _stem_named("finnish_light_stem"),
     "hungarian": _stem_named("hungarian_light_stem"),
+    "czech": _stem_named("czech_stem"),
 }
 
 

@@ -665,3 +665,47 @@ def hungarian_light_stem(t: str) -> str:
     if len(s) > 3 and s[-1] in "aeio":
         return s[:-1]
     return s
+
+
+_CZ_CASE_3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte",
+              "ete", "ěti", "eti", "ího", "iho", "ími", "ímu", "imu",
+              "ách", "ata", "aty", "ých", "ama", "ami", "ové", "ovi",
+              "ými")
+_CZ_CASE_2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us",
+              "ým", "mi", "ou")
+
+
+def czech_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../cz/CzechStemmer.java:44-170``
+    (Dolamic & Savoy light Czech: case ladder, possessives, palatalization
+    normalization)."""
+    s = t
+    ln = len(s)
+    if ln > 7 and s.endswith("atech"):
+        s = s[:-5]
+    elif ln > 6 and s.endswith(("ětem", "etem", "atům")):
+        s = s[:-4]
+    elif ln > 5 and s.endswith(_CZ_CASE_3):
+        s = s[:-3]
+    elif ln > 4 and s.endswith(_CZ_CASE_2):
+        s = s[:-2]
+    elif ln > 3 and s[-1] in "aeiouůyáéíýě":
+        s = s[:-1]
+    if len(s) > 5 and s.endswith(("ov", "in", "ův")):
+        s = s[:-2]
+    if not s:
+        return s
+    # normalize (palatalization endings)
+    if s.endswith("čt"):
+        return s[:-2] + "ck"
+    if s.endswith("št"):
+        return s[:-2] + "sk"
+    if s[-1] in "cč":
+        return s[:-1] + "k"
+    if s[-1] in "zž":
+        return s[:-1] + "h"
+    if len(s) > 1 and s[-2] == "e":
+        return s[:-2] + s[-1]
+    if len(s) > 2 and s[-2] == "ů":
+        return s[:-2] + "o" + s[-1]
+    return s

@@ -612,6 +612,12 @@ def jaccard_ngram_pairs(
     the SAME prefix-filtered inverted index + co-shuffled verify as the
     unigram path (shingle rank = df asc over shingle hashes); no broadcast
     shingle-vocab matrix, no all-pairs block join.
+
+    Cost note: prefix-filter pruning power is ~(1 - threshold) of each
+    shingle set, so the driver entry's deliberately LOW threshold (0.04,
+    chosen to produce a non-trivial oracle answer on the synthetic corpus)
+    approaches all-pairs work by construction — a production near-dup pass
+    runs this at threshold >= 0.7 where the prefixes prune aggressively.
     -> (doc_a, doc_b, jaccard)."""
     return _prefix_filtered_pairs(sf_dir, threshold, shingle_n=n)
 

@@ -196,3 +196,30 @@ def test_language_stemmer_full_reference_vectors(lang, zname, tname, fname):
     assert len(pairs) > 15000
     bad = [(w, fn(w), want) for w, want in pairs if fn(w) != want]
     assert not bad, (len(bad), bad[:10])
+
+
+def test_czech_stemmer_full_reference_vectors():
+    """Every assertAnalyzesTo(word -> stem) vector parsed out of the
+    reference's TestCzechStemmer.java at test time."""
+    import re
+
+    from lucene_solr_old_ray.functions.stem import czech_stem
+
+    path = os.path.join(_REF_ANALYSIS, "cz", "TestCzechStemmer.java")
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with open(path, encoding="utf-8") as f:
+        src = f.read()
+    pairs = re.findall(
+        r'assertAnalyzesTo\(cz,\s*"([^"]+)",\s*new String\[\]\s*'
+        r'\{\s*"([^"]+)"\s*\}\)', src)
+    # the final case asserts the stemmer-DISABLED chain: drop identity-only
+    # duplicates of words asserted differently elsewhere
+    seen = {}
+    for w, want in pairs:
+        seen.setdefault(w, want)
+    assert len(seen) > 100
+    # the reference chain lowercases before the stem filter, like ours
+    bad = [(w, czech_stem(w.lower()), want) for w, want in seen.items()
+           if czech_stem(w.lower()) != want]
+    assert not bad, (len(bad), bad[:10])
