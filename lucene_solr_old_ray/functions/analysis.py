@@ -115,6 +115,8 @@ _VOCAB_STEMMERS = {
     "finnish": _stem_named("finnish_light_stem"),
     "hungarian": _stem_named("hungarian_light_stem"),
     "czech": _stem_named("czech_stem"),
+    "arabic": _stem_named("arabic_chain"),
+    "persian": _stem_named("persian_chain"),
 }
 
 

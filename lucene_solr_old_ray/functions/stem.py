@@ -709,3 +709,69 @@ def czech_stem(t: str) -> str:
     if len(s) > 2 and s[-2] == "ů":
         return s[:-2] + "o" + s[-1]
     return s
+
+
+# Arabic normalization (ArabicNormalizer.java:46-96): alef variants fold,
+# dotless yeh -> yeh, teh marbuta -> heh, tatweel + harakat removed
+_AR_NORM = str.maketrans({
+    "آ": "ا", "أ": "ا", "إ": "ا",
+    "ى": "ي", "ة": "ه",
+    "ـ": None, "ً": None, "ٌ": None, "ٍ": None,
+    "َ": None, "ُ": None, "ِ": None, "ّ": None,
+    "ْ": None,
+})
+
+
+def arabic_normalize(t: str) -> str:
+    return t.translate(_AR_NORM)
+
+
+_AR_PREFIXES = ("ال", "وال",
+                "بال", "كال",
+                "فال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات",
+                "ون", "ين", "يه",
+                "ية", "ه", "ة", "ي")
+
+
+def arabic_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../ar/ArabicStemmer.java:35-150``
+    (Larkey light-10: one definite-article/conjunction prefix, then every
+    matching common suffix; wa- needs >= 3 chars left, other prefixes
+    >= 2, suffixes leave >= 2)."""
+    s = t
+    for p in _AR_PREFIXES:
+        if not s.startswith(p):
+            continue
+        if len(p) == 1:
+            if len(s) < 4:
+                continue
+        elif len(s) < len(p) + 2:
+            continue
+        s = s[len(p):]
+        break
+    for suf in _AR_SUFFIXES:
+        if len(s) >= len(suf) + 2 and s.endswith(suf):
+            s = s[: -len(suf)]
+    return s
+
+
+# Persian normalization (fa/PersianNormalizer.java:43-96): farsi yeh /
+# yeh barree -> yeh, keheh -> kaf, heh+yeh / heh goal -> heh, hamza-above
+# removed (applied AFTER arabic_normalize, the PersianAnalyzer chain order)
+_FA_NORM = str.maketrans({
+    "ی": "ي", "ے": "ي", "ک": "ك",
+    "ۀ": "ه", "ہ": "ه", "ٔ": None,
+})
+
+
+def persian_normalize(t: str) -> str:
+    return t.translate(_FA_NORM)
+
+
+def arabic_chain(t: str) -> str:
+    return arabic_stem(arabic_normalize(t))
+
+
+def persian_chain(t: str) -> str:
+    return persian_normalize(arabic_normalize(t))

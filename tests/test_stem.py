@@ -223,3 +223,49 @@ def test_czech_stemmer_full_reference_vectors():
     bad = [(w, czech_stem(w.lower()), want) for w, want in seen.items()
            if czech_stem(w.lower()) != want]
     assert not bad, (len(bad), bad[:10])
+
+
+def _check_vectors_from_java(path: str, fn, *, lower=False):
+    import re
+
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with open(path, encoding="utf-8") as f:
+        src = f.read()
+    pairs = re.findall(r'check\("([^"]+)",\s*"([^"]*)"\)', src)
+    assert pairs
+    bad = [(w, fn(w.lower() if lower else w), want) for w, want in pairs
+           if fn(w.lower() if lower else w) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_arabic_stemmer_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import arabic_stem
+
+    _check_vectors_from_java(
+        os.path.join(_REF_ANALYSIS, "ar", "TestArabicStemFilter.java"),
+        arabic_stem)
+
+
+def test_arabic_normalizer_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import arabic_normalize
+
+    _check_vectors_from_java(
+        os.path.join(_REF_ANALYSIS, "ar", "TestArabicNormalizationFilter.java"),
+        arabic_normalize)
+
+
+def test_persian_normalizer_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import persian_normalize
+
+    _check_vectors_from_java(
+        os.path.join(_REF_ANALYSIS, "fa", "TestPersianNormalizationFilter.java"),
+        persian_normalize)
+
+
+def test_arabic_analyzer_chain():
+    from lucene_solr_old_ray.functions.analysis import analyze_text
+
+    # normalize (teh marbuta -> heh) then stem (al- prefix, -heh suffix)
+    assert analyze_text("الحسن", "arabic") == ["حسن"]
+    assert analyze_text("والحسن بالحسن", "arabic") == ["حسن", "حسن"]
