@@ -117,6 +117,10 @@ _VOCAB_STEMMERS = {
     "czech": _stem_named("czech_stem"),
     "arabic": _stem_named("arabic_chain"),
     "persian": _stem_named("persian_chain"),
+    "bulgarian": _stem_named("bulgarian_stem"),
+    "hindi": _stem_named("hindi_stem"),
+    "latvian": _stem_named("latvian_stem"),
+    "indonesian": _stem_named("indonesian_stem"),
 }
 
 

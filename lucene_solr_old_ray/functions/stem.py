@@ -775,3 +775,272 @@ def arabic_chain(t: str) -> str:
 
 def persian_chain(t: str) -> str:
     return persian_normalize(arabic_normalize(t))
+
+
+def bulgarian_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../bg/BulgarianStemmer.java:40-142``
+    (Nakov light stemmer: definite article, plural, e/a/o vowels, ен->н,
+    ъN->N)."""
+    s = t
+    if len(s) < 4:
+        return s
+    if len(s) > 5 and s.endswith("ища"):
+        return s[:-3]
+    # article
+    ln = len(s)
+    if ln > 6 and s.endswith("ият"):
+        s = s[:-3]
+    elif ln > 5 and s.endswith(("ът", "то", "те", "та", "ия")):
+        s = s[:-2]
+    elif ln > 4 and s.endswith("ят"):
+        s = s[:-2]
+    # plural
+    ln = len(s)
+    if ln > 6 and s.endswith("овци"):
+        s = s[:-3]
+    elif ln > 6 and s.endswith("ове"):
+        s = s[:-3]
+    elif ln > 6 and s.endswith("еве"):
+        s = s[:-3] + "й"
+    elif ln > 5 and s.endswith("ища"):
+        s = s[:-3]
+    elif ln > 5 and s.endswith("та"):
+        s = s[:-2]
+    elif ln > 5 and s.endswith("ци"):
+        s = s[:-2] + "к"
+    elif ln > 5 and s.endswith("зи"):
+        s = s[:-2] + "г"
+    elif ln > 5 and s[-3] == "е" and s[-1] == "и":
+        s = s[:-3] + "я" + s[-2]
+    elif ln > 4 and s.endswith("си"):
+        s = s[:-2] + "х"
+    elif ln > 4 and s.endswith("и"):
+        s = s[:-1]
+    if len(s) > 3:
+        if s.endswith("я"):
+            s = s[:-1]
+        if s.endswith(("а", "о", "е")):
+            s = s[:-1]
+    if len(s) > 4 and s.endswith("ен"):
+        s = s[:-2] + "н"
+    if len(s) > 5 and s[-2] == "ъ":
+        s = s[:-2] + s[-1]
+    return s
+
+
+_HI_SUF_5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+_HI_SUF_4 = ("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे",
+             "ेंगे", "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं",
+             "ताएं", "ियाँ", "ियों", "ियां")
+_HI_SUF_3 = ("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे",
+             "ाने", "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं",
+             "ुओं", "ुएं", "ुआं")
+_HI_SUF_2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते",
+             "ीं", "ती", "ता", "ाँ", "ां", "ों", "ें")
+_HI_SUF_1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+
+def hindi_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../hi/HindiStemmer.java:33-122``
+    (Ramanathan & Rao lightweight Hindi stemmer: longest-first suffix
+    ladder, 5 -> 1 chars)."""
+    ln = len(t)
+    if ln > 6 and t.endswith(_HI_SUF_5):
+        return t[:-5]
+    if ln > 5 and t.endswith(_HI_SUF_4):
+        return t[:-4]
+    if ln > 4 and t.endswith(_HI_SUF_3):
+        return t[:-3]
+    if ln > 3 and t.endswith(_HI_SUF_2):
+        return t[:-2]
+    if ln > 2 and t.endswith(_HI_SUF_1):
+        return t[:-1]
+    return t
+
+
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+_LV_VOWELS = frozenset("aeiouāīēū")
+
+
+def _lv_unpalatalize(s: str, removed_first: str) -> str:
+    if removed_first == "u":
+        if s.endswith("kš"):
+            return s[:-1] + "st"  # kš -> kst
+        if s.endswith("ņņ"):
+            return s[:-2] + "nn"
+    if s.endswith(("pj", "bj", "mj", "vj")):  # labial consonant
+        return s[:-1]
+    for a, b in (("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"),
+                 ("žļ", "zl"), ("ļņ", "ln"), ("ļļ", "ll")):
+        if s.endswith(a):
+            return s[:-2] + b
+    if s and s[-1] in "čļņ":
+        return s[:-1] + {"č": "c", "ļ": "l", "ņ": "n"}[s[-1]]
+    return s
+
+
+def latvian_stem(t: str) -> str:
+    """Re-expresses ``analysis/common/.../lv/LatvianStemmer.java:35-173``
+    (light stemmer: first matching inflectional affix with a remaining
+    vowel + length guard; declension II/V/VI removals un-palatalize)."""
+    nv = sum(c in _LV_VOWELS for c in t)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and len(t) >= len(affix) + 3 and t.endswith(affix):
+            s = t[: -len(affix)]
+            return _lv_unpalatalize(s, affix[0]) if palatalizes else s
+    return t
+
+
+_ID_VOWELS = frozenset("aeiou")
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64)
+
+
+def indonesian_stem(t: str, derivational: bool = True) -> str:
+    """Re-expresses ``analysis/common/.../id/IndonesianStemmer.java:30-268``
+    (Asian, Williams & Tahaghoghi: inflectional particles/possessives, then
+    first/second-order derivational prefixes + suffix with prefix-flag
+    interactions and a syllable budget)."""
+    st = {"ns": sum(c in _ID_VOWELS for c in t), "fl": 0}
+    s = t
+    if st["ns"] > 2:
+        s = _id_particle(s, st)
+    if st["ns"] > 2:
+        s = _id_possessive(s, st)
+    if not derivational:
+        return s
+    old = s
+    if st["ns"] > 2:
+        s = _id_first_prefix(s, st)
+    if s != old:
+        old = s
+        if st["ns"] > 2:
+            s = _id_suffix(s, st)
+        if s != old and st["ns"] > 2:
+            s = _id_second_prefix(s, st)
+    else:
+        if st["ns"] > 2:
+            s = _id_second_prefix(s, st)
+        if st["ns"] > 2:
+            s = _id_suffix(s, st)
+    return s
+
+
+def _id_particle(s: str, st: dict) -> str:
+    if s.endswith(("kah", "lah", "pun")):
+        st["ns"] -= 1
+        return s[:-3]
+    return s
+
+
+def _id_possessive(s: str, st: dict) -> str:
+    if s.endswith(("ku", "mu")):
+        st["ns"] -= 1
+        return s[:-2]
+    if s.endswith("nya"):
+        st["ns"] -= 1
+        return s[:-3]
+    return s
+
+
+def _id_first_prefix(s: str, st: dict) -> str:
+    if s.startswith("meng"):
+        st["fl"] |= _ID_MENG
+        st["ns"] -= 1
+        return s[4:]
+    if s.startswith("meny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        st["fl"] |= _ID_MENG
+        st["ns"] -= 1
+        return "s" + s[4:]
+    if s.startswith(("men", "mem")):
+        st["fl"] |= _ID_MENG
+        st["ns"] -= 1
+        return s[3:]
+    if s.startswith("me"):
+        st["fl"] |= _ID_MENG
+        st["ns"] -= 1
+        return s[2:]
+    if s.startswith("peng"):
+        st["fl"] |= _ID_PENG
+        st["ns"] -= 1
+        return s[4:]
+    if s.startswith("peny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        st["fl"] |= _ID_PENG
+        st["ns"] -= 1
+        return "s" + s[4:]
+    if s.startswith("peny"):
+        st["fl"] |= _ID_PENG
+        st["ns"] -= 1
+        return s[4:]
+    if s.startswith("pen") and len(s) > 3 and s[3] in _ID_VOWELS:
+        st["fl"] |= _ID_PENG
+        st["ns"] -= 1
+        return "t" + s[3:]
+    if s.startswith(("pen", "pem")):
+        st["fl"] |= _ID_PENG
+        st["ns"] -= 1
+        return s[3:]
+    if s.startswith("di"):
+        st["fl"] |= _ID_DI
+        st["ns"] -= 1
+        return s[2:]
+    if s.startswith("ter"):
+        st["fl"] |= _ID_TER
+        st["ns"] -= 1
+        return s[3:]
+    if s.startswith("ke"):
+        st["fl"] |= _ID_KE
+        st["ns"] -= 1
+        return s[2:]
+    return s
+
+
+def _id_second_prefix(s: str, st: dict) -> str:
+    if s.startswith("ber") or s == "belajar":
+        st["fl"] |= _ID_BER
+        st["ns"] -= 1
+        return s[3:]
+    if (s.startswith("be") and len(s) > 4
+            and s[2] not in _ID_VOWELS and s[3] == "e" and s[4] == "r"):
+        st["fl"] |= _ID_BER
+        st["ns"] -= 1
+        return s[2:]
+    if s.startswith("per") or s == "pelajar":
+        st["ns"] -= 1
+        return s[3:]
+    if s.startswith("pe"):
+        st["fl"] |= _ID_PE
+        st["ns"] -= 1
+        return s[2:]
+    return s
+
+
+def _id_suffix(s: str, st: dict) -> str:
+    fl = st["fl"]
+    if (s.endswith("kan") and not fl & _ID_KE and not fl & _ID_PENG
+            and not fl & _ID_PE):
+        st["ns"] -= 1
+        return s[:-3]
+    if (s.endswith("an") and not fl & _ID_DI and not fl & _ID_MENG
+            and not fl & _ID_TER):
+        st["ns"] -= 1
+        return s[:-2]
+    if (s.endswith("i") and not s.endswith("si") and not fl & _ID_BER
+            and not fl & _ID_KE and not fl & _ID_PENG):
+        st["ns"] -= 1
+        return s[:-1]
+    return s

@@ -269,3 +269,73 @@ def test_arabic_analyzer_chain():
     # normalize (teh marbuta -> heh) then stem (al- prefix, -heh suffix)
     assert analyze_text("الحسن", "arabic") == ["حسن"]
     assert analyze_text("والحسن بالحسن", "arabic") == ["حسن", "حسن"]
+
+
+def test_bulgarian_stemmer_full_reference_vectors():
+    import re
+
+    from lucene_solr_old_ray.functions.stem import bulgarian_stem
+
+    path = os.path.join(_REF_ANALYSIS, "bg", "TestBulgarianStemmer.java")
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with open(path, encoding="utf-8") as f:
+        src = f.read()
+    pairs = re.findall(
+        r'assertAnalyzesTo\(\w+,\s*"([^"]+)",\s*new String\[\]\s*'
+        r'\{\s*"([^"]+)"\s*\}\)', src)
+    seen = {}
+    for w, want in pairs:
+        seen.setdefault(w, want)
+    assert len(seen) > 60
+    bad = [(w, bulgarian_stem(w), want) for w, want in seen.items()
+           if bulgarian_stem(w) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_hindi_stemmer_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import hindi_stem
+
+    _check_vectors_from_java(
+        os.path.join(_REF_ANALYSIS, "hi", "TestHindiStemmer.java"),
+        hindi_stem)
+
+
+def test_latvian_stemmer_full_reference_vectors():
+    import re
+
+    from lucene_solr_old_ray.functions.stem import latvian_stem
+
+    path = os.path.join(_REF_ANALYSIS, "lv", "TestLatvianStemmer.java")
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with open(path, encoding="utf-8") as f:
+        src = f.read()
+    pairs = re.findall(r'checkOneTerm\(a,\s*"([^"]+)",\s*"([^"]+)"\)', src)
+    assert len(pairs) > 100
+    # the chain tokenizes first: a literal "govi " in the test source
+    # reaches the stemmer without its trailing space
+    bad = [(w, latvian_stem(w.strip()), want) for w, want in pairs
+           if latvian_stem(w.strip()) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_indonesian_stemmer_full_reference_vectors():
+    import re
+
+    from lucene_solr_old_ray.functions.stem import indonesian_stem
+
+    path = os.path.join(_REF_ANALYSIS, "id", "TestIndonesianStemmer.java")
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with open(path, encoding="utf-8") as f:
+        src = f.read()
+    full = re.findall(r'checkOneTerm\(a,\s*"([^"]+)",\s*"([^"]+)"\)', src)
+    infl = re.findall(r'checkOneTerm\(b,\s*"([^"]+)",\s*"([^"]+)"\)', src)
+    assert len(full) > 50 and len(infl) >= 4
+    bad = [(w, indonesian_stem(w), want) for w, want in full
+           if indonesian_stem(w) != want]
+    bad += [(w, indonesian_stem(w, derivational=False), want)
+            for w, want in infl
+            if indonesian_stem(w, derivational=False) != want]
+    assert not bad, (len(bad), bad[:10])
