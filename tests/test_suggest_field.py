@@ -1,0 +1,36 @@
+"""Suggester over an EXTRA field's term dictionary (fprefix sidecar path)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.suggest import Suggester, build_suggester
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+
+def test_field_suggester(ray_session, tmp_path):
+    docs = ["alpha body", "beta body", "gamma body", "alpha again"]
+    cats = ["news/sport", "news/tech", "blog/tech", "news/sport"]
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "body": pa.array(docs, pa.string()),
+        "cat": pa.array(cats, pa.string()),
+    }), path)
+    idx = str(tmp_path / "idx")
+    spec = CorpusSpec(files=(path,), content_col="body",
+                      meta_cols=("doc_id",),
+                      extra_fields=(FieldSpec("cat", "cat", "standard"),))
+    build_index(spec, idx, target_docs_per_partition=2)
+    sdir = build_suggester(idx, field="cat", weight_col="ttf")
+    sg = Suggester(sdir)
+    # the cat field's vocabulary, weighted by total term freq across docs
+    assert sg.lookup("news", 5) == [("news", 3)]
+    got = sg.lookup("", 10)
+    assert ("sport", 2) in got and ("tech", 2) in got and ("blog", 1) in got
+    # default-field suggester is a distinct sidecar over the body vocab
+    sdir2 = build_suggester(idx)
+    sg2 = Suggester(sdir2)
+    assert sg2.lookup("bo", 5) == [("body", 3)]
