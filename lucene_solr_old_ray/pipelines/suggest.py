@@ -78,6 +78,34 @@ def build_suggester(
     tmp = out_dir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
 
+    if len(files) == 1:
+        # one (merged) segment: its dict is already term-sorted and unique —
+        # no shuffle needed, stream the file straight into range partitions
+        t = pq.read_table(files[0], columns=["term", weight_col])
+        term = t["term"].cast(pa.string())
+        tbl = pa.table({"term": term,
+                        "weight": t[weight_col].cast(pa.int64())})
+        manifest_files = []
+        fi = 0
+        for lo in range(0, tbl.num_rows, target_rows_per_file):
+            part = tbl.slice(lo, target_rows_per_file)
+            name = f"suggest-{fi:05d}.parquet"
+            pq.write_table(part, os.path.join(tmp, name), compression="zstd")
+            manifest_files.append({
+                "file": name, "rows": part.num_rows,
+                "first": part["term"][0].as_py(),
+                "last": part["term"][-1].as_py(),
+            })
+            fi += 1
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump({"files": manifest_files, "weight": weight_col}, f)
+        if os.path.exists(out_dir):
+            import shutil
+
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+        return out_dir
+
     def combine(batch: pa.Table) -> pd.DataFrame:
         # per-batch combiner: one row per term with its bucket key
         t = batch["term"].to_pandas()
