@@ -402,6 +402,66 @@ def _python_tokenize(texts: list[str], analyzer: str):
     return doc_ids, positions, codes, uniques, counts, cased
 
 
+def _analyze_path_hierarchy(
+    texts, with_positions: bool, delim: str = "/",
+) -> AnalyzedBatch:
+    """Path-hierarchy chain — re-expresses (NOT ports) ``analysis/common/
+    .../path/PathHierarchyTokenizer.java`` token semantics: one token per
+    cumulative path prefix (``/a/b/c`` -> ``/a``, ``/a/b``, ``/a/b/c``;
+    a trailing delimiter adds the full delimited form), every token at the
+    SAME position (posIncr 1 then 0 — overlap tokens, excluded from the
+    norm length like other overlays). Values are lowercased first (this
+    engine's all-lowercase term convention; the reference tokenizer keeps
+    case) and the stop/overlong filters do NOT apply (no such filters in
+    the reference path chain). Prefix construction runs on the column
+    DICTIONARY, never per row."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    arr = (texts if isinstance(texts, pa.Array)
+           else pa.array([t if isinstance(t, str) else "" for t in texts]))
+    if arr.null_count:
+        arr = arr.fill_null("")
+    n_docs = len(arr)
+    denc = pc.dictionary_encode(pc.utf8_lower(arr))
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary.to_pylist()
+    # prefixes per UNIQUE value (vocabulary-level work)
+    flat_terms: list[str] = []
+    u_off = np.zeros(len(uniq) + 1, dtype=np.int64)
+    for i, v in enumerate(uniq):
+        ends = [d for d in range(1, len(v)) if v[d] == delim]
+        if v:
+            ends.append(len(v))
+        flat_terms.extend(v[:e] for e in ends)
+        u_off[i + 1] = len(flat_terms)
+    nprefix = np.diff(u_off)
+    counts = nprefix[codes]
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int32),
+                        counts).astype(np.int32)
+    tot = int(counts.sum())
+    if tot:
+        ends_c = np.cumsum(counts)
+        idx = (np.arange(tot, dtype=np.int64)
+               - np.repeat(ends_c - counts, counts)
+               + np.repeat(u_off[codes], counts))
+        inst_terms = np.asarray(flat_terms, dtype=object)[idx]
+        out_codes, out_uniques = pd.factorize(inst_terms, sort=False)
+        out_codes = out_codes.astype(np.int64)
+        out_uniques = np.asarray(out_uniques, dtype=object)
+    else:
+        out_codes = np.empty(0, dtype=np.int64)
+        out_uniques = np.empty(0, dtype=object)
+    positions = (np.zeros(tot, dtype=np.int32) if with_positions
+                 else np.empty(0, dtype=np.int32))
+    # overlaps: one position-consuming token per non-empty doc
+    flens = (counts > 0).astype(np.int32)
+    return AnalyzedBatch(doc_ids, positions, out_codes, out_uniques, flens)
+
+
 _IDEO_RANGES = (("㐀", "䶿"), ("一", "鿿"),
                 ("豈", "﫿"))  # the _IDEO tokenizer ranges
 
@@ -883,6 +943,10 @@ def analyze_batch(
                               edges_only=analyzer.startswith("edge_ngram"))
     if analyzer == "cjk":
         return _analyze_cjk(texts, with_positions)
+    if analyzer.startswith("path_hierarchy"):
+        # "path_hierarchy" or "path_hierarchy:<delim>"
+        pd_ = (analyzer.split(":", 1)[1] if ":" in analyzer else "/")
+        return _analyze_path_hierarchy(texts, with_positions, delim=pd_)
     if analyzer.startswith("delimited_payload"):
         # "delimited_payload" or "delimited_payload:<delim>"
         delim = (analyzer.split(":", 1)[1] if ":" in analyzer else "|")

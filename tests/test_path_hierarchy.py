@@ -1,0 +1,63 @@
+"""PathHierarchyTokenizer chain: cumulative prefix tokens at one position
+(TestPathHierarchyTokenizer-modeled vectors) + prefix-scoped field search."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch
+
+
+def _stream(ab, doc=0):
+    sel = ab.doc_ids == doc
+    return sorted(str(ab.uniques[c]) for c in ab.term_codes[sel])
+
+
+def test_path_hierarchy_vectors():
+    # TestPathHierarchyTokenizer.java testBasic/testEndOfDelimiter/
+    # testStartOfChar vectors (lowercased per this engine's convention)
+    ab = analyze_batch(["/a/b/c"], with_positions=True,
+                       analyzer="path_hierarchy")
+    assert _stream(ab) == ["/a", "/a/b", "/a/b/c"]
+    assert set(ab.positions.tolist()) == {0}  # all overlap one position
+    assert ab.field_lengths.tolist() == [1]
+    ab = analyze_batch(["/a/b/c/"], analyzer="path_hierarchy")
+    assert _stream(ab) == ["/a", "/a/b", "/a/b/c", "/a/b/c/"]
+    ab = analyze_batch(["a/b/c"], analyzer="path_hierarchy")
+    assert _stream(ab) == ["a", "a/b", "a/b/c"]
+    ab = analyze_batch([""], analyzer="path_hierarchy")
+    assert len(ab.term_codes) == 0 and ab.field_lengths.tolist() == [0]
+    # custom delimiter
+    ab = analyze_batch(["A\\B"], analyzer="path_hierarchy:\\")
+    assert _stream(ab) == ["a", "a\\b"]
+
+
+def test_path_field_prefix_search(ray_session, tmp_path):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    paths = ["src/core/io.py", "src/core/net.py", "src/util/log.py",
+             "docs/readme.md"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "body": pa.array(["alpha"] * 4, pa.string()),
+        "path": pa.array(paths, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    spec = CorpusSpec(
+        files=(p,), content_col="body", meta_cols=("doc_id",),
+        extra_fields=(FieldSpec("path", "path", "path_hierarchy"),))
+    build_index(spec, idx, target_docs_per_partition=2)
+    hits = search(idx, {
+        0: TermQuery("src/core", field="path"),
+        1: TermQuery("src", field="path"),
+        2: TermQuery("src/util/log.py", field="path"),
+        3: TermQuery("docs", field="path"),
+    }, k=10).to_pandas()
+    by = {qid: sorted(g["docid"]) for qid, g in hits.groupby("qid")}
+    assert by[0] == [0, 1] and by[1] == [0, 1, 2]
+    assert by[2] == [2] and by[3] == [3]
