@@ -99,6 +99,12 @@ def _stem_named(name):
     return load
 
 
+def _greek_chain():
+    from .greek import greek_chain
+
+    return greek_chain
+
+
 # vocabulary-level stem filters of the per-language analyzer registry
 # (en: PorterStemFilter.java:56; the rest: the Savoy-family minimal/light
 # stemmers in analysis/common/src/java/org/apache/lucene/analysis/<lang>/)
@@ -121,6 +127,7 @@ _VOCAB_STEMMERS = {
     "hindi": _stem_named("hindi_stem"),
     "latvian": _stem_named("latvian_stem"),
     "indonesian": _stem_named("indonesian_stem"),
+    "greek": _greek_chain,
 }
 
 

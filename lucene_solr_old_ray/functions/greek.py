@@ -1,0 +1,498 @@
+"""Greek analysis: GreekLowerCaseFilter + GreekStemmer, re-expressed.
+
+Re-expresses (NOT ports):
+- ``analysis/common/.../el/GreekLowerCaseFilter.java:67-120`` — lowercase
+  with final-sigma standardization and tonos/dialytika removal;
+- ``analysis/common/.../el/GreekStemmer.java:34-818`` — Ntais/Saroukos
+  stemmer: 21 "short" suffix rules with exception stems (whole-stem sets
+  and endsWith guards), a "long list" rule fired only when none of the
+  short rules changed the length, and a final comparative/superlative rule.
+
+The Java source leans on two buffer tricks this re-expression keeps
+faithful: "add back" restores characters of the JUST-REMOVED suffix (the
+buffer beyond ``len`` is untouched), except where the rule explicitly
+overwrites them (rules 8/10/11/18/19); and several compound conditions rely
+on Java's ``&&``-over-``||`` precedence, preserved here with explicit
+parentheses. Exception sets match the WHOLE remaining stem; endsWith
+guards match its tail.
+"""
+
+from __future__ import annotations
+
+_GREEK_LOWER = str.maketrans({
+    "ς": "σ",
+    "Ά": "α", "ά": "α",
+    "Έ": "ε", "έ": "ε",
+    "Ή": "η", "ή": "η",
+    "Ί": "ι", "Ϊ": "ι", "ί": "ι", "ϊ": "ι", "ΐ": "ι",
+    "Ύ": "υ", "Ϋ": "υ", "ύ": "υ", "ϋ": "υ", "ΰ": "υ",
+    "Ό": "ο", "ό": "ο",
+    "Ώ": "ω", "ώ": "ω",
+})
+
+
+def greek_lowercase(t: str) -> str:
+    return t.lower().translate(_GREEK_LOWER)
+
+
+_VOWELS = frozenset("αεηιουω")
+_VOWELS_NO_Y = frozenset("αεηιοω")  # endsWithVowelNoY (no upsilon)
+
+_EXC4 = frozenset(["θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ"])
+_EXC6 = frozenset([
+    "αλ", "αδ", "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ", "αντιδ", "φυσ",
+    "βρωμ", "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ", "μουλ", "μπαν",
+    "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ", "συνομηλ", "πετσ", "πιτσ",
+    "πικαντ", "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ", "τσαμ",
+    "υποδ", "φιλον", "φυλοδ", "χασ"])
+_EXC7 = frozenset(["αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ",
+                   "πεθ", "πικρ", "ποτ", "σιχ", "χ"])
+_EXC8A = frozenset(["τρ", "τσ"])
+_EXC8B = frozenset([
+    "βετερ", "βουλκ", "βραχμ", "γ", "δραδουμ", "θ", "καλπουζ", "καστελ",
+    "κορμορ", "λαοπλ", "μωαμεθ", "μ", "μουσουλμ", "ν", "ουλ", "π",
+    "πελεκ", "πλ", "πολισ", "πορτολ", "σαρακατσ", "σουλτ", "τσαρλατ",
+    "ορφ", "τσιγγ", "τσοπ", "φωτοστεφ", "χ", "ψυχοπλ", "αγ", "γαλ",
+    "γερ", "δεκ", "διπλ", "αμερικαν", "ουρ", "πιθ", "πουριτ", "σ",
+    "ζωντ", "ικ", "καστ", "κοπ", "λιχ", "λουθηρ", "μαιντ", "μελ", "σιγ",
+    "σπ", "στεγ", "τραγ", "τσαγ", "φ", "ερ", "αδαπ", "αθιγγ", "αμηχ",
+    "ανικ", "ανοργ", "απηγ", "απιθ", "ατσιγγ", "βασ", "βασκ", "βαθυγαλ",
+    "βιομηχ", "βραχυκ", "διατ", "διαφ", "ενοργ", "θυσ", "καπνοβιομηχ",
+    "καταγαλ", "κλιβ", "κοιλαρφ", "λιβ", "μεγλοβιομηχ", "μικροβιομηχ",
+    "νταβ", "ξηροκλιβ", "ολιγοδαμ", "ολογαλ", "πενταρφ", "περηφ",
+    "περιτρ", "πλατ", "πολυδαπ", "πολυμηχ", "στεφ", "ταβ", "τετ",
+    "υπερηφ", "υποκοπ", "χαμηλοδαπ", "ψηλοταβ"])
+_EXC9 = frozenset(["αβαρ", "βεν", "εναρ", "αβρ", "αδ", "αθ", "αν", "απλ",
+                   "βαρον", "ντρ", "σκ", "κοπ", "μπορ", "νιφ", "παγ",
+                   "παρακαλ", "σερπ", "σκελ", "συρφ", "τοκ", "υ", "δ",
+                   "εμ", "θαρρ", "θ"])
+_EXC12A = frozenset(["π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ"])
+_EXC12B = frozenset(["αλ", "αρ", "εκτελ", "ζ", "μ", "ξ", "παρακαλ",
+                     "προ", "νισ"])
+_EXC13 = frozenset(["διαθ", "θ", "παρακαταθ", "προσθ", "συνθ"])
+_EXC14 = frozenset(["φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ",
+                    "λαμπιδ", "λεχ", "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ",
+                    "υποτειν", "αμ", "αιθ", "ανηκ", "δεσποζ", "ενδιαφερ",
+                    "δε", "δευτερευ", "καθαρευ", "πλε", "τσα"])
+_EXC15A = frozenset([
+    "αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ", "αφ", "αμαλ", "αμαλλι",
+    "ανυστ", "απερ", "ασπαρ", "αχαρ", "δερβεν", "δροσοπ", "ξεφ", "νεοπ",
+    "νομοτ", "ολοπ", "ομοτ", "προστ", "προσωποπ", "συμπ", "συντ", "τ",
+    "υποτ", "χαρ", "αειπ", "αιμοστ", "ανυπ", "αποτ", "αρτιπ", "διατ",
+    "εν", "επιτ", "κροκαλοπ", "σιδηροπ", "λ", "ναυ", "ουλαμ", "ουρ", "π",
+    "τρ", "μ"])
+_EXC15B = frozenset(["ψοφ", "ναυλοχ"])
+_EXC16 = frozenset(["ν", "χερσον", "δωδεκαν", "ερημον", "μεγαλον",
+                    "επταν"])
+_EXC17 = frozenset(["ασβ", "σβ", "αχρ", "χρ", "απλ", "αειμν", "δυσχρ",
+                    "ευχρ", "κοινοχρ", "παλιμψ"])
+_EXC18 = frozenset(["ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ", "εξων"])
+_EXC19 = frozenset(["παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ",
+                    "ασουσ"])
+
+
+def _ev(s: str) -> bool:
+    return bool(s) and s[-1] in _VOWELS
+
+
+def _ev_no_y(s: str) -> bool:
+    return bool(s) and s[-1] in _VOWELS_NO_Y
+
+
+def _rule0(s: str) -> str:
+    ln = len(s)
+    if ln > 9 and s.endswith(("καθεστωτοσ", "καθεστωτων")):
+        return s[:-4]
+    if ln > 8 and s.endswith(("γεγονοτοσ", "γεγονοτων")):
+        return s[:-4]
+    if ln > 8 and s.endswith("καθεστωτα"):
+        return s[:-3]
+    if ln > 7 and s.endswith(("τατογιου", "τατογιων")):
+        return s[:-4]
+    if ln > 7 and s.endswith("γεγονοτα"):
+        return s[:-3]
+    if ln > 7 and s.endswith("καθεστωσ"):
+        return s[:-2]
+    if ((ln > 6 and s.endswith("σκαγιου"))
+            or s.endswith(("σκαγιων", "ολογιου", "ολογιων", "κρεατοσ",
+                           "κρεατων", "περατοσ", "περατων", "τερατοσ",
+                           "τερατων"))):
+        return s[:-4]
+    if ln > 6 and s.endswith("τατογια"):
+        return s[:-3]
+    if ln > 6 and s.endswith("γεγονοσ"):
+        return s[:-2]
+    if ln > 5 and s.endswith(("φαγιου", "φαγιων", "σογιου", "σογιων")):
+        return s[:-4]
+    if ln > 5 and s.endswith(("σκαγια", "ολογια", "κρεατα", "περατα",
+                              "τερατα")):
+        return s[:-3]
+    if ln > 4 and s.endswith(("φαγια", "σογια", "φωτοσ", "φωτων")):
+        return s[:-3]
+    if ln > 4 and s.endswith(("κρεασ", "περασ", "τερασ")):
+        return s[:-2]
+    if ln > 3 and s.endswith("φωτα"):
+        return s[:-2]
+    if ln > 2 and s.endswith("φωσ"):
+        return s[:-1]
+    return s
+
+
+def _rule1(s: str) -> str:
+    if len(s) > 4 and s.endswith(("αδεσ", "αδων")):
+        base = s[:-4]
+        if not base.endswith(("οκ", "μαμ", "μαν", "μπαμπ", "πατερ",
+                              "γιαγι", "νταντ", "κυρ", "θει", "πεθερ")):
+            return s[:-2]  # add back -αδ
+        return base
+    return s
+
+
+def _rule2(s: str) -> str:
+    if len(s) > 4 and s.endswith(("εδεσ", "εδων")):
+        base = s[:-4]
+        if base.endswith(("οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ",
+                          "μιλ")):
+            return s[:-2]  # add back -εδ
+        return base
+    return s
+
+
+def _rule3(s: str) -> str:
+    if len(s) > 5 and s.endswith(("ουδεσ", "ουδων")):
+        base = s[:-5]
+        if base.endswith(("αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ",
+                          "σ", "φλ", "φρ", "βελ", "λουλ", "χν", "σπ",
+                          "τραγ", "φε")):
+            return s[:-2]  # add back -ουδ
+        return base
+    return s
+
+
+def _rule4(s: str) -> str:
+    if len(s) > 3 and s.endswith(("εωσ", "εων")):
+        base = s[:-3]
+        if base in _EXC4:
+            return s[:-2]  # add back -ε
+        return base
+    return s
+
+
+def _rule5(s: str) -> str:
+    if len(s) > 2 and s.endswith("ια"):
+        base = s[:-2]
+        if _ev(base):
+            return s[:-1]  # add back -ι
+        return base
+    if len(s) > 3 and s.endswith(("ιου", "ιων")):
+        base = s[:-3]
+        if _ev(base):
+            return s[:-2]  # add back -ι
+        return base
+    return s
+
+
+def _rule6(s: str) -> str:
+    base = None
+    if len(s) > 3 and s.endswith(("ικα", "ικο")):
+        base = s[:-3]
+        full = s
+    elif len(s) > 4 and s.endswith(("ικου", "ικων")):
+        base = s[:-4]
+        full = s
+    if base is None:
+        return s
+    if _ev(base) or base in _EXC6:
+        return base + "ικ"  # add back -ικ (first 2 of the removed suffix)
+    return base
+
+
+def _rule7(s: str) -> str:
+    if len(s) == 5 and s.endswith("αγαμε"):
+        return s[:-1]
+    if len(s) > 7 and s.endswith("ηθηκαμε"):
+        s = s[:-7]
+    elif len(s) > 6 and s.endswith("ουσαμε"):
+        s = s[:-6]
+    elif len(s) > 5 and s.endswith(("αγαμε", "ησαμε", "ηκαμε")):
+        s = s[:-5]
+    if len(s) > 3 and s.endswith("αμε"):
+        base = s[:-3]
+        if base in _EXC7:
+            return s[:-1]  # add back -αμ
+        return base
+    return s
+
+
+def _rule8(s: str) -> str:
+    removed = False
+    if len(s) > 8 and s.endswith("ιουντανε"):
+        s = s[:-8]
+        removed = True
+    elif ((len(s) > 7 and s.endswith("ιοντανε"))
+          or s.endswith(("ουντανε", "ηθηκανε"))):
+        s = s[:-7]
+        removed = True
+    elif ((len(s) > 6 and s.endswith("ιοτανε"))
+          or s.endswith(("οντανε", "ουσανε"))):
+        s = s[:-6]
+        removed = True
+    elif ((len(s) > 5 and s.endswith("αγανε"))
+          or s.endswith(("ησανε", "οτανε", "ηκανε"))):
+        s = s[:-5]
+        removed = True
+    if removed and s in _EXC8A:
+        s = s + "αγαν"  # explicit overwrite in the reference
+    if len(s) > 3 and s.endswith("ανε"):
+        base = s[:-3]
+        if _ev_no_y(base) or base in _EXC8B:
+            return s[:-1]  # add back -αν
+        return base
+    return s
+
+
+def _rule9(s: str) -> str:
+    if len(s) > 5 and s.endswith("ησετε"):
+        s = s[:-5]
+    if len(s) > 3 and s.endswith("ετε"):
+        base = s[:-3]
+        if (base in _EXC9 or _ev_no_y(base)
+                or base.endswith(("οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ",
+                                  "ενδ", "ευρ", "τιθ", "υπερθ", "ραθ",
+                                  "ενθ", "ροθ", "σθ", "πυρ", "αιν",
+                                  "συνδ", "συν", "συνθ", "χωρ", "πον",
+                                  "βρ", "καθ", "ευθ", "εκθ", "νετ", "ρον",
+                                  "αρκ", "βαρ", "βολ", "ωφελ"))):
+            return s[:-1]  # add back -ετ
+        return base
+    return s
+
+
+def _rule10(s: str) -> str:
+    if len(s) > 5 and s.endswith(("οντασ", "ωντασ")):
+        removed = s[-5:]
+        base = s[:-5]
+        if len(base) == 3 and base.endswith("αρχ"):
+            base = base + "ο" + removed[1:3]  # *ντ with first char -> ο
+        if base.endswith("κρε"):
+            base = base + "ω" + removed[1:3]  # *ντ with first char -> ω
+        return base
+    return s
+
+
+def _rule11(s: str) -> str:
+    if len(s) > 6 and s.endswith("ομαστε"):
+        base = s[:-6]
+        if len(base) == 2 and base.endswith("ον"):
+            return s[:-1]  # add back -ομαστ
+        return base
+    if len(s) > 7 and s.endswith("ιομαστε"):
+        base = s[:-7]
+        if len(base) == 2 and base.endswith("ον"):
+            return base + "ομαστ"  # explicit overwrite
+        return base
+    return s
+
+
+def _rule12(s: str) -> str:
+    if len(s) > 5 and s.endswith("ιεστε"):
+        base = s[:-5]
+        if base in _EXC12A:
+            s = s[:-1]  # add back -ιεστ
+        else:
+            s = base
+    if len(s) > 4 and s.endswith("εστε"):
+        base = s[:-4]
+        if base in _EXC12B:
+            return s[:-1]  # add back -εστ
+        return base
+    return s
+
+
+def _rule13(s: str) -> str:
+    if len(s) > 6 and s.endswith("ηθηκεσ"):
+        s = s[:-6]
+    elif len(s) > 5 and s.endswith(("ηθηκα", "ηθηκε")):
+        s = s[:-5]
+    removed = False
+    if len(s) > 4 and s.endswith("ηκεσ"):
+        base = s[:-4]
+        removed = True
+    elif len(s) > 3 and s.endswith(("ηκα", "ηκε")):
+        base = s[:-3]
+        removed = True
+    if removed:
+        if (base in _EXC13
+                or base.endswith(("σκωλ", "σκουλ", "ναρθ", "σφ", "οθ",
+                                  "πιθ"))):
+            return base + "ηκ"  # add back -ηκ
+        return base
+    return s
+
+
+def _rule14(s: str) -> str:
+    removed = False
+    if len(s) > 5 and s.endswith("ουσεσ"):
+        base = s[:-5]
+        removed = True
+    elif len(s) > 4 and s.endswith(("ουσα", "ουσε")):
+        base = s[:-4]
+        removed = True
+    if removed:
+        if (base in _EXC14 or _ev(base)
+                or base.endswith(("ποδαρ", "βλεπ", "πανταχ", "φρυδ",
+                                  "μαντιλ", "μαλλ", "κυματ", "λαχ", "ληγ",
+                                  "φαγ", "ομ", "πρωτ"))):
+            return base + "ουσ"  # add back -ουσ
+        return base
+    return s
+
+
+def _rule15(s: str) -> str:
+    removed = False
+    if len(s) > 4 and s.endswith("αγεσ"):
+        base = s[:-4]
+        removed = True
+    elif len(s) > 3 and s.endswith(("αγα", "αγε")):
+        base = s[:-3]
+        removed = True
+    if removed:
+        cond1 = (base in _EXC15A
+                 or base.endswith(("οφ", "πελ", "χορτ", "λλ", "σφ", "ρπ",
+                                   "φρ", "πρ", "λοχ", "σμην")))
+        cond2 = base in _EXC15B or base.endswith("κολλ")
+        if cond1 and not cond2:
+            return base + "αγ"  # add back -αγ
+        return base
+    return s
+
+
+def _rule16(s: str) -> str:
+    removed = False
+    if len(s) > 4 and s.endswith("ησου"):
+        base = s[:-4]
+        removed = True
+    elif len(s) > 3 and s.endswith(("ησε", "ησα")):
+        base = s[:-3]
+        removed = True
+    if removed:
+        if base in _EXC16:
+            return base + "ησ"  # add back -ησ
+        return base
+    return s
+
+
+def _rule17(s: str) -> str:
+    if len(s) > 4 and s.endswith("ηστε"):
+        base = s[:-4]
+        if base in _EXC17:
+            return base + "ηστ"  # add back -ηστ
+        return base
+    return s
+
+
+def _rule18(s: str) -> str:
+    removed = False
+    if len(s) > 6 and s.endswith(("ησουνε", "ηθουνε")):
+        base = s[:-6]
+        removed = True
+    elif len(s) > 4 and s.endswith("ουνε"):
+        base = s[:-4]
+        removed = True
+    if removed:
+        if base in _EXC18:
+            return base + "ουν"  # explicit overwrite
+        return base
+    return s
+
+
+def _rule19(s: str) -> str:
+    removed = False
+    if len(s) > 6 and s.endswith(("ησουμε", "ηθουμε")):
+        base = s[:-6]
+        removed = True
+    elif len(s) > 4 and s.endswith("ουμε"):
+        base = s[:-4]
+        removed = True
+    if removed:
+        if base in _EXC19:
+            return base + "ουμ"  # explicit overwrite
+        return base
+    return s
+
+
+def _rule20(s: str) -> str:
+    if len(s) > 5 and s.endswith(("ματων", "ματοσ")):
+        return s[:-3]
+    if len(s) > 4 and s.endswith("ματα"):
+        return s[:-2]
+    return s
+
+
+_R21_9 = ("ιοντουσαν",)
+_R21_8 = ("ιομασταν", "ιοσασταν", "ιουμαστε", "οντουσαν")
+_R21_7 = ("ιεμαστε", "ιεσαστε", "ιομουνα", "ιοσαστε", "ιοσουνα",
+          "ιουνται", "ιουνταν", "ηθηκατε", "ομασταν", "οσασταν",
+          "ουμαστε")
+_R21_6 = ("ιομουν", "ιονταν", "ιοσουν", "ηθειτε", "ηθηκαν", "ομουνα",
+          "οσαστε", "οσουνα", "ουνται", "ουνταν", "ουσατε")
+_R21_5 = ("αγατε", "ιεμαι", "ιεται", "ιεσαι", "ιοταν", "ιουμα", "ηθεισ",
+          "ηθουν", "ηκατε", "ησατε", "ησουν", "ομουν", "ονται", "ονταν",
+          "οσουν", "ουμαι", "ουσαν")
+_R21_4 = ("αγαν", "αμαι", "ασαι", "αται", "ειτε", "εσαι", "εται", "ηδεσ",
+          "ηδων", "ηθει", "ηκαν", "ησαν", "ησει", "ησεσ", "ομαι", "οταν")
+_R21_3 = ("αει", "εισ", "ηθω", "ησω", "ουν", "ουσ")
+_R21_2 = ("αν", "ασ", "αω", "ει", "εσ", "ησ", "οι", "οσ", "ου", "υσ",
+          "ων")
+
+
+def _rule21(s: str) -> str:
+    ln = len(s)
+    if ln > 9 and s.endswith(_R21_9):
+        return s[:-9]
+    if ln > 8 and s.endswith(_R21_8):
+        return s[:-8]
+    if ln > 7 and s.endswith(_R21_7):
+        return s[:-7]
+    if ln > 6 and s.endswith(_R21_6):
+        return s[:-6]
+    if ln > 5 and s.endswith(_R21_5):
+        return s[:-5]
+    if ln > 4 and s.endswith(_R21_4):
+        return s[:-4]
+    if ln > 3 and s.endswith(_R21_3):
+        return s[:-3]
+    if ln > 2 and s.endswith(_R21_2):
+        return s[:-2]
+    if ln > 1 and _ev(s):
+        return s[:-1]
+    return s
+
+
+def _rule22(s: str) -> str:
+    if s.endswith(("εστερ", "εστατ")):
+        return s[:-5]
+    if s.endswith(("οτερ", "οτατ", "υτερ", "υτατ", "ωτερ", "ωτατ")):
+        return s[:-4]
+    return s
+
+
+def greek_stem(t: str) -> str:
+    """Stem one GreekLowerCaseFilter-normalized term."""
+    if len(t) < 4:
+        return t
+    orig_len = len(t)
+    s = t
+    for rule in (_rule0, _rule1, _rule2, _rule3, _rule4, _rule5, _rule6,
+                 _rule7, _rule8, _rule9, _rule10, _rule11, _rule12,
+                 _rule13, _rule14, _rule15, _rule16, _rule17, _rule18,
+                 _rule19, _rule20):
+        s = rule(s)
+    if len(s) == orig_len:
+        s = _rule21(s)
+    return _rule22(s)
+
+
+def greek_chain(t: str) -> str:
+    """analyzer="greek": GreekLowerCaseFilter normalization + stemmer."""
+    return greek_stem(greek_lowercase(t))

@@ -339,3 +339,28 @@ def test_indonesian_stemmer_full_reference_vectors():
             for w, want in infl
             if indonesian_stem(w, derivational=False) != want]
     assert not bad, (len(bad), bad[:10])
+
+
+def test_greek_stemmer_full_reference_vectors():
+    import re
+
+    from lucene_solr_old_ray.functions.greek import greek_lowercase, greek_stem
+
+    path = os.path.join(_REF_ANALYSIS, "el", "TestGreekStemmer.java")
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with open(path, encoding="utf-8") as f:
+        src = f.read()
+    pairs = re.findall(r'checkOneTerm\(a,\s*"([^"]+)",\s*"([^"]+)"\)', src)
+    assert len(pairs) > 300
+    bad = [(w, greek_stem(greek_lowercase(w)), want) for w, want in pairs
+           if greek_stem(greek_lowercase(w)) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_greek_analyzer_chain():
+    from lucene_solr_old_ray.functions.analysis import analyze_text
+
+    # GreekLowerCaseFilter folds tonos + final sigma before stemming
+    assert analyze_text("Καθεστώς", "greek") == ["καθεστ"]
+    assert analyze_text("ψαριού ψάρια", "greek") == ["ψαρ", "ψαρ"]
