@@ -68,7 +68,7 @@ def test_mixed_groups_fractional_cutoff(idx):
     d, texts = idx
     import math
 
-    terms = ("lambda", "return", "def")
+    terms = ("tokenstream", "return", "def")
     dfs = _dfs(texts, terms)
     cutoff = math.ceil(0.3 * len(texts))
     assert any(v <= cutoff for v in dfs.values()) and any(
@@ -79,7 +79,7 @@ def test_mixed_groups_fractional_cutoff(idx):
 
 def test_all_low_and_all_high(idx):
     d, texts = idx
-    terms = ("lambda", "yield")
+    terms = ("tokenstream", "merge_score")
     dfs = _dfs(texts, terms)
     # absolute cutoff high enough -> all low
     ctq = CommonTermsQuery(terms, max_term_frequency=10**9)
@@ -94,7 +94,7 @@ def test_low_freq_msm_and_must(idx):
     d, texts = idx
     import math
 
-    terms = ("lambda", "yield", "return")
+    terms = ("tokenstream", "merge_score", "return")
     dfs = _dfs(texts, terms)
     cutoff = math.ceil(0.5 * len(texts))
     ctq = CommonTermsQuery(terms, max_term_frequency=0.5, low_freq_msm=2)
@@ -108,7 +108,7 @@ def test_matches_oracle_scoring(idx):
     d, texts = idx
     import math
 
-    terms = ("lambda", "return", "def")
+    terms = ("tokenstream", "return", "def")
     dfs = _dfs(texts, terms)
     cutoff = math.ceil(0.3 * len(texts))
     expected = _expected_bool(terms, dfs, cutoff)

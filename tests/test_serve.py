@@ -36,3 +36,26 @@ def test_serve_equals_batch(ray_session, tmp_path):
     svc.shutdown()
     assert batch[["qid", "rank", "docid"]].values.tolist() == \
            served_w[["qid", "rank", "docid"]].values.tolist()
+
+
+def test_serve_rewrites_common_terms(ray_session, tmp_path):
+    """The serve path must run the CommonTermsQuery df rewrite like the
+    batch pipeline (bit-identical scores)."""
+    from lucene_solr_old_ray.queries import CommonTermsQuery
+
+    p = str(tmp_path / "c.parquet")
+    generate_corpus(p, 400, seed=13, rows_per_group=100)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.source_code(p), idx, target_docs_per_partition=200)
+    merge_index(idx, fan_in=2, strategy="local")
+    # tokenstream df~33 (low at cutoff ceil(0.3*400)=120), return/def ~340
+    qs = {0: CommonTermsQuery(("tokenstream", "return", "def"),
+                              max_term_frequency=0.3)}
+    batch = search(idx, qs, k=10).to_pandas()
+    svc = SearchService(idx, num_actors=2, algo="exhaustive")
+    served = svc.query(qs, k=10).to_pandas()
+    svc.shutdown()
+    assert len(batch) == 10
+    assert batch[["qid", "rank", "docid"]].values.tolist() == \
+           served[["qid", "rank", "docid"]].values.tolist()
+    assert batch["score"].tolist() == served["score"].tolist()
