@@ -132,6 +132,8 @@ class _P:
     def _charesc(self) -> str:
         c = self.peek()
         if c == "\\":
+            if self.i + 1 >= len(self.s):
+                raise ValueError(f"trailing backslash in {self.s!r}")
             self.i += 2
             return self.s[self.i - 1]
         self.i += 1
@@ -178,6 +180,8 @@ class _P:
             raise ValueError(
                 f"named automata <{body}> unsupported (no AutomatonProvider)")
         if c == "\\":
+            if self.i + 1 >= len(self.s):
+                raise ValueError(f"trailing backslash in {self.s!r}")
             self.i += 2
             return ("char", self.s[self.i - 1])
         if not c:

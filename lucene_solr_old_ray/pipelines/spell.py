@@ -41,10 +41,18 @@ def spell_suggest(
     max_edits: int = 2,
     min_prefix: int = 1,
     accuracy: float = 0.5,
+    transpositions: bool = False,
 ) -> pa.Table:
     """-> (query, rank, suggestion, score float32, df) rows, ordered by
     (query, rank); queries present in the index produce no rows
-    (SUGGEST_WHEN_NOT_IN_INDEX)."""
+    (SUGGEST_WHEN_NOT_IN_INDEX).
+
+    NOTE the reference's internal distance
+    (``spell/LuceneLevenshteinDistance.java``) counts adjacent
+    transpositions as one edit; this engine DEFAULTS to plain Levenshtein
+    (``transpositions=False``) — a deliberate re-expression choice so the
+    DuckDB ``levenshtein`` oracle is exact. Pass ``transpositions=True``
+    for Damerau (OSA) candidate admission."""
     man = mf.read_index_manifest(index_dir)
     files = [os.path.join(index_dir, s["dir"], "terms.parquet")
              for s in man["segments"]]
@@ -68,7 +76,8 @@ def spell_suggest(
             if len(idx) == 0:
                 continue
             cand = [strs[i] for i in idx]
-            eds = fuzzy_distances_batch(cand, q)
+            eds = fuzzy_distances_batch(cand, q,
+                                        transpositions=transpositions)
             keep = eds <= max_edits
             out_q.extend([q] * int(keep.sum()))
             out_t.extend([c for c, k in zip(cand, keep) if k])

@@ -238,6 +238,7 @@ class _Partition:
 
     def fuzzy_prefix_ranges(
         self, key: str, max_edits: int, non_fuzzy_prefix: int,
+        transpositions: bool = False,
     ) -> list[tuple[int, int]]:
         """MINIMAL dict prefixes within ``max_edits`` of ``key`` -> their
         disjoint subtree ranges [s, e). The FuzzySuggester intersection
@@ -246,7 +247,13 @@ class _Partition:
         (every completion under it is a suggestion) and its whole subtree is
         taken in one prefix_range; a prefix whose row minimum exceeds
         max_edits skips its subtree. The first ``non_fuzzy_prefix`` chars
-        must match exactly (no edits in the anchor)."""
+        must match exactly (no edits in the anchor).
+
+        ``transpositions=True`` counts an adjacent swap as one edit — the
+        reference default (``FuzzySuggester.DEFAULT_TRANSPOSITIONS=true``);
+        this engine DEFAULTS to plain Levenshtein, a documented
+        re-expression choice (DuckDB ``levenshtein`` oracle parity); flip
+        the flag for reference-default behavior."""
         anchor = key[:non_fuzzy_prefix]
         lo, hi = self.prefix_range(anchor) if anchor else (0, self.n)
         m = len(key)
@@ -278,6 +285,11 @@ class _Partition:
                             v = prev[j] + 1
                         if new[j - 1] + 1 < v:
                             v = new[j - 1] + 1
+                        if (transpositions and d >= 1 and j >= 2
+                                and c == key[j - 2] and t[d - 1] == key[j - 1]):
+                            v2 = rows[d - 1][j - 2] + 1
+                            if v2 < v:
+                                v = v2
                         new[j] = v
                         if v < best:
                             best = v
@@ -373,6 +385,7 @@ class Suggester:
     def lookup_fuzzy(
         self, key: str, k: int = 5, *, max_edits: int = 1,
         non_fuzzy_prefix: int = 1, min_fuzzy_length: int = 3,
+        transpositions: bool = False,
     ) -> list[tuple[str, int]]:
         """Typo-tolerant completion — re-expresses (NOT ports)
         ``lucene/suggest/src/java/org/apache/lucene/search/suggest/
@@ -381,7 +394,14 @@ class Suggester:
         prefix within ``max_edits`` of ``key`` (LevenshteinAutomata
         intersected with the completion structure), ordered
         (weight desc, term asc). Keys shorter than ``min_fuzzy_length``
-        fall back to the exact lookup."""
+        fall back to the exact lookup.
+
+        NOTE the reference's ``DEFAULT_TRANSPOSITIONS`` is **true**
+        (Damerau, adjacent swap = 1 edit); this engine's default is plain
+        Levenshtein (``transpositions=False``) — a deliberate re-expression
+        choice so suggestions stay expressible as the DuckDB
+        ``levenshtein`` oracle. Pass ``transpositions=True`` for
+        reference-default behavior."""
         if max_edits == 0 or len(key) < min_fuzzy_length:
             return self.lookup(key, k)
         w_all: list[np.ndarray] = []
@@ -393,7 +413,8 @@ class Suggester:
                 continue
             p = self._part(fi)
             for s, e in p.fuzzy_prefix_ranges(key, max_edits,
-                                              non_fuzzy_prefix):
+                                              non_fuzzy_prefix,
+                                              transpositions=transpositions):
                 ci, cw = p.candidates(s, e, k)
                 if len(ci) == 0:
                     continue

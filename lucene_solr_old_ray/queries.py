@@ -101,7 +101,14 @@ class FuzzyQuery:
     reference's top-terms scoring rewrite: each expanded term scores as a
     TermQuery boosted by its similarity ``1 - ed/min(|t|,|q|)`` (exact match
     boost 1.0, ``search/FuzzyTermsEnum.java:361-371``), keeping the
-    ``max_expansions`` highest-boost terms."""
+    ``max_expansions`` highest-boost terms.
+
+    ``transpositions=True`` counts an adjacent swap as one edit (the
+    reference default, ``FuzzyQuery.defaultTranspositions=true``); this
+    engine DEFAULTS to plain Levenshtein (``False``) — a documented
+    re-expression choice keeping results expressible as the DuckDB
+    ``levenshtein`` oracle. Flip per query for reference-default
+    behavior."""
 
     term: str
     max_edits: int = 2
@@ -109,6 +116,7 @@ class FuzzyQuery:
     field: str | None = None
     rewrite: str = "constant"
     max_expansions: int = 50
+    transpositions: bool = False
 
 
 @dataclass(frozen=True)

@@ -141,37 +141,13 @@ _POPCNT = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
 
 
-def _doc_sizes_ref(sf_dir: str, shingle_n: int | None):
-    """Broadcastable per-doc distinct-hash-set sizes: one streaming pass of
-    (doc_id, size) partials -> driver dict -> ``ray.put``. The object is 16
-    bytes/doc — a SIZE-only broadcast (fine to ~10^8 docs; past that the
-    sizes would ride the verify join as rows instead). Used for the sound
-    prefilter J(A,B) >= t  =>  min(|A|,|B|) >= t * max(|A|,|B|)."""
-    import ray
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        d, _H = _doc_hash_stream(batch["text"], shingle_n)
-        c = np.bincount(d, minlength=batch.num_rows)
-        return pd.DataFrame({"doc_id": ids, "sz": c.astype(np.int64)})
-
-    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    sizes = np.zeros(int(df["doc_id"].max()) + 1 if len(df) else 1,
-                     dtype=np.int64)
-    sizes[df["doc_id"].to_numpy()] = df["sz"].to_numpy()
-    return ray.put(sizes)
-
-
 _VERIFY_BUCKETS = 32  # verify-stage buckets: each participating doc's hash
 # set ships at most this many times (vs. once per pair-hash bucket)
 
 
 def _verify_pairs_ds(
     sf_dir: str, cand_ds, threshold: float, shingle_n: int | None = None,
-    nbuckets: int = _NBUCKETS, sizes_ref=None,
+    nbuckets: int = _NBUCKETS,
 ) -> pa.Table:
     """Distributed dedupe + exact-Jaccard verify of a candidate-pair DATASET.
 
@@ -203,16 +179,9 @@ def _verify_pairs_ds(
                              "ph": (a * 1_000_003 + b) % nbuckets})
 
     def dedupe_ph(g: pd.DataFrame) -> pd.DataFrame:
+        # (size prefiltering happens at candidate EMISSION — sizes ride the
+        # prefix/bucket rows as columns, never a driver-held broadcast)
         g = g.drop_duplicates(["a", "b"])
-        if sizes_ref is not None and len(g):
-            import ray as _r
-
-            sz = _r.get(sizes_ref)
-            sa = sz[g["a"].to_numpy(dtype=np.int64)]
-            sb = sz[g["b"].to_numpy(dtype=np.int64)]
-            # sound prefilter: J >= t requires min size >= t * max size
-            keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
-            g = g[keep]
         if len(g):
             # re-key for the verify stage: fewer buckets bound how many
             # times a doc's hash set ships
@@ -375,79 +344,114 @@ def _prefix_filtered_pairs(
     Complete for the threshold: if J(A,B) >= t the smallest-ordered shared
     hash lies in BOTH prefixes, so the pair surfaces in its group. Hot
     terms thus emit pairs only from docs whose prefix reaches them — the
-    df² blowup on stop-word-like terms disappears. Candidates verify via
-    the co-shuffled exact-Jaccard join (:func:`_verify_pairs_ds`)."""
+    df² blowup on stop-word-like terms disappears.
+
+    FULLY Dataset-resident — no vocabulary-sized driver state and no
+    broadcasts (the dense global rank is unnecessary: any total order works
+    for prefix selection, and (df asc, hash asc) is computable in place).
+    The (doc_id, DISTINCT hash) instance rows are the join fabric:
+
+    1. bounded-bucket groupby BY HASH stamps each row with its hash's
+       global df (rows are per distinct (doc, hash), so df(h) is just the
+       group's row count — the df combine and the df join collapse into
+       one shuffle);
+    2. bounded-bucket groupby BY DOC sorts each doc's hashes by
+       (df asc, hash asc) and keeps the first L as prefix rows — the doc's
+       set size rides along as a column;
+    3. bounded-bucket groupby BY HASH emits in-group candidate pairs,
+       pruned by the sound size filter min(|A|,|B|) >= t * max(|A|,|B|)
+       (J >= t implies it), sizes read from the co-grouped rows.
+
+    Candidates verify via the co-shuffled exact-Jaccard join
+    (:func:`_verify_pairs_ds`). The driver only ever sees the verified
+    output pairs."""
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
-    # pass 1 — global df per hash: per-batch partial counts, small driver
-    # combine into a (sorted hashes, rank) lookup shipped once via ray.put.
-    # (At 10^12 docs this combine becomes a groupby + rank join — same
-    # shape, still never the corpus.)
-    def partial_df(batch: pa.Table) -> pd.DataFrame:
-        d, H = _doc_hash_stream(batch["text"], shingle_n)
-        if len(H) == 0:
-            return pd.DataFrame({"h": pd.Series([], dtype="uint64"),
-                                 "df": pd.Series([], dtype="int64")})
-        hu, cnt = np.unique(H, return_counts=True)
-        return pd.DataFrame({"h": hu, "df": cnt.astype(np.int64)})
-
-    parts = ds.map_batches(partial_df, batch_format="pyarrow").to_pandas()
-    if len(parts) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    agg = parts.groupby("h", as_index=False)["df"].sum()
-    hashes = agg["h"].to_numpy().astype(np.uint64)
-    dfs = agg["df"].to_numpy()
-    order = np.lexsort((hashes, dfs))  # df asc, hash asc
-    rank_of = np.empty(len(hashes), dtype=np.int64)
-    rank_of[order] = np.arange(len(hashes), dtype=np.int64)
-    hsort = np.sort(hashes)
-    # rank_arr[i] = global rank of hsort[i]
-    rank_arr = rank_of[np.argsort(hashes, kind="stable")]
-    rank_ref = ray.put((hsort, rank_arr))
-
-    def emit_prefix(batch: pa.Table) -> pd.DataFrame:
-        hs, ra = ray.get(rank_ref)
+    def inst_rows(batch: pa.Table) -> pd.DataFrame:
         gid = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
         d, H = _doc_hash_stream(batch["text"], shingle_n)
         if len(d) == 0:
-            return pd.DataFrame({"r": pd.Series([], dtype="int64"),
-                                 "doc_id": pd.Series([], dtype="int64"),
-                                 "g": pd.Series([], dtype="int64")})
-        ranks = ra[np.searchsorted(hs, H)]
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "h": pd.Series([], dtype="int64"),
+                                 "sz": pd.Series([], dtype="int64"),
+                                 "hb": pd.Series([], dtype="int64")})
         m = np.bincount(d, minlength=batch.num_rows)
-        L = m - np.ceil(threshold * m).astype(np.int64) + 1
-        # per-doc rarest-first prefix: sort instances by (doc, rank), keep
-        # the first L[doc] of each run
-        o = np.lexsort((ranks, d))
-        ds_, rs_ = d[o], ranks[o]
-        starts = np.zeros(batch.num_rows, dtype=np.int64)
-        np.cumsum(m[:-1], out=starts[1:])
-        pos = np.arange(len(ds_), dtype=np.int64) - starts[ds_]
-        keep = pos < L[ds_]
-        rk = rs_[keep]
-        return pd.DataFrame({"r": rk, "doc_id": gid[ds_[keep]],
-                             "g": rk % nbuckets})
+        return pd.DataFrame({
+            "doc_id": gid[d],
+            "h": H.view(np.int64),
+            "sz": m[d].astype(np.int64),
+            "hb": (H % np.uint64(nbuckets)).astype(np.int64),
+        })
+
+    def stamp_df(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (doc, hash): df(h) == in-group row count
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "h": g["h"],
+            "sz": g["sz"],
+            "df": g.groupby("h")["h"].transform("size").astype(np.int64),
+            "db": (g["doc_id"] % nbuckets).astype(np.int64),
+        })
+
+    def emit_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                              "doc_id": pd.Series([], dtype="int64"),
+                              "sz": pd.Series([], dtype="int64"),
+                              "g": pd.Series([], dtype="int64")})
+        if len(g) == 0:
+            return empty
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        h = np.ascontiguousarray(
+            g["h"].to_numpy(dtype=np.int64)).view(np.uint64)
+        sz = g["sz"].to_numpy(dtype=np.int64)
+        df_ = g["df"].to_numpy(dtype=np.int64)
+        # per-doc rarest-first order: (doc, df asc, hash asc)
+        o = np.lexsort((h, df_, doc))
+        doc, h, sz = doc[o], h[o], sz[o]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(new)
+        run = np.cumsum(new) - 1
+        pos = np.arange(len(doc), dtype=np.int64) - starts[run]
+        L = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+        keep = pos < L
+        hk = h[keep]
+        return pd.DataFrame({
+            "h": hk.view(np.int64),
+            "doc_id": doc[keep],
+            "sz": sz[keep],
+            "g": (hk % np.uint64(nbuckets)).astype(np.int64),
+        })
 
     def emit_pairs(gb: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, g in gb.groupby("r", sort=False):
-            ids = np.sort(g["doc_id"].unique())
-            if len(ids) < 2:
+        for _, g in gb.groupby("h", sort=False):
+            g = g.drop_duplicates("doc_id")
+            if len(g) < 2:
                 continue
+            o = np.argsort(g["doc_id"].to_numpy(dtype=np.int64))
+            ids = g["doc_id"].to_numpy(dtype=np.int64)[o]
+            szs = g["sz"].to_numpy(dtype=np.int64)[o]
             ii, jj = np.triu_indices(len(ids), 1)
-            outs.append(pd.DataFrame({"a": ids[ii], "b": ids[jj]}))
+            sa, sb = szs[ii], szs[jj]
+            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            if ok.any():
+                outs.append(pd.DataFrame({"a": ids[ii[ok]],
+                                          "b": ids[jj[ok]]}))
         if not outs:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
     cand_ds = (
-        ds.map_batches(emit_prefix, batch_format="pyarrow")
+        ds.map_batches(inst_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(stamp_df, batch_format="pandas")
+        .groupby("db")
+        .map_groups(emit_prefix, batch_format="pandas")
         .groupby("g")
         .map_groups(emit_pairs, batch_format="pandas")
     )
@@ -717,15 +721,15 @@ def minhash_lsh_pairs(
     P(miss pair at τ=0.95 with 16 bands × 8 rows) ≈ 2e-8).
 
     Scale shape: signatures vectorized per batch over the pre-hashed batch
-    vocabulary; banding shuffles only (band, key, doc) triples; candidate
-    emission inside each band bucket is SIZE-WINDOWED (docs sorted by set
-    size; a pair emits only if min >= t*max — a sound requirement of
-    J >= t), and verification is the co-shuffled exact-Jaccard join
-    (:func:`_verify_pairs_ds`)."""
+    vocabulary; banding shuffles only (band, key, doc, set-size) rows —
+    each doc's DISTINCT-hash set size rides its own band rows, so there is
+    no driver-held sizes broadcast; candidate emission inside each band
+    bucket is SIZE-WINDOWED (docs sorted by set size; a pair emits only if
+    min >= t*max — a sound requirement of J >= t), and verification is the
+    co-shuffled exact-Jaccard join (:func:`_verify_pairs_ds`)."""
     import ray
 
     a, b = _perm_params(n_perm)
-    sizes_ref = _doc_sizes_ref(sf_dir, None)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
@@ -735,11 +739,15 @@ def minhash_lsh_pairs(
         uh = stable_hash64_batch(list(uniques))
         H = uh[codes] if len(codes) else np.empty(0, dtype=np.uint64)
         sig = minhash_signatures_from_hashes(H, counts, a, b)
+        # distinct-hash set size per doc (the quantity Jaccard compares)
+        du, _ = _unique_per_doc(d, H)
+        sz = np.bincount(du, minlength=batch.num_rows).astype(np.int64)
         keys = _band_keys(sig, bands)
         n = len(ids)
         flat_keys = keys.reshape(-1).view(np.int64)
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, bands)),
+            "sz": pa.array(np.repeat(sz, bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "bkey": pa.array(flat_keys),
             # coarse shuffle key (bounded Ray group count)
@@ -747,15 +755,17 @@ def minhash_lsh_pairs(
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(sizes_ref)
         outs = []
         for _, sub in g.groupby(["band", "bkey"], sort=False):
-            ids = np.sort(sub["doc_id"].unique())
-            if len(ids) < 2:
+            sub = sub.drop_duplicates("doc_id")
+            if len(sub) < 2:
                 continue
+            ids = sub["doc_id"].to_numpy(dtype=np.int64)
+            s = sub["sz"].to_numpy(dtype=np.int64)
+            oi = np.argsort(ids, kind="stable")
+            ids, s = ids[oi], s[oi]
             # size-windowed emission: sort by set size; only pairs with
             # min >= t*max can reach the threshold
-            s = sz[ids]
             o = np.argsort(s, kind="stable")
             ids, s = ids[o], s[o]
             aa, bb = [], []
@@ -784,7 +794,7 @@ def minhash_lsh_pairs(
         .groupby("g")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return _verify_pairs_ds(sf_dir, cand_ds, threshold, sizes_ref=sizes_ref)
+    return _verify_pairs_ds(sf_dir, cand_ds, threshold)
 
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:

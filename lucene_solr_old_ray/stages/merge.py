@@ -367,12 +367,25 @@ def write_shard_files(
     merged_docmap = pa.concat_tables(docmaps)
     pq.write_table(merged_docmap, os.path.join(tmp, "docmap.parquet"))
     # term vectors ride along doc-major: remap each segment's local docs by
-    # its doc_offset and concat (docBase remap, SegmentMerger's TV pass)
+    # its doc_offset and concat (docBase remap, SegmentMerger's TV pass).
+    # Segments built without store_term_vectors simply contribute no rows
+    # (Lucene: term vectors are per-document; a doc without them has none) —
+    # a MIXED input merges the subset, warns, and records the gap.
     tv_in = [seg for seg in segs_sorted if os.path.exists(
         os.path.join(index_dir, seg["dir"], "tv.parquet"))]
-    if len(tv_in) == len(segs_sorted) and tv_in:
+    tv_partial = bool(tv_in) and len(tv_in) != len(segs_sorted)
+    if tv_in:
+        if tv_partial:
+            import warnings
+
+            missing = [s["dir"] for s in segs_sorted if s not in tv_in]
+            warnings.warn(
+                "merge: term vectors present in only "
+                f"{len(tv_in)}/{len(segs_sorted)} input segments; merging "
+                f"the subset (docs of {missing} have no vectors)",
+                stacklevel=2)
         tv_parts = []
-        for seg in segs_sorted:
+        for seg in tv_in:
             t = pq.read_table(
                 os.path.join(index_dir, seg["dir"], "tv.parquet"))
             if seg["doc_offset"]:
@@ -396,6 +409,9 @@ def write_shard_files(
         "postings_bytes": int(pos),
         "wall_s": round(time.perf_counter() - t0, 4),
     }
+    if tv_partial:
+        metrics["tv_missing_segments"] = [
+            s["dir"] for s in segs_sorted if s not in tv_in]
     mf.atomic_write_json(
         os.path.join(tmp, mf.SEGMENT_MANIFEST),
         {

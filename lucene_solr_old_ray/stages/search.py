@@ -567,9 +567,12 @@ def _expand_regexp(leaf: LeafSearcher, pattern: str) -> list[int]:
     including complement ``~``, intersection ``&``, anystring ``@`` and
     intervals ``<n-m>`` (functions/regexp.py). The common operator subset
     (literals, ``| ? * + {n,m} [..] .``) means the same thing in Python
-    ``re``, which stays as the fast matcher for those patterns on small
-    dicts; large dicts (>= 200k terms in the narrowed range) take the
-    derivative automaton walk above instead of a full-range scan."""
+    ``re``, which stays as the fast matcher ONLY for patterns where the two
+    grammars agree (:func:`_re_walk_safe`); anything with backslash escapes
+    or ``^``/``$`` (literals in Lucene, metachars in ``re``) goes through the
+    exact :class:`LuceneRegexp` matcher. Large dicts (>= 200k terms in the
+    narrowed range) take the derivative automaton walk above instead of a
+    full-range scan."""
     import re as _re
 
     from ..functions.regexp import compile_regexp, has_lucene_operators
@@ -578,16 +581,18 @@ def _expand_regexp(leaf: LeafSearcher, pattern: str) -> list[int]:
     s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
     if e <= s:
         return []
-    if (e - s >= _FUZZY_AUTOMATON_MIN_TERMS
-            and (has_lucene_operators(pattern) or _re_walk_safe(pattern))):
+    if e - s >= _FUZZY_AUTOMATON_MIN_TERMS:
         try:
             return regexp_automaton_walk(leaf, pattern, s, e)[0]
         except ValueError:
             pass  # not parseable as Lucene RegExp: fall through to re
     strs = leaf.terms_range_np(s, e)  # one batch decode, no per-term calls
-    if has_lucene_operators(pattern):
-        lrx = compile_regexp(pattern)
-        return [s + i for i, t in enumerate(strs) if lrx.fullmatch(t)]
+    if has_lucene_operators(pattern) or not _re_walk_safe(pattern):
+        try:
+            lrx = compile_regexp(pattern)
+            return [s + i for i, t in enumerate(strs) if lrx.fullmatch(t)]
+        except ValueError:
+            pass  # not parseable as Lucene RegExp: last-resort Python re
     rx = _re.compile(pattern)
     return [s + i for i, t in enumerate(strs) if rx.fullmatch(t)]
 
@@ -606,7 +611,8 @@ def collect_mtq_terms(leaf: LeafSearcher, q) -> dict[str, int]:
         return {lf.term_str(ti): 0 for ti in _expand_regexp(lf, q.pattern)}
     if isinstance(q, FuzzyQuery):
         # exact distances ride along for the similarity boosts
-        return _expand_fuzzy(lf, q.term, q.max_edits, with_distances=True)
+        return _expand_fuzzy(lf, q.term, q.max_edits, with_distances=True,
+                             transpositions=q.transpositions)
     raise TypeError(f"not a MultiTermQuery: {type(q).__name__}")
 
 
@@ -638,10 +644,20 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
-def fuzzy_distances_batch(strs: list[str], q: str) -> np.ndarray:
-    """Vectorized Levenshtein distances of every string to ``q``: the DP
-    runs column-by-column (bounded by the longest candidate) with every row
-    operation vectorized ACROSS candidates — no per-term Python DP."""
+def fuzzy_distances_batch(strs: list[str], q: str,
+                          transpositions: bool = False) -> np.ndarray:
+    """Vectorized edit distances of every string to ``q``: the DP runs
+    column-by-column (bounded by the longest candidate) with every row
+    operation vectorized ACROSS candidates — no per-term Python DP.
+
+    ``transpositions=True`` counts an adjacent-character swap as ONE edit
+    (optimal-string-alignment Damerau — the semantics of the reference's
+    ``FuzzyQuery.defaultTranspositions=true`` /
+    ``util/automaton/LevenshteinAutomata.java`` with transpositions).
+    The engine-wide DEFAULT stays plain Levenshtein (``False``) — a
+    documented re-expression choice so results stay expressible as the
+    DuckDB ``levenshtein`` oracle; flip the flag for reference-default
+    behavior."""
     n = len(strs)
     if n == 0:
         return np.empty(0, dtype=np.int32)
@@ -657,6 +673,7 @@ def fuzzy_distances_batch(strs: list[str], q: str) -> np.ndarray:
     row = np.repeat(np.arange(n, dtype=np.int64), lens)
     M[row, col] = flat
     dp = np.broadcast_to(np.arange(L + 1, dtype=np.int32), (n, L + 1)).copy()
+    dp2 = None  # row i-2 (for the transposition case)
     for i, qc in enumerate(q, 1):
         ndp = np.empty_like(dp)
         ndp[:, 0] = i
@@ -665,6 +682,16 @@ def fuzzy_distances_batch(strs: list[str], q: str) -> np.ndarray:
             ndp[:, j] = np.minimum(
                 np.minimum(dp[:, j] + 1, ndp[:, j - 1] + 1),
                 dp[:, j - 1] + sub[:, j - 1])
+        if transpositions and i >= 2:
+            # q[i-2:i] swapped == s[j-2:j]  ->  dp2[:, j-2] + 1
+            qp = np.uint32(ord(q[i - 2]))
+            qn = np.uint32(ord(qc))
+            for j in range(2, L + 1):
+                tmask = (M[:, j - 1] == qp) & (M[:, j - 2] == qn)
+                cand = dp2[:, j - 2] + 1
+                ndp[:, j] = np.where(tmask,
+                                     np.minimum(ndp[:, j], cand), ndp[:, j])
+        dp2 = dp
         dp = ndp
     return dp[np.arange(n), lens].astype(np.int32)
 
@@ -674,7 +701,8 @@ def fuzzy_distances_batch(strs: list[str], q: str) -> np.ndarray:
 _FUZZY_AUTOMATON_MIN_TERMS = 200_000
 
 
-def fuzzy_automaton_walk(leaf: LeafSearcher, term: str, max_edits: int):
+def fuzzy_automaton_walk(leaf: LeafSearcher, term: str, max_edits: int,
+                         transpositions: bool = False):
     """Levenshtein-automaton TermsEnum intersection, re-expressed (NOT
     ported) over the SORTED packed dict instead of an FST
     (``util/automaton/LevenshteinAutomata.java`` +
@@ -688,6 +716,11 @@ def fuzzy_automaton_walk(leaf: LeafSearcher, term: str, max_edits: int):
       live state for that subtree: binary-search past every term sharing the
       dead prefix (the TermsEnum seekCeil jump) — this is what makes the
       walk sublinear on large dictionaries.
+
+    ``transpositions=True`` = adjacent-swap counts as one edit (the
+    reference DEFAULT, ``FuzzyQuery.defaultTranspositions=true``); the
+    engine default stays plain Levenshtein — see
+    :func:`fuzzy_distances_batch` for the documented re-expression choice.
 
     Returns ({term: distance}, terms_visited) — visited counts DP-advanced
     terms, for the sublinearity assertion in tests."""
@@ -719,6 +752,11 @@ def fuzzy_automaton_walk(leaf: LeafSearcher, term: str, max_edits: int):
                     v = prev[j] + 1
                 if new[j - 1] + 1 < v:
                     v = new[j - 1] + 1
+                if (transpositions and d >= 1 and j >= 2
+                        and c == q[j - 2] and t[d - 1] == q[j - 1]):
+                    v2 = rows[d - 1][j - 2] + 1
+                    if v2 < v:
+                        v = v2
                 new[j] = v
                 if v < best:
                     best = v
@@ -743,12 +781,14 @@ def fuzzy_automaton_walk(leaf: LeafSearcher, term: str, max_edits: int):
 
 
 def _expand_fuzzy(leaf: LeafSearcher, term: str, max_edits: int,
-                  with_distances: bool = False):
+                  with_distances: bool = False,
+                  transpositions: bool = False):
     """Fuzzy term expansion. Small dicts: byte-length band prune + one
     vectorized DP over the survivors. Large dicts (>= 200k terms): the
     automaton walk above — sublinear, no full-vocabulary pass."""
     if leaf.nterms >= _FUZZY_AUTOMATON_MIN_TERMS:
-        dists, _ = fuzzy_automaton_walk(leaf, term, max_edits)
+        dists, _ = fuzzy_automaton_walk(leaf, term, max_edits,
+                                        transpositions=transpositions)
         if with_distances:
             return dists
         return sorted(leaf.lookup(t) for t in dists)
@@ -759,7 +799,7 @@ def _expand_fuzzy(leaf: LeafSearcher, term: str, max_edits: int,
     if len(cand) == 0:
         return ({} if with_distances else [])
     strs = [leaf.term_str(int(ti)) for ti in cand]
-    dists = fuzzy_distances_batch(strs, term)
+    dists = fuzzy_distances_batch(strs, term, transpositions=transpositions)
     ok = dists <= max_edits
     if with_distances:
         return {strs[i]: int(dists[i]) for i in np.flatnonzero(ok)}
@@ -844,7 +884,8 @@ def _execute_raw(
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, FuzzyQuery):
         lf = leaf.sibling(q.field)
-        docs = _const_docs_of(lf, _expand_fuzzy(lf, q.term, q.max_edits))
+        docs = _const_docs_of(lf, _expand_fuzzy(
+            lf, q.term, q.max_edits, transpositions=q.transpositions))
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, DisjunctionMaxQuery):
         return _execute_dismax(q, leaf, ctx, boost)

@@ -227,3 +227,81 @@ def test_ann_ivf_persistent_index(ray_session, tmp_path):
               if os.path.isdir(os.path.join(idx, "lists", f"list={j}"))]
     assert len(probed) < len(all_lists)
     assert dir_bytes(probed) < dir_bytes(all_lists)
+
+
+def test_lang_id_vectorized_parity_and_cjk(ray_session, tmp_path):
+    """The Arrow-kernel lang_id equals the scalar per-doc semantics (marker
+    argmax in en/de/fr/es order, first-strictly-greater wins) and the CJK
+    shortcut (>3 CJK chars in the first 400) routes to zh."""
+    import pyarrow as pa
+
+    from lucene_solr_old_ray.stages.textstats import _LANG_MARKERS, lang_id
+
+    docs = [
+        "the and of to is",                       # en, 5 markers
+        "der die das und ist nicht",              # de
+        "le la les et est pour the and",          # fr (6) beats en (2)
+        "el la los las es",                       # es vs fr tie on 'la': es 5
+        "xyzzy plugh",                            # no markers -> en default
+        "的 了 是 在 我 学 习 中",                  # CJK -> zh
+        "",                                       # empty -> en
+        "the und le el " * 2,                     # 4-way tie count=1 -> en
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                    "lang": pa.array(["x"] * len(docs)),
+                    "source": pa.array(["s"] * len(docs)),
+                    "n_chars": pa.array([len(d) for d in docs], pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = lang_id(str(tmp_path))["lang_guess"].to_pylist()
+
+    def scalar(t):
+        if sum(1 for ch in t[:400] if "一" <= ch <= "鿿") > 3:
+            return "zh"
+        toks = set(t.lower().split())
+        best, bestn = "en", -1
+        for lang, markers in _LANG_MARKERS.items():
+            n = len(toks & markers)
+            if n > bestn:
+                best, bestn = lang, n
+        return best
+
+    assert got == [scalar(d) for d in docs]
+    assert got[1] == "de" and got[2] == "fr" and got[5] == "zh"
+
+
+def test_dedup_driver_holds_nothing_vocabulary_sized(ray_session, monkeypatch):
+    """The scale contract of the prefix-filtered and MinHash dedup paths:
+    the DRIVER code in stages/dedup.py never broadcasts anything (ray.put)
+    — df ranks, set sizes and token sets all ride the Datasets as rows/
+    columns — so no driver object can scale with vocabulary (or corpus)
+    size. Results stay identical to the broadcast-bitset reference."""
+    import inspect
+
+    import ray as ray_mod
+
+    from lucene_solr_old_ray.stages import dedup as D
+
+    put_calls = []
+    real_put = ray_mod.put
+
+    def spy_put(obj, *a, **k):
+        # flag only DIRECT ray.put calls from dedup driver code (Ray Data
+        # internals also call put while executing dedup-built Datasets —
+        # those are per-block plumbing, not driver-held broadcasts)
+        caller = inspect.stack(0)[1].filename or ""
+        if "stages/dedup" in caller:
+            put_calls.append(type(obj).__name__)
+        return real_put(obj, *a, **k)
+
+    monkeypatch.setattr(ray_mod, "put", spy_put)
+    inv = D.jaccard_pairs_inverted(SF, threshold=0.95).to_pandas()
+    lsh = D.minhash_lsh_pairs(SF, threshold=0.95).to_pandas()
+    assert put_calls == []
+    monkeypatch.undo()
+    ref = jaccard_pairs(SF, threshold=0.95).to_pandas()
+    assert inv[["doc_a", "doc_b"]].values.tolist() == \
+        ref[["doc_a", "doc_b"]].values.tolist()
+    assert lsh[["doc_a", "doc_b"]].values.tolist() == \
+        ref[["doc_a", "doc_b"]].values.tolist()
+    np.testing.assert_allclose(inv["jaccard"], ref["jaccard"], rtol=0, atol=0)

@@ -65,6 +65,56 @@ def test_walk_is_sublinear_on_big_dict():
     assert visited < len(terms) // 100, visited
 
 
+def _osa(a: str, b: str) -> int:
+    """Reference optimal-string-alignment Damerau (adjacent swap = 1 edit)."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            c = a[i - 1] != b[j - 1]
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + c)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_transpositions_batch_matches_osa_reference():
+    rng = np.random.default_rng(11)
+    words = ["".join(rng.choice(list("abc"), size=rng.integers(0, 7)))
+             for _ in range(400)]
+    for q in ["abc", "ba", "", "cab", "abca"]:
+        got = fuzzy_distances_batch(words, q, transpositions=True)
+        assert [int(x) for x in got] == [_osa(w, q) for w in words], q
+        # plain Levenshtein never undercounts OSA
+        plain = fuzzy_distances_batch(words, q)
+        assert (plain >= got).all()
+
+
+def test_walk_transpositions_matches_batch():
+    rng = np.random.default_rng(13)
+    vocab = {"".join(rng.choice(list("abcd"), size=rng.integers(1, 7)))
+             for _ in range(2000)}
+    vocab |= {"ab", "ba", "abdc", "acbd"}
+    leaf = FakeLeaf(vocab)
+    strs = [leaf.term_str(i) for i in range(leaf.nterms)]
+    for q in ["abcd", "badc", "dcba"]:
+        for k in (1, 2):
+            got, _ = fuzzy_automaton_walk(leaf, q, k, transpositions=True)
+            d = fuzzy_distances_batch(strs, q, transpositions=True)
+            exp = {s: int(x) for s, x in zip(strs, d) if x <= k}
+            assert got == exp, (q, k)
+    # the canonical divergence: swap is 1 edit under OSA, 2 under plain
+    got_t, _ = fuzzy_automaton_walk(leaf, "ab", 1, transpositions=True)
+    got_p, _ = fuzzy_automaton_walk(leaf, "ab", 1)
+    assert got_t["ba"] == 1 and got_p.get("ba", 99) != 1
+
+
 def test_expand_fuzzy_dispatches_to_walk(monkeypatch):
     leaf = FakeLeaf(["spark", "spork", "sparkle", "stark", "merge"])
     monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", 1)

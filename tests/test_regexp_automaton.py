@@ -96,6 +96,18 @@ def test_expand_regexp_dispatches_to_walk(monkeypatch):
     assert (S._expand_regexp(leaf, "s~(park)")
             == [leaf.lookup("s42"), leaf.lookup("spork"),
                 leaf.lookup("stark")])
-    # unsafe-for-walk pattern (backslash) still answers via re
-    assert S._expand_regexp(leaf, r"sp\w+") == [leaf.lookup("spark"),
-                                                leaf.lookup("spork")]
+    # Lucene escape semantics: \w is a LITERAL 'w' (not the re word class),
+    # on both the walk and the scan path
+    leaf2 = FakeLeaf(["spark", "spork", "spw", "spww", "s^x", "sd1"])
+    for mt in (1, 10**9):
+        monkeypatch.setattr(S, "_FUZZY_AUTOMATON_MIN_TERMS", mt)
+        assert S._expand_regexp(leaf2, r"sp\w+") == [
+            leaf2.lookup("spw"), leaf2.lookup("spww")], mt
+        # ^ and $ are plain characters in Lucene RegExp
+        assert S._expand_regexp(leaf2, r"s^x") == [leaf2.lookup("s^x")], mt
+
+
+def test_trailing_backslash_is_value_error():
+    for pat in ["abc\\", "[a\\", "a(b\\"]:
+        with pytest.raises(ValueError):
+            compile_regexp.__wrapped__(pat)  # bypass the lru_cache
