@@ -19,9 +19,12 @@ pruning information WFST arcs carry, in columnar form:
   one ``map_batches`` (per-batch pandas combine), a bounded coarse-bucket
   groupby sums weights across segments (the index's own term sort makes
   within-segment terms unique), and ``Dataset.sort("term")`` range-
-  partitions the vocabulary; sorted blocks are written as numbered parquet
-  files + a JSON manifest. Nothing vocabulary-sized ever sits on the
-  driver.
+  partitions the vocabulary; the range partitions are then written BY THE
+  WORKERS (``Dataset.write_parquet``, bounded rows per file) and the
+  driver's only pass is over the written files' FOOTERS (first/last term
+  per file -> the JSON range manifest). Nothing vocabulary-sized ever sits
+  on the driver, and write throughput scales with the cluster instead of
+  a single driver writer loop.
 - ``Suggester.lookup(prefix, k)``: the manifest narrows to the file(s)
   whose term range intersects the prefix interval; within a file the
   byte-packed dict bisects to [s, e) and blocks are visited in
@@ -76,96 +79,80 @@ def build_suggester(
         out_dir = os.path.join(index_dir,
                                "suggest" + (f"-{field}" if field else ""))
     tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
 
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch["term"].cast(pa.string()),
+                         "weight": batch["weight"].cast(pa.int64())})
+
     if len(files) == 1:
-        # one (merged) segment: its dict is already term-sorted and unique —
-        # no shuffle needed, stream the file straight into range partitions
-        t = pq.read_table(files[0], columns=["term", weight_col])
-        term = t["term"].cast(pa.string())
-        tbl = pa.table({"term": term,
-                        "weight": t[weight_col].cast(pa.int64())})
-        manifest_files = []
-        fi = 0
-        for lo in range(0, tbl.num_rows, target_rows_per_file):
-            part = tbl.slice(lo, target_rows_per_file)
-            name = f"suggest-{fi:05d}.parquet"
-            pq.write_table(part, os.path.join(tmp, name), compression="zstd")
-            manifest_files.append({
-                "file": name, "rows": part.num_rows,
-                "first": part["term"][0].as_py(),
-                "last": part["term"][-1].as_py(),
-            })
-            fi += 1
-        with open(os.path.join(tmp, "manifest.json"), "w") as f:
-            json.dump({"files": manifest_files, "weight": weight_col}, f)
-        if os.path.exists(out_dir):
-            import shutil
+        # one (merged) segment: its dict is already term-sorted, unique and
+        # row-group-partitioned — no shuffle needed, every read block is a
+        # disjoint sorted range already
 
-            shutil.rmtree(out_dir)
-        os.replace(tmp, out_dir)
-        return out_dir
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({"term": batch["term"].cast(pa.string()),
+                             "weight": batch[weight_col].cast(pa.int64())})
 
-    def combine(batch: pa.Table) -> pd.DataFrame:
-        # per-batch combiner: one row per term with its bucket key
-        t = batch["term"].to_pandas()
-        t = t.map(lambda b: b.decode("utf-8") if isinstance(b, bytes) else b)
-        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = pd.DataFrame({"term": t, "weight": w}).groupby(
-            "term", as_index=False).agg(weight=("weight", "sum"))
-        h = pd.util.hash_array(g["term"].to_numpy(dtype=object))
-        g["bucket"] = (h % _N_BUCKETS).astype(np.int64)
-        return g
+        sorted_ds = ray.data.read_parquet(
+            files[0], columns=["term", weight_col]
+        ).map_batches(rename, batch_format="pyarrow")
+    else:
+        def combine(batch: pa.Table) -> pd.DataFrame:
+            # per-batch combiner: one row per term with its bucket key
+            t = batch["term"].to_pandas()
+            t = t.map(lambda b: b.decode("utf-8")
+                      if isinstance(b, bytes) else b)
+            w = batch[weight_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            g = pd.DataFrame({"term": t, "weight": w}).groupby(
+                "term", as_index=False).agg(weight=("weight", "sum"))
+            h = pd.util.hash_array(g["term"].to_numpy(dtype=object))
+            g["bucket"] = (h % _N_BUCKETS).astype(np.int64)
+            return g
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("term", as_index=False).agg(weight=("weight", "sum"))
-        return out
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("term", as_index=False).agg(
+                weight=("weight", "sum"))
 
-    ds = (
-        ray.data.read_parquet(files, columns=["term", weight_col])
-        .map_batches(combine, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(merge_bucket, batch_format="pandas")
-        .sort("term")
-    )
+        sorted_ds = (
+            ray.data.read_parquet(files, columns=["term", weight_col])
+            .map_batches(combine, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(merge_bucket, batch_format="pandas")
+            .sort("term")
+            .map_batches(cast_cols, batch_format="pyarrow")
+        )
 
-    # stream the range-partitioned vocabulary to numbered files; the sort
-    # guarantees iter_batches yields term-ascending, non-overlapping runs
+    # workers write the range partitions (terms are globally unique, so
+    # block ranges are disjoint whatever the write order); rows per file
+    # bounded so lookup loads stay partition-sized
+    sorted_ds.write_parquet(tmp, max_rows_per_file=target_rows_per_file,
+                            compression="zstd")
+
+    # driver pass over FOOTERS only: first/last term per file (first and
+    # last row group — never the vocabulary)
     manifest_files = []
-    buf: list[pa.Table] = []
-    nbuf = 0
-    fi = 0
-
-    def flush():
-        nonlocal buf, nbuf, fi
-        if not nbuf:
-            return
-        t = pa.concat_tables(buf)
-        name = f"suggest-{fi:05d}.parquet"
-        pq.write_table(t, os.path.join(tmp, name), compression="zstd")
-        terms = t["term"]
-        manifest_files.append({
-            "file": name, "rows": t.num_rows,
-            "first": terms[0].as_py(), "last": terms[-1].as_py(),
-        })
-        buf, nbuf, fi = [], 0, fi + 1
-
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        b = pa.table({"term": b["term"].cast(pa.string()),
-                      "weight": b["weight"].cast(pa.int64())})
-        while b.num_rows:
-            take = min(b.num_rows, target_rows_per_file - nbuf)
-            buf.append(b.slice(0, take))
-            nbuf += take
-            b = b.slice(take)
-            if nbuf >= target_rows_per_file:
-                flush()
-    flush()
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(tmp, name))
+        nrows = pf.metadata.num_rows
+        if nrows == 0:
+            os.remove(os.path.join(tmp, name))
+            continue
+        first = pf.read_row_group(0, columns=["term"])["term"][0].as_py()
+        lastg = pf.read_row_group(pf.metadata.num_row_groups - 1,
+                                  columns=["term"])["term"]
+        manifest_files.append({"file": name, "rows": nrows,
+                               "first": first, "last": lastg[-1].as_py()})
+    manifest_files.sort(key=lambda f: (f["first"], f["last"]))
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump({"files": manifest_files, "weight": weight_col}, f)
     if os.path.exists(out_dir):
-        import shutil
-
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
     return out_dir

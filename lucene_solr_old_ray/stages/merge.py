@@ -40,7 +40,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.codec import shift_blob, shift_segment_blob
+from ..functions.codec import shift_segment_blob
 from ..state import docvalues as dv
 from ..state import manifest as mf
 from ..state.fields import fprefix, list_extra_fields
@@ -64,10 +64,51 @@ def _read_seg_field(index_dir: str, seg: dict, prefix: str):
     return seg, t, blob_all, pos_all, pay_all
 
 
-def _kway_merge(per_seg) -> tuple[list[str], list[int], list[int],
-                                  list[bytes], list[bytes] | None]:
-    """K-way merge of already-sorted per-segment term lists (one argsort);
-    blobs are docBase-relocated then concatenated in seg_ord order."""
+def _gather_groups(bufs, src, offs, lens, order, gstarts):
+    """Assemble the merged byte stream: slices ``(bufs[src[i]], offs[i],
+    lens[i])`` concatenated in ``order``, grouped at ``gstarts`` (run starts
+    into the ordered sequence) -> (big bytes, per-group offsets, per-group
+    lens). One fancy-indexed gather per bounded chunk — no per-term Python
+    work, no per-term bytes objects."""
+    base = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=base[1:])
+    so = np.asarray(offs, dtype=np.int64)[order] + base[:-1][src[order]]
+    L = np.asarray(lens, dtype=np.int64)[order]
+    out_starts = np.zeros(len(L) + 1, dtype=np.int64)
+    np.cumsum(L, out=out_starts[1:])
+    total = int(out_starts[-1])
+    g_offs = out_starts[gstarts]
+    g_lens = (np.add.reduceat(L, gstarts) if len(L)
+              else np.empty(0, dtype=np.int64))
+    if total == 0:
+        return b"", g_offs, g_lens
+    big_src = np.concatenate(
+        [np.frombuffer(b, dtype=np.uint8) for b in bufs])
+    out = np.empty(total, dtype=np.uint8)
+    CH = 1 << 24  # bound the transient index array to ~128 MB
+    n = len(L)
+    lo = 0
+    while lo < n:
+        hi = lo
+        acc = 0
+        while hi < n and (acc == 0 or acc + L[hi] <= CH):
+            acc += int(L[hi])
+            hi += 1
+        idx = (np.repeat(so[lo:hi] - out_starts[lo:hi], L[lo:hi])
+               + np.arange(out_starts[lo], out_starts[hi], dtype=np.int64))
+        out[out_starts[lo]: out_starts[hi]] = big_src[idx]
+        lo = hi
+    return out.tobytes(), g_offs, g_lens
+
+
+def _kway_merge(per_seg):
+    """K-way merge of already-sorted per-segment term lists — fully
+    vectorized: one lexsort, run-length term grouping, docBase relocation
+    via one ``shift_segment_blob`` level-walk per SEGMENT (byte-identical
+    to per-term ``shift_blob``), blob assembly as chunked byte gathers and
+    df/ttf folds via ``add.reduceat``. Returns ``(terms, dfs, ttfs,
+    packed, pos_packed | None, pay_packed | None)`` where each packed lane
+    is ``(big_bytes, offsets, lens)`` ready to write as one stream."""
     all_terms = np.concatenate([np.asarray(t["term"].to_pylist(), dtype=object)
                                 for _, t, *_ in per_seg])
     all_ord = np.concatenate([np.full(len(t), s["seg_ord"], dtype=np.int32)
@@ -87,59 +128,64 @@ def _kway_merge(per_seg) -> tuple[list[str], list[int], list[int],
     src = np.concatenate([np.full(len(t), i, dtype=np.int32)
                           for i, (_, t, *_) in enumerate(per_seg)])
     order = np.lexsort((all_ord, all_terms))
+    if len(order) == 0:
+        z = np.empty(0, dtype=np.int64)
+        empty = (b"", z, z)
+        return [], z, z, empty, (empty if has_pos else None), \
+            (empty if has_pay else None)
 
-    terms: list[str] = []
-    dfs: list[int] = []
-    ttfs: list[int] = []
-    blobs: list[bytes] = []
-    pos_blobs: list[bytes] = []
-    pay_blobs: list[bytes] = []
-    prev = None
-    for idx in order:
-        term = all_terms[idx]
-        seg, _, blob_all, pos_all, pay_all = per_seg[src[idx]]
-        piece = shift_blob(
-            blob_all[all_off[idx] : all_off[idx] + all_len[idx]], seg["doc_offset"]
-        )
-        ppiece = (pos_all[all_poff[idx] : all_poff[idx] + all_plen[idx]]
-                  if has_pos else b"")
-        ypiece = (pay_all[all_yoff[idx] : all_yoff[idx] + all_ylen[idx]]
-                  if has_pay else b"")
-        if term == prev:
-            blobs[-1] = blobs[-1] + piece
-            dfs[-1] += int(all_df[idx])
-            ttfs[-1] += int(all_ttf[idx])
-            if has_pos:
-                pos_blobs[-1] = pos_blobs[-1] + ppiece
-            if has_pay:
-                pay_blobs[-1] = pay_blobs[-1] + ypiece
-        else:
-            terms.append(term)
-            dfs.append(int(all_df[idx]))
-            ttfs.append(int(all_ttf[idx]))
-            blobs.append(piece)
-            if has_pos:
-                pos_blobs.append(ppiece)
-            if has_pay:
-                pay_blobs.append(ypiece)
-            prev = term
-    return terms, dfs, ttfs, blobs, (pos_blobs if has_pos else None), \
-        (pay_blobs if has_pay else None)
+    st = all_terms[order]
+    new = np.ones(len(st), dtype=bool)
+    new[1:] = st[1:] != st[:-1]
+    gstarts = np.flatnonzero(new)
+    terms = list(st[gstarts])
+    dfs = np.add.reduceat(all_df[order].astype(np.int64), gstarts)
+    ttfs = np.add.reduceat(all_ttf[order].astype(np.int64), gstarts)
+
+    shifted = [
+        shift_segment_blob(blob_all, t["off"].to_numpy(),
+                           t["len"].to_numpy(), s["doc_offset"])
+        for s, t, blob_all, _pos, _pay in per_seg
+    ]
+    packed = _gather_groups(shifted, src, all_off, all_len, order, gstarts)
+    pos_packed = (_gather_groups([p[3] for p in per_seg], src,
+                                 all_poff, all_plen, order, gstarts)
+                  if has_pos else None)
+    pay_packed = (_gather_groups([p[4] for p in per_seg], src,
+                                 all_yoff, all_ylen, order, gstarts)
+                  if has_pay else None)
+    return terms, dfs, ttfs, packed, pos_packed, pay_packed
+
+
+def _write_lane(path: str, blobs) -> tuple[np.ndarray, np.ndarray, int]:
+    """Write one byte lane; ``blobs`` is either a list of per-term bytes or
+    a packed ``(big_bytes, offs, lens)`` tuple (one write, no per-term
+    loop). Returns (offsets, lens, total_bytes)."""
+    if isinstance(blobs, tuple):
+        big, offs, lens = blobs
+        with open(path, "wb") as f:
+            f.write(big)
+        return (np.asarray(offs, dtype=np.int64),
+                np.asarray(lens, dtype=np.int64), len(big))
+    offs = np.zeros(len(blobs), dtype=np.int64)
+    lens = np.zeros(len(blobs), dtype=np.int64)
+    pos = 0
+    with open(path, "wb") as f:
+        for i, b in enumerate(blobs):
+            f.write(b)
+            offs[i] = pos
+            lens[i] = len(b)
+            pos += len(b)
+    return offs, lens, pos
 
 
 def _write_field_files(tmp: str, prefix: str, terms, dfs, ttfs, blobs,
                        pos_blobs, pay_blobs=None) -> int:
     """Write one field's terms/postings(/positions/payloads) under ``tmp``;
-    returns postings byte count."""
-    offs = np.zeros(len(terms), dtype=np.int64)
-    lens_b = np.zeros(len(terms), dtype=np.int64)
-    pos = 0
-    with open(os.path.join(tmp, prefix + "postings.bin"), "wb") as f:
-        for i, b in enumerate(blobs):
-            f.write(b)
-            offs[i] = pos
-            lens_b[i] = len(b)
-            pos += len(b)
+    returns postings byte count. Each lane accepts a per-term bytes list or
+    a packed ``(big, offs, lens)`` stream (see :func:`_kway_merge`)."""
+    offs, lens_b, pos = _write_lane(
+        os.path.join(tmp, prefix + "postings.bin"), blobs)
     tcols = {
         "term": pa.array(terms, pa.string()),
         "df": pa.array(np.asarray(dfs, dtype=np.int64)),
@@ -148,27 +194,13 @@ def _write_field_files(tmp: str, prefix: str, terms, dfs, ttfs, blobs,
         "len": lens_b,
     }
     if pos_blobs is not None:
-        pos_offs = np.zeros(len(terms), dtype=np.int64)
-        pos_lens = np.zeros(len(terms), dtype=np.int64)
-        ppos = 0
-        with open(os.path.join(tmp, prefix + "positions.bin"), "wb") as f:
-            for i, b in enumerate(pos_blobs):
-                f.write(b)
-                pos_offs[i] = ppos
-                pos_lens[i] = len(b)
-                ppos += len(b)
+        pos_offs, pos_lens, _ = _write_lane(
+            os.path.join(tmp, prefix + "positions.bin"), pos_blobs)
         tcols["pos_off"] = pos_offs
         tcols["pos_len"] = pos_lens
     if pay_blobs is not None:
-        pay_offs = np.zeros(len(terms), dtype=np.int64)
-        pay_lens = np.zeros(len(terms), dtype=np.int64)
-        ypos = 0
-        with open(os.path.join(tmp, prefix + "payloads.bin"), "wb") as f:
-            for i, b in enumerate(pay_blobs):
-                f.write(b)
-                pay_offs[i] = ypos
-                pay_lens[i] = len(b)
-                ypos += len(b)
+        pay_offs, pay_lens, _ = _write_lane(
+            os.path.join(tmp, prefix + "payloads.bin"), pay_blobs)
         tcols["pay_off"] = pay_offs
         tcols["pay_len"] = pay_lens
     pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
@@ -307,9 +339,9 @@ def write_shard_files(
     terms: list[str],
     dfs: np.ndarray,
     ttfs: np.ndarray,
-    blobs: list[bytes],
-    pos_blobs: list[bytes] | None = None,
-    pay_blobs: list[bytes] | None = None,
+    blobs: list[bytes] | tuple,
+    pos_blobs: list[bytes] | tuple | None = None,
+    pay_blobs: list[bytes] | tuple | None = None,
 ) -> dict:
     """Write a merged shard directory (same layout as a segment) atomically.
     Norms and docmap are concatenations of the input segments' in seg_ord
