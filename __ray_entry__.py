@@ -14,8 +14,12 @@ registered entries (observed rounds 1-2: 52 registered -> exactly positions
 1-50 recorded, 51-52 silently dropped). queries() therefore registers exactly
 50, ordered oracle-backed first; operators whose entries were consolidated
 away to stay under the cap (open-bound NumericRange, classic TermQuery,
-constant-score AND, highlighter, simhash_pairs, LSH ANN) remain fully
-pytest-covered (tests/test_{numeric_mlt,advanced,highlight,extras}.py) and
+constant-score AND, highlighter, simhash_pairs, LSH ANN; round 4 swaps:
+bm25_searchafter_page2 -> html_strip_phrase_top10, bm25_boosted_top10 ->
+wdf_bm25_top10, prefix_hits -> facet_range_counts, wildcard_hits ->
+sort_multi_page2, fuzzy_hits -> block_join_top10, span_near_unordered_hits
+-> join_scored_top10) remain fully pytest-covered
+(tests/test_{numeric_mlt,advanced,highlight,extras,search,spans}.py) and
 their SQL generators remain in sqlgen.py.
 
 Indexes are built (resumably) under /tmp/lsor_cache/<sf-tag>/ on first use and
@@ -148,6 +152,104 @@ def _index_for_payload(sf_dir: str) -> str:
     return idx
 
 
+def _index_for_html(sf_dir: str) -> str:
+    """Cached index over the derived HTML corpus: each doc's text is
+    wrapped in an HTML page (head with script+style whose content must be
+    stripped), every 6th token in a block element, every 9th in an inline
+    element, and an ``&amp;`` entity after every 10th token — all of which
+    the ``html_strip`` chain must strip WITHOUT disturbing the token
+    stream or positions (the oracle is the plain corpus)."""
+    tag = sf_dir.strip("/").replace("/", "_") + "-html"
+    idx = os.path.join(_CACHE_ROOT, tag)
+    done = os.path.join(idx, ".complete")
+    if os.path.exists(done):
+        return idx
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for t in src["text"]:
+        toks = (t or "").split()
+        out = []
+        for i, w in enumerate(toks):
+            if i % 9 == 4:
+                out.append(f"<b> {w} </b>")
+            elif i % 6 == 1:
+                out.append(f"<p>{w}</p>")
+            elif i % 10 == 7:
+                out.append(f"{w} &amp;")
+            else:
+                out.append(w)
+        rows.append(
+            '<html><head><script type="text/javascript">var skipme = 1;'
+            "</script><style>p { color: red; }</style></head>"
+            '<body class="doc">' + " ".join(out) + "</body></html>")
+    os.makedirs("/tmp/lsor_html", exist_ok=True)
+    path = f"/tmp/lsor_html/{tag}.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(src["doc_id"].to_numpy(), pa.int64()),
+        "htext": pa.array(rows, pa.string()),
+    }), path)
+    spec = CorpusSpec(files=(path,), content_col="htext",
+                      meta_cols=("doc_id",), analyzer="html_strip")
+    n = pq.ParquetFile(path).metadata.num_rows
+    build_index(spec, idx, target_docs_per_partition=max(64, n // 16))
+    merge_index(idx, fan_in=8, strategy="local")
+    with open(done, "w") as f:
+        f.write("ok")
+    return idx
+
+
+def _index_for_wdf(sf_dir: str) -> str:
+    """Cached index over the derived WordDelimiter corpus: token i of doc d
+    is decorated by the FIRST matching rule — i%7==3 appends "42" (the one
+    visible decoration: WDF splits it into [token, '42']), i%13==7 appends
+    "'s" (possessive stripped), i%5==2 wraps in parens (bounds trimmed),
+    i%11==5 accents 'a'->'á' (ASCII-folded back), i%3==0 capitalizes
+    (lowercased; UPPER->lower never splits) — indexed through the
+    ``word_delimiter`` chain (whitespace -> WDF -> ASCIIFold -> lower ->
+    stop). The oracle is the plain corpus stream + '42' insertions
+    (sqlgen.wdf_toks_sql)."""
+    tag = sf_dir.strip("/").replace("/", "_") + "-wdf"
+    idx = os.path.join(_CACHE_ROOT, tag)
+    done = os.path.join(idx, ".complete")
+    if os.path.exists(done):
+        return idx
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for t in src["text"]:
+        toks = (t or "").split()
+        out = []
+        for i, w in enumerate(toks):
+            if i % 7 == 3:
+                out.append(w + "42")
+            elif i % 13 == 7:
+                out.append(w + "'s")
+            elif i % 5 == 2:
+                out.append("(" + w + ")")
+            elif i % 11 == 5:
+                out.append(w.replace("a", "á"))
+            elif i % 3 == 0:
+                out.append(w.capitalize())
+            else:
+                out.append(w)
+        rows.append(" ".join(out))
+    os.makedirs("/tmp/lsor_wdf", exist_ok=True)
+    path = f"/tmp/lsor_wdf/{tag}.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(src["doc_id"].to_numpy(), pa.int64()),
+        "wtext": pa.array(rows, pa.string()),
+    }), path)
+    spec = CorpusSpec(files=(path,), content_col="wtext",
+                      meta_cols=("doc_id",), analyzer="word_delimiter")
+    n = pq.ParquetFile(path).metadata.num_rows
+    build_index(spec, idx, target_docs_per_partition=max(64, n // 16))
+    merge_index(idx, fan_in=8, strategy="local")
+    with open(done, "w") as f:
+        f.write("ok")
+    return idx
+
+
 def _docid_to_doc_id(idx: str, table: pa.Table) -> pa.Table:
     """Map engine global docIDs to the corpus doc_id column via the docmap."""
     if table.num_rows == 0:
@@ -259,20 +361,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                    min_should_match=2))
     q["bm25_top10_not"] = lambda sf: _bm25_result(
         _index_for(sf), bool_query(musts=["spark"], must_nots=["slow"]))
-    q["bm25_searchafter_page2"] = lambda sf: _bm25_result(
-        _index_for(sf), TermQuery("table"), k=10, offset=10)
     q["bm25_dismax_top10"] = lambda sf: _bm25_result(
         _index_for(sf),
         DisjunctionMaxQuery((TermQuery("spark"), TermQuery("window")), 0.3))
 
     from lucene_solr_old_ray.queries import BooleanClause, BooleanQuery
 
-    q["bm25_boosted_top10"] = lambda sf: _bm25_result(
-        _index_for(sf),
-        BooleanQuery((
-            BooleanClause("SHOULD", TermQuery("spark", boost=2.5)),
-            BooleanClause("SHOULD", TermQuery("window", boost=0.5)),
-        )))
+    # --- char-filter / token-filter chains ---------------------------------
+    # html_strip: phrase positions must survive the char filter untouched
+    from lucene_solr_old_ray.queries import PhraseQuery as _PQ
+
+    q["html_strip_phrase_top10"] = lambda sf: _bm25_result(
+        _index_for_html(sf), _PQ(("spark", "window")))
+    # word_delimiter chain over the decorated corpus (WDF+ASCIIFold+lower)
+    q["wdf_bm25_top10"] = lambda sf: _bm25_result(
+        _index_for_wdf(sf), TermQuery("dup"))
 
     # --- multi-field: the `source` column is a second indexed field --------
     q["bm25_field_source_top10"] = lambda sf: _bm25_result(
@@ -533,8 +636,13 @@ def oracle_sql() -> dict[str, str]:
     sqls["bm25_top10_msm"] = g.bm25_sql(
         shoulds=["vector", "stream", "batch", "window"], min_should_match=2)
     sqls["bm25_top10_not"] = g.bm25_sql(musts=["spark"], must_nots=["slow"])
-    sqls["bm25_searchafter_page2"] = g.bm25_sql(musts=["table"], k=10, offset=10)
     sqls["bm25_dismax_top10"] = g.dismax_sql(["spark", "window"], 0.3)
+    # html_strip chain: stripping is invisible to the token stream AND the
+    # positions, so the oracle is the plain-corpus phrase query
+    sqls["html_strip_phrase_top10"] = g.phrase_sql(["spark", "window"])
+    # word_delimiter chain: original kept stream + '42' insertions
+    sqls["wdf_bm25_top10"] = g.bm25_sql(musts=["dup"],
+                                        toks_sql=g.wdf_toks_sql())
     sqls["mlt_top10"] = g.mlt_sql(7)
     sqls["numeric_range_hits"] = (
         "SELECT doc_id FROM documents WHERE n_chars BETWEEN 200 AND 400 "
@@ -568,8 +676,6 @@ ORDER BY doc_id"""
     sqls["fuzzy_scored_top10"] = g.fuzzy_scored_sql("spark", 2)
     sqls["bm25_field_source_top10"] = g.bm25_kw_field_sql("src3")
     sqls["bm25_cross_field_top10"] = g.bm25_cross_field_sql("spark", "src3")
-    sqls["bm25_boosted_top10"] = g.bm25_sql(
-        shoulds=["spark", "window"], boosts={"spark": 2.5, "window": 0.5})
     sqls["classic_top10_or"] = g.classic_bool_or_sql(["vector", "stream", "batch"])
     sqls["custom_score_top10"] = g.custom_score_sql("spark")
     sqls["prefix_hits"] = g.hits_sql(prefix="s")

@@ -906,6 +906,110 @@ def _analyze_ngram(
                          np.asarray(vocab, dtype=object), counts)
 
 
+def _analyze_word_delimiter(
+    texts, with_positions: bool, flags: int | None = None
+) -> AnalyzedBatch:
+    """Whitespace tokenizer -> WordDelimiterFilter -> ASCIIFoldingFilter ->
+    LowerCaseFilter -> StopFilter chain (the web/corpus-text workhorse).
+
+    Re-expresses (NOT ports) ``analysis/common/.../miscellaneous/
+    WordDelimiterFilter.java`` + ``ASCIIFoldingFilter.java`` as a batch
+    stage: WDF splitting and ASCII folding run once per UNIQUE raw token
+    (vocabulary-level, functions/worddelim.py), instances gather their
+    parts by code; positions advance on every non-injected part (injected
+    concatenations overlap, posIncr 0, excluded from the norm length) and
+    a pure-delimiter token leaves no position hole (the accumPosInc==1
+    quirk, ``WordDelimiterFilter.java:255-261``)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .worddelim import DEFAULT_FLAGS, ascii_fold, wdf_parts
+
+    if flags is None:
+        flags = DEFAULT_FLAGS
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                  else list(texts))
+    n_docs = len(texts_list)
+    toks = [(t.split() if t else []) for t in texts_list]
+    counts_raw = np.fromiter((len(x) for x in toks), count=n_docs,
+                             dtype=np.int64)
+    flat = [w for ts in toks for w in ts]
+    if not flat:
+        return AnalyzedBatch(np.empty(0, np.int32), np.empty(0, np.int32),
+                             np.empty(0, np.int64),
+                             np.asarray([], dtype=object),
+                             np.zeros(n_docs, np.int32))
+    raw_docs = np.repeat(np.arange(n_docs, dtype=np.int32), counts_raw)
+    codes_raw, uniq_raw = pd.factorize(np.asarray(flat, dtype=object),
+                                       sort=False)
+    part_terms: list[np.ndarray] = []
+    part_inject: list[np.ndarray] = []
+    for u in uniq_raw:
+        p = wdf_parts(u, flags)
+        if p is None:  # passthrough (no delimiters)
+            part_terms.append(
+                np.asarray([ascii_fold(u).lower()], dtype=object))
+            part_inject.append(np.zeros(1, dtype=bool))
+        elif not p:    # pure delimiters: dropped, no position hole
+            part_terms.append(np.empty(0, dtype=object))
+            part_inject.append(np.empty(0, dtype=bool))
+        else:
+            part_terms.append(np.asarray(
+                [ascii_fold(t).lower() for t, *_ in p], dtype=object))
+            part_inject.append(np.asarray([p_[3] for p_ in p], dtype=bool))
+    pc_ = np.fromiter((len(x) for x in part_terms), count=len(uniq_raw),
+                      dtype=np.int64)
+    poff = np.zeros(len(uniq_raw) + 1, dtype=np.int64)
+    np.cumsum(pc_, out=poff[1:])
+    flat_terms = (np.concatenate(part_terms) if poff[-1]
+                  else np.empty(0, dtype=object))
+    flat_inject = (np.concatenate(part_inject) if poff[-1]
+                   else np.empty(0, dtype=bool))
+    ic = pc_[codes_raw]
+    tot = int(ic.sum())
+    if tot == 0:
+        return AnalyzedBatch(np.empty(0, np.int32), np.empty(0, np.int32),
+                             np.empty(0, np.int64),
+                             np.asarray([], dtype=object),
+                             np.zeros(n_docs, np.int32))
+    doc_ids = np.repeat(raw_docs, ic)
+    starts = np.zeros(len(ic) + 1, dtype=np.int64)
+    np.cumsum(ic, out=starts[1:])
+    pos_in_inst = np.arange(tot, dtype=np.int64) - np.repeat(starts[:-1], ic)
+    idx = np.repeat(poff[:-1][codes_raw], ic) + pos_in_inst
+    inst_terms = flat_terms[idx]
+    inject = flat_inject[idx]
+    if with_positions:
+        adv = (~inject).astype(np.int64)
+        cs = np.cumsum(adv)
+        newdoc = np.ones(tot, dtype=bool)
+        newdoc[1:] = doc_ids[1:] != doc_ids[:-1]
+        dstarts = np.flatnonzero(newdoc)
+        run = np.cumsum(newdoc) - 1
+        before = np.where(dstarts > 0, cs[np.maximum(dstarts - 1, 0)], 0)
+        positions = np.maximum(cs - 1 - before[run], 0).astype(np.int32)
+    else:
+        positions = np.empty(0, dtype=np.int32)
+    codes, uniques = pd.factorize(inst_terms, sort=False)
+    uniques = np.asarray(uniques, dtype=object)
+    uniq_keep = np.fromiter(
+        (len(u) <= MAX_TOKEN_LENGTH and u not in ENGLISH_STOP_WORDS
+         for u in uniques), dtype=bool, count=len(uniques))
+    keep = uniq_keep[codes]
+    if with_positions:
+        positions = positions[keep]
+    codes, doc_ids, inject = codes[keep], doc_ids[keep], inject[keep]
+    remap = np.cumsum(uniq_keep) - 1
+    codes = remap[codes].astype(np.int64)
+    uniques = uniques[uniq_keep]
+    fl = (np.bincount(doc_ids[~inject], minlength=n_docs).astype(np.int32)
+          if len(doc_ids) else np.zeros(n_docs, dtype=np.int32))
+    return AnalyzedBatch(doc_ids.astype(np.int32), positions, codes,
+                         uniques, fl)
+
+
 def analyze_batch(
     texts, with_positions: bool = False, analyzer: str = "standard",
     synonyms: dict[str, tuple[str, ...]] | None = None,
@@ -940,6 +1044,43 @@ def analyze_batch(
     n_docs = len(texts)
     cased = None
 
+    if analyzer.startswith("html_strip"):
+        # "html_strip" (-> standard chain) or "html_strip:<inner-analyzer>":
+        # HTMLStripCharFilter in front of any chain; token offsets are
+        # corrected back onto the ORIGINAL (pre-strip) text via the char
+        # filter's checkpoint map (correctOffset semantics)
+        from .charfilter import correct_offsets, html_strip
+
+        inner = analyzer.split(":", 1)[1] if ":" in analyzer else "standard"
+        texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                      else list(texts))
+        stripped: list[str] = []
+        maps: list[tuple[np.ndarray, np.ndarray]] = []
+        for t in texts_list:
+            s, op, df = html_strip(t or "")
+            stripped.append(s)
+            maps.append((op, df))
+        ab = analyze_batch(pa.array(stripped, pa.string()), with_positions,
+                           inner, synonyms, with_offsets)
+        if with_offsets and ab.start_offsets is not None and len(ab.doc_ids):
+            s_off = ab.start_offsets.astype(np.int64)
+            e_off = ab.end_offsets.astype(np.int64)
+            d = ab.doc_ids
+            for di, (op, df) in enumerate(maps):
+                if len(op) == 0:
+                    continue  # doc had no HTML: offsets already correct
+                m = d == di
+                if m.any():
+                    s_off[m] = correct_offsets(s_off[m], op, df)
+                    e_off[m] = correct_offsets(e_off[m], op, df)
+            ab.start_offsets = s_off.astype(np.int32)
+            ab.end_offsets = e_off.astype(np.int32)
+        return ab
+    if analyzer.startswith("word_delimiter"):
+        # "word_delimiter" (factory-default flags) or
+        # "word_delimiter:<flags-int>" (WordDelimiterFilter flag bitmask)
+        fl = int(analyzer.split(":", 1)[1]) if ":" in analyzer else None
+        return _analyze_word_delimiter(texts, with_positions, fl)
     if analyzer.startswith("ngram") or analyzer.startswith("edge_ngram"):
         # "ngram[:min[:max]]" (defaults 1:2, NGramTokenizer.java:60-61) or
         # "edge_ngram[:min[:max]]" (grams anchored at offset 0)

@@ -1,0 +1,183 @@
+"""Char filters: HTML strip + mapping normalization with offset correction.
+
+Re-expresses (NOT ports):
+
+- ``lucene/analysis/common/src/java/org/apache/lucene/analysis/charfilter/
+  HTMLStripCharFilter.jflex`` (the generated ``HTMLStripCharFilter.java`` is
+  a JFlex scanner; this is a regex-scanner re-expression of its rules):
+  inline-element tags (a, b, i, span, ...) are removed with zero output;
+  every other element's start/end tag (and ``<br>``) becomes ``'\n'``
+  (``BLOCK_LEVEL_*_TAG_REPLACEMENT``); whole ``<script>``/``<style>``
+  elements collapse to ``'\n'``; comments, doctypes and processing
+  instructions are removed; character entities (the HTML-4 named set plus
+  uppercase variants of AMP/GT/LT/QUOT/COPY/REG, ``&nbsp;`` -> regular
+  space, decimal ``&#nn;`` / hex ``&#xhh;``) decode to their character,
+  with out-of-range numeric references becoming U+FFFD. Bare ``<`` / ``&``
+  that parse as neither tag nor entity pass through.
+- ``charfilter/MappingCharFilter.java`` + ``NormalizeCharMap.java``:
+  greedy longest-match string rewrites.
+- ``charfilter/BaseCharFilter.java:36-77`` offset correction: a list of
+  (output offset, cumulative input-output diff) checkpoints;
+  ``correctOffset(o) = o + diff`` of the last checkpoint at or before
+  ``o``. :func:`correct_offsets` is the vectorized equivalent.
+
+Filters return ``(filtered_text, checkpoints_out, checkpoints_diff)`` so a
+downstream tokenizer's offsets (over the FILTERED text) can be mapped back
+onto the ORIGINAL text — the invariant the term-vector offsets lane and the
+FastVectorHighlighter rely on.
+"""
+
+from __future__ import annotations
+
+import html.entities
+import re
+
+import numpy as np
+
+# HTML-4 named entity set (python's entitydefs IS that set), with the
+# reference's additions: apos, the uppercase variants it accepts, and
+# nbsp -> plain space (HTMLCharacterEntities.jflex:124)
+_ENTITIES: dict[str, str] = {k: v for k, v in html.entities.entitydefs.items()}
+_ENTITIES["apos"] = "'"
+for _name in ("quot", "copy", "gt", "lt", "reg", "amp"):
+    _ENTITIES[_name.upper()] = _ENTITIES[_name]
+_ENTITIES["nbsp"] = " "
+
+# inline elements (removed with zero output); everything else is
+# block-level (replaced by '\n') — HTMLStripCharFilter.jflex:114-140
+_INLINE = frozenset("""
+a abbr acronym b basefont bdo big cite code dfn em font i img input kbd
+label q s samp select small span strike strong sub sup textarea tt u var
+""".split())
+
+_Q = r'"[^"]*"|\'[^\']*\''
+_SCAN = re.compile(
+    r"(?P<comment><!--.*?(?:-->|$))"
+    r"|(?P<script><script(?:\s(?:" + _Q + r"|[^>\"'])*)?>.*?(?:</script\s*>|$))"
+    r"|(?P<style><style(?:\s(?:" + _Q + r"|[^>\"'])*)?>.*?(?:</style\s*>|$))"
+    r"|(?P<decl><![a-zA-Z][^>]*>)"
+    r"|(?P<pi><\?.*?(?:\?>|>|$))"
+    r"|(?P<tag></?(?P<tagname>[a-zA-Z][a-zA-Z0-9:._-]*)"
+    r"(?:\s(?:" + _Q + r"|[^>\"'])*)?\s*/?>)"
+    r"|(?P<entdec>&#(?P<dec>[0-9]+);)"
+    r"|(?P<enthex>&#[xX](?P<hex>[0-9a-fA-F]+);)"
+    r"|(?P<entname>&(?P<name>[a-zA-Z][a-zA-Z0-9]*);)",
+    re.DOTALL | re.IGNORECASE,
+)
+
+_NO_CORRECTIONS = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+
+
+def _numeric_entity(cp: int) -> str:
+    if 0 <= cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+        return chr(cp)
+    return "�"  # REPLACEMENT_CHARACTER (HTMLStripCharFilter.jflex:152)
+
+
+def html_strip(
+    text: str, escaped_tags: frozenset[str] = frozenset()
+) -> tuple[str, np.ndarray, np.ndarray]:
+    """Strip HTML from ``text`` -> (stripped, checkpoint_outpos,
+    checkpoint_diff). ``escaped_tags`` (lowercase names) pass through
+    unfiltered (the constructor's escapedTags set)."""
+    if "<" not in text and "&" not in text:
+        return text, *_NO_CORRECTIONS
+    out: list[str] = []
+    outpos: list[int] = []
+    diffs: list[int] = []
+    cum = 0
+    out_len = 0
+    pos = 0
+    for m in _SCAN.finditer(text):
+        s, e = m.span()
+        if m.lastgroup is None:
+            continue
+        g = m.lastgroup
+        if g == "tag":
+            name = m.group("tagname").lower()
+            if name in escaped_tags:
+                continue  # leave the tag in the output verbatim
+            rep = "" if name in _INLINE else "\n"
+        elif g in ("script", "style"):
+            name = g
+            if name in escaped_tags:
+                continue
+            rep = "\n"
+        elif g == "comment" or g == "decl" or g == "pi":
+            rep = ""
+        elif g == "entdec":
+            rep = _numeric_entity(int(m.group("dec")))
+        elif g == "enthex":
+            rep = _numeric_entity(int(m.group("hex"), 16))
+        else:  # entname
+            rep = _ENTITIES.get(m.group("name"))
+            if rep is None:
+                continue  # unknown entity: passes through verbatim
+        if s > pos:
+            out.append(text[pos:s])
+            out_len += s - pos
+        out.append(rep)
+        out_len += len(rep)
+        cum += (e - s) - len(rep)
+        outpos.append(out_len)
+        diffs.append(cum)
+        pos = e
+    if pos < len(text):
+        out.append(text[pos:])
+    return ("".join(out), np.asarray(outpos, dtype=np.int64),
+            np.asarray(diffs, dtype=np.int64))
+
+
+def build_mapping_scanner(mapping: dict[str, str]) -> re.Pattern:
+    """Compile a NormalizeCharMap into a longest-match scanner (alternation
+    ordered longest-first == greedy longest match at each position,
+    ``NormalizeCharMap.Builder.add`` semantics)."""
+    keys = sorted(mapping, key=len, reverse=True)
+    if not keys:
+        raise ValueError("empty mapping")
+    return re.compile("|".join(re.escape(k) for k in keys))
+
+
+def mapping_char_filter(
+    text: str, mapping: dict[str, str], scanner: re.Pattern | None = None
+) -> tuple[str, np.ndarray, np.ndarray]:
+    """Apply a NormalizeCharMap -> (mapped, checkpoint_outpos,
+    checkpoint_diff). Re-expresses ``MappingCharFilter.java:40-118``."""
+    if scanner is None:
+        scanner = build_mapping_scanner(mapping)
+    out: list[str] = []
+    outpos: list[int] = []
+    diffs: list[int] = []
+    cum = 0
+    out_len = 0
+    pos = 0
+    for m in scanner.finditer(text):
+        s, e = m.span()
+        rep = mapping[m.group(0)]
+        if s > pos:
+            out.append(text[pos:s])
+            out_len += s - pos
+        out.append(rep)
+        out_len += len(rep)
+        if (e - s) != len(rep):
+            cum += (e - s) - len(rep)
+            outpos.append(out_len)
+            diffs.append(cum)
+        pos = e
+    if pos < len(text):
+        out.append(text[pos:])
+    return ("".join(out), np.asarray(outpos, dtype=np.int64),
+            np.asarray(diffs, dtype=np.int64))
+
+
+def correct_offsets(offsets: np.ndarray, outpos: np.ndarray,
+                    diffs: np.ndarray) -> np.ndarray:
+    """Vectorized ``correctOffset``: map offsets in the FILTERED text back
+    to the original (``BaseCharFilter.correct``): each offset gets the
+    cumulative diff of the last checkpoint at or before it."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    if len(outpos) == 0 or len(offsets) == 0:
+        return offsets
+    idx = np.searchsorted(outpos, offsets, side="right") - 1
+    adj = np.where(idx >= 0, diffs[np.maximum(idx, 0)], 0)
+    return offsets + adj

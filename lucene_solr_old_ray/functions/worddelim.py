@@ -1,0 +1,300 @@
+"""WordDelimiterFilter + ASCIIFoldingFilter re-expressions (NOT ports).
+
+- ``lucene/analysis/common/src/java/org/apache/lucene/analysis/
+  miscellaneous/WordDelimiterIterator.java`` — subword iteration: char
+  types (UPPER/LOWER/DIGIT/ALPHA/SUBWORD_DELIM from Unicode categories,
+  ``getType`` at :255-320), break rules (``isBreak`` at :120-145: shared
+  type bits never break; UPPER->letter never breaks; case / numeric splits
+  gated by flags), bounds trimming of leading/trailing delimiters, and
+  English possessive ``'s`` stripping (``endsWithPossessive``).
+- ``miscellaneous/WordDelimiterFilter.java`` — emission: GENERATE_* parts,
+  CATENATE_* runs flushed on type change or at end (a 1-subword run whose
+  parts are generated is skipped, ``flushConcatenation:376-385``),
+  CATENATE_ALL written only when it differs from the last flushed run,
+  PRESERVE_ORIGINAL first, and the ``position()`` state machine (:449-470):
+  the first output of a word consumes the accumulated increment, later
+  parts get +1, injected concatenations get 0; a token of pure delimiters
+  emits nothing and (posInc==1 quirk) leaves no position hole.
+- ``miscellaneous/ASCIIFoldingFilter.java`` — fold accented/special Latin
+  to ASCII. Re-expressed as NFKD decomposition + combining-mark strip plus
+  an explicit table for the non-decomposable specials (AE/ae, D/d for
+  eth+stroke, O/o for slashed, TH/th, ss, OE/oe, L/l stroke, typographic
+  quotes/dashes/ellipsis) — the same outputs as the reference's switch for
+  the Latin-1/Extended-A/B + punctuation ranges its tests exercise.
+
+``wdf_parts`` is computed per UNIQUE raw token (vocabulary-level); the
+batch analyzer gathers per-instance parts by code — no per-instance Python.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+# char type bits (WordDelimiterFilter.java:96-113)
+LOWER = 0x01
+UPPER = 0x02
+DIGIT = 0x04
+ALPHA = LOWER | UPPER
+SUBWORD_DELIM = 0x08
+
+# flags (WordDelimiterFilter.java:66-153)
+GENERATE_WORD_PARTS = 1
+GENERATE_NUMBER_PARTS = 2
+CATENATE_WORDS = 4
+CATENATE_NUMBERS = 8
+CATENATE_ALL = 16
+PRESERVE_ORIGINAL = 32
+SPLIT_ON_CASE_CHANGE = 64
+SPLIT_ON_NUMERICS = 128
+STEM_ENGLISH_POSSESSIVE = 256
+
+# the Solr factory defaults (generate parts, split on case+numerics, stem
+# possessive; no catenation, no preserve)
+DEFAULT_FLAGS = (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS
+                 | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS
+                 | STEM_ENGLISH_POSSESSIVE)
+
+_DONE = -1
+
+_TYPE_CACHE: dict[str, int] = {}
+
+
+def char_type(ch: str) -> int:
+    """Unicode-category char type (WordDelimiterIterator.getType)."""
+    t = _TYPE_CACHE.get(ch)
+    if t is None:
+        cat = unicodedata.category(ch)
+        if cat == "Lu":
+            t = UPPER
+        elif cat == "Ll":
+            t = LOWER
+        elif cat in ("Lt", "Lm", "Lo", "Mn", "Me", "Mc"):
+            t = ALPHA
+        elif cat in ("Nd", "Nl", "No"):
+            t = DIGIT
+        elif cat == "Cs":
+            t = ALPHA | DIGIT
+        else:
+            t = SUBWORD_DELIM
+        _TYPE_CACHE[ch] = t
+    return t
+
+
+class _Iter:
+    """WordDelimiterIterator re-expression over one token string."""
+
+    def __init__(self, text: str, flags: int):
+        self.text = text
+        self.types = [char_type(c) for c in text]
+        self.split_case = bool(flags & SPLIT_ON_CASE_CHANGE)
+        self.split_num = bool(flags & SPLIT_ON_NUMERICS)
+        self.stem_poss = bool(flags & STEM_ENGLISH_POSSESSIVE)
+        n = len(text)
+        self.length = n
+        sb, eb = 0, n
+        while sb < n and self.types[sb] & SUBWORD_DELIM:
+            sb += 1
+        while eb > sb and self.types[eb - 1] & SUBWORD_DELIM:
+            eb -= 1
+        self.start_bounds, self.end_bounds = sb, eb
+        self.has_final_possessive = self._ends_with_possessive(eb)
+        self.current = sb
+        self.end = 0
+        self.skip_possessive = False
+
+    def _ends_with_possessive(self, pos: int) -> bool:
+        t = self.text
+        return (self.stem_poss and pos > 2
+                and t[pos - 2] == "'" and t[pos - 1] in "sS"
+                and (char_type(t[pos - 3]) & ALPHA) != 0
+                and (pos == self.end_bounds
+                     or (self.types[pos] & SUBWORD_DELIM) != 0))
+
+    def _is_break(self, last: int, cur: int) -> bool:
+        if (cur & last) != 0:
+            return False
+        if not self.split_case and (last & ALPHA) and (cur & ALPHA):
+            return False
+        if (last & UPPER) and (cur & ALPHA):
+            return False  # UPPER->letter: don't split
+        if not self.split_num and (((last & ALPHA) and (cur & DIGIT))
+                                   or ((last & DIGIT) and (cur & ALPHA))):
+            return False
+        return True
+
+    def next(self) -> int:
+        self.current = self.end
+        if self.current == _DONE:
+            return _DONE
+        if self.skip_possessive:
+            self.current += 2
+            self.skip_possessive = False
+        last = 0
+        while (self.current < self.end_bounds
+               and (last := self.types[self.current]) & SUBWORD_DELIM):
+            self.current += 1
+        if self.current >= self.end_bounds:
+            self.end = _DONE
+            return _DONE
+        end = self.current + 1
+        while end < self.end_bounds:
+            t = self.types[end]
+            if self._is_break(last, t):
+                break
+            last = t
+            end += 1
+        self.end = end
+        if end < self.end_bounds - 1 and self._ends_with_possessive(end + 2):
+            self.skip_possessive = True
+        return end
+
+    def is_single_word(self) -> bool:
+        if self.has_final_possessive:
+            return (self.current == self.start_bounds
+                    and self.end == self.end_bounds - 2)
+        return (self.current == self.start_bounds
+                and self.end == self.end_bounds)
+
+    def type(self) -> int:
+        t = self.types[self.current]
+        return ALPHA if t & ALPHA else t
+
+
+def wdf_parts(
+    text: str, flags: int = DEFAULT_FLAGS,
+    protected: frozenset[str] | None = None,
+) -> list[tuple[str, int, int, bool]] | None:
+    """Run the WordDelimiterFilter on one token.
+
+    Returns ``None`` when the token passes through unchanged (no
+    delimiters, or protected), ``[]`` when it is dropped (pure delimiters,
+    no PRESERVE_ORIGINAL), else the emitted ``(subword, rel_start,
+    rel_end, injected)`` list in stream order — ``injected`` True means
+    position increment 0 (overlap), mirroring ``position(inject)``."""
+    n = len(text)
+    it = _Iter(text, flags)
+    it.next()
+    if (it.current == 0 and it.end == n) or (
+            protected is not None and text in protected):
+        return None
+    if it.end == _DONE and not (flags & PRESERVE_ORIGINAL):
+        return []
+
+    out: list[tuple[str, int, int, bool]] = []
+    # position() state machine
+    state = {"has_output": False,
+             "following_original": not (flags & PRESERVE_ORIGINAL)}
+
+    def inject_of(inject: bool) -> bool:
+        if state["has_output"]:
+            return inject
+        state["has_output"] = True
+        if not state["following_original"]:
+            state["following_original"] = True
+            return True  # first token following the original: posInc 0
+        return False
+
+    if flags & PRESERVE_ORIGINAL:
+        out.append((text, 0, n, False))
+        if it.end == _DONE:
+            return out
+
+    concat: list[tuple[int, int]] = []
+    concat_type = 0
+    concat_all: list[tuple[int, int]] = []
+    last_concat_count = 0
+
+    def gen_parts(wt: int) -> bool:
+        return bool(((flags & GENERATE_WORD_PARTS) and wt & ALPHA)
+                    or ((flags & GENERATE_NUMBER_PARTS) and wt & DIGIT))
+
+    def should_concat(wt: int) -> bool:
+        return bool(((flags & CATENATE_WORDS) and wt & ALPHA)
+                    or ((flags & CATENATE_NUMBERS) and wt & DIGIT))
+
+    def emit_concat(parts: list[tuple[int, int]]) -> None:
+        term = "".join(text[s:e] for s, e in parts)
+        out.append((term, parts[0][0], parts[-1][1], inject_of(True)))
+
+    def flush_concat() -> None:
+        nonlocal last_concat_count
+        last_concat_count = len(concat)
+        if len(concat) != 1 or not gen_parts(concat_type):
+            emit_concat(concat)
+        concat.clear()
+
+    while True:
+        if it.end == _DONE:
+            if concat:
+                flush_concat()
+            if concat_all:
+                if len(concat_all) > last_concat_count:
+                    emit_concat(concat_all)
+                concat_all.clear()
+            break
+        if it.is_single_word():
+            out.append((text[it.current: it.end], it.current, it.end,
+                        inject_of(False)))
+            it.next()
+            continue
+        wt = it.type()
+        if concat and (concat_type & wt) == 0:
+            flush_concat()
+        if should_concat(wt):
+            if not concat:
+                concat_type = wt
+            concat.append((it.current, it.end))
+        if flags & CATENATE_ALL:
+            concat_all.append((it.current, it.end))
+        if gen_parts(wt):
+            out.append((text[it.current: it.end], it.current, it.end,
+                        inject_of(False)))
+        it.next()
+    return out
+
+
+# --- ASCIIFoldingFilter ------------------------------------------------------
+
+# non-decomposable specials (ASCIIFoldingFilter.java's switch; NFKD covers
+# the plain accent cases)
+_SPECIAL = {
+    "Æ": "AE", "æ": "ae", "Ð": "D", "ð": "d", "Ø": "O", "ø": "o",
+    "Þ": "TH", "þ": "th", "ß": "ss", "Œ": "OE", "œ": "oe",
+    "Đ": "D", "đ": "d", "Ħ": "H", "ħ": "h", "ı": "i", "ĸ": "q",
+    "Ł": "L", "ł": "l", "Ŋ": "N", "ŋ": "n", "Ŧ": "T", "ŧ": "t",
+    "Ɖ": "D", "Ƒ": "F", "ƒ": "f", "Ɓ": "B", "ɓ": "b", "Ȼ": "C", "ȼ": "c",
+    "ǝ": "e", "Ɛ": "E", "Ʒ": "Z", "ʒ": "z",
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "‹": "'", "›": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "«": '"', "»": '"',
+    "‐": "-", "‑": "-", "‒": "-", "–": "-",
+    "—": "-", "―": "-", "−": "-",
+    "…": "...",
+}
+
+_FOLD_CACHE: dict[str, str] = {}
+
+
+def ascii_fold(s: str) -> str:
+    """Fold accented/special characters to their ASCII equivalents
+    (``ASCIIFoldingFilter.foldToASCII``); characters with no ASCII
+    equivalent pass through unchanged."""
+    if s.isascii():
+        return s
+    out = []
+    for ch in s:
+        if ord(ch) < 0x80:
+            out.append(ch)
+            continue
+        r = _FOLD_CACHE.get(ch)
+        if r is None:
+            r = _SPECIAL.get(ch)
+            if r is None:
+                d = unicodedata.normalize("NFKD", ch)
+                a = "".join(_SPECIAL.get(c, c) for c in d
+                            if not unicodedata.combining(c))
+                r = a if (a.isascii() and a) else ch
+            _FOLD_CACHE[ch] = r
+        out.append(r)
+    return "".join(out)

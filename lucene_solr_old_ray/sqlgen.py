@@ -53,14 +53,19 @@ def norm_interval_values(max_len: int = 100_000) -> str:
     return ",".join(rows)
 
 
-def base_ctes(max_len: int = 100_000) -> str:
+def base_ctes(max_len: int = 100_000, toks_sql: str | None = None) -> str:
     """Shared CTEs: toks, doclen (incl. empty docs), coll stats, norm map,
-    per-doc cache value (the freq-independent BM25 denominator)."""
-    return f"""
-toks AS (
+    per-doc cache value (the freq-independent BM25 denominator).
+    ``toks_sql`` overrides the body of the ``toks`` CTE (the analyzed
+    (doc_id, term) instance stream) — used by chains whose token stream is
+    a derived function of ``documents.text`` (e.g. the WordDelimiter
+    chain over the decorated corpus)."""
+    toks_body = toks_sql or f"""
   SELECT doc_id, t AS term FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
-  ) WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({stops_list()})
+  ) WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({stops_list()})"""
+    return f"""
+toks AS ({toks_body}
 ),
 doclen AS (
   SELECT d.doc_id, count(t.term) AS flen
@@ -672,6 +677,25 @@ hits AS (
     return f"WITH RECURSIVE {base_ctes()},{posd},{fold}{tail}"
 
 
+def wdf_toks_sql() -> str:
+    """Token stream of the WordDelimiter driver chain over the DECORATED
+    corpus (__ray_entry__._index_for_wdf): every decoration except the
+    ``+"42"`` suffix is invisible after WDF + ASCIIFold + lowercase + stop
+    (possessive stripped, parens trimmed, accents folded, capitalization
+    lowered), so the stream is the original kept tokens plus one '42'
+    token for every raw position p with p % 7 == 3."""
+    inner = """
+    SELECT doc_id, CAST(i AS INT) - 1 AS p, parts[CAST(i AS INT)] AS t
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+    CROSS JOIN range(1, 1025) r(i) WHERE i <= len(parts)"""
+    return f"""
+  SELECT doc_id, t AS term FROM ({inner})
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({stops_list()})
+  UNION ALL
+  SELECT doc_id, '42' AS term FROM ({inner})
+  WHERE p % 7 = 3 AND t <> ''"""
+
+
 def bm25_sql(
     musts: list[str] = (),
     shoulds: list[str] = (),
@@ -681,9 +705,10 @@ def bm25_sql(
     offset: int = 0,
     filter_terms: list[str] = (),
     boosts: dict[str, float] | None = None,
+    toks_sql: str | None = None,
 ) -> str:
     """Full oracle query -> (rank, doc_id, score) float32-exact top-k."""
-    ctes = [base_ctes()]
+    ctes = [base_ctes(toks_sql=toks_sql)]
     score_terms: list[str] = []
     joins: list[str] = []
     conds: list[str] = []

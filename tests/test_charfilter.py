@@ -1,0 +1,271 @@
+"""Char filters (HTMLStrip / Mapping) + WordDelimiter / ASCIIFolding chains.
+
+Cases are ported from the reference's
+``analysis/common/src/test/.../charfilter/HTMLStripCharFilterTest.java``,
+``TestMappingCharFilter.java``, ``miscellaneous/TestWordDelimiterFilter.java``
+and ``TestASCIIFoldingFilter.java`` (expected outputs re-derived, not
+copied)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch
+from lucene_solr_old_ray.functions.charfilter import (
+    correct_offsets,
+    html_strip,
+    mapping_char_filter,
+)
+from lucene_solr_old_ray.functions.worddelim import (
+    CATENATE_ALL,
+    CATENATE_WORDS,
+    DEFAULT_FLAGS,
+    GENERATE_NUMBER_PARTS,
+    GENERATE_WORD_PARTS,
+    PRESERVE_ORIGINAL,
+    SPLIT_ON_CASE_CHANGE,
+    SPLIT_ON_NUMERICS,
+    ascii_fold,
+    wdf_parts,
+)
+
+
+# --- HTMLStripCharFilter ------------------------------------------------
+
+
+def test_htmlstrip_reference_gold():
+    html = ('<div class="foo">this is some text</div> here is a '
+            '<a href="#bar">link</a> and another '
+            '<a href="http://lucene.apache.org/">link</a>. '
+            "This is an entity: &amp; plus a &lt;.  Here is an &. "
+            "<!-- is a comment -->")
+    gold = ("\nthis is some text\n here is a link and another link. "
+            "This is an entity: & plus a <.  Here is an &. ")
+    out, _, _ = html_strip(html)
+    assert out == gold
+
+
+def test_htmlstrip_entities():
+    out, _, _ = html_strip(
+        "&nbsp; &lt;foo&gt; &Uuml;bermensch &#61; &Gamma; bar &#x393;")
+    assert out == "  <foo> Übermensch = Γ bar Γ"
+    # out-of-range numeric -> replacement char; unknown entity passes
+    assert html_strip("&#1114112; &zz;")[0] == "� &zz;"
+
+
+def test_htmlstrip_script_style_comment():
+    out, _, _ = html_strip('<script>var x = "forrest";</script>hello'
+                           "<style>p{color:red}</style>world")
+    assert out == "\nhello\nworld"
+    assert html_strip("<!--- three dashes, still a valid comment ---> ")[0] \
+        == " "
+
+
+def test_htmlstrip_br_and_escaped_tags():
+    assert html_strip("a<br>b")[0] == "a\nb"
+    out, _, _ = html_strip("a<b>x</b>c <custom>y", frozenset(["custom"]))
+    assert out == "axc <custom>y"
+
+
+@pytest.mark.parametrize("s", [
+    "hello <p> X<p> how <p>X are you",
+    "X &amp; X &#40; X &lt; &gt; X",
+    "X < &zz >X &# < X > < &l > &g < X",
+])
+def test_htmlstrip_offsets_protocol(s):
+    """The reference's doTestOffsets: every X in the output maps back to
+    the matching X of the input; corrections are monotone and legal."""
+    out, op, df = html_strip(s)
+    str_off = -1
+    for off, ch in enumerate(out):
+        corrected = int(correct_offsets(np.array([off]), op, df)[0])
+        if ch == "X":
+            str_off = s.index("X", str_off + 1)
+            assert corrected == str_off, (off, corrected, str_off)
+    cs = correct_offsets(np.arange(len(out) + 1), op, df)
+    assert (cs <= len(s)).all() and (np.diff(cs) >= 0).all()
+
+
+# --- MappingCharFilter ----------------------------------------------------
+
+
+def test_mapping_char_filter_longest_match_and_offsets():
+    # the TestMappingCharFilter norm map
+    m = {"aa": "a", "bbb": "b", "cccc": "cc", "h": "i", "j": "jj",
+         "k": "kkk", "ll": "llll", "empty": ""}
+    assert mapping_char_filter("h", m)[0] == "i"
+    assert mapping_char_filter("j", m)[0] == "jj"
+    assert mapping_char_filter("aa", m)[0] == "a"
+    assert mapping_char_filter("cccc", m)[0] == "cc"
+    assert mapping_char_filter("empty", m)[0] == ""
+    out, op, df = mapping_char_filter("aabbbccccll", m)
+    assert out == "abccllll"
+    # offsets of "cc" (out 2..4) -> original "cccc" span (5..9)
+    assert list(correct_offsets(np.array([2, 4]), op, df)) in ([2, 9], [5, 9])
+
+
+# --- WordDelimiterFilter ----------------------------------------------------
+
+
+def _split(s, flags=DEFAULT_FLAGS):
+    p = wdf_parts(s, flags)
+    return [s] if p is None else [t for t, _, _, _ in p]
+
+
+def test_wdf_reference_splits():
+    assert _split("basic-split") == ["basic", "split"]
+    assert _split("camelCase") == ["camel", "Case"]
+    assert _split("บ้าน") == ["บ้าน"]
+    assert _split("test's'") == ["test"]
+    assert _split("Роберт") == ["Роберт"]
+    assert _split("РобЕрт") == ["Роб", "Ерт"]
+    assert _split("aǅungla") == ["aǅungla"]
+    assert _split("हिन्दी") == ["हिन्दी"]
+    assert _split("١٢٣٤") == ["١٢٣٤"]
+    assert _split("j2se") == ["j", "2", "se"]
+    assert _split("500-42") == ["500", "42"]
+    assert _split("ABCDef") == ["ABCDef"]  # UPPER->lower never splits
+
+
+def test_wdf_possessive_flag():
+    assert _split("ra's") == ["ra"]
+    noposs = (GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS
+              | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS)
+    assert _split("ra's", noposs) == ["ra", "s"]
+
+
+def test_wdf_offsets_and_catenate_all():
+    f = DEFAULT_FLAGS | CATENATE_ALL
+    assert wdf_parts("foo-bar", f) == [
+        ("foo", 0, 3, False), ("bar", 4, 7, False), ("foobar", 0, 7, True)]
+    assert [(t, i) for t, _, _, i in wdf_parts("solR", f)] == [
+        ("sol", False), ("R", False), ("solR", True)]
+    assert wdf_parts("/", f) == []           # delimiters only: dropped
+    assert wdf_parts("LUCENE", f) is None    # passthrough
+
+
+def test_wdf_catenate_words_order():
+    p = wdf_parts("wi-fi-4000", DEFAULT_FLAGS | CATENATE_WORDS)
+    assert [(t, i) for t, _, _, i in p] == [
+        ("wi", False), ("fi", False), ("wifi", True), ("4000", False)]
+
+
+def test_wdf_preserve_original():
+    p = wdf_parts("foo-bar", DEFAULT_FLAGS | PRESERVE_ORIGINAL)
+    # original first; the first following token overlaps it (posInc 0)
+    assert [(t, i) for t, _, _, i in p] == [
+        ("foo-bar", False), ("foo", True), ("bar", False)]
+
+
+# --- ASCIIFoldingFilter ------------------------------------------------------
+
+
+def test_ascii_folding_latin1_vector():
+    src = ("À Á Â Ã Ä Å Æ Ç È É Ê Ë Ì Í Î Ï Ĳ Ð Ñ Ò Ó Ô Õ Ö Ø Œ Þ Ù Ú Û Ü "
+           "Ý Ÿ à á â ã ä å æ ç è é ê ë ì í î ï ĳ ð ñ ò ó ô õ ö ø œ ß þ ù "
+           "ú û ü ý ÿ ﬁ ﬂ")
+    gold = ("A A A A A A AE C E E E E I I I I IJ D N O O O O O O OE TH U U "
+            "U U Y Y a a a a a a ae c e e e e i i i i ij d n o o o o o o "
+            "oe ss th u u u u y y fi fl")
+    assert " ".join(ascii_fold(t) for t in src.split(" ")) == gold
+    assert ascii_fold("clés") == "cles"
+    assert ascii_fold("CHAÎNE") == "CHAINE"
+    assert ascii_fold("…—“x”") == '...-"x"'
+    assert ascii_fold("漢字") == "漢字"  # no ASCII equivalent: unchanged
+
+
+# --- the batch chains --------------------------------------------------------
+
+
+def test_word_delimiter_chain_batch():
+    ab = analyze_batch(pa.array([
+        "PowerShot camelCase wi-fi j2se O'Neil's CHAÎNE the (spark)",
+        "basic-split / plain",
+        "",
+    ]), with_positions=True, analyzer="word_delimiter")
+    stream = list(zip(ab.doc_ids.tolist(), ab.positions.tolist(),
+                      ab.uniques[ab.term_codes].tolist()))
+    assert stream == [
+        (0, 0, "power"), (0, 1, "shot"), (0, 2, "camel"), (0, 3, "case"),
+        (0, 4, "wi"), (0, 5, "fi"), (0, 6, "j"), (0, 7, "2"), (0, 8, "se"),
+        (0, 9, "o"), (0, 10, "neil"), (0, 11, "chaine"),
+        (0, 13, "spark"),                       # "the" stopped: position hole
+        (1, 0, "basic"), (1, 1, "split"),       # "/" dropped: NO hole
+        (1, 2, "plain"),
+    ]
+    assert ab.field_lengths.tolist() == [13, 3, 0]
+
+
+def test_html_strip_chain_batch_and_offsets():
+    html = ('<div class="x">spark &amp; window</div>'
+            "<script>var forrest=1;</script> merge")
+    ab = analyze_batch(pa.array([html, "plain text"]), with_positions=True,
+                       analyzer="html_strip", with_offsets=True)
+    stream = list(zip(ab.doc_ids.tolist(), ab.positions.tolist(),
+                      ab.uniques[ab.term_codes].tolist()))
+    assert stream == [(0, 0, "spark"), (0, 1, "window"), (0, 2, "merge"),
+                      (1, 0, "plain"), (1, 1, "text")]
+    # offsets corrected back onto the ORIGINAL html
+    for di, text in ((0, html), (1, "plain text")):
+        sel = ab.doc_ids == di
+        for c, s, e in zip(ab.term_codes[sel], ab.start_offsets[sel],
+                           ab.end_offsets[sel]):
+            assert text[int(s): int(e)].lower() == str(ab.uniques[c])
+
+
+def test_html_strip_fvh_over_char_filtered_text(ray_session, tmp_path):
+    """End-to-end: index HTML docs through the html_strip chain with the
+    TV offsets lane; FVH snippets (from STORED offsets) mark the terms in
+    the ORIGINAL html, bit-identical spans to re-analysis offsets."""
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.highlight import highlight_hits_fvh
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.pipelines.search import fetch_term_vectors
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = [
+        '<p>the spark engine</p> <a href="#x">merges</a> spark windows',
+        "<div>no spark here</div><script>spark = 1;</script> only text",
+        "plain spark text without markup",
+    ]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "htext": pa.array(docs, pa.string()),
+    }), path)
+    idx = str(tmp_path / "idx")
+    spec = CorpusSpec(files=(path,), content_col="htext",
+                      meta_cols=("doc_id",), analyzer="html_strip",
+                      store_term_vectors=True, store_tv_offsets=True)
+    build_index(spec, idx, target_docs_per_partition=2)
+    merge_index(idx, fan_in=8, strategy="local")
+
+    # stored offsets == re-analysis offsets (bit-check)
+    ab = analyze_batch(pa.array(docs), with_positions=True,
+                       analyzer="html_strip", with_offsets=True)
+    tvt = fetch_term_vectors(idx, [0, 1, 2]).to_pandas()
+    for docid, g in tvt.groupby("docid"):
+        want = sorted(
+            (str(ab.uniques[c]), int(s), int(e))
+            for c, s, e in zip(ab.term_codes[ab.doc_ids == docid],
+                               ab.start_offsets[ab.doc_ids == docid],
+                               ab.end_offsets[ab.doc_ids == docid]))
+        got = sorted(
+            (r["term"], int(s), int(e))
+            for _, r in g.iterrows()
+            for s, e in zip(r["start_offsets"], r["end_offsets"]))
+        assert got == want, docid
+        for term, s, e in got:
+            span = docs[docid][s:e].lower()
+            # a token flush against a removed tag keeps the tag inside its
+            # end offset (BaseCharFilter exact-checkpoint semantics — same
+            # as the reference); the span always STARTS with the term
+            assert span.startswith(term), (term, span)
+            assert span == term or span[len(term)] in "<&", (term, span)
+
+    out = highlight_hits_fvh(idx, path, TermQuery("spark"), k=3,
+                             text_col="htext", pre="[", post="]")
+    snips = out["snippet"].to_pylist()
+    assert snips and all("[spark]" in s for s in snips)
