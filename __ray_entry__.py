@@ -250,6 +250,53 @@ def _index_for_wdf(sf_dir: str) -> str:
     return idx
 
 
+def _index_for_blocks(sf_dir: str) -> str:
+    """Cached BLOCK index (nested documents): each document d becomes one
+    4-doc block — child j (j=0,1,2) holds d's raw tokens at positions
+    p%3==j, then the PARENT (empty text, doctype=parent) last, contiguous
+    docIDs (the addDocuments block contract). ``target_docs_per_partition``
+    is a multiple of 4 so blocks never straddle a partition — the
+    documented partitioning assumption of the block-join operator."""
+    import pandas as pd
+
+    tag = sf_dir.strip("/").replace("/", "_") + "-blk"
+    idx = os.path.join(_CACHE_ROOT, tag)
+    done = os.path.join(idx, ".complete")
+    if os.path.exists(done):
+        return idx
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]).to_pandas()
+    ids, texts, dtypes = [], [], []
+    for d, t in zip(src["doc_id"], src["text"]):
+        toks = (t or "").split()
+        for j in range(3):
+            ids.append(int(d))
+            texts.append(" ".join(toks[j::3]))
+            dtypes.append("child")
+        ids.append(int(d))
+        texts.append("")
+        dtypes.append("parent")
+    os.makedirs("/tmp/lsor_blk", exist_ok=True)
+    path = f"/tmp/lsor_blk/{tag}.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "ctext": pa.array(texts, pa.string()),
+        "doctype": pa.array(dtypes, pa.string()),
+    }), path)
+    spec = CorpusSpec(files=(path,), content_col="ctext",
+                      meta_cols=("doc_id", "doctype"),
+                      extra_fields=(FieldSpec("doctype", "doctype",
+                                              "standard"),))
+    n = pq.ParquetFile(path).metadata.num_rows
+    target = max(64, n // 16)
+    target = ((target + 3) // 4) * 4  # block-aligned partitions
+    build_index(spec, idx, target_docs_per_partition=target)
+    merge_index(idx, fan_in=8, strategy="local")
+    with open(done, "w") as f:
+        f.write("ok")
+    return idx
+
+
 def _docid_to_doc_id(idx: str, table: pa.Table) -> pa.Table:
     """Map engine global docIDs to the corpus doc_id column via the docmap."""
     if table.num_rows == 0:
@@ -529,10 +576,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _index_for(sf), PhraseQuery(("table", "value")))
     q["phrase_sloppy_top10"] = lambda sf: _bm25_result(
         _index_for(sf), PhraseQuery(("table", "value"), slop=2))
-    q["wildcard_hits"] = lambda sf: _hits_result(
-        _index_for(sf), WildcardQuery("s*m"))
-    q["fuzzy_hits"] = lambda sf: _hits_result(
-        _index_for(sf), FuzzyQuery("spork", 1))
+    # --- block join (nested documents) + scored term join ------------------
+    from lucene_solr_old_ray.queries import ToParentBlockJoinQuery
+
+    q["block_join_top10"] = lambda sf: _bm25_result(
+        _index_for_blocks(sf),
+        ToParentBlockJoinQuery(TermQuery("spark"), "doctype", "parent",
+                               score_mode="avg"))
+
+    def join_scored(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.join import scored_join_topk
+
+        idx = _index_for(sf_dir)
+        t = scored_join_topk(idx, TermQuery("spark"), "source", "source",
+                             score_mode="max", k=10)
+        t = _docid_to_doc_id(idx, t)
+        return pa.table({"rank": t["rank"].cast(pa.int64()),
+                         "doc_id": t["doc_id"],
+                         "score": t["score"]})
+
+    q["join_scored_top10"] = join_scored
 
     def sort_by_len(sf_dir: str) -> pa.Table:
         idx = _index_for(sf_dir)
@@ -706,11 +769,8 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
     sqls["span_not_hits"] = g.span_not_hits_sql("table", "merge", pre=1, post=1)
     sqls["lang_id"] = g.lang_id_sql()
     sqls["filtered_top10"] = g.bm25_sql(musts=["spark"], filter_terms=["window"])
-    sqls["wildcard_hits"] = g.hits_sql(like="s%m")
-    sqls["fuzzy_hits"] = (
-        f"WITH {g.base_ctes()} SELECT DISTINCT doc_id FROM toks "
-        "WHERE levenshtein(term, 'spork') <= 1 ORDER BY doc_id"
-    )
+    sqls["block_join_top10"] = g.block_join_sql("spark")
+    sqls["join_scored_top10"] = g.join_scored_sql("spark", "source")
     sqls["sort_by_len_top10"] = (
         f"WITH {g.base_ctes()} "
         "SELECT CAST(rank AS BIGINT) AS rank, doc_id, field_len FROM ("

@@ -77,3 +77,75 @@ def semi_join_doc_ids(
     q = join_query(index_dir, from_query, from_field, to_field,
                    to_analyzer=to_analyzer)
     return match_doc_ids(index_dir, q)
+
+
+def scored_join_topk(
+    index_dir: str, from_query: Query, from_field: str, to_field: str,
+    score_mode: str = "max", k: int = 10, *, max_terms: int = 10_000,
+) -> pa.Table:
+    """SCORED query-time join — re-expresses (NOT ports)
+    ``lucene/join/src/java/org/apache/lucene/search/join/
+    TermsIncludingScoreQuery.java:1`` + ``TermsWithScoreCollector.java``
+    (JoinUtil.createJoinQuery with ScoreMode Avg/Max/Total): the from-side
+    query's hit SCORES aggregate per ``from_field`` value ("max", "avg" =
+    float32 sum/count, "total"); every doc whose ``to_field`` holds a
+    collected value matches with that value's aggregated score.
+
+    Distribution shape: the from side is one distributed scored pass
+    (collect_hits); the collected (value -> score) map is the SMALL side
+    (<= |distinct values|, capped) and the to side is one distributed
+    docID-set pass + a doc-pruned meta fetch. Aggregation folds in global
+    docID order (deterministic; the reference folds in collection order).
+    -> (rank, docid, score) top-k by (score desc, docid asc)."""
+    import numpy as np
+    import pandas as pd
+
+    from .analytics import collect_hits
+
+    def coll(_ord, base, docids, scores):
+        return pd.DataFrame({"docid": docids + base, "score": scores})
+
+    hits = collect_hits(index_dir, from_query, coll).to_pandas()
+    empty = pa.table({"rank": pa.array([], pa.int64()),
+                      "docid": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float32())})
+    if len(hits) == 0:
+        return empty
+    hits = hits.sort_values("docid").reset_index(drop=True)
+    meta = fetch_doc_meta(index_dir, hits["docid"].tolist()).to_pandas()
+    hits = hits.merge(meta[["docid", from_field]], on="docid", how="left")
+    hits = hits.dropna(subset=[from_field])
+    if hits[from_field].nunique() > max_terms:
+        raise ValueError("scored join from-side exceeded max_terms")
+    vals = {}
+    for v, g in hits.groupby(from_field, sort=True):
+        s = g["score"].to_numpy(dtype=np.float32)
+        if score_mode == "max":
+            vals[str(v)] = np.float32(s.max())
+        elif score_mode == "total":
+            vals[str(v)] = np.add.reduce(s.astype(np.float32), dtype=np.float32)
+        elif score_mode == "avg":
+            tot = np.add.reduce(s.astype(np.float32), dtype=np.float32)
+            vals[str(v)] = np.float32(tot / np.float32(len(s)))
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+    if not vals:
+        return empty
+    to_q = ConstantScoreQuery(BooleanQuery(tuple(
+        BooleanClause(SHOULD, TermQuery(v, field=to_field))
+        for v in sorted(vals)), 0))
+    to_hits = match_doc_ids(index_dir, to_q)
+    if to_hits.num_rows == 0:
+        return empty
+    tometa = fetch_doc_meta(
+        index_dir, to_hits["docid"].to_pylist()).to_pandas()
+    tometa["score"] = [vals.get(str(v), np.float32(0.0))
+                       for v in tometa[to_field]]
+    tometa = tometa.sort_values(
+        ["score", "docid"], ascending=[False, True],
+        kind="mergesort").reset_index(drop=True).head(k)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(tometa) + 1, dtype=np.int64)),
+        "docid": pa.array(tometa["docid"].to_numpy(dtype=np.int64)),
+        "score": pa.array(tometa["score"].to_numpy(dtype=np.float32)),
+    })

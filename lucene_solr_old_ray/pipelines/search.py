@@ -47,6 +47,8 @@ from ..queries import (
     Query,
     RegexpQuery,
     TermQuery,
+    ToChildBlockJoinQuery,
+    ToParentBlockJoinQuery,
     WildcardQuery,
     collect_field_terms,
     collect_terms,
@@ -184,6 +186,10 @@ def _collect_scoring_mtqs(q: Query, out: list) -> None:
         _collect_scoring_mtqs(q.query, out)
     elif isinstance(q, CustomScoreQuery):
         _collect_scoring_mtqs(q.query, out)
+    elif isinstance(q, ToParentBlockJoinQuery):
+        _collect_scoring_mtqs(q.child, out)
+    elif isinstance(q, ToChildBlockJoinQuery):
+        _collect_scoring_mtqs(q.parent, out)
 
 
 def _collect_common_terms(q: Query, out: list) -> None:
@@ -201,6 +207,10 @@ def _collect_common_terms(q: Query, out: list) -> None:
         _collect_common_terms(q.filter, out)
     elif isinstance(q, (ConstantScoreQuery, CustomScoreQuery)):
         _collect_common_terms(q.query, out)
+    elif isinstance(q, ToParentBlockJoinQuery):
+        _collect_common_terms(q.child, out)
+    elif isinstance(q, ToChildBlockJoinQuery):
+        _collect_common_terms(q.parent, out)
 
 
 def _common_to_bool(q: CommonTermsQuery, dfs: dict[str, int],
@@ -273,6 +283,14 @@ def _replace_mtqs(q: Query, repl: dict) -> Query:
         return ConstantScoreQuery(_replace_mtqs(q.query, repl), q.boost)
     if isinstance(q, CustomScoreQuery):
         return CustomScoreQuery(_replace_mtqs(q.query, repl), q.field, q.boost)
+    if isinstance(q, ToParentBlockJoinQuery):
+        return ToParentBlockJoinQuery(
+            _replace_mtqs(q.child, repl), q.parent_field, q.parent_value,
+            q.score_mode, q.boost)
+    if isinstance(q, ToChildBlockJoinQuery):
+        return ToChildBlockJoinQuery(
+            _replace_mtqs(q.parent, repl), q.parent_field, q.parent_value,
+            q.boost)
     return q
 
 

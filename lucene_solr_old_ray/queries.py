@@ -236,6 +236,47 @@ class ConstantScoreQuery:
 
 
 @dataclass(frozen=True)
+class ToParentBlockJoinQuery:
+    """Nested-document join: score PARENTS from their matching children
+    (``lucene/join/src/java/org/apache/lucene/search/join/
+    ToParentBlockJoinQuery.java:1``). Documents are indexed in BLOCKS —
+    children first, parent LAST, contiguous docIDs (the addDocuments
+    contract); ``parent_field``/``parent_value`` is the keyword term
+    identifying parent docs (the parentsFilter). ``score_mode`` combines
+    matched-child scores per parent in child-docID order: "avg" =
+    float32 total / matched-child count, "max", "total", "none" (= 0.0,
+    match-only). A child query matching a parent doc raises, like the
+    reference's IllegalStateException.
+
+    PARTITIONING ASSUMPTION (documented per the survey's custom-operator
+    rule): a block must not straddle an index partition/segment boundary —
+    the corpus writer must emit block-aligned partitions (the engine's
+    build assigns docIDs in row order per partition, so feeding
+    block-multiple ``target_docs_per_partition`` preserves the invariant,
+    exactly as addDocuments keeps blocks within one segment)."""
+
+    child: "Query"
+    parent_field: str
+    parent_value: str
+    score_mode: str = "avg"  # avg | max | total | none
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ToChildBlockJoinQuery:
+    """The inverse join: match CHILDREN of matching parents, each child
+    scoring its parent's score (``join/ToChildBlockJoinQuery.java:1``).
+    Same block layout + partitioning assumption as
+    :class:`ToParentBlockJoinQuery`; a parent query matching a non-parent
+    doc raises."""
+
+    parent: "Query"
+    parent_field: str
+    parent_value: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PhraseQuery:
     """Exact phrase (slop=0) over positions (``search/PhraseQuery.java:47``).
 
@@ -413,6 +454,8 @@ Query = (
     | SpanNotQuery
     | SpanFirstQuery
     | PayloadTermQuery
+    | ToParentBlockJoinQuery
+    | ToChildBlockJoinQuery
 )
 
 
@@ -431,6 +474,10 @@ def needs_rewrite(q: "Query") -> bool:
         return needs_rewrite(q.query)
     if isinstance(q, CustomScoreQuery):
         return needs_rewrite(q.query)
+    if isinstance(q, ToParentBlockJoinQuery):
+        return needs_rewrite(q.child)
+    if isinstance(q, ToChildBlockJoinQuery):
+        return needs_rewrite(q.parent)
     return False
 
 
@@ -494,6 +541,10 @@ def collect_terms(q: Query) -> set[str]:
         return set(q.terms) if q.field is None else set()
     if isinstance(q, NGramPhraseQuery):
         return collect_terms(ngram_phrase_rewrite(q))
+    if isinstance(q, ToParentBlockJoinQuery):
+        return collect_terms(q.child)
+    if isinstance(q, ToChildBlockJoinQuery):
+        return collect_terms(q.parent)
     return set()
 
 
@@ -527,6 +578,12 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
                 if f is not None else set())
     if isinstance(q, NGramPhraseQuery):
         return collect_field_terms(ngram_phrase_rewrite(q))
+    if isinstance(q, ToParentBlockJoinQuery):
+        return (collect_field_terms(q.child)
+                | {(q.parent_field, q.parent_value)})
+    if isinstance(q, ToChildBlockJoinQuery):
+        return (collect_field_terms(q.parent)
+                | {(q.parent_field, q.parent_value)})
     return set()
 
 

@@ -677,6 +677,94 @@ hits AS (
     return f"WITH RECURSIVE {base_ctes()},{posd},{fold}{tail}"
 
 
+def block_join_sql(term: str, k: int = 10) -> str:
+    """ToParentBlockJoin oracle over the derived block corpus
+    (__ray_entry__._index_for_blocks): each document d becomes a 4-doc
+    block — child j (j=0,1,2) holds d's kept tokens at positions p%3==j,
+    the parent (empty text, doctype=parent) is last. Child BM25 stats are
+    per the WHOLE index (N = 4n docs incl. parents, avgdl over all);
+    parent score = float32 avg of its matched children's scores folded in
+    child order (j asc == docID asc), exactly the engine's
+    ScoreMode.Avg."""
+    inner = """
+    SELECT doc_id, CAST(i AS INT) - 1 AS p, parts[CAST(i AS INT)] AS t
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+    CROSS JOIN range(1, 1025) r(i) WHERE i <= len(parts)"""
+    idf = f32("ln(1 + ((SELECT n FROM coll2) - ts.df + 0.5) / (ts.df + 0.5))")
+    w = f32(f"{idf} * {K1P1}")
+    num = f32(f"{w} * CAST(t.freq AS REAL)")
+    den = f32("CAST(t.freq AS REAL) + dc.cache")
+    cj = [f"COALESCE(c{j}.s, CAST(0 AS REAL))" for j in range(3)]
+    total = f32_sum(cj)
+    cnt = " + ".join(
+        f"(CASE WHEN c{j}.doc_id IS NULL THEN 0 ELSE 1 END)" for j in range(3))
+    return f"""
+WITH ctoks AS (
+  SELECT doc_id, p % 3 AS j, t AS term FROM ({inner})
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({stops_list()})
+),
+coll2 AS (
+  SELECT 4 * (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM ctoks) AS sttf
+),
+avgdl2 AS (SELECT CAST(CAST(sttf AS DOUBLE) / n AS REAL) AS v FROM coll2),
+normmap(lo, hi, nb, dec) AS (VALUES {norm_interval_values()}),
+cdoclen AS (
+  SELECT d.doc_id, CAST(r.j AS INT) AS j, count(t.term) AS flen
+  FROM documents d CROSS JOIN range(0, 3) r(j)
+  LEFT JOIN ctoks t ON t.doc_id = d.doc_id AND t.j = r.j
+  GROUP BY d.doc_id, r.j
+),
+ccache AS (
+  SELECT dl.doc_id, dl.j,
+         {f32(f"{K1} * " + f32(f"{ONE_MINUS_B} + " + f32(f32(f"{B} * CAST(nm.dec AS REAL)") + " / (SELECT v FROM avgdl2)")))} AS cache
+  FROM cdoclen dl JOIN normmap nm ON dl.flen BETWEEN nm.lo AND nm.hi
+),
+ctf AS (
+  SELECT doc_id, j, count(*) AS freq FROM ctoks
+  WHERE term = '{term}' GROUP BY doc_id, j
+),
+cdf AS (SELECT count(*) AS df FROM ctf),
+cs AS (
+  SELECT t.doc_id, t.j, {f32(f"{num} / {den}")} AS s
+  FROM ctf t JOIN cdf ts ON TRUE
+  JOIN ccache dc ON dc.doc_id = t.doc_id AND dc.j = t.j
+),
+parent AS (
+  SELECT d.doc_id,
+         {f32(f"{total} / CAST(({cnt}) AS REAL)")} AS score,
+         ({cnt}) AS nmatch
+  FROM documents d
+  LEFT JOIN cs c0 ON c0.doc_id = d.doc_id AND c0.j = 0
+  LEFT JOIN cs c1 ON c1.doc_id = d.doc_id AND c1.j = 1
+  LEFT JOIN cs c2 ON c2.doc_id = d.doc_id AND c2.j = 2
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM parent WHERE nmatch > 0
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def join_scored_sql(term: str, field: str = "source", k: int = 10) -> str:
+    """Scored term-join oracle (TermsIncludingScoreQuery, ScoreMode.Max):
+    from-side BM25 scores of ``term`` aggregate per ``field`` value by MAX
+    (order-independent, float32-exact in SQL); every doc whose field holds
+    a collected value scores that max. -> (rank, doc_id, score)."""
+    return (
+        "WITH " + base_ctes() + "," + term_score_cte("fs", term) + """,
+vals AS (
+  SELECT d.""" + field + """ AS v, MAX(fs.s) AS vscore
+  FROM fs JOIN documents d ON d.doc_id = fs.doc_id
+  GROUP BY d.""" + field + """
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY v.vscore DESC, d.doc_id ASC) AS rank,
+         d.doc_id AS doc_id, v.vscore AS score
+  FROM documents d JOIN vals v ON v.v = d.""" + field + f"""
+) WHERE rank <= {k} ORDER BY rank""")
+
+
 def wdf_toks_sql() -> str:
     """Token stream of the WordDelimiter driver chain over the DECORATED
     corpus (__ray_entry__._index_for_wdf): every decoration except the

@@ -1,0 +1,102 @@
+"""Block join (nested documents): to-parent and to-child scorers.
+
+Re-expresses (NOT ports):
+
+- ``lucene/join/src/java/org/apache/lucene/search/join/
+  ToParentBlockJoinQuery.java:1`` — children are indexed BEFORE their
+  parent with contiguous docIDs (the ``IndexWriter.addDocuments`` block
+  contract); the scorer advances the child scorer and rolls matched-child
+  scores up to the enclosing parent (the next set bit in the parents
+  filter): ``avg = float total / childCount``, ``max``, ``total``
+  (:312-358), ``none`` -> 0.0. A child match ON a parent doc is an
+  IllegalStateException (:289) -> ``ValueError`` here.
+- ``join/ToChildBlockJoinQuery.java:1`` — every child of a matching parent
+  matches, scoring the parent's score.
+
+Vectorized per leaf: the parents filter is the keyword-field term's docID
+array; each child's parent is one ``searchsorted``; per-parent combines are
+``add/maximum.reduceat`` over the child-docID-ordered runs (tiny groups —
+the in-order float32 fold the reference performs).
+
+PARTITIONING ASSUMPTION: blocks never straddle an index partition/segment
+(see queries.ToParentBlockJoinQuery docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..queries import TermQuery
+
+
+def _parent_docs(q, leaf, ctx, execute):
+    pd_, _ = execute(TermQuery(q.parent_value, field=q.parent_field),
+                     leaf, ctx, 1.0)
+    return pd_
+
+
+def execute_to_parent(q, leaf, ctx, boost: float, execute):
+    """ToParentBlockJoinQuery -> (parent docids ascending, float32 scores).
+    Parents with zero matching children do not match."""
+    parents = _parent_docs(q, leaf, ctx, execute)
+    cd, cs = execute(q.child, leaf, ctx, boost * q.boost)
+    if len(cd) == 0 or len(parents) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    if np.isin(cd, parents, assume_unique=True).any():
+        raise ValueError(
+            "child query must only match non-parent docs "
+            "(ToParentBlockJoinQuery.java:289 IllegalStateException)")
+    idx = np.searchsorted(parents, cd, side="left")
+    ok = idx < len(parents)  # trailing orphans (no enclosing parent) drop
+    cd, cs, idx = cd[ok], cs[ok], idx[ok]
+    if len(cd) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    new = np.ones(len(idx), dtype=bool)
+    new[1:] = idx[1:] != idx[:-1]
+    starts = np.flatnonzero(new)
+    pdocs = parents[idx[starts]].astype(np.int64)
+    counts = np.diff(np.append(starts, len(idx)))
+    mode = q.score_mode
+    if mode == "none":
+        scores = np.zeros(len(starts), dtype=np.float32)
+    elif mode == "max":
+        scores = np.maximum.reduceat(cs, starts).astype(np.float32)
+    else:
+        # in-child-docID-order float32 fold (reduceat accumulates
+        # sequentially within each run — groups are child-block-sized)
+        total = np.add.reduceat(cs.astype(np.float32), starts)
+        if mode == "total":
+            scores = total.astype(np.float32)
+        elif mode == "avg":
+            scores = (total.astype(np.float32)
+                      / counts.astype(np.float32)).astype(np.float32)
+        else:
+            raise ValueError(f"unknown score_mode {mode!r}")
+    return pdocs, scores
+
+
+def execute_to_child(q, leaf, ctx, boost: float, execute):
+    """ToChildBlockJoinQuery -> (child docids ascending, float32 scores):
+    every child of a matching parent, scoring the parent's score."""
+    parents = _parent_docs(q, leaf, ctx, execute)
+    pm, ps = execute(q.parent, leaf, ctx, boost * q.boost)
+    if len(pm) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    if len(parents) == 0 or not np.isin(pm, parents, assume_unique=True).all():
+        raise ValueError(
+            "parent query must only match parent docs "
+            "(ToChildBlockJoinQuery.java IllegalStateException)")
+    pos = np.searchsorted(parents, pm)
+    block_start = np.where(pos > 0, parents[pos - 1] + 1, 0).astype(np.int64)
+    counts = (pm - block_start).astype(np.int64)
+    keep = counts > 0  # parents with no children match nothing
+    block_start, counts, ps = block_start[keep], counts[keep], ps[keep]
+    if len(counts) == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    tot = int(counts.sum())
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    docs = (np.repeat(block_start - offs[:-1], counts)
+            + np.arange(tot, dtype=np.int64))
+    scores = np.repeat(ps, counts).astype(np.float32)
+    return docs, scores

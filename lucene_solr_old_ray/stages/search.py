@@ -910,7 +910,16 @@ def _execute_raw(
         keep = np.isin(docids, fdocs, assume_unique=True)
         return docids[keep], scores[keep]
     from ..queries import (PayloadTermQuery, SpanFirstQuery, SpanNearQuery,
-                           SpanNotQuery, SpanOrQuery, SpanTermQuery)
+                           SpanNotQuery, SpanOrQuery, SpanTermQuery,
+                           ToChildBlockJoinQuery, ToParentBlockJoinQuery)
+    if isinstance(q, ToParentBlockJoinQuery):
+        from .blockjoin import execute_to_parent
+
+        return execute_to_parent(q, leaf, ctx, boost, execute)
+    if isinstance(q, ToChildBlockJoinQuery):
+        from .blockjoin import execute_to_child
+
+        return execute_to_child(q, leaf, ctx, boost, execute)
     if isinstance(q, PayloadTermQuery):
         from .spans import execute_payload_term
 

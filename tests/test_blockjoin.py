@@ -1,0 +1,189 @@
+"""Block-join (nested documents) tests — port (in spirit) of the reference's
+``lucene/join/src/test/org/apache/lucene/search/join/TestBlockJoin.java``
+basics: ToParentBlockJoinQuery score modes, the child-hits-parent
+IllegalStateException, ToChildBlockJoinQuery inheritance, and the scored
+term join (TermsIncludingScoreQuery Avg/Max/Total)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.analytics import collect_hits
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import (
+    TermQuery,
+    ToChildBlockJoinQuery,
+    ToParentBlockJoinQuery,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+# TestBlockJoin.java-style resumes: children are job docs (skill tokens),
+# the parent (empty text, doctype=parent) is LAST in each block.
+BLOCKS = [
+    (["java ruby java", "python java"], "usa"),
+    (["ruby go", "java java java", "rust"], "canada"),
+    (["python python"], "usa"),
+    (["go rust go"], "uk"),
+    (["java python", "ruby"], "usa"),
+]
+
+
+@pytest.fixture(scope="module")
+def block_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("blk")
+    ids, texts, dtypes, countries = [], [], [], []
+    did = 0
+    for children, country in BLOCKS:
+        for c in children:
+            ids.append(did)
+            texts.append(c)
+            dtypes.append("child")
+            countries.append(country)
+        ids.append(did)
+        texts.append("")
+        dtypes.append("parent")
+        countries.append(country)
+        did += 1
+    n = len(ids)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(countries, pa.string()),
+        "doctype": pa.array(dtypes, pa.string()),
+    }), str(d / "documents.parquet"))
+    idx = str(d / "idx")
+    # one partition: blocks must not straddle partition boundaries
+    build_index(CorpusSpec.documents(
+        str(d), extra_fields=(FieldSpec("doctype", "doctype", "standard"),
+                              FieldSpec("source", "source", "standard"))),
+        idx, target_docs_per_partition=n)
+    return idx
+
+
+def _child_scores(idx, term):
+    """(child docid, score) of the raw child query + the parents array."""
+    def coll(_ord, base, docids, scores):
+        return pd.DataFrame({"docid": docids + base, "score": scores})
+
+    hits = collect_hits(idx, TermQuery(term), coll).to_pandas()
+    hits = hits.sort_values("docid").reset_index(drop=True)
+    pts = collect_hits(idx, TermQuery("parent", field="doctype"),
+                       coll).to_pandas()
+    parents = np.sort(pts["docid"].to_numpy(dtype=np.int64))
+    return hits, parents
+
+
+def _expected_parent(idx, term, mode):
+    hits, parents = _child_scores(idx, term)
+    cd = hits["docid"].to_numpy(dtype=np.int64)
+    cs = hits["score"].to_numpy(dtype=np.float32)
+    pidx = np.searchsorted(parents, cd, side="left")
+    out = {}
+    for pi in np.unique(pidx):
+        s = cs[pidx == pi]
+        if mode == "max":
+            v = np.float32(s.max())
+        elif mode == "total":
+            v = np.add.reduce(s, dtype=np.float32)
+        elif mode == "avg":
+            v = np.float32(np.add.reduce(s, dtype=np.float32)
+                           / np.float32(len(s)))
+        else:
+            v = np.float32(0.0)
+        out[int(parents[pi])] = v
+    return out
+
+
+@pytest.mark.parametrize("mode", ["avg", "max", "total", "none"])
+def test_to_parent_score_modes(block_index, mode):
+    q = ToParentBlockJoinQuery(TermQuery("java"), "doctype", "parent", mode)
+    res = search(block_index, {0: q}, k=20).to_pandas()
+    want = _expected_parent(block_index, "java", mode)
+    got = dict(zip(res["docid"], res["score"].astype(np.float32)))
+    assert set(got) == set(want)  # parents w/o matching children absent
+    for d in want:
+        assert got[d] == want[d], (d, got[d], want[d])
+    # blocks 2 ("python python") and 3 ("go rust go") have no java child
+    assert len(want) == 3
+
+
+def test_to_parent_rare_term(block_index):
+    # 'rust' matches children in blocks 1 and 3 only
+    q = ToParentBlockJoinQuery(TermQuery("rust"), "doctype", "parent", "max")
+    res = search(block_index, {0: q}, k=20).to_pandas()
+    assert len(res) == 2
+
+
+def test_child_query_matching_parent_raises(block_index):
+    # the "child" query hits parent docs -> ToParentBlockJoinQuery.java:289
+    q = ToParentBlockJoinQuery(TermQuery("parent", field="doctype"),
+                               "doctype", "parent", "avg")
+    with pytest.raises(Exception, match="non-parent"):
+        search(block_index, {0: q}, k=5)
+
+
+def test_to_child_inherits_parent_score(block_index):
+    pq_ = ToParentBlockJoinQuery(TermQuery("java"), "doctype", "parent", "avg")
+    pres = search(block_index, {0: pq_}, k=20).to_pandas()
+    pscore = dict(zip(pres["docid"], pres["score"].astype(np.float32)))
+
+    cq = ToChildBlockJoinQuery(pq_, "doctype", "parent")
+    cres = search(block_index, {0: cq}, k=50).to_pandas()
+
+    _, parents = _child_scores(block_index, "java")
+    # expected: every child of each matching parent, at the parent's score
+    want = {}
+    for p, s in pscore.items():
+        pi = int(np.searchsorted(parents, p))
+        start = int(parents[pi - 1]) + 1 if pi > 0 else 0
+        for c in range(start, p):
+            want[c] = s
+    got = dict(zip(cres["docid"], cres["score"].astype(np.float32)))
+    assert got == want
+
+
+def test_to_child_parent_query_must_match_parents(block_index):
+    cq = ToChildBlockJoinQuery(TermQuery("java"), "doctype", "parent")
+    with pytest.raises(Exception, match="parent"):
+        search(block_index, {0: cq}, k=5)
+
+
+@pytest.mark.parametrize("mode", ["max", "avg", "total"])
+def test_scored_join_modes(block_index, mode):
+    """TermsIncludingScoreQuery analogue: from-side 'java' child scores
+    aggregate per country; every doc of a collected country matches."""
+    from lucene_solr_old_ray.pipelines.join import scored_join_topk
+    from lucene_solr_old_ray.pipelines.search import fetch_doc_meta
+
+    t = scored_join_topk(block_index, TermQuery("java"), "source", "source",
+                         score_mode=mode, k=50)
+    got = dict(zip(t["docid"].to_pylist(),
+                   t["score"].to_numpy().astype(np.float32)))
+
+    def coll(_ord, base, docids, scores):
+        return pd.DataFrame({"docid": docids + base, "score": scores})
+
+    hits = collect_hits(block_index, TermQuery("java"), coll).to_pandas()
+    hits = hits.sort_values("docid")
+    meta = fetch_doc_meta(block_index, hits["docid"].tolist()).to_pandas()
+    hits = hits.merge(meta[["docid", "source"]], on="docid")
+    vals = {}
+    for v, g in hits.groupby("source"):
+        s = g["score"].to_numpy(dtype=np.float32)
+        if mode == "max":
+            vals[v] = np.float32(s.max())
+        elif mode == "total":
+            vals[v] = np.add.reduce(s, dtype=np.float32)
+        else:
+            vals[v] = np.float32(np.add.reduce(s, dtype=np.float32)
+                                 / np.float32(len(s)))
+    allmeta = fetch_doc_meta(
+        block_index, list(range(sum(len(c) + 1 for c, _ in BLOCKS)))
+    ).to_pandas()
+    want = {int(r["docid"]): vals[r["source"]]
+            for _, r in allmeta.iterrows() if r["source"] in vals}
+    assert got == want
