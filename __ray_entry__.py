@@ -16,9 +16,9 @@ registered entries (observed rounds 1-2: 52 registered -> exactly positions
 away to stay under the cap (open-bound NumericRange, classic TermQuery,
 constant-score AND, highlighter, simhash_pairs, LSH ANN; round 4 swaps:
 bm25_searchafter_page2 -> html_strip_phrase_top10, bm25_boosted_top10 ->
-wdf_bm25_top10, prefix_hits -> facet_range_counts, wildcard_hits ->
-sort_multi_page2, fuzzy_hits -> block_join_top10, span_near_unordered_hits
--> join_scored_top10) remain fully pytest-covered
+wdf_bm25_top10, wildcard_hits -> block_join_top10, fuzzy_hits ->
+join_scored_top10, prefix_hits -> facet_range_counts,
+span_near_unordered_hits -> sort_multi_page2) remain fully pytest-covered
 (tests/test_{numeric_mlt,advanced,highlight,extras,search,spans}.py) and
 their SQL generators remain in sqlgen.py.
 
@@ -530,10 +530,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["custom_score_top10"] = lambda sf: _bm25_result(
         _index_for(sf),
         CustomScoreQuery(TermQuery("spark"), "doc_id"))
-    q["prefix_hits"] = lambda sf: _hits_result(_index_for(sf), PrefixQuery("s"))
-    # (range_hits consolidated out — TermRangeQuery stays pytest-covered in
-    # tests/test_search.py — to keep a slot for spell_suggest under the
-    # driver's 50-entry cap)
+    # (prefix_hits consolidated out — PrefixQuery stays pytest-covered in
+    # tests/test_search.py — slot reused for facet_range_counts; range_hits
+    # consolidated out earlier for spell_suggest)
+
+    # --- numeric range facets (LongRangeFacetCounts analogue) --------------
+    def facet_ranges(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.analytics import facet_range_counts
+
+        idx = _index_for(sf_dir)
+        # deliberately OVERLAPPING ranges — each counted independently,
+        # matching LongRangeFacetCounts (ranges may overlap).
+        return facet_range_counts(
+            idx, TermQuery("spark"), "field_len",
+            [("short", None, 59), ("mid", 40, 119), ("long", 100, None)])
+
+    q["facet_range_counts"] = facet_ranges
 
     # --- spellcheck (DirectSpellChecker analogue) -------------------------
     def spell(sf_dir: str) -> pa.Table:
@@ -629,10 +641,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["payload_term_top10"] = lambda sf: _bm25_result(
         _index_for_payload(sf), PayloadTermQuery("merge", function="avg"))
-    q["span_near_unordered_hits"] = lambda sf: _hits_result(
-        _index_for(sf),
-        SpanNearQuery((SpanTermQuery("vector"), SpanTermQuery("batch")),
-                      slop=1, in_order=False))
+    # (span_near_unordered_hits consolidated out — unordered SpanNear stays
+    # pytest-covered in tests/test_spans.py — slot reused for
+    # sort_multi_page2)
+
+    # --- multi-key field sort + searchAfter cursor pagination --------------
+    def sort_multi_page2(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.analytics import sort_by_fields
+
+        idx = _index_for(sf_dir)
+        keys = [("lang", False), ("field_len", True)]
+        p1 = sort_by_fields(idx, TermQuery("table"), keys, k=10)
+        d = p1.to_pydict()
+        cursor = (d["lang"][-1], d["field_len"][-1], d["docid"][-1])
+        t = sort_by_fields(idx, TermQuery("table"), keys, k=10, after=cursor)
+        t = _docid_to_doc_id(idx, t)
+        return pa.table({
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"],
+            "lang": t["lang"].cast(pa.string()),
+            "field_len": t["field_len"].cast(pa.int64()),
+        })
+
+    q["sort_multi_page2"] = sort_multi_page2
     q["span_not_hits"] = lambda sf: _hits_result(
         _index_for(sf),
         SpanNotQuery(SpanTermQuery("table"), SpanTermQuery("merge"),
@@ -741,7 +772,16 @@ ORDER BY doc_id"""
     sqls["bm25_cross_field_top10"] = g.bm25_cross_field_sql("spark", "src3")
     sqls["classic_top10_or"] = g.classic_bool_or_sql(["vector", "stream", "batch"])
     sqls["custom_score_top10"] = g.custom_score_sql("spark")
-    sqls["prefix_hits"] = g.hits_sql(prefix="s")
+    sqls["facet_range_counts"] = (
+        f"WITH {g.base_ctes()}, "
+        "m AS (SELECT dl.flen FROM doclen dl WHERE dl.doc_id IN "
+        "  (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')) "
+        "SELECT r.label AS label, "
+        "  (SELECT count(*) FROM m WHERE (r.lo IS NULL OR m.flen >= r.lo) "
+        "     AND (r.hi IS NULL OR m.flen <= r.hi)) AS count "
+        "FROM (VALUES ('short', NULL, 59), ('mid', 40, 119), "
+        "      ('long', 100, NULL)) r(label, lo, hi)"
+    )
     sqls["spell_suggest"] = g.spell_suggest_sql(
         ["tabel", "strem", "vektor"], num_sug=5)
     sqls["facet_counts_source"] = (
@@ -764,8 +804,19 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
     sqls["span_near_ordered_top10"] = g.span_near_ordered_sql(
         "merge", "spark", slop=3)
     sqls["payload_term_top10"] = g.payload_term_sql("merge", fn="avg")
-    sqls["span_near_unordered_hits"] = g.span_near_unordered_hits_sql(
-        "vector", "batch", slop=1)
+    sqls["sort_multi_page2"] = (
+        f"WITH {g.base_ctes()} "
+        "SELECT CAST(rank - 10 AS BIGINT) AS rank, doc_id, lang, field_len "
+        "FROM ("
+        "  SELECT row_number() OVER (ORDER BY d.lang ASC, dl.flen DESC,"
+        "         dl.doc_id ASC) AS rank,"
+        "         dl.doc_id AS doc_id, d.lang AS lang,"
+        "         CAST(dl.flen AS BIGINT) AS field_len"
+        "  FROM doclen dl JOIN documents d ON d.doc_id = dl.doc_id"
+        "  WHERE dl.doc_id IN (SELECT DISTINCT doc_id FROM toks"
+        "                      WHERE term = 'table')"
+        ") WHERE rank BETWEEN 11 AND 20 ORDER BY rank"
+    )
     sqls["span_not_hits"] = g.span_not_hits_sql("table", "merge", pre=1, post=1)
     sqls["lang_id"] = g.lang_id_sql()
     sqls["filtered_top10"] = g.bm25_sql(musts=["spark"], filter_terms=["window"])

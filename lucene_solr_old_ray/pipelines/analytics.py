@@ -203,6 +203,185 @@ def facet_counts_hierarchical(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def facet_range_counts(
+    index_dir: str, query: Query, field: str,
+    ranges: "list[tuple[str, int | None, int | None]]",
+) -> pa.Table:
+    """Numeric range facets over a NUMERIC doc-values column — re-expresses
+    (NOT ports) ``lucene/facet/src/java/org/apache/lucene/facet/range/
+    LongRangeFacetCounts.java:37`` + ``LongRange.java`` (inclusive bounds,
+    ranges may overlap, each range counted independently; docs missing the
+    value count in no range).
+
+    ``ranges`` is ``[(label, lo, hi)]`` with ``None`` = open bound (the
+    reference's Long.MIN_VALUE/MAX_VALUE endpoints). Per-leaf partials are
+    one (label, count) row per range — constant-size regardless of corpus
+    — summed in a tiny driver reduce. -> (label, count) in range order."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    bcast = ray.put((query, list(ranges)))
+
+    def leaf_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        q, rngs = ray.get(bcast)
+        ctx_l = ray.get(ctx_ref)
+        acc = np.zeros(len(rngs), dtype=np.int64)
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            vals = leaf.doc_values(field, docids)
+            present = pd.notna(vals)
+            v = np.asarray(vals[present], dtype=np.int64)
+            for i, (_lbl, lo, hi) in enumerate(rngs):
+                m = np.ones(len(v), dtype=bool)
+                if lo is not None:
+                    m &= v >= lo
+                if hi is not None:
+                    m &= v <= hi
+                acc[i] += int(m.sum())
+        return pd.DataFrame({"ord": np.arange(len(rngs), dtype=np.int64),
+                             "count": acc})
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_counts, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    tot = partials.groupby("ord")["count"].sum() if len(partials) else {}
+    return pa.table({
+        "label": pa.array([r[0] for r in ranges], pa.string()),
+        "count": pa.array([int(tot.get(i, 0)) for i in range(len(ranges))],
+                          pa.int64()),
+    })
+
+
+def drill_down_query(base: Query, dims: "dict[str, list[str]]") -> Query:
+    """Compose a DrillDownQuery (``lucene/facet/src/java/org/apache/lucene/
+    facet/DrillDownQuery.java:47``): the base query plus one MUST clause per
+    drill-down dim; multiple values within a dim OR together; dim clauses
+    are constant-score with boost 0 so the composed score IS the base score
+    (0.0f adds are float32 identities)."""
+    from ..queries import (MUST, SHOULD, BooleanClause, BooleanQuery,
+                           ConstantScoreQuery, TermQuery)
+
+    clauses = [BooleanClause(MUST, base)]
+    for dim in sorted(dims):
+        vals = dims[dim]
+        dq = (TermQuery(vals[0], field=dim) if len(vals) == 1 else
+              BooleanQuery(tuple(BooleanClause(SHOULD, TermQuery(v, field=dim))
+                                 for v in vals), 0))
+        clauses.append(BooleanClause(MUST, ConstantScoreQuery(dq, boost=0.0)))
+    return BooleanQuery(tuple(clauses), 0)
+
+
+def drill_sideways(
+    index_dir: str, base: Query, dims: "dict[str, list[str]]",
+    facet_fields: "dict[str, str] | None" = None,
+) -> "tuple[pa.Table, dict[str, pa.Table]]":
+    """DrillSideways (``facet/DrillSideways.java:63``): hits are the full
+    drill-down; each dim's facet counts are computed with THAT dim's filter
+    removed (base AND every other dim), so the UI can show the counts a
+    user would get by switching the selected value. ``facet_fields`` maps
+    dim -> facet column (defaults to the dim itself).
+    -> (drill-down docID table, {dim: (value, count) table})."""
+    facet_fields = facet_fields or {}
+    hits = match_doc_ids(index_dir, drill_down_query(base, dims))
+    facets = {}
+    for dim in sorted(dims):
+        others = {d: v for d, v in dims.items() if d != dim}
+        q = drill_down_query(base, others) if others else base
+        facets[dim] = facet_counts(index_dir, q, facet_fields.get(dim, dim))
+    return hits, facets
+
+
+def _after_mask(df: pd.DataFrame, keys: "list[tuple[str, bool]]",
+                cursor: tuple) -> pd.Series:
+    """Rows strictly AFTER ``cursor`` in the (keys..., docid asc) total
+    order — the searchAfter predicate of the paginating field collectors
+    (``search/TopFieldCollector.java:1219`` PagingFieldCollector)."""
+    after = pd.Series(False, index=df.index)
+    eq = pd.Series(True, index=df.index)
+    for (f, desc), c in zip(keys, cursor[:-1]):
+        col = df[f]
+        gt = (col < c) if desc else (col > c)
+        after |= eq & gt
+        eq &= col == c
+    after |= eq & (df["docid"] > cursor[-1])
+    return after
+
+
+def sort_by_fields(
+    index_dir: str, query: Query, keys: "list[tuple[str, bool]]",
+    k: int = 10, after: "tuple | None" = None,
+) -> pa.Table:
+    """Top-k matches under a MULTI-key field sort — re-expresses (NOT
+    ports) ``search/Sort.java`` + ``FieldComparator.java`` lexicographic
+    comparator chains and the searchAfter cursor of
+    ``TopFieldCollector.java:1219``. ``keys`` is ``[(field, descending)]``
+    (SORTED string or NUMERIC doc-values); the final tie-break is docid
+    ascending. ``after`` is the previous page's last row as
+    ``(key values..., global docid)`` — only rows strictly after it
+    compete (cursor pagination without re-collecting page 1).
+
+    Per-leaf top-k partials under the same comparator are a superset of
+    the global answer -> exact driver reduce.
+    -> (rank, docid, key columns...)."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    bcast = ray.put((query, list(keys), after))
+    names = [f for f, _ in keys]
+    ascending = [not d for _, d in keys] + [True]
+
+    def leaf_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q, ks, aft = ray.get(bcast)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = LeafSearcher(
+                os.path.join(index_dir, row["dir"]),
+                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
+                deletes_path=(os.path.join(index_dir, row["deletes"])
+                              if row.get("deletes") else None))
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            df = pd.DataFrame({"docid": docids + leaf.doc_base})
+            for f, _ in ks:
+                df[f] = leaf.doc_values(f, docids)
+            if aft is not None:
+                df = df[_after_mask(df, ks, aft)]
+            df = df.sort_values(names + ["docid"], ascending=ascending,
+                                kind="mergesort").head(k)
+            parts.append(df)
+        if not parts:
+            return pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                                 **{f: pd.Series([], dtype=object)
+                                    for f in names}})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_topk, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0 or "docid" not in partials.columns:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "docid": pa.array([], pa.int64()),
+                         **{f: pa.array([], pa.string()) for f in names}})
+    sel = partials.sort_values(names + ["docid"], ascending=ascending,
+                               kind="mergesort").head(k).reset_index(drop=True)
+    sel.insert(0, "rank", np.arange(1, len(sel) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(sel[["rank", "docid"] + names],
+                                preserve_index=False)
+
+
 def group_topk(
     index_dir: str, query: Query, group_col: str, per_group_k: int = 2
 ) -> pa.Table:

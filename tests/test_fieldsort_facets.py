@@ -1,0 +1,157 @@
+"""Range facets, drill-down/drill-sideways, and multi-key field sort with
+searchAfter cursor pagination — the analytics analogues of
+``lucene/facet/range/LongRangeFacetCounts``, ``facet/DrillDownQuery`` /
+``DrillSideways`` and ``search/Sort`` + ``TopFieldCollector`` paging."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.analytics import (
+    drill_down_query,
+    drill_sideways,
+    facet_range_counts,
+    match_doc_ids,
+    sort_by_fields,
+)
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import TermQuery
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    """40 docs: doc i holds `needle` iff i%2==0 plus (i%7)+1 filler tokens,
+    lang cycles en/fr/de/es, source cycles s0/s1/s2 (indexed keyword)."""
+    d = str(tmp_path_factory.mktemp("fsf"))
+    n = 40
+    langs = [("en", "fr", "de", "es")[i % 4] for i in range(n)]
+    sources = [f"s{i % 3}" for i in range(n)]
+    texts = []
+    for i in range(n):
+        toks = (["needle"] if i % 2 == 0 else ["other"])
+        toks += [f"w{i}x{j}" for j in range(i % 7 + 1)]
+        texts.append(" ".join(toks))
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    out = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(
+        d, extra_fields=(FieldSpec("source", "source", "standard"),)),
+        out, target_docs_per_partition=9)
+    flen = [len(t.split()) for t in texts]
+    return out, langs, sources, flen
+
+
+def test_range_facets_overlap_and_open_bounds(idx):
+    out, _langs, _sources, flen = idx
+    ranges = [("tiny", None, 3), ("small", 2, 5), ("big", 5, None)]
+    got = facet_range_counts(out, TermQuery("needle"), "field_len",
+                             ranges).to_pandas()
+    match = [i for i in range(40) if i % 2 == 0]
+    want = []
+    for lbl, lo, hi in ranges:
+        want.append(sum(1 for i in match
+                        if (lo is None or flen[i] >= lo)
+                        and (hi is None or flen[i] <= hi)))
+    assert list(got["label"]) == ["tiny", "small", "big"]  # range order kept
+    assert list(got["count"]) == want
+    # overlapping ranges counted independently: 'small' overlaps both others
+    assert sum(want) > len(match)
+
+
+def test_range_facets_empty_query(idx):
+    out = idx[0]
+    got = facet_range_counts(out, TermQuery("zzznotaterm"), "field_len",
+                             [("all", None, None)]).to_pandas()
+    assert list(got["count"]) == [0]
+
+
+def test_drill_down_scores_equal_base(idx):
+    """MUST dim filters with boost 0: composed score == base score for the
+    surviving docs (the DrillDownQuery contract)."""
+    out = idx[0]
+    base = TermQuery("needle")
+    dq = drill_down_query(base, {"source": ["s0"]})
+    drilled = search(out, [dq], k=40).to_pandas()
+    plain = search(out, [base], k=40).to_pandas()
+    m = plain.merge(drilled, on="docid", suffixes=("_b", "_d"))
+    assert len(m) == len(drilled) > 0
+    np.testing.assert_array_equal(m["score_b"].to_numpy(np.float32),
+                                  m["score_d"].to_numpy(np.float32))
+
+
+def test_drill_down_multi_value_dim_is_or(idx):
+    out, _langs, sources, _ = idx
+    dq = drill_down_query(TermQuery("needle"), {"source": ["s0", "s2"]})
+    got = set(match_doc_ids(out, dq)["docid"].to_pylist())
+    want = {i for i in range(40) if i % 2 == 0 and sources[i] in ("s0", "s2")}
+    assert got == want
+
+
+def test_drill_sideways_removes_own_filter(idx):
+    out, _langs, sources, _ = idx
+    hits, facets = drill_sideways(out, TermQuery("needle"),
+                                  {"source": ["s1"]})
+    # hits = full drill-down
+    want_hits = {i for i in range(40) if i % 2 == 0 and sources[i] == "s1"}
+    assert set(hits["docid"].to_pylist()) == want_hits
+    # sideways facet over `source` counts the BASE query (own filter removed)
+    f = facets["source"].to_pandas().set_index("source")["count"]
+    for s in ("s0", "s1", "s2"):
+        assert f[s] == sum(1 for i in range(40)
+                           if i % 2 == 0 and sources[i] == s)
+
+
+def _expected_order(match, langs, flen):
+    df = pd.DataFrame({"docid": match,
+                       "lang": [langs[i] for i in match],
+                       "field_len": [flen[i] for i in match]})
+    return df.sort_values(["lang", "field_len", "docid"],
+                          ascending=[True, False, True], kind="mergesort")
+
+
+def test_sort_multi_key_and_cursor_pagination(idx):
+    out, langs, _sources, flen = idx
+    match = [i for i in range(40) if i % 2 == 0]
+    want = _expected_order(match, langs, flen)
+    keys = [("lang", False), ("field_len", True)]
+
+    p1 = sort_by_fields(out, TermQuery("needle"), keys, k=7).to_pandas()
+    assert list(p1["docid"]) == list(want["docid"].head(7))
+    assert list(p1["rank"]) == list(range(1, 8))
+
+    cur = (p1["lang"].iloc[-1], p1["field_len"].iloc[-1],
+           int(p1["docid"].iloc[-1]))
+    p2 = sort_by_fields(out, TermQuery("needle"), keys, k=7,
+                        after=cur).to_pandas()
+    assert list(p2["docid"]) == list(want["docid"].iloc[7:14])
+    # pages never overlap and chain to the full ordering
+    assert set(p1["docid"]).isdisjoint(set(p2["docid"]))
+
+
+def test_sort_cursor_mid_tie(idx):
+    """A cursor landing inside a (lang, field_len) tie group resumes at the
+    docid tie-break, not at the next key value."""
+    out, langs, _sources, flen = idx
+    match = [i for i in range(40) if i % 2 == 0]
+    want = _expected_order(match, langs, flen).reset_index(drop=True)
+    # find a row followed by an equal-key row
+    pos = next(p for p in range(len(want) - 1)
+               if want.loc[p, ["lang", "field_len"]].tolist()
+               == want.loc[p + 1, ["lang", "field_len"]].tolist())
+    cur = (want.loc[pos, "lang"], int(want.loc[pos, "field_len"]),
+           int(want.loc[pos, "docid"]))
+    nxt = sort_by_fields(out, TermQuery("needle"),
+                         [("lang", False), ("field_len", True)], k=1,
+                         after=cur).to_pandas()
+    assert list(nxt["docid"]) == [want.loc[pos + 1, "docid"]]
