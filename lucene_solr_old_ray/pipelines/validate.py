@@ -73,6 +73,14 @@ def check_leaf(index_dir: str, leaf: dict) -> dict:
         pay_all = open(os.path.join(sd, "payloads.bin"), "rb").read()
         pay_offs = terms["pay_off"].to_numpy()
         pay_lens = terms["pay_len"].to_numpy()
+    has_soff = "soff_off" in terms.column_names
+    if has_soff:
+        soff_all = open(os.path.join(sd, "soffs.bin"), "rb").read()
+        eoff_all = open(os.path.join(sd, "eoffs.bin"), "rb").read()
+        soff_offs = terms["soff_off"].to_numpy()
+        soff_lens = terms["soff_len"].to_numpy()
+        eoff_offs = terms["eoff_off"].to_numpy()
+        eoff_lens = terms["eoff_len"].to_numpy()
     # term-vector sidecar: doc-major ascent, docs in bounds, per-row
     # freq == len(positions) when positions stored (CheckIndex's
     # testTermVectors analogue)
@@ -135,6 +143,25 @@ def check_leaf(index_dir: str, leaf: dict) -> dict:
             if len(pay) != ttfs[i]:
                 errors.append(
                     f"term {names[i]}: payload lane {len(pay)} != ttf")
+                break
+        if has_soff:
+            # postings offsets lanes (..._AND_OFFSETS): 1:1 with ttf and
+            # end > start (CheckIndex's checkpostings offset asserts)
+            try:
+                so = decode_positions_blob(
+                    soff_all[soff_offs[i] : soff_offs[i] + soff_lens[i]])
+                eo = decode_positions_blob(
+                    eoff_all[eoff_offs[i] : eoff_offs[i] + eoff_lens[i]])
+            except Exception as ex:
+                errors.append(
+                    f"term {names[i]}: offsets decode failed ({type(ex).__name__})")
+                break
+            if len(so) != ttfs[i] or len(eo) != ttfs[i]:
+                errors.append(f"term {names[i]}: offsets lane != ttf")
+                break
+            if len(so) and np.any(eo.astype(np.int64)
+                                  <= so.astype(np.int64)):
+                errors.append(f"term {names[i]}: bad postings offset spans")
                 break
         if len(d) != dfs[i]:
             errors.append(f"term {names[i]}: df {dfs[i]} != decoded {len(d)}")

@@ -65,6 +65,13 @@ class CorpusSpec:
     # (Field.TermVector.WITH_POSITIONS_OFFSETS — the FastVectorHighlighter
     # input). Requires store_term_vectors and a standard/stemmed analyzer.
     store_tv_offsets: bool = False
+    # store per-occurrence char offsets in the POSTINGS for the default field
+    # (IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS — the
+    # PostingsHighlighter input, ``index/FieldInfo.java`` IndexOptions +
+    # ``codecs/lucene41`` offset lanes). Two u32 sidecar lanes aligned 1:1
+    # with the positions lane. Requires a standard/stemmed analyzer (the
+    # chains whose offsets contract tokenize_with_offsets defines).
+    store_offsets: bool = False
 
     @staticmethod
     def source_code(path_or_dir: str, analyzer: str = "standard",

@@ -49,7 +49,8 @@ def segment_dir(index_dir: str, part_id: int) -> str:
 
 
 def _invert_subbatch(
-    ab, doc_offset: int, acc: dict[str, list], with_positions: bool = False
+    ab, doc_offset: int, acc: dict[str, list], with_positions: bool = False,
+    with_offsets: bool = False,
 ) -> int:
     """Accumulate (term -> [(docids, tfs, positions|None), ...]) from one
     analyzed sub-batch. Returns number of postings added. Vectorized: one
@@ -61,13 +62,18 @@ def _invert_subbatch(
         return 0
     n_docs = len(ab.field_lengths)
     key = ab.term_codes.astype(np.int64) * n_docs + ab.doc_ids
-    spay = None
+    spay = soff = eoff = None
     if with_positions:
         order = np.argsort(key, kind="stable")
         skey = key[order]
         spos = ab.positions[order].astype(np.uint32)
         if ab.payloads is not None:
             spay = ab.payloads[order].astype(np.uint32)
+        if with_offsets and ab.start_offsets is not None:
+            # offsets lane (IndexOptions ..._AND_OFFSETS): rides the same
+            # stable (term, doc) regrouping, stays position-aligned
+            soff = ab.start_offsets[order].astype(np.uint32)
+            eoff = ab.end_offsets[order].astype(np.uint32)
         uk, first, counts = np.unique(skey, return_index=True, return_counts=True)
     else:
         uk, counts = np.unique(key, return_counts=True)
@@ -87,9 +93,12 @@ def _invert_subbatch(
             p1 = first[e] if e < len(first) else len(spos)
             acc.setdefault(term, []).append(
                 (docs[s:e], tfs[s:e], spos[p0:p1],
-                 spay[p0:p1] if spay is not None else None))
+                 spay[p0:p1] if spay is not None else None,
+                 soff[p0:p1] if soff is not None else None,
+                 eoff[p0:p1] if eoff is not None else None))
         else:
-            acc.setdefault(term, []).append((docs[s:e], tfs[s:e], None, None))
+            acc.setdefault(term, []).append(
+                (docs[s:e], tfs[s:e], None, None, None, None))
     return len(uk)
 
 
@@ -195,11 +204,13 @@ def _flush_field(
 
     has_payloads = store_positions and any(
         parts and parts[0][3] is not None for parts in acc.values())
+    has_offsets = store_positions and any(
+        parts and parts[0][4] is not None for parts in acc.values())
     per_term: list = []
     for i, term in enumerate(terms):
         parts = acc[term]
         if len(parts) == 1:
-            docids, tfs, positions, payloads = parts[0]
+            docids, tfs, positions, payloads, soffs, eoffs = parts[0]
         else:
             docids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
@@ -207,7 +218,11 @@ def _flush_field(
                          if store_positions else None)
             payloads = (np.concatenate([p[3] for p in parts])
                         if has_payloads else None)
-        per_term.append((docids, tfs, positions, payloads))
+            soffs = (np.concatenate([p[4] for p in parts])
+                     if has_offsets else None)
+            eoffs = (np.concatenate([p[5] for p in parts])
+                     if has_offsets else None)
+        per_term.append((docids, tfs, positions, payloads, soffs, eoffs))
         dfs[i] = len(docids)
         ttfs[i] = int(tfs.sum())
 
@@ -228,6 +243,8 @@ def _flush_field(
 
     pos_blobs: list[bytes] = []
     pay_blobs: list[bytes] = []
+    soff_blobs: list[bytes] = []
+    eoff_blobs: list[bytes] = []
     if store_positions and k:
         from ..functions.codec import encode_positions_batch
 
@@ -238,11 +255,25 @@ def _flush_field(
             # positions lane (the .pay-stream analogue)
             flat_pay = np.concatenate([pt[3] for pt in per_term])
             pay_blobs = encode_positions_batch(flat_pay, ttfs)
+        if has_offsets:
+            # offsets lanes: start + end char offsets, same u32-chunk
+            # format, aligned 1:1 with positions (the lucene41 .pos
+            # startOffset/endOffset lanes of ..._AND_OFFSETS)
+            soff_blobs = encode_positions_batch(
+                np.concatenate([pt[4] for pt in per_term]), ttfs)
+            eoff_blobs = encode_positions_batch(
+                np.concatenate([pt[5] for pt in per_term]), ttfs)
     pay_offs = np.zeros(k, dtype=np.int64)
     pay_lens = np.zeros(k, dtype=np.int64)
+    soff_offs = np.zeros(k, dtype=np.int64)
+    soff_lens = np.zeros(k, dtype=np.int64)
+    eoff_offs = np.zeros(k, dtype=np.int64)
+    eoff_lens = np.zeros(k, dtype=np.int64)
     pos = 0
     ppos = 0
     ypos = 0
+    spos_b = 0
+    epos_b = 0
     for i in range(k):
         offs[i] = pos
         lens_b[i] = len(blobs[i])
@@ -255,6 +286,13 @@ def _flush_field(
             pay_offs[i] = ypos
             pay_lens[i] = len(pay_blobs[i])
             ypos += len(pay_blobs[i])
+        if has_offsets:
+            soff_offs[i] = spos_b
+            soff_lens[i] = len(soff_blobs[i])
+            spos_b += len(soff_blobs[i])
+            eoff_offs[i] = epos_b
+            eoff_lens[i] = len(eoff_blobs[i])
+            epos_b += len(eoff_blobs[i])
 
     with open(os.path.join(tmp, prefix + "postings.bin"), "wb") as f:
         for b in blobs:
@@ -273,6 +311,17 @@ def _flush_field(
                 f.write(b)
         tcols["pay_off"] = pay_offs
         tcols["pay_len"] = pay_lens
+    if has_offsets:
+        with open(os.path.join(tmp, prefix + "soffs.bin"), "wb") as f:
+            for b in soff_blobs:
+                f.write(b)
+        with open(os.path.join(tmp, prefix + "eoffs.bin"), "wb") as f:
+            for b in eoff_blobs:
+                f.write(b)
+        tcols["soff_off"] = soff_offs
+        tcols["soff_len"] = soff_lens
+        tcols["eoff_off"] = eoff_offs
+        tcols["eoff_len"] = eoff_lens
     pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
     from ..functions.bloom import write_bloom
 
@@ -340,6 +389,7 @@ def build_segment(
     meta_tables: list[pa.Table] = []
     store_tv = bool(getattr(spec, "store_term_vectors", False))
     tv_offsets = bool(getattr(spec, "store_tv_offsets", False))
+    post_offsets = bool(getattr(spec, "store_offsets", False))
     tv_parts: list[pa.Table] = []
     sha_list: list[str] = []
     doc_off = 0
@@ -371,9 +421,12 @@ def build_segment(
                     tb[col], with_positions=wpos, analyzer=anlz,
                     synonyms=(dict(spec.synonyms)
                               if getattr(spec, "synonyms", None) else None),
-                    with_offsets=(fi == 0 and store_tv and tv_offsets),
+                    with_offsets=(fi == 0 and (post_offsets
+                                               or (store_tv and tv_offsets))),
                 )  # zero-copy Arrow in
-            n_post[fi] += _invert_subbatch(ab, doc_off, accs[fi], wpos)
+            n_post[fi] += _invert_subbatch(
+                ab, doc_off, accs[fi], wpos,
+                with_offsets=(fi == 0 and post_offsets))
             n_inst[fi] += len(ab.term_codes)
             flen_parts[fi].append(ab.field_lengths)
             if fi == 0 and store_tv:

@@ -61,7 +61,13 @@ def _read_seg_field(index_dir: str, seg: dict, prefix: str):
     if "pay_off" in t.column_names:
         with open(os.path.join(sd, prefix + "payloads.bin"), "rb") as f:
             pay_all = f.read()
-    return seg, t, blob_all, pos_all, pay_all
+    soff_all = eoff_all = b""
+    if "soff_off" in t.column_names:
+        with open(os.path.join(sd, prefix + "soffs.bin"), "rb") as f:
+            soff_all = f.read()
+        with open(os.path.join(sd, prefix + "eoffs.bin"), "rb") as f:
+            eoff_all = f.read()
+    return seg, t, blob_all, pos_all, pay_all, soff_all, eoff_all
 
 
 def _gather_groups(bufs, src, offs, lens, order, gstarts):
@@ -125,6 +131,12 @@ def _kway_merge(per_seg):
     if has_pay:
         all_yoff = np.concatenate([t["pay_off"].to_numpy() for _, t, *_ in per_seg])
         all_ylen = np.concatenate([t["pay_len"].to_numpy() for _, t, *_ in per_seg])
+    has_soff = all("soff_off" in t.column_names for _, t, *_ in per_seg)
+    if has_soff:
+        all_soff = np.concatenate([t["soff_off"].to_numpy() for _, t, *_ in per_seg])
+        all_slen = np.concatenate([t["soff_len"].to_numpy() for _, t, *_ in per_seg])
+        all_eoff = np.concatenate([t["eoff_off"].to_numpy() for _, t, *_ in per_seg])
+        all_elen = np.concatenate([t["eoff_len"].to_numpy() for _, t, *_ in per_seg])
     src = np.concatenate([np.full(len(t), i, dtype=np.int32)
                           for i, (_, t, *_) in enumerate(per_seg)])
     order = np.lexsort((all_ord, all_terms))
@@ -132,7 +144,8 @@ def _kway_merge(per_seg):
         z = np.empty(0, dtype=np.int64)
         empty = (b"", z, z)
         return [], z, z, empty, (empty if has_pos else None), \
-            (empty if has_pay else None)
+            (empty if has_pay else None), \
+            (empty if has_soff else None), (empty if has_soff else None)
 
     st = all_terms[order]
     new = np.ones(len(st), dtype=bool)
@@ -145,7 +158,7 @@ def _kway_merge(per_seg):
     shifted = [
         shift_segment_blob(blob_all, t["off"].to_numpy(),
                            t["len"].to_numpy(), s["doc_offset"])
-        for s, t, blob_all, _pos, _pay in per_seg
+        for s, t, blob_all, *_ in per_seg
     ]
     packed = _gather_groups(shifted, src, all_off, all_len, order, gstarts)
     pos_packed = (_gather_groups([p[3] for p in per_seg], src,
@@ -154,7 +167,14 @@ def _kway_merge(per_seg):
     pay_packed = (_gather_groups([p[4] for p in per_seg], src,
                                  all_yoff, all_ylen, order, gstarts)
                   if has_pay else None)
-    return terms, dfs, ttfs, packed, pos_packed, pay_packed
+    soff_packed = (_gather_groups([p[5] for p in per_seg], src,
+                                  all_soff, all_slen, order, gstarts)
+                   if has_soff else None)
+    eoff_packed = (_gather_groups([p[6] for p in per_seg], src,
+                                  all_eoff, all_elen, order, gstarts)
+                   if has_soff else None)
+    return terms, dfs, ttfs, packed, pos_packed, pay_packed, \
+        soff_packed, eoff_packed
 
 
 def _write_lane(path: str, blobs) -> tuple[np.ndarray, np.ndarray, int]:
@@ -180,7 +200,8 @@ def _write_lane(path: str, blobs) -> tuple[np.ndarray, np.ndarray, int]:
 
 
 def _write_field_files(tmp: str, prefix: str, terms, dfs, ttfs, blobs,
-                       pos_blobs, pay_blobs=None) -> int:
+                       pos_blobs, pay_blobs=None, soff_blobs=None,
+                       eoff_blobs=None) -> int:
     """Write one field's terms/postings(/positions/payloads) under ``tmp``;
     returns postings byte count. Each lane accepts a per-term bytes list or
     a packed ``(big, offs, lens)`` stream (see :func:`_kway_merge`)."""
@@ -203,6 +224,15 @@ def _write_field_files(tmp: str, prefix: str, terms, dfs, ttfs, blobs,
             os.path.join(tmp, prefix + "payloads.bin"), pay_blobs)
         tcols["pay_off"] = pay_offs
         tcols["pay_len"] = pay_lens
+    if soff_blobs is not None:
+        soff_offs, soff_lens, _ = _write_lane(
+            os.path.join(tmp, prefix + "soffs.bin"), soff_blobs)
+        eoff_offs, eoff_lens, _ = _write_lane(
+            os.path.join(tmp, prefix + "eoffs.bin"), eoff_blobs)
+        tcols["soff_off"] = soff_offs
+        tcols["soff_len"] = soff_lens
+        tcols["eoff_off"] = eoff_offs
+        tcols["eoff_len"] = eoff_lens
     pq.write_table(pa.table(tcols), os.path.join(tmp, prefix + "terms.parquet"))
     from ..functions.bloom import write_bloom
 
@@ -290,6 +320,20 @@ def read_segment_term_rows(index_dir: str, shard: dict) -> pd.DataFrame:
             yblobs = [pay_all[o: o + l] for o, l in zip(yo, yl)]
         else:
             yblobs = [b""] * len(names)
+        if "soff_off" in terms.column_names:  # offsets lanes ride the shuffle
+            with open(os.path.join(sd, "soffs.bin"), "rb") as f:
+                soff_all = f.read()
+            with open(os.path.join(sd, "eoffs.bin"), "rb") as f:
+                eoff_all = f.read()
+            so = terms["soff_off"].to_numpy()
+            sl = terms["soff_len"].to_numpy()
+            eo = terms["eoff_off"].to_numpy()
+            el = terms["eoff_len"].to_numpy()
+            sblobs = [soff_all[o: o + l] for o, l in zip(so, sl)]
+            eblobs = [eoff_all[o: o + l] for o, l in zip(eo, el)]
+        else:
+            sblobs = [b""] * len(names)
+            eblobs = [b""] * len(names)
         salt = np.where(
             np.fromiter((t in hot for t in names), count=len(names),
                         dtype=bool),
@@ -310,6 +354,8 @@ def read_segment_term_rows(index_dir: str, shard: dict) -> pd.DataFrame:
             "blob": pd.Series(blobs, dtype=object),
             "pos_blob": pd.Series(pblobs, dtype=object),
             "pay_blob": pd.Series(yblobs, dtype=object),
+            "soff_blob": pd.Series(sblobs, dtype=object),
+            "eoff_blob": pd.Series(eblobs, dtype=object),
             "g": g,
         }))
     return pd.concat(frames, ignore_index=True)
@@ -327,9 +373,11 @@ def merge_bucket(gb: pd.DataFrame) -> pd.DataFrame:
         blob=("blob", lambda s: b"".join(s)),
         pos_blob=("pos_blob", lambda s: b"".join(s)),
         pay_blob=("pay_blob", lambda s: b"".join(s)),
+        soff_blob=("soff_blob", lambda s: b"".join(s)),
+        eoff_blob=("eoff_blob", lambda s: b"".join(s)),
     ).reset_index()
     return agg[["shard_id", "term", "salt", "df", "ttf", "blob",
-                "pos_blob", "pay_blob"]]
+                "pos_blob", "pay_blob", "soff_blob", "eoff_blob"]]
 
 
 def write_shard_files(
@@ -342,6 +390,8 @@ def write_shard_files(
     blobs: list[bytes] | tuple,
     pos_blobs: list[bytes] | tuple | None = None,
     pay_blobs: list[bytes] | tuple | None = None,
+    soff_blobs: list[bytes] | tuple | None = None,
+    eoff_blobs: list[bytes] | tuple | None = None,
 ) -> dict:
     """Write a merged shard directory (same layout as a segment) atomically.
     Norms and docmap are concatenations of the input segments' in seg_ord
@@ -352,7 +402,7 @@ def write_shard_files(
     os.makedirs(tmp, exist_ok=True)
 
     pos = _write_field_files(tmp, "", terms, dfs, ttfs, blobs, pos_blobs,
-                             pay_blobs)
+                             pay_blobs, soff_blobs, eoff_blobs)
 
     # extra fields: k-way merge per field (fields are typically far smaller
     # than the content field, so they ride along in the same shard task)
@@ -364,10 +414,10 @@ def write_shard_files(
         prefix = fprefix(fname)
         per_seg = [_read_seg_field(index_dir, seg, prefix)
                    for seg in segs_sorted]
-        f_terms, f_dfs, f_ttfs, f_blobs, f_pblobs, f_yblobs = \
-            _kway_merge(per_seg)
+        f_terms, f_dfs, f_ttfs, f_blobs, f_pblobs, f_yblobs, f_sblobs, \
+            f_eblobs = _kway_merge(per_seg)
         _write_field_files(tmp, prefix, f_terms, f_dfs, f_ttfs,
-                           f_blobs, f_pblobs, f_yblobs)
+                           f_blobs, f_pblobs, f_yblobs, f_sblobs, f_eblobs)
         with open(os.path.join(tmp, prefix + "norms.bin"), "wb") as f:
             for seg in segs_sorted:
                 sd = os.path.join(index_dir, seg["dir"])
@@ -475,12 +525,16 @@ def assemble_shard(index_dir: str, out_dir: str, shard: dict, g: pd.DataFrame) -
     g = g.sort_values(["term", "salt"], kind="mergesort")
     has_pos = "pos_blob" in g.columns and int(g["pos_blob"].map(len).sum()) > 0
     has_pay = "pay_blob" in g.columns and int(g["pay_blob"].map(len).sum()) > 0
+    has_soff = ("soff_blob" in g.columns
+                and int(g["soff_blob"].map(len).sum()) > 0)
     terms: list[str] = []
     dfs: list[int] = []
     ttfs: list[int] = []
     blobs: list[bytes] = []
     pos_blobs: list[bytes] = []
     pay_blobs: list[bytes] = []
+    soff_blobs: list[bytes] = []
+    eoff_blobs: list[bytes] = []
     for term, sub in g.groupby("term", sort=True):
         terms.append(term)
         dfs.append(int(sub["df"].sum()))
@@ -490,11 +544,16 @@ def assemble_shard(index_dir: str, out_dir: str, shard: dict, g: pd.DataFrame) -
             pos_blobs.append(b"".join(sub["pos_blob"].tolist()))
         if has_pay:
             pay_blobs.append(b"".join(sub["pay_blob"].tolist()))
+        if has_soff:
+            soff_blobs.append(b"".join(sub["soff_blob"].tolist()))
+            eoff_blobs.append(b"".join(sub["eoff_blob"].tolist()))
     return write_shard_files(
         index_dir, out_dir, shard, terms,
         np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64), blobs,
         pos_blobs if has_pos else None,
         pay_blobs if has_pay else None,
+        soff_blobs if has_soff else None,
+        eoff_blobs if has_soff else None,
     )
 
 
@@ -507,9 +566,10 @@ def local_merge_shard(index_dir: str, out_dir: str, shard: dict) -> dict:
                 "num_docs": m["num_docs"], "sum_tf": m["sum_tf"], "skipped": True}
     per_seg = [_read_seg_field(index_dir, seg, "")
                for seg in sorted(shard["segments"], key=lambda s: s["seg_ord"])]
-    terms, dfs, ttfs, blobs, pos_blobs, pay_blobs = _kway_merge(per_seg)
+    terms, dfs, ttfs, blobs, pos_blobs, pay_blobs, soff_blobs, eoff_blobs = \
+        _kway_merge(per_seg)
     return write_shard_files(
         index_dir, out_dir, shard, terms,
         np.asarray(dfs, dtype=np.int64), np.asarray(ttfs, dtype=np.int64),
-        blobs, pos_blobs, pay_blobs,
+        blobs, pos_blobs, pay_blobs, soff_blobs, eoff_blobs,
     )

@@ -130,6 +130,22 @@ class LeafSearcher:
                 if self.pay_len.sum() > 0
                 else np.zeros(0, dtype=np.uint8)
             )
+        self.has_offsets = "soff_off" in t.column_names
+        if self.has_offsets:
+            self.soff_off = t["soff_off"].to_numpy()
+            self.soff_len = t["soff_len"].to_numpy()
+            self.eoff_off = t["eoff_off"].to_numpy()
+            self.eoff_len = t["eoff_len"].to_numpy()
+            self.soffs_mm = (
+                np.memmap(os.path.join(leaf_dir, fp + "soffs.bin"),
+                          dtype=np.uint8, mode="r")
+                if self.soff_len.sum() > 0
+                else np.zeros(0, dtype=np.uint8))
+            self.eoffs_mm = (
+                np.memmap(os.path.join(leaf_dir, fp + "eoffs.bin"),
+                          dtype=np.uint8, mode="r")
+                if self.eoff_len.sum() > 0
+                else np.zeros(0, dtype=np.uint8))
         self.norms = np.frombuffer(
             open(os.path.join(leaf_dir, fp + "norms.bin"), "rb").read(),
             dtype=np.uint8
@@ -287,6 +303,32 @@ class LeafSearcher:
         pay = decode_positions_blob(
             self.payloads_mm[yo : yo + int(self.pay_len[ti])])
         return docids, tfs, flat, starts, pay
+
+    def postings_with_offsets(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+               np.ndarray, np.ndarray]:
+        """-> (docids, tfs, flat positions, per-doc starts, flat
+        start_offsets, flat end_offsets); the offsets lanes are aligned 1:1
+        with positions (``DocsAndPositionsEnum.FLAG_OFFSETS`` — the
+        IndexOptions ..._AND_OFFSETS read path the PostingsHighlighter
+        requires, ``postingshighlight/PostingsHighlighter.java:505``)."""
+        if not getattr(self, "has_offsets", False):
+            raise ValueError(
+                "field was indexed without offsets, cannot highlight "
+                "(build with CorpusSpec.store_offsets=True)")
+        docids, tfs, flat, starts = self.postings_with_positions(term)
+        ti = self.lookup(term)
+        if ti < 0:
+            e = np.empty(0, dtype=np.uint32)
+            return docids, tfs, flat, starts, e, e
+        so = int(self.soff_off[ti])
+        eo = int(self.eoff_off[ti])
+        soffs = decode_positions_blob(
+            self.soffs_mm[so : so + int(self.soff_len[ti])])
+        eoffs = decode_positions_blob(
+            self.eoffs_mm[eo : eo + int(self.eoff_len[ti])])
+        return docids, tfs, flat, starts, soffs, eoffs
 
     @property
     def docmap(self):

@@ -1,0 +1,217 @@
+"""PostingsHighlighter: the postings offsets lane (IndexOptions
+..._AND_OFFSETS) through build + both merge strategies, passage
+scoring/formatting ported from ``TestPostingsHighlighter`` basics, and the
+three-way parity: offsets-from-postings == offsets-from-term-vectors ==
+re-analysis offsets."""
+
+import dataclasses
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import tokenize_with_offsets
+from lucene_solr_old_ray.pipelines.postings_highlight import (
+    fetch_postings_offsets,
+    format_passages,
+    highlight_doc,
+    highlight_hits_postings,
+    sentence_breaks,
+)
+from lucene_solr_old_ray.queries import TermQuery
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+
+def _occs(text, term):
+    toks = [(s, e) for t, s, e in tokenize_with_offsets(text) if t == term]
+    return {term: (np.array([s for s, _ in toks], dtype=np.int64),
+                   np.array([e for _, e in toks], dtype=np.int64))}
+
+
+def _snippet(text, term, max_passages=1, max_length=10_000):
+    ps = highlight_doc(text, _occs(text, term), max_passages,
+                       max_length=max_length)
+    return format_passages(ps, text)
+
+
+def test_sentence_breaks():
+    t = "This is a test. Just a test highlighting from postings. Feel free to ignore."
+    assert list(sentence_breaks(t)) == [0, 16, 56, 76]
+    assert list(sentence_breaks("no terminator")) == [0, 13]
+    assert list(sentence_breaks("")) == [0]
+
+
+# --- TestPostingsHighlighter ports (snippet strings bit-identical) ---------
+
+def test_basics_second_sentence():
+    t = ("This is a test. Just a test highlighting from postings. "
+         "Feel free to ignore.")
+    assert _snippet(t, "highlighting") == \
+        "Just a test <b>highlighting</b> from postings. "
+
+
+def test_basics_first_sentence():
+    t = "Highlighting the first term. Hope it works."
+    # engine chain lowercases; offsets mark the ORIGINAL span
+    assert _snippet(t, "highlighting") == \
+        "<b>Highlighting</b> the first term. "
+
+
+def test_highlight_last_word():
+    assert _snippet("This is a test", "test") == "This is a <b>test</b>"
+
+
+def test_one_sentence_docs():
+    assert _snippet("This is a test.", "test") == "This is a <b>test</b>."
+    assert _snippet("Test a one sentence document.", "test") == \
+        "<b>Test</b> a one sentence document."
+
+
+def test_match_exceeding_content_length():
+    # LUCENE-5166 ports: maxLength=17 truncation
+    assert _snippet("123 TEST 01234 TEST", "test", max_length=17) == \
+        "123 <b>TEST</b> 01234 TE"
+    assert _snippet("123 5678 01234 TEST TEST", "test", max_length=17) == \
+        "123 5678 01234 TE"
+    assert _snippet("123 5678 01234 TEST", "test", max_length=17) == \
+        "123 5678 01234 TE"
+
+
+def test_empty_highlight_first_sentences():
+    t = "One sentence here. Another one here. Third."
+    ps = highlight_doc(t, {"zzz": (np.empty(0, np.int64),
+                                   np.empty(0, np.int64))}, 2)
+    assert [(p["start"], p["end"]) for p in ps] == [(0, 19), (19, 37)]
+    assert all(math.isnan(p["score"]) for p in ps)
+    assert format_passages(ps, t) == "One sentence here. Another one here. "
+
+
+def test_passage_ranking_prefers_denser_sentence():
+    t = ("alpha beta gamma. alpha alpha alpha word. nothing here at all. "
+         "one alpha only.")
+    s = _snippet(t, "alpha")
+    assert s == "<b>alpha</b> <b>alpha</b> <b>alpha</b> word. "
+
+
+def test_two_passages_with_ellipsis():
+    t = ("alpha beta gamma. nothing in this one. alpha again here. "
+         "and a tail.")
+    ps = highlight_doc(t, _occs(t, "alpha"), 2)
+    assert len(ps) == 2
+    out = format_passages(ps, t)
+    assert out == "alpha beta gamma. ... alpha again here. ".replace(
+        "alpha", "<b>alpha</b>")
+
+
+# --- the distributed path over a real index --------------------------------
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+
+    d = str(tmp_path_factory.mktemp("ph"))
+    n = 30
+    texts = []
+    for i in range(n):
+        if i % 3 == 0:
+            texts.append(f"Needle first here doc{i}. Then a needle again. "
+                         "Tail sentence without it.")
+        elif i % 3 == 1:
+            texts.append(f"No match at all doc{i}. Plain filler text.")
+        else:
+            texts.append(f"One needle doc{i} only here.")
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n), "source": pa.array(["s0"] * n),
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    spec = dataclasses.replace(
+        CorpusSpec.documents(d), store_offsets=True,
+        store_term_vectors=True, store_tv_offsets=True)
+    idx = os.path.join(d, "idx")
+    build_index(spec, idx, target_docs_per_partition=8)
+    merge_index(idx, fan_in=4, strategy="local")
+    return d, idx, texts
+
+
+def test_postings_offsets_equal_tv_and_reanalysis(built):
+    from lucene_solr_old_ray.pipelines.search import fetch_term_vectors
+
+    d, idx, texts = built
+    docids = [0, 2, 3, 5, 6, 8]
+    got = fetch_postings_offsets(idx, docids, ["needle"]).to_pandas()
+    tv = fetch_term_vectors(idx, docids).to_pandas()
+    tv = tv[tv["term"] == "needle"]
+    for _, r in got.iterrows():
+        # == re-analysis
+        want = [(s, e) for t, s, e in tokenize_with_offsets(texts[r["docid"]])
+                if t == "needle"]
+        assert list(zip(r["starts"], r["ends"])) == want
+        # == term-vector lane
+        row = tv[tv["docid"] == r["docid"]]
+        assert len(row) == 1
+        assert list(r["starts"]) == list(row.iloc[0]["start_offsets"])
+        assert list(r["ends"]) == list(row.iloc[0]["end_offsets"])
+    # every matching hit present
+    assert set(got["docid"]) == {i for i in docids if i % 3 != 1}
+
+
+def test_highlight_hits_postings_matches_reanalysis(built):
+    d, idx, texts = built
+    out = highlight_hits_postings(
+        idx, os.path.join(d, "documents.parquet"), TermQuery("needle"),
+        k=5).to_pandas()
+    assert len(out) == 5
+    for _, r in out.iterrows():
+        txt = texts[r["doc_id"]]
+        want = format_passages(
+            highlight_doc(txt, _occs(txt, "needle"), 1), txt)
+        assert r["snippet"] == want
+        assert "<b>" in r["snippet"]
+
+
+def test_missing_offsets_lane_raises(built, tmp_path):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.state import manifest as mf
+    from lucene_solr_old_ray.stages.search import LeafSearcher
+
+    d = built[0]
+    idx2 = os.path.join(str(tmp_path), "idx2")
+    build_index(CorpusSpec.documents(d), idx2, target_docs_per_partition=16)
+    man = mf.read_index_manifest(idx2)
+    s = man["segments"][0]
+    leaf = LeafSearcher(os.path.join(idx2, s["dir"]), s["doc_base"], 0,
+                        s["num_docs"])
+    with pytest.raises(ValueError, match="without offsets"):
+        leaf.postings_with_offsets("needle")
+
+
+def test_offsets_survive_termwise_merge(built, ray_session):
+    import shutil
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+
+    d, idx, texts = built
+    idx2 = idx + "-tw"
+    if not os.path.exists(os.path.join(idx2, ".done")):
+        shutil.rmtree(idx2, ignore_errors=True)
+        spec = dataclasses.replace(CorpusSpec.documents(d),
+                                   store_offsets=True)
+        build_index(spec, idx2, target_docs_per_partition=8)
+        merge_index(idx2, fan_in=4, strategy="termwise")
+        open(os.path.join(idx2, ".done"), "w").close()
+    a = fetch_postings_offsets(idx, [0, 2, 6], ["needle"]).to_pandas()
+    b = fetch_postings_offsets(idx2, [0, 2, 6], ["needle"]).to_pandas()
+    a = a.sort_values("docid").reset_index(drop=True)
+    b = b.sort_values("docid").reset_index(drop=True)
+    assert list(a["docid"]) == list(b["docid"])
+    for x, y in zip(a["starts"], b["starts"]):
+        assert list(x) == list(y)
+    for x, y in zip(a["ends"], b["ends"]):
+        assert list(x) == list(y)
