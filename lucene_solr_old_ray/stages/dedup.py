@@ -294,18 +294,54 @@ def _verify_pairs_ds(
             keep = j >= threshold
             return pd.DataFrame({"doc_a": pa_[keep], "doc_b": pb_[keep],
                                  "jaccard": j[keep]})
-        rows = []
-        for x, y in zip(pa_, pb_):
-            sa, sb = arrs[int(x)], arrs[int(y)]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            u = len(sa) + len(sb) - inter
-            j = (inter / u) if u else 1.0
-            if j >= threshold:
-                rows.append((int(x), int(y), j))
+        # large-vocab path: sort-merge intersect VECTORIZED over the whole
+        # pair batch — flatten every pair's two (distinct-hash) sets tagged
+        # by pair index, one lexsort, count adjacent (pair, hash)
+        # duplicates (an element can only repeat within a pair if it is in
+        # BOTH sides). One C-level sort per chunk replaces a per-pair
+        # intersect1d loop (~40x at 100k+ candidate pairs).
+        la = np.fromiter((len(arrs[int(x)]) for x in pa_),
+                         count=len(pa_), dtype=np.int64)
+        lb = np.fromiter((len(arrs[int(x)]) for x in pb_),
+                         count=len(pb_), dtype=np.int64)
+        out_a, out_b, out_j = [], [], []
+        CH = 4_000_000  # flattened u64s per lexsort chunk
+        lo = 0
+        n_p = len(pa_)
+        plen = la + lb
+        while lo < n_p:
+            hi = lo
+            tot = 0
+            while hi < n_p and (tot == 0 or tot + plen[hi] <= CH):
+                tot += int(plen[hi])
+                hi += 1
+            parts = []
+            for x, y in zip(pa_[lo:hi], pb_[lo:hi]):
+                parts.append(arrs[int(x)])
+                parts.append(arrs[int(y)])
+            flat = (np.concatenate(parts) if parts
+                    else np.empty(0, dtype=np.uint64))
+            pid = np.repeat(np.arange(hi - lo, dtype=np.int64), plen[lo:hi])
+            order = np.lexsort((flat, pid))
+            s, p = flat[order], pid[order]
+            dup = (s[1:] == s[:-1]) & (p[1:] == p[:-1])
+            inter = np.bincount(p[1:][dup], minlength=hi - lo)
+            union = plen[lo:hi] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                j = inter / union
+            j = np.where(union == 0, 1.0, j)
+            keep = j >= threshold
+            out_a.append(pa_[lo:hi][keep])
+            out_b.append(pb_[lo:hi][keep])
+            out_j.append(j[keep])
+            lo = hi
         return pd.DataFrame({
-            "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
-            "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
-            "jaccard": pd.Series([r[2] for r in rows], dtype="float64")})
+            "doc_a": pd.Series(np.concatenate(out_a) if out_a else [],
+                               dtype="int64"),
+            "doc_b": pd.Series(np.concatenate(out_b) if out_b else [],
+                               dtype="int64"),
+            "jaccard": pd.Series(np.concatenate(out_j) if out_j else [],
+                                 dtype="float64")})
 
     tok_ds = corpus.map_batches(token_rows, batch_format="pyarrow")
     dem_ds = cand_ds.map_batches(demand_rows, batch_format="pandas")
@@ -721,12 +757,16 @@ def minhash_lsh_pairs(
     P(miss pair at τ=0.95 with 16 bands × 8 rows) ≈ 2e-8).
 
     Scale shape: signatures vectorized per batch over the pre-hashed batch
-    vocabulary; banding shuffles only (band, key, doc, set-size) rows —
-    each doc's DISTINCT-hash set size rides its own band rows, so there is
-    no driver-held sizes broadcast; candidate emission inside each band
-    bucket is SIZE-WINDOWED (docs sorted by set size; a pair emits only if
-    min >= t*max — a sound requirement of J >= t), and verification is the
-    co-shuffled exact-Jaccard join (:func:`_verify_pairs_ds`)."""
+    vocabulary; banding shuffles only (band, key, keyvec, doc, set-size)
+    rows — each doc's DISTINCT-hash set size rides its own band rows, so
+    there is no driver-held sizes broadcast; candidate emission inside each
+    band bucket is SIZE-WINDOWED (docs sorted by set size; a pair emits
+    only if min >= t*max — a sound requirement of J >= t) and
+    FIRST-BAND-UNIQUE (each row carries the doc's full band-key vector; a
+    pair is emitted only by its earliest colliding band, so near-dup
+    clusters don't flood the verify shuffle with bands-fold duplicate
+    pairs); verification is the co-shuffled exact-Jaccard join
+    (:func:`_verify_pairs_ds`)."""
     import ray
 
     a, b = _perm_params(n_perm)
@@ -745,29 +785,39 @@ def minhash_lsh_pairs(
         keys = _band_keys(sig, bands)
         n = len(ids)
         flat_keys = keys.reshape(-1).view(np.int64)
+        # each band row carries the doc's FULL band-key vector so a pair is
+        # emitted only from its FIRST colliding band (globally unique
+        # emission, no 16x cross-band duplicate pair stream to shuffle)
+        kb = np.ascontiguousarray(keys).view(np.uint8).reshape(n, bands * 8)
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, bands)),
             "sz": pa.array(np.repeat(sz, bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
             "bkey": pa.array(flat_keys),
+            "keys": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(bands * 8), n * bands,
+                [None, pa.py_buffer(np.repeat(kb, bands, axis=0).tobytes())]),
             # coarse shuffle key (bounded Ray group count)
             "g": pa.array((flat_keys % _NBUCKETS).astype(np.int64)),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, sub in g.groupby(["band", "bkey"], sort=False):
+        for (band, _bk), sub in g.groupby(["band", "bkey"], sort=False):
             sub = sub.drop_duplicates("doc_id")
             if len(sub) < 2:
                 continue
             ids = sub["doc_id"].to_numpy(dtype=np.int64)
             s = sub["sz"].to_numpy(dtype=np.int64)
+            kmat = np.frombuffer(
+                b"".join(sub["keys"]), dtype=np.uint64).reshape(len(sub), -1)
             oi = np.argsort(ids, kind="stable")
-            ids, s = ids[oi], s[oi]
+            ids, s, kmat = ids[oi], s[oi], kmat[oi]
             # size-windowed emission: sort by set size; only pairs with
             # min >= t*max can reach the threshold
             o = np.argsort(s, kind="stable")
-            ids, s = ids[o], s[o]
+            ids, s, kmat = ids[o], s[o], kmat[o]
+            bi = int(band)
             aa, bb = [], []
             j = 0
             for i in range(len(ids)):
@@ -777,6 +827,15 @@ def minhash_lsh_pairs(
                     j += 1
                 if j > i + 1:
                     part = ids[i + 1: j]
+                    # first-colliding-band rule: skip the pair if an
+                    # EARLIER band also collides (that band emits it) —
+                    # globally unique emission without a dedup shuffle
+                    if bi > 0:
+                        seen = (kmat[i + 1: j, :bi]
+                                == kmat[i, :bi]).any(axis=1)
+                        part = part[~seen]
+                        if not len(part):
+                            continue
                     x = np.minimum(ids[i], part)
                     y = np.maximum(ids[i], part)
                     aa.append(x)
