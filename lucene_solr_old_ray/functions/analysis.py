@@ -128,6 +128,11 @@ _VOCAB_STEMMERS = {
     "latvian": _stem_named("latvian_stem"),
     "indonesian": _stem_named("indonesian_stem"),
     "greek": _greek_chain,
+    # not a stemmer, but the same vocabulary-level hook: ReverseStringFilter
+    # (``analysis/common/.../reverse/ReverseStringFilter.java:33``) after
+    # the standard chain — the indexing side of the reversed-wildcard trick
+    # (see queries.leading_wildcard_query)
+    "reverse": lambda: (lambda t: t[::-1]),
 }
 
 
@@ -604,7 +609,13 @@ def _analyze_overlay(
       token's position (``analysis/common/.../synonym/SynonymFilter.java:54``;
       the map defaults to :data:`SYNONYMS` and can be supplied per build
       via ``CorpusSpec.synonyms`` — it must be identical at build time for
-      every partition, the SynonymMap build-time contract).
+      every partition, the SynonymMap build-time contract);
+    - ``"commongrams"``: every unigram INCLUDING stop words (the filter
+      replaces StopFilter, ``analysis/common/.../commongrams/
+      CommonGramsFilter.java:39-56``) + a ``w1_w2`` bigram overlaid at
+      w1's position whenever either word is common (common set =
+      :data:`ENGLISH_STOP_WORDS`); bigrams are posIncr-0 grams excluded
+      from norm lengths, unigrams all count.
 
     All filters and string work run on the BATCH VOCABULARY (or unique
     shingle code-tuples), never per token instance.
@@ -618,7 +629,10 @@ def _analyze_overlay(
     lens = np.fromiter((len(u) for u in uniques), count=nu, dtype=np.int64)
     stop = np.fromiter((u in ENGLISH_STOP_WORDS for u in uniques),
                        count=nu, dtype=bool)
-    keep_u = (lens <= MAX_TOKEN_LENGTH) & ~stop
+    if analyzer == "commongrams":
+        keep_u = lens <= MAX_TOKEN_LENGTH  # stop words stay as unigrams
+    else:
+        keep_u = (lens <= MAX_TOKEN_LENGTH) & ~stop
 
     inst_keep = keep_u[codes] if len(codes) else np.empty(0, dtype=bool)
     counts = np.bincount(d[inst_keep], minlength=n_docs).astype(np.int32)
@@ -648,6 +662,23 @@ def _analyze_overlay(
                 [" ".join(uniques[c] for c in row) for row in urows],
                 dtype=object)
             streams.append((d[w], p[w], sh_strs[inv]))
+    elif analyzer == "commongrams" and len(codes) >= 2:
+        # bigram window (w1, w2) inside one doc where EITHER word is
+        # common: gram token "w1_w2" at w1's position (posIncr 0,
+        # CommonGramsFilter.gramToken)
+        valid = d[:-1] == d[1:]
+        c1 = codes[:-1]
+        c2 = codes[1:]
+        valid &= stop[c1] | stop[c2]
+        valid &= (lens[c1] <= MAX_TOKEN_LENGTH) & (lens[c2] <= MAX_TOKEN_LENGTH)
+        w = np.flatnonzero(valid)
+        if len(w):
+            mat = np.stack([codes[w], codes[w + 1]], axis=1)
+            urows, inv = np.unique(mat, axis=0, return_inverse=True)
+            gram_strs = np.asarray(
+                [uniques[a] + "_" + uniques[b] for a, b in urows],
+                dtype=object)
+            streams.append((d[w], p[w], gram_strs[inv]))
     elif analyzer == "synonym" and len(codes):
         # triggers on ANY raw token (incl. stop/overlong anchors, as the
         # reference SynonymFilter sees the pre-stop stream)
@@ -1010,6 +1041,68 @@ def _analyze_word_delimiter(
                          uniques, fl)
 
 
+def _analyze_pattern(
+    texts, pattern: str, group: int, with_positions: bool
+) -> AnalyzedBatch:
+    """PatternTokenizer chain: regex-defined tokens, lowercased, overlong
+    dropped, stop words KEPT.
+
+    Re-expresses (NOT ports) ``analysis/common/.../pattern/
+    PatternTokenizer.java:48-63``: ``group == -1`` splits on the pattern
+    (tokens are the text BETWEEN matches); ``group >= 0`` emits that
+    capture group of every match. Lowercasing follows the PatternAnalyzer
+    chain (``miscellaneous/PatternAnalyzer.java:63`` toLowerCase=true) with
+    no stop set. The compiled regex is module-cached so actor reuse never
+    recompiles."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rx = _PATTERN_CACHE.get(pattern)
+    if rx is None:
+        rx = _PATTERN_CACHE[pattern] = re.compile(pattern)
+    texts_list = texts.to_pylist() if isinstance(texts, pa.Array) else list(texts)
+    n_docs = len(texts_list)
+    doc_ids: list[int] = []
+    positions: list[int] = []
+    terms: list[str] = []
+    lengths = np.zeros(n_docs, dtype=np.int32)
+    for di, t in enumerate(texts_list):
+        t = t or ""
+        if group == -1:
+            toks = [x for x in rx.split(t) if x]
+        else:
+            toks = [m.group(group) for m in rx.finditer(t)
+                    if m.group(group)]
+        pos = 0
+        for tok in toks:
+            tok = tok.lower()
+            if len(tok) > MAX_TOKEN_LENGTH:
+                pos += 1  # consumes a position like other dropped tokens
+                continue
+            doc_ids.append(di)
+            positions.append(pos)
+            terms.append(tok)
+            pos += 1
+        lengths[di] = sum(1 for tok in toks
+                          if len(tok) <= MAX_TOKEN_LENGTH)
+    if terms:
+        codes, uniques = pd.factorize(np.asarray(terms, dtype=object),
+                                      sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    return AnalyzedBatch(
+        np.asarray(doc_ids, dtype=np.int32),
+        (np.asarray(positions, dtype=np.int32) if with_positions
+         else np.empty(0, dtype=np.int32)),
+        codes, uniques, lengths)
+
+
+_PATTERN_CACHE: dict[str, "re.Pattern[str]"] = {}
+
+
 def analyze_batch(
     texts, with_positions: bool = False, analyzer: str = "standard",
     synonyms: dict[str, tuple[str, ...]] | None = None,
@@ -1100,8 +1193,9 @@ def analyze_batch(
         delim = (analyzer.split(":", 1)[1] if ":" in analyzer else "|")
         return _analyze_delimited_payload(texts, with_positions,
                                           delimiter=delim)
-    if analyzer.startswith("shingle") or analyzer == "synonym":
-        # "shingle" (size 2) or "shingle:<n>"
+    if (analyzer.startswith("shingle") or analyzer == "synonym"
+            or analyzer == "commongrams"):
+        # "shingle" (size 2), "shingle:<n>", "synonym", or "commongrams"
         size = 2
         kind = analyzer
         if analyzer.startswith("shingle"):
@@ -1110,6 +1204,15 @@ def analyze_batch(
                 size = int(analyzer.split(":", 1)[1])
         return _analyze_overlay(texts, kind, with_positions,
                                 shingle_size=size, synonyms=synonyms)
+    if analyzer.startswith("pattern_group:") or analyzer.startswith("pattern:"):
+        # "pattern:<regex>" (split mode, group=-1) or
+        # "pattern_group:<g>:<regex>" (emit capture group g of each match)
+        if analyzer.startswith("pattern_group:"):
+            rest = analyzer.split(":", 1)[1]
+            gs, rx = rest.split(":", 1)
+            return _analyze_pattern(texts, rx, int(gs), with_positions)
+        return _analyze_pattern(texts, analyzer.split(":", 1)[1], -1,
+                                with_positions)
 
     s_off = e_off = None
     if analyzer == "standard" or analyzer in _VOCAB_STEMMERS:

@@ -79,6 +79,20 @@ class WildcardQuery:
     max_expansions: int = 1024
 
 
+def leading_wildcard_query(pattern: str, rev_field: str) -> "WildcardQuery":
+    """Leading-wildcard rewrite onto a REVERSED sibling field — the
+    Solr ReversedWildcardFilter trick (``solr/core/src/java/org/apache/
+    solr/analysis/ReversedWildcardFilter.java:30`` + its query-side
+    rewrite in ``solr/core/.../parser/SolrQueryParserBase.java``): a field
+    indexed with ``analyzer="reverse"`` holds every term reversed, and
+    glob languages are closed under reversal (reverse(L(p)) ==
+    L(reverse(p)) — concatenation reverses, ``*``/``?`` are
+    palindromic), so ``*foo`` becomes ``oof*`` — a LITERAL-PREFIX pattern
+    the term dict prunes with one prefix_range bisect instead of a full
+    dictionary scan."""
+    return WildcardQuery(pattern[::-1], field=rev_field)
+
+
 @dataclass(frozen=True)
 class RegexpQuery:
     """Anchored regular-expression match over the term dictionary

@@ -1,0 +1,113 @@
+"""PatternTokenizer chain, ReverseStringFilter chain + the reversed
+leading-wildcard rewrite, and CommonGramsFilter overlays."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch
+from lucene_solr_old_ray.queries import WildcardQuery, leading_wildcard_query
+
+
+def _stream(ab):
+    o = np.lexsort((ab.positions, ab.doc_ids))
+    return [(int(ab.doc_ids[i]), int(ab.positions[i]),
+             str(ab.uniques[ab.term_codes[i]])) for i in o]
+
+
+def test_pattern_split_mode():
+    ab = analyze_batch(pa.array(["a-b-c SPARK-9", "x y"]), True,
+                       "pattern:[-\\s]+")
+    assert _stream(ab) == [(0, 0, "a"), (0, 1, "b"), (0, 2, "c"),
+                           (0, 3, "spark"), (0, 4, "9"),
+                           (1, 0, "x"), (1, 1, "y")]
+    assert list(ab.field_lengths) == [5, 2]
+
+
+def test_pattern_group_mode():
+    ab = analyze_batch(pa.array(["foo=1 bar=2 baz"]), True,
+                       "pattern_group:1:(\\w+)=")
+    assert [t for _, _, t in _stream(ab)] == ["foo", "bar"]
+
+
+def test_pattern_keeps_stopwords_and_empty_docs():
+    ab = analyze_batch(pa.array(["the and of", ""]), True, "pattern:\\s+")
+    assert [t for _, _, t in _stream(ab)] == ["the", "and", "of"]
+    assert list(ab.field_lengths) == [3, 0]
+
+
+def test_reverse_chain_vocabulary():
+    ab = analyze_batch(pa.array(["Spark table", "the spark"]), True,
+                       "reverse")
+    # standard chain rules apply (lowercase, stop removal), then reversal
+    assert sorted(ab.uniques) == ["elbat", "kraps"]
+    assert list(ab.field_lengths) == [2, 1]
+
+
+def test_commongrams_stream_matches_reference_example():
+    # CommonGramsFilter javadoc example: "the quick brown fox" ->
+    # the(0), the_quick(0, gram), quick(1), brown(2), fox(3)
+    ab = analyze_batch(pa.array(["the quick brown fox"]), True,
+                       "commongrams")
+    assert _stream(ab) == [(0, 0, "the"), (0, 0, "the_quick"),
+                           (0, 1, "quick"), (0, 2, "brown"), (0, 3, "fox")]
+    # norms count unigrams only (grams are posIncr-0 overlaps)
+    assert list(ab.field_lengths) == [4]
+
+
+def test_commongrams_gram_on_either_side():
+    ab = analyze_batch(pa.array(["fox is fast"]), True, "commongrams")
+    terms = [t for _, _, t in _stream(ab)]
+    assert terms == ["fox", "fox_is", "is", "is_fast", "fast"]
+
+
+def test_commongrams_no_common_words_no_grams():
+    ab = analyze_batch(pa.array(["quick brown fox"]), True, "commongrams")
+    assert [t for _, _, t in _stream(ab)] == ["quick", "brown", "fox"]
+
+
+@pytest.fixture(scope="module")
+def rev_idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    d = str(tmp_path_factory.mktemp("rev"))
+    n = 40
+    texts = [f"alphabeta{i % 7} gammadelta{i % 5} spark" for i in range(n)]
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n), "source": pa.array(["s0"] * n),
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(
+        d, extra_fields=(FieldSpec("text_rev", "text", "reverse"),)),
+        idx, target_docs_per_partition=16)
+    return idx
+
+
+def test_leading_wildcard_via_reversed_field(rev_idx):
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+
+    # *delta3 has a leading wildcard -> full dict scan on the default
+    # field; the reversed-field rewrite gives the same docs from a
+    # prefix-pruned range
+    slow = match_doc_ids(rev_idx, WildcardQuery("*delta3"))
+    fast = match_doc_ids(rev_idx, leading_wildcard_query("*delta3",
+                                                         "text_rev"))
+    assert slow["docid"].to_pylist() == fast["docid"].to_pylist()
+    assert slow.num_rows > 0
+
+
+def test_leading_wildcard_mixed_pattern(rev_idx):
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+
+    slow = match_doc_ids(rev_idx, WildcardQuery("*beta?"))
+    fast = match_doc_ids(rev_idx, leading_wildcard_query("*beta?",
+                                                         "text_rev"))
+    assert slow["docid"].to_pylist() == fast["docid"].to_pylist()
+    assert slow.num_rows > 0
