@@ -69,10 +69,44 @@ def _leaves(manifest: dict) -> list[dict]:
     return sorted(manifest["segments"], key=lambda s: s["doc_base"])
 
 
+# worker-process-level open-leaf cache: segments/shards are IMMUTABLE
+# (published by atomic rename, never rewritten), so a loaded term dict +
+# memmaps stay valid for the life of the worker. Ray core reuses idle
+# worker PROCESSES across Dataset executions within a job, so the cache
+# survives across search() calls — an actor instance's dict would die with
+# its pool. Keyed by (leaf dir, deletes path, deletes mtime): a new deletes
+# generation writes a NEW file, and mtime guards in-place rewrites.
+_WORKER_LEAVES: dict[tuple, LeafSearcher] = {}
+
+
+def _open_leaf(index_dir: str, row) -> LeafSearcher:
+    dp = row.get("deletes")
+    dpath = os.path.join(index_dir, dp) if dp else None
+    # inode+mtime of the term dict guard against a REBUILT index at the
+    # same path (rmtree + rebuild recycles the directory name)
+    st = os.stat(os.path.join(index_dir, row["dir"], "terms.parquet"))
+    key = (index_dir, row["dir"], st.st_ino, st.st_mtime_ns, dpath,
+           os.path.getmtime(dpath) if dpath else 0.0)
+    ls = _WORKER_LEAVES.get(key)
+    if ls is None:
+        ls = LeafSearcher(
+            os.path.join(index_dir, row["dir"]),
+            int(row["doc_base"]),
+            int(row["leaf_ord"]),
+            int(row["num_docs"]),
+            deletes_path=dpath,
+        )
+        if len(_WORKER_LEAVES) > 64:  # bounded per worker process
+            _WORKER_LEAVES.pop(next(iter(_WORKER_LEAVES)))
+        _WORKER_LEAVES[key] = ls
+    return ls
+
+
 class SearcherStage:
-    """Actor-pool stage over (leaf, query-chunk) descriptor rows — the work
+    """Scoring stage over (leaf, query-chunk) descriptor rows — the work
     fans out across BOTH leaves and query chunks, so parallelism is
-    leaves × ceil(nq / chunk) rather than bounded by shard count."""
+    leaves × ceil(nq / chunk) rather than bounded by shard count. Open
+    leaves come from the worker-level cache (:data:`_WORKER_LEAVES`)."""
 
     def __init__(self, index_dir: str, queries_ref, ctx_ref, k: int, algo: str):
         self.index_dir = index_dir
@@ -80,24 +114,9 @@ class SearcherStage:
         self.ctx: SearchContext = ray.get(ctx_ref)
         self.k = k
         self.algo = algo
-        self._open: dict[str, LeafSearcher] = {}
 
     def _leaf(self, row) -> LeafSearcher:
-        d = row["dir"]
-        ls = self._open.get(d)
-        if ls is None:
-            dp = row.get("deletes")
-            ls = LeafSearcher(
-                os.path.join(self.index_dir, d),
-                int(row["doc_base"]),
-                int(row["leaf_ord"]),
-                int(row["num_docs"]),
-                deletes_path=(os.path.join(self.index_dir, dp) if dp else None),
-            )
-            if len(self._open) > 64:  # bounded leaf cache per actor
-                self._open.pop(next(iter(self._open)))
-            self._open[d] = ls
-        return ls
+        return _open_leaf(self.index_dir, row)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {
@@ -135,6 +154,13 @@ class SearcherStage:
                 "hits": pd.array(out["hits"], dtype="int64"),
             }
         )
+
+
+def _score_rows(batch: "pd.DataFrame", *, index_dir: str, queries_ref,
+                ctx_ref, k: int, algo: str) -> "pd.DataFrame":
+    """Task-pool entry: one scoring pass over a batch of (leaf, q-chunk)
+    descriptor rows (see :class:`SearcherStage`)."""
+    return SearcherStage(index_dir, queries_ref, ctx_ref, k, algo)(batch)
 
 
 @ray.remote
@@ -457,16 +483,19 @@ def search(
     ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
     queries_ref = ray.put(qitems)
     ctx_ref = ray.put(ctx)
-    conc = concurrency or min(len(items), 16)
+    # TASK pool (not an actor pool): scoring state is the open leaf, which
+    # lives in the worker-process cache (_WORKER_LEAVES) and so survives
+    # across search() calls; an actor pool would re-open every leaf per
+    # call. queries/ctx ride object refs (one plasma get per task).
     rows = ds.map_batches(
-        SearcherStage,
-        fn_constructor_kwargs={
+        _score_rows,
+        fn_kwargs={
             "index_dir": index_dir, "queries_ref": queries_ref,
             "ctx_ref": ctx_ref, "k": k, "algo": algo,
         },
         batch_format="pandas",
         batch_size=1,
-        concurrency=conc,
+        concurrency=concurrency,
     ).to_pandas()  # k × leaves × queries rows — small
     if "qid" not in rows.columns:  # zero matches anywhere: schema-less empty df
         rows = pd.DataFrame({"qid": pd.Series([], dtype="int64"),
