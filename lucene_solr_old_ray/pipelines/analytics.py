@@ -20,7 +20,7 @@ import ray.data
 from ..queries import Query, collect_field_terms, collect_terms
 from ..stages.search import LeafSearcher, execute
 from ..state import manifest as mf
-from .search import _leaves, gather_stats
+from .search import _leaves, _open_leaf, gather_stats
 
 
 def _leaf_items(manifest: dict) -> list[dict]:
@@ -46,11 +46,7 @@ def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -96,11 +92,7 @@ def facet_counts_set(index_dir: str, query: Query, facet_col: str) -> pa.Table:
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -160,11 +152,7 @@ def facet_counts_hierarchical(
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -228,11 +216,7 @@ def facet_range_counts(
         ctx_l = ray.get(ctx_ref)
         acc = np.zeros(len(rngs), dtype=np.int64)
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -345,11 +329,7 @@ def sort_by_fields(
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -400,11 +380,7 @@ def group_topk(
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, scores = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -474,11 +450,7 @@ def group_topk_two_pass(
     q_ref = ray.put(query)
 
     def leaf_of(row) -> LeafSearcher:
-        return LeafSearcher(
-            os.path.join(index_dir, row["dir"]),
-            int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-            deletes_path=(os.path.join(index_dir, row["deletes"])
-                          if row.get("deletes") else None))
+        return _open_leaf(index_dir, row)
 
     def first_pass(batch: pd.DataFrame) -> pd.DataFrame:
         q = ray.get(q_ref)
@@ -593,11 +565,7 @@ def match_doc_ids(index_dir: str, query: Query) -> pa.Table:
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, _ = execute(q, leaf, ctx_l)
             parts.append(pd.DataFrame({"docid": docids + leaf.doc_base}))
         return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
@@ -628,11 +596,7 @@ def collect_hits(index_dir: str, query: Query, collector) -> pa.Table:
         ctx_l, q, coll = ray.get(bcast)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, scores = execute(q, leaf, ctx_l)
             parts.append(coll(leaf.ord, leaf.doc_base, docids, scores))
         return (pd.concat(parts, ignore_index=True) if parts
@@ -663,11 +627,7 @@ def sort_by_field(
         ctx_l = ray.get(ctx_ref)
         parts = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
@@ -725,8 +685,7 @@ def export_matches(index_dir: str, query: Query, out_dir: str) -> int:
                              "rows": pq_.read_metadata(final).num_rows,
                              "skipped": True})
                 continue
-            leaf = LeafSearcher(os.path.join(index_dir, row["dir"]),
-                                int(row["doc_base"]), ord_, int(row["num_docs"]))
+            leaf = _open_leaf(index_dir, {**row, "leaf_ord": ord_})
             docids, scores = execute(q, leaf, ctx_l)
             t = leaf.docmap.take(pa.array(docids))
             t = t.append_column("docid", pa.array(docids + leaf.doc_base))
@@ -756,11 +715,7 @@ def count_matches(index_dir: str, query: Query) -> int:
         ctx_l = ray.get(ctx_ref)
         rows = []
         for row in batch.to_dict("records"):
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]),
-                int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             docids, _ = execute(q, leaf, ctx_l)
             rows.append({"n": len(docids)})
         return pd.DataFrame(rows)

@@ -217,7 +217,7 @@ def fetch_postings_offsets(
     import ray
     import ray.data
 
-    from ..stages.search import LeafSearcher
+    from .search import _open_leaf
 
     manifest = mf.read_index_manifest(index_dir)
     want = np.asarray(sorted(set(int(d) for d in docids)), dtype=np.int64)
@@ -234,11 +234,7 @@ def fetch_postings_offsets(
             if lo == hi:
                 continue
             local = want_l[lo:hi] - base
-            leaf = LeafSearcher(
-                os.path.join(index_dir, row["dir"]), base,
-                int(row["leaf_ord"]), nd,
-                deletes_path=(os.path.join(index_dir, row["deletes"])
-                              if row.get("deletes") else None))
+            leaf = _open_leaf(index_dir, row)
             for t in terms_l:
                 d, tfs, _flat, starts, so, eo = leaf.postings_with_offsets(t)
                 if len(d) == 0:

@@ -6,10 +6,11 @@ descriptor table — the postings themselves never move; actors mmap them:
 1. **stats pass** — sum df/ttf for the query's terms across every leaf
    (``TermContext.build`` over all leaves), roll up on the driver, broadcast
    via ``ray.put`` (ShardSearchingTestBase's stats-exchange protocol).
-2. **scoring pass** — ``map_batches(SearcherStage, concurrency=N)``: a
-   stateful actor pool; each actor caches opened ``LeafSearcher``s (term dict
-   in RAM, postings/norms mmap'd) across batches and runs every query against
-   its leaves, emitting per-leaf top-k rows.
+2. **scoring pass** — ``map_batches(_score_rows)``: a task pool whose state
+   (opened ``LeafSearcher``s — term dict in RAM, postings/norms mmap'd) lives
+   in the worker-process-level :data:`_WORKER_LEAVES` cache, so it survives
+   across batches AND across ``search()`` calls; each task runs its query
+   chunk against its leaf, emitting per-leaf top-k rows.
 
 Driver merge follows ``TopDocs.merge`` exactly (``search/TopDocs.java:82-118``):
 (score desc, leaf ord asc, per-leaf rank asc) — leaf ords ascend with docBase,
@@ -174,10 +175,7 @@ def _leaf_stats_task(
     for f, t in field_terms:
         by_field.setdefault(f, []).append(t)
     for row in rows:
-        leaf = LeafSearcher(
-            os.path.join(index_dir, row["dir"]),
-            int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-        )
+        leaf = _open_leaf(index_dir, row)
         for t, (df, ttf) in collect_leaf_stats(leaf, terms).items():
             cur = out.setdefault(t, [0, 0])
             cur[0] += df
@@ -347,10 +345,7 @@ def expansion_to_bool(q, terms: dict[str, int]) -> BooleanQuery:
 def _leaf_expand_task(index_dir: str, rows: list[dict], mtqs: list) -> list[dict]:
     out: list[dict[str, int]] = [dict() for _ in mtqs]
     for row in rows:
-        leaf = LeafSearcher(
-            os.path.join(index_dir, row["dir"]),
-            int(row["doc_base"]), int(row["leaf_ord"]), int(row["num_docs"]),
-        )
+        leaf = _open_leaf(index_dir, row)
         for i, q in enumerate(mtqs):
             for t, ed in collect_mtq_terms(leaf, q).items():
                 cur = out[i].get(t)
