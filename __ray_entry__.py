@@ -18,7 +18,8 @@ constant-score AND, highlighter, simhash_pairs, LSH ANN; round 4 swaps:
 bm25_searchafter_page2 -> html_strip_phrase_top10, bm25_boosted_top10 ->
 wdf_bm25_top10, wildcard_hits -> block_join_top10, fuzzy_hits ->
 join_scored_top10, prefix_hits -> facet_range_counts,
-span_near_unordered_hits -> sort_multi_page2) remain fully pytest-covered
+span_near_unordered_hits -> sort_multi_page2, token_count_by_lang ->
+classify_knn) remain fully pytest-covered
 (tests/test_{numeric_mlt,advanced,highlight,extras,search,spans}.py) and
 their SQL generators remain in sqlgen.py.
 
@@ -682,11 +683,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprints,
         lang_id,
         quality_stats,
-        token_count_by_lang,
     )
 
     q["quality_stats"] = quality_stats
-    q["token_count_by_lang"] = token_count_by_lang
+
+    # --- kNN classification (lucene/classification via MLT) ----------------
+    def classify_knn_entry(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.classify import classify_knn
+
+        idx = _index_for(sf_dir)
+        txt = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"],
+                            filters=[("doc_id", "=", 7)])["text"][0].as_py()
+        return classify_knn(idx, [txt], "lang", k=10).select(
+            ["class", "votes", "score"])
+
+    q["classify_knn"] = classify_knn_entry
     q["lang_id"] = lang_id
     q["doc_fingerprints"] = fingerprints  # rows-only (FNV/simhash bit math)
     from lucene_solr_old_ray.stages.dedup import dedup_clusters
@@ -846,12 +858,7 @@ SELECT d.doc_id AS doc_id,
        coalesce(max(length(ta.t)), 0) AS max_token_len
 FROM documents d LEFT JOIN ta ON d.doc_id = ta.doc_id
 GROUP BY d.doc_id ORDER BY doc_id"""
-    sqls["token_count_by_lang"] = f"""
-WITH {g.base_ctes()}
-SELECT d.lang AS lang, count(DISTINCT d.doc_id) AS n_docs,
-       count(t.term) AS n_tokens
-FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
-GROUP BY d.lang ORDER BY lang"""
+    sqls["classify_knn"] = g.classify_knn_sql(7, "lang", 10)
     sqls["exact_dedup"] = (
         "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents "
         "GROUP BY text ORDER BY doc_id"

@@ -1,0 +1,207 @@
+"""Index-backed document classification (the ``lucene/classification``
+module re-expressed on Ray Data).
+
+Two classifiers, both trained ON THE INDEX (no separate model):
+
+- :func:`classify_knn` — k-Nearest-Neighbor via MoreLikeThis
+  (``lucene/classification/src/java/org/apache/lucene/classification/
+  KNearestNeighborClassifier.java:39-93``): each input text becomes an MLT
+  query, the top-k hits vote by their class-field value, score = votes/k.
+  The whole input batch runs as ONE distributed query batch (one stats
+  pass + one scoring pass for every text), not per-text searches; class
+  values come from the hits' stored fields (fetch_doc_meta). Ties break by
+  class ascending (the reference iterates a HashMap — nondeterministic;
+  this re-expression makes the tie deterministic).
+
+- :func:`classify_naive_bayes` — ``SimpleNaiveBayesClassifier.java:45-171``:
+  P(c) * Π_w P(w|c) with add-1 smoothing, where
+  P(c) = docCount(c)/docsWithClass and
+  P(w|c) = (df(text:w AND class:c) + 1) /
+           (avgUniqueTermsPerDoc * docCount(c) + docsWithClass).
+  The (word, class) co-occurrence counts are ONE distributed pass over
+  the index leaves: per leaf, each word's postings docids index the class
+  SORTED doc-values ords and a bincount yields that word's count for
+  EVERY class at once (the reference runs one Boolean count query per
+  (word, class) pair). Probabilities are doubles, like the reference
+  (no float32 contract here — it predates the scoring stack).
+
+Scale shape: inputs ride Ray object-store broadcasts (the per-text vocab
+is bounded by ``max_query_terms`` / the analyzer); leaf partials are
+(n_words × n_classes) count matrices — constant in corpus size; nothing
+per-document ever reaches the driver except the final labels.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.analysis import analyze_text
+from ..state import manifest as mf
+from .analytics import _leaf_items
+from .mlt import _mlt_from_tf
+from .search import _open_leaf, fetch_doc_meta, search
+
+
+def classify_knn(
+    index_dir: str,
+    texts: "list[str]",
+    class_field: str,
+    k: int = 10,
+    *,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    max_query_terms: int = 25,
+) -> pa.Table:
+    """kNN classification of ``texts`` -> (text_ord, class, score, votes).
+    ``score`` = majority votes / k (ClassificationResult.getScore)."""
+    queries = {}
+    for i, t in enumerate(texts):
+        tf: dict[str, int] = {}
+        for tok in analyze_text(t or ""):
+            tf[tok] = tf.get(tok, 0) + 1
+        queries[i] = _mlt_from_tf(
+            index_dir, tf, min_term_freq=min_term_freq,
+            min_doc_freq=min_doc_freq, max_query_terms=max_query_terms)
+    res = search(index_dir, queries, k=k).to_pandas()
+    classes = []
+    if len(res):
+        meta = fetch_doc_meta(
+            index_dir, res["docid"].tolist()).to_pandas()
+        cls_of = dict(zip(meta["docid"], meta[class_field]))
+    out_ord, out_cls, out_score, out_votes = [], [], [], []
+    for i in range(len(texts)):
+        sub = res[res["qid"] == i] if len(res) else res
+        if len(sub) == 0:
+            continue
+        counts: dict[str, int] = {}
+        for d in sub["docid"]:
+            c = cls_of.get(int(d))
+            if c is not None:
+                counts[str(c)] = counts.get(str(c), 0) + 1
+        if not counts:
+            continue
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out_ord.append(i)
+        out_cls.append(best[0])
+        out_votes.append(best[1])
+        out_score.append(best[1] / k)
+    return pa.table({
+        "text_ord": pa.array(out_ord, pa.int64()),
+        "class": pa.array(out_cls, pa.string()),
+        "score": pa.array(out_score, pa.float64()),
+        "votes": pa.array(out_votes, pa.int64()),
+    })
+
+
+def _nb_leaf_partials(index_dir: str, class_field: str):
+    """Distributed training pass -> (classes, per-class doc counts,
+    (word -> per-class df) for the broadcast word list, sum_df, doc_count)
+    summed over leaves."""
+
+    def fn(words: "list[str]"):
+        words_ref = ray.put(sorted(set(words)))
+
+        def leaf_counts(batch: pd.DataFrame) -> pd.DataFrame:
+            ws = ray.get(words_ref)
+            rows = []
+            for row in batch.to_dict("records"):
+                leaf = _open_leaf(index_dir, row)
+                ords, values = leaf.dv_sorted(class_field)
+                ords = np.asarray(ords)
+                nclasses = len(values)
+                cls_counts = np.bincount(ords[ords >= 0],
+                                         minlength=nclasses)
+                # text-field docCount (docs with >= 1 kept token) and
+                # sumDocFreq (number of (term, doc) postings)
+                flen = np.asarray(leaf.doc_values("field_len",
+                                                  np.arange(leaf.num_docs)),
+                                  dtype=np.int64)
+                doc_count = int((flen > 0).sum())
+                sum_df = int(leaf.df.sum())
+                for w in ws:
+                    d, _tf = leaf.postings(w)
+                    if len(d):
+                        o = ords[d]
+                        wc = np.bincount(o[o >= 0], minlength=nclasses)
+                    else:
+                        wc = np.zeros(nclasses, dtype=np.int64)
+                    rows.append({"word": w, "classes": list(values),
+                                 "wc": wc.tolist(),
+                                 "cls_counts": cls_counts.tolist(),
+                                 "sum_df": sum_df, "doc_count": doc_count,
+                                 "first": w == ws[0]})
+            return pd.DataFrame(rows)
+
+        manifest = mf.read_index_manifest(index_dir)
+        items = _leaf_items(manifest)
+        ds = ray.data.from_items(items,
+                                 override_num_blocks=max(1, len(items)))
+        parts = ds.map_batches(leaf_counts, batch_format="pandas",
+                               batch_size=4).to_pandas()
+        # roll up across leaves (class dicts are per-leaf; align by value)
+        classes: dict[str, int] = {}
+        for cl in parts["classes"]:
+            for c in cl:
+                classes.setdefault(str(c), len(classes))
+        cls_names = sorted(classes)
+        cidx = {c: i for i, c in enumerate(cls_names)}
+        n_cls = len(cls_names)
+        cls_doc = np.zeros(n_cls, dtype=np.int64)
+        word_cls: dict[str, np.ndarray] = {
+            w: np.zeros(n_cls, dtype=np.int64) for w in set(parts["word"])}
+        sum_df = 0
+        doc_count = 0
+        for r in parts.itertuples():
+            wc = word_cls[r.word]
+            for c, n in zip(r.classes, r.wc):
+                wc[cidx[str(c)]] += int(n)
+            if r.first:  # leaf-level stats counted once per leaf
+                for c, n in zip(r.classes, r.cls_counts):
+                    cls_doc[cidx[str(c)]] += int(n)
+                sum_df += int(r.sum_df)
+                doc_count += int(r.doc_count)
+        return cls_names, cls_doc, word_cls, sum_df, doc_count
+
+    return fn
+
+
+def classify_naive_bayes(
+    index_dir: str, texts: "list[str]", class_field: str,
+) -> pa.Table:
+    """Naive-Bayes classification -> (text_ord, class, score)."""
+    toks = [analyze_text(t or "") for t in texts]
+    vocab = sorted({w for ts in toks for w in ts})
+    cls_names, cls_doc, word_cls, sum_df, doc_count = _nb_leaf_partials(
+        index_dir, class_field)(vocab)
+    docs_with_class = int(cls_doc.sum())
+    avg_unique = (sum_df / doc_count) if doc_count else 0.0
+    out_ord, out_cls, out_score = [], [], []
+    for i, ts in enumerate(toks):
+        best_c, best_v = None, 0.0
+        for ci, c in enumerate(cls_names):
+            prior = cls_doc[ci] / docs_with_class if docs_with_class else 0.0
+            den = avg_unique * cls_doc[ci] + docs_with_class
+            val = prior
+            for w in ts:
+                num = word_cls[w][ci] + 1
+                val *= num / den
+            # strict > keeps the FIRST max like the reference loop; class
+            # order here is sorted (deterministic)
+            if val > best_v:
+                best_v, best_c = val, c
+        if best_c is not None:
+            out_ord.append(i)
+            out_cls.append(best_c)
+            out_score.append(best_v)
+    return pa.table({
+        "text_ord": pa.array(out_ord, pa.int64()),
+        "class": pa.array(out_cls, pa.string()),
+        "score": pa.array(out_score, pa.float64()),
+    })

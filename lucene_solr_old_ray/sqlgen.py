@@ -404,6 +404,24 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= {k} ORDER BY rank"""
 
 
+def classify_knn_sql(doc_id: int, field: str = "lang", k: int = 10,
+                     min_tf: int = 2, min_df: int = 5,
+                     max_terms: int = 25) -> str:
+    """KNearestNeighborClassifier oracle -> one (class, votes, score) row:
+    the example doc's MLT top-k neighbors vote by ``field``; majority wins,
+    ties by class ascending; score = votes/k (exact small-int division,
+    ClassificationResult.getScore)."""
+    inner = mlt_sql(doc_id, k, min_tf, min_df, max_terms)
+    return f"""
+SELECT class, CAST(votes AS BIGINT) AS votes,
+       CAST(votes AS DOUBLE) / {k} AS score FROM (
+  SELECT d.{field} AS class, count(*) AS votes
+  FROM ({inner}) h JOIN documents d ON d.doc_id = h.doc_id
+  GROUP BY d.{field}
+  ORDER BY votes DESC, class ASC LIMIT 1
+)"""
+
+
 def term_score_cte(name: str, term: str, boost: float = 1.0) -> str:
     """Per-doc float32 BM25 scores of one term: (doc_id, s). Boost follows
     the engine's weight_value order: f32(f32(idf * boost) * (k1+1))."""

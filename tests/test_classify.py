@@ -1,0 +1,103 @@
+"""Index-backed classifiers: kNN (MLT votes) and SimpleNaiveBayes —
+modeled on ``lucene/classification/src/test/.../ClassificationTestBase``
+(two classes with disjoint vocabulary; the classifier must recover the
+class of fresh texts) plus an exact probability-math check for NB."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_text
+from lucene_solr_old_ray.pipelines.classify import (
+    classify_knn,
+    classify_naive_bayes,
+)
+
+TECH = [
+    "java virtual machine compiles bytecode quickly",
+    "python interpreter executes bytecode scripts",
+    "compilers translate source code into machine code",
+    "runtime memory garbage collector frees unused objects",
+    "bytecode verification happens before execution",
+]
+POL = [
+    "senate votes on the new budget bill",
+    "election campaign rallies draw large crowds",
+    "parliament debates foreign policy sanctions",
+    "government coalition negotiates tax reform",
+    "budget committee approves spending bill",
+]
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path_factory.mktemp("cls"))
+    texts = TECH + POL
+    cls = ["technology"] * len(TECH) + ["politics"] * len(POL)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(cls, pa.string()),
+        "source": pa.array(["s0"] * len(texts), pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    out = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), out, target_docs_per_partition=4)
+    return out
+
+
+def test_knn_assigns_right_classes(idx):
+    r = classify_knn(
+        idx, ["bytecode compiles on the virtual machine",
+              "the election budget bill"],
+        "lang", k=3, min_term_freq=1, min_doc_freq=1).to_pandas()
+    assert list(r["class"]) == ["technology", "politics"]
+    assert (r["votes"] >= 2).all()
+    assert np.allclose(r["score"], r["votes"] / 3)
+
+
+def test_knn_batch_unmatched_text_skipped(idx):
+    r = classify_knn(idx, ["zzz qqq www"], "lang", k=3,
+                     min_term_freq=1, min_doc_freq=1)
+    assert r.num_rows == 0  # MLT query is empty: no neighbors, no row
+
+
+def test_naive_bayes_assigns_right_classes(idx):
+    r = classify_naive_bayes(
+        idx, ["bytecode compiles on the virtual machine",
+              "the election budget bill"], "lang").to_pandas()
+    assert list(r["class"]) == ["technology", "politics"]
+    assert (r["score"] > 0).all()
+
+
+def test_naive_bayes_exact_probability_math(idx):
+    """The engine's NB score == the reference formula computed directly on
+    the corpus (prior * prod((wc+1)/(avgUnique*dfC + docsWithClass)))."""
+    text = "bytecode budget"
+    r = classify_naive_bayes(idx, [text], "lang").to_pandas()
+
+    corpus = TECH + POL
+    classes = {"technology": TECH, "politics": POL}
+    tok_sets = [set(analyze_text(t)) for t in corpus]
+    docs_with_class = len(corpus)
+    sum_df = sum(len(s) for s in tok_sets)
+    avg_unique = sum_df / len(corpus)  # every doc has >= 1 kept token
+    want = {}
+    for cname, cdocs in classes.items():
+        lo = 0 if cname == "technology" else len(TECH)
+        csets = tok_sets[lo:lo + len(cdocs)]
+        prior = len(cdocs) / docs_with_class
+        den = avg_unique * len(cdocs) + docs_with_class
+        val = prior
+        for w in analyze_text(text):
+            wc = sum(1 for s in csets if w in s)
+            val *= (wc + 1) / den
+        want[cname] = val
+    best = max(sorted(want), key=lambda c: want[c])
+    assert r.iloc[0]["class"] == best
+    assert r.iloc[0]["score"] == pytest.approx(want[best], rel=1e-12)
