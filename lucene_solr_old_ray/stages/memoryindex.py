@@ -1,0 +1,183 @@
+"""MemoryIndex + percolation: run the FULL query stack against documents
+that are not (yet) in any index.
+
+Re-expresses (NOT ports) ``lucene/memory/src/java/org/apache/lucene/index/
+memory/MemoryIndex.java:70-530``: a single-document, many-field in-RAM
+index whose ``search(query)`` returns that doc's score (0.0 on no match) —
+the classic percolation / "prospective search" primitive. The
+re-expression flushes the doc through the REAL segment writer into a
+RAM-backed scratch dir (/dev/shm when present — the RAMDirectory analogue)
+and opens the REAL ``LeafSearcher``, so every query operator (phrases,
+spans, fuzzy/regexp/wildcard expansions, numeric ranges, payloads) works
+against it with the exact float32 scoring contract of the main engine —
+MemoryIndex's whole point ("supports any query").
+
+:func:`percolate` is the Ray-Data-scale form: a stream of documents
+matched against a REGISTERED query set (Elasticsearch-style percolator,
+built on the same MemoryIndex idea). Each ``map_batches`` task flushes its
+batch as ONE local multi-doc segment (no nested Dataset execution, no
+object-store traffic for postings) and runs every query against it; output
+is the (id, qid) match pairs. Queries broadcast once via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import bm25
+from ..functions.analysis import analyze_batch
+from ..functions.smallfloat import encode_norm
+from ..queries import Query, collect_field_terms, collect_terms
+from ..state.fields import fprefix
+from .build import _flush_field, _invert_subbatch
+from .search import LeafSearcher, SearchContext, collect_leaf_stats, execute
+
+
+def _scratch_dir() -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="lsor_memidx-", dir=base)
+
+
+def flush_local_segment(
+    field_texts: "dict[str | None, tuple[list[str], str]]", out_dir: str,
+) -> int:
+    """Flush one multi-doc segment DIRECTLY (no Ray, no parquet source):
+    ``field_texts`` maps field name (None = default field) to
+    (texts, analyzer). Returns the doc count. The files are identical in
+    layout to a build_segment output, so LeafSearcher opens them as-is."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = None
+    for fname, (texts, analyzer) in field_texts.items():
+        if n is None:
+            n = len(texts)
+        elif len(texts) != n:
+            raise ValueError("all fields must cover the same docs")
+        ab = analyze_batch(pa.array([t or "" for t in texts], pa.string()),
+                           with_positions=True, analyzer=analyzer)
+        acc: dict[str, list] = {}
+        _invert_subbatch(ab, 0, acc, with_positions=True)
+        norms = encode_norm(ab.field_lengths)
+        prefix = fprefix(fname)
+        _flush_field(out_dir, prefix, acc, norms, True)
+        with open(os.path.join(out_dir, prefix + "norms.bin"), "wb") as f:
+            f.write(norms.tobytes())
+    return int(n or 0)
+
+
+def _leaf_ctx(leaf: LeafSearcher, query: Query, n: int) -> SearchContext:
+    """Collection + term stats of the scratch segment itself (MemoryIndex
+    scores against its own single-doc statistics)."""
+    terms = sorted(collect_terms(query))
+    fterms = sorted(collect_field_terms(query))
+    coll = bm25.CollectionStats(max_doc=n,
+                                sum_total_term_freq=int(leaf.ttf.sum()))
+    field_colls: dict = {}
+    field_ts: dict = {}
+    for f in sorted({f for f, _ in fterms}):
+        sib = leaf.sibling(f)
+        field_colls[f] = bm25.CollectionStats(
+            max_doc=n, sum_total_term_freq=int(sib.ttf.sum()))
+        field_ts[f] = collect_leaf_stats(
+            sib, [t for ff, t in fterms if ff == f])
+    return SearchContext(
+        coll=coll, term_stats=collect_leaf_stats(leaf, terms),
+        field_colls=field_colls or None, field_term_stats=field_ts or None)
+
+
+class MemoryIndex:
+    """One document, many fields, full query support.
+
+    >>> mi = MemoryIndex()
+    >>> mi.add_field(None, "some text here")          # default field
+    >>> mi.add_field("title", "a title", "standard")
+    >>> mi.search(TermQuery("text"))                  # float32 score
+    """
+
+    def __init__(self) -> None:
+        self._fields: dict = {}
+        self._dir: str | None = None
+
+    def add_field(self, name: "str | None", text: str,
+                  analyzer: str = "standard") -> None:
+        if name in self._fields:
+            raise ValueError(f"field {name!r} already added")
+        self._fields[name] = (text, analyzer)
+        self._close()
+
+    def _close(self) -> None:
+        if self._dir is not None:
+            shutil.rmtree(self._dir, ignore_errors=True)
+            self._dir = None
+
+    def _leaf(self) -> LeafSearcher:
+        if self._dir is None:
+            if None not in self._fields:
+                # ensure a default field exists so LeafSearcher opens
+                self._fields[None] = ("", "standard")
+            self._dir = _scratch_dir()
+            flush_local_segment(
+                {f: ([t], a) for f, (t, a) in self._fields.items()},
+                self._dir)
+        return LeafSearcher(self._dir, 0, 0, 1)
+
+    def search(self, query: Query) -> np.float32:
+        """Score of the document under ``query`` (0.0 = no match), exactly
+        like ``MemoryIndex.search(Query)``."""
+        leaf = self._leaf()
+        docids, scores = execute(query, leaf, _leaf_ctx(leaf, query, 1))
+        return np.float32(scores[0]) if len(docids) else np.float32(0.0)
+
+    def __del__(self) -> None:  # best-effort scratch cleanup
+        try:
+            self._close()
+        except Exception:
+            pass
+
+
+def percolate(
+    queries: "dict[int, Query]",
+    source,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "standard",
+) -> pa.Table:
+    """Match a document STREAM against a registered query set ->
+    (id, qid) pairs sorted by (id, qid). ``source`` is a Ray Dataset or a
+    parquet path. Each batch flushes one local scratch segment and runs
+    every query against it — queries are broadcast once; only the match
+    pairs leave the task."""
+    import ray
+    import ray.data
+
+    ds = (source if not isinstance(source, str)
+          else ray.data.read_parquet(source, columns=[id_col, text_col]))
+    q_ref = ray.put(sorted(queries.items()))
+
+    def match_batch(batch: pa.Table) -> pa.Table:
+        qitems = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        d = _scratch_dir()
+        try:
+            n = flush_local_segment(
+                {None: (batch[text_col].to_pylist(), analyzer)}, d)
+            leaf = LeafSearcher(d, 0, 0, n)
+            out_id, out_qid = [], []
+            for qid, q in qitems:
+                docids, _ = execute(q, leaf, _leaf_ctx(leaf, q, n))
+                out_id.extend(ids[docids].tolist())
+                out_qid.extend([qid] * len(docids))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return pa.table({"id": pa.array(out_id, pa.int64()),
+                         "qid": pa.array(out_qid, pa.int64())})
+
+    out = ds.map_batches(match_batch, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["id", "qid"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,97 @@
+"""MemoryIndex (single-doc full-query-stack scoring) + percolation —
+modeled on ``lucene/memory/src/test/.../TestMemoryIndexAgainstRAMDir``'s
+core invariant: MemoryIndex.search(q) == the score of the same doc in a
+regular one-doc index, for every query type."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.queries import (
+    PhraseQuery,
+    PrefixQuery,
+    SpanNearQuery,
+    SpanTermQuery,
+    TermQuery,
+    WildcardQuery,
+    bool_query,
+)
+from lucene_solr_old_ray.stages.memoryindex import MemoryIndex, percolate
+
+TEXT = "the quick brown fox jumps over the lazy dog and the quick cat"
+
+
+def test_search_matches_and_scores():
+    mi = MemoryIndex()
+    mi.add_field(None, TEXT)
+    s = mi.search(TermQuery("quick"))
+    assert s > 0 and s.dtype == np.float32
+    assert mi.search(TermQuery("zebra")) == np.float32(0.0)
+
+
+def test_memoryindex_equals_regular_one_doc_index(ray_session, tmp_path):
+    """The TestMemoryIndexAgainstRAMDir invariant: identical float32 score
+    vs a real one-doc index, across query types."""
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([TEXT], pa.string()),
+        "lang": pa.array(["en"]), "source": pa.array(["s0"]),
+    }), os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), idx, target_docs_per_partition=4)
+
+    mi = MemoryIndex()
+    mi.add_field(None, TEXT)
+    qs = [
+        TermQuery("quick"),
+        bool_query(musts=["quick", "fox"]),
+        PhraseQuery(("quick", "brown")),
+        PhraseQuery(("quick", "dog"), slop=8),
+        SpanNearQuery((SpanTermQuery("fox"), SpanTermQuery("dog")),
+                      slop=10, in_order=True),
+        PrefixQuery("qu"),
+        WildcardQuery("l?zy"),
+    ]
+    for q in qs:
+        want = search(idx, {0: q}, k=1)
+        got = mi.search(q)
+        if want.num_rows:
+            assert got == np.float32(want["score"][0].as_py()), q
+        else:
+            assert got == np.float32(0.0), q
+
+
+def test_multi_field():
+    mi = MemoryIndex()
+    mi.add_field(None, "body words here")
+    mi.add_field("title", "searchable title")
+    assert mi.search(TermQuery("searchable", field="title")) > 0
+    assert mi.search(TermQuery("body", field="title")) == np.float32(0.0)
+    with pytest.raises(ValueError):
+        mi.add_field("title", "again")
+
+
+def test_percolate_stream(ray_session, tmp_path):
+    d = str(tmp_path)
+    texts = ["quick brown fox", "lazy dog sleeps", "fox and dog play",
+             "nothing relevant", "the quick dog"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(d, "docs.parquet"))
+    queries = {
+        0: TermQuery("fox"),
+        1: bool_query(musts=["quick", "dog"]),
+        2: PhraseQuery(("lazy", "dog")),
+    }
+    got = percolate(queries, os.path.join(d, "docs.parquet")).to_pandas()
+    pairs = set(zip(got["id"], got["qid"]))
+    assert pairs == {(0, 0), (2, 0), (4, 1), (1, 2)}
