@@ -172,6 +172,124 @@ def _nb_leaf_partials(index_dir: str, class_field: str):
     return fn
 
 
+class BooleanPerceptronClassifier:
+    """Binary perceptron trained on index statistics —
+    ``lucene/classification/src/java/org/apache/lucene/classification/
+    BooleanPerceptronClassifier.java:54-224``:
+
+    - initial weight of every term = its index totalTermFreq (one
+      distributed leaf pass over the term dicts);
+    - default threshold = sumDocFreq / 2;
+    - online training in docID order: classify each training doc's text
+      with the CURRENT weights (sum of per-token-occurrence weights >=
+      threshold); on a mistake, add ``modifier * tf(term, doc)`` to every
+      of the doc's terms (modifier = correct - assigned, ±1);
+    - ``batch_size`` delays the weights snapshot used for classification
+      (the reference's per-batch FST rebuild), so mid-batch mistakes
+      classify against the stale snapshot exactly like the reference.
+
+    Online perceptron updates are inherently sequential (each step depends
+    on the previous weights), so training runs on the driver over the
+    training rows; weight INIT and batch CLASSIFICATION are distributed.
+    """
+
+    def __init__(self, threshold: "float | None" = None,
+                 batch_size: int = 1) -> None:
+        self.threshold = threshold
+        self.batch_size = batch_size
+        self.weights: dict[str, float] = {}
+        self._snap: dict[str, float] = {}
+
+    def train(self, index_dir: str, texts: "list[str]",
+              labels: "list[bool]") -> None:
+        """``texts``/``labels`` are the training docs in docID order (the
+        reference's MatchAll scan of stored fields)."""
+
+        def leaf_weights(batch: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for row in batch.to_dict("records"):
+                leaf = _open_leaf(index_dir, row)
+                terms = leaf.terms_range_np(0, leaf.nterms)
+                rows.append({"terms": [str(t) for t in terms],
+                             "ttfs": leaf.ttf.astype(np.int64).tolist(),
+                             "sum_df": int(leaf.df.sum())})
+            return pd.DataFrame(rows)
+
+        manifest = mf.read_index_manifest(index_dir)
+        items = _leaf_items(manifest)
+        parts = ray.data.from_items(
+            items, override_num_blocks=max(1, len(items))).map_batches(
+            leaf_weights, batch_format="pandas", batch_size=4).to_pandas()
+        self.weights = {}
+        sum_df = 0
+        for r in parts.itertuples():
+            for t, f in zip(r.terms, r.ttfs):
+                self.weights[t] = self.weights.get(t, 0.0) + float(f)
+            sum_df += int(r.sum_df)
+        if self.threshold is None or self.threshold == 0.0:
+            self.threshold = sum_df / 2.0
+        self._snap = dict(self.weights)
+
+        for bi, (text, label) in enumerate(zip(texts, labels)):
+            toks = analyze_text(text or "")
+            out = sum(self._snap.get(t, 0.0) for t in toks)
+            assigned = out >= self.threshold
+            modifier = int(label) - int(assigned)
+            if modifier:
+                tf: dict[str, int] = {}
+                for t in toks:
+                    tf[t] = tf.get(t, 0) + 1
+                for t, f in tf.items():
+                    self.weights[t] = self.weights.get(t, 0.0) + modifier * f
+                if bi % self.batch_size == 0:
+                    self._snap = dict(self.weights)
+        self._snap = dict(self.weights)
+
+    def assign(self, text: str) -> tuple[bool, float]:
+        """-> (class, score) like ClassificationResult (score = raw sum)."""
+        if not self._snap:
+            raise RuntimeError("call train() first")
+        out = sum(self._snap.get(t, 0.0) for t in analyze_text(text or ""))
+        return out >= self.threshold, out
+
+    def classify_many(self, texts: "list[str]") -> pa.Table:
+        """Vectorized batch classification -> (text_ord, class, score)."""
+        rows = [(i, *self.assign(t)) for i, t in enumerate(texts)]
+        return pa.table({
+            "text_ord": pa.array([r[0] for r in rows], pa.int64()),
+            "class": pa.array([r[1] for r in rows], pa.bool_()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        })
+
+
+def split_dataset(
+    ds, *, test_fraction: float = 0.1, cv_fraction: float = 0.1,
+    id_col: str = "doc_id", seed: int = 0,
+):
+    """DatasetSplitter analogue (``classification/utils/DatasetSplitter
+    .java:40``): split a Dataset into (train, test, cross-validation) by
+    DETERMINISTIC id hash (the reference uses Math.random per doc; a hash
+    split is reproducible and shuffle-free — each filter is one
+    map_batches predicate, no materialization)."""
+    from ..stages.textstats import stable_hash64_batch
+
+    def bucket_of(batch: pa.Table, lo: float, hi: float) -> pa.Table:
+        ids = [str(x) + f"#{seed}" for x in batch[id_col].to_pylist()]
+        h = stable_hash64_batch(ids).astype(np.float64) / 2.0**64
+        keep = (h >= lo) & (h < hi)
+        return batch.filter(pa.array(keep))
+
+    t_hi = test_fraction
+    cv_hi = test_fraction + cv_fraction
+    test = ds.map_batches(lambda b: bucket_of(b, 0.0, t_hi),
+                          batch_format="pyarrow")
+    cv = ds.map_batches(lambda b: bucket_of(b, t_hi, cv_hi),
+                        batch_format="pyarrow")
+    train = ds.map_batches(lambda b: bucket_of(b, cv_hi, 1.0),
+                           batch_format="pyarrow")
+    return train, test, cv
+
+
 def classify_naive_bayes(
     index_dir: str, texts: "list[str]", class_field: str,
 ) -> pa.Table:

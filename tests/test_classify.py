@@ -75,6 +75,47 @@ def test_naive_bayes_assigns_right_classes(idx):
     assert (r["score"] > 0).all()
 
 
+def test_boolean_perceptron_learns_separation(idx):
+    from lucene_solr_old_ray.pipelines.classify import (
+        BooleanPerceptronClassifier,
+    )
+
+    texts = TECH + POL
+    labels = [True] * len(TECH) + [False] * len(POL)
+    c = BooleanPerceptronClassifier()
+    # several epochs over the training docs (the reference trains once per
+    # index scan; repeated train() calls re-init weights, so loop inline)
+    c.train(idx, texts * 25, labels * 25)
+    assert c.threshold > 0
+    # converged on the training distribution: every training doc classifies
+    # to its label (the perceptron convergence guarantee on separable data)
+    for t, lab in zip(texts, labels):
+        got, _ = c.assign(t)
+        assert got == lab, t
+    # and the margin orders fresh texts correctly
+    _, s_t = c.assign("bytecode compiles quickly on the virtual machine "
+                      "runtime memory")
+    _, s_p = c.assign("senate budget election campaign rallies")
+    assert s_t > s_p
+
+
+def test_split_dataset_fractions_and_disjoint(ray_session):
+    import ray.data
+
+    from lucene_solr_old_ray.pipelines.classify import split_dataset
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(2000)])
+    train, test, cv = split_dataset(ds, test_fraction=0.2, cv_fraction=0.1)
+    nt, ns, nc = train.count(), test.count(), cv.count()
+    assert nt + ns + nc == 2000
+    assert 0.15 < ns / 2000 < 0.25
+    assert 0.05 < nc / 2000 < 0.15
+    # deterministic: same split on re-run
+    train2, test2, _ = split_dataset(ds, test_fraction=0.2, cv_fraction=0.1)
+    assert sorted(r["doc_id"] for r in test.take_all()) == \
+        sorted(r["doc_id"] for r in test2.take_all())
+
+
 def test_naive_bayes_exact_probability_math(idx):
     """The engine's NB score == the reference formula computed directly on
     the corpus (prior * prod((wc+1)/(avgUnique*dfC + docsWithClass)))."""
