@@ -1,0 +1,255 @@
+"""FreeTextSuggester: n-gram language-model "long tail" suggestions with
+stupid-backoff smoothing.
+
+Re-expresses (NOT ports) ``lucene/suggest/src/java/org/apache/lucene/
+search/suggest/analyzing/FreeTextSuggester.java:84-760``:
+
+- build: every 1..grams token n-gram of the corpus with its occurrence
+  count (the reference runs a ShingleFilter into a throwaway index and
+  reads totalTermFreq; here one ``map_batches`` pass window-joins the
+  analyzed token stream and a bounded-bucket groupby sums the counts into
+  the suggest sidecar format — sorted, range-partitioned parquet);
+- lookup: the query's last g tokens (g = grams-1 .. 0) probe the models
+  highest-order first; a trailing separator "upgrades" every context
+  ("foo " suggests bigrams of foo, not unigrams of fo...); each model's
+  completions score ``backoff * count(ngram) / count(context)`` with
+  backoff multiplying by ALPHA=0.4 per level descended (Brants et al.,
+  "Large language models in machine translation", the stupid backoff
+  model); a last-token seen-set keeps lower-order models from re-predicting
+  what a higher-order model already suggested; final order is
+  (score desc, suggestion asc).
+
+Re-expression choices (documented divergences): the separator is a SPACE
+(the reference uses 0x1E; space keeps the sidecar human-readable and
+sorts identically for our token alphabet), and n-grams are built over the
+KEPT token stream (stop words removed with position gaps ignored) — the
+reference shingles across stop-word holes with ``_`` fillers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.analysis import analyze_batch, analyze_text
+
+ALPHA = 0.4  # FreeTextSuggester.ALPHA
+_N_BUCKETS = 256
+_TOKEN_TAIL = re.compile(r"[a-zA-Z0-9_'.]$")
+
+
+def build_freetext(
+    corpus_parquet: str,
+    out_dir: str,
+    *,
+    grams: int = 2,
+    text_col: str = "text",
+    analyzer: str = "standard",
+    target_rows_per_file: int = 1 << 18,
+) -> str:
+    """Build the n-gram model sidecar -> ``out_dir``. One distributed
+    count pass; the sidecar layout matches the completion suggester's
+    (sorted unique terms + int64 weights, range-partitioned)."""
+    import ray.data
+
+    if grams < 1:
+        raise ValueError("grams must be >= 1")
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def gram_counts(batch: pa.Table) -> pd.DataFrame:
+        ab = analyze_batch(batch[text_col], with_positions=True,
+                           analyzer=analyzer)
+        d = ab.doc_ids
+        codes = ab.term_codes
+        uniques = ab.uniques
+        frames = []
+        for g in range(1, grams + 1):
+            if len(codes) < g:
+                break
+            valid = (d[: len(d) - g + 1] == d[g - 1:]) if g > 1 else \
+                np.ones(len(d), dtype=bool)
+            w = np.flatnonzero(valid)
+            if not len(w):
+                continue
+            if g == 1:
+                strs = uniques[codes[w]]
+            else:
+                mat = np.stack([codes[w + k] for k in range(g)], axis=1)
+                urows, inv = np.unique(mat, axis=0, return_inverse=True)
+                ustrs = np.asarray(
+                    [" ".join(uniques[c] for c in row) for row in urows],
+                    dtype=object)
+                strs = ustrs[inv]
+            f = pd.DataFrame({"term": strs}).groupby(
+                "term", as_index=False).size().rename(
+                columns={"size": "weight"})
+            frames.append(f)
+        if not frames:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "weight": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64")})
+        out = pd.concat(frames, ignore_index=True)
+        h = pd.util.hash_array(out["term"].to_numpy(dtype=object))
+        out["bucket"] = (h % _N_BUCKETS).astype(np.int64)
+        return out
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False).agg(
+            weight=("weight", "sum"))
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch["term"].cast(pa.string()),
+                         "weight": batch["weight"].cast(pa.int64())})
+
+    sorted_ds = (
+        ray.data.read_parquet(corpus_parquet, columns=[text_col])
+        .map_batches(gram_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .sort("term")
+        .map_batches(cast_cols, batch_format="pyarrow")
+    )
+    sorted_ds.write_parquet(tmp, max_rows_per_file=target_rows_per_file,
+                            compression="zstd")
+
+    manifest_files = []
+    tot_tokens = 0
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(tmp, name))
+        nrows = pf.metadata.num_rows
+        if nrows == 0:
+            os.remove(os.path.join(tmp, name))
+            continue
+        t = pq.read_table(os.path.join(tmp, name))
+        terms = t["term"].to_pandas()
+        # totTokens = sum of UNIGRAM counts (FreeTextSuggester.totTokens)
+        uni = ~terms.str.contains(" ", regex=False)
+        tot_tokens += int(t["weight"].to_pandas()[uni].sum())
+        manifest_files.append({"file": name, "rows": nrows,
+                               "first": str(terms.iloc[0]),
+                               "last": str(terms.iloc[-1])})
+    manifest_files.sort(key=lambda f: (f["first"], f["last"]))
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"files": manifest_files, "grams": grams,
+                   "tot_tokens": tot_tokens}, f)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+class FreeTextSuggester:
+    """Open a built n-gram model and predict continuations."""
+
+    def __init__(self, model_dir: str):
+        from .suggest import _Partition
+
+        self.dir = model_dir
+        with open(os.path.join(model_dir, "manifest.json")) as f:
+            m = json.load(f)
+        self.files = m["files"]
+        self.grams = int(m["grams"])
+        self.tot_tokens = int(m["tot_tokens"])
+        self._Partition = _Partition
+        self._parts: dict[int, object] = {}
+
+    def _part(self, i: int):
+        p = self._parts.get(i)
+        if p is None:
+            p = self._Partition(os.path.join(self.dir,
+                                             self.files[i]["file"]))
+            self._parts[i] = p
+        return p
+
+    def _range_terms(self, prefix: str):
+        """All (term, weight) in the dict with ``prefix``."""
+        t_all, w_all = [], []
+        for i, f in enumerate(self.files):
+            if f["last"] < prefix:
+                continue
+            if not f["first"][: len(prefix)] <= prefix:
+                break
+            p = self._part(i)
+            s, e = p.prefix_range(prefix)
+            if e > s:
+                idx = np.arange(s, e, dtype=np.int64)
+                t_all.append(p.terms_np(idx))
+                w_all.append(p.weights[s:e])
+        if not t_all:
+            return (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+        return np.concatenate(t_all), np.concatenate(w_all)
+
+    def _exact(self, term: str) -> "int | None":
+        for i, f in enumerate(self.files):
+            if f["first"] <= term <= f["last"]:
+                p = self._part(i)
+                s, e = p.prefix_range(term)
+                for j in range(s, min(e, s + 1)):
+                    if p.term_at(j).decode("utf-8") == term:
+                        return int(p.weights[j])
+        return None
+
+    def lookup(self, key: str, num: int = 10) -> list[tuple[str, float]]:
+        """-> [(suggestion, score)] by (score desc, suggestion asc);
+        score = backoff * count(ngram)/count(context), doubles like the
+        reference (scores predate the float32 contract)."""
+        tokens = analyze_text(key or "")
+        ended = not key or not _TOKEN_TAIL.search(key)
+        last: list[str | None] = [None] * (self.grams + 1)  # 1-based
+        for g in range(1, self.grams + 1):
+            if len(tokens) >= g:
+                last[g] = " ".join(tokens[-g:])
+        if ended:
+            for g in range(self.grams, 1, -1):
+                if last[g - 1] is not None:
+                    last[g] = last[g - 1] + " "
+            last[1] = ""
+
+        backoff = 1.0
+        seen: set[str] = set()
+        results: list[tuple[str, float]] = []
+        for g in range(self.grams, 0, -1):
+            token = last[g]
+            if token is None or (token == "" and (key or "")):
+                continue  # not enough input: no backoff penalty
+            terms, weights = self._range_terms(token)
+            if len(terms) == 0:
+                backoff *= ALPHA
+                continue
+            # restrict to THIS model: exactly g-1 separators
+            seps = np.char.count(terms.astype(str), " ")
+            keep = seps == g - 1
+            terms, weights = terms[keep], weights[keep]
+            # context count: the token minus its last fragment
+            if " " in token:
+                ctx = token[: token.rindex(" ")]
+                ctx_count = self._exact(ctx) or self.tot_tokens
+            else:
+                ctx_count = self.tot_tokens
+            order = np.lexsort((terms.astype(str), -weights))
+            added = 0
+            for j in order:
+                full = str(terms[j])
+                lastok = full[full.rindex(" ") + 1:] if " " in full else full
+                if lastok in seen:
+                    continue
+                seen.add(lastok)
+                results.append(
+                    (full, backoff * float(weights[j]) / ctx_count))
+                added += 1
+                if added >= num:
+                    break
+            backoff *= ALPHA
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:num]

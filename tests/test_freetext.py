@@ -1,0 +1,68 @@
+"""FreeTextSuggester (n-gram stupid-backoff LM) — ports
+``TestFreeTextSuggester.testBasic`` exactly (same corpus, same expected
+suggestions and scores)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.freetext import (
+    ALPHA,
+    FreeTextSuggester,
+    build_freetext,
+)
+
+
+@pytest.fixture(scope="module")
+def model(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ft"))
+    docs = ["foo bar baz blah", "boo foo bar foo bee"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), os.path.join(d, "docs.parquet"))
+    out = build_freetext(os.path.join(d, "docs.parquet"),
+                         os.path.join(d, "model"), grams=2)
+    return FreeTextSuggester(out)
+
+
+def _fmt(results):
+    return [(s, round(v, 2)) for s, v in results]
+
+
+def test_manifest_stats(model):
+    # unigrams: foo=3 bar=2 baz=1 blah=1 boo=1 bee=1 -> totTokens=9
+    assert model.tot_tokens == 9
+    assert model.grams == 2
+
+
+def test_bigram_with_unigram_backoff(model):
+    # TestFreeTextSuggester.testBasic:
+    # "foo bar/0.67 foo bee/0.33 baz/0.04 blah/0.04 boo/0.04"
+    got = _fmt(model.lookup("foo b", 10))
+    assert got == [("foo bar", round(2 / 3, 2)),
+                   ("foo bee", round(1 / 3, 2)),
+                   ("baz", round(ALPHA / 9, 2)),
+                   ("blah", round(ALPHA / 9, 2)),
+                   ("boo", round(ALPHA / 9, 2))]
+
+
+def test_trailing_space_upgrades_to_bigram_only(model):
+    # "foo bar/0.67 foo bee/0.33"
+    assert _fmt(model.lookup("foo ", 10)) == [
+        ("foo bar", round(2 / 3, 2)), ("foo bee", round(1 / 3, 2))]
+
+
+def test_unigram_only(model):
+    # "foo/0.33"
+    assert _fmt(model.lookup("foo", 10)) == [("foo", round(3 / 9, 2))]
+    # "bar/0.22 baz/0.11 bee/0.11 blah/0.11 boo/0.11"
+    assert _fmt(model.lookup("b", 10)) == [
+        ("bar", 0.22), ("baz", 0.11), ("bee", 0.11),
+        ("blah", 0.11), ("boo", 0.11)]
+
+
+def test_num_caps_results(model):
+    assert len(model.lookup("b", 2)) == 2
