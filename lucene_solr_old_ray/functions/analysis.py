@@ -1103,6 +1103,35 @@ def _analyze_pattern(
 _PATTERN_CACHE: dict[str, "re.Pattern[str]"] = {}
 
 
+def common_grams_query_stream(text: str) -> list[str]:
+    """Query-side CommonGrams stream (``analysis/common/.../commongrams/
+    CommonGramsQueryFilter.java:60-115``): grams whenever possible, a
+    unigram only when it participates in NO bigram. Javadoc example:
+    "the rain in spain falls mainly" -> [the_rain, rain_in, in_spain,
+    falls, mainly]. Positions in the returned stream are sequential
+    (the filter resets gram posIncs to 1).
+
+    NOTE (reference-faithful quirk): a phrase mixing grams and trailing
+    unigrams can fail to match the commongrams-indexed positions (the
+    covered word still consumes an index position); fully-gram-covered
+    phrases match exactly. Conjunction (AND) semantics over this stream
+    are always safe."""
+    toks = [t for t in tokenize_raw(text or "")
+            if len(t) <= MAX_TOKEN_LENGTH]
+    out: list[str] = []
+    n = len(toks)
+    for i in range(n):
+        prev_gram = i > 0 and (toks[i - 1] in ENGLISH_STOP_WORDS
+                               or toks[i] in ENGLISH_STOP_WORDS)
+        next_gram = i + 1 < n and (toks[i] in ENGLISH_STOP_WORDS
+                                   or toks[i + 1] in ENGLISH_STOP_WORDS)
+        if prev_gram:
+            out.append(toks[i - 1] + "_" + toks[i])
+        if not prev_gram and not next_gram:
+            out.append(toks[i])
+    return out
+
+
 def analyze_batch(
     texts, with_positions: bool = False, analyzer: str = "standard",
     synonyms: dict[str, tuple[str, ...]] | None = None,

@@ -69,6 +69,53 @@ def test_commongrams_no_common_words_no_grams():
     assert [t for _, _, t in _stream(ab)] == ["quick", "brown", "fox"]
 
 
+def test_common_grams_query_stream_javadoc_example():
+    from lucene_solr_old_ray.functions.analysis import (
+        common_grams_query_stream,
+    )
+
+    # CommonGramsQueryFilter javadoc example, exactly
+    assert common_grams_query_stream("the rain in spain falls mainly") == \
+        ["the_rain", "rain_in", "in_spain", "falls", "mainly"]
+    assert common_grams_query_stream("quick brown fox") == \
+        ["quick", "brown", "fox"]
+    assert common_grams_query_stream("the quick") == ["the_quick"]
+
+
+def test_common_grams_query_end_to_end(ray_session, tmp_path):
+    import dataclasses
+
+    from lucene_solr_old_ray.functions.analysis import (
+        common_grams_query_stream,
+    )
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.queries import PhraseQuery, TermQuery, bool_query
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path)
+    texts = ["the rain in spain falls mainly", "rain without spain",
+             "the rain comes later", "in spain it rains"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4), "source": pa.array(["s0"] * 4),
+    }), os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(dataclasses.replace(CorpusSpec.documents(d),
+                                    analyzer="commongrams"),
+                idx, target_docs_per_partition=4)
+
+    # conjunction over the query stream: always-safe retrieval
+    stream = common_grams_query_stream("the rain in spain")
+    q = bool_query(musts=stream)
+    assert match_doc_ids(idx, q)["docid"].to_pylist() == [0]
+    # fully-gram-covered phrase matches exactly at gram positions
+    assert stream == ["the_rain", "rain_in", "in_spain"]
+    ph = PhraseQuery(tuple(stream))
+    assert match_doc_ids(idx, ph)["docid"].to_pylist() == [0]
+
+
 @pytest.fixture(scope="module")
 def rev_idx(ray_session, tmp_path_factory):
     from lucene_solr_old_ray.pipelines.build_index import build_index
