@@ -180,7 +180,7 @@ def run_bench() -> dict:
     # the sandbox VM's effective CPU speed varies ~2x across minutes (noisy
     # neighbors); measure LSOR_BENCH_REPS full passes and keep each metric's
     # BEST — an external slowdown can only lower a number, never raise it
-    reps = int(os.environ.get("LSOR_BENCH_REPS", "2"))
+    reps = int(os.environ.get("LSOR_BENCH_REPS", "3"))
     q: dict[str, float] = {}
     serve_p50_ms = serve_p95_ms = float("inf")
     for _ in range(reps):
