@@ -1,0 +1,141 @@
+"""Surround query parser — ports the match sets of the reference's
+``Test02Boolean`` and ``Test03Distance`` (docs1/docs2 corpora, same query
+strings, same expected doc numbers) plus its exception list."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.surround import (
+    SurroundParseError,
+    TooManyBasicQueries,
+    parse_surround,
+    surround_query,
+)
+
+DOCS1 = [
+    "word1 word2 word3",
+    "word4 word5",
+    "ord1 ord2 ord3",
+    "orda1 orda2 orda3 word2 worda3",
+    "a c e a b c",
+]
+DOCS2 = ["w1 w2 w3 w4 w5", "w1 w3 w2 w3", "filler"]
+
+
+def _build(tmp_path_factory, docs, tag):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path_factory.mktemp(tag))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s0"] * len(docs)),
+    }), os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), idx, target_docs_per_partition=3)
+    return idx
+
+
+@pytest.fixture(scope="module")
+def idx1(ray_session, tmp_path_factory):
+    return _build(tmp_path_factory, DOCS1, "srnd1")
+
+
+@pytest.fixture(scope="module")
+def idx2(ray_session, tmp_path_factory):
+    return _build(tmp_path_factory, DOCS2, "srnd2")
+
+
+def _match(idx, q, max_basic=16):
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+
+    query = surround_query(idx, q, max_basic_queries=max_basic)
+    return set(match_doc_ids(idx, query)["docid"].to_pylist())
+
+
+# --- Test02Boolean ports ----------------------------------------------------
+
+BOOLEAN_CASES = [
+    ("word1", {0}), ("word*", {0, 1, 3}), ("ord2", {2}), ("kxork*", set()),
+    ("wor*", {0, 1, 3}), ("ab", set()), ("abc?", set()), ("word?", {0, 1, 3}),
+    ("w?rd?", {0, 1, 3}), ("w*rd?", {0, 1, 3}), ("w*rd??", {3}),
+    ("w*?da?", {3}), ("w?da?", set()),
+    ("word1 AND word2", {0}), ("word* and ord*", {3}),
+    ("and(word1,word2)", {0}),
+    ("word1 or word2", {0, 3}), ("word* OR ord*", {0, 1, 2, 3}),
+    ("OR (word1, word2)", {0, 3}),
+    ("word2 NOT word1", {3}), ("word2* not ord*", {0}),
+]
+
+
+@pytest.mark.parametrize("q,want", BOOLEAN_CASES,
+                         ids=[c[0] for c in BOOLEAN_CASES])
+def test_boolean_cases(idx1, q, want):
+    assert _match(idx1, q) == want
+
+
+# --- Test03Distance ports ---------------------------------------------------
+
+DISTANCE_CASES = [
+    ("word1 w word2", {0}), ("word1 n word2", {0}), ("word2 n word1", {0}),
+    ("word2 w word1", set()), ("word2 2W word1", set()),
+    ("word2 2N word1", {0}), ("word1 2N word2", {0}),
+    ("word2 3w word1", set()), ("word2 3n word1", {0}),
+    ("word1 3n word2", {0}),
+    ("orda1 w orda3", set()), ("orda1 2w orda3", {3}),
+    ("word1* w word2", {0}), ("word* w word2", {0}),
+    ("word2 w word*", {0, 3}), ("word* n word2", {0, 3}),
+    ("word2 n word*", {0, 3}),
+    ("word1* w word2*", {0}), ("word1* N word2*", {0}),
+    ("kxork* w kxor*", set()), ("kxork* 99n kxor*", set()),
+    ("word2* 2W word1*", set()), ("word2* 2N word1*", {0}),
+    ("ord* W word*", {3}), ("ord* N word*", {3}), ("word* N ord*", {3}),
+    ("(orda2 OR orda3) W word*", {3}),
+    ("(orda2 OR orda3) W (word2 OR worda3)", {3}),
+    ("(orda2 OR orda3) 2W (word2 OR worda3)", {3}),
+    ("(orda2 OR orda3) 2N (word2 OR worda3)", {3}),
+]
+
+
+@pytest.mark.parametrize("q,want", DISTANCE_CASES,
+                         ids=[c[0] for c in DISTANCE_CASES])
+def test_distance_cases(idx1, q, want):
+    assert _match(idx1, q) == want
+
+
+def test_prefix_distance_forms(idx2):
+    # Test03Distance.test2Wprefix01
+    assert _match(idx2, "W (w1, w2, w3)") == {0}
+    assert _match(idx2, "N(w1, w2, w3)") == {0, 1}
+
+
+# --- Test01Exceptions ports -------------------------------------------------
+
+@pytest.mark.parametrize("q", [
+    "(aa and bb) w cc",
+    "(aa or bb) w (cc and dd)",
+    "(aa not bb) w cc",
+    "(aa or bb) w (bi:cc)",
+    "(aa or bi:bb) w cc",
+    "(aa or (bb and dd)) w cc",
+])
+def test_exception_queries(idx1, q):
+    with pytest.raises(SurroundParseError):
+        surround_query(idx1, q)
+
+
+def test_max_basic_queries(idx1):
+    with pytest.raises(TooManyBasicQueries):
+        surround_query(idx1, "word* or ord*", max_basic_queries=2)
+
+
+def test_parse_is_index_independent():
+    ast = parse_surround("a 3w (b OR c*)")
+    assert ast == ("dist", 3, True, [("term", None, "a"),
+                                     ("or", [("term", None, "b"),
+                                             ("term", None, "c*")])])
