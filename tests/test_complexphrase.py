@@ -1,0 +1,69 @@
+"""ComplexPhraseQueryParser — ports ``TestComplexPhraseQuery.
+testComplexPhrases`` (same 4-doc corpus, same query strings, same expected
+id sets, including the bad-query cases)."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.complexphrase import (
+    ComplexPhraseParseError,
+    complex_phrase_query,
+)
+
+DOCS = ["john smith", "johathon smith", "john percival smith",
+        "jackson waits tom"]  # ids 1..4 in the reference; doc_id = id-1
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path_factory.mktemp("cpq"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "text": pa.array(DOCS, pa.string()),
+        "lang": pa.array(["en"] * len(DOCS)),
+        "source": pa.array(["s0"] * len(DOCS)),
+    }), os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), idx, target_docs_per_partition=2)
+    return idx
+
+
+def _match(idx, q):
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+
+    query = complex_phrase_query(idx, q)
+    # reference ids are 1-based
+    return {d + 1 for d in match_doc_ids(idx, query)["docid"].to_pylist()}
+
+
+CASES = [
+    ('"john smith"', {1}),
+    ('"j*   smyth~"', {1, 2}),
+    ('"(jo* -john)  smith"', {2}),
+    ('"jo*  smith"~2', {1, 2, 3}),
+    ('"jo* [sma TO smZ]" ', {1, 2}),
+    ('"john"', {1, 3}),
+    ('"(john OR johathon)  smith"', {1, 2}),
+    ('"(jo* -john) smyth~"', {2}),
+    ('"john  nosuchword*"', set()),
+]
+
+
+@pytest.mark.parametrize("q,want", CASES, ids=[c[0] for c in CASES])
+def test_complex_phrases(idx, q, want):
+    assert _match(idx, q) == want
+
+
+@pytest.mark.parametrize("q", [
+    '"jo*  id:1 smith"',   # mixing fields in a phrase is bad
+    '"jo* "smith" "',      # phrases inside phrases is bad
+])
+def test_bad_queries(idx, q):
+    with pytest.raises(Exception):
+        complex_phrase_query(idx, q)
