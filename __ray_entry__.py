@@ -251,6 +251,39 @@ def _index_for_wdf(sf_dir: str) -> str:
     return idx
 
 
+def _index_for_spatial(sf_dir: str) -> str:
+    """Cached index with deterministic point coordinates: doc d sits at
+    micro-degree x = (d*7919) % 360000001 - 180000000,
+    y = (d*104729) % 170000001 - 85000000 (pure integer math, so the
+    DuckDB oracle recomputes the SAME points from doc_id). x/y are NUMERIC
+    fields + doc-values (the PointVectorStrategy two-field layout)."""
+    tag = sf_dir.strip("/").replace("/", "_") + "-geo"
+    idx = os.path.join(_CACHE_ROOT, tag)
+    done = os.path.join(idx, ".complete")
+    if os.path.exists(done):
+        return idx
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    d = src["doc_id"].to_numpy()
+    os.makedirs("/tmp/lsor_geo", exist_ok=True)
+    path = f"/tmp/lsor_geo/{tag}.parquet"
+    pq.write_table(src.append_column(
+        "x", pa.array(d * 7919 % 360_000_001 - 180_000_000, pa.int64())
+    ).append_column(
+        "y", pa.array(d * 104_729 % 170_000_001 - 85_000_000, pa.int64())
+    ), path)
+    spec = CorpusSpec(files=(path,), content_col="text",
+                      meta_cols=("doc_id", "x", "y"),
+                      extra_fields=(FieldSpec("x", "x", kind="numeric"),
+                                    FieldSpec("y", "y", kind="numeric")))
+    n = pq.ParquetFile(path).metadata.num_rows
+    build_index(spec, idx, target_docs_per_partition=max(64, n // 16))
+    merge_index(idx, fan_in=8, strategy="local")
+    with open(done, "w") as f:
+        f.write("ok")
+    return idx
+
+
 def _index_for_blocks(sf_dir: str) -> str:
     """Cached BLOCK index (nested documents): each document d becomes one
     4-doc block — child j (j=0,1,2) holds d's raw tokens at positions
@@ -679,11 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         minhash_lsh_pairs,
     )
     from lucene_solr_old_ray.stages.multimodal import media_features
-    from lucene_solr_old_ray.stages.textstats import (
-        fingerprints,
-        lang_id,
-        quality_stats,
-    )
+    from lucene_solr_old_ray.stages.textstats import lang_id, quality_stats
 
     q["quality_stats"] = quality_stats
 
@@ -700,7 +729,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["classify_knn"] = classify_knn_entry
     q["lang_id"] = lang_id
-    q["doc_fingerprints"] = fingerprints  # rows-only (FNV/simhash bit math)
+    # --- spatial (PointVectorStrategy analogue) -----------------------------
+    def spatial_knn(sf_dir: str) -> pa.Table:
+        from lucene_solr_old_ray.pipelines.spatial import distance_topk
+
+        idx = _index_for_spatial(sf_dir)
+        t = distance_topk(idx, "x", "y", 12_345_678, -2_345_678, k=10)
+        t = _docid_to_doc_id(idx, t)
+        return pa.table({"rank": t["rank"].cast(pa.int64()),
+                         "doc_id": t["doc_id"],
+                         "dist": t["dist"].cast(pa.int64())})
+
+    q["spatial_knn"] = spatial_knn
+    # (doc_fingerprints consolidated out — FNV/simhash fingerprints stay
+    # pytest-covered in tests/test_extras.py; its slot now holds an EXACT
+    # integer-math oracle instead of a rows-only check)
     from lucene_solr_old_ray.stages.dedup import dedup_clusters
 
     q["exact_dedup"] = exact_dedup
@@ -831,6 +874,20 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
     )
     sqls["span_not_hits"] = g.span_not_hits_sql("table", "merge", pre=1, post=1)
     sqls["lang_id"] = g.lang_id_sql()
+    sqls["spatial_knn"] = """
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 7919) % 360000001 - 180000000 AS x,
+         (doc_id * 104729) % 170000001 - 85000000 AS y
+  FROM documents)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, dist FROM (
+  SELECT row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS rank,
+         doc_id, dist
+  FROM (SELECT doc_id,
+               (x - 12345678) * (x - 12345678)
+                 + (y - (-2345678)) * (y - (-2345678)) AS dist
+        FROM pts)
+) WHERE rank <= 10 ORDER BY rank"""
     sqls["filtered_top10"] = g.bm25_sql(musts=["spark"], filter_terms=["window"])
     sqls["block_join_top10"] = g.block_join_sql("spark")
     sqls["join_scored_top10"] = g.join_scored_sql("spark", "source")

@@ -1,0 +1,150 @@
+"""Spatial search: point fields, bounding boxes, distance top-k.
+
+Re-expresses (NOT ports) the 4.x spatial module's PointVectorStrategy
+(``lucene/spatial/src/java/org/apache/lucene/spatial/vector/
+PointVectorStrategy.java:48-170``): a point is two NUMERIC fields; a
+rectangle query is the conjunction of two NumericRangeQueries
+(makeWithin's X-range AND Y-range); distance ranking is a value source
+over the two numeric doc-values (makeDistanceValueSource). Coordinates
+here are fixed-point integers (micro-degrees) so range endpoints and
+squared-distance ranking are EXACT integer math end to end — the
+engine's numeric fields are order-preserving int terms.
+
+- :func:`bbox_query` -> a Query usable anywhere (the makeWithin analogue);
+- :func:`distance_topk` -> top-k nearest by squared euclidean (exact
+  int64) or haversine meters (doubles) over the NUMERIC doc-values
+  sidecars — one per-leaf vectorized pass, per-leaf top-k partials, exact
+  driver reduce (the same shape as the field-sort collector).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..queries import (
+    MUST,
+    BooleanClause,
+    BooleanQuery,
+    NumericRangeQuery,
+    Query,
+)
+from ..state import manifest as mf
+from .analytics import _leaf_items
+from .search import _open_leaf
+
+EARTH_RADIUS_M = 6_371_008.7714  # spatial4j DistanceUtils.EARTH_MEAN_RADIUS
+
+
+def bbox_query(xfield: str, yfield: str, x_min: int, x_max: int,
+               y_min: int, y_max: int) -> Query:
+    """Rectangle containment = X-range AND Y-range (PointVectorStrategy
+    .makeWithin for a Rect). Bounds inclusive, fixed-point ints."""
+    return BooleanQuery((
+        BooleanClause(MUST, NumericRangeQuery(xfield, x_min, x_max)),
+        BooleanClause(MUST, NumericRangeQuery(yfield, y_min, y_max)),
+    ))
+
+
+def haversine_m(x1_udeg, y1_udeg, x2_udeg, y2_udeg) -> np.ndarray:
+    """Great-circle meters between micro-degree points (spatial4j
+    DistanceUtils.distHaversineRAD)."""
+    lon1 = np.radians(np.asarray(x1_udeg, dtype=np.float64) / 1e6)
+    lat1 = np.radians(np.asarray(y1_udeg, dtype=np.float64) / 1e6)
+    lon2 = np.radians(np.asarray(x2_udeg, dtype=np.float64) / 1e6)
+    lat2 = np.radians(np.asarray(y2_udeg, dtype=np.float64) / 1e6)
+    h = (np.sin((lat2 - lat1) / 2.0) ** 2
+         + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2.0) ** 2)
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(h))
+
+
+def distance_topk(
+    index_dir: str, xfield: str, yfield: str, x: int, y: int, k: int = 10,
+    *, metric: str = "euclidean2", query: "Query | None" = None,
+) -> pa.Table:
+    """Top-k nearest docs to (x, y) -> (rank, docid, dist[, x, y]).
+    ``metric="euclidean2"`` ranks by EXACT int64 squared distance in
+    micro-degrees (deterministic, SQL-oracle-able); ``"haversine_m"``
+    ranks by great-circle meters. ``query`` optionally pre-filters the
+    candidates (e.g. a bbox — the filtered-distance pattern)."""
+    if metric not in ("euclidean2", "haversine_m"):
+        raise ValueError(f"unknown metric {metric!r}")
+    manifest = mf.read_index_manifest(index_dir)
+    q_ref = ray.put(query)
+    if query is not None:
+        from ..queries import collect_field_terms, collect_terms
+        from .search import gather_stats
+
+        ctx = gather_stats(index_dir, manifest,
+                           sorted(collect_terms(query)),
+                           field_terms=sorted(collect_field_terms(query)))
+        ctx_ref = ray.put(ctx)
+    else:
+        ctx_ref = ray.put(None)
+
+    def leaf_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.search import execute
+
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            if q is not None:
+                docids, _ = execute(q, leaf, ctx_l)
+            else:
+                docids = np.arange(leaf.num_docs, dtype=np.int64)
+                if leaf.live is not None:
+                    docids = docids[np.asarray(leaf.live)[docids]]
+            if len(docids) == 0:
+                continue
+            xs = pd.to_numeric(pd.Series(
+                leaf.doc_values(xfield, docids)), errors="coerce")
+            ys = pd.to_numeric(pd.Series(
+                leaf.doc_values(yfield, docids)), errors="coerce")
+            present = xs.notna() & ys.notna()
+            docids = docids[present.to_numpy()]
+            if len(docids) == 0:
+                continue
+            xv = xs[present].to_numpy(dtype=np.int64)
+            yv = ys[present].to_numpy(dtype=np.int64)
+            if metric == "euclidean2":
+                d = ((xv - np.int64(x)) ** 2 + (yv - np.int64(y)) ** 2)
+                d = d.astype(np.int64)
+            else:
+                d = haversine_m(xv, yv, np.int64(x), np.int64(y))
+            o = np.lexsort((docids, d))[:k]
+            parts.append(pd.DataFrame({
+                "docid": docids[o] + leaf.doc_base,
+                "dist": d[o], "x": xv[o], "y": yv[o]}))
+        if not parts:
+            return pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="float64"),
+                                 "x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_topk, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0 or "docid" not in partials.columns:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "docid": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64() if metric ==
+                                          "euclidean2" else pa.float64())})
+    sel = partials.sort_values(["dist", "docid"],
+                               kind="mergesort").head(k).reset_index(drop=True)
+    dist_arr = (pa.array(sel["dist"].astype(np.int64))
+                if metric == "euclidean2"
+                else pa.array(sel["dist"].astype(np.float64)))
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+        "docid": pa.array(sel["docid"].astype(np.int64)),
+        "dist": dist_arr,
+    })

@@ -1,0 +1,89 @@
+"""Spatial module (PointVectorStrategy analogue): bbox containment,
+distance top-k (exact integer euclidean + haversine), filtered distance."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.spatial import (
+    EARTH_RADIUS_M,
+    bbox_query,
+    distance_topk,
+    haversine_m,
+)
+from lucene_solr_old_ray.queries import TermQuery
+
+# fixed micro-degree points: a cluster near the origin + outliers
+XS = [0, 1_000_000, -2_000_000, 5_000_000, 150_000_000, -170_000_000,
+      500_000, 0, 3_000_000, -1_000_000]
+YS = [0, 500_000, 1_000_000, -3_000_000, 60_000_000, -45_000_000,
+      -500_000, 2_000_000, 0, -1_500_000]
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    d = str(tmp_path_factory.mktemp("geo"))
+    n = len(XS)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"place{i} alpha" if i % 2 == 0 else
+                          f"place{i} beta" for i in range(n)], pa.string()),
+        "x": pa.array(XS, pa.int64()),
+        "y": pa.array(YS, pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = os.path.join(d, "idx")
+    build_index(CorpusSpec(
+        files=(os.path.join(d, "documents.parquet"),),
+        content_col="text", meta_cols=("doc_id", "x", "y"),
+        extra_fields=(FieldSpec("x", "x", kind="numeric"),
+                      FieldSpec("y", "y", kind="numeric"))),
+        out, target_docs_per_partition=4)
+    return out
+
+
+def test_bbox_containment(idx):
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+
+    q = bbox_query("x", "y", -2_000_000, 2_000_000, -2_000_000, 2_000_000)
+    got = set(match_doc_ids(idx, q)["docid"].to_pylist())
+    want = {i for i in range(len(XS))
+            if -2_000_000 <= XS[i] <= 2_000_000
+            and -2_000_000 <= YS[i] <= 2_000_000}
+    assert got == want and len(want) >= 4
+
+
+def test_distance_topk_exact_euclidean(idx):
+    t = distance_topk(idx, "x", "y", 0, 0, k=5).to_pandas()
+    d2 = [(XS[i] ** 2 + YS[i] ** 2, i) for i in range(len(XS))]
+    want = sorted(d2)[:5]
+    assert list(t["docid"]) == [i for _, i in want]
+    assert list(t["dist"]) == [d for d, _ in want]
+    assert t["dist"].dtype == np.int64  # exact integer math
+
+
+def test_distance_topk_filtered(idx):
+    t = distance_topk(idx, "x", "y", 0, 0, k=3,
+                      query=TermQuery("beta")).to_pandas()
+    beta = [i for i in range(len(XS)) if i % 2 == 1]
+    want = sorted((XS[i] ** 2 + YS[i] ** 2, i) for i in beta)[:3]
+    assert list(t["docid"]) == [i for _, i in want]
+
+
+def test_haversine_known_values(idx):
+    # one degree of latitude at the equator
+    d = haversine_m(0, 0, 0, 1_000_000)
+    assert d == pytest.approx(EARTH_RADIUS_M * math.pi / 180.0, rel=1e-9)
+    # antipodal points: half the circumference
+    d = haversine_m(0, 0, 180_000_000, 0)
+    assert d == pytest.approx(EARTH_RADIUS_M * math.pi, rel=1e-9)
+    t = distance_topk(idx, "x", "y", 0, 0, k=3,
+                      metric="haversine_m").to_pandas()
+    assert t["dist"].dtype == np.float64
+    assert list(t["docid"])[0] == 0 and t["dist"].iloc[0] == 0.0
