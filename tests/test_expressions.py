@@ -1,0 +1,101 @@
+"""Expressions module: compiler correctness (vs direct numpy) and the
+ExpressionSortField path over a real index."""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.expressions import (
+    ExpressionError,
+    compile_expression,
+    expression_sort,
+)
+from lucene_solr_old_ray.queries import TermQuery
+
+
+def _ev(src, **arrays):
+    return compile_expression(src).evaluate(
+        {k: np.asarray(v, dtype=np.float64) for k, v in arrays.items()})
+
+
+def test_arithmetic_and_precedence():
+    assert _ev("1 + 2 * 3")[()] == 7.0
+    assert _ev("(1 + 2) * 3")[()] == 9.0
+    assert _ev("-2 * 3 + 10 % 4")[()] == -4.0
+    assert _ev("2 * x + 1", x=[1, 2, 3]).tolist() == [3.0, 5.0, 7.0]
+
+
+def test_functions():
+    assert _ev("sqrt(16)")[()] == 4.0
+    assert _ev("ln(exp(2))")[()] == pytest.approx(2.0)
+    assert _ev("logn(2, 8)")[()] == pytest.approx(3.0)
+    assert _ev("max(min(5, 3), 2)")[()] == 3.0
+    assert _ev("pow(x, 2)", x=[2, 3]).tolist() == [4.0, 9.0]
+    assert _ev("atan2(1, 1)")[()] == pytest.approx(math.pi / 4)
+    # haversin: one degree of latitude in km
+    assert _ev("haversin(0, 0, 1, 0)")[()] == pytest.approx(111.195, abs=0.01)
+
+
+def test_variables_and_errors():
+    e = compile_expression("sqrt(_score) + ln(popularity)")
+    assert e.variables == ["_score", "popularity"]
+    with pytest.raises(ExpressionError):
+        compile_expression("foo(1)")  # unknown function
+    with pytest.raises(ExpressionError):
+        compile_expression("1 +")
+    with pytest.raises(ExpressionError):
+        compile_expression("pow(1)")  # arity
+    with pytest.raises(ExpressionError):
+        e.evaluate({"_score": np.ones(2)})  # unbound variable
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    d = str(tmp_path_factory.mktemp("expr"))
+    n = 30
+    pops = [(i * 37) % 100 + 1 for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"needle word{i % 5} extra" for i in range(n)],
+                         pa.string()),
+        "popularity": pa.array(pops, pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = os.path.join(d, "idx")
+    build_index(CorpusSpec(
+        files=(os.path.join(d, "documents.parquet"),),
+        content_col="text", meta_cols=("doc_id", "popularity"),
+        extra_fields=()), out, target_docs_per_partition=8)
+    return out, pops
+
+
+def test_expression_sort_matches_direct_compute(ray_session, idx):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    out, pops = idx
+    t = expression_sort(out, TermQuery("needle"),
+                        "sqrt(_score) + ln(popularity)", k=10).to_pandas()
+    # recompute directly from the engine's own scores
+    hits = search(out, {0: TermQuery("needle")}, k=100).to_pandas()
+    want = []
+    for _, r in hits.iterrows():
+        v = math.sqrt(np.float64(r["score"])) + math.log(pops[int(r["docid"])])
+        want.append((-v, int(r["docid"])))
+    want.sort()
+    assert list(t["docid"]) == [d for _, d in want[:10]]
+    np.testing.assert_allclose(t["value"], [-v for v, _ in want[:10]],
+                               rtol=1e-12)
+
+
+def test_expression_sort_docvalues_only(ray_session, idx):
+    out, pops = idx
+    t = expression_sort(out, TermQuery("needle"), "popularity * 2",
+                        k=5).to_pandas()
+    want = sorted(((-2.0 * pops[i], i) for i in range(len(pops))))[:5]
+    assert list(t["docid"]) == [i for _, i in want]
