@@ -136,6 +136,25 @@ _VOCAB_STEMMERS = {
 }
 
 
+def _vocab_stem_factory(analyzer: str):
+    """Zero-arg factory for the analyzer's vocabulary-level stem fn, or
+    None if the analyzer has no vocab pass. RSLP chains carry their rule
+    file path in the analyzer string
+    (``portuguese_rslp:<path>`` / ``galician_rslp:<path>`` /
+    ``galician_minimal:<path>`` — rules load at runtime, see
+    functions/rslp.py)."""
+    f = _VOCAB_STEMMERS.get(analyzer)
+    if f is not None:
+        return f
+    if analyzer.startswith(("portuguese_rslp:", "galician_rslp:",
+                            "galician_minimal:")):
+        kind, path = analyzer.split(":", 1)
+        from .rslp import make_rslp_stemmer
+
+        return lambda: make_rslp_stemmer(kind, path)
+    return None
+
+
 def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
     """Full chain for a single string (query-time analysis): returns kept terms
     in order. Stop words and overlong tokens removed; stemmed analyzers
@@ -151,8 +170,9 @@ def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
         for t in tokenize_raw(text)
         if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS
     ]
-    if analyzer in _VOCAB_STEMMERS:
-        fn = _VOCAB_STEMMERS[analyzer]()
+    _sf = _vocab_stem_factory(analyzer)
+    if _sf is not None:
+        fn = _sf()
         kept = [fn(t) for t in kept]
     return kept
 
@@ -1244,7 +1264,7 @@ def analyze_batch(
                                 with_positions)
 
     s_off = e_off = None
-    if analyzer == "standard" or analyzer in _VOCAB_STEMMERS:
+    if analyzer == "standard" or _vocab_stem_factory(analyzer) is not None:
         # stemmed analyzers = the standard chain + a vocabulary-level stem
         # pass applied after the stop/overlong filter (filters below);
         # offsets always span the ORIGINAL (pre-stem) token
@@ -1285,10 +1305,10 @@ def analyze_batch(
         remap = np.cumsum(uniq_keep) - 1
         codes = remap[codes]
         uniques = np.asarray(uniques, dtype=object)[uniq_keep]
-        if analyzer in _VOCAB_STEMMERS and len(uniques):
+        if _vocab_stem_factory(analyzer) is not None and len(uniques):
             # stem filter on the UNIQUE vocabulary only (never per
             # instance); stems may collide, so re-encode
-            stem_fn = _VOCAB_STEMMERS[analyzer]()
+            stem_fn = _vocab_stem_factory(analyzer)()
             stemmed = np.asarray([stem_fn(u) for u in uniques],
                                  dtype=object)
             new_uniques, inverse = np.unique(stemmed, return_inverse=True)

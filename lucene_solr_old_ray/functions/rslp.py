@@ -1,0 +1,220 @@
+"""RSLP stemmer framework (Removedor de Sufixos da Língua Portuguesa).
+
+Re-expresses (NOT ports) ``analysis/common/.../pt/RSLPStemmerBase.java``:
+a rule-file-driven suffix stripper — steps of ordered rules, each rule
+``(suffix, min-stem-length, replacement, exceptions)``, step headers
+``(name, min-word-length, whole-word-vs-suffix exception mode, entry
+conditions)`` — plus the published step FLOWS of
+``pt/PortugueseStemmer.java:46-67`` (plural -> adverb -> feminine ->
+augmentative -> noun; verb only if noun removed nothing; vowel only if
+verb removed nothing; then RSLP accent folding) and
+``gl/GalicianStemmer.java:48-70`` (plural -> unification -> adverb ->
+augmentative-to-fixpoint -> noun else verb -> vowel; RSLG accent
+folding), and ``gl/GalicianMinimalStemmer.java:31`` (the RSLP-S plural
+step only).
+
+THE RULE DATA IS NOT EMBEDDED IN THIS REPOSITORY: the ``.rslp`` rule
+files are published resources of the reference (and of the original RSLP
+distribution) and are loaded AT RUNTIME from a caller-supplied path —
+exactly how the reference loads them as classpath resources. Pass the
+path via the analyzer string, e.g.
+``analyzer="portuguese_rslp:/path/to/portuguese.rslp"``.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class Rule:
+    __slots__ = ("suffix", "min", "replacement", "exceptions", "whole_word")
+
+    def __init__(self, suffix: str, min_: int, replacement: str,
+                 exceptions: "list[str] | None", whole_word: bool):
+        self.suffix = suffix
+        self.min = min_
+        self.replacement = replacement
+        self.exceptions = exceptions or []
+        self.whole_word = whole_word
+        for e in self.exceptions:
+            if not e.endswith(suffix):
+                raise ValueError(
+                    f"useless exception {e!r} does not end with {suffix!r}")
+
+    def matches(self, word: str) -> bool:
+        if len(word) - len(self.suffix) < self.min:
+            return False
+        if not word.endswith(self.suffix):
+            return False
+        if self.whole_word:
+            return word not in self.exceptions
+        return not any(word.endswith(e) for e in self.exceptions)
+
+    def replace(self, word: str) -> str:
+        return word[: len(word) - len(self.suffix)] + self.replacement
+
+
+class Step:
+    __slots__ = ("name", "rules", "min", "suffixes")
+
+    def __init__(self, name: str, rules: "list[Rule]", min_: int,
+                 suffixes: "list[str] | None"):
+        self.name = name
+        self.rules = rules
+        if min_ == 0:  # auto: smallest word a rule could apply to
+            min_ = min(r.min + len(r.suffix) for r in rules)
+        self.min = min_
+        self.suffixes = suffixes or None
+
+    def apply(self, word: str) -> str:
+        if len(word) < self.min:
+            return word
+        if self.suffixes is not None and not any(
+                word.endswith(sfx) for sfx in self.suffixes):
+            return word
+        for r in self.rules:
+            if r.matches(word):
+                return r.replace(word)
+        return word
+
+
+_HEADER = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+),\s*(0|1),\s*\{(.*)\},\s*$')
+_STRIP = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+)\s*\}\s*(,|(\}\s*;))$')
+_REP = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+),\s*"([^"]*)"\}\s*(,|(\}\s*;))$')
+_EXC = re.compile(
+    r'^\{\s*"([^"]*)",\s*([0-9]+),\s*"([^"]*)",\s*\{(.*)\}\s*\}\s*(,|(\}\s*;))$')
+
+
+def _parse_list(s: str) -> "list[str] | None":
+    if not s:
+        return None
+    return [x.strip()[1:-1] for x in s.split(",")]
+
+
+def parse_rslp(path: str) -> "dict[str, Step]":
+    """Parse a published .rslp rule file -> {step name: Step}."""
+    lines = []
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if line and not line.startswith("#"):
+                lines.append(line)
+    steps: dict[str, Step] = {}
+    i = 0
+    while i < len(lines):
+        m = _HEADER.match(lines[i])
+        if m is None:
+            raise ValueError(f"illegal step header: {lines[i]!r}")
+        name = m.group(1)
+        min_ = int(m.group(2))
+        whole_word = m.group(3) == "1"
+        conds = _parse_list(m.group(4))
+        i += 1
+        rules: list[Rule] = []
+        while i < len(lines):
+            line = lines[i]
+            i += 1
+            mm = _STRIP.match(line)
+            if mm:
+                rules.append(Rule(mm.group(1), int(mm.group(2)), "",
+                                  None, whole_word))
+            else:
+                mm = _REP.match(line)
+                if mm:
+                    rules.append(Rule(mm.group(1), int(mm.group(2)),
+                                      mm.group(3), None, whole_word))
+                else:
+                    mm = _EXC.match(line)
+                    if mm is None:
+                        raise ValueError(f"illegal rule: {line!r}")
+                    rules.append(Rule(mm.group(1), int(mm.group(2)),
+                                      mm.group(3),
+                                      _parse_list(mm.group(4)), whole_word))
+            if line.endswith(";"):
+                break
+        steps[name] = Step(name, rules, min_, conds)
+    return steps
+
+
+_PT_ACCENTS = str.maketrans(
+    "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ", "aaaaaaceeeeiiiinooooouuuuyy")
+_GL_ACCENTS = str.maketrans("áéêíóú", "aeeiou")
+
+
+def portuguese_rslp(path: str):
+    """PortugueseStemmer flow over the published portuguese.rslp rules."""
+    st = parse_rslp(path)
+    plural, adverb, feminine = st["Plural"], st["Adverb"], st["Feminine"]
+    augmentative, noun = st["Augmentative"], st["Noun"]
+    verb, vowel = st["Verb"], st["Vowel"]
+
+    def stem(word: str) -> str:
+        w = plural.apply(word)
+        w = adverb.apply(w)
+        w = feminine.apply(w)
+        w = augmentative.apply(w)
+        old = w
+        w = noun.apply(w)
+        if w == old:
+            old = w
+            w = verb.apply(w)
+            if w == old:
+                w = vowel.apply(w)
+        return w.translate(_PT_ACCENTS)
+
+    return stem
+
+
+def galician_rslp(path: str):
+    """GalicianStemmer flow over the published galician.rslp rules."""
+    st = parse_rslp(path)
+    plural, unification, adverb = st["Plural"], st["Unification"], st["Adverb"]
+    augmentative, noun = st["Augmentative"], st["Noun"]
+    verb, vowel = st["Verb"], st["Vowel"]
+
+    def stem(word: str) -> str:
+        w = plural.apply(word)
+        w = unification.apply(w)
+        w = adverb.apply(w)
+        while True:
+            old = w
+            w = augmentative.apply(w)
+            if w == old:
+                break
+        old = w
+        w = noun.apply(w)
+        if w == old:
+            w = verb.apply(w)
+        w = vowel.apply(w)
+        return w.translate(_GL_ACCENTS)
+
+    return stem
+
+
+def galician_minimal(path: str):
+    """GalicianMinimalStemmer: the RSLP-S plural step only (no accent
+    folding)."""
+    plural = parse_rslp(path)["Plural"]
+
+    def stem(word: str) -> str:
+        return plural.apply(word)
+
+    return stem
+
+
+_CACHE: dict = {}
+
+
+def make_rslp_stemmer(kind: str, path: str):
+    """Module-cached stemmer factory: kind in {portuguese_rslp,
+    galician_rslp, galician_minimal}."""
+    key = (kind, path)
+    fn = _CACHE.get(key)
+    if fn is None:
+        maker = {"portuguese_rslp": portuguese_rslp,
+                 "galician_rslp": galician_rslp,
+                 "galician_minimal": galician_minimal}.get(kind)
+        if maker is None:
+            raise ValueError(f"unknown RSLP stemmer kind {kind!r}")
+        fn = _CACHE[key] = maker(path)
+    return fn

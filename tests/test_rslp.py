@@ -1,0 +1,86 @@
+"""RSLP stemmer framework: the Portuguese and Galician RSLP chains
+validated against the reference's FULL vector sets (ptrslptestdata.zip /
+gltestdata.zip, read from the reference at test time — the rule files
+load at runtime from the reference's resources, never copied into this
+repo)."""
+
+import io
+import os
+import zipfile
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_old_ray.functions.rslp import make_rslp_stemmer, parse_rslp
+
+_REF = "/root/reference/lucene/analysis/common/src"
+_PT_RULES = os.path.join(
+    _REF, "resources/org/apache/lucene/analysis/pt/portuguese.rslp")
+_GL_RULES = os.path.join(
+    _REF, "resources/org/apache/lucene/analysis/gl/galician.rslp")
+
+
+def _pairs(lang, zname, tname):
+    path = os.path.join(_REF, "test/org/apache/lucene/analysis", lang, zname)
+    if not os.path.exists(path):
+        pytest.skip("reference data absent")
+    with zipfile.ZipFile(path) as z:
+        txt = io.TextIOWrapper(z.open(tname), encoding="utf-8").read()
+    return [ln.split("\t") for ln in txt.splitlines()
+            if ln and not ln.startswith("#") and "\t" in ln]
+
+
+def _need_rules(path):
+    if not os.path.exists(path):
+        pytest.skip("reference rules absent")
+
+
+def test_parse_rslp_structure():
+    _need_rules(_PT_RULES)
+    steps = parse_rslp(_PT_RULES)
+    assert set(steps) == {"Plural", "Adverb", "Feminine", "Augmentative",
+                          "Noun", "Verb", "Vowel"}
+    # first Plural rule from the published file: ns -> m, min 1
+    r = steps["Plural"].rules[0]
+    assert (r.suffix, r.min, r.replacement) == ("ns", 1, "m")
+    # whole-word exception mode on Plural (flag 1)
+    assert steps["Plural"].rules[2].whole_word
+    assert "mães" in steps["Plural"].rules[2].exceptions
+
+
+def test_portuguese_rslp_full_reference_vectors():
+    _need_rules(_PT_RULES)
+    st = make_rslp_stemmer("portuguese_rslp", _PT_RULES)
+    pairs = _pairs("pt", "ptrslptestdata.zip", "ptrslp.txt")
+    assert len(pairs) > 10_000
+    bad = [(w, st(w), want) for w, want in pairs if st(w) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_galician_rslp_full_reference_vectors():
+    _need_rules(_GL_RULES)
+    st = make_rslp_stemmer("galician_rslp", _GL_RULES)
+    pairs = _pairs("gl", "gltestdata.zip", "gl.txt")
+    assert len(pairs) > 9_000
+    bad = [(w, st(w), want) for w, want in pairs if st(w) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_galician_minimal_plural_only():
+    _need_rules(_GL_RULES)
+    st = make_rslp_stemmer("galician_minimal", _GL_RULES)
+    # TestGalicianMinimalStemFilter cases
+    assert st("elefantes") == "elefante"
+    assert st("elefante") == "elefante"
+    assert st("kalóres") == "kalór"  # plural reduction only, no accents
+    assert st("corpos") == "corpo"
+
+
+def test_rslp_chain_through_analyze_batch():
+    from lucene_solr_old_ray.functions.analysis import analyze_batch
+
+    _need_rules(_PT_RULES)
+    ab = analyze_batch(pa.array(["bons balões felizmente"]), True,
+                       f"portuguese_rslp:{_PT_RULES}")
+    assert sorted(ab.uniques) == ["bal", "bom", "feliz"]
