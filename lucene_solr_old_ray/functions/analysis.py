@@ -110,6 +110,7 @@ def _greek_chain():
 # stemmers in analysis/common/src/java/org/apache/lucene/analysis/<lang>/)
 _VOCAB_STEMMERS = {
     "english": _stem_porter,
+    "english_minimal": _stem_named("english_minimal_stem"),
     "french": _stem_french,
     "german": _stem_german,
     "spanish": _stem_spanish,

@@ -1044,3 +1044,23 @@ def _id_suffix(s: str, st: dict) -> str:
         st["ns"] -= 1
         return s[:-1]
     return s
+
+
+def english_minimal_stem(w: str) -> str:
+    """S-stemmer of Donna Harman's "How effective is suffixing?" —
+    re-expresses (NOT ports) ``analysis/common/.../en/
+    EnglishMinimalStemmer.java:27-47`` exactly (incl. the intentional
+    fallthrough: -ies -> -y only when not preceded by a/e; -us/-ss kept;
+    plain -s dropped)."""
+    n = len(w)
+    if n < 3 or w[-1] != "s":
+        return w
+    c = w[-2]
+    if c in ("u", "s"):
+        return w
+    if c == "e":
+        if n > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "e"):
+            return w
+    return w[:-1]

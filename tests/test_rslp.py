@@ -77,6 +77,19 @@ def test_galician_minimal_plural_only():
     assert st("corpos") == "corpo"
 
 
+def test_english_minimal_reference_cases():
+    """TestEnglishMinimalStemFilter's checkOneTerm vectors."""
+    from lucene_solr_old_ray.functions.stem import english_minimal_stem as f
+
+    for w, want in [("queries", "query"), ("phrases", "phrase"),
+                    ("corpus", "corpus"), ("stress", "stress"),
+                    ("kings", "king"), ("panels", "panel"),
+                    ("aerodynamics", "aerodynamic"),
+                    ("congress", "congress"), ("serious", "serious"),
+                    ("", "")]:
+        assert f(w) == want, w
+
+
 def test_rslp_chain_through_analyze_batch():
     from lucene_solr_old_ray.functions.analysis import analyze_batch
 
