@@ -1,0 +1,182 @@
+"""XML query syntax -> Query trees (the queryparser/xml CoreParser).
+
+Re-expresses (NOT ports) ``lucene/queryparser/src/java/org/apache/lucene/
+queryparser/xml/CoreParser.java:40-90`` and its ``builders/``: each XML
+element maps to a query type, composing arbitrarily. Supported elements
+(the CoreParser registry minus the deprecated filter caches):
+
+- ``<TermQuery field=..>text</TermQuery>`` (raw term, TermQueryBuilder);
+- ``<TermsQuery>`` (text ANALYZED into a SHOULD disjunction);
+- ``<BooleanQuery>`` with ``<Clause occurs="should|must|mustnot">``;
+- ``<MatchAllDocsQuery/>``, ``<ConstantScoreQuery>``,
+  ``<DisjunctionMaxQuery tieBreaker=..>``;
+- ``<FilteredQuery><Query>…</Query><Filter>…</Filter></FilteredQuery>``
+  (the filter subtree parses as a query — this engine's FilteredQuery
+  takes a query-shaped filter);
+- ``<NumericRangeQuery fieldName=.. lowerTerm=.. upperTerm=..>`` (and
+  ``<NumericRangeFilter>`` inside ``<Filter>``);
+- ``<UserInputQuery>`` (classic parser syntax, UserInputQueryBuilder);
+- spans: ``<SpanTerm>``, ``<SpanOr>``, ``<SpanOrTerms>`` (analyzed),
+  ``<SpanNear slop=.. inOrder=..>``, ``<SpanNot><Include/><Exclude/>``,
+  ``<SpanFirst end=..>``, ``<BoostingTermQuery>`` (a payload-scoring term
+  — distance-compatible, mapped to SpanTerm like SpanBuilderBase does for
+  matching purposes);
+- a ``boost`` attribute anywhere a builder honors it.
+
+Every element's text is whitespace-trimmed; unknown elements raise
+:class:`XmlParseError` (CoreParser's ParserException).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from .functions.analysis import analyze_text
+from .queries import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FilteredQuery,
+    MatchAllDocsQuery,
+    NumericRangeQuery,
+    Query,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    TermQuery,
+    parse as classic_parse,
+)
+
+
+class XmlParseError(ValueError):
+    pass
+
+
+_OCCURS = {"should": SHOULD, "must": MUST, "mustnot": MUST_NOT}
+
+
+def _text(el) -> str:
+    return (el.text or "").strip()
+
+
+def _boost(el) -> float:
+    return float(el.get("boost", "1.0"))
+
+
+def _field(el) -> "str | None":
+    return el.get("fieldName")
+
+
+def _children(el):
+    return [c for c in el if isinstance(c.tag, str)]
+
+
+def _span(el) -> Query:
+    tag = el.tag
+    if tag in ("SpanTerm", "BoostingTermQuery"):
+        return SpanTermQuery(_text(el), boost=_boost(el))
+    if tag == "SpanOrTerms":
+        toks = analyze_text(_text(el))
+        if not toks:
+            raise XmlParseError("SpanOrTerms produced no tokens")
+        return SpanOrQuery(tuple(SpanTermQuery(t) for t in toks),
+                           boost=_boost(el))
+    if tag == "SpanOr":
+        return SpanOrQuery(tuple(_span(c) for c in _children(el)),
+                           boost=_boost(el))
+    if tag == "SpanNear":
+        return SpanNearQuery(
+            tuple(_span(c) for c in _children(el)),
+            slop=int(el.get("slop", "0")),
+            in_order=el.get("inOrder", "true").lower() != "false")
+    if tag == "SpanFirst":
+        (child,) = _children(el)
+        return SpanFirstQuery(_span(child), end=int(el.get("end", "1")),
+                              boost=_boost(el))
+    if tag == "SpanNot":
+        inc = exc = None
+        for c in _children(el):
+            if c.tag == "Include":
+                (inc,) = _children(c)
+            elif c.tag == "Exclude":
+                (exc,) = _children(c)
+        if inc is None or exc is None:
+            raise XmlParseError("SpanNot needs Include and Exclude")
+        return SpanNotQuery(_span(inc), _span(exc), boost=_boost(el))
+    raise XmlParseError(f"not a span element: {tag!r}")
+
+
+def _query(el) -> Query:
+    tag = el.tag
+    if tag == "TermQuery":
+        return TermQuery(_text(el), boost=_boost(el), field=_field(el))
+    if tag == "TermsQuery":
+        toks = analyze_text(_text(el))
+        return BooleanQuery(tuple(
+            BooleanClause(SHOULD, TermQuery(t, field=_field(el)))
+            for t in toks), boost=_boost(el))
+    if tag == "MatchAllDocsQuery":
+        return MatchAllDocsQuery()
+    if tag == "BooleanQuery":
+        clauses = []
+        for c in _children(el):
+            if c.tag != "Clause":
+                raise XmlParseError("BooleanQuery children must be Clause")
+            occurs = _OCCURS.get(c.get("occurs", "should"))
+            if occurs is None:
+                raise XmlParseError(f"bad occurs {c.get('occurs')!r}")
+            (sub,) = _children(c)
+            clauses.append(BooleanClause(occurs, _query(sub)))
+        return BooleanQuery(tuple(clauses), boost=_boost(el))
+    if tag == "ConstantScoreQuery":
+        (sub,) = _children(el)
+        return ConstantScoreQuery(_query(sub), boost=_boost(el))
+    if tag == "DisjunctionMaxQuery":
+        return DisjunctionMaxQuery(
+            tuple(_query(c) for c in _children(el)),
+            tie_breaker=float(el.get("tieBreaker", "0.0")))
+    if tag == "FilteredQuery":
+        q = f = None
+        for c in _children(el):
+            if c.tag == "Query":
+                (qc,) = _children(c)
+                q = _query(qc)
+            elif c.tag == "Filter":
+                (fc,) = _children(c)
+                f = _query(fc)
+        if q is None or f is None:
+            raise XmlParseError("FilteredQuery needs Query and Filter")
+        return FilteredQuery(q, f)
+    if tag in ("NumericRangeQuery", "NumericRangeFilter"):
+        fieldname = el.get("fieldName")
+        if not fieldname:
+            raise XmlParseError(f"{tag} needs fieldName")
+        lo = el.get("lowerTerm")
+        hi = el.get("upperTerm")
+        return NumericRangeQuery(
+            fieldname,
+            int(lo) if lo is not None else None,
+            int(hi) if hi is not None else None,
+            include_lower=el.get("includeLower", "true").lower() != "false",
+            include_upper=el.get("includeUpper", "true").lower() != "false")
+    if tag == "UserInputQuery":
+        return classic_parse(_text(el))
+    if tag in ("SpanTerm", "SpanOr", "SpanOrTerms", "SpanNear", "SpanNot",
+               "SpanFirst", "BoostingTermQuery"):
+        return _span(el)
+    raise XmlParseError(f"unknown query element {tag!r}")
+
+
+def parse_xml_query(xml: str) -> Query:
+    """Parse one XML query document -> a Query tree (CoreParser.parse)."""
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError as ex:
+        raise XmlParseError(f"malformed XML: {ex}") from None
+    return _query(root)

@@ -1,0 +1,145 @@
+"""XML query parser (CoreParser) — element coverage modeled on the
+reference's test .xml files (BooleanQuery.xml, SpanQuery.xml, …), plus
+execution through a real index."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.queries import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FilteredQuery,
+    MatchAllDocsQuery,
+    NumericRangeQuery,
+    SpanFirstQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanTermQuery,
+    TermQuery,
+)
+from lucene_solr_old_ray.queryxml import XmlParseError, parse_xml_query
+
+
+def test_boolean_query_xml():
+    # the reference's BooleanQuery.xml structure
+    q = parse_xml_query("""
+<BooleanQuery fieldName="contents">
+  <Clause occurs="should"><TermQuery>merger</TermQuery></Clause>
+  <Clause occurs="mustnot"><TermQuery>sumitomo</TermQuery></Clause>
+  <Clause occurs="must"><TermQuery>bank</TermQuery></Clause>
+</BooleanQuery>""")
+    assert isinstance(q, BooleanQuery)
+    assert [c.occur for c in q.clauses] == [SHOULD, MUST_NOT, MUST]
+    assert [c.query.term for c in q.clauses] == ["merger", "sumitomo",
+                                                 "bank"]
+
+
+def test_span_query_xml():
+    # the reference's SpanQuery.xml core structure
+    q = parse_xml_query("""
+<SpanOr>
+  <SpanNear slop="8" inOrder="false">
+    <SpanOr>
+      <SpanTerm>killed</SpanTerm><SpanTerm>died</SpanTerm>
+    </SpanOr>
+    <SpanOrTerms>miner miners</SpanOrTerms>
+  </SpanNear>
+  <SpanFirst end="10"><SpanOrTerms>fire burn</SpanOrTerms></SpanFirst>
+</SpanOr>""")
+    assert isinstance(q, SpanOrQuery)
+    near, first = q.clauses
+    assert isinstance(near, SpanNearQuery) and near.slop == 8
+    assert near.in_order is False
+    assert isinstance(near.clauses[1], SpanOrQuery)
+    assert [t.term for t in near.clauses[1].clauses] == ["miner", "miners"]
+    assert isinstance(first, SpanFirstQuery) and first.end == 10
+
+
+def test_span_not_xml():
+    q = parse_xml_query("""
+<SpanNot>
+  <Include><SpanNear slop="2" inOrder="true">
+    <SpanTerm>social</SpanTerm><SpanTerm>services</SpanTerm>
+  </SpanNear></Include>
+  <Exclude><SpanTerm>public</SpanTerm></Exclude>
+</SpanNot>""")
+    assert isinstance(q, SpanNotQuery)
+    assert isinstance(q.include, SpanNearQuery)
+    assert q.exclude.term == "public"
+
+
+def test_other_elements():
+    assert isinstance(parse_xml_query("<MatchAllDocsQuery/>"),
+                      MatchAllDocsQuery)
+    q = parse_xml_query(
+        '<ConstantScoreQuery boost="2.5"><TermQuery>x</TermQuery>'
+        "</ConstantScoreQuery>")
+    assert isinstance(q, ConstantScoreQuery) and q.boost == 2.5
+    q = parse_xml_query(
+        '<DisjunctionMaxQuery tieBreaker="0.3">'
+        "<TermQuery>a</TermQuery><TermQuery>b</TermQuery>"
+        "</DisjunctionMaxQuery>")
+    assert isinstance(q, DisjunctionMaxQuery) and q.tie_breaker == 0.3
+    q = parse_xml_query("""
+<FilteredQuery>
+  <Query><TermQuery>spark</TermQuery></Query>
+  <Filter><NumericRangeFilter fieldName="n_chars" lowerTerm="10"
+           upperTerm="100"/></Filter>
+</FilteredQuery>""")
+    assert isinstance(q, FilteredQuery)
+    assert isinstance(q.filter, NumericRangeQuery)
+    assert (q.filter.lower, q.filter.upper) == (10, 100)
+    q = parse_xml_query("<UserInputQuery>+hello -world</UserInputQuery>")
+    assert isinstance(q, BooleanQuery)
+    q = parse_xml_query("<TermsQuery>Quick Brown the</TermsQuery>")
+    # analyzed: lowercased, stop word dropped
+    assert [c.query.term for c in q.clauses] == ["quick", "brown"]
+
+
+def test_errors():
+    with pytest.raises(XmlParseError):
+        parse_xml_query("<NoSuchQuery>x</NoSuchQuery>")
+    with pytest.raises(XmlParseError):
+        parse_xml_query("<BooleanQuery><TermQuery>x</TermQuery>"
+                        "</BooleanQuery>")
+    with pytest.raises(XmlParseError):
+        parse_xml_query("not xml at all <<<")
+    with pytest.raises(XmlParseError):
+        parse_xml_query('<BooleanQuery><Clause occurs="bogus">'
+                        "<TermQuery>x</TermQuery></Clause></BooleanQuery>")
+
+
+def test_execution_through_index(ray_session, tmp_path):
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path)
+    texts = ["bank merger announced", "sumitomo bank merger",
+             "plain words here", "the bank opens"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4), "source": pa.array(["s0"] * 4),
+    }), os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), idx, target_docs_per_partition=4)
+    q = parse_xml_query("""
+<BooleanQuery>
+  <Clause occurs="must"><TermQuery>bank</TermQuery></Clause>
+  <Clause occurs="mustnot"><TermQuery>sumitomo</TermQuery></Clause>
+</BooleanQuery>""")
+    assert match_doc_ids(idx, q)["docid"].to_pylist() == [0, 3]
+    q2 = parse_xml_query("""
+<SpanNear slop="0" inOrder="true">
+  <SpanTerm>bank</SpanTerm><SpanTerm>merger</SpanTerm>
+</SpanNear>""")
+    assert match_doc_ids(idx, q2)["docid"].to_pylist() == [0, 1]
