@@ -19,7 +19,9 @@ bm25_searchafter_page2 -> html_strip_phrase_top10, bm25_boosted_top10 ->
 wdf_bm25_top10, wildcard_hits -> block_join_top10, fuzzy_hits ->
 join_scored_top10, prefix_hits -> facet_range_counts,
 span_near_unordered_hits -> sort_multi_page2, token_count_by_lang ->
-classify_knn) remain fully pytest-covered
+classify_knn, doc_fingerprints -> spatial_knn — the last swap upgraded a
+rows-only slot to an exact integer oracle, so the ledger is 48 exact + 2
+rows-only) remain fully pytest-covered
 (tests/test_{numeric_mlt,advanced,highlight,extras,search,spans}.py) and
 their SQL generators remain in sqlgen.py.
 

@@ -482,8 +482,22 @@ def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
     s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
     if e <= s:
         return []
+    if "\\" in pattern:
+        # Arrow's LIKE->RE2 translation mishandles an ESCAPED backslash
+        # when the pattern also contains % (observed: match_like(["\\"],
+        # "%\\\\") = false though "\\\\" alone matches); backslash-bearing
+        # patterns take the exact regex path instead (rare)
+        import re as _re
+
+        rx = _re.compile("".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern) + r"\Z")
+        terms = leaf.terms_range_np(s, e)
+        hits = np.fromiter((rx.match(t) is not None for t in terms),
+                           count=len(terms), dtype=bool)
+        return (s + np.flatnonzero(hits)).tolist()
     like = "".join("%" if c == "*" else "_" if c == "?"
-                   else "\\" + c if c in ("%", "_", "\\") else c
+                   else "\\" + c if c in ("%", "_") else c
                    for c in pattern)
     mask = pc.match_like(leaf.terms_range_arrow(s, e), like)
     return (s + np.flatnonzero(np.asarray(mask))).tolist()

@@ -118,6 +118,11 @@ class _FakeLeaf:
     def terms_range_arrow(self, s, e):
         return self._arr.slice(s, e - s)
 
+    def terms_range_np(self, s, e):
+        import numpy as np
+
+        return np.asarray(self.terms[s:e], dtype=object)
+
 
 @st.composite
 def wildcard_pattern(draw):
