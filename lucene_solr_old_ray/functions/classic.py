@@ -61,3 +61,44 @@ def score_postings_classic(
 
 def coord(overlap: int, max_overlap: int) -> np.float32:
     return F(F(overlap) / F(max_overlap))
+
+
+# --- SweetSpotSimilarity (lucene/misc) ---------------------------------------
+
+
+def sweetspot_length_norm(num_terms: np.ndarray, ln_min: int = 1,
+                          ln_max: int = 1, steep: float = 0.5) -> np.ndarray:
+    """Plateau length norm — re-expresses (NOT ports)
+    ``lucene/misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity
+    .java:137-153``: 1/sqrt(steep * (|x-min| + |x-max| - (max-min)) + 1),
+    exactly 1.0 for lengths inside [min, max]."""
+    x = np.asarray(num_terms, dtype=np.float32)
+    inner = np.float32(steep) * (np.abs(x - ln_min) + np.abs(x - ln_max)
+                                 - np.float32(ln_max - ln_min))
+    return (np.float32(1.0) / np.sqrt(inner + np.float32(1.0))).astype(
+        np.float32)
+
+
+def sweetspot_baseline_tf(freq: np.ndarray, base: float = 0.0,
+                          min_: float = 0.0) -> np.ndarray:
+    """``SweetSpotSimilarity.baselineTf:178-185``: 0 at freq 0; ``base``
+    up to ``min``; sqrt(freq + base^2 - min) above (defaults degrade to
+    classic sqrt(freq))."""
+    f = np.asarray(freq, dtype=np.float32)
+    with np.errstate(invalid="ignore"):  # below-min lanes are masked out
+        out = np.sqrt(f + np.float32(base * base) - np.float32(min_)).astype(
+            np.float32)
+    out = np.where(f <= np.float32(min_), np.float32(base), out)
+    return np.where(f == 0.0, np.float32(0.0), out).astype(np.float32)
+
+
+def sweetspot_hyperbolic_tf(freq: np.ndarray, min_: float = 0.0,
+                            max_: float = 2.0, base: float = 1.3,
+                            xoffset: float = 10.0) -> np.ndarray:
+    """``SweetSpotSimilarity.hyperbolicTf:198-210``: a tanh-shaped tf with
+    a hard ceiling: min + (max-min)/2 * (tanh-like(base, x-xoffset) + 1)."""
+    x = np.asarray(freq, dtype=np.float64)
+    e = np.power(base, x - xoffset)
+    ei = np.power(base, -(x - xoffset))
+    out = min_ + (max_ - min_) / 2.0 * ((e - ei) / (e + ei) + 1.0)
+    return np.where(x == 0.0, 0.0, out).astype(np.float32)

@@ -40,41 +40,81 @@ def _sum_squares(q: Query, ctx: SearchContext, boost: float) -> np.float32:
     )
 
 
+def _parse_sweetspot(similarity: str) -> "tuple | None":
+    """``"sweetspot[:ln_min:ln_max:steep[:tf_base:tf_min]]"`` -> params
+    (SweetSpotSimilarity defaults ln 1:1:0.5, baselineTf 0:0 — which
+    degrade exactly to ClassicSimilarity's sqrt(freq) tf)."""
+    if not similarity.startswith("sweetspot"):
+        return None
+    parts = similarity.split(":")[1:]
+    ln_min = int(parts[0]) if len(parts) > 0 else 1
+    ln_max = int(parts[1]) if len(parts) > 1 else 1
+    steep = float(parts[2]) if len(parts) > 2 else 0.5
+    tf_base = float(parts[3]) if len(parts) > 3 else 0.0
+    tf_min = float(parts[4]) if len(parts) > 4 else 0.0
+    return (ln_min, ln_max, steep, tf_base, tf_min)
+
+
+def _sweetspot_norms(leaf, ss) -> np.ndarray:
+    """Per-doc decoded norms as a SweetSpotSimilarity index would hold
+    them: byte315(computeLengthNorm(field length)) decoded — the exact
+    encode-then-decode quantization of an index built with that
+    similarity. Cached per (leaf, params)."""
+    key = ("ss_norms", ss)
+    cached = leaf._filter_cache.get(key)
+    if cached is None:
+        from ..functions.smallfloat import float_to_byte315
+
+        lens = np.asarray(leaf.doc_values(
+            "field_len", np.arange(leaf.num_docs)), dtype=np.int64)
+        norms = cl.sweetspot_length_norm(lens, ss[0], ss[1], ss[2])
+        cached = float_to_byte315(norms).astype(np.uint8)
+        leaf._filter_cache[key] = cached
+    return cached
+
+
 def execute_classic(
     q: Query, leaf: LeafSearcher, ctx: SearchContext
 ) -> tuple[np.ndarray, np.ndarray]:
     qn = cl.query_norm(_sum_squares(q, ctx, 1.0))
-    return _exec(q, leaf, ctx, qn, 1.0)
+    return _exec(q, leaf, ctx, qn, 1.0,
+                 _parse_sweetspot(ctx.similarity or ""))
 
 
-def _term_scores(leaf, ctx, term: str, boost: float, qn):
+def _term_scores(leaf, ctx, term: str, boost: float, qn, ss=None):
     docids, tfs = leaf.postings(term)
     if len(docids) == 0:
         return docids, np.empty(0, dtype=np.float32)
     df = ctx.term_stats.get(term, (0, 0))[0]
     value = cl.term_value(cl.idf_classic(df, ctx.coll.max_doc), boost, qn)
+    if ss is not None:
+        norms = _sweetspot_norms(leaf, ss)[docids]
+        tfw = cl.sweetspot_baseline_tf(tfs, ss[3], ss[4])
+        raw = np.multiply(tfw, value, dtype=np.float32)
+        return docids, np.multiply(
+            raw, cl.CLASSIC_NORM_TABLE[norms], dtype=np.float32)
     return docids, cl.score_postings_classic(tfs, leaf.norms[docids], value)
 
 
-def _exec(q, leaf, ctx, qn, boost):
+def _exec(q, leaf, ctx, qn, boost, ss=None):
     if isinstance(q, TermQuery):
-        return _term_scores(leaf, ctx, q.term, boost * q.boost, qn)
+        return _term_scores(leaf, ctx, q.term, boost * q.boost, qn, ss)
     if isinstance(q, BooleanQuery):
-        return _exec_bool(q, leaf, ctx, qn, boost * q.boost)
+        return _exec_bool(q, leaf, ctx, qn, boost * q.boost, ss)
     raise NotImplementedError(type(q).__name__)
 
 
-def _exec_bool(q: BooleanQuery, leaf, ctx, qn, boost):
+def _exec_bool(q: BooleanQuery, leaf, ctx, qn, boost, ss=None):
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
     results = []
     for c in q.clauses:
         if c.occur == MUST_NOT:
-            d = (_exec(c.query, leaf, ctx, qn, boost)[0]
+            d = (_exec(c.query, leaf, ctx, qn, boost, ss)[0]
                  if isinstance(c.query, BooleanQuery)
                  else leaf.postings(c.query.term)[0])
             results.append((MUST_NOT, (d, None)))
         else:
-            results.append((c.occur, _exec(c.query, leaf, ctx, qn, boost)))
+            results.append((c.occur, _exec(c.query, leaf, ctx, qn, boost, ss)))
     musts = [r for o, r in results if o == MUST]
     shoulds = [r for o, r in results if o == SHOULD]
     nots = [r[0] for o, r in results if o == MUST_NOT]

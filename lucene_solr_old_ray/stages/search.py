@@ -866,7 +866,8 @@ def execute(
     q: Query, leaf: LeafSearcher, ctx: SearchContext, boost: float = 1.0
 ) -> tuple[np.ndarray, np.ndarray]:
     """Evaluate a query on one leaf -> (local docids ascending, float32 scores)."""
-    if ctx.similarity == "classic":
+    if ctx.similarity == "classic" or (
+            ctx.similarity or "").startswith("sweetspot"):
         from .classic import execute_classic
 
         docids, scores = execute_classic(q, leaf, ctx)

@@ -1,0 +1,102 @@
+"""SweetSpotSimilarity (lucene/misc) — unit vectors ported from
+``TestSweetSpotSimilarity`` plus the Similarity-SPI path end to end."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.classic import (
+    sweetspot_baseline_tf,
+    sweetspot_hyperbolic_tf,
+    sweetspot_length_norm,
+)
+from lucene_solr_old_ray.queries import TermQuery, bool_query
+
+
+def test_length_norm_plateau():
+    # TestSweetSpotSimilarity.testSweetSpotComputeNorm: 1.0 across the
+    # plateau [min, max], strictly decreasing outside
+    n = sweetspot_length_norm(np.arange(1, 11), 3, 5, 0.5)
+    assert all(n[i] == 1.0 for i in (2, 3, 4))  # lengths 3..5
+    assert n[0] < n[1] < n[2] == 1.0
+    assert 1.0 == n[4] > n[5] > n[6]
+    # default factors (1,1,0.5) == DefaultSimilarity's shape at len 1
+    assert sweetspot_length_norm(np.array([1]), 1, 1, 0.5)[0] == 1.0
+
+
+def test_baseline_tf():
+    # TestSweetSpotSimilarity.testSweetSpotTf: base 1.5 up to min 5
+    f = lambda x: float(sweetspot_baseline_tf(np.array([x]), 1.5, 5)[0])
+    assert f(0) == 0.0
+    assert f(1) == 1.5 and f(2) == 1.5 and f(5) == 1.5
+    assert f(6) == pytest.approx((6 + 1.5 * 1.5 - 5) ** 0.5)
+    # defaults (0, 0) degrade to classic sqrt(freq)
+    assert float(sweetspot_baseline_tf(np.array([9]))[0]) == 3.0
+
+
+def test_hyperbolic_tf():
+    f = lambda x: float(sweetspot_hyperbolic_tf(np.array([x]))[0])
+    assert f(0) == 0.0
+    # tends to the max, midpoint at xoffset
+    assert f(10) == pytest.approx(1.0, abs=1e-6)
+    assert f(100) == pytest.approx(2.0, abs=1e-6)
+    assert f(1) < f(5) < f(10) < f(20)
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path_factory.mktemp("ss"))
+    # doc 0: short (2 terms), doc 1: mid (4), doc 2: long (8)
+    texts = ["needle alpha",
+             "needle alpha beta gamma",
+             "needle a1 a2 a3 a4 a5 a6 a7"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["s0"] * 3),
+    }), os.path.join(d, "documents.parquet"))
+    out = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), out, target_docs_per_partition=4)
+    return out
+
+
+def test_sweetspot_plateau_flattens_length_bias(ray_session, idx):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    # classic: shorter docs win on the same term
+    cl = search(idx, {0: TermQuery("needle")}, k=3,
+                similarity="classic").to_pandas()
+    assert list(cl["docid"]) == [0, 1, 2]
+    assert cl["score"].iloc[0] > cl["score"].iloc[1] > cl["score"].iloc[2]
+    # sweetspot with plateau [2, 4]: docs 0 and 1 tie at norm 1.0
+    ss = search(idx, {0: TermQuery("needle")}, k=3,
+                similarity="sweetspot:2:4:0.5").to_pandas()
+    s_of = dict(zip(ss["docid"], ss["score"]))
+    assert s_of[0] == s_of[1] > s_of[2]
+
+
+def test_sweetspot_defaults_equal_classic_at_len1(ray_session, idx):
+    """With the default (1,1,0.5) plateau the norm formula equals the
+    classic 1/sqrt(len) only at len 1 — both paths must agree bit-exactly
+    there, proving the shared byte315 quantization pipeline."""
+    from lucene_solr_old_ray.functions.smallfloat import float_to_byte315
+
+    lens = np.arange(1, 50)
+    ss = sweetspot_length_norm(lens, 1, 1, 0.5)
+    classic = (1.0 / np.sqrt(lens)).astype(np.float32)
+    same = float_to_byte315(ss) == float_to_byte315(classic)
+    assert same[0]
+
+
+def test_sweetspot_boolean_coord(ray_session, idx):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    res = search(idx, {0: bool_query(shoulds=["needle", "alpha"])}, k=3,
+                 similarity="sweetspot:2:4:0.5")
+    assert res.num_rows == 3  # executes through the boolean/coord path
