@@ -111,6 +111,8 @@ def _greek_chain():
 _VOCAB_STEMMERS = {
     "english": _stem_porter,
     "english_minimal": _stem_named("english_minimal_stem"),
+    "german_light": _stem_named("german_light_stem"),
+    "french_light": _stem_named("french_light_stem"),
     "french": _stem_french,
     "german": _stem_german,
     "spanish": _stem_spanish,
@@ -148,7 +150,7 @@ def _vocab_stem_factory(analyzer: str):
     if f is not None:
         return f
     if analyzer.startswith(("portuguese_rslp:", "galician_rslp:",
-                            "galician_minimal:")):
+                            "galician_minimal:", "portuguese_minimal:")):
         kind, path = analyzer.split(":", 1)
         from .rslp import make_rslp_stemmer
 

@@ -202,6 +202,17 @@ def galician_minimal(path: str):
     return stem
 
 
+def portuguese_minimal(path: str):
+    """PortugueseMinimalStemmer (``pt/PortugueseMinimalStemmer.java:31``):
+    the RSLP-S plural step of portuguese.rslp, nothing else."""
+    plural = parse_rslp(path)["Plural"]
+
+    def stem(word: str) -> str:
+        return plural.apply(word)
+
+    return stem
+
+
 _CACHE: dict = {}
 
 
@@ -213,7 +224,8 @@ def make_rslp_stemmer(kind: str, path: str):
     if fn is None:
         maker = {"portuguese_rslp": portuguese_rslp,
                  "galician_rslp": galician_rslp,
-                 "galician_minimal": galician_minimal}.get(kind)
+                 "galician_minimal": galician_minimal,
+                 "portuguese_minimal": portuguese_minimal}.get(kind)
         if maker is None:
             raise ValueError(f"unknown RSLP stemmer kind {kind!r}")
         fn = _CACHE[key] = maker(path)

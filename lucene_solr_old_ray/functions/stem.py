@@ -1064,3 +1064,190 @@ def english_minimal_stem(w: str) -> str:
         if w[-3] in ("i", "a", "o", "e"):
             return w
     return w[:-1]
+
+
+_DE_LIGHT_FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+_DE_ST_END = frozenset("bdfghklmnt")
+
+
+def german_light_stem(w: str) -> str:
+    """Savoy's UniNE light German stemmer — re-expresses (NOT ports)
+    ``analysis/common/.../de/GermanLightStemmer.java:64-139``: umlaut/
+    accent folding, then two suffix steps (ern/em/en/er/es/e/s-after-
+    stEnding; est/er/en/st-after-stEnding)."""
+    w = w.translate(_DE_LIGHT_FOLD)
+    n = len(w)
+    # step 1
+    if n > 5 and w.endswith("ern"):
+        w = w[:-3]
+    elif n > 4 and w[-2] == "e" and w[-1] in "mnrs":
+        w = w[:-2]
+    elif n > 3 and w[-1] == "e":
+        w = w[:-1]
+    elif n > 3 and w[-1] == "s" and w[-2] in _DE_ST_END:
+        w = w[:-1]
+    n = len(w)
+    # step 2
+    if n > 5 and w.endswith("est"):
+        return w[:-3]
+    if n > 4 and w[-2] == "e" and w[-1] in "rn":
+        return w[:-2]
+    if n > 4 and w.endswith("st") and w[-3] in _DE_ST_END:
+        return w[:-2]
+    return w
+
+
+_FR_LIGHT_FOLD = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+
+
+def _fr_light_norm(s: "list[str]") -> "list[str]":
+    """FrenchLightStemmer.norm (``fr/FrenchLightStemmer.java:229-266``):
+    accent folding + consecutive-duplicate collapse (letters only), then
+    the trailing ie/r/e/e/double-letter trims — the inner trims do NOT
+    re-check len>4, exactly like the reference."""
+    if len(s) > 4:
+        s = list("".join(s).translate(_FR_LIGHT_FOLD))
+        out = [s[0]]
+        for c in s[1:]:
+            if c == out[-1] and c.isalpha():
+                continue
+            out.append(c)
+        s = out
+    if len(s) > 4 and s[-2] == "i" and s[-1] == "e":
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(w: str) -> str:
+    """Savoy's UniNE light French stemmer — re-expresses (NOT ports)
+    ``analysis/common/.../fr/FrenchLightStemmer.java:66-227`` branch for
+    branch (aux->al, plural/x strips, the -issement/-issant/-ement
+    ladders, the -fica/-ca/-a(teur|trice) rewrites to -quer/-er, feminine
+    and adjective endings, isation/ation/ition), each terminating in
+    norm()."""
+    s = list(w)
+
+    def ends(suf: str) -> bool:
+        return len(s) >= len(suf) and "".join(s[-len(suf):]) == suf
+
+    def fin(t: "list[str]") -> str:
+        return "".join(_fr_light_norm(t))
+
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s[-2] = "l"
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+    if len(s) > 9 and ends("issement"):
+        s = s[:-6]
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 8 and ends("issant"):
+        s = s[:-4]
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 6 and ends("ement"):
+        s = s[:-4]
+        if len(s) > 3 and ends("ive"):
+            s = s[:-1]
+            s[-1] = "f"
+        return fin(s)
+    if len(s) > 11 and ends("ficatrice"):
+        s = s[:-5]
+        s[-2] = "e"
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 10 and ends("ficateur"):
+        s = s[:-4]
+        s[-2] = "e"
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 9 and ends("catrice"):
+        s = s[:-3]
+        s[-4] = "q"
+        s[-3] = "u"
+        s[-2] = "e"
+        return fin(s)
+    if len(s) > 8 and ends("cateur"):
+        s = s[:-2]
+        s[-4] = "q"
+        s[-3] = "u"
+        s[-2] = "e"
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 8 and ends("atrice"):
+        s = s[:-4]
+        s[-2] = "e"
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 7 and ends("ateur"):
+        s = s[:-3]
+        s[-2] = "e"
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 6 and ends("trice"):
+        s = s[:-1]
+        s[-3] = "e"
+        s[-2] = "u"
+        s[-1] = "r"
+    if len(s) > 5 and ends("ième"):
+        return fin(s[:-4])
+    if len(s) > 7 and ends("teuse"):
+        s = s[:-2]
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 6 and ends("teur"):
+        s = s[:-1]
+        s[-1] = "r"
+        return fin(s)
+    if len(s) > 5 and ends("euse"):
+        return fin(s[:-2])
+    if len(s) > 8 and ends("ère"):
+        s = s[:-1]
+        s[-2] = "e"
+        return fin(s)
+    if len(s) > 7 and ends("ive"):
+        s = s[:-1]
+        s[-1] = "f"
+        return fin(s)
+    if len(s) > 4 and (ends("folle") or ends("molle")):
+        s = s[:-2]
+        s[-1] = "u"
+        return fin(s)
+    if len(s) > 9 and ends("nnelle"):
+        return fin(s[:-5])
+    if len(s) > 9 and ends("nnel"):
+        return fin(s[:-3])
+    if len(s) > 4 and ends("ète"):
+        s = s[:-1]
+        s[-2] = "e"
+    if len(s) > 8 and ends("ique"):
+        s = s[:-4]
+    if len(s) > 8 and ends("esse"):
+        return fin(s[:-3])
+    if len(s) > 7 and ends("inage"):
+        return fin(s[:-3])
+    if len(s) > 9 and ends("isation"):
+        s = s[:-7]
+        if len(s) > 5 and ends("ual"):
+            s[-2] = "e"
+        return fin(s)
+    if len(s) > 9 and ends("isateur"):
+        return fin(s[:-7])
+    if len(s) > 8 and ends("ation"):
+        return fin(s[:-5])
+    if len(s) > 8 and ends("ition"):
+        return fin(s[:-5])
+    return fin(s)

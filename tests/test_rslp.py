@@ -97,3 +97,30 @@ def test_rslp_chain_through_analyze_batch():
     ab = analyze_batch(pa.array(["bons balões felizmente"]), True,
                        f"portuguese_rslp:{_PT_RULES}")
     assert sorted(ab.uniques) == ["bal", "bom", "feliz"]
+
+
+def test_portuguese_minimal_full_reference_vectors():
+    _need_rules(_PT_RULES)
+    st = make_rslp_stemmer("portuguese_minimal", _PT_RULES)
+    pairs = _pairs("pt", "ptminimaltestdata.zip", "ptminimal.txt")
+    assert len(pairs) > 30_000
+    bad = [(w, st(w), want) for w, want in pairs if st(w) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_german_light_full_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import german_light_stem as f
+
+    pairs = _pairs("de", "delighttestdata.zip", "delight.txt")
+    assert len(pairs) > 30_000
+    bad = [(w, f(w), want) for w, want in pairs if f(w) != want]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_french_light_full_reference_vectors():
+    from lucene_solr_old_ray.functions.stem import french_light_stem as f
+
+    pairs = _pairs("fr", "frlighttestdata.zip", "frlight.txt")
+    assert len(pairs) > 20_000
+    bad = [(w, f(w), want) for w, want in pairs if f(w) != want]
+    assert not bad, (len(bad), bad[:10])
