@@ -724,3 +724,70 @@ def count_matches(index_dir: str, query: Query) -> int:
     ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
     return int(ds.map_batches(leaf_count, batch_format="pandas",
                               batch_size=4).to_pandas()["n"].sum())
+
+
+def high_freq_terms(
+    index_dir: str, num_terms: int = 100, *, field: "str | None" = None,
+    order: str = "df",
+) -> pa.Table:
+    """Top-N terms of the index by docFreq (default) or totalTermFreq —
+    re-expresses (NOT ports) ``lucene/misc/src/java/org/apache/lucene/
+    misc/HighFreqTerms.java:60-115`` (getHighFreqTerms + the -t flag;
+    order (count desc, term asc) like its comparators).
+
+    Distribution shape: each leaf's sorted term dict is ALREADY a parquet
+    table, so this is one Dataset read of the (term, df, ttf) columns ->
+    per-batch partial sums with a bounded bucket key -> per-bucket sum +
+    per-bucket top-N (sound: buckets partition terms, so the global top-N
+    is a subset of the per-bucket top-Ns) -> tiny driver merge.
+    -> (term, df, ttf) rows, ordered."""
+    import ray.data
+
+    from ..state.fields import fprefix
+
+    if order not in ("df", "ttf"):
+        raise ValueError("order must be 'df' or 'ttf'")
+    manifest = mf.read_index_manifest(index_dir)
+    fp = fprefix(field)
+    files = [os.path.join(index_dir, s["dir"], fp + "terms.parquet")
+             for s in _leaves(manifest)]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = batch["term"].to_pandas().map(
+            lambda b: b.decode("utf-8") if isinstance(b, bytes) else b)
+        g = pd.DataFrame({
+            "term": t,
+            "df": batch["df"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "ttf": batch["ttf"].to_numpy(zero_copy_only=False).astype(
+                np.int64),
+        }).groupby("term", as_index=False).agg(df=("df", "sum"),
+                                               ttf=("ttf", "sum"))
+        h = pd.util.hash_array(g["term"].to_numpy(dtype=object))
+        g["g"] = (h % 64).astype(np.int64)
+        return g
+
+    def bucket_top(gb: pd.DataFrame) -> pd.DataFrame:
+        agg = gb.groupby("term", as_index=False).agg(df=("df", "sum"),
+                                                     ttf=("ttf", "sum"))
+        agg["neg"] = -agg[order].to_numpy()
+        return agg.sort_values(["neg", "term"],
+                               kind="mergesort").head(num_terms)[
+            ["term", "df", "ttf"]]
+
+    parts = (
+        ray.data.read_parquet(files, columns=["term", "df", "ttf"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(bucket_top, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "ttf": pa.array([], pa.int64())})
+    parts["neg"] = -parts[order].to_numpy()
+    sel = parts.sort_values(["neg", "term"], kind="mergesort").head(
+        num_terms).reset_index(drop=True)
+    return pa.table({"term": pa.array(sel["term"], pa.string()),
+                     "df": pa.array(sel["df"].astype(np.int64)),
+                     "ttf": pa.array(sel["ttf"].astype(np.int64))})

@@ -139,6 +139,34 @@ def test_sort_multi_key_and_cursor_pagination(idx):
     assert set(p1["docid"]).isdisjoint(set(p2["docid"]))
 
 
+def test_high_freq_terms_matches_direct_count(idx):
+    """HighFreqTerms == a direct recount over the corpus token stream,
+    for both orderings."""
+    from collections import Counter
+
+    from lucene_solr_old_ray.functions.analysis import analyze_text
+    from lucene_solr_old_ray.pipelines.analytics import high_freq_terms
+
+    out, _langs, _sources, _flen = idx
+    texts = []
+    for i in range(40):
+        toks = (["needle"] if i % 2 == 0 else ["other"])
+        toks += [f"w{i}x{j}" for j in range(i % 7 + 1)]
+        texts.append(" ".join(toks))
+    df_c, ttf_c = Counter(), Counter()
+    for t in texts:
+        ks = analyze_text(t)
+        ttf_c.update(ks)
+        df_c.update(set(ks))
+    got = high_freq_terms(out, 5).to_pandas()
+    want = sorted(df_c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["term"], got["df"])) == want
+    assert list(got["ttf"]) == [ttf_c[t] for t, _ in want]
+    got2 = high_freq_terms(out, 5, order="ttf").to_pandas()
+    want2 = sorted(ttf_c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got2["term"], got2["ttf"])) == want2
+
+
 def test_sort_cursor_mid_tie(idx):
     """A cursor landing inside a (lang, field_len) tie group resumes at the
     docid tie-break, not at the next key value."""
