@@ -1,0 +1,423 @@
+"""Snowball stemmers (M.F. Porter's Snowball family — public algorithms,
+http://snowballstem.org) for the language analyzers whose reference chains
+wrap ``SnowballFilter``: Danish, Dutch, Romanian, Turkish.
+
+Re-expresses (NOT ports) the semantics of the reference's generated
+``org/tartarus/snowball/ext/{Danish,Dutch,Romanian,Turkish}Stemmer.java``
+(used by ``analysis/common/.../{da,nl,ro,tr}/*Analyzer.java``) as direct
+Python suffix logic — no snowball VM, no among tables, no cursor machine.
+Each stemmer is verified in tests against the reference's full vocabulary
+vector sets (``analysis/common/src/test/.../snowball/TestSnowballVocabData
+.zip`` — 23k-96k word pairs per language).
+
+These run at VOCABULARY level (once per unique term) via the analyzer
+registry's ``_vocab_stem_factory`` hook, so per-word Python is off the
+per-token hot path.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Danish (danish.sbl semantics; DanishStemmer.java)
+# ---------------------------------------------------------------------------
+
+_DA_VOWELS = frozenset("aeiouyåæø")  # a e i o u y å æ ø
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+
+# step-1 suffixes, longest first (case-2 's' carries the s_ending condition)
+_DA_MAIN = (
+    "erendes", "hedens", "erende", "erede", "heden", "heder", "endes",
+    "ernes", "erens", "erets", "ethed", "ered", "ende", "erne", "eren",
+    "erer", "heds", "enes", "eres", "eret", "hed", "ene", "ere", "ens",
+    "ers", "ets", "et", "es", "en", "er", "e", "s",
+)
+
+
+def _da_r1(w: str) -> int:
+    """Position of R1 start: after the first non-vowel following a vowel,
+    but never before position 3 (the stemmer's `hop 3` adjustment); len(w)
+    if the pattern never occurs or the word is shorter than 3."""
+    n = len(w)
+    if n < 3:
+        return n
+    i = 0
+    while i < n and w[i] not in _DA_VOWELS:
+        i += 1
+    while i < n and w[i] in _DA_VOWELS:
+        i += 1
+    if i == n:
+        return n
+    return max(i + 1, 3)
+
+
+def _da_consonant_pair(w: str, p1: int) -> str:
+    if len(w) >= 2 and w[-2:] in ("gd", "dt", "gt", "kt") \
+            and len(w) - 2 >= p1:
+        return w[:-1]
+    return w
+
+
+def danish_stem(w: str) -> str:
+    p1 = _da_r1(w)
+    # main_suffix: longest suffix wholly inside R1
+    for suf in _DA_MAIN:
+        if w.endswith(suf) and len(w) - len(suf) >= p1:
+            if suf == "s":
+                # 's' drops only after a valid s-ending letter (checked
+                # against the whole word, not just R1)
+                if len(w) >= 2 and w[-2] in _DA_S_END:
+                    w = w[:-1]
+            else:
+                w = w[: -len(suf)]
+            break
+    w = _da_consonant_pair(w, p1)
+    # other_suffix: 'igst' loses 'st' unconditionally, then the R1 among
+    if w.endswith("igst"):
+        w = w[:-2]
+    for suf in ("elig", "løst", "lig", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= p1:
+            if suf == "løst":
+                w = w[:-1]  # løst -> løs
+            else:
+                w = w[: -len(suf)]
+                w = _da_consonant_pair(w, p1)
+            break
+    # undouble: final doubled consonant inside R1 loses one letter
+    if len(w) >= 2 and len(w) - 1 >= p1 and w[-1] not in _DA_VOWELS \
+            and w[-1] == w[-2]:
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Dutch (dutch.sbl semantics; DutchStemmer.java)
+# ---------------------------------------------------------------------------
+
+_NL_V = frozenset("aeiouyè")
+_NL_V_I = _NL_V | {"I"}
+_NL_V_J = _NL_V | {"j"}
+_NL_ACCENT = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+
+
+def _nl_prelude(w: str) -> str:
+    w = w.translate(_NL_ACCENT)
+    c = list(w)
+    if c and c[0] == "y":
+        c[0] = "Y"
+    n = len(c)
+    for i in range(n - 1):
+        if c[i] in _NL_V:
+            if c[i + 1] == "i" and i + 2 < n and c[i + 2] in _NL_V:
+                c[i + 1] = "I"
+            elif c[i + 1] == "y":
+                c[i + 1] = "Y"
+    return "".join(c)
+
+
+def _nl_regions(w: str) -> tuple[int, int]:
+    """(p1, p2): R1 after first non-vowel-after-vowel (min 3), R2 likewise
+    continuing from p1. I/Y are NOT vowels here (g_v only)."""
+    n = len(w)
+
+    def _after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in _NL_V:
+            i += 1
+        while i < n and w[i] in _NL_V:
+            i += 1
+        return i + 1 if i < n else n
+
+    raw_p1 = _after(0)
+    # p2 continues from the UNADJUSTED p1 cursor; only the stored p1 is
+    # clamped to >= 3
+    p2 = _after(raw_p1) if raw_p1 < n else n
+    p1 = max(raw_p1, 3) if raw_p1 < n else n
+    return p1, p2
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def _nl_en_ending(w: str, suf: str, p1: int) -> str:
+    """R1, non-vowel before the suffix, and not 'gem' before it."""
+    base = len(w) - len(suf)
+    if base >= p1 and base >= 1 and w[base - 1] not in _NL_V \
+            and w[max(0, base - 3):base] != "gem":
+        return _nl_undouble(w[:base])
+    return w
+
+
+def dutch_stem(w: str) -> str:
+    w = _nl_prelude(w)
+    p1, p2 = _nl_regions(w)
+    e_found = False
+
+    # step 1: heden->heid (R1) | en/ene (en_ending) | s/se (R1, non-v_j)
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not w.endswith(suf):
+            continue
+        base = len(w) - len(suf)
+        if suf == "heden":
+            if base >= p1:
+                w = w[:base] + "heid"
+        elif suf in ("ene", "en"):
+            w = _nl_en_ending(w, suf, p1)
+        else:
+            if base >= p1 and base >= 1 and w[base - 1] not in _NL_V_J:
+                w = w[:base]
+        break
+
+    # step 2: e_ending
+    if w.endswith("e") and len(w) - 1 >= p1 and len(w) >= 2 \
+            and w[-2] not in _NL_V:
+        w = _nl_undouble(w[:-1])
+        e_found = True
+
+    # step 3: heid (R2, not preceded by c) -> delete, then en (en_ending)
+    if w.endswith("heid") and len(w) - 4 >= p2 \
+            and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            w = _nl_en_ending(w, "en", p1)
+
+    # step 4: d-suffixes
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not w.endswith(suf):
+            continue
+        base = len(w) - len(suf)
+        if suf in ("end", "ing"):
+            if base >= p2:
+                w = w[:base]
+                if w.endswith("ig") and len(w) - 2 >= p2 \
+                        and (len(w) < 3 or w[-3] != "e"):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif suf == "ig":
+            if base >= p2 and (base < 1 or w[base - 1] != "e"):
+                w = w[:base]
+        elif suf == "lijk":
+            if base >= p2:
+                w = w[:base]
+                # e_ending again
+                if w.endswith("e") and len(w) - 1 >= p1 and len(w) >= 2 \
+                        and w[-2] not in _NL_V:
+                    w = _nl_undouble(w[:-1])
+                    e_found = True
+        elif suf == "baar":
+            if base >= p2:
+                w = w[:base]
+        elif suf == "bar":
+            if base >= p2 and e_found:
+                w = w[:base]
+        break
+
+    # step 5: undouble vowel — C V V C at the end loses one vowel
+    if len(w) >= 4 and w[-1] not in _NL_V_I and w[-2] == w[-3] \
+            and w[-2] in "aeou" and w[-4] not in _NL_V:
+        w = w[:-2] + w[-1]
+
+    # postlude
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Romanian (romanian.sbl semantics; RomanianStemmer.java)
+# ---------------------------------------------------------------------------
+# The suffix tables below are the published Snowball Romanian algorithm's
+# rule data (action codes renumbered per group) — algorithm data, not code.
+
+_RO_V = frozenset("aeiouâîă")
+
+_RO_STEP0 = (
+    ('iilor', 4), ('aţia', 7), ('aţie', 7), ('iile', 4), ('atei', 6),
+    ('ului', 1), ('elor', 3), ('ilor', 4), ('aua', 2), ('iua', 4),
+    ('ele', 3), ('ile', 5), ('iei', 4), ('ea', 3), ('ii', 4), ('ul', 1),
+)
+_RO_COMBO = (
+    ('abilitate', 1), ('ibilitate', 2), ('abilitati', 1), ('abilităţi', 1),
+    ('abilităi', 1), ('icitate', 4), ('ivitate', 3), ('icatori', 4),
+    ('icitati', 4), ('ivitati', 3), ('icităţi', 4), ('ivităţi', 3),
+    ('aţiune', 5), ('iţiune', 6), ('atoare', 5), ('itoare', 6),
+    ('ătoare', 5), ('icităi', 4), ('ivităi', 3), ('icator', 4), ('icala', 4),
+    ('iciva', 4), ('ativa', 5), ('itiva', 6), ('icale', 4), ('icive', 4),
+    ('ative', 5), ('itive', 6), ('icali', 4), ('atori', 5), ('itori', 6),
+    ('ători', 5), ('icivi', 4), ('ativi', 5), ('itivi', 6), ('icală', 4),
+    ('icivă', 4), ('ativă', 5), ('itivă', 6), ('ical', 4), ('ator', 5),
+    ('itor', 6), ('ător', 5), ('iciv', 4), ('ativ', 5), ('itiv', 6),
+)
+_RO_COMBO_REPL = {1: "abil", 2: "ibil", 3: "iv", 4: "ic", 5: "at", 6: "it"}
+_RO_STD = (
+    ('abila', 1), ('ibila', 1), ('abile', 1), ('ibile', 1), ('itate', 1),
+    ('abili', 1), ('ibili', 1), ('atori', 1), ('itati', 1), ('ităţi', 1),
+    ('abilă', 1), ('ibilă', 1), ('oasa', 1), ('anta', 1), ('ista', 3),
+    ('isme', 3), ('iune', 2), ('oase', 1), ('ante', 1), ('iste', 3),
+    ('iuni', 2), ('anti', 1), ('isti', 3), ('işti', 3), ('ităi', 1),
+    ('abil', 1), ('ibil', 1), ('ator', 1), ('oasă', 1), ('antă', 1),
+    ('istă', 3), ('ica', 1), ('ata', 1), ('ita', 1), ('uta', 1), ('iva', 1),
+    ('ice', 1), ('ate', 1), ('ite', 1), ('ute', 1), ('ive', 1), ('ici', 1),
+    ('osi', 1), ('ati', 1), ('iti', 1), ('uti', 1), ('ivi', 1), ('oşi', 1),
+    ('ism', 3), ('ant', 1), ('ist', 3), ('ică', 1), ('ată', 1), ('ită', 1),
+    ('ută', 1), ('ivă', 1), ('ic', 1), ('os', 1), ('at', 1), ('it', 1),
+    ('ut', 1), ('iv', 1),
+)
+_RO_VERB = (
+    ('seserăţi', 2), ('aserăţi', 1), ('iserăţi', 1), ('userăţi', 1),
+    ('âserăţi', 1), ('seserăm', 2), ('seseşi', 2), ('serăţi', 2),
+    ('aserăm', 1), ('iserăm', 1), ('userăm', 1), ('âserăm', 1),
+    ('seseră', 2), ('aseşi', 1), ('iseşi', 1), ('useşi', 1), ('âseşi', 1),
+    ('arăţi', 1), ('irăţi', 1), ('urăţi', 1), ('ârăţi', 1), ('sesem', 2),
+    ('serăm', 2), ('ească', 1), ('aseră', 1), ('iseră', 1), ('useră', 1),
+    ('âseră', 1), ('sese', 2), ('eşte', 1), ('ăşte', 1), ('eşti', 1),
+    ('ăşti', 1), ('seşi', 2), ('eaţi', 1), ('iaţi', 1), ('asem', 1),
+    ('isem', 1), ('usem', 1), ('âsem', 1), ('arăm', 1), ('irăm', 1),
+    ('urăm', 1), ('ârăm', 1), ('indu', 1), ('ându', 1), ('seră', 2),
+    ('ează', 1), ('esc', 1), ('ăsc', 1), ('ind', 1), ('ând', 1), ('are', 1),
+    ('ere', 1), ('ire', 1), ('âre', 1), ('ase', 1), ('ise', 1), ('use', 1),
+    ('âse', 1), ('eze', 1), ('eai', 1), ('iai', 1), ('sei', 2), ('ezi', 1),
+    ('aşi', 1), ('işi', 1), ('uşi', 1), ('âşi', 1), ('aţi', 2), ('eţi', 2),
+    ('iţi', 2), ('âţi', 2), ('eam', 1), ('iam', 1), ('eau', 1), ('iau', 1),
+    ('ară', 1), ('iră', 1), ('ură', 1), ('âră', 1), ('ea', 1), ('ia', 1),
+    ('se', 2), ('ai', 1), ('ui', 1), ('âi', 1), ('am', 1), ('em', 2),
+    ('im', 2), ('âm', 2), ('ăm', 2), ('au', 1), ('ez', 1),
+)
+_RO_VOWEL = ("ie", "a", "e", "i", "ă")
+
+
+def _ro_prelude(w: str) -> str:
+    c = list(w)
+    n = len(c)
+    for i in range(n - 2):
+        if c[i] in _RO_V and c[i + 2] in _RO_V:
+            if c[i + 1] == "u":
+                c[i + 1] = "U"
+            elif c[i + 1] == "i":
+                c[i + 1] = "I"
+    return "".join(c)
+
+
+def _romance_regions(w: str, v: frozenset) -> tuple[int, int, int]:
+    """Standard Romance (pV, p1, p2) marks (es/pt/ro share the shape)."""
+    n = len(w)
+    pv = n
+    if n >= 2:
+        if w[0] in v:
+            if w[1] not in v:
+                # consonant then gopast vowel
+                i = 2
+                while i < n and w[i] not in v:
+                    i += 1
+                if i < n:
+                    pv = i + 1
+            else:
+                # vowel vowel: gopast non-vowel
+                i = 2
+                while i < n and w[i] in v:
+                    i += 1
+                if i < n:
+                    pv = i + 1
+        else:
+            if w[1] not in v:
+                i = 2
+                while i < n and w[i] not in v:
+                    i += 1
+                if i < n:
+                    pv = i + 1
+            else:
+                pv = 3 if n >= 3 else n
+
+    def _after(start: int) -> int:
+        i = start
+        while i < n and w[i] not in v:
+            i += 1
+        while i < n and w[i] in v:
+            i += 1
+        return i + 1 if i < n else n
+
+    p1 = _after(0)
+    p2 = _after(p1)
+    return pv, p1, p2
+
+
+def romanian_stem(w: str) -> str:
+    w = _ro_prelude(w)
+    pv, p1, p2 = _romance_regions(w, _RO_V)
+
+    # step 0 (R1)
+    for suf, act in _RO_STEP0:
+        if w.endswith(suf):
+            base = len(w) - len(suf)
+            if base >= p1:
+                if act == 1:
+                    w = w[:base]
+                elif act == 2:
+                    w = w[:base] + "a"
+                elif act == 3:
+                    w = w[:base] + "e"
+                elif act == 4:
+                    w = w[:base] + "i"
+                elif act == 5:
+                    if w[max(0, base - 2):base] != "ab":
+                        w = w[:base] + "i"
+                elif act == 6:
+                    w = w[:base] + "at"
+                elif act == 7:
+                    w = w[:base] + "aţi"
+            break
+
+    # standard_suffix: repeat combo_suffix, then the R2 among
+    removed = False
+    while True:
+        hit = False
+        for suf, act in _RO_COMBO:
+            if w.endswith(suf):
+                if len(w) - len(suf) >= p1:
+                    w = w[: len(w) - len(suf)] + _RO_COMBO_REPL[act]
+                    removed = True
+                    hit = True
+                break
+        if not hit:
+            break
+    for suf, act in _RO_STD:
+        if w.endswith(suf):
+            base = len(w) - len(suf)
+            if base >= p2:
+                if act == 1:
+                    w = w[:base]
+                    removed = True
+                elif act == 2:
+                    # 'iune'/'iuni' preceded by ţ -> replace 'ţ'+suffix by t
+                    if base >= 1 and w[base - 1] == "ţ":
+                        w = w[: base - 1] + "t"
+                        removed = True
+                elif act == 3:
+                    w = w[:base] + "ist"
+                    removed = True
+            break
+
+    # verb_suffix only when no standard suffix was removed. The among runs
+    # under `setlimit tomark pV`: a suffix reaching past RV simply does not
+    # match, and the NEXT-longest one inside RV is tried instead
+    if not removed:
+        for suf, act in _RO_VERB:
+            base = len(w) - len(suf)
+            if w.endswith(suf) and base >= pv:
+                if act == 2:
+                    w = w[:base]
+                elif base > pv and (w[base - 1] not in _RO_V
+                                    or w[base - 1] == "u"):
+                    w = w[:base]
+                break
+
+    # vowel_suffix (no setlimit: longest match wins, RV checked after —
+    # no fallback to a shorter vowel suffix)
+    for suf in _RO_VOWEL:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= pv:
+                w = w[: len(w) - len(suf)]
+            break
+
+    return w.replace("I", "i").replace("U", "u")
