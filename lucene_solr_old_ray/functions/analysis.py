@@ -105,6 +105,15 @@ def _greek_chain():
     return greek_chain
 
 
+def _stem_snowball(name):
+    def load():
+        from . import snowball
+
+        return getattr(snowball, name)
+
+    return load
+
+
 # vocabulary-level stem filters of the per-language analyzer registry
 # (en: PorterStemFilter.java:56; the rest: the Savoy-family minimal/light
 # stemmers in analysis/common/src/java/org/apache/lucene/analysis/<lang>/)
@@ -131,6 +140,10 @@ _VOCAB_STEMMERS = {
     "latvian": _stem_named("latvian_stem"),
     "indonesian": _stem_named("indonesian_stem"),
     "greek": _greek_chain,
+    "danish": _stem_snowball("danish_stem"),
+    "dutch": _stem_snowball("dutch_chain"),
+    "romanian": _stem_snowball("romanian_stem"),
+    "turkish": _stem_snowball("turkish_chain"),
     # not a stemmer, but the same vocabulary-level hook: ReverseStringFilter
     # (``analysis/common/.../reverse/ReverseStringFilter.java:33``) after
     # the standard chain — the indexing side of the reversed-wildcard trick

@@ -421,3 +421,513 @@ def romanian_stem(w: str) -> str:
             break
 
     return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Turkish (turkish.sbl, E. Kapusuz Çilden; TurkishStemmer.java)
+# ---------------------------------------------------------------------------
+# Suffix tables are the published algorithm's rule data. All matching is
+# backwards from the word end; `pos` below is always "end of the live
+# region" (chars w[:pos] remain candidates). SnowballFilter ignores
+# stem()'s boolean (SnowballFilter.java:96), so early "return false"
+# points merely stop FURTHER steps — mutations made so far are kept.
+
+_TR_VOWEL = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")
+# vowel-harmony classes: last vowel -> set an earlier vowel must belong to
+_TR_HARMONY = {
+    "a": frozenset("aıou"), "e": frozenset("eiöü"), "ı": frozenset("aı"),
+    "i": frozenset("ei"), "o": frozenset("ou"), "ö": frozenset("öü"),
+    "u": frozenset("ou"), "ü": frozenset("öü"),
+}
+
+
+def _tr_harmony(w: str, pos: int) -> bool:
+    i = pos - 1
+    while i >= 0 and w[i] not in _TR_VOWEL:
+        i -= 1
+    if i < 0:
+        return False
+    grp = _TR_HARMONY[w[i]]
+    j = i - 1
+    while j >= 0 and w[j] not in grp:
+        j -= 1
+    return j >= 0
+
+
+def _tr_opt_cons(w: str, pos: int, ch: str):
+    """suffix preceded by optional consonant ch: consume it when a vowel
+    precedes it; when the preceding char is not ch, require a vowel two
+    back (without consuming). None = no valid continuation."""
+    if pos >= 1 and w[pos - 1] == ch:
+        if pos >= 2 and w[pos - 2] in _TR_VOWEL:
+            return pos - 1
+        return None
+    if pos >= 2 and w[pos - 2] in _TR_VOWEL:
+        return pos
+    return None
+
+
+def _tr_opt_U(w: str, pos: int):
+    """optional U vowel before a possessive marker (mirrored logic with
+    U-vowel/non-vowel groupings)."""
+    if pos >= 1 and w[pos - 1] in _TR_U:
+        if pos >= 2 and w[pos - 2] not in _TR_VOWEL:
+            return pos - 1
+        return None
+    if pos >= 2 and w[pos - 2] not in _TR_VOWEL:
+        return pos
+    return None
+
+
+def _tr_among(w: str, pos: int, sufs):
+    """Longest table suffix ending at pos, as its start index (None if no
+    match). Tables below are ordered longest-first."""
+    for s in sufs:
+        if pos >= len(s) and w.startswith(s, pos - len(s)):
+            return pos - len(s)
+    return None
+
+
+_TR_POSS = ("miz", "niz", "muz", "nuz", "müz", "nüz", "mız", "nız", "m", "n")
+_TR_LARI = ("leri", "ları")
+_TR_NU = ("ni", "nu", "nü", "nı")
+_TR_NUN = ("in", "un", "ün", "ın")
+_TR_YA = ("a", "e")
+_TR_NA = ("na", "ne")
+_TR_DA = ("da", "ta", "de", "te")
+_TR_NDA = ("nda", "nde")
+_TR_DAN = ("dan", "tan", "den", "ten")
+_TR_NDAN = ("ndan", "nden")
+_TR_YLA = ("la", "le")
+_TR_NCA = ("ca", "ce")
+_TR_YUM = ("im", "um", "üm", "ım")
+_TR_SUN = ("sin", "sun", "sün", "sın")
+_TR_YUZ = ("iz", "uz", "üz", "ız")
+_TR_SUNUZ = ("siniz", "sunuz", "sünüz", "sınız")
+_TR_LAR = ("lar", "ler")
+_TR_NUZ = ("niz", "nuz", "nüz", "nız")
+_TR_DUR = ("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır")
+_TR_CASINA = ("casına", "cesine")
+_TR_YDU = ("dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+           "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım",
+           "din", "tin", "dun", "tun", "dün", "tün", "dın", "tın",
+           "di", "ti", "du", "tu", "dü", "tü", "dı", "tı")
+_TR_YSA = ("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")
+_TR_YMUS = ("miş", "muş", "müş", "mış")
+
+
+def _mk_harm_among(table):
+    def f(w, pos):
+        if not _tr_harmony(w, pos):
+            return None
+        return _tr_among(w, pos, table)
+    return f
+
+
+def _mk_harm_among_opt(table, ch):
+    def f(w, pos):
+        if not _tr_harmony(w, pos):
+            return None
+        p = _tr_among(w, pos, table)
+        if p is None:
+            return None
+        return _tr_opt_cons(w, p, ch)
+    return f
+
+
+def _tr_mark_possessives(w, pos):
+    p = _tr_among(w, pos, _TR_POSS)
+    if p is None:
+        return None
+    return _tr_opt_U(w, p)
+
+
+def _tr_mark_sU(w, pos):
+    if not _tr_harmony(w, pos):
+        return None
+    if pos >= 1 and w[pos - 1] in _TR_U:
+        return _tr_opt_cons(w, pos - 1, "s")
+    return None
+
+
+def _tr_mark_yU(w, pos):
+    if not _tr_harmony(w, pos):
+        return None
+    if pos >= 1 and w[pos - 1] in _TR_U:
+        return _tr_opt_cons(w, pos - 1, "y")
+    return None
+
+
+def _tr_mark_lArI(w, pos):
+    return _tr_among(w, pos, _TR_LARI)
+
+
+_tr_mark_nU = _mk_harm_among(_TR_NU)
+_tr_mark_nUn = _mk_harm_among_opt(_TR_NUN, "n")
+_tr_mark_yA = _mk_harm_among_opt(_TR_YA, "y")
+_tr_mark_nA = _mk_harm_among(_TR_NA)
+_tr_mark_DA = _mk_harm_among(_TR_DA)
+_tr_mark_ndA = _mk_harm_among(_TR_NDA)
+_tr_mark_DAn = _mk_harm_among(_TR_DAN)
+_tr_mark_ndAn = _mk_harm_among(_TR_NDAN)
+_tr_mark_ylA = _mk_harm_among_opt(_TR_YLA, "y")
+_tr_mark_ncA = _mk_harm_among_opt(_TR_NCA, "n")
+_tr_mark_yUm = _mk_harm_among_opt(_TR_YUM, "y")
+_tr_mark_sUn = _mk_harm_among(_TR_SUN)
+_tr_mark_yUz = _mk_harm_among_opt(_TR_YUZ, "y")
+_tr_mark_lAr = _mk_harm_among(_TR_LAR)
+_tr_mark_nUz = _mk_harm_among(_TR_NUZ)
+_tr_mark_DUr = _mk_harm_among(_TR_DUR)
+_tr_mark_yDU = _mk_harm_among_opt(_TR_YDU, "y")
+_tr_mark_ymUs = _mk_harm_among_opt(_TR_YMUS, "y")
+
+
+def _tr_mark_ki(w, pos):
+    return pos - 2 if pos >= 2 and w.startswith("ki", pos - 2) else None
+
+
+def _tr_mark_sUnUz(w, pos):
+    return _tr_among(w, pos, _TR_SUNUZ)
+
+
+def _tr_mark_cAsInA(w, pos):
+    return _tr_among(w, pos, _TR_CASINA)
+
+
+def _tr_mark_ysA(w, pos):
+    p = _tr_among(w, pos, _TR_YSA)
+    if p is None:
+        return None
+    return _tr_opt_cons(w, p, "y")
+
+
+def _tr_mark_yken(w, pos):
+    if pos >= 3 and w.startswith("ken", pos - 3):
+        return _tr_opt_cons(w, pos - 3, "y")
+    return None
+
+
+def _tr_first(w, pos, *marks):
+    for m in marks:
+        p = m(w, pos)
+        if p is not None:
+            return p
+    return None
+
+
+def _tr_sck(w: str, end: int) -> tuple[str, bool]:
+    """stem_suffix_chain_before_ki over w[:end] (w[end:] preserved).
+    Returns (new word, matched). On no-match the word is unchanged —
+    every mutating branch commits."""
+    tail = w[end:]
+    v = w[:end]
+    p = _tr_mark_ki(v, len(v))
+    if p is None:
+        return w, False
+    # branch A: DA before ki
+    q = _tr_mark_DA(v, p)
+    if q is not None:
+        v = v[:q]
+        r = _tr_mark_lAr(v, q)
+        if r is not None:
+            v = v[:r]
+            v, _ = _tr_sck(v, len(v))
+        else:
+            r = _tr_mark_possessives(v, q)
+            if r is not None:
+                v = v[:r]
+                s = _tr_mark_lAr(v, r)
+                if s is not None:
+                    v = v[:s]
+                    v, _ = _tr_sck(v, len(v))
+        return v + tail, True
+    # branch B: nUn before ki
+    q = _tr_mark_nUn(v, p)
+    if q is not None:
+        v = v[:q]
+        r = _tr_mark_lArI(v, q)
+        if r is not None:
+            v = v[:r]
+        else:
+            r = _tr_first(v, q, _tr_mark_possessives, _tr_mark_sU)
+            if r is not None:
+                v = v[:r]
+                s = _tr_mark_lAr(v, r)
+                if s is not None:
+                    v = v[:s]
+                    v, _ = _tr_sck(v, len(v))
+            else:
+                v, _ = _tr_sck(v, q)
+        return v + tail, True
+    # branch C: ndA before ki
+    q = _tr_mark_ndA(v, p)
+    if q is not None:
+        r = _tr_mark_lArI(v, q)
+        if r is not None:
+            return v[:r] + tail, True
+        r = _tr_mark_sU(v, q)
+        if r is not None:
+            v = v[:r]
+            s = _tr_mark_lAr(v, r)
+            if s is not None:
+                v = v[:s]
+                v, _ = _tr_sck(v, len(v))
+            return v + tail, True
+        v2, ok = _tr_sck(v, q)
+        if ok:
+            return v2 + tail, True
+    return w, False
+
+
+def _tr_nominal_verb(w: str) -> tuple[str, bool]:
+    """stem_nominal_verb_suffixes; returns (word, continue-with-nouns)."""
+    end = len(w)
+    # 1
+    p = _tr_first(w, end, _tr_mark_ymUs, _tr_mark_yDU, _tr_mark_ysA,
+                  _tr_mark_yken)
+    if p is not None:
+        return w[:p], True
+    # 2: cAsInA, an optional person marker, then a REQUIRED ymUs_ — the
+    # or-group carries an implicit `true`, and no backtracking happens if
+    # ymUs_ then fails (branch fails with no mutation)
+    p = _tr_mark_cAsInA(w, end)
+    if p is not None:
+        q = _tr_first(w, p, _tr_mark_sUnUz, _tr_mark_lAr, _tr_mark_yUm,
+                      _tr_mark_sUn, _tr_mark_yUz)
+        if q is None:
+            q = p
+        r = _tr_mark_ymUs(w, q)
+        if r is not None:
+            return w[:r], True
+    # 3: lAr, then optionally (DUr|yDU|ysA|ymUs_). This branch ALWAYS
+    # stops noun stemming (the unset sits outside the try)
+    p = _tr_mark_lAr(w, end)
+    if p is not None:
+        w = w[:p]
+        q = _tr_first(w, p, _tr_mark_DUr, _tr_mark_yDU, _tr_mark_ysA,
+                      _tr_mark_ymUs)
+        if q is not None:
+            w = w[:q]
+        return w, False
+    # 4
+    p = _tr_mark_nUz(w, end)
+    if p is not None:
+        q = _tr_first(w, p, _tr_mark_yDU, _tr_mark_ysA)
+        if q is not None:
+            return w[:q], True
+    # 5
+    p = _tr_first(w, end, _tr_mark_sUnUz, _tr_mark_yUz, _tr_mark_sUn,
+                  _tr_mark_yUm)
+    if p is not None:
+        w = w[:p]
+        q = _tr_mark_ymUs(w, p)
+        if q is not None:
+            w = w[:q]
+        return w, True
+    # 6: DUr deleted; then optional person marker + REQUIRED ymUs_ — if
+    # ymUs_ fails only the DUr deletion survives
+    p = _tr_mark_DUr(w, end)
+    if p is not None:
+        w2 = w[:p]
+        q = _tr_first(w2, p, _tr_mark_sUnUz, _tr_mark_lAr, _tr_mark_yUm,
+                      _tr_mark_sUn, _tr_mark_yUz)
+        if q is None:
+            q = p
+        r = _tr_mark_ymUs(w2, q)
+        if r is not None:
+            w2 = w2[:r]
+        return w2, True
+    return w, True
+
+
+def _tr_noun_suffixes(w: str) -> str:
+    end = len(w)
+    # N1: lAr, then try the ki chain
+    p = _tr_mark_lAr(w, end)
+    if p is not None:
+        w = w[:p]
+        w, _ = _tr_sck(w, len(w))
+        return w
+    # N2: ncA
+    p = _tr_mark_ncA(w, end)
+    if p is not None:
+        w = w[:p]
+        r = _tr_mark_lArI(w, p)
+        if r is not None:
+            return w[:r]
+        r = _tr_first(w, p, _tr_mark_possessives, _tr_mark_sU)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w, _ = _tr_sck(w, len(w))
+            return w
+        r = _tr_mark_lAr(w, p)
+        if r is not None:
+            w2 = w[:r]
+            w2, ok = _tr_sck(w2, len(w2))
+            # lAr delete persists even when the chain fails
+            return w2
+        return w
+    # N3: (ndA|nA)
+    p = _tr_first(w, end, _tr_mark_ndA, _tr_mark_nA)
+    if p is not None:
+        r = _tr_mark_lArI(w, p)
+        if r is not None:
+            return w[:r]
+        r = _tr_mark_sU(w, p)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w, _ = _tr_sck(w, len(w))
+            return w
+        w2, ok = _tr_sck(w, p)
+        if ok:
+            return w2
+        # branch fails with no mutation — fall through
+    # N4: (ndAn|nU)
+    p = _tr_first(w, end, _tr_mark_ndAn, _tr_mark_nU)
+    if p is not None:
+        r = _tr_mark_sU(w, p)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w, _ = _tr_sck(w, len(w))
+            return w
+        r = _tr_mark_lArI(w, p)
+        if r is not None:
+            return w[:r]
+        # branch fails — fall through
+    # N5: DAn
+    p = _tr_mark_DAn(w, end)
+    if p is not None:
+        w = w[:p]
+        r = _tr_mark_possessives(w, p)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w, _ = _tr_sck(w, len(w))
+            return w
+        r = _tr_mark_lAr(w, p)
+        if r is not None:
+            w = w[:r]
+            w, _ = _tr_sck(w, len(w))
+            return w
+        w, _ = _tr_sck(w, p)
+        return w
+    # N6: (nUn|ylA)
+    p = _tr_first(w, end, _tr_mark_nUn, _tr_mark_ylA)
+    if p is not None:
+        w = w[:p]
+        r = _tr_mark_lAr(w, p)
+        if r is not None:
+            w2, ok = _tr_sck(w[:r], r)
+            if ok:
+                return w2
+            w = w[:r]  # lAr delete persists; alternative b retried below
+        r = _tr_first(w, len(w), _tr_mark_possessives, _tr_mark_sU)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+                w, _ = _tr_sck(w, len(w))
+            return w
+        w, _ = _tr_sck(w, len(w))
+        return w
+    # N7: lArI
+    p = _tr_mark_lArI(w, end)
+    if p is not None:
+        return w[:p]
+    # N8: bare ki chain
+    w2, ok = _tr_sck(w, end)
+    if ok:
+        return w2
+    # N9: (DA|yU|yA)
+    p = _tr_first(w, end, _tr_mark_DA, _tr_mark_yU, _tr_mark_yA)
+    if p is not None:
+        w = w[:p]
+        r = _tr_mark_possessives(w, p)
+        if r is not None:
+            w = w[:r]
+            s = _tr_mark_lAr(w, r)
+            if s is not None:
+                w = w[:s]
+            w, _ = _tr_sck(w, len(w))
+        else:
+            s = _tr_mark_lAr(w, p)
+            if s is not None:
+                w = w[:s]
+                w, _ = _tr_sck(w, len(w))
+        return w
+    # N10: (possessives|sU)
+    p = _tr_first(w, end, _tr_mark_possessives, _tr_mark_sU)
+    if p is not None:
+        w = w[:p]
+        s = _tr_mark_lAr(w, p)
+        if s is not None:
+            w = w[:s]
+            w, _ = _tr_sck(w, len(w))
+        return w
+    return w
+
+
+_TR_LAST_CONS = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+_TR_APPEND_U = {"a": "ı", "ı": "ı", "e": "i", "i": "i",
+                "o": "u", "u": "u", "ö": "ü", "ü": "ü"}
+
+
+def turkish_stem(w: str) -> str:
+    if sum(1 for c in w if c in _TR_VOWEL) < 2:
+        return w  # more_than_one_syllable_word gate
+    w, cont = _tr_nominal_verb(w)
+    if not cont:
+        return w
+    w = _tr_noun_suffixes(w)
+    # postlude
+    if w in ("ad", "soyad"):  # is_reserved_word keeps these as-is
+        return w
+    if w.endswith(("d", "g")):
+        i = len(w) - 1
+        while i >= 0 and w[i] not in _TR_VOWEL:
+            i -= 1
+        if i >= 0:
+            w = w + _TR_APPEND_U[w[i]]
+    if w and w[-1] in _TR_LAST_CONS:
+        w = w[:-1] + _TR_LAST_CONS[w[-1]]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Analyzer-chain wrappers
+# ---------------------------------------------------------------------------
+
+# DutchAnalyzer ships a tiny default stemmer-override dict
+# (``analysis/common/.../nl/DutchAnalyzer.java:85-89``) applied BEFORE the
+# snowball stemmer
+_NL_STEM_DICT = {"fiets": "fiets", "bromfiets": "bromfiets",
+                 "ei": "eier", "kind": "kinder"}
+
+
+def dutch_chain(w: str) -> str:
+    return _NL_STEM_DICT.get(w) or dutch_stem(w)
+
+
+def turkish_chain(w: str) -> str:
+    """TurkishLowerCaseFilter analogue at vocabulary level: the standard
+    chain lowercases with str.lower(), which turns dotted capital İ into
+    'i' + U+0307 — TurkishLowerCaseFilter.java:71-78 deletes that
+    combining dot (İSTANBUL -> istanbul). ASCII I -> ı cannot be
+    recovered post-lowercase; documented divergence for ALL-CAPS Latin
+    acronyms only."""
+    if "̇" in w:
+        w = w.replace("i̇", "i").replace("̇", "")
+    return turkish_stem(w)

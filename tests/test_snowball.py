@@ -1,0 +1,75 @@
+"""Snowball Danish/Dutch/Romanian/Turkish stemmers vs the reference's full
+vocabulary vector sets (``analysis/common/src/test/.../snowball/
+TestSnowballVocabData.zip`` — the same data TestSnowballVocab runs on)."""
+
+import os
+import zipfile
+
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_text
+from lucene_solr_old_ray.functions.snowball import (
+    danish_stem,
+    dutch_chain,
+    dutch_stem,
+    romanian_stem,
+    turkish_chain,
+    turkish_stem,
+)
+
+_ZIP = ("/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+        "analysis/snowball/TestSnowballVocabData.zip")
+
+
+def _pairs(lang):
+    with zipfile.ZipFile(_ZIP) as z:
+        voc = z.read(f"{lang}/voc.txt").decode("utf-8").splitlines()
+        out = z.read(f"{lang}/output.txt").decode("utf-8").splitlines()
+    assert len(voc) == len(out) and len(voc) > 20000
+    return list(zip(voc, out))
+
+
+@pytest.mark.skipif(not os.path.exists(_ZIP), reason="reference data absent")
+@pytest.mark.parametrize("lang,fn", [
+    ("danish", danish_stem),
+    ("dutch", dutch_stem),
+    ("romanian", romanian_stem),
+    ("turkish", turkish_stem),
+])
+def test_snowball_full_reference_vectors(lang, fn):
+    bad = [(v, fn(v), o) for v, o in _pairs(lang) if fn(v) != o]
+    assert not bad, (len(bad), bad[:10])
+
+
+def test_danish_chain():
+    # bøgerne (the books) -> bøg; stop/overlong handling rides the
+    # standard chain
+    # hurtigt: gt consonant-pair undouble then ig removal -> hurt
+    assert analyze_text("Bøgerne læses hurtigt", "danish") == \
+        ["bøg", "læs", "hurt"]
+
+
+def test_dutch_stem_dict_overrides():
+    # DutchAnalyzer.java:85-89 — dictionary entries beat the stemmer
+    assert dutch_chain("fiets") == "fiets"      # snowball alone says fiet
+    assert dutch_chain("bromfiets") == "bromfiets"
+    assert dutch_chain("ei") == "eier"
+    assert dutch_chain("kind") == "kinder"
+    assert dutch_chain("lichamelijk") == "licham"
+
+
+def test_romanian_chain():
+    assert analyze_text("copiilor frumoasele", "romanian") == \
+        ["cop", "frumoas"]
+
+
+def test_turkish_dotted_i():
+    # İSTANBUL -> (str.lower) 'i̇stanbul' -> combining dot removed
+    # (TurkishLowerCaseFilter.java:71-78)
+    assert turkish_chain("İSTANBUL".lower()) == "istanbul"
+    assert analyze_text("kitaplarımızdan", "turkish") == ["kitap"]
+
+
+def test_turkish_reserved_and_syllable_gates():
+    assert turkish_stem("ad") == "ad"        # single syllable: untouched
+    assert turkish_stem("soyadın") == "soyad"  # stems, then reserved kept
