@@ -114,6 +114,12 @@ def _stem_snowball(name):
     return load
 
 
+def _stem_brazilian():
+    from .brazilian import brazilian_stem
+
+    return brazilian_stem
+
+
 # vocabulary-level stem filters of the per-language analyzer registry
 # (en: PorterStemFilter.java:56; the rest: the Savoy-family minimal/light
 # stemmers in analysis/common/src/java/org/apache/lucene/analysis/<lang>/)
@@ -141,6 +147,7 @@ _VOCAB_STEMMERS = {
     "indonesian": _stem_named("indonesian_stem"),
     "greek": _greek_chain,
     "danish": _stem_snowball("danish_stem"),
+    "brazilian": _stem_brazilian,
     "dutch": _stem_snowball("dutch_chain"),
     "romanian": _stem_snowball("romanian_stem"),
     "turkish": _stem_snowball("turkish_chain"),

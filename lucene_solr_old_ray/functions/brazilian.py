@@ -1,0 +1,303 @@
+"""Brazilian Portuguese stemmer (the reference's own hand-written
+algorithm — NOT snowball; Orengo-style suffix stripping with R1/R2/RV
+regions).
+
+Re-expresses (NOT ports) ``analysis/common/.../br/BrazilianStemmer.java``
+as a table-driven rule engine: each rule is (length-guard, suffix
+conditions, preceded-by conditions, action), executed in the reference's
+exact order — INCLUDING its three faithful quirks: the `logias` rule
+matches but never mutates (BrazilianStemmer.java:430 discards the
+replaceSuffix result), the step-2 `ira` rule removes "ava" (a no-op,
+:787), and the R1/RV scans exclude the final character (the `j < i`
+bounds in getR1/getRV, :131-150). Verified against the full
+TestBrazilianStemmer case set.
+
+Chain: BrazilianAnalyzer = standard tokenize -> lowercase -> stop ->
+BrazilianStemFilter (keeps the original term when the stemmer returns
+null: non-letters or length outside (2, 30))."""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+# (guard, [(var, suffix), ...], [(var, suffix, preceded), ...], action)
+# action: ("del", suf) | ("repl", suf, repl) | ("noop",)
+_STEP1 = (
+    (None, [('CT', 'uciones'), ('R2', 'uciones')], [], ('repl', 'uciones', 'u')),
+    (('CT', 6), [('CT', 'imentos'), ('R2', 'imentos')], [], ('del', 'imentos')),
+    (('CT', 6), [('CT', 'amentos'), ('R2', 'amentos')], [], ('del', 'amentos')),
+    (('CT', 6), [('CT', 'adores'), ('R2', 'adores')], [], ('del', 'adores')),
+    (('CT', 6), [('CT', 'adoras'), ('R2', 'adoras')], [], ('del', 'adoras')),
+    (('CT', 6), [('CT', 'logias'), ('R2', 'logias')], [], ('noop',)),
+    (('CT', 6), [('CT', 'encias'), ('R2', 'encias')], [], ('repl', 'encias', 'ente')),
+    (('CT', 6), [('CT', 'amente'), ('R1', 'amente')], [], ('del', 'amente')),
+    (('CT', 6), [('CT', 'idades'), ('R2', 'idades')], [], ('del', 'idades')),
+    (('CT', 5), [('CT', 'acoes'), ('R2', 'acoes')], [], ('del', 'acoes')),
+    (('CT', 5), [('CT', 'imento'), ('R2', 'imento')], [], ('del', 'imento')),
+    (('CT', 5), [('CT', 'amento'), ('R2', 'amento')], [], ('del', 'amento')),
+    (('CT', 5), [('CT', 'adora'), ('R2', 'adora')], [], ('del', 'adora')),
+    (('CT', 5), [('CT', 'ismos'), ('R2', 'ismos')], [], ('del', 'ismos')),
+    (('CT', 5), [('CT', 'istas'), ('R2', 'istas')], [], ('del', 'istas')),
+    (('CT', 5), [('CT', 'logia'), ('R2', 'logia')], [], ('repl', 'logia', 'log')),
+    (('CT', 5), [('CT', 'ucion'), ('R2', 'ucion')], [], ('repl', 'ucion', 'u')),
+    (('CT', 5), [('CT', 'encia'), ('R2', 'encia')], [], ('repl', 'encia', 'ente')),
+    (('CT', 5), [('CT', 'mente'), ('R2', 'mente')], [], ('del', 'mente')),
+    (('CT', 5), [('CT', 'idade'), ('R2', 'idade')], [], ('del', 'idade')),
+    (('CT', 4), [('CT', 'acao'), ('R2', 'acao')], [], ('del', 'acao')),
+    (('CT', 4), [('CT', 'ezas'), ('R2', 'ezas')], [], ('del', 'ezas')),
+    (('CT', 4), [('CT', 'icos'), ('R2', 'icos')], [], ('del', 'icos')),
+    (('CT', 4), [('CT', 'icas'), ('R2', 'icas')], [], ('del', 'icas')),
+    (('CT', 4), [('CT', 'ismo'), ('R2', 'ismo')], [], ('del', 'ismo')),
+    (('CT', 4), [('CT', 'avel'), ('R2', 'avel')], [], ('del', 'avel')),
+    (('CT', 4), [('CT', 'ivel'), ('R2', 'ivel')], [], ('del', 'ivel')),
+    (('CT', 4), [('CT', 'ista'), ('R2', 'ista')], [], ('del', 'ista')),
+    (('CT', 4), [('CT', 'osos'), ('R2', 'osos')], [], ('del', 'osos')),
+    (('CT', 4), [('CT', 'osas'), ('R2', 'osas')], [], ('del', 'osas')),
+    (('CT', 4), [('CT', 'ador'), ('R2', 'ador')], [], ('del', 'ador')),
+    (('CT', 4), [('CT', 'ivas'), ('R2', 'ivas')], [], ('del', 'ivas')),
+    (('CT', 4), [('CT', 'ivos'), ('R2', 'ivos')], [], ('del', 'ivos')),
+    (('CT', 4), [('CT', 'iras'), ('RV', 'iras')], [('CT', 'iras', 'e')], ('repl', 'iras', 'ir')),
+    (('CT', 3), [('CT', 'eza'), ('R2', 'eza')], [], ('del', 'eza')),
+    (('CT', 3), [('CT', 'ico'), ('R2', 'ico')], [], ('del', 'ico')),
+    (('CT', 3), [('CT', 'ica'), ('R2', 'ica')], [], ('del', 'ica')),
+    (('CT', 3), [('CT', 'oso'), ('R2', 'oso')], [], ('del', 'oso')),
+    (('CT', 3), [('CT', 'osa'), ('R2', 'osa')], [], ('del', 'osa')),
+    (('CT', 3), [('CT', 'iva'), ('R2', 'iva')], [], ('del', 'iva')),
+    (('CT', 3), [('CT', 'ivo'), ('R2', 'ivo')], [], ('del', 'ivo')),
+    (('CT', 3), [('CT', 'ira'), ('RV', 'ira')], [('CT', 'ira', 'e')], ('repl', 'ira', 'ir')),
+)
+
+_STEP2 = (
+    (('RV', 7), [('RV', 'issemos')], [], ('del', 'issemos')),
+    (('RV', 7), [('RV', 'essemos')], [], ('del', 'essemos')),
+    (('RV', 7), [('RV', 'assemos')], [], ('del', 'assemos')),
+    (('RV', 7), [('RV', 'ariamos')], [], ('del', 'ariamos')),
+    (('RV', 7), [('RV', 'eriamos')], [], ('del', 'eriamos')),
+    (('RV', 7), [('RV', 'iriamos')], [], ('del', 'iriamos')),
+    (('RV', 6), [('RV', 'iremos')], [], ('del', 'iremos')),
+    (('RV', 6), [('RV', 'eremos')], [], ('del', 'eremos')),
+    (('RV', 6), [('RV', 'aremos')], [], ('del', 'aremos')),
+    (('RV', 6), [('RV', 'avamos')], [], ('del', 'avamos')),
+    (('RV', 6), [('RV', 'iramos')], [], ('del', 'iramos')),
+    (('RV', 6), [('RV', 'eramos')], [], ('del', 'eramos')),
+    (('RV', 6), [('RV', 'aramos')], [], ('del', 'aramos')),
+    (('RV', 6), [('RV', 'asseis')], [], ('del', 'asseis')),
+    (('RV', 6), [('RV', 'esseis')], [], ('del', 'esseis')),
+    (('RV', 6), [('RV', 'isseis')], [], ('del', 'isseis')),
+    (('RV', 6), [('RV', 'arieis')], [], ('del', 'arieis')),
+    (('RV', 6), [('RV', 'erieis')], [], ('del', 'erieis')),
+    (('RV', 6), [('RV', 'irieis')], [], ('del', 'irieis')),
+    (('RV', 5), [('RV', 'irmos')], [], ('del', 'irmos')),
+    (('RV', 5), [('RV', 'iamos')], [], ('del', 'iamos')),
+    (('RV', 5), [('RV', 'armos')], [], ('del', 'armos')),
+    (('RV', 5), [('RV', 'ermos')], [], ('del', 'ermos')),
+    (('RV', 5), [('RV', 'areis')], [], ('del', 'areis')),
+    (('RV', 5), [('RV', 'ereis')], [], ('del', 'ereis')),
+    (('RV', 5), [('RV', 'ireis')], [], ('del', 'ireis')),
+    (('RV', 5), [('RV', 'asses')], [], ('del', 'asses')),
+    (('RV', 5), [('RV', 'esses')], [], ('del', 'esses')),
+    (('RV', 5), [('RV', 'isses')], [], ('del', 'isses')),
+    (('RV', 5), [('RV', 'astes')], [], ('del', 'astes')),
+    (('RV', 5), [('RV', 'assem')], [], ('del', 'assem')),
+    (('RV', 5), [('RV', 'essem')], [], ('del', 'essem')),
+    (('RV', 5), [('RV', 'issem')], [], ('del', 'issem')),
+    (('RV', 5), [('RV', 'ardes')], [], ('del', 'ardes')),
+    (('RV', 5), [('RV', 'erdes')], [], ('del', 'erdes')),
+    (('RV', 5), [('RV', 'irdes')], [], ('del', 'irdes')),
+    (('RV', 5), [('RV', 'ariam')], [], ('del', 'ariam')),
+    (('RV', 5), [('RV', 'eriam')], [], ('del', 'eriam')),
+    (('RV', 5), [('RV', 'iriam')], [], ('del', 'iriam')),
+    (('RV', 5), [('RV', 'arias')], [], ('del', 'arias')),
+    (('RV', 5), [('RV', 'erias')], [], ('del', 'erias')),
+    (('RV', 5), [('RV', 'irias')], [], ('del', 'irias')),
+    (('RV', 5), [('RV', 'estes')], [], ('del', 'estes')),
+    (('RV', 5), [('RV', 'istes')], [], ('del', 'istes')),
+    (('RV', 5), [('RV', 'areis')], [], ('del', 'areis')),
+    (('RV', 5), [('RV', 'aveis')], [], ('del', 'aveis')),
+    (('RV', 4), [('RV', 'aria')], [], ('del', 'aria')),
+    (('RV', 4), [('RV', 'eria')], [], ('del', 'eria')),
+    (('RV', 4), [('RV', 'iria')], [], ('del', 'iria')),
+    (('RV', 4), [('RV', 'asse')], [], ('del', 'asse')),
+    (('RV', 4), [('RV', 'esse')], [], ('del', 'esse')),
+    (('RV', 4), [('RV', 'isse')], [], ('del', 'isse')),
+    (('RV', 4), [('RV', 'aste')], [], ('del', 'aste')),
+    (('RV', 4), [('RV', 'este')], [], ('del', 'este')),
+    (('RV', 4), [('RV', 'iste')], [], ('del', 'iste')),
+    (('RV', 4), [('RV', 'arei')], [], ('del', 'arei')),
+    (('RV', 4), [('RV', 'erei')], [], ('del', 'erei')),
+    (('RV', 4), [('RV', 'irei')], [], ('del', 'irei')),
+    (('RV', 4), [('RV', 'aram')], [], ('del', 'aram')),
+    (('RV', 4), [('RV', 'eram')], [], ('del', 'eram')),
+    (('RV', 4), [('RV', 'iram')], [], ('del', 'iram')),
+    (('RV', 4), [('RV', 'avam')], [], ('del', 'avam')),
+    (('RV', 4), [('RV', 'arem')], [], ('del', 'arem')),
+    (('RV', 4), [('RV', 'erem')], [], ('del', 'erem')),
+    (('RV', 4), [('RV', 'irem')], [], ('del', 'irem')),
+    (('RV', 4), [('RV', 'ando')], [], ('del', 'ando')),
+    (('RV', 4), [('RV', 'endo')], [], ('del', 'endo')),
+    (('RV', 4), [('RV', 'indo')], [], ('del', 'indo')),
+    (('RV', 4), [('RV', 'arao')], [], ('del', 'arao')),
+    (('RV', 4), [('RV', 'erao')], [], ('del', 'erao')),
+    (('RV', 4), [('RV', 'irao')], [], ('del', 'irao')),
+    (('RV', 4), [('RV', 'adas')], [], ('del', 'adas')),
+    (('RV', 4), [('RV', 'idas')], [], ('del', 'idas')),
+    (('RV', 4), [('RV', 'aras')], [], ('del', 'aras')),
+    (('RV', 4), [('RV', 'eras')], [], ('del', 'eras')),
+    (('RV', 4), [('RV', 'iras')], [], ('del', 'iras')),
+    (('RV', 4), [('RV', 'avas')], [], ('del', 'avas')),
+    (('RV', 4), [('RV', 'ares')], [], ('del', 'ares')),
+    (('RV', 4), [('RV', 'eres')], [], ('del', 'eres')),
+    (('RV', 4), [('RV', 'ires')], [], ('del', 'ires')),
+    (('RV', 4), [('RV', 'ados')], [], ('del', 'ados')),
+    (('RV', 4), [('RV', 'idos')], [], ('del', 'idos')),
+    (('RV', 4), [('RV', 'amos')], [], ('del', 'amos')),
+    (('RV', 4), [('RV', 'emos')], [], ('del', 'emos')),
+    (('RV', 4), [('RV', 'imos')], [], ('del', 'imos')),
+    (('RV', 4), [('RV', 'iras')], [], ('del', 'iras')),
+    (('RV', 4), [('RV', 'ieis')], [], ('del', 'ieis')),
+    (('RV', 3), [('RV', 'ada')], [], ('del', 'ada')),
+    (('RV', 3), [('RV', 'ida')], [], ('del', 'ida')),
+    (('RV', 3), [('RV', 'ara')], [], ('del', 'ara')),
+    (('RV', 3), [('RV', 'era')], [], ('del', 'era')),
+    (('RV', 3), [('RV', 'ira')], [], ('del', 'ava')),
+    (('RV', 3), [('RV', 'iam')], [], ('del', 'iam')),
+    (('RV', 3), [('RV', 'ado')], [], ('del', 'ado')),
+    (('RV', 3), [('RV', 'ido')], [], ('del', 'ido')),
+    (('RV', 3), [('RV', 'ias')], [], ('del', 'ias')),
+    (('RV', 3), [('RV', 'ais')], [], ('del', 'ais')),
+    (('RV', 3), [('RV', 'eis')], [], ('del', 'eis')),
+    (('RV', 3), [('RV', 'ira')], [], ('del', 'ira')),
+    (('RV', 3), [('RV', 'ear')], [], ('del', 'ear')),
+    (('RV', 2), [('RV', 'ia')], [], ('del', 'ia')),
+    (('RV', 2), [('RV', 'ei')], [], ('del', 'ei')),
+    (('RV', 2), [('RV', 'am')], [], ('del', 'am')),
+    (('RV', 2), [('RV', 'em')], [], ('del', 'em')),
+    (('RV', 2), [('RV', 'ar')], [], ('del', 'ar')),
+    (('RV', 2), [('RV', 'er')], [], ('del', 'er')),
+    (('RV', 2), [('RV', 'ir')], [], ('del', 'ir')),
+    (('RV', 2), [('RV', 'as')], [], ('del', 'as')),
+    (('RV', 2), [('RV', 'es')], [], ('del', 'es')),
+    (('RV', 2), [('RV', 'is')], [], ('del', 'is')),
+    (('RV', 2), [('RV', 'eu')], [], ('del', 'eu')),
+    (('RV', 2), [('RV', 'iu')], [], ('del', 'iu')),
+    (('RV', 2), [('RV', 'iu')], [], ('del', 'iu')),
+    (('RV', 2), [('RV', 'ou')], [], ('del', 'ou')),
+)
+
+
+def _r1(v: str | None) -> str | None:
+    """Region after the first non-vowel following a vowel — with the
+    reference's quirk that both scans stop BEFORE the last character."""
+    if v is None:
+        return None
+    i = len(v) - 1
+    j = 0
+    while j < i and v[j] not in _VOWELS:
+        j += 1
+    if j >= i:
+        return None
+    while j < i and v[j] in _VOWELS:
+        j += 1
+    if j >= i:
+        return None
+    return v[j + 1:]
+
+
+def _rv(v: str | None) -> str | None:
+    if v is None:
+        return None
+    i = len(v) - 1
+    if i > 0 and v[1] not in _VOWELS:
+        j = 2
+        while j < i and v[j] not in _VOWELS:
+            j += 1
+        if j < i:
+            return v[j + 1:]
+    if i > 1 and v[0] in _VOWELS and v[1] in _VOWELS:
+        j = 2
+        while j < i and v[j] in _VOWELS:
+            j += 1
+        if j < i:
+            return v[j + 1:]
+    if i > 2:
+        return v[3:]
+    return None
+
+
+_FOLD = str.maketrans("áâãéêíóôõúüçñ", "aaaeeiooouucn")
+def _apply(ct: str, regions: dict, table) -> tuple[str, bool]:
+    for guard, conds, precs, act in table:
+        if guard is not None:
+            var, ln = guard
+            reg = ct if var == "CT" else regions[var]
+            if reg is None or len(reg) < ln:
+                continue
+        ok = True
+        for var, suf in conds:
+            reg = ct if var == "CT" else regions[var]
+            if reg is None or not reg.endswith(suf):
+                ok = False
+                break
+        if ok:
+            for var, suf, pre in precs:
+                reg = ct if var == "CT" else regions[var]
+                if reg is None or not reg.endswith(suf) \
+                        or not reg[: len(reg) - len(suf)].endswith(pre):
+                    ok = False
+                    break
+        if not ok:
+            continue
+        if act[0] == "del":
+            if ct.endswith(act[1]):
+                ct = ct[: len(ct) - len(act[1])]
+        elif act[0] == "repl":
+            if ct.endswith(act[1]):
+                ct = ct[: len(ct) - len(act[1])] + act[2]
+        return ct, True
+    return ct, False
+
+
+def brazilian_stem(term: str) -> str:
+    """Stem one (already-lowercased) token; returns the input unchanged
+    where the reference's filter would (null stem or stem == term)."""
+    ct = term.lower().translate(_FOLD)
+    if len(ct) >= 2 and ct[0] in "\"\'-,;.?!":
+        ct = ct[1:]
+    if len(ct) >= 2 and ct[-1] in "-,;.?!\'\"":
+        ct = ct[:-1]
+    if not (2 < len(ct) < 30):
+        return term
+    if not ct.isalpha():
+        return ct
+    regions = {"R1": _r1(ct), "RV": _rv(ct)}
+    regions["R2"] = _r1(regions["R1"])
+    ct, altered = _apply(ct, regions, _STEP1)
+    if not altered:
+        ct, altered = _apply(ct, regions, _STEP2)
+    rv = regions["RV"]
+    if altered:
+        # step3: final i preceded by c, both in RV
+        if rv is not None and rv.endswith("i") and rv[:-1].endswith("c") \
+                and ct.endswith("i"):
+            ct = ct[:-1]
+    else:
+        # step4: residual suffix
+        if rv is not None:
+            for suf in ("os", "a", "i", "o"):
+                if rv.endswith(suf):
+                    if ct.endswith(suf):
+                        ct = ct[: len(ct) - len(suf)]
+                    break
+    # step5: final e; gu/ci contraction
+    if rv is not None and rv.endswith("e") and ct.endswith("e"):
+        if rv[:-1].endswith("gu"):
+            ct = ct[:-1]
+            if ct.endswith("u"):
+                ct = ct[:-1]
+        elif rv[:-1].endswith("ci"):
+            ct = ct[:-1]
+            if ct.endswith("i"):
+                ct = ct[:-1]
+        else:
+            ct = ct[:-1]
+    return ct

@@ -1,0 +1,43 @@
+"""BrazilianStemmer vs the reference's full TestBrazilianStemmer case set
+(read from the reference test source at test time)."""
+
+import os
+import re
+
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_text
+from lucene_solr_old_ray.functions.brazilian import brazilian_stem
+
+_SRC = ("/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+        "analysis/br/TestBrazilianStemmer.java")
+
+
+@pytest.mark.skipif(not os.path.exists(_SRC), reason="reference data absent")
+def test_full_reference_case_set():
+    tsrc = open(_SRC, encoding="utf-8").read()
+    raw = re.findall(r'check\s*\(\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\)', tsrc)
+
+    def unesc(s):
+        return re.sub(r"\\u([0-9a-fA-F]{4})",
+                      lambda m: chr(int(m.group(1), 16)), s)
+
+    cases = [(unesc(a), unesc(b)) for a, b in raw]
+    assert len(cases) > 80
+    bad = [(w, brazilian_stem(w.lower()), e) for w, e in cases
+           if brazilian_stem(w.lower()) != e]
+    assert not bad, bad[:10]
+
+
+def test_quirks_preserved():
+    # getR1/getRV scans exclude the last char; short words pass through
+    assert brazilian_stem("ab") == "ab"     # not indexable (len <= 2)
+    assert brazilian_stem("x" * 30) == "x" * 30  # not indexable (len >= 30)
+    assert brazilian_stem("can2o") == "can2o"    # non-letters: folded CT
+
+
+def test_brazilian_chain():
+    # 'bobagens' is a reference fixture that stems to itself (no RV-region
+    # suffix reaches it); lindas -> lind
+    assert analyze_text("bobagem lindas", "brazilian") == \
+        ["bobag", "lind"]
