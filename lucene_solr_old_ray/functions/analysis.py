@@ -151,6 +151,10 @@ _VOCAB_STEMMERS = {
     "dutch": _stem_snowball("dutch_chain"),
     "romanian": _stem_snowball("romanian_stem"),
     "turkish": _stem_snowball("turkish_chain"),
+    "irish": _stem_snowball("irish_chain"),
+    "catalan": _stem_snowball("catalan_chain"),
+    "basque": _stem_snowball("basque_stem"),
+    "armenian": _stem_snowball("armenian_stem"),
     # not a stemmer, but the same vocabulary-level hook: ReverseStringFilter
     # (``analysis/common/.../reverse/ReverseStringFilter.java:33``) after
     # the standard chain — the indexing side of the reversed-wildcard trick

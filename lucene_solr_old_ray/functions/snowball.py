@@ -931,3 +931,833 @@ def turkish_chain(w: str) -> str:
     if "̇" in w:
         w = w.replace("i̇", "i").replace("̇", "")
     return turkish_stem(w)
+
+
+# ---------------------------------------------------------------------------
+# Irish (irish.sbl, J. Begley; IrishStemmer.java + IrishLowerCaseFilter /
+# IrishAnalyzer chain pieces: ga/IrishAnalyzer.java, IrishLowerCaseFilter
+# .java:43-56)
+# ---------------------------------------------------------------------------
+
+_GA_V = frozenset("aeiouáéíóú")
+
+# initial mutations, longest-first prefix match (a_0; '' = delete)
+_GA_INIT = (
+    ("d'fh", "f"), ("bhf", "f"),
+    ("b'", ""), ("d'", ""), ("m'", ""), ("h-", ""), ("n-", ""), ("t-", ""),
+    ("bh", "b"), ("ch", "c"), ("dh", "d"), ("fh", "f"), ("gh", "g"),
+    ("mh", "m"), ("ph", "p"), ("sh", "s"), ("th", "t"), ("bp", "p"),
+    ("gc", "c"), ("mb", "b"), ("nd", "d"), ("ng", "g"), ("ts", "s"),
+    ("dt", "t"),
+)
+# noun suffixes: region 1 -> R1, 2 -> R2 (longest-first)
+_GA_NOUN = (
+    ("aíochta", 1), ("íochta", 1), ("aíocht", 1), ("íocht", 1),
+    ("eabh", 1), ("aibh", 1), ("eamh", 1), ("aimh", 1), ("aire", 2),
+    ("airí", 2), ("abh", 1), ("ibh", 1), ("amh", 1), ("imh", 1),
+    ("ire", 2), ("irí", 2),
+)
+# derivational suffixes: action 1 = R2 delete, others replace (no region)
+_GA_DERIV = (
+    ("grafaíochtaí", 4), ("grafaíochta", 4), ("grafaíocht", 4),
+    ("grafaíoch", 4), ("óideacha", 6), ("arcachta", 2), ("arcachtaí", 2),
+    ("achtúil", 1), ("eachtúil", 1), ("óideach", 6), ("gineach", 3),
+    ("arcacht", 2), ("pataigh", 5), ("patacha", 5), ("eachta", 1),
+    ("gineas", 3), ("óidigh", 6), ("patach", 5), ("achta", 1),
+    ("paite", 5), ("ginis", 3), ("eacht", 1), ("each", 1), ("acht", 1),
+    ("ach", 1),
+)
+_GA_DERIV_REPL = {2: "arc", 3: "gin", 4: "graf", 5: "paite", 6: "óid"}
+# verb suffixes: region 1 -> RV, 2 -> R1
+_GA_VERB = (
+    ("aimid", 1), ("aímid", 1), ("faidh", 1), ("imid", 1), ("ímid", 1),
+    ("eadh", 2), ("fidh", 1), ("tear", 2), ("adh", 2), ("áil", 2),
+    ("ain", 2), ("tar", 2),
+)
+
+
+def _ga_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _GA_V:
+        i += 1
+    pv = i + 1 if i < n else n
+
+    def _after(start: int) -> int:
+        j = start
+        while j < n and w[j] not in _GA_V:
+            j += 1
+        while j < n and w[j] in _GA_V:
+            j += 1
+        return j + 1 if j < n else n
+
+    p1 = _after(0)
+    p2 = _after(p1)
+    return pv, p1, p2
+
+
+def irish_stem(w: str) -> str:
+    for pre, repl in _GA_INIT:
+        if w.startswith(pre):
+            w = repl + w[len(pre):]
+            break
+    pv, p1, p2 = _ga_regions(w)
+    # noun_sfx (longest match, region checked after — no fallback)
+    for suf, reg in _GA_NOUN:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= (p1 if reg == 1 else p2):
+                w = w[: len(w) - len(suf)]
+            break
+    # deriv
+    for suf, act in _GA_DERIV:
+        if w.endswith(suf):
+            if act == 1:
+                if len(w) - len(suf) >= p2:
+                    w = w[: len(w) - len(suf)]
+            else:
+                w = w[: len(w) - len(suf)] + _GA_DERIV_REPL[act]
+            break
+    # verb_sfx
+    for suf, reg in _GA_VERB:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= (pv if reg == 1 else p1):
+                w = w[: len(w) - len(suf)]
+            break
+    return w
+
+
+def irish_lower(token: str) -> str:
+    """IrishLowerCaseFilter: nAthair -> n-athair, tUISCE -> t-uisce, else
+    plain lowercase (runs on the CASED token)."""
+    if len(token) > 1 and token[0] in "nt" and token[1] in "AEIOUÁÉÍÓÚ":
+        return token[0] + "-" + token[1:].lower()
+    return token.lower()
+
+
+def irish_chain(w: str) -> str:
+    """Vocabulary-level IrishAnalyzer tail: ElisionFilter over the d/m/b
+    articles (IrishAnalyzer.java DEFAULT_ARTICLES), then the stemmer. The
+    n-/t- hyphenation and h-/n-/t- prefixes ride the stemmer's
+    initial-mutation pass."""
+    for art in ("d'", "m'", "b'", "d’", "m’", "b’"):
+        if w.startswith(art) and len(w) > 2:
+            w = w[2:]
+            break
+    return irish_stem(w)
+
+
+# ---------------------------------------------------------------------------
+# Armenian / Basque / Catalan (armenian.sbl, basque.sbl, catalan.sbl;
+# {Armenian,Basque,Catalan}Stemmer.java). Tables below are the published
+# algorithms' suffix data: (suffix, region, action) rows, longest-first.
+# ---------------------------------------------------------------------------
+
+_HY_ADJ = (
+    ('երորդ', None, ('del',)), ('րորդ', None, ('del',)),
+    ('որակ', None, ('del',)), ('ական', None, ('del',)),
+    ('արան', None, ('del',)), ('եկեն', None, ('del',)),
+    ('երեն', None, ('del',)), ('որէն', None, ('del',)),
+    ('ովին', None, ('del',)), ('լայն', None, ('del',)),
+    ('վուն', None, ('del',)), ('ավետ', None, ('del',)),
+    ('ալի', None, ('del',)), ('ակի', None, ('del',)),
+    ('գին', None, ('del',)), ('պես', None, ('del',)),
+    ('կոտ', None, ('del',)), ('բար', None, ('del',)), ('եղ', None, ('del',)),
+    ('են', None, ('del',)), ('ին', None, ('del',)), ('իվ', None, ('del',)),
+    ('ատ', None, ('del',)),
+)
+
+_HY_VERB = (
+    ('ացրինք', None, ('del',)), ('վեցինք', None, ('del',)),
+    ('ացնալ', None, ('del',)), ('եցնել', None, ('del',)),
+    ('ացվել', None, ('del',)), ('եցվել', None, ('del',)),
+    ('կոտել', None, ('del',)), ('ացրին', None, ('del',)),
+    ('վեցին', None, ('del',)), ('ացրիր', None, ('del',)),
+    ('վեցիր', None, ('del',)), ('ացրեց', None, ('del',)),
+    ('ալուց', None, ('del',)), ('ելուց', None, ('del',)),
+    ('ացրիք', None, ('del',)), ('վեցիք', None, ('del',)),
+    ('ացանք', None, ('del',)), ('ացինք', None, ('del',)),
+    ('եցինք', None, ('del',)), ('ացրի', None, ('del',)),
+    ('վեցի', None, ('del',)), ('անալ', None, ('del',)),
+    ('ենալ', None, ('del',)), ('ցնել', None, ('del',)),
+    ('ատել', None, ('del',)), ('ոտել', None, ('del',)),
+    ('վում', None, ('del',)), ('ացան', None, ('del',)),
+    ('ացին', None, ('del',)), ('եցին', None, ('del',)),
+    ('ալիս', None, ('del',)), ('ելիս', None, ('del',)),
+    ('ացավ', None, ('del',)), ('եցավ', None, ('del',)),
+    ('ալով', None, ('del',)), ('ելով', None, ('del',)),
+    ('ացար', None, ('del',)), ('եցար', None, ('del',)),
+    ('ացիր', None, ('del',)), ('եցիր', None, ('del',)),
+    ('ալու', None, ('del',)), ('ելու', None, ('del',)),
+    ('ացաք', None, ('del',)), ('ացիք', None, ('del',)),
+    ('եցիք', None, ('del',)), ('ցանք', None, ('del',)),
+    ('ացա', None, ('del',)), ('եցա', None, ('del',)),
+    ('ացի', None, ('del',)), ('եցի', None, ('del',)),
+    ('ըալ', None, ('del',)), ('ըել', None, ('del',)),
+    ('նել', None, ('del',)), ('չել', None, ('del',)),
+    ('վել', None, ('del',)), ('տել', None, ('del',)),
+    ('ված', None, ('del',)), ('ում', None, ('del',)),
+    ('ցան', None, ('del',)), ('ցաք', None, ('del',)),
+    ('անք', None, ('del',)), ('վե', None, ('del',)), ('ալ', None, ('del',)),
+    ('ել', None, ('del',)), ('ան', None, ('del',)), ('ավ', None, ('del',)),
+    ('ար', None, ('del',)), ('աց', None, ('del',)), ('եց', None, ('del',)),
+    ('աք', None, ('del',)), ('ա', None, ('del',)),
+)
+
+_HY_NOUN = (
+    ('ություն', None, ('del',)), ('մունք', None, ('del',)),
+    ('ույթ', None, ('del',)), ('ուհի', None, ('del',)),
+    ('անակ', None, ('del',)), ('ստան', None, ('del',)),
+    ('արան', None, ('del',)), ('եղէն', None, ('del',)),
+    ('յուն', None, ('del',)), ('ուստ', None, ('del',)),
+    ('ավոր', None, ('del',)), ('անօց', None, ('del',)),
+    ('ալիք', None, ('del',)), ('անիք', None, ('del',)),
+    ('վածք', None, ('del',)), ('ույք', None, ('del',)),
+    ('ունք', None, ('del',)), ('որդ', None, ('del',)),
+    ('յակ', None, ('del',)), ('ուկ', None, ('del',)),
+    ('պան', None, ('del',)), ('ածո', None, ('del',)),
+    ('ուս', None, ('del',)), ('գար', None, ('del',)),
+    ('վոր', None, ('del',)), ('չեք', None, ('del',)),
+    ('ենք', None, ('del',)), ('ոնք', None, ('del',)),
+    ('իչք', None, ('del',)), ('արք', None, ('del',)), ('ցի', None, ('del',)),
+    ('իլ', None, ('del',)), ('ակ', None, ('del',)), ('իկ', None, ('del',)),
+    ('ան', None, ('del',)), ('իչ', None, ('del',)), ('ոց', None, ('del',)),
+    ('ու', None, ('del',)), ('իք', None, ('del',)), ('ք', None, ('del',)),
+)
+
+_HY_END = (
+    ('ությանդ', None, ('del',)), ('ությանը', None, ('del',)),
+    ('ությանն', None, ('del',)), ('ությանս', None, ('del',)),
+    ('ներում', None, ('del',)), ('ության', None, ('del',)),
+    ('անում', None, ('del',)), ('երում', None, ('del',)),
+    ('ներին', None, ('del',)), ('ներով', None, ('del',)),
+    ('վանից', None, ('del',)), ('ներից', None, ('del',)),
+    ('վանդ', None, ('del',)), ('ներդ', None, ('del',)),
+    ('վանը', None, ('del',)), ('ները', None, ('del',)),
+    ('ների', None, ('del',)), ('երին', None, ('del',)),
+    ('ներն', None, ('del',)), ('վանս', None, ('del',)),
+    ('անով', None, ('del',)), ('երով', None, ('del',)),
+    ('ոջից', None, ('del',)), ('երից', None, ('del',)),
+    ('ամբ', None, ('del',)), ('անդ', None, ('del',)),
+    ('ոջդ', None, ('del',)), ('երդ', None, ('del',)),
+    ('ուդ', None, ('del',)), ('անը', None, ('del',)),
+    ('ոջը', None, ('del',)), ('երը', None, ('del',)),
+    ('երի', None, ('del',)), ('վան', None, ('del',)),
+    ('երն', None, ('del',)), ('ուն', None, ('del',)),
+    ('ոջս', None, ('del',)), ('վով', None, ('del',)),
+    ('ներ', None, ('del',)), ('վից', None, ('del',)),
+    ('ցից', None, ('del',)), ('ուց', None, ('del',)), ('սա', None, ('del',)),
+    ('վա', None, ('del',)), ('վի', None, ('del',)), ('ան', None, ('del',)),
+    ('ին', None, ('del',)), ('ոջ', None, ('del',)), ('ով', None, ('del',)),
+    ('եր', None, ('del',)), ('ից', None, ('del',)), ('ոց', None, ('del',)),
+    ('դ', None, ('del',)), ('ը', None, ('del',)), ('ի', None, ('del',)),
+    ('ն', None, ('del',)), ('ց', None, ('del',)),
+)
+
+_EU_ADITZAK = (
+    ('tzailea', 'RV', ('del',)), ('arabera', None, ('repl', 'arabera')),
+    ('atseden', None, ('repl', 'atseden')), ('kundea', 'RV', ('del',)),
+    ('tailea', 'RV', ('del',)), ('taldia', 'RV', ('del',)),
+    ('garria', 'R2', ('del',)), ('karria', 'RV', ('del',)),
+    ('tezina', 'RV', ('del',)), ('kizuna', 'RV', ('del',)),
+    ('gailua', 'RV', ('del',)), ('erreza', 'RV', ('del',)),
+    ('gaitza', 'RV', ('del',)), ('kaitza', 'RV', ('del',)),
+    ('kuntza', 'RV', ('del',)), ('tzaile', 'RV', ('del',)),
+    ('tarazi', 'RV', ('del',)), ('aldatu', 'RV', ('del',)),
+    ('baditu', None, ('repl', 'baditu')), ('bidea', 'RV', ('del',)),
+    ('kidea', 'RV', ('del',)), ('pidea', 'RV', ('del',)),
+    ('galea', 'RV', ('del',)), ('gunea', 'RV', ('del',)),
+    ('kunea', 'RV', ('del',)), ('tzaga', 'RV', ('del',)),
+    ('aldia', 'RV', ('del',)), ('karia', 'RV', ('del',)),
+    ('tzaka', 'RV', ('del',)), ('ezina', 'RV', ('del',)),
+    ('korra', 'RV', ('del',)), ('kunde', 'RV', ('del',)),
+    ('tzake', 'RV', ('del',)), ('tzeke', 'RV', ('del',)),
+    ('taile', 'RV', ('del',)), ('taldi', 'RV', ('del',)),
+    ('etari', 'RV', ('del',)), ('garri', 'R2', ('del',)),
+    ('karri', 'RV', ('del',)), ('arazi', 'RV', ('del',)),
+    ('rekin', 'RV', ('del',)), ('tezin', 'RV', ('del',)),
+    ('kizun', 'RV', ('del',)), ('gailu', 'RV', ('del',)),
+    ('errez', 'RV', ('del',)), ('gaitz', 'RV', ('del',)),
+    ('kaitz', 'RV', ('del',)), ('idea', 'RV', ('del',)),
+    ('gaia', 'RV', ('del',)), ('mena', 'RV', ('del',)),
+    ('pena', 'RV', ('del',)), ('kina', 'RV', ('del',)),
+    ('kuna', 'RV', ('del',)), ('tuna', 'RV', ('del',)),
+    ('bera', 'RV', ('del',)), ('kera', 'RV', ('del',)),
+    ('pera', 'RV', ('del',)), ('orra', 'RV', ('del',)),
+    ('dura', 'RV', ('del',)), ('gura', 'RV', ('del',)),
+    ('kura', 'RV', ('del',)), ('tura', 'RV', ('del',)),
+    ('keta', 'RV', ('del',)), ('bide', 'RV', ('del',)),
+    ('kide', 'RV', ('del',)), ('pide', 'RV', ('del',)),
+    ('gale', 'RV', ('del',)), ('gune', 'RV', ('del',)),
+    ('kune', 'RV', ('del',)), ('atze', 'RV', ('del',)),
+    ('aldi', 'RV', ('del',)), ('kari', 'RV', ('del',)),
+    ('lari', 'RV', ('del',)), ('tari', 'RV', ('del',)),
+    ('rean', 'RV', ('del',)), ('etan', 'RV', ('del',)),
+    ('ezin', 'RV', ('del',)), ('dako', 'RV', ('del',)),
+    ('tzat', 'RV', ('del',)), ('tatu', 'RV', ('del',)),
+    ('tzez', 'RV', ('del',)), ('era', 'RV', ('del',)),
+    ('eta', 'RV', ('del',)), ('eza', 'RV', ('del',)),
+    ('tza', 'R2', ('del',)), ('ide', 'RV', ('del',)),
+    ('tze', 'RV', ('del',)), ('gai', 'RV', ('del',)),
+    ('ari', 'RV', ('del',)), ('ean', 'RV', ('del',)),
+    ('kan', 'RV', ('del',)), ('men', 'RV', ('del',)),
+    ('pen', 'RV', ('del',)), ('kin', 'RV', ('del',)),
+    ('tun', 'RV', ('del',)), ('ago', 'RV', ('del',)),
+    ('tio', 'RV', ('del',)), ('kor', 'RV', ('del',)),
+    ('atu', 'RV', ('del',)), ('ka', 'RV', ('del',)), ('la', 'RV', ('del',)),
+    ('le', 'RV', ('del',)), ('ki', 'RV', ('del',)), ('an', 'RV', ('del',)),
+    ('go', 'RV', ('del',)), ('or', 'RV', ('del',)), ('du', 'RV', ('del',)),
+    ('tu', 'RV', ('del',)), ('ez', 'RV', ('del',)),
+)
+
+_EU_IZENAK = (
+    ('minutuko', None, ('repl', 'minutu')), ('garrena', 'RV', ('del',)),
+    ('gerrena', 'RV', ('del',)), ('kaldea', 'RV', ('del',)),
+    ('taldea', 'RV', ('del',)), ('tzalea', 'RV', ('del',)),
+    ('zionea', 'RV', ('del',)), ('aurrea', 'RV', ('del',)),
+    ('taldia', 'RV', ('del',)), ('handia', 'RV', ('del',)),
+    ('mendia', 'RV', ('del',)), ('garria', 'R2', ('del',)),
+    ('larria', 'RV', ('del',)), ('kirria', 'RV', ('del',)),
+    ('ontzia', 'RV', ('del',)), ('gibela', 'RV', ('del',)),
+    ('urrena', 'RV', ('del',)), ('tzaina', 'RV', ('del',)),
+    ('tasuna', 'RV', ('del',)), ('kondoa', 'RV', ('del',)),
+    ('tzarra', 'RV', ('del',)), ('mendua', 'RV', ('del',)),
+    ('mentua', 'RV', ('del',)), ('koitza', 'RV', ('del',)),
+    ('gintza', 'RV', ('del',)), ('kintza', 'RV', ('del',)),
+    ('kuntza', 'RV', ('del',)), ('garren', 'RV', ('del',)),
+    ('gerren', 'RV', ('del',)), ('tariko', 'RV', ('del',)),
+    ('gintzo', 'RV', ('del',)), ('gintzu', 'RV', ('del',)),
+    ('denda', 'RV', ('del',)), ('gabea', 'RV', ('del',)),
+    ('kabea', 'RV', ('del',)), ('aldea', 'RV', ('del',)),
+    ('ordea', 'RV', ('del',)), ('zalea', 'RV', ('del',)),
+    ('gilea', 'RV', ('del',)), ('kumea', 'RV', ('del',)),
+    ('gunea', 'RV', ('del',)), ('kotea', 'RV', ('del',)),
+    ('artea', 'RV', ('del',)), ('ostea', 'RV', ('del',)),
+    ('etxea', 'RV', ('del',)), ('aldia', 'RV', ('del',)),
+    ('degia', 'RV', ('del',)), ('tegia', 'RV', ('del',)),
+    ('nahia', 'RV', ('del',)), ('tokia', 'RV', ('del',)),
+    ('karia', 'RV', ('del',)), ('laria', 'RV', ('del',)),
+    ('taria', 'RV', ('del',)), ('keria', 'RV', ('del',)),
+    ('teria', 'RV', ('del',)), ('duria', 'RV', ('del',)),
+    ('bizia', 'RV', ('del',)), ('aurka', None, ('repl', 'aurka')),
+    ('kaila', 'RV', ('del',)), ('skila', 'RV', ('del',)),
+    ('zaina', 'RV', ('del',)), ('garna', 'RV', ('del',)),
+    ('asuna', 'RV', ('del',)), ('ondoa', 'RV', ('del',)),
+    ('takoa', 'RV', ('del',)), ('zinoa', 'RV', ('del',)),
+    ('taroa', 'RV', ('del',)), ('zaroa', 'RV', ('del',)),
+    ('liara', 'RV', ('del',)), ('tiara', 'RV', ('del',)),
+    ('etara', 'RV', ('del',)), ('tzara', 'RV', ('del',)),
+    ('korra', 'RV', ('del',)), ('ordua', 'RV', ('del',)),
+    ('lekua', 'RV', ('del',)), ('burua', 'RV', ('del',)),
+    ('durua', 'RV', ('del',)), ('estua', 'RV', ('del',)),
+    ('eroza', 'RV', ('del',)), ('antza', 'RV', ('del',)),
+    ('kalde', 'RV', ('del',)), ('talde', 'RV', ('del',)),
+    ('tzale', 'RV', ('del',)), ('zione', 'RV', ('del',)),
+    ('aurre', 'RV', ('del',)), ('taldi', 'RV', ('del',)),
+    ('geldi', None, ('repl', 'geldi')), ('handi', 'RV', ('del',)),
+    ('mendi', 'RV', ('del',)), ('garri', 'R2', ('del',)),
+    ('larri', 'RV', ('del',)), ('kirri', 'RV', ('del',)),
+    ('ontzi', 'RV', ('del',)), ('tarik', 'RV', ('del',)),
+    ('gibel', 'RV', ('del',)), ('urren', 'RV', ('del',)),
+    ('tzain', 'RV', ('del',)), ('tasun', 'RV', ('del',)),
+    ('aizun', 'RV', ('del',)), ('kondo', 'RV', ('del',)),
+    ('trako', None, ('repl', 'tra')), ('etako', 'RV', ('del',)),
+    ('igaro', None, ('repl', 'igaro')), ('behar', 'RV', ('del',)),
+    ('zehar', None, ('repl', 'zehar')), ('mendu', 'RV', ('del',)),
+    ('mentu', 'RV', ('del',)), ('koitz', 'RV', ('del',)),
+    ('kada', 'RV', ('del',)), ('anda', 'RV', ('del',)),
+    ('emea', 'RV', ('del',)), ('enea', 'RV', ('del',)),
+    ('unea', 'RV', ('del',)), ('anga', 'RV', ('del',)),
+    ('gaia', 'RV', ('del',)), ('geia', 'RV', ('del',)),
+    ('egia', 'RV', ('del',)), ('ohia', 'RV', ('del',)),
+    ('koia', 'RV', ('del',)), ('aria', 'RV', ('del',)),
+    ('eria', 'RV', ('del',)), ('asia', 'RV', ('del',)),
+    ('ezia', 'RV', ('del',)), ('joka', None, ('repl', 'jok')),
+    ('gela', 'RV', ('del',)), ('tila', 'RV', ('del',)),
+    ('kana', 'RV', ('del',)), ('kina', 'RV', ('del',)),
+    ('mina', 'RV', ('del',)), ('duna', 'RV', ('del',)),
+    ('ngoa', 'RV', ('del',)), ('zioa', 'RV', ('del',)),
+    ('zkoa', 'RV', ('del',)), ('aroa', 'RV', ('del',)),
+    ('eroa', 'RV', ('del',)), ('oroa', 'RV', ('del',)),
+    ('osoa', 'RV', ('del',)), ('ttoa', 'RV', ('del',)),
+    ('ztoa', 'RV', ('del',)), ('txoa', 'RV', ('del',)),
+    ('tzoa', 'RV', ('del',)), ('dara', 'RV', ('del',)),
+    ('tara', 'RV', ('del',)), ('bera', 'RV', ('del',)),
+    ('kera', 'RV', ('del',)), ('pera', 'RV', ('del',)),
+    ('keta', 'RV', ('del',)), ('tsua', 'RV', ('del',)),
+    ('txua', 'RV', ('del',)), ('tzua', 'RV', ('del',)),
+    ('gabe', 'RV', ('del',)), ('kabe', 'RV', ('del',)),
+    ('kide', 'RV', ('del',)), ('alde', 'RV', ('del',)),
+    ('orde', 'RV', ('del',)), ('zale', 'RV', ('del',)),
+    ('gile', 'RV', ('del',)), ('kume', 'RV', ('del',)),
+    ('gune', 'RV', ('del',)), ('kote', 'RV', ('del',)),
+    ('arte', 'RV', ('del',)), ('oste', 'RV', ('del',)),
+    ('etxe', 'RV', ('del',)), ('aldi', 'RV', ('del',)),
+    ('degi', 'RV', ('del',)), ('tegi', 'RV', ('del',)),
+    ('nahi', 'RV', ('del',)), ('toki', 'RV', ('del',)),
+    ('kari', 'RV', ('del',)), ('lari', 'RV', ('del',)),
+    ('tari', 'RV', ('del',)), ('duri', 'RV', ('del',)),
+    ('kail', 'RV', ('del',)), ('etan', 'RV', ('del',)),
+    ('tzen', 'R1', ('del',)), ('zain', 'RV', ('del',)),
+    ('asun', 'RV', ('del',)), ('ondo', 'RV', ('del',)),
+    ('tako', 'RV', ('del',)), ('tuko', 'RV', ('del',)),
+    ('zino', 'RV', ('del',)), ('taro', 'RV', ('del',)),
+    ('zaro', 'RV', ('del',)), ('giro', 'RV', ('del',)),
+    ('liar', 'RV', ('del',)), ('tiar', 'RV', ('del',)),
+    ('tzar', 'RV', ('del',)), ('ordu', 'RV', ('del',)),
+    ('leku', 'RV', ('del',)), ('buru', 'R2', ('del',)),
+    ('duru', 'RV', ('del',)), ('tatu', 'R1', ('del',)),
+    ('estu', 'RV', ('del',)), ('eroz', 'RV', ('del',)),
+    ('ada', 'RV', ('del',)), ('nea', 'RV', ('del',)),
+    ('pea', 'RV', ('del',)), ('tea', 'RV', ('del',)),
+    ('kia', 'RV', ('del',)), ('oia', 'RV', ('del',)),
+    ('tia', 'RV', ('del',)), ('ska', 'RV', ('del',)),
+    ('xka', 'RV', ('del',)), ('zka', 'RV', ('del',)),
+    ('ola', 'RV', ('del',)), ('ena', 'RV', ('del',)),
+    ('una', 'RV', ('del',)), ('koa', 'RV', ('del',)),
+    ('noa', 'RV', ('del',)), ('toa', 'RV', ('del',)),
+    ('ñoa', 'RV', ('del',)), ('ara', 'RV', ('del',)),
+    ('ora', 'R2', ('del',)), ('tra', 'RV', ('del',)),
+    ('osa', 'RV', ('del',)), ('eta', 'RV', ('del',)),
+    ('sta', 'RV', ('del',)), ('dua', 'RV', ('del',)),
+    ('tua', 'RV', ('del',)), ('zua', 'RV', ('del',)),
+    ('eza', 'RV', ('del',)), ('tza', 'R2', ('del',)),
+    ('eme', 'RV', ('del',)), ('une', 'RV', ('del',)),
+    ('gai', 'RV', ('del',)), ('gei', 'RV', ('del',)),
+    ('egi', 'RV', ('del',)), ('ohi', 'RV', ('del',)),
+    ('goi', 'RV', ('del',)), ('koi', 'RV', ('del',)),
+    ('ari', 'RV', ('del',)), ('asi', 'RV', ('del',)),
+    ('ail', 'RV', ('del',)), ('kan', 'RV', ('del',)),
+    ('tan', 'RV', ('del',)), ('ren', 'R2', ('del',)),
+    ('ten', 'R1', ('del',)), ('kin', 'RV', ('del',)),
+    ('min', 'RV', ('del',)), ('dun', 'RV', ('del',)),
+    ('ngo', 'RV', ('del',)), ('zio', 'RV', ('del',)),
+    ('eko', 'RV', ('del',)), ('sko', 'RV', ('del',)),
+    ('zko', 'RV', ('del',)), ('aro', 'RV', ('del',)),
+    ('ero', 'RV', ('del',)), ('oro', 'RV', ('del',)),
+    ('oso', 'RV', ('del',)), ('tto', 'RV', ('del',)),
+    ('zto', 'RV', ('del',)), ('txo', 'RV', ('del',)),
+    ('tzo', 'RV', ('del',)), ('dar', 'RV', ('del',)),
+    ('tar', 'RV', ('del',)), ('kor', 'RV', ('del',)),
+    ('ket', 'RV', ('del',)), ('tsu', 'RV', ('del',)),
+    ('txu', 'RV', ('del',)), ('tzu', 'RV', ('del',)), ('ga', 'RV', ('del',)),
+    ('ka', 'RV', ('del',)), ('na', 'RV', ('del',)), ('ra', 'RV', ('del',)),
+    ('sa', 'RV', ('del',)), ('ta', 'RV', ('del',)), ('za', 'RV', ('del',)),
+    ('ge', 'RV', ('del',)), ('ne', 'RV', ('del',)), ('pe', 'RV', ('del',)),
+    ('te', 'RV', ('del',)), ('di', 'RV', ('del',)), ('ki', 'RV', ('del',)),
+    ('oi', 'RV', ('del',)), ('ti', 'RV', ('del',)), ('ñi', 'RV', ('del',)),
+    ('ak', 'RV', ('del',)), ('ek', 'RV', ('del',)), ('en', 'R1', ('del',)),
+    ('go', 'RV', ('del',)), ('ko', 'RV', ('del',)), ('no', 'RV', ('del',)),
+    ('ro', 'RV', ('del',)), ('to', 'RV', ('del',)), ('ño', 'RV', ('del',)),
+    ('zp', 'RV', ('del',)), ('ar', 'RV', ('del',)), ('or', 'R2', ('del',)),
+    ('os', 'RV', ('del',)), ('du', 'RV', ('del',)), ('tu', 'RV', ('del',)),
+    ('zu', 'RV', ('del',)), ('ez', 'RV', ('del',)), ('tz', 'RV', ('del',)),
+    ('z', 'RV', ('del',)),
+)
+
+_EU_ADJ = (
+    ('keria', 'RV', ('del',)), ('lanik', 'RV', ('del',)),
+    ('larik', 'RV', ('del',)), ('zlea', None, ('repl', 'z')),
+    ('dade', 'RV', ('del',)), ('tade', 'RV', ('del',)),
+    ('date', 'RV', ('del',)), ('tate', 'RV', ('del',)),
+    ('ztik', 'RV', ('del',)), ('era', 'RV', ('del',)),
+    ('rik', 'RV', ('del',)), ('ero', 'RV', ('del',)), ('la', 'RV', ('del',)),
+    ('gi', 'RV', ('del',)), ('ki', 'RV', ('del',)), ('ik', 'RV', ('del',)),
+    ('go', 'RV', ('del',)), ('ro', 'RV', ('del',)), ('to', 'RV', ('del',)),
+)
+
+_CA_PRON = (
+    ('selas', 'R1', ('del',)), ('selos', 'R1', ('del',)),
+    ('sela', 'R1', ('del',)), ('selo', 'R1', ('del',)),
+    ('-les', 'R1', ('del',)), ('-nos', 'R1', ('del',)),
+    ('-la', 'R1', ('del',)), ('-me', 'R1', ('del',)),
+    ('-te', 'R1', ('del',)), ("'hi", 'R1', ('del',)),
+    ('-li', 'R1', ('del',)), ("'ho", 'R1', ('del',)),
+    ('las', 'R1', ('del',)), ('les', 'R1', ('del',)),
+    ("'ls", 'R1', ('del',)), ('-ls', 'R1', ('del',)),
+    ("'ns", 'R1', ('del',)), ('-ns', 'R1', ('del',)),
+    ('ens', 'R1', ('del',)), ('los', 'R1', ('del',)),
+    ('nos', 'R1', ('del',)), ('vos', 'R1', ('del',)),
+    ('-us', 'R1', ('del',)), ('la', 'R1', ('del',)), ('le', 'R1', ('del',)),
+    ('me', 'R1', ('del',)), ('se', 'R1', ('del',)), ('hi', 'R1', ('del',)),
+    ('li', 'R1', ('del',)), ("'l", 'R1', ('del',)), ("'m", 'R1', ('del',)),
+    ('-m', 'R1', ('del',)), ("'n", 'R1', ('del',)), ('-n', 'R1', ('del',)),
+    ('ho', 'R1', ('del',)), ('lo', 'R1', ('del',)), ("'s", 'R1', ('del',)),
+    ('us', 'R1', ('del',)), ("'t", 'R1', ('del',)),
+)
+
+_CA_STD = (
+    ('quíssimes', 'R1', ('repl', 'c')), ('allengües', 'R1', ('del',)),
+    ('ativitats', 'R1', ('del',)), ('quíssima', 'R1', ('repl', 'c')),
+    ('ialismes', 'R1', ('del',)), ('ialistes', 'R1', ('del',)),
+    ('ionistes', 'R1', ('del',)), ('lógiques', 'R2', ('repl', 'log')),
+    ('quíssims', 'R1', ('repl', 'c')), ('bilitats', 'R1', ('del',)),
+    ('ativitat', 'R1', ('del',)), ('ialista', 'R1', ('del',)),
+    ('ionista', 'R1', ('del',)), ('ialisme', 'R1', ('del',)),
+    ('ionisme', 'R1', ('del',)), ('quíssim', 'R1', ('repl', 'c')),
+    ('atòries', 'R1', ('del',)), ('íssimes', 'R1', ('del',)),
+    ('ivitats', 'R1', ('del',)), ('bilitat', 'R1', ('del',)),
+    ('isament', 'R1', ('del',)), ('lógica', 'R2', ('repl', 'log')),
+    ('atòria', 'R1', ('del',)), ('íssima', 'R1', ('del',)),
+    ('ivisme', 'R1', ('del',)), ('ificar', 'R1', ('del',)),
+    ('lógics', 'R2', ('repl', 'log')), ('ancies', 'R1', ('del',)),
+    ('encies', 'R1', ('del',)), ('ències', 'R1', ('del',)),
+    ('logies', 'R2', ('repl', 'log')), ('formes', 'R1', ('del',)),
+    ('idores', 'R1', ('del',)), ('atives', 'R1', ('del',)),
+    ('logíes', 'R2', ('repl', 'log')), ('íssims', 'R1', ('del',)),
+    ('acions', 'R2', ('del',)), ('aments', 'R1', ('del',)),
+    ('ivitat', 'R1', ('del',)), ('ancia', 'R1', ('del',)),
+    ('encia', 'R1', ('del',)), ('ència', 'R1', ('del',)),
+    ('logia', 'R2', ('repl', 'log')), ('íinia', 'R1', ('del',)),
+    ('ívola', 'R1', ('del',)), ('sfera', 'R1', ('del',)),
+    ('adora', 'R1', ('del',)), ('adura', 'R1', ('del',)),
+    ('ativa', 'R1', ('del',)), ('logía', 'R2', ('repl', 'log')),
+    ('ístic', 'R1', ('del',)), ('issem', 'R1', ('del',)),
+    ('ìssem', 'R1', ('del',)), ('íssem', 'R1', ('del',)),
+    ('íssim', 'R1', ('del',)), ('ìssin', 'R1', ('del',)),
+    ('itzar', 'R1', ('del',)), ('doras', 'R1', ('del',)),
+    ('ícies', 'R1', ('del',)), ('inies', 'R1', ('del',)),
+    ('ínies', 'R1', ('del',)), ('eries', 'R1', ('del',)),
+    ('àries', 'R1', ('del',)), ('ables', 'R1', ('del',)),
+    ('ibles', 'R1', ('del',)), ('ismes', 'R1', ('del',)),
+    ('dores', 'R1', ('del',)), ('dures', 'R1', ('del',)),
+    ('asses', 'R1', ('del',)), ('ictes', 'R1', ('del',)),
+    ('istes', 'R1', ('del',)), ('iques', 'R2', ('repl', 'ic')),
+    ('logis', 'R2', ('repl', 'log')), ('toris', 'R1', ('del',)),
+    ('cions', 'R1', ('del',)), ('assos', 'R1', ('del',)),
+    ('issos', 'R1', ('del',)), ('adors', 'R1', ('del',)),
+    ('idors', 'R1', ('del',)), ('itats', 'R1', ('del',)),
+    ('ïtats', 'R1', ('del',)), ('ments', 'R1', ('del',)),
+    ('trius', 'R1', ('del',)), ('atius', 'R1', ('del',)),
+    ('ament', 'R1', ('del',)), ('isseu', 'R1', ('del',)),
+    ('ìsseu', 'R1', ('del',)), ('ísseu', 'R1', ('del',)),
+    ('íssiu', 'R1', ('del',)), ('enca', 'R1', ('del',)),
+    ('ícia', 'R1', ('del',)), ('inia', 'R1', ('del',)),
+    ('eria', 'R1', ('del',)), ('ària', 'R1', ('del',)),
+    ('alla', 'R1', ('del',)), ('ella', 'R1', ('del',)),
+    ('dora', 'R1', ('del',)), ('assa', 'R1', ('del',)),
+    ('essa', 'R1', ('del',)), ('issa', 'R1', ('del',)),
+    ('ista', 'R1', ('del',)), ('atge', 'R1', ('del',)),
+    ('able', 'R1', ('del',)), ('ible', 'R1', ('del',)),
+    ('isme', 'R1', ('del',)), ('aire', 'R1', ('del',)),
+    ('icte', 'R1', ('del',)), ('iste', 'R1', ('del',)),
+    ('logi', 'R2', ('repl', 'log')), ('tori', 'R1', ('del',)),
+    ('ívol', 'R1', ('del',)), ('isam', 'R1', ('del',)),
+    ('amen', 'R1', ('del',)), ('egar', 'R1', ('del',)),
+    ('ejar', 'R1', ('del',)), ('itar', 'R1', ('del',)),
+    ('nces', 'R1', ('del',)), ('ades', 'R2', ('del',)),
+    ('bles', 'R1', ('del',)), ('imes', 'R1', ('del',)),
+    ('ines', 'R1', ('del',)), ('eres', 'R1', ('del',)),
+    ('ores', 'R1', ('del',)), ('eses', 'R1', ('del',)),
+    ('oses', 'R1', ('del',)), ('ites', 'R1', ('del',)),
+    ('otes', 'R1', ('del',)), ('ives', 'R1', ('del',)),
+    ('icis', 'R1', ('del',)), ('ícis', 'R1', ('del',)),
+    ('aris', 'R1', ('del',)), ('ells', 'R1', ('del',)),
+    ('ions', 'R1', ('del',)), ('esos', 'R1', ('del',)),
+    ('osos', 'R1', ('del',)), ('dors', 'R1', ('del',)),
+    ('ants', 'R1', ('del',)), ('ents', 'R1', ('del',)),
+    ('itat', 'R1', ('del',)), ('ïtat', 'R1', ('del',)),
+    ('ient', 'R1', ('del',)), ('ment', 'R1', ('del',)),
+    ('triu', 'R1', ('del',)), ('atiu', 'R1', ('del',)),
+    ('ació', 'R1', ('del',)), ('ica', 'R2', ('repl', 'ic')),
+    ('ada', 'R2', ('del',)), ('ima', 'R1', ('del',)),
+    ('ana', 'R1', ('del',)), ('ina', 'R1', ('del',)),
+    ('era', 'R1', ('del',)), ('ora', 'R1', ('del',)),
+    ('esa', 'R1', ('del',)), ('osa', 'R1', ('del',)),
+    ('eta', 'R1', ('del',)), ('ita', 'R1', ('del',)),
+    ('ota', 'R1', ('del',)), ('iva', 'R1', ('del',)),
+    ('nça', 'R1', ('del',)), ('enc', 'R1', ('del',)),
+    ('esc', 'R1', ('del',)), ('ble', 'R1', ('del',)),
+    ('ici', 'R1', ('del',)), ('íci', 'R1', ('del',)),
+    ('ari', 'R1', ('del',)), ('all', 'R1', ('del',)),
+    ('ell', 'R1', ('del',)), ('fer', 'R1', ('del',)),
+    ('dor', 'R1', ('del',)), ('dur', 'R1', ('del',)),
+    ('ics', 'R2', ('repl', 'ic')), ('uds', 'R1', ('del',)),
+    ('als', 'R1', ('del',)), ('ims', 'R1', ('del',)),
+    ('ers', 'R1', ('del',)), ('ors', 'R1', ('del',)),
+    ('ats', 'R1', ('del',)), ('ets', 'R1', ('del',)),
+    ('ots', 'R1', ('del',)), ('uts', 'R1', ('del',)),
+    ('ius', 'R1', ('del',)), ('dís', 'R1', ('del',)),
+    ('ant', 'R1', ('del',)), ('ent', 'R1', ('del',)),
+    ('ció', 'R1', ('del',)), ('ic', 'R2', ('repl', 'ic')),
+    ('ud', 'R1', ('del',)), ('al', 'R1', ('del',)), ('il', 'R1', ('del',)),
+    ('ar', 'R1', ('del',)), ('or', 'R1', ('del',)), ('ls', 'R1', ('del',)),
+    ('ès', 'R1', ('del',)), ('és', 'R1', ('del',)), ('ís', 'R1', ('del',)),
+    ('ós', 'R1', ('del',)), ('et', 'R1', ('del',)), ('ot', 'R1', ('del',)),
+    ('ió', 'R1', ('del',)), ('ó', 'R1', ('del',)),
+)
+
+_CA_VERB = (
+    ('iéramos', 'R1', ('del',)), ('aríamos', 'R1', ('del',)),
+    ('eríamos', 'R1', ('del',)), ('iríamos', 'R1', ('del',)),
+    ('iésemos', 'R1', ('del',)), ('eresseu', 'R1', ('del',)),
+    ('esquen', 'R1', ('del',)), ('isquen', 'R1', ('del',)),
+    ('ïsquen', 'R1', ('del',)), ('esquin', 'R1', ('del',)),
+    ('adores', 'R1', ('del',)), ('esques', 'R1', ('del',)),
+    ('ïsques', 'R1', ('del',)), ('ierais', 'R1', ('del',)),
+    ('aríais', 'R1', ('del',)), ('eríais', 'R1', ('del',)),
+    ('iríais', 'R1', ('del',)), ('ieseis', 'R1', ('del',)),
+    ('asteis', 'R1', ('del',)), ('isteis', 'R1', ('del',)),
+    ('esquis', 'R1', ('del',)), ('ábamos', 'R1', ('del',)),
+    ('áramos', 'R1', ('del',)), ('aremos', 'R1', ('del',)),
+    ('eremos', 'R1', ('del',)), ('iremos', 'R1', ('del',)),
+    ('ásemos', 'R1', ('del',)), ('adora', 'R1', ('del',)),
+    ('esqui', 'R1', ('del',)), ('àssem', 'R1', ('del',)),
+    ('éssem', 'R1', ('del',)), ('iguem', 'R1', ('del',)),
+    ('ïguem', 'R1', ('del',)), ('irìem', 'R1', ('del',)),
+    ('aríem', 'R1', ('del',)), ('iríem', 'R1', ('del',)),
+    ('assim', 'R1', ('del',)), ('essim', 'R1', ('del',)),
+    ('issim', 'R1', ('del',)), ('àssim', 'R1', ('del',)),
+    ('èssim', 'R1', ('del',)), ('éssim', 'R1', ('del',)),
+    ('íssim', 'R1', ('del',)), ('arian', 'R1', ('del',)),
+    ('ieran', 'R1', ('del',)), ('arían', 'R1', ('del',)),
+    ('erían', 'R1', ('del',)), ('irían', 'R1', ('del',)),
+    ('arien', 'R1', ('del',)), ('irien', 'R1', ('del',)),
+    ('iesen', 'R1', ('del',)), ('assen', 'R1', ('del',)),
+    ('essen', 'R1', ('del',)), ('issen', 'R1', ('del',)),
+    ('éssen', 'R1', ('del',)), ('ïssen', 'R1', ('del',)),
+    ('eixen', 'R1', ('del',)), ('assin', 'R1', ('del',)),
+    ('essin', 'R1', ('del',)), ('issin', 'R1', ('del',)),
+    ('ïssin', 'R1', ('del',)), ('eixin', 'R1', ('del',)),
+    ('ieron', 'R1', ('del',)), ('iendo', 'R1', ('del',)),
+    ('eixer', 'R1', ('del',)), ('ieras', 'R1', ('del',)),
+    ('arías', 'R1', ('del',)), ('erías', 'R1', ('del',)),
+    ('irías', 'R1', ('del',)), ('atges', 'R1', ('del',)),
+    ('aries', 'R1', ('del',)), ('iries', 'R1', ('del',)),
+    ('ieses', 'R1', ('del',)), ('asses', 'R1', ('del',)),
+    ('esses', 'R1', ('del',)), ('isses', 'R1', ('del',)),
+    ('ïsses', 'R1', ('del',)), ('eixes', 'R1', ('del',)),
+    ('abais', 'R1', ('del',)), ('arais', 'R1', ('del',)),
+    ('aseis', 'R1', ('del',)), ('assis', 'R1', ('del',)),
+    ('essis', 'R1', ('del',)), ('issis', 'R1', ('del',)),
+    ('ïssis', 'R1', ('del',)), ('eixis', 'R1', ('del',)),
+    ('itzis', 'R1', ('del',)), ('aréis', 'R1', ('del',)),
+    ('eréis', 'R1', ('del',)), ('iréis', 'R1', ('del',)),
+    ('íamos', 'R1', ('del',)), ('adors', 'R1', ('del',)),
+    ('erass', 'R1', ('del',)), ('asseu', 'R1', ('del',)),
+    ('esseu', 'R1', ('del',)), ('àsseu', 'R1', ('del',)),
+    ('ésseu', 'R1', ('del',)), ('igueu', 'R1', ('del',)),
+    ('ïgueu', 'R1', ('del',)), ('itzeu', 'R1', ('del',)),
+    ('irìeu', 'R1', ('del',)), ('aríeu', 'R1', ('del',)),
+    ('iríeu', 'R1', ('del',)), ('assiu', 'R1', ('del',)),
+    ('issiu', 'R1', ('del',)), ('àssiu', 'R1', ('del',)),
+    ('èssiu', 'R1', ('del',)), ('éssiu', 'R1', ('del',)),
+    ('íssiu', 'R1', ('del',)), ('esca', 'R1', ('del',)),
+    ('isca', 'R1', ('del',)), ('ïsca', 'R1', ('del',)),
+    ('aria', 'R1', ('del',)), ('iria', 'R1', ('del',)),
+    ('iera', 'R1', ('del',)), ('itza', 'R1', ('del',)),
+    ('aría', 'R1', ('del',)), ('ería', 'R1', ('del',)),
+    ('iría', 'R1', ('del',)), ('iese', 'R1', ('del',)),
+    ('aste', 'R1', ('del',)), ('iste', 'R1', ('del',)),
+    ('eixi', 'R1', ('del',)), ('itzi', 'R1', ('del',)),
+    ('arem', 'R1', ('del',)), ('irem', 'R1', ('del',)),
+    ('àrem', 'R1', ('del',)), ('írem', 'R1', ('del',)),
+    ('avem', 'R1', ('del',)), ('àvem', 'R1', ('del',)),
+    ('ávem', 'R1', ('del',)), ('aban', 'R1', ('del',)),
+    ('aran', 'R1', ('del',)), ('iran', 'R1', ('del',)),
+    ('aren', 'R1', ('del',)), ('eren', 'R1', ('del',)),
+    ('iren', 'R1', ('del',)), ('àren', 'R1', ('del',)),
+    ('ïren', 'R1', ('del',)), ('asen', 'R1', ('del',)),
+    ('aven', 'R1', ('del',)), ('ixen', 'R1', ('del',)),
+    ('ïxen', 'R1', ('del',)), ('inin', 'R1', ('del',)),
+    ('isin', 'R1', ('del',)), ('aron', 'R1', ('del',)),
+    ('arán', 'R1', ('del',)), ('erán', 'R1', ('del',)),
+    ('irán', 'R1', ('del',)), ('ando', 'R2', ('del',)),
+    ('eixo', 'R1', ('del',)), ('itzo', 'R1', ('del',)),
+    ('tzar', 'R1', ('del',)), ('ador', 'R1', ('del',)),
+    ('abas', 'R1', ('del',)), ('adas', 'R1', ('del',)),
+    ('idas', 'R1', ('del',)), ('aras', 'R1', ('del',)),
+    ('ades', 'R1', ('del',)), ('ides', 'R1', ('del',)),
+    ('udes', 'R1', ('del',)), ('ïdes', 'R1', ('del',)),
+    ('ares', 'R1', ('del',)), ('ires', 'R1', ('del',)),
+    ('ïres', 'R1', ('del',)), ('ases', 'R1', ('del',)),
+    ('ques', 'R1', ('del',)), ('aves', 'R1', ('del',)),
+    ('ixes', 'R1', ('del',)), ('ïxes', 'R1', ('del',)),
+    ('íais', 'R1', ('del',)), ('inis', 'R1', ('del',)),
+    ('isis', 'R1', ('del',)), ('ados', 'R1', ('del',)),
+    ('idos', 'R1', ('del',)), ('amos', 'R1', ('del',)),
+    ('imos', 'R1', ('del',)), ('ents', 'R1', ('del',)),
+    ('aràs', 'R1', ('del',)), ('iràs', 'R1', ('del',)),
+    ('arás', 'R1', ('del',)), ('erás', 'R1', ('del',)),
+    ('irás', 'R1', ('del',)), ('arés', 'R1', ('del',)),
+    ('erau', 'R1', ('del',)), ('ineu', 'R1', ('del',)),
+    ('areu', 'R1', ('del',)), ('ireu', 'R1', ('del',)),
+    ('àreu', 'R1', ('del',)), ('íreu', 'R1', ('del',)),
+    ('àveu', 'R1', ('del',)), ('áveu', 'R1', ('del',)),
+    ('itzà', 'R1', ('del',)), ('aba', 'R1', ('del',)),
+    ('ada', 'R1', ('del',)), ('ida', 'R1', ('del',)),
+    ('uda', 'R1', ('del',)), ('ïda', 'R1', ('del',)),
+    ('ara', 'R1', ('del',)), ('ira', 'R1', ('del',)),
+    ('ïra', 'R1', ('del',)), ('ava', 'R1', ('del',)),
+    ('ixa', 'R1', ('del',)), ('isc', 'R1', ('del',)),
+    ('ïsc', 'R1', ('del',)), ('dre', 'R1', ('del',)),
+    ('ase', 'R1', ('del',)), ('ini', 'R1', ('del',)),
+    ('íem', 'R1', ('del',)), ('ían', 'R1', ('del',)),
+    ('ien', 'R1', ('del',)), ('ïen', 'R1', ('del',)),
+    ('sin', 'R1', ('del',)), ('iïn', 'R1', ('del',)),
+    ('ado', 'R1', ('del',)), ('ido', 'R1', ('del',)),
+    ('ixo', 'R1', ('del',)), ('ïxo', 'R1', ('del',)),
+    ('ías', 'R1', ('del',)), ('ids', 'R1', ('del',)),
+    ('ies', 'R1', ('del',)), ('ïes', 'R1', ('del',)),
+    ('sis', 'R1', ('del',)), ('áis', 'R1', ('del',)),
+    ('ams', 'R1', ('del',)), ('ass', 'R1', ('del',)),
+    ('ess', 'R1', ('del',)), ('ats', 'R1', ('del',)),
+    ('its', 'R1', ('del',)), ('iïs', 'R1', ('del',)),
+    ('ant', 'R1', ('del',)), ('ent', 'R1', ('del',)),
+    ('int', 'R1', ('del',)), ('ieu', 'R1', ('del',)),
+    ('ìeu', 'R1', ('del',)), ('íeu', 'R1', ('del',)),
+    ('eix', 'R1', ('del',)), ('itz', 'R1', ('del',)),
+    ('arà', 'R1', ('del',)), ('irà', 'R1', ('del',)),
+    ('ará', 'R1', ('del',)), ('erá', 'R1', ('del',)),
+    ('irá', 'R1', ('del',)), ('irè', 'R1', ('del',)),
+    ('aré', 'R1', ('del',)), ('eré', 'R1', ('del',)),
+    ('iré', 'R1', ('del',)), ('ia', 'R1', ('del',)), ('ía', 'R1', ('del',)),
+    ('ïa', 'R1', ('del',)), ('ad', 'R1', ('del',)), ('ed', 'R1', ('del',)),
+    ('id', 'R1', ('del',)), ('ie', 'R1', ('del',)), ('re', 'R1', ('del',)),
+    ('ii', 'R1', ('del',)), ('am', 'R1', ('del',)), ('em', 'R1', ('del',)),
+    ('ïm', 'R1', ('del',)), ('an', 'R1', ('del',)), ('en', 'R1', ('del',)),
+    ('in', 'R1', ('del',)), ('io', 'R1', ('del',)), ('ar', 'R1', ('del',)),
+    ('er', 'R1', ('del',)), ('ir', 'R1', ('del',)), ('as', 'R1', ('del',)),
+    ('es', 'R1', ('del',)), ('às', 'R1', ('del',)), ('és', 'R1', ('del',)),
+    ('ís', 'R1', ('del',)), ('at', 'R1', ('del',)), ('it', 'R1', ('del',)),
+    ('ut', 'R1', ('del',)), ('ït', 'R1', ('del',)), ('au', 'R1', ('del',)),
+    ('ïu', 'R1', ('del',)), ('ix', 'R1', ('del',)), ('ïx', 'R1', ('del',)),
+    ('ià', 'R1', ('del',)), ('iï', 'R1', ('del',)), ('ió', 'R1', ('del',)),
+    ('í', 'R1', ('del',)),
+)
+
+_CA_RESID = (
+    ('iqu', 'R1', ('repl', 'ic')), ('itz', 'R1', ('del',)),
+    ('ïn', 'R1', ('del',)), ('ir', 'R1', ('del',)), ('is', 'R1', ('del',)),
+    ('os', 'R1', ('del',)), ('ïs', 'R1', ('del',)), ('it', 'R1', ('del',)),
+    ('eu', 'R1', ('del',)), ('iu', 'R1', ('del',)), ('a', 'R1', ('del',)),
+    ('e', 'R1', ('del',)), ('i', 'R1', ('del',)), ('o', 'R1', ('del',)),
+    ('s', 'R1', ('del',)), ('à', 'R1', ('del',)), ('á', 'R1', ('del',)),
+    ('é', 'R1', ('del',)), ('ì', 'R1', ('del',)), ('í', 'R1', ('del',)),
+    ('ï', 'R1', ('del',)), ('ó', 'R1', ('del',)),
+)
+_HY_V = frozenset("աեէըիոււօ")  # ա ե է ը ի ո ւ օ
+_CA_V = frozenset("aeiouàáèéíïòóúü")
+_EU_V = frozenset("aeiou")
+
+
+def _longest_suffix_rule(w, end, table, p1=None, p2=None, pv=None):
+    """No-setlimit among: longest suffix ending at end wins; its region
+    condition is checked AFTER matching (no fallback). Returns the new
+    word or None when nothing changed."""
+    regions = {"R1": p1, "R2": p2, "RV": pv}
+    for suf, reg, act in table:
+        if end >= len(suf) and w.startswith(suf, end - len(suf)):
+            base = end - len(suf)
+            if reg is not None and base < regions[reg]:
+                return None
+            if act[0] == "del":
+                return w[:base] + w[end:]
+            return w[:base] + act[1] + w[end:]
+    return None
+
+
+def armenian_stem(w: str) -> str:
+    """Backwards matching runs under `setlimit tomark pV`: a suffix
+    reaching past RV does not match and the next-longest inside RV is
+    tried; the ending table additionally requires R2."""
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _HY_V:
+        i += 1
+    pv = i + 1 if i < n else n
+
+    def _after(start):
+        j = start
+        while j < n and w[j] not in _HY_V:
+            j += 1
+        while j < n and w[j] in _HY_V:
+            j += 1
+        return j + 1 if j < n else n
+
+    p2 = _after(_after(0))
+
+    def match(word, table, need_r2=False):
+        for suf, _reg, _act in table:
+            base = len(word) - len(suf)
+            if base >= pv and word.endswith(suf):
+                if need_r2 and base < p2:
+                    return None
+                return word[:base]
+        return None
+
+    for table, need_r2 in ((_HY_END, True), (_HY_VERB, False),
+                           (_HY_ADJ, False), (_HY_NOUN, False)):
+        r = match(w, table, need_r2)
+        if r is not None:
+            w = r
+    return w
+
+
+def basque_stem(w: str) -> str:
+    pv, p1, p2 = _romance_regions(w, _EU_V)
+    # repeat aditzak; repeat izenak; do adjetiboak. Inside a `repeat` the
+    # cursor lands BEFORE any replacement text (slice_from leaves cursor
+    # at bra), so after a replace the next match ends at the old suffix
+    # start, not the new word end
+    regions = {"R1": p1, "R2": p2, "RV": pv}
+    for table, repeat in ((_EU_ADITZAK, True), (_EU_IZENAK, True),
+                          (_EU_ADJ, False)):
+        end = len(w)
+        while True:
+            hit = None
+            for suf, reg, act in table:
+                if end >= len(suf) and w.startswith(suf, end - len(suf)):
+                    base = end - len(suf)
+                    if reg is not None and base < regions[reg]:
+                        break
+                    if act[0] == "del":
+                        hit = (w[:base] + w[end:], base)
+                    else:
+                        hit = (w[:base] + act[1] + w[end:], base)
+                    break
+            if hit is None:
+                break
+            w, end = hit
+            if not repeat:
+                break
+    return w
+
+
+_CA_CLEAN = str.maketrans({"à": "a", "á": "a", "è": "e", "é": "e",
+                           "ì": "i", "í": "i", "ï": "i", "ò": "o",
+                           "ó": "o", "ú": "u", "ü": "u", "·": None})
+
+
+def catalan_stem(w: str) -> str:
+    n = len(w)
+
+    def _after(start):
+        j = start
+        while j < n and w[j] not in _CA_V:
+            j += 1
+        while j < n and w[j] in _CA_V:
+            j += 1
+        return j + 1 if j < n else n
+
+    p1 = _after(0)
+    p2 = _after(p1)
+    r = _longest_suffix_rule(w, len(w), _CA_PRON, p1=p1, p2=p2)
+    if r is not None:
+        w = r
+    r = _longest_suffix_rule(w, len(w), _CA_STD, p1=p1, p2=p2)
+    if r is None:
+        r = _longest_suffix_rule(w, len(w), _CA_VERB, p1=p1, p2=p2)
+    if r is not None:
+        w = r
+    r = _longest_suffix_rule(w, len(w), _CA_RESID, p1=p1, p2=p2)
+    if r is not None:
+        w = r
+    return w.translate(_CA_CLEAN)
+
+
+def catalan_chain(w: str) -> str:
+    """CatalanAnalyzer = ElisionFilter over d/l/m/n/s/t articles
+    (ca/CatalanAnalyzer.java:48-52) then the snowball stemmer."""
+    if len(w) > 2 and w[0] in "dlmnst" and w[1] in "'’":
+        w = w[2:]
+    return catalan_stem(w)

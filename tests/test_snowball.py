@@ -73,3 +73,45 @@ def test_turkish_dotted_i():
 def test_turkish_reserved_and_syllable_gates():
     assert turkish_stem("ad") == "ad"        # single syllable: untouched
     assert turkish_stem("soyadın") == "soyad"  # stems, then reserved kept
+
+
+def test_irish_reference_cases():
+    from lucene_solr_old_ray.functions.snowball import (
+        irish_chain, irish_lower, irish_stem)
+    # TestIrishAnalyzer.java:37-62
+    assert irish_stem("siopadóireacht") == "siopadóir"
+    assert irish_stem("síceapatacha") == "síceapaite"
+    assert irish_chain("b'fhearr") == "fearr"
+    assert irish_chain("m'athair") == "athair"
+    # IrishLowerCaseFilter: nAthair -> n-athair; the stemmer then strips
+    # the n- mutation prefix
+    assert irish_lower("nAthair") == "n-athair"
+    assert irish_stem("n-athair") == "athair"
+    assert irish_lower("tUISCE") == "t-uisce"
+
+
+def test_catalan_reference_cases():
+    from lucene_solr_old_ray.functions.snowball import (
+        catalan_chain, catalan_stem)
+    # TestCatalanAnalyzer.java:37-46
+    assert catalan_stem("llengües") == "llengu"
+    assert catalan_stem("llengua") == "llengu"
+    assert catalan_chain("l'institut") == "inst"
+    assert catalan_chain("d'estudis") == "estud"
+    assert catalan_stem("catalans") == "catalan"
+    assert catalan_stem("diccionari") == "diccion"
+
+
+def test_basque_reference_cases():
+    from lucene_solr_old_ray.functions.snowball import basque_stem
+    # TestBasqueAnalyzer.java:37-49
+    assert basque_stem("zaldi") == "zaldi"
+    assert basque_stem("zaldiak") == "zaldi"
+    assert basque_stem("mendiari") == "mendi"
+
+
+def test_armenian_reference_cases():
+    from lucene_solr_old_ray.functions.snowball import armenian_stem
+    # TestArmenianAnalyzer.java:37-49
+    assert armenian_stem("արծիվ") == "արծ"
+    assert armenian_stem("արծիվներ") == "արծ"
