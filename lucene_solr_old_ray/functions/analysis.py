@@ -197,6 +197,14 @@ def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
         for t in tokenize_raw(text)
         if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS
     ]
+    if analyzer.startswith(("phonetic:", "phonetic_replace:")):
+        # query side of the phonetic chains: each term maps to its primary
+        # code (or itself when un-encodable) — matching either the injected
+        # or the replacing index token
+        from .phonetic import token_codes
+
+        enc = analyzer.split(":", 1)[1]
+        return [(token_codes(t, enc) or (t,))[0] for t in kept]
     _sf = _vocab_stem_factory(analyzer)
     if _sf is not None:
         fn = _sf()
@@ -684,6 +692,41 @@ def _analyze_overlay(
     inst_keep = keep_u[codes] if len(codes) else np.empty(0, dtype=bool)
     counts = np.bincount(d[inst_keep], minlength=n_docs).astype(np.int32)
 
+    if analyzer.startswith(("phonetic:", "phonetic_replace:")):
+        # PhoneticFilter.java:70-90 / DoubleMetaphoneFilter.java:60-90:
+        # encode each token (at VOCABULARY level); inject = code(s) at the
+        # anchor position (posIncr 0) plus the original; replace = code(s)
+        # only, except tokens that encode to empty (digits/symbols) which
+        # always pass through unchanged
+        from .phonetic import token_codes
+
+        inject = analyzer.startswith("phonetic:")
+        enc = analyzer.split(":", 1)[1]
+        ucodes = [token_codes(u, enc) if keep_u[ui] else ()
+                  for ui, u in enumerate(uniques)]
+        streams = []
+        if inject:
+            orig_keep = inst_keep
+        else:
+            passthrough = np.fromiter(
+                (not c for c in ucodes), count=nu, dtype=bool)
+            orig_keep = inst_keep & passthrough[codes] if len(codes) \
+                else inst_keep
+        streams.append((d[orig_keep], p[orig_keep],
+                        uniques[codes[orig_keep]] if len(codes)
+                        else np.empty(0, dtype=object)))
+        for ui, cds in enumerate(ucodes):
+            if not cds:
+                continue
+            mask = (codes == ui) & inst_keep
+            cnt = int(mask.sum())
+            if not cnt:
+                continue
+            for cd in cds:
+                streams.append((d[mask], p[mask],
+                                np.full(cnt, cd, dtype=object)))
+        return _overlay_assemble(streams, counts, with_positions)
+
     streams: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # (d, p, terms)
     uni_terms = uniques[codes[inst_keep]] if len(codes) else \
         np.empty(0, dtype=object)
@@ -739,6 +782,13 @@ def _analyze_overlay(
                     streams.append((
                         d[mask], p[mask],
                         np.full(int(mask.sum()), syn, dtype=object)))
+
+    return _overlay_assemble(streams, counts, with_positions)
+
+
+def _overlay_assemble(streams, counts, with_positions) -> AnalyzedBatch:
+    """Merge overlay token streams into one doc/position-ordered batch."""
+    import pandas as pd
 
     f_docs = np.concatenate([s[0] for s in streams]).astype(np.int32)
     f_pos = np.concatenate([s[1] for s in streams]).astype(np.int32)
@@ -1270,8 +1320,10 @@ def analyze_batch(
         return _analyze_delimited_payload(texts, with_positions,
                                           delimiter=delim)
     if (analyzer.startswith("shingle") or analyzer == "synonym"
-            or analyzer == "commongrams"):
-        # "shingle" (size 2), "shingle:<n>", "synonym", or "commongrams"
+            or analyzer == "commongrams"
+            or analyzer.startswith(("phonetic:", "phonetic_replace:"))):
+        # "shingle" (size 2), "shingle:<n>", "synonym", "commongrams",
+        # "phonetic:<encoder>" (inject) or "phonetic_replace:<encoder>"
         size = 2
         kind = analyzer
         if analyzer.startswith("shingle"):

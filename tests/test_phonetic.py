@@ -1,0 +1,139 @@
+"""Phonetic encoders + PhoneticFilter/DoubleMetaphoneFilter chain
+semantics, validated against the reference test vectors
+(TestPhoneticFilter.java:39-62, DoubleMetaphoneFilterTest.java) and the
+commons-codec published vectors."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch, analyze_text
+from lucene_solr_old_ray.functions.phonetic import (
+    caverphone2,
+    cologne_phonetic,
+    double_metaphone,
+    metaphone,
+    refined_soundex,
+    soundex,
+    token_codes,
+)
+
+
+def test_soundex_reference_vectors():
+    # TestPhoneticFilter.java:49-51
+    assert [soundex(w) for w in "aaa bbb ccc easgasg".split()] == \
+        ["A000", "B000", "C000", "E220"]
+    # commons-codec SoundexTest classics incl. the H/W rule
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"
+    assert soundex("Ashcroft") == "A261"
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"
+
+
+def test_refined_soundex_reference_vectors():
+    assert [refined_soundex(w) for w in "aaa bbb ccc easgasg".split()] == \
+        ["A0", "B1", "C3", "E034034"]
+
+
+def test_metaphone_reference_vectors():
+    assert [metaphone(w) for w in "aaa bbb ccc easgasg".split()] == \
+        ["A", "B", "KKK", "ESKS"]
+    # commons-codec MetaphoneTest sentence
+    got = [metaphone(w) for w in
+           "The quick brown fox jumped over the lazy dogs".split()]
+    assert got == ["0", "KK", "BRN", "FKS", "JMPT", "OFR", "0", "LS",
+                   "TKS"]
+
+
+def test_caverphone2_reference_vectors():
+    # TestPhoneticFilter.java:59-62 — Darda/Datha and Karleen/Carlene
+    # collide by design
+    assert caverphone2("Darda") == "TTA1111111"
+    assert caverphone2("Datha") == "TTA1111111"
+    assert caverphone2("Karleen") == "KLN1111111"
+    assert caverphone2("Carlene") == "KLN1111111"
+
+
+def test_cologne_reference_vectors():
+    assert cologne_phonetic("Müller-Lüdenscheidt") == "65752682"
+    assert cologne_phonetic("Breschnew") == "17863"
+    assert cologne_phonetic("Wikipedia") == "3412"
+
+
+def test_double_metaphone_reference_vectors():
+    # DoubleMetaphoneFilterTest.java:35-55
+    assert double_metaphone("international") == ("ANTR", "ANTR")
+    assert double_metaphone("international", 8) == ("ANTRNXNL", "ANTRNXNL")
+    assert double_metaphone("Kuczewski") == ("KSSK", "KXFS")
+    # TestPhoneticFilter.java:44-46
+    assert [double_metaphone(w)[0]
+            for w in "aaa bbb ccc easgasg".split()] == \
+        ["A", "PP", "KK", "ASKS"]
+    # classic primary/alternate splits
+    assert double_metaphone("Smith") == ("SM0", "XMT")
+    assert double_metaphone("Schmidt") == ("XMT", "SMT")
+
+
+def _stream(ab):
+    return sorted(zip(ab.doc_ids.tolist(), ab.positions.tolist(),
+                      [ab.uniques[c] for c in ab.term_codes]))
+
+
+def test_phonetic_inject_chain():
+    ab = analyze_batch(["aaa bbb ccc easgasg"], with_positions=True,
+                       analyzer="phonetic:metaphone")
+    assert _stream(ab) == [
+        (0, 0, "A"), (0, 0, "aaa"), (0, 1, "B"), (0, 1, "bbb"),
+        (0, 2, "KKK"), (0, 2, "ccc"), (0, 3, "ESKS"), (0, 3, "easgasg")]
+    # norm length counts only the anchors
+    assert ab.field_lengths.tolist() == [4]
+
+
+def test_phonetic_replace_chain():
+    ab = analyze_batch(["aaa bbb ccc easgasg"], with_positions=True,
+                       analyzer="phonetic_replace:soundex")
+    assert _stream(ab) == [(0, 0, "A000"), (0, 1, "B000"), (0, 2, "C000"),
+                           (0, 3, "E220")]
+
+
+def test_double_metaphone_chain_and_passthrough():
+    # un-encodable tokens pass through even in replace mode
+    # (DoubleMetaphoneFilterTest.java:59-67)
+    ab = analyze_batch(["international kuczewski 12345"],
+                       with_positions=True,
+                       analyzer="phonetic_replace:double_metaphone")
+    assert _stream(ab) == [(0, 0, "ANTR"), (0, 1, "KSSK"), (0, 1, "KXFS"),
+                           (0, 2, "12345")]
+
+
+def test_query_side_parity():
+    assert analyze_text("smith", "phonetic_replace:double_metaphone") == \
+        ["SM0"]
+    assert analyze_text("12345", "phonetic_replace:double_metaphone") == \
+        ["12345"]
+    assert token_codes("12345", "soundex") == ()
+
+
+def test_phonetic_end_to_end(ray_session, tmp_path):
+    # sound-alike retrieval: Smith matches Smyth through the soundex lane
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    texts = ["smith works here", "smyth also works", "jones elsewhere"]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    spec = CorpusSpec(files=(str(tmp_path / "documents.parquet"),),
+                      content_col="text", meta_cols=("doc_id",),
+                      analyzer="phonetic:soundex")
+    idx = str(tmp_path / "idx")
+    build_index(spec, idx, target_docs_per_partition=2)
+    code = soundex("smith")
+    hits = search(idx, [TermQuery(code)], k=10)[0]
+    assert len(hits) == 2  # both smith and smyth docs
