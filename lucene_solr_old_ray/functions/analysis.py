@@ -192,6 +192,10 @@ def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
         ab = _analyze_cjk([text], with_positions=True)
         order = np.argsort(ab.positions, kind="stable")
         return [str(ab.uniques[c]) for c in ab.term_codes[order]]
+    if analyzer.startswith("chain:"):
+        from .tokenfilters import analyze_chain_text
+
+        return analyze_chain_text(text, analyzer)
     kept = [
         t
         for t in tokenize_raw(text)
@@ -1295,6 +1299,12 @@ def analyze_batch(
             ab.start_offsets = s_off.astype(np.int32)
             ab.end_offsets = e_off.astype(np.int32)
         return ab
+    if analyzer.startswith("chain:"):
+        # composable token-filter chain (functions/tokenfilters.py):
+        # "chain:<tokenizer>|<filter>|<filter:args>|..."
+        from .tokenfilters import analyze_chain_batch
+
+        return analyze_chain_batch(texts, analyzer, with_positions)
     if analyzer.startswith("word_delimiter"):
         # "word_delimiter" (factory-default flags) or
         # "word_delimiter:<flags-int>" (WordDelimiterFilter flag bitmask)

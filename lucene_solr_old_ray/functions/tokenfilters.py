@@ -1,0 +1,676 @@
+"""Composable token-filter chains — the ``chain:`` analyzer family.
+
+Re-expresses (NOT ports) the workhorse miscellaneous token filters of
+``lucene/analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/``
+(+ ``util/ElisionFilter.java``) as one vectorized batch stage over a
+flat token stream: filters that only look at the term text run once per
+UNIQUE term (vocabulary level), instance-level state (positions, keyword
+marks, posIncr-0 overlaps) is carried in aligned numpy arrays.
+
+Spec grammar (an analyzer string)::
+
+    chain:<tokenizer>|<filter>|<filter>|...
+
+``tokenizer`` is one of ``standard`` (cased StandardTokenizer subset —
+the same token shapes as the repo's standard chain, case preserved),
+``whitespace``, ``letter``, ``keyword``; if the first step is not a
+tokenizer name, ``standard`` is assumed.  Filter steps (args after ``:``,
+word lists comma-separated):
+
+==========================  ====================================================
+``lowercase`` / ``uppercase``   core LowerCaseFilter / UpperCaseFilter
+``ascii_folding``               miscellaneous/ASCIIFoldingFilter.java
+``trim``                        miscellaneous/TrimFilter.java
+``scandinavian_normalization``  ScandinavianNormalizationFilter.java (ä->æ,
+                                ö->ø, aa->å, ae->æ, oe/oo->ø …)
+``scandinavian_folding``        ScandinavianFoldingFilter.java (å/ä/æ->a,
+                                ö/ø->o, aa/ae/ao->a, oe/oo->o …)
+``capitalization``              CapitalizationFilter.java defaults
+                                (onlyFirstWord, forceFirstLetter)
+``elision[:arts]``              util/ElisionFilter.java — strips a leading
+                                ``<article>'`` (default French article set)
+``length:min:max``              LengthFilter.java (positions preserved,
+                                enablePositionIncrements=true 4.x default)
+``stop[:words]``                core StopFilter (default English set)
+``keep:words``                  KeepWordFilter.java
+``keyword_marker:words``        SetKeywordMarkerFilter.java
+``pattern_keyword_marker:rx``   PatternKeywordMarkerFilter.java (fullmatch)
+``keyword_repeat``              KeywordRepeatFilter.java — token twice: a
+                                keyword-marked copy + a posIncr-0 stemmable one
+``remove_duplicates``           RemoveDuplicatesTokenFilter.java — drops a
+                                posIncr-0 token whose (position, term) was
+                                already emitted
+``stem:<lang>``                 any registered language stem pass (Porter &
+                                co.), skipping keyword-marked instances
+                                (KeywordAttribute contract)
+``stemmer_override:t=s,…``      StemmerOverrideFilter.java — replaces the term
+                                and keyword-marks it
+``limit:n``                     LimitTokenCountFilter.java (first n tokens/doc)
+``limit_pos:n``                 LimitTokenPositionFilter.java (1-based position
+                                cap)
+``hyphenated_words``            HyphenatedWordsFilter.java — joins a run of
+                                ``xxx-`` tokens with the following token;
+                                the merged token takes the first token's
+                                position, later positions close up
+``reverse``                     reverse/ReverseStringFilter.java
+``dictionary_compound:words``   compound/DictionaryCompoundWordTokenFilter.java
+                                — dictionary subwords injected posIncr-0 after
+                                the original (args
+                                ``:minWord:minSub:maxSub[:longest]``; words =
+                                inline comma list or ``@/path/wordfile``)
+==========================  ====================================================
+
+(The hyphenation-grammar variant HyphenationCompoundWordTokenFilter needs a
+TeX hyphenation-pattern XML; no grammar files ship in this container, so only
+the dictionary variant is implemented.)
+
+Scale note: the per-doc tokenize loop mirrors the other extension chains
+(word_delimiter, pattern); every filter after it is vocabulary- or
+numpy-vectorized, so cost per batch is O(tokens) C work + O(vocab) Python.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# French article set of ElisionFilterFactory / FrenchAnalyzer
+# (``analysis/fr/FrenchAnalyzer.java:98`` DEFAULT_ARTICLES)
+DEFAULT_ELISION_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j"])
+
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+@dataclass
+class _Stream:
+    """Flat instance stream in emission order (doc-major, stream-ordered)."""
+
+    doc_ids: np.ndarray    # int32
+    positions: np.ndarray  # int32 (posIncr-accumulated, 0-based)
+    codes: np.ndarray      # int64 -> uniques
+    uniques: np.ndarray    # object[str]
+    n_docs: int
+    inject: np.ndarray = field(default=None)   # bool: posIncr == 0
+    keyword: np.ndarray = field(default=None)  # bool: KeywordAttribute
+
+    def __post_init__(self):
+        if self.inject is None:
+            self.inject = np.zeros(len(self.doc_ids), dtype=bool)
+        if self.keyword is None:
+            self.keyword = np.zeros(len(self.doc_ids), dtype=bool)
+
+    def terms(self) -> np.ndarray:
+        return self.uniques[self.codes] if len(self.codes) else np.empty(
+            0, dtype=object)
+
+
+# ---------------------------------------------------------------- tokenizers
+
+
+def _tokenize(texts: list, tokenizer: str) -> _Stream:
+    from .analysis import tokenize_raw_cased
+
+    n_docs = len(texts)
+    per_doc: list[list[str]] = []
+    for t in texts:
+        t = t if isinstance(t, str) else ""
+        if tokenizer == "standard":
+            per_doc.append(tokenize_raw_cased(t))
+        elif tokenizer == "whitespace":
+            per_doc.append(t.split())
+        elif tokenizer == "letter":
+            per_doc.append(_LETTER_RE.findall(t))
+        elif tokenizer == "keyword":
+            per_doc.append([t] if t else [])
+        else:
+            raise ValueError(f"unknown chain tokenizer {tokenizer!r}")
+    counts = np.fromiter((len(x) for x in per_doc), count=n_docs,
+                         dtype=np.int64)
+    flat = [w for ts in per_doc for w in ts]
+    doc_ids = np.repeat(np.arange(n_docs, dtype=np.int32), counts)
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
+                                      sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    positions = (np.arange(len(doc_ids), dtype=np.int64)
+                 - starts[doc_ids]).astype(np.int32)
+    return _Stream(doc_ids, positions, codes, uniques, n_docs)
+
+
+# ------------------------------------------------------------ term functions
+
+
+def scandinavian_normalize(s: str) -> str:
+    """ScandinavianNormalizationFilter.java:45-105 — one left-to-right pass;
+    digraph collapse consumes the second char (no rescan of the result)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        nxt = s[i + 1] if i + 1 < n else ""
+        if c == "ä":
+            out.append("æ")
+        elif c == "Ä":
+            out.append("Æ")
+        elif c == "ö":
+            out.append("ø")
+        elif c == "Ö":
+            out.append("Ø")
+        elif c == "a" and nxt in ("a", "o", "A", "O"):
+            out.append("å")
+            i += 1
+        elif c == "A" and nxt in ("a", "A", "o", "O"):
+            out.append("Å")
+            i += 1
+        elif c == "a" and nxt in ("e", "E"):
+            out.append("æ")
+            i += 1
+        elif c == "A" and nxt in ("e", "E"):
+            out.append("Æ")
+            i += 1
+        elif c == "o" and nxt in ("e", "E", "o", "O"):
+            out.append("ø")
+            i += 1
+        elif c == "O" and nxt in ("e", "E", "o", "O"):
+            out.append("Ø")
+            i += 1
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def scandinavian_fold(s: str) -> str:
+    """ScandinavianFoldingFilter.java:45-110 — å/ä/æ->a, ö/ø->o, and the
+    aa/ae/ao/oe/oo digraph collapses (second char dropped, first kept)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        nxt = s[i + 1] if i + 1 < n else ""
+        if c in ("å", "ä", "æ"):
+            out.append("a")
+        elif c in ("Å", "Ä", "Æ"):
+            out.append("A")
+        elif c in ("ø", "ö"):
+            out.append("o")
+        elif c in ("Ø", "Ö"):
+            out.append("O")
+        elif c in ("a", "A") and nxt in ("a", "A", "e", "E", "o", "O"):
+            out.append(c)
+            i += 1
+        elif c in ("o", "O") and nxt in ("e", "E", "o", "O"):
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def capitalize_token(
+    token: str,
+    only_first_word: bool = True,
+    keep: frozenset | None = None,
+    force_first_letter: bool = True,
+    ok_prefix: tuple[str, ...] = (),
+    min_word_length: int = 0,
+    max_word_count: int | None = None,
+    max_token_length: int | None = None,
+) -> str:
+    """CapitalizationFilter.java:88-180 semantics for ONE token.  Words
+    within the token are split on chars <= ' ' and on '.'; defaults match
+    the no-arg constructor (onlyFirstWord, forceFirstLetter)."""
+    if max_token_length is not None and len(token) >= max_token_length:
+        return token
+    # split into words on c <= ' ' or '.', preserving separators
+    parts: list[str] = []          # alternating word/sep pieces
+    words: list[int] = []          # indices of word pieces in parts
+    cur = []
+    for ch in token:
+        if ch <= " " or ch == ".":
+            if cur:
+                words.append(len(parts))
+                parts.append("".join(cur))
+                cur = []
+            parts.append(ch)
+        else:
+            cur.append(ch)
+    if cur:
+        words.append(len(parts))
+        parts.append("".join(cur))
+
+    def process(w: str, word_count: int) -> str:
+        if only_first_word and word_count > 0:
+            return w.lower()
+        if keep is not None and w in keep:
+            if word_count == 0 and force_first_letter:
+                return w[0].upper() + w[1:]
+            return w
+        if len(w) < min_word_length:
+            return w
+        for p in ok_prefix:
+            if w.startswith(p):
+                return w
+        return w[0].upper() + w[1:].lower()
+
+    for wc, pi in enumerate(words):
+        parts[pi] = process(parts[pi], wc)
+    if max_word_count is not None and len(words) > max_word_count:
+        return token
+    return "".join(parts)
+
+
+def _elide(token: str, articles: frozenset) -> str:
+    """ElisionFilter.java:63-77: strip everything up to and including the
+    FIRST ' or ’ when the prefix (lowercased) is in the article set."""
+    for i, ch in enumerate(token):
+        if ch in ("'", "’"):
+            if token[:i].lower() in articles:
+                return token[i + 1:]
+            return token
+    return token
+
+
+# ------------------------------------------------------------- chain engine
+
+
+def _map_terms(st: _Stream, fn, respect_keyword: bool = False) -> None:
+    """Apply a term->term function once per unique term; when
+    ``respect_keyword`` (stem passes), keyword-marked INSTANCES keep their
+    original term (KeywordAttribute contract, SetKeywordMarkerFilter)."""
+    if not len(st.uniques):
+        return
+    mapped = np.asarray([fn(u) for u in st.uniques], dtype=object)
+    if respect_keyword and st.keyword.any():
+        inst = np.where(st.keyword, st.uniques[st.codes], mapped[st.codes])
+        codes, uniques = pd.factorize(inst, sort=False)
+        st.codes = codes.astype(np.int64)
+        st.uniques = np.asarray(uniques, dtype=object)
+    else:
+        uniques, inv = np.unique(mapped, return_inverse=True)
+        st.codes = inv.astype(np.int64)[st.codes]
+        st.uniques = uniques.astype(object)
+
+
+def _drop_instances(st: _Stream, drop: np.ndarray) -> None:
+    """FilteringTokenFilter with enablePositionIncrements=true: dropped
+    tokens leave position holes; if a position-consuming token is dropped
+    while posIncr-0 overlaps at the same (doc, position) survive, the first
+    survivor inherits the accumulated increment (becomes position-consuming,
+    FilteringTokenFilter.java:75-90)."""
+    if not drop.any():
+        return
+    promote_groups = None
+    dropped_parents = drop & ~st.inject
+    if dropped_parents.any() and (st.inject & ~drop).any():
+        df = pd.DataFrame({
+            "d": st.doc_ids, "p": st.positions,
+            "parent_kept": (~st.inject) & ~drop,
+            "parent_dropped": dropped_parents,
+        })
+        g = df.groupby(["d", "p"], sort=False).agg(
+            kept=("parent_kept", "any"), lost=("parent_dropped", "any"))
+        orphan = g[g["lost"] & ~g["kept"]]
+        if len(orphan):
+            promote_groups = set(orphan.index)
+    keep = ~drop
+    st.doc_ids = st.doc_ids[keep]
+    st.positions = st.positions[keep]
+    st.codes = st.codes[keep]
+    st.inject = st.inject[keep]
+    st.keyword = st.keyword[keep]
+    if promote_groups:
+        seen: set = set()
+        inj = st.inject
+        for i in np.flatnonzero(inj):
+            key = (int(st.doc_ids[i]), int(st.positions[i]))
+            if key in promote_groups and key not in seen:
+                inj[i] = False
+                seen.add(key)
+    _compact_vocab(st)
+
+
+def _compact_vocab(st: _Stream) -> None:
+    if not len(st.uniques):
+        return
+    used = np.zeros(len(st.uniques), dtype=bool)
+    used[st.codes] = True
+    if used.all():
+        return
+    remap = np.cumsum(used) - 1
+    st.codes = remap[st.codes]
+    st.uniques = st.uniques[used]
+
+
+def _drop_terms(st: _Stream, term_drop: np.ndarray) -> None:
+    if len(st.codes):
+        _drop_instances(st, term_drop[st.codes])
+
+
+def _keyword_repeat(st: _Stream) -> None:
+    """KeywordRepeatFilter.java: each token emitted twice — first copy
+    keyword-marked (original posIncr), second copy posIncr 0."""
+    n = len(st.doc_ids)
+    if not n:
+        return
+    idx = np.repeat(np.arange(n), 2)
+    st.doc_ids = st.doc_ids[idx]
+    st.positions = st.positions[idx]
+    st.codes = st.codes[idx]
+    second = np.tile(np.array([False, True]), n)
+    st.keyword = np.where(second, st.keyword[idx], True)
+    st.inject = np.where(second, True, st.inject[idx])
+
+
+def _remove_duplicates(st: _Stream) -> None:
+    """RemoveDuplicatesTokenFilter.java:49-74: within one position (posIncr 0
+    run), a repeated term is dropped; position-consuming tokens always pass."""
+    n = len(st.doc_ids)
+    if not n:
+        return
+    df = pd.DataFrame({"d": st.doc_ids, "p": st.positions, "c": st.codes})
+    dup = df.duplicated().to_numpy() & st.inject
+    _drop_instances(st, dup)
+
+
+def _hyphenated_words(st: _Stream) -> None:
+    """HyphenatedWordsFilter.java: a run of tokens ending in '-' merges
+    (hyphens stripped) with the first following non-hyphen token; the merged
+    token takes the run head's position and consumed tokens' increments are
+    NOT preserved, so later positions in the doc close up.  A trailing
+    unclosed run keeps its '-' back (reference back-compat quirk)."""
+    n = len(st.doc_ids)
+    if not n:
+        return
+    ends_hyphen = np.asarray(
+        [len(u) > 0 and u[-1] == "-" for u in st.uniques], dtype=bool)
+    if not ends_hyphen[st.codes].any():
+        return
+    terms = st.terms()
+    hy = ends_hyphen[st.codes]
+    out_terms: list[str] = []
+    out_keep: list[int] = []       # index of the emitted (head) instance
+    consumed = np.zeros(n, dtype=np.int32)  # tokens merged away before i
+    pending: list[str] = []
+    head = -1
+    lost = 0
+    prev_doc = -1
+    for i in range(n):
+        d = st.doc_ids[i]
+        if d != prev_doc:
+            if pending:  # doc ended mid-run: emit with '-' restored
+                out_terms.append("".join(pending) + "-")
+                out_keep.append(head)
+            pending, head, lost, prev_doc = [], -1, 0, d
+        consumed[i] = lost
+        if hy[i]:
+            if head < 0:
+                head = i
+            pending.append(terms[i][:-1])
+            lost += 1
+        elif pending:
+            # closer: consumed into the merge (+1) but the merge is emitted
+            # (-1) — net position shift unchanged
+            pending.append(terms[i])
+            out_terms.append("".join(pending))
+            out_keep.append(head)
+            pending, head = [], -1
+        else:
+            out_terms.append(terms[i])
+            out_keep.append(i)
+    if pending:
+        out_terms.append("".join(pending) + "-")
+        out_keep.append(head)
+    keep_idx = np.asarray(out_keep, dtype=np.int64)
+    st.doc_ids = st.doc_ids[keep_idx]
+    st.positions = (st.positions[keep_idx]
+                    - consumed[keep_idx]).astype(np.int32)
+    st.inject = st.inject[keep_idx]
+    st.keyword = st.keyword[keep_idx]
+    codes, uniques = pd.factorize(np.asarray(out_terms, dtype=object),
+                                  sort=False)
+    st.codes = codes.astype(np.int64)
+    st.uniques = np.asarray(uniques, dtype=object)
+
+
+def _dictionary_compound(
+    st: _Stream,
+    dictionary: frozenset,
+    min_word: int = 5,
+    min_sub: int = 2,
+    max_sub: int = 15,
+    longest: bool = False,
+) -> None:
+    """DictionaryCompoundWordTokenFilter
+    (``analysis/compound/DictionaryCompoundWordTokenFilter.java:78-100`` +
+    ``CompoundWordTokenFilterBase.java``): tokens of length >= min_word emit
+    every dictionary subword (matched on the LOWERCASED term, emitted with
+    original case) as a posIncr-0 token after the original; with
+    ``longest``, only the longest match per start position.  Subword search
+    runs once per UNIQUE term; instances expand by gather."""
+    if not len(st.codes):
+        return
+    per_u: list[np.ndarray] = []
+    for u in st.uniques:
+        lu = u.lower()
+        out = [u]
+        if len(lu) >= min_word:
+            for i in range(0, len(lu) - min_sub + 1):
+                best = None
+                for j in range(min_sub, max_sub + 1):
+                    if i + j > len(lu):
+                        break
+                    if lu[i:i + j] in dictionary:
+                        if longest:
+                            best = j
+                        else:
+                            out.append(u[i:i + j])
+                if longest and best is not None:
+                    out.append(u[i:i + best])
+        per_u.append(np.asarray(out, dtype=object))
+    cnt = np.fromiter((len(x) for x in per_u), count=len(st.uniques),
+                      dtype=np.int64)
+    if (cnt == 1).all():
+        return
+    poff = np.zeros(len(st.uniques) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=poff[1:])
+    flat = np.concatenate(per_u)
+    ic = cnt[st.codes]
+    tot = int(ic.sum())
+    starts = np.zeros(len(ic) + 1, dtype=np.int64)
+    np.cumsum(ic, out=starts[1:])
+    k = np.arange(tot, dtype=np.int64) - np.repeat(starts[:-1], ic)
+    idx = np.repeat(poff[:-1][st.codes], ic) + k
+    st.doc_ids = np.repeat(st.doc_ids, ic)
+    st.positions = np.repeat(st.positions, ic)
+    st.keyword = np.repeat(st.keyword, ic)
+    st.inject = np.where(k == 0, np.repeat(st.inject, ic), True)
+    codes, uniques = pd.factorize(flat[idx], sort=False)
+    st.codes = codes.astype(np.int64)
+    st.uniques = np.asarray(uniques, dtype=object)
+
+
+def _load_wordset(arg: str) -> frozenset:
+    """Word-set argument: ``@/path/file`` (one word per line, # comments) or
+    an inline comma list; lowercased (CharArraySet ignoreCase contract)."""
+    if arg.startswith("@"):
+        words = _FILE_WORDSET_CACHE.get(arg)
+        if words is None:
+            with open(arg[1:], encoding="utf-8") as f:
+                words = frozenset(
+                    w.strip().lower() for w in f
+                    if w.strip() and not w.startswith("#"))
+            _FILE_WORDSET_CACHE[arg] = words
+        return words
+    return frozenset(w.lower() for w in arg.split(","))
+
+
+_FILE_WORDSET_CACHE: dict[str, frozenset] = {}
+
+
+def _limit_per_doc(st: _Stream, n: int) -> None:
+    """LimitTokenCountFilter: keep the first n emitted tokens per doc."""
+    m = len(st.doc_ids)
+    if not m:
+        return
+    newdoc = np.ones(m, dtype=bool)
+    newdoc[1:] = st.doc_ids[1:] != st.doc_ids[:-1]
+    starts = np.flatnonzero(newdoc)
+    run = np.cumsum(newdoc) - 1
+    seq = np.arange(m, dtype=np.int64) - starts[run]
+    keep = seq < n
+    st.doc_ids = st.doc_ids[keep]
+    st.positions = st.positions[keep]
+    st.codes = st.codes[keep]
+    st.inject = st.inject[keep]
+    st.keyword = st.keyword[keep]
+    _compact_vocab(st)
+
+
+def parse_chain(spec: str):
+    """``chain:tok|f1|f2:args`` -> (tokenizer, [(name, argstr), ...])."""
+    body = spec.split(":", 1)[1] if spec.startswith("chain:") else spec
+    steps = [s for s in body.split("|") if s]
+    tokenizer = "standard"
+    if steps and steps[0] in ("standard", "whitespace", "letter", "keyword"):
+        tokenizer = steps.pop(0)
+    parsed = []
+    for s in steps:
+        name, _, args = s.partition(":")
+        parsed.append((name, args))
+    return tokenizer, parsed
+
+
+def run_chain(texts: list, spec: str, stop_words=None) -> _Stream:
+    """Tokenize + run every filter step; returns the final stream (overlong
+    >255-char terms dropped at the end with position holes, the repo-wide
+    indexing bound)."""
+    from .analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH
+
+    tokenizer, steps = parse_chain(spec)
+    st = _tokenize(texts, tokenizer)
+    for name, args in steps:
+        if not len(st.codes):
+            break
+        if name == "lowercase":
+            _map_terms(st, str.lower)
+        elif name == "uppercase":
+            _map_terms(st, str.upper)
+        elif name == "ascii_folding":
+            from .worddelim import ascii_fold
+
+            _map_terms(st, ascii_fold)
+        elif name == "trim":
+            _map_terms(st, str.strip)
+        elif name == "scandinavian_normalization":
+            _map_terms(st, scandinavian_normalize)
+        elif name == "scandinavian_folding":
+            _map_terms(st, scandinavian_fold)
+        elif name == "capitalization":
+            _map_terms(st, capitalize_token)
+        elif name == "elision":
+            arts = (frozenset(a.lower() for a in args.split(","))
+                    if args else DEFAULT_ELISION_ARTICLES)
+            _map_terms(st, lambda t: _elide(t, arts))
+        elif name == "reverse":
+            _map_terms(st, lambda t: t[::-1])
+        elif name == "length":
+            lo, hi = args.split(":")
+            lo, hi = int(lo), int(hi)
+            lens = np.asarray([len(u) for u in st.uniques])
+            _drop_terms(st, (lens < lo) | (lens > hi))
+        elif name == "stop":
+            words = (frozenset(args.split(",")) if args
+                     else ENGLISH_STOP_WORDS)
+            _drop_terms(st, np.asarray(
+                [u in words for u in st.uniques], dtype=bool))
+        elif name == "keep":
+            words = frozenset(args.split(","))
+            _drop_terms(st, np.asarray(
+                [u not in words for u in st.uniques], dtype=bool))
+        elif name == "keyword_marker":
+            words = frozenset(args.split(","))
+            mark = np.asarray([u in words for u in st.uniques], dtype=bool)
+            st.keyword |= mark[st.codes]
+        elif name == "pattern_keyword_marker":
+            rx = re.compile(args)
+            mark = np.asarray(
+                [rx.fullmatch(u) is not None for u in st.uniques], dtype=bool)
+            st.keyword |= mark[st.codes]
+        elif name == "keyword_repeat":
+            _keyword_repeat(st)
+        elif name == "remove_duplicates":
+            _remove_duplicates(st)
+        elif name == "stem":
+            from .analysis import _vocab_stem_factory
+
+            factory = _vocab_stem_factory(args)
+            if factory is None:
+                raise ValueError(f"unknown stem language {args!r}")
+            _map_terms(st, factory(), respect_keyword=True)
+        elif name == "stemmer_override":
+            table = dict(kv.split("=", 1) for kv in args.split(","))
+            hit = np.asarray([u in table for u in st.uniques], dtype=bool)
+            st.keyword |= hit[st.codes]
+            _map_terms(st, lambda t: table.get(t, t))
+        elif name == "dictionary_compound":
+            # dictionary_compound:<words>[:minWord[:minSub[:maxSub[:longest]]]]
+            parts = args.split(":")
+            dictionary = _load_wordset(parts[0])
+            min_word = int(parts[1]) if len(parts) > 1 else 5
+            min_sub = int(parts[2]) if len(parts) > 2 else 2
+            max_sub = int(parts[3]) if len(parts) > 3 else 15
+            longest = len(parts) > 4 and parts[4] == "longest"
+            _dictionary_compound(st, dictionary, min_word, min_sub,
+                                 max_sub, longest)
+        elif name == "limit":
+            _limit_per_doc(st, int(args))
+        elif name == "limit_pos":
+            _drop_instances(st, st.positions >= int(args))
+        elif name == "hyphenated_words":
+            _hyphenated_words(st)
+        else:
+            raise ValueError(f"unknown chain filter {name!r}")
+    if len(st.uniques):
+        lens = np.asarray([len(u) for u in st.uniques])
+        if (lens > MAX_TOKEN_LENGTH).any():
+            _drop_terms(st, lens > MAX_TOKEN_LENGTH)
+    return st
+
+
+def analyze_chain_batch(texts, spec: str, with_positions: bool):
+    """chain -> AnalyzedBatch (analyze_batch dispatch target)."""
+    import pyarrow as pa
+
+    from .analysis import AnalyzedBatch
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                  else list(texts))
+    st = run_chain(texts_list, spec)
+    fl = (np.bincount(st.doc_ids[~st.inject],
+                      minlength=st.n_docs).astype(np.int32)
+          if len(st.doc_ids) else np.zeros(st.n_docs, dtype=np.int32))
+    positions = (st.positions if with_positions
+                 else np.empty(0, dtype=np.int32))
+    return AnalyzedBatch(st.doc_ids.astype(np.int32), positions,
+                         st.codes, st.uniques, fl)
+
+
+def analyze_chain_text(text: str, spec: str) -> list[str]:
+    """Query-time chain analysis: kept terms in stream order (posIncr-0
+    overlaps follow their position-consuming parent)."""
+    st = run_chain([text], spec)
+    return [str(t) for t in st.terms()]
