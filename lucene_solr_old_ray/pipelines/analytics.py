@@ -791,3 +791,66 @@ def high_freq_terms(
     return pa.table({"term": pa.array(sel["term"], pa.string()),
                      "df": pa.array(sel["df"].astype(np.int64)),
                      "ttf": pa.array(sel["ttf"].astype(np.int64))})
+
+
+def auto_stop_words(
+    index_dir: str, *, field: "str | None" = None,
+    max_doc_freq: "int | None" = None, max_percent: float = 0.4,
+) -> frozenset:
+    """Index-derived stop set — re-expresses (NOT ports)
+    ``analysis/common/.../query/QueryAutoStopWordAnalyzer.java:150-170``:
+    every term whose index-wide docFreq exceeds ``max_doc_freq`` (default:
+    ``max_percent * numDocs``, defaultMaxDocFreqPercent=0.4) becomes a stop
+    word.  Distribution shape: one Dataset read of the per-leaf (term, df)
+    dict columns -> per-batch partial sums -> bucketed groupby sum -> the
+    filtered survivors (a handful of very-high-df terms) come back to the
+    driver.  Apply the result query-side via ``stop_chain_spec`` (or any
+    ``chain:...|stop:...`` analyzer)."""
+    import ray.data
+
+    from ..state.fields import fprefix
+
+    manifest = mf.read_index_manifest(index_dir)
+    leaves = _leaves(manifest)
+    if max_doc_freq is None:
+        num_docs = sum(
+            l["num_docs"] - len(l.get("deletes") or ()) for l in leaves)
+        max_doc_freq = int(max_percent * num_docs)
+    fp = fprefix(field)
+    files = [os.path.join(index_dir, s["dir"], fp + "terms.parquet")
+             for s in leaves]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = batch["term"].to_pandas().map(
+            lambda b: b.decode("utf-8") if isinstance(b, bytes) else b)
+        g = pd.DataFrame({
+            "term": t,
+            "df": batch["df"].to_numpy(zero_copy_only=False).astype(
+                np.int64),
+        }).groupby("term", as_index=False).agg(df=("df", "sum"))
+        h = pd.util.hash_array(g["term"].to_numpy(dtype=object))
+        g["g"] = (h % 64).astype(np.int64)
+        return g
+
+    def bucket_filter(gb: pd.DataFrame) -> pd.DataFrame:
+        agg = gb.groupby("term", as_index=False).agg(df=("df", "sum"))
+        return agg[agg["df"] > max_doc_freq][["term"]]
+
+    out = (
+        ray.data.read_parquet(files, columns=["term", "df"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(bucket_filter, batch_format="pandas")
+        .to_pandas()
+    )
+    return frozenset(out["term"].tolist())
+
+
+def stop_chain_spec(stops, base_filters: str = "lowercase") -> str:
+    """Build a ``chain:`` analyzer spec that applies an auto-derived stop
+    set after ``base_filters`` (QueryAutoStopWordAnalyzer's wrapped-analyzer
+    composition, ``QueryAutoStopWordAnalyzer.java:175-190``)."""
+    words = ",".join(sorted(stops))
+    if not words:
+        return f"chain:standard|{base_filters}"
+    return f"chain:standard|{base_filters}|stop:{words}"

@@ -457,3 +457,37 @@ def test_dictionary_compound_wordfile(tmp_path):
     terms, _, _, _ = _stream(
         "Bilmotor", f"chain:whitespace|dictionary_compound:@{p}")
     assert terms == ["Bilmotor", "Bil", "motor"]
+
+
+def test_query_auto_stop_words(ray_session, tmp_path):
+    """QueryAutoStopWordAnalyzer analogue: terms with df above the cap
+    become stop words; composed chain drops them at query analysis."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.analytics import (
+        auto_stop_words,
+        stop_chain_spec,
+    )
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = ["common word alpha", "common word beta", "common gamma",
+            "common delta", "epsilon common"]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), path)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(files=(path,), content_col="text",
+                           meta_cols=("doc_id",)), idx,
+                target_docs_per_partition=2)
+
+    # df: common=5, word=2, others=1; 40% of 5 docs -> maxDocFreq 2
+    stops = auto_stop_words(idx, max_percent=0.4)
+    assert stops == {"common"}
+    assert auto_stop_words(idx, max_doc_freq=1) == {"common", "word"}
+
+    spec = stop_chain_spec(auto_stop_words(idx, max_doc_freq=1))
+    assert analyze_text("Common word alpha runs", spec) == ["alpha", "runs"]
