@@ -179,6 +179,13 @@ def _vocab_stem_factory(analyzer: str):
         from .rslp import make_rslp_stemmer
 
         return lambda: make_rslp_stemmer(kind, path)
+    if analyzer.startswith(("polish:", "stempel:")):
+        # Stempel trie stemmer; the analyzer string carries the table path
+        # (runtime data, like the RSLP rule files) — see functions/stempel.py
+        _, path = analyzer.split(":", 1)
+        from .stempel import make_stempel_stemmer
+
+        return lambda: make_stempel_stemmer(path)
     return None
 
 

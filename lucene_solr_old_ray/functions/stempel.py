@@ -1,0 +1,265 @@
+"""Stempel (Egothor) Polish stemmer — a table-driven trie stemmer.
+
+Re-expresses (NOT ports) the Egothor stemmer engine of the reference's
+stempel module:
+
+- binary table reader for the Java-DataOutput serialization that
+  ``org.egothor.stemmer.Trie(DataInput)`` / ``MultiTrie(DataInput)`` write
+  (``analysis/stempel/src/java/org/egothor/stemmer/Trie.java:88-100``,
+  ``Row.java:60-74``, ``MultiTrie.java:63-70``); the dispatch on the
+  leading method string mirrors ``StempelStemmer.load``
+  (``analysis/stempel/.../stempel/StempelStemmer.java:70-85``)
+- patch-command walk ``getLastOnPath`` (``Trie.java:201-230``,
+  ``MultiTrie2.java:98-128`` with the cannotFollow / lengthPP / skip
+  inter-trie key threading)
+- ``Diff.apply`` patch interpreter (``Diff.java:85-130``: ``-x`` seek,
+  ``Rc`` replace, ``Dx`` delete, ``Ic`` insert, silent bounds abort)
+- ``StempelFilter`` contract: only tokens LONGER than min_length (default
+  3) are stemmed; an unstemmable token passes unchanged
+  (``stempel/StempelFilter.java:55-75``).
+
+The stemmer TABLE is runtime data, not code: the analyzer string carries
+its path (``stempel:<path-to-tbl>``, same pattern as the RSLP rule-file
+chains) and the table is parsed once per worker process.  The reference
+ships a 20k-lexeme Polish table (Egothor-licensed) at
+``analysis/stempel/src/resources/.../pl/stemmer_20000.tbl``.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+_EOM = "*"
+
+
+# ------------------------------------------------------ Java DataInput
+
+
+class _DataInput:
+    """Big-endian primitive reader over bytes (java.io.DataInputStream)."""
+
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.i = 0
+
+    def read_boolean(self) -> bool:
+        v = self.b[self.i]
+        self.i += 1
+        return v != 0
+
+    def read_int(self) -> int:
+        (v,) = struct.unpack_from(">i", self.b, self.i)
+        self.i += 4
+        return v
+
+    def read_char(self) -> str:
+        (v,) = struct.unpack_from(">H", self.b, self.i)
+        self.i += 2
+        return chr(v)
+
+    def read_utf(self) -> str:
+        (n,) = struct.unpack_from(">H", self.b, self.i)
+        self.i += 2
+        raw = self.b[self.i:self.i + n]
+        self.i += n
+        # modified UTF-8: CESU-8-style surrogates + 0xC0 0x80 for NUL;
+        # decode manually (cp1252 tables etc. never appear in these files)
+        out: list[str] = []
+        j = 0
+        while j < n:
+            c = raw[j]
+            if c < 0x80:
+                out.append(chr(c))
+                j += 1
+            elif c >> 5 == 0b110:
+                out.append(chr(((c & 0x1F) << 6) | (raw[j + 1] & 0x3F)))
+                j += 2
+            else:
+                out.append(chr(((c & 0x0F) << 12)
+                               | ((raw[j + 1] & 0x3F) << 6)
+                               | (raw[j + 2] & 0x3F)))
+                j += 3
+        return "".join(out)
+
+
+# ------------------------------------------------------------- the tries
+
+
+@dataclass
+class _Cell:
+    cmd: int
+    ref: int
+    skip: int
+
+
+class _Trie:
+    """One patch trie: rows of {char -> (cmd, ref, skip)}; key walked
+    reversed when ``forward`` is false (the Polish table's orientation)."""
+
+    def __init__(self, din: _DataInput):
+        self.forward = din.read_boolean()
+        self.root = din.read_int()
+        self.cmds = [din.read_utf() for _ in range(din.read_int())]
+        self.rows: list[dict[str, _Cell]] = []
+        for _ in range(din.read_int()):
+            row: dict[str, _Cell] = {}
+            for _ in range(din.read_int()):
+                ch = din.read_char()
+                cmd = din.read_int()
+                din.read_int()  # cnt (training refcount, unused at runtime)
+                ref = din.read_int()
+                skip = din.read_int()
+                row[ch] = _Cell(cmd, ref, skip)
+            self.rows.append(row)
+
+    def get_last_on_path(self, key: str) -> str | None:
+        """Trie.java:201-230: deepest cmd on the walk of ``key``."""
+        now = self.rows[self.root]
+        last = None
+        seq = key[::-1] if not self.forward else key
+        for i in range(len(key) - 1):
+            c = now.get(seq[i])
+            if c is not None and c.cmd >= 0:
+                last = self.cmds[c.cmd]
+            if c is None or c.ref < 0:
+                return last
+            now = self.rows[c.ref]
+        c = now.get(seq[len(key) - 1])
+        if c is not None and c.cmd >= 0:
+            last = self.cmds[c.cmd]
+        return last
+
+
+class _MultiTrie2:
+    """MultiTrie2.getLastOnPath (MultiTrie2.java:98-128): concatenate one
+    patch part per level, threading the key through lengthPP skips."""
+
+    def __init__(self, din: _DataInput):
+        self.forward = din.read_boolean()
+        din.read_int()  # BY
+        self.tries = [_Trie(din) for _ in range(din.read_int())]
+
+    def _skip(self, s: str, count: int) -> str:
+        if count > len(s):
+            raise IndexError
+        return s[count:] if self.forward else s[:len(s) - count]
+
+    @staticmethod
+    def _length_pp(cmd: str) -> int:
+        ln = 0
+        i = 0
+        while i < len(cmd):
+            ch = cmd[i]
+            i += 1
+            if ch in ("-", "D"):
+                ln += ord(cmd[i]) - ord("a") + 1
+            elif ch == "R":
+                ln += 1
+            # 'I' adds nothing; all commands consume their parameter char
+            i += 1
+        return ln
+
+    @staticmethod
+    def _cannot_follow(after: str, goes: str) -> bool:
+        return after in ("-", "D") and after == goes
+
+    def get_last_on_path(self, key: str) -> str | None:
+        result: list[str] = []
+        lastkey = key
+        prev = None
+        lastch = " "
+        try:
+            for t in self.tries:
+                r = t.get_last_on_path(lastkey)
+                if r is None or (len(r) == 1 and r[0] == _EOM):
+                    break
+                if self._cannot_follow(lastch, r[0]):
+                    break
+                lastch = r[-2]
+                if r[0] == "-":
+                    if prev is not None:
+                        key = self._skip(key, self._length_pp(prev))
+                    key = self._skip(key, self._length_pp(r))
+                prev = r
+                result.append(r)
+                if len(key) != 0:
+                    lastkey = key
+        except IndexError:
+            pass
+        return "".join(result) if result else None
+
+
+def diff_apply(word: str, diff: str | None) -> str:
+    """Diff.java:85-130 — apply a patch command string to ``word``; any
+    out-of-bounds step aborts silently, returning the partial result."""
+    if not diff:
+        return word
+    dest = list(word)
+    pos = len(dest) - 1
+    if pos < 0:
+        return word
+    try:
+        for i in range(len(diff) // 2):
+            cmd = diff[2 * i]
+            param = diff[2 * i + 1]
+            par_num = ord(param) - ord("a") + 1
+            if cmd == "-":
+                pos = pos - par_num + 1
+            elif cmd == "R":
+                if pos < 0:
+                    raise IndexError
+                dest[pos] = param
+            elif cmd == "D":
+                o = pos
+                pos -= par_num - 1
+                if pos < 0:
+                    raise IndexError
+                del dest[pos:o + 1]
+            elif cmd == "I":
+                pos += 1
+                if pos < 0:
+                    raise IndexError
+                dest.insert(pos, param)
+            pos -= 1
+    except IndexError:
+        pass
+    return "".join(dest)
+
+
+# ------------------------------------------------------------ public API
+
+_TABLE_CACHE: dict[str, "_Trie | _MultiTrie2"] = {}
+
+
+def load_table(path: str):
+    """StempelStemmer.load: leading modified-UTF method string picks the
+    trie flavor ('M' anywhere -> MultiTrie2)."""
+    t = _TABLE_CACHE.get(path)
+    if t is None:
+        with open(path, "rb") as f:
+            din = _DataInput(f.read())
+        method = din.read_utf().upper()
+        t = _MultiTrie2(din) if "M" in method else _Trie(din)
+        _TABLE_CACHE[path] = t
+    return t
+
+
+def make_stempel_stemmer(path: str, min_length: int = 3):
+    """Vocabulary-level stem fn with the StempelFilter contract: tokens of
+    length <= min_length or with no patch pass unchanged; an empty patch
+    result keeps the original."""
+    table = load_table(path)
+
+    def stem(token: str) -> str:
+        if len(token) <= min_length:
+            return token
+        cmd = table.get_last_on_path(token)
+        if cmd is None:
+            return token
+        out = diff_apply(token, cmd)
+        return out if out else token
+
+    return stem

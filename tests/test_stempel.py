@@ -1,0 +1,85 @@
+"""Stempel (Egothor) Polish stemmer: table reader + patch-command engine
+(functions/stempel.py) vs the reference's TestPolishAnalyzer vectors and
+Diff semantics."""
+
+import os
+
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch, analyze_text
+from lucene_solr_old_ray.functions.stempel import (
+    diff_apply,
+    load_table,
+    make_stempel_stemmer,
+)
+
+_TBL = ("/root/reference/lucene/analysis/stempel/src/resources/org/apache/"
+        "lucene/analysis/pl/stemmer_20000.tbl")
+
+needs_table = pytest.mark.skipif(
+    not os.path.exists(_TBL), reason="reference stemmer table absent")
+
+
+# -------------------------------------------------------------- Diff.apply
+
+
+def test_diff_apply_commands():
+    # '-a' seeks one char left; 'Dx' deletes; 'Rc' replaces; 'Ic' inserts
+    assert diff_apply("abcd", "Da") == "abc"       # delete last char
+    assert diff_apply("abcd", "Db") == "ab"        # delete last two
+    assert diff_apply("abcd", "Re") == "abce"      # replace last with 'e'
+    assert diff_apply("abcd", None) == "abcd"
+    assert diff_apply("", "Da") == ""
+    # out-of-range delete aborts silently (partial result kept)
+    assert diff_apply("ab", "Dz") == "ab"
+
+
+# -------------------------------------------------------- table + stemming
+
+
+@needs_table
+def test_table_shape():
+    t = load_table(_TBL)
+    # the 20k Polish table is a backward MultiTrie2 of 8 levels
+    assert type(t).__name__ == "_MultiTrie2"
+    assert not t.forward
+    assert len(t.tries) == 8
+    assert all(len(tr.rows) > 100 for tr in t.tries[:2])
+
+
+@needs_table
+def test_polish_reference_vectors():
+    # TestPolishAnalyzer.java testBasics
+    st = make_stempel_stemmer(_TBL)
+    assert st("studenta") == "student"
+    assert st("studenci") == "student"
+    # StempelFilter: tokens of length <= 3 never stemmed
+    assert st("abc") == "abc"
+
+
+@needs_table
+def test_polish_more_inflections():
+    st = make_stempel_stemmer(_TBL)
+    assert st("komputerze") == "komputer"
+    assert st("komputerów") == "komputer"
+    assert st("polskiego") == "polski"
+    # stable under idempotence for these stems
+    assert st("student") == "student"
+
+
+@needs_table
+def test_polish_analyzer_chain():
+    # analyzer string carries the table path (RSLP-style runtime data)
+    spec = f"polish:{_TBL}"
+    assert analyze_text("studenta studenci", spec) == ["student", "student"]
+    ab = analyze_batch(["studenci na komputerze"], with_positions=True,
+                       analyzer=spec)
+    assert sorted(str(u) for u in ab.uniques) == ["komputer", "na", "student"]
+
+
+@needs_table
+def test_stempel_as_chain_step_with_keyword_marker():
+    # TestPolishAnalyzer.java testExclude: exclusion set protects a token
+    spec = (f"chain:standard|lowercase|keyword_marker:studenta|"
+            f"stem:stempel:{_TBL}")
+    assert analyze_text("studenta studenci", spec) == ["studenta", "student"]
