@@ -1,0 +1,231 @@
+"""Hunspell dictionary stemmer — affix-rule stemming from .aff/.dic files.
+
+Re-expresses (NOT ports) the reference hunspell module
+(``analysis/common/src/java/org/apache/lucene/analysis/hunspell/``):
+
+- ``HunspellDictionary.java:180-300``: the .aff parser (PFX/SFX/FLAG/AF
+  lines; flag strategies ``num``/``long``/single-char; ``0`` means empty
+  strip; ``append/flags`` continuation classes; condition compiled as a
+  full-match regex — prefix ``cond.*``, suffix ``.*cond``) and the .dic
+  parser (first line = entry count; ``word/flags``; later duplicate lines
+  REPLACE earlier ones, bug-compatible with its ``words.put``)
+- ``HunspellStemmer.java:95-175``: recursive affix stripping (suffixes at
+  every split point, prefixes likewise; cross-product affixes recurse with
+  the continuation flags, recursion cap 2)
+- ``HunspellStemFilter.java:70-105``: first stem replaces the token, the
+  rest stack at the same position; unknown words pass unchanged; keyword
+  marks skip stemming; ``dedup`` -> uniqueStems.
+
+Dictionaries are runtime data (same contract as the RSLP / Stempel table
+paths): the chain step ``hunspell_stem:<aff>:<dic>[:ignorecase]`` carries
+the file paths, parsed once per worker process.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass
+class Affix:
+    flag: str
+    strip: str
+    append: str
+    append_flags: str | None  # continuation classes (cross-check flags)
+    condition: re.Pattern
+    cross_product: bool
+
+
+def _parse_flags(raw: str, mode: str) -> str:
+    """FLAG strategies (HunspellDictionary.java:430-480): default one char
+    per flag; ``num`` = comma-separated ints as chars; ``long`` = char
+    pairs folded as chr(a + b) (the reference's DoubleASCII sum)."""
+    if mode == "num":
+        return "".join(
+            chr(int(re.sub(r"[^0-9]", "", p)))
+            for p in raw.strip().split(",") if p.strip())
+    if mode == "long":
+        return "".join(
+            chr(ord(raw[i]) + ord(raw[i + 1]))
+            for i in range(0, len(raw) - 1, 2))
+    return raw
+
+
+class HunspellDictionary:
+    def __init__(self, aff_path: str, dic_path: str, *,
+                 ignore_case: bool = False, strict: bool = True):
+        self.ignore_case = ignore_case
+        self.flag_mode = "simple"
+        self.aliases: list[str] = []
+        self.prefixes: dict[str, list[Affix]] = {}
+        self.suffixes: dict[str, list[Affix]] = {}
+        self.words: dict[str, str | None] = {}  # word -> sorted flag str
+        with open(aff_path, encoding="utf-8", errors="replace") as f:
+            self._read_affix(f, strict)
+        with open(dic_path, encoding="utf-8", errors="replace") as f:
+            self._read_dic(f)
+
+    # ------------------------------------------------------------- parsing
+
+    def _read_affix(self, f, strict: bool) -> None:
+        lines = iter(f.read().splitlines())
+        for line in lines:
+            if line.startswith("AF"):
+                args = line.split()
+                if not self.aliases and len(self.aliases) == 0 and \
+                        not hasattr(self, "_alias_total"):
+                    self._alias_total = int(args[1])
+                else:
+                    self.aliases.append(args[1])
+            elif line.startswith("PFX"):
+                self._parse_affix(self.prefixes, line, lines,
+                                  prefix=True, strict=strict)
+            elif line.startswith("SFX"):
+                self._parse_affix(self.suffixes, line, lines,
+                                  prefix=False, strict=strict)
+            elif line.startswith("FLAG"):
+                v = line.split()[1]
+                if v == "num":
+                    self.flag_mode = "num"
+                elif v == "long":
+                    self.flag_mode = "long"
+                # "UTF-8" keeps the single-char default
+
+    def _parse_affix(self, table: dict, header: str, lines,
+                     prefix: bool, strict: bool) -> None:
+        args = header.split()
+        cross = args[2] == "Y"
+        for _ in range(int(args[3])):
+            rule = next(lines).split()
+            if len(rule) < 5:
+                if strict:
+                    raise ValueError(
+                        f"affix rule with fewer than five elements: {rule}")
+                continue
+            flag = _parse_flags(rule[1], self.flag_mode)
+            strip = "" if rule[2] == "0" else rule[2]
+            affix_arg = rule[3]
+            append_flags = None
+            slash = affix_arg.rfind("/")
+            if slash != -1:
+                flag_part = affix_arg[slash + 1:]
+                if self.aliases:
+                    flag_part = self.aliases[int(flag_part) - 1]
+                append_flags = "".join(
+                    sorted(_parse_flags(flag_part, self.flag_mode)))
+                affix_arg = affix_arg[:slash]
+            cond = rule[4]
+            pattern = re.compile(
+                f"{cond}.*" if prefix else f".*{cond}", re.DOTALL)
+            key = affix_arg.lower() if self.ignore_case else affix_arg
+            table.setdefault(key, []).append(Affix(
+                flag=flag, strip=strip, append=affix_arg,
+                append_flags=append_flags, condition=pattern,
+                cross_product=cross))
+
+    def _read_dic(self, f) -> None:
+        lines = f.read().splitlines()
+        for line in lines[1:]:  # first line = entry count
+            if not line:
+                continue
+            slash = line.rfind("/")
+            if slash == -1:
+                entry, flags = line, None
+            else:
+                end = line.find("\t", slash)
+                flag_part = line[slash + 1:end if end != -1 else None]
+                if self.aliases:
+                    flag_part = self.aliases[int(flag_part) - 1]
+                flags = "".join(sorted(_parse_flags(flag_part,
+                                                    self.flag_mode)))
+                entry = line[:slash]
+            if self.ignore_case:
+                entry = entry.lower()
+            # duplicate lines REPLACE (reference words.put semantics)
+            self.words[entry] = flags
+
+    # ------------------------------------------------------------- lookups
+
+    def lookup_word(self, word: str):
+        """-> flag string (may be empty) or None when absent; probes are
+        case-folded when ignore_case (CharArrayMap ignoreCase)."""
+        key = word.lower() if self.ignore_case else word
+        if key in self.words:
+            return self.words[key] or ""
+        return None
+
+    def _affixes(self, table: dict, piece: str):
+        key = piece.lower() if self.ignore_case else piece
+        return table.get(key)
+
+
+class HunspellStemmer:
+    """HunspellStemmer.java:95-200 with the default recursion cap of 2."""
+
+    def __init__(self, dictionary: HunspellDictionary,
+                 recursion_cap: int = 2):
+        self.d = dictionary
+        self.cap = recursion_cap
+
+    def stem(self, word: str) -> list[str]:
+        stems = []
+        if self.d.lookup_word(word) is not None:
+            stems.append(word)
+        stems.extend(self._stem(word, None, 0))
+        return stems
+
+    def unique_stems(self, word: str) -> list[str]:
+        out: list[str] = []
+        seen: set[str] = set()
+        for s in self.stem(word):
+            k = s.lower() if self.d.ignore_case else s
+            if k not in seen:
+                seen.add(k)
+                out.append(s)
+        return out
+
+    def _stem(self, word: str, flags: str | None, depth: int) -> list[str]:
+        stems: list[str] = []
+        n = len(word)
+        for i in range(n):
+            for suffix in self.d._affixes(self.d.suffixes, word[i:]) or ():
+                if flags is not None and suffix.flag not in flags:
+                    continue
+                stripped = word[:n - len(suffix.append)] + suffix.strip
+                stems.extend(self._apply(stripped, suffix, depth))
+        for i in range(n - 1, -1, -1):
+            for prefix in self.d._affixes(self.d.prefixes, word[:i]) or ():
+                if flags is not None and prefix.flag not in flags:
+                    continue
+                stripped = prefix.strip + word[len(prefix.append):]
+                stems.extend(self._apply(stripped, prefix, depth))
+        return stems
+
+    def _apply(self, stripped: str, affix: Affix, depth: int) -> list[str]:
+        if self.d.ignore_case:
+            stripped = stripped.lower()
+        if affix.condition.fullmatch(stripped) is None:
+            return []
+        stems: list[str] = []
+        word_flags = self.d.lookup_word(stripped)
+        if word_flags is not None and affix.flag in word_flags:
+            stems.append(stripped)
+        if affix.cross_product and depth < self.cap:
+            stems.extend(
+                self._stem(stripped, affix.append_flags, depth + 1))
+        return stems
+
+
+_DICT_CACHE: dict[tuple, HunspellStemmer] = {}
+
+
+def make_hunspell_stemmer(aff_path: str, dic_path: str,
+                          ignore_case: bool = False) -> HunspellStemmer:
+    key = (aff_path, dic_path, ignore_case)
+    st = _DICT_CACHE.get(key)
+    if st is None:
+        st = HunspellStemmer(HunspellDictionary(
+            aff_path, dic_path, ignore_case=ignore_case))
+        _DICT_CACHE[key] = st
+    return st

@@ -53,6 +53,9 @@ word lists comma-separated):
                                 the merged token takes the first token's
                                 position, later positions close up
 ``reverse``                     reverse/ReverseStringFilter.java
+``hunspell_stem:aff:dic``       hunspell/HunspellStemFilter.java — first stem
+                                replaces the token, others stack posIncr-0;
+                                opts ``:ignorecase`` ``:nodedup``
 ``dictionary_compound:words``   compound/DictionaryCompoundWordTokenFilter.java
                                 — dictionary subwords injected posIncr-0 after
                                 the original (args
@@ -519,6 +522,47 @@ def _load_wordset(arg: str) -> frozenset:
 _FILE_WORDSET_CACHE: dict[str, frozenset] = {}
 
 
+def _hunspell_stem(st: _Stream, aff: str, dic: str, ignore_case: bool,
+                   dedup: bool) -> None:
+    """HunspellStemFilter.java:70-105: per token, the first stem replaces
+    it (keeping its posIncr) and further stems stack at the same position;
+    unknown words pass unchanged; keyword-marked instances skip stemming.
+    Stemming runs once per UNIQUE term; instances expand by gather."""
+    from .hunspell import make_hunspell_stemmer
+
+    if not len(st.codes):
+        return
+    stemmer = make_hunspell_stemmer(aff, dic, ignore_case)
+    per_u: list[np.ndarray] = []
+    for u in st.uniques:
+        stems = (stemmer.unique_stems(u) if dedup else stemmer.stem(u))
+        per_u.append(np.asarray(stems or [u], dtype=object))
+    cnt = np.fromiter((len(x) for x in per_u), count=len(st.uniques),
+                      dtype=np.int64)
+    poff = np.zeros(len(st.uniques) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=poff[1:])
+    flat = np.concatenate(per_u)
+    # keyword instances emit exactly their original term
+    ic = np.where(st.keyword, 1, cnt[st.codes])
+    tot = int(ic.sum())
+    starts = np.zeros(len(ic) + 1, dtype=np.int64)
+    np.cumsum(ic, out=starts[1:])
+    k = np.arange(tot, dtype=np.int64) - np.repeat(starts[:-1], ic)
+    src = np.repeat(np.arange(len(ic)), ic)
+    orig_terms = st.uniques[st.codes]
+    inst_terms = np.where(
+        np.repeat(st.keyword, ic), orig_terms[src],
+        flat[np.minimum(np.repeat(poff[:-1][st.codes], ic) + k,
+                        len(flat) - 1)])
+    st.doc_ids = st.doc_ids[src]
+    st.positions = st.positions[src]
+    st.inject = np.where(k == 0, st.inject[src], True)
+    st.keyword = st.keyword[src]
+    codes, uniques = pd.factorize(inst_terms, sort=False)
+    st.codes = codes.astype(np.int64)
+    st.uniques = np.asarray(uniques, dtype=object)
+
+
 def _limit_per_doc(st: _Stream, n: int) -> None:
     """LimitTokenCountFilter: keep the first n emitted tokens per doc."""
     m = len(st.doc_ids)
@@ -624,6 +668,13 @@ def run_chain(texts: list, spec: str, stop_words=None) -> _Stream:
             hit = np.asarray([u in table for u in st.uniques], dtype=bool)
             st.keyword |= hit[st.codes]
             _map_terms(st, lambda t: table.get(t, t))
+        elif name == "hunspell_stem":
+            # hunspell_stem:<aff-path>:<dic-path>[:ignorecase][:nodedup]
+            parts = args.split(":")
+            opts = parts[2:]
+            _hunspell_stem(st, parts[0], parts[1],
+                           ignore_case="ignorecase" in opts,
+                           dedup="nodedup" not in opts)
         elif name == "dictionary_compound":
             # dictionary_compound:<words>[:minWord[:minSub[:maxSub[:longest]]]]
             parts = args.split(":")

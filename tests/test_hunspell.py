@@ -1,0 +1,116 @@
+"""Hunspell affix stemmer (functions/hunspell.py) vs the reference's
+HunspellStemmerTest / HunspellDictionaryTest vectors (test.aff/test.dic
+read from the reference tree at test time)."""
+
+import os
+
+import pytest
+
+from lucene_solr_old_ray.functions.hunspell import (
+    HunspellDictionary,
+    HunspellStemmer,
+    make_hunspell_stemmer,
+)
+from lucene_solr_old_ray.functions.tokenfilters import run_chain
+
+_DIR = ("/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+        "analysis/hunspell")
+AFF = os.path.join(_DIR, "test.aff")
+DIC = os.path.join(_DIR, "test.dic")
+AFF_C = os.path.join(_DIR, "testCompressed.aff")
+DIC_C = os.path.join(_DIR, "testCompressed.dic")
+WRONG_AFF = os.path.join(_DIR, "testWrongAffixRule.aff")
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(AFF), reason="reference hunspell test data absent")
+
+
+@needs_data
+def test_dictionary_counts():
+    # HunspellDictionaryTest.testHunspellDictionary_loadDicAff: 3 suffix
+    # groups (A/C/D/E appended strings), 1 prefix
+    d = HunspellDictionary(AFF, DIC)
+    n_suffix = sum(len(v) for v in d.suffixes.values())
+    n_prefix = sum(len(v) for v in d.prefixes.values())
+    assert n_suffix == 7  # SFX A x3, C x2, D x1, E x1
+    assert n_prefix == 1
+    assert d.lookup_word("lucen") == "A"
+    assert d.lookup_word("lucene") == ""
+    assert d.lookup_word("nothere") is None
+
+
+@needs_data
+def test_stem_simple_suffix():
+    # HunspellStemmerTest.testStem_simpleSuffix
+    st = HunspellStemmer(HunspellDictionary(AFF, DIC))
+    assert [s for s in st.stem("lucene")] == ["lucene", "lucen"]
+    assert st.stem("mahoute") == ["mahout"]
+
+
+@needs_data
+def test_stem_simple_prefix():
+    st = HunspellStemmer(HunspellDictionary(AFF, DIC))
+    assert st.stem("solr") == ["olr"]
+
+
+@needs_data
+def test_stem_recursive_suffix():
+    # "abcd" -> strip d (flag C, continuation /C) -> "abc" -> strip c -> "ab"
+    st = HunspellStemmer(HunspellDictionary(AFF, DIC))
+    assert st.stem("abcd") == ["ab"]
+
+
+@needs_data
+def test_stem_ignore_case():
+    st = HunspellStemmer(HunspellDictionary(AFF, DIC, ignore_case=True))
+    assert st.stem("apache") == ["apach"]
+    assert st.stem("APACHE") == ["apach"]
+    assert st.stem("Apache") == ["apach"]
+
+
+@needs_data
+def test_stem_case_sensitive():
+    st = HunspellStemmer(HunspellDictionary(AFF, DIC))
+    assert st.stem("apache") == []
+    assert st.stem("Apache") == ["Apach"]
+
+
+@needs_data
+def test_compressed_alias_dictionary():
+    # testCompressed.aff: FLAG long + AF aliases over the same word list
+    d = HunspellDictionary(AFF_C, DIC_C)
+    st = HunspellStemmer(d)
+    assert st.stem("lucene") == ["lucene", "lucen"]
+    assert st.stem("abcd") == ["ab"]       # alias /3 -> CC continuation
+    assert st.stem("solr") == ["olr"]      # alias /2 -> BB prefix
+
+
+@needs_data
+def test_wrong_affix_rule_strict_vs_lenient():
+    with pytest.raises(ValueError):
+        HunspellDictionary(WRONG_AFF, DIC, strict=True)
+    d = HunspellDictionary(WRONG_AFF, DIC, strict=False)  # rule skipped
+    assert sum(len(v) for v in d.suffixes.values()) >= 1
+
+
+@needs_data
+def test_hunspell_chain_step():
+    # HunspellStemFilter: first stem replaces, others stack posIncr 0;
+    # unknown words unchanged; keyword marks protect
+    spec = f"chain:whitespace|hunspell_stem:{AFF}:{DIC}"
+    st = run_chain(["lucene unknownword"], spec)
+    assert list(st.terms()) == ["lucene", "lucen", "unknownword"]
+    assert list(st.inject) == [False, True, False]
+    assert list(st.positions) == [0, 0, 1]
+
+    spec_kw = (f"chain:whitespace|keyword_marker:lucene|"
+               f"hunspell_stem:{AFF}:{DIC}")
+    st = run_chain(["lucene"], spec_kw)
+    assert list(st.terms()) == ["lucene"]
+
+
+@needs_data
+def test_make_hunspell_stemmer_cached():
+    a = make_hunspell_stemmer(AFF, DIC)
+    b = make_hunspell_stemmer(AFF, DIC)
+    assert a is b
