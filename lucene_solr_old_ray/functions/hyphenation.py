@@ -1,0 +1,128 @@
+"""Liang/TeX hyphenation engine for the hyphenation compound filter.
+
+Re-expresses (NOT ports) the reference's FOP-derived hyphenation classes
+(``analysis/compound/hyphenation/HyphenationTree.java:150-260``,
+``PatternParser.java``): grammar XML -> (classes, exceptions, patterns),
+then interletter-value maximization over ``.word.`` with remain/push
+margins.  The pattern store is a plain dict keyed by the class-mapped
+letter string (equivalent walk to the reference's ternary trie: every
+pattern that prefixes ``word[i:]`` contributes its values).
+
+Grammar files are runtime data (the reference ships ``da_UTF8.xml`` in its
+compound tests); the chain step carries the XML path and parses once per
+worker process.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+
+
+class HyphenationTree:
+    def __init__(self, classes: dict, patterns: dict, exceptions: dict,
+                 max_pattern_len: int):
+        self.classes = classes          # char -> class char
+        self.patterns = patterns        # letter-string -> tuple[int] values
+        self.exceptions = exceptions    # classed word -> piece lengths
+        self.max_pattern_len = max_pattern_len
+
+    def hyphenation_points(self, word: str, remain: int = 1,
+                           push: int = 1) -> "list[int] | None":
+        """HyphenationTree.java:188-254: break positions of ``word``
+        including the 0 / len endpoints, or None when unbreakable.  Leading
+        non-letter chars are skipped, trailing ones tolerated (zero-class,
+        never matched), an interior one aborts — the reference's exact
+        bEndOfLetters walk."""
+        n = len(word)
+        ignore_beg = 0
+        end_of_letters = False
+        w = ["\0"] * (n + 3)  # w[0]/w[len+1] become '.' markers
+        for i in range(1, n + 1):
+            nc = self.classes.get(word[i - 1])
+            if nc is None:
+                if i == 1 + ignore_beg:
+                    ignore_beg += 1
+                else:
+                    end_of_letters = True
+            else:
+                if end_of_letters:
+                    return None
+                w[i - ignore_beg] = nc
+        result: list[int] = []
+        sw = "".join(w[1:n + 1])
+        exc = self.exceptions.get(sw)
+        if exc is not None:
+            j = 0
+            for piece_len in exc[:-1]:
+                j += piece_len
+                if remain <= j < n - push:
+                    result.append(j + ignore_beg)
+        else:
+            w[0] = "."
+            w[n + 1] = "."
+            il = [0] * (n + 3)
+            maxp = self.max_pattern_len
+            pats = self.patterns
+            for i in range(n + 1):
+                for L in range(1, min(maxp, n + 2 - i) + 1):
+                    vals = pats.get("".join(w[i:i + L]))
+                    if vals is not None:
+                        for k, v in enumerate(vals):
+                            if v > il[i + k]:
+                                il[i + k] = v
+            for i in range(n):
+                if (il[i + 1] & 1) and remain <= i <= n - push:
+                    result.append(i + ignore_beg)
+        if not result:
+            return None
+        return [0] + result + [n]
+
+
+_TREE_CACHE: dict[str, HyphenationTree] = {}
+
+
+def load_hyphenation_tree(xml_path: str) -> HyphenationTree:
+    """Parse a TeX-hyphenation grammar XML (PatternParser.java's element
+    set: hyphen-char / hyphen-min / classes / exceptions / patterns)."""
+    tree = _TREE_CACHE.get(xml_path)
+    if tree is not None:
+        return tree
+    with open(xml_path, encoding="utf-8") as f:
+        text = f.read()
+    # the DOCTYPE references an external DTD that does not ship: drop it
+    text = re.sub(r"<!DOCTYPE[^>]*>", "", text)
+    root = ET.fromstring(text)
+    classes: dict[str, str] = {}
+    patterns: dict[str, tuple] = {}
+    exceptions: dict[str, list] = {}
+    max_len = 0
+    for el in root:
+        if el.tag == "classes":
+            for tok in (el.text or "").split():
+                rep = tok[0]
+                for ch in tok:
+                    classes[ch] = rep
+        elif el.tag == "patterns":
+            for tok in (el.text or "").split():
+                letters: list[str] = []
+                vals = [0]
+                for ch in tok:
+                    if ch.isdigit():
+                        vals[len(letters)] = int(ch)
+                    else:
+                        letters.append(ch)
+                        vals.append(0)
+                key = "".join(letters)
+                patterns[key] = tuple(vals)
+                max_len = max(max_len, len(key))
+        elif el.tag == "exceptions":
+            # plain text entries with '-' break marks ("som-mer"); the
+            # reference's <hyp> sub-elements don't appear in shipped files
+            for tok in (el.text or "").split():
+                pieces = tok.split("-")
+                key = "".join(classes.get(c, c) for c in tok if c != "-")
+                exceptions[key] = [len(p) for p in pieces]
+    tree = HyphenationTree(classes, patterns, exceptions, max_len)
+    _TREE_CACHE[xml_path] = tree
+    return tree

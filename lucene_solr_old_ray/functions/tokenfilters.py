@@ -61,11 +61,12 @@ word lists comma-separated):
                                 the original (args
                                 ``:minWord:minSub:maxSub[:longest]``; words =
                                 inline comma list or ``@/path/wordfile``)
+``hyphenation_compound:xml:…``  compound/HyphenationCompoundWordTokenFilter.java
+                                — Liang/TeX hyphenation points (grammar XML
+                                path) bound subword candidates; args
+                                ``:<dict|->[:minWord[:minSub[:maxSub
+                                [:longest]]]]`` (``-`` = no dictionary)
 ==========================  ====================================================
-
-(The hyphenation-grammar variant HyphenationCompoundWordTokenFilter needs a
-TeX hyphenation-pattern XML; no grammar files ship in this container, so only
-the dictionary variant is implemented.)
 
 Scale note: the per-doc tokenize loop mirrors the other extension chains
 (word_delimiter, pattern); every filter after it is vocabulary- or
@@ -482,6 +483,66 @@ def _dictionary_compound(
                 if longest and best is not None:
                     out.append(u[i:i + best])
         per_u.append(np.asarray(out, dtype=object))
+    _expand_subwords(st, per_u)
+
+
+def _hyphenation_compound(
+    st: _Stream,
+    xml_path: str,
+    dictionary: "frozenset | None",
+    min_word: int = 5,
+    min_sub: int = 2,
+    max_sub: int = 15,
+    longest: bool = False,
+) -> None:
+    """HyphenationCompoundWordTokenFilter.java:173-230: candidate subwords
+    span consecutive hyphenation points; with a dictionary, a part is kept
+    when the dictionary has it (or, failing that, the part minus its last
+    char — the reference's partLength-1 fallback); without a dictionary
+    every size-windowed part is kept.  Subwords inject posIncr-0 after the
+    original, original case preserved."""
+    from .hyphenation import load_hyphenation_tree
+
+    if not len(st.codes):
+        return
+    tree = load_hyphenation_tree(xml_path)
+    per_u: list[np.ndarray] = []
+    for u in st.uniques:
+        out = [u]
+        if len(u) >= min_word:
+            pts = tree.hyphenation_points(u)
+            if pts is not None:
+                lu = u.lower()
+                for i in range(len(pts)):
+                    start = pts[i]
+                    best = None
+                    for j in range(1, len(pts) - i):
+                        plen = pts[i + j] - start
+                        if plen > max_sub:
+                            break
+                        if plen < min_sub:
+                            continue
+                        keep_len = None
+                        if (dictionary is None
+                                or lu[start:start + plen] in dictionary):
+                            keep_len = plen
+                        elif lu[start:start + plen - 1] in dictionary:
+                            keep_len = plen - 1
+                        if keep_len is not None:
+                            if longest:
+                                if best is None or keep_len > best:
+                                    best = keep_len
+                            else:
+                                out.append(u[start:start + keep_len])
+                    if longest and best is not None:
+                        out.append(u[start:start + best])
+        per_u.append(np.asarray(out, dtype=object))
+    _expand_subwords(st, per_u)
+
+
+def _expand_subwords(st: _Stream, per_u: "list[np.ndarray]") -> None:
+    """Instance expansion shared by the compound filters: element 0 of each
+    unique's array replaces the original token, the rest inject posIncr-0."""
     cnt = np.fromiter((len(x) for x in per_u), count=len(st.uniques),
                       dtype=np.int64)
     if (cnt == 1).all():
@@ -675,6 +736,18 @@ def run_chain(texts: list, spec: str, stop_words=None) -> _Stream:
             _hunspell_stem(st, parts[0], parts[1],
                            ignore_case="ignorecase" in opts,
                            dedup="nodedup" not in opts)
+        elif name == "hyphenation_compound":
+            # hyphenation_compound:<xml>:<dict|->[:minWord[:minSub[:maxSub
+            # [:longest]]]]
+            parts = args.split(":")
+            dictionary = (None if len(parts) < 2 or parts[1] in ("-", "")
+                          else _load_wordset(parts[1]))
+            min_word = int(parts[2]) if len(parts) > 2 else 5
+            min_sub = int(parts[3]) if len(parts) > 3 else 2
+            max_sub = int(parts[4]) if len(parts) > 4 else 15
+            longest = len(parts) > 5 and parts[5] == "longest"
+            _hyphenation_compound(st, parts[0], dictionary, min_word,
+                                  min_sub, max_sub, longest)
         elif name == "dictionary_compound":
             # dictionary_compound:<words>[:minWord[:minSub[:maxSub[:longest]]]]
             parts = args.split(":")

@@ -491,3 +491,64 @@ def test_query_auto_stop_words(ray_session, tmp_path):
 
     spec = stop_chain_spec(auto_stop_words(idx, max_doc_freq=1))
     assert analyze_text("Common word alpha runs", spec) == ["alpha", "runs"]
+
+
+# --------------------------------------------- hyphenation decompounding
+
+import os as _os
+
+DA_XML = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+          "lucene/analysis/compound/da_UTF8.xml")
+needs_da = pytest.mark.skipif(not _os.path.exists(DA_XML),
+                              reason="reference grammar absent")
+
+
+@needs_da
+def test_hyphenation_points_da():
+    from lucene_solr_old_ray.functions.hyphenation import (
+        load_hyphenation_tree,
+    )
+    t = load_hyphenation_tree(DA_XML)
+    # derived from TestCompoundWordTokenFilter.testHyphenationOnly parts
+    assert t.hyphenation_points("basketballkurv") == [0, 2, 6, 9, 10, 14]
+    assert t.hyphenation_points("min") is None
+
+
+@needs_da
+def test_hyphenation_compound_with_dictionary():
+    # testHyphenationCompoundWordsDA: dict {læse, hest}
+    terms, pos, inject, _ = _stream(
+        "min veninde som er lidt af en læsehest",
+        f"chain:whitespace|hyphenation_compound:{DA_XML}:læse,hest")
+    assert terms == ["min", "veninde", "som", "er", "lidt", "af", "en",
+                     "læsehest", "læse", "hest"]
+    assert inject == [False] * 8 + [True, True]
+    assert pos[-3:] == [7, 7, 7]
+
+
+@needs_da
+def test_hyphenation_compound_longest_match():
+    # testHyphenationCompoundWordsDELongestMatch: "basket" suppressed
+    terms, _, _, _ = _stream(
+        "basketballkurv",
+        f"chain:whitespace|hyphenation_compound:{DA_XML}:"
+        f"basketball,basket,ball,kurv:5:2:40:longest")
+    assert terms == ["basketballkurv", "basketball", "ball", "kurv"]
+
+
+@needs_da
+def test_hyphenation_only_no_dictionary():
+    # testHyphenationOnly: size windows, no dictionary
+    for min_s, max_s, want in [
+        (2, 4, ["basketballkurv", "ba", "sket", "bal", "ball", "kurv"]),
+        (4, 6, ["basketballkurv", "basket", "sket", "ball", "lkurv",
+                "kurv"]),
+        (4, 10, ["basketballkurv", "basket", "basketbal", "basketball",
+                 "sket", "sketbal", "sketball", "ball", "ballkurv",
+                 "lkurv", "kurv"]),
+    ]:
+        terms, _, _, _ = _stream(
+            "basketballkurv",
+            f"chain:whitespace|hyphenation_compound:{DA_XML}:-:5:"
+            f"{min_s}:{max_s}")
+        assert terms == want, (min_s, max_s)
