@@ -1306,6 +1306,18 @@ def analyze_batch(
             ab.start_offsets = s_off.astype(np.int32)
             ab.end_offsets = e_off.astype(np.int32)
         return ab
+    if analyzer.startswith("iteration_mark"):
+        # "iteration_mark" (-> cjk chain) or "iteration_mark:<inner>":
+        # JapaneseIterationMarkCharFilter in front of any chain; 1:1
+        # replacement, so offsets need no correction
+        from .charfilter import iteration_mark_normalize
+
+        inner = analyzer.split(":", 1)[1] if ":" in analyzer else "cjk"
+        texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                      else list(texts))
+        normalized = [iteration_mark_normalize(t or "") for t in texts_list]
+        return analyze_batch(pa.array(normalized, pa.string()),
+                             with_positions, inner, synonyms, with_offsets)
     if analyzer.startswith("chain:"):
         # composable token-filter chain (functions/tokenfilters.py):
         # "chain:<tokenizer>|<filter>|<filter:args>|..."

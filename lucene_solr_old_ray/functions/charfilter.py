@@ -181,3 +181,96 @@ def correct_offsets(offsets: np.ndarray, outpos: np.ndarray,
     idx = np.searchsorted(outpos, offsets, side="right") - 1
     adj = np.where(idx >= 0, diffs[np.maximum(idx, 0)], 0)
     return offsets + adj
+
+
+# ------------------------------------------------- Japanese iteration marks
+
+_KANJI_MARK = "々"       # 々
+_HIRA_MARK = "ゝ"        # ゝ
+_HIRA_VOICED = "ゞ"      # ゞ
+_KATA_MARK = "ヽ"        # ヽ
+_KATA_VOICED = "ヾ"      # ヾ
+_FULL_STOP = "。"        # 。
+
+# hiragana dakuten lookup over か..ぼ (JapaneseIterationMarkCharFilter.java
+# h2d table; katakana shifted by カ-か); voiced pairs map both members to
+# the voiced form, unpaired kana map to themselves
+_H2D = (
+    "がが" "ぎぎ" "ぐぐ" "げげ" "ごご" "ざざ" "じじ" "ずず" "ぜぜ" "ぞぞ"
+    "だだ" "ぢぢ" "っ" "づづ" "でで" "どど" "なにぬねの"
+    "ばば" "ぱ" "びび" "ぴ" "ぶぶ" "ぷ" "べべ" "ぺ" "ぼぼ"
+)
+_H_BASE = 0x304B  # か
+_K_BASE = 0x30AB  # カ
+_K2D = "".join(chr(ord(c) + (_K_BASE - _H_BASE)) for c in _H2D)
+
+
+def _dakuten_lookup(c: str, table: str, base: int) -> str:
+    o = ord(c) - base
+    return table[o] if 0 <= o < len(table) else c
+
+
+def _normalize_one(src: str, mark: str) -> str:
+    """normalize(c, m): plain kana mark repeats unvoiced, voiced mark
+    repeats voiced; kanji mark repeats verbatim."""
+    if mark in (_HIRA_MARK, _HIRA_VOICED):
+        table, base = _H2D, _H_BASE
+    elif mark in (_KATA_MARK, _KATA_VOICED):
+        table, base = _K2D, _K_BASE
+    else:
+        return src
+    voiced = _dakuten_lookup(src, table, base)
+    if mark in (_HIRA_VOICED, _KATA_VOICED):
+        return voiced
+    # plain mark: a voiced source repeats unvoiced (dakuten forms map to
+    # themselves and sit one code point above the unvoiced kana)
+    if voiced == src and ord(src) - base >= 0 and ord(src) - base < len(table):
+        return chr(ord(src) - 1)
+    return src
+
+
+def iteration_mark_normalize(
+    text: str, normalize_kanji: bool = True, normalize_kana: bool = True
+) -> str:
+    """Re-expresses (NOT ports) ``analysis/kuromoji/.../ja/
+    JapaneseIterationMarkCharFilter.java:150-240``: each iteration mark in
+    a run of size S replaces with the normalized copy of the character S
+    positions back in the ORIGINAL text; 1:1 replacement, offsets
+    unchanged.  A full stop (。) or non-BMP char fences source runs; a mark
+    with no available source stays as-is."""
+    marks = set()
+    if normalize_kanji:
+        marks.add(_KANJI_MARK)
+    if normalize_kana:
+        marks.update((_HIRA_MARK, _HIRA_VOICED, _KATA_MARK, _KATA_VOICED))
+    if not marks or not any(c in marks for c in text):
+        return text
+    out = list(text)
+    n = len(text)
+    span_end = 0   # iterationMarkSpanEndPosition
+    span_size = 0
+    i = 0
+    while i < n:
+        c = text[i]
+        if ord(c) > 0xFFFF:
+            span_end = i + 1
+        if c == _FULL_STOP:
+            span_end = i + 1
+        if c in marks:
+            if i < span_end:
+                out[i] = _normalize_one(text[i - span_size], c)
+            elif i == span_end:
+                span_end += 1  # no source available: mark passes through
+            else:
+                size = 0
+                j = i
+                while j < n and text[j] in marks:
+                    size += 1
+                    j += 1
+                if i - size < span_end:
+                    size = i - span_end
+                span_size = size
+                span_end = i + size
+                out[i] = _normalize_one(text[i - size], c)
+        i += 1
+    return "".join(out)

@@ -222,6 +222,71 @@ def scandinavian_fold(s: str) -> str:
     return "".join(out)
 
 
+# halfwidth-katakana -> fullwidth normalization targets for U+FF65..U+FF9F
+# (the standard Unicode width-fold pairs; CJKWidthFilter.java:36-47)
+_KANA_NORM = [
+    0x30FB, 0x30F2, 0x30A1, 0x30A3, 0x30A5, 0x30A7, 0x30A9, 0x30E3, 0x30E5,
+    0x30E7, 0x30C3, 0x30FC, 0x30A2, 0x30A4, 0x30A6, 0x30A8, 0x30AA, 0x30AB,
+    0x30AD, 0x30AF, 0x30B1, 0x30B3, 0x30B5, 0x30B7, 0x30B9, 0x30BB, 0x30BD,
+    0x30BF, 0x30C1, 0x30C4, 0x30C6, 0x30C8, 0x30CA, 0x30CB, 0x30CC, 0x30CD,
+    0x30CE, 0x30CF, 0x30D2, 0x30D5, 0x30D8, 0x30DB, 0x30DE, 0x30DF, 0x30E0,
+    0x30E1, 0x30E2, 0x30E4, 0x30E6, 0x30E8, 0x30E9, 0x30EA, 0x30EB, 0x30EC,
+    0x30ED, 0x30EF, 0x30F3, 0x3099, 0x309A,
+]
+# voicing combination deltas for a kana followed by a (half-width) sound
+# mark, indexed from U+30A6 (CJKWidthFilter.java:75-90)
+_KANA_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 1,
+    0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+]
+_KANA_HALF_VOICED = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 2, 0, 0, 2,
+    0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+]
+
+
+def cjk_width_fold(s: str) -> str:
+    """CJKWidthFilter.java:50-72: fullwidth ASCII -> halfwidth, halfwidth
+    katakana -> fullwidth, with (half-)voiced sound marks combined into the
+    preceding kana when a voiced form exists."""
+    out: list[str] = []
+    for ch in s:
+        o = ord(ch)
+        if 0xFF01 <= o <= 0xFF5E:
+            out.append(chr(o - 0xFEE0))
+        elif 0xFF65 <= o <= 0xFF9F:
+            if o in (0xFF9E, 0xFF9F) and out:
+                prev = ord(out[-1])
+                if 0x30A6 <= prev <= 0x30FD:
+                    delta = (_KANA_HALF_VOICED if o == 0xFF9F
+                             else _KANA_VOICED)[prev - 0x30A6]
+                    if delta:
+                        out[-1] = chr(prev + delta)
+                        continue
+            out.append(chr(_KANA_NORM[o - 0xFF65]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def katakana_stem(s: str, minimum_length: int = 4) -> str:
+    """JapaneseKatakanaStemFilter.java:75-95: all-katakana tokens of at
+    least ``minimum_length`` drop a trailing prolonged sound mark (ー)."""
+    if len(s) < minimum_length:
+        return s
+    # Unicode block KATAKANA = U+30A0..U+30FF (full-width only; the
+    # reference's UnicodeBlock.of check)
+    if not all(0x30A0 <= ord(c) <= 0x30FF for c in s):
+        return s
+    if s[-1] == "ー":
+        return s[:-1]
+    return s
+
+
 def capitalize_token(
     token: str,
     only_first_word: bool = True,
@@ -678,6 +743,13 @@ def run_chain(texts: list, spec: str, stop_words=None) -> _Stream:
             _map_terms(st, ascii_fold)
         elif name == "trim":
             _map_terms(st, str.strip)
+        elif name == "cjk_width":
+            _map_terms(st, cjk_width_fold)
+        elif name == "katakana_stem":
+            # katakana_stem[:min-length] (JapaneseKatakanaStemFilter)
+            ml = int(args) if args else 4
+            _map_terms(st, lambda t: katakana_stem(t, ml),
+                       respect_keyword=True)
         elif name == "scandinavian_normalization":
             _map_terms(st, scandinavian_normalize)
         elif name == "scandinavian_folding":

@@ -552,3 +552,115 @@ def test_hyphenation_only_no_dictionary():
             f"chain:whitespace|hyphenation_compound:{DA_XML}:-:5:"
             f"{min_s}:{max_s}")
         assert terms == want, (min_s, max_s)
+
+
+# ------------------------------------------------- CJK width + katakana stem
+
+
+def test_cjk_width_reference_vectors():
+    from lucene_solr_old_ray.functions.tokenfilters import cjk_width_fold
+
+    # TestCJKWidthFilter.java: fullwidth ASCII folds to halfwidth
+    assert cjk_width_fold("Ｔｅｓｔ") == "Test"
+    assert cjk_width_fold("１２３４") == "1234"
+    # halfwidth katakana folds to fullwidth, sound marks combine
+    assert cjk_width_fold("ｶﾀｶﾅ") == "カタカナ"
+    assert cjk_width_fold("ｳﾞｨｯﾂ") == "ヴィッツ"
+    assert cjk_width_fold("ﾊﾟﾅｿﾆｯｸ") == "パナソニック"
+
+
+def test_katakana_stem_reference_vectors():
+    from lucene_solr_old_ray.functions.tokenfilters import katakana_stem
+
+    # TestJapaneseKatakanaStemFilter.testStemVariants
+    vec = [("コピー", "コピー"), ("コーヒー", "コーヒ"),
+           ("タクシー", "タクシ"), ("パーティー", "パーティ"),
+           ("パーティ", "パーティ"), ("センター", "センタ")]
+    for raw, want in vec:
+        assert katakana_stem(raw) == want, raw
+    # half-width not in the KATAKANA block: unchanged
+    assert katakana_stem("ﾀｸｼｰ") == "ﾀｸｼｰ"
+    # min-length 4 override honored
+    assert katakana_stem("コーヒー", minimum_length=6) == "コーヒー"
+
+
+def test_cjk_width_and_katakana_chain():
+    terms, _ = _terms_positions(
+        "ﾀｸｼｰ Ｔｅｓｔ", "chain:whitespace|cjk_width|katakana_stem|lowercase")
+    assert terms == ["タクシ", "test"]
+    # keyword marks protect from katakana stemming
+    terms, _ = _terms_positions(
+        "タクシー", "chain:whitespace|keyword_marker:タクシー|katakana_stem")
+    assert terms == ["タクシー"]
+
+
+# --------------------------------------- Japanese iteration mark char filter
+
+
+def test_iteration_mark_reference_vectors():
+    from lucene_solr_old_ray.functions.charfilter import (
+        iteration_mark_normalize as norm,
+    )
+
+    # TestJapaneseIterationMarkCharFilter.java (keywordAnalyzer cases =
+    # the raw char-filter output)
+    assert norm("時々") == "時時"
+    assert norm("馬鹿々々しい") == "馬鹿馬鹿しい"
+    assert norm("ミスヾ") == "ミスズ"
+    assert norm("おゝの") == "おおの"
+    assert norm("みすゞ") == "みすず"
+    assert norm("じゞ") == "じじ"
+    assert norm("じゝ") == "じし"
+    assert norm("ところゞゝゝ") == "ところどころ"
+    # malformed
+    assert norm("abcところゝゝゝゝ") == "abcところcところ"
+    assert norm("abcところゞゝゝゝ") == "abcところcところ"
+    assert norm("ところゞゝゝゞゝゞ") == "ところどころゞゝゞ"
+    assert norm("々") == "々"
+    assert norm("ゞ") == "ゞ"
+    assert norm("ゞゝ") == "ゞゝ"
+    assert norm("。ゝ") == "。ゝ"
+    assert norm("。。ゝゝ") == "。。ゝゝ"
+    assert norm("？ゝ") == "？？"
+    assert norm("ねやぽゞつむぴ") == "ねやぽぽつむぴ"
+    assert norm("ねやぽゝつむぴ") == "ねやぽぽつむぴ"
+    assert norm("") == ""
+    assert norm("。。。") == "。。。"
+    assert norm("時々、おゝのさんと一緒にお寿司を食べに行きます。") == \
+        "時時、おおのさんと一緒にお寿司を食べに行きます。"
+
+
+def test_iteration_mark_full_coverage():
+    from lucene_solr_old_ray.functions.charfilter import (
+        iteration_mark_normalize as norm,
+    )
+
+    # full hiragana plain/dakuten coverage (testHiraganaCoverage vectors)
+    src = ("かゝがゝきゝぎゝくゝぐゝけゝげゝこゝごゝさゝざゝしゝじゝすゝずゝ"
+           "せゝぜゝそゝぞゝたゝだゝちゝぢゝつゝづゝてゝでゝとゝどゝはゝばゝ"
+           "ひゝびゝふゝぶゝへゝべゝほゝぼゝ")
+    want = ("かかがかききぎきくくぐくけけげけここごこささざさししじしすすずす"
+            "せせぜせそそぞそたただたちちぢちつつづつててでてととどとははばは"
+            "ひひびひふふぶふへへべへほほぼほ")
+    assert norm(src) == want
+    src = ("かゞがゞきゞぎゞくゞぐゞけゞげゞこゞごゞさゞざゞしゞじゞすゞずゞ"
+           "せゞぜゞそゞぞゞたゞだゞちゞぢゞつゞづゞてゞでゞとゞどゞはゞばゞ"
+           "ひゞびゞふゞぶゞへゞべゞほゞぼゞ")
+    want = ("かがががきぎぎぎくぐぐぐけげげげこごごごさざざざしじじじすずずず"
+            "せぜぜぜそぞぞぞただだだちぢぢぢつづづづてでででとどどどはばばば"
+            "ひびびびふぶぶぶへべべべほぼぼぼ")
+    assert norm(src) == want
+
+
+def test_iteration_mark_flags_and_analyzer():
+    from lucene_solr_old_ray.functions.charfilter import (
+        iteration_mark_normalize as norm,
+    )
+
+    assert norm("時々", normalize_kanji=False) == "時々"
+    assert norm("おゝの", normalize_kana=False) == "おゝの"
+
+    # analyzer dispatch: char filter in front of the CJK bigram chain
+    ab = analyze_batch(["時々"], with_positions=True,
+                       analyzer="iteration_mark")
+    assert [str(ab.uniques[c]) for c in ab.term_codes] == ["時時"]
