@@ -1306,6 +1306,39 @@ def analyze_batch(
             ab.start_offsets = s_off.astype(np.int32)
             ab.end_offsets = e_off.astype(np.int32)
         return ab
+    if analyzer.startswith("pattern_replace_char:"):
+        # "pattern_replace_char:<regex>:<repl>" -> standard chain over the
+        # replaced text (PatternReplaceCharFilter); offsets corrected back
+        # onto the original via the shared checkpoint maps (repl = the part
+        # after the LAST ':', Java-style $n group refs supported)
+        from .charfilter import correct_offsets, pattern_replace_char_filter
+
+        arg = analyzer.split(":", 1)[1]
+        rx_s, _, repl = arg.rpartition(":")
+        rx = re.compile(rx_s)
+        texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                      else list(texts))
+        replaced: list[str] = []
+        maps: list[tuple[np.ndarray, np.ndarray]] = []
+        for t in texts_list:
+            s, op, df = pattern_replace_char_filter(t or "", rx, repl)
+            replaced.append(s)
+            maps.append((op, df))
+        ab = analyze_batch(pa.array(replaced, pa.string()), with_positions,
+                           "standard", synonyms, with_offsets)
+        if with_offsets and ab.start_offsets is not None and len(ab.doc_ids):
+            s_off = ab.start_offsets.astype(np.int64)
+            e_off = ab.end_offsets.astype(np.int64)
+            for di, (op, df) in enumerate(maps):
+                if len(op) == 0:
+                    continue
+                m = ab.doc_ids == di
+                if m.any():
+                    s_off[m] = correct_offsets(s_off[m], op, df)
+                    e_off[m] = correct_offsets(e_off[m], op, df)
+            ab.start_offsets = s_off.astype(np.int32)
+            ab.end_offsets = e_off.astype(np.int32)
+        return ab
     if analyzer.startswith("iteration_mark"):
         # "iteration_mark" (-> cjk chain) or "iteration_mark:<inner>":
         # JapaneseIterationMarkCharFilter in front of any chain; 1:1

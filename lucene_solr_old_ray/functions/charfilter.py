@@ -274,3 +274,38 @@ def iteration_mark_normalize(
                 out[i] = _normalize_one(text[i - size], c)
         i += 1
     return "".join(out)
+
+
+def pattern_replace_char_filter(
+    text: str, rx: "re.Pattern | str", repl: str
+) -> tuple[str, np.ndarray, np.ndarray]:
+    """PatternReplaceCharFilter.java (4.x): regex replacement over the whole
+    input with Java-style ``$n`` group references; returns (replaced,
+    checkpoint_outpos, checkpoint_diff) for the same vectorized
+    ``correct_offsets`` path as the other char filters."""
+    if isinstance(rx, str):
+        rx = re.compile(rx)
+    repl_py = re.sub(r"\$(\d)", r"\\\1", repl)
+    out: list[str] = []
+    outpos: list[int] = []
+    diffs: list[int] = []
+    cum = 0
+    out_len = 0
+    pos = 0
+    for m in rx.finditer(text):
+        s, e = m.span()
+        rep = m.expand(repl_py)
+        if s > pos:
+            out.append(text[pos:s])
+            out_len += s - pos
+        out.append(rep)
+        out_len += len(rep)
+        if (e - s) != len(rep):
+            cum += (e - s) - len(rep)
+            outpos.append(out_len)
+            diffs.append(cum)
+        pos = e
+    if pos < len(text):
+        out.append(text[pos:])
+    return ("".join(out), np.asarray(outpos, dtype=np.int64),
+            np.asarray(diffs, dtype=np.int64))

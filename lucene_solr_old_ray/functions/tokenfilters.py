@@ -611,6 +611,15 @@ def _expand_subwords(st: _Stream, per_u: "list[np.ndarray]") -> None:
     cnt = np.fromiter((len(x) for x in per_u), count=len(st.uniques),
                       dtype=np.int64)
     if (cnt == 1).all():
+        # no stacking anywhere — but element 0 may still REPLACE the
+        # original term (pattern_capture non-preserve mode)
+        if all(per_u[i][0] == u for i, u in enumerate(st.uniques)):
+            return
+        codes, uniques = pd.factorize(
+            np.asarray([x[0] for x in per_u], dtype=object)[st.codes],
+            sort=False)
+        st.codes = codes.astype(np.int64)
+        st.uniques = np.asarray(uniques, dtype=object)
         return
     poff = np.zeros(len(st.uniques) + 1, dtype=np.int64)
     np.cumsum(cnt, out=poff[1:])
@@ -708,10 +717,35 @@ def _limit_per_doc(st: _Stream, n: int) -> None:
     _compact_vocab(st)
 
 
+def _capture_tokens(token: str, rx: re.Pattern, preserve: bool) -> list[str]:
+    """PatternCaptureGroupTokenFilter.java:60-130 for ONE token: captures
+    in match-then-group order; empty captures skipped; a whole-token
+    capture skipped when preserving; first capture replaces the token
+    unless preserving."""
+    caps: list[str] = []
+    n = len(token)
+    for m in rx.finditer(token):
+        for g in range(1, rx.groups + 1):
+            s, e = m.start(g), m.end(g)
+            if s < 0 or s == e:
+                continue
+            if preserve and s == 0 and e == n:
+                continue
+            caps.append(token[s:e])
+    if preserve:
+        return [token] + caps
+    return caps if caps else [token]
+
+
 def parse_chain(spec: str):
-    """``chain:tok|f1|f2:args`` -> (tokenizer, [(name, argstr), ...])."""
+    """``chain:tok|f1|f2:args`` -> (tokenizer, [(name, argstr), ...]);
+    a ``\\|`` inside an arg (regex alternation) escapes the separator."""
     body = spec.split(":", 1)[1] if spec.startswith("chain:") else spec
-    steps = [s for s in body.split("|") if s]
+    if "\\|" in body:
+        steps = [s.replace("\x00", "|")
+                 for s in body.replace("\\|", "\x00").split("|") if s]
+    else:
+        steps = [s for s in body.split("|") if s]
     tokenizer = "standard"
     if steps and steps[0] in ("standard", "whitespace", "letter", "keyword"):
         tokenizer = steps.pop(0)
@@ -801,6 +835,29 @@ def run_chain(texts: list, spec: str, stop_words=None) -> _Stream:
             hit = np.asarray([u in table for u in st.uniques], dtype=bool)
             st.keyword |= hit[st.codes]
             _map_terms(st, lambda t: table.get(t, t))
+        elif name == "pattern_replace":
+            # pattern_replace:<regex>:<repl>[:first] — PatternReplaceFilter
+            # (replacement must not contain ':'; escape '|' in the regex
+            # as '\|'); Java-style $n group refs supported
+            parts = args.rsplit(":", 1)
+            first = False
+            if parts[-1] == "first" and len(parts) > 1:
+                first = True
+                args = parts[0]
+            rx_s, _, repl = args.rpartition(":")
+            rx = re.compile(rx_s)
+            repl_py = re.sub(r"\$(\d)", r"\\\1", repl)
+            fn = (lambda t: rx.sub(repl_py, t, count=1)) if first else (
+                lambda t: rx.sub(repl_py, t))
+            _map_terms(st, fn)
+        elif name == "pattern_capture":
+            # pattern_capture:<0|1 preserveOriginal>:<regex>
+            preserve, _, rx_s = args.partition(":")
+            rx = re.compile(rx_s)
+            pres = preserve == "1"
+            per_u = [np.asarray(_capture_tokens(u, rx, pres), dtype=object)
+                     for u in st.uniques]
+            _expand_subwords(st, per_u)
         elif name == "hunspell_stem":
             # hunspell_stem:<aff-path>:<dic-path>[:ignorecase][:nodedup]
             parts = args.split(":")

@@ -664,3 +664,77 @@ def test_iteration_mark_flags_and_analyzer():
     ab = analyze_batch(["時々"], with_positions=True,
                        analyzer="iteration_mark")
     assert [str(ab.uniques[c]) for c in ab.term_codes] == ["時時"]
+
+
+# -------------------------------------------------------- pattern filters
+
+
+def test_pattern_replace_filter():
+    # TestPatternReplaceFilter.java testReplaceAll / testReplaceFirst
+    text = "aabfooaabfooabfoob ab caaaaaaaaab"
+    terms, _ = _terms_positions(
+        text, "chain:whitespace|pattern_replace:a*b:-")
+    assert terms == ["-foo-foo-foo-", "-", "c-"]
+    terms, _ = _terms_positions(
+        text, "chain:whitespace|pattern_replace:a*b:-:first")
+    assert terms == ["-fooaabfooabfoob", "-", "c-"]
+    # strip (empty replacement) — empty result terms stay in the stream
+    terms, _ = _terms_positions(
+        text, "chain:whitespace|pattern_replace:a*b:")
+    assert terms == ["foofoofoo", "", "c"]
+    # $n group reference
+    terms, _ = _terms_positions(
+        "foobar", "chain:whitespace|pattern_replace:foo(.*):$1$1")
+    assert terms == ["barbar"]
+
+
+def test_pattern_capture_group_filter():
+    # TestPatternCaptureGroupTokenFilter.java vectors
+    def caps(text, rx, preserve):
+        pres = "1" if preserve else "0"
+        return _stream(text, f"chain:whitespace|pattern_capture:{pres}:{rx}")
+
+    # no match / no capture group: token unchanged
+    assert caps("foobarbaz", "xx", False)[0] == ["foobarbaz"]
+    assert caps("foobarbaz", "..", False)[0] == ["foobarbaz"]
+    # empty capture skipped
+    assert caps("foobarbaz", ".(y*)", False)[0] == ["foobarbaz"]
+    # whole-token capture: replaces when not preserving, skipped when
+    # preserving
+    assert caps("foobarbaz", "(.+)", False)[0] == ["foobarbaz"]
+    assert caps("foobarbaz", "(.+)", True)[0] == ["foobarbaz"]
+    # captureStart
+    assert caps("foobarbaz", "^(.)", False)[0] == ["f"]
+    t, p, inj, _ = caps("foobarbaz", "^(.)", True)
+    assert t == ["foobarbaz", "f"] and inj == [False, True] and p == [0, 0]
+    # multiple groups across repeated matches, camel-case style
+    # '|' alternation inside a chain-step regex rides as the '\|' escape
+    t, _, inj, _ = caps("letsPartyLikeIts1999", "([A-Za-z]+\\|[0-9]+)", True)
+    assert t == ["letsPartyLikeIts1999", "letsPartyLikeIts", "1999"]
+    t, _, _, _ = caps("foobarbaz", "(o+)", True)
+    assert t == ["foobarbaz", "oo"]
+
+
+def test_pattern_replace_char_filter_offsets():
+    from lucene_solr_old_ray.functions.charfilter import (
+        correct_offsets,
+        pattern_replace_char_filter,
+    )
+
+    # TestPatternReplaceCharFilter-style: replacement shrinks the text;
+    # offsets of later tokens corrected back onto the original
+    out, op, df = pattern_replace_char_filter("aa bb cc", "aa", "a")
+    assert out == "a bb cc"
+    assert correct_offsets(np.array([2, 5]), op, df).tolist() == [3, 6]
+    # group refs
+    # "(\w+)(ing)" needs a \w before "ing", so "see-ing" survives
+    out, _, _ = pattern_replace_char_filter("see-ing looking", "(\\w+)(ing)",
+                                            "$1")
+    assert out == "see-ing look"
+
+    # analyzer prefix end to end with offsets
+    ab = analyze_batch(["numbers 123 456"], with_positions=True,
+                       analyzer="pattern_replace_char:[0-9]+:#",
+                       with_offsets=True)
+    terms = [str(ab.uniques[c]) for c in ab.term_codes]
+    assert terms == ["numbers"]
