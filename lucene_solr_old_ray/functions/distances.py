@@ -1,0 +1,110 @@
+"""StringDistance family for spell suggestion ranking.
+
+Re-expresses (NOT ports) the reference's ``suggest/.../spell`` distance
+implementations as pure float32 functions:
+
+- ``jaro_winkler_distance`` — ``JaroWinklerDistance.java:40-110`` (match
+  window max(|max|/2-1, 0), half-transpositions, common-prefix bonus
+  min(0.1, 1/|max|) above the 0.7 threshold)
+- ``ngram_distance`` — ``NGramDistance.java:60-130`` (n-gram-cost
+  Levenshtein with null-prefix padding and prefix-match discounting)
+- ``lucene_levenshtein_distance`` — ``LuceneLevenshteinDistance.java:45-95``
+  (Damerau transpositions; NOTE the reference returns
+  ``1 - d/min(m,n)``, which can go negative — bug-compatible)
+
+All operate on code points (Python strings), matching the reference's
+IntsRef conversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def jaro_winkler_distance(s1: str, s2: str, threshold: float = 0.7) -> float:
+    if len(s1) > len(s2):
+        mx, mn = s1, s2
+    else:
+        mx, mn = s2, s1
+    rng = max(len(mx) // 2 - 1, 0)
+    match_idx = [-1] * len(mn)
+    match_flags = [False] * len(mx)
+    matches = 0
+    for mi, c1 in enumerate(mn):
+        for xi in range(max(mi - rng, 0), min(mi + rng + 1, len(mx))):
+            if not match_flags[xi] and c1 == mx[xi]:
+                match_idx[mi] = xi
+                match_flags[xi] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    ms1 = [mn[i] for i in range(len(mn)) if match_idx[i] != -1]
+    ms2 = [mx[i] for i in range(len(mx)) if match_flags[i]]
+    transpositions = sum(a != b for a, b in zip(ms1, ms2)) // 2
+    # the reference's prefix loop runs over min-length chars of s1/s2
+    prefix = 0
+    for mi in range(len(mn)):
+        if s1[mi] == s2[mi]:
+            prefix += 1
+        else:
+            break
+    m = np.float32(matches)
+    j = np.float32(
+        (m / np.float32(len(s1)) + m / np.float32(len(s2))
+         + (m - np.float32(transpositions)) / m) / np.float32(3))
+    if j < threshold:
+        return float(j)
+    return float(j + min(np.float32(0.1),
+                         np.float32(1) / np.float32(len(mx)))
+                 * np.float32(prefix) * (np.float32(1) - j))
+
+
+def ngram_distance(source: str, target: str, n: int = 2) -> float:
+    sl, tl = len(source), len(target)
+    if sl == 0 or tl == 0:
+        return 1.0 if sl == tl else 0.0
+    if sl < n or tl < n:
+        cost = sum(a == b for a, b in zip(source, target))
+        return float(np.float32(cost) / np.float32(max(sl, tl)))
+    sa = "\0" * (n - 1) + source
+    p = np.arange(sl + 1, dtype=np.float32)
+    d = np.zeros(sl + 1, dtype=np.float32)
+    for j in range(1, tl + 1):
+        if j < n:
+            t_j = "\0" * (n - j) + target[:j]
+        else:
+            t_j = target[j - n:j]
+        d[0] = j
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for ni in range(n):
+                if sa[i - 1 + ni] != t_j[ni]:
+                    cost += 1
+                elif sa[i - 1 + ni] == "\0":
+                    tn -= 1
+            ec = np.float32(cost) / np.float32(tn)
+            d[i] = min(min(d[i - 1] + 1, p[i] + 1), p[i - 1] + ec)
+        p, d = d, p
+    return float(np.float32(1.0) - p[sl] / np.float32(max(tl, sl)))
+
+
+def lucene_levenshtein_distance(target: str, other: str) -> float:
+    n, m = len(target), len(other)
+    if n == 0 or m == 0:
+        return 0.0 if n == m else float(max(n, m))
+    d = np.zeros((n + 1, m + 1), dtype=np.int64)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for j in range(1, m + 1):
+        t_j = other[j - 1]
+        for i in range(1, n + 1):
+            cost = 0 if target[i - 1] == t_j else 1
+            v = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and target[i - 1] == other[j - 2]
+                    and target[i - 2] == other[j - 1]):
+                v = min(v, d[i - 2][j - 2] + cost)
+            d[i][j] = v
+    return float(np.float32(1.0)
+                 - np.float32(d[n][m]) / np.float32(min(m, n)))

@@ -42,6 +42,7 @@ def spell_suggest(
     min_prefix: int = 1,
     accuracy: float = 0.5,
     transpositions: bool = False,
+    distance: str = "levenstein",
 ) -> pa.Table:
     """-> (query, rank, suggestion, score float32, df) rows, ordered by
     (query, rank); queries present in the index produce no rows
@@ -110,14 +111,34 @@ def spell_suggest(
               & ~agg["query"].isin(present)].reset_index(drop=True)
     if len(agg) == 0:
         return pa.Table.from_pandas(pd.DataFrame(cols), preserve_index=False)
-    maxlen = np.maximum(
-        agg["term"].str.len().to_numpy(), agg["query"].str.len().to_numpy()
-    ).astype(np.float32)
-    score = np.subtract(
-        F(1.0),
-        np.divide(agg["ed"].to_numpy().astype(np.float32), maxlen,
-                  dtype=np.float32),
-        dtype=np.float32)
+    if distance == "levenstein":
+        maxlen = np.maximum(
+            agg["term"].str.len().to_numpy(),
+            agg["query"].str.len().to_numpy()
+        ).astype(np.float32)
+        score = np.subtract(
+            F(1.0),
+            np.divide(agg["ed"].to_numpy().astype(np.float32), maxlen,
+                      dtype=np.float32),
+            dtype=np.float32)
+    else:
+        # StringDistance SPI (DirectSpellChecker.setDistance analogue):
+        # candidates admitted by the edit-window scan, rescored by the
+        # chosen comparator (functions/distances.py)
+        from ..functions import distances as dlib
+
+        if distance == "jaro_winkler":
+            fn = dlib.jaro_winkler_distance
+        elif distance.startswith("ngram"):
+            n = int(distance.split(":", 1)[1]) if ":" in distance else 2
+            fn = lambda a, b: dlib.ngram_distance(a, b, n)
+        elif distance == "lucene_levenshtein":
+            fn = dlib.lucene_levenshtein_distance
+        else:
+            raise ValueError(f"unknown distance {distance!r}")
+        score = np.fromiter(
+            (fn(q, t) for q, t in zip(agg["query"], agg["term"])),
+            count=len(agg), dtype=np.float32)
     agg = agg.assign(score=score)
     agg = agg[agg["score"] >= F(accuracy)]
     agg = agg.sort_values(["query", "score", "df", "term"],

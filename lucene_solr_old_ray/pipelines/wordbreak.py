@@ -1,0 +1,211 @@
+"""WordBreakSpellChecker — break/combine suggestions from index docFreqs.
+
+Re-expresses (NOT ports) ``lucene/suggest/src/java/org/apache/lucene/
+search/spell/WordBreakSpellChecker.java``:
+
+- ``suggest_word_breaks`` (``:78-130`` + ``generateBreakUpSuggestions``
+  ``:250-300``): recursive binary splits; the left part must clear the
+  frequency floor for the split to be offered OR recursed; results ordered
+  by (fewest words, then max- or summed-frequency desc); every word of a
+  k-way suggestion carries score = k-1 (number of breaks)
+- ``suggest_word_combinations`` (``:135-225``): adjacent-run concatenation
+  up to maxChanges/maxCombineWordLength with the per-mode frequency gates,
+  ordered by (fewest combined words, freq desc); score = words combined - 1
+- the evaluation caps (maxEvaluations; our counter is shared across the
+  recursion, so behavior at the exact cap boundary may admit slightly
+  fewer candidates than the reference's per-level counters — identical
+  whenever the cap does not bind).
+
+Distribution shape: docFreq probes are BATCHED — each recursion level
+prefetches every split candidate of its term in ONE ``gather_stats`` pass
+(a handful of control-plane Ray tasks over the leaf term dicts), so a
+suggestion call costs O(maxChanges) stats passes, not O(candidates).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..state import manifest as mf
+from .search import gather_stats
+
+NUM_CHANGES_THEN_MAX_FREQUENCY = "max"
+NUM_CHANGES_THEN_SUMMED_FREQUENCY = "sum"
+
+# SuggestMode (spell/SuggestMode.java)
+SUGGEST_WHEN_NOT_IN_INDEX = "when_not_in_index"
+SUGGEST_MORE_POPULAR = "more_popular"
+SUGGEST_ALWAYS = "always"
+
+SEPARATOR_TERM = ""
+
+
+@dataclass
+class SuggestWord:
+    string: str
+    freq: int
+    score: int
+
+
+class _DocFreqs:
+    """Memoizing batched docFreq provider over the index term dicts."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = mf.read_index_manifest(index_dir)
+        self._df: dict[str, int] = {}
+
+    def prefetch(self, terms) -> None:
+        missing = sorted({t for t in terms if t not in self._df})
+        if not missing:
+            return
+        ctx = gather_stats(self.index_dir, self.manifest, missing)
+        for t in missing:
+            self._df[t] = ctx.term_stats.get(t, (0, 0))[0]
+
+    def df(self, term: str) -> int:
+        if term not in self._df:
+            self.prefetch([term])
+        return self._df[term]
+
+
+class WordBreakSpellChecker:
+    """Parameter defaults match the reference (``:40-46``)."""
+
+    def __init__(self, index_dir: str, *, min_suggestion_frequency: int = 1,
+                 min_break_word_length: int = 1,
+                 max_combine_word_length: int = 20, max_changes: int = 1,
+                 max_evaluations: int = 1000):
+        self.dfs = _DocFreqs(index_dir)
+        self.min_suggestion_frequency = min_suggestion_frequency
+        self.min_break_word_length = min_break_word_length
+        self.max_combine_word_length = max_combine_word_length
+        self.max_changes = max_changes
+        self.max_evaluations = max_evaluations
+
+    # ------------------------------------------------------------- breaks
+
+    def suggest_word_breaks(
+        self, term: str, max_suggestions: int = 5,
+        suggest_mode: str = SUGGEST_WHEN_NOT_IN_INDEX,
+        sort_method: str = NUM_CHANGES_THEN_MAX_FREQUENCY,
+    ) -> list[list[SuggestWord]]:
+        if max_suggestions < 1:
+            return []
+        orig_freq = self.dfs.df(term)
+        if orig_freq > 0 and suggest_mode == SUGGEST_WHEN_NOT_IN_INDEX:
+            return []
+        min_freq = self.min_suggestion_frequency
+        if suggest_mode == SUGGEST_MORE_POPULAR:
+            min_freq = 1 if orig_freq == 0 else orig_freq
+        out: list[list[SuggestWord]] = []
+        self._gen_breaks(term, 1, min_freq, [], out, [0])
+        if sort_method == NUM_CHANGES_THEN_SUMMED_FREQUENCY:
+            key = lambda ws: (len(ws), -sum(w.freq for w in ws))
+        else:
+            key = lambda ws: (len(ws), -max(w.freq for w in ws))
+        out.sort(key=key)
+        return out[:max_suggestions]
+
+    def _gen_breaks(self, term: str, number_breaks: int, min_freq: int,
+                    prefix: list[SuggestWord],
+                    out: list[list[SuggestWord]],
+                    total_evals: list[int]) -> None:
+        n = len(term)
+        w = max(1, self.min_break_word_length)
+        if n < 2 * w:
+            return
+        # ONE batched stats pass for every split candidate of this term
+        self.dfs.prefetch([term[:i] for i in range(w, n - w + 1)]
+                          + [term[i:] for i in range(w, n - w + 1)])
+        for i in range(w, n - w + 1):
+            left, right = term[:i], term[i:]
+            lf = self.dfs.df(left)
+            if lf >= min_freq:
+                rf = self.dfs.df(right)
+                if rf >= min_freq:
+                    score = len(prefix) + 1
+                    words = (
+                        [SuggestWord(p.string, p.freq, score)
+                         for p in prefix]
+                        + [SuggestWord(left, lf, score),
+                           SuggestWord(right, rf, score)])
+                    out.append(words)
+                if number_breaks + 1 <= self.max_changes:
+                    self._gen_breaks(
+                        right, number_breaks + 1, min_freq,
+                        prefix + [SuggestWord(left, lf, 1)], out,
+                        total_evals)
+            total_evals[0] += 1
+            if total_evals[0] >= self.max_evaluations:
+                break
+
+    # ------------------------------------------------------- combinations
+
+    def suggest_word_combinations(
+        self, terms: list[str], max_suggestions: int = 5,
+        suggest_mode: str = SUGGEST_WHEN_NOT_IN_INDEX,
+    ) -> list[tuple[SuggestWord, list[int]]]:
+        """-> [(suggestion, original_term_indexes), ...] best first."""
+        if max_suggestions < 1:
+            return []
+        orig_freqs = None
+        if suggest_mode != SUGGEST_ALWAYS:
+            self.dfs.prefetch([t for t in terms if t != SEPARATOR_TERM])
+            orig_freqs = [self.dfs.df(t) if t != SEPARATOR_TERM else 0
+                          for t in terms]
+        # prefetch all candidate concatenations in one pass
+        cands = []
+        for i in range(len(terms) - 1):
+            if terms[i] == SEPARATOR_TERM:
+                continue
+            combined = terms[i]
+            for j in range(i + 1, min(len(terms),
+                                      i + self.max_changes + 1)):
+                if terms[j] == SEPARATOR_TERM:
+                    break
+                combined += terms[j]
+                if len(combined) > self.max_combine_word_length:
+                    break
+                cands.append(combined)
+        self.dfs.prefetch(cands)
+
+        out: list[tuple[SuggestWord, list[int], int]] = []
+        evals = 0
+        for i in range(len(terms) - 1):
+            if terms[i] == SEPARATOR_TERM:
+                continue
+            left = terms[i]
+            if len(left) > self.max_combine_word_length:
+                continue
+            max_f = min_f = orig_freqs[i] if orig_freqs else 0
+            if orig_freqs is None:
+                min_f = 2 ** 31 - 1
+            combined = left
+            stop = False
+            for j in range(i + 1, len(terms)):
+                if j - i > self.max_changes or stop:
+                    break
+                if terms[j] == SEPARATOR_TERM:
+                    break
+                combined += terms[j]
+                if len(combined) > self.max_combine_word_length:
+                    break
+                if orig_freqs is not None:
+                    max_f = max(max_f, orig_freqs[j])
+                    min_f = min(min_f, orig_freqs[j])
+                cf = self.dfs.df(combined)
+                if (suggest_mode != SUGGEST_MORE_POPULAR or cf >= max_f) and \
+                   (suggest_mode != SUGGEST_WHEN_NOT_IN_INDEX
+                        or min_f == 0) and cf >= self.min_suggestion_frequency:
+                    idxs = list(range(i, j + 1))
+                    out.append((SuggestWord(combined, cf, len(idxs) - 1),
+                                idxs, len(idxs) - 1))
+                evals += 1
+                if evals == self.max_evaluations:
+                    stop = True
+                    break
+            if stop:
+                break
+        out.sort(key=lambda t: (t[2], -t[0].freq))
+        return [(w, idxs) for w, idxs, _ in out[:max_suggestions]]

@@ -1,0 +1,117 @@
+"""StringDistance family (functions/distances.py) vs the reference's
+TestJaroWinklerDistance / TestNGramDistance / TestLuceneLevenshtein
+vectors."""
+
+import pytest
+
+from lucene_solr_old_ray.functions.distances import (
+    jaro_winkler_distance,
+    lucene_levenshtein_distance,
+    ngram_distance,
+)
+
+
+def test_jaro_winkler_reference_vectors():
+    assert jaro_winkler_distance("al", "al") == 1.0
+    d = jaro_winkler_distance("martha", "marhta")
+    assert 0.961 < d < 0.962
+    d = jaro_winkler_distance("jones", "johnson")
+    assert 0.832 < d < 0.833
+    d = jaro_winkler_distance("abcvwxyz", "cabvwxyz")
+    assert 0.958 < d < 0.959
+    d = jaro_winkler_distance("dwayne", "duane")
+    assert 0.84 < d < 0.841
+    d = jaro_winkler_distance("dixon", "dicksonx")
+    assert 0.813 < d < 0.814
+    d = jaro_winkler_distance("fvie", "ten")
+    assert d == 0.0
+    assert (jaro_winkler_distance("zac ephron", "zac efron")
+            > jaro_winkler_distance("zac ephron", "kai ephron"))
+    assert (jaro_winkler_distance("brittney spears", "britney spears")
+            > jaro_winkler_distance("brittney spears", "brittney startzman"))
+
+
+N1 = [("al", "al", 1.0), ("a", "a", 1.0), ("b", "a", 0.0),
+      ("martha", "marhta", 0.6666), ("jones", "johnson", 0.4285),
+      ("natural", "contrary", 0.25), ("abcvwxyz", "cabvwxyz", 0.75),
+      ("dwayne", "duane", 0.666), ("dixon", "dicksonx", 0.5),
+      ("six", "ten", 0.0)]
+N2 = [("al", "al", 1.0), ("a", "a", 1.0), ("b", "a", 0.0),
+      ("a", "aa", 0.5), ("martha", "marhta", 0.6666),
+      ("jones", "johnson", 0.4285), ("natural", "contrary", 0.25),
+      ("abcvwxyz", "cabvwxyz", 0.625), ("dwayne", "duane", 0.5833),
+      ("dixon", "dicksonx", 0.5), ("six", "ten", 0.0)]
+N3 = [("al", "al", 1.0), ("a", "a", 1.0), ("b", "a", 0.0),
+      ("martha", "marhta", 0.7222), ("jones", "johnson", 0.4762),
+      ("natural", "contrary", 0.2083), ("abcvwxyz", "cabvwxyz", 0.5625),
+      ("dwayne", "duane", 0.5277), ("dixon", "dicksonx", 0.4583),
+      ("six", "ten", 0.0)]
+
+
+@pytest.mark.parametrize("n,vectors", [(1, N1), (2, N2), (3, N3)])
+def test_ngram_reference_vectors(n, vectors):
+    for s, t, want in vectors:
+        assert abs(ngram_distance(s, t, n) - want) < 0.001, (n, s, t)
+    assert (ngram_distance("brittney spears", "britney spears", n)
+            > ngram_distance("brittney spears", "brittney startzman", n))
+
+
+def test_ngram_orderings():
+    assert abs(ngram_distance("zac ephron", "zac efron", 1)
+               - ngram_distance("zac ephron", "kai ephron", 1)) < 0.001
+    assert (ngram_distance("zac ephron", "zac efron", 2)
+            > ngram_distance("zac ephron", "kai ephron", 2))
+    assert (ngram_distance("0012345678", "0012890678", 3)
+            < ngram_distance("0012345678", "0072385698", 3))
+
+
+def test_lucene_levenshtein():
+    # Damerau: one transposition = one edit; similarity 1 - d/min(m,n)
+    assert lucene_levenshtein_distance("foobar", "foobar") == 1.0
+    d = lucene_levenshtein_distance("foobar", "fooabr")  # transposition
+    assert abs(d - (1.0 - 1.0 / 6.0)) < 1e-6
+    d = lucene_levenshtein_distance("foobar", "foobaz")
+    assert abs(d - (1.0 - 1.0 / 6.0)) < 1e-6
+    # empty-string degenerate branch mirrors the reference (returns the
+    # raw length, a documented quirk)
+    assert lucene_levenshtein_distance("", "") == 0.0
+    assert lucene_levenshtein_distance("ab", "") == 2.0
+
+
+def test_spell_suggest_distance_spi(ray_session, tmp_path):
+    """DirectSpellChecker.setDistance analogue: the admitted candidate set
+    is rescored by the chosen comparator; each produces its own order."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.spell import spell_suggest
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = ["martha marhta jones johnson dixon dickson",
+            "marhta dickson dickson"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(files=(p,), content_col="text",
+                           meta_cols=("doc_id",)), idx,
+                target_docs_per_partition=10)
+
+    for dist, fn in [
+        ("jaro_winkler", jaro_winkler_distance),
+        ("ngram:2", lambda a, b: ngram_distance(a, b, 2)),
+        ("lucene_levenshtein", lucene_levenshtein_distance),
+    ]:
+        got = spell_suggest(idx, ["martka"], num_sug=5, accuracy=0.0,
+                            distance=dist).to_pandas()
+        assert len(got) > 0, dist
+        for _, r in got.iterrows():
+            assert abs(r["score"] - np.float32(fn("martka",
+                                                  r["suggestion"]))) < 1e-6
+        # scores non-increasing by rank
+        s = got.sort_values("rank")["score"].to_numpy()
+        assert (s[:-1] >= s[1:]).all(), dist

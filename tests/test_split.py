@@ -1,0 +1,106 @@
+"""Index splitters (pipelines/split.py) vs direct re-derivations:
+IndexSplitter whole-segment moves, MultiPassIndexSplitter round-robin +
+sequential parts, PKIndexSplitter predicate split."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.split import (
+    multi_pass_split,
+    pk_split,
+    split_segments,
+)
+from lucene_solr_old_ray.queries import TermQuery
+from lucene_solr_old_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def src_index(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    tmp = tmp_path_factory.mktemp("split_src")
+    docs = [f"doc number {i} {'red' if i % 3 == 0 else 'blue'} token"
+            for i in range(40)]
+    path = str(tmp / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), path)
+    idx = str(tmp / "idx")
+    # several small segments so splitting has structure to move
+    build_index(CorpusSpec(files=(path,), content_col="text",
+                           meta_cols=("doc_id",)), idx,
+                target_docs_per_partition=10)
+    return idx, tmp
+
+
+def _doc_ids(index_dir):
+    from lucene_solr_old_ray.pipelines.search import fetch_doc_meta, search
+
+    man = mf.read_index_manifest(index_dir)
+    n = man["stats"]["max_doc"]
+    t = search(index_dir, [TermQuery("token")], k=n + 10)
+    meta = fetch_doc_meta(index_dir, t["docid"].to_pylist())
+    return sorted(meta.to_pandas()["doc_id"].astype(int).tolist())
+
+
+def test_split_segments_whole_segment_move(src_index, tmp_path):
+    idx, _ = src_index
+    man = mf.read_index_manifest(idx)
+    segs = [s["dir"] for s in man["segments"]]
+    assert len(segs) >= 3
+    dest = str(tmp_path / "part")
+    split_segments(idx, dest, segs[:2])
+    dman = mf.read_index_manifest(dest)
+    assert len(dman["segments"]) == 2
+    # docs in the split = docs of the chosen segments
+    want_n = sum(s["num_docs"] for s in man["segments"]
+                 if s["dir"] in segs[:2])
+    assert dman["stats"]["max_doc"] == want_n
+    assert len(_doc_ids(dest)) == want_n
+    # stats recomputed from the chosen segments only
+    assert 0 < dman["stats"]["sum_total_term_freq"] < \
+        man["stats"]["sum_total_term_freq"]
+
+    with pytest.raises(ValueError):
+        split_segments(idx, str(tmp_path / "bad"), ["nope"])
+
+
+def test_multi_pass_split_round_robin(src_index, tmp_path):
+    idx, _ = src_index
+    outs = [str(tmp_path / f"p{i}") for i in range(3)]
+    manifests = multi_pass_split(idx, outs)
+    assert len(manifests) == 3
+    all_ids = []
+    for i, o in enumerate(outs):
+        ids = _doc_ids(o)
+        # round-robin: doc j lands in part j % n
+        assert ids == [j for j in range(40) if j % 3 == i]
+        all_ids += ids
+    assert sorted(all_ids) == list(range(40))
+
+
+def test_multi_pass_split_sequential(src_index, tmp_path):
+    idx, _ = src_index
+    outs = [str(tmp_path / f"s{i}") for i in range(3)]
+    multi_pass_split(idx, outs, seq=True)
+    # partLen = 40 // 3 = 13; last part takes the remainder
+    assert _doc_ids(outs[0]) == list(range(0, 13))
+    assert _doc_ids(outs[1]) == list(range(13, 26))
+    assert _doc_ids(outs[2]) == list(range(26, 40))
+
+
+def test_pk_split_by_predicate(src_index, tmp_path):
+    idx, _ = src_index
+    a, b = pk_split(idx, TermQuery("red"),
+                    str(tmp_path / "red"), str(tmp_path / "rest"))
+    red_ids = _doc_ids(str(tmp_path / "red"))
+    rest_ids = _doc_ids(str(tmp_path / "rest"))
+    assert red_ids == [i for i in range(40) if i % 3 == 0]
+    assert rest_ids == [i for i in range(40) if i % 3 != 0]
+    # the split outputs are searchable, compacted indexes
+    assert a["stats"]["max_doc"] == len(red_ids)
+    assert b["stats"]["max_doc"] == len(rest_ids)

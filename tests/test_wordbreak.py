@@ -1,0 +1,139 @@
+"""WordBreakSpellChecker (pipelines/wordbreak.py) vs the reference's
+TestWordBreakSpellChecker vectors, over the same English-number corpus."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.wordbreak import (
+    SUGGEST_ALWAYS,
+    SUGGEST_WHEN_NOT_IN_INDEX,
+    WordBreakSpellChecker,
+)
+
+_ONES = ["", "one", "two", "three", "four", "five", "six", "seven",
+         "eight", "nine", "ten", "eleven", "twelve", "thirteen",
+         "fourteen", "fifteen", "sixteen", "seventeen", "eighteen",
+         "nineteen"]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty",
+         "seventy", "eighty", "ninety"]
+
+
+def _int_to_english(i: int) -> str:
+    """English.intToEnglish word stream for 900..1111 after the test's
+    hyphen/comma stripping (whitespace-token equivalent)."""
+    parts = []
+    if i >= 1000:
+        parts += [_ONES[i // 1000], "thousand"]
+        i %= 1000
+    if i >= 100:
+        parts += [_ONES[i // 100], "hundred"]
+        i %= 100
+    if i >= 20:
+        parts.append(_TENS[i // 10])
+        i %= 10
+    if i:
+        parts.append(_ONES[i])
+    return " ".join(parts)
+
+
+@pytest.fixture(scope="module")
+def wb_index(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    tmp = tmp_path_factory.mktemp("wordbreak")
+    docs = [_int_to_english(i) for i in range(900, 1112)]
+    docs += ["thou hast sand betwixt thy toes",
+             "hundredeight eightyeight yeight",
+             "tres y cinco"]
+    path = str(tmp / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), path)
+    idx = str(tmp / "idx")
+    # whitespace chain == the reference's MockTokenizer.WHITESPACE
+    build_index(CorpusSpec(files=(path,), content_col="text",
+                           meta_cols=("doc_id",),
+                           analyzer="chain:whitespace"), idx,
+                target_docs_per_partition=64)
+    merge_index(idx, fan_in=8, strategy="local")
+    return idx
+
+
+def test_breaking_words(wb_index):
+    wbsp = WordBreakSpellChecker(wb_index, max_changes=1)
+    sw = wbsp.suggest_word_breaks("ninetynine", 5)
+    assert len(sw) == 1
+    assert [w.string for w in sw[0]] == ["ninety", "nine"]
+    assert [w.score for w in sw[0]] == [1, 1]
+
+    sw = wbsp.suggest_word_breaks("onethousand", 2)
+    assert [w.string for w in sw[0]] == ["one", "thousand"]
+
+    wbsp = WordBreakSpellChecker(wb_index, max_changes=2)
+    sw = wbsp.suggest_word_breaks("onethousand", 1)
+    assert len(sw) == 1 and len(sw[0]) == 2
+
+    wbsp = WordBreakSpellChecker(wb_index, max_changes=2,
+                                 min_suggestion_frequency=2)
+    sw = wbsp.suggest_word_breaks("onethousand", 2)
+    assert len(sw) == 1 and len(sw[0]) == 2
+
+    wbsp = WordBreakSpellChecker(wb_index, max_changes=2)
+    sw = wbsp.suggest_word_breaks("onethousand", 2)
+    assert len(sw) == 2
+    assert [w.string for w in sw[0]] == ["one", "thousand"]
+    assert [w.score for w in sw[0]] == [1, 1]
+    assert sw[0][1].freq > 1 and sw[0][0].freq > sw[0][1].freq
+    assert [w.string for w in sw[1]] == ["one", "thou", "sand"]
+    assert [w.score for w in sw[1]] == [2, 2, 2]
+    assert sw[1][0].freq > 1 and sw[1][1].freq == 1 and sw[1][2].freq == 1
+
+
+def test_breaking_words_deep(wb_index):
+    term = "onethousandonehundredeleven"
+    wbsp = WordBreakSpellChecker(wb_index, max_changes=3)
+    assert wbsp.suggest_word_breaks(term, 5) == []
+
+    wbsp = WordBreakSpellChecker(wb_index, max_changes=4)
+    sw = wbsp.suggest_word_breaks(term, 5)
+    assert len(sw) == 1 and len(sw[0]) == 5
+
+    wbsp = WordBreakSpellChecker(wb_index, max_changes=5)
+    sw = wbsp.suggest_word_breaks(term, 5)
+    assert len(sw) == 2
+    assert len(sw[0]) == 5 and sw[0][1].string == "thousand"
+    assert len(sw[1]) == 6
+    assert sw[1][1].string == "thou" and sw[1][2].string == "sand"
+
+
+def test_breaking_in_index_suppressed(wb_index):
+    wbsp = WordBreakSpellChecker(wb_index)
+    # "thousand" is in the index: no suggestions in the default mode
+    assert wbsp.suggest_word_breaks("thousand", 5) == []
+
+
+def test_combining_words(wb_index):
+    terms = ["one", "hun", "dred", "eight", "y", "eight"]
+    wbsp = WordBreakSpellChecker(wb_index, max_changes=3,
+                                 max_combine_word_length=20)
+    cs = wbsp.suggest_word_combinations(terms, 10, SUGGEST_ALWAYS)
+    assert len(cs) == 5
+    w, idxs = cs[0]
+    assert (w.string, idxs, w.score) == ("hundred", [1, 2], 1)
+    w, idxs = cs[1]
+    assert (w.string, idxs, w.score) == ("eighty", [3, 4], 1)
+    w, idxs = cs[2]
+    assert (w.string, idxs, w.score) == ("yeight", [4, 5], 1)
+    three_way = {(w.string, tuple(i)) for w, i in cs[3:]}
+    assert three_way == {("hundredeight", (1, 2, 3)),
+                         ("eightyeight", (3, 4, 5))}
+    assert all(w.score == 2 for w, _ in cs[3:])
+
+    cs = wbsp.suggest_word_combinations(terms, 5, SUGGEST_WHEN_NOT_IN_INDEX)
+    assert len(cs) == 2
+    assert cs[0][0].string == "hundred" and cs[0][1] == [1, 2]
+    assert cs[1][0].string == "hundredeight" and cs[1][1] == [1, 2, 3]
