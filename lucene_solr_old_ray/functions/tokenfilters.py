@@ -66,7 +66,18 @@ word lists comma-separated):
                                 path) bound subword candidates; args
                                 ``:<dict|->[:minWord[:minSub[:maxSub
                                 [:longest]]]]`` (``-`` = no dictionary)
+``cjk_width``                   cjk/CJKWidthFilter.java — width folding +
+                                voiced-mark combination
+``katakana_stem[:min]``         ja/JapaneseKatakanaStemFilter.java
+``pattern_replace:rx:repl``     pattern/PatternReplaceFilter.java (``:first``
+                                for first-only; ``$n`` group refs)
+``pattern_capture:0|1:rx``      pattern/PatternCaptureGroupTokenFilter.java
+                                (arg 1 = preserveOriginal)
 ==========================  ====================================================
+
+``run_chain_tee(texts, tokenizer, tails)`` is the TeeSinkTokenFilter
+analogue: one tokenizer pass feeding several independent filter tails.
+A ``\\|`` escapes the step separator inside regex args.
 
 Scale note: the per-doc tokenize loop mirrors the other extension chains
 (word_delimiter, pattern); every filter after it is vocabulary- or
@@ -760,10 +771,32 @@ def run_chain(texts: list, spec: str, stop_words=None) -> _Stream:
     """Tokenize + run every filter step; returns the final stream (overlong
     >255-char terms dropped at the end with position holes, the repo-wide
     indexing bound)."""
-    from .analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH
-
     tokenizer, steps = parse_chain(spec)
     st = _tokenize(texts, tokenizer)
+    return _run_steps(st, steps)
+
+
+def run_chain_tee(texts: list, tokenizer: str,
+                  tails: "list[str]") -> "list[_Stream]":
+    """TeeSinkTokenFilter analogue (``analysis/sinks/
+    TeeSinkTokenFilter.java``): ONE tokenizer pass feeds several
+    independent filter tails — the batch re-expression of tee/sink pairs
+    (e.g. index the same text into a stemmed and an exact field without
+    re-tokenizing).  Each tail is the filter part of a chain spec
+    (``lowercase|stem:english``); returns one stream per tail."""
+    import copy
+
+    base = _tokenize(texts, tokenizer)
+    out = []
+    for tail in tails:
+        _, steps = parse_chain(f"chain:{tokenizer}|{tail}" if tail
+                               else f"chain:{tokenizer}")
+        out.append(_run_steps(copy.deepcopy(base), steps))
+    return out
+
+
+def _run_steps(st: _Stream, steps) -> _Stream:
+    from .analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH
     for name, args in steps:
         if not len(st.codes):
             break

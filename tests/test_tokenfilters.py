@@ -738,3 +738,22 @@ def test_pattern_replace_char_filter_offsets():
                        with_offsets=True)
     terms = [str(ab.uniques[c]) for c in ab.term_codes]
     assert terms == ["numbers"]
+
+
+def test_run_chain_tee():
+    """TeeSinkTokenFilter analogue: one tokenize, several filter tails;
+    tails see independent streams."""
+    from lucene_solr_old_ray.functions.tokenfilters import run_chain_tee
+
+    stemmed, exact, capped = run_chain_tee(
+        ["Running FAST tests"], "whitespace",
+        ["lowercase|stem:english", "lowercase", "capitalization"])
+    assert list(stemmed.terms()) == ["run", "fast", "test"]
+    assert list(exact.terms()) == ["running", "fast", "tests"]
+    assert list(capped.terms()) == ["Running", "Fast", "Tests"]
+    # parity with a from-scratch chain per tail
+    from lucene_solr_old_ray.functions.tokenfilters import run_chain
+
+    solo = run_chain(["Running FAST tests"],
+                     "chain:whitespace|lowercase|stem:english")
+    assert list(solo.terms()) == list(stemmed.terms())
