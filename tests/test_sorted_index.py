@@ -1,0 +1,88 @@
+"""Index sorting + early-terminating sorted top-k (pipelines/
+sorted_index.py) vs full sort_by_field over the same data."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.sorted_index import (
+    build_sorted_index,
+    early_terminating_sorted_topk,
+)
+from lucene_solr_old_ray.queries import MatchAllDocsQuery, TermQuery
+from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+from lucene_solr_old_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def sorted_idx(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sorted")
+    rng = np.random.default_rng(7)
+    n = 120
+    weights = rng.permutation(n).astype(np.int64)
+    docs = [f"doc {'hot' if w < 30 else 'cold'} token w{w}"
+            for w in weights]
+    path = str(tmp / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "weight": pa.array(weights),
+        "text": pa.array(docs, pa.string()),
+    }), path)
+    idx = str(tmp / "idx")
+    spec = CorpusSpec(files=(path,), content_col="text",
+                      meta_cols=("doc_id", "weight"),
+                      extra_fields=(FieldSpec("weight", "weight",
+                                              kind="numeric"),))
+    build_sorted_index(spec, idx, "weight",
+                       target_docs_per_partition=30)
+    return idx, weights
+
+
+def test_manifest_records_sort(sorted_idx):
+    idx, _ = sorted_idx
+    man = mf.read_index_manifest(idx)
+    assert man["sorted_by"] == {"col": "weight", "descending": False}
+    assert len(man["segments"]) >= 2
+
+
+def test_segments_are_range_disjoint(sorted_idx):
+    """The offline Dataset sort yields internally-sorted AND
+    range-disjoint segments — the property early termination exploits."""
+    import os
+
+    idx, _ = sorted_idx
+    man = mf.read_index_manifest(idx)
+    prev_max = None
+    for s in sorted(man["segments"], key=lambda x: x["doc_base"]):
+        dm = pq.read_table(os.path.join(idx, s["dir"], "docmap.parquet"))
+        w = dm["weight"].to_numpy()
+        assert (w[:-1] <= w[1:]).all(), "segment not internally sorted"
+        if prev_max is not None:
+            assert w[0] >= prev_max, "segments overlap"
+        prev_max = w[-1]
+
+
+def test_early_terminating_matches_full_sort(sorted_idx):
+    idx, weights = sorted_idx
+    got = early_terminating_sorted_topk(
+        idx, MatchAllDocsQuery(), "weight", k=10).to_pandas()
+    assert got["value"].tolist() == sorted(weights.tolist())[:10]
+    # ranks are 1-based and values non-decreasing
+    assert got["rank"].tolist() == list(range(1, 11))
+
+    # filtered query path: top-10 hot docs by weight
+    got = early_terminating_sorted_topk(
+        idx, TermQuery("hot"), "weight", k=10).to_pandas()
+    hot = sorted(w for w in weights if w < 30)[:10]
+    assert got["value"].tolist() == hot
+
+
+def test_early_termination_requires_matching_sort(sorted_idx):
+    idx, _ = sorted_idx
+    with pytest.raises(ValueError):
+        early_terminating_sorted_topk(idx, MatchAllDocsQuery(), "weight",
+                                      k=5, descending=True)
+    with pytest.raises(ValueError):
+        early_terminating_sorted_topk(idx, MatchAllDocsQuery(), "other",
+                                      k=5)
