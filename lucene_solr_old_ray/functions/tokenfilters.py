@@ -129,6 +129,8 @@ class _Stream:
 def _tokenize(texts: list, tokenizer: str) -> _Stream:
     from .analysis import tokenize_raw_cased
 
+    if tokenizer == "wikipedia":
+        return _tokenize_wikipedia(texts)
     n_docs = len(texts)
     per_doc: list[list[str]] = []
     for t in texts:
@@ -160,6 +162,40 @@ def _tokenize(texts: list, tokenizer: str) -> _Stream:
     positions = (np.arange(len(doc_ids), dtype=np.int64)
                  - starts[doc_ids]).astype(np.int32)
     return _Stream(doc_ids, positions, codes, uniques, n_docs)
+
+
+def _tokenize_wikipedia(texts: list) -> _Stream:
+    """WikipediaTokenizer as a chain tokenizer (functions/wikipedia.py):
+    positions accumulate the scanner's increments, posIncr-0 tokens ride
+    the inject lane (excluded from norm length)."""
+    from .wikipedia import wikipedia_tokenize
+
+    n_docs = len(texts)
+    flat: list[str] = []
+    doc_ids_l: list[int] = []
+    positions_l: list[int] = []
+    inject_l: list[bool] = []
+    for d, t in enumerate(texts):
+        toks = wikipedia_tokenize(t if isinstance(t, str) else "")
+        pos = -1
+        for tok in toks:
+            pos += tok.pos_inc
+            flat.append(tok.term)
+            doc_ids_l.append(d)
+            positions_l.append(max(pos, 0))
+            inject_l.append(tok.pos_inc == 0)
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
+                                      sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    return _Stream(
+        np.asarray(doc_ids_l, dtype=np.int32),
+        np.asarray(positions_l, dtype=np.int32), codes, uniques, n_docs,
+        inject=np.asarray(inject_l, dtype=bool))
 
 
 # ------------------------------------------------------------ term functions
@@ -758,7 +794,8 @@ def parse_chain(spec: str):
     else:
         steps = [s for s in body.split("|") if s]
     tokenizer = "standard"
-    if steps and steps[0] in ("standard", "whitespace", "letter", "keyword"):
+    if steps and steps[0] in ("standard", "whitespace", "letter", "keyword",
+                              "wikipedia"):
         tokenizer = steps.pop(0)
     parsed = []
     for s in steps:

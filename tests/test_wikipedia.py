@@ -1,0 +1,179 @@
+"""WikipediaTokenizer (functions/wikipedia.py) vs the reference's
+WikipediaTokenizerTest vectors — terms, types, offsets, position
+increments, flags, and all three output modes."""
+
+from lucene_solr_old_ray.functions.tokenfilters import run_chain
+from lucene_solr_old_ray.functions.wikipedia import (
+    ALPHANUM,
+    APOSTROPHE,
+    BOLD,
+    BOLD_ITALICS,
+    BOTH,
+    CATEGORY,
+    CITATION,
+    EXTERNAL_LINK,
+    EXTERNAL_LINK_URL,
+    HEADING,
+    INTERNAL_LINK,
+    ITALICS,
+    NUM,
+    SUB_HEADING,
+    TOKENS_ONLY,
+    UNTOKENIZED_ONLY,
+    UNTOKENIZED_TOKEN_FLAG,
+    wikipedia_tokenize,
+)
+
+LINK_PHRASES = ("click [[link here again]] click "
+                "[http://lucene.apache.org here again] [[Category:a b c d]]")
+UNTOKS = frozenset([CATEGORY, ITALICS])
+
+
+def test_simple():
+    toks = wikipedia_tokenize("This is a [[Category:foo]]")
+    assert [(t.term, t.type, t.start, t.end) for t in toks] == [
+        ("This", ALPHANUM, 0, 4), ("is", ALPHANUM, 5, 7),
+        ("a", ALPHANUM, 8, 9), ("foo", CATEGORY, 21, 24)]
+    assert [t.pos_inc for t in toks] == [1, 1, 1, 1]
+
+
+def _check_link_phrases(toks):
+    assert [t.term for t in toks] == [
+        "click", "link", "here", "again", "click",
+        "http://lucene.apache.org", "here", "again", "a", "b", "c", "d"]
+    assert [t.pos_inc for t in toks] == [1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1]
+
+
+def test_link_phrases():
+    _check_link_phrases(wikipedia_tokenize(LINK_PHRASES))
+    # TOKENS_ONLY ignores the untokenized set entirely (testLucene1133)
+    _check_link_phrases(
+        wikipedia_tokenize(LINK_PHRASES, TOKENS_ONLY, UNTOKS))
+
+
+def test_links():
+    test = ("[http://lucene.apache.org/java/docs/index.html#news here] "
+            "[http://lucene.apache.org/java/docs/index.html?b=c here] "
+            "[https://lucene.apache.org/java/docs/index.html?b=c here]")
+    toks = wikipedia_tokenize(test)
+    assert [t.term for t in toks] == [
+        "http://lucene.apache.org/java/docs/index.html#news", "here",
+        "http://lucene.apache.org/java/docs/index.html?b=c", "here",
+        "https://lucene.apache.org/java/docs/index.html?b=c", "here"]
+    assert [t.type for t in toks] == [
+        EXTERNAL_LINK_URL, EXTERNAL_LINK] * 3
+
+
+BIG = ("[[link]] This is a [[Category:foo]] Category  This is a linked "
+       "[[:Category:bar none withstanding]] "
+       "Category This is (parens) This is a [[link]]  This is an external "
+       "URL [http://lucene.apache.org] "
+       "Here is ''italics'' and ''more italics'', '''bold''' and "
+       "'''''five quotes''''' "
+       " This is a [[link|display info]]  This is a period.  Here is $3.25 "
+       "and here is 3.50.  Here's Johnny.  "
+       "==heading== ===sub head=== followed by some text  "
+       "[[Category:blah| ]] "
+       "''[[Category:ital_cat]]''  here is some that is ''italics "
+       "[[Category:foo]] but is never closed."
+       "'''same [[Category:foo]] goes for this '''''and2 [[Category:foo]] "
+       "and this"
+       " [http://foo.boo.com/test/test/ Test Test] "
+       "[http://foo.boo.com/test/test/test.html Test Test]"
+       " [http://foo.boo.com/test/test/test.html?g=b&c=d Test Test] "
+       "<ref>Citation</ref> <sup>martian</sup> "
+       '<span class="glue">code</span>')
+
+
+def test_handwritten_mega_vector():
+    # WikipediaTokenizerTest.testHandwritten: 98 tokens, exact types
+    toks = wikipedia_tokenize(BIG)
+    assert [t.term for t in toks] == [
+        "link", "This", "is", "a", "foo", "Category", "This", "is", "a",
+        "linked", "bar", "none", "withstanding", "Category", "This", "is",
+        "parens", "This", "is", "a", "link", "This", "is", "an", "external",
+        "URL", "http://lucene.apache.org", "Here", "is", "italics", "and",
+        "more", "italics", "bold", "and", "five", "quotes", "This", "is",
+        "a", "link", "display", "info", "This", "is", "a", "period", "Here",
+        "is", "3.25", "and", "here", "is", "3.50", "Here's", "Johnny",
+        "heading", "sub", "head", "followed", "by", "some", "text", "blah",
+        "ital", "cat", "here", "is", "some", "that", "is", "italics", "foo",
+        "but", "is", "never", "closed", "same", "foo", "goes", "for",
+        "this", "and2", "foo", "and", "this",
+        "http://foo.boo.com/test/test/", "Test", "Test",
+        "http://foo.boo.com/test/test/test.html", "Test", "Test",
+        "http://foo.boo.com/test/test/test.html?g=b&c=d", "Test", "Test",
+        "Citation", "martian", "code"]
+    assert [t.type for t in toks] == [
+        INTERNAL_LINK, ALPHANUM, ALPHANUM, ALPHANUM, CATEGORY, ALPHANUM,
+        ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, CATEGORY, CATEGORY,
+        CATEGORY, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM,
+        ALPHANUM, ALPHANUM, INTERNAL_LINK, ALPHANUM, ALPHANUM, ALPHANUM,
+        ALPHANUM, ALPHANUM, EXTERNAL_LINK_URL, ALPHANUM, ALPHANUM, ITALICS,
+        ALPHANUM, ITALICS, ITALICS, BOLD, ALPHANUM, BOLD_ITALICS,
+        BOLD_ITALICS, ALPHANUM, ALPHANUM, ALPHANUM, INTERNAL_LINK,
+        INTERNAL_LINK, INTERNAL_LINK, ALPHANUM, ALPHANUM, ALPHANUM,
+        ALPHANUM, ALPHANUM, ALPHANUM, NUM, ALPHANUM, ALPHANUM, ALPHANUM,
+        NUM, APOSTROPHE, ALPHANUM, HEADING, SUB_HEADING, SUB_HEADING,
+        ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, CATEGORY, CATEGORY,
+        CATEGORY, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM,
+        ITALICS, CATEGORY, ALPHANUM, ALPHANUM, ALPHANUM, ALPHANUM, BOLD,
+        CATEGORY, ALPHANUM, ALPHANUM, ALPHANUM, BOLD_ITALICS, CATEGORY,
+        ALPHANUM, ALPHANUM, EXTERNAL_LINK_URL, EXTERNAL_LINK, EXTERNAL_LINK,
+        EXTERNAL_LINK_URL, EXTERNAL_LINK, EXTERNAL_LINK, EXTERNAL_LINK_URL,
+        EXTERNAL_LINK, EXTERNAL_LINK, CITATION, ALPHANUM, ALPHANUM]
+
+
+UNTOK_TEST = ("[[Category:a b c d]] [[Category:e f g]] [[link here]] "
+              "[[link there]] ''italics here'' something ''more italics'' "
+              "[[Category:h   i   j]]")
+
+
+def test_untokenized_only():
+    # testLucene1133 untokenized expectations (terms + offsets + posInc)
+    toks = wikipedia_tokenize(UNTOK_TEST, UNTOKENIZED_ONLY, UNTOKS)
+    assert [t.term for t in toks] == [
+        "a b c d", "e f g", "link", "here", "link", "there",
+        "italics here", "something", "more italics", "h   i   j"]
+    assert [t.start for t in toks] == [11, 32, 42, 47, 56, 61, 71, 86, 98,
+                                       124]
+    assert [t.end for t in toks] == [18, 37, 46, 51, 60, 66, 83, 95, 110,
+                                     133]
+    assert [t.pos_inc for t in toks] == [1] * 10
+
+
+def test_both_mode_with_flags():
+    # testBoth: collapsed token first, then the individual tokens
+    toks = wikipedia_tokenize(UNTOK_TEST, BOTH, UNTOKS)
+    assert [t.term for t in toks] == [
+        "a b c d", "a", "b", "c", "d", "e f g", "e", "f", "g", "link",
+        "here", "link", "there", "italics here", "italics", "here",
+        "something", "more italics", "more", "italics", "h   i   j", "h",
+        "i", "j"]
+    assert [t.start for t in toks] == [
+        11, 11, 13, 15, 17, 32, 32, 34, 36, 42, 47, 56, 61, 71, 71, 79, 86,
+        98, 98, 103, 124, 124, 128, 132]
+    assert [t.end for t in toks] == [
+        18, 12, 14, 16, 18, 37, 33, 35, 37, 46, 51, 60, 66, 83, 78, 83, 95,
+        110, 102, 110, 133, 125, 129, 133]
+    assert [t.pos_inc for t in toks] == [
+        1, 0, 1, 1, 1, 1, 0, 1, 1, 1, 1, 1, 1, 1, 0, 1, 1, 1, 0, 1, 1, 0,
+        1, 1]
+    assert [t.flags for t in toks] == [
+        UNTOKENIZED_TOKEN_FLAG, 0, 0, 0, 0, UNTOKENIZED_TOKEN_FLAG, 0, 0,
+        0, 0, 0, 0, 0, UNTOKENIZED_TOKEN_FLAG, 0, 0, 0,
+        UNTOKENIZED_TOKEN_FLAG, 0, 0, UNTOKENIZED_TOKEN_FLAG, 0, 0, 0]
+
+
+def test_wikipedia_chain_tokenizer():
+    # chain integration: wiki tokens -> lowercase -> stop; posIncr-0
+    # tokens ride the inject lane
+    st = run_chain([LINK_PHRASES], "chain:wikipedia|lowercase|stop")
+    # the stop filter drops "a" leaving a position hole
+    assert list(st.terms()) == [
+        "click", "link", "here", "again", "click",
+        "http://lucene.apache.org", "here", "again", "b", "c", "d"]
+    assert list(st.inject) == [False] * 6 + [True] + [False] * 4
+    # "here" overlaps the URL position
+    assert st.positions[6] == st.positions[5]
+    assert list(st.positions[-3:]) == [8, 9, 10]  # hole where "a" was
