@@ -1,0 +1,116 @@
+"""Index replication — ship committed generations to replica directories.
+
+Re-expresses (NOT ports) the ``lucene/replicator`` module's core protocol
+(``replicator/IndexRevision.java:60-95``, ``IndexReplicationHandler.java``,
+``ReplicationClient.java``):
+
+- a REVISION is a committed manifest generation plus its file list; the
+  manifest (segments_N analogue) is always published LAST, so a replica
+  is never visible half-copied — the "segments file last" ordering the
+  reference enforces in ``revisionFiles``
+- ``check_for_update`` = ReplicationClient's version probe
+- ``replicate_index`` = the update session: copy files missing at the
+  replica (index files are write-once, so name+size equality means
+  identical — the handler's copy-missing rule), then atomically publish
+  the manifest.  Segment copies fan out as Ray tasks (one per segment);
+  only the file report returns to the driver.
+
+The HTTP transport and session-token machinery
+(``replicator/http/``, ``SessionToken.java``) are out of scope: Ray's
+object transport replaces them, and replicas here are directories (e.g.
+per serving node on shared or local storage).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import ray
+
+from ..state import manifest as mf
+
+
+def _manifest_generation(index_dir: str) -> int:
+    try:
+        man = mf.read_index_manifest(index_dir)
+    except FileNotFoundError:
+        return -1
+    return int(man.get("generation", 0))
+
+
+def check_for_update(src_dir: str, dst_dir: str) -> "int | None":
+    """-> the source generation when the replica is stale, else None
+    (ReplicationClient.checkForUpdate)."""
+    src_gen = _manifest_generation(src_dir)
+    dst_gen = _manifest_generation(dst_dir)
+    return src_gen if src_gen > dst_gen else None
+
+
+@ray.remote
+def _copy_tree(src: str, dst: str) -> tuple[int, int]:
+    """Copy files missing at dst (or size-mismatched: a torn previous
+    attempt); returns (files_copied, bytes_copied)."""
+    n = b = 0
+    for root, _, files in os.walk(src):
+        rel_root = os.path.relpath(root, src)
+        out_root = os.path.join(dst, rel_root) if rel_root != "." else dst
+        os.makedirs(out_root, exist_ok=True)
+        for fn in files:
+            s = os.path.join(root, fn)
+            d = os.path.join(out_root, fn)
+            sz = os.path.getsize(s)
+            if os.path.exists(d) and os.path.getsize(d) == sz:
+                continue
+            tmp = d + f".rep-{os.getpid()}.tmp"
+            shutil.copyfile(s, tmp)
+            os.replace(tmp, d)
+            n += 1
+            b += sz
+    return n, b
+
+
+def replicate_index(src_dir: str, dst_dir: str) -> dict:
+    """Bring ``dst_dir`` up to the source's committed generation.  No-op
+    when already current.  Returns
+    {generation, updated, files_copied, bytes_copied}."""
+    gen = check_for_update(src_dir, dst_dir)
+    if gen is None:
+        return {"generation": _manifest_generation(dst_dir),
+                "updated": False, "files_copied": 0, "bytes_copied": 0}
+    man = mf.read_index_manifest(src_dir)
+    os.makedirs(dst_dir, exist_ok=True)
+    # data files first: segment dirs (absolute refs stay references — a
+    # union/split manifest replicates by pointer), deletes masks, then
+    # any sidecar dirs named by segments
+    copy_jobs = []
+    seen_roots = set()
+    for seg in man["segments"]:
+        d = seg["dir"]
+        if os.path.isabs(d):
+            continue  # by-reference leaf (union/split): nothing to copy
+        root = d.split(os.sep)[0]
+        if root not in seen_roots:
+            seen_roots.add(root)
+            copy_jobs.append(_copy_tree.remote(
+                os.path.join(src_dir, root), os.path.join(dst_dir, root)))
+        rel = seg.get("deletes")
+        if rel and not os.path.isabs(rel):
+            droot = os.path.dirname(rel)
+            if droot not in seen_roots:
+                seen_roots.add(droot)
+                copy_jobs.append(_copy_tree.remote(
+                    os.path.join(src_dir, droot),
+                    os.path.join(dst_dir, droot)))
+    results = ray.get(copy_jobs)
+    files = sum(r[0] for r in results)
+    nbytes = sum(r[1] for r in results)
+    # manifest LAST (the segments_N-last publication contract), KEEPING
+    # the source's generation number so the replica's version tracks the
+    # source (publish_index_manifest would renumber and leave the replica
+    # forever "stale")
+    src_gen = int(man.get("generation", 0))
+    mf.atomic_write_json(
+        os.path.join(dst_dir, f"manifest-{src_gen}.json"), dict(man))
+    return {"generation": src_gen, "updated": True,
+            "files_copied": files, "bytes_copied": nbytes}

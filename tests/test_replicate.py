@@ -1,0 +1,64 @@
+"""Index replication (pipelines/replicate.py): generation tracking,
+incremental file copies, manifest-last publication, search parity."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_old_ray.pipelines.replicate import (
+    check_for_update,
+    replicate_index,
+)
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import TermQuery
+
+
+def _write_docs(path, docs):
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(path))
+
+
+def test_replicate_and_incremental_update(ray_session, tmp_path):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.deletes import delete_by_query
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    src_docs = tmp_path / "documents.parquet"
+    _write_docs(src_docs, [f"alpha doc {i} shared" for i in range(20)]
+                + ["beta target shared"])
+    src = str(tmp_path / "src")
+    build_index(CorpusSpec(files=(str(src_docs),), content_col="text",
+                           meta_cols=("doc_id",)), src,
+                target_docs_per_partition=8)
+
+    dst = str(tmp_path / "replica")
+    assert check_for_update(src, dst) is not None
+    rep = replicate_index(src, dst)
+    assert rep["updated"] and rep["files_copied"] > 0
+
+    # replica is searchable with identical results
+    def hits(idx, term):
+        return sorted(search(idx, [TermQuery(term)], k=50)
+                      ["docid"].to_pylist())
+
+    assert hits(dst, "beta") == hits(src, "beta")
+    assert hits(dst, "shared") == hits(src, "shared")
+
+    # up to date: no-op
+    assert check_for_update(src, dst) is None
+    rep = replicate_index(src, dst)
+    assert not rep["updated"] and rep["files_copied"] == 0
+
+    # source advances a generation (delete commit); replica pulls ONLY
+    # the new files (the delete mask), not the whole index
+    delete_by_query(src, TermQuery("beta"))
+    assert check_for_update(src, dst) is not None
+    rep = replicate_index(src, dst)
+    assert rep["updated"]
+    assert 0 < rep["files_copied"] <= 2
+    assert hits(dst, "beta") == []
+    assert hits(dst, "shared") == hits(src, "shared")
+    assert check_for_update(src, dst) is None
