@@ -854,3 +854,54 @@ def stop_chain_spec(stops, base_filters: str = "lowercase") -> str:
     if not words:
         return f"chain:standard|{base_filters}"
     return f"chain:standard|{base_filters}|stop:{words}"
+
+
+def facet_sum_associations(
+    index_dir: str, query: Query, facet_col: str, value_field: str,
+) -> pa.Table:
+    """Association facets — re-expresses (NOT ports)
+    ``lucene/facet/src/java/org/apache/lucene/facet/associations/
+    SumIntAssociationFacetsAggregator.java`` (and the Float variant):
+    instead of counting, each matching doc contributes its NUMERIC
+    doc-values ``value_field`` to its ``facet_col`` category's total.
+    Same constant-size per-leaf partial shape as ``facet_counts``
+    (bincount with weights). -> (value, sum)."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            ords, values = leaf.dv_sorted(facet_col)
+            o = np.asarray(ords)[docids]
+            vals = leaf.doc_values(value_field, docids).astype(np.float64)
+            keep = o >= 0
+            s = np.bincount(o[keep], weights=vals[keep],
+                            minlength=len(values))
+            nz = np.nonzero(s)[0]
+            parts.append(pd.DataFrame({facet_col: values[nz],
+                                       "sum": s[nz]}))
+        if not parts:
+            return pd.DataFrame({facet_col: pd.Series([], dtype=object),
+                                 "sum": pd.Series([], dtype="float64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_sums, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0:
+        return pa.table({facet_col: pa.array([], pa.string()),
+                         "sum": pa.array([], pa.float64())})
+    out = partials.groupby(facet_col, as_index=False)["sum"].sum()
+    out = out.sort_values(facet_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -183,3 +183,51 @@ def test_sort_cursor_mid_tie(idx):
                          [("lang", False), ("field_len", True)], k=1,
                          after=cur).to_pandas()
     assert list(nxt["docid"]) == [want.loc[pos + 1, "docid"]]
+
+
+def test_facet_sum_associations(ray_session, tmp_path):
+    """SumIntAssociation facets: per-category SUM of a numeric doc-values
+    field over the matching docs, exact vs pandas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.analytics import (
+        facet_counts,
+        facet_sum_associations,
+    )
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    rng = np.random.default_rng(11)
+    n = 60
+    cats = rng.choice(["news", "blog", "wiki"], size=n)
+    weights = rng.integers(1, 100, size=n).astype(np.int64)
+    texts = [f"doc {'match' if i % 2 == 0 else 'skip'} token"
+             for i in range(n)]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "cat": pa.array(cats),
+        "weight": pa.array(weights),
+        "text": pa.array(texts, pa.string()),
+    }), path)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(
+        files=(path,), content_col="text",
+        meta_cols=("doc_id", "cat", "weight"),
+        extra_fields=(FieldSpec("weight", "weight", kind="numeric"),),
+    ), idx, target_docs_per_partition=16)
+
+    got = facet_sum_associations(idx, TermQuery("match"), "cat",
+                                 "weight").to_pandas()
+    mask = np.arange(n) % 2 == 0
+    want = (pd.DataFrame({"cat": cats[mask], "w": weights[mask]})
+            .groupby("cat")["w"].sum())
+    assert dict(zip(got["cat"], got["sum"])) == \
+        {k: float(v) for k, v in want.items()}
+    # counts and sums agree on the category key set
+    cnt = facet_counts(idx, TermQuery("match"), "cat").to_pandas()
+    assert set(cnt["cat"]) == set(got["cat"])
