@@ -905,3 +905,137 @@ def facet_sum_associations(
     out = partials.groupby(facet_col, as_index=False)["sum"].sum()
     out = out.sort_values(facet_col).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def all_groups_count(index_dir: str, query: Query,
+                     group_field: str) -> int:
+    """AbstractAllGroupsCollector analogue (``grouping/.../
+    AbstractAllGroupsCollector.java``): the number of DISTINCT group
+    values among the matching docs (docs with no value form no group).
+    Per-leaf partial = that leaf's distinct matched values only."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_groups(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        vals: set = set()
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            ords, values = leaf.dv_sorted(group_field)
+            o = np.unique(np.asarray(ords)[docids])
+            vals.update(values[o[o >= 0]])
+        return pd.DataFrame({"v": pd.Series(sorted(vals), dtype=object)})
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    parts = ds.map_batches(leaf_groups, batch_format="pandas",
+                           batch_size=4).to_pandas()
+    return int(parts["v"].nunique()) if len(parts) else 0
+
+
+def group_heads(index_dir: str, query: Query, group_field: str,
+                sort_field: str, descending: bool = False) -> pa.Table:
+    """AbstractAllGroupHeadsCollector analogue: ONE doc per group — the
+    best under the (sort_field, docid) order among that group's matches.
+    Per-leaf partial = one head per group per leaf; exact driver reduce.
+    -> (group, docid, sort value), ordered by group."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_heads(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            gords, gvals = leaf.dv_sorted(group_field)
+            g = np.asarray(gords)[docids]
+            sv = leaf.doc_values(sort_field, docids)
+            keep = g >= 0
+            df = pd.DataFrame({
+                "group": gvals[g[keep]],
+                "docid": docids[keep] + leaf.doc_base,
+                "value": sv[keep],
+            })
+            df = df.sort_values(
+                ["group", "value", "docid"],
+                ascending=[True, not descending, True],
+                kind="mergesort").groupby("group", as_index=False).first()
+            parts.append(df)
+        if not parts:
+            return pd.DataFrame({"group": pd.Series([], dtype=object),
+                                 "docid": pd.Series([], dtype="int64"),
+                                 "value": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    parts = ds.map_batches(leaf_heads, batch_format="pandas",
+                           batch_size=4).to_pandas()
+    if len(parts) == 0:
+        return pa.table({"group": pa.array([], pa.string()),
+                         "docid": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.int64())})
+    out = parts.sort_values(
+        ["group", "value", "docid"], ascending=[True, not descending, True],
+        kind="mergesort").groupby("group", as_index=False).first()
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def distinct_values(index_dir: str, query: Query, group_field: str,
+                    count_field: str) -> pa.Table:
+    """AbstractDistinctValuesCollector analogue: per group, the number of
+    DISTINCT ``count_field`` values among matches.  Per-leaf partial =
+    distinct (group, value) pairs. -> (group, distinct_count)."""
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            gords, gvals = leaf.dv_sorted(group_field)
+            g = np.asarray(gords)[docids]
+            cv = leaf.doc_values(count_field, docids)
+            keep = g >= 0
+            parts.append(pd.DataFrame({
+                "group": gvals[g[keep]], "value": cv[keep],
+            }).drop_duplicates())
+        if not parts:
+            return pd.DataFrame({"group": pd.Series([], dtype=object),
+                                 "value": pd.Series([], dtype=object)})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    parts = ds.map_batches(leaf_pairs, batch_format="pandas",
+                           batch_size=4).to_pandas()
+    if len(parts) == 0:
+        return pa.table({"group": pa.array([], pa.string()),
+                         "distinct_count": pa.array([], pa.int64())})
+    out = (parts.drop_duplicates().groupby("group")["value"]
+           .nunique().reset_index(name="distinct_count")
+           .sort_values("group").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -40,6 +40,7 @@ from ..queries import (
     BooleanQuery,
     CommonTermsQuery,
     ConstantScoreQuery,
+    BoostingQuery,
     CustomScoreQuery,
     DisjunctionMaxQuery,
     FilteredQuery,
@@ -210,6 +211,9 @@ def _collect_scoring_mtqs(q: Query, out: list) -> None:
         _collect_scoring_mtqs(q.query, out)
     elif isinstance(q, CustomScoreQuery):
         _collect_scoring_mtqs(q.query, out)
+    elif isinstance(q, BoostingQuery):
+        _collect_scoring_mtqs(q.match, out)
+        _collect_scoring_mtqs(q.context, out)
     elif isinstance(q, ToParentBlockJoinQuery):
         _collect_scoring_mtqs(q.child, out)
     elif isinstance(q, ToChildBlockJoinQuery):
@@ -231,6 +235,9 @@ def _collect_common_terms(q: Query, out: list) -> None:
         _collect_common_terms(q.filter, out)
     elif isinstance(q, (ConstantScoreQuery, CustomScoreQuery)):
         _collect_common_terms(q.query, out)
+    elif isinstance(q, BoostingQuery):
+        _collect_common_terms(q.match, out)
+        _collect_common_terms(q.context, out)
     elif isinstance(q, ToParentBlockJoinQuery):
         _collect_common_terms(q.child, out)
     elif isinstance(q, ToChildBlockJoinQuery):
@@ -307,6 +314,9 @@ def _replace_mtqs(q: Query, repl: dict) -> Query:
         return ConstantScoreQuery(_replace_mtqs(q.query, repl), q.boost)
     if isinstance(q, CustomScoreQuery):
         return CustomScoreQuery(_replace_mtqs(q.query, repl), q.field, q.boost)
+    if isinstance(q, BoostingQuery):
+        return BoostingQuery(_replace_mtqs(q.match, repl),
+                             _replace_mtqs(q.context, repl), q.demote)
     if isinstance(q, ToParentBlockJoinQuery):
         return ToParentBlockJoinQuery(
             _replace_mtqs(q.child, repl), q.parent_field, q.parent_value,

@@ -182,6 +182,36 @@ class CustomScoreQuery:
 
 
 @dataclass(frozen=True)
+class BoostingQuery:
+    """Re-expresses ``lucene/queries/.../BoostingQuery.java:45-90``: the
+    rewrite is BooleanQuery(MUST match, SHOULD context@boost-0) with a
+    coord override — matched only ``match`` -> score as-is, matched both
+    -> score * ``boost`` (typically < 1 to demote), context alone never
+    matches.  Direct form: match scores, multiplied by ``boost`` (f32)
+    where the context query also matches."""
+
+    match: "Query"
+    context: "Query"
+    demote: float = 0.5
+
+
+@dataclass(frozen=True)
+class DuplicateFilterQuery:
+    """Re-expresses ``lucene/sandbox/.../queries/DuplicateFilter.java``
+    (KM_USE_FIRST/LAST_OCCURRENCE, PM_FULL_VALIDATION): per SEGMENT, only
+    the first/last live doc holding each ``field`` value survives; docs
+    without the field never match (the filter's empty-bits start).  ANDed
+    with ``query`` like FilteredQuery.  Bug-faithful quirk: deduplication
+    is per-leaf (AtomicReader), duplicates ACROSS segments remain — run
+    after a force-merge for global uniqueness."""
+
+    query: "Query"
+    field: str
+    keep: str = "last"  # "first" | "last"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BooleanClause:
     occur: str  # MUST | SHOULD | MUST_NOT
     query: "Query"
@@ -548,6 +578,10 @@ def collect_terms(q: Query) -> set[str]:
         return collect_terms(q.query)
     if isinstance(q, CustomScoreQuery):
         return collect_terms(q.query)
+    if isinstance(q, BoostingQuery):
+        return collect_terms(q.match) | collect_terms(q.context)
+    if isinstance(q, DuplicateFilterQuery):
+        return collect_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, PayloadTermQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
@@ -584,6 +618,10 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, ConstantScoreQuery):
         return collect_field_terms(q.query)
     if isinstance(q, CustomScoreQuery):
+        return collect_field_terms(q.query)
+    if isinstance(q, BoostingQuery):
+        return collect_field_terms(q.match) | collect_field_terms(q.context)
+    if isinstance(q, DuplicateFilterQuery):
         return collect_field_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, PayloadTermQuery)):

@@ -37,6 +37,8 @@ from ..queries import (
     SHOULD,
     BooleanQuery,
     ConstantScoreQuery,
+    BoostingQuery,
+    DuplicateFilterQuery,
     CustomScoreQuery,
     DisjunctionMaxQuery,
     FilteredQuery,
@@ -909,6 +911,37 @@ def _execute_raw(
         docids, scores = execute(q.query, leaf, ctx, boost * q.boost)
         vals = leaf.dv_numeric_f32(q.field)[docids]
         return docids, (scores * vals).astype(np.float32)
+    if isinstance(q, DuplicateFilterQuery):
+        docids, scores = execute(q.query, leaf, ctx, boost * q.boost)
+        ords, _vals = leaf.dv_sorted(q.field)
+        ords = np.asarray(ords)
+        live = (leaf.live if leaf.live is not None
+                else np.ones(leaf.num_docs, dtype=bool))
+        m = live & (ords >= 0)
+        n_ord = int(ords.max()) + 1 if m.any() else 0
+        if n_ord == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        idx = np.flatnonzero(m)
+        if q.keep == "last":
+            kept = np.full(n_ord, -1, dtype=np.int64)
+            np.maximum.at(kept, ords[idx], idx)
+        else:
+            kept = np.full(n_ord, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(kept, ords[idx], idx)
+        sel = (ords[docids] >= 0) & (kept[np.maximum(ords[docids], 0)]
+                                     == docids)
+        return docids[sel], scores[sel]
+    if isinstance(q, BoostingQuery):
+        # BoostingQuery.java coord override: only-match -> 1.0x, matched
+        # both -> demote x; context alone never matches (boost-0 SHOULD)
+        docids, scores = execute(q.match, leaf, ctx, boost)
+        cdocs, _ = execute(q.context, leaf, ctx, 0.0)
+        both = np.isin(docids, cdocs)
+        if both.any():
+            scores = scores.copy()
+            scores[both] = (scores[both]
+                            * np.float32(q.demote)).astype(np.float32)
+        return docids, scores
     if isinstance(q, PrefixQuery):
         lf = leaf.sibling(q.field)
         docs = _const_docs(lf, lf.prefix_range(q.prefix))

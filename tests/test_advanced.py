@@ -227,3 +227,41 @@ def test_spell_suggest_matches_naive(ray_session, tmp_path):
         np.testing.assert_array_equal(
             sub["score"].to_numpy(np.float32),
             np.array([w[2] for w in want], dtype=np.float32))
+
+
+def test_boosting_query(ray_session, tmp_path):
+    """BoostingQuery: match scores kept, demoted by the boost where the
+    context query also matches; context alone never matches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import BoostingQuery, TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = ["apple pie recipe", "apple iphone reviews",
+            "apple orchard tour", "banana iphone case"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(files=(p,), content_col="text",
+                           meta_cols=("doc_id",)), idx,
+                target_docs_per_partition=10)
+
+    base = search(idx, [TermQuery("apple")], k=10).to_pandas()
+    bq = BoostingQuery(TermQuery("apple"), TermQuery("iphone"), demote=0.25)
+    got = search(idx, [bq], k=10).to_pandas()
+
+    # same match set as the pure match query (context alone = doc 3 absent)
+    assert sorted(got["docid"]) == sorted(base["docid"]) == [0, 1, 2]
+    b = base.set_index("docid")["score"]
+    g = got.set_index("docid")["score"]
+    # doc 1 (both) demoted by exactly 0.25x in float32; others unchanged
+    assert g[1] == np.float32(np.float32(b[1]) * np.float32(0.25))
+    assert g[0] == b[0] and g[2] == b[2]
+    assert g[1] < g[0]

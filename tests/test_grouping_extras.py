@@ -1,0 +1,114 @@
+"""Grouping extras (all_groups_count / group_heads / distinct_values)
+and the sandbox DuplicateFilter, exact vs pandas re-derivations."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.pipelines.analytics import (
+    all_groups_count,
+    distinct_values,
+    group_heads,
+)
+from lucene_solr_old_ray.pipelines.search import search
+from lucene_solr_old_ray.queries import DuplicateFilterQuery, TermQuery
+
+
+@pytest.fixture(scope="module")
+def group_idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    tmp = tmp_path_factory.mktemp("grpx")
+    rng = np.random.default_rng(3)
+    n = 80
+    groups = rng.choice(["g0", "g1", "g2", "g3"], size=n)
+    weights = rng.integers(0, 50, size=n).astype(np.int64)
+    texts = [f"{'match' if i % 3 != 0 else 'skip'} token payload"
+             for i in range(n)]
+    path = str(tmp / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "grp": pa.array(groups),
+        "weight": pa.array(weights),
+        "text": pa.array(texts, pa.string()),
+    }), path)
+    idx = str(tmp / "idx")
+    build_index(CorpusSpec(
+        files=(path,), content_col="text",
+        meta_cols=("doc_id", "grp", "weight"),
+        extra_fields=(FieldSpec("weight", "weight", kind="numeric"),),
+    ), idx, target_docs_per_partition=20)
+    df = pd.DataFrame({"doc_id": range(n), "grp": groups, "w": weights,
+                       "match": [i % 3 != 0 for i in range(n)]})
+    return idx, df
+
+
+def test_all_groups_count(group_idx):
+    idx, df = group_idx
+    got = all_groups_count(idx, TermQuery("match"), "grp")
+    assert got == df[df["match"]]["grp"].nunique()
+    assert all_groups_count(idx, TermQuery("absent"), "grp") == 0
+
+
+def test_group_heads(group_idx):
+    idx, df = group_idx
+    got = group_heads(idx, TermQuery("match"), "grp", "weight").to_pandas()
+    m = df[df["match"]]
+    want = (m.sort_values(["grp", "w", "doc_id"], kind="mergesort")
+            .groupby("grp").first())
+    assert dict(zip(got["group"], got["docid"])) == \
+        dict(zip(want.index, want["doc_id"]))
+    # descending direction picks the max-weight head
+    got = group_heads(idx, TermQuery("match"), "grp", "weight",
+                      descending=True).to_pandas()
+    want = (m.sort_values(["grp", "w", "doc_id"], kind="mergesort",
+                          ascending=[True, False, True])
+            .groupby("grp").first())
+    assert dict(zip(got["group"], got["docid"])) == \
+        dict(zip(want.index, want["doc_id"]))
+
+
+def test_distinct_values(group_idx):
+    idx, df = group_idx
+    got = distinct_values(idx, TermQuery("match"), "grp",
+                          "weight").to_pandas()
+    want = df[df["match"]].groupby("grp")["w"].nunique()
+    assert dict(zip(got["group"], got["distinct_count"])) == \
+        {k: int(v) for k, v in want.items()}
+
+
+def test_duplicate_filter(group_idx):
+    idx, df = group_idx
+    # keep=last: per SEGMENT the last doc of each grp survives; with
+    # 20-doc partitions there are 4 leaves, so up to 4 hits per group
+    got = search(idx, [DuplicateFilterQuery(TermQuery("match"), "grp")],
+                 k=100).to_pandas()
+    m = df[df["match"]]
+    # per-leaf (20-doc blocks) last LIVE doc per group, intersected with
+    # matches — re-derive with pandas.  NOTE the filter keeps per-leaf
+    # last docs of the WHOLE leaf (not just matches)
+    leaves = df.assign(leaf=df["doc_id"] // 20)
+    last = leaves.groupby(["leaf", "grp"])["doc_id"].max()
+    want = sorted(set(last) & set(m["doc_id"]))
+    assert sorted(got["docid"].tolist()) == want
+    # scores equal the plain query's scores for the surviving docs
+    base = search(idx, [TermQuery("match")], k=100).to_pandas()
+    bs = dict(zip(base["docid"], base["score"]))
+    for _, r in got.iterrows():
+        assert r["score"] == bs[r["docid"]]
+
+
+def test_duplicate_filter_keep_first(group_idx):
+    idx, df = group_idx
+    got = search(idx, [DuplicateFilterQuery(TermQuery("match"), "grp",
+                                            keep="first")],
+                 k=100).to_pandas()
+    m = df[df["match"]]
+    leaves = df.assign(leaf=df["doc_id"] // 20)
+    first = leaves.groupby(["leaf", "grp"])["doc_id"].min()
+    want = sorted(set(first) & set(m["doc_id"]))
+    assert sorted(got["docid"].tolist()) == want
