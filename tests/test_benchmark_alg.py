@@ -1,0 +1,67 @@
+"""Benchmark .alg interpreter (benchmark.py): parser shape on the
+reference's micro-standard.alg, and an end-to-end run of a small
+algorithm against the engine."""
+
+import os
+
+import pytest
+
+from lucene_solr_old_ray.benchmark import parse_alg, run_alg
+
+REF_ALG = "/root/reference/lucene/benchmark/conf/micro-standard.alg"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_ALG),
+                    reason="reference alg absent")
+def test_parse_reference_alg():
+    props, root = parse_alg(open(REF_ALG).read())
+    assert props["merge.factor"].startswith("mrg:10")
+    assert props["compound"] == "true"
+    rounds = root.children[0]
+    assert rounds.name == "Rounds" and rounds.repeat == 4
+    names = [c.name for c in rounds.children]
+    assert names[0] == "ResetSystemErase"
+    populate = rounds.children[1]
+    assert populate.name == "Populate"
+    pop_names = [c.name for c in populate.children]
+    assert pop_names == ["CreateIndex", "MAddDocs", "ForceMerge",
+                         "CloseIndex"]
+    # -CreateIndex was disabled for reporting
+    assert populate.children[0].report is False
+    madd = populate.children[1]
+    assert madd.repeat == 2000 and madd.no_child_report
+    assert madd.children[0].name == "AddDoc"
+    assert populate.children[2].arg == "1"
+    # report tasks at top level
+    assert [c.name for c in root.children[-2:]] == [
+        "RepSumByName", "RepSumByPrefRound"]
+
+
+def test_run_small_alg(ray_session, tmp_path):
+    alg = """
+work.dir=ignored
+{ "Rounds"
+    ResetSystemErase
+    { "Populate"
+        -CreateIndex
+        { "MAddDocs" AddDoc > : 120
+        -ForceMerge(1)
+        -CloseIndex
+    }
+    OpenReader
+    { "SearchSameRdr" Search > : 20
+    CloseReader
+    NewRound
+} : 2
+RepSumByName
+RepSumByNameRound
+"""
+    report, stats = run_alg(alg, str(tmp_path / "bench"),
+                            "/root/testdata/sf0.001")
+    # 2 rounds x 120 adds, 20 searches each
+    assert stats["MAddDocs@0"][1] == 120
+    assert stats["MAddDocs@1"][1] == 120
+    assert stats["AddDoc@0"] == (120, 120, stats["AddDoc@0"][2])
+    assert stats["SearchSameRdr@0"][0] == 1
+    assert "Operation" in report and "rec/s" in report
+    assert "AddDoc" in report and "SearchSameRdr" in report
