@@ -1351,6 +1351,45 @@ def analyze_batch(
         normalized = [iteration_mark_normalize(t or "") for t in texts_list]
         return analyze_batch(pa.array(normalized, pa.string()),
                              with_positions, inner, synonyms, with_offsets)
+    if analyzer.startswith("geohash"):
+        # "geohash[:max_levels]" over a "lat,lon" column: each point
+        # indexes its geohash cell at EVERY level 1..max (the
+        # PrefixTreeStrategy token stream — pipelines/geoprefix.py)
+        import pandas as pd
+
+        from ..pipelines.geoprefix import point_prefixes
+
+        levels = (int(analyzer.split(":", 1)[1]) if ":" in analyzer else 9)
+        texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                      else list(texts))
+        per_doc = []
+        for t in texts_list:
+            try:
+                lat_s, lon_s = (t or "").split(",", 1)
+                per_doc.append(point_prefixes(float(lat_s), float(lon_s),
+                                              levels))
+            except ValueError:
+                per_doc.append([])
+        n = len(per_doc)
+        counts = np.fromiter((len(x) for x in per_doc), count=n,
+                             dtype=np.int64)
+        flat = [w for ts in per_doc for w in ts]
+        doc_ids = np.repeat(np.arange(n, dtype=np.int32), counts)
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object),
+                                          sort=False)
+            codes = codes.astype(np.int64)
+            uniques = np.asarray(uniques, dtype=object)
+        else:
+            codes = np.empty(0, dtype=np.int64)
+            uniques = np.empty(0, dtype=object)
+        starts_ = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts_[1:])
+        positions = ((np.arange(len(doc_ids), dtype=np.int64)
+                      - starts_[doc_ids]).astype(np.int32)
+                     if with_positions else np.empty(0, dtype=np.int32))
+        return AnalyzedBatch(doc_ids, positions, codes, uniques,
+                             counts.astype(np.int32))
     if analyzer.startswith("chain:"):
         # composable token-filter chain (functions/tokenfilters.py):
         # "chain:<tokenizer>|<filter>|<filter:args>|..."

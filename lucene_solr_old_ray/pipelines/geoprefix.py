@@ -1,0 +1,173 @@
+"""Geohash prefix-tree spatial strategy (points).
+
+Re-expresses (NOT ports) the reference's
+``spatial/prefix/RecursivePrefixTreeStrategy.java`` +
+``spatial/prefix/tree/GeohashPrefixTree.java`` for POINT shapes:
+
+- indexing: a point is indexed as its geohash cell tokens at EVERY level
+  1..max_levels (PrefixTreeStrategy's token stream of a cell plus its
+  parents) — exposed as the ``geohash[:max_levels]`` analyzer over a
+  ``"lat,lon"`` column, so a geo field is just another indexed field
+- querying: an INTERSECTS bbox filter becomes the term disjunction of a
+  recursive cell cover (RecursivePrefixTreeFilter's descend rule: a cell
+  fully inside the query emits at its level, a partially-overlapping
+  cell descends until max_levels) — grid-approximate at max_levels
+  exactly like the reference, and EXACT when the box aligns to cell
+  boundaries
+
+The geohash math (base-32 bit interleaving) is the public standard
+algorithm (spatial4j GeohashUtils implements the same spec).
+"""
+
+from __future__ import annotations
+
+from ..queries import (
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    ConstantScoreQuery,
+    TermQuery,
+)
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+MAX_PRECISION = 12  # reference GeohashUtils.MAX_PRECISION = 24; 12 covers
+#                     ~3.7cm cells — the practical ceiling for our int64
+#                     micro-degree points
+
+
+def geohash_encode(lat: float, lon: float, precision: int) -> str:
+    """Standard geohash: interleaved lon/lat bisection, base-32."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out = []
+    bits = 0
+    ch = 0
+    even = True  # even bit = longitude
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_BASE32[ch])
+            bits = 0
+            ch = 0
+    return "".join(out)
+
+
+def geohash_bbox(h: str) -> tuple[float, float, float, float]:
+    """-> (min_lon, min_lat, max_lon, max_lat) of the cell."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for c in h:
+        v = _BASE32.index(c)
+        for bit in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if v & bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if v & bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lon_lo, lat_lo, lon_hi, lat_hi
+
+
+def point_prefixes(lat: float, lon: float, max_levels: int) -> list[str]:
+    """The indexed tokens of a point: its cell at every level
+    (PrefixTreeStrategy.createIndexableFields token stream)."""
+    full = geohash_encode(lat, lon, max_levels)
+    return [full[:i] for i in range(1, max_levels + 1)]
+
+
+def covering_cells(
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float,
+    max_levels: int, max_cells: int = 1024,
+) -> list[str]:
+    """Recursive cover of a bbox (RecursivePrefixTreeFilter descend rule):
+    cells fully inside emit at their level, partial overlaps descend;
+    leaves at max_levels emit (grid approximation)."""
+    out: list[str] = []
+
+    def recurse(cell: str) -> None:
+        if len(out) >= max_cells:
+            return
+        lo_x, lo_y, hi_x, hi_y = geohash_bbox(cell)
+        # cells are half-open [lo, hi): a boundary point encodes into the
+        # UPPER cell, so a cell whose hi touches the box min is disjoint
+        # while one whose lo touches the box max is not
+        if lo_x > max_lon or hi_x <= min_lon or lo_y > max_lat \
+                or hi_y <= min_lat:
+            return  # disjoint
+        inside = (lo_x >= min_lon and hi_x <= max_lon
+                  and lo_y >= min_lat and hi_y <= max_lat)
+        if inside or len(cell) >= max_levels:
+            out.append(cell)
+            return
+        for c in _BASE32:
+            recurse(cell + c)
+
+    for c in _BASE32:
+        recurse(c)
+    return out
+
+
+def level_for_distance(deg: float, max_levels: int = MAX_PRECISION) -> int:
+    """Smallest geohash level whose cell fits in a ``deg``-sized square
+    (spatial4j GeohashUtils.lookupHashLenForWidthHeight semantics: level
+    widths alternate 3-lon/2-lat and 2-lon/3-lat bit splits)."""
+    if deg <= 0:
+        return max_levels
+    for lv in range(1, max_levels + 1):
+        lon_w = 360.0 / (1 << ((5 * lv + 1) // 2))
+        lat_h = 180.0 / (1 << (5 * lv // 2))
+        if lon_w <= deg and lat_h <= deg:
+            return lv
+    return max_levels
+
+
+def geo_intersects_query(
+    field: str, min_lon: float, min_lat: float, max_lon: float,
+    max_lat: float, max_levels: int, dist_err_pct: float = 0.025,
+    max_cells: int = 4096,
+) -> ConstantScoreQuery:
+    """Bbox INTERSECTS filter as a constant-score cell-term disjunction
+    over a ``geohash[:max_levels]``-indexed field.  The descent detail
+    level follows the reference's distErrPct contract
+    (``SpatialArgs.resolveDistErr`` + RecursivePrefixTreeStrategy:
+    default 2.5% of the query diagonal), clamped to the index's
+    max_levels — big boxes use coarse cells, so the cover stays small and
+    the boundary approximation is proportional to query size, exactly
+    like the reference."""
+    import math
+
+    diag = math.hypot(max_lon - min_lon, max_lat - min_lat)
+    detail = min(max_levels,
+                 level_for_distance(diag * dist_err_pct, max_levels))
+    cells = covering_cells(min_lon, min_lat, max_lon, max_lat,
+                           detail, max_cells)
+    if not cells:
+        cells = ["~none~"]
+    return ConstantScoreQuery(BooleanQuery(tuple(
+        BooleanClause(SHOULD, TermQuery(c, field=field))
+        for c in cells), min_should_match=1))

@@ -1,0 +1,119 @@
+"""Geohash prefix-tree spatial strategy (pipelines/geoprefix.py):
+encoding vectors, covering cells, and the indexed term-disjunction
+filter vs the exact numeric bbox query."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch
+from lucene_solr_old_ray.pipelines.geoprefix import (
+    covering_cells,
+    geo_intersects_query,
+    geohash_bbox,
+    geohash_encode,
+    point_prefixes,
+)
+
+
+def test_geohash_encode_known_vectors():
+    # canonical public test vectors
+    assert geohash_encode(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    assert geohash_encode(42.6, -5.6, 5) == "ezs42"
+    assert geohash_encode(0.0, 0.0, 4) == "s000"
+
+
+def test_geohash_bbox_roundtrip():
+    for h in ["u4pr", "ezs42", "s", "9q8yy"]:
+        lo_x, lo_y, hi_x, hi_y = geohash_bbox(h)
+        # center re-encodes to the same cell
+        assert geohash_encode((lo_y + hi_y) / 2, (lo_x + hi_x) / 2,
+                              len(h)) == h
+
+
+def test_point_prefixes():
+    assert point_prefixes(42.6, -5.6, 5) == ["e", "ez", "ezs", "ezs4",
+                                             "ezs42"]
+
+
+def test_covering_cells_aligned_box():
+    # a half-open box aligned to one cell covers exactly that cell
+    lo_x, lo_y, hi_x, hi_y = geohash_bbox("u4pr")
+    eps = 1e-9
+    cells = covering_cells(lo_x, lo_y, hi_x - eps, hi_y - eps, 4)
+    assert cells == ["u4pr"]
+
+
+def test_geohash_analyzer_batch():
+    ab = analyze_batch(["57.64911,10.40744", "not-a-point"],
+                       with_positions=True, analyzer="geohash:5")
+    assert [str(u) for u in ab.uniques] == ["u", "u4", "u4p", "u4pr",
+                                            "u4pru"]
+    assert ab.field_lengths.tolist() == [5, 0]
+
+
+def test_geo_filter_matches_exact_bbox(ray_session, tmp_path):
+    """Indexed prefix filter == the exact numeric bbox result for points
+    away from cell boundaries."""
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    rng = np.random.default_rng(5)
+    n = 150
+    lats = rng.uniform(40.0, 60.0, n).round(5)
+    lons = rng.uniform(-10.0, 20.0, n).round(5)
+    geo = [f"{la},{lo}" for la, lo in zip(lats, lons)]
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "geo": pa.array(geo, pa.string()),
+        "text": pa.array(["point doc"] * n, pa.string()),
+    }), path)
+    idx = str(tmp_path / "idx")
+    MAXL = 7
+    build_index(CorpusSpec(
+        files=(path,), content_col="text", meta_cols=("doc_id",),
+        extra_fields=(FieldSpec("geo", "geo", analyzer=f"geohash:{MAXL}"),),
+    ), idx, target_docs_per_partition=40)
+
+    box = (-2.0, 45.0, 8.0, 55.0)  # min_lon, min_lat, max_lon, max_lat
+    q = geo_intersects_query("geo", *box, max_levels=MAXL)
+    got = set(search(idx, [q], k=200)["docid"].to_pylist())
+    want = {int(i) for i in range(n)
+            if box[0] <= lons[i] <= box[2]
+            and box[1] <= lats[i] <= box[3]}
+    # INTERSECTS is grid-approximate at the distErrPct detail level
+    # (reference semantics): full recall, false positives only within
+    # one detail cell of the boundary
+    assert want <= got
+    from lucene_solr_old_ray.pipelines.geoprefix import level_for_distance
+    import math
+    detail = level_for_distance(
+        math.hypot(box[2] - box[0], box[3] - box[1]) * 0.025, MAXL)
+    lon_w = 360.0 / (1 << ((5 * detail + 1) // 2))
+    lat_h = 180.0 / (1 << (5 * detail // 2))
+    for i in got - want:
+        assert (box[0] - lon_w <= lons[i] <= box[2] + lon_w
+                and box[1] - lat_h <= lats[i] <= box[3] + lat_h), i
+
+    # a cell-ALIGNED half-open box is exact at any detail level
+    from lucene_solr_old_ray.pipelines.geoprefix import geohash_bbox
+    cell = "u1"  # a level-2 cell inside the data region
+    lo_x, lo_y, hi_x, hi_y = geohash_bbox(cell)
+    eps = 1e-9
+    q = geo_intersects_query("geo", lo_x, lo_y, hi_x - eps, hi_y - eps,
+                             max_levels=MAXL)
+    got = sorted(search(idx, [q], k=200)["docid"].to_pylist())
+    want = sorted(
+        int(i) for i in range(n)
+        if lo_x <= lons[i] < hi_x and lo_y <= lats[i] < hi_y)
+    assert got == want
+
+
+def test_geo_filter_grid_approximation(ray_session):
+    # a tiny box inside ONE max-level cell matches every point of that
+    # cell (the reference's grid approximation at maxLevels)
+    cells = covering_cells(10.0001, 50.0001, 10.0002, 50.0002, 3)
+    assert len(cells) == 1 and len(cells[0]) == 3
