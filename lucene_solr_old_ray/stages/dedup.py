@@ -1118,3 +1118,84 @@ def embedding_dedup_pairs(
     out = ds.map_batches(tile, batch_format="pandas", batch_size=1).to_pandas()
     out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def paragraph_dedup(sf_dir: str, min_chars: int = 20) -> pa.Table:
+    """Paragraph-level exact dedup — the C4/RefinedWeb-style pass that
+    drops REPEATED PARAGRAPHS corpus-wide while keeping each document
+    (re-expresses the "remove duplicated substrings/lines" cleaning stage
+    of large-scale training-data pipelines; doc-level exact_dedup drops
+    whole docs, this drops shared boilerplate inside them).
+
+    Paragraphs = ``\\n\\n``-separated blocks (single ``\\n`` lines fold
+    into their block); blocks shorter than ``min_chars`` are never
+    deduped (quote/heading noise). The FIRST occurrence (lowest (doc_id,
+    paragraph index)) keeps the paragraph; later occurrences drop it.
+
+    Distribution shape: one hash per distinct paragraph per batch leaves
+    the map stage (combiner), the groupby moves partials, and the small
+    owner table (hash -> first (doc, idx)) broadcasts back for the
+    rewrite pass — same two-step shape as exact_dedup, nothing
+    corpus-sized on the driver. -> (doc_id, kept_text, dropped_paras)."""
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def para_partial(batch: pa.Table) -> pa.Table:
+        rows_h: list[str] = []
+        rows_key: list[int] = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for i, p in enumerate((t or "").split("\n\n")):
+                if len(p.strip()) < min_chars:
+                    continue
+                rows_h.append(
+                    hashlib.sha256(p.strip().encode()).hexdigest())
+                rows_key.append(int(d) * 100_000 + i)
+        df = pd.DataFrame({"h": rows_h, "k": rows_key})
+        g = df.groupby("h", as_index=False).agg(k=("k", "min"),
+                                                c=("k", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    owners_pd = (
+        ds.map_batches(para_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("k", alias_name="k"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    # ONLY duplicated paragraphs need owner entries (unique ones always
+    # keep), so the broadcast is the boilerplate set, not the corpus's
+    # full paragraph vocabulary — the 100-TB-safe shape
+    owners_pd = owners_pd[owners_pd["c"] > 1]
+    owner_ref = ray.put(dict(zip(owners_pd["h"], owners_pd["k"])))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        owners = ray.get(owner_ref)
+        out_rows = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            kept: list[str] = []
+            dropped = 0
+            for i, p in enumerate((t or "").split("\n\n")):
+                s = p.strip()
+                if len(s) < min_chars:
+                    kept.append(p)
+                    continue
+                h = hashlib.sha256(s.encode()).hexdigest()
+                own = owners.get(h)
+                if own is None or own == int(d) * 100_000 + i:
+                    kept.append(p)
+                else:
+                    dropped += 1
+            out_rows.append({"doc_id": int(d),
+                             "kept_text": "\n\n".join(kept),
+                             "dropped_paras": dropped})
+        return pa.Table.from_pandas(pd.DataFrame(out_rows),
+                                    preserve_index=False)
+
+    out = (ds.map_batches(rewrite, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

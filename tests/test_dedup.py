@@ -1,0 +1,34 @@
+
+
+def test_paragraph_dedup(ray_session, tmp_path):
+    """Corpus-wide paragraph dedup: repeated blocks survive only at their
+    first (doc, index) occurrence; short blocks and unique blocks kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter for the latest updates"
+    docs = [
+        f"unique alpha paragraph with enough characters\n\n{boiler}",
+        f"{boiler}\n\nunique beta paragraph with enough characters",
+        f"short\n\n{boiler}\n\nunique gamma paragraph with characters",
+        "wholly unique document body with enough characters here",
+    ]
+    sf = tmp_path
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    out = paragraph_dedup(str(sf)).to_pandas()
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    # the boilerplate survives ONLY in doc 0 (first occurrence)
+    assert boiler in out.loc[0, "kept_text"]
+    assert boiler not in out.loc[1, "kept_text"]
+    assert boiler not in out.loc[2, "kept_text"]
+    assert out["dropped_paras"].tolist() == [0, 1, 1, 0]
+    # everything else intact (short block kept verbatim)
+    assert out.loc[2, "kept_text"].startswith("short\n\n")
+    assert "unique beta" in out.loc[1, "kept_text"]
+    assert out.loc[3, "kept_text"] == docs[3]
