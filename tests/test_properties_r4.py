@@ -1,0 +1,108 @@
+"""Property tests for the late round-4 modules: total progress, bounds,
+and mode invariants under arbitrary input (hypothesis)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_old_ray.functions.tokenfilters import run_chain
+from lucene_solr_old_ray.functions.wikipedia import (
+    BOTH,
+    TOKENS_ONLY,
+    UNTOKENIZED_ONLY,
+    wikipedia_tokenize,
+)
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=200)
+_wiki = st.text(alphabet=list("ab coÆø''[]{}=|<>/:.Category&refsup\n\t123"),
+                max_size=120)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_wiki)
+def test_wikipedia_terminates_and_offsets_in_bounds(text):
+    for mode in (TOKENS_ONLY, UNTOKENIZED_ONLY, BOTH):
+        toks = wikipedia_tokenize(text, mode,
+                                  frozenset(["c", "i"]))
+        for t in toks:
+            assert 0 <= t.start <= len(text)
+            assert t.pos_inc >= 0
+            assert t.term != "" or t.flags  # collapsed may trim to ""
+        if toks:
+            assert toks[0].pos_inc >= 1  # first-token fix
+
+
+@settings(max_examples=100, deadline=None)
+@given(_text)
+def test_wikipedia_plain_text_matches_scanner_offsets(text):
+    # TOKENS_ONLY: each non-collapsed token's [start, end) slices its term
+    for t in wikipedia_tokenize(text):
+        assert text[t.start:t.end] == t.term
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_text, max_size=5))
+def test_chain_stream_invariants(docs):
+    st_ = run_chain(docs, "chain:whitespace|lowercase|stop|stem:english")
+    n = len(st_.doc_ids)
+    assert len(st_.positions) == n == len(st_.codes)
+    assert len(st_.inject) == n == len(st_.keyword)
+    if n:
+        # doc-contiguous, stream-ordered, positions non-negative
+        assert (st_.doc_ids[1:] >= st_.doc_ids[:-1]).all()
+        assert (st_.positions >= 0).all()
+        assert st_.codes.max() < len(st_.uniques)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_text, st.integers(1, 6))
+def test_hyphenation_points_sorted_in_bounds(word, level):
+    from lucene_solr_old_ray.functions.hyphenation import (
+        load_hyphenation_tree,
+    )
+    import os
+
+    xml = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+           "lucene/analysis/compound/da_UTF8.xml")
+    if not os.path.exists(xml):
+        return
+    t = load_hyphenation_tree(xml)
+    pts = t.hyphenation_points(word)
+    if pts is not None:
+        assert pts[0] == 0 and pts[-1] == len(word)
+        assert pts == sorted(set(pts))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(-90, 90, allow_nan=False),
+       st.floats(-180, 180, allow_nan=False, exclude_max=True),
+       st.integers(1, 9))
+def test_geohash_decode_contains_point(lat, lon, precision):
+    from lucene_solr_old_ray.pipelines.geoprefix import (
+        geohash_bbox,
+        geohash_encode,
+    )
+
+    h = geohash_encode(lat, lon, precision)
+    lo_x, lo_y, hi_x, hi_y = geohash_bbox(h)
+    assert lo_x <= lon <= hi_x
+    assert lo_y <= lat <= hi_y
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdefg-", max_size=30),
+       st.text(alphabet="abcdefg-", max_size=30))
+def test_string_distances_bounded(a, b):
+    from lucene_solr_old_ray.functions.distances import (
+        jaro_winkler_distance,
+        ngram_distance,
+    )
+
+    d = jaro_winkler_distance(a, b)
+    assert 0.0 <= d <= 1.0 + 1e-6
+    d = ngram_distance(a, b, 2)
+    assert d <= 1.0 + 1e-6
+    if a == b and a:
+        assert jaro_winkler_distance(a, b) == 1.0
+        assert abs(ngram_distance(a, b, 2) - 1.0) < 1e-6
