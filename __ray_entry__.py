@@ -21,7 +21,8 @@ join_scored_top10, prefix_hits -> facet_range_counts,
 span_near_unordered_hits -> sort_multi_page2, token_count_by_lang ->
 classify_knn, doc_fingerprints -> spatial_knn — the last swap upgraded a
 rows-only slot to an exact integer oracle, so the ledger is 48 exact + 2
-rows-only) remain fully pytest-covered
+rows-only; late-r4: sort_by_len_top10 -> facet_sum_nchars, single-key
+field sort being subsumed by sort_multi_page2) remain fully pytest-covered
 (tests/test_{numeric_mlt,advanced,highlight,extras,search,spans}.py) and
 their SQL generators remain in sqlgen.py.
 
@@ -70,7 +71,7 @@ def _index_for(sf_dir: str) -> str:
     ``source`` column is additionally indexed as keyword field ``source`` and
     ``n_chars`` as a NUMERIC field
     (multi-field schema: per-field term dict / postings / norms / stats)."""
-    tag = sf_dir.strip("/").replace("/", "_") + "-v3"
+    tag = sf_dir.strip("/").replace("/", "_") + "-v4"
     idx = os.path.join(_CACHE_ROOT, tag)
     spec = CorpusSpec.documents(
         sf_dir, extra_fields=(
@@ -655,7 +656,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "field_len": t["field_len"].cast(pa.int64()),
         })
 
-    q["sort_by_len_top10"] = sort_by_len
+    # sort_by_len_top10 consolidated out (r4 late): single-key field sort
+    # is subsumed by the multi-key sort_multi_page2 entry; the slot now
+    # exercises association facets (per-category numeric sums). The
+    # sort_by_len SQL generator remains in this module for parity checks.
+
+    def facet_sum_nchars(sf_dir: str) -> pa.Table:
+        idx = _index_for(sf_dir)
+        from lucene_solr_old_ray.pipelines.analytics import (
+            facet_sum_associations,
+        )
+
+        t = facet_sum_associations(idx, TermQuery("spark"), "source",
+                                   "n_chars")
+        return pa.table({
+            "source": t["source"].cast(pa.string()),
+            "sum_nchars": t["sum"].cast(pa.int64()),
+        })
+
+    q["facet_sum_nchars"] = facet_sum_nchars
 
     from lucene_solr_old_ray.queries import FilteredQuery
 
@@ -893,15 +912,16 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, dist FROM (
     sqls["filtered_top10"] = g.bm25_sql(musts=["spark"], filter_terms=["window"])
     sqls["block_join_top10"] = g.block_join_sql("spark")
     sqls["join_scored_top10"] = g.join_scored_sql("spark", "source")
-    sqls["sort_by_len_top10"] = (
+    sqls["facet_sum_nchars"] = (
         f"WITH {g.base_ctes()} "
-        "SELECT CAST(rank AS BIGINT) AS rank, doc_id, field_len FROM ("
-        "  SELECT row_number() OVER (ORDER BY dl.flen DESC, dl.doc_id ASC) AS rank,"
-        "         dl.doc_id AS doc_id, CAST(dl.flen AS BIGINT) AS field_len"
-        "  FROM doclen dl WHERE dl.doc_id IN "
-        "    (SELECT DISTINCT doc_id FROM toks WHERE term = 'table')"
-        ") WHERE rank <= 10 ORDER BY rank"
+        "SELECT d.source AS source, "
+        "CAST(SUM(d.n_chars) AS BIGINT) AS sum_nchars FROM documents d "
+        "WHERE d.doc_id IN "
+        "  (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+        "GROUP BY d.source ORDER BY d.source"
     )
+    # (sort_by_len_top10's oracle SQL moved out with its entry — the
+    # doclen single-key sort shape lives on inside sort_multi_page2)
     stops = g.stops_list()
     sqls["quality_stats"] = f"""
 WITH ta AS (

@@ -86,11 +86,24 @@ class CorpusSpec:
 
     @staticmethod
     def documents(sf_dir: str, extra_fields: tuple[FieldSpec, ...] = ()) -> "CorpusSpec":
-        """Adapter over the driver testdata ``documents`` table."""
+        """Adapter over the driver testdata ``documents`` table.  n_chars
+        (when the table carries it) rides in the docmap so its NUMERIC
+        doc-values sidecar exists for sort / function / association-facet
+        entries; synthetic test tables without the column still work."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        meta = ["doc_id", "lang", "source"]
+        try:
+            names = set(pq.read_schema(path).names)
+        except OSError:
+            names = set(meta)
+        if "n_chars" in names:
+            meta.append("n_chars")
         return CorpusSpec(
-            files=(os.path.join(sf_dir, "documents.parquet"),),
+            files=(path,),
             content_col="text",
-            meta_cols=("doc_id", "lang", "source"),
+            meta_cols=tuple(c for c in meta if c in names or c == "doc_id"),
             extra_fields=extra_fields,
         )
 
