@@ -1390,6 +1390,16 @@ def analyze_batch(
                      if with_positions else np.empty(0, dtype=np.int32))
         return AnalyzedBatch(doc_ids, positions, codes, uniques,
                              counts.astype(np.int32))
+    if analyzer == "synonym_graph":
+        # MULTI-WORD synonym sausage (SynonymFilter.java 4.x semantics —
+        # functions/tokenfilters.synonym_graph_stream); rules come from
+        # the same per-build ``synonyms`` plumbing, keys/values may be
+        # phrases, a "=" value prefix replaces the original
+        from .tokenfilters import analyze_synonym_graph_batch
+
+        rules = dict(synonyms) if synonyms is not None else dict(SYNONYMS)
+        rules = {k: tuple(v) for k, v in rules.items()}
+        return analyze_synonym_graph_batch(texts, rules, with_positions)
     if analyzer.startswith("chain:"):
         # composable token-filter chain (functions/tokenfilters.py):
         # "chain:<tokenizer>|<filter>|<filter:args>|..."

@@ -997,3 +997,124 @@ def analyze_chain_text(text: str, spec: str) -> list[str]:
     overlaps follow their position-consuming parent)."""
     st = run_chain([text], spec)
     return [str(t) for t in st.terms()]
+
+
+# ---------------------------------------------------- multi-word synonyms
+
+
+def synonym_graph_stream(
+    tokens: list[str], rules: dict, keep_default: bool = True,
+) -> list[tuple[str, int]]:
+    """SynonymFilter with MULTI-WORD inputs and outputs — re-expresses
+    (NOT ports) ``analysis/common/.../synonym/SynonymFilter.java`` (the
+    4.x sausage semantics, validated against TestSynonymMapFilter
+    verify() vectors):
+
+    - greedy leftmost-LONGEST match over the token stream; the scan
+      resumes after the matched window (non-overlapping inputs)
+    - output token j of a match at position i lands at ABSOLUTE position
+      i + j: within the window it stacks on the input tokens, beyond the
+      window it occupies the following positions (sharing them with
+      later input tokens and later matches' outputs — no input shifting)
+    - matched input tokens stay when any applied rule keeps the original
+      (an output phrase prefixed ``"="`` means REPLACE, i.e.
+      keepOrig=false for that rule)
+
+    ``rules``: {"input phrase": ("output phrase", "=replacing phrase",
+    ...)}.  Returns [(term, position)] sorted by (position, emission
+    order), originals first at their positions.
+    """
+    first_words: dict[str, list[tuple[tuple, list, bool]]] = {}
+    for k, outs in rules.items():
+        key = tuple(k.split())
+        parsed = []
+        keep = False
+        for o in outs:
+            if o.startswith("="):
+                parsed.append(tuple(o[1:].split()))
+            else:
+                parsed.append(tuple(o.split()))
+                # non-replacing output alone doesn't force keep; keepOrig
+                # is per-rule: '=' marks replace, plain marks keep
+                keep = True
+        first_words.setdefault(key[0], []).append((key, parsed, keep))
+    for v in first_words.values():
+        v.sort(key=lambda t: -len(t[0]))  # longest first
+
+    n = len(tokens)
+    keep_tok = [True] * n
+    extra: list[tuple[str, int]] = []  # (term, absolute position)
+    i = 0
+    while i < n:
+        cands = first_words.get(tokens[i])
+        matched = None
+        if cands:
+            for key, outs, keep in cands:
+                if tuple(tokens[i:i + len(key)]) == key:
+                    matched = (key, outs, keep)
+                    break
+        if matched is None:
+            i += 1
+            continue
+        key, outs, keep = matched
+        if not keep:
+            for j in range(len(key)):
+                keep_tok[i + j] = False
+        for out in outs:
+            for j, w in enumerate(out):
+                extra.append((w, i + j))
+        i += len(key)
+    stream = [(t, p) for p, (t, k) in enumerate(zip(tokens, keep_tok))
+              if k]
+    stream.extend(extra)
+    stream.sort(key=lambda tp: tp[1])
+    return stream
+
+
+def analyze_synonym_graph_batch(texts, rules: dict, with_positions: bool):
+    """Batch wrapper -> AnalyzedBatch: first token at each (doc, position)
+    consumes the position, the rest ride the inject lane (posIncr 0)."""
+    import pyarrow as pa
+
+    from .analysis import (
+        ENGLISH_STOP_WORDS,
+        MAX_TOKEN_LENGTH,
+        AnalyzedBatch,
+        tokenize_raw,
+    )
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
+                  else list(texts))
+    n_docs = len(texts_list)
+    doc_ids_l: list[int] = []
+    pos_l: list[int] = []
+    terms_l: list[str] = []
+    inject_l: list[bool] = []
+    for di, t in enumerate(texts_list):
+        stream = synonym_graph_stream(tokenize_raw(t or ""), rules)
+        seen_pos: set[int] = set()
+        for term, p in stream:
+            if len(term) > MAX_TOKEN_LENGTH or term in ENGLISH_STOP_WORDS:
+                continue
+            doc_ids_l.append(di)
+            pos_l.append(p)
+            inject_l.append(p in seen_pos)
+            seen_pos.add(p)
+            terms_l.append(term)
+    if terms_l:
+        codes, uniques = pd.factorize(np.asarray(terms_l, dtype=object),
+                                      sort=False)
+        codes = codes.astype(np.int64)
+        uniques = np.asarray(uniques, dtype=object)
+    else:
+        codes = np.empty(0, dtype=np.int64)
+        uniques = np.empty(0, dtype=object)
+    doc_ids = np.asarray(doc_ids_l, dtype=np.int32)
+    inject = np.asarray(inject_l, dtype=bool)
+    fl = (np.bincount(doc_ids[~inject], minlength=n_docs).astype(np.int32)
+          if len(doc_ids) else np.zeros(n_docs, dtype=np.int32))
+    positions = (np.asarray(pos_l, dtype=np.int32) if with_positions
+                 else np.empty(0, dtype=np.int32))
+    return AnalyzedBatch(doc_ids, positions, codes, uniques, fl)

@@ -96,30 +96,51 @@ def split_segments(index_dir: str, dest_dir: str,
     return mf.read_index_manifest(dest_dir)
 
 
+@ray.remote
+def _write_mask(out_dir: str, leaf_ord: int, doc_base: int, num_docs: int,
+                mode: str, n: int, i: int, lo: int, hi: int,
+                packed: "bytes | None") -> "tuple[str | None, int]":
+    """Materialize ONE leaf's live mask inside a task (the per-leaf
+    O(num_docs) work never touches the driver) -> (rel_path, n_deleted)."""
+    if mode == "explicit":
+        live = np.frombuffer(packed, dtype=bool).copy()
+    else:
+        g = doc_base + np.arange(num_docs, dtype=np.int64)
+        live = ((g >= lo) & (g < hi)) if mode == "seq" \
+            else ((g % n) == (i % n))
+    if live.all():
+        return None, 0
+    rel = os.path.join("deletes", "g1", f"leaf-{leaf_ord:05d}.npy")
+    tmp = os.path.join(out_dir, rel + f".{os.getpid()}.tmp.npy")
+    np.save(tmp, live, allow_pickle=False)
+    os.replace(tmp, os.path.join(out_dir, rel))
+    return rel, int((~live).sum())
+
+
 def _publish_with_masks(index_dir: str, out_dir: str, man: dict,
-                        masks: "list[np.ndarray | None]",
-                        op: str) -> dict:
-    """Publish out_dir referencing ALL source segments with the given
-    per-leaf live masks, then expunge into compacted local leaves."""
+                        mask_specs: list, op: str) -> dict:
+    """Publish out_dir referencing ALL source segments with per-leaf live
+    masks (each computed + written by a Ray task), then expunge into
+    compacted local leaves."""
     from .deletes import expunge_deletes
 
     os.makedirs(os.path.join(out_dir, "deletes", "g1"), exist_ok=True)
-    leaves = _leaves(man)
+    leaves = sorted(_leaves(man), key=lambda s: s["doc_base"])
+    jobs = [
+        _write_mask.remote(out_dir, i, l["doc_base"], l["num_docs"], *spec)
+        for i, (l, spec) in enumerate(zip(leaves, mask_specs))
+    ]
+    results = ray.get(jobs)
     segments = []
-    for i, l in enumerate(sorted(leaves, key=lambda s: s["doc_base"])):
+    for i, (l, (rel, n_del)) in enumerate(zip(leaves, results)):
         entry = {
             "dir": os.path.abspath(os.path.join(index_dir, l["dir"])),
             "part_id": i, "doc_base": l["doc_base"],
             "num_docs": l["num_docs"],
         }
-        live = masks[i]
-        if live is not None and not live.all():
-            rel = os.path.join("deletes", "g1", f"leaf-{i:05d}.npy")
-            tmp = os.path.join(out_dir, rel + f".{os.getpid()}.tmp.npy")
-            np.save(tmp, live, allow_pickle=False)
-            os.replace(tmp, os.path.join(out_dir, rel))
+        if rel is not None:
             entry["deletes"] = os.path.abspath(os.path.join(out_dir, rel))
-            entry["num_deleted"] = int((~live).sum())
+            entry["num_deleted"] = n_del
         segments.append(entry)
     manifest = {
         "kind": "split",
@@ -146,17 +167,13 @@ def multi_pass_split(index_dir: str, out_dirs: list[str],
     part_len = max_doc // n
     results = []
     for i, out_dir in enumerate(out_dirs):
-        masks: list[np.ndarray] = []
-        for l in leaves:
-            g = l["doc_base"] + np.arange(l["num_docs"], dtype=np.int64)
-            if seq:
-                lo = part_len * i
-                hi = max_doc if i == n - 1 else lo + part_len
-                live = (g >= lo) & (g < hi)
-            else:
-                live = (g % n) == (i % n)
-            masks.append(live)
-        results.append(_publish_with_masks(index_dir, out_dir, man, masks,
+        if seq:
+            lo = part_len * i
+            hi = max_doc if i == n - 1 else lo + part_len
+            specs = [("seq", n, i, lo, hi, None) for _ in leaves]
+        else:
+            specs = [("rr", n, i, 0, 0, None) for _ in leaves]
+        results.append(_publish_with_masks(index_dir, out_dir, man, specs,
                                            "multi_pass_split"))
     return results
 
@@ -203,12 +220,12 @@ def pk_split(index_dir: str, query: Query, out_matching: str,
     ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
     marks = (ds.map_batches(mark, batch_format="pandas", batch_size=2)
              .to_pandas().set_index("leaf_ord").sort_index())
-    match_masks = [np.frombuffer(marks.loc[i, "match"], dtype=bool).copy()
+    match_specs = [("explicit", 0, 0, 0, 0, marks.loc[i, "match"])
                    for i in range(len(leaves))]
-    rest_masks = [np.frombuffer(marks.loc[i, "rest"], dtype=bool).copy()
+    rest_specs = [("explicit", 0, 0, 0, 0, marks.loc[i, "rest"])
                   for i in range(len(leaves))]
-    a = _publish_with_masks(index_dir, out_matching, man, match_masks,
+    a = _publish_with_masks(index_dir, out_matching, man, match_specs,
                             "pk_split")
-    b = _publish_with_masks(index_dir, out_rest, man, rest_masks,
+    b = _publish_with_masks(index_dir, out_rest, man, rest_specs,
                             "pk_split")
     return a, b

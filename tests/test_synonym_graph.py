@@ -1,0 +1,74 @@
+"""Multi-word SynonymFilter sausage (synonym_graph_stream) vs the
+reference's TestSynonymMapFilter.testBasic verify() vectors."""
+
+from collections import defaultdict
+
+from lucene_solr_old_ray.functions.analysis import analyze_batch
+from lucene_solr_old_ray.functions.tokenfilters import synonym_graph_stream
+
+RULES = {
+    "a": ("foo",),
+    "a b": ("bar fee",),
+    "b c": ("dog collar",),
+    "c d": ("dog harness holder extras",),
+    "m c e": ("=dog barks loudly",),
+    "i j k": ("feep",),
+    "e f": ("=foo bar", "=baz bee"),
+    "z": ("=boo",),
+    "y": ("bee",),
+}
+
+
+def render(text: str) -> str:
+    """The reference test's verify() notation: tokens at each position
+    joined with '/', positions joined with spaces."""
+    m = defaultdict(list)
+    for t, p in synonym_graph_stream(text.split(), RULES):
+        m[p].append(t)
+    return " ".join("/".join(m[p]) for p in sorted(m))
+
+
+def test_reference_verify_vectors():
+    # TestSynonymMapFilter.testBasic
+    assert render("a b c") == "a/bar b/fee c"
+    # syn output extends beyond input tokens
+    assert render("x a b c d") == "x a/bar b/fee c/dog d/harness holder extras"
+    assert render("a b a") == "a/bar b/fee a/foo"
+    # outputs that add to one another
+    assert render("c d c d") == \
+        "c/dog d/harness c/holder/dog d/extras/harness holder extras"
+    # two outputs for same input, originals replaced
+    assert render("e f") == "foo/baz bar/bee"
+    # replace-only single word
+    assert render("z") == "boo"
+    assert render("y") == "y/bee"
+    # multi-word replacing rule
+    assert render("m c e") == "dog barks loudly"
+    assert render("i j k") == "i/feep j k"
+
+
+def test_longest_match_wins():
+    # "a b" (len 2) beats "a" (len 1) at the same start
+    assert render("a b") == "a/bar b/fee"
+    assert render("a") == "a/foo"
+
+
+def test_batch_analyzer_positions_and_norms():
+    ab = analyze_batch(["x c d"], with_positions=True,
+                       analyzer="synonym_graph",
+                       synonyms=(("c d", ("dog harness holder extras",)),))
+    stream = sorted(zip(ab.positions.tolist(),
+                        [str(ab.uniques[c]) for c in ab.term_codes]))
+    assert stream == [(0, "x"), (1, "c"), (1, "dog"), (2, "d"),
+                      (2, "harness"), (3, "holder"), (4, "extras")]
+    # five distinct positions consume slots -> norm length 5
+    assert ab.field_lengths.tolist() == [5]
+
+
+def test_batch_analyzer_replace_drops_stop_and_overlong():
+    ab = analyze_batch(["e f"], with_positions=True,
+                       analyzer="synonym_graph",
+                       synonyms=(("e f", ("=foo bar", "=baz bee")),))
+    terms = sorted(str(ab.uniques[c]) for c in ab.term_codes)
+    assert terms == ["bar", "baz", "bee", "foo"]
+    assert ab.field_lengths.tolist() == [2]
