@@ -240,7 +240,7 @@ class AlgRunner:
             self.round += 1
             return 0
         if name.startswith("RepSum"):
-            self.reports.append(self._report(name))
+            self.reports.append(self._report(name, node.arg))
             return 0
         return 0  # unknown framework task: no-op, keeps algorithm shape
 
@@ -275,7 +275,7 @@ class AlgRunner:
 
     # ------------------------------------------------------------ reports
 
-    def _report(self, kind: str) -> str:
+    def _report(self, kind: str, prefix: "str | None" = None) -> str:
         """ReportTask table: Operation round runCnt recsPerRun rec/s
         elapsedSec (memory columns omitted — no JVM)."""
         rows: list[tuple[str, int, _Stats]] = []
@@ -291,10 +291,9 @@ class AlgRunner:
                 m.recs += st.recs
                 m.elapsed += st.elapsed
             rows = [(n, -1, st) for n, st in merged.items()]
-        if "Pref" in kind:
-            # RepSumByPref[Round] <prefix>: the prefix rides after the
-            # task name in the algorithm; matched loosely via stored arg
-            pass
+        if "Pref" in kind and prefix:
+            rows = [(n, r, st) for n, r, st in rows
+                    if n.startswith(prefix)]
         lines = ["Operation                round  runCnt  recsPerRun"
                  "        rec/s  elapsedSec"]
         for name, rnd, st in sorted(rows, key=lambda r: (r[0], r[1])):

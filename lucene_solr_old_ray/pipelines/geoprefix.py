@@ -164,8 +164,15 @@ def geo_intersects_query(
     diag = math.hypot(max_lon - min_lon, max_lat - min_lat)
     detail = min(max_levels,
                  level_for_distance(diag * dist_err_pct, max_levels))
-    cells = covering_cells(min_lon, min_lat, max_lon, max_lat,
-                           detail, max_cells)
+    # a truncated cover would SILENTLY lose recall; coarsen the detail
+    # level until the cover fits (recall stays full, precision degrades
+    # with cell size — the documented approximation axis)
+    while True:
+        cells = covering_cells(min_lon, min_lat, max_lon, max_lat,
+                               detail, max_cells + 1)
+        if len(cells) <= max_cells or detail <= 1:
+            break
+        detail -= 1
     if not cells:
         cells = ["~none~"]
     return ConstantScoreQuery(BooleanQuery(tuple(
