@@ -1351,14 +1351,21 @@ def analyze_batch(
         normalized = [iteration_mark_normalize(t or "") for t in texts_list]
         return analyze_batch(pa.array(normalized, pa.string()),
                              with_positions, inner, synonyms, with_offsets)
-    if analyzer.startswith("geohash"):
-        # "geohash[:max_levels]" over a "lat,lon" column: each point
-        # indexes its geohash cell at EVERY level 1..max (the
-        # PrefixTreeStrategy token stream — pipelines/geoprefix.py)
+    if analyzer.startswith(("geohash", "quadtree")):
+        # "geohash[:max_levels]" / "quadtree[:max_levels]" over a
+        # "lat,lon" column: each point indexes its cell at EVERY level
+        # 1..max (the PrefixTreeStrategy token stream —
+        # pipelines/geoprefix.py)
         import pandas as pd
 
-        from ..pipelines.geoprefix import point_prefixes
+        from ..pipelines.geoprefix import (
+            point_prefixes as _gh_prefixes,
+            quad_point_prefixes,
+        )
 
+        point_prefixes = (quad_point_prefixes
+                          if analyzer.startswith("quadtree")
+                          else _gh_prefixes)
         levels = (int(analyzer.split(":", 1)[1]) if ":" in analyzer else 9)
         texts_list = (texts.to_pylist() if isinstance(texts, pa.Array)
                       else list(texts))

@@ -100,19 +100,69 @@ def point_prefixes(lat: float, lon: float, max_levels: int) -> list[str]:
     return [full[:i] for i in range(1, max_levels + 1)]
 
 
+# --------------------------------------------------------- quad prefix tree
+
+_QUAD = "ABCD"  # A=NW B=NE C=SW D=SE (QuadPrefixTree.java:173-176 Z-order)
+
+
+def quad_encode(lat: float, lon: float, precision: int) -> str:
+    """QuadPrefixTree cell of a point: quadrant letters over the lat-lon
+    world bounds, half-open split (>= mid goes north/east)."""
+    x_lo, x_hi = -180.0, 180.0
+    y_lo, y_hi = -90.0, 90.0
+    out = []
+    for _ in range(precision):
+        xm = (x_lo + x_hi) / 2
+        ym = (y_lo + y_hi) / 2
+        north = lat >= ym
+        east = lon >= xm
+        out.append("B" if north and east else "A" if north
+                   else "D" if east else "C")
+        x_lo, x_hi = (xm, x_hi) if east else (x_lo, xm)
+        y_lo, y_hi = (ym, y_hi) if north else (y_lo, ym)
+    return "".join(out)
+
+
+def quad_bbox(h: str) -> tuple[float, float, float, float]:
+    x_lo, x_hi = -180.0, 180.0
+    y_lo, y_hi = -90.0, 90.0
+    for c in h:
+        xm = (x_lo + x_hi) / 2
+        ym = (y_lo + y_hi) / 2
+        north = c in "AB"
+        east = c in "BD"
+        x_lo, x_hi = (xm, x_hi) if east else (x_lo, xm)
+        y_lo, y_hi = (ym, y_hi) if north else (y_lo, ym)
+    return x_lo, y_lo, x_hi, y_hi
+
+
+def quad_point_prefixes(lat: float, lon: float,
+                        max_levels: int) -> list[str]:
+    full = quad_encode(lat, lon, max_levels)
+    return [full[:i] for i in range(1, max_levels + 1)]
+
+
+_TREES = {
+    "geohash": (lambda h: geohash_bbox(h), _BASE32),
+    "quad": (lambda h: quad_bbox(h), _QUAD),
+}
+
+
 def covering_cells(
     min_lon: float, min_lat: float, max_lon: float, max_lat: float,
-    max_levels: int, max_cells: int = 1024,
+    max_levels: int, max_cells: int = 1024, tree: str = "geohash",
 ) -> list[str]:
     """Recursive cover of a bbox (RecursivePrefixTreeFilter descend rule):
     cells fully inside emit at their level, partial overlaps descend;
-    leaves at max_levels emit (grid approximation)."""
+    leaves at max_levels emit (grid approximation).  ``tree`` picks the
+    SpatialPrefixTree flavor (geohash base-32 or quad A-D)."""
+    bbox_fn, alphabet = _TREES[tree]
     out: list[str] = []
 
     def recurse(cell: str) -> None:
         if len(out) >= max_cells:
             return
-        lo_x, lo_y, hi_x, hi_y = geohash_bbox(cell)
+        lo_x, lo_y, hi_x, hi_y = bbox_fn(cell)
         # cells are half-open [lo, hi): a boundary point encodes into the
         # UPPER cell, so a cell whose hi touches the box min is disjoint
         # while one whose lo touches the box max is not
@@ -124,23 +174,28 @@ def covering_cells(
         if inside or len(cell) >= max_levels:
             out.append(cell)
             return
-        for c in _BASE32:
+        for c in alphabet:
             recurse(cell + c)
 
-    for c in _BASE32:
+    for c in alphabet:
         recurse(c)
     return out
 
 
-def level_for_distance(deg: float, max_levels: int = MAX_PRECISION) -> int:
-    """Smallest geohash level whose cell fits in a ``deg``-sized square
-    (spatial4j GeohashUtils.lookupHashLenForWidthHeight semantics: level
-    widths alternate 3-lon/2-lat and 2-lon/3-lat bit splits)."""
+def level_for_distance(deg: float, max_levels: int = MAX_PRECISION,
+                       tree: str = "geohash") -> int:
+    """Smallest level whose cell fits in a ``deg``-sized square (spatial4j
+    GeohashUtils.lookupHashLenForWidthHeight semantics; quad halves both
+    dimensions per level, QuadPrefixTree.getLevelForDistance)."""
     if deg <= 0:
         return max_levels
     for lv in range(1, max_levels + 1):
-        lon_w = 360.0 / (1 << ((5 * lv + 1) // 2))
-        lat_h = 180.0 / (1 << (5 * lv // 2))
+        if tree == "quad":
+            lon_w = 360.0 / (1 << lv)
+            lat_h = 180.0 / (1 << lv)
+        else:
+            lon_w = 360.0 / (1 << ((5 * lv + 1) // 2))
+            lat_h = 180.0 / (1 << (5 * lv // 2))
         if lon_w <= deg and lat_h <= deg:
             return lv
     return max_levels
@@ -149,7 +204,7 @@ def level_for_distance(deg: float, max_levels: int = MAX_PRECISION) -> int:
 def geo_intersects_query(
     field: str, min_lon: float, min_lat: float, max_lon: float,
     max_lat: float, max_levels: int, dist_err_pct: float = 0.025,
-    max_cells: int = 4096,
+    max_cells: int = 4096, tree: str = "geohash",
 ) -> ConstantScoreQuery:
     """Bbox INTERSECTS filter as a constant-score cell-term disjunction
     over a ``geohash[:max_levels]``-indexed field.  The descent detail
@@ -163,13 +218,13 @@ def geo_intersects_query(
 
     diag = math.hypot(max_lon - min_lon, max_lat - min_lat)
     detail = min(max_levels,
-                 level_for_distance(diag * dist_err_pct, max_levels))
+                 level_for_distance(diag * dist_err_pct, max_levels, tree))
     # a truncated cover would SILENTLY lose recall; coarsen the detail
     # level until the cover fits (recall stays full, precision degrades
     # with cell size — the documented approximation axis)
     while True:
         cells = covering_cells(min_lon, min_lat, max_lon, max_lat,
-                               detail, max_cells + 1)
+                               detail, max_cells + 1, tree)
         if len(cells) <= max_cells or detail <= 1:
             break
         detail -= 1

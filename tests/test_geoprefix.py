@@ -117,3 +117,63 @@ def test_geo_filter_grid_approximation(ray_session):
     # cell (the reference's grid approximation at maxLevels)
     cells = covering_cells(10.0001, 50.0001, 10.0002, 50.0002, 3)
     assert len(cells) == 1 and len(cells[0]) == 3
+
+
+def test_quad_tree_encode_bbox_cover():
+    from lucene_solr_old_ray.pipelines.geoprefix import (
+        covering_cells,
+        quad_bbox,
+        quad_encode,
+        quad_point_prefixes,
+    )
+
+    # NW/NE/SW/SE quadrant letters (QuadPrefixTree Z-order)
+    assert quad_encode(45.0, -90.0, 1) == "A"
+    assert quad_encode(45.0, 90.0, 1) == "B"
+    assert quad_encode(-45.0, -90.0, 1) == "C"
+    assert quad_encode(-45.0, 90.0, 1) == "D"
+    # containment roundtrip
+    for lat, lon in [(57.6, 10.4), (-12.3, 141.9), (0.0, 0.0)]:
+        h = quad_encode(lat, lon, 8)
+        lo_x, lo_y, hi_x, hi_y = quad_bbox(h)
+        assert lo_x <= lon <= hi_x and lo_y <= lat <= hi_y
+    # (45, 90) sits at BB's SW corner: level-3 cell is the C quadrant
+    assert quad_point_prefixes(45.0, 90.0, 3) == ["B", "BB", "BBC"]
+    # an aligned quad cell covers exactly itself
+    lo_x, lo_y, hi_x, hi_y = quad_bbox("AB")
+    eps = 1e-9
+    assert covering_cells(lo_x, lo_y, hi_x - eps, hi_y - eps, 2,
+                          tree="quad") == ["AB"]
+
+
+def test_quad_analyzer_and_query(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.geoprefix import geo_intersects_query
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    rng = np.random.default_rng(9)
+    n = 80
+    lats = rng.uniform(40.0, 60.0, n).round(5)
+    lons = rng.uniform(-10.0, 20.0, n).round(5)
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "geo": pa.array([f"{a},{o}" for a, o in zip(lats, lons)]),
+        "text": pa.array(["point doc"] * n, pa.string()),
+    }), path)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(
+        files=(path,), content_col="text", meta_cols=("doc_id",),
+        extra_fields=(FieldSpec("geo", "geo", analyzer="quadtree:16"),),
+    ), idx, target_docs_per_partition=40)
+
+    box = (-2.0, 45.0, 8.0, 55.0)
+    q = geo_intersects_query("geo", *box, max_levels=16, tree="quad")
+    got = set(search(idx, [q], k=200)["docid"].to_pylist())
+    want = {int(i) for i in range(n)
+            if box[0] <= lons[i] <= box[2] and box[1] <= lats[i] <= box[3]}
+    assert want <= got  # full recall, grid-approximate precision
