@@ -42,6 +42,13 @@ from ..queries import (
     ConstantScoreQuery,
     BoostingQuery,
     CustomScoreQuery,
+    SpanFirstQuery,
+    SpanMultiTermQueryWrapper,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanOrQuery,
+    SpanPositionRangeQuery,
+    SpanTermQuery,
     DisjunctionMaxQuery,
     FilteredQuery,
     FuzzyQuery,
@@ -198,6 +205,18 @@ def _collect_scoring_mtqs(q: Query, out: list) -> None:
     if isinstance(q, _MTQ_TYPES) and q.rewrite == "scoring_boolean":
         if q not in out:
             out.append(q)
+    elif isinstance(q, SpanMultiTermQueryWrapper):
+        # the wrapper FORCES a rewrite regardless of the inner rewrite mode
+        if q.query not in out:
+            out.append(q.query)
+    elif isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        for c in q.clauses:
+            _collect_scoring_mtqs(c, out)
+    elif isinstance(q, SpanNotQuery):
+        _collect_scoring_mtqs(q.include, out)
+        _collect_scoring_mtqs(q.exclude, out)
+    elif isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+        _collect_scoring_mtqs(q.match, out)
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             _collect_scoring_mtqs(c.query, out)
@@ -314,6 +333,30 @@ def _replace_mtqs(q: Query, repl: dict) -> Query:
         return ConstantScoreQuery(_replace_mtqs(q.query, repl), q.boost)
     if isinstance(q, CustomScoreQuery):
         return CustomScoreQuery(_replace_mtqs(q.query, repl), q.field, q.boost)
+    if isinstance(q, SpanMultiTermQueryWrapper):
+        exp = repl.get(q.query)
+        field = getattr(q.query, "field", None)
+        terms = (tuple(c.query.term for c in exp.clauses)
+                 if exp is not None and isinstance(exp, BooleanQuery)
+                 else ())
+        return SpanOrQuery(tuple(
+            SpanTermQuery(t, field=field) for t in terms), q.boost)
+    if isinstance(q, SpanNearQuery):
+        return SpanNearQuery(tuple(_replace_mtqs(c, repl)
+                                   for c in q.clauses), q.slop,
+                             q.in_order, q.boost)
+    if isinstance(q, SpanOrQuery):
+        return SpanOrQuery(tuple(_replace_mtqs(c, repl)
+                                 for c in q.clauses), q.boost)
+    if isinstance(q, SpanNotQuery):
+        return SpanNotQuery(_replace_mtqs(q.include, repl),
+                            _replace_mtqs(q.exclude, repl), q.pre, q.post,
+                            q.boost)
+    if isinstance(q, SpanFirstQuery):
+        return SpanFirstQuery(_replace_mtqs(q.match, repl), q.end, q.boost)
+    if isinstance(q, SpanPositionRangeQuery):
+        return SpanPositionRangeQuery(_replace_mtqs(q.match, repl),
+                                      q.start, q.end, q.boost)
     if isinstance(q, BoostingQuery):
         return BoostingQuery(_replace_mtqs(q.match, repl),
                              _replace_mtqs(q.context, repl), q.demote)

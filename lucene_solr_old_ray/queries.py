@@ -417,6 +417,31 @@ class SpanFirstQuery:
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery:
+    """Spans of ``match`` whose [start, end) lies inside the position
+    window (``search/spans/SpanPositionRangeQuery.java:35-55``;
+    SpanFirstQuery is the start=0 special case)."""
+
+    match: "Query"
+    start: int = 0
+    end: int = 1
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanMultiTermQueryWrapper:
+    """Spans over a MultiTermQuery's expansion
+    (``search/spans/SpanMultiTermQueryWrapper.java:45``): the global
+    rewrite pass expands the wrapped prefix/wildcard/regexp/fuzzy query
+    and substitutes a SpanOrQuery of SpanTermQueries — so the wrapper
+    composes inside SpanNear/Or/Not like the reference.  Must be run
+    through ``rewrite_queries`` before span execution."""
+
+    query: "Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PayloadTermQuery:
     """Re-expresses (NOT ports) ``search/payloads/PayloadTermQuery.java:55``:
     a SpanTermQuery whose score folds in a PayloadFunction over the
@@ -437,7 +462,8 @@ class PayloadTermQuery:
 
 SpanQuery = (
     SpanTermQuery | SpanNearQuery | SpanOrQuery | SpanNotQuery
-    | SpanFirstQuery | PayloadTermQuery
+    | SpanFirstQuery | SpanPositionRangeQuery | SpanMultiTermQueryWrapper
+    | PayloadTermQuery
 )
 
 
@@ -458,6 +484,10 @@ def span_field(q: "SpanQuery") -> str | None:
         return next(iter(fields))
     if isinstance(q, SpanFirstQuery):
         return span_field(q.match)
+    if isinstance(q, SpanPositionRangeQuery):
+        return span_field(q.match)
+    if isinstance(q, SpanMultiTermQueryWrapper):
+        return getattr(q.query, "field", None)
     raise TypeError(f"not a span query: {type(q)}")
 
 
@@ -475,6 +505,10 @@ def span_weight_terms(q: "SpanQuery") -> set[str]:
         return span_weight_terms(q.include)
     if isinstance(q, SpanFirstQuery):
         return span_weight_terms(q.match)
+    if isinstance(q, SpanPositionRangeQuery):
+        return span_weight_terms(q.match)
+    if isinstance(q, SpanMultiTermQueryWrapper):
+        return set()  # terms exist only after the global rewrite
     return set()
 
 
@@ -516,6 +550,14 @@ def needs_rewrite(q: "Query") -> bool:
         return needs_rewrite(q.query) or needs_rewrite(q.filter)
     if isinstance(q, ConstantScoreQuery):
         return needs_rewrite(q.query)
+    if isinstance(q, SpanMultiTermQueryWrapper):
+        return True  # the wrapper always expands against the index
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        return any(needs_rewrite(c) for c in q.clauses)
+    if isinstance(q, SpanNotQuery):
+        return needs_rewrite(q.include) or needs_rewrite(q.exclude)
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
+        return needs_rewrite(q.match)
     if isinstance(q, CustomScoreQuery):
         return needs_rewrite(q.query)
     if isinstance(q, ToParentBlockJoinQuery):
@@ -583,7 +625,8 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, DuplicateFilterQuery):
         return collect_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
-                      SpanNotQuery, SpanFirstQuery, PayloadTermQuery)):
+                      SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
+                      SpanMultiTermQueryWrapper, PayloadTermQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
     if isinstance(q, CommonTermsQuery):
         return set(q.terms) if q.field is None else set()
@@ -624,7 +667,8 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, DuplicateFilterQuery):
         return collect_field_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
-                      SpanNotQuery, SpanFirstQuery, PayloadTermQuery)):
+                      SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
+                      SpanMultiTermQueryWrapper, PayloadTermQuery)):
         f = span_field(q)
         return ({(f, t) for t in span_weight_terms(q)}
                 if f is not None else set())

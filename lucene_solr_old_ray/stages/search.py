@@ -1000,7 +1000,8 @@ def _execute_raw(
         keep = np.isin(docids, fdocs, assume_unique=True)
         return docids[keep], scores[keep]
     from ..queries import (PayloadTermQuery, SpanFirstQuery, SpanNearQuery,
-                           SpanNotQuery, SpanOrQuery, SpanTermQuery,
+                           SpanNotQuery, SpanOrQuery,
+                           SpanPositionRangeQuery, SpanTermQuery,
                            ToChildBlockJoinQuery, ToParentBlockJoinQuery)
     if isinstance(q, ToParentBlockJoinQuery):
         from .blockjoin import execute_to_parent
@@ -1015,7 +1016,8 @@ def _execute_raw(
 
         return execute_payload_term(q, leaf, ctx, boost)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
-                      SpanNotQuery, SpanFirstQuery)):
+                      SpanNotQuery, SpanFirstQuery,
+                      SpanPositionRangeQuery)):
         from .spans import execute_span
 
         return execute_span(q, leaf, ctx, boost)

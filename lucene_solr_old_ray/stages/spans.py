@@ -34,6 +34,7 @@ import numpy as np
 from ..functions import bm25
 from ..queries import (
     SpanFirstQuery,
+    SpanPositionRangeQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
@@ -164,6 +165,8 @@ def _docs_of(q, leaf) -> np.ndarray:
         return _docs_of(q.include, leaf)
     if isinstance(q, SpanFirstQuery):
         return _docs_of(q.match, leaf)
+    if isinstance(q, SpanPositionRangeQuery):
+        return _docs_of(q.match, leaf)
     raise TypeError(f"not a span query: {type(q)}")
 
 
@@ -213,6 +216,12 @@ def _spans_tree(q, leaf, docs: np.ndarray) -> list[list[tuple[int, int]]]:
     if isinstance(q, SpanFirstQuery):
         inner = _spans_tree(q.match, leaf, docs)
         return [[(s, e) for s, e in sp if e <= q.end] for sp in inner]
+    if isinstance(q, SpanPositionRangeQuery):
+        # SpanPositionRangeQuery.acceptPosition: start() >= q.start and
+        # end() <= q.end
+        inner = _spans_tree(q.match, leaf, docs)
+        return [[(s, e) for s, e in sp if s >= q.start and e <= q.end]
+                for sp in inner]
     raise TypeError(f"not a span query: {type(q)}")
 
 

@@ -348,3 +348,49 @@ def test_two_term_span_fast_path_end_to_end(span_index):
                 if all(sub) and fn(sub, slop):
                     expect_docs.append(d)
             assert sorted(res["docid"]) == expect_docs, (t1, t2, slop, ordered)
+
+
+def test_span_position_range(span_index):
+    """SpanPositionRangeQuery: spans accepted iff start >= lo and
+    end <= hi (SpanFirstQuery is the lo=0 special case)."""
+    from lucene_solr_old_ray.queries import (
+        SpanFirstQuery,
+        SpanPositionRangeQuery,
+        SpanTermQuery,
+    )
+
+    term = SpanTermQuery("w3")
+    # w3 occurs at: doc0 pos2, doc1 pos1+3, doc2 pos4, doc3 pos1+5
+    first2 = _span_search(span_index, SpanPositionRangeQuery(term, 0, 2))
+    sf = _span_search(span_index, SpanFirstQuery(term, 2))
+    assert sorted(first2["docid"]) == sorted(sf["docid"]) == [1, 3]
+    window = _span_search(span_index, SpanPositionRangeQuery(term, 2, 3))
+    assert sorted(window["docid"]) == [0]
+    late = _span_search(span_index, SpanPositionRangeQuery(term, 4, 99))
+    assert sorted(late["docid"]) == [2, 3]
+
+
+def test_span_multi_term_wrapper(span_index):
+    """SpanMultiTermQueryWrapper: the global rewrite expands the wrapped
+    prefix into SpanOr(SpanTerm...) composing inside SpanNear."""
+    from lucene_solr_old_ray.queries import (
+        PrefixQuery,
+        SpanMultiTermQueryWrapper,
+        SpanNearQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    wrapped = SpanMultiTermQueryWrapper(PrefixQuery("w"))
+    near_w = SpanNearQuery((SpanTermQuery("xx"), wrapped), slop=0,
+                           in_order=True)
+    got = _span_search(span_index, near_w)
+    manual = SpanNearQuery(
+        (SpanTermQuery("xx"),
+         SpanOrQuery(tuple(SpanTermQuery(f"w{i}") for i in range(1, 6)))),
+        slop=0, in_order=True)
+    want = _span_search(span_index, manual)
+    assert sorted(got["docid"]) == sorted(want["docid"]) == [2, 3]
+    # scores match the manual expansion bit-for-bit
+    assert (got.sort_values("docid")["score"].to_numpy()
+            == want.sort_values("docid")["score"].to_numpy()).all()
