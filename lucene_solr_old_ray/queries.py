@@ -442,6 +442,21 @@ class SpanMultiTermQueryWrapper:
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckQuery:
+    """Re-expresses ``search/spans/SpanPayloadCheckQuery.java:40-90`` for
+    TERM spans: a span matches only when the payload at its position
+    equals the expected value (integer-encoded payload lane).  The
+    multi-clause SpanNearPayloadCheckQuery variant is out of scope — the
+    vectorized near walk does not track which clause positions formed
+    each span (scope note, not a stub)."""
+
+    term: str
+    payload: int
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PayloadTermQuery:
     """Re-expresses (NOT ports) ``search/payloads/PayloadTermQuery.java:55``:
     a SpanTermQuery whose score folds in a PayloadFunction over the
@@ -463,14 +478,15 @@ class PayloadTermQuery:
 SpanQuery = (
     SpanTermQuery | SpanNearQuery | SpanOrQuery | SpanNotQuery
     | SpanFirstQuery | SpanPositionRangeQuery | SpanMultiTermQueryWrapper
-    | PayloadTermQuery
+    | PayloadTermQuery | SpanPayloadCheckQuery
 )
 
 
 def span_field(q: "SpanQuery") -> str | None:
     """The (single) field a span-query tree runs over; Lucene requires all
     clauses to share a field (``SpanNearQuery.java`` ctor check)."""
-    if isinstance(q, (SpanTermQuery, PayloadTermQuery)):
+    if isinstance(q, (SpanTermQuery, PayloadTermQuery,
+                      SpanPayloadCheckQuery)):
         return q.field
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         fields = {span_field(c) for c in q.clauses}
@@ -494,7 +510,8 @@ def span_field(q: "SpanQuery") -> str | None:
 def span_weight_terms(q: "SpanQuery") -> set[str]:
     """Terms SpanWeight gathers statistics for (``SpanWeight.java:46-63``
     via extractTerms — note SpanNotQuery extracts the INCLUDE side only)."""
-    if isinstance(q, (SpanTermQuery, PayloadTermQuery)):
+    if isinstance(q, (SpanTermQuery, PayloadTermQuery,
+                      SpanPayloadCheckQuery)):
         return {q.term}
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         out: set[str] = set()
@@ -626,7 +643,8 @@ def collect_terms(q: Query) -> set[str]:
         return collect_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
-                      SpanMultiTermQueryWrapper, PayloadTermQuery)):
+                      SpanMultiTermQueryWrapper, PayloadTermQuery,
+                      SpanPayloadCheckQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
     if isinstance(q, CommonTermsQuery):
         return set(q.terms) if q.field is None else set()
@@ -668,7 +686,8 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
         return collect_field_terms(q.query)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
-                      SpanMultiTermQueryWrapper, PayloadTermQuery)):
+                      SpanMultiTermQueryWrapper, PayloadTermQuery,
+                      SpanPayloadCheckQuery)):
         f = span_field(q)
         return ({(f, t) for t in span_weight_terms(q)}
                 if f is not None else set())

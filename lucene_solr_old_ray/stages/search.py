@@ -1015,6 +1015,12 @@ def _execute_raw(
         from .spans import execute_payload_term
 
         return execute_payload_term(q, leaf, ctx, boost)
+    from ..queries import SpanPayloadCheckQuery
+
+    if isinstance(q, SpanPayloadCheckQuery):
+        from .spans import execute_payload_check
+
+        return execute_payload_check(q, leaf, ctx, boost)
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery,
                       SpanPositionRangeQuery)):

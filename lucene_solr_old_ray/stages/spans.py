@@ -429,3 +429,26 @@ def execute_payload_term(q, leaf, ctx, boost: float):
     span_scores = bm25.score_postings(
         freqs, lf.norms[docids], wv, ctx.cache_for(field))
     return docids, (span_scores * payf).astype(np.float32)
+
+
+def execute_payload_check(q, leaf, ctx, boost: float):
+    """SpanPayloadCheckQuery over term spans -> (docids, f32 scores):
+    only occurrences whose payload equals the expected value count; the
+    surviving length-1 spans score like a SpanTermQuery (sloppyFreq 0.5
+    per span, SpanScorer accumulation)."""
+    lf = leaf.sibling(q.field)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    docids, _tfs, _flat, starts, pay = lf.postings_with_payloads(q.term)
+    if len(docids) == 0:
+        return empty
+    ok = (pay.astype(np.int64) == int(q.payload))
+    counts = np.add.reduceat(ok.astype(np.int64), starts[:-1])
+    keep = counts > 0
+    docids = docids[keep]
+    if len(docids) == 0:
+        return empty
+    freqs = (F(0.5) * counts[keep].astype(np.float32)).astype(np.float32)
+    df = ctx.stats_for(q.field, q.term)[0]
+    wv = bm25.weight_value(bm25.idf(df, ctx.coll.max_doc), boost * q.boost)
+    return docids, bm25.score_postings(
+        freqs, lf.norms[docids], wv, ctx.cache_for(q.field))

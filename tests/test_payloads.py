@@ -164,3 +164,26 @@ def test_check_index_validates_payload_and_tv_sidecars(payload_index, ray_sessio
 
     report = check_index(payload_index)
     assert report["ok"].all()
+
+
+def test_span_payload_check(payload_index):
+    """SpanPayloadCheckQuery: only occurrences whose payload equals the
+    expected value match; score == a SpanTermQuery whose tf counts just
+    the accepted spans."""
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import SpanPayloadCheckQuery
+
+    # apple payloads: doc0 {3, 1}, doc1 {7}, doc3 {4}
+    got = search(payload_index, [SpanPayloadCheckQuery("apple", 7)],
+                 k=10).to_pandas()
+    assert got["docid"].tolist() == [1]
+    got = search(payload_index, [SpanPayloadCheckQuery("apple", 3)],
+                 k=10).to_pandas()
+    assert got["docid"].tolist() == [0]
+    got = search(payload_index, [SpanPayloadCheckQuery("apple", 99)],
+                 k=10).to_pandas()
+    assert len(got) == 0
+    # no-payload token ("cherry" suffix-less -> payload 0)
+    got = search(payload_index, [SpanPayloadCheckQuery("cherry", 0)],
+                 k=10).to_pandas()
+    assert got["docid"].tolist() == [0]
