@@ -442,6 +442,19 @@ class SpanMultiTermQueryWrapper:
 
 
 @dataclass(frozen=True)
+class FieldMaskingSpanQuery:
+    """Re-expresses ``search/spans/FieldMaskingSpanQuery.java:75``: the
+    wrapped span query reads its OWN field's postings but advertises
+    ``mask`` — so span clauses over parallel, position-aligned fields can
+    compose inside one SpanNear; scoring statistics come from the masked
+    field (the reference's getField contract)."""
+
+    inner: "Query"
+    mask: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanPayloadCheckQuery:
     """Re-expresses ``search/spans/SpanPayloadCheckQuery.java:40-90`` for
     TERM spans: a span matches only when the payload at its position
@@ -478,7 +491,7 @@ class PayloadTermQuery:
 SpanQuery = (
     SpanTermQuery | SpanNearQuery | SpanOrQuery | SpanNotQuery
     | SpanFirstQuery | SpanPositionRangeQuery | SpanMultiTermQueryWrapper
-    | PayloadTermQuery | SpanPayloadCheckQuery
+    | PayloadTermQuery | SpanPayloadCheckQuery | FieldMaskingSpanQuery
 )
 
 
@@ -504,6 +517,8 @@ def span_field(q: "SpanQuery") -> str | None:
         return span_field(q.match)
     if isinstance(q, SpanMultiTermQueryWrapper):
         return getattr(q.query, "field", None)
+    if isinstance(q, FieldMaskingSpanQuery):
+        return q.mask
     raise TypeError(f"not a span query: {type(q)}")
 
 
@@ -526,6 +541,10 @@ def span_weight_terms(q: "SpanQuery") -> set[str]:
         return span_weight_terms(q.match)
     if isinstance(q, SpanMultiTermQueryWrapper):
         return set()  # terms exist only after the global rewrite
+    if isinstance(q, FieldMaskingSpanQuery):
+        # stats come from the MASKED field (the getField contract), so
+        # the inner terms are gathered against the mask by the caller
+        return span_weight_terms(q.inner)
     return set()
 
 
@@ -644,7 +663,7 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
                       SpanMultiTermQueryWrapper, PayloadTermQuery,
-                      SpanPayloadCheckQuery)):
+                      SpanPayloadCheckQuery, FieldMaskingSpanQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
     if isinstance(q, CommonTermsQuery):
         return set(q.terms) if q.field is None else set()
@@ -687,7 +706,7 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
                       SpanMultiTermQueryWrapper, PayloadTermQuery,
-                      SpanPayloadCheckQuery)):
+                      SpanPayloadCheckQuery, FieldMaskingSpanQuery)):
         f = span_field(q)
         return ({(f, t) for t in span_weight_terms(q)}
                 if f is not None else set())

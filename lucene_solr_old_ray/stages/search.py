@@ -169,6 +169,7 @@ class LeafSearcher:
             ls = LeafSearcher(self.dir, self.doc_base, self.ord, self.num_docs,
                               field=field)
             ls.live = self.live  # share tombstones
+            ls._root = self  # back-ref for cross-field span masking
             self._siblings[field] = ls
         return ls
 
@@ -1021,9 +1022,11 @@ def _execute_raw(
         from .spans import execute_payload_check
 
         return execute_payload_check(q, leaf, ctx, boost)
+    from ..queries import FieldMaskingSpanQuery
+
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery,
-                      SpanPositionRangeQuery)):
+                      SpanPositionRangeQuery, FieldMaskingSpanQuery)):
         from .spans import execute_span
 
         return execute_span(q, leaf, ctx, boost)

@@ -35,6 +35,7 @@ from ..functions import bm25
 from ..queries import (
     SpanFirstQuery,
     SpanPositionRangeQuery,
+    FieldMaskingSpanQuery,
     SpanNearQuery,
     SpanNotQuery,
     SpanOrQuery,
@@ -167,6 +168,8 @@ def _docs_of(q, leaf) -> np.ndarray:
         return _docs_of(q.match, leaf)
     if isinstance(q, SpanPositionRangeQuery):
         return _docs_of(q.match, leaf)
+    if isinstance(q, FieldMaskingSpanQuery):
+        return _docs_of(q.inner, _mask_leaf(q, leaf))
     raise TypeError(f"not a span query: {type(q)}")
 
 
@@ -222,7 +225,21 @@ def _spans_tree(q, leaf, docs: np.ndarray) -> list[list[tuple[int, int]]]:
         inner = _spans_tree(q.match, leaf, docs)
         return [[(s, e) for s, e in sp if s >= q.start and e <= q.end]
                 for sp in inner]
+    if isinstance(q, FieldMaskingSpanQuery):
+        # read the INNER query's real field, aligned positions assumed
+        # (FieldMaskingSpanQuery javadoc's parallel-fields contract)
+        return _spans_tree(q.inner, _mask_leaf(q, leaf), docs)
     raise TypeError(f"not a span query: {type(q)}")
+
+
+def _mask_leaf(q, leaf):
+    """Resolve the inner query's REAL field reader from a (possibly
+    sibling) leaf via the default-field root."""
+    from ..queries import span_field
+
+    real = span_field(q.inner)
+    root = getattr(leaf, "_root", leaf)
+    return root.sibling(real)
 
 
 def _fold_f32(doc_idx: np.ndarray, factors: np.ndarray,

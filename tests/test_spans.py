@@ -394,3 +394,44 @@ def test_span_multi_term_wrapper(span_index):
     # scores match the manual expansion bit-for-bit
     assert (got.sort_values("docid")["score"].to_numpy()
             == want.sort_values("docid")["score"].to_numpy()).all()
+
+
+def test_field_masking_span_query(ray_session, tmp_path_factory):
+    """FieldMaskingSpanQuery: spans from a PARALLEL field compose inside
+    a SpanNear over the primary field (the javadoc teacher/student
+    example shape: names + a position-aligned gender field)."""
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import (
+        FieldMaskingSpanQuery,
+        SpanNearQuery,
+        SpanTermQuery,
+    )
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    root = tmp_path_factory.mktemp("maskidx")
+    # names and genders are position-aligned parallel fields
+    names = ["james jones smith", "mary alice bob", "james mary kate"]
+    genders = ["male male male", "female female male", "male female female"]
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "name": pa.array(names),
+        "gender": pa.array(genders),
+    }), path)
+    idx = str(root / "idx")
+    build_index(CorpusSpec(
+        files=(path,), content_col="name", meta_cols=("doc_id",),
+        extra_fields=(FieldSpec("gender", "gender", "standard"),),
+    ), idx, target_docs_per_partition=10)
+
+    # "james" immediately followed (aligned position) by a female name:
+    # mask the gender field's "female" spans as default-field spans
+    q = SpanNearQuery((
+        SpanTermQuery("james"),
+        FieldMaskingSpanQuery(SpanTermQuery("female", field="gender"),
+                              mask=None),
+    ), slop=0, in_order=True)
+    got = search(idx, [q], k=10).to_pandas()
+    # doc2: james@0 (name), female@1 (gender) -> match; doc0: all male
+    assert got["docid"].tolist() == [2]
