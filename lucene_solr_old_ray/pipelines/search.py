@@ -418,6 +418,15 @@ def rewrite_queries(
         _collect_scoring_mtqs(q, mtqs)
     if not mtqs:
         return qitems
+    union = _expand_queries_globally(index_dir, manifest, mtqs)
+    repl = {q: expansion_to_bool(q, union[i]) for i, q in enumerate(mtqs)}
+    return [(qid, _replace_mtqs(q, repl)) for qid, q in qitems]
+
+
+def _expand_queries_globally(index_dir: str, manifest: dict,
+                             mtqs: list) -> "list[dict[str, int]]":
+    """Union {term: min edit distance} per MTQ across every leaf (the
+    shared fan-out of rewrite_queries and fuzzy_like_this)."""
     leaves = _leaves(manifest)
     items = [
         {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
@@ -436,8 +445,7 @@ def rewrite_queries(
                 cur = union[i].get(t)
                 if cur is None or ed < cur:
                     union[i][t] = ed
-    repl = {q: expansion_to_bool(q, union[i]) for i, q in enumerate(mtqs)}
-    return [(qid, _replace_mtqs(q, repl)) for qid, q in qitems]
+    return union
 
 
 def gather_stats(

@@ -125,3 +125,39 @@ def test_mlt_min_term_freq_filter(mlt_setup):
     q = more_like_this_query(idx, p, 1, min_term_freq=2, min_doc_freq=5)
     # doc 1: apple tf=2, banana tf=1, cherry tf=1 -> only apple survives
     assert [c.query.term for c in q.clauses] == ["apple"]
+
+
+def test_fuzzy_like_this(ray_session, tmp_path):
+    """FuzzyLikeThisQuery: near-miss query terms match their fuzzy
+    variants, boosted by similarity^2 * idf; exact terms dominate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.mlt import fuzzy_like_this
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = [
+        "apache lucene search engine",
+        "apache lucena search engin",      # near-miss variants
+        "unrelated content entirely here",
+        "lucene lucene lucene ranking",
+    ]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(files=(p,), content_col="text",
+                           meta_cols=("doc_id",)), idx,
+                target_docs_per_partition=10)
+
+    got = fuzzy_like_this(idx, "lucine serch", k=10).to_pandas()
+    # variants of "lucine" (lucene/lucena) and "serch" (search) all match
+    assert set(got["docid"]) >= {0, 1, 3}
+    assert 2 not in set(got["docid"])
+    # ignore_tf mode still matches the same docs
+    got2 = fuzzy_like_this(idx, "lucine serch", k=10,
+                           ignore_tf=True).to_pandas()
+    assert set(got2["docid"]) == set(got["docid"])
