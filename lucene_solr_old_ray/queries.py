@@ -271,6 +271,18 @@ class FilteredQuery:
 
 
 @dataclass(frozen=True)
+class TermsFilterQuery:
+    """Re-expresses ``lucene/queries/.../TermsFilter.java:60``: the doc set
+    containing ANY of ``terms`` — constant score, no tf decode, cacheable
+    via the per-leaf filter cache like any FilteredQuery filter.  The
+    classic use: a key-list restriction ANDed onto a scoring query."""
+
+    terms: tuple[str, ...]
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery:
     """Matches like the wrapped query; every hit scores ``boost``
     (``search/ConstantScoreQuery.java:36``)."""
@@ -660,6 +672,8 @@ def collect_terms(q: Query) -> set[str]:
         return collect_terms(q.match) | collect_terms(q.context)
     if isinstance(q, DuplicateFilterQuery):
         return collect_terms(q.query)
+    if isinstance(q, TermsFilterQuery):
+        return set()  # constant-score: no stats needed
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
                       SpanMultiTermQueryWrapper, PayloadTermQuery,

@@ -39,6 +39,7 @@ from ..queries import (
     ConstantScoreQuery,
     BoostingQuery,
     DuplicateFilterQuery,
+    TermsFilterQuery,
     CustomScoreQuery,
     DisjunctionMaxQuery,
     FilteredQuery,
@@ -989,6 +990,14 @@ def _execute_raw(
     if isinstance(q, ConstantScoreQuery):
         docs, _ = execute(q.query, leaf, ctx, 1.0)
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, TermsFilterQuery):
+        # TermsFilter: docID union, no tf decode, constant score
+        lf = leaf.sibling(q.field)
+        parts = [lf.postings(t)[0] for t in q.terms]
+        docs = (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, dtype=np.int64))
+        return docs, np.full(len(docs), np.float32(boost * q.boost),
+                             dtype=np.float32)
     if isinstance(q, FilteredQuery):
         docids, scores = execute(q.query, leaf, ctx, boost * q.boost)
         fkey = repr(q.filter)

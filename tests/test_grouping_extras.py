@@ -112,3 +112,19 @@ def test_duplicate_filter_keep_first(group_idx):
     first = leaves.groupby(["leaf", "grp"])["doc_id"].min()
     want = sorted(set(first) & set(m["doc_id"]))
     assert sorted(got["docid"].tolist()) == want
+
+
+def test_terms_filter(group_idx):
+    """TermsFilter: constant-score doc-set of a term list, composed as a
+    FilteredQuery restriction."""
+    from lucene_solr_old_ray.queries import FilteredQuery, TermsFilterQuery
+
+    idx, df = group_idx
+    f = TermsFilterQuery(("match",))
+    got = search(idx, [f], k=100).to_pandas()
+    assert sorted(got["docid"]) == sorted(df[df["match"]]["doc_id"])
+    assert (got["score"].to_numpy() == got["score"].iloc[0]).all()
+
+    fq = FilteredQuery(TermQuery("token"), TermsFilterQuery(("match",)))
+    got2 = search(idx, [fq], k=100).to_pandas()
+    assert sorted(got2["docid"]) == sorted(got["docid"])
