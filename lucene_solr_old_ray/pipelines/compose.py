@@ -56,3 +56,17 @@ def union_indexes(dst_dir: str, src_dirs: list[str]) -> dict:
     }
     mf.publish_index_manifest(dst_dir, manifest)
     return mf.read_index_manifest(dst_dir)
+
+
+def index_merge_tool(dst_dir: str, src_dirs: list[str],
+                     fan_in: int = 8) -> dict:
+    """``misc/.../IndexMergeTool.java`` analogue: merge several indexes
+    into one physical index — the by-reference union followed by a real
+    local-strategy merge round (addIndexes + forceMerge, exactly the
+    tool's writer.addIndexes(...) + forceMerge(1) sequence)."""
+    from .merge import merge_index
+
+    union_indexes(dst_dir, src_dirs)
+    merge_index(dst_dir, fan_in=max(fan_in, len(src_dirs) + 1),
+                strategy="local")
+    return mf.read_index_manifest(dst_dir)

@@ -128,3 +128,44 @@ def test_terms_filter(group_idx):
     fq = FilteredQuery(TermQuery("token"), TermsFilterQuery(("match",)))
     got2 = search(idx, [fq], k=100).to_pandas()
     assert sorted(got2["docid"]) == sorted(got["docid"])
+
+
+def test_index_merge_tool(ray_session, tmp_path):
+    """IndexMergeTool: several indexes merged into one physical index
+    whose search results equal the union."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.compose import index_merge_tool
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+    from lucene_solr_old_ray.state import manifest as mf
+
+    srcs = []
+    n_total = 0
+    for part in range(3):
+        docs = [f"shared token part{part} doc{i}" for i in range(7)]
+        p = str(tmp_path / f"c{part}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n_total, n_total + len(docs)),
+                               pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }), p)
+        idx = str(tmp_path / f"idx{part}")
+        build_index(CorpusSpec(files=(p,), content_col="text",
+                               meta_cols=("doc_id",)), idx,
+                    target_docs_per_partition=4)
+        srcs.append(idx)
+        n_total += len(docs)
+
+    dst = str(tmp_path / "merged")
+    man = index_merge_tool(dst, srcs)
+    assert man["stats"]["max_doc"] == n_total
+    # physically merged: local leaves, none pointing at the sources
+    import os
+    for s in man["segments"]:
+        assert not os.path.isabs(s["dir"])
+    got = search(dst, [TermQuery("shared")], k=50).to_pandas()
+    assert len(got) == n_total
+    part1 = search(dst, [TermQuery("part1")], k=50).to_pandas()
+    assert len(part1) == 7
