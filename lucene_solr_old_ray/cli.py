@@ -75,6 +75,23 @@ def main(argv: list[str] | None = None) -> int:
     ex = sub.add_parser("expunge", help="physically drop deleted docs")
     ex.add_argument("--index", required=True)
 
+    rp = sub.add_parser("replicate",
+                        help="pull a committed generation into a replica")
+    rp.add_argument("--index", required=True, help="source index")
+    rp.add_argument("--replica", required=True, help="destination dir")
+
+    mt = sub.add_parser("merge-tool",
+                        help="merge several indexes into one (IndexMergeTool)")
+    mt.add_argument("--index", required=True, help="destination dir")
+    mt.add_argument("--sources", nargs="+", required=True)
+
+    sp = sub.add_parser("split",
+                        help="N-way split (MultiPassIndexSplitter)")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--outputs", nargs="+", required=True)
+    sp.add_argument("--seq", action="store_true",
+                    help="sequential doc ranges instead of round-robin")
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -137,6 +154,23 @@ def main(argv: list[str] | None = None) -> int:
         man = delete_by_query(args.index, parse(args.query))
         print(json.dumps({"generation": man["generation"],
                           "metrics": man["metrics"]}))
+    elif args.cmd == "replicate":
+        from .pipelines.replicate import replicate_index
+
+        print(json.dumps(replicate_index(args.index, args.replica)))
+    elif args.cmd == "merge-tool":
+        from .pipelines.compose import index_merge_tool
+
+        man = index_merge_tool(args.index, args.sources)
+        print(json.dumps({"generation": man["generation"],
+                          "stats": man["stats"],
+                          "leaves": len(man["segments"])}))
+    elif args.cmd == "split":
+        from .pipelines.split import multi_pass_split
+
+        mans = multi_pass_split(args.index, args.outputs, seq=args.seq)
+        print(json.dumps([{"out": o, "max_doc": m["stats"]["max_doc"]}
+                          for o, m in zip(args.outputs, mans)]))
     elif args.cmd == "expunge":
         from .pipelines.deletes import expunge_deletes
 
