@@ -283,3 +283,82 @@ def fingerprints_ds(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str, top_ngram: int = 2,
+                     dup_ngram: int = 5) -> pa.Table:
+    """Gopher-style repetition signals per document (the published
+    quality-filter heuristics of Rae et al. 2021 §A1.1 — duplicate-line
+    fraction, most-common-n-gram coverage, duplicated-n-gram coverage;
+    widely used in RefinedWeb/FineWeb-style cleaning stacks):
+
+    - ``dup_line_frac``: fraction of lines that are exact duplicates of
+      an earlier line
+    - ``dup_line_char_frac``: fraction of CHARACTERS inside those
+      duplicate lines
+    - ``top_ngram_char_frac``: characters covered by the single most
+      common ``top_ngram``-gram / total characters in words
+    - ``dup_ngram_char_frac``: characters covered by ``dup_ngram``-grams
+      that occur more than once
+
+    One streaming map_batches pass; per-doc numpy/counter work over the
+    whitespace token stream. -> (doc_id, n_lines, the four fractions)."""
+    from collections import Counter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def batch_stats(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            t = t or ""
+            lines = [ln for ln in t.split("\n") if ln.strip()]
+            seen: set = set()
+            dup_lines = 0
+            dup_chars = 0
+            for ln in lines:
+                key = ln.strip()
+                if key in seen:
+                    dup_lines += 1
+                    dup_chars += len(key)
+                else:
+                    seen.add(key)
+            total_line_chars = sum(len(ln.strip()) for ln in lines)
+            words = t.split()
+            wchars = sum(len(w) for w in words)
+            top_frac = 0.0
+            dupn_frac = 0.0
+            if len(words) >= top_ngram and wchars:
+                grams = Counter(
+                    tuple(words[i:i + top_ngram])
+                    for i in range(len(words) - top_ngram + 1))
+                g, c = grams.most_common(1)[0]
+                if c > 1:
+                    top_frac = c * sum(len(w) for w in g) / wchars
+            if len(words) >= dup_ngram and wchars:
+                grams = Counter(
+                    tuple(words[i:i + dup_ngram])
+                    for i in range(len(words) - dup_ngram + 1))
+                # chars covered by positions inside duplicated n-grams
+                # (overlap-free approximation: count each duplicated
+                # occurrence's chars once, capped at total)
+                covered = sum(cnt * sum(len(w) for w in g)
+                              for g, cnt in grams.items() if cnt > 1)
+                dupn_frac = min(1.0, covered / wchars)
+            rows.append({
+                "doc_id": int(d),
+                "n_lines": len(lines),
+                "dup_line_frac": (dup_lines / len(lines)) if lines else 0.0,
+                "dup_line_char_frac": (dup_chars / total_line_chars
+                                       if total_line_chars else 0.0),
+                "top_ngram_char_frac": top_frac,
+                "dup_ngram_char_frac": dupn_frac,
+            })
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    out = ds.map_batches(batch_stats, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)

@@ -305,3 +305,33 @@ def test_dedup_driver_holds_nothing_vocabulary_sized(ray_session, monkeypatch):
     assert lsh[["doc_a", "doc_b"]].values.tolist() == \
         ref[["doc_a", "doc_b"]].values.tolist()
     np.testing.assert_allclose(inv["jaccard"], ref["jaccard"], rtol=0, atol=0)
+
+
+def test_repetition_stats(ray_session, tmp_path):
+    """Gopher-style repetition signals vs hand-computed expectations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.textstats import repetition_stats
+
+    docs = [
+        "alpha beta\nalpha beta\ngamma delta",      # 1 dup line of 3
+        "x y x y x y x y",                          # dominant bigram
+        "all unique words here today friends",      # clean
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = repetition_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_lines"] == 3
+    assert abs(out.loc[0, "dup_line_frac"] - 1 / 3) < 1e-9
+    assert abs(out.loc[0, "dup_line_char_frac"]
+               - len("alpha beta") / (2 * len("alpha beta")
+                                      + len("gamma delta"))) < 1e-9
+    # doc1: "x y" bigram occurs 4 times over 8 words (8 chars of words)
+    assert out.loc[1, "top_ngram_char_frac"] == 4 * 2 / 8
+    assert out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[2, "top_ngram_char_frac"] == 0.0
+    assert out.loc[2, "dup_ngram_char_frac"] == 0.0
