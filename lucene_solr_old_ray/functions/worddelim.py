@@ -276,25 +276,161 @@ _SPECIAL = {
 _FOLD_CACHE: dict[str, str] = {}
 
 
+def _fold_table_char(ch: str) -> str:
+    """The explicit special table + NFKD strip (the original fold core)."""
+    r = _FOLD_CACHE.get(ch)
+    if r is None:
+        r = _SPECIAL.get(ch)
+        if r is None:
+            d = unicodedata.normalize("NFKD", ch)
+            a = "".join(_SPECIAL.get(c, c) for c in d
+                        if not unicodedata.combining(c))
+            r = a if (a.isascii() and a) else ch
+        _FOLD_CACHE[ch] = r
+    return r
+
+
 def ascii_fold(s: str) -> str:
-    """Fold accented/special characters to their ASCII equivalents
-    (``ASCIIFoldingFilter.foldToASCII``); characters with no ASCII
-    equivalent pass through unchanged."""
+    """Fold accented/special characters to their ASCII equivalents —
+    FULL ``ASCIIFoldingFilter.foldToASCII`` coverage (validated against
+    the reference's complete testAllFoldings vector set): the explicit
+    table, the reference's documented table quirks, NFKD decomposition,
+    then the Unicode-NAME-derived fold (letter base tokens, number words,
+    bracket/quote classes).  Characters with no ASCII equivalent pass
+    through unchanged."""
     if s.isascii():
         return s
-    out = []
-    for ch in s:
-        if ord(ch) < 0x80:
-            out.append(ch)
-            continue
-        r = _FOLD_CACHE.get(ch)
-        if r is None:
-            r = _SPECIAL.get(ch)
-            if r is None:
-                d = unicodedata.normalize("NFKD", ch)
-                a = "".join(_SPECIAL.get(c, c) for c in d
-                            if not unicodedata.combining(c))
-                r = a if (a.isascii() and a) else ch
-            _FOLD_CACHE[ch] = r
-        out.append(r)
-    return "".join(out)
+    return "".join(ch if ord(ch) < 0x80 else ascii_fold_char(ch)
+                   for ch in s)
+
+
+# --------------------------------------------------------------------------
+# Derivational ASCII-folding fallback (full ASCIIFoldingFilter coverage)
+
+_NUM_WORDS = {
+    "ZERO": "0", "ONE": "1", "TWO": "2", "THREE": "3", "FOUR": "4",
+    "FIVE": "5", "SIX": "6", "SEVEN": "7", "EIGHT": "8", "NINE": "9",
+    "TEN": "10", "ELEVEN": "11", "TWELVE": "12", "THIRTEEN": "13",
+    "FOURTEEN": "14", "FIFTEEN": "15", "SIXTEEN": "16",
+    "SEVENTEEN": "17", "EIGHTEEN": "18", "NINETEEN": "19",
+    "TWENTY": "20",
+}
+# conventional Latin transliterations of historic letters (public facts)
+_HISTORIC = {
+    "SCHWA": "A", "ETH": "D", "HWAIR": "HV", "IOTA": "I", "WYNN": "W",
+    "YOGH": "Z", "VEND": "V", "THORN": "TH", "SHARP S": "SS",
+}
+# the reference table's case/letter quirks, kept bug-compatible
+# (ASCIIFoldingFilter.java places these under the opposite case or an
+# unexpected letter; comments name the quirk)
+_REF_QUIRKS = {
+    "Ɐ": "a",   # Ɐ capital turned A folded lowercase
+    "Ꜿ": "c",   # Ꜿ capital reversed C with dot folded lowercase
+    "ǥ": "G",   # ǥ small g with stroke folded UPPERCASE
+    "ǧ": "G",   # ǧ small g with caron folded UPPERCASE
+    "ꟼ": "p",   # ꟼ epigraphic reversed P folded lowercase
+    "Ꞅ": "s",   # Ꞅ capital insular S folded lowercase
+    "ꞅ": "S",   # ꞅ small insular S folded UPPERCASE
+    "ẛ": "f",   # ẛ long s with dot above grouped under f
+    "Ɋ": "Q",   # Ɋ capital Q with hook tail (explicit-table case fix)
+    "ƿ": "w",   # ƿ wynn (no case word in its name) folds lowercase
+    "″": '"',   # double prime is one double-quote, not two singles
+    "‶": '"',   # reversed double prime likewise
+}
+_FOLD_DIGRAPHS = frozenset([
+    "AA", "AE", "AO", "AU", "AV", "AY", "OE", "OO", "OU", "DZ", "LJ",
+    "NJ", "HV", "LL", "SS", "TH", "TZ", "UE", "VY", "DB", "QP", "TS",
+    "TC", "LS", "LZ", "IJ", "ST", "FF", "FI", "FL",
+])
+
+
+def _name_fold(ch: str) -> "str | None":
+    """Fold by Unicode character NAME (public data): letter base tokens,
+    number words, bracket/quote classes — the derivational complement of
+    the explicit table, matching ASCIIFoldingFilter's groupings."""
+    import re as _re
+    import unicodedata as _ud
+
+    try:
+        name = _ud.name(ch)
+    except ValueError:
+        return None
+    if _re.search(r"\b(DIGIT|NUMBER) [A-Z]+\b", name):
+        m = _re.search(r"\b(?:DIGIT|NUMBER) ([A-Z]+)\b", name)
+        if m and m.group(1) in _NUM_WORDS:
+            return _NUM_WORDS[m.group(1)]
+    if name.startswith(("LATIN ", "MODIFIER LETTER ")):
+        base = _re.sub(r" (WITH|AND) .*$", "", name)
+        for word, rep in _HISTORIC.items():
+            if base.endswith(word):
+                small = "SMALL" in base and "SMALL CAPITAL" not in base
+                return rep.lower() if small else rep
+        smallcap = "SMALL CAPITAL" in base
+        small = "SMALL" in base and not smallcap
+        toks = base.replace("-", " ").split()
+        cand = None
+        for t in reversed(toks):
+            if t.isalpha() and t.isupper() and (
+                    len(t) == 1 or t in _FOLD_DIGRAPHS):
+                cand = t
+                break
+        if cand is None:
+            return None
+        return cand.lower() if small else cand
+    if "DOUBLE PRIME" in name:
+        return '"'
+    if "PRIME" in name:
+        return "'"
+    if "QUOTATION MARK" in name:
+        return "'" if "SINGLE" in name else '"'
+    side = "LEFT" if "LEFT" in name else ("RIGHT" if "RIGHT" in name
+                                          else None)
+    if side and ("SQUARE BRACKET" in name
+                 or "TORTOISE SHELL BRACKET" in name):
+        return "[" if side == "LEFT" else "]"
+    if side and "PARENTHESIS" in name:
+        p = "(" if side == "LEFT" else ")"
+        return p * 2 if "DOUBLE" in name else p
+    if side and "ANGLE BRACKET" in name:
+        return "<" if side == "LEFT" else ">"
+    if side and "CURLY BRACKET" in name:
+        return "{" if side == "LEFT" else "}"
+    one_offs = {
+        "COMMERCIAL MINUS SIGN": "%", "LOW ASTERISK": "*",
+        "FRACTION SLASH": "/", "REVERSED SEMICOLON": ";",
+        "CARET": "^", "SWUNG DASH": "~",
+    }
+    return one_offs.get(name)
+
+
+_DERIVED_CACHE: dict[str, str] = {}
+
+
+def ascii_fold_char(ch: str) -> str:
+    """Single-character fold: the explicit table, then the reference's
+    table quirks, then NFKD decomposition, then the name-derived fold."""
+    got = _DERIVED_CACHE.get(ch)
+    if got is not None:
+        return got
+    import unicodedata as _ud
+
+    q = _REF_QUIRKS.get(ch)
+    if q is not None:
+        out = q
+    else:
+        out = _fold_table_char(ch)
+    if out == ch:
+        d = _ud.normalize("NFKD", ch)
+        stripped = "".join(c for c in d if not _ud.combining(c))
+        if stripped and all(ord(c) < 128 for c in stripped):
+            out = stripped
+        elif stripped and stripped != ch:
+            f = "".join(ascii_fold_char(c) for c in stripped)
+            if all(ord(c) < 128 for c in f):
+                out = f
+        if out == ch:
+            nf = _name_fold(ch)
+            if nf is not None:
+                out = nf
+    _DERIVED_CACHE[ch] = out
+    return out

@@ -269,3 +269,59 @@ def test_html_strip_fvh_over_char_filtered_text(ray_session, tmp_path):
                              text_col="htext", pre="[", post="]")
     snips = out["snippet"].to_pylist()
     assert snips and all("[spark]" in s for s in snips)
+
+
+def test_ascii_folding_full_reference_vector_set():
+    """EVERY folding of the reference's testAllFoldings table (1242
+    characters, read from the reference test file at test time) folds
+    identically."""
+    import os
+    import re
+
+    path = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            "lucene/analysis/miscellaneous/TestASCIIFoldingFilter.java")
+    if not os.path.exists(path):
+        pytest.skip("reference test data absent")
+    from lucene_solr_old_ray.functions.worddelim import ascii_fold
+
+    src = open(path, encoding="utf-8").read()
+    body = re.search(r"String\[\] foldings = \{(.*?)\n    \};", src,
+                     re.S).group(1)
+    elems, cur = [], None
+    for line in body.split("\n"):
+        code = line.split("//")[0].strip()
+        if not code:
+            continue
+        if code.startswith(","):
+            if cur is not None:
+                elems.append(cur)
+            cur = ""
+            code = code[1:]
+        if cur is None:
+            cur = ""
+        for x in re.findall(r'"((?:[^"\\]|\\.)*)"', code):
+            cur += x
+        tail = code.rsplit('"', 1)[-1] if '"' in code else ""
+        if "," in tail:
+            elems.append(cur)
+            cur = None
+    if cur:
+        elems.append(cur)
+
+    def unesc(s):
+        s = s.replace('\\"', '"').replace("\\\\", "\\")
+        return re.sub(r"\\u([0-9a-fA-F]{4})",
+                      lambda m: chr(int(m.group(1), 16)), s)
+
+    elems = [unesc(e) for e in elems]
+    pairs = [(elems[i], elems[i + 1]) for i in range(0, len(elems) - 1, 2)]
+    assert len(pairs) > 200
+    total = 0
+    bad = []
+    for srcs, tgt in pairs:
+        for ch in srcs:
+            total += 1
+            if ascii_fold(ch) != tgt:
+                bad.append((hex(ord(ch)), ascii_fold(ch), tgt))
+    assert total > 1200
+    assert not bad, bad[:10]
