@@ -461,3 +461,114 @@ def suggest_topk(
         "suggestion": pa.array(rows_s, pa.string()),
         "weight": pa.array(rows_w, pa.int64()),
     })
+
+
+# ----------------------------------------------------- infix suggestions
+
+
+def build_infix_suggester(
+    suggest_dir: str, entries_parquet: str, *,
+    key_col: str = "key", weight_col: str = "weight",
+    target_docs_per_partition: int = 50_000,
+) -> dict:
+    """AnalyzingInfixSuggester build — re-expresses (NOT ports)
+    ``suggest/.../analyzing/AnalyzingInfixSuggester.java:200-260``: the
+    suggestion texts are indexed WEIGHT-DESCENDING (the reference sorts
+    its index by the weight field), so lookup is first-N collection in
+    doc order.  Composed from build_sorted_index over a (key, weight)
+    parquet; the weight rides the docmap as a NUMERIC doc-values field."""
+    import pyarrow.parquet as pq_
+
+    from ..sources.corpus import CorpusSpec
+    from .sorted_index import build_sorted_index
+
+    cols = set(pq_.read_schema(entries_parquet).names)
+    if not {key_col, weight_col} <= cols:
+        raise ValueError(f"need columns {key_col!r}, {weight_col!r}")
+    spec = CorpusSpec(files=(entries_parquet,), content_col=key_col,
+                      meta_cols=(key_col, weight_col))
+    return build_sorted_index(
+        spec, suggest_dir, weight_col, descending=True,
+        target_docs_per_partition=target_docs_per_partition)
+
+
+def infix_lookup(
+    suggest_dir: str, key: str, num: int = 5, *,
+    all_terms_required: bool = True, do_highlight: bool = True,
+    weight_col: str = "weight", key_col: str = "key",
+) -> "list[tuple[str, int, str]]":
+    """AnalyzingInfixSuggester.lookup (``:341-460``): every query token
+    matches exactly except the LAST, which prefix-matches UNLESS the key
+    ends past it (trailing separator -> exact, the maxEndOffset check);
+    results are the first N docs of the weight-sorted index
+    (FirstNDocsCollector == early-terminating sorted collection here);
+    highlighting wraps whole matches in <b>..</b> and splits a prefix
+    match as <b>prefix</b>rest. -> [(key, weight, highlighted)]."""
+    from ..functions.analysis import analyze_text, tokenize_with_offsets
+    from ..queries import (
+        MUST,
+        SHOULD,
+        BooleanClause,
+        BooleanQuery,
+        PrefixQuery,
+        TermQuery,
+    )
+    from .search import fetch_doc_meta
+    from .sorted_index import early_terminating_sorted_topk
+
+    tokens = analyze_text(key)
+    if not tokens:
+        return []
+    occur = MUST if all_terms_required else SHOULD
+    # trailing boundary -> the last token is complete (exact match)
+    last_is_prefix = key.rstrip() == key and (
+        key and (key[-1].isalnum() or key[-1] in "_'."))
+    matched = set(tokens if not last_is_prefix else tokens[:-1])
+    prefix_token = tokens[-1] if last_is_prefix else None
+    clauses = [BooleanClause(occur, TermQuery(t)) for t in sorted(matched)]
+    if prefix_token is not None:
+        clauses.append(BooleanClause(occur, PrefixQuery(prefix_token)))
+    q = BooleanQuery(tuple(clauses),
+                     min_should_match=0 if all_terms_required else 1)
+    hits = early_terminating_sorted_topk(
+        suggest_dir, q, weight_col, k=num, descending=True)
+    if hits.num_rows == 0:
+        return []
+    docids = hits["docid"].to_pylist()
+    weights = hits["value"].to_pylist()
+    meta = fetch_doc_meta(suggest_dir, docids).to_pandas()
+    meta = meta.set_index("docid")
+    out = []
+    for d, w in zip(docids, weights):
+        text = str(meta.loc[d, key_col])
+        shown = (_infix_highlight(text, matched, prefix_token)
+                 if do_highlight else text)
+        out.append((text, int(w), shown))
+    return out
+
+
+def _infix_highlight(text: str, matched: set,
+                     prefix_token: "str | None") -> str:
+    """AnalyzingInfixSuggester.highlight (``:462-510``): re-analyze the
+    suggestion with offsets; whole matches wrap in <b>..</b>, a
+    prefix-matched token wraps only its prefix chars."""
+    from ..functions.analysis import tokenize_with_offsets
+
+    sb = []
+    upto = 0
+    for token, s, e in tokenize_with_offsets(text):
+        if upto < s:
+            sb.append(text[upto:s])
+            upto = s
+        elif upto > s:
+            continue
+        if token in matched:
+            sb.append("<b>" + text[s:e] + "</b>")
+            upto = e
+        elif prefix_token is not None and token.startswith(prefix_token):
+            cut = s + len(prefix_token)
+            sb.append("<b>" + text[s:cut] + "</b>" + text[cut:e])
+            upto = e
+    if upto < len(text):
+        sb.append(text[upto:])
+    return "".join(sb)

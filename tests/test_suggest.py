@@ -183,3 +183,49 @@ def test_suggest_topk_table(sugg):
     assert (df[df["query"] == "re"]["rank"].tolist()
             == list(range(1, len(df[df["query"] == "re"]) + 1)))
     assert not (df["query"] == "zzz").any()
+
+
+def test_analyzing_infix_suggester(ray_session, tmp_path):
+    """AnalyzingInfixSuggester: weight-ordered first-N over exact tokens
+    + last-token prefix; trailing separator makes the last token exact;
+    highlights wrap matches (TestAnalyzingInfixSuggester.testBasic
+    shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.suggest import (
+        build_infix_suggester,
+        infix_lookup,
+    )
+
+    p = str(tmp_path / "entries.parquet")
+    pq.write_table(pa.table({
+        "key": pa.array(["lend me your ear",
+                         "a penny saved is a penny earned"]),
+        "weight": pa.array([8, 10], pa.int64()),
+    }), p)
+    d = str(tmp_path / "sugg")
+    build_infix_suggester(d, p, target_docs_per_partition=10)
+
+    # "ear" prefix-matches both; higher weight first
+    got = infix_lookup(d, "ear", num=10)
+    assert [(k, w) for k, w, _ in got] == [
+        ("a penny saved is a penny earned", 10),
+        ("lend me your ear", 8)]
+    assert got[0][2] == "a penny saved is a penny <b>ear</b>ned"
+    assert got[1][2] == "lend me your <b>ear</b>"
+
+    # trailing space: "ear " is a COMPLETE token -> exact match only
+    got = infix_lookup(d, "ear ", num=10)
+    assert [(k, w) for k, w, _ in got] == [("lend me your ear", 8)]
+    assert got[0][2] == "lend me your <b>ear</b>"
+
+    # multi-token: earlier tokens exact, last prefix
+    got = infix_lookup(d, "penny ear", num=10)
+    assert [(k, w) for k, w, _ in got] == [
+        ("a penny saved is a penny earned", 10)]
+    assert got[0][2] == \
+        "a <b>penny</b> saved is a <b>penny</b> <b>ear</b>ned"
+
+    # no match
+    assert infix_lookup(d, "zebra", num=5) == []
