@@ -209,9 +209,11 @@ def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
         if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS
     ]
     if analyzer.startswith(("phonetic:", "phonetic_replace:")):
-        # query side of the phonetic chains: each term maps to its primary
-        # code (or itself when un-encodable) — matching either the injected
-        # or the replacing index token
+        # query side of the phonetic chains (FLAT contract: one term per
+        # position, so only the PRIMARY code survives here — callers that
+        # want the reference's stacked query-time filter semantics, where
+        # e.g. double_metaphone's alternate code also matches, use
+        # analyze_text_stacked / queries.stacked_query instead)
         from .phonetic import token_codes
 
         enc = analyzer.split(":", 1)[1]
@@ -221,6 +223,35 @@ def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
         fn = _sf()
         kept = [fn(t) for t in kept]
     return kept
+
+
+def analyze_text_stacked(text: str, analyzer: str = "standard",
+                         ) -> list[tuple[str, ...]]:
+    """Query-time analysis preserving SAME-POSITION token stacks: one tuple
+    of alternatives per position.  For phonetic chains this re-expresses
+    the reference's query-time filters (``PhoneticFilter.java:70-90``,
+    ``DoubleMetaphoneFilter.java:60-90``), which stack ALL codes (plus the
+    original token in inject mode) at posIncr 0 so the query parser turns
+    the position into an OR — e.g. querying 'smith' (SM0/XMT) matches a
+    doc indexed as 'schmidt' (XMT/SMT) through the shared alternate XMT.
+    For every other analyzer each position is a 1-tuple
+    (== zip of analyze_text)."""
+    if analyzer.startswith(("phonetic:", "phonetic_replace:")):
+        from .phonetic import token_codes
+
+        enc = analyzer.split(":", 1)[1]
+        inject = analyzer.startswith("phonetic:")
+        out: list[tuple[str, ...]] = []
+        for t in tokenize_raw(text):
+            if len(t) > MAX_TOKEN_LENGTH or t in ENGLISH_STOP_WORDS:
+                continue
+            codes = token_codes(t, enc)
+            if inject:
+                out.append((t,) + tuple(c for c in codes if c != t))
+            else:
+                out.append(tuple(codes) or (t,))
+        return out
+    return [(t,) for t in analyze_text(text, analyzer)]
 
 
 def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:

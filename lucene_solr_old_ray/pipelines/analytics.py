@@ -884,7 +884,10 @@ def facet_sum_associations(
             ords, values = leaf.dv_sorted(facet_col)
             o = np.asarray(ords)[docids]
             vals = leaf.doc_values(value_field, docids).astype(np.float64)
-            keep = o >= 0
+            # skip docs WITHOUT the association (SumIntAssociationFacets-
+            # Aggregator only aggregates docs carrying the value): a NaN
+            # value must not poison its category's whole sum
+            keep = (o >= 0) & ~np.isnan(vals)
             s = np.bincount(o[keep], weights=vals[keep],
                             minlength=len(values))
             nz = np.nonzero(s)[0]

@@ -80,25 +80,27 @@ def replicate_index(src_dir: str, dst_dir: str) -> dict:
                 "updated": False, "files_copied": 0, "bytes_copied": 0}
     man = mf.read_index_manifest(src_dir)
     os.makedirs(dst_dir, exist_ok=True)
-    # data files first: segment dirs (absolute refs stay references — a
-    # union/split manifest replicates by pointer), deletes masks, then
-    # any sidecar dirs named by segments
+    # data files first: ONLY the per-segment dirs the committed manifest
+    # references (absolute refs stay references — a union/split manifest
+    # replicates by pointer) plus their deletes masks.  Copying whole
+    # generation roots would also ship unreferenced leftovers (pre-merge
+    # segments under the same root) — wasted bytes the reference's
+    # revisionFiles contract never includes.
     copy_jobs = []
-    seen_roots = set()
+    seen_dirs = set()
     for seg in man["segments"]:
         d = seg["dir"]
         if os.path.isabs(d):
             continue  # by-reference leaf (union/split): nothing to copy
-        root = d.split(os.sep)[0]
-        if root not in seen_roots:
-            seen_roots.add(root)
+        if d not in seen_dirs:
+            seen_dirs.add(d)
             copy_jobs.append(_copy_tree.remote(
-                os.path.join(src_dir, root), os.path.join(dst_dir, root)))
+                os.path.join(src_dir, d), os.path.join(dst_dir, d)))
         rel = seg.get("deletes")
         if rel and not os.path.isabs(rel):
             droot = os.path.dirname(rel)
-            if droot not in seen_roots:
-                seen_roots.add(droot)
+            if droot not in seen_dirs:
+                seen_dirs.add(droot)
                 copy_jobs.append(_copy_tree.remote(
                     os.path.join(src_dir, droot),
                     os.path.join(dst_dir, droot)))

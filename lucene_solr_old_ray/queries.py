@@ -645,6 +645,33 @@ def bool_query(
     return BooleanQuery(tuple(clauses), min_should_match)
 
 
+def stacked_query(text: str, analyzer: str = "standard",
+                  operator: str = MUST) -> "Query | None":
+    """Build a query from text honoring SAME-POSITION token stacks (the
+    QueryParser's handling of posIncr-0 streams, ``queryparser/.../
+    QueryParserBase.java`` multi-term synonym path): each position with
+    alternatives becomes an OR of its terms, positions combine with
+    ``operator`` (MUST = parser AND default, SHOULD = OR).  This is the
+    recall-correct query side for phonetic analyzers — all codes of a
+    term match, not just the primary (DoubleMetaphoneFilter stacks both).
+    None when everything analyzes away."""
+    from .functions.analysis import analyze_text_stacked
+
+    positions = analyze_text_stacked(text, analyzer)
+    if not positions:
+        return None
+    per_pos: list[Query] = []
+    for alts in positions:
+        if len(alts) == 1:
+            per_pos.append(TermQuery(alts[0]))
+        else:
+            per_pos.append(BooleanQuery(tuple(
+                BooleanClause(SHOULD, TermQuery(a)) for a in alts)))
+    if len(per_pos) == 1:
+        return per_pos[0]
+    return BooleanQuery(tuple(BooleanClause(operator, q) for q in per_pos))
+
+
 def collect_terms(q: Query) -> set[str]:
     """Exact DEFAULT-FIELD terms a query needs statistics/postings for
     (field-qualified terms come from :func:`collect_field_terms`)."""

@@ -231,3 +231,44 @@ def test_facet_sum_associations(ray_session, tmp_path):
     # counts and sums agree on the category key set
     cnt = facet_counts(idx, TermQuery("match"), "cat").to_pandas()
     assert set(cnt["cat"]) == set(got["cat"])
+
+
+def test_facet_sum_associations_skips_missing_values(ray_session, tmp_path):
+    """ADVICE r4: a matching doc WITHOUT the numeric association must be
+    skipped (SumIntAssociationFacetsAggregator semantics), not turn its
+    whole category's sum into NaN."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.analytics import facet_sum_associations
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    n = 24
+    cats = ["news" if i % 2 == 0 else "blog" for i in range(n)]
+    weights = [float(i + 1) for i in range(n)]
+    weights[0] = None  # a matching 'news' doc with NO association
+    weights[3] = None  # and a 'blog' one
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "cat": pa.array(cats),
+        "weight": pa.array(weights, pa.float64()),
+        "text": pa.array(["match token"] * n, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(
+        files=(str(tmp_path / "documents.parquet"),), content_col="text",
+        meta_cols=("doc_id", "cat", "weight"),
+        extra_fields=(FieldSpec("weight", "weight", kind="numeric"),),
+    ), idx, target_docs_per_partition=8)
+
+    got = facet_sum_associations(idx, TermQuery("match"), "cat",
+                                 "weight").to_pandas()
+    df = pd.DataFrame({"cat": cats, "w": weights}).dropna()
+    want = df.groupby("cat")["w"].sum()
+    assert not got["sum"].isna().any()
+    assert dict(zip(got["cat"], got["sum"])) == \
+        {k: float(v) for k, v in want.items()}

@@ -137,3 +137,47 @@ def test_phonetic_end_to_end(ray_session, tmp_path):
     code = soundex("smith")
     hits = search(idx, [TermQuery(code)], k=10)[0]
     assert len(hits) == 2  # both smith and smyth docs
+
+
+def test_analyze_text_stacked_all_codes():
+    from lucene_solr_old_ray.functions.analysis import analyze_text_stacked
+
+    # replace mode: BOTH double-metaphone codes survive at the position
+    assert analyze_text_stacked(
+        "smith", "phonetic_replace:double_metaphone") == [("SM0", "XMT")]
+    assert analyze_text_stacked(
+        "schmidt", "phonetic_replace:double_metaphone") == [("XMT", "SMT")]
+    # inject mode keeps the original first
+    assert analyze_text_stacked(
+        "smith", "phonetic:soundex") == [("smith", soundex("smith"))]
+    # un-encodable passes through
+    assert analyze_text_stacked(
+        "12345", "phonetic_replace:double_metaphone") == [("12345",)]
+    # non-phonetic analyzers: 1-tuples == analyze_text
+    assert analyze_text_stacked("running fast", "english") == \
+        [(t,) for t in analyze_text("running fast", "english")]
+
+
+def test_stacked_query_alternate_code_recall(ray_session, tmp_path):
+    # ADVICE r4: 'smith' (SM0/XMT) must match a doc indexed as 'schmidt'
+    # (XMT/SMT) through the shared ALTERNATE code XMT, like the
+    # reference's stacked query-time DoubleMetaphoneFilter
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import stacked_query
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    texts = ["schmidt wrote this", "jones wrote that"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    spec = CorpusSpec(files=(str(tmp_path / "documents.parquet"),),
+                      content_col="text", meta_cols=("doc_id",),
+                      analyzer="phonetic_replace:double_metaphone")
+    idx = str(tmp_path / "idx")
+    build_index(spec, idx, target_docs_per_partition=2)
+
+    q = stacked_query("smith", "phonetic_replace:double_metaphone")
+    hits = search(idx, [q], k=10)[0]
+    assert len(hits) == 1  # schmidt matches via XMT; jones does not

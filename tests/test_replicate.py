@@ -62,3 +62,45 @@ def test_replicate_and_incremental_update(ray_session, tmp_path):
     assert hits(dst, "beta") == []
     assert hits(dst, "shared") == hits(src, "shared")
     assert check_for_update(src, dst) is None
+
+
+def test_replicate_copies_only_referenced_segments(ray_session, tmp_path):
+    """ADVICE r4: after a merge, the committed manifest references only
+    shard dirs — replication must NOT ship the superseded pre-merge
+    segment dirs that share the index root."""
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+    from lucene_solr_old_ray.state import manifest as mf
+
+    src_docs = tmp_path / "documents.parquet"
+    _write_docs(src_docs, [f"gamma doc {i} shared" for i in range(24)])
+    src = str(tmp_path / "src")
+    build_index(CorpusSpec(files=(str(src_docs),), content_col="text",
+                           meta_cols=("doc_id",)), src,
+                target_docs_per_partition=4)
+    merge_index(src, fan_in=3, strategy="local")
+
+    man = mf.read_index_manifest(src)
+    referenced = {seg["dir"] for seg in man["segments"]}
+    assert referenced  # merged manifest references shard dirs only
+
+    dst = str(tmp_path / "replica")
+    replicate_index(src, dst)
+    # replica holds exactly the referenced dirs — no pre-merge leftovers
+    copied = set()
+    for root, _, files in os.walk(dst):
+        if "manifest.json" in files or any(f.startswith("postings")
+                                           for f in files):
+            copied.add(os.path.relpath(root, dst))
+    for d in referenced:
+        assert d in copied
+    leftover = {d for d in copied if d not in referenced
+                and not any(d.startswith(r + os.sep) or r.startswith(d + os.sep)
+                            for r in referenced)}
+    assert leftover == set(), leftover
+    # and the replica searches identically
+    assert sorted(search(dst, [TermQuery("shared")], k=50)
+                  ["docid"].to_pylist()) == \
+        sorted(search(src, [TermQuery("shared")], k=50)
+               ["docid"].to_pylist())
