@@ -51,7 +51,38 @@ _IDEO = "㐀-䶿一-鿿豈-﫿"
 _ASCII_TOKEN = re.compile(r"(?=[_'.]*[a-z0-9])[a-z0-9_]+(?:['.][a-z0-9_]+)*")
 # Unicode path: single ideograph, else word-char run with mid-joiners
 _WORDCHAR = rf"(?:(?![{_IDEO}])\w)"
-_UNI_TOKEN = re.compile(rf"[{_IDEO}]|{_WORDCHAR}+(?:['’.]{_WORDCHAR}+)*", re.UNICODE)
+
+
+def _mark_class() -> str:
+    """Char-class body for UAX#29 Extend chars (combining marks Mn/Mc/Me
+    plus ZWNJ/ZWJ): StandardTokenizer's WB4 rule glues them to the
+    preceding word char, so e.g. Devanagari matras/virama stay inside the
+    token. Python's ``\\w`` excludes them, so they are added explicitly
+    (BMP; generated from unicodedata once at import)."""
+    import unicodedata
+
+    parts = []
+    start = prev = None
+    for cp in range(0x0300, 0x10000):
+        if unicodedata.category(chr(cp)).startswith("M") \
+                or cp in (0x200C, 0x200D):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            parts.append((start, prev))
+            start = None
+    if start is not None:
+        parts.append((start, prev))
+    return "".join(
+        f"\\u{a:04x}" if a == b else f"\\u{a:04x}-\\u{b:04x}"
+        for a, b in parts)
+
+
+# a word-char run may continue with Extend chars (never start with one)
+_WORDRUN = rf"{_WORDCHAR}(?:{_WORDCHAR}|[{_mark_class()}])*"
+_UNI_TOKEN = re.compile(rf"[{_IDEO}]|{_WORDRUN}(?:['’.]{_WORDRUN})*",
+                        re.UNICODE)
 _HAS_ALNUM = re.compile(r"[^\W_]", re.UNICODE)  # letter or digit
 _FAST_SHAPE = re.compile(r"[a-z0-9_]+(?:['.][a-z0-9_]+)*\Z")
 
@@ -142,7 +173,12 @@ _VOCAB_STEMMERS = {
     "arabic": _stem_named("arabic_chain"),
     "persian": _stem_named("persian_chain"),
     "bulgarian": _stem_named("bulgarian_stem"),
-    "hindi": _stem_named("hindi_stem"),
+    # full HindiAnalyzer chain (hi/HindiAnalyzer.java:119-130):
+    # IndicNormalization -> HindiNormalization -> HindiStem
+    "hindi": _stem_named("hindi_chain"),
+    # the `in` dir alone (IndicNormalizationFilter, script-aware
+    # composition for all nine Indic blocks)
+    "indic": _stem_named("indic_normalize"),
     "latvian": _stem_named("latvian_stem"),
     "indonesian": _stem_named("indonesian_stem"),
     "greek": _greek_chain,

@@ -840,6 +840,204 @@ _HI_SUF_2 = ("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी
 _HI_SUF_1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
 
 
+# IndicNormalizer (analysis/common/.../in/IndicNormalizer.java:77-222):
+# script-aware composition of decomposed Indic spellings into standard
+# form, per Unicode 5.2 ch.6 (South Asian Scripts I) and the LDC graphical
+# decompositions. The nine covered blocks are 0x80-aligned and contiguous
+# (Devanagari 0x0900 ... Malayalam 0x0D00), so block id = (cp-0x0900)>>7
+# and script flag = 1<<id. Rows are (ch1, ch2, ch3, result, script-flags)
+# as codepage offsets; ch3 == -1 means a 2-char rule, 0xFF matches ZWJ.
+# This is published-standard rule data (unavoidable for parity).
+_DEV, _BEN, _GUR, _GUJ, _ORI, _TAM, _TEL, _KAN, _MAL = (
+    1, 2, 4, 8, 16, 32, 64, 128, 256)
+_INDIC_DECOMP = (
+    (0x05, 0x3E, 0x45, 0x11, _DEV | _GUJ),
+    (0x05, 0x3E, 0x46, 0x12, _DEV),
+    (0x05, 0x3E, 0x47, 0x13, _DEV | _GUJ),
+    (0x05, 0x3E, 0x48, 0x14, _DEV | _GUJ),
+    (0x05, 0x3E, -1, 0x06, _DEV | _BEN | _GUR | _GUJ | _ORI),
+    (0x05, 0x45, -1, 0x72, _DEV),
+    (0x05, 0x45, -1, 0x0D, _GUJ),
+    (0x05, 0x46, -1, 0x04, _DEV),
+    (0x05, 0x47, -1, 0x0F, _GUJ),
+    (0x05, 0x48, -1, 0x10, _GUR | _GUJ),
+    (0x05, 0x49, -1, 0x11, _DEV | _GUJ),
+    (0x05, 0x4A, -1, 0x12, _DEV),
+    (0x05, 0x4B, -1, 0x13, _DEV | _GUJ),
+    (0x05, 0x4C, -1, 0x14, _DEV | _GUR | _GUJ),
+    (0x06, 0x45, -1, 0x11, _DEV | _GUJ),
+    (0x06, 0x46, -1, 0x12, _DEV),
+    (0x06, 0x47, -1, 0x13, _DEV | _GUJ),
+    (0x06, 0x48, -1, 0x14, _DEV | _GUJ),
+    (0x07, 0x57, -1, 0x08, _MAL),
+    (0x09, 0x41, -1, 0x0A, _DEV),
+    (0x09, 0x57, -1, 0x0A, _TAM | _MAL),
+    (0x0E, 0x46, -1, 0x10, _MAL),
+    (0x0F, 0x45, -1, 0x0D, _DEV),
+    (0x0F, 0x46, -1, 0x0E, _DEV),
+    (0x0F, 0x47, -1, 0x10, _DEV),
+    (0x0F, 0x57, -1, 0x10, _ORI),
+    (0x12, 0x3E, -1, 0x13, _MAL),
+    (0x12, 0x4C, -1, 0x14, _TEL | _KAN),
+    (0x12, 0x55, -1, 0x13, _TEL),
+    (0x12, 0x57, -1, 0x14, _TAM | _MAL),
+    (0x13, 0x57, -1, 0x14, _ORI),
+    (0x15, 0x3C, -1, 0x58, _DEV),
+    (0x16, 0x3C, -1, 0x59, _DEV | _GUR),
+    (0x17, 0x3C, -1, 0x5A, _DEV | _GUR),
+    (0x1C, 0x3C, -1, 0x5B, _DEV | _GUR),
+    (0x21, 0x3C, -1, 0x5C, _DEV | _BEN | _ORI),
+    (0x22, 0x3C, -1, 0x5D, _DEV | _BEN | _ORI),
+    (0x23, 0x4D, 0xFF, 0x7A, _MAL),
+    (0x24, 0x4D, 0xFF, 0x4E, _BEN),
+    (0x28, 0x3C, -1, 0x29, _DEV),
+    (0x28, 0x4D, 0xFF, 0x7B, _MAL),
+    (0x2B, 0x3C, -1, 0x5E, _DEV | _GUR),
+    (0x2F, 0x3C, -1, 0x5F, _DEV | _BEN),
+    (0x2C, 0x41, 0x41, 0x0B, _TEL),
+    (0x30, 0x3C, -1, 0x31, _DEV),
+    (0x30, 0x4D, 0xFF, 0x7C, _MAL),
+    (0x32, 0x4D, 0xFF, 0x7D, _MAL),
+    (0x33, 0x3C, -1, 0x34, _DEV),
+    (0x33, 0x4D, 0xFF, 0x7E, _MAL),
+    (0x35, 0x41, -1, 0x2E, _TEL),
+    (0x3E, 0x45, -1, 0x49, _DEV | _GUJ),
+    (0x3E, 0x46, -1, 0x4A, _DEV),
+    (0x3E, 0x47, -1, 0x4B, _DEV | _GUJ),
+    (0x3E, 0x48, -1, 0x4C, _DEV | _GUJ),
+    (0x3F, 0x55, -1, 0x40, _KAN),
+    (0x41, 0x41, -1, 0x42, _GUR),
+    (0x46, 0x3E, -1, 0x4A, _TAM | _MAL),
+    (0x46, 0x42, 0x55, 0x4B, _KAN),
+    (0x46, 0x42, -1, 0x4A, _KAN),
+    (0x46, 0x46, -1, 0x48, _MAL),
+    (0x46, 0x55, -1, 0x47, _TEL | _KAN),
+    (0x46, 0x56, -1, 0x48, _TEL | _KAN),
+    (0x46, 0x57, -1, 0x4C, _TAM | _MAL),
+    (0x47, 0x3E, -1, 0x4B, _BEN | _ORI | _TAM | _MAL),
+    (0x47, 0x57, -1, 0x4C, _BEN | _ORI),
+    (0x4A, 0x55, -1, 0x4B, _KAN),
+    (0x72, 0x3F, -1, 0x07, _GUR),
+    (0x72, 0x40, -1, 0x08, _GUR),
+    (0x72, 0x47, -1, 0x0F, _GUR),
+    (0x73, 0x41, -1, 0x09, _GUR),
+    (0x73, 0x42, -1, 0x0A, _GUR),
+    (0x73, 0x4B, -1, 0x13, _GUR),
+)
+# per (script id, ch1-offset): rules in table order (first match wins)
+_INDIC_RULES: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+for _r in _INDIC_DECOMP:
+    for _sid in range(9):
+        if _r[4] & (1 << _sid):
+            _INDIC_RULES.setdefault((_sid, _r[0]), []).append(
+                (_r[1], _r[2], _r[3]))
+
+
+def indic_normalize(t: str) -> str:
+    """Re-expresses ``analysis/common/.../in/IndicNormalizer.java:244-293``
+    (normalize + compose): scan left to right; at each Indic codepoint
+    whose offset starts a decomposition for its script, compose the 2- or
+    3-char sequence (same-block chars only; ZWJ matches the 0xFF slot)
+    into its standard form and delete the consumed chars. The composed
+    position is not rescanned (the reference advances i)."""
+    if not any(0x0900 <= ord(c) <= 0x0D7F for c in t):
+        return t
+    s = list(t)
+    n = len(s)
+    i = 0
+    while i < n:
+        cp = ord(s[i])
+        if 0x0900 <= cp <= 0x0D7F and i + 1 < n:
+            sid = (cp - 0x0900) >> 7
+            base = 0x0900 + (sid << 7)
+            rules = _INDIC_RULES.get((sid, cp - base))
+            if rules:
+                c1 = ord(s[i + 1])
+                if 0x0900 <= c1 <= 0x0D7F and (c1 - 0x0900) >> 7 == sid:
+                    ch1 = c1 - base
+                    ch2 = -1
+                    if i + 2 < n:
+                        c2 = ord(s[i + 2])
+                        if c2 == 0x200D:  # ZWJ
+                            ch2 = 0xFF
+                        elif (0x0900 <= c2 <= 0x0D7F
+                              and (c2 - 0x0900) >> 7 == sid):
+                            ch2 = c2 - base
+                    for r1, r2, res in rules:
+                        if r1 == ch1 and (r2 < 0 or r2 == ch2):
+                            s[i] = chr(base + res)
+                            del s[i + 1]
+                            n -= 1
+                            if r2 >= 0:
+                                del s[i + 1]
+                                n -= 1
+                            break
+        i += 1
+    return "".join(s)
+
+
+# HindiNormalizer (analysis/common/.../hi/HindiNormalizer.java:41-161):
+# Pingali & Varma word normalization + Larkey et al. additions — nukta
+# forms fold to base consonants, chandrabindu -> bindu, chandra/short
+# vowels -> standard, long -> short vowels, nukta/virama/ZWJ/ZWNJ deleted
+_HI_NORM = {
+    "\u0901": "\u0902",  # candrabindu -> bindu
+    # nukta consonant folds
+    "\u0929": "\u0928", "\u0931": "\u0930", "\u0934": "\u0933",
+    "\u0958": "\u0915", "\u0959": "\u0916", "\u095a": "\u0917",
+    "\u095b": "\u091c", "\u095c": "\u0921", "\u095d": "\u0922",
+    "\u095e": "\u092b", "\u095f": "\u092f",
+    # chandra / short vowel signs and letters -> standard
+    "\u0945": "\u0947", "\u0946": "\u0947",
+    "\u0949": "\u094b", "\u094a": "\u094b",
+    "\u090d": "\u090f", "\u090e": "\u090f",
+    "\u0911": "\u0913", "\u0912": "\u0913",
+    "\u0972": "\u0905",
+    # long -> short independent vowels
+    "\u0906": "\u0905", "\u0908": "\u0907", "\u090a": "\u0909",
+    "\u0960": "\u090b", "\u0961": "\u090c",
+    "\u0910": "\u090f", "\u0914": "\u0913",
+    # long -> short dependent vowels
+    "\u0940": "\u093f", "\u0942": "\u0941", "\u0944": "\u0943",
+    "\u0963": "\u0962", "\u0948": "\u0947", "\u094c": "\u094b",
+}
+# nukta, ZWJ, ZWNJ, virama
+_HI_DELETE = frozenset(("\u093c", "\u200d", "\u200c", "\u094d"))
+
+
+def hindi_normalize(t: str) -> str:
+    """Re-expresses ``analysis/common/.../hi/HindiNormalizer.java:50-161``:
+    dead n (na + virama) -> anusvara, then the fold/delete tables above,
+    scanning left to right with in-place deletions."""
+    s = list(t)
+    n = len(s)
+    i = 0
+    while i < n:
+        c = s[i]
+        if c == "न" and i + 1 < n and s[i + 1] == "्":
+            s[i] = "ं"
+            del s[i + 1]
+            n -= 1
+        elif c in _HI_DELETE:
+            del s[i]
+            n -= 1
+            continue
+        else:
+            m = _HI_NORM.get(c)
+            if m is not None:
+                s[i] = m
+        i += 1
+    return "".join(s)
+
+
+def hindi_chain(t: str) -> str:
+    """HindiAnalyzer token chain after tokenize/lowercase
+    (``analysis/common/.../hi/HindiAnalyzer.java:119-130``):
+    IndicNormalizationFilter -> HindiNormalizationFilter ->
+    HindiStemFilter."""
+    return hindi_stem(hindi_normalize(indic_normalize(t)))
+
+
 def hindi_stem(t: str) -> str:
     """Re-expresses ``analysis/common/.../hi/HindiStemmer.java:33-122``
     (Ramanathan & Rao lightweight Hindi stemmer: longest-first suffix

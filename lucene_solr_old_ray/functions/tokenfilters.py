@@ -854,6 +854,16 @@ def _run_steps(st: _Stream, steps) -> _Stream:
             ml = int(args) if args else 4
             _map_terms(st, lambda t: katakana_stem(t, ml),
                        respect_keyword=True)
+        elif name == "indic_normalization":
+            # IndicNormalizationFilter (analysis/common/.../in/)
+            from .stem import indic_normalize
+
+            _map_terms(st, indic_normalize)
+        elif name == "hindi_normalization":
+            # HindiNormalizationFilter (analysis/common/.../hi/)
+            from .stem import hindi_normalize
+
+            _map_terms(st, hindi_normalize)
         elif name == "scandinavian_normalization":
             _map_terms(st, scandinavian_normalize)
         elif name == "scandinavian_folding":

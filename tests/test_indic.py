@@ -1,0 +1,92 @@
+"""IndicNormalizer + HindiNormalizer + full Hindi chain, validated
+against the reference vectors (TestIndicNormalizer.java:37-46,
+TestHindiNormalizer.java:37-62, TestHindiAnalyzer.java:34-39) and the
+UAX#29 Extend-glue tokenizer behavior they depend on."""
+
+from lucene_solr_old_ray.functions.analysis import analyze_text, tokenize_raw
+from lucene_solr_old_ray.functions.stem import (
+    hindi_chain,
+    hindi_normalize,
+    indic_normalize,
+)
+from lucene_solr_old_ray.functions.tokenfilters import analyze_chain_text
+
+
+def test_indic_normalizer_basics():
+    # TestIndicNormalizer.testBasics (incl. the Bengali khanda-ta ZWJ form)
+    cases = [
+        ("अाॅअाॅ", "ऑऑ"),
+        ("अाॆअाॆ", "ऒऒ"),
+        ("अाेअाे", "ओओ"),
+        ("अाैअाै", "औऔ"),
+        ("अाअा", "आआ"),
+        ("अाैर", "और"),
+        ("ত্‍", "ৎ"),
+        ("", ""),
+    ]
+    for inp, out in cases:
+        assert indic_normalize(inp) == out, (inp, out)
+
+
+def test_indic_normalizer_script_isolation():
+    # a decomposition only applies within its own script block: Devanagari
+    # candra-A (0x05 0x45) must not compose when the second char is from a
+    # different block, and non-Indic text is untouched
+    dev_a = "अ"
+    guj_sign = "ૅ"  # Gujarati candra E sign (different block)
+    assert indic_normalize(dev_a + guj_sign) == dev_a + guj_sign
+    assert indic_normalize("hello world") == "hello world"
+
+
+def test_hindi_normalizer_reference_vectors():
+    cases = [
+        ("अँगरेज़ी", "अंगरेजि"),
+        ("अँगरेजी", "अंगरेजि"),
+        ("अँग्रेज़ी", "अंगरेजि"),
+        ("अँग्रेजी", "अंगरेजि"),
+        ("अंगरेज़ी", "अंगरेजि"),
+        ("अंगरेजी", "अंगरेजि"),
+        ("अंग्रेज़ी", "अंगरेजि"),
+        ("अंग्रेजी", "अंगरेजि"),
+        # nukta removal
+        ("क़िताब", "किताब"),
+        ("फ़र्ज़", "फरज"),
+        ("क़र्ज़", "करज"),
+        ("ऱऴख़ग़ड़ढ़य़", "रळखगडढय"),
+        # ZWJ / ZWNJ removal
+        ("शार्‍मा", "शारमा"),
+        ("शार्‌मा", "शारमा"),
+        # chandra removal
+        ("ॅॆॉॊऍऎऑऒॲ", "ेेोोएएओओअ"),
+        # vowel shortening
+        ("आईऊॠॡऐऔीूॄॣैौ", "अइउऋऌएओिुृॢेो"),
+        ("", ""),
+    ]
+    for inp, out in cases:
+        assert hindi_normalize(inp) == out, (inp, out)
+
+
+def test_hindi_analyzer_chain():
+    # TestHindiAnalyzer.testBasics: two spellings of 'hindi' normalize to
+    # the same stem
+    assert hindi_chain("हिन्दी") == "हिंद"
+    assert hindi_chain("हिंदी") == "हिंद"
+    assert analyze_text("हिन्दी हिंदी", "hindi") == ["हिंद", "हिंद"]
+    # decomposed vowel + nukta through the whole chain
+    assert analyze_text("अाैर क़िताब", "hindi") == ["ओर", "किताब"]
+    # and as composable chain: filters
+    assert analyze_chain_text(
+        "अाैर क़िताब",
+        "chain:standard|indic_normalization|hindi_normalization",
+    ) == ["ओर", "किताब"]
+
+
+def test_tokenizer_glues_uax29_extend():
+    # combining marks (Mc/Mn) and ZWJ/ZWNJ continue a word-char run
+    # (StandardTokenizer WB4); they never start a token
+    assert tokenize_raw("हिन्दी हिंदी") == ["हिन्दी", "हिंदी"]
+    assert tokenize_raw("ত্‍") == ["ত্‍"]
+    assert tokenize_raw("‍ abc") == ["abc"]
+    # ascii / accents / ideographs / joiners unchanged
+    assert tokenize_raw("l'avion café naïve中文 test_id foo.bar") == \
+        ["l'avion", "café", "naïve", "中", "文", "test_id", "foo.bar"]
