@@ -320,6 +320,41 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     return out
 
 
+def tokenize_with_offsets_positions(
+    text: str,
+) -> list[tuple[str, int, int, int]]:
+    """(term, position, start_char, end_char) of the standard chain's KEPT
+    terms. Positions match the INDEX positions exactly: every tokenizer
+    token consumes a position, stop/overlong tokens are dropped but still
+    consume theirs (StopFilter position-increment semantics) — the
+    PositionIncrementAttribute view the span-aware highlighter's
+    per-document span matching needs (``highlight/QueryScorer.java:150``
+    tracks positions the same way)."""
+    out = []
+    is_ascii = text.isascii()
+    rx = _ASCII_TOKEN if is_ascii else _UNI_TOKEN
+    pos = 0
+    if len(text.lower()) == len(text):
+        low = text.lower()
+        for m in rx.finditer(low):
+            t = m.group(0)
+            if not is_ascii and not _HAS_ALNUM.search(t):
+                continue  # non-token: consumes no position
+            if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS:
+                out.append((t, pos, m.start(), m.end()))
+            pos += 1
+        return out
+    for m in _UNI_TOKEN.finditer(text):
+        t = m.group(0)
+        if not _HAS_ALNUM.search(t):
+            continue
+        t = t.lower()
+        if len(t) <= MAX_TOKEN_LENGTH and t not in ENGLISH_STOP_WORDS:
+            out.append((t, pos, m.start(), m.end()))
+        pos += 1
+    return out
+
+
 # cased variants for the code analyzer (camelCase must survive tokenization)
 _ASCII_TOKEN_CASED = re.compile(
     r"(?=[_'.]*[A-Za-z0-9])[A-Za-z0-9_]+(?:['.][A-Za-z0-9_]+)*"

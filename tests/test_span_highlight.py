@@ -1,0 +1,237 @@
+"""Span-aware highlighting (QueryScorer / WeightedSpanTermExtractor /
+SimpleSpanFragmenter re-expression): phrase and span queries mark ONLY
+occurrences participating in a span match. Ports the position-sensitive
+cases of the reference's HighlighterTest (testSpanHighlighting,
+testNotSpanSimpleQuery, testNearSpanSimpleQuery,
+testSimpleQueryScorerPhraseHighlighting) onto the engine's analyzer."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions.analysis import (
+    tokenize_with_offsets,
+    tokenize_with_offsets_positions,
+)
+from lucene_solr_old_ray.pipelines.build_index import build_index
+from lucene_solr_old_ray.pipelines.span_highlight import (
+    best_text_fragments,
+    doc_spans,
+    extraction_events,
+    highlight_hits_span,
+    weighted_span_terms,
+)
+from lucene_solr_old_ray.queries import (
+    BooleanClause,
+    BooleanQuery,
+    PhraseQuery,
+    SpanNearQuery,
+    SpanNotQuery,
+    SpanTermQuery,
+    TermQuery,
+)
+from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+WORDS = "wordx wordy wordz wordx wordy wordx worda wordb wordy wordc"
+
+
+def _wst_for(query, text, idf=None):
+    toks = tokenize_with_offsets_positions(text)
+    posmap = {}
+    for t, p, _s, _e in toks:
+        posmap.setdefault(t, []).append(p)
+    return toks, weighted_span_terms(extraction_events(query), posmap, idf)
+
+
+def _marks(text, toks, wst):
+    """Count of tokens QueryScorer would mark (numHighlights analogue)."""
+    frags = best_text_fragments(text, toks, wst, frag_size=10_000,
+                                max_fragments=1, pre="[", post="]")
+    return frags[0][1].count("[") if frags else 0
+
+
+def test_positions_track_stop_word_holes():
+    toks = tokenize_with_offsets_positions("john kennedy is the shot")
+    assert [(t, p) for t, p, _, _ in toks] == [
+        ("john", 0), ("kennedy", 1), ("shot", 4)]
+    # offsets agree with the non-positional tokenizer
+    assert [(t, s, e) for t, _, s, e in toks] == \
+        tokenize_with_offsets("john kennedy is the shot")
+
+
+def test_phrase_marks_only_matching_occurrences():
+    q = PhraseQuery(("wordx", "wordy"))
+    toks, wst = _wst_for(q, WORDS)
+    assert wst["wordx"].position_sensitive
+    assert wst["wordx"].spans == [(0, 1), (3, 4)]
+    assert wst["wordy"].spans == [(0, 1), (3, 4)]
+    # wordx@5 and wordy@8 are NOT inside a phrase match
+    assert _marks(WORDS, toks, wst) == 4
+
+
+def test_span_highlighting_reference_case():
+    # HighlighterTest.testSpanHighlighting: 7 highlights on texts[5]
+    q1 = SpanNearQuery((SpanTermQuery("wordx"), SpanTermQuery("wordy")),
+                       slop=1, in_order=False)
+    q2 = SpanNearQuery((SpanTermQuery("wordy"), SpanTermQuery("wordc")),
+                       slop=1, in_order=False)
+    bq = BooleanQuery((BooleanClause("SHOULD", q1),
+                       BooleanClause("SHOULD", q2)))
+    toks, wst = _wst_for(bq, WORDS)
+    assert _marks(WORDS, toks, wst) == 7
+
+
+def test_not_span_reference_case():
+    # testNotSpanSimpleQuery: exclude spans containing "john"
+    q = SpanNotQuery(
+        SpanNearQuery((SpanTermQuery("shot"), SpanTermQuery("kennedy")),
+                      slop=3, in_order=False),
+        SpanTermQuery("john"))
+    texts = [
+        "says kennedy has been shot",
+        "JFK has been shot",
+        "John Kennedy has been shot",
+    ]
+    counts = []
+    for t in texts:
+        toks, wst = _wst_for(q, t)
+        counts.append(_marks(t, toks, wst))
+    # doc0: kennedy+shot; doc1: no kennedy -> none; doc2: john span (0,1)
+    # does not OVERLAP the near span [1,5) -> kennedy+shot still marked
+    assert counts == [2, 0, 2]
+
+
+def test_plain_put_clears_position_sensitivity():
+    # PositionCheckingMap: a term also extracted from a TermQuery is
+    # highlighted everywhere even if a phrase extracts it too
+    q = BooleanQuery((
+        BooleanClause("SHOULD", PhraseQuery(("wordx", "wordy"))),
+        BooleanClause("SHOULD", TermQuery("wordx")),
+    ))
+    toks, wst = _wst_for(q, WORDS)
+    assert not wst["wordx"].position_sensitive
+    assert wst["wordy"].position_sensitive
+    # all 3 wordx + 2 matched wordy
+    assert _marks(WORDS, toks, wst) == 5
+
+
+def test_must_not_clause_never_extracts():
+    q = BooleanQuery((
+        BooleanClause("MUST", TermQuery("wordx")),
+        BooleanClause("MUST_NOT", TermQuery("wordy")),
+    ))
+    toks, wst = _wst_for(q, WORDS)
+    assert "wordy" not in wst
+    assert _marks(WORDS, toks, wst) == 3
+
+
+def test_phrase_gap_positions_adjust_slop():
+    # PhraseQuery.add(term, pos) with gaps: largest increment joins slop,
+    # match becomes unordered (WeightedSpanTermExtractor.java:110-131)
+    text = "very long and contains too much preamble"
+    q = PhraseQuery(("very", "long", "contains"), positions=(0, 1, 3))
+    toks, wst = _wst_for(q, text)
+    # 'and' is a stop word consuming position 2; contains sits at 3
+    assert _marks(text, toks, wst) == 3
+    # without the explicit gap the exact phrase cannot match over the hole
+    q0 = PhraseQuery(("very", "long", "contains"))
+    toks, wst0 = _wst_for(q0, text)
+    assert _marks(text, toks, wst0) == 0
+
+
+def test_doc_spans_matches_or_and_position_range():
+    posmap = {"a": [0, 4], "b": [1, 9]}
+    near = SpanNearQuery((SpanTermQuery("a"), SpanTermQuery("b")), slop=0)
+    assert doc_spans(near, posmap) == [(0, 2)]
+
+
+def test_span_fragmenter_keeps_span_whole():
+    text = ("aaaa bbbb needle haystack cccc dddd eeee ffff gggg hhhh "
+            "iiii jjjj kkkk llll mmmm nnnn")
+    q = PhraseQuery(("needle", "haystack"))
+    toks, wst = _wst_for(q, text)
+    # simple fragmenter splits between needle (ends 16) and haystack
+    simple = best_text_fragments(text, toks, wst, frag_size=20,
+                                 max_fragments=2, fragmenter="simple",
+                                 pre="[", post="]")
+    assert len(simple) == 2
+    assert not any("[needle]" in f and "[haystack]" in f for _, f in simple)
+    span = best_text_fragments(text, toks, wst, frag_size=20,
+                               max_fragments=2, fragmenter="span",
+                               pre="[", post="]")
+    assert len(span) == 1
+    assert "[needle] [haystack]" in span[0][1]
+
+
+def test_fragment_score_counts_distinct_terms_once():
+    text = "alpha beta alpha beta alpha"
+    q = BooleanQuery((BooleanClause("SHOULD", TermQuery("alpha")),
+                      BooleanClause("SHOULD", TermQuery("beta"))))
+    toks, wst = _wst_for(q, text)
+    frags = best_text_fragments(text, toks, wst, frag_size=10_000,
+                                max_fragments=1)
+    # QueryScorer foundTerms: 1.0 + 1.0, not 5 occurrences
+    assert frags[0][0] == pytest.approx(2.0)
+
+
+@pytest.fixture(scope="module")
+def span_hl_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("spanhl")
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            WORDS,
+            "wordx alone here with no partner nearby at all",
+            "says kennedy has been shot",
+            "john kennedy has been shot",
+        ], pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+    })
+    p = str(root / "documents.parquet")
+    pq.write_table(docs, p)
+    idx = str(root / "idx")
+    spec = CorpusSpec.documents(str(root))
+    spec = CorpusSpec(files=spec.files, content_col=spec.content_col,
+                      meta_cols=spec.meta_cols, store_term_vectors=True,
+                      store_tv_offsets=True)
+    build_index(spec, idx, target_docs_per_partition=2)
+    return idx, p
+
+
+def test_highlight_hits_span_e2e(span_hl_index):
+    idx, p = span_hl_index
+    q = PhraseQuery(("wordx", "wordy"))
+    out = highlight_hits_span(idx, p, q, k=5, frag_size=10_000,
+                              pre="[", post="]").to_pandas()
+    # only doc 0 contains the phrase; doc 1 has wordx but no phrase match
+    assert set(out["doc_id"]) == {0}
+    assert out.iloc[0]["snippet"].count("[") == 4
+
+
+def test_highlight_hits_span_tv_parity(span_hl_index):
+    idx, p = span_hl_index
+    q = SpanNearQuery((SpanTermQuery("wordx"), SpanTermQuery("wordy")),
+                      slop=1, in_order=False)
+    a = highlight_hits_span(idx, p, q, k=5, frag_size=10_000,
+                            source="reanalyze").to_pandas()
+    b = highlight_hits_span(idx, p, q, k=5, frag_size=10_000,
+                            source="tv").to_pandas()
+    assert a.equals(b)
+    # wordx@0,3,5 + wordy@1,4 (wordy@8 has no near partner)
+    assert a.iloc[0]["snippet"].count("<b>") == 5
+
+
+def test_highlight_hits_span_not_query(span_hl_index):
+    idx, p = span_hl_index
+    q = SpanNotQuery(
+        SpanNearQuery((SpanTermQuery("shot"), SpanTermQuery("kennedy")),
+                      slop=3, in_order=False),
+        SpanTermQuery("john"))
+    out = highlight_hits_span(idx, p, q, k=5, frag_size=10_000,
+                              pre="[", post="]").to_pandas()
+    got = dict(zip(out["doc_id"], out["snippet"]))
+    assert set(got) == {2, 3}
+    for s in got.values():
+        assert s.count("[") == 2
+        assert "[john]" not in s
