@@ -1,0 +1,155 @@
+"""ToParentBlockJoinCollector analogue: child hits GROUPED under their
+ranked parents (TopGroups per parent).
+
+Re-expresses (NOT ports) ``lucene/join/src/java/org/apache/lucene/search/
+join/ToParentBlockJoinCollector.java:1`` + ``getTopGroups`` (:362-427):
+the reference collects the top parents by the join query's parent score
+while caching every matched child's (doc, score) per parent block, then
+re-emits each selected parent's children sorted by the within-group sort.
+Child ordering uses the TopScoreDocCollector contract (score desc, docID
+asc on ties); ``within_group_offset``/``max_docs_per_group`` slice each
+group like the reference's TopDocs window, and ``group_child_hits``
+carries each group's total matched-child count (the GroupDocs.totalHits
+field).
+
+Distribution shape — deliberately better than the reference's
+cache-everything collector: phase 1 is the engine's normal distributed
+top-k on the JOIN query (k-sized partials per leaf, TopDocs.merge);
+phase 2 re-runs the child query per leaf and keeps ONLY children whose
+enclosing parent is in the broadcast top-k parent set, so the shuffled
+rows are bounded by k_parents x block size, never corpus-sized. Blocks
+never straddle leaves (the engine's addDocuments block contract), so the
+child -> parent mapping is a local searchsorted against the leaf's
+parents-filter postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..queries import TermQuery, ToParentBlockJoinQuery
+from ..state import manifest as mf
+
+
+def block_join_top_groups(
+    index_dir: str,
+    q: ToParentBlockJoinQuery,
+    *,
+    k_parents: int = 10,
+    offset: int = 0,
+    max_docs_per_group: int = 10,
+    within_group_offset: int = 0,
+) -> pa.Table:
+    """-> (parent_docid, parent_rank, parent_score, group_child_hits,
+    child_rank, child_docid, child_score), parent_rank 1-based after
+    ``offset``, child_rank 1-based after ``within_group_offset``; one row
+    per returned child hit, ordered by (parent_rank, child_rank). Parents
+    whose children are all sliced away keep NO rows (the reference returns
+    an empty GroupDocs.scoreDocs array; we drop the group rows — the
+    parent is still visible through lower offsets)."""
+    import ray
+    import ray.data
+
+    from ..queries import collect_field_terms, collect_terms
+    from ..stages.search import execute
+    from .analytics import _leaf_items
+    from .search import _open_leaf, gather_stats, search
+
+    res = search(index_dir, {0: q}, k=offset + k_parents)
+    empty = pa.table({
+        "parent_docid": pa.array([], pa.int64()),
+        "parent_rank": pa.array([], pa.int32()),
+        "parent_score": pa.array([], pa.float32()),
+        "group_child_hits": pa.array([], pa.int64()),
+        "child_rank": pa.array([], pa.int32()),
+        "child_docid": pa.array([], pa.int64()),
+        "child_score": pa.array([], pa.float32()),
+    })
+    sel = res.to_pandas().iloc[offset:]
+    if not len(sel):
+        return empty
+    wanted = np.sort(sel["docid"].to_numpy(dtype=np.int64))
+    rank_of = dict(zip(sel["docid"], range(1, len(sel) + 1)))
+    score_of = dict(zip(sel["docid"], sel["score"]))
+
+    manifest = mf.read_index_manifest(index_dir)
+    pq_term = TermQuery(q.parent_value, field=q.parent_field)
+    terms = sorted(collect_terms(q.child) | collect_terms(pq_term))
+    fterms = sorted(collect_field_terms(q.child)
+                    | collect_field_terms(pq_term))
+    ctx = gather_stats(index_dir, manifest, terms, field_terms=fterms)
+    bcast = ray.put((ctx, q, wanted))
+
+    def leaf_children(batch: pd.DataFrame) -> pd.DataFrame:
+        ctx_l, q_l, wanted_l = ray.get(bcast)
+        parts = []
+        for row in batch.to_dict("records"):
+            base = int(row["doc_base"])
+            nd = int(row["num_docs"])
+            lo = np.searchsorted(wanted_l, base)
+            hi = np.searchsorted(wanted_l, base + nd)
+            if lo == hi:
+                continue  # no selected parent lives in this leaf
+            leaf = _open_leaf(index_dir, row)
+            parents, _ = execute(
+                TermQuery(q_l.parent_value, field=q_l.parent_field),
+                leaf, ctx_l)
+            cd, cs = execute(q_l.child, leaf, ctx_l, q_l.boost)
+            if len(cd) == 0 or len(parents) == 0:
+                continue
+            idx = np.searchsorted(parents, cd, side="left")
+            ok = idx < len(parents)
+            cd, cs, idx = cd[ok], cs[ok], idx[ok]
+            pdoc = parents[idx] + base
+            keep = np.isin(pdoc, wanted_l, assume_unique=False)
+            if not keep.any():
+                continue
+            parts.append(pd.DataFrame({
+                "parent_docid": pdoc[keep].astype(np.int64),
+                "child_docid": (cd[keep] + base).astype(np.int64),
+                "child_score": cs[keep].astype(np.float32),
+            }))
+        return (pd.concat(parts, ignore_index=True) if parts
+                else pd.DataFrame())
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    kids = ds.map_batches(leaf_children, batch_format="pandas",
+                          batch_size=4).to_pandas()
+    if "parent_docid" not in kids.columns:
+        return empty
+
+    out: dict[str, list] = {k: [] for k in empty.column_names}
+    for pdoc, g in kids.groupby("parent_docid", sort=False):
+        order = np.lexsort((g["child_docid"].to_numpy(),
+                            -g["child_score"].to_numpy(np.float32)))
+        window = order[within_group_offset:
+                       within_group_offset + max_docs_per_group]
+        n = len(window)
+        if n == 0:
+            continue
+        gsel = g.iloc[window]
+        out["parent_docid"].extend([int(pdoc)] * n)
+        out["parent_rank"].extend([int(rank_of[pdoc])] * n)
+        out["parent_score"].extend([float(score_of[pdoc])] * n)
+        out["group_child_hits"].extend([len(g)] * n)
+        out["child_rank"].extend(range(within_group_offset + 1,
+                                       within_group_offset + 1 + n))
+        out["child_docid"].extend(gsel["child_docid"].tolist())
+        out["child_score"].extend(gsel["child_score"].tolist())
+
+    t = pa.table({
+        "parent_docid": pa.array(out["parent_docid"], pa.int64()),
+        "parent_rank": pa.array(out["parent_rank"], pa.int32()),
+        "parent_score": pa.array(
+            np.asarray(out["parent_score"], dtype=np.float32), pa.float32()),
+        "group_child_hits": pa.array(out["group_child_hits"], pa.int64()),
+        "child_rank": pa.array(out["child_rank"], pa.int32()),
+        "child_docid": pa.array(out["child_docid"], pa.int64()),
+        "child_score": pa.array(
+            np.asarray(out["child_score"], dtype=np.float32), pa.float32()),
+    })
+    o = np.lexsort((t["child_rank"].to_numpy(), t["parent_rank"].to_numpy()))
+    return t.take(o)

@@ -187,3 +187,75 @@ def test_scored_join_modes(block_index, mode):
     want = {int(r["docid"]): vals[r["source"]]
             for _, r in allmeta.iterrows() if r["source"] in vals}
     assert got == want
+
+
+# --- ToParentBlockJoinCollector (getTopGroups) --------------------------
+
+
+def _raw_child_scores(idx, term):
+    hits, parents = _child_scores(idx, term)
+    return (dict(zip(hits["docid"], hits["score"].astype(np.float32))),
+            parents)
+
+
+def test_top_groups_children_under_ranked_parents(block_index):
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        block_join_top_groups,
+    )
+
+    q = ToParentBlockJoinQuery(TermQuery("java"), "doctype", "parent", "avg")
+    out = block_join_top_groups(block_index, q, k_parents=10,
+                                max_docs_per_group=10).to_pandas()
+    # java children: 0,1 (parent 2), 4 (parent 6), 11 (parent 13)
+    groups = {int(p): sorted(g["child_docid"])
+              for p, g in out.groupby("parent_docid")}
+    assert groups == {2: [0, 1], 6: [4], 13: [11]}
+    sizes = dict(zip(out["parent_docid"], out["group_child_hits"]))
+    assert sizes == {2: 2, 6: 1, 13: 1}
+
+    # parent ranks/scores mirror the join query's TopDocs
+    res = search(block_index, {0: q}, k=10).to_pandas()
+    want_rank = dict(zip(res["docid"], res["rank"]))
+    want_score = dict(zip(res["docid"], res["score"].astype(np.float32)))
+    for _, r in out.iterrows():
+        assert want_rank[r["parent_docid"]] == r["parent_rank"]
+        assert want_score[r["parent_docid"]] == np.float32(r["parent_score"])
+
+    # child hits carry the RAW child scores, sorted desc within the group
+    raw, _ = _raw_child_scores(block_index, "java")
+    for _, r in out.iterrows():
+        assert np.float32(r["child_score"]) == raw[r["child_docid"]]
+    g2 = out[out["parent_docid"] == 2].sort_values("child_rank")
+    assert list(g2["child_score"]) == sorted(g2["child_score"], reverse=True)
+
+
+def test_top_groups_window_and_offsets(block_index):
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        block_join_top_groups,
+    )
+
+    q = ToParentBlockJoinQuery(TermQuery("java"), "doctype", "parent", "avg")
+    full = block_join_top_groups(block_index, q).to_pandas()
+
+    # max_docs_per_group=1: exactly the best child of each group
+    top1 = block_join_top_groups(block_index, q,
+                                 max_docs_per_group=1).to_pandas()
+    assert len(top1) == 3
+    best = full[full["child_rank"] == 1]
+    assert sorted(top1["child_docid"]) == sorted(best["child_docid"])
+
+    # within_group_offset=1: only parent 2 has a second child
+    second = block_join_top_groups(block_index, q,
+                                   within_group_offset=1).to_pandas()
+    assert list(second["parent_docid"]) == [2]
+    assert list(second["child_rank"]) == [2]
+    g2 = full[full["parent_docid"] == 2]
+    assert second.iloc[0]["child_docid"] == \
+        g2[g2["child_rank"] == 2].iloc[0]["child_docid"]
+
+    # parent offset drops the best group, ranks restart at 1
+    off = block_join_top_groups(block_index, q, offset=1).to_pandas()
+    best_parent = full[full["parent_rank"] == 1]["parent_docid"].iloc[0]
+    assert best_parent not in set(off["parent_docid"])
+    assert off["parent_rank"].min() == 1
+    assert len(set(off["parent_docid"])) == 2
