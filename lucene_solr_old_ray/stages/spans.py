@@ -332,6 +332,68 @@ def two_term_span_freqs(
     return _fold_f32(alld[order], allf[order], n_docs)
 
 
+def prune_near_candidates(
+    keys: list[np.ndarray], n_docs: int, slop: int, ordered: bool,
+) -> np.ndarray:
+    """Vectorized NECESSARY-condition pruning of k>=3 all-term SpanNear
+    candidates before the per-doc Python walk — docs that provably cannot
+    match are dropped; survivors still go through the faithful protocol
+    (so results are identical by construction).
+
+    ``keys[i]``: the clause's sorted packed (doc_index << 32 | position)
+    stream restricted to the candidate docs (``_packed_keys``).
+
+    Conditions (term spans, length 1 each):
+    - window bound: every emitted span has ``max_end - min_start - k ==``
+      its match slop, and over all combinations ``max_end >= max_i(first_i
+      + 1)`` while ``min_start <= min_i(last_i)`` — so ``max_i(first_i+1)
+      - min_i(last_i) - k > slop`` rules the doc out for BOTH protocols;
+    - ordered chain (in_order only): the greedy strictly-increasing chain
+      ``e_i = first position of clause i after e_{i-1}`` exists iff ANY
+      ordered assignment exists (standard exchange argument) — a doc whose
+      chain runs off an end cannot produce an ordered match at any slop.
+    """
+    k = len(keys)
+    keep = np.ones(n_docs, dtype=bool)
+    firsts = np.full((k, n_docs), np.iinfo(np.int64).max // 2,
+                     dtype=np.int64)
+    lasts = np.full((k, n_docs), -1, dtype=np.int64)
+    for i, ks in enumerate(keys):
+        if len(ks) == 0:
+            return np.zeros(n_docs, dtype=bool)
+        d = (ks >> 32).astype(np.int64)
+        p = (ks & 0xFFFFFFFF).astype(np.int64)
+        heads = np.ones(len(d), dtype=bool)
+        heads[1:] = d[1:] != d[:-1]
+        hi = np.flatnonzero(heads)
+        firsts[i, d[hi]] = p[hi]
+        tails = np.append(hi[1:] - 1, len(d) - 1)
+        lasts[i, d[tails]] = p[tails]
+        present = np.zeros(n_docs, dtype=bool)
+        present[d[hi]] = True
+        keep &= present
+    lb = (firsts + 1).max(axis=0) - lasts.min(axis=0) - k
+    keep &= lb <= slop
+    if ordered and keep.any():
+        # greedy chain over packed keys: one searchsorted per clause,
+        # vectorized across all candidate docs
+        e = (np.flatnonzero(keep).astype(np.int64) << 32) \
+            | firsts[0, keep]
+        alive = np.ones(len(e), dtype=bool)
+        docs_e = e >> 32
+        for i in range(1, k):
+            j = np.searchsorted(keys[i], e, side="right")
+            ok = j < len(keys[i])
+            jj = np.minimum(j, len(keys[i]) - 1)
+            ok &= (keys[i][jj] >> 32) == docs_e
+            alive &= ok
+            e = np.where(alive, keys[i][jj], e)
+        kept_docs = docs_e[alive]
+        keep = np.zeros(n_docs, dtype=bool)
+        keep[kept_docs] = True
+    return keep
+
+
 def span_freqs(q, leaf, docs: np.ndarray) -> np.ndarray:
     """Per-candidate-doc sloppy freq: float32 running sum of
     ``1/(1 + (end - start))`` over emitted matches in emission order
@@ -394,6 +456,15 @@ def execute_span(q, leaf, ctx, boost: float):
         ka = _packed_keys(lf, q.clauses[0].term, docs)
         kb = _packed_keys(lf, q.clauses[1].term, docs)
         freqs = two_term_span_freqs(ka, kb, q.slop, len(docs), q.in_order)
+    elif (isinstance(q, SpanNearQuery) and len(q.clauses) >= 3
+            and all(isinstance(c, SpanTermQuery) for c in q.clauses)):
+        # k>=3: vectorized necessary-condition pruning, THEN the faithful
+        # per-doc walk over the (usually much smaller) survivor set
+        keys = [_packed_keys(lf, c.term, docs) for c in q.clauses]
+        keep = prune_near_candidates(keys, len(docs), q.slop, q.in_order)
+        freqs = np.zeros(len(docs), dtype=np.float32)
+        if keep.any():
+            freqs[keep] = span_freqs(q, lf, docs[keep])
     if freqs is None:
         freqs = span_freqs(q, lf, docs)
     match = freqs > 0

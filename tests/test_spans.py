@@ -435,3 +435,65 @@ def test_field_masking_span_query(ray_session, tmp_path_factory):
     got = search(idx, [q], k=10).to_pandas()
     # doc2: james@0 (name), female@1 (gender) -> match; doc0: all male
     assert got["docid"].tolist() == [2]
+
+
+# --- k>=3 candidate pruning (necessary-condition soundness) -----------------
+
+
+@st.composite
+def multi_clause_doc_positions(draw):
+    """k in 3..4 clause position lists across 1..3 docs (disjoint per doc,
+    term spans)."""
+    k = draw(st.integers(3, 4))
+    n_docs = draw(st.integers(1, 3))
+    docs = []
+    for _ in range(n_docs):
+        pool = sorted(draw(st.lists(st.integers(0, 30), min_size=k,
+                                    max_size=18, unique=True)))
+        labels = [draw(st.integers(0, k - 1)) for _ in pool]
+        docs.append([[p for p, l in zip(pool, labels) if l == c]
+                     for c in range(k)])
+    return docs
+
+
+@given(multi_clause_doc_positions(), st.integers(0, 8), st.booleans())
+@settings(max_examples=300, deadline=None)
+def test_prune_near_candidates_never_drops_a_match(docs, slop, ordered):
+    from lucene_solr_old_ray.stages.spans import prune_near_candidates
+
+    k = len(docs[0])
+    keys = []
+    for c in range(k):
+        ks = [(d << 32) | p for d, doc in enumerate(docs) for p in doc[c]]
+        keys.append(np.asarray(sorted(ks), dtype=np.int64))
+    keep = prune_near_candidates(keys, len(docs), slop, ordered)
+    fn = near_ordered_matches if ordered else near_unordered_matches
+    for d, doc in enumerate(docs):
+        sub = [[(p, p + 1) for p in cl] for cl in doc]
+        matches = fn(sub, slop) if all(sub) else []
+        if matches:
+            assert keep[d], (d, doc, slop, ordered, matches)
+
+
+def test_pruned_three_clause_end_to_end(span_index):
+    """k>=3 NEAR results (docids AND survivor freqs) are identical with the
+    pruner in front of the walk — including slops where pruning bites."""
+    from lucene_solr_old_ray.queries import SpanNearQuery, SpanTermQuery
+
+    cases = [
+        (("w1", "w2", "w3"), 0, True), (("w1", "w2", "w3"), 1, True),
+        (("w1", "w2", "w3"), 2, False), (("u2", "u2", "u1"), 0, False),
+        (("t1", "t2", "t3"), 0, True), (("t1", "t2", "t3"), 3, False),
+        (("s2", "s1", "s2"), 2, True), (("w1", "w4", "w5"), 0, True),
+    ]
+    for terms, slop, ordered in cases:
+        q = SpanNearQuery(tuple(SpanTermQuery(t) for t in terms),
+                          slop=slop, in_order=ordered)
+        res = _span_search(span_index, q)
+        fn = near_ordered_matches if ordered else near_unordered_matches
+        expect = []
+        for d, doc in enumerate(DOC_FIELDS):
+            sub = [positions(doc, t) for t in terms]
+            if all(sub) and fn(sub, slop):
+                expect.append(d)
+        assert sorted(res["docid"]) == expect, (terms, slop, ordered)
