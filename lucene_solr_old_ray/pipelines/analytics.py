@@ -9,6 +9,7 @@ groupby) finishes the reduction. Matching docs never materialize globally.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -243,6 +244,129 @@ def facet_range_counts(
         "count": pa.array([int(tot.get(i, 0)) for i in range(len(ranges))],
                           pa.int64()),
     })
+
+
+def facet_counts_sampled(
+    index_dir: str, query: Query, facet_col: str, *,
+    k: int = 10, sample_ratio: float = 0.1, oversample: float = 2.0,
+    fixer: str = "takmi",  # "takmi" | "amortized" | "none"
+    seed: int = 42,
+) -> pa.Table:
+    """Sampled facet counts for huge result sets — re-expresses (NOT ports)
+    ``lucene/facet/src/java/org/apache/lucene/facet/sampling/``:
+
+    - ``RandomSampler.java`` — the matching doc set is sampled at
+      ``sample_ratio`` (deterministic per-leaf RNG seeded by (seed,
+      leaf ord), so runs are reproducible); ratio >= 1 short-circuits to
+      exact counting (``Sampler.shouldSample``);
+    - ``SamplingAccumulator.java`` + ``SamplingParams.oversampleFactor`` —
+      facet counting runs over the sample and keeps the top
+      ``ceil(oversample * k)`` sampled categories so the true top-k has a
+      high chance of surviving sampling noise;
+    - ``TakmiSampleFixer.java`` — ``fixer="takmi"`` recounts the surviving
+      categories EXACTLY against the full result set (accuracy-first; here
+      one extra masked bincount in the same leaf pass shape);
+      ``fixer="amortized"`` rescales sampled counts by the actual sample
+      ratio (the fast fixer); ``"none"`` returns raw sampled counts;
+    - ``Sampler.trimResult`` — the oversampled list is trimmed back to k.
+
+    -> (value, count) top-k by (count desc, value asc). Distribution
+    shape: per-leaf partials are category-count rows over the sample (and,
+    for takmi, over the full set restricted to surviving categories) —
+    never doc-sized on the driver."""
+    if sample_ratio >= 1.0:
+        t = facet_counts(index_dir, query, facet_col).to_pandas()
+        t = t.sort_values(["count", facet_col],
+                          ascending=[False, True]).head(k)
+        return pa.table({"value": pa.array(t[facet_col], pa.string()),
+                         "count": pa.array(t["count"], pa.int64())})
+
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    bcast = ray.put((query, facet_col, float(sample_ratio), int(seed),
+                     fixer == "takmi"))
+
+    def leaf_sampled(batch: pd.DataFrame) -> pd.DataFrame:
+        q, col, ratio, seed_l, want_exact = ray.get(bcast)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            rng = np.random.default_rng([seed_l, leaf.ord])
+            picked = docids[rng.random(len(docids)) < ratio]
+            ords, values = leaf.dv_sorted(col)
+            ords = np.asarray(ords)
+            rows = [pd.DataFrame({
+                "value": pd.Series([], dtype=object),
+                "sampled": pd.Series([], dtype="int64"),
+                "exact": pd.Series([], dtype="int64"),
+                "n_match": pd.Series([], dtype="int64"),
+                "n_sampled": pd.Series([], dtype="int64")})]
+            o = ords[picked]
+            o = o[o >= 0]
+            cnt_s = np.bincount(o, minlength=len(values))
+            if want_exact:
+                # the takmi exact lane rides the SAME pass: the costly part
+                # per leaf is the query execute, which would have to rerun
+                # for the reference's separate recount phase — one masked
+                # bincount here is strictly cheaper than that second pass
+                oe = ords[docids]
+                oe = oe[oe >= 0]
+                cnt_e = np.bincount(oe, minlength=len(values))
+            else:
+                cnt_e = np.zeros(len(values), dtype=np.int64)
+            nz = np.nonzero(cnt_s | cnt_e)[0]
+            rows.append(pd.DataFrame({
+                "value": values[nz],
+                "sampled": cnt_s[nz].astype(np.int64),
+                "exact": cnt_e[nz].astype(np.int64),
+                "n_match": np.int64(0),
+                "n_sampled": np.int64(0),
+            }))
+            # one stats row per leaf for the actual sample ratio
+            rows.append(pd.DataFrame({
+                "value": [None], "sampled": [0], "exact": [0],
+                "n_match": [len(docids)], "n_sampled": [len(picked)]}))
+            parts.extend(rows)
+        return (pd.concat(parts, ignore_index=True) if parts
+                else pd.DataFrame())
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_sampled, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    empty = pa.table({"value": pa.array([], pa.string()),
+                      "count": pa.array([], pa.int64())})
+    if "value" not in partials.columns or not len(partials):
+        return empty
+    n_match = int(partials["n_match"].sum())
+    n_sampled = int(partials["n_sampled"].sum())
+    cats = partials[partials["value"].notna()]
+    if not len(cats) or n_sampled == 0:
+        return empty
+    agg = cats.groupby("value", as_index=False)[["sampled", "exact"]].sum()
+    # oversampled top-cK by sampled count, then fix, then trim to k
+    over_k = int(math.ceil(oversample * k))
+    agg = agg.sort_values(["sampled", "value"],
+                          ascending=[False, True]).head(over_k)
+    actual_ratio = n_sampled / n_match
+    if fixer == "takmi":
+        agg["count"] = agg["exact"]
+    elif fixer == "amortized":
+        agg["count"] = np.rint(agg["sampled"] / actual_ratio).astype(np.int64)
+    elif fixer == "none":
+        agg["count"] = agg["sampled"]
+    else:
+        raise ValueError(f"unknown fixer {fixer!r}")
+    agg = agg.sort_values(["count", "value"],
+                          ascending=[False, True]).head(k)
+    return pa.table({"value": pa.array(agg["value"], pa.string()),
+                     "count": pa.array(agg["count"], pa.int64())})
 
 
 def drill_down_query(base: Query, dims: "dict[str, list[str]]") -> Query:

@@ -272,3 +272,82 @@ def test_facet_sum_associations_skips_missing_values(ray_session, tmp_path):
     assert not got["sum"].isna().any()
     assert dict(zip(got["cat"], got["sum"])) == \
         {k: float(v) for k, v in want.items()}
+
+
+# --- facet sampling (facet/sampling: RandomSampler + fixers) ---------------
+
+
+@pytest.fixture(scope="module")
+def skew_idx(ray_session, tmp_path_factory):
+    """200 docs all matching `needle`; facet column `lang` skewed
+    a:100 b:50 c:30 d:20."""
+    d = str(tmp_path_factory.mktemp("fsamp"))
+    langs = ["a"] * 100 + ["b"] * 50 + ["c"] * 30 + ["d"] * 20
+    n = len(langs)
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"needle w{i}" for i in range(n)], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    out = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), out, target_docs_per_partition=50)
+    return out
+
+
+def test_sampled_facets_ratio_one_equals_exact(skew_idx):
+    from lucene_solr_old_ray.pipelines.analytics import (
+        facet_counts,
+        facet_counts_sampled,
+    )
+
+    exact = facet_counts(skew_idx, TermQuery("needle"), "lang").to_pandas()
+    exact = exact.sort_values(["count", "lang"],
+                              ascending=[False, True]).reset_index(drop=True)
+    got = facet_counts_sampled(skew_idx, TermQuery("needle"), "lang",
+                               k=4, sample_ratio=1.0).to_pandas()
+    assert list(got["value"]) == list(exact["lang"])
+    assert list(got["count"]) == list(exact["count"])
+
+
+def test_sampled_facets_takmi_fixes_exactly(skew_idx):
+    from lucene_solr_old_ray.pipelines.analytics import facet_counts_sampled
+
+    got = facet_counts_sampled(skew_idx, TermQuery("needle"), "lang",
+                               k=4, sample_ratio=0.4,
+                               fixer="takmi").to_pandas()
+    want = {"a": 100, "b": 50, "c": 30, "d": 20}
+    # takmi recounts surviving categories exactly
+    for _, r in got.iterrows():
+        assert r["count"] == want[r["value"]]
+    assert got.iloc[0]["value"] == "a"
+
+
+def test_sampled_facets_amortized_statistical_bound(skew_idx):
+    from lucene_solr_old_ray.pipelines.analytics import facet_counts_sampled
+
+    got = facet_counts_sampled(skew_idx, TermQuery("needle"), "lang",
+                               k=4, sample_ratio=0.4,
+                               fixer="amortized").to_pandas()
+    want = {"a": 100, "b": 50, "c": 30, "d": 20}
+    assert got.iloc[0]["value"] == "a"  # the dominant category survives
+    for _, r in got.iterrows():
+        exact = want[r["value"]]
+        assert abs(r["count"] - exact) <= 0.6 * exact, (r["value"], r["count"])
+    # deterministic for a fixed seed
+    again = facet_counts_sampled(skew_idx, TermQuery("needle"), "lang",
+                                 k=4, sample_ratio=0.4,
+                                 fixer="amortized").to_pandas()
+    assert got.equals(again)
+
+
+def test_sampled_facets_raw_counts_bounded_by_exact(skew_idx):
+    from lucene_solr_old_ray.pipelines.analytics import facet_counts_sampled
+
+    got = facet_counts_sampled(skew_idx, TermQuery("needle"), "lang",
+                               k=4, sample_ratio=0.3,
+                               fixer="none").to_pandas()
+    want = {"a": 100, "b": 50, "c": 30, "d": 20}
+    for _, r in got.iterrows():
+        assert 0 < r["count"] <= want[r["value"]]
