@@ -623,8 +623,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["phrase_top10"] = lambda sf: _bm25_result(
         _index_for(sf), PhraseQuery(("table", "value")))
+    # 3 distinct terms: exercises the FULL SloppyPhraseScorer queue walk
+    # (k>=3) on the engine side AND the k-way recursive-CTE oracle
     q["phrase_sloppy_top10"] = lambda sf: _bm25_result(
-        _index_for(sf), PhraseQuery(("table", "value"), slop=2))
+        _index_for(sf), PhraseQuery(("table", "value", "row"), slop=2))
     # --- block join (nested documents) + scored term join ------------------
     from lucene_solr_old_ray.queries import ToParentBlockJoinQuery
 
@@ -876,7 +878,8 @@ SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 ) WHERE rank <= 2 ORDER BY lang, rank"""
     )
     sqls["phrase_top10"] = g.phrase_sql(["table", "value"])
-    sqls["phrase_sloppy_top10"] = g.phrase_sql(["table", "value"], slop=2)
+    sqls["phrase_sloppy_top10"] = g.phrase_sql(["table", "value", "row"],
+                                               slop=2)
     sqls["span_near_ordered_top10"] = g.span_near_ordered_sql(
         "merge", "spark", slop=3)
     sqls["payload_term_top10"] = g.payload_term_sql("merge", fn="avg")

@@ -640,9 +640,12 @@ hits AS (
 )"""
         return f"WITH {base_ctes()},{posd},{hits}{tail}"
 
-    if len(terms) != 2 or terms[0] == terms[1]:
+    if len(terms) != len(set(terms)):
         raise NotImplementedError(
-            "sloppy phrase oracle SQL covers the 2-distinct-term closed form")
+            "sloppy phrase oracle SQL covers distinct terms only (the "
+            "advanceRpts collision protocol is not SQL-expressed)")
+    if len(terms) > 2:
+        return _sloppy_k_sql(terms, slop, posd, tail)
     # zig-zag of strict successors (stages/sloppy.py derivation): the leader
     # L alternates streams; each leader scores distance L - max(other <= L);
     # next leader = min(other > L); float32 fold in match order
@@ -688,6 +691,92 @@ zig(doc_id, lead, s, d, acc, fin) AS (
           WHERE m.doc_id = z.doc_id AND m.strm = 1 - z.s AND m.p > z.lead)
          IS NULL
   FROM zig z WHERE NOT z.fin
+),
+hits AS (
+  SELECT doc_id, acc AS freq FROM zig WHERE fin AND acc > 0
+)"""
+    return f"WITH RECURSIVE {base_ctes()},{posd},{fold}{tail}"
+
+
+def _sloppy_k_sql(terms: list[str], slop: int, posd: str, tail: str) -> str:
+    """k>=3 DISTINCT-term sloppy oracle: the full SloppyPhraseScorer queue
+    walk (stages/sloppy.py::sloppy_freq_doc, no-repeats protocol) as a
+    recursive CTE carrying the whole scorer state per doc — current
+    phrase-adjusted position per slot, running end, popped-minimum slot
+    (ppi, ties to the lower slot like the (position, offset) heap), the
+    minimized match length, and the float32 freq fold in match order."""
+    k = len(terms)
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, p - {i} AS p, {i} AS strm FROM posd "
+        f"WHERE term = '{t}'" for i, t in enumerate(terms))
+    firsts_cols = ",\n         ".join(
+        f"min(CASE WHEN strm = {i} THEN p END) AS f{i}" for i in range(k))
+    having = " AND ".join(f"f{i} IS NOT NULL" for i in range(k))
+
+    def argmin(cols: list[str]) -> str:
+        whens = []
+        for i in range(k - 1):
+            conds = " AND ".join(f"{cols[i]} <= {cols[j]}"
+                                 for j in range(i + 1, k))
+            whens.append(f"WHEN {conds} THEN {i}")
+        return "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+
+    fcols = [f"f{i}" for i in range(k)]
+    pcols = [f"p{i}" for i in range(k)]
+    qcols = [f"q{i}" for i in range(k)]
+    state_cols = ", ".join(pcols)
+    init_ml = f"greatest({', '.join(fcols)}) - least({', '.join(fcols)})"
+    curp = ("CASE z.ppi " + " ".join(
+        f"WHEN {i} THEN z.p{i}" for i in range(k)) + " END")
+    nxt = ("CASE zz.ppi " + " ".join(
+        "WHEN {} THEN least({})".format(
+            i, ", ".join(f"zz.p{j}" for j in range(k) if j != i))
+        for i in range(k)) + " END")
+    q_exprs = ",\n         ".join(
+        f"CASE WHEN zz.ppi = {i} THEN COALESCE(zz.adv, zz.p{i}) "
+        f"ELSE zz.p{i} END AS q{i}" for i in range(k))
+    add = f32("y.acc + " + f32("CAST(1 AS REAL) / CAST(y.ml + 1 AS REAL)"))
+    fold = f"""
+streams AS (
+{union}
+),
+firsts AS (
+  SELECT doc_id,
+         {firsts_cols}
+  FROM streams GROUP BY doc_id
+  HAVING {having}
+),
+zig(doc_id, {state_cols}, end_, ppi, ml, acc, fin) AS (
+  SELECT doc_id, {', '.join(fcols)},
+         greatest({', '.join(fcols)}),
+         {argmin(fcols)},
+         {init_ml},
+         CAST(0 AS REAL), FALSE
+  FROM firsts
+  UNION ALL
+  SELECT y.doc_id, {', '.join('y.' + q for q in qcols)},
+         y.nend,
+         CASE WHEN y.adv IS NOT NULL AND y.adv > y.nxt
+              THEN {argmin(['y.' + q for q in qcols])}
+              ELSE y.ppi END,
+         CASE WHEN y.adv IS NULL THEN y.ml
+              WHEN y.adv > y.nxt
+              THEN y.nend - least({', '.join('y.' + q for q in qcols)})
+              ELSE least(y.ml, y.nend - y.adv) END,
+         CASE WHEN (y.adv IS NULL OR y.adv > y.nxt) AND y.ml <= {slop}
+              THEN {add} ELSE y.acc END,
+         y.adv IS NULL
+  FROM (
+    SELECT zz.*,
+         {q_exprs},
+         greatest(zz.end_, COALESCE(zz.adv, zz.end_)) AS nend,
+         {nxt} AS nxt
+    FROM (SELECT z.*,
+                 (SELECT min(s.p) FROM streams s
+                  WHERE s.doc_id = z.doc_id AND s.strm = z.ppi
+                    AND s.p > {curp}) AS adv
+          FROM zig z WHERE NOT z.fin) zz
+  ) y
 ),
 hits AS (
   SELECT doc_id, acc AS freq FROM zig WHERE fin AND acc > 0

@@ -123,3 +123,88 @@ def test_oracle_index_uses_same_semantics():
     # matched doc set == docs with positive queue-walk freq
     want = {i for i, t in enumerate(docs) if freq(t, "aa bb", 2) > 0}
     assert {d for d, _, _ in res} == want
+
+
+# --- k>=3 distinct-term SQL oracle equals the queue walk --------------------
+
+VOCAB = ["apple", "banana", "cherry", "dog", "elk"]
+
+
+def _duck_sloppy(texts, terms, slop, k=100):
+    import duckdb
+    import pandas as pd
+
+    from lucene_solr_old_ray import sqlgen as g
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    return con.execute(g.phrase_sql(list(terms), k=k, slop=slop)).fetchdf()
+
+
+def _expected_sloppy(texts, terms, slop, k=100):
+    from lucene_solr_old_ray.functions import bm25
+    from lucene_solr_old_ray.functions.smallfloat import encode_norm
+
+    n = len(texts)
+    lens = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    sttf = int(lens.sum())
+    avgdl = np.float32(np.float64(sttf) / n)
+    cache = bm25.norm_cache(avgdl)
+    dfs = {t: sum(1 for d in texts if t in d.split()) for t in set(terms)}
+    sum_idf = F(0.0)
+    for t in terms:
+        sum_idf = F(sum_idf + bm25.idf(dfs[t], n))
+    wv = bm25.weight_value(sum_idf, 1.0)
+    rows = []
+    for d, text in enumerate(texts):
+        f = freq(text, " ".join(terms), slop)
+        if f > 0:
+            nb = int(encode_norm(lens[d:d + 1])[0])
+            score = float(bm25.score_postings(
+                np.array([f], dtype=np.float32),
+                np.array([nb], dtype=np.uint8), wv, cache)[0])
+            rows.append((d, score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize("terms,slop", [
+    (("apple", "banana", "cherry"), 0),
+    (("apple", "banana", "cherry"), 2),
+    (("apple", "banana", "cherry"), 5),
+    (("cherry", "apple", "banana"), 3),
+    (("apple", "banana", "cherry", "dog"), 4),
+])
+def test_sloppy_k_sql_fixed_cases(terms, slop):
+    texts = [
+        "apple banana cherry dog elk",
+        "apple elk banana elk cherry",
+        "cherry banana apple",
+        "apple banana elk elk elk cherry apple banana cherry",
+        "banana cherry",
+        "dog elk dog apple banana elk cherry dog",
+        "apple apple banana cherry cherry dog",
+    ]
+    got = _duck_sloppy(texts, terms, slop)
+    want = _expected_sloppy(texts, terms, slop)
+    assert list(got["doc_id"]) == [d for d, _ in want], (terms, slop)
+    for (d, s), gs in zip(want, got["score"]):
+        assert np.float32(gs) == np.float32(s), (terms, slop, d)
+
+
+def test_sloppy_k_sql_random_corpora():
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        k = int(rng.integers(3, 5))
+        terms = tuple(VOCAB[:k])
+        slop = int(rng.integers(0, 7))
+        n_docs = int(rng.integers(2, 7))
+        texts = [" ".join(rng.choice(VOCAB, size=rng.integers(3, 15)))
+                 for _ in range(n_docs)]
+        got = _duck_sloppy(texts, terms, slop)
+        want = _expected_sloppy(texts, terms, slop)
+        assert list(got["doc_id"]) == [d for d, _ in want], \
+            (trial, terms, slop, texts)
+        for (d, s), gs in zip(want, got["score"]):
+            assert np.float32(gs) == np.float32(s), (trial, slop, d, texts)
