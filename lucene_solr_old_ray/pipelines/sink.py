@@ -1,0 +1,35 @@
+"""Production Parquet sink for per-document pipeline outputs.
+
+The oracle-gate entries (quality_stats, lang_id, exact_dedup, ...) return
+small in-memory tables because the driver's correctness harness compares
+them against SQL — at production scale that return contract would be a
+driver-side materialization of a corpus-sized result. This module is the
+scale-correct alternative: the SAME streaming Dataset is written to
+partitioned Parquet by the WORKERS (one file per output block, Ray Data's
+distributed write path), and only footer metadata ever reaches the driver.
+
+Counterpart of the index-backed ``pipelines/analytics.py::export_matches``
+(which additionally resumes per leaf); for derived per-doc tables the
+Ray-native write is the right shape — the upstream read is deterministic,
+so a failed write is simply re-run.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def write_results(ds, out_dir: str) -> int:
+    """Write a (lazy) ``ray.data.Dataset`` as partitioned Parquet under
+    ``out_dir`` and return the written row count — counted from the file
+    FOOTERS, so nothing table-sized touches the driver."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    total = 0
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total

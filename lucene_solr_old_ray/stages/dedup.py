@@ -50,8 +50,10 @@ _SHINGLE_SEED = np.uint64(0x9E3779B97F4A7C15)
 _SHINGLE_PRIME = np.uint64(0x100000001B3)
 
 
-def exact_dedup(sf_dir: str) -> pa.Table:
-    """Keep-first per distinct text -> (doc_id=min over group, dup_count)."""
+def exact_dedup(sf_dir: str, write_to: str | None = None) -> pa.Table:
+    """Keep-first per distinct text -> (doc_id=min over group, dup_count).
+    ``write_to`` switches to the production shape: survivors stream to
+    partitioned Parquet from the workers, a 1-row summary returns."""
     from ray.data.aggregate import Min, Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -68,13 +70,24 @@ def exact_dedup(sf_dir: str) -> pa.Table:
             doc_id=("doc_id", "min"), dup_count=("doc_id", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
+    agg = (
         ds.map_batches(hash_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"),
                    Sum("dup_count", alias_name="dup_count"))
-        .to_pandas()
     )
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        def strip(batch: pa.Table) -> pa.Table:
+            return batch.select(["doc_id", "dup_count"]).cast(pa.schema([
+                ("doc_id", pa.int64()), ("dup_count", pa.int64())]))
+
+        n = write_results(agg.map_batches(strip, batch_format="pyarrow"),
+                          write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = agg.to_pandas()
     out = out[["doc_id", "dup_count"]].sort_values("doc_id").reset_index(drop=True)
     out["dup_count"] = out["dup_count"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)

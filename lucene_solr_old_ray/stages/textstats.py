@@ -117,10 +117,25 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def quality_stats(sf_dir: str) -> pa.Table:
+def quality_stats_ds(sf_dir: str):
+    """Streaming Dataset variant of :func:`quality_stats` (for the
+    production Parquet sink / downstream composition)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    out = ds.map_batches(quality_batch, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def quality_stats(sf_dir: str, write_to: str | None = None) -> pa.Table:
+    """``write_to`` switches to the production shape: the per-doc table is
+    written as partitioned Parquet by the workers (nothing corpus-sized on
+    the driver) and a 1-row (rows_written, out_dir) table returns."""
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(quality_stats_ds(sf_dir), write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = quality_stats_ds(sf_dir).to_pandas()
     return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
                                 preserve_index=False)
 
@@ -162,7 +177,7 @@ _POPCNT8 = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
 
 
-def lang_id(sf_dir: str) -> pa.Table:
+def lang_id(sf_dir: str, write_to: str | None = None) -> pa.Table:
     """Stop-word-marker language-ID heuristic (the synthetic corpus has no
     language-specific surface forms, so this demonstrates the operator, not
     linguistic accuracy). CJK-codepoint shortcut (>3 CJK chars in the first
@@ -223,7 +238,14 @@ def lang_id(sf_dir: str) -> pa.Table:
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    out = ds.map_batches(guess, batch_format="pyarrow").to_pandas()
+    guessed = ds.map_batches(guess, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(guessed, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = guessed.to_pandas()
     return pa.Table.from_pandas(out.sort_values("doc_id").reset_index(drop=True),
                                 preserve_index=False)
 

@@ -1,0 +1,41 @@
+"""Production Parquet sink: the LLM-tier per-doc pipelines write
+partitioned Parquet from the workers (write_to=) instead of returning a
+driver-side table, with identical content."""
+
+import pyarrow.parquet as pq
+
+from lucene_solr_old_ray.stages.dedup import exact_dedup
+from lucene_solr_old_ray.stages.textstats import lang_id, quality_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _read_back(out_dir):
+    import pandas as pd
+
+    return (pq.read_table(out_dir).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_quality_stats_write_to_matches_table(ray_session, tmp_path):
+    out = str(tmp_path / "quality")
+    summary = quality_stats(SF, write_to=out).to_pandas()
+    table = quality_stats(SF).to_pandas()
+    assert summary.iloc[0]["rows_written"] == len(table)
+    assert _read_back(out).equals(table)
+
+
+def test_exact_dedup_write_to_matches_table(ray_session, tmp_path):
+    out = str(tmp_path / "dedup")
+    summary = exact_dedup(SF, write_to=out).to_pandas()
+    table = exact_dedup(SF).to_pandas()
+    assert summary.iloc[0]["rows_written"] == len(table)
+    assert _read_back(out).equals(table)
+
+
+def test_lang_id_write_to_matches_table(ray_session, tmp_path):
+    out = str(tmp_path / "langid")
+    summary = lang_id(SF, write_to=out).to_pandas()
+    table = lang_id(SF).to_pandas()
+    assert summary.iloc[0]["rows_written"] == len(table)
+    assert _read_back(out).equals(table)
