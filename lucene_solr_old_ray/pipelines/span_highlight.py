@@ -255,6 +255,14 @@ def default_idf(df: int, max_doc: int) -> float:
 # ---------------------------------------------------------------------------
 # the Highlighter loop: QueryScorer token scoring + fragmenter
 
+def html_encode(s: str) -> str:
+    """``highlight/SimpleHTMLEncoder.java``: escape snippet text so marked
+    fragments are safe to embed in HTML."""
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;")
+            .replace("'", "&#x27;").replace("/", "&#x2F;"))
+
+
 def best_text_fragments(
     text: str,
     toks: list[tuple[str, int, int, int]],
@@ -262,16 +270,32 @@ def best_text_fragments(
     *,
     frag_size: int = 100,
     max_fragments: int = 2,
-    fragmenter: str = "span",  # "span" | "simple"
+    fragmenter: str = "span",  # "span" | "simple" | "null"
     pre: str = "<b>",
     post: str = "</b>",
+    encoder: str = "default",  # "default" | "html" (SimpleHTMLEncoder)
+    max_chars_to_analyze: int | None = None,
 ) -> list[tuple[float, str]]:
     """(score, formatted fragment) of the best fragments — the
     ``Highlighter.getBestTextFragments`` walk with QueryScorer semantics:
     fragment score = sum of DISTINCT matched terms' weights; every
-    token with a positive token score is wrapped."""
+    token with a positive token score is wrapped.
+
+    ``fragmenter="null"`` is the NullFragmenter (one fragment = the whole
+    text, the field-level highlight mode); ``max_chars_to_analyze``
+    re-expresses Highlighter.setMaxDocCharsToAnalyze /
+    OffsetLimitTokenFilter — tokens starting at or past the limit are not
+    analyzed (the text beyond still appends to the last fragment)."""
+    if max_chars_to_analyze is not None:
+        toks = [t for t in toks if t[2] < max_chars_to_analyze]
+    enc = html_encode if encoder == "html" else (lambda s: s)
+    if encoder not in ("default", "html"):
+        raise ValueError(f"unknown encoder {encoder!r}")
     if not toks:
         return []
+    if fragmenter == "null":
+        frag_size = max(len(text), 1) + 1  # never breaks
+        fragmenter = "simple"
     frags: list[dict] = []  # {start, end, score, marks}
     cur = {"start": 0, "score": 0.0, "marks": [], "found": set()}
     num_frags = 1
@@ -331,10 +355,10 @@ def best_text_fragments(
         res = []
         prev = f["start"]
         for s, e in f["marks"]:
-            res.append(text[prev:s])
-            res.append(pre + text[s:e] + post)
+            res.append(enc(text[prev:s]))
+            res.append(pre + enc(text[s:e]) + post)
             prev = e
-        res.append(text[prev:f["end"]])
+        res.append(enc(text[prev:f["end"]]))
         out.append((f["score"], "".join(res).strip()))
     return out
 

@@ -148,3 +148,180 @@ def distance_topk(
         "docid": pa.array(sel["docid"].astype(np.int64)),
         "dist": dist_arr,
     })
+
+
+# --------------------------------------------------- shapes beyond the bbox
+#
+# Re-expresses (NOT ports) the WITHIN/INTERSECTS relation for circle and
+# polygon QUERY shapes over point data
+# (``spatial/src/java/org/apache/lucene/spatial/prefix/
+# WithinPrefixTreeFilter.java:1`` lineage + spatial4j circle/JTS polygon
+# geometry): the engine's two-phase shape is grid-cover CANDIDATE
+# generation (the prefix-tree filter) followed by an EXACT per-doc
+# geometric verification over the numeric doc-values — so unlike the
+# reference's grid approximation, results here are exact (the cover only
+# affects how many candidates the verify stage sees). Circle containment
+# is great-circle (haversine, spatial4j CircleImpl); polygon containment
+# is planar even-odd ray casting in lat/lon space (JTS semantics — JTS
+# polygons are Euclidean in coordinate space).
+
+
+def circle_bbox_udeg(x: int, y: int, radius_m: float):
+    """Enclosing (x_min, x_max, y_min, y_max) micro-degree bbox of a
+    great-circle radius around (x, y) (spatial4j
+    DistanceUtils.calcBoxByDistFromPtDEG, clamped at the poles; longitude
+    wrap is clamped to the world bounds — documented engine scope)."""
+    import math
+
+    rad_deg = math.degrees(radius_m / EARTH_RADIUS_M)
+    lat = y / 1e6
+    y_min = max(-90.0, lat - rad_deg)
+    y_max = min(90.0, lat + rad_deg)
+    # widest longitude span occurs at the extreme latitude of the box
+    max_abs_lat = min(89.9999, max(abs(y_min), abs(y_max)))
+    lon_span = rad_deg / max(1e-9, math.cos(math.radians(max_abs_lat)))
+    x_min = max(-180.0, x / 1e6 - lon_span)
+    x_max = min(180.0, x / 1e6 + lon_span)
+    return (int(math.floor(x_min * 1e6)), int(math.ceil(x_max * 1e6)),
+            int(math.floor(y_min * 1e6)), int(math.ceil(y_max * 1e6)))
+
+
+def point_in_polygon(xs, ys, poly) -> np.ndarray:
+    """Vectorized even-odd ray casting: True where (xs[i], ys[i]) lies
+    inside the closed polygon ``poly`` = [(x, y), ...] (micro-degree ints,
+    planar). Points exactly on a horizontal-crossing edge follow the
+    half-open convention (lower endpoint in, upper out) — the standard
+    crossing-number algorithm JTS RayCrossingCounter implements."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = np.zeros(len(xs), dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        crosses = (y1 > ys) != (y2 > ys)
+        if not crosses.any():
+            continue
+        t = (ys - y1) / (y2 - y1)
+        cross_x = x1 + t * (x2 - x1)
+        inside ^= crosses & (xs < cross_x)
+    return inside
+
+
+def _shape_candidates(index_dir, manifest, geo_field, bbox, max_levels,
+                      tree):
+    """Candidate filter query from the geohash-indexed field covering the
+    shape's bbox, or None for a full scan (no geo field indexed)."""
+    if geo_field is None:
+        return None
+    from .geoprefix import geo_intersects_query
+
+    x_min, x_max, y_min, y_max = bbox
+    return geo_intersects_query(
+        geo_field, x_min / 1e6, y_min / 1e6, x_max / 1e6, y_max / 1e6,
+        max_levels, tree=tree)
+
+
+def _verify_shape(index_dir: str, xfield: str, yfield: str, cand_query,
+                  verify) -> pa.Table:
+    """Shared two-phase executor: per leaf, run the candidate query (or
+    live-doc scan), read the numeric doc-values, keep docs passing the
+    EXACT ``verify(xv, yv) -> bool mask`` -> (docid,) ascending."""
+    manifest = mf.read_index_manifest(index_dir)
+    q_ref = ray.put(cand_query)
+    if cand_query is not None:
+        from ..queries import collect_field_terms, collect_terms
+        from .search import gather_stats
+
+        ctx = gather_stats(index_dir, manifest,
+                           sorted(collect_terms(cand_query)),
+                           field_terms=sorted(
+                               collect_field_terms(cand_query)))
+        ctx_ref = ray.put(ctx)
+    else:
+        ctx_ref = ray.put(None)
+    v_ref = ray.put(verify)
+
+    def leaf_verify(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.search import execute
+
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        verify_l = ray.get(v_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            if q is not None:
+                docids, _ = execute(q, leaf, ctx_l)
+            else:
+                docids = np.arange(leaf.num_docs, dtype=np.int64)
+                if leaf.live is not None:
+                    docids = docids[np.asarray(leaf.live)[docids]]
+            if len(docids) == 0:
+                continue
+            xs = pd.to_numeric(pd.Series(
+                leaf.doc_values(xfield, docids)), errors="coerce")
+            ys = pd.to_numeric(pd.Series(
+                leaf.doc_values(yfield, docids)), errors="coerce")
+            present = (xs.notna() & ys.notna()).to_numpy()
+            docids = docids[present]
+            if len(docids) == 0:
+                continue
+            keep = verify_l(xs[present].to_numpy(dtype=np.int64),
+                            ys[present].to_numpy(dtype=np.int64))
+            parts.append(pd.DataFrame(
+                {"docid": docids[keep] + leaf.doc_base}))
+        if not parts:
+            return pd.DataFrame({"docid": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    out = ds.map_batches(leaf_verify, batch_format="pandas",
+                         batch_size=4).to_pandas()
+    if "docid" not in out.columns:
+        return pa.table({"docid": pa.array([], pa.int64())})
+    return pa.table({"docid": pa.array(
+        np.sort(out["docid"].to_numpy(dtype=np.int64)))})
+
+
+def geo_within_circle(
+    index_dir: str, xfield: str, yfield: str, x: int, y: int,
+    radius_m: float, *, geo_field: str | None = None, max_levels: int = 7,
+    tree: str = "geohash",
+) -> pa.Table:
+    """Docs whose point lies within ``radius_m`` great-circle meters of
+    (x, y) micro-degrees -> (docid,) ascending, EXACT (haversine verify
+    after the optional prefix-tree candidate cover)."""
+    manifest = mf.read_index_manifest(index_dir)
+    cand = _shape_candidates(index_dir, manifest, geo_field,
+                             circle_bbox_udeg(x, y, radius_m),
+                             max_levels, tree)
+
+    def verify(xv, yv):
+        return haversine_m(xv, yv, np.int64(x), np.int64(y)) <= radius_m
+
+    return _verify_shape(index_dir, xfield, yfield, cand, verify)
+
+
+def geo_within_polygon(
+    index_dir: str, xfield: str, yfield: str,
+    poly: "list[tuple[int, int]]", *, geo_field: str | None = None,
+    max_levels: int = 7, tree: str = "geohash",
+) -> pa.Table:
+    """Docs whose point lies within the planar polygon ``poly``
+    (micro-degree vertices, closed implicitly) -> (docid,) ascending,
+    EXACT (even-odd ray-cast verify after the optional cover)."""
+    if len(poly) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    manifest = mf.read_index_manifest(index_dir)
+    px = [p[0] for p in poly]
+    py = [p[1] for p in poly]
+    bbox = (min(px), max(px), min(py), max(py))
+    cand = _shape_candidates(index_dir, manifest, geo_field, bbox,
+                             max_levels, tree)
+
+    def verify(xv, yv):
+        return point_in_polygon(xv, yv, poly)
+
+    return _verify_shape(index_dir, xfield, yfield, cand, verify)

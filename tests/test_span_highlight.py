@@ -235,3 +235,26 @@ def test_highlight_hits_span_not_query(span_hl_index):
     for s in got.values():
         assert s.count("[") == 2
         assert "[john]" not in s
+
+
+def test_null_fragmenter_and_html_encoder():
+    text = 'alpha <tag> & "beta" gamma alpha'
+    q = TermQuery("alpha")
+    toks, wst = _wst_for(q, text)
+    frags = best_text_fragments(text, toks, wst, frag_size=5,
+                                fragmenter="null", pre="[", post="]",
+                                encoder="html")
+    assert len(frags) == 1
+    assert frags[0][1] == ('[alpha] &lt;tag&gt; &amp; &quot;beta&quot; '
+                           'gamma [alpha]')
+
+
+def test_max_chars_to_analyze_limits_marks():
+    text = "needle " * 20
+    q = TermQuery("needle")
+    toks, wst = _wst_for(q, text)
+    frags = best_text_fragments(text, toks, wst, frag_size=10_000,
+                                max_fragments=1, pre="[", post="]",
+                                max_chars_to_analyze=30)
+    # tokens starting at offset >= 30 are not analyzed: ceil(30/7) marks
+    assert frags[0][1].count("[") == 5

@@ -87,3 +87,97 @@ def test_haversine_known_values(idx):
                       metric="haversine_m").to_pandas()
     assert t["dist"].dtype == np.float64
     assert list(t["docid"])[0] == 0 and t["dist"].iloc[0] == 0.0
+
+
+# --- shapes beyond bbox: circle / polygon WITHIN ----------------------------
+
+
+def _pip_scalar(x, y, poly):
+    """Independent scalar even-odd ray cast (test oracle)."""
+    inside = False
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        if (y1 > y) != (y2 > y):
+            t = (y - y1) / (y2 - y1)
+            if x < x1 + t * (x2 - x1):
+                inside = not inside
+    return inside
+
+
+def test_point_in_polygon_unit():
+    from lucene_solr_old_ray.pipelines.spatial import point_in_polygon
+
+    square = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    xs = [5, 15, -1, 9, 5]
+    ys = [5, 5, 5, 9, 11]
+    got = point_in_polygon(xs, ys, square)
+    assert list(got) == [True, False, False, True, False]
+    # non-convex (arrowhead): the notch is outside
+    arrow = [(0, 0), (10, 5), (0, 10), (4, 5)]
+    assert list(point_in_polygon([2, 5, 1], [5, 5, 1], arrow)) == \
+        [False, True, False]
+
+
+@pytest.fixture(scope="module")
+def shape_idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    rng = np.random.default_rng(11)
+    n = 200
+    lats = rng.uniform(40.0, 60.0, n).round(5)
+    lons = rng.uniform(-10.0, 20.0, n).round(5)
+    xs = (lons * 1e6).astype(np.int64)
+    ys = (lats * 1e6).astype(np.int64)
+    d = str(tmp_path_factory.mktemp("shapes"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["point doc"] * n, pa.string()),
+        "geo": pa.array([f"{la},{lo}" for la, lo in zip(lats, lons)],
+                        pa.string()),
+        "x": pa.array(xs, pa.int64()),
+        "y": pa.array(ys, pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = os.path.join(d, "idx")
+    build_index(CorpusSpec(
+        files=(os.path.join(d, "documents.parquet"),),
+        content_col="text", meta_cols=("doc_id", "x", "y"),
+        extra_fields=(FieldSpec("x", "x", kind="numeric"),
+                      FieldSpec("y", "y", kind="numeric"),
+                      FieldSpec("geo", "geo", analyzer="geohash:7"))),
+        out, target_docs_per_partition=70)
+    return out, xs, ys
+
+
+def test_within_circle_exact_and_cover_equal(shape_idx):
+    from lucene_solr_old_ray.pipelines.spatial import geo_within_circle
+
+    idx, xs, ys = shape_idx
+    cx, cy = int(5.0 * 1e6), int(50.0 * 1e6)
+    radius = 400_000.0  # 400 km
+    want = sorted(int(i) for i in range(len(xs))
+                  if haversine_m(xs[i], ys[i], cx, cy) <= radius)
+    scan = geo_within_circle(idx, "x", "y", cx, cy, radius)
+    assert scan["docid"].to_pylist() == want and len(want) >= 3
+    covered = geo_within_circle(idx, "x", "y", cx, cy, radius,
+                                geo_field="geo", max_levels=7)
+    assert covered["docid"].to_pylist() == want
+
+
+def test_within_polygon_exact_and_cover_equal(shape_idx):
+    from lucene_solr_old_ray.pipelines.spatial import geo_within_polygon
+
+    idx, xs, ys = shape_idx
+    # non-convex polygon over the data region (micro-degrees)
+    poly = [(int(-5e6), int(44e6)), (int(12e6), int(42e6)),
+            (int(15e6), int(58e6)), (int(4e6), int(50e6)),
+            (int(-8e6), int(57e6))]
+    want = sorted(int(i) for i in range(len(xs))
+                  if _pip_scalar(xs[i], ys[i], poly))
+    scan = geo_within_polygon(idx, "x", "y", poly)
+    assert scan["docid"].to_pylist() == want and len(want) >= 5
+    covered = geo_within_polygon(idx, "x", "y", poly,
+                                 geo_field="geo", max_levels=7)
+    assert covered["docid"].to_pylist() == want

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""sf1 scale soak (VERDICT r4 directive 4): build + TWO tiered merge
+rounds + a mixed phrase/wildcard/boolean query batch at ~500k docs
+(10x the bench corpus), 32 CPUs, then CheckIndex over every lane.
+
+Proves: multi-round merge composition, WAND block skipping and the
+worker leaf cache at ~10x leaf count, and that per-stage memory stays
+bounded (the build never materializes the corpus). Prints ONE JSON line;
+numbers land in BASELINE.md's round-5 section.
+
+Usage: python tools/soak_sf1.py  (env: LSOR_SOAK_DOCS, RAY_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+N_DOCS = int(os.environ.get("LSOR_SOAK_DOCS", "500000"))
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS = f"/tmp/lsor_bench/corpus-{N_DOCS}.parquet"
+
+
+def main() -> None:
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.pipelines.validate import check_index
+    from lucene_solr_old_ray.queries import (
+        PhraseQuery,
+        TermQuery,
+        WildcardQuery,
+        bool_query,
+    )
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+    if not os.path.exists(CORPUS):
+        generate_corpus(CORPUS, N_DOCS, seed=42, rows_per_group=4096)
+
+    idx = f"/tmp/lsor_soak/idx-{N_DOCS}"
+    shutil.rmtree(idx, ignore_errors=True)
+    out: dict = {"docs": N_DOCS, "num_cpus": NCPU}
+
+    t0 = time.perf_counter()
+    man = build_index(CorpusSpec.source_code(CORPUS), idx,
+                      target_docs_per_partition=5000)
+    out["build_s"] = round(time.perf_counter() - t0, 3)
+    out["postings"] = int(man["metrics"]["postings"])
+    out["segments_g0"] = len(man["segments"])
+    out["docs_per_s"] = round(N_DOCS / out["build_s"], 1)
+
+    t0 = time.perf_counter()
+    m1 = merge_index(idx, fan_in=8, strategy="local")
+    m2 = merge_index(idx, fan_in=8, strategy="local")
+    out["merge2_s"] = round(time.perf_counter() - t0, 3)
+    out["segments_after"] = [len(m1["segments"]), len(m2["segments"])]
+
+    hot = ["return", "class", "static", "import", "def", "null"]
+    queries = {}
+    for i in range(100):
+        m = i % 5
+        if m == 0:
+            queries[i] = TermQuery(hot[i % len(hot)])
+        elif m == 1:
+            queries[i] = bool_query(musts=[hot[i % len(hot)],
+                                           hot[(i + 1) % len(hot)]])
+        elif m == 2:
+            queries[i] = bool_query(shoulds=[hot[i % len(hot)],
+                                             hot[(i + 2) % len(hot)],
+                                             hot[(i + 4) % len(hot)]])
+        elif m == 3:
+            queries[i] = PhraseQuery((hot[i % len(hot)],
+                                      hot[(i + 1) % len(hot)]), slop=2)
+        else:
+            queries[i] = WildcardQuery(f"{hot[i % len(hot)][:3]}*")
+    t0 = time.perf_counter()
+    res = search(idx, queries, k=10, algo="wand")
+    out["query_batch100_s"] = round(time.perf_counter() - t0, 3)
+    out["query_rows"] = res.num_rows
+
+    t0 = time.perf_counter()
+    check_index(idx)
+    out["checkindex_s"] = round(time.perf_counter() - t0, 3)
+    out["checkindex"] = "clean"
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
