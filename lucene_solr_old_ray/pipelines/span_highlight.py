@@ -486,3 +486,64 @@ def highlight_hits_span(
     out = ds.map_batches(snip, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["rank", "frag"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# GradientFormatter (score-colored marks)
+
+class GradientFormatter:
+    """Re-expresses ``highlight/GradientFormatter.java``: marked tokens wrap
+    in a ``<font>`` whose fore/background colors interpolate linearly
+    between the min and max hex colors by the token score's fraction of
+    ``max_score`` (getColorVal: floor into [min(c1,c2), ...], capped at
+    max_score). ``SpanGradientFormatter`` (same package) only swaps the
+    tag for style-based markup; pass ``style=True`` for that variant."""
+
+    def __init__(self, max_score: float,
+                 min_fg: str | None = None, max_fg: str | None = None,
+                 min_bg: str | None = None, max_bg: str | None = None,
+                 style: bool = False):
+        def parse(c):
+            if c is None:
+                return None
+            if len(c) != 7 or not c.startswith("#"):
+                raise ValueError(
+                    "color is not 7 bytes long eg a hex RGB value "
+                    "such as #FFFFFF")
+            return tuple(int(c[i:i + 2], 16) for i in (1, 3, 5))
+
+        self.max_score = float(max_score)
+        self.fg = (parse(min_fg), parse(max_fg))
+        self.bg = (parse(min_bg), parse(max_bg))
+        self.style = style
+
+    def _color(self, lo_hi, score: float) -> str:
+        out = []
+        for cmin, cmax in zip(*lo_hi):
+            if cmin == cmax:
+                out.append(cmin)
+                continue
+            scale = abs(cmin - cmax)
+            rel = min(self.max_score, score) / self.max_score
+            out.append(min(cmin, cmax) + int(scale * rel))
+        return "#" + "".join(f"{v:02X}" for v in out)
+
+    def wrap(self, text: str, score: float) -> str:
+        """Formatter.highlightTerm: unscored groups pass through."""
+        if score <= 0:
+            return text
+        if self.style:
+            parts = []
+            if all(self.fg):
+                parts.append(f"color: {self._color(self.fg, score)}; ")
+            if all(self.bg):
+                parts.append(
+                    f"background: {self._color(self.bg, score)}; ")
+            return f'<span style="{"".join(parts).rstrip()}">{text}</span>'
+        sb = ["<font "]
+        if all(self.fg):
+            sb.append(f'color="{self._color(self.fg, score)}" ')
+        if all(self.bg):
+            sb.append(f'bgcolor="{self._color(self.bg, score)}" ')
+        sb.append(">")
+        return "".join(sb) + text + "</font>"

@@ -258,3 +258,20 @@ def test_max_chars_to_analyze_limits_marks():
                                 max_chars_to_analyze=30)
     # tokens starting at offset >= 30 are not analyzed: ceil(30/7) marks
     assert frags[0][1].count("[") == 5
+
+
+def test_gradient_formatter_color_math():
+    from lucene_solr_old_ray.pipelines.span_highlight import GradientFormatter
+
+    f = GradientFormatter(2.0, min_fg="#000000", max_fg="#FF0000")
+    assert f.wrap("x", 0.0) == "x"
+    assert f.wrap("x", 1.0) == '<font color="#7F0000" >x</font>'
+    assert f.wrap("x", 2.0) == '<font color="#FF0000" >x</font>'
+    assert f.wrap("x", 99.0) == '<font color="#FF0000" >x</font>'  # capped
+    g = GradientFormatter(1.0, min_bg="#0000FF", max_bg="#00FF00",
+                          style=True)
+    out = g.wrap("y", 0.5)
+    assert out.startswith('<span style="background: #00') and "y" in out
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        GradientFormatter(1.0, min_fg="red", max_fg="#FFFFFF")
