@@ -275,6 +275,7 @@ def best_text_fragments(
     post: str = "</b>",
     encoder: str = "default",  # "default" | "html" (SimpleHTMLEncoder)
     max_chars_to_analyze: int | None = None,
+    merge_contiguous: bool = False,
 ) -> list[tuple[float, str]]:
     """(score, formatted fragment) of the best fragments — the
     ``Highlighter.getBestTextFragments`` walk with QueryScorer semantics:
@@ -350,8 +351,23 @@ def best_text_fragments(
 
     scored = [f for f in frags if f["score"] > 0.0]
     scored.sort(key=lambda f: (-f["score"], f["start"]))
+    sel = scored[:max_fragments]
+    if merge_contiguous and len(sel) > 1:
+        # Highlighter.mergeContiguousFragments: adjacent selected fragments
+        # concatenate; merged score = the better fragment's score
+        sel.sort(key=lambda f: f["start"])
+        merged = [sel[0]]
+        for f in sel[1:]:
+            if f["start"] == merged[-1]["end"]:
+                m = merged[-1]
+                m["end"] = f["end"]
+                m["marks"] = m["marks"] + f["marks"]
+                m["score"] = max(m["score"], f["score"])
+            else:
+                merged.append(f)
+        sel = sorted(merged, key=lambda f: (-f["score"], f["start"]))
     out = []
-    for f in scored[:max_fragments]:
+    for f in sel:
         res = []
         prev = f["start"]
         for s, e in f["marks"]:

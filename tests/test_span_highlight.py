@@ -275,3 +275,20 @@ def test_gradient_formatter_color_math():
     import pytest as _pt
     with _pt.raises(ValueError):
         GradientFormatter(1.0, min_fg="red", max_fg="#FFFFFF")
+
+
+def test_merge_contiguous_fragments():
+    # two adjacent scoring fragments concatenate; score = the better one
+    text = "alpha aaaa bbbb beta cccc dddd eeee ffff gggg"
+    q = BooleanQuery((BooleanClause("SHOULD", TermQuery("alpha")),
+                      BooleanClause("SHOULD", TermQuery("beta"))))
+    toks, wst = _wst_for(q, text)
+    plain = best_text_fragments(text, toks, wst, frag_size=16,
+                                max_fragments=3, fragmenter="simple",
+                                pre="[", post="]")
+    assert len(plain) == 2
+    merged = best_text_fragments(text, toks, wst, frag_size=16,
+                                 max_fragments=3, fragmenter="simple",
+                                 pre="[", post="]", merge_contiguous=True)
+    assert len(merged) == 1
+    assert "[alpha]" in merged[0][1] and "[beta]" in merged[0][1]
