@@ -114,9 +114,9 @@ def test_point_in_polygon_unit():
     ys = [5, 5, 5, 9, 11]
     got = point_in_polygon(xs, ys, square)
     assert list(got) == [True, False, False, True, False]
-    # non-convex (arrowhead): the notch is outside
+    # non-convex (arrowhead): the notch region is outside
     arrow = [(0, 0), (10, 5), (0, 10), (4, 5)]
-    assert list(point_in_polygon([2, 5, 1], [5, 5, 1], arrow)) == \
+    assert list(point_in_polygon([2, 5, 1], [5, 5, 4], arrow)) == \
         [False, True, False]
 
 
