@@ -292,3 +292,82 @@ def test_merge_contiguous_fragments():
                                  pre="[", post="]", merge_contiguous=True)
     assert len(merged) == 1
     assert "[alpha]" in merged[0][1] and "[beta]" in merged[0][1]
+
+
+# --- HighlighterTest texts[] corpus ports (e2e through the index) ----------
+
+REF_TEXTS = [
+    "Hello this is a piece of text that is very long and contains too much"
+    " preamble and the meat is really here which says kennedy has been"
+    " shot",
+    "This piece of text refers to Kennedy at the beginning then has a"
+    " longer piece of text that is very long in the middle and finally"
+    " ends with another reference to Kennedy",
+    "JFK has been shot", "John Kennedy has been shot",
+    "This text has a typo in referring to Keneddy",
+    "wordx wordy wordz wordx wordy wordx worda wordb wordy wordc",
+    "y z x y z a b", "lets is a the lets is a the lets is a the lets",
+]
+
+
+@pytest.fixture(scope="module")
+def ref_texts_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("reftexts")
+    n = len(REF_TEXTS)
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(REF_TEXTS, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+    })
+    p = str(root / "documents.parquet")
+    pq.write_table(docs, p)
+    idx = str(root / "idx")
+    build_index(CorpusSpec.documents(str(root)), idx,
+                target_docs_per_partition=4)
+    return idx, p
+
+
+def _snippet_marks(idx, p, q, k=10):
+    out = highlight_hits_span(idx, p, q, k=k, frag_size=10_000,
+                              pre="[", post="]").to_pandas()
+    return {int(d): s.count("[")
+            for d, s in zip(out["doc_id"], out["snippet"])}
+
+
+def test_query_scorer_phrase_gap_case1(ref_texts_index):
+    # testSimpleQueryScorerPhraseHighlighting case 1: very+long+contains@3
+    # -> 3 highlights (reference expects 3)
+    idx, p = ref_texts_index
+    q = PhraseQuery(("very", "long", "contains"), positions=(0, 1, 3))
+    marks = _snippet_marks(idx, p, q)
+    assert marks == {0: 3}
+
+
+def test_query_scorer_phrase_gap_case2(ref_texts_index):
+    # case 2: piece@1 text@3 refers@4 kennedy@6 -> 4 highlights, only the
+    # FIRST (piece text refers ... kennedy) occurrence group; the later
+    # "piece of text" and trailing kennedy stay unmarked
+    idx, p = ref_texts_index
+    q = PhraseQuery(("piece", "text", "refers", "kennedy"),
+                    positions=(1, 3, 4, 6))
+    marks = _snippet_marks(idx, p, q)
+    assert marks == {1: 4}
+
+
+def test_query_scorer_repeated_term_phrase_case3(ref_texts_index):
+    # case 3: lets@0,4,8,12 (repeated term) -> all 4 lets marked
+    idx, p = ref_texts_index
+    q = PhraseQuery(("lets", "lets", "lets", "lets"),
+                    positions=(0, 4, 8, 12))
+    marks = _snippet_marks(idx, p, q)
+    assert marks == {7: 4}
+
+
+def test_near_span_simple_query(ref_texts_index):
+    # testNearSpanSimpleQuery: beginning NEAR/3 kennedy unordered -> 2
+    idx, p = ref_texts_index
+    q = SpanNearQuery((SpanTermQuery("beginning"), SpanTermQuery("kennedy")),
+                      slop=3, in_order=False)
+    marks = _snippet_marks(idx, p, q)
+    assert marks == {1: 2}
