@@ -463,6 +463,116 @@ def suggest_topk(
     })
 
 
+# ------------------------------------------- FSTCompletion (bucketed)
+
+
+def build_fst_completion(
+    index_dir: str, out_dir: str | None = None, *,
+    buckets: int = 10, field: str | None = None, weight_col: str = "ttf",
+) -> str:
+    """Re-expresses (NOT ports) ``suggest/src/java/.../fst/
+    FSTCompletionLookup.java:150-215`` weight DISCRETIZATION: inputs are
+    sorted by weight ascending and divided into ``buckets`` equal-count
+    buckets — ``bucket = line * buckets / total`` — where equal weights
+    always share their run's FIRST line's bucket (the previousScore rule;
+    ties are adjacent in the weight sort, so run-start line = count of
+    rows with strictly smaller weight). Exact large weight differences may
+    collapse; only the bucket-granularity ORDER is preserved — the
+    reference's documented trade-off.
+
+    Distribution shape: the bucket function needs only the weight CDF —
+    one distributed ``groupby(weight).count()``; the driver holds the
+    (distinct weight -> run-start line) map, bounded by distinct ttf/df
+    VALUES (Zipf-collapsed, vastly smaller than the vocabulary). Files are
+    rewritten term-order-preserving by one Ray task each, so the sidecar
+    manifest carries over unchanged.
+    """
+    import ray
+    import ray.data
+
+    sdir = os.path.join(index_dir,
+                        "suggest" + (f"-{field}" if field else ""))
+    if not os.path.exists(os.path.join(sdir, "manifest.json")):
+        build_suggester(index_dir, sdir, field=field, weight_col=weight_col)
+    if out_dir is None:
+        out_dir = os.path.join(index_dir,
+                               "fstc" + (f"-{field}" if field else ""))
+    with open(os.path.join(sdir, "manifest.json")) as f:
+        man = json.load(f)
+    files = [f["file"] for f in man["files"]]
+    paths = [os.path.join(sdir, name) for name in files]
+
+    cdf = (ray.data.read_parquet(paths, columns=["weight"])
+           .groupby("weight").count().to_pandas()
+           .sort_values("weight").reset_index(drop=True))
+    counts = cdf["count()"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    wvals = cdf["weight"].to_numpy(dtype=np.int64)
+    bks = (starts * buckets) // max(1, total)
+    bcast = ray.put((wvals, bks))
+
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
+        wv, bk = ray.get(bcast)
+        outs = []
+        for name in batch["file"]:
+            t = pq.read_table(os.path.join(sdir, name))
+            w = t["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = bk[np.searchsorted(wv, w)]
+            pq.write_table(pa.table({"term": t["term"],
+                                     "weight": pa.array(b, pa.int64())}),
+                           os.path.join(tmp, name))
+            outs.append({"file": name, "rows": t.num_rows})
+        return pd.DataFrame(outs)
+
+    ray.data.from_items([{"file": n} for n in files]).map_batches(
+        rewrite, batch_format="pandas", batch_size=1).to_pandas()
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"files": man["files"], "weight": f"bucket({buckets})",
+                   "buckets": buckets}, f)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def fst_completion_lookup(
+    fstc_dir: str, key: str, num: int = 10, *,
+    exact_first: bool = True, higher_weights_first: bool = True,
+) -> list[tuple[str, int]]:
+    """``fst/FSTCompletion.java:209`` lookup order: completions of ``key``
+    by (bucket desc, alphabetical within bucket) when
+    ``higher_weights_first`` (the default automaton traversal), else purely
+    alphabetical; ``exact_first`` promotes an exact key match to the front
+    regardless of its bucket. -> [(term, bucket)]."""
+    sg = Suggester(fstc_dir)
+    if higher_weights_first:
+        res = sg.lookup(key, num + 1 if exact_first else num)
+    else:
+        rows: list[tuple[str, int]] = []
+        for fi in sg._files_for(key):
+            p = sg._part(fi)
+            s, e = p.prefix_range(key)
+            e = min(e, s + num + 1)
+            idx = np.arange(s, e, dtype=np.int64)
+            for t, w in zip(p.terms_np(idx), p.weights[s:e]):
+                rows.append((str(t), int(w)))
+        rows.sort(key=lambda r: r[0])
+        res = rows[: num + 1 if exact_first else num]
+    if exact_first:
+        exact = [r for r in res if r[0] == key]
+        if exact:
+            res = exact + [r for r in res if r[0] != key]
+    return res[:num]
+
+
 # ----------------------------------------------------- infix suggestions
 
 

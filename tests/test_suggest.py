@@ -229,3 +229,58 @@ def test_analyzing_infix_suggester(ray_session, tmp_path):
 
     # no match
     assert infix_lookup(d, "zebra", num=5) == []
+
+
+# --- FSTCompletion (bucketed weights) ---------------------------------------
+
+
+def test_fst_completion_bucketing_and_order(sugg, tmp_path):
+    """FSTCompletionLookup semantics: equal-count weight buckets with the
+    tie rule (equal weights share their run's first-line bucket), lookup
+    ordered (bucket desc, alphabetical), exactFirst promotion, and the
+    alphabetical traversal mode."""
+    from lucene_solr_old_ray.pipelines.suggest import (
+        Suggester,
+        build_fst_completion,
+        fst_completion_lookup,
+    )
+
+    index_dir, sdir, _ = sugg
+    out = str(tmp_path / "fstc")
+    build_fst_completion(index_dir, out, buckets=4)
+
+    # reconstruct expected buckets from the exact-weight sidecar
+    sg = Suggester(sdir)
+    all_rows = []
+    for fi in range(len(sg.files)):
+        p = sg._part(fi)
+        for i in range(p.n):
+            all_rows.append((p.term_at(i).decode(), int(p.weights[i])))
+    total = len(all_rows)
+    ws = sorted(w for _, w in all_rows)
+    first_line = {}
+    for i, w in enumerate(ws):
+        first_line.setdefault(w, i)
+    want_bucket = {t: (first_line[w] * 4) // total for t, w in all_rows}
+
+    fc = Suggester(out)
+    got = {}
+    for fi in range(len(fc.files)):
+        p = fc._part(fi)
+        for i in range(p.n):
+            got[p.term_at(i).decode()] = int(p.weights[i])
+    assert got == want_bucket
+
+    # ordering: bucket desc then alphabetical
+    res = fst_completion_lookup(out, "t", num=10_000, exact_first=False)
+    assert res == sorted(res, key=lambda r: (-r[1], r[0]))
+    # alphabetical traversal mode
+    alpha = fst_completion_lookup(out, "t", num=10_000, exact_first=False,
+                                  higher_weights_first=False)
+    assert [t for t, _ in alpha] == sorted(t for t, _ in alpha)
+    assert set(alpha) == set(res)
+
+    # exactFirst: pick any full term, ensure it leads even from a low bucket
+    low_term = min(got, key=lambda t: (got[t], t))
+    res = fst_completion_lookup(out, low_term, num=10, exact_first=True)
+    assert res and res[0][0] == low_term
