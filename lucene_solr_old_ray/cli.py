@@ -92,6 +92,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--seq", action="store_true",
                     help="sequential doc ranges instead of round-robin")
 
+    hl = sub.add_parser("highlight",
+                        help="span-aware snippets for the top-k hits")
+    hl.add_argument("--index", required=True)
+    hl.add_argument("--corpus", required=True,
+                    help="row-store parquet with the stored text")
+    hl.add_argument("--query", required=True, help="classic syntax")
+    hl.add_argument("-k", type=int, default=5)
+    hl.add_argument("--frag-size", type=int, default=120)
+    hl.add_argument("--fragmenter", default="span",
+                    choices=["span", "simple", "null"])
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -171,6 +182,15 @@ def main(argv: list[str] | None = None) -> int:
         mans = multi_pass_split(args.index, args.outputs, seq=args.seq)
         print(json.dumps([{"out": o, "max_doc": m["stats"]["max_doc"]}
                           for o, m in zip(args.outputs, mans)]))
+    elif args.cmd == "highlight":
+        from .pipelines.span_highlight import highlight_hits_span
+        from .queries import parse
+
+        t = highlight_hits_span(
+            args.index, args.corpus, parse(args.query), k=args.k,
+            frag_size=args.frag_size, fragmenter=args.fragmenter)
+        for row in t.to_pylist():
+            print(json.dumps(row))
     elif args.cmd == "expunge":
         from .pipelines.deletes import expunge_deletes
 
