@@ -129,6 +129,21 @@ def _measure_once() -> tuple[dict, int, int, float, float]:
     sres = search(idx, span_qs, k=10)
     q["span_batch20"] = round(time.perf_counter() - t0, 3)
     assert sres.num_rows > 0
+
+    # 3-clause NEARs: the k>=3 pruner + faithful walk path (kept separate
+    # from span_batch20 so round-over-round numbers stay comparable)
+    span3_qs = {
+        i: SpanNearQuery(
+            (SpanTermQuery(hot[i % len(hot)]),
+             SpanTermQuery(hot[(i + 1) % len(hot)]),
+             SpanTermQuery(hot[(i + 2) % len(hot)])),
+            slop=2 + i % 3, in_order=(i % 2 == 0))
+        for i in range(10)
+    }
+    t0 = time.perf_counter()
+    sres3 = search(idx, span3_qs, k=10)
+    q["span3_batch10"] = round(time.perf_counter() - t0, 3)
+    assert sres3.num_rows > 0
     t0 = time.perf_counter()
     spell_suggest(idx, [h + "x" for h in hot[:10]], num_sug=5)
     q["spell_10"] = round(time.perf_counter() - t0, 3)
