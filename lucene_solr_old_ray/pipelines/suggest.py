@@ -614,7 +614,6 @@ def infix_lookup(
     (FirstNDocsCollector == early-terminating sorted collection here);
     highlighting wraps whole matches in <b>..</b> and splits a prefix
     match as <b>prefix</b>rest. -> [(key, weight, highlighted)]."""
-    from ..functions.analysis import analyze_text, tokenize_with_offsets
     from ..queries import (
         MUST,
         SHOULD,
@@ -626,15 +625,36 @@ def infix_lookup(
     from .search import fetch_doc_meta
     from .sorted_index import early_terminating_sorted_topk
 
-    tokens = analyze_text(key)
-    if not tokens:
+    from ..functions.analysis import (
+        ENGLISH_STOP_WORDS,
+        MAX_TOKEN_LENGTH,
+        tokenize_raw,
+    )
+
+    raw = tokenize_raw(key)
+    if not raw:
         return []
     occur = MUST if all_terms_required else SHOULD
     # trailing boundary -> the last token is complete (exact match)
     last_is_prefix = key.rstrip() == key and (
         key and (key[-1].isalnum() or key[-1] in "_'."))
-    matched = set(tokens if not last_is_prefix else tokens[:-1])
-    prefix_token = tokens[-1] if last_is_prefix else None
+    # SuggestStopFilter (``suggest/analyzing/SuggestStopFilter.java:40``):
+    # stop words are removed EXCEPT a trailing one the user is still
+    # typing (no separator after it) — "ghost a" keeps 'a' as the prefix
+    # token so it can complete to "ghost apparition"
+    def kept(ts):
+        return [t for t in ts
+                if t not in ENGLISH_STOP_WORDS and len(t) <= MAX_TOKEN_LENGTH]
+
+    last = raw[-1]
+    if last_is_prefix and len(last) <= MAX_TOKEN_LENGTH:
+        matched = set(kept(raw[:-1]))
+        prefix_token = last
+    else:
+        matched = set(kept(raw))
+        prefix_token = None
+    if not matched and prefix_token is None:
+        return []
     clauses = [BooleanClause(occur, TermQuery(t)) for t in sorted(matched)]
     if prefix_token is not None:
         clauses.append(BooleanClause(occur, PrefixQuery(prefix_token)))

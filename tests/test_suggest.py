@@ -284,3 +284,37 @@ def test_fst_completion_bucketing_and_order(sugg, tmp_path):
     low_term = min(got, key=lambda t: (got[t], t))
     res = fst_completion_lookup(out, low_term, num=10, exact_first=True)
     assert res and res[0][0] == low_term
+
+
+def test_suggest_stop_filter_trailing_stopword(ray_session, tmp_path):
+    """SuggestStopFilter: a trailing stop word the user is still typing
+    survives as the prefix token ("ghost a" -> a...), while a stop word
+    followed by a separator is filtered like any stop word."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.suggest import (
+        build_infix_suggester,
+        infix_lookup,
+    )
+
+    p = str(tmp_path / "entries.parquet")
+    pq.write_table(pa.table({
+        "key": pa.array(["ghost apparition", "ghost town",
+                         "toast almonds"]),
+        "weight": pa.array([10, 8, 5], pa.int64()),
+    }), p)
+    d = str(tmp_path / "sugg")
+    build_infix_suggester(d, p, target_docs_per_partition=10)
+
+    # trailing 'a' (no separator) is the typed prefix -> only 'apparition'
+    # and 'almonds' complete it; 'ghost' must still match exactly
+    got = infix_lookup(d, "ghost a", num=10)
+    assert [(k, w) for k, w, _ in got] == [("ghost apparition", 10)]
+    assert got[0][2] == "<b>ghost</b> <b>a</b>pparition"
+
+    # trailing separator: the complete stop word 'a' filters out -> the
+    # query degrades to exact 'ghost' and matches both ghost entries
+    got = infix_lookup(d, "ghost a ", num=10)
+    assert [(k, w) for k, w, _ in got] == [("ghost apparition", 10),
+                                           ("ghost town", 8)]
