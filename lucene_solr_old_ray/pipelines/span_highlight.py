@@ -307,7 +307,11 @@ def best_text_fragments(
         if i > 0:
             # fragmenter decision BEFORE this token joins a fragment
             if fragmenter == "span":
-                if wait_for_pos == p:
+                # >= not ==: a stop-word hole can jump PAST the waited
+                # position; the reference's equality test then never
+                # clears waitForPos and fragmentation freezes for the
+                # rest of the doc (a known quirk we fix, documented)
+                if wait_for_pos >= 0 and p >= wait_for_pos:
                     wait_for_pos = -1
                 br = wait_for_pos == -1
                 if br:

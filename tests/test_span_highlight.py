@@ -371,3 +371,20 @@ def test_near_span_simple_query(ref_texts_index):
                       slop=3, in_order=False)
     marks = _snippet_marks(idx, p, q)
     assert marks == {1: 2}
+
+
+def test_span_fragmenter_survives_stop_word_hole():
+    # phrase ends right before a stop word: the kept-token position jumps
+    # past the span end; fragmentation must still resume afterwards
+    text = ("aaaa bbbb needle haystack of cccc dddd eeee ffff gggg hhhh "
+            "iiii jjjj kkkk llll mmmm nnnn oooo pppp")
+    q = PhraseQuery(("needle", "haystack"))
+    toks, wst = _wst_for(q, text)
+    frags = best_text_fragments(text, toks, wst, frag_size=20,
+                                max_fragments=10, fragmenter="span",
+                                pre="[", post="]")
+    # the scoring fragment exists AND fragmentation resumed after the
+    # span — a frozen fragmenter would stretch it to the end of the text
+    assert any("[needle] [haystack]" in f for _, f in frags)
+    marked = next(f for _, f in frags if "[needle]" in f)
+    assert "pppp" not in marked and len(marked) < 60
