@@ -23,8 +23,14 @@ def write_results(ds, out_dir: str) -> int:
     """Write a (lazy) ``ray.data.Dataset`` as partitioned Parquet under
     ``out_dir`` and return the written row count — counted from the file
     FOOTERS, so nothing table-sized touches the driver."""
+    import shutil
+
     import pyarrow.parquet as pq
 
+    # deterministic overwrite: a second run must not APPEND next to stale
+    # files (Ray's write_parquet never cleans the target)
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir)
     total = 0
