@@ -259,3 +259,46 @@ def test_top_groups_window_and_offsets(block_index):
     assert best_parent not in set(off["parent_docid"])
     assert off["parent_rank"].min() == 1
     assert len(set(off["parent_docid"])) == 2
+
+
+def test_top_groups_multi_leaf(ray_session, tmp_path):
+    """Blocks split across TWO partitions (block-aligned): phase 2 must
+    map children to parents per leaf and only ship the top-k parents'
+    children."""
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        block_join_top_groups,
+    )
+
+    d = tmp_path
+    ids, texts, dtypes = [], [], []
+    did = 0
+    for children, _ in BLOCKS:  # sizes 3,4 | 2,2,3 -> aligned at 7
+        for c in children:
+            ids.append(did); texts.append(c); dtypes.append("child")
+        ids.append(did); texts.append(""); dtypes.append("parent")
+        did += 1
+    n = len(ids)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "doctype": pa.array(dtypes, pa.string()),
+    }), str(d / "documents.parquet"))
+    idx = str(d / "idx")
+    build_index(CorpusSpec.documents(
+        str(d), extra_fields=(FieldSpec("doctype", "doctype", "standard"),)),
+        idx, target_docs_per_partition=7)
+
+    from lucene_solr_old_ray.state import manifest as mf
+    assert len(mf.read_index_manifest(idx)["segments"]) == 2  # really 2 leaves
+
+    q = ToParentBlockJoinQuery(TermQuery("java"), "doctype", "parent", "avg")
+    out = block_join_top_groups(idx, q, k_parents=10).to_pandas()
+    groups = {int(p): sorted(g["child_docid"])
+              for p, g in out.groupby("parent_docid")}
+    # java children 0,1 under parent 2 (leaf 0); 4 under 6 (leaf 0 tail);
+    # 11 under 13 (leaf 1)
+    assert groups == {2: [0, 1], 6: [4], 13: [11]}
+    res = search(idx, {0: q}, k=10).to_pandas()
+    assert set(out["parent_docid"]) == set(res["docid"])
