@@ -1,0 +1,391 @@
+"""SimilarityBase family — DFR / IB / language-model scoring math.
+
+Re-expresses (NOT ports) the 4.x randomness/information-based similarity
+framework (``search/similarities/SimilarityBase.java:84-260`` and friends):
+
+- **DFR** (divergence from randomness, ``DFRSimilarity.java:30``):
+  ``score = totalBoost * basicModel(tfn) * afterEffect(tfn)`` with
+  ``tfn = normalization.tfn(tf, docLen)``. Basic models Be/D/G/I(F)/I(n)/
+  I(ne)/P (``BasicModelBE.java:38``, ``BasicModelD.java:41``,
+  ``BasicModelG.java:39``, ``BasicModelIF.java:35``, ``BasicModelIn.java:35``,
+  ``BasicModelIne.java:35``, ``BasicModelP.java:42``); after-effects B / L /
+  none (``AfterEffectB.java:33``, ``AfterEffectL.java:31``); normalizations
+  H1 / H2 / H3 / Z / none (``NormalizationH1.java:50``,
+  ``NormalizationH2.java:54``, ``NormalizationH3.java:55``,
+  ``NormalizationZ.java:52``). Faithful quirk: H1 declares a ``c`` parameter
+  that its ``tfn`` never reads — kept identical.
+- **IB** (information-based, ``IBSimilarity.java:72``):
+  ``score = totalBoost * distribution(tfn, lambda)`` with distributions
+  LL / SPL (``DistributionLL.java:29``, ``DistributionSPL.java:30`` — incl.
+  the ``lambda == 1 -> 0.99`` guard) and lambdas DF / TTF
+  (``LambdaDF.java:30``, ``LambdaTTF.java:30``).
+- **LM**: Dirichlet (``LMDirichletSimilarity.java:53``, default mu=2000,
+  negative scores clamped to 0) and Jelinek-Mercer
+  (``LMJelinekMercerSimilarity.java:49``); collection probability
+  ``(ttf+1)/(fieldTokens+1)`` (``LMSimilarity.java:133``).
+- **MultiSimilarity** (``MultiSimilarity.java:57``): float32 sum of the sub
+  scorers in order.
+
+All of these share the TFIDF norm byte (``SimilarityBase.computeNorm`` ==
+``encodeNormValue(boost/sqrt(len))``) decoded through the ``1/f^2`` table
+(``SimilarityBase.java:225-231``) — the same bytes the index already stores
+for BM25, so every similarity reads one norms lane.
+
+Float/double lanes mirror the Java arithmetic step for step (np.float32
+where Java computes in float — including the binary-promotion subtleties
+like ``ttf + 1 + tfn`` being a FLOAT add before the double widening in
+BasicModelBE/D — np.float64 where Java computes in double), so scores are
+bit-exact to the reference.  ``sims_like_reference_testbed()`` reproduces
+the TestSimilarityBase setUp sweep (7x3x5 DFR + 2x2x5 IB + 3 LM = 128).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .smallfloat import NORM_TABLE  # decoded docLen = 1/byte315ToFloat(b)^2
+
+F = np.float32
+D = np.float64
+LOG_2 = math.log(2.0)
+LOG2_E = math.log(math.e) / LOG_2  # SimilarityBase.log2(Math.E)
+
+
+def log2(x):
+    """SimilarityBase.log2 — double lane."""
+    return np.log(np.asarray(x, dtype=D)) / LOG_2
+
+
+@dataclass(frozen=True)
+class BasicStats:
+    """``BasicStats.java`` fields the scorers read (``fillBasicStats``,
+    ``SimilarityBase.java:100-137``)."""
+
+    number_of_documents: int
+    number_of_field_tokens: int
+    avg_field_length: np.float32
+    doc_freq: int
+    total_term_freq: int
+    total_boost: np.float32 = F(1.0)
+
+
+def fill_basic_stats(max_doc: int, sum_total_term_freq: int, doc_freq: int,
+                     total_term_freq: int, boost: float = 1.0) -> BasicStats:
+    """``SimilarityBase.fillBasicStats`` — ttf==-1 substitutes df; a field
+    with sumTotalTermFreq<=0 degrades to tokens=df, avgFieldLength=1."""
+    ttf = doc_freq if total_term_freq == -1 else total_term_freq
+    if sum_total_term_freq <= 0:
+        tokens, avg = doc_freq, F(1.0)
+    else:
+        tokens = sum_total_term_freq
+        # (float)numberOfFieldTokens / numberOfDocuments — float division
+        avg = F(F(tokens) / F(max_doc))
+    return BasicStats(max_doc, tokens, avg, doc_freq, ttf, F(boost))
+
+
+# ------------------------------ normalizations -------------------------------
+
+
+def tfn(norm: str, param: float | None, s: BasicStats,
+        tf: np.ndarray, dlen: np.ndarray) -> np.ndarray:
+    """Normalization.tfn — float lane except the H2/Z double interiors."""
+    tf = np.asarray(tf, dtype=F)
+    dlen = np.asarray(dlen, dtype=F)
+    if norm == "no":
+        return tf
+    if norm == "h1":  # tf * avg / len (the c field is declared but unused)
+        return np.divide(np.multiply(tf, s.avg_field_length, dtype=F),
+                         dlen, dtype=F)
+    if norm == "h2":  # (float)(tf * log2(1 + c*avg/len))
+        c = F(1.0 if param is None else param)
+        inner = np.add(F(1.0), np.divide(F(c * s.avg_field_length), dlen,
+                                         dtype=F), dtype=F)
+        return (tf.astype(D) * log2(inner)).astype(F)
+    if norm == "h3":  # (tf + mu*((ttf+1)/(tokens+1))) / (len + mu) * mu
+        mu = F(800.0 if param is None else param)
+        a = F(F(F(s.total_term_freq) + F(1.0))
+              / F(F(s.number_of_field_tokens) + F(1.0)))
+        num = np.add(tf, F(mu * a), dtype=F)
+        return np.multiply(np.divide(num, np.add(dlen, mu, dtype=F), dtype=F),
+                           mu, dtype=F)
+    if norm == "z":  # (float)(tf * pow(avg/len, z))
+        z = F(0.30 if param is None else param)
+        q = np.divide(s.avg_field_length, dlen, dtype=F)
+        return (tf.astype(D) * np.power(q.astype(D), D(z))).astype(F)
+    raise ValueError(f"unknown normalization {norm!r}")
+
+
+# ------------------------------- basic models --------------------------------
+
+
+def _f_be(n, m):
+    """The Be helper: (m + 0.5) * log2(n / m) + (n - m) * log2(n)."""
+    return (m + 0.5) * log2(n / m) + (n - m) * log2(n)
+
+
+def basic_model(model: str, s: BasicStats, t: np.ndarray) -> np.ndarray:
+    """BasicModel.score(stats, tfn) -> float32 array."""
+    t = np.asarray(t, dtype=F)
+    td = t.astype(D)
+    N = s.number_of_documents
+    ttf = s.total_term_freq
+    df = s.doc_freq
+    if model == "be":
+        # double F = ttf + 1 + tfn — long+float is a FLOAT add, then widened
+        Ft = np.add(F(ttf + 1), t, dtype=F).astype(D)
+        Nt = Ft + N
+        res = (-log2((Nt - 1) * math.e)
+               + _f_be(Nt + Ft - 1, Nt + Ft - td - 2) - _f_be(Ft, Ft - td))
+        return res.astype(F)
+    if model == "d":
+        Ft = np.add(F(ttf + 1), t, dtype=F).astype(D)  # same float add
+        phi = td / Ft
+        nphi = 1.0 - phi
+        p = 1.0 / (N + 1)
+        Dv = phi * log2(phi / p) + nphi * log2(nphi / (1 - p))
+        res = Dv * Ft + 0.5 * log2(1 + 2 * math.pi * td * nphi)
+        return res.astype(F)
+    if model == "g":
+        Ft = float(ttf + 1)
+        lam = Ft / (N + Ft)
+        res = float(log2(lam + 1)) + td * float(log2((1 + lam) / lam))
+        return res.astype(F)
+    if model == "if":
+        iv = F(log2(1 + (N + 1) / (ttf + 0.5)))
+        return np.multiply(t, iv, dtype=F)
+    if model == "in":
+        iv = F(log2((N + 1) / (df + 0.5)))
+        return np.multiply(t, iv, dtype=F)
+    if model == "ine":
+        ne = N * (1 - ((N - 1) / float(N)) ** float(ttf))
+        iv = F(log2((N + 1) / (ne + 0.5)))
+        return np.multiply(t, iv, dtype=F)
+    if model == "p":
+        lam = F(F(ttf + 1) / F(N + 1))  # (float)(ttf+1) / (N+1)
+        term1 = td * log2(np.divide(t, lam, dtype=F))
+        inner = np.subtract(
+            np.add(lam, np.divide(F(1.0), np.multiply(F(12.0), t, dtype=F),
+                                  dtype=F), dtype=F),
+            t, dtype=F)
+        res = term1 + inner.astype(D) * LOG2_E \
+            + 0.5 * log2(2 * math.pi * td)
+        return res.astype(F)
+    raise ValueError(f"unknown basic model {model!r}")
+
+
+def after_effect(effect: str, s: BasicStats, t: np.ndarray) -> np.ndarray:
+    t = np.asarray(t, dtype=F)
+    if effect == "no":
+        return np.ones(len(t), dtype=F)
+    if effect == "l":  # 1 / (tfn + 1)
+        return np.divide(F(1.0), np.add(t, F(1.0), dtype=F), dtype=F)
+    if effect == "b":  # (F + 1) / (n * (tfn + 1)), F = ttf+1, n = df+1 (longs)
+        num = F(s.total_term_freq + 1 + 1)
+        den = np.multiply(F(s.doc_freq + 1), np.add(t, F(1.0), dtype=F),
+                          dtype=F)
+        return np.divide(num, den, dtype=F)
+    raise ValueError(f"unknown after effect {effect!r}")
+
+
+# ------------------------------------ IB -------------------------------------
+
+
+def ib_lambda(lam: str, s: BasicStats) -> np.float32:
+    if lam == "df":  # (docFreq + 1F) / (N + 1F)
+        return F(F(F(s.doc_freq) + F(1.0))
+                 / F(F(s.number_of_documents) + F(1.0)))
+    if lam == "ttf":
+        return F(F(F(s.total_term_freq) + F(1.0))
+                 / F(F(s.number_of_documents) + F(1.0)))
+    raise ValueError(f"unknown lambda {lam!r}")
+
+
+def distribution(dist: str, t: np.ndarray, lam: np.float32) -> np.ndarray:
+    t = np.asarray(t, dtype=F)
+    if dist == "ll":  # (float)-log(lambda / (tfn + lambda))
+        inner = np.divide(lam, np.add(t, lam, dtype=F), dtype=F)
+        return (-np.log(inner.astype(D))).astype(F)
+    if dist == "spl":
+        if float(lam) == 1.0:
+            lam = F(0.99)
+        expo = np.divide(t, np.add(t, F(1.0), dtype=F), dtype=F)
+        pw = np.power(D(lam), expo.astype(D))
+        one_minus = D(F(F(1.0) - lam))
+        return (-np.log((pw - D(lam)) / one_minus)).astype(F)
+    raise ValueError(f"unknown distribution {dist!r}")
+
+
+# ------------------------------- LM similarities -----------------------------
+
+
+def collection_probability(s: BasicStats) -> np.float32:
+    """``LMSimilarity.DefaultCollectionModel.computeProbability``:
+    (ttf + 1F) / (numberOfFieldTokens + 1F)."""
+    return F(F(F(s.total_term_freq) + F(1.0))
+             / F(F(s.number_of_field_tokens) + F(1.0)))
+
+
+# ------------------------------ similarity objects ---------------------------
+
+
+@dataclass(frozen=True)
+class DFRSim:
+    model: str
+    effect: str
+    norm: str
+    norm_param: float | None = None
+
+    def score(self, s: BasicStats, freq, dlen) -> np.ndarray:
+        t = tfn(self.norm, self.norm_param, s, freq, dlen)
+        bm = basic_model(self.model, s, t)
+        ae = after_effect(self.effect, s, t)
+        return np.multiply(np.multiply(s.total_boost, bm, dtype=F), ae,
+                           dtype=F)
+
+
+@dataclass(frozen=True)
+class IBSim:
+    dist: str
+    lam: str
+    norm: str
+    norm_param: float | None = None
+
+    def score(self, s: BasicStats, freq, dlen) -> np.ndarray:
+        t = tfn(self.norm, self.norm_param, s, freq, dlen)
+        sc = distribution(self.dist, t, ib_lambda(self.lam, s))
+        return np.multiply(s.total_boost, sc, dtype=F)
+
+
+@dataclass(frozen=True)
+class LMDirichletSim:
+    mu: float = 2000.0
+
+    def score(self, s: BasicStats, freq, dlen) -> np.ndarray:
+        freq = np.asarray(freq, dtype=F)
+        dlen = np.asarray(dlen, dtype=F)
+        mu = F(self.mu)
+        cp = collection_probability(s)
+        in1 = np.log(np.add(F(1.0), np.divide(freq, F(mu * cp), dtype=F),
+                            dtype=F).astype(D))
+        in2 = np.log(np.divide(mu, np.add(dlen, mu, dtype=F),
+                               dtype=F).astype(D))
+        sc = np.multiply(s.total_boost, (in1 + in2).astype(F), dtype=F)
+        return np.where(sc > F(0.0), sc, F(0.0)).astype(F)
+
+
+@dataclass(frozen=True)
+class LMJelinekMercerSim:
+    lam: float
+
+    def score(self, s: BasicStats, freq, dlen) -> np.ndarray:
+        freq = np.asarray(freq, dtype=F)
+        dlen = np.asarray(dlen, dtype=F)
+        lam = F(self.lam)
+        cp = collection_probability(s)
+        num = np.divide(np.multiply(F(F(1.0) - lam), freq, dtype=F), dlen,
+                        dtype=F)
+        inner = np.add(F(1.0), np.divide(num, F(lam * cp), dtype=F), dtype=F)
+        return np.multiply(s.total_boost, np.log(inner.astype(D)).astype(F),
+                           dtype=F)
+
+
+@dataclass(frozen=True)
+class MultiSim:
+    """``MultiSimilarity.MultiSimScorer.score`` — float32 running sum."""
+
+    subs: tuple
+
+    def score(self, s: BasicStats, freq, dlen) -> np.ndarray:
+        acc = np.zeros(len(np.asarray(freq)), dtype=F)
+        for sub in self.subs:
+            acc = np.add(acc, sub.score(s, freq, dlen), dtype=F)
+        return acc
+
+
+# ----------------------------------- parsing ---------------------------------
+
+_MODELS = {"be", "d", "g", "if", "in", "ine", "p"}
+_EFFECTS = {"b", "l", "no", "none"}
+_NORMS = {"h1", "h2", "h3", "z", "no", "none"}
+
+
+def _norm_key(tok: str) -> str:
+    tok = tok.lower()
+    return "no" if tok in ("no", "none") else tok
+
+
+def parse_similarity(spec: str):
+    """Similarity-SPI spec -> scorer object, or None if not a SimilarityBase
+    spec (BM25/classic/sweetspot are handled elsewhere).
+
+    Grammar (case-insensitive):
+      ``dfr:<be|d|g|if|in|ine|p>:<b|l|no>:<h1|h2|h3|z|no>[:<param>]``
+      ``ib:<ll|spl>:<df|ttf>:<norm>[:<param>]``
+      ``lmdirichlet[:<mu>]``     ``lmjm:<lambda>`` / ``lmjelinekmercer:<l>``
+      ``multi:<spec>+<spec>...`` (float32 sum, MultiSimilarity)
+    """
+    low = spec.lower()
+    if low.startswith("multi:"):
+        subs = tuple(parse_similarity(p) for p in spec[6:].split("+"))
+        if any(sub is None for sub in subs):
+            raise ValueError(f"bad multi similarity spec {spec!r}")
+        return MultiSim(subs)
+    parts = low.split(":")
+    head = parts[0]
+    if head == "dfr":
+        if len(parts) not in (4, 5) or parts[1] not in _MODELS \
+                or parts[2] not in _EFFECTS or _norm_key(parts[3]) not in _NORMS:
+            raise ValueError(f"bad DFR spec {spec!r}")
+        param = float(parts[4]) if len(parts) == 5 else None
+        return DFRSim(parts[1], _norm_key(parts[2]), _norm_key(parts[3]),
+                      param)
+    if head == "ib":
+        if len(parts) not in (4, 5) or parts[1] not in ("ll", "spl") \
+                or parts[2] not in ("df", "ttf") \
+                or _norm_key(parts[3]) not in _NORMS:
+            raise ValueError(f"bad IB spec {spec!r}")
+        param = float(parts[4]) if len(parts) == 5 else None
+        return IBSim(parts[1], parts[2], _norm_key(parts[3]), param)
+    if head == "lmdirichlet":
+        return LMDirichletSim(float(parts[1]) if len(parts) > 1 else 2000.0)
+    if head in ("lmjm", "lmjelinekmercer"):
+        if len(parts) != 2:
+            raise ValueError(f"{head} requires a lambda, e.g. lmjm:0.7")
+        return LMJelinekMercerSim(float(parts[1]))
+    return None
+
+
+def is_simbase(spec: str | None) -> bool:
+    if not spec:
+        return False
+    low = spec.lower()
+    return low.split(":")[0] in ("dfr", "ib", "lmdirichlet", "lmjm",
+                                 "lmjelinekmercer", "multi")
+
+
+def sims_like_reference_testbed() -> list:
+    """The TestSimilarityBase setUp sweep (TestSimilarityBase.java:104-142):
+    every DFR model x after-effect x normalization, every IB distribution x
+    lambda x normalization, LMDirichlet, LMJM(0.1), LMJM(0.7) — 128 sims."""
+    out = []
+    for m in ("be", "d", "g", "if", "in", "ine", "p"):
+        for e in ("b", "l", "no"):
+            for n in ("h1", "h2", "h3", "z", "no"):
+                out.append(DFRSim(m, e, n))
+    for d_ in ("ll", "spl"):
+        for l_ in ("df", "ttf"):
+            for n in ("h1", "h2", "h3", "z", "no"):
+                out.append(IBSim(d_, l_, n))
+    out.append(LMDirichletSim())
+    out.append(LMJelinekMercerSim(0.1))
+    out.append(LMJelinekMercerSim(0.7))
+    return out
+
+
+def decode_doc_len(norm_bytes: np.ndarray) -> np.ndarray:
+    """``SimilarityBase.decodeNormValue`` — the 1/f^2 table shared with BM25
+    (the norms FILE is the TFIDF byte; only the decode differs per family)."""
+    return NORM_TABLE[np.asarray(norm_bytes, dtype=np.uint8)]

@@ -876,6 +876,13 @@ def execute(
 
         docids, scores = execute_classic(q, leaf, ctx)
         return _apply_live(leaf, docids, scores)
+    from ..functions.simbase import is_simbase
+
+    if is_simbase(ctx.similarity):
+        from .simbase import execute_simbase
+
+        docids, scores = execute_simbase(q, leaf, ctx)
+        return _apply_live(leaf, docids, scores)
     if leaf.live is not None:
         docids, scores = _execute_raw(q, leaf, ctx, boost)
         return _apply_live(leaf, docids, scores)
@@ -1042,6 +1049,19 @@ def _execute_raw(
     raise TypeError(f"unknown query type {type(q)}")
 
 
+def phrase_match_freqs(
+    q: PhraseQuery, leaf: LeafSearcher
+) -> tuple[LeafSearcher, np.ndarray, np.ndarray]:
+    """Match phase of phrase execution -> (field-sibling leaf, local docids
+    ascending, float32 phrase freqs > 0). Shared by the BM25/classic scorer
+    below and the SimilarityBase executor (which scores the same freqs as a
+    sum of per-term scores — the MultiStats contract,
+    ``SimilarityBase.java:194-205``)."""
+    leaf = leaf.sibling(q.field)
+    docids, freqs = _phrase_freqs_raw(q, leaf)
+    return leaf, docids, freqs
+
+
 def _execute_phrase(
     q: PhraseQuery, leaf: LeafSearcher, ctx: SearchContext, boost: float
 ):
@@ -1061,7 +1081,26 @@ def _execute_phrase(
 
     Either way the freq scores like a term with tf=freq and idf = float32
     sum of the terms' idfs (BM25Similarity idfExplain / PhraseWeight)."""
-    leaf = leaf.sibling(q.field)
+    leaf, docids, mfreqs = phrase_match_freqs(q, leaf)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    if len(docids) == 0:
+        return empty
+    # idf = float32 += accumulation over the phrase's terms (idfExplain)
+    sum_idf = np.float32(0.0)
+    for t in q.terms:
+        df = ctx.stats_for(q.field, t)[0]
+        sum_idf = np.float32(sum_idf + bm25.idf(df, ctx.coll.max_doc))
+    wv = bm25.weight_value(sum_idf, boost * q.boost)
+    scores = bm25.score_postings(
+        mfreqs, leaf.norms[docids], wv, ctx.cache_for(q.field)
+    )
+    return docids, scores
+
+
+def _phrase_freqs_raw(
+    q: PhraseQuery, leaf: LeafSearcher
+) -> tuple[np.ndarray, np.ndarray]:
+    """(local docids, float32 phrase freqs) on the already-sibling leaf."""
     if not leaf.has_positions:
         raise ValueError("index was built without positions (store_positions)")
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
@@ -1131,19 +1170,7 @@ def _execute_phrase(
             freqs[bi] = sloppy_freq_doc(plists, term_ids, slop)
 
     match = freqs > 0
-    docids = base[match]
-    if len(docids) == 0:
-        return empty
-    # idf = float32 += accumulation over the phrase's terms (idfExplain)
-    sum_idf = np.float32(0.0)
-    for t in q.terms:
-        df = ctx.stats_for(q.field, t)[0]
-        sum_idf = np.float32(sum_idf + bm25.idf(df, ctx.coll.max_doc))
-    wv = bm25.weight_value(sum_idf, boost * q.boost)
-    scores = bm25.score_postings(
-        freqs[match], leaf.norms[docids], wv, ctx.cache_for(q.field)
-    )
-    return docids, scores
+    return base[match], freqs[match]
 
 
 def _execute_dismax(

@@ -1,0 +1,144 @@
+"""SimilarityBase query execution — the DFR/IB/LM strategies behind the
+Similarity SPI (SURVEY §2.10), next to BM25 / classic / sweetspot.
+
+Flow mirrors the 4.x searcher with a SimilarityBase set
+(``SimilarityBase.java:84-205``): queryNorm ≡ 1 and coord ≡ 1 (the
+``Similarity.java:122-141`` defaults SimilarityBase does not override), so a
+BooleanQuery is the plain float32 clause-order sum; totalBoost is the product
+of boosts along the query path (``BasicStats.normalize``); a PhraseQuery is
+the MultiStats sum — every term's scorer is fed the PHRASE freq and the
+per-term scores are float32-summed in term order
+(``SimilarityBase.simScorer`` + ``MultiSimilarity.MultiSimScorer.score``).
+
+docLen comes from the shared TFIDF norm byte through the 1/f^2 decode
+(``SimilarityBase.java:225-231``) — same bytes BM25 reads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import simbase as sbm
+from ..queries import MUST, MUST_NOT, SHOULD, BooleanQuery, PhraseQuery, \
+    Query, TermQuery
+from .search import LeafSearcher, SearchContext, phrase_match_freqs
+
+F = np.float32
+
+_EMPTY = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+
+
+def execute_simbase(
+    q: Query, leaf: LeafSearcher, ctx: SearchContext
+) -> tuple[np.ndarray, np.ndarray]:
+    sim = sbm.parse_similarity(ctx.similarity)
+    if sim is None:  # pragma: no cover - dispatch guarantees a simbase spec
+        raise ValueError(f"not a SimilarityBase spec: {ctx.similarity!r}")
+    return _exec(q, leaf, ctx, sim, 1.0)
+
+
+def _stats_for(ctx: SearchContext, field: str | None, term: str,
+               boost: float) -> sbm.BasicStats:
+    df, ttf = ctx.stats_for(field, term)
+    coll = ctx.coll if field is None else (ctx.field_colls or {}).get(
+        field, ctx.coll)
+    return sbm.fill_basic_stats(coll.max_doc, coll.sum_total_term_freq,
+                                df, ttf, boost=boost)
+
+
+def _term_scores(leaf: LeafSearcher, ctx, sim, q: TermQuery, boost: float):
+    fleaf = leaf.sibling(q.field)
+    docids, tfs = fleaf.postings(q.term)
+    if len(docids) == 0:
+        return _EMPTY
+    stats = _stats_for(ctx, q.field, q.term, boost)
+    dlen = sbm.decode_doc_len(fleaf.norms[docids])
+    return docids, sim.score(stats, tfs.astype(F), dlen)
+
+
+def _phrase_scores(leaf: LeafSearcher, ctx, sim, q: PhraseQuery,
+                   boost: float):
+    fleaf, docids, freqs = phrase_match_freqs(q, leaf)
+    if len(docids) == 0:
+        return _EMPTY
+    dlen = sbm.decode_doc_len(fleaf.norms[docids])
+    # MultiSimScorer: float32 sum of per-term scorers, each fed the phrase
+    # freq (term order == clause order)
+    scores = np.zeros(len(docids), dtype=F)
+    for t in q.terms:
+        stats = _stats_for(ctx, q.field, t, boost)
+        scores = np.add(scores, sim.score(stats, freqs, dlen), dtype=F)
+    return docids, scores
+
+
+def _exec(q, leaf, ctx, sim, boost):
+    if isinstance(q, TermQuery):
+        return _term_scores(leaf, ctx, sim, q, boost * q.boost)
+    if isinstance(q, PhraseQuery):
+        return _phrase_scores(leaf, ctx, sim, q, boost * q.boost)
+    if isinstance(q, BooleanQuery):
+        return _exec_bool(q, leaf, ctx, sim, boost * q.boost)
+    raise NotImplementedError(
+        f"SimilarityBase scoring supports Term/Phrase/Boolean queries, "
+        f"not {type(q).__name__}")
+
+
+def _exec_bool(q: BooleanQuery, leaf, ctx, sim, boost):
+    """Float32 clause-order sum; coord ≡ 1, queryNorm ≡ 1 (SimilarityBase
+    keeps the Similarity defaults — contrast stages/classic.py)."""
+    results = []
+    for c in q.clauses:
+        if c.occur == MUST_NOT:
+            results.append(
+                (MUST_NOT, (_exec(c.query, leaf, ctx, sim, boost)[0], None)))
+        else:
+            results.append((c.occur, _exec(c.query, leaf, ctx, sim, boost)))
+    musts = [r for o, r in results if o == MUST]
+    shoulds = [r for o, r in results if o == SHOULD]
+    nots = [r[0] for o, r in results if o == MUST_NOT]
+    msm = q.min_should_match
+
+    if musts:
+        base = musts[0][0]
+        for d, _ in musts[1:]:
+            base = base[np.isin(base, d, assume_unique=True)]
+        if len(base) == 0:
+            return _EMPTY
+        scores = np.zeros(len(base), dtype=F)
+        overlap = np.zeros(len(base), dtype=np.int32)
+        for occur, (d, s) in results:  # strict clause order (float32 sum)
+            if occur == MUST:
+                idx = np.searchsorted(d, base)
+                scores = np.add(scores, s[idx], dtype=F)
+            elif occur == SHOULD:
+                pos = np.searchsorted(d, base)
+                ok = pos < len(d)
+                ok[ok] = d[pos[ok]] == base[ok]
+                add = np.zeros(len(base), dtype=F)
+                add[ok] = s[np.searchsorted(d, base[ok])]
+                scores = np.add(scores, add, dtype=F)
+                overlap += ok
+        if shoulds and msm > 0:
+            keep = overlap >= msm
+            base, scores = base[keep], scores[keep]
+        docids = base
+    elif shoulds:
+        need = max(msm, 1)
+        union = np.unique(np.concatenate([d for d, _ in shoulds]))
+        scores = np.zeros(len(union), dtype=F)
+        overlap = np.zeros(len(union), dtype=np.int32)
+        for d, s in shoulds:
+            idx = np.searchsorted(union, d)
+            scores[idx] = np.add(scores[idx], s, dtype=F)
+            overlap[idx] += 1
+        keep = overlap >= need
+        docids, scores = union[keep], scores[keep]
+    else:
+        return _EMPTY
+
+    if nots and len(docids):
+        excl = np.unique(np.concatenate(nots)) if len(nots) > 1 else nots[0]
+        if len(excl):
+            keep = ~np.isin(docids, excl, assume_unique=True)
+            docids, scores = docids[keep], scores[keep]
+    return docids, scores

@@ -1,0 +1,304 @@
+"""SimilarityBase family (DFR / IB / LM) — unit vectors and sweeps ported
+from ``TestSimilarityBase`` plus the Similarity-SPI path end to end.
+
+Golds are computed exactly as the reference test computes them at runtime
+(``correctnessTestCore`` feeds a gold evaluated from the same float/double
+expression tree); note the testIFB/testBEB1 inline COMMENTS in the reference
+carry stale numbers — the executed expressions are what we transcribe.
+"""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions import simbase as sb
+from lucene_solr_old_ray.queries import PhraseQuery, TermQuery, bool_query
+
+F = np.float32
+
+# TestSimilarityBase.java:147-163 defaults
+N_DOCS, N_TOKENS, AVG_FL, DF, TTF, FREQ, DOC_LEN = 100, 5000, 50.0, 10, 70, 7, 40
+
+
+def default_stats():
+    return sb.fill_basic_stats(N_DOCS, N_TOKENS, DF, TTF)
+
+
+def score1(sim, stats=None, freq=FREQ, dlen=DOC_LEN):
+    s = stats or default_stats()
+    return float(sim.score(s, np.array([freq], dtype=F),
+                           np.array([dlen], dtype=F))[0])
+
+
+def log2(x):
+    return math.log(x) / math.log(2)
+
+
+# ------------------------- correctness golds (ports) -------------------------
+
+
+def test_ll_for_ib():
+    assert score1(sb.IBSim("ll", "df", "no")) == 4.178574562072754
+
+
+def test_spl_for_ib():
+    assert score1(sb.IBSim("spl", "ttf", "no")) == 2.2387237548828125
+
+
+def test_ineb2():
+    assert score1(sb.DFRSim("ine", "b", "h2")) == 5.747603416442871
+
+
+def test_gl1():
+    assert score1(sb.DFRSim("g", "l", "h1")) == 1.6390540599822998
+
+
+def test_pl2():
+    tfn = F(FREQ * log2(1 + AVG_FL / DOC_LEN))
+    l_ = F(F(1.0) / F(tfn + F(1.0)))
+    lam = F(F(1.0 + TTF) / F(1.0 + N_DOCS))
+    p = F(float(tfn) * log2(float(F(tfn / lam)))
+          + float(F(F(lam + F(1.0) / F(F(12.0) * tfn)) - tfn)) * log2(math.e)
+          + 0.5 * log2(2 * math.pi * float(tfn)))
+    gold = float(F(l_ * p))
+    assert score1(sb.DFRSim("p", "l", "h2")) == pytest.approx(gold, abs=1e-5)
+
+
+def test_beb1():
+    tfn = F(F(F(FREQ) * F(AVG_FL)) / F(DOC_LEN))  # H1
+    f = float(F(TTF + 1) + tfn)  # long+float FLOAT add, then widened
+    n = f + N_DOCS
+    n1, m1 = n + f - 1, n + f - float(tfn) - 2
+    n2, m2 = f, f - float(tfn)
+    be = F(-log2(n - 1) - log2(math.e)
+           + ((m1 + 0.5) * log2(n1 / m1) + (n1 - m1) * log2(n1))
+           - ((m2 + 0.5) * log2(n2 / m2) + (n2 - m2) * log2(n2)))
+    b = F(F(TTF + 1 + 1) / F(F(DF + 1) * F(tfn + F(1.0))))
+    gold = float(F(b * be))
+    assert score1(sb.DFRSim("be", "b", "h1")) == pytest.approx(gold, abs=1e-5)
+
+
+def test_d():
+    ft = TTF + FREQ + 1.0
+    p = 1.0 / (N_DOCS + 1)
+    phi = FREQ / ft
+    d = phi * log2(phi / p) + (1 - phi) * log2((1 - phi) / (1 - p))
+    gold = float(F(ft * d + 0.5 * log2(1 + 2 * math.pi * FREQ * (1 - phi))))
+    assert score1(sb.DFRSim("d", "no", "no")) == pytest.approx(gold, abs=1e-5)
+
+
+def test_in2():
+    tfn = F(FREQ * log2(1 + AVG_FL / DOC_LEN))
+    gold = float(F(float(tfn) * log2((N_DOCS + 1) / (DF + 0.5))))
+    assert score1(sb.DFRSim("in", "no", "h2")) == pytest.approx(gold, abs=1e-5)
+
+
+def test_ifb():
+    # the reference test's inline comments (0.8875 / 7.9676...) are stale;
+    # the executed gold is B * IF with B = 72f / 88f
+    b = F(F(TTF + 1 + 1) / F(F(DF + 1) * F(FREQ + 1.0)))
+    if_ = F(FREQ * log2(1 + (N_DOCS + 1) / (TTF + 0.5)))
+    gold = float(F(b * if_))
+    assert score1(sb.DFRSim("if", "b", "no")) == pytest.approx(gold, abs=1e-5)
+
+
+def test_lm_dirichlet():
+    p = F((FREQ + F(2000.0) * F(TTF + 1) / F(N_TOKENS + 1.0))
+          / F(DOC_LEN + 2000.0))
+    a = F(2000.0 / (DOC_LEN + 2000.0))
+    gold = float(F(math.log(p / (a * F(TTF + 1) / F(N_TOKENS + 1.0)))
+                   + math.log(a)))
+    assert score1(sb.LMDirichletSim()) == pytest.approx(gold, abs=1e-5)
+
+
+def test_lm_jelinek_mercer():
+    p = F(F(1 - F(0.1)) * FREQ / F(DOC_LEN)
+          + F(0.1) * F(TTF + 1) / F(N_TOKENS + 1.0))
+    gold = float(F(math.log(p / (F(0.1) * F(TTF + 1) / F(N_TOKENS + 1.0)))))
+    assert score1(sb.LMJelinekMercerSim(0.1)) == pytest.approx(gold, abs=1e-5)
+
+
+def test_multi_similarity_is_float32_sum():
+    a, b = sb.LMDirichletSim(), sb.DFRSim("in", "l", "h2")
+    multi = sb.MultiSim((a, b))
+    got = score1(multi)
+    want = float(np.add(np.add(np.zeros(1, F), score1(a), dtype=F),
+                        score1(b), dtype=F)[0])
+    assert got == want
+
+
+# --------------------------- unit sweep (all 128) -----------------------------
+
+# (N, tokens, df, ttf, freq, docLen) — TestSimilarityBase.java:214-386 variants
+# (unitTestCore refills avgFieldLength from (tokens, N), so set values of
+# avgFieldLength in the reference are dead weight — only these six matter)
+VARIANTS = [
+    (100, 5000, 10, 70, 7, 40),      # testDefault
+    (100, 100, 10, 10, 7, 40),       # testSparseDocuments
+    (100, 66, 10, 10, 7, 40),        # testVerySparseDocuments
+    (1, 40, 1, 7, 7, 40),            # testOneDocument
+    (100, 5000, 100, 700, 7, 40),    # testAllDocumentsRelevant
+    (100, 5000, 60, 420, 7, 40),     # testMostDocumentsRelevant
+    (100, 5000, 1, 10, 7, 40),       # testOnlyOneRelevantDocument
+    (100, 5000, 10, 5000, 40, 40),   # testAllTermsRelevant
+    (100, 5000, 10, 170, 14, 40),    # testMoreTermsThanDocuments
+    (100, 5000, 10, 100, 7, 40),     # testNumberOfTermsAsDocuments
+    (100, 5000, 1, 1, 1, 40),        # testOneTerm
+    (100, 5000, 1, 7, 7, 40),        # testOneRelevantDocument
+    (10, 50, 1, 50, 50, 50),         # testAllTermsRelevantOnlyOneDocument
+    (1, 1, 1, 1, 1, 1),              # testOnlyOneTermOneDocument
+    (100, 1, 1, 1, 1, 40),           # testOnlyOneTerm
+    (100, 5000, 10, 70, 7, 50),      # testDocumentLengthAverage
+]
+
+
+def test_sweep_all_sims_all_variants():
+    sims = sb.sims_like_reference_testbed()
+    assert len(sims) == 128  # 7*3*5 DFR + 2*2*5 IB + 3 LM
+    for (n, tok, df, ttf, freq, dlen) in VARIANTS:
+        stats = sb.fill_basic_stats(n, tok, df, ttf)
+        fa = np.array([freq], dtype=F)
+        da = np.array([dlen], dtype=F)
+        for sim in sims:
+            v = sim.score(stats, fa, da)
+            assert np.isfinite(v).all(), (sim, n, tok, df, ttf, freq, dlen)
+            assert (v >= 0).all(), (sim, float(v[0]), n, tok, df, ttf)
+
+
+def test_fill_basic_stats_degenerate_field():
+    # sumTotalTermFreq <= 0 -> tokens = df, avgFieldLength = 1
+    s = sb.fill_basic_stats(100, 0, 7, -1)
+    assert s.number_of_field_tokens == 7 and float(s.avg_field_length) == 1.0
+    assert s.total_term_freq == 7  # ttf==-1 substitutes docFreq
+
+
+def test_parse_similarity_specs():
+    assert sb.parse_similarity("dfr:Ine:B:H2") == sb.DFRSim("ine", "b", "h2")
+    assert sb.parse_similarity("ib:SPL:TTF:no") == sb.IBSim("spl", "ttf", "no")
+    assert sb.parse_similarity("lmdirichlet") == sb.LMDirichletSim(2000.0)
+    assert sb.parse_similarity("lmdirichlet:500") == sb.LMDirichletSim(500.0)
+    assert sb.parse_similarity("lmjm:0.7") == sb.LMJelinekMercerSim(0.7)
+    m = sb.parse_similarity("multi:lmdirichlet+dfr:in:l:h2")
+    assert isinstance(m, sb.MultiSim) and len(m.subs) == 2
+    assert sb.parse_similarity("bm25") is None
+    assert sb.parse_similarity("classic") is None
+    with pytest.raises(ValueError):
+        sb.parse_similarity("dfr:bogus:b:h2")
+    with pytest.raises(ValueError):
+        sb.parse_similarity("lmjm")
+    # H2 with an explicit c parameter parses and changes the score
+    c05 = sb.parse_similarity("dfr:in:l:h2:0.5")
+    assert score1(c05) != score1(sb.DFRSim("in", "l", "h2"))
+
+
+# --------------------------- integration (Blake corpus) -----------------------
+
+# TestSimilarityBase.java:560-585 "tiger" docs
+DOCS = [
+    "Tiger, tiger burning bright   In the forest of the night   What immortal hand or eye   Could frame thy fearful symmetry ?",
+    "In what distant depths or skies   Burnt the fire of thine eyes ?   On what wings dare he aspire ?   What the hands the seize the fire ?",
+    "And what shoulder and what art   Could twist the sinews of thy heart ?   And when thy heart began to beat What dread hand ? And what dread feet ?",
+    "What the hammer? What the chain ?   In what furnace was thy brain ?   What the anvil ? And what dread grasp   Dare its deadly terrors clasp ?",
+    "And when the stars threw down their spears   And water'd heaven with their tear   Did he smile his work to see ?   Did he, who made the lamb, made thee ?",
+    "Tiger, tiger burning bright   In the forest of the night   What immortal hand or eye   Dare frame thy fearful symmetry ?",
+    "Cruelty has a human heart   And jealousy a human face   Terror the human form divine   And Secrecy the human dress .",
+    "The human dress is forg'd iron   The human form a fiery forge   The human face a furnace seal'd   The human heart its fiery gorge .",
+]
+
+
+@pytest.fixture(scope="module")
+def blake_idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path_factory.mktemp("blake"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "text": pa.array(DOCS, pa.string()),
+        "lang": pa.array(["en"] * len(DOCS)),
+        "source": pa.array(["blake"] * len(DOCS)),
+    }), os.path.join(d, "documents.parquet"))
+    out = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), out, target_docs_per_partition=8)
+    return out
+
+
+def _leaf_and_ctx(idx, terms, similarity):
+    import lucene_solr_old_ray.state.manifest as mf
+    from lucene_solr_old_ray.pipelines.search import gather_stats
+    from lucene_solr_old_ray.stages.search import LeafSearcher
+
+    manifest = mf.read_index_manifest(idx)
+    segs = manifest["segments"]
+    assert len(segs) == 1
+    leaf = LeafSearcher(os.path.join(idx, segs[0]["dir"]),
+                        segs[0]["doc_base"], 0, segs[0]["num_docs"])
+    ctx = gather_stats(idx, manifest, terms, similarity)
+    return leaf, ctx
+
+def test_heart_list_and_ranking_all_sims(ray_session, blake_idx):
+    """testHeartList + testHeartRanking: every one of the 128 sims matches
+    exactly docs {2, 6, 7} for "heart" and ranks doc 2 first (it has tf=2)."""
+    import dataclasses
+
+    from lucene_solr_old_ray.stages.simbase import execute_simbase
+
+    leaf, ctx = _leaf_and_ctx(blake_idx, ["heart"], "lmdirichlet")
+    q = TermQuery("heart")
+    for sim in sb.sims_like_reference_testbed():
+        if isinstance(sim, sb.DFRSim):
+            spec = f"dfr:{sim.model}:{sim.effect}:{sim.norm}"
+        elif isinstance(sim, sb.IBSim):
+            spec = f"ib:{sim.dist}:{sim.lam}:{sim.norm}"
+        elif isinstance(sim, sb.LMDirichletSim):
+            spec = "lmdirichlet"
+        else:
+            spec = f"lmjm:{sim.lam}"
+        c = dataclasses.replace(ctx, similarity=spec)
+        docids, scores = execute_simbase(q, leaf, c)
+        assert sorted(docids.tolist()) == [2, 6, 7], spec
+        assert scores.dtype == np.float32
+        top = int(docids[np.argmax(scores)])
+        assert top == 2, (spec, docids, scores)
+
+
+def test_search_pipeline_end_to_end(ray_session, blake_idx):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    for spec in ("dfr:ine:b:h2", "ib:spl:ttf:h2", "lmdirichlet",
+                 "lmjm:0.7", "multi:lmdirichlet+dfr:in:l:h2"):
+        res = search(blake_idx, {0: TermQuery("heart")}, k=10,
+                     similarity=spec).to_pandas()
+        assert list(res["total_hits"])[:1] == [3], spec
+        assert int(res["docid"].iloc[0]) == 2, spec
+
+    # boolean: float32 clause sum, no coord (SimilarityBase keeps the
+    # Similarity.java:122-141 defaults) — heart-AND-human hits only 6, 7
+    res = search(blake_idx, {0: bool_query(musts=["heart", "human"])}, k=10,
+                 similarity="lmdirichlet").to_pandas()
+    assert sorted(res["docid"]) == [6, 7]
+
+    # phrase scores as the MultiStats sum fed the phrase freq
+    res = search(blake_idx, {0: PhraseQuery(("human", "heart"))}, k=10,
+                 similarity="dfr:in:l:h2").to_pandas()
+    assert sorted(res["docid"]) == [6, 7]
+
+
+def test_boolean_sum_matches_manual(ray_session, blake_idx):
+    """Boolean score == float32 clause-order sum of the leaf term scores."""
+    import dataclasses
+
+    from lucene_solr_old_ray.stages.simbase import execute_simbase
+
+    leaf, ctx = _leaf_and_ctx(blake_idx, ["heart", "human"], "dfr:g:b:h3")
+    q = bool_query(musts=["heart", "human"])
+    docids, scores = execute_simbase(q, leaf, ctx)
+    d1, s1 = execute_simbase(TermQuery("heart"), leaf, ctx)
+    d2, s2 = execute_simbase(TermQuery("human"), leaf, ctx)
+    for d, s in zip(docids.tolist(), scores.tolist()):
+        want = np.add(s1[d1 == d][0], s2[d2 == d][0], dtype=F)
+        assert s == float(want)
