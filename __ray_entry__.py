@@ -430,8 +430,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- BM25 ranked retrieval -------------------------------------------
     q["bm25_top10_term"] = lambda sf: _bm25_result(_index_for(sf), TermQuery("spark"))
-    q["bm25_top10_and"] = lambda sf: _bm25_result(
-        _index_for(sf), bool_query(musts=["spark", "window"]))
+
+    # SimilarityBase family (DFR/IB/LM): the same 2-MUST conjunction scored
+    # under LMJelinekMercer — covers BOTH the conjunction path and the new
+    # strategy. The displaced bm25_top10_and stays score-exact-covered by
+    # tests/test_search.py's bool_query(musts=[...]) oracle cases.
+    def _simbase_result(sf_dir: str, qq, spec: str) -> pa.Table:
+        idx = _index_for(sf_dir)
+        res = search(idx, {0: qq}, k=10, similarity=spec)
+        res = _docid_to_doc_id(idx, res)
+        t = res.select(["rank", "doc_id", "score"])
+        return t.set_column(0, "rank", t["rank"].cast(pa.int64()))
+
+    q["lmjm_top10_and"] = lambda sf: _simbase_result(
+        sf, bool_query(musts=["spark", "window"]), "lmjm:0.7")
     from lucene_solr_old_ray.queries import CommonTermsQuery
 
     # low/high split is df-dependent (mtf=0.5 -> cutoff ceil(maxDoc/2)):
@@ -802,7 +814,8 @@ def oracle_sql() -> dict[str, str]:
         "CAST(dc.nb AS BIGINT) AS norm_byte FROM doccache dc ORDER BY doc_id"
     )
     sqls["bm25_top10_term"] = g.bm25_sql(musts=["spark"])
-    sqls["bm25_top10_and"] = g.bm25_sql(musts=["spark", "window"])
+    sqls["lmjm_top10_and"] = g.simbase_bool_sql(["spark", "window"],
+                                                "lmjm:0.7")
     sqls["common_terms_top10"] = g.common_terms_sql(
         ["dup", "join", "hash"], max_term_frequency=0.5)
     sqls["bm25_top10_msm"] = g.bm25_sql(

@@ -449,6 +449,115 @@ def f32_sum(exprs: list[str]) -> str:
     return acc
 
 
+def flit(v: float) -> str:
+    """float32 literal: string->DOUBLE->REAL (a bare literal would parse as
+    DECIMAL, whose cast to REAL rounds differently — 1 ulp — than
+    double->float32)."""
+    return f"CAST(CAST('{float(np.float32(v))!r}' AS DOUBLE) AS REAL)"
+
+
+LOG_2_LIT = repr(float(np.log(np.float64(2.0))))  # SimilarityBase.LOG_2
+
+
+def simbase_ctes() -> str:
+    """CTEs shared by SimilarityBase oracles: per-doc decoded docLen (the
+    1/f^2 norm decode, ``SimilarityBase.java:225-231``) and the family's
+    avgFieldLength — ``(float)sumTotalTermFreq / maxDoc`` as a FLOAT
+    division (``SimilarityBase.java:127``), unlike BM25's
+    double-divide-then-cast ``avgdl``."""
+    return """
+sbdoc AS (
+  SELECT dl.doc_id, CAST(nm.dec AS REAL) AS dlen
+  FROM doclen dl JOIN normmap nm ON dl.flen BETWEEN nm.lo AND nm.hi
+),
+sbavg AS (
+  SELECT CAST(CAST(sttf AS REAL) / CAST(n AS REAL) AS REAL) AS v FROM coll
+)"""
+
+
+def _sb_cp() -> str:
+    """LM collection probability (ttf + 1F) / (fieldTokens + 1F), float32
+    (``LMSimilarity.java:133``)."""
+    num = f32("CAST(ts.ttf AS REAL) + CAST(1 AS REAL)")
+    den = f32("CAST((SELECT sttf FROM coll) AS REAL) + CAST(1 AS REAL)")
+    return f32(f"{num} / {den}")
+
+
+def lmjm_term_score_cte(name: str, term: str, lam: float) -> str:
+    """Per-doc float32 LMJelinekMercer scores of one term
+    (``LMJelinekMercerSimilarity.java:49``): every arithmetic step float32
+    in the engine's (== Java's) evaluation order; the final log runs in
+    double on the float32 argument."""
+    one_minus = float(np.float32(np.float32(1.0) - np.float32(lam)))
+    num = f32(f"{f32(f'{flit(one_minus)} * CAST(t.freq AS REAL)')} / sb.dlen")
+    lcp = f32(f"{flit(lam)} * {_sb_cp()}")
+    inner = f32(f"CAST(1 AS REAL) + {f32(f'{num} / {lcp}')}")
+    return f"""
+{name} AS (
+  SELECT t.doc_id, {f32(f"ln(CAST({inner} AS DOUBLE))")} AS s
+  FROM tf t
+  JOIN (SELECT ttf FROM df WHERE term = '{term}') ts ON TRUE
+  JOIN sbdoc sb ON sb.doc_id = t.doc_id
+  WHERE t.term = '{term}'
+)"""
+
+
+def dfr_in_l_h2_term_score_cte(name: str, term: str) -> str:
+    """Per-doc float32 DFR I(n)L2 scores of one term: tfn = H2
+    (``NormalizationH2.java:54``: float interior, double log2, float cast),
+    basic model I(n) (``BasicModelIn.java:35``), after-effect L; the two
+    log2 calls divide by the exact LOG_2 double literal so the double lane
+    matches ``SimilarityBase.log2`` bit for bit."""
+    h2_inner = f32(
+        "CAST(1 AS REAL) + "
+        + f32(f"{f32('CAST(1 AS REAL) * (SELECT v FROM sbavg)')} / sb.dlen"))
+    tfn_expr = f32(f"CAST(CAST(t.freq AS REAL) AS DOUBLE) * "
+                   f"(ln(CAST({h2_inner} AS DOUBLE)) / {LOG_2_LIT})")
+    iv = f32(f"ln(((SELECT n FROM coll) + 1) / (ts.df + 0.5)) / {LOG_2_LIT}")
+    bm = f32(f"tfn * {iv}")
+    ae = f32(f"CAST(1 AS REAL) / {f32('tfn + CAST(1 AS REAL)')}")
+    return f"""
+{name} AS (
+  SELECT doc_id, {f32(f'{bm} * {ae}')} AS s FROM (
+    SELECT t.doc_id, {tfn_expr} AS tfn
+    FROM tf t
+    JOIN sbdoc sb ON sb.doc_id = t.doc_id
+    WHERE t.term = '{term}'
+  ) JOIN (SELECT df FROM df WHERE term = '{term}') ts ON TRUE
+)"""
+
+
+def simbase_bool_sql(musts: list[str], similarity: str, k: int = 10) -> str:
+    """Top-k of a MUST conjunction under a SimilarityBase strategy —
+    queryNorm == coord == 1 (``Similarity.java:122-141`` defaults), so the
+    score is the float32 clause-order sum of the per-term scores."""
+    low = similarity.lower()
+    ctes = [base_ctes(), simbase_ctes()]
+    score_terms = []
+    for i, t in enumerate(musts, start=1):
+        if low.startswith("lmjm:") or low.startswith("lmjelinekmercer:"):
+            ctes.append(lmjm_term_score_cte(f"m{i}", t,
+                                            float(low.split(":")[1])))
+        elif low == "dfr:in:l:h2":
+            ctes.append(dfr_in_l_h2_term_score_cte(f"m{i}", t))
+        else:
+            raise NotImplementedError(
+                f"no SQL oracle for SimilarityBase spec {similarity!r} — "
+                "lmjm:<lambda> and dfr:in:l:h2 are the oracle-backed configs")
+        score_terms.append(f"m{i}.s")
+    join_sql = " ".join(
+        f"JOIN m{i} ON m{i}.doc_id = m1.doc_id"
+        for i in range(2, len(musts) + 1))
+    score = f32_sum(score_terms)
+    return f"""WITH {",".join(ctes)}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (SELECT m1.doc_id AS doc_id, {score} AS score FROM m1 {join_sql})
+) WHERE rank <= {k}
+ORDER BY rank"""
+
+
 def hits_sql(
     musts: list[str] = (),
     must_nots: list[str] = (),

@@ -302,3 +302,56 @@ def test_boolean_sum_matches_manual(ray_session, blake_idx):
     for d, s in zip(docids.tolist(), scores.tolist()):
         want = np.add(s1[d1 == d][0], s2[d2 == d][0], dtype=F)
         assert s == float(want)
+
+
+# ------------------------ DuckDB oracle cross-checks ---------------------------
+
+
+@pytest.mark.parametrize("spec", ["lmjm:0.7", "dfr:in:l:h2"])
+def test_simbase_duckdb_oracle(ray_session, spec):
+    """The driver-gate twins: engine top-10 under a SimilarityBase strategy
+    matches the float32-exact DuckDB oracle (sqlgen.simbase_bool_sql) on the
+    real testdata corpus — ranks, doc_ids AND float32 score bits."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.pipelines.search import search
+
+    sf = "/root/testdata/sf0.001"
+    idx = entry._index_for(sf)
+    res = search(idx, {0: bool_query(musts=["spark", "window"])}, k=10,
+                 similarity=spec)
+    got = entry._docid_to_doc_id(idx, res).select(
+        ["rank", "doc_id", "score"]).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(g.simbase_bool_sql(["spark", "window"], spec)).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["score"].values
+            == want["score"].values.astype(np.float32)).all()
+
+
+def test_displaced_bm25_and_still_oracle_exact(ray_session):
+    """bm25_top10_and was displaced from the 50-entry driver gate by
+    lmjm_top10_and; keep its exact SQL-oracle check alive here."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.pipelines.search import search
+
+    sf = "/root/testdata/sf0.001"
+    idx = entry._index_for(sf)
+    res = search(idx, {0: bool_query(musts=["spark", "window"])}, k=10)
+    got = entry._docid_to_doc_id(idx, res).select(
+        ["rank", "doc_id", "score"]).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(g.bm25_sql(musts=["spark", "window"])).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert (got["score"].values
+            == want["score"].values.astype(np.float32)).all()
