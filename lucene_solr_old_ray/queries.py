@@ -470,14 +470,28 @@ class FieldMaskingSpanQuery:
 class SpanPayloadCheckQuery:
     """Re-expresses ``search/spans/SpanPayloadCheckQuery.java:40-90`` for
     TERM spans: a span matches only when the payload at its position
-    equals the expected value (integer-encoded payload lane).  The
-    multi-clause SpanNearPayloadCheckQuery variant is out of scope — the
-    vectorized near walk does not track which clause positions formed
-    each span (scope note, not a stub)."""
+    equals the expected value (integer-encoded payload lane). For the
+    multi-clause variant see :class:`SpanNearPayloadCheckQuery`."""
 
     term: str
     payload: int
     field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNearPayloadCheckQuery:
+    """Re-expresses ``search/spans/SpanNearPayloadCheckQuery.java:36-74``:
+    a near span is accepted only when the payloads collected from its
+    contributing term positions check against ``payloads`` — faithfully
+    including the reference's order-insensitive count quirk
+    (``acceptPosition`` counts each candidate found ANYWHERE in
+    payloadToMatch, so duplicate candidates can all match one expected
+    value). Clauses must be term spans (the shapes the reference's payload
+    collection walks)."""
+
+    match: "SpanNearQuery"
+    payloads: tuple  # expected integer payloads (collection semantics)
     boost: float = 1.0
 
 
@@ -513,6 +527,8 @@ def span_field(q: "SpanQuery") -> str | None:
     if isinstance(q, (SpanTermQuery, PayloadTermQuery,
                       SpanPayloadCheckQuery)):
         return q.field
+    if isinstance(q, SpanNearPayloadCheckQuery):
+        return span_field(q.match)
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         fields = {span_field(c) for c in q.clauses}
         if len(fields) > 1:
@@ -540,6 +556,8 @@ def span_weight_terms(q: "SpanQuery") -> set[str]:
     if isinstance(q, (SpanTermQuery, PayloadTermQuery,
                       SpanPayloadCheckQuery)):
         return {q.term}
+    if isinstance(q, SpanNearPayloadCheckQuery):
+        return span_weight_terms(q.match)
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         out: set[str] = set()
         for c in q.clauses:
@@ -704,7 +722,8 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
                       SpanMultiTermQueryWrapper, PayloadTermQuery,
-                      SpanPayloadCheckQuery, FieldMaskingSpanQuery)):
+                      SpanPayloadCheckQuery, SpanNearPayloadCheckQuery,
+                      FieldMaskingSpanQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
     if isinstance(q, CommonTermsQuery):
         return set(q.terms) if q.field is None else set()
@@ -747,7 +766,8 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
                       SpanMultiTermQueryWrapper, PayloadTermQuery,
-                      SpanPayloadCheckQuery, FieldMaskingSpanQuery)):
+                      SpanPayloadCheckQuery, SpanNearPayloadCheckQuery,
+                      FieldMaskingSpanQuery)):
         f = span_field(q)
         return ({(f, t) for t in span_weight_terms(q)}
                 if f is not None else set())

@@ -1032,12 +1032,16 @@ def _execute_raw(
         from .spans import execute_payload_term
 
         return execute_payload_term(q, leaf, ctx, boost)
-    from ..queries import SpanPayloadCheckQuery
+    from ..queries import SpanNearPayloadCheckQuery, SpanPayloadCheckQuery
 
     if isinstance(q, SpanPayloadCheckQuery):
         from .spans import execute_payload_check
 
         return execute_payload_check(q, leaf, ctx, boost)
+    if isinstance(q, SpanNearPayloadCheckQuery):
+        from .spans import execute_near_payload_check
+
+        return execute_near_payload_check(q, leaf, ctx, boost)
     from ..queries import FieldMaskingSpanQuery
 
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,

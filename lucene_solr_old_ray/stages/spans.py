@@ -54,16 +54,19 @@ def _ordered(a: tuple[int, int], b: tuple[int, int]) -> bool:
 
 
 def near_ordered_matches(
-    sub: list[list[tuple[int, int]]], slop: int
-) -> list[tuple[int, int]]:
+    sub: list[list[tuple[int, int]]], slop: int, with_cells: bool = False
+) -> list:
     """Minimal-slop ordered matches over one doc's per-clause span lists
-    (each sorted by (start, end)) — the NearSpansOrdered advance protocol."""
+    (each sorted by (start, end)) — the NearSpansOrdered advance protocol.
+    ``with_cells`` additionally returns, per match, the contributing span
+    of every clause (the spans ``possiblyCollectPayloads`` reads while
+    shrinking, ``NearSpansOrdered.java:276-296``)."""
     k = len(sub)
     n = [len(s) for s in sub]
     if any(x == 0 for x in n):
         return []
     idx = [0] * k
-    matches: list[tuple[int, int]] = []
+    matches: list = []
     alive = True
     while alive:
         # stretchToOrder: advance each later clause until ordered after the
@@ -80,6 +83,8 @@ def near_ordered_matches(
             break
         # shrinkToAfterShortestMatch: walk backwards, advancing each earlier
         # clause as far as possible while still ordered before its successor
+        cells = [None] * k
+        cells[k - 1] = sub[k - 1][idx[k - 1]]
         match_start, match_end = sub[k - 1][idx[k - 1]]
         match_slop = 0
         last_start, last_end = match_start, match_end
@@ -94,22 +99,26 @@ def near_ordered_matches(
                 if not _ordered(pp, (last_start, last_end)):
                     break
                 prev_start, prev_end = pp
+            cells[i] = (prev_start, prev_end)
             if match_start > prev_end:  # only non-overlap adds to slop
                 match_slop += match_start - prev_end
             match_start = prev_start
             last_start, last_end = prev_start, prev_end
         if match_slop <= slop:
-            matches.append((match_start, match_end))
+            matches.append((match_start, match_end, cells) if with_cells
+                           else (match_start, match_end))
     return matches
 
 
 def near_unordered_matches(
-    sub: list[list[tuple[int, int]]], slop: int
-) -> list[tuple[int, int]]:
+    sub: list[list[tuple[int, int]]], slop: int, with_cells: bool = False
+) -> list:
     """Unordered near matches over one doc's per-clause span lists — the
     NearSpansUnordered cell-queue protocol: each state emits (min.start,
     max.end) when ``max.end - min.start - totalLength <= slop``; the min
-    cell then advances."""
+    cell then advances. ``with_cells`` additionally returns each clause's
+    current span at emission (the cells ``getPayload`` reads,
+    ``NearSpansUnordered.java:106-118``)."""
     import heapq
 
     k = len(sub)
@@ -126,11 +135,15 @@ def near_unordered_matches(
             max_end = e
         heap.append((s, e, i))
     heapq.heapify(heap)
-    matches: list[tuple[int, int]] = []
+    matches: list = []
     while True:
         s0, e0, i0 = heap[0]
         if (max_end - s0 - total_len) <= slop:
-            matches.append((s0, max_end))
+            if with_cells:
+                cells = [sub[i][idx[i]] for i in range(k)]
+                matches.append((s0, max_end, cells))
+            else:
+                matches.append((s0, max_end))
         idx[i0] += 1
         if idx[i0] >= len(sub[i0]):
             break  # cell exhausted == doc change in the reference walk
@@ -540,3 +553,63 @@ def execute_payload_check(q, leaf, ctx, boost: float):
     wv = bm25.weight_value(bm25.idf(df, ctx.coll.max_doc), boost * q.boost)
     return docids, bm25.score_postings(
         freqs, lf.norms[docids], wv, ctx.cache_for(q.field))
+
+
+def execute_near_payload_check(q, leaf, ctx, boost: float):
+    """SpanNearPayloadCheckQuery -> (docids, f32 scores).
+
+    Re-expresses ``search/spans/SpanNearPayloadCheckQuery.java:36-74``: run
+    the near protocol with payload collection (the contributing term span
+    per clause), accept a span only when the candidate payload collection
+    checks against the expected one — candidate count must equal the
+    expected count AND every candidate must appear somewhere in the
+    expected collection (the reference's order-insensitive counting quirk:
+    duplicate candidates may all match one expected value). Accepted spans
+    accumulate the usual sloppyFreq(end - start) and score as a span query
+    (SpanScorer + the distinct-term f32 idf sum)."""
+    nq = q.match
+    if not all(isinstance(c, SpanTermQuery) for c in nq.clauses):
+        raise NotImplementedError(
+            "SpanNearPayloadCheckQuery needs term-span clauses (the shapes "
+            "the reference's payload collection walks)")
+    field = span_field(nq)
+    lf = leaf.sibling(field)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    docs = _docs_of(nq, lf)
+    if docs is None or len(docs) == 0:
+        return empty
+    per = [lf.postings_with_payloads(c.term) for c in nq.clauses]
+    expected = [int(p) for p in q.payloads]
+    walk = near_ordered_matches if nq.in_order else near_unordered_matches
+    one = F(1.0)
+    freqs = np.zeros(len(docs), dtype=F)
+    for bi, doc in enumerate(docs):
+        subs: list[list[tuple[int, int]]] = []
+        paymaps: list[dict[int, int]] = []
+        for (d, _tfs, flat, starts, pay) in per:
+            j = int(np.searchsorted(d, doc))
+            ps = flat[starts[j]: starts[j + 1]]
+            pv = pay[starts[j]: starts[j + 1]]
+            subs.append([(int(p), int(p) + 1) for p in ps])
+            paymaps.append({int(p): int(v) for p, v in zip(ps, pv)})
+        f = F(0.0)
+        for s, e, cells in walk(subs, nq.slop, with_cells=True):
+            cand = [paymaps[i][cs] for i, (cs, _ce) in enumerate(cells)]
+            if len(cand) != len(expected):
+                continue
+            matches = sum(1 for cb in cand if cb in expected)
+            if matches == len(expected):
+                f = F(f + F(one / F(1 + (e - s))))
+        freqs[bi] = f
+    match = freqs > 0
+    docids = docs[match]
+    if len(docids) == 0:
+        return empty
+    sum_idf = F(0.0)
+    for t in sorted(span_weight_terms(nq)):
+        df = ctx.stats_for(field, t)[0]
+        sum_idf = F(sum_idf + bm25.idf(df, ctx.coll.max_doc))
+    wv = bm25.weight_value(sum_idf, boost * q.boost)
+    scores = bm25.score_postings(
+        freqs[match], lf.norms[docids], wv, ctx.cache_for(field))
+    return docids, scores

@@ -187,3 +187,113 @@ def test_span_payload_check(payload_index):
     got = search(payload_index, [SpanPayloadCheckQuery("cherry", 0)],
                  k=10).to_pandas()
     assert got["docid"].tolist() == [0]
+
+
+# --- SpanNearPayloadCheckQuery (search/spans/SpanNearPayloadCheckQuery.java) --
+
+NEAR_DOCS = [
+    "one|1 two|2",            # near(one,two) payloads (1,2)
+    "one|1 two|3",            # payload mismatch for (1,2)
+    "one|1 xx two|2",         # needs slop >= 1
+    "qa|5 qa|5",              # duplicate-candidate quirk doc
+]
+
+
+@pytest.fixture(scope="module")
+def near_payload_index(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+
+    root = tmp_path_factory.mktemp("npayidx")
+    path = str(root / "corpus.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(NEAR_DOCS)), pa.int64()),
+        "ptext": pa.array(NEAR_DOCS, pa.string()),
+    }), path)
+    idx = str(root / "idx")
+    spec = CorpusSpec(files=(path,), content_col="ptext",
+                      meta_cols=("doc_id",), analyzer="delimited_payload")
+    build_index(spec, idx, target_docs_per_partition=8)
+    return idx
+
+
+def _near_pay_hits(idx, q):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    res = search(idx, {0: q}, k=10).to_pandas()
+    return sorted(res["docid"].tolist()), res
+
+
+def test_near_payload_check_ordered(ray_session, near_payload_index):
+    from lucene_solr_old_ray.queries import (
+        SpanNearPayloadCheckQuery, SpanNearQuery, SpanTermQuery)
+
+    near = SpanNearQuery((SpanTermQuery("one"), SpanTermQuery("two")),
+                         slop=0, in_order=True)
+    hits, _ = _near_pay_hits(near_payload_index,
+                             SpanNearPayloadCheckQuery(near, (1, 2)))
+    assert hits == [0]  # doc 1 has payloads (1,3), doc 2 needs slop
+    # order-insensitive expected collection (the reference's counting loop)
+    hits, _ = _near_pay_hits(near_payload_index,
+                             SpanNearPayloadCheckQuery(near, (2, 1)))
+    assert hits == [0]
+    # wrong payload set matches nothing
+    hits, _ = _near_pay_hits(near_payload_index,
+                             SpanNearPayloadCheckQuery(near, (1, 9)))
+    assert hits == []
+    # slop widens the span to doc 2 and its payloads also check
+    near1 = SpanNearQuery((SpanTermQuery("one"), SpanTermQuery("two")),
+                          slop=1, in_order=True)
+    hits, _ = _near_pay_hits(near_payload_index,
+                             SpanNearPayloadCheckQuery(near1, (1, 2)))
+    assert hits == [0, 2]
+
+
+def test_near_payload_check_unordered(ray_session, near_payload_index):
+    from lucene_solr_old_ray.queries import (
+        SpanNearPayloadCheckQuery, SpanNearQuery, SpanTermQuery)
+
+    near = SpanNearQuery((SpanTermQuery("two"), SpanTermQuery("one")),
+                         slop=0, in_order=False)
+    hits, _ = _near_pay_hits(near_payload_index,
+                             SpanNearPayloadCheckQuery(near, (1, 2)))
+    assert hits == [0]
+
+
+def test_near_payload_check_duplicate_quirk(ray_session, near_payload_index):
+    """The reference's acceptPosition counts each candidate found ANYWHERE
+    in payloadToMatch — candidate [5,5] vs expected [5,6] ACCEPTS (both 5s
+    match the same expected 5); expected [6,6] rejects."""
+    from lucene_solr_old_ray.queries import (
+        SpanNearPayloadCheckQuery, SpanNearQuery, SpanTermQuery)
+
+    near = SpanNearQuery((SpanTermQuery("qa"), SpanTermQuery("qa")),
+                         slop=0, in_order=True)
+    hits, _ = _near_pay_hits(near_payload_index,
+                             SpanNearPayloadCheckQuery(near, (5, 6)))
+    assert hits == [3]
+    hits, _ = _near_pay_hits(near_payload_index,
+                             SpanNearPayloadCheckQuery(near, (5, 5)))
+    assert hits == [3]
+    hits, _ = _near_pay_hits(near_payload_index,
+                             SpanNearPayloadCheckQuery(near, (6, 6)))
+    assert hits == []
+
+
+def test_near_payload_check_scores_like_span_when_all_pass(
+        ray_session, near_payload_index):
+    """When every emitted span passes the payload check the score is
+    bit-identical to the plain SpanNearQuery (same freq accumulation, same
+    distinct-term idf sum)."""
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import (
+        SpanNearPayloadCheckQuery, SpanNearQuery, SpanTermQuery)
+
+    near = SpanNearQuery((SpanTermQuery("one"), SpanTermQuery("two")),
+                         slop=0, in_order=True)
+    plain = search(near_payload_index, {0: near}, k=10).to_pandas()
+    checked = search(near_payload_index,
+                     {0: SpanNearPayloadCheckQuery(near, (1, 2))},
+                     k=10).to_pandas()
+    p0 = plain[plain["docid"] == 0]["score"].iloc[0]
+    c0 = checked[checked["docid"] == 0]["score"].iloc[0]
+    assert np.float32(p0) == np.float32(c0)
