@@ -260,6 +260,33 @@ class DisjunctionMaxQuery:
 
 
 @dataclass(frozen=True)
+class BooleanFilterQuery:
+    """Re-expresses ``lucene/queries/.../BooleanFilter.java:47-95``: boolean
+    docID-set algebra over sub-filters (each sub-filter is any query, used
+    for its matching-doc set; constant score). Clause order of operations is
+    the reference's: all SHOULDs OR'd first, then MUST_NOTs and-notted (a
+    MUST_NOT with no positive clauses starts from ALL docs — unlike
+    BooleanQuery, which matches nothing), then MUSTs and'd."""
+
+    clauses: tuple  # BooleanClause(occur, filter-query)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ChainedFilterQuery:
+    """Re-expresses ``lucene/queries/.../ChainedFilter.java:47-180``: a
+    left fold of docID sets under per-link logic ops OR/AND/ANDNOT/XOR.
+    ``logic`` is one op for the whole chain or a per-filter tuple; the
+    initial set follows ``initialResult`` — AND starts from the first
+    filter's set, ANDNOT from its complement (both consume the first
+    link), OR/XOR start from the empty set."""
+
+    filters: tuple
+    logic: tuple | str = "or"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FilteredQuery:
     """Score by ``query``, restrict to docs matching ``filter`` — the filter
     contributes no score (``search/FilteredQuery.java``). Filter docID sets
@@ -614,6 +641,10 @@ def needs_rewrite(q: "Query") -> bool:
         return any(needs_rewrite(d) for d in q.disjuncts)
     if isinstance(q, (FilteredQuery,)):
         return needs_rewrite(q.query) or needs_rewrite(q.filter)
+    if isinstance(q, BooleanFilterQuery):
+        return any(needs_rewrite(c.query) for c in q.clauses)
+    if isinstance(q, ChainedFilterQuery):
+        return any(needs_rewrite(f) for f in q.filters)
     if isinstance(q, ConstantScoreQuery):
         return needs_rewrite(q.query)
     if isinstance(q, SpanMultiTermQueryWrapper):
@@ -709,6 +740,16 @@ def collect_terms(q: Query) -> set[str]:
         return out
     if isinstance(q, FilteredQuery):
         return collect_terms(q.query) | collect_terms(q.filter)
+    if isinstance(q, BooleanFilterQuery):
+        out = set()
+        for c in q.clauses:
+            out |= collect_terms(c.query)
+        return out
+    if isinstance(q, ChainedFilterQuery):
+        out = set()
+        for f in q.filters:
+            out |= collect_terms(f)
+        return out
     if isinstance(q, ConstantScoreQuery):
         return collect_terms(q.query)
     if isinstance(q, CustomScoreQuery):
@@ -755,6 +796,16 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
         return out
     if isinstance(q, FilteredQuery):
         return collect_field_terms(q.query) | collect_field_terms(q.filter)
+    if isinstance(q, BooleanFilterQuery):
+        out = set()
+        for c in q.clauses:
+            out |= collect_field_terms(c.query)
+        return out
+    if isinstance(q, ChainedFilterQuery):
+        out = set()
+        for f in q.filters:
+            out |= collect_field_terms(f)
+        return out
     if isinstance(q, ConstantScoreQuery):
         return collect_field_terms(q.query)
     if isinstance(q, CustomScoreQuery):

@@ -1005,6 +1005,66 @@ def _execute_raw(
                 else np.empty(0, dtype=np.int64))
         return docs, np.full(len(docs), np.float32(boost * q.boost),
                              dtype=np.float32)
+    from ..queries import BooleanFilterQuery, ChainedFilterQuery
+
+    if isinstance(q, BooleanFilterQuery):
+        # BooleanFilter.getDocIdSet order: SHOULDs OR'd, MUST_NOTs and-notted
+        # (all-docs start when no positive clause yet), MUSTs and'd
+        res = None
+        has_should = False
+        for c in q.clauses:
+            if c.occur == SHOULD:
+                has_should = True
+                d = execute(c.query, leaf, ctx, 1.0)[0]
+                res = d if res is None else np.union1d(res, d)
+        if has_should and res is None:
+            res = np.empty(0, dtype=np.int64)
+        for c in q.clauses:
+            if c.occur == MUST_NOT:
+                if res is None:
+                    res = np.arange(leaf.num_docs, dtype=np.int64)
+                d = execute(c.query, leaf, ctx, 1.0)[0]
+                if len(d):
+                    res = res[~np.isin(res, d, assume_unique=True)]
+        for c in q.clauses:
+            if c.occur == MUST:
+                d = execute(c.query, leaf, ctx, 1.0)[0]
+                res = d if res is None else res[np.isin(res, d,
+                                                        assume_unique=True)]
+        if res is None:
+            res = np.empty(0, dtype=np.int64)
+        return res.astype(np.int64), np.full(
+            len(res), np.float32(boost * q.boost), dtype=np.float32)
+    if isinstance(q, ChainedFilterQuery):
+        n = len(q.filters)
+        ops = ([q.logic] * n if isinstance(q.logic, str) else list(q.logic))
+        if len(ops) != n:
+            raise ValueError("Invalid number of elements in logic array")
+        sets = [execute(f, leaf, ctx, 1.0)[0] for f in q.filters]
+        i = 0
+        if ops[0] == "and":
+            res = sets[0]
+            i = 1
+        elif ops[0] == "andnot":
+            alln = np.arange(leaf.num_docs, dtype=np.int64)
+            res = alln[~np.isin(alln, sets[0], assume_unique=True)]
+            i = 1
+        else:  # or / xor start empty (initialResult)
+            res = np.empty(0, dtype=np.int64)
+        for j in range(i, n):
+            d = sets[j]
+            if ops[j] == "or":
+                res = np.union1d(res, d)
+            elif ops[j] == "and":
+                res = res[np.isin(res, d, assume_unique=True)]
+            elif ops[j] == "andnot":
+                res = res[~np.isin(res, d, assume_unique=True)]
+            elif ops[j] == "xor":
+                res = np.setxor1d(res, d, assume_unique=True)
+            else:
+                raise ValueError(f"unknown chain logic {ops[j]!r}")
+        return res.astype(np.int64), np.full(
+            len(res), np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, FilteredQuery):
         docids, scores = execute(q.query, leaf, ctx, boost * q.boost)
         fkey = repr(q.filter)

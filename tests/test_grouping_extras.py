@@ -169,3 +169,79 @@ def test_index_merge_tool(ray_session, tmp_path):
     assert len(got) == n_total
     part1 = search(dst, [TermQuery("part1")], k=50).to_pandas()
     assert len(part1) == 7
+
+
+# --- BooleanFilter / ChainedFilter (lucene/queries) ---------------------------
+
+
+def _hit_set(idx, q):
+    res = search(idx, {0: q}, k=1000).to_pandas()
+    return set(res["docid"].tolist())
+
+
+def test_boolean_filter(ray_session, group_idx):
+    """BooleanFilter.getDocIdSet semantics (BooleanFilterTest shapes):
+    SHOULDs OR'd, MUST_NOTs and-notted — a MUST_NOT-only filter starts from
+    ALL docs (unlike BooleanQuery, which matches nothing) — then MUSTs."""
+    from lucene_solr_old_ray.queries import (
+        MUST, MUST_NOT, SHOULD, BooleanClause, BooleanFilterQuery,
+        bool_query)
+
+    group_idx, _ = group_idx
+    match_docs = _hit_set(group_idx, TermQuery("match"))
+    all_docs = _hit_set(group_idx, TermQuery("token"))  # every doc has it
+
+    # MUST_NOT-only: all docs minus excluded
+    f = BooleanFilterQuery((BooleanClause(MUST_NOT, TermQuery("match")),))
+    assert _hit_set(group_idx, f) == all_docs - match_docs
+    # ...whereas the BooleanQuery equivalent matches nothing
+    assert _hit_set(group_idx, bool_query(must_nots=["match"])) == set()
+
+    # SHOULD(match) + MUST(token) + MUST_NOT(skip)
+    skip_docs = _hit_set(group_idx, TermQuery("skip"))
+    f = BooleanFilterQuery((
+        BooleanClause(SHOULD, TermQuery("match")),
+        BooleanClause(SHOULD, TermQuery("skip")),
+        BooleanClause(MUST_NOT, TermQuery("skip")),
+        BooleanClause(MUST, TermQuery("token")),
+    ))
+    assert _hit_set(group_idx, f) == (match_docs | skip_docs) - skip_docs
+
+
+def test_chained_filter(ray_session, group_idx):
+    """ChainedFilter logic fold (ChainedFilterTest shapes): OR default, AND
+    consumes the first link, ANDNOT starts from the first link's
+    complement, XOR is the symmetric difference."""
+    from lucene_solr_old_ray.queries import ChainedFilterQuery, FilteredQuery
+
+    group_idx, _ = group_idx
+    match_docs = _hit_set(group_idx, TermQuery("match"))
+    skip_docs = _hit_set(group_idx, TermQuery("skip"))
+    all_docs = _hit_set(group_idx, TermQuery("token"))
+
+    or_f = ChainedFilterQuery((TermQuery("match"), TermQuery("skip")))
+    assert _hit_set(group_idx, or_f) == match_docs | skip_docs
+
+    and_f = ChainedFilterQuery((TermQuery("token"), TermQuery("match")),
+                               logic="and")
+    assert _hit_set(group_idx, and_f) == match_docs
+
+    andnot_f = ChainedFilterQuery((TermQuery("skip"), TermQuery("skip")),
+                                  logic="andnot")
+    assert _hit_set(group_idx, andnot_f) == all_docs - skip_docs
+
+    xor_f = ChainedFilterQuery((TermQuery("token"), TermQuery("match")),
+                               logic="xor")
+    assert _hit_set(group_idx, xor_f) == all_docs - match_docs
+
+    # per-link logic array + use as a FilteredQuery filter (scores ride the
+    # wrapped query; the chain only restricts)
+    mixed = ChainedFilterQuery((TermQuery("match"), TermQuery("skip")),
+                               logic=("or", "andnot"))
+    fq = FilteredQuery(TermQuery("token"), mixed)
+    assert _hit_set(group_idx, fq) == match_docs - skip_docs
+    scored = search(group_idx, {0: fq}, k=1000).to_pandas()
+    plain = search(group_idx, {0: TermQuery("token")}, k=1000).to_pandas()
+    pscore = dict(zip(plain["docid"], plain["score"]))
+    assert all(np.float32(s) == np.float32(pscore[d])
+               for d, s in zip(scored["docid"], scored["score"]))
