@@ -198,6 +198,171 @@ def _leaf_stats_task(
     return out, fout
 
 
+@ray.remote
+def _vs_toplevel_task(index_dir: str, rows: list[dict], scale_specs: list,
+                      ord_fields: list[str], ctx) -> tuple[list, dict]:
+    """Per-leaf partials for value-source top-level state: (min, max) per
+    Scale source (evaluated over ALL leaf docs, the scaleInfo walk) and the
+    sorted value dict per Ord field."""
+    from ..functions import valuesource as vsrc
+
+    mins = [None] * len(scale_specs)
+    maxs = [None] * len(scale_specs)
+    dicts: dict[str, set] = {f: set() for f in ord_fields}
+    for row in rows:
+        leaf = _open_leaf(index_dir, row)
+        docs = np.arange(leaf.num_docs, dtype=np.int64)
+        for i, src in enumerate(scale_specs):
+            v = vsrc.evaluate(src, leaf, ctx, docs)
+            if len(v):
+                lo, hi = float(v.min()), float(v.max())
+                mins[i] = lo if mins[i] is None else min(mins[i], lo)
+                maxs[i] = hi if maxs[i] is None else max(maxs[i], hi)
+        for f in ord_fields:
+            _ords, vals = leaf.dv_sorted(f)
+            dicts[f] |= {str(x) for x in vals}
+    return list(zip(mins, maxs)), {f: sorted(v) for f, v in dicts.items()}
+
+
+def _resolve_vs_toplevel(index_dir: str, manifest: dict, qitems, ctx):
+    """Resolve Scale (global min/max) and Ord/ReverseOrd (composite-reader
+    ordinal map) value-source nodes before leaves execute — the engine's
+    analogue of ScaleFloatFunction.createWeight's scaleInfo and the
+    top-level FieldCache getTermsIndex view. No-op unless the query set
+    contains unresolved nodes."""
+    import dataclasses
+
+    from ..functions import valuesource as vsrc
+    from ..queries import (BooleanClause, BooleanQuery, ConstantScoreQuery,
+                           CustomScoreQuery, DisjunctionMaxQuery,
+                           FilteredQuery, FunctionQuery)
+
+    # 1) find unresolved nodes
+    scale_specs: list = []
+    ord_fields: list[str] = []
+
+    def scan_vs(vs):
+        if isinstance(vs, vsrc.Scale):
+            scan_vs(vs.source)
+            if vs._bounds is None and not vsrc.needs_toplevel(vs.source):
+                if vs.source not in scale_specs:
+                    scale_specs.append(vs.source)
+        elif isinstance(vs, (vsrc.Ord, vsrc.ReverseOrd)):
+            if vs._global is None and vs.field not in ord_fields:
+                ord_fields.append(vs.field)
+        else:
+            for c in vsrc._children(vs):
+                scan_vs(c)
+
+    def scan_q(q):
+        if isinstance(q, (FunctionQuery, CustomScoreQuery)) \
+                and not isinstance(q.field, str):
+            scan_vs(q.field)
+        if isinstance(q, BooleanQuery):
+            for c in q.clauses:
+                scan_q(c.query)
+        elif isinstance(q, DisjunctionMaxQuery):
+            for d in q.disjuncts:
+                scan_q(d)
+        elif isinstance(q, FilteredQuery):
+            scan_q(q.query)
+            scan_q(q.filter)
+        elif isinstance(q, (ConstantScoreQuery, CustomScoreQuery)):
+            scan_q(q.query)
+
+    for _, q in qitems:
+        scan_q(q)
+    if not scale_specs and not ord_fields:
+        return qitems
+
+    # 2) one control-plane pass over the leaves (gather_stats shape)
+    leaves = _leaves(manifest)
+    items = [
+        {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
+         "num_docs": l["num_docs"]}
+        for i, l in enumerate(leaves)
+    ]
+    n_tasks = min(8, len(items))
+    groups = [items[i::n_tasks] for i in range(n_tasks)]
+    parts = ray.get([
+        _vs_toplevel_task.remote(index_dir, g, scale_specs, ord_fields, ctx)
+        for g in groups
+    ])
+    bounds: list = [(None, None)] * len(scale_specs)
+    vals: dict[str, set] = {f: set() for f in ord_fields}
+    for sb, od in parts:
+        for i, (lo, hi) in enumerate(sb):
+            if lo is None:
+                continue
+            clo, chi = bounds[i]
+            bounds[i] = (lo if clo is None else min(clo, lo),
+                         hi if chi is None else max(chi, hi))
+        for f, vv in od.items():
+            vals[f] |= set(vv)
+    scale_of = {src: b for src, b in zip(scale_specs, bounds)}
+    # global ordinal map: per-leaf arrays mapping leaf ord -> global ord
+    ord_global: dict[str, tuple] = {}
+    if ord_fields:
+        # a second tiny pass per leaf dict is avoided: recompute the
+        # per-leaf mapping lazily with searchsorted against the union
+        union_of = {f: np.array(sorted(v), dtype=object) for f, v in
+                    vals.items()}
+        for f in ord_fields:
+            union = union_of[f]
+            per_leaf = []
+            for row in items:
+                leaf = _open_leaf(index_dir, row)
+                _o, lv = leaf.dv_sorted(f)
+                lv = np.array([str(x) for x in lv], dtype=object)
+                per_leaf.append(np.searchsorted(union, lv).astype(np.int64))
+            ord_global[f] = (per_leaf, len(union))
+
+    # 3) rebuild the trees with resolved nodes
+    def fix_vs(vs):
+        if isinstance(vs, vsrc.Scale):
+            src = fix_vs(vs.source)
+            b = scale_of.get(vs.source)
+            return dataclasses.replace(vs, source=src,
+                                       _bounds=b if b and b[0] is not None
+                                       else vs._bounds)
+        if isinstance(vs, (vsrc.Ord, vsrc.ReverseOrd)) and vs._global is None:
+            return dataclasses.replace(vs, _global=ord_global[vs.field])
+        if isinstance(vs, (vsrc.Sum, vsrc.Product, vsrc.Max, vsrc.Min)):
+            return dataclasses.replace(
+                vs, operands=tuple(fix_vs(o) for o in vs.operands))
+        if isinstance(vs, (vsrc.Div, vsrc.Pow)):
+            return dataclasses.replace(vs, a=fix_vs(vs.a), b=fix_vs(vs.b))
+        if isinstance(vs, (vsrc.Linear, vsrc.Reciprocal, vsrc.RangeMap)):
+            return dataclasses.replace(vs, source=fix_vs(vs.source))
+        if isinstance(vs, vsrc.If):
+            return dataclasses.replace(vs, cond=fix_vs(vs.cond),
+                                       true_vs=fix_vs(vs.true_vs),
+                                       false_vs=fix_vs(vs.false_vs))
+        return vs
+
+    def fix_q(q):
+        if isinstance(q, FunctionQuery) and not isinstance(q.field, str):
+            return dataclasses.replace(q, field=fix_vs(q.field))
+        if isinstance(q, CustomScoreQuery):
+            fixed = (q.field if isinstance(q.field, str)
+                     else fix_vs(q.field))
+            return dataclasses.replace(q, query=fix_q(q.query), field=fixed)
+        if isinstance(q, BooleanQuery):
+            return dataclasses.replace(q, clauses=tuple(
+                BooleanClause(c.occur, fix_q(c.query)) for c in q.clauses))
+        if isinstance(q, DisjunctionMaxQuery):
+            return dataclasses.replace(
+                q, disjuncts=tuple(fix_q(d) for d in q.disjuncts))
+        if isinstance(q, FilteredQuery):
+            return dataclasses.replace(q, query=fix_q(q.query),
+                                       filter=fix_q(q.filter))
+        if isinstance(q, ConstantScoreQuery):
+            return dataclasses.replace(q, query=fix_q(q.query))
+        return q
+
+    return [(qid, fix_q(q)) for qid, q in qitems]
+
+
 _MTQ_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery)
 
 
@@ -522,6 +687,7 @@ def search(
         all_fterms |= collect_field_terms(q)
     ctx = gather_stats(index_dir, manifest, sorted(all_terms), similarity,
                        field_terms=sorted(all_fterms))
+    qitems = _resolve_vs_toplevel(index_dir, manifest, qitems, ctx)
     if similarity != "bm25":
         algo = "exhaustive"  # WAND bounds are BM25-specific
 

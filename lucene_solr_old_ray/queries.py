@@ -157,13 +157,14 @@ class MatchAllDocsQuery:
 
 @dataclass(frozen=True)
 class FunctionQuery:
-    """Re-expresses (NOT ports) ``queries/function/FunctionQuery.java:36``
-    with a ``FloatFieldSource`` value source
-    (``queries/function/valuesource/FloatFieldSource.java``): matches every
-    live doc; score(doc) = boost * float32(v(doc)) where v is a NUMERIC
-    doc-values field (missing value -> 0.0f, the FieldCache default)."""
+    """Re-expresses (NOT ports) ``queries/function/FunctionQuery.java:36``:
+    matches every live doc; score(doc) = boost * float32(v(doc)). ``field``
+    is either a NUMERIC doc-values field name (the ``FloatFieldSource``
+    shorthand; missing value -> 0.0f, the FieldCache default) or any value
+    source from ``functions/valuesource.py`` (the queries/function
+    ValueSource library)."""
 
-    field: str
+    field: object  # str field name or a valuesource node
     boost: float = 1.0
 
 
@@ -177,7 +178,7 @@ class CustomScoreQuery:
     order)."""
 
     query: "Query"
-    field: str
+    field: object  # str NUMERIC dv field or a valuesource node
     boost: float = 1.0
 
 
@@ -721,6 +722,20 @@ def stacked_query(text: str, analyzer: str = "standard",
     return BooleanQuery(tuple(BooleanClause(operator, q) for q in per_pos))
 
 
+def _vs_terms(field_or_vs, mode) -> set:
+    """Stats terms a FunctionQuery/CustomScoreQuery value source needs:
+    ``mode=None`` -> default-field term strings, ``"fielded"`` ->
+    (field, term) pairs."""
+    if isinstance(field_or_vs, str):
+        return set()
+    from .functions.valuesource import collect_vs_terms
+
+    pairs = collect_vs_terms(field_or_vs)
+    if mode is None:
+        return {t for f, t in pairs if f is None}
+    return {(f, t) for f, t in pairs if f is not None}
+
+
 def collect_terms(q: Query) -> set[str]:
     """Exact DEFAULT-FIELD terms a query needs statistics/postings for
     (field-qualified terms come from :func:`collect_field_terms`)."""
@@ -753,7 +768,9 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, ConstantScoreQuery):
         return collect_terms(q.query)
     if isinstance(q, CustomScoreQuery):
-        return collect_terms(q.query)
+        return collect_terms(q.query) | _vs_terms(q.field, None)
+    if isinstance(q, FunctionQuery):
+        return _vs_terms(q.field, None)
     if isinstance(q, BoostingQuery):
         return collect_terms(q.match) | collect_terms(q.context)
     if isinstance(q, DuplicateFilterQuery):
@@ -809,7 +826,9 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
     if isinstance(q, ConstantScoreQuery):
         return collect_field_terms(q.query)
     if isinstance(q, CustomScoreQuery):
-        return collect_field_terms(q.query)
+        return collect_field_terms(q.query) | _vs_terms(q.field, "fielded")
+    if isinstance(q, FunctionQuery):
+        return _vs_terms(q.field, "fielded")
     if isinstance(q, BoostingQuery):
         return collect_field_terms(q.match) | collect_field_terms(q.context)
     if isinstance(q, DuplicateFilterQuery):

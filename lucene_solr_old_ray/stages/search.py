@@ -914,11 +914,21 @@ def _execute_raw(
         return docs, np.full(leaf.num_docs, np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, FunctionQuery):
         docs = np.arange(leaf.num_docs, dtype=np.int64)
-        vals = leaf.dv_numeric_f32(q.field)
+        if isinstance(q.field, str):
+            vals = leaf.dv_numeric_f32(q.field)
+        else:
+            from ..functions.valuesource import evaluate as vs_eval
+
+            vals = vs_eval(q.field, leaf, ctx, docs)
         return docs, (np.float32(boost * q.boost) * vals).astype(np.float32)
     if isinstance(q, CustomScoreQuery):
         docids, scores = execute(q.query, leaf, ctx, boost * q.boost)
-        vals = leaf.dv_numeric_f32(q.field)[docids]
+        if isinstance(q.field, str):
+            vals = leaf.dv_numeric_f32(q.field)[docids]
+        else:
+            from ..functions.valuesource import evaluate as vs_eval
+
+            vals = vs_eval(q.field, leaf, ctx, docids)
         return docids, (scores * vals).astype(np.float32)
     if isinstance(q, DuplicateFilterQuery):
         docids, scores = execute(q.query, leaf, ctx, boost * q.boost)

@@ -1,0 +1,215 @@
+"""queries/function ValueSource library — float32-exact unit checks plus
+FunctionQuery / CustomScoreQuery end to end, Scale's top-level min/max and
+Ord's composite-reader ordinal map across segments."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.functions import valuesource as vs
+from lucene_solr_old_ray.queries import (
+    CustomScoreQuery,
+    FunctionQuery,
+    TermQuery,
+)
+
+F = np.float32
+N = 12
+
+
+@pytest.fixture(scope="module")
+def vs_idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    tmp = tmp_path_factory.mktemp("vsidx")
+    path = str(tmp / "documents.parquet")
+    texts = [("apple banana " + ("apple " * (i % 3))).strip()
+             for i in range(N)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(N), pa.int64()),
+        "val": pa.array([float(i * 10) for i in range(N)], pa.float64()),
+        "cat": pa.array([f"c{i % 5}" for i in range(N)]),
+        "text": pa.array(texts, pa.string()),
+    }), path)
+    idx = str(tmp / "idx")
+    # two partitions -> two segments (Scale/Ord must merge top-level state)
+    build_index(CorpusSpec(
+        files=(path,), content_col="text",
+        meta_cols=("doc_id", "cat", "val"),
+        extra_fields=(FieldSpec("val", "val", kind="numeric"),),
+    ), idx, target_docs_per_partition=N // 2)
+    return idx
+
+
+def _leaf_ctx(idx, terms=("apple", "banana")):
+    import lucene_solr_old_ray.state.manifest as mf
+    from lucene_solr_old_ray.pipelines.search import gather_stats
+    from lucene_solr_old_ray.stages.search import LeafSearcher
+
+    manifest = mf.read_index_manifest(idx)
+    segs = sorted(manifest["segments"], key=lambda s: s["doc_base"])
+    leaf = LeafSearcher(os.path.join(idx, segs[0]["dir"]),
+                        segs[0]["doc_base"], 0, segs[0]["num_docs"])
+    ctx = gather_stats(idx, manifest, list(terms), "bm25")
+    return leaf, ctx
+
+
+def test_arithmetic_sources_float32_exact(ray_session, vs_idx):
+    leaf, ctx = _leaf_ctx(vs_idx)
+    docs = np.arange(leaf.num_docs, dtype=np.int64)
+    x = leaf.dv_numeric_f32("val")
+
+    got = vs.evaluate(vs.Linear(vs.FloatField("val"), 2.0, 3.0),
+                      leaf, ctx, docs)
+    assert (got == np.add(np.multiply(F(2.0), x, dtype=F), F(3.0),
+                          dtype=F)).all()
+
+    got = vs.evaluate(vs.Reciprocal(vs.FloatField("val"), 2.0, 1.0, 8.0),
+                      leaf, ctx, docs)
+    want = np.divide(F(1.0), np.add(np.multiply(F(2.0), x, dtype=F),
+                                    F(8.0), dtype=F), dtype=F)
+    assert (got == want).all()
+
+    got = vs.evaluate(vs.Sum((vs.Const(1.5), vs.FloatField("val"),
+                              vs.Product((vs.Const(2.0), vs.Const(3.0))))),
+                      leaf, ctx, docs)
+    acc = np.zeros(len(docs), dtype=F)
+    for part in (np.full(len(docs), F(1.5)), x, np.full(len(docs), F(6.0))):
+        acc = np.add(acc, part, dtype=F)
+    assert (got == acc).all()
+
+    got = vs.evaluate(vs.Pow(vs.FloatField("val"), vs.Const(0.5)),
+                      leaf, ctx, docs)
+    assert (got == np.power(x.astype(np.float64), 0.5).astype(F)).all()
+
+    got = vs.evaluate(vs.RangeMap(vs.FloatField("val"), 10.0, 30.0, 1.0),
+                      leaf, ctx, docs)
+    assert (got == np.where((x >= 10) & (x <= 30), F(1.0), x)).all()
+    got = vs.evaluate(
+        vs.RangeMap(vs.FloatField("val"), 10.0, 30.0, 1.0, default=-1.0),
+        leaf, ctx, docs)
+    assert (got == np.where((x >= 10) & (x <= 30), F(1.0), F(-1.0))).all()
+
+    got = vs.evaluate(vs.If(vs.FloatField("val"), vs.Const(7.0),
+                            vs.Const(9.0)), leaf, ctx, docs)
+    assert (got == np.where(x != 0, F(7.0), F(9.0))).all()
+
+    got = vs.evaluate(vs.Max((vs.FloatField("val"), vs.Const(25.0))),
+                      leaf, ctx, docs)
+    assert (got == np.maximum(x, F(25.0))).all()
+    got = vs.evaluate(vs.Div(vs.Const(10.0), vs.Const(4.0)), leaf, ctx,
+                      docs[:1])
+    assert got[0] == F(2.5)
+
+
+def test_stat_sources(ray_session, vs_idx):
+    leaf, ctx = _leaf_ctx(vs_idx)
+    docs = np.arange(leaf.num_docs, dtype=np.int64)
+    df_apple, ttf_apple = ctx.term_stats["apple"]
+
+    assert (vs.evaluate(vs.DocFreq("apple"), leaf, ctx, docs)
+            == F(df_apple)).all()
+    assert (vs.evaluate(vs.TotalTermFreq("apple"), leaf, ctx, docs)
+            == F(ttf_apple)).all()
+    assert (vs.evaluate(vs.MaxDoc(), leaf, ctx, docs) == F(N)).all()
+    assert (vs.evaluate(vs.SumTotalTermFreq(), leaf, ctx, docs)
+            == F(ctx.coll.sum_total_term_freq)).all()
+
+    from lucene_solr_old_ray.functions.classic import idf_classic
+    assert (vs.evaluate(vs.IDF("apple"), leaf, ctx, docs)
+            == idf_classic(df_apple, N)).all()
+
+    # tf/termfreq per doc: doc i%3==0 has 1 apple, else 1 + i%3
+    d, tfs = leaf.postings("apple")
+    tf_map = dict(zip(d.tolist(), tfs.tolist()))
+    got_raw = vs.evaluate(vs.TermFreq("apple"), leaf, ctx, docs)
+    got_sqrt = vs.evaluate(vs.TF("apple"), leaf, ctx, docs)
+    for i, doc in enumerate(docs.tolist()):
+        raw = tf_map.get(doc, 0)
+        assert got_raw[i] == F(raw)
+        assert got_sqrt[i] == np.sqrt(F(raw), dtype=F)
+
+    # norm decode: byte315ToFloat of the stored norm byte
+    from lucene_solr_old_ray.functions.smallfloat import byte315_to_float
+    got = vs.evaluate(vs.Norm(), leaf, ctx, docs)
+    assert (got == byte315_to_float(leaf.norms[docs])).all()
+
+
+def test_query_score_source(ray_session, vs_idx):
+    from lucene_solr_old_ray.stages.search import execute
+
+    leaf, ctx = _leaf_ctx(vs_idx)
+    docs = np.arange(leaf.num_docs, dtype=np.int64)
+    q = TermQuery("apple")
+    d, s = execute(q, leaf, ctx, 1.0)
+    got = vs.evaluate(vs.QueryScore(q, default=-5.0), leaf, ctx, docs)
+    smap = dict(zip(d.tolist(), s.tolist()))
+    for i, doc in enumerate(docs.tolist()):
+        assert got[i] == F(smap.get(doc, -5.0))
+
+
+def test_function_query_e2e_and_custom_score(ray_session, vs_idx):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    src = vs.Linear(vs.FloatField("val"), 1.0, 1.0)  # val + 1, all docs
+    res = search(vs_idx, {0: FunctionQuery(src)}, k=N).to_pandas()
+    assert len(res) == N
+    assert int(res["docid"].iloc[0]) == N - 1  # highest val wins
+    assert res["score"].iloc[0] == float(F((N - 1) * 10 + 1))
+
+    # CustomScore: subquery score * value source (float32 product)
+    plain = search(vs_idx, {0: TermQuery("apple")}, k=N).to_pandas()
+    cs = search(vs_idx, {0: CustomScoreQuery(TermQuery("apple"),
+                                             vs.Const(2.0))},
+                k=N).to_pandas()
+    pmap = dict(zip(plain["docid"], plain["score"]))
+    for doc, sc in zip(cs["docid"], cs["score"]):
+        assert F(sc) == np.multiply(F(pmap[doc]), F(2.0), dtype=F)
+
+
+def test_scale_top_level_bounds(ray_session, vs_idx):
+    """Scale normalizes against the GLOBAL (all-segment) min/max — the
+    scaleInfo walk — not per-leaf bounds."""
+    from lucene_solr_old_ray.pipelines.search import search
+
+    src = vs.Scale(vs.FloatField("val"), 0.0, 1.0)
+    res = search(vs_idx, {0: FunctionQuery(src)}, k=N).to_pandas()
+    smap = {int(d): float(s) for d, s in zip(res["docid"], res["score"])}
+    # doc_ids map 1:1 to docids here (two sequential partitions); the
+    # expected values follow the reference's float32 arithmetic exactly —
+    # (x - minSource) * ((max-min)/(maxSource-minSource)) + min — so the
+    # top value is float32((110-0)*(1/110)), not an idealized 1.0
+    x = np.array([i * 10 for i in range(N)], dtype=np.float32)
+    factor = np.divide(F(1.0), F(x.max() - x.min()), dtype=F)
+    want = np.add(np.multiply(np.subtract(x, F(x.min()), dtype=F), factor,
+                              dtype=F), F(0.0), dtype=F)
+    assert smap[0] == 0.0
+    for i in range(N):
+        assert smap[i] == float(want[i])
+    # a leaf-local scale would have given BOTH leaves a 0-and-1 pair; the
+    # global map yields exactly one 0 (doc 0) and the max at doc N-1
+    assert min(smap, key=smap.get) == 0
+    assert max(smap, key=smap.get) == N - 1
+
+
+def test_ord_and_reverse_ord_global(ray_session, vs_idx):
+    """Ord is the composite-reader ordinal (rank of the doc's value in the
+    UNION of all leaves' sorted dicts); ReverseOrd = numOrd - ord."""
+    from lucene_solr_old_ray.pipelines.search import search
+
+    res = search(vs_idx, {0: FunctionQuery(vs.Ord("cat"))}, k=N).to_pandas()
+    smap = {int(d): float(s) for d, s in zip(res["docid"], res["score"])}
+    cats = [f"c{i % 5}" for i in range(N)]
+    union = sorted(set(cats))
+    for i in range(N):
+        assert smap[i] == float(union.index(cats[i]))
+
+    res = search(vs_idx, {0: FunctionQuery(vs.ReverseOrd("cat"))},
+                 k=N).to_pandas()
+    smap = {int(d): float(s) for d, s in zip(res["docid"], res["score"])}
+    for i in range(N):
+        assert smap[i] == float(len(union) - union.index(cats[i]))
