@@ -76,6 +76,133 @@ def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# TotalFacetCountsCache analogue: (index generation, field) -> total counts
+# table (``facet/complements/TotalFacetCountsCache.java`` keys on the index
+# commit; the manifest generation is this engine's commit identity)
+_TOTAL_FACET_CACHE: dict = {}
+
+
+def total_facet_counts(index_dir: str, facet_col: str) -> pd.DataFrame:
+    """Per-value counts over ALL live docs — ``complements/
+    TotalFacetCounts.java:60`` (computed once per index commit and cached,
+    the TotalFacetCountsCache contract)."""
+    manifest = mf.read_index_manifest(index_dir)
+    key = (index_dir, manifest.get("generation"), facet_col)
+    cached = _TOTAL_FACET_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def leaf_totals(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            ords, values = leaf.dv_sorted(facet_col)
+            o = np.asarray(ords)
+            if leaf.live is not None:
+                o = o[leaf.live]
+            o = o[o >= 0]
+            cnt = np.bincount(o, minlength=len(values))
+            nz = np.nonzero(cnt)[0]
+            parts.append(pd.DataFrame({facet_col: values[nz],
+                                       "count": cnt[nz]}))
+        if not parts:
+            return pd.DataFrame({facet_col: pd.Series([], dtype=object),
+                                 "count": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_totals, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    out = (partials.groupby(facet_col, as_index=False)["count"].sum()
+           .sort_values(facet_col).reset_index(drop=True)
+           if len(partials) else
+           pd.DataFrame({facet_col: pd.Series([], dtype=object),
+                         "count": pd.Series([], dtype="int64")}))
+    if len(_TOTAL_FACET_CACHE) > 16:
+        _TOTAL_FACET_CACHE.pop(next(iter(_TOTAL_FACET_CACHE)))
+    _TOTAL_FACET_CACHE[key] = out
+    return out
+
+
+def facet_counts_complement(
+    index_dir: str, query: Query, facet_col: str,
+    complement_threshold: float = 0.6,
+) -> tuple[pa.Table, bool]:
+    """facet_counts through the complements optimization —
+    ``old/OldFacetsAccumulator.java:79-99`` + ``ComplementCountingAggregator
+    .java``: when the match set is large (``matches > numDocs *
+    complementThreshold``; 0 forces, +inf disables), count the NON-matching
+    docs instead and subtract from the cached TotalFacetCounts. Result is
+    identical to the direct path by construction. -> (table,
+    used_complements)."""
+    manifest = mf.read_index_manifest(index_dir)
+    num_docs = manifest["stats"]["max_doc"]
+    # phase 1: cheap global match count (control-plane, like gather_stats)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_match_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        ns = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            ns.append(len(execute(q, leaf, ctx_l)[0]))
+        return pd.DataFrame({"n": ns})
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    n_matches = int(ds.map_batches(leaf_match_counts, batch_format="pandas",
+                                   batch_size=4).to_pandas()["n"].sum())
+    use_complement = n_matches > num_docs * complement_threshold
+    if not use_complement:
+        return facet_counts(index_dir, query, facet_col), False
+
+    total = total_facet_counts(index_dir, facet_col)
+
+    def leaf_complement_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            mask = np.ones(leaf.num_docs, dtype=bool)
+            mask[docids] = False
+            if leaf.live is not None:
+                mask &= leaf.live
+            ords, values = leaf.dv_sorted(facet_col)
+            o = np.asarray(ords)[mask]
+            o = o[o >= 0]
+            cnt = np.bincount(o, minlength=len(values))
+            nz = np.nonzero(cnt)[0]
+            parts.append(pd.DataFrame({facet_col: values[nz],
+                                       "count": cnt[nz]}))
+        if not parts:
+            return pd.DataFrame({facet_col: pd.Series([], dtype=object),
+                                 "count": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    comp = ds.map_batches(leaf_complement_counts, batch_format="pandas",
+                          batch_size=4).to_pandas()
+    if len(comp) and facet_col in comp.columns:
+        comp = comp.groupby(facet_col, as_index=False)["count"].sum()
+    else:  # empty complement (e.g. MatchAll): schema-less empty frame
+        comp = pd.DataFrame({facet_col: pd.Series([], dtype=object),
+                             "count": pd.Series([], dtype="int64")})
+    merged = total.merge(comp, on=facet_col, how="left",
+                         suffixes=("_total", "_comp"))
+    merged["count"] = (merged["count_total"]
+                       - merged["count_comp"].fillna(0).astype("int64"))
+    out = merged[merged["count"] > 0][[facet_col, "count"]]
+    out = out.sort_values(facet_col).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False), True
+
+
 def facet_counts_set(index_dir: str, query: Query, facet_col: str) -> pa.Table:
     """Count matching docs per value of a MULTI-VALUED (list<string>) docmap
     column — SortedSetDocValuesFacetCounts semantics

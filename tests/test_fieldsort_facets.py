@@ -351,3 +351,48 @@ def test_sampled_facets_raw_counts_bounded_by_exact(skew_idx):
     want = {"a": 100, "b": 50, "c": 30, "d": 20}
     for _, r in got.iterrows():
         assert 0 < r["count"] <= want[r["value"]]
+
+
+# --- facet/complements: TotalFacetCounts + complement counting ---------------
+
+
+def test_facet_counts_complement(ray_session, idx):
+    """OldFacetsAccumulator complements: when matches > numDocs*threshold
+    the counts come from TotalFacetCounts minus the complement set — and
+    must equal the direct path exactly. threshold=0 forces, +inf disables
+    (the FORCE_COMPLEMENT / DISABLE_COMPLEMENT constants)."""
+    from lucene_solr_old_ray.pipelines.analytics import (
+        facet_counts, facet_counts_complement, total_facet_counts)
+    from lucene_solr_old_ray.queries import MatchAllDocsQuery, TermQuery
+
+    idx, langs, sources, flen = idx
+    # MatchAll matches 100% -> complement path at the 0.6 default
+    q = MatchAllDocsQuery()
+    direct = facet_counts(idx, q, "lang").to_pandas()
+    got, used = facet_counts_complement(idx, q, "lang")
+    assert used is True
+    assert got.to_pandas().equals(direct)
+
+    # needle matches exactly 50% -> stays on the direct path (0.5 < 0.6)
+    needle = TermQuery("needle")
+    got2, used2 = facet_counts_complement(idx, needle, "lang")
+    assert used2 is False
+    d2 = facet_counts(idx, needle, "lang").to_pandas()
+    assert got2.to_pandas().equals(d2)
+
+    # FORCE (0) and DISABLE (+inf) must still agree with the direct result
+    got3, used3 = facet_counts_complement(idx, needle, "lang",
+                                          complement_threshold=0.0)
+    assert used3 is True
+    assert got3.to_pandas().equals(d2)
+    got4, used4 = facet_counts_complement(
+        idx, q, "lang", complement_threshold=float("inf"))
+    assert used4 is False
+
+    # TotalFacetCounts == counts of MatchAllDocs (and the cache returns the
+    # same frame object on the second call — the TotalFacetCountsCache)
+    tot = total_facet_counts(idx, "lang")
+    assert (tot.sort_values("lang").reset_index(drop=True)["count"].tolist()
+            == direct.sort_values("lang").reset_index(drop=True)[
+                "count"].tolist())
+    assert total_facet_counts(idx, "lang") is tot
