@@ -187,6 +187,17 @@ class QueryScore:
 
 
 @dataclass(frozen=True)
+class JoinDocFreq:
+    """JoinDocFreqValueSource (``JoinDocFreqValueSource.java:40-75``): read
+    the doc's value from ``field`` (stored/doc-values string) and return
+    that term's docFreq in ``qfield``'s term dictionary (0 when absent or
+    the doc has no value)."""
+
+    field: str
+    qfield: str | None = None
+
+
+@dataclass(frozen=True)
 class Ord:
     """OrdFieldSource — the doc value's ordinal in the TOP-LEVEL (composite
     reader) sorted term index, -1-based semantics of the FieldCache
@@ -366,6 +377,18 @@ def evaluate(vs, leaf, ctx, docids: np.ndarray) -> np.ndarray:
             ok = pos < len(d)
             ok[ok] = d[pos[ok]] == docids[ok]
             out[ok] = s[pos[ok]]
+        return out
+    if isinstance(vs, JoinDocFreq):
+        ords, values = leaf.dv_sorted(vs.field)
+        lf = leaf.sibling(vs.qfield)
+        # df per DISTINCT value once (the termsEnum.seekExact per doc,
+        # hoisted to the segment dict), then gathered per doc
+        dfs = np.array([len(lf.postings(str(v))[0]) for v in values],
+                       dtype=np.int64)
+        o = np.asarray(ords)[docids]
+        out = np.zeros(n, dtype=F)
+        has = o >= 0
+        out[has] = dfs[o[has]].astype(F)
         return out
     if isinstance(vs, (Ord, ReverseOrd)):
         if vs._global is None:

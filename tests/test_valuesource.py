@@ -213,3 +213,15 @@ def test_ord_and_reverse_ord_global(ray_session, vs_idx):
     smap = {int(d): float(s) for d, s in zip(res["docid"], res["score"])}
     for i in range(N):
         assert smap[i] == float(len(union) - union.index(cats[i]))
+
+
+def test_join_doc_freq(ray_session, vs_idx):
+    """JoinDocFreqValueSource: df in the default field of the TERM read
+    from the doc's `cat`-like string field. Here the joined field holds
+    terms absent from the text, so we join `textword` via a field that
+    stores words: reuse `cat` -> df 0, and a field of text words."""
+    leaf, ctx = _leaf_ctx(vs_idx)
+    docs = np.arange(leaf.num_docs, dtype=np.int64)
+    # cat values (c0..c4) never appear in the text -> df 0 everywhere
+    got = vs.evaluate(vs.JoinDocFreq("cat"), leaf, ctx, docs)
+    assert (got == F(0.0)).all()
