@@ -29,6 +29,8 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import time as _time
+
 import ray
 import ray.data
 
@@ -117,12 +119,14 @@ class SearcherStage:
     leaves × ceil(nq / chunk) rather than bounded by shard count. Open
     leaves come from the worker-level cache (:data:`_WORKER_LEAVES`)."""
 
-    def __init__(self, index_dir: str, queries_ref, ctx_ref, k: int, algo: str):
+    def __init__(self, index_dir: str, queries_ref, ctx_ref, k: int,
+                 algo: str, deadline: float | None = None):
         self.index_dir = index_dir
         self.queries: list[tuple[int, Query]] = ray.get(queries_ref)
         self.ctx: SearchContext = ray.get(ctx_ref)
         self.k = k
         self.algo = algo
+        self.deadline = deadline
 
     def _leaf(self, row) -> LeafSearcher:
         return _open_leaf(self.index_dir, row)
@@ -132,10 +136,22 @@ class SearcherStage:
             "qid": [], "leaf_ord": [], "rank": [], "docid": [],
             "score": [], "hits": [],
         }
+        timed_out = False
         for row in batch.to_dict("records"):
+            if timed_out:
+                break
             leaf = self._leaf(row)
             q_lo, q_hi = int(row.get("q_lo", 0)), int(row.get("q_hi", len(self.queries)))
             for qid, q in self.queries[q_lo:q_hi]:
+                if self.deadline is not None and _time.time() > self.deadline:
+                    # TimeLimitingCollector (search/TimeLimitingCollector
+                    # .java:33,160): stop collecting when the clock passes
+                    # the deadline, keep what was already collected. The
+                    # engine's collection unit is a (leaf x query) pass,
+                    # not a doc, so the abort is between units (the greedy
+                    # mode's keep-current-doc contract at this granularity)
+                    timed_out = True
+                    break
                 if self.algo == "wand":
                     from ..stages.wand import execute_wand_or_fallback
 
@@ -153,6 +169,15 @@ class SearcherStage:
                 out["docid"].extend((docids + leaf.doc_base).tolist())
                 out["score"].extend(scores.tolist())
                 out["hits"].extend([nhits] * n)
+        if timed_out:
+            # sentinel row (qid -1): the driver folds these into the
+            # partial-results flag (TimeExceededException analogue)
+            out["qid"].append(-1)
+            out["leaf_ord"].append(-1)
+            out["rank"].append(-1)
+            out["docid"].append(-1)
+            out["score"].append(0.0)
+            out["hits"].append(0)
         return pd.DataFrame(
             {
                 "qid": pd.array(out["qid"], dtype="int64"),
@@ -166,10 +191,12 @@ class SearcherStage:
 
 
 def _score_rows(batch: "pd.DataFrame", *, index_dir: str, queries_ref,
-                ctx_ref, k: int, algo: str) -> "pd.DataFrame":
+                ctx_ref, k: int, algo: str,
+                deadline: float | None = None) -> "pd.DataFrame":
     """Task-pool entry: one scoring pass over a batch of (leaf, q-chunk)
     descriptor rows (see :class:`SearcherStage`)."""
-    return SearcherStage(index_dir, queries_ref, ctx_ref, k, algo)(batch)
+    return SearcherStage(index_dir, queries_ref, ctx_ref, k, algo,
+                         deadline)(batch)
 
 
 @ray.remote
@@ -669,9 +696,18 @@ def search(
     algo: str = "exhaustive",
     similarity: str = "bm25",
     concurrency: int | None = None,
+    time_limit_s: float | None = None,
 ) -> pa.Table:
     """Run a batch of queries -> table (qid, rank[1-based], docid, score,
-    total_hits), rank-ordered per qid with TopDocs.merge tie semantics."""
+    total_hits), rank-ordered per qid with TopDocs.merge tie semantics.
+
+    ``time_limit_s`` enables TimeLimitingCollector semantics
+    (``search/TimeLimitingCollector.java:33,160``): collection stops when
+    the wall clock passes the deadline and the PARTIAL results collected so
+    far are returned, with a ``timed_out`` bool column appended (the
+    TimeExceededException signal). The engine's collection unit is one
+    (leaf x query) pass, so the abort lands between units — the greedy
+    mode's keep-current-work contract at this granularity."""
     manifest = mf.read_index_manifest(index_dir)
     if not isinstance(queries, dict):
         queries = dict(enumerate(queries))
@@ -709,11 +745,14 @@ def search(
     # lives in the worker-process cache (_WORKER_LEAVES) and so survives
     # across search() calls; an actor pool would re-open every leaf per
     # call. queries/ctx ride object refs (one plasma get per task).
+    deadline = (_time.time() + time_limit_s
+                if time_limit_s is not None else None)
     rows = ds.map_batches(
         _score_rows,
         fn_kwargs={
             "index_dir": index_dir, "queries_ref": queries_ref,
             "ctx_ref": ctx_ref, "k": k, "algo": algo,
+            "deadline": deadline,
         },
         batch_format="pandas",
         batch_size=1,
@@ -726,6 +765,10 @@ def search(
                              "docid": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="float32"),
                              "hits": pd.Series([], dtype="int64")})
+
+    timed_out = bool((rows["qid"] == -1).any())
+    if timed_out:
+        rows = rows[rows["qid"] >= 0]
 
     # TopDocs.merge: (score desc, leaf ord asc, per-leaf rank asc) — group
     # the result frame ONCE (O(rows log rows)), not a per-qid scan
@@ -745,7 +788,7 @@ def search(
         out["docid"].extend(sel["docid"].tolist())
         out["score"].extend(sel["score"].tolist())
         out["total_hits"].extend([hits] * n)
-    return pa.table(
+    tbl = pa.table(
         {
             "qid": pa.array(out["qid"], pa.int64()),
             "rank": pa.array(out["rank"], pa.int32()),
@@ -754,6 +797,10 @@ def search(
             "total_hits": pa.array(out["total_hits"], pa.int64()),
         }
     )
+    if time_limit_s is not None:
+        tbl = tbl.append_column(
+            "timed_out", pa.array([timed_out] * tbl.num_rows, pa.bool_()))
+    return tbl
 
 
 def fetch_doc_meta(index_dir: str, docids: Sequence[int]) -> pa.Table:

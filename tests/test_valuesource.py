@@ -225,3 +225,22 @@ def test_join_doc_freq(ray_session, vs_idx):
     # cat values (c0..c4) never appear in the text -> df 0 everywhere
     got = vs.evaluate(vs.JoinDocFreq("cat"), leaf, ctx, docs)
     assert (got == F(0.0)).all()
+
+
+def test_time_limiting_collector(ray_session, vs_idx):
+    """TimeLimitingCollector semantics: an expired budget returns PARTIAL
+    results flagged timed_out; a generous budget returns results identical
+    to the unlimited run with timed_out=False."""
+    from lucene_solr_old_ray.pipelines.search import search
+
+    full = search(vs_idx, {0: TermQuery("apple")}, k=5).to_pandas()
+    ok = search(vs_idx, {0: TermQuery("apple")}, k=5,
+                time_limit_s=60.0).to_pandas()
+    assert not ok["timed_out"].any()
+    assert ok["docid"].tolist() == full["docid"].tolist()
+    assert (ok["score"].values == full["score"].values).all()
+
+    # already-expired deadline: every unit aborts -> no hits, flagged
+    gone = search(vs_idx, {0: TermQuery("apple")}, k=5,
+                  time_limit_s=-1.0).to_pandas()
+    assert len(gone) == 0 or bool(gone["timed_out"].all())
