@@ -288,6 +288,37 @@ class ChainedFilterQuery:
 
 
 @dataclass(frozen=True)
+class FieldValueFilterQuery:
+    """Re-expresses ``search/FieldValueFilter.java:35-85``: the docID set
+    of docs that HAVE a value for ``field`` (``negate=True`` -> docs
+    missing it — the getDocsWithField complement). Constant score,
+    composable as a FilteredQuery filter."""
+
+    field: str
+    negate: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldCacheRangeFilterQuery:
+    """Re-expresses ``search/FieldCacheRangeFilter.java:60-300``: a range
+    filter answered from the FieldCache (doc-values) WITHOUT index terms —
+    ``kind="numeric"`` compares NUMERIC dv values (docs missing the field
+    are excluded via the missing bits, the newIntRange/getDocsWithField
+    pairing), ``kind="string"`` compares SORTED dv ordinals against the
+    bounds' ord positions (newStringRange; missing ord -1 never
+    matches)."""
+
+    field: str
+    lower: object = None
+    upper: object = None
+    include_lower: bool = True
+    include_upper: bool = True
+    kind: str = "numeric"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FilteredQuery:
     """Score by ``query``, restrict to docs matching ``filter`` — the filter
     contributes no score (``search/FilteredQuery.java``). Filter docID sets
@@ -400,6 +431,25 @@ def ngram_phrase_rewrite(q: "NGramPhraseQuery") -> PhraseQuery:
         idxs.append(k - 1)
     return PhraseQuery(tuple(q.terms[i] for i in idxs), 0, q.boost,
                        q.field, tuple(idxs))
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Re-expresses ``search/MultiPhraseQuery.java:50-290``: a phrase where
+    each position holds a SET of alternative terms (``add(Term[])``); a doc
+    matches when some choice per slot lines up. Scoring follows
+    MultiPhraseWeight: idf = float32 sum over ALL terms in termArrays order
+    (slot order, add order within a slot — ``TFIDFSimilarity.idfExplain``
+    phrase overload), freq from the per-slot UNION position stream (the
+    UnionDocsAndPositionsEnum; duplicate same-position alternatives count
+    once — the unique'd union). ``positions`` mirrors ``add(Term[], int)``
+    (explicit slot positions require slop == 0, like PhraseQuery here)."""
+
+    terms: tuple  # tuple of per-slot tuples of alternative terms
+    slop: int = 0
+    boost: float = 1.0
+    field: str | None = None
+    positions: tuple | None = None
 
 
 @dataclass(frozen=True)
@@ -743,6 +793,9 @@ def collect_terms(q: Query) -> set[str]:
         return {q.term} if q.field is None else set()
     if isinstance(q, PhraseQuery):
         return set(q.terms) if q.field is None else set()
+    if isinstance(q, MultiPhraseQuery):
+        return ({t for slot in q.terms for t in slot}
+                if q.field is None else set())
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for c in q.clauses:
@@ -801,6 +854,9 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
         return {(q.field, q.term)} if q.field is not None else set()
     if isinstance(q, PhraseQuery):
         return {(q.field, t) for t in q.terms} if q.field is not None else set()
+    if isinstance(q, MultiPhraseQuery):
+        return ({(q.field, t) for slot in q.terms for t in slot}
+                if q.field is not None else set())
     if isinstance(q, BooleanQuery):
         out: set[tuple[str, str]] = set()
         for c in q.clauses:

@@ -1004,6 +1004,10 @@ def _execute_raw(
         return _execute_phrase(q, leaf, ctx, boost)
     if isinstance(q, NGramPhraseQuery):
         return _execute_phrase(ngram_phrase_rewrite(q), leaf, ctx, boost)
+    from ..queries import MultiPhraseQuery
+
+    if isinstance(q, MultiPhraseQuery):
+        return _execute_multi_phrase(q, leaf, ctx, boost)
     if isinstance(q, ConstantScoreQuery):
         docs, _ = execute(q.query, leaf, ctx, 1.0)
         return docs, np.full(len(docs), np.float32(boost * q.boost), dtype=np.float32)
@@ -1015,8 +1019,53 @@ def _execute_raw(
                 else np.empty(0, dtype=np.int64))
         return docs, np.full(len(docs), np.float32(boost * q.boost),
                              dtype=np.float32)
-    from ..queries import BooleanFilterQuery, ChainedFilterQuery
+    from ..queries import (BooleanFilterQuery, ChainedFilterQuery,
+                           FieldCacheRangeFilterQuery, FieldValueFilterQuery)
 
+    if isinstance(q, FieldValueFilterQuery):
+        has = _docs_with_field(leaf, q.field)
+        if q.negate:
+            has = ~has
+        docs = np.flatnonzero(has).astype(np.int64)
+        return docs, np.full(len(docs), np.float32(boost * q.boost),
+                             dtype=np.float32)
+    if isinstance(q, FieldCacheRangeFilterQuery):
+        if q.kind == "numeric":
+            from ..state import docvalues as dvals
+
+            key = ("fcr_num", q.field)
+            cached = leaf._filter_cache.get(key)
+            if cached is None:
+                cached = dvals.read_numeric(leaf.dir, q.field)
+                leaf._filter_cache[key] = cached
+            arr, miss = cached
+            vals = np.asarray(arr)
+            m = np.ones(leaf.num_docs, dtype=bool) if miss is None \
+                else ~np.asarray(miss)
+            if q.lower is not None:
+                m &= (vals >= q.lower) if q.include_lower else (vals > q.lower)
+            if q.upper is not None:
+                m &= (vals <= q.upper) if q.include_upper else (vals < q.upper)
+        else:  # string: ordinal comparison against the bounds' positions
+            ords, values = leaf.dv_sorted(q.field)
+            o = np.asarray(ords)
+            m = o >= 0
+            if q.lower is not None:
+                lo = np.searchsorted(values, q.lower)
+                if not q.include_lower or (lo < len(values)
+                                           and values[lo] != q.lower):
+                    if lo < len(values) and values[lo] == q.lower:
+                        lo += 1
+                m &= o >= lo
+            if q.upper is not None:
+                hi = np.searchsorted(values, q.upper, side="right") - 1
+                if not q.include_upper and hi >= 0 \
+                        and values[hi] == q.upper:
+                    hi -= 1
+                m &= o <= hi
+        docs = np.flatnonzero(m).astype(np.int64)
+        return docs, np.full(len(docs), np.float32(boost * q.boost),
+                             dtype=np.float32)
     if isinstance(q, BooleanFilterQuery):
         # BooleanFilter.getDocIdSet order: SHOULDs OR'd, MUST_NOTs and-notted
         # (all-docs start when no positive clause yet), MUSTs and'd
@@ -1123,6 +1172,26 @@ def _execute_raw(
     raise TypeError(f"unknown query type {type(q)}")
 
 
+def _docs_with_field(leaf: LeafSearcher, field: str) -> np.ndarray:
+    """getDocsWithField (``search/FieldCache.java``): per-doc bool mask of
+    docs holding a value — SORTED ords >= 0, or NUMERIC ~missing bits."""
+    key = ("docs_with", field)
+    cached = leaf._filter_cache.get(key)
+    if cached is not None:
+        return cached
+    try:
+        ords, _vals = leaf.dv_sorted(field)
+        mask = np.asarray(ords) >= 0
+    except Exception:
+        from ..state import docvalues as dvals
+
+        arr, miss = dvals.read_numeric(leaf.dir, field)
+        mask = (np.ones(len(np.asarray(arr)), dtype=bool) if miss is None
+                else ~np.asarray(miss))
+    leaf._filter_cache[key] = mask
+    return mask
+
+
 def phrase_match_freqs(
     q: PhraseQuery, leaf: LeafSearcher
 ) -> tuple[LeafSearcher, np.ndarray, np.ndarray]:
@@ -1171,6 +1240,67 @@ def _execute_phrase(
     return docids, scores
 
 
+def _execute_multi_phrase(q, leaf: LeafSearcher, ctx: SearchContext,
+                          boost: float):
+    """MultiPhraseQuery scoring (``search/MultiPhraseQuery.java:176-290``):
+    each slot's position stream is the UNION of its alternative terms'
+    positions (UnionDocsAndPositionsEnum — unique'd, duplicate
+    same-position alternatives count once), then the usual exact/sloppy
+    phrase machinery runs; idf = float32 sum over ALL terms in termArrays
+    order (slot order, add order within a slot)."""
+    from ..queries import PhraseQuery
+
+    leaf = leaf.sibling(q.field)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    if not leaf.has_positions:
+        raise ValueError("index was built without positions (store_positions)")
+    # union (doc, tf, positions) per slot: merge each alternative's
+    # postings_with_positions into one synthetic stream
+    per_slot = []
+    for slot in q.terms:
+        parts = [leaf.postings_with_positions(t) for t in slot]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return empty
+        if len(parts) == 1:
+            per_slot.append(parts[0])
+            continue
+        keys = []
+        for d, _tfs, flat, starts in parts:
+            cnt = np.diff(starts)
+            docs_rep = np.repeat(d, cnt)
+            keys.append((docs_rep.astype(np.int64) << 32)
+                        | flat.astype(np.int64))
+        u = np.unique(np.concatenate(keys))
+        docs = (u >> 32)
+        di, first = np.unique(docs, return_index=True)
+        counts = np.diff(np.append(first, len(u)))
+        starts_u = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        per_slot.append((di, counts.astype(np.int64),
+                         (u & 0xFFFFFFFF).astype(np.int64), starts_u))
+
+    # delegate to the shared phrase match machinery via a synthetic leaf
+    # view: reuse _phrase_freqs_core on the per-slot streams
+    offs = (q.positions if getattr(q, "positions", None) is not None
+            else tuple(range(len(q.terms))))
+    if q.positions is not None and q.slop:
+        raise NotImplementedError(
+            "explicit phrase positions require slop == 0")
+    docids, freqs = _phrase_freqs_core(per_slot, offs, q.slop,
+                                       [tuple(slot) for slot in q.terms])
+    if len(docids) == 0:
+        return empty
+    sum_idf = np.float32(0.0)
+    for slot in q.terms:
+        for t in slot:
+            df = ctx.stats_for(q.field, t)[0]
+            sum_idf = np.float32(sum_idf + bm25.idf(df, ctx.coll.max_doc))
+    wv = bm25.weight_value(sum_idf, boost * q.boost)
+    scores = bm25.score_postings(
+        freqs, leaf.norms[docids], wv, ctx.cache_for(q.field))
+    return docids, scores
+
+
 def _phrase_freqs_raw(
     q: PhraseQuery, leaf: LeafSearcher
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -1181,18 +1311,29 @@ def _phrase_freqs_raw(
     per_term = [leaf.postings_with_positions(t) for t in q.terms]
     if any(len(p[0]) == 0 for p in per_term):
         return empty
+    offs = (q.positions if getattr(q, "positions", None) is not None
+            else tuple(range(len(q.terms))))
+    if q.positions is not None and q.slop:
+        raise NotImplementedError(
+            "explicit phrase positions require slop == 0")
+    return _phrase_freqs_core(per_term, offs, q.slop, list(q.terms))
+
+
+def _phrase_freqs_core(
+    per_term: list, offs, slop: int, slot_keys: list
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared exact/sloppy phrase match over per-slot position streams
+    (each ``(docids, tfs, flat_positions, starts)``); ``slot_keys`` carry
+    slot identity for the repeating-slot detection (term strings for
+    PhraseQuery, term tuples for MultiPhraseQuery)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
     base = per_term[0][0]
     for d, *_ in per_term[1:]:
         base = base[np.isin(base, d, assume_unique=True)]
     if len(base) == 0:
         return empty
 
-    k = len(q.terms)
-    offs = (q.positions if getattr(q, "positions", None) is not None
-            else tuple(range(k)))
-    if q.positions is not None and q.slop:
-        raise NotImplementedError(
-            "explicit phrase positions require slop == 0")
+    k = len(per_term)
     guard = max(offs) + 1  # keeps shifted positions non-negative in the key
 
     def keys_for(i: int) -> np.ndarray:
@@ -1213,7 +1354,6 @@ def _phrase_freqs_raw(
         return np.unique((docs_rep << 32) | pos)
 
     keys = [keys_for(i) for i in range(k)]
-    slop = q.slop
     if slop == 0:
         cand = keys[0]
         for kk in keys[1:]:
@@ -1223,7 +1363,7 @@ def _phrase_freqs_raw(
         di, cnt = np.unique(cand >> 32, return_counts=True)
         freqs = np.zeros(len(base), dtype=np.float32)
         freqs[di] = cnt
-    elif k == 2 and q.terms[0] != q.terms[1]:
+    elif k == 2 and slot_keys[0] != slot_keys[1]:
         from .sloppy import two_term_sloppy_freqs
 
         freqs = two_term_sloppy_freqs(keys[0], keys[1], slop, len(base))
@@ -1231,7 +1371,7 @@ def _phrase_freqs_raw(
         from .sloppy import sloppy_freq_doc
 
         tid = {}
-        term_ids = [tid.setdefault(t, len(tid)) for t in q.terms]
+        term_ids = [tid.setdefault(t, len(tid)) for t in slot_keys]
         docs_of = [kk >> 32 for kk in keys]
         pos_of = [kk & 0xFFFFFFFF for kk in keys]
         freqs = np.zeros(len(base), dtype=np.float32)

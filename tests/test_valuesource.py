@@ -244,3 +244,110 @@ def test_time_limiting_collector(ray_session, vs_idx):
     gone = search(vs_idx, {0: TermQuery("apple")}, k=5,
                   time_limit_s=-1.0).to_pandas()
     assert len(gone) == 0 or bool(gone["timed_out"].all())
+
+
+# --- MultiPhraseQuery ----------------------------------------------------------
+
+MP_DOCS = [
+    "blueberry pie",
+    "blueberry strudel",
+    "blueberry pizza",
+    "blueberry chewing gum",
+    "bluebird pizza",
+    "bluebird foobar pizza",
+    "piccadilly circus",
+]
+
+
+@pytest.fixture(scope="module")
+def mp_idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    tmp = tmp_path_factory.mktemp("mpidx")
+    path = str(tmp / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(MP_DOCS)), pa.int64()),
+        "text": pa.array(MP_DOCS, pa.string()),
+        "lang": pa.array(["en"] * len(MP_DOCS)),
+        "source": pa.array(["s"] * len(MP_DOCS)),
+    }), os.path.join(tmp / "documents.parquet"))
+    idx = str(tmp / "idx")
+    build_index(CorpusSpec.documents(str(tmp)), idx,
+                target_docs_per_partition=16)
+    return idx
+
+
+def test_multi_phrase_query(ray_session, mp_idx):
+    """TestMultiPhraseQuery.testPhrasePrefix shape: blueberry (pie|pizza)
+    matches exactly docs 0 and 2; single-alternative slots degrade to a
+    PhraseQuery bit-exactly; the sloppy path unions per slot too."""
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import MultiPhraseQuery, PhraseQuery
+
+    mp = MultiPhraseQuery((("blueberry",), ("pie", "pizza")))
+    res = search(mp_idx, {0: mp}, k=10).to_pandas()
+    assert sorted(res["docid"]) == [0, 2]
+
+    # single-term slots == PhraseQuery scores bit-exact? No — the idf sums
+    # differ only when slots hold >1 term; with 1-term slots they're equal
+    mp1 = MultiPhraseQuery((("blueberry",), ("pie",)))
+    p1 = PhraseQuery(("blueberry", "pie"))
+    a = search(mp_idx, {0: mp1}, k=10).to_pandas()
+    b = search(mp_idx, {0: p1}, k=10).to_pandas()
+    assert a["docid"].tolist() == b["docid"].tolist()
+    assert (a["score"].values == b["score"].values).all()
+
+    # sloppy: bluebird ~ pizza with a gap (doc 5) needs slop >= 1
+    mp2 = MultiPhraseQuery((("bluebird",), ("pizza",)), slop=1)
+    res = search(mp_idx, {0: mp2}, k=10).to_pandas()
+    assert sorted(res["docid"]) == [4, 5]
+
+    # idf sums over ALL alternatives: the 2-alt query scores differently
+    # from the 1-alt query on the same matching doc
+    s_multi = dict(zip(*[search(mp_idx, {0: mp}, k=10).to_pandas()[c]
+                         for c in ("docid", "score")]))
+    s_single = dict(zip(a["docid"], a["score"]))
+    assert s_multi[0] != s_single[0]
+
+
+# --- FieldValueFilter / FieldCacheRangeFilter ---------------------------------
+
+
+def test_field_cache_range_filter(ray_session, vs_idx):
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import (FieldCacheRangeFilterQuery,
+                                             FieldValueFilterQuery,
+                                             FilteredQuery)
+
+    # numeric range over the dv sidecar: 30 <= val < 70 -> docs 3..6
+    f = FieldCacheRangeFilterQuery("val", 30, 70, True, False)
+    res = search(vs_idx, {0: f}, k=20).to_pandas()
+    assert sorted(res["docid"]) == [3, 4, 5, 6]
+
+    # string (ordinal) range over cat: c1 <= cat <= c2
+    f = FieldCacheRangeFilterQuery("cat", "c1", "c2", True, True,
+                                   kind="string")
+    res = search(vs_idx, {0: f}, k=20).to_pandas()
+    want = [i for i in range(N) if f"c{i % 5}" in ("c1", "c2")]
+    assert sorted(res["docid"]) == want
+
+    # exclusive string bounds
+    f = FieldCacheRangeFilterQuery("cat", "c1", "c3", False, False,
+                                   kind="string")
+    res = search(vs_idx, {0: f}, k=20).to_pandas()
+    want = [i for i in range(N) if f"c{i % 5}" == "c2"]
+    assert sorted(res["docid"]) == want
+
+    # FieldValueFilter: every doc has cat; negate matches nothing
+    res = search(vs_idx, {0: FieldValueFilterQuery("cat")}, k=20).to_pandas()
+    assert len(res) == N
+    res = search(vs_idx, {0: FieldValueFilterQuery("cat", negate=True)},
+                 k=20).to_pandas()
+    assert len(res) == 0
+
+    # composable as a FilteredQuery filter: scores ride the wrapped query
+    fq = FilteredQuery(TermQuery("apple"),
+                       FieldCacheRangeFilterQuery("val", 0, 40, True, True))
+    res = search(vs_idx, {0: fq}, k=20).to_pandas()
+    assert set(res["docid"]) <= {0, 1, 2, 3, 4}
