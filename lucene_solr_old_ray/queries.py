@@ -319,6 +319,21 @@ class FieldCacheRangeFilterQuery:
 
 
 @dataclass(frozen=True)
+class DocTermOrdsRangeFilterQuery:
+    """Re-expresses ``search/DocTermOrdsRangeFilter.java:40-120``: the
+    multi-valued sibling of FieldCacheRangeFilter — a doc matches when ANY
+    of its SORTED_SET values' ordinals falls inside the bounds' ord range
+    (newBytesRefRange semantics; docs with no values never match)."""
+
+    field: str
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FilteredQuery:
     """Score by ``query``, restrict to docs matching ``filter`` — the filter
     contributes no score (``search/FilteredQuery.java``). Filter docID sets

@@ -1020,7 +1020,34 @@ def _execute_raw(
         return docs, np.full(len(docs), np.float32(boost * q.boost),
                              dtype=np.float32)
     from ..queries import (BooleanFilterQuery, ChainedFilterQuery,
+                           DocTermOrdsRangeFilterQuery,
                            FieldCacheRangeFilterQuery, FieldValueFilterQuery)
+
+    if isinstance(q, DocTermOrdsRangeFilterQuery):
+        offsets, flat_ords, values = leaf.dv_sorted_set(q.field)
+        lo = 0
+        if q.lower is not None:
+            lo = int(np.searchsorted(values, q.lower))
+            if lo < len(values) and values[lo] == q.lower \
+                    and not q.include_lower:
+                lo += 1
+        hi = len(values) - 1
+        if q.upper is not None:
+            hi = int(np.searchsorted(values, q.upper, side="right")) - 1
+            if hi >= 0 and values[hi] == q.upper and not q.include_upper:
+                hi -= 1
+        flat = np.asarray(flat_ords)
+        in_range = (flat >= lo) & (flat <= hi)
+        # any-value-matches per doc: max over each doc's slice
+        per_doc = np.zeros(leaf.num_docs, dtype=bool)
+        if in_range.any():
+            offs = np.asarray(offsets)
+            hits = np.flatnonzero(in_range)
+            docs_of = np.searchsorted(offs, hits, side="right") - 1
+            per_doc[np.unique(docs_of)] = True
+        docs = np.flatnonzero(per_doc).astype(np.int64)
+        return docs, np.full(len(docs), np.float32(boost * q.boost),
+                             dtype=np.float32)
 
     if isinstance(q, FieldValueFilterQuery):
         has = _docs_with_field(leaf, q.field)

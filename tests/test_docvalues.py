@@ -171,3 +171,41 @@ def test_sorted_set_facet_through_build_and_merge(ray_session, tmp_path_factory)
     # docs 0, 1, 3 match 'spark': etl x3, hot x2, ui x1
     assert dict(zip(out["tags"], out["count"])) == {
         "etl": 3, "hot": 2, "ui": 1}
+
+
+def test_doc_term_ords_range_filter(ray_session, tmp_path_factory):
+    """DocTermOrdsRangeFilter: a doc matches when ANY of its SORTED_SET
+    values falls in the (ordinal) range; docs with no values never match."""
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import DocTermOrdsRangeFilterQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    root = tmp_path_factory.mktemp("dtor")
+    docs = ["a one", "a two", "a three", "a four"]
+    tags = [["apple", "zebra"], ["mango"], ["banana"], []]
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "body": pa.array(docs, pa.string()),
+        "tags": pa.array(tags, pa.list_(pa.string())),
+    }), path)
+    idx = str(root / "idx")
+    build_index(CorpusSpec(files=(path,), content_col="body",
+                           meta_cols=("doc_id", "tags")), idx,
+                target_docs_per_partition=4)
+
+    def hits(**kw):
+        res = search(idx, {0: DocTermOrdsRangeFilterQuery("tags", **kw)},
+                     k=10).to_pandas()
+        return sorted(res["docid"].tolist())
+
+    # [apple, mango]: docs 0 (apple), 2 (banana), 1 (mango); never doc 3
+    assert hits(lower="apple", upper="mango") == [0, 1, 2]
+    # exclusive bounds trim the exact endpoints
+    assert hits(lower="apple", upper="mango", include_lower=False) == [1, 2]
+    assert hits(lower="apple", upper="mango", include_upper=False) == [0, 2]
+    # any-value semantics: doc 0 matches via zebra even though apple is out
+    assert hits(lower="n", upper=None) == [0]
+    # open lower bound
+    assert hits(lower=None, upper="b") == [0]
