@@ -1,0 +1,75 @@
+"""DateTools — term-order-preserving date<->string encoding.
+
+Re-expresses (NOT ports) ``document/DateTools.java:40-170``: dates render
+as GMT ``yyyyMMddHHmmssSSS`` prefixes (length picks the resolution: 4=YEAR,
+6=MONTH, 8=DAY, 10=HOUR, 12=MINUTE, 14=SECOND, 17=MILLISECOND), rounded
+DOWN to the resolution first (the deliberate switch fall-through zeroing
+every finer field). String order == chronological order, so the encoded
+terms range/sort correctly in the term dictionary — pair with
+TermRangeQuery for date ranges.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+_FORMAT = "%Y%m%d%H%M%S"
+RESOLUTIONS = {
+    "year": 4, "month": 6, "day": 8, "hour": 10,
+    "minute": 12, "second": 14, "millisecond": 17,
+}
+_LEN_TO_RES = {v: k for k, v in RESOLUTIONS.items()}
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def round_time(time_ms: int, resolution: str) -> int:
+    """``DateTools.round(long, Resolution)`` — zero every field finer than
+    the resolution (GMT calendar)."""
+    if resolution not in RESOLUTIONS:
+        raise ValueError(f"unknown resolution {resolution}")
+    d = _EPOCH + _dt.timedelta(milliseconds=int(time_ms))
+    ms = d.microsecond // 1000
+    parts = dict(year=d.year, month=d.month, day=d.day, hour=d.hour,
+                 minute=d.minute, second=d.second, ms=ms)
+    order = ["year", "month", "day", "hour", "minute", "second", "ms"]
+    keep = RESOLUTIONS[resolution]
+    keep_n = {4: 1, 6: 2, 8: 3, 10: 4, 12: 5, 14: 6, 17: 7}[keep]
+    defaults = dict(year=None, month=1, day=1, hour=0, minute=0, second=0,
+                    ms=0)
+    for f in order[keep_n:]:
+        parts[f] = defaults[f]
+    out = _dt.datetime(parts["year"], parts["month"], parts["day"],
+                       parts["hour"], parts["minute"], parts["second"],
+                       parts["ms"] * 1000, tzinfo=_dt.timezone.utc)
+    return int((out - _EPOCH).total_seconds() * 1000)
+
+
+def time_to_string(time_ms: int, resolution: str) -> str:
+    """``DateTools.timeToString`` — round then format the prefix."""
+    t = round_time(time_ms, resolution)
+    d = _EPOCH + _dt.timedelta(milliseconds=t)
+    base = d.strftime(_FORMAT) + f"{d.microsecond // 1000:03d}"
+    return base[: RESOLUTIONS[resolution]]
+
+
+def date_to_string(d: _dt.datetime, resolution: str) -> str:
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    ms = int((d - _EPOCH).total_seconds() * 1000)
+    return time_to_string(ms, resolution)
+
+
+def string_to_time(s: str) -> int:
+    """``DateTools.stringToTime`` — the string length picks the format."""
+    if len(s) not in _LEN_TO_RES or not s.isdigit():
+        raise ValueError(f"Input is not a valid date string: {s}")
+    # pad with field defaults: month/day default to 01, finer fields to 0
+    full = (s + "0101000000000"[len(s) - 4:]
+            if len(s) < 8 else s + "0" * (17 - len(s)))
+    d = _dt.datetime.strptime(full[:14], _FORMAT).replace(
+        microsecond=int(full[14:17]) * 1000, tzinfo=_dt.timezone.utc)
+    return int((d - _EPOCH).total_seconds() * 1000)
+
+
+def string_to_date(s: str) -> _dt.datetime:
+    return _EPOCH + _dt.timedelta(milliseconds=string_to_time(s))

@@ -76,6 +76,102 @@ def facet_counts(index_dir: str, query: Query, facet_col: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def group_facet_counts(
+    index_dir: str, query: Query, group_field: str, facet_field: str,
+    prefix: str | None = None, size: int = 10, min_count: int = 1,
+    order_by_count: bool = True,
+) -> tuple[pa.Table, int, int]:
+    """TermGroupFacetCollector (``grouping/term/TermGroupFacetCollector
+    .java:60-280`` + ``AbstractGroupFacetCollector.mergeSegmentResults``):
+    per facet value, the number of DISTINCT GROUPS among the query's
+    matches — with the reference's segment-scoped dedup faithfully kept
+    (``mergeSegmentResults`` SUMS per-segment counts, so a group spanning
+    segments counts once per segment). Facet field may be single-valued
+    (SORTED) or multi-valued (SORTED_SET — the MV collector); a match
+    whose facet is missing/empty adds its group to the missing bucket.
+    -> (table (value, count) ordered by (count desc, value) or value,
+    trimmed to ``size`` with ``min_count``, total_count, total_missing)."""
+    from ..state import docvalues as dvals
+
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put(query)
+
+    def leaf_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            gords = np.asarray(leaf.dv_sorted(group_field)[0])[docids]
+            kind = dvals.field_kind(os.path.join(index_dir, row["dir"]),
+                                    facet_field)
+            if kind == "sorted_set":
+                offs, flat, fvalues = leaf.dv_sorted_set(facet_field)
+                offs = np.asarray(offs)
+                cnt = (offs[docids + 1] - offs[docids]).astype(np.int64)
+                g_rep = np.repeat(gords, cnt)
+                idx = (np.arange(int(cnt.sum()), dtype=np.int64)
+                       - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                       + np.repeat(offs[docids].astype(np.int64), cnt))
+                fords = np.asarray(flat)[idx]
+                miss_groups = np.unique(gords[cnt == 0])
+            else:
+                fvalues = leaf.dv_sorted(facet_field)[1]
+                fords = np.asarray(leaf.dv_sorted(facet_field)[0])[docids]
+                g_rep = gords
+                miss_groups = np.unique(g_rep[fords < 0])
+                keep = fords >= 0
+                g_rep, fords = g_rep[keep], fords[keep]
+            # segment-scoped distinct (group, facet) pairs
+            pair = (g_rep.astype(np.int64) << 32) | fords.astype(np.int64)
+            u = np.unique(pair)
+            fo = (u & 0xFFFFFFFF).astype(np.int64)
+            c = np.bincount(fo, minlength=len(fvalues))
+            nz = np.nonzero(c)[0]
+            parts.append(pd.DataFrame({
+                "value": fvalues[nz], "count": c[nz],
+                "missing": 0}))
+            parts.append(pd.DataFrame({
+                "value": pd.Series([None], dtype=object),
+                "count": pd.Series([0], dtype="int64"),
+                "missing": pd.Series([len(miss_groups)], dtype="int64")}))
+        if not parts:
+            return pd.DataFrame({"value": pd.Series([], dtype=object),
+                                 "count": pd.Series([], dtype="int64"),
+                                 "missing": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_counts, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0 or "value" not in partials.columns:
+        empty = pa.table({"value": pa.array([], pa.string()),
+                          "count": pa.array([], pa.int64())})
+        return empty, 0, 0
+    total_missing = int(partials["missing"].sum())
+    vals = partials[partials["value"].notna()]
+    agg = vals.groupby("value", as_index=False)["count"].sum()
+    if prefix is not None:
+        agg = agg[agg["value"].astype(str).str.startswith(prefix)]
+    total_count = int(agg["count"].sum())
+    agg = agg[agg["count"] >= min_count]
+    if order_by_count:  # (count desc, value asc) — orderByCountAndValue
+        agg = agg.sort_values(["count", "value"],
+                              ascending=[False, True])
+    else:
+        agg = agg.sort_values("value")
+    agg = agg.head(size).reset_index(drop=True)
+    return (pa.Table.from_pandas(agg, preserve_index=False),
+            total_count, total_missing)
+
+
 # TotalFacetCountsCache analogue: (index generation, field) -> total counts
 # table (``facet/complements/TotalFacetCountsCache.java`` keys on the index
 # commit; the manifest generation is this engine's commit identity)

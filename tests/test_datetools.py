@@ -1,0 +1,54 @@
+"""DateTools (document/DateTools.java) — TestDateTools-shaped vectors."""
+
+import datetime
+
+import pytest
+
+from lucene_solr_old_ray.functions import datetools as dt
+
+UTC = datetime.timezone.utc
+
+
+def test_time_to_string_and_resolutions():
+    assert dt.time_to_string(0, "millisecond") == "19700101000000000"
+    assert dt.time_to_string(0, "year") == "1970"
+    d = datetime.datetime(2004, 2, 3, 22, 8, 23, 333000, tzinfo=UTC)
+    cases = {"year": "2004", "month": "200402", "day": "20040203",
+             "hour": "2004020322", "minute": "200402032208",
+             "second": "20040203220823",
+             "millisecond": "20040203220823333"}
+    for res, want in cases.items():
+        assert dt.date_to_string(d, res) == want
+
+
+def test_string_to_date_round_trip():
+    assert dt.string_to_date("2004").isoformat() == \
+        "2004-01-01T00:00:00+00:00"
+    assert dt.string_to_date("20040203").isoformat() == \
+        "2004-02-03T00:00:00+00:00"
+    assert dt.string_to_time("19700101000000000") == 0
+    ms = 1075846103333  # 2004-02-03 22:08:23.333 UTC
+    for res in dt.RESOLUTIONS:
+        s = dt.time_to_string(ms, res)
+        assert dt.string_to_time(s) == dt.round_time(ms, res)
+
+
+def test_lexicographic_equals_chronological():
+    days = [datetime.datetime(2004, m, d, tzinfo=UTC)
+            for m in (1, 2, 12) for d in (1, 15, 28)]
+    strs = [dt.date_to_string(x, "day") for x in days]
+    assert strs == sorted(strs)
+
+
+def test_round_fallthrough():
+    # the deliberate switch fall-through: each resolution zeroes every
+    # finer field
+    ms = 1075846103333
+    assert dt.round_time(ms, "hour") % (60 * 60 * 1000) == 0
+    assert dt.round_time(ms, "day") % (24 * 60 * 60 * 1000) == 0
+
+
+def test_invalid_strings_raise():
+    for bad in ("xxxx", "200", "20040", "2004020322082333"):
+        with pytest.raises(ValueError):
+            dt.string_to_date(bad)

@@ -245,3 +245,74 @@ def test_chained_filter(ray_session, group_idx):
     pscore = dict(zip(plain["docid"], plain["score"]))
     assert all(np.float32(s) == np.float32(pscore[d])
                for d, s in zip(scored["docid"], scored["score"]))
+
+
+def test_group_facet_counts(ray_session, tmp_path_factory):
+    """TermGroupFacetCollector (AllGroupsCollector-style oracle): per facet
+    value count the DISTINCT groups among the matches; multi-valued facet
+    sets count each member once per group; groups whose matched docs lack
+    the facet land in the missing bucket; (count desc, value asc) order."""
+    from lucene_solr_old_ray.pipelines.analytics import group_facet_counts
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    root = tmp_path_factory.mktemp("gfc")
+    #          group  facets
+    rows = [("g1", ["a", "b"]), ("g1", ["a"]), ("g2", ["a"]),
+            ("g2", ["c"]), ("g3", []), ("g3", ["b"])]
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "body": pa.array(["match word"] * len(rows), pa.string()),
+        "grp": pa.array([g for g, _ in rows]),
+        "tags": pa.array([t for _, t in rows], pa.list_(pa.string())),
+    }), path)
+    idx = str(root / "idx")
+    build_index(CorpusSpec(files=(path,), content_col="body",
+                           meta_cols=("doc_id", "grp", "tags")), idx,
+                target_docs_per_partition=len(rows))  # single segment
+
+    tbl, total, missing = group_facet_counts(
+        idx, TermQuery("match"), "grp", "tags")
+    got = dict(zip(tbl.to_pandas()["value"], tbl.to_pandas()["count"]))
+    # a: groups g1, g2 -> 2; b: g1, g3 -> 2; c: g2 -> 1
+    assert got == {"a": 2, "b": 2, "c": 1}
+    # order: (count desc, value asc)
+    assert tbl.to_pandas()["value"].tolist() == ["a", "b", "c"]
+    assert total == 5
+    assert missing == 1  # g3 has a doc with no tags
+
+    # prefix + min_count trims
+    tbl2, total2, _ = group_facet_counts(
+        idx, TermQuery("match"), "grp", "tags", prefix="a")
+    assert dict(zip(tbl2.to_pandas()["value"],
+                    tbl2.to_pandas()["count"])) == {"a": 2}
+    assert total2 == 2
+    tbl3, _, _ = group_facet_counts(
+        idx, TermQuery("match"), "grp", "tags", min_count=2)
+    assert tbl3.to_pandas()["value"].tolist() == ["a", "b"]
+
+
+def test_group_facet_counts_segment_scoped_quirk(ray_session,
+                                                 tmp_path_factory):
+    """mergeSegmentResults SUMS per-segment distinct-group counts — a group
+    spanning two segments contributes once PER SEGMENT (bug-faithful)."""
+    from lucene_solr_old_ray.pipelines.analytics import group_facet_counts
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    root = tmp_path_factory.mktemp("gfc2")
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "body": pa.array(["match"] * 4, pa.string()),
+        "grp": pa.array(["g1", "g1", "g1", "g1"]),
+        "tags": pa.array([["a"]] * 4, pa.list_(pa.string())),
+    }), path)
+    idx = str(root / "idx")
+    build_index(CorpusSpec(files=(path,), content_col="body",
+                           meta_cols=("doc_id", "grp", "tags")), idx,
+                target_docs_per_partition=2)  # two segments
+    tbl, _, _ = group_facet_counts(idx, TermQuery("match"), "grp", "tags")
+    got = dict(zip(tbl.to_pandas()["value"], tbl.to_pandas()["count"]))
+    assert got == {"a": 2}  # one per segment, not one globally
