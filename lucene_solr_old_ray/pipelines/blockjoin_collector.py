@@ -153,3 +153,121 @@ def block_join_top_groups(
     })
     o = np.lexsort((t["child_rank"].to_numpy(), t["parent_rank"].to_numpy()))
     return t.take(o)
+
+
+def block_grouping_top_groups(
+    index_dir: str,
+    query,
+    group_end_query,
+    *,
+    k_groups: int = 10,
+    max_docs_per_group: int = 10,
+) -> pa.Table:
+    """BlockGroupingCollector analogue (``grouping/BlockGroupingCollector
+    .java:60-330``): for block-indexed groups (each group's docs contiguous,
+    ``group_end_query`` matching the LAST doc of every block), rank groups
+    by their BEST matching doc's score (relevance groupSort — the
+    ``Sort.RELEVANCE`` path) and return each selected group's top docs.
+
+    -> (group_ord 1-based, group_score, group_hits, rank, docid, score)
+    ordered by (group_ord, rank); group_hits is GroupDocs.totalHits.
+    Groups rank (score desc, group-head docid asc — the TopDocs tie rule).
+
+    Distribution shape: blocks never straddle leaves, so each leaf emits
+    its own top-``k_groups`` candidate groups (with per-group top docs,
+    a k-bounded partial), and the driver merges — never the full match
+    set."""
+    import ray
+    import ray.data
+
+    from .search import _leaves, _open_leaf, gather_stats
+    from ..queries import collect_field_terms, collect_terms
+    from ..stages.search import execute
+
+    manifest = mf.read_index_manifest(index_dir)
+    terms = sorted(collect_terms(query) | collect_terms(group_end_query))
+    fterms = sorted(collect_field_terms(query)
+                    | collect_field_terms(group_end_query))
+    ctx = gather_stats(index_dir, manifest, terms, field_terms=fterms)
+    ctx_ref = ray.put(ctx)
+    q_ref = ray.put((query, group_end_query))
+
+    def leaf_groups(batch: pd.DataFrame) -> pd.DataFrame:
+        q, geq = ray.get(q_ref)
+        ctx_l = ray.get(ctx_ref)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            ends = execute(geq, leaf, ctx_l)[0]
+            if len(ends) == 0:
+                continue
+            docids, scores = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            gidx = np.searchsorted(ends, docids)
+            ok = gidx < len(ends)  # docs past the last end belong nowhere
+            docids, scores, gidx = docids[ok], scores[ok], gidx[ok]
+            if len(docids) == 0:
+                continue
+            # per-group best score + head doc + hit count
+            order = np.lexsort((docids, -scores.astype(np.float64), gidx))
+            d_s, s_s, g_s = docids[order], scores[order], gidx[order]
+            first = np.unique(g_s, return_index=True)[1]
+            counts = np.diff(np.append(first, len(g_s)))
+            gscore = s_s[first]
+            ghead = d_s[first]
+            # leaf-local top k_groups candidate groups
+            sel = np.lexsort((ghead, -gscore.astype(np.float64)))[:k_groups]
+            for si in sel:
+                lo = first[si]
+                n = min(int(counts[si]), max_docs_per_group)
+                parts.append(pd.DataFrame({
+                    "gscore": np.float32(gscore[si]),
+                    "ghead": int(ghead[si]) + leaf.doc_base,
+                    "ghits": int(counts[si]),
+                    "rank": np.arange(1, n + 1, dtype=np.int32),
+                    "docid": d_s[lo:lo + n] + leaf.doc_base,
+                    "score": s_s[lo:lo + n],
+                }))
+        if not parts:
+            return pd.DataFrame({
+                "gscore": pd.Series([], dtype="float32"),
+                "ghead": pd.Series([], dtype="int64"),
+                "ghits": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int32"),
+                "docid": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float32")})
+        return pd.concat(parts, ignore_index=True)
+
+    leaves = _leaves(manifest)
+    items = [
+        {"dir": l["dir"], "doc_base": l["doc_base"], "leaf_ord": i,
+         "num_docs": l["num_docs"], "deletes": l.get("deletes")}
+        for i, l in enumerate(leaves)
+    ]
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    rows = ds.map_batches(leaf_groups, batch_format="pandas",
+                          batch_size=4).to_pandas()
+    if len(rows) == 0 or "ghead" not in rows.columns:
+        return pa.table({"group_ord": pa.array([], pa.int32()),
+                         "group_score": pa.array([], pa.float32()),
+                         "group_hits": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "docid": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+    heads = (rows.drop_duplicates("ghead")
+             .sort_values(["gscore", "ghead"], ascending=[False, True])
+             .head(k_groups))
+    out = []
+    for gord, (_, h) in enumerate(heads.iterrows(), start=1):
+        sub = rows[rows["ghead"] == h["ghead"]].sort_values("rank")
+        out.append(pd.DataFrame({
+            "group_ord": np.int32(gord),
+            "group_score": np.float32(h["gscore"]),
+            "group_hits": int(h["ghits"]),
+            "rank": sub["rank"].to_numpy(),
+            "docid": sub["docid"].to_numpy(),
+            "score": sub["score"].to_numpy(),
+        }))
+    res = pd.concat(out, ignore_index=True)
+    return pa.Table.from_pandas(res, preserve_index=False)

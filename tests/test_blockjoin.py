@@ -302,3 +302,42 @@ def test_top_groups_multi_leaf(ray_session, tmp_path):
     assert groups == {2: [0, 1], 6: [4], 13: [11]}
     res = search(idx, {0: q}, k=10).to_pandas()
     assert set(out["parent_docid"]) == set(res["docid"])
+
+
+def test_block_grouping_collector(block_index):
+    """BlockGroupingCollector (grouping/BlockGroupingCollector.java): the
+    group-end filter marks each block's LAST doc (the parent here); groups
+    rank by their best matching doc's score; each returns its top docs and
+    GroupDocs.totalHits."""
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        block_grouping_top_groups,
+    )
+
+    res = block_grouping_top_groups(
+        block_index, TermQuery("java"),
+        TermQuery("parent", field="doctype"),
+        k_groups=3, max_docs_per_group=2,
+    ).to_pandas()
+
+    # oracle: child scores from the raw term query, grouped by parent block
+    child, parents = _child_scores(block_index, "java")
+    gidx = np.searchsorted(parents, child["docid"].to_numpy())
+    child = child.assign(g=gidx)
+    best = (child.groupby("g")
+            .agg(gscore=("score", "max"), ghits=("score", "size"))
+            .reset_index()
+            .sort_values(["gscore", "g"], ascending=[False, True]))
+
+    got_groups = res.drop_duplicates("group_ord")
+    assert len(got_groups) == min(3, len(best))
+    for (_, want), (_, got) in zip(best.head(3).iterrows(),
+                                   got_groups.iterrows()):
+        assert np.float32(got["group_score"]) == np.float32(want["gscore"])
+        assert int(got["group_hits"]) == int(want["ghits"])
+    # within-group: top docs by (score desc, docid asc), <= 2 each
+    for gord, sub in res.groupby("group_ord"):
+        g = int(child[child["docid"].isin(sub["docid"])]["g"].iloc[0])
+        gc = child[child["g"] == g].sort_values(
+            ["score", "docid"], ascending=[False, True])
+        want_docs = gc.head(2)["docid"].tolist()
+        assert sub.sort_values("rank")["docid"].tolist() == want_docs
