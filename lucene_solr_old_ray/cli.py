@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--algo", choices=["exhaustive", "wand"], default="wand")
+    s.add_argument("--similarity", default="bm25",
+                   help="bm25 | classic | sweetspot:... | dfr:<m>:<ae>:<n> "
+                        "| ib:<d>:<l>:<n> | lmdirichlet[:mu] | lmjm:<l> "
+                        "| multi:<spec>+<spec>")
+    s.add_argument("--time-limit", type=float, default=None,
+                   help="TimeLimitingCollector budget in seconds "
+                        "(partial results flagged timed_out)")
 
     st = sub.add_parser("stats", help="print the latest manifest")
     st.add_argument("--index", required=True)
@@ -133,7 +140,9 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.search import fetch_doc_meta, search
         from .queries import parse
 
-        res = search(args.index, {0: parse(args.query)}, k=args.k, algo=args.algo)
+        res = search(args.index, {0: parse(args.query)}, k=args.k,
+                     algo=args.algo, similarity=args.similarity,
+                     time_limit_s=args.time_limit)
         meta = fetch_doc_meta(args.index, res["docid"].to_pylist()).to_pandas()
         meta = meta.set_index("docid")
         for row in res.to_pylist():
