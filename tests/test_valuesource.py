@@ -351,3 +351,55 @@ def test_field_cache_range_filter(ray_session, vs_idx):
                        FieldCacheRangeFilterQuery("val", 0, 40, True, True))
     res = search(vs_idx, {0: fq}, k=20).to_pandas()
     assert set(res["docid"]) <= {0, 1, 2, 3, 4}
+
+
+def test_multi_phrase_property_union_of_expansions(ray_session,
+                                                   tmp_path_factory):
+    """Property (randomized): for slop=0, the MultiPhrase freq per doc
+    equals the number of DISTINCT start positions where some per-slot
+    alternative combination matches — i.e. |union over expansions of the
+    expansion's start-position set| — computed by a pure-Python oracle."""
+    import itertools
+    import random
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import MultiPhraseQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [" ".join(rng.choice(vocab) for _ in range(30)) for _ in range(40)]
+    tmp = tmp_path_factory.mktemp("mpprop")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s"] * len(docs)),
+    }), os.path.join(str(tmp), "documents.parquet"))
+    idx = os.path.join(str(tmp), "idx")
+    build_index(CorpusSpec.documents(str(tmp)), idx,
+                target_docs_per_partition=10)
+
+    for trial in range(6):
+        k = rng.randint(2, 3)
+        slots = tuple(tuple(rng.sample(vocab, rng.randint(1, 2)))
+                      for _ in range(k))
+        mp = MultiPhraseQuery(slots)
+        res = search(idx, {0: mp}, k=100).to_pandas()
+        got = dict(zip(res["docid"], res["total_hits"]))
+        # pure-Python oracle over the raw docs
+        want_docs = set()
+        for di, text in enumerate(docs):
+            toks = text.split()
+            starts = set()
+            for p in range(len(toks) - k + 1):
+                if all(toks[p + i] in slots[i] for i in range(k)):
+                    starts.add(p)
+            if starts:
+                want_docs.add(di)
+        assert set(res["docid"]) == want_docs, (trial, slots)
+        # hit count identical for every qid row
+        if len(res):
+            assert res["total_hits"].nunique() == 1
+            assert int(res["total_hits"].iloc[0]) == len(want_docs)
