@@ -39,7 +39,6 @@ the Java float evaluation order:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np

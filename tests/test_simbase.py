@@ -313,7 +313,6 @@ def test_simbase_duckdb_oracle(ray_session, spec):
     matches the float32-exact DuckDB oracle (sqlgen.simbase_bool_sql) on the
     real testdata corpus — ranks, doc_ids AND float32 score bits."""
     import duckdb
-    import pandas as pd
 
     import __ray_entry__ as entry
     import lucene_solr_old_ray.sqlgen as g

@@ -359,7 +359,6 @@ def test_multi_phrase_property_union_of_expansions(ray_session,
     equals the number of DISTINCT start positions where some per-slot
     alternative combination matches — i.e. |union over expansions of the
     expansion's start-position set| — computed by a pure-Python oracle."""
-    import itertools
     import random
 
     from lucene_solr_old_ray.pipelines.build_index import build_index
