@@ -22,9 +22,19 @@ span_near_unordered_hits -> sort_multi_page2, token_count_by_lang ->
 classify_knn, doc_fingerprints -> spatial_knn — the last swap upgraded a
 rows-only slot to an exact integer oracle, so the ledger is 48 exact + 2
 rows-only; late-r4: sort_by_len_top10 -> facet_sum_nchars, single-key
-field sort being subsumed by sort_multi_page2) remain fully pytest-covered
-(tests/test_{numeric_mlt,advanced,highlight,extras,search,spans}.py) and
-their SQL generators remain in sqlgen.py.
+field sort being subsumed by sort_multi_page2; r5 swaps giving the round-5
+operators oracle-checked rows: doc_norms -> block_join_topgroups (norm
+bytes stay transitively checked by every BM25 entry + exact
+floatToByte315 parity in tests/test_smallfloat.py),
+bm25_field_source_top10 -> multi_phrase_top10 (field-qualified scoring is
+subsumed by bm25_cross_field_top10's source:src3 MUST),
+facet_counts_source -> group_facet_src_by_lang (flat value counts are the
+weights=None case of facet_sum_nchars' ord-bincount path + pytest),
+jaccard_ngram_pairs -> dv_range_filtered_top10 (ngram shingling shares
+the prefix-filtered PPJoin machinery of the still-green jaccard_pairs;
+tests/test_extras.py keeps the exact-pairs assertion)) remain fully
+pytest-covered (tests/test_{numeric_mlt,advanced,highlight,extras,search,
+spans}.py) and their SQL generators remain in sqlgen.py.
 
 Indexes are built (resumably) under /tmp/lsor_cache/<sf-tag>/ on first use and
 reused across calls — rebuilding is a no-op thanks to per-partition manifests.
@@ -42,7 +52,6 @@ import pyarrow.parquet as pq
 
 from lucene_solr_old_ray import sqlgen
 from lucene_solr_old_ray.pipelines.analytics import (
-    facet_counts,
     group_topk,
     match_doc_ids,
 )
@@ -410,23 +419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["term_stats"] = term_stats
 
-    def doc_norms(sf_dir: str) -> pa.Table:
-        """Per-doc analyzed field length + quantized norm byte (floatToByte315)."""
-        import ray.data
-
-        idx = _index_for(sf_dir)
-        man = mf.read_index_manifest(idx)
-        files = [os.path.join(idx, s["dir"], "docmap.parquet")
-                 for s in man["segments"]]
-        ds = ray.data.read_parquet(files, columns=["doc_id", "field_len", "norm_byte"])
-        t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-        return pa.table({
-            "doc_id": t["doc_id"].cast(pa.int64()),
-            "field_len": t["field_len"].cast(pa.int64()),
-            "norm_byte": t["norm_byte"].cast(pa.int64()),
-        })
-
-    q["doc_norms"] = doc_norms
+    # (doc_norms consolidated out r5 — norm bytes are transitively
+    # oracle-checked by every BM25/classic entry and bit-exactly by
+    # tests/test_smallfloat.py — slot reused for block_join_topgroups)
 
     # --- BM25 ranked retrieval -------------------------------------------
     q["bm25_top10_term"] = lambda sf: _bm25_result(_index_for(sf), TermQuery("spark"))
@@ -473,9 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["wdf_bm25_top10"] = lambda sf: _bm25_result(
         _index_for_wdf(sf), TermQuery("dup"))
 
-    # --- multi-field: the `source` column is a second indexed field --------
-    q["bm25_field_source_top10"] = lambda sf: _bm25_result(
-        _index_for(sf), TermQuery("src3", field="source"))
+    # (bm25_field_source_top10 consolidated out r5 — field-qualified
+    # keyword scoring stays green inside bm25_cross_field_top10's
+    # source:src3 MUST clause — slot reused for multi_phrase_top10)
 
     # --- MultiTermQuery rewrites ------------------------------------------
     from lucene_solr_old_ray.queries import FuzzyQuery, RegexpQuery
@@ -606,15 +601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["spell_suggest"] = spell
 
     # --- faceting / grouping ---------------------------------------------
-    def facet_by_source(sf_dir: str) -> pa.Table:
-        idx = _index_for(sf_dir)
-        t = facet_counts(idx, TermQuery("spark"), "source")
-        return pa.table({
-            "source": t["source"].cast(pa.string()),
-            "count": t["count"].cast(pa.int64()),
-        })
-
-    q["facet_counts_source"] = facet_by_source
+    # (facet_counts_source consolidated out r5 — flat value counts are the
+    # weights=None case of facet_sum_nchars' ord-bincount path, pytest-
+    # covered in tests/test_docvalues.py — slot reused for
+    # group_facet_src_by_lang)
 
     def group_top2_by_lang(sf_dir: str) -> pa.Table:
         idx = _index_for(sf_dir)
@@ -629,6 +619,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["group_top2_by_lang"] = group_top2_by_lang
 
+    def group_facet_src_by_lang(sf_dir: str) -> pa.Table:
+        """TermGroupFacetCollector: per source, the number of DISTINCT
+        langs among 'spark' matches. The SQL oracle assumes the cached
+        index is single-segment (true at the driver's sf0.01/sf0.001 —
+        8 partitions merge fan_in=8 into one segment), where the
+        reference's per-segment-dedup-then-sum quirk is a no-op."""
+        from lucene_solr_old_ray.pipelines.analytics import group_facet_counts
+
+        idx = _index_for(sf_dir)
+        t, _total, _missing = group_facet_counts(
+            idx, TermQuery("spark"), "lang", "source", size=25, min_count=1)
+        return pa.table({
+            "value": t["value"].cast(pa.string()),
+            "count": t["count"].cast(pa.int64()),
+        })
+
+    q["group_facet_src_by_lang"] = group_facet_src_by_lang
+
     # --- positions / term-expansion / field-sort operators ----------------
     from lucene_solr_old_ray.pipelines.analytics import sort_by_field
     from lucene_solr_old_ray.queries import FuzzyQuery, PhraseQuery, WildcardQuery
@@ -639,6 +647,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (k>=3) on the engine side AND the k-way recursive-CTE oracle
     q["phrase_sloppy_top10"] = lambda sf: _bm25_result(
         _index_for(sf), PhraseQuery(("table", "value", "row"), slop=2))
+    # per-slot alternatives: slot 0 matches 'stream' OR 'batch'
+    # (UnionDocsAndPositionsEnum freq + all-terms idf sum)
+    from lucene_solr_old_ray.queries import MultiPhraseQuery
+
+    q["multi_phrase_top10"] = lambda sf: _bm25_result(
+        _index_for(sf), MultiPhraseQuery((("stream", "batch"), ("merge",))))
     # --- block join (nested documents) + scored term join ------------------
     from lucene_solr_old_ray.queries import ToParentBlockJoinQuery
 
@@ -646,6 +660,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _index_for_blocks(sf),
         ToParentBlockJoinQuery(TermQuery("spark"), "doctype", "parent",
                                score_mode="avg"))
+
+    def block_join_topgroups(sf_dir: str) -> pa.Table:
+        """ToParentBlockJoinCollector.getTopGroups: child hits grouped
+        under the ranked top-10 parents (one row per returned child)."""
+        from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+            block_join_top_groups,
+        )
+
+        idx = _index_for_blocks(sf_dir)
+        t = block_join_top_groups(
+            idx,
+            ToParentBlockJoinQuery(TermQuery("spark"), "doctype", "parent",
+                                   score_mode="avg"),
+            k_parents=10, max_docs_per_group=10)
+        t = _docid_to_doc_id(idx, t.rename_columns(
+            [("docid" if c == "parent_docid" else c)
+             for c in t.column_names]))
+        return pa.table({
+            "parent_rank": t["parent_rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"],
+            "parent_score": t["parent_score"],
+            "group_child_hits": t["group_child_hits"].cast(pa.int64()),
+            "child_rank": t["child_rank"].cast(pa.int64()),
+            "child_score": t["child_score"],
+        })
+
+    q["block_join_topgroups"] = block_join_topgroups
 
     def join_scored(sf_dir: str) -> pa.Table:
         from lucene_solr_old_ray.pipelines.join import scored_join_topk
@@ -694,6 +735,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["filtered_top10"] = lambda sf: _bm25_result(
         _index_for(sf), FilteredQuery(TermQuery("spark"), TermQuery("window")))
+
+    # FieldCacheRangeFilter: index-term-free ranges answered from the
+    # doc-values sidecars (numeric compare / SORTED ordinal compare)
+    from lucene_solr_old_ray.queries import FieldCacheRangeFilterQuery
+
+    q["dv_range_filtered_top10"] = lambda sf: _bm25_result(
+        _index_for(sf),
+        FilteredQuery(TermQuery("spark"),
+                      FieldCacheRangeFilterQuery("n_chars", 120, 400,
+                                                 kind="numeric")))
+    # (the SORTED-ordinal string-range variant stays pytest-covered in
+    # tests/test_valuesource.py — no slot under the 50-entry cap)
 
     # --- span queries (ordered/unordered proximity algebra) ---------------
     from lucene_solr_old_ray.queries import (
@@ -788,9 +841,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["jaccard_pairs"] = lambda sf: jaccard_pairs_inverted(sf, threshold=0.95)
     q["dedup_clusters"] = lambda sf: dedup_clusters(sf, threshold=0.95)
 
-    from lucene_solr_old_ray.stages.dedup import jaccard_ngram_pairs
-
-    q["jaccard_ngram_pairs"] = lambda sf: jaccard_ngram_pairs(sf, n=3, threshold=0.04)
+    # (jaccard_ngram_pairs consolidated out r5 — ngram shingling rides the
+    # same prefix-filtered PPJoin machinery as the still-green
+    # jaccard_pairs; exact-pairs assertion in tests/test_extras.py — slot
+    # reused for dv_range_filtered_top10)
     q["embedding_dedup_pairs"] = lambda sf: embedding_dedup_pairs(sf, threshold=0.4)
     q["ann_topk_cosine"] = lambda sf: brute_topk(sf, k=10)
     q["media_features"] = media_features
@@ -807,11 +861,6 @@ def oracle_sql() -> dict[str, str]:
     sqls["term_stats"] = (
         f"WITH {g.base_ctes()} "
         "SELECT term, df AS df, CAST(ttf AS BIGINT) AS ttf FROM df ORDER BY term"
-    )
-    sqls["doc_norms"] = (
-        f"WITH {g.base_ctes()} "
-        "SELECT dc.doc_id AS doc_id, CAST(dc.flen AS BIGINT) AS field_len, "
-        "CAST(dc.nb AS BIGINT) AS norm_byte FROM doccache dc ORDER BY doc_id"
     )
     sqls["bm25_top10_term"] = g.bm25_sql(musts=["spark"])
     sqls["lmjm_top10_and"] = g.simbase_bool_sql(["spark", "window"],
@@ -859,7 +908,6 @@ SELECT DISTINCT doc_id FROM toks
 WHERE term LIKE 's%' AND substr(term, 2) <> 'park'
 ORDER BY doc_id"""
     sqls["fuzzy_scored_top10"] = g.fuzzy_scored_sql("spark", 2)
-    sqls["bm25_field_source_top10"] = g.bm25_kw_field_sql("src3")
     sqls["bm25_cross_field_top10"] = g.bm25_cross_field_sql("spark", "src3")
     sqls["classic_top10_or"] = g.classic_bool_or_sql(["vector", "stream", "batch"])
     sqls["custom_score_top10"] = g.custom_score_sql("spark")
@@ -875,12 +923,6 @@ ORDER BY doc_id"""
     )
     sqls["spell_suggest"] = g.spell_suggest_sql(
         ["tabel", "strem", "vektor"], num_sug=5)
-    sqls["facet_counts_source"] = (
-        f"WITH {g.base_ctes()} "
-        "SELECT d.source AS source, count(*) AS count FROM documents d "
-        "WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
-        "GROUP BY d.source ORDER BY d.source"
-    )
     sqls["group_top2_by_lang"] = (
         "WITH " + g.base_ctes() + "," + g.term_score_cte("t0", "table")
         + """
@@ -926,7 +968,16 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, dist FROM (
         FROM pts)
 ) WHERE rank <= 10 ORDER BY rank"""
     sqls["filtered_top10"] = g.bm25_sql(musts=["spark"], filter_terms=["window"])
+    sqls["dv_range_filtered_top10"] = g.bm25_sql(
+        musts=["spark"],
+        filter_pred=("d.doc_id IN (SELECT doc_id FROM documents "
+                     "WHERE n_chars >= 120 AND n_chars <= 400)"))
+    sqls["multi_phrase_top10"] = g.multi_phrase_sql(
+        [("stream", "batch"), ("merge",)])
+    sqls["group_facet_src_by_lang"] = g.group_facet_sql(
+        "spark", "lang", "source", size=25, min_count=1)
     sqls["block_join_top10"] = g.block_join_sql("spark")
+    sqls["block_join_topgroups"] = g.block_join_topgroups_sql("spark")
     sqls["join_scored_top10"] = g.join_scored_sql("spark", "source")
     sqls["facet_sum_nchars"] = (
         f"WITH {g.base_ctes()} "
@@ -996,38 +1047,6 @@ SELECT d.doc_id AS doc_id,
        CAST(CASE WHEN l.mn IS NULL OR l.mn > d.doc_id THEN d.doc_id
                  ELSE l.mn END AS BIGINT) AS cluster
 FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id ORDER BY doc_id"""
-    sqls["jaccard_ngram_pairs"] = f"""
-WITH {g.base_ctes()},
-posd AS (
-  SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-  CROSS JOIN range(1, 1025) r(i)
-  WHERE i <= len(toks)
-),
-kept AS (
-  SELECT doc_id, term,
-         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS q
-  FROM posd
-  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({g.stops_list()})
-),
-sh AS (
-  SELECT DISTINCT k0.doc_id,
-         k0.term || ' ' || k1.term || ' ' || k2.term AS s
-  FROM kept k0
-  JOIN kept k1 ON k1.doc_id = k0.doc_id AND k1.q = k0.q + 1
-  JOIN kept k2 ON k2.doc_id = k0.doc_id AND k2.q = k0.q + 2
-),
-ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-sinter AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT a AS doc_a, b AS doc_b,
-       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
-FROM sinter JOIN ssz za ON za.doc_id = a JOIN ssz zb ON zb.doc_id = b
-WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.04
-ORDER BY doc_a, doc_b"""
     sqls["embedding_dedup_pairs"] = """
 SELECT e1.vec_id AS vec_a, e2.vec_id AS vec_b,
        CAST(round(list_cosine_similarity(e1.embedding, e2.embedding) * 10000) AS BIGINT) AS cos_bp

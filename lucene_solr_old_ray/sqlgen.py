@@ -893,15 +893,146 @@ hits AS (
     return f"WITH RECURSIVE {base_ctes()},{posd},{fold}{tail}"
 
 
-def block_join_sql(term: str, k: int = 10) -> str:
-    """ToParentBlockJoin oracle over the derived block corpus
-    (__ray_entry__._index_for_blocks): each document d becomes a 4-doc
+def multi_phrase_sql(slots: list, k: int = 10, pos_cap: int = 1024) -> str:
+    """MultiPhraseQuery oracle (slop=0) -> (rank, doc_id, score).
+
+    Each slot is a tuple of alternative terms; slot i matches when the
+    token at start+i is ANY of its alternatives (the per-slot UNION
+    position stream — on this corpus each text position holds exactly one
+    term, so the positional ``IN`` join counts each matching start once,
+    == the unique'd UnionDocsAndPositionsEnum freq). idf is the float32
+    SUM over ALL terms in termArrays order (slot order, add order within
+    a slot — TFIDFSimilarity.idfExplain's phrase overload), regardless of
+    which alternative matched."""
+    posd = f"""
+posd AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  CROSS JOIN range(1, {pos_cap + 1}) r(i)
+  WHERE i <= len(toks)
+)"""
+    idf_acc = "CAST(0 AS REAL)"
+    for alts in slots:
+        for t in alts:
+            idf_i = f32(
+                f"ln(1 + ((SELECT n FROM coll) - "
+                f"COALESCE((SELECT df FROM df WHERE term = '{t}'), 0) + 0.5) / "
+                f"(COALESCE((SELECT df FROM df WHERE term = '{t}'), 0) + 0.5))"
+            )
+            idf_acc = f32(f"{idf_acc} + {idf_i}")
+    wv = f32(f"{f32(idf_acc + ' * CAST(1 AS REAL)')} * {K1P1}")
+    num = f32(f"{wv} * CAST(h.freq AS REAL)")
+    joins = []
+    in0 = ", ".join(f"'{t}'" for t in slots[0])
+    conds = [f"t0.term IN ({in0})"]
+    for i in range(1, len(slots)):
+        joins.append(f"JOIN posd t{i} ON t{i}.doc_id = t0.doc_id "
+                     f"AND t{i}.p = t0.p + {i}")
+        ini = ", ".join(f"'{t}'" for t in slots[i])
+        conds.append(f"t{i}.term IN ({ini})")
+    hits = f"""
+hits AS (
+  SELECT t0.doc_id AS doc_id, count(*) AS freq
+  FROM posd t0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY t0.doc_id
+)"""
+    return f"""WITH {base_ctes()},{posd},{hits}
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id, score
+  FROM (SELECT h.doc_id AS doc_id, {f32(num + ' / ' + f32("CAST(h.freq AS REAL) + dc.cache"))} AS score
+        FROM hits h JOIN doccache dc ON dc.doc_id = h.doc_id)
+) WHERE rank <= {k} ORDER BY rank"""
+
+
+def group_facet_sql(term: str, group_col: str, facet_col: str,
+                    size: int = 25, min_count: int = 1) -> str:
+    """TermGroupFacetCollector oracle: per ``facet_col`` value, the number
+    of DISTINCT ``group_col`` values among the docs matching ``term``.
+    GLOBAL distinct — valid only against a SINGLE-SEGMENT index (the
+    engine's mergeSegmentResults sums per-segment dedups; with one
+    segment the quirk vanishes). -> (value, count) with count >=
+    min_count, trimmed to ``size`` by (count desc, value asc)."""
+    return f"""WITH {base_ctes()},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{term}')
+SELECT value, count FROM (
+  SELECT d.{facet_col} AS value,
+         CAST(count(DISTINCT d.{group_col}) AS BIGINT) AS count,
+         row_number() OVER (
+           ORDER BY count(DISTINCT d.{group_col}) DESC, d.{facet_col} ASC
+         ) AS rn
+  FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY d.{facet_col}
+  HAVING count(DISTINCT d.{group_col}) >= {min_count}
+) WHERE rn <= {size} ORDER BY rn"""
+
+
+def doc_norms_sql() -> str:
+    """Displaced driver oracle (r5): per-doc analyzed field length +
+    quantized norm byte — kept for the pytest-side check."""
+    return (
+        f"WITH {base_ctes()} "
+        "SELECT dc.doc_id AS doc_id, CAST(dc.flen AS BIGINT) AS field_len, "
+        "CAST(dc.nb AS BIGINT) AS norm_byte FROM doccache dc ORDER BY doc_id"
+    )
+
+
+def facet_counts_sql(term: str, col: str = "source") -> str:
+    """Displaced driver oracle (r5): flat per-value match counts."""
+    return (
+        f"WITH {base_ctes()} "
+        f"SELECT d.{col} AS {col}, count(*) AS count FROM documents d "
+        f"WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = '{term}') "
+        f"GROUP BY d.{col} ORDER BY d.{col}"
+    )
+
+
+def jaccard_ngram_sql(threshold: float = 0.04) -> str:
+    """Displaced driver oracle (r5): 3-gram shingle Jaccard pairs over the
+    kept token stream — kept for the pytest-side exact-pairs check."""
+    return f"""
+WITH {base_ctes()},
+posd AS (
+  SELECT doc_id, CAST(i AS INT) - 1 AS p, toks[CAST(i AS INT)] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  CROSS JOIN range(1, 1025) r(i)
+  WHERE i <= len(toks)
+),
+kept AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS q
+  FROM posd
+  WHERE term <> '' AND length(term) <= 255 AND term NOT IN ({stops_list()})
+),
+sh AS (
+  SELECT DISTINCT k0.doc_id,
+         k0.term || ' ' || k1.term || ' ' || k2.term AS s
+  FROM kept k0
+  JOIN kept k1 ON k1.doc_id = k0.doc_id AND k1.q = k0.q + 1
+  JOIN kept k2 ON k2.doc_id = k0.doc_id AND k2.q = k0.q + 2
+),
+ssz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+sinter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+FROM sinter JOIN ssz za ON za.doc_id = a JOIN ssz zb ON zb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
+def _block_join_ctes(term: str) -> str:
+    """Shared CTE prefix of the block-join oracles: per-child BM25 scores
+    ``cs(doc_id, j, s)`` and per-parent Avg scores ``parent(doc_id, score,
+    nmatch)`` over the derived block corpus (each document d = a 4-doc
     block — child j (j=0,1,2) holds d's kept tokens at positions p%3==j,
-    the parent (empty text, doctype=parent) is last. Child BM25 stats are
-    per the WHOLE index (N = 4n docs incl. parents, avgdl over all);
-    parent score = float32 avg of its matched children's scores folded in
-    child order (j asc == docID asc), exactly the engine's
-    ScoreMode.Avg."""
+    the parent, empty text, is last). Child BM25 stats are per the WHOLE
+    index (N = 4n docs incl. parents, avgdl over all); parent score =
+    float32 avg of its matched children's scores folded in child order
+    (j asc == docID asc), exactly the engine's ScoreMode.Avg."""
     inner = """
     SELECT doc_id, CAST(i AS INT) - 1 AS p, parts[CAST(i AS INT)] AS t
     FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
@@ -954,12 +1085,44 @@ parent AS (
   LEFT JOIN cs c0 ON c0.doc_id = d.doc_id AND c0.j = 0
   LEFT JOIN cs c1 ON c1.doc_id = d.doc_id AND c1.j = 1
   LEFT JOIN cs c2 ON c2.doc_id = d.doc_id AND c2.j = 2
-)
+)"""
+
+
+def block_join_sql(term: str, k: int = 10) -> str:
+    """ToParentBlockJoin oracle -> (rank, doc_id, score) top-k parents."""
+    return f"""{_block_join_ctes(term)}
 SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
          doc_id, score
   FROM parent WHERE nmatch > 0
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+def block_join_topgroups_sql(term: str, k_parents: int = 10) -> str:
+    """ToParentBlockJoinCollector.getTopGroups oracle: top ``k_parents``
+    parents by the join query's Avg score, then ONE ROW PER MATCHED CHILD
+    of each selected parent, children ranked within their group by
+    (score desc, docID asc == j asc) — the TopScoreDocCollector contract.
+    -> (parent_rank, doc_id, parent_score, group_child_hits, child_rank,
+    child_score) ordered by (parent_rank, child_rank)."""
+    return f"""{_block_join_ctes(term)},
+topp AS (
+  SELECT parent_rank, doc_id, score, nmatch FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)
+             AS parent_rank, doc_id, score, nmatch
+    FROM parent WHERE nmatch > 0
+  ) WHERE parent_rank <= {k_parents}
+)
+SELECT CAST(t.parent_rank AS BIGINT) AS parent_rank,
+       t.doc_id AS doc_id,
+       t.score AS parent_score,
+       CAST(t.nmatch AS BIGINT) AS group_child_hits,
+       CAST(row_number() OVER (PARTITION BY t.doc_id
+                               ORDER BY c.s DESC, c.j ASC) AS BIGINT)
+         AS child_rank,
+       c.s AS child_score
+FROM topp t JOIN cs c ON c.doc_id = t.doc_id
+ORDER BY parent_rank, child_rank"""
 
 
 def join_scored_sql(term: str, field: str = "source", k: int = 10) -> str:
@@ -1010,8 +1173,11 @@ def bm25_sql(
     filter_terms: list[str] = (),
     boosts: dict[str, float] | None = None,
     toks_sql: str | None = None,
+    filter_pred: str | None = None,
 ) -> str:
-    """Full oracle query -> (rank, doc_id, score) float32-exact top-k."""
+    """Full oracle query -> (rank, doc_id, score) float32-exact top-k.
+    ``filter_pred`` is an extra scoreless restriction over ``d.doc_id``
+    (FilteredQuery with a non-term filter, e.g. a doc-values range)."""
     ctes = [base_ctes(toks_sql=toks_sql)]
     score_terms: list[str] = []
     joins: list[str] = []
@@ -1040,6 +1206,8 @@ def bm25_sql(
         conds.append(
             f"d.doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = '{t}')"
         )
+    if filter_pred:
+        conds.append(filter_pred)
     if should_names:
         matched = " + ".join(
             f"(CASE WHEN {s}.doc_id IS NULL THEN 0 ELSE 1 END)" for s in should_names

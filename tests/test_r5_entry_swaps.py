@@ -1,0 +1,179 @@
+"""Round-5 driver-slot swaps: keep the DISPLACED entries' exact SQL-oracle
+checks alive in pytest (the driver records only 50 entries — see
+__ray_entry__ docstring), and oracle-check the NEW entries at sf0.001 so a
+regression is caught before the driver's sf0.01 gate.
+
+Displaced r5: doc_norms, bm25_field_source_top10, facet_counts_source,
+jaccard_ngram_pairs (their SQL now lives in sqlgen.py).
+New r5: multi_phrase_top10, block_join_topgroups, group_facet_src_by_lang,
+dv_range_filtered_top10 (+ the unslotted string-range variant).
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    import duckdb
+
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+def _assert_match(got, want: pd.DataFrame):
+    got = _canon(got.to_pandas() if hasattr(got, "to_pandas") else got)
+    want = _canon(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        if got[c].dtype == np.float64:
+            # engine floats are float32; oracle REALs widen identically
+            assert (got[c].to_numpy().astype(np.float32)
+                    == want[c].to_numpy().astype(np.float32)).all(), c
+        else:
+            assert got[c].tolist() == want[c].tolist(), c
+
+
+# --- displaced entries: oracle checks stay alive --------------------------
+
+def test_displaced_doc_norms_still_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.state import manifest as mf
+
+    idx = entry._index_for(SF)
+    man = mf.read_index_manifest(idx)
+    import pyarrow.parquet as pq
+
+    parts = [pq.read_table(os.path.join(idx, s["dir"], "docmap.parquet"),
+                           columns=["doc_id", "field_len", "norm_byte"])
+             for s in man["segments"]]
+    t = pa.concat_tables(parts)
+    got = pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                    "field_len": t["field_len"].cast(pa.int64()),
+                    "norm_byte": t["norm_byte"].cast(pa.int64())})
+    _assert_match(got, con.execute(g.doc_norms_sql()).df())
+
+
+def test_displaced_field_source_still_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.queries import TermQuery
+
+    got = entry._bm25_result(entry._index_for(SF),
+                             TermQuery("src3", field="source"))
+    _assert_match(got, con.execute(g.bm25_kw_field_sql("src3")).df())
+
+
+def test_displaced_facet_counts_source_still_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.pipelines.analytics import facet_counts
+    from lucene_solr_old_ray.queries import TermQuery
+
+    t = facet_counts(entry._index_for(SF), TermQuery("spark"), "source")
+    got = pa.table({"source": t["source"].cast(pa.string()),
+                    "count": t["count"].cast(pa.int64())})
+    _assert_match(got, con.execute(g.facet_counts_sql("spark")).df())
+
+
+def test_displaced_jaccard_ngram_still_exact(ray_session, con):
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.stages.dedup import jaccard_ngram_pairs
+
+    got = jaccard_ngram_pairs(SF, n=3, threshold=0.04)
+    _assert_match(got, con.execute(g.jaccard_ngram_sql(0.04)).df())
+
+
+# --- new entries: sf0.001 oracle parity ------------------------------------
+
+def test_multi_phrase_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+
+    got = entry.queries()["multi_phrase_top10"](SF)
+    want = con.execute(
+        g.multi_phrase_sql([("stream", "batch"), ("merge",)])).df()
+    _assert_match(got, want)
+
+
+def test_multi_phrase_single_alt_degrades_to_phrase(ray_session, con):
+    """1-term slots == PhraseQuery bit-exactly, through the SQL twins."""
+    import lucene_solr_old_ray.sqlgen as g
+
+    mp = con.execute(g.multi_phrase_sql([("table",), ("value",)])).df()
+    ph = con.execute(g.phrase_sql(["table", "value"])).df()
+    assert mp["doc_id"].tolist() == ph["doc_id"].tolist()
+    assert (mp["score"].to_numpy().astype(np.float32)
+            == ph["score"].to_numpy().astype(np.float32)).all()
+
+
+def test_group_facet_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.state import manifest as mf
+
+    idx = entry._index_for(SF)
+    # the oracle is valid only single-segment (mergeSegmentResults quirk)
+    assert len(mf.read_index_manifest(idx)["segments"]) == 1
+    got = entry.queries()["group_facet_src_by_lang"](SF)
+    want = con.execute(
+        g.group_facet_sql("spark", "lang", "source", size=25)).df()
+    _assert_match(got, want)
+
+
+def test_dv_range_filtered_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+
+    got = entry.queries()["dv_range_filtered_top10"](SF)
+    want = con.execute(g.bm25_sql(
+        musts=["spark"],
+        filter_pred=("d.doc_id IN (SELECT doc_id FROM documents "
+                     "WHERE n_chars >= 120 AND n_chars <= 400)"))).df()
+    _assert_match(got, want)
+
+
+def test_dv_string_range_hits_oracle_exact(ray_session, con):
+    """The unslotted SORTED-ordinal string-range variant."""
+    import __ray_entry__ as entry
+    from lucene_solr_old_ray.queries import FieldCacheRangeFilterQuery
+
+    got = entry._hits_result(
+        entry._index_for(SF),
+        FieldCacheRangeFilterQuery("lang", "de", "fr", kind="string"))
+    want = con.execute(
+        "SELECT doc_id FROM documents WHERE lang >= 'de' AND lang <= 'fr' "
+        "ORDER BY doc_id").df()
+    _assert_match(got, want)
+
+
+def test_block_join_topgroups_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+
+    got = entry.queries()["block_join_topgroups"](SF)
+    want = con.execute(g.block_join_topgroups_sql("spark")).df()
+    _assert_match(got, want)
