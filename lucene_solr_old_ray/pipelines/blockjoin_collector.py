@@ -41,6 +41,8 @@ def block_join_top_groups(
     offset: int = 0,
     max_docs_per_group: int = 10,
     within_group_offset: int = 0,
+    parent_sort: "list[tuple[str, bool]] | None" = None,
+    within_group_sort: "list[tuple[str, bool]] | None" = None,
 ) -> pa.Table:
     """-> (parent_docid, parent_rank, parent_score, group_child_hits,
     child_rank, child_docid, child_score), parent_rank 1-based after
@@ -48,16 +50,31 @@ def block_join_top_groups(
     per returned child hit, ordered by (parent_rank, child_rank). Parents
     whose children are all sliced away keep NO rows (the reference returns
     an empty GroupDocs.scoreDocs array; we drop the group rows — the
-    parent is still visible through lower offsets)."""
+    parent is still visible through lower offsets).
+
+    Sort variants (the collector's ``Sort sort`` ctor arg and
+    ``getTopGroups``'s ``withinGroupSort``): ``parent_sort`` ranks parents
+    by doc-values fields ``[(field, descending)]`` via the engine's
+    TopFieldCollector analogue instead of the join score — parent_score is
+    then ``NaN``, the reference's untracked-scores sentinel
+    (``ToParentBlockJoinCollector.java:106`` ``trackScores=false`` path).
+    ``within_group_sort`` orders each group's children by their doc-values
+    fields (tie-break docID asc — the TopFieldCollector docID tiebreak)
+    instead of (score desc, docID asc); child scores stay populated, as
+    the reference does when trackScores is on."""
     import ray
     import ray.data
 
     from ..queries import collect_field_terms, collect_terms
     from ..stages.search import execute
-    from .analytics import _leaf_items
+    from .analytics import _leaf_items, sort_by_fields
     from .search import _open_leaf, gather_stats, search
 
-    res = search(index_dir, {0: q}, k=offset + k_parents)
+    if parent_sort:
+        res = sort_by_fields(index_dir, q, parent_sort,
+                             k=offset + k_parents)
+    else:
+        res = search(index_dir, {0: q}, k=offset + k_parents)
     empty = pa.table({
         "parent_docid": pa.array([], pa.int64()),
         "parent_rank": pa.array([], pa.int32()),
@@ -72,7 +89,11 @@ def block_join_top_groups(
         return empty
     wanted = np.sort(sel["docid"].to_numpy(dtype=np.int64))
     rank_of = dict(zip(sel["docid"], range(1, len(sel) + 1)))
-    score_of = dict(zip(sel["docid"], sel["score"]))
+    if parent_sort:
+        score_of = {d: float("nan") for d in sel["docid"]}
+    else:
+        score_of = dict(zip(sel["docid"], sel["score"]))
+    wgs_fields = [f for f, _ in (within_group_sort or [])]
 
     manifest = mf.read_index_manifest(index_dir)
     pq_term = TermQuery(q.parent_value, field=q.parent_field)
@@ -106,11 +127,14 @@ def block_join_top_groups(
             keep = np.isin(pdoc, wanted_l, assume_unique=False)
             if not keep.any():
                 continue
-            parts.append(pd.DataFrame({
+            data = {
                 "parent_docid": pdoc[keep].astype(np.int64),
                 "child_docid": (cd[keep] + base).astype(np.int64),
                 "child_score": cs[keep].astype(np.float32),
-            }))
+            }
+            for i, f in enumerate(wgs_fields):
+                data[f"wgs{i}"] = leaf.doc_values(f, cd[keep])
+            parts.append(pd.DataFrame(data))
         return (pd.concat(parts, ignore_index=True) if parts
                 else pd.DataFrame())
 
@@ -123,14 +147,20 @@ def block_join_top_groups(
 
     out: dict[str, list] = {k: [] for k in empty.column_names}
     for pdoc, g in kids.groupby("parent_docid", sort=False):
-        order = np.lexsort((g["child_docid"].to_numpy(),
-                            -g["child_score"].to_numpy(np.float32)))
-        window = order[within_group_offset:
+        if within_group_sort:
+            asc = [not d for _, d in within_group_sort] + [True]
+            gs = g.sort_values(
+                [f"wgs{i}" for i in range(len(within_group_sort))]
+                + ["child_docid"], ascending=asc, kind="mergesort")
+        else:
+            order = np.lexsort((g["child_docid"].to_numpy(),
+                                -g["child_score"].to_numpy(np.float32)))
+            gs = g.iloc[order]
+        gsel = gs.iloc[within_group_offset:
                        within_group_offset + max_docs_per_group]
-        n = len(window)
+        n = len(gsel)
         if n == 0:
             continue
-        gsel = g.iloc[window]
         out["parent_docid"].extend([int(pdoc)] * n)
         out["parent_rank"].extend([int(rank_of[pdoc])] * n)
         out["parent_score"].extend([float(score_of[pdoc])] * n)

@@ -341,3 +341,144 @@ def test_block_grouping_collector(block_index):
             ["score", "docid"], ascending=[False, True])
         want_docs = gc.head(2)["docid"].tolist()
         assert sub.sort_values("rank")["docid"].tolist() == want_docs
+
+
+# --- TopGroups sort variants (collector Sort ctor arg + withinGroupSort) ---
+
+# TestBlockJoin.java testRandom-style resumes: child jobs carry a numeric
+# ``year``; the parent carries a ``source`` country string.
+BLOCKS_Y = [
+    ([("java ruby", 2007), ("python java", 2010), ("java", 2006)], "usa"),
+    ([("ruby go java", 2005), ("java java", 2012)], "canada"),
+    ([("java python", 2008)], "uk"),
+    ([("go rust", 2009)], "usa"),  # no java child: excluded from the join
+]
+
+
+@pytest.fixture(scope="module")
+def block_index_year(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("blky")
+    ids, texts, years, dtypes, countries = [], [], [], [], []
+    did = 0
+    for children, country in BLOCKS_Y:
+        for text, year in children:
+            ids.append(did)
+            texts.append(text)
+            years.append(year)
+            dtypes.append("child")
+            countries.append(country)
+        ids.append(did)
+        texts.append("")
+        years.append(0)
+        dtypes.append("parent")
+        countries.append(country)
+        did += 1
+    n = len(ids)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(countries, pa.string()),
+        "year": pa.array(years, pa.int64()),
+        "doctype": pa.array(dtypes, pa.string()),
+    }), str(d / "documents.parquet"))
+    idx = str(d / "idx")
+    # plain CorpusSpec: ``year`` must ride in the docmap so its NUMERIC
+    # doc-values sidecar exists for the sort variants
+    build_index(CorpusSpec(
+        files=(str(d / "documents.parquet"),), content_col="text",
+        meta_cols=("doc_id", "lang", "source", "year", "doctype"),
+        extra_fields=(FieldSpec("doctype", "doctype", "standard"),
+                      FieldSpec("source", "source", "standard"))),
+        idx, target_docs_per_partition=n)
+    return idx
+
+
+def _year_blocks_layout():
+    """(parent docid, country, [(child docid, year, has_java)])."""
+    out, docid = [], 0
+    for children, country in BLOCKS_Y:
+        kids = []
+        for text, year in children:
+            kids.append((docid, year, "java" in text.split()))
+            docid += 1
+        out.append((docid, country, kids))
+        docid += 1
+    return out
+
+
+def test_topgroups_within_group_sort_year(block_index_year):
+    """withinGroupSort = Sort(year asc): children of each selected parent
+    come back in year order (docID tiebreak), not score order; child
+    scores stay populated (trackScores path)."""
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        block_join_top_groups,
+    )
+
+    q = ToParentBlockJoinQuery(TermQuery("java"), "doctype", "parent",
+                               score_mode="avg")
+    out = block_join_top_groups(
+        block_index_year, q, k_parents=10,
+        within_group_sort=[("year", False)]).to_pandas()
+
+    for pdoc, country, kids in _year_blocks_layout():
+        want = [cd for cd, yr, has in sorted(
+            (k for k in kids if k[2]), key=lambda k: (k[1], k[0]))]
+        got = out[out["parent_docid"] == pdoc].sort_values("child_rank")
+        assert got["child_docid"].tolist() == want
+        if want:
+            assert got["child_rank"].tolist() == list(range(1, len(want) + 1))
+            assert np.isfinite(got["parent_score"].to_numpy()).all()
+            assert np.isfinite(got["child_score"].to_numpy()).all()
+
+
+def test_topgroups_within_group_sort_year_desc_window(block_index_year):
+    """Descending year + max_docs_per_group=1: each group returns only its
+    newest matching child."""
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        block_join_top_groups,
+    )
+
+    q = ToParentBlockJoinQuery(TermQuery("java"), "doctype", "parent",
+                               score_mode="avg")
+    out = block_join_top_groups(
+        block_index_year, q, k_parents=10, max_docs_per_group=1,
+        within_group_sort=[("year", True)]).to_pandas()
+
+    for pdoc, country, kids in _year_blocks_layout():
+        matched = [k for k in kids if k[2]]
+        got = out[out["parent_docid"] == pdoc]
+        if not matched:
+            assert len(got) == 0
+            continue
+        newest = max(matched, key=lambda k: (k[1], -k[0]))[0]
+        assert got["child_docid"].tolist() == [newest]
+
+
+def test_topgroups_parent_sort_source(block_index_year):
+    """Collector ctor Sort(source asc): parents rank by the string
+    doc-values field, not the join score; parent_score is NaN (the
+    reference's untracked-scores sentinel)."""
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        block_join_top_groups,
+    )
+
+    q = ToParentBlockJoinQuery(TermQuery("java"), "doctype", "parent",
+                               score_mode="avg")
+    out = block_join_top_groups(
+        block_index_year, q, k_parents=10,
+        parent_sort=[("source", False)]).to_pandas()
+
+    layout = [(p, c) for p, c, kids in _year_blocks_layout()
+              if any(k[2] for k in kids)]
+    want_parents = [p for p, c in sorted(layout, key=lambda t: (t[1], t[0]))]
+    got = out.drop_duplicates("parent_docid").sort_values("parent_rank")
+    assert got["parent_docid"].tolist() == want_parents
+    assert np.isnan(got["parent_score"].to_numpy()).all()
+    # children still default to (score desc, docID asc) inside each group
+    for pdoc, g in out.groupby("parent_docid"):
+        g = g.sort_values("child_rank")
+        s = g["child_score"].to_numpy(np.float32)
+        d = g["child_docid"].to_numpy()
+        assert all((s[i] > s[i + 1]) or (s[i] == s[i + 1] and d[i] < d[i + 1])
+                   for i in range(len(g) - 1))
