@@ -357,6 +357,38 @@ class TermsFilterQuery:
 
 
 @dataclass(frozen=True)
+class FieldCacheTermsFilterQuery:
+    """Re-expresses ``search/FieldCacheTermsFilter.java:50-125``: docs
+    whose SORTED doc-values value for ``field`` is ANY of ``terms`` —
+    answered purely from the dv ordinals (each term resolves to its ord
+    position in the sorted value dict, a FixedBitSet of ords in the
+    reference; absent terms contribute nothing), no index terms touched.
+    Constant score; docs without a value (ord -1) never match."""
+
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldCacheRewriteQuery:
+    """Re-expresses ``search/FieldCacheRewriteMethod.java:40-120`` (SORTED,
+    the single-valued FieldCache rewrite) and
+    ``search/DocTermOrdsRewriteMethod.java`` (``multi_valued=True``, the
+    SORTED_SET variant): run a MultiTermQuery's term predicate over the
+    doc-values VALUE DICTIONARY instead of the index term dict, then match
+    docs by ordinal — the reference's TermsEnum-over-dv + ord-bitset
+    visitor. ``query`` is a Prefix/Wildcard/Regexp/TermRange query whose
+    predicate defines the matching values; ``field`` is the doc-values
+    column. Constant score (the rewrite is CONSTANT_SCORE_FILTER)."""
+
+    query: "Query"
+    field: str
+    multi_valued: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery:
     """Matches like the wrapped query; every hit scores ``boost``
     (``search/ConstantScoreQuery.java:36``)."""

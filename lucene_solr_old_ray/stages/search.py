@@ -469,23 +469,16 @@ def _const_docs_of(leaf: LeafSearcher, tis: list[int]) -> np.ndarray:
     return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
 
 
-def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
-    """Term-dict expansion: narrow by the literal prefix, then one
-    VECTORIZED anchored-LIKE pass over the range's packed term buffer
-    (``*``/``?`` map exactly onto SQL LIKE ``%``/``_`` — no regex-engine
-    semantics in play; the TermsEnum-over-automaton analogue, with a
-    compiled automaton as the 10^9-vocab path)."""
+def _wildcard_mask(arr, pattern: str) -> np.ndarray:
+    """Bool mask of which strings in ``arr`` (a pa.Array or object ndarray)
+    match the anchored wildcard: one VECTORIZED LIKE pass (``*``/``?`` map
+    exactly onto SQL LIKE ``%``/``_`` — no regex-engine semantics in play).
+    Shared by the term-dict expansion and the FieldCache rewrite (which
+    runs the same predicate over a doc-values value dictionary)."""
     import pyarrow.compute as pc
 
-    first = len(pattern)
-    for i, ch in enumerate(pattern):
-        if ch in "*?":
-            first = i
-            break
-    prefix = pattern[:first]
-    s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
-    if e <= s:
-        return []
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, type=pa.large_utf8())
     if "\\" in pattern:
         # Arrow's LIKE->RE2 translation mishandles an ESCAPED backslash
         # when the pattern also contains % (observed: match_like(["\\"],
@@ -496,15 +489,30 @@ def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
         rx = _re.compile("".join(
             ".*" if c == "*" else "." if c == "?" else _re.escape(c)
             for c in pattern) + r"\Z")
-        terms = leaf.terms_range_np(s, e)
-        hits = np.fromiter((rx.match(t) is not None for t in terms),
-                           count=len(terms), dtype=bool)
-        return (s + np.flatnonzero(hits)).tolist()
+        strs = np.asarray(arr.to_numpy(zero_copy_only=False))
+        return np.fromiter((rx.match(t) is not None for t in strs),
+                           count=len(strs), dtype=bool)
     like = "".join("%" if c == "*" else "_" if c == "?"
                    else "\\" + c if c in ("%", "_") else c
                    for c in pattern)
-    mask = pc.match_like(leaf.terms_range_arrow(s, e), like)
-    return (s + np.flatnonzero(np.asarray(mask))).tolist()
+    return np.asarray(pc.match_like(arr, like))
+
+
+def _expand_wildcard(leaf: LeafSearcher, pattern: str) -> list[int]:
+    """Term-dict expansion: narrow by the literal prefix, then one
+    vectorized :func:`_wildcard_mask` pass over the range's packed term
+    buffer (the TermsEnum-over-automaton analogue)."""
+    first = len(pattern)
+    for i, ch in enumerate(pattern):
+        if ch in "*?":
+            first = i
+            break
+    prefix = pattern[:first]
+    s, e = leaf.prefix_range(prefix) if prefix else (0, leaf.nterms)
+    if e <= s:
+        return []
+    mask = _wildcard_mask(leaf.terms_range_arrow(s, e), pattern)
+    return (s + np.flatnonzero(mask)).tolist()
 
 
 def _regexp_literal_prefix(pattern: str) -> str:
@@ -655,6 +663,62 @@ def _expand_regexp(leaf: LeafSearcher, pattern: str) -> list[int]:
             pass  # not parseable as Lucene RegExp: last-resort Python re
     rx = _re.compile(pattern)
     return [s + i for i, t in enumerate(strs) if rx.fullmatch(t)]
+
+
+def _mtq_value_mask(q, values: np.ndarray) -> np.ndarray:
+    """Evaluate a MultiTermQuery's term predicate over a SORTED(_SET)
+    doc-values VALUE DICTIONARY instead of the index term dict — the
+    TermsEnum the FieldCache rewrite intersects
+    (``search/FieldCacheRewriteMethod.java:62-95`` getTermsEnum over
+    ``FieldCache.getTermsIndex``). ``values`` is the leaf's sorted value
+    dict (object ndarray); returns a bool mask over it. The dict is
+    result-set-bounded (distinct values of one dv field per leaf), so one
+    vectorized pass is the whole cost — no index terms are touched."""
+    n = len(values)
+    if isinstance(q, TermQuery):
+        i = int(np.searchsorted(values, q.term))
+        m = np.zeros(n, dtype=bool)
+        if i < n and values[i] == q.term:
+            m[i] = True
+        return m
+    if isinstance(q, PrefixQuery):
+        # contiguous run in the sorted dict (UTF-8 order == code-point order)
+        m = np.zeros(n, dtype=bool)
+        s = int(np.searchsorted(values, q.prefix))
+        e = s
+        p = q.prefix
+        while e < n and str(values[e]).startswith(p):
+            e += 1
+        m[s:e] = True
+        return m
+    if isinstance(q, TermRangeQuery):
+        m = np.ones(n, dtype=bool)
+        if q.lower is not None:
+            s = int(np.searchsorted(
+                values, q.lower, side="left" if q.include_lower else "right"))
+            m[:s] = False
+        if q.upper is not None:
+            e = int(np.searchsorted(
+                values, q.upper, side="right" if q.include_upper else "left"))
+            m[e:] = False
+        return m
+    if isinstance(q, WildcardQuery):
+        return _wildcard_mask(values, q.pattern)
+    if isinstance(q, RegexpQuery):
+        from ..functions.regexp import compile_regexp, has_lucene_operators
+
+        if has_lucene_operators(q.pattern) or not _re_walk_safe(q.pattern):
+            lrx = compile_regexp(q.pattern)
+            return np.fromiter(
+                (lrx.fullmatch(t) for t in values), count=n, dtype=bool)
+        import re as _re
+
+        rx = _re.compile(q.pattern)
+        return np.fromiter((rx.fullmatch(t) is not None for t in values),
+                           count=n, dtype=bool)
+    raise ValueError(
+        f"FieldCacheRewriteMethod supports Term/Prefix/TermRange/Wildcard/"
+        f"Regexp queries, not {type(q).__name__}")
 
 
 def collect_mtq_terms(leaf: LeafSearcher, q) -> dict[str, int]:
@@ -1091,6 +1155,44 @@ def _execute_raw(
                     hi -= 1
                 m &= o <= hi
         docs = np.flatnonzero(m).astype(np.int64)
+        return docs, np.full(len(docs), np.float32(boost * q.boost),
+                             dtype=np.float32)
+    from ..queries import FieldCacheRewriteQuery, FieldCacheTermsFilterQuery
+
+    if isinstance(q, FieldCacheTermsFilterQuery):
+        # FieldCacheTermsFilter: each term -> its ord in the sorted value
+        # dict (absent terms contribute nothing), then one ord-set probe
+        # per doc; ord -1 (missing) never matches
+        ords, values = leaf.dv_sorted(q.field)
+        sel = np.zeros(len(values), dtype=bool)
+        for t in q.terms:
+            i = int(np.searchsorted(values, t))
+            if i < len(values) and values[i] == t:
+                sel[i] = True
+        o = np.asarray(ords)
+        m = (o >= 0) & sel[np.maximum(o, 0)]
+        docs = np.flatnonzero(m).astype(np.int64)
+        return docs, np.full(len(docs), np.float32(boost * q.boost),
+                             dtype=np.float32)
+    if isinstance(q, FieldCacheRewriteQuery):
+        if q.multi_valued:  # DocTermOrdsRewriteMethod: ANY value matches
+            offsets, flat_ords, values = leaf.dv_sorted_set(q.field)
+            vmask = _mtq_value_mask(q.query, values)
+            flat = np.asarray(flat_ords)
+            per_doc = np.zeros(leaf.num_docs, dtype=bool)
+            in_match = vmask[flat] if len(flat) else np.zeros(0, dtype=bool)
+            if in_match.any():
+                offs = np.asarray(offsets)
+                hits = np.flatnonzero(in_match)
+                docs_of = np.searchsorted(offs, hits, side="right") - 1
+                per_doc[np.unique(docs_of)] = True
+            docs = np.flatnonzero(per_doc).astype(np.int64)
+        else:  # FieldCacheRewriteMethod: single SORTED value per doc
+            ords, values = leaf.dv_sorted(q.field)
+            vmask = _mtq_value_mask(q.query, values)
+            o = np.asarray(ords)
+            m = (o >= 0) & vmask[np.maximum(o, 0)]
+            docs = np.flatnonzero(m).astype(np.int64)
         return docs, np.full(len(docs), np.float32(boost * q.boost),
                              dtype=np.float32)
     if isinstance(q, BooleanFilterQuery):

@@ -1,0 +1,149 @@
+"""FieldCacheTermsFilter + FieldCacheRewriteMethod / DocTermOrdsRewriteMethod:
+MultiTermQuery predicates answered from the doc-values VALUE DICTIONARY
+instead of the index term dict (``search/FieldCacheTermsFilter.java``,
+``search/FieldCacheRewriteMethod.java``, ``search/DocTermOrdsRewriteMethod.java``).
+Mirrors the reference's TestFieldCacheTermsFilter (missing/one/two terms) and
+TestFieldCacheRewriteMethod / TestDocTermOrdsRewriteMethod (the FieldCache
+rewrite must return the same doc set as the standard index rewrite)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.queries import (
+    FieldCacheRewriteQuery,
+    FieldCacheTermsFilterQuery,
+    PrefixQuery,
+    RegexpQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+)
+
+LANGS = ["python", "go", "rust", "python", "java", "scala", "go", "perl"]
+TAGS = [["etl", "hot"], ["ui"], [], ["hot", "ops"], ["uix", "etl"],
+        ["ops"], ["ui", "uix"], []]
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    root = tmp_path_factory.mktemp("fcrw")
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(LANGS)), pa.int64()),
+        "body": pa.array([f"doc number {i}" for i in range(len(LANGS))],
+                         pa.string()),
+        "lang": pa.array(LANGS, pa.string()),
+        "tags": pa.array(TAGS, pa.list_(pa.string())),
+    }), path)
+    out = str(root / "idx")
+    build_index(CorpusSpec(files=(path,), content_col="body",
+                           meta_cols=("doc_id", "lang", "tags")), out,
+                target_docs_per_partition=len(LANGS))
+    return out
+
+
+def _hits(idx, q):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    res = search(idx, {0: q}, k=100).to_pandas()
+    return sorted(res["docid"].tolist())
+
+
+def test_terms_filter_one_two_and_missing(idx):
+    # TestFieldCacheTermsFilter.testMissingTerms / testTerms shape
+    assert _hits(idx, FieldCacheTermsFilterQuery("lang", ("python",))) == [0, 3]
+    assert _hits(idx, FieldCacheTermsFilterQuery("lang", ("go", "rust"))) \
+        == [1, 2, 6]
+    # a term absent from the dict contributes nothing (no error, no hits)
+    assert _hits(idx, FieldCacheTermsFilterQuery("lang", ("cobol",))) == []
+    assert _hits(idx, FieldCacheTermsFilterQuery(
+        "lang", ("cobol", "java"))) == [4]
+    assert _hits(idx, FieldCacheTermsFilterQuery("lang", ())) == []
+
+
+def test_terms_filter_constant_score(idx):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    res = search(idx, {0: FieldCacheTermsFilterQuery(
+        "lang", ("python", "go"), boost=2.5)}, k=100).to_pandas()
+    assert set(np.float32(res["score"])) == {np.float32(2.5)}
+
+
+def _expect(pred):
+    return sorted(i for i, v in enumerate(LANGS) if pred(v))
+
+
+def test_rewrite_regexp_matches_raw_predicate(idx):
+    # TestFieldCacheRewriteMethod.testRegexps: FieldCache rewrite == the
+    # plain predicate over the stored values
+    import re
+
+    for pattern in ["p.*", "(go|rust)", "[jp].*a.*", "nomatch.*"]:
+        got = _hits(idx, FieldCacheRewriteQuery(
+            RegexpQuery(pattern), "lang"))
+        assert got == _expect(lambda v: re.fullmatch(pattern, v) is not None)
+
+
+def test_rewrite_prefix_wildcard_term_range(idx):
+    assert _hits(idx, FieldCacheRewriteQuery(
+        PrefixQuery("p"), "lang")) == _expect(
+            lambda v: v.startswith("p"))
+    assert _hits(idx, FieldCacheRewriteQuery(
+        WildcardQuery("*a*a"), "lang")) == [4, 5]  # java, scala
+    assert _hits(idx, FieldCacheRewriteQuery(
+        WildcardQuery("g?"), "lang")) == [1, 6]
+    assert _hits(idx, FieldCacheRewriteQuery(
+        TermQuery("rust"), "lang")) == [2]
+    # range inclusivity over the sorted value dict
+    assert _hits(idx, FieldCacheRewriteQuery(
+        TermRangeQuery("go", "python", True, True), "lang")) \
+        == _expect(lambda v: "go" <= v <= "python")
+    assert _hits(idx, FieldCacheRewriteQuery(
+        TermRangeQuery("go", "python", False, False), "lang")) \
+        == _expect(lambda v: "go" < v < "python")
+    assert _hits(idx, FieldCacheRewriteQuery(
+        TermRangeQuery(None, "java", True, True), "lang")) \
+        == _expect(lambda v: v <= "java")
+
+
+def test_rewrite_multi_valued_doc_term_ords(idx):
+    # DocTermOrdsRewriteMethod: ANY of the doc's SORTED_SET values matching
+    # qualifies the doc; docs with no values never match
+    def expect(pred):
+        return sorted(i for i, ts in enumerate(TAGS) if any(pred(t)
+                                                            for t in ts))
+
+    assert _hits(idx, FieldCacheRewriteQuery(
+        PrefixQuery("ui"), "tags", multi_valued=True)) \
+        == expect(lambda t: t.startswith("ui"))
+    assert _hits(idx, FieldCacheRewriteQuery(
+        RegexpQuery("(hot|ops)"), "tags", multi_valued=True)) \
+        == expect(lambda t: t in ("hot", "ops"))
+    assert _hits(idx, FieldCacheRewriteQuery(
+        WildcardQuery("*t*"), "tags", multi_valued=True)) \
+        == expect(lambda t: "t" in t)
+    assert _hits(idx, FieldCacheRewriteQuery(
+        RegexpQuery("zzz"), "tags", multi_valued=True)) == []
+
+
+def test_rewrite_rejects_unsupported_mtq(idx):
+    from lucene_solr_old_ray.queries import FuzzyQuery
+
+    # raised inside the Ray search task -> surfaces wrapped in RayTaskError
+    with pytest.raises(Exception, match="FieldCacheRewriteMethod supports"):
+        _hits(idx, FieldCacheRewriteQuery(
+            FuzzyQuery("pithon"), "lang"))
+
+
+def test_value_mask_lucene_only_operators():
+    # the dv-dict predicate honours Lucene RegExp operators (complement &c.)
+    from lucene_solr_old_ray.stages.search import _mtq_value_mask
+
+    vals = np.asarray(["alpha", "beta", "gamma"], dtype=object)
+    m = _mtq_value_mask(RegexpQuery("~(beta)"), vals)
+    assert list(m) == [True, False, True]
