@@ -621,6 +621,26 @@ class SpanNearPayloadCheckQuery:
 
 
 @dataclass(frozen=True)
+class PayloadNearQuery:
+    """Re-expresses (NOT ports) ``search/payloads/PayloadNearQuery.java:59``
+    (PayloadNearSpanScorer): a SpanNearQuery whose score folds in a
+    PayloadFunction over the integer payloads at every contributing
+    term-span position of every matching span — per matching span, freq
+    accumulates sloppyFreq(end - start) and each clause's payload at its
+    matched position feeds the function (``avg`` = payloadScore /
+    payloadsSeen, ``min``/``max`` = running fold; no payloads seen -> 1.0,
+    the reference's docScore default). Final score = float32(spanScore *
+    payloadFactor). Payload value convention = the indexed integer payload
+    as a float (the repo's scorePayload convention, as PayloadTermQuery).
+    Clauses must be term spans (the shapes the reference's
+    getPayloads/processPayloads walk collects from)."""
+
+    match: "SpanNearQuery"
+    function: str = "avg"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PayloadTermQuery:
     """Re-expresses (NOT ports) ``search/payloads/PayloadTermQuery.java:55``:
     a SpanTermQuery whose score folds in a PayloadFunction over the
@@ -652,7 +672,7 @@ def span_field(q: "SpanQuery") -> str | None:
     if isinstance(q, (SpanTermQuery, PayloadTermQuery,
                       SpanPayloadCheckQuery)):
         return q.field
-    if isinstance(q, SpanNearPayloadCheckQuery):
+    if isinstance(q, (SpanNearPayloadCheckQuery, PayloadNearQuery)):
         return span_field(q.match)
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         fields = {span_field(c) for c in q.clauses}
@@ -681,7 +701,7 @@ def span_weight_terms(q: "SpanQuery") -> set[str]:
     if isinstance(q, (SpanTermQuery, PayloadTermQuery,
                       SpanPayloadCheckQuery)):
         return {q.term}
-    if isinstance(q, SpanNearPayloadCheckQuery):
+    if isinstance(q, (SpanNearPayloadCheckQuery, PayloadNearQuery)):
         return span_weight_terms(q.match)
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         out: set[str] = set()
@@ -881,7 +901,7 @@ def collect_terms(q: Query) -> set[str]:
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
                       SpanMultiTermQueryWrapper, PayloadTermQuery,
                       SpanPayloadCheckQuery, SpanNearPayloadCheckQuery,
-                      FieldMaskingSpanQuery)):
+                      PayloadNearQuery, FieldMaskingSpanQuery)):
         return span_weight_terms(q) if span_field(q) is None else set()
     if isinstance(q, CommonTermsQuery):
         return set(q.terms) if q.field is None else set()
@@ -940,7 +960,7 @@ def collect_field_terms(q: Query) -> set[tuple[str, str]]:
                       SpanNotQuery, SpanFirstQuery, SpanPositionRangeQuery,
                       SpanMultiTermQueryWrapper, PayloadTermQuery,
                       SpanPayloadCheckQuery, SpanNearPayloadCheckQuery,
-                      FieldMaskingSpanQuery)):
+                      PayloadNearQuery, FieldMaskingSpanQuery)):
         f = span_field(q)
         return ({(f, t) for t in span_weight_terms(q)}
                 if f is not None else set())

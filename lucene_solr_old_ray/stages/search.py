@@ -1280,7 +1280,8 @@ def _execute_raw(
         from .spans import execute_payload_term
 
         return execute_payload_term(q, leaf, ctx, boost)
-    from ..queries import SpanNearPayloadCheckQuery, SpanPayloadCheckQuery
+    from ..queries import (PayloadNearQuery, SpanNearPayloadCheckQuery,
+                           SpanPayloadCheckQuery)
 
     if isinstance(q, SpanPayloadCheckQuery):
         from .spans import execute_payload_check
@@ -1290,6 +1291,10 @@ def _execute_raw(
         from .spans import execute_near_payload_check
 
         return execute_near_payload_check(q, leaf, ctx, boost)
+    if isinstance(q, PayloadNearQuery):
+        from .spans import execute_payload_near
+
+        return execute_payload_near(q, leaf, ctx, boost)
     from ..queries import FieldMaskingSpanQuery
 
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,

@@ -555,6 +555,74 @@ def execute_payload_check(q, leaf, ctx, boost: float):
         freqs, lf.norms[docids], wv, ctx.cache_for(q.field))
 
 
+def execute_payload_near(q, leaf, ctx, boost: float):
+    """PayloadNearQuery -> (docids, f32 scores).
+
+    Re-expresses ``search/payloads/PayloadNearQuery.java:186-268``
+    (PayloadNearSpanScorer.setFreqCurrentDoc/score): per matching near
+    span, freq accumulates sloppyFreq(end - start) and every contributing
+    term position's integer payload feeds the PayloadFunction —
+    ``avg`` = payloadScore / payloadsSeen (AveragePayloadFunction's
+    running sum), ``min``/``max`` = running fold; a doc with zero payloads
+    seen gets factor 1.0 (the reference's docScore default). Final score =
+    float32(spanScore * payloadFactor), spanScore the usual SpanScorer
+    with the distinct-term f32 idf sum."""
+    nq = q.match
+    if not all(isinstance(c, SpanTermQuery) for c in nq.clauses):
+        raise NotImplementedError(
+            "PayloadNearQuery needs term-span clauses (the shapes the "
+            "reference's getPayloads walk collects from)")
+    field = span_field(nq)
+    lf = leaf.sibling(field)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+    docs = _docs_of(nq, lf)
+    if docs is None or len(docs) == 0:
+        return empty
+    per = [lf.postings_with_payloads(c.term) for c in nq.clauses]
+    walk = near_ordered_matches if nq.in_order else near_unordered_matches
+    if q.function not in ("avg", "min", "max"):
+        raise ValueError(f"unknown payload function {q.function!r}")
+    one = F(1.0)
+    freqs = np.zeros(len(docs), dtype=F)
+    payf = np.ones(len(docs), dtype=np.float64)
+    for bi, doc in enumerate(docs):
+        subs: list[list[tuple[int, int]]] = []
+        paymaps: list[dict[int, int]] = []
+        for (d, _tfs, flat, starts, pay) in per:
+            j = int(np.searchsorted(d, doc))
+            ps = flat[starts[j]: starts[j + 1]]
+            pv = pay[starts[j]: starts[j + 1]]
+            subs.append([(int(p), int(p) + 1) for p in ps])
+            paymaps.append({int(p): int(v) for p, v in zip(ps, pv)})
+        f = F(0.0)
+        vals: list[int] = []
+        for s, e, cells in walk(subs, nq.slop, with_cells=True):
+            f = F(f + F(one / F(1 + (e - s))))
+            vals.extend(paymaps[i][cs] for i, (cs, _ce) in enumerate(cells))
+        freqs[bi] = f
+        if vals:
+            if q.function == "avg":
+                payf[bi] = float(np.sum(np.asarray(vals, dtype=np.float64))
+                                 ) / len(vals)
+            elif q.function == "min":
+                payf[bi] = min(vals)
+            else:
+                payf[bi] = max(vals)
+    match = freqs > 0
+    docids = docs[match]
+    if len(docids) == 0:
+        return empty
+    sum_idf = F(0.0)
+    for t in sorted(span_weight_terms(nq)):
+        df = ctx.stats_for(field, t)[0]
+        sum_idf = F(sum_idf + bm25.idf(df, ctx.coll.max_doc))
+    wv = bm25.weight_value(sum_idf, boost * q.boost)
+    scores = bm25.score_postings(
+        freqs[match], lf.norms[docids], wv, ctx.cache_for(field))
+    return docids, (scores * payf[match].astype(np.float32)
+                    ).astype(np.float32)
+
+
 def execute_near_payload_check(q, leaf, ctx, boost: float):
     """SpanNearPayloadCheckQuery -> (docids, f32 scores).
 

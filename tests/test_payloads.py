@@ -297,3 +297,78 @@ def test_near_payload_check_scores_like_span_when_all_pass(
     p0 = plain[plain["docid"] == 0]["score"].iloc[0]
     c0 = checked[checked["docid"] == 0]["score"].iloc[0]
     assert np.float32(p0) == np.float32(c0)
+
+
+# --- PayloadNearQuery (search/payloads/PayloadNearQuery.java) ----------------
+
+
+def test_payload_near_avg_min_max(ray_session, near_payload_index):
+    """score = plain SpanNearQuery score * PayloadFunction over the
+    payloads at every contributing term position (doc 0: (1,2), doc 1:
+    (1,3); doc 2 needs slop, doc 3 has no 'one two' span)."""
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import (
+        PayloadNearQuery, SpanNearQuery, SpanTermQuery)
+
+    near = SpanNearQuery((SpanTermQuery("one"), SpanTermQuery("two")),
+                         slop=0, in_order=True)
+    plain = search(near_payload_index, {0: near}, k=10).to_pandas()
+    base = dict(zip(plain["docid"].astype(int),
+                    plain["score"].astype(np.float32)))
+    cases = {"avg": {0: 1.5, 1: 2.0},
+             "min": {0: 1.0, 1: 1.0},
+             "max": {0: 2.0, 1: 3.0}}
+    for fn, factors in cases.items():
+        got = search(near_payload_index, {0: PayloadNearQuery(near, fn)},
+                     k=10).to_pandas()
+        assert sorted(got["docid"].astype(int)) == [0, 1], fn
+        for d, s in zip(got["docid"].astype(int),
+                        got["score"].astype(np.float32)):
+            assert np.float32(s) == np.float32(
+                base[d] * np.float32(factors[d])), (fn, d)
+
+
+def test_payload_near_slop_and_unordered(ray_session, near_payload_index):
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import (
+        PayloadNearQuery, SpanNearQuery, SpanTermQuery)
+
+    # slop=1 admits doc 2 ("one|1 xx two|2") with factor avg(1,2)=1.5
+    near1 = SpanNearQuery((SpanTermQuery("one"), SpanTermQuery("two")),
+                          slop=1, in_order=True)
+    plain = search(near_payload_index, {0: near1}, k=10).to_pandas()
+    got = search(near_payload_index, {0: PayloadNearQuery(near1, "avg")},
+                 k=10).to_pandas()
+    assert sorted(got["docid"].astype(int)) == [0, 1, 2]
+    p2 = np.float32(plain[plain["docid"] == 2]["score"].iloc[0])
+    g2 = np.float32(got[got["docid"] == 2]["score"].iloc[0])
+    assert g2 == np.float32(p2 * np.float32(1.5))
+    # unordered clause order reaches the same spans and payloads
+    un = SpanNearQuery((SpanTermQuery("two"), SpanTermQuery("one")),
+                       slop=0, in_order=False)
+    got_u = search(near_payload_index, {0: PayloadNearQuery(un, "avg")},
+                   k=10).to_pandas()
+    plain_u = search(near_payload_index, {0: un}, k=10).to_pandas()
+    assert sorted(got_u["docid"].astype(int)) == [0, 1]
+    pu0 = np.float32(plain_u[plain_u["docid"] == 0]["score"].iloc[0])
+    gu0 = np.float32(got_u[got_u["docid"] == 0]["score"].iloc[0])
+    assert gu0 == np.float32(pu0 * np.float32(1.5))
+
+
+def test_payload_near_duplicate_term_span(ray_session, near_payload_index):
+    """near(qa, qa) on 'qa|5 qa|5' matches one span contributing payloads
+    (5, 5) -> every function yields factor 5."""
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import (
+        PayloadNearQuery, SpanNearQuery, SpanTermQuery)
+
+    near = SpanNearQuery((SpanTermQuery("qa"), SpanTermQuery("qa")),
+                         slop=0, in_order=True)
+    plain = search(near_payload_index, {0: near}, k=10).to_pandas()
+    p3 = np.float32(plain[plain["docid"] == 3]["score"].iloc[0])
+    for fn in ("avg", "min", "max"):
+        got = search(near_payload_index, {0: PayloadNearQuery(near, fn)},
+                     k=10).to_pandas()
+        assert got["docid"].astype(int).tolist() == [3]
+        assert np.float32(got["score"].iloc[0]) == np.float32(
+            p3 * np.float32(5.0))
