@@ -301,3 +301,105 @@ def block_grouping_top_groups(
         }))
     res = pd.concat(out, ignore_index=True)
     return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def sort_parents_by_child_field(
+    index_dir: str,
+    q: ToParentBlockJoinQuery,
+    child_field: str,
+    *,
+    reverse: bool = False,
+    order: "bool | None" = None,
+    child_filter=None,
+    k: int = 10,
+) -> pa.Table:
+    """Rank the join query's PARENT hits by a CHILD-level doc-values field.
+
+    Re-expresses (NOT ports) ``join/ToParentBlockJoinSortField.java:32-82``
+    + ``ToParentBlockJoinFieldComparator.java`` Lowest/Highest: each hit
+    parent's sort key is the LOWEST (``order=False``) or HIGHEST
+    (``order=True``) ``child_field`` value among its block's children —
+    optionally restricted to ``child_filter`` matches (the ctor's
+    childFilter) — and ``reverse`` flips the parent-level order; the
+    2-arg reference ctor sets order = reverse, the default here. Parents
+    whose qualifying children carry no value sort as NULL-LOWEST (the
+    wrapped comparator's missing-value contract; docID asc tie-break).
+    -> (rank, docid, <child_field>).
+
+    Per-leaf top-k partials under the same comparator are a superset of
+    the global top-k (blocks never straddle leaves), so the driver reduce
+    re-sorts only len(leaves) x k rows."""
+    import ray
+    import ray.data
+
+    from ..queries import collect_field_terms, collect_terms
+    from ..stages.search import execute
+    from .analytics import _leaf_items
+    from .search import _open_leaf, gather_stats
+
+    highest = reverse if order is None else order
+    ascending = not reverse
+    na_pos = "first" if ascending else "last"  # null == lowest value
+
+    manifest = mf.read_index_manifest(index_dir)
+    terms = sorted(collect_terms(q) | (collect_terms(child_filter)
+                                       if child_filter is not None else set()))
+    fterms = sorted(collect_field_terms(q)
+                    | (collect_field_terms(child_filter)
+                       if child_filter is not None else set()))
+    ctx = gather_stats(index_dir, manifest, terms, field_terms=fterms)
+    bcast = ray.put((ctx, q, child_filter))
+
+    def leaf_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ctx_l, q_l, cf = ray.get(bcast)
+        parts = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            hits, _ = execute(q_l, leaf, ctx_l)
+            if len(hits) == 0:
+                continue
+            parents, _ = execute(
+                TermQuery(q_l.parent_value, field=q_l.parent_field),
+                leaf, ctx_l)
+            # block ranges: children of parent p = (previous parent, p)
+            pi = np.searchsorted(parents, hits)
+            starts = np.where(pi > 0, parents[np.maximum(pi - 1, 0)] + 1, 0)
+            counts = hits - starts
+            encl = np.repeat(hits, counts)
+            child = (np.arange(int(counts.sum()), dtype=np.int64)
+                     - np.repeat(counts.cumsum() - counts, counts)
+                     + np.repeat(starts, counts))
+            if cf is not None and len(child):
+                fdocs = execute(cf, leaf, ctx_l)[0]
+                m = np.isin(child, fdocs)
+                child, encl = child[m], encl[m]
+            key = pd.Series([None] * len(hits), index=hits, dtype=object)
+            if len(child):
+                vals = leaf.doc_values(child_field, child)
+                g = pd.DataFrame({"p": encl, "v": vals}).dropna(subset=["v"])
+                if len(g):
+                    agg = (g.groupby("p")["v"].max() if highest
+                           else g.groupby("p")["v"].min())
+                    key.update(agg)
+            df = pd.DataFrame({"docid": hits + leaf.doc_base,
+                               child_field: key.to_numpy()})
+            df = df.sort_values([child_field, "docid"],
+                                ascending=[ascending, True],
+                                kind="mergesort", na_position=na_pos).head(k)
+            parts.append(df)
+        return (pd.concat(parts, ignore_index=True) if parts
+                else pd.DataFrame())
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_topk, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if "docid" not in partials.columns or not len(partials):
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "docid": pa.array([], pa.int64()),
+                         child_field: pa.array([], pa.string())})
+    sel = partials.sort_values(
+        [child_field, "docid"], ascending=[ascending, True],
+        kind="mergesort", na_position=na_pos).head(k).reset_index(drop=True)
+    sel.insert(0, "rank", np.arange(1, len(sel) + 1, dtype=np.int64))
+    return pa.Table.from_pandas(sel, preserve_index=False)

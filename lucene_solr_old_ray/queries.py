@@ -1023,6 +1023,46 @@ def parse(text: str, default_field: str | None = None) -> Query:
     return q
 
 
+def parse_multi_field(text: str, fields, boosts=None,
+                      default_field: str | None = None) -> Query:
+    """Re-expresses ``queryparser/classic/MultiFieldQueryParser.java:43-148``:
+    parse with the classic grammar, then expand every UNQUALIFIED atom
+    (term / phrase / prefix / wildcard / fuzzy / regexp / range) into a
+    SHOULD BooleanQuery over ``fields`` — the reference's
+    getFieldQuery(null, ...) per-field loop — with the per-field
+    ``boosts`` map folded into each copy's boost (the reference sets the
+    field boost at query creation; multiplied here so an explicit
+    ``^boost`` composes with it instead of clobbering it).
+    ``field:``-qualified clauses and operators parse exactly as
+    :func:`parse`. One field skips the wrapper (a 1-clause SHOULD scores
+    identically but this keeps trees small)."""
+    return _expand_multi_field(parse(text, default_field), tuple(fields),
+                               dict(boosts or {}))
+
+
+def _expand_multi_field(q: Query, fields: tuple, bmap: dict) -> Query:
+    from dataclasses import replace as _replace
+
+    if isinstance(q, BooleanQuery):
+        return _replace(q, clauses=tuple(
+            BooleanClause(c.occur, _expand_multi_field(c.query, fields, bmap))
+            for c in q.clauses))
+    if isinstance(q, DisjunctionMaxQuery):
+        return _replace(q, disjuncts=tuple(
+            _expand_multi_field(d, fields, bmap) for d in q.disjuncts))
+    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, WildcardQuery,
+                      FuzzyQuery, RegexpQuery, TermRangeQuery)) \
+            and q.field is None:
+        if len(fields) == 1:
+            f = fields[0]
+            return _replace(q, field=f, boost=q.boost * bmap.get(f, 1.0))
+        return BooleanQuery(tuple(
+            BooleanClause(SHOULD, _replace(
+                q, field=f, boost=q.boost * bmap.get(f, 1.0)))
+            for f in fields))
+    return q
+
+
 def _with_boost(q: Query, boost: float) -> Query:
     if boost == 1.0:
         return q

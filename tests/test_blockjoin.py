@@ -482,3 +482,131 @@ def test_topgroups_parent_sort_source(block_index_year):
         d = g["child_docid"].to_numpy()
         assert all((s[i] > s[i + 1]) or (s[i] == s[i + 1] and d[i] < d[i + 1])
                    for i in range(len(g) - 1))
+
+
+# --- ToParentBlockJoinSortField (join/ToParentBlockJoinSortField.java) -------
+
+# blocks: (child (price, color) list); every child text is "toy fun"
+SORT_BLOCKS = [
+    [(15, "red"), (5, "blue")],          # parent 0: min 5,  max 15
+    [(7, "red")],                        # parent 1: min 7,  max 7
+    [(30, "blue"), (10, "blue"), (20, "red")],  # parent 2: min 10, max 30
+    [(12, "blue")],                      # parent 3: min 12, max 12 (no red)
+]
+
+
+@pytest.fixture(scope="module")
+def price_block_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("blksort")
+    texts, dtypes, prices, colors, ids = [], [], [], [], []
+    did = 0
+    for children in SORT_BLOCKS:
+        for price, color in children:
+            texts.append("toy fun")
+            dtypes.append("child")
+            prices.append(price)
+            colors.append(color)
+            ids.append(did)
+        texts.append("")
+        dtypes.append("parent")
+        prices.append(None)
+        colors.append("none")
+        ids.append(did)
+        did += 1
+    n = len(ids)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "body": pa.array(texts, pa.string()),
+        "doctype": pa.array(dtypes, pa.string()),
+        "price": pa.array(prices, pa.int64()),
+        "color": pa.array(colors, pa.string()),
+    }), str(d / "c.parquet"))
+    idx = str(d / "idx")
+    build_index(CorpusSpec(
+        files=(str(d / "c.parquet"),), content_col="body",
+        meta_cols=("doc_id", "price"),
+        extra_fields=(FieldSpec("doctype", "doctype", "standard"),
+                      FieldSpec("color", "color", "standard"))), idx,
+        target_docs_per_partition=n)
+    return idx
+
+
+def _parent_docids():
+    """Global docids of the parents (last doc of each block)."""
+    out, did = [], -1
+    for children in SORT_BLOCKS:
+        did += len(children) + 1
+        out.append(did)
+    return out
+
+
+def test_block_join_sort_lowest_ascending(price_block_index):
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        sort_parents_by_child_field)
+
+    q = ToParentBlockJoinQuery(TermQuery("toy"), "doctype", "parent", "avg")
+    res = sort_parents_by_child_field(
+        price_block_index, q, "price", k=10).to_pandas()
+    p = _parent_docids()
+    # ascending by LOWEST child price: p0(5) < p1(7) < p2(10) < p3(12)
+    assert res["docid"].tolist() == [p[0], p[1], p[2], p[3]]
+    assert res["price"].tolist() == [5, 7, 10, 12]
+    assert res["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_block_join_sort_highest_descending(price_block_index):
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        sort_parents_by_child_field)
+
+    q = ToParentBlockJoinQuery(TermQuery("toy"), "doctype", "parent", "avg")
+    res = sort_parents_by_child_field(
+        price_block_index, q, "price", reverse=True, k=10).to_pandas()
+    p = _parent_docids()
+    # descending by HIGHEST child price: p2(30) > p0(15) > p3(12) > p1(7)
+    assert res["docid"].tolist() == [p[2], p[0], p[3], p[1]]
+    assert res["price"].tolist() == [30, 15, 12, 7]
+
+
+def test_block_join_sort_order_override(price_block_index):
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        sort_parents_by_child_field)
+
+    q = ToParentBlockJoinQuery(TermQuery("toy"), "doctype", "parent", "avg")
+    # ascending parent order, but comparing each parent's HIGHEST child
+    res = sort_parents_by_child_field(
+        price_block_index, q, "price", reverse=False, order=True,
+        k=10).to_pandas()
+    p = _parent_docids()
+    assert res["docid"].tolist() == [p[1], p[3], p[0], p[2]]  # 7,12,15,30
+    assert res["price"].tolist() == [7, 12, 15, 30]
+
+
+def test_block_join_sort_child_filter_and_missing(price_block_index):
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        sort_parents_by_child_field)
+
+    q = ToParentBlockJoinQuery(TermQuery("toy"), "doctype", "parent", "avg")
+    # only red children participate; p3 has none -> NULL key, lowest
+    res = sort_parents_by_child_field(
+        price_block_index, q, "price",
+        child_filter=TermQuery("red", field="color"), k=10).to_pandas()
+    p = _parent_docids()
+    # asc by lowest RED price: p3(null first), p1(7), p0(15), p2(20)
+    assert res["docid"].tolist() == [p[3], p[1], p[0], p[2]]
+    vals = res["price"].tolist()
+    assert pd.isna(vals[0]) and vals[1:] == [7, 15, 20]
+    # descending puts the null-key parent LAST (null == lowest value)
+    res_d = sort_parents_by_child_field(
+        price_block_index, q, "price", reverse=True,
+        child_filter=TermQuery("red", field="color"), k=10).to_pandas()
+    assert res_d["docid"].tolist() == [p[2], p[0], p[1], p[3]]
+
+
+def test_block_join_sort_k_truncates(price_block_index):
+    from lucene_solr_old_ray.pipelines.blockjoin_collector import (
+        sort_parents_by_child_field)
+
+    q = ToParentBlockJoinQuery(TermQuery("toy"), "doctype", "parent", "avg")
+    res = sort_parents_by_child_field(
+        price_block_index, q, "price", k=2).to_pandas()
+    assert len(res) == 2 and res["price"].tolist() == [5, 7]

@@ -132,3 +132,97 @@ def test_empty_and_degenerate_inputs():
     assert parse("   ") == BooleanQuery(())
     assert parse('"') == BooleanQuery(())
     assert parse("field:") == BooleanQuery(())
+
+
+# --- MultiFieldQueryParser (queryparser/classic/MultiFieldQueryParser.java) --
+
+
+def test_parse_multi_field_expands_unqualified_atoms():
+    from lucene_solr_old_ray.queries import (
+        SHOULD, BooleanClause, BooleanQuery, TermQuery, parse_multi_field)
+
+    q = parse_multi_field("hello world", ("title", "body"), {"title": 2.0})
+    assert isinstance(q, BooleanQuery) and len(q.clauses) == 2
+    for c, term in zip(q.clauses, ("hello", "world")):
+        assert c.occur == SHOULD
+        inner = c.query
+        assert isinstance(inner, BooleanQuery)
+        assert inner.clauses == (
+            BooleanClause(SHOULD, TermQuery(term, 2.0, "title")),
+            BooleanClause(SHOULD, TermQuery(term, 1.0, "body")))
+
+
+def test_parse_multi_field_qualified_and_operators_untouched():
+    from lucene_solr_old_ray.queries import (
+        MUST, MUST_NOT, BooleanQuery, TermQuery, parse_multi_field)
+
+    q = parse_multi_field("+lang:rust -deprecated", ("title", "body"))
+    assert isinstance(q, BooleanQuery)
+    occurs = [c.occur for c in q.clauses]
+    assert occurs == [MUST, MUST_NOT]
+    # qualified atom stays single-field
+    assert q.clauses[0].query == TermQuery("rust", 1.0, "lang")
+    # unqualified MUST_NOT atom expands across both fields
+    inner = q.clauses[1].query
+    assert isinstance(inner, BooleanQuery) and len(inner.clauses) == 2
+    assert {c.query.field for c in inner.clauses} == {"title", "body"}
+
+
+def test_parse_multi_field_phrase_boost_and_single_field():
+    from lucene_solr_old_ray.queries import (
+        BooleanQuery, PhraseQuery, parse_multi_field)
+
+    q = parse_multi_field('"big data"^3', ("title", "body"), {"body": 0.5})
+    inner = q.clauses[0].query if isinstance(q, BooleanQuery) and \
+        not isinstance(q.clauses[0].query, PhraseQuery) else q
+    # ^boost composes with the field boost (documented multiply semantics)
+    assert isinstance(inner, BooleanQuery)
+    boosts = {c.query.field: c.query.boost for c in inner.clauses}
+    assert boosts == {"title": 3.0, "body": 1.5}
+    assert all(isinstance(c.query, PhraseQuery) and
+               c.query.terms == ("big", "data") for c in inner.clauses)
+    # one field skips the wrapper
+    q1 = parse_multi_field("hello", ("title",))
+    from lucene_solr_old_ray.queries import TermQuery
+    assert q1 == TermQuery("hello", 1.0, "title")
+
+
+def test_parse_multi_field_end_to_end(ray_session, tmp_path_factory):
+    """parse_multi_field's tree scores identically to the hand-built
+    per-field SHOULD expansion on a real two-extra-field index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import (
+        SHOULD, BooleanClause, BooleanQuery, TermQuery, parse_multi_field)
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    root = tmp_path_factory.mktemp("mfqp")
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "body": pa.array(["alpha beta", "gamma", "alpha", "delta"],
+                         pa.string()),
+        "title": pa.array(["gamma title", "alpha here", "other", "gamma"],
+                          pa.string()),
+    }), path)
+    idx = str(root / "idx")
+    build_index(CorpusSpec(
+        files=(path,), content_col="body", meta_cols=("doc_id",),
+        extra_fields=(FieldSpec("title", "title", "standard"),
+                      FieldSpec("body2", "body", "standard"))), idx,
+        target_docs_per_partition=4)
+    parsed = parse_multi_field("alpha gamma", ("title", "body2"),
+                               {"title": 2.0})
+    manual = BooleanQuery(tuple(
+        BooleanClause(SHOULD, BooleanQuery((
+            BooleanClause(SHOULD, TermQuery(t, 2.0, "title")),
+            BooleanClause(SHOULD, TermQuery(t, 1.0, "body2")))))
+        for t in ("alpha", "gamma")))
+    a = search(idx, {0: parsed}, k=10).to_pandas()
+    b = search(idx, {0: manual}, k=10).to_pandas()
+    assert a["docid"].tolist() == b["docid"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+    assert len(a) == 4  # every doc matches alpha or gamma in some field
