@@ -1063,6 +1063,84 @@ def _expand_multi_field(q: Query, fields: tuple, bmap: dict) -> Query:
     return q
 
 
+def parse_analyzing(text: str, analyzer: str = "standard",
+                    default_field: str | None = None) -> Query:
+    """Re-expresses ``queryparser/analyzing/AnalyzingQueryParser.java:55-200``:
+    the classic grammar, but WILDCARD / PREFIX / FUZZY terms also pass
+    through the analyzer — each wildcard-free chunk must analyze to
+    exactly ONE token (the reference throws ParseException otherwise ->
+    ``ValueError`` here; a leading ``*``/``?`` is likewise rejected), the
+    wildcard characters themselves are preserved in place. Plain terms
+    and phrases re-analyze through the configured chain (dropping clauses
+    that analyze away); ranges keep :func:`parse`'s lowercasing. Useful
+    when the index chain folds characters (e.g. ASCII folding):
+    ``übersetzung*`` analyzes to ``ubersetzung*`` and matches the folded
+    index terms, which the classic parser's lowercase-only expansion
+    would miss."""
+    q = _analyze_expanded(parse(text, default_field), analyzer)
+    return q if q is not None else BooleanQuery(())
+
+
+def _analyze_one_chunk(chunk: str, analyzer: str) -> str:
+    toks = analyze_text(chunk, analyzer)
+    if len(toks) != 1:
+        raise ValueError(
+            f"Unable to analyze multi-term text {chunk!r} to one token "
+            f"(analyzer returned {toks!r}) — "
+            "AnalyzingQueryParser.analyzeSingleChunk contract")
+    return toks[0]
+
+
+def _analyze_expanded(q: Query, analyzer: str) -> Query:
+    from dataclasses import replace as _replace
+
+    if isinstance(q, BooleanQuery):
+        kept = []
+        for c in q.clauses:
+            cq = _analyze_expanded(c.query, analyzer)
+            if cq is not None:  # clause analyzed away: dropped (parser rule)
+                kept.append(BooleanClause(c.occur, cq))
+        return _replace(q, clauses=tuple(kept))
+    if isinstance(q, DisjunctionMaxQuery):
+        return _replace(q, disjuncts=tuple(
+            d2 for d in q.disjuncts
+            if (d2 := _analyze_expanded(d, analyzer)) is not None))
+    if isinstance(q, PrefixQuery):
+        return _replace(q, prefix=_analyze_one_chunk(q.prefix, analyzer))
+    if isinstance(q, FuzzyQuery):
+        return _replace(q, term=_analyze_one_chunk(q.term, analyzer))
+    if isinstance(q, WildcardQuery):
+        import re as _re
+
+        if q.pattern[:1] in ("*", "?"):
+            raise ValueError(
+                "'*' or '?' not allowed as first character in WildcardQuery "
+                "(AnalyzingQueryParser.getWildcardQuery)")
+        parts = _re.split(r"([*?]+)", q.pattern)
+        out = [p if i % 2 else (_analyze_one_chunk(p, analyzer) if p else p)
+               for i, p in enumerate(parts)]
+        return _replace(q, pattern="".join(out))
+    if isinstance(q, TermQuery) and analyzer != "standard":
+        # plain terms re-analyze through the configured chain too (the
+        # parser's getFieldQuery always used its analyzer)
+        toks = analyze_text(q.term, analyzer)
+        if len(toks) == 1:
+            return _replace(q, term=toks[0])
+        if toks:
+            return PhraseQuery(tuple(toks), boost=q.boost, field=q.field)
+        return None  # analyzed away: clause drops
+    if isinstance(q, PhraseQuery) and analyzer != "standard":
+        toks: list[str] = []
+        for t in q.terms:
+            toks.extend(analyze_text(t, analyzer))
+        if len(toks) == 1:
+            return TermQuery(toks[0], q.boost, field=q.field)
+        if toks:
+            return _replace(q, terms=tuple(toks))
+        return None
+    return q
+
+
 def _with_boost(q: Query, boost: float) -> Query:
     if boost == 1.0:
         return q

@@ -226,3 +226,58 @@ def test_parse_multi_field_end_to_end(ray_session, tmp_path_factory):
     assert a["docid"].tolist() == b["docid"].tolist()
     assert a["score"].tolist() == b["score"].tolist()
     assert len(a) == 4  # every doc matches alpha or gamma in some field
+
+
+# --- AnalyzingQueryParser (queryparser/analyzing/AnalyzingQueryParser.java) --
+
+FOLD = "chain:standard|lowercase|ascii_folding"
+
+
+def test_parse_analyzing_folds_wildcard_prefix_fuzzy():
+    from lucene_solr_old_ray.queries import (
+        FuzzyQuery, PrefixQuery, WildcardQuery, parse_analyzing)
+
+    # TestAnalyzingQueryParser umlaut cases: the chunk analyzes through
+    # the folding chain, wildcards preserved in place
+    assert parse_analyzing("Übersetzung*", FOLD) == \
+        PrefixQuery("ubersetzung")
+    assert parse_analyzing("Über*zung", FOLD) == \
+        WildcardQuery("uber*zung")
+    assert parse_analyzing("Über?etzung", FOLD) == \
+        WildcardQuery("uber?etzung")
+    got = parse_analyzing("Übersetzung~1", FOLD)
+    assert isinstance(got, FuzzyQuery) and got.term == "ubersetzung" \
+        and got.max_edits == 1
+
+
+def test_parse_analyzing_plain_terms_and_stop_drop():
+    from lucene_solr_old_ray.queries import (
+        BooleanQuery, TermQuery, parse_analyzing)
+
+    assert parse_analyzing("Über", FOLD) == TermQuery("uber")
+    # stop word analyzes away -> clause drops (parser rule)
+    q = parse_analyzing("the Über", FOLD)
+    assert q == TermQuery("uber") or (
+        isinstance(q, BooleanQuery) and len(q.clauses) == 1
+        and q.clauses[0].query == TermQuery("uber"))
+
+
+def test_parse_analyzing_rejects_bad_shapes():
+    import pytest as _pytest
+
+    from lucene_solr_old_ray.queries import parse_analyzing
+
+    # multi-token chunk (standard tokenizer splits at '-')
+    with _pytest.raises(ValueError, match="analyzeSingleChunk"):
+        parse_analyzing("wi-fi*", FOLD)
+    # leading wildcard disallowed (getWildcardQuery guard)
+    with _pytest.raises(ValueError, match="first character"):
+        parse_analyzing("*foo", FOLD)
+
+
+def test_parse_analyzing_standard_matches_classic():
+    from lucene_solr_old_ray.queries import parse, parse_analyzing
+
+    for s in ["hello world", "+a -b", "pre* mid?dle", "term~2",
+              'field:x "big data"~1']:
+        assert parse_analyzing(s) == parse(s), s
