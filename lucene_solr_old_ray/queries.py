@@ -1063,6 +1063,128 @@ def _expand_multi_field(q: Query, fields: tuple, bmap: dict) -> Query:
     return q
 
 
+def parse_precedence(text: str, default_field: str | None = None) -> Query:
+    """Re-expresses ``queryparser/flexible/precedence/PrecedenceQueryParser
+    .java`` + ``BooleanModifiersQueryNodeProcessor``: boolean operators get
+    PRECEDENCE — ``AND`` binds tighter than ``OR``, which binds tighter
+    than juxtaposition — instead of the classic parser's flat pairwise
+    promotion. ``A AND B OR C AND D`` == ``(A AND B) OR (C AND D)``;
+    ``A OR B C`` == ``(A B) C``; ``A OR NOT B AND C`` == ``A (-B +C)``
+    (the reference's TestPrecedenceQueryParser.testPrecedence cases).
+    Implemented as a grouping rewrite (explicit parens inserted around
+    maximal AND-chains, then OR-chains, recursively inside groups) over
+    the classic grammar, so atoms / fields / phrases / ranges / boosts
+    behave exactly as :func:`parse`."""
+    return parse(_prec_rewrite(text), default_field)
+
+
+def _prec_scan(text: str) -> list:
+    """-> [("atom", src), ("conj", "AND"|"OR"), ...]; modifiers (+ - NOT !)
+    attach to their following atom's source; paren groups are rewritten
+    recursively; quoted phrases are opaque."""
+    items: list = []
+    i, n = 0, len(text)
+    mods = ""
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+            continue
+        m = _pre.match(r"(?:AND\b|&&)", text[i:])
+        if m and not mods:
+            items.append(("conj", "AND"))
+            i += m.end()
+            continue
+        m = _pre.match(r"(?:OR\b|\|\|)", text[i:])
+        if m and not mods:
+            items.append(("conj", "OR"))
+            i += m.end()
+            continue
+        m = _pre.match(r"(?:NOT\b|!|\+|-)", text[i:])
+        if m:
+            mods += text[i:i + m.end()] + (" " if m.group() == "NOT" else "")
+            i += m.end()
+            continue
+        fld = _pre.match(r"[\w.]+:", text[i:])
+        j = i + (fld.end() if fld else 0)
+        if j < n and text[j] == "(":
+            depth, k = 1, j + 1
+            while k < n and depth:
+                depth += {"(": 1, ")": -1}.get(text[k], 0)
+                k += 1
+            inner = text[j + 1: k - 1]
+            post = _POSTFIX.match(text, k)
+            suffix = text[k:post.end()] if post else ""
+            k = post.end() if post else k
+            items.append(("atom", mods + text[i:j] + "("
+                          + _prec_rewrite(inner) + ")" + suffix))
+            i = k
+            mods = ""
+            continue
+        if j < n and text[j] == '"':
+            k = text.find('"', j + 1)
+            k = n if k < 0 else k + 1
+            post = _POSTFIX.match(text, k)
+            k = post.end() if post else k
+            items.append(("atom", mods + text[i:k]))
+            i = k
+            mods = ""
+            continue
+        m = _pre.match(r"[^\s()]+", text[i:])
+        items.append(("atom", mods + text[i:i + m.end()]))
+        i += m.end()
+        mods = ""
+    return items
+
+
+def _prec_rewrite(text: str) -> str:
+    items = _prec_scan(text)
+    # pass 1: wrap maximal AND-chains
+    out1: list = []
+    i = 0
+    while i < len(items):
+        kind, v = items[i]
+        if kind == "conj" and v == "AND":
+            if (out1 and isinstance(out1[-1], str)
+                    and i + 1 < len(items) and items[i + 1][0] == "atom"):
+                chain = [out1.pop(), items[i + 1][1]]
+                i += 2
+                while (i + 1 < len(items) and items[i] == ("conj", "AND")
+                       and items[i + 1][0] == "atom"):
+                    chain.append(items[i + 1][1])
+                    i += 2
+                out1.append("(" + " AND ".join(chain) + ")")
+            else:
+                i += 1  # dangling AND: dropped (lenient, as classic)
+        elif kind == "conj":  # OR marker for pass 2
+            out1.append(("OR",))
+            i += 1
+        else:
+            out1.append(v)
+            i += 1
+    # pass 2: wrap maximal OR-chains (their operands become one SHOULD group)
+    final: list = []
+    j = 0
+    while j < len(out1):
+        v = out1[j]
+        if v == ("OR",):
+            if (final and isinstance(final[-1], str)
+                    and j + 1 < len(out1) and isinstance(out1[j + 1], str)):
+                chain = [final.pop(), out1[j + 1]]
+                j += 2
+                while (j + 1 < len(out1) and out1[j] == ("OR",)
+                       and isinstance(out1[j + 1], str)):
+                    chain.append(out1[j + 1])
+                    j += 2
+                final.append("(" + " ".join(chain) + ")")
+            else:
+                j += 1
+        else:
+            final.append(v)
+            j += 1
+    return " ".join(x for x in final if isinstance(x, str))
+
+
 def parse_analyzing(text: str, analyzer: str = "standard",
                     default_field: str | None = None) -> Query:
     """Re-expresses ``queryparser/analyzing/AnalyzingQueryParser.java:55-200``:

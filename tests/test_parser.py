@@ -281,3 +281,49 @@ def test_parse_analyzing_standard_matches_classic():
     for s in ["hello world", "+a -b", "pre* mid?dle", "term~2",
               'field:x "big data"~1']:
         assert parse_analyzing(s) == parse(s), s
+
+
+# --- PrecedenceQueryParser (queryparser/flexible/precedence/) ----------------
+
+
+def test_precedence_reference_cases():
+    """TestPrecedenceQueryParser.testPrecedence, verbatim pairs."""
+    from lucene_solr_old_ray.queries import parse, parse_precedence
+
+    pairs = [
+        ("A AND B OR C AND D", "(A AND B) OR (C AND D)"),
+        ("A OR B C", "(A B) C"),
+        ("A AND B C", "(+A +B) C"),
+        ("A AND NOT B", "+A -B"),
+        ("A OR NOT B", "A -B"),
+        ("A OR NOT B AND C", "A (-B +C)"),
+        ("A AND NOT B OR C", "(+A -B) OR C"),
+    ]
+    for src, equiv in pairs:
+        assert parse_precedence(src) == parse(equiv), src
+
+
+def test_precedence_groups_fields_phrases_boosts():
+    from lucene_solr_old_ray.queries import parse, parse_precedence
+
+    # explicit groups / fields / phrases keep classic behavior, and the
+    # rewrite recurses INSIDE groups
+    assert parse_precedence("c OR (a AND b)") == parse("c (+a +b)")
+    assert parse_precedence("((x OR y AND z))") == \
+        parse_precedence("x OR (y AND z)")
+    assert parse_precedence('t AND "big data"~1') == \
+        parse('+t +"big data"~1')
+    assert parse_precedence("title:x AND body:y") == \
+        parse("+title:x +body:y")
+    assert parse_precedence("(a AND b)^2 OR c") == parse("(+a +b)^2 c")
+    # no connectors -> identical to classic
+    for s in ["term term term", "+term -term term", "pre* f:[a TO b]"]:
+        assert parse_precedence(s) == parse(s), s
+
+
+def test_precedence_dangling_connectors_lenient():
+    from lucene_solr_old_ray.queries import parse, parse_precedence
+
+    assert parse_precedence("AND a") == parse("a")
+    assert parse_precedence("OR a b") == parse("a b")
+    assert parse_precedence("a AND") == parse("a")
