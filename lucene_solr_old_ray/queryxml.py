@@ -21,7 +21,18 @@ element maps to a query type, composing arbitrarily. Supported elements
   ``<SpanFirst end=..>``, ``<BoostingTermQuery>`` (a payload-scoring term
   — distance-compatible, mapped to SpanTerm like SpanBuilderBase does for
   matching purposes);
+- filters (query-shaped docID-set producers here): ``<RangeFilter>``,
+  ``<TermsFilter>`` (analyzed), ``<BooleanFilter>`` with Clauses,
+  ``<CachedFilter>`` (transparent — the per-leaf filter cache already
+  memoizes), and the CorePlusExtensionsParser elements
+  ``<DuplicateFilter keepMode=..>`` and ``<BoostingQuery>`` with
+  ``<Query>``/``<BoostQuery>`` children;
 - a ``boost`` attribute anywhere a builder honors it.
+
+Not mapped (index-dependent rewrites): ``LikeThisQuery`` /
+``FuzzyLikeThisQuery`` need collection statistics at parse time in the
+reference; the engine exposes them as the ``pipelines/mlt.py`` functions
+(``more_like_this_query``, ``fuzzy_like_this``) instead.
 
 Every element's text is whitespace-trimmed; unknown elements raise
 :class:`XmlParseError` (CoreParser's ParserException).
@@ -167,6 +178,70 @@ def _query(el) -> Query:
             include_upper=el.get("includeUpper", "true").lower() != "false")
     if tag == "UserInputQuery":
         return classic_parse(_text(el))
+    if tag == "RangeFilter":
+        # builders/RangeFilterBuilder.java: a TermRangeFilter element —
+        # query-shaped here (every filter IS a docID-set producer)
+        from .queries import TermRangeQuery
+
+        return TermRangeQuery(
+            el.get("lowerTerm"), el.get("upperTerm"),
+            include_lower=el.get("includeLower", "true").lower() != "false",
+            include_upper=el.get("includeUpper", "true").lower() != "false",
+            field=_field(el))
+    if tag == "TermsFilter":
+        # builders/TermsFilterBuilder.java: element text ANALYZED into the
+        # term set (the reference streams it through the analyzer)
+        from .queries import TermsFilterQuery
+
+        toks = analyze_text(_text(el))
+        return TermsFilterQuery(tuple(toks), field=_field(el))
+    if tag == "BooleanFilter":
+        from .queries import BooleanFilterQuery
+
+        clauses = []
+        for c in _children(el):
+            if c.tag != "Clause":
+                raise XmlParseError("BooleanFilter children must be Clause")
+            occurs = _OCCURS.get(c.get("occurs", "should"))
+            if occurs is None:
+                raise XmlParseError(f"bad occurs {c.get('occurs')!r}")
+            (sub,) = _children(c)
+            clauses.append(BooleanClause(occurs, _query(sub)))
+        return BooleanFilterQuery(tuple(clauses), boost=_boost(el))
+    if tag == "CachedFilter":
+        # builders/CachedFilterBuilder.java: caching is an execution
+        # concern — the engine's per-leaf filter cache already memoizes
+        # docID sets, so the element is transparent
+        (sub,) = _children(el)
+        return _query(sub)
+    if tag == "DuplicateFilter":
+        # extensions DuplicateFilterBuilder.java: keepMode attribute
+        from .queries import DuplicateFilterQuery
+
+        fieldname = _field(el)
+        if not fieldname:
+            raise XmlParseError("DuplicateFilter needs fieldName")
+        keep = ("first" if "FIRST" in el.get(
+            "keepMode", "KM_USE_LAST_OCCURRENCE").upper() else "last")
+        return DuplicateFilterQuery(MatchAllDocsQuery(), fieldname,
+                                    keep=keep)
+    if tag == "BoostingQuery":
+        # extensions BoostingQueryBuilder.java: <Query> scores, matches
+        # also matching <BoostQuery> get demoted by the boost attribute
+        from .queries import BoostingQuery
+
+        match = context = None
+        for c in _children(el):
+            if c.tag == "Query":
+                (qc,) = _children(c)
+                match = _query(qc)
+            elif c.tag == "BoostQuery":
+                (bc,) = _children(c)
+                context = _query(bc)
+        if match is None or context is None:
+            raise XmlParseError("BoostingQuery needs Query and BoostQuery")
+        return BoostingQuery(match, context,
+                             demote=float(el.get("boost", "0.01")))
     if tag in ("SpanTerm", "SpanOr", "SpanOrTerms", "SpanNear", "SpanNot",
                "SpanFirst", "BoostingTermQuery"):
         return _span(el)

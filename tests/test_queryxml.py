@@ -143,3 +143,76 @@ def test_execution_through_index(ray_session, tmp_path):
   <SpanTerm>bank</SpanTerm><SpanTerm>merger</SpanTerm>
 </SpanNear>""")
     assert match_doc_ids(idx, q2)["docid"].to_pylist() == [0, 1]
+
+
+# --- r5-late: filter + extensions builders -----------------------------------
+
+
+def test_xml_range_and_terms_filter():
+    from lucene_solr_old_ray.queries import TermRangeQuery, TermsFilterQuery
+    from lucene_solr_old_ray.queryxml import parse_xml_query
+
+    q = parse_xml_query(
+        '<RangeFilter fieldName="lang" lowerTerm="go" upperTerm="py" '
+        'includeUpper="false"/>')
+    assert q == TermRangeQuery("go", "py", include_lower=True,
+                               include_upper=False, field="lang")
+    q = parse_xml_query(
+        '<TermsFilter fieldName="lang">The Quick RUST go</TermsFilter>')
+    assert isinstance(q, TermsFilterQuery) and q.field == "lang"
+    assert q.terms == ("quick", "rust", "go")  # analyzed: stop word dropped
+
+
+def test_xml_boolean_filter_and_cached():
+    from lucene_solr_old_ray.queries import (
+        MUST, SHOULD, BooleanFilterQuery, TermQuery)
+    from lucene_solr_old_ray.queryxml import parse_xml_query
+
+    q = parse_xml_query(
+        '<BooleanFilter>'
+        '<Clause occurs="must"><TermQuery>alpha</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>beta</TermQuery></Clause>'
+        '</BooleanFilter>')
+    assert isinstance(q, BooleanFilterQuery)
+    assert [(c.occur, c.query) for c in q.clauses] == [
+        (MUST, TermQuery("alpha")), (SHOULD, TermQuery("beta"))]
+    # CachedFilter is transparent
+    q = parse_xml_query(
+        '<CachedFilter><TermQuery>x</TermQuery></CachedFilter>')
+    assert q == TermQuery("x")
+
+
+def test_xml_duplicate_filter_and_boosting_query():
+    from lucene_solr_old_ray.queries import (
+        BoostingQuery, DuplicateFilterQuery, MatchAllDocsQuery, TermQuery)
+    from lucene_solr_old_ray.queryxml import parse_xml_query
+
+    q = parse_xml_query(
+        '<DuplicateFilter fieldName="sha" '
+        'keepMode="KM_USE_FIRST_OCCURRENCE"/>')
+    assert q == DuplicateFilterQuery(MatchAllDocsQuery(), "sha",
+                                     keep="first")
+    q = parse_xml_query(
+        '<BoostingQuery boost="0.25">'
+        '<Query><TermQuery>spark</TermQuery></Query>'
+        '<BoostQuery><TermQuery>old</TermQuery></BoostQuery>'
+        '</BoostingQuery>')
+    assert q == BoostingQuery(TermQuery("spark"), TermQuery("old"),
+                              demote=0.25)
+
+
+def test_xml_filtered_query_composes_with_new_filters():
+    from lucene_solr_old_ray.queries import (
+        FilteredQuery, TermRangeQuery, TermQuery)
+    from lucene_solr_old_ray.queryxml import parse_xml_query
+
+    q = parse_xml_query(
+        '<FilteredQuery>'
+        '<Query><TermQuery>spark</TermQuery></Query>'
+        '<Filter><RangeFilter fieldName="lang" lowerTerm="a" '
+        'upperTerm="m"/></Filter>'
+        '</FilteredQuery>')
+    assert q == FilteredQuery(
+        TermQuery("spark"),
+        TermRangeQuery("a", "m", include_lower=True, include_upper=True,
+                       field="lang"))
