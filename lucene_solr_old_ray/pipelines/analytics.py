@@ -709,18 +709,38 @@ def sort_by_fields(
                                 preserve_index=False)
 
 
+def _group_values(leaf, ctx, group_col, docids):
+    """Group keys of the matched docs: a docmap / dv column when
+    ``group_col`` is a string, else a ValueSource node evaluated per doc
+    (the ``grouping/function`` Function*Collector family —
+    ``FunctionAllGroupsCollector.java`` / ``FunctionFirstPassGroupingCollector
+    .java`` group by ``ValueSource.getValues`` exactly like this)."""
+    if isinstance(group_col, str):
+        return leaf.doc_values(group_col, docids)
+    from ..functions.valuesource import evaluate as vs_eval
+
+    return vs_eval(group_col, leaf, ctx, docids)
+
+
+def _group_name(group_col) -> str:
+    return group_col if isinstance(group_col, str) else "group"
+
+
 def group_topk(
-    index_dir: str, query: Query, group_col: str, per_group_k: int = 2
+    index_dir: str, query: Query, group_col, per_group_k: int = 2
 ) -> pa.Table:
     """Top-k docs by BM25 within each group value (``lucene/grouping``
     two-pass collector analogue). Per-leaf per-group top-k partials are a
     superset of the global answer, so the driver reduce is exact.
+    ``group_col`` is a field name or a ValueSource node (the
+    ``grouping/function`` collectors — grouped by the computed value).
     -> (group value, rank, docid, score)."""
     manifest = mf.read_index_manifest(index_dir)
     ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
                        field_terms=sorted(collect_field_terms(query)))
     ctx_ref = ray.put(ctx)
     q_ref = ray.put(query)
+    name = _group_name(group_col)
 
     def leaf_group_topk(batch: pd.DataFrame) -> pd.DataFrame:
         q = ray.get(q_ref)
@@ -731,17 +751,17 @@ def group_topk(
             docids, scores = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
-            vals = leaf.doc_values(group_col, docids)
+            vals = _group_values(leaf, ctx_l, group_col, docids)
             df = pd.DataFrame({
-                group_col: vals,
+                name: vals,
                 "docid": docids + leaf.doc_base,
                 "score": scores,
             })
             df = df.sort_values(["score", "docid"], ascending=[False, True],
                                 kind="mergesort")
-            parts.append(df.groupby(group_col, sort=False).head(per_group_k))
+            parts.append(df.groupby(name, sort=False).head(per_group_k))
         if not parts:
-            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+            return pd.DataFrame({name: pd.Series([], dtype=object),
                                  "docid": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float32")})
         return pd.concat(parts, ignore_index=True)
@@ -751,18 +771,18 @@ def group_topk(
     partials = ds.map_batches(leaf_group_topk, batch_format="pandas",
                               batch_size=4).to_pandas()
     if len(partials) == 0:
-        return pa.table({group_col: pa.array([], pa.string()),
+        return pa.table({name: pa.array([], pa.string()),
                          "rank": pa.array([], pa.int32()),
                          "docid": pa.array([], pa.int64()),
                          "score": pa.array([], pa.float32())})
     sc = partials["score"].to_numpy(np.float32)
     order = np.lexsort((partials["docid"].to_numpy(), -sc))
     partials = partials.iloc[order]
-    out = partials.groupby(group_col, sort=True).head(per_group_k).copy()
-    out["rank"] = out.groupby(group_col).cumcount() + 1
-    out = out.sort_values([group_col, "rank"]).reset_index(drop=True)
+    out = partials.groupby(name, sort=True).head(per_group_k).copy()
+    out["rank"] = out.groupby(name).cumcount() + 1
+    out = out.sort_values([name, "rank"]).reset_index(drop=True)
     out["score"] = out["score"].astype(np.float32)
-    return pa.Table.from_pandas(out[[group_col, "rank", "docid", "score"]],
+    return pa.Table.from_pandas(out[[name, "rank", "docid", "score"]],
                                 preserve_index=False)
 
 
@@ -1258,11 +1278,13 @@ def facet_sum_associations(
 
 
 def all_groups_count(index_dir: str, query: Query,
-                     group_field: str) -> int:
+                     group_field) -> int:
     """AbstractAllGroupsCollector analogue (``grouping/.../
     AbstractAllGroupsCollector.java``): the number of DISTINCT group
     values among the matching docs (docs with no value form no group).
-    Per-leaf partial = that leaf's distinct matched values only."""
+    ``group_field`` is a field name or a ValueSource node
+    (FunctionAllGroupsCollector). Per-leaf partial = that leaf's
+    distinct matched values only."""
     manifest = mf.read_index_manifest(index_dir)
     ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
                        field_terms=sorted(collect_field_terms(query)))
@@ -1278,9 +1300,13 @@ def all_groups_count(index_dir: str, query: Query,
             docids, _ = execute(q, leaf, ctx_l)
             if len(docids) == 0:
                 continue
-            ords, values = leaf.dv_sorted(group_field)
-            o = np.unique(np.asarray(ords)[docids])
-            vals.update(values[o[o >= 0]])
+            if isinstance(group_field, str):
+                ords, values = leaf.dv_sorted(group_field)
+                o = np.unique(np.asarray(ords)[docids])
+                vals.update(values[o[o >= 0]])
+            else:
+                vals.update(np.unique(_group_values(
+                    leaf, ctx_l, group_field, docids)).tolist())
         return pd.DataFrame({"v": pd.Series(sorted(vals), dtype=object)})
 
     items = _leaf_items(manifest)

@@ -316,3 +316,57 @@ def test_group_facet_counts_segment_scoped_quirk(ray_session,
     tbl, _, _ = group_facet_counts(idx, TermQuery("match"), "grp", "tags")
     got = dict(zip(tbl.to_pandas()["value"], tbl.to_pandas()["count"]))
     assert got == {"a": 2}  # one per segment, not one globally
+
+
+# --- grouping/function: ValueSource-keyed grouping (r5 late) ------------------
+
+
+def test_group_topk_by_value_source(ray_session, tmp_path_factory):
+    """FunctionFirstPass/SecondPassGroupingCollector analogue: group_topk
+    keyed by a ValueSource node instead of a stored field."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.functions.valuesource import FloatField, RangeMap
+    from lucene_solr_old_ray.pipelines.analytics import (
+        all_groups_count, group_topk)
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    root = tmp_path_factory.mktemp("fgrp")
+    texts = ["red apple", "red pear", "red plum", "red kiwi", "banana"]
+    stars = [1, 1, 2, 2, 1]
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "body": pa.array(texts, pa.string()),
+        "stars": pa.array(stars, pa.int64()),
+    }), path)
+    idx = str(root / "idx")
+    build_index(CorpusSpec(files=(path,), content_col="body",
+                           meta_cols=("doc_id", "stars")), idx,
+                target_docs_per_partition=5)
+
+    out = group_topk(idx, TermQuery("red"), FloatField("stars"),
+                     per_group_k=1).to_pandas()
+    # matches = docs 0-3; groups 1.0 and 2.0, best (lowest docid on BM25
+    # tie) per group
+    assert out["group"].astype(float).tolist() == [1.0, 2.0]
+    assert out["docid"].tolist() == [0, 2]
+    assert out["rank"].tolist() == [1, 1]
+    # k=2 returns both members of each group
+    out2 = group_topk(idx, TermQuery("red"), FloatField("stars"),
+                      per_group_k=2).to_pandas()
+    assert len(out2) == 4
+    assert sorted(out2[out2["group"] == 1.0]["docid"]) == [0, 1]
+
+    # FunctionAllGroupsCollector: distinct computed values among matches
+    assert all_groups_count(idx, TermQuery("red"), FloatField("stars")) == 2
+    # bucketing value source: map stars [1,1] -> 0, else default 9
+    bucket = RangeMap(FloatField("stars"), 1.0, 1.0, 0.0, default=9.0)
+    assert all_groups_count(idx, TermQuery("red"), bucket) == 2
+    # string-field grouping unchanged (regression guard on the rename)
+    byf = group_topk(idx, TermQuery("red"), "stars", per_group_k=1)
+    assert byf.column_names[0] == "stars" and len(byf) == 2
