@@ -78,6 +78,33 @@ def more_like_this_from_docid(
                         max_query_terms=max_query_terms)
 
 
+def more_like_this_text_query(
+    index_dir: str,
+    like_text: str,
+    *,
+    percent_terms_to_match: float = 0.3,
+    min_term_freq: int = 1,
+    min_doc_freq: int = 5,
+    max_query_terms: int = 25,
+) -> Query:
+    """Re-expresses ``queries/mlt/MoreLikeThisQuery.java:40-100`` (the
+    Query facade over MoreLikeThis): build the MLT SHOULD expansion from
+    raw ``like_text`` (the rewrite's ``mlt.like(new StringReader(...))``,
+    default minTermFrequency=1 as the facade sets), then apply
+    ``percentTermsToMatch`` as minimumNumberShouldMatch =
+    int(clauses * percent) — the facade's one distinct semantic."""
+    from dataclasses import replace as _replace
+
+    tf: dict[str, int] = {}
+    for tok in analyze_text(like_text or ""):
+        tf[tok] = tf.get(tok, 0) + 1
+    q = _mlt_from_tf(index_dir, tf, min_term_freq=min_term_freq,
+                     min_doc_freq=min_doc_freq,
+                     max_query_terms=max_query_terms)
+    return _replace(q, min_should_match=int(
+        len(q.clauses) * percent_terms_to_match))
+
+
 def _mlt_from_tf(index_dir: str, tf: dict[str, int], *, min_term_freq: int,
                  min_doc_freq: int, max_query_terms: int) -> Query:
     cand = sorted(t_ for t_, f in tf.items() if f >= min_term_freq)

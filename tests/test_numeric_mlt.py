@@ -161,3 +161,29 @@ def test_fuzzy_like_this(ray_session, tmp_path):
     got2 = fuzzy_like_this(idx, "lucine serch", k=10,
                            ignore_tf=True).to_pandas()
     assert set(got2["docid"]) == set(got["docid"])
+
+
+def test_more_like_this_text_query_facade(mlt_setup):
+    """MoreLikeThisQuery facade: like-TEXT input + percentTermsToMatch ->
+    minimumNumberShouldMatch = int(clauses * percent)."""
+    from lucene_solr_old_ray.pipelines.mlt import more_like_this_text_query
+    from lucene_solr_old_ray.queries import SHOULD
+
+    idx, _ = mlt_setup
+    q = more_like_this_text_query(
+        idx, "apple banana apple banana cherry cherry",
+        percent_terms_to_match=0.5, min_doc_freq=5)
+    terms = sorted(c.query.term for c in q.clauses)
+    assert terms == ["apple", "banana", "cherry"]
+    assert all(c.occur == SHOULD for c in q.clauses)
+    assert q.min_should_match == 1  # int(3 * 0.5)
+    q2 = more_like_this_text_query(
+        idx, "apple banana apple banana cherry cherry",
+        percent_terms_to_match=0.99, min_doc_freq=5)
+    assert q2.min_should_match == 2  # int(3 * 0.99)
+    # msm semantics apply at execution: docs matching only 'common filler'
+    # still match at msm=1 when they hold one of the three terms
+    from lucene_solr_old_ray.pipelines.search import search
+
+    res = search(idx, {0: q2}, k=20).to_pandas()
+    assert 3 not in res["docid"].tolist()  # the unrelated zebra doc
