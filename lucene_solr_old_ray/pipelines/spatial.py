@@ -29,6 +29,7 @@ import ray.data
 
 from ..queries import (
     MUST,
+    MUST_NOT,
     BooleanClause,
     BooleanQuery,
     NumericRangeQuery,
@@ -48,6 +49,22 @@ def bbox_query(xfield: str, yfield: str, x_min: int, x_max: int,
     return BooleanQuery((
         BooleanClause(MUST, NumericRangeQuery(xfield, x_min, x_max)),
         BooleanClause(MUST, NumericRangeQuery(yfield, y_min, y_max)),
+    ))
+
+
+def disjoint_bbox_query(xfield: str, yfield: str, x_min: int, x_max: int,
+                        y_min: int, y_max: int) -> Query:
+    """Re-expresses ``spatial/prefix/DisjointSpatialFilter.java:40-95``:
+    SpatialOperation.IsDisjointTo == HAS-the-field AND NOT Intersects —
+    docs lacking a point never match (the reference intersects with
+    FieldCache getDocsWithField before and-notting the intersects set)."""
+    from ..queries import FieldValueFilterQuery
+
+    return BooleanQuery((
+        BooleanClause(MUST, FieldValueFilterQuery(xfield)),
+        BooleanClause(MUST, FieldValueFilterQuery(yfield)),
+        BooleanClause(MUST_NOT, bbox_query(xfield, yfield, x_min, x_max,
+                                           y_min, y_max)),
     ))
 
 

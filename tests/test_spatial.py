@@ -181,3 +181,18 @@ def test_within_polygon_exact_and_cover_equal(shape_idx):
     covered = geo_within_polygon(idx, "x", "y", poly,
                                  geo_field="geo", max_levels=7)
     assert covered["docid"].to_pylist() == want
+
+
+def test_disjoint_bbox(idx):
+    """DisjointSpatialFilter: has-the-point AND NOT intersects."""
+    from lucene_solr_old_ray.pipelines.analytics import match_doc_ids
+    from lucene_solr_old_ray.pipelines.spatial import disjoint_bbox_query
+
+    bb = (-2_000_000, 2_000_000, -2_000_000, 2_000_000)
+    inside = set(match_doc_ids(
+        idx, bbox_query("x", "y", *bb))["docid"].to_pylist())
+    out = set(match_doc_ids(
+        idx, disjoint_bbox_query("x", "y", *bb))["docid"].to_pylist())
+    assert out.isdisjoint(inside) and len(inside) >= 4 and len(out) >= 1
+    # every doc in this fixture has a point, so disjoint == complement
+    assert sorted(out | inside) == list(range(len(XS)))
