@@ -43,10 +43,15 @@ def spell_suggest(
     accuracy: float = 0.5,
     transpositions: bool = False,
     distance: str = "levenstein",
+    comparator: str = "score",
 ) -> pa.Table:
     """-> (query, rank, suggestion, score float32, df) rows, ordered by
     (query, rank); queries present in the index produce no rows
-    (SUGGEST_WHEN_NOT_IN_INDEX).
+    (SUGGEST_WHEN_NOT_IN_INDEX). ``comparator`` picks the suggestion
+    order within a query: ``"score"`` = (score desc, df desc, term asc)
+    — ``spell/SuggestWordScoreComparator.java``; ``"frequency"`` =
+    (df desc, score desc, term asc) —
+    ``spell/SuggestWordFrequencyComparator.java``.
 
     NOTE the reference's internal distance
     (``spell/LuceneLevenshteinDistance.java``) counts adjacent
@@ -141,8 +146,13 @@ def spell_suggest(
             count=len(agg), dtype=np.float32)
     agg = agg.assign(score=score)
     agg = agg[agg["score"] >= F(accuracy)]
-    agg = agg.sort_values(["query", "score", "df", "term"],
-                          ascending=[True, False, False, True],
+    if comparator == "frequency":
+        keys = ["query", "df", "score", "term"]
+    elif comparator == "score":
+        keys = ["query", "score", "df", "term"]
+    else:
+        raise ValueError(f"unknown comparator {comparator!r}")
+    agg = agg.sort_values(keys, ascending=[True, False, False, True],
                           kind="mergesort").reset_index(drop=True)
     agg["rank"] = agg.groupby("query").cumcount() + 1
     agg = agg[agg["rank"] <= num_sug]

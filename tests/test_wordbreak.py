@@ -137,3 +137,45 @@ def test_combining_words(wb_index):
     assert len(cs) == 2
     assert cs[0][0].string == "hundred" and cs[0][1] == [1, 2]
     assert cs[1][0].string == "hundredeight" and cs[1][1] == [1, 2, 3]
+
+
+def test_spell_suggest_frequency_comparator(ray_session, tmp_path_factory):
+    """SuggestWordFrequencyComparator: df-first ordering vs the default
+    score-first SuggestWordScoreComparator."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.spell import spell_suggest
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d = str(tmp_path_factory.mktemp("spellcmp"))
+    # 'roam' (ed 1 from 'foam'-like query) rarer than 'room' (ed 2)
+    texts = ["roam"] + ["rooms"] * 6 + ["roams"] * 2
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    idx = os.path.join(d, "idx")
+    build_index(CorpusSpec.documents(d), idx, target_docs_per_partition=16)
+
+    by_score = spell_suggest(idx, ["roamz"], num_sug=3,
+                             accuracy=0.0).to_pandas()
+    by_freq = spell_suggest(idx, ["roamz"], num_sug=3, accuracy=0.0,
+                            comparator="frequency").to_pandas()
+    # score order: closest first ('roams' ed1 beats 'roam' ed1? both ed1:
+    # roams(ed=1,len5) score 1-1/5; roam(ed=1,len5) same -> df breaks) —
+    # just assert the INVARIANTS: score ranks by (score,df), freq by (df,score)
+    sc = list(zip(by_score["score"], by_score["df"]))
+    assert sc == sorted(sc, key=lambda t: (-t[0], -t[1]))
+    fr = list(zip(by_freq["df"], by_freq["score"]))
+    assert fr == sorted(fr, key=lambda t: (-t[0], -t[1]))
+    # same suggestion SET, possibly different order
+    assert set(by_score["suggestion"]) == set(by_freq["suggestion"])
+    # the df-first order surfaces the frequent 'rooms' ahead of rarer
+    # closer terms whenever their dfs dominate
+    assert by_freq["df"].tolist() == sorted(by_freq["df"], reverse=True)
