@@ -90,15 +90,23 @@ def highlight_doc(
     b: float = DEFAULT_B,
     pivot: float = DEFAULT_PIVOT,
     max_length: int = DEFAULT_MAX_LENGTH,
+    break_iterator: str = "sentence",
 ) -> list[dict]:
     """The highlightDoc walk over one document. ``term_occs`` maps each
     query term to its (start_offsets, end_offsets) arrays IN POSITION ORDER
     (the postings lane order). Returns passages ascending by start:
     ``{"start", "end", "score", "matches": [(s, e)]}``; empty-match docs
     get the first ``max_passages`` sentences with score NaN
-    (getEmptyHighlight)."""
+    (getEmptyHighlight). ``break_iterator="whole"`` treats the (truncated)
+    text as ONE passage — ``postingshighlight/WholeBreakIterator.java``,
+    the getBreakIterator override for whole-field highlights."""
     content_len = min(len(content), max_length)
-    breaks = sentence_breaks(content[:content_len])
+    if break_iterator == "whole":
+        breaks = np.asarray([0, content_len], dtype=np.int64)
+    elif break_iterator == "sentence":
+        breaks = sentence_breaks(content[:content_len])
+    else:
+        raise ValueError(f"unknown break_iterator {break_iterator!r}")
     num_docs = np.float32(1.0 + content_len / pivot)
 
     # enums: [next_index, starts, ends, weight] per matching term

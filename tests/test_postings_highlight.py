@@ -215,3 +215,29 @@ def test_offsets_survive_termwise_merge(built, ray_session):
         assert list(x) == list(y)
     for x, y in zip(a["ends"], b["ends"]):
         assert list(x) == list(y)
+
+
+def test_whole_break_iterator():
+    """WholeBreakIterator: the whole text is one passage; every match
+    lands inside it (PostingsHighlighter.getBreakIterator override)."""
+    import numpy as np
+
+    from lucene_solr_old_ray.pipelines.postings_highlight import highlight_doc
+
+    text = "First sentence here. Second one with spark. Third spark too."
+    occs = {"spark": (np.asarray([s for s in
+                                  (text.index("spark"),
+                                   text.rindex("spark"))], dtype=np.int64),
+                      np.asarray([text.index("spark") + 5,
+                                  text.rindex("spark") + 5], dtype=np.int64))}
+    whole = highlight_doc(text, occs, max_passages=3,
+                          break_iterator="whole")
+    assert len(whole) == 1
+    assert (whole[0]["start"], whole[0]["end"]) == (0, len(text))
+    assert len(whole[0]["matches"]) == 2
+    sent = highlight_doc(text, occs, max_passages=3)
+    assert len(sent) == 2  # two sentences match separately
+    # empty-match doc under whole mode: one NaN passage spanning the text
+    empty = highlight_doc(text, {}, max_passages=2, break_iterator="whole")
+    assert len(empty) == 1 and (empty[0]["start"], empty[0]["end"]) == \
+        (0, len(text))
