@@ -147,3 +147,57 @@ def test_value_mask_lucene_only_operators():
     vals = np.asarray(["alpha", "beta", "gamma"], dtype=object)
     m = _mtq_value_mask(RegexpQuery("~(beta)"), vals)
     assert list(m) == [True, False, True]
+
+
+def test_rewrite_equals_index_mtq_randomized(ray_session, tmp_path_factory):
+    """TestFieldCacheRewriteMethod.assertSame: for a field that is BOTH
+    indexed and dv'd (one token per doc), the FieldCache rewrite and the
+    index-based MultiTermQuery return identical doc sets, across random
+    single-token corpora and patterns."""
+    import random
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, FieldSpec
+
+    rng = random.Random(42)
+    # alphabet chosen so no generated token is an English stop word (the
+    # indexed field analyzes; the dv keeps raw values — the reference test
+    # uses MockAnalyzer + StringField, where the two always agree)
+    words = ["".join(rng.choice("cdgx") for _ in range(rng.randint(1, 4)))
+             for _ in range(40)]
+    root = tmp_path_factory.mktemp("fcrnd")
+    path = str(root / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(words)), pa.int64()),
+        "body": pa.array([f"filler {i}" for i in range(len(words))],
+                         pa.string()),
+        "w": pa.array(words, pa.string()),
+    }), path)
+    idx = str(root / "idx")
+    build_index(CorpusSpec(
+        files=(path,), content_col="body", meta_cols=("doc_id", "w"),
+        extra_fields=(FieldSpec("w", "w", "standard"),)), idx,
+        target_docs_per_partition=len(words))
+
+    mtqs = []
+    for _ in range(10):
+        # valid patterns only: each unit is a literal or '.', optionally
+        # starred — never a dangling/double quantifier
+        pat = "".join(rng.choice("cdgx.") + (rng.choice(["", "*"]))
+                      for _ in range(rng.randint(1, 3)))
+        mtqs.append(RegexpQuery(pat, field="w"))
+    for _ in range(5):
+        pre = "".join(rng.choice("cdgx") for _ in range(rng.randint(1, 2)))
+        mtqs.append(PrefixQuery(pre, field="w"))
+        mtqs.append(WildcardQuery(pre + "*" + rng.choice("cdgx?"),
+                                  field="w"))
+    lows = sorted(rng.sample(words, 4))
+    mtqs.append(TermRangeQuery(lows[0], lows[2], True, False, field="w"))
+    mtqs.append(TermRangeQuery(lows[1], None, False, True, field="w"))
+
+    from dataclasses import replace
+    for q in mtqs:
+        via_index = _hits(idx, q)
+        via_dv = _hits(idx, FieldCacheRewriteQuery(
+            replace(q, field=None), "w"))
+        assert via_dv == via_index, q
