@@ -29,6 +29,26 @@ def _ensure_ray(num_cpus: int | None):
         ray.init(**kwargs)
 
 
+def parse_with(parser_spec: str, query: str):
+    """--parser dispatch: classic | precedence | analyzing[:<chain-spec>]
+    | multifield:<f1,f2,...> -> a Query tree."""
+    from .queries import (parse, parse_analyzing, parse_multi_field,
+                          parse_precedence)
+
+    if parser_spec == "classic":
+        return parse(query)
+    if parser_spec == "precedence":
+        return parse_precedence(query)
+    if parser_spec.startswith("analyzing"):
+        chain = (parser_spec.split(":", 1)[1]
+                 if ":" in parser_spec else "standard")
+        return parse_analyzing(query, chain)
+    if parser_spec.startswith("multifield:"):
+        return parse_multi_field(query,
+                                 parser_spec.split(":", 1)[1].split(","))
+    raise SystemExit(f"unknown parser {parser_spec!r}")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lucene_solr_old_ray")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -62,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--time-limit", type=float, default=None,
                    help="TimeLimitingCollector budget in seconds "
                         "(partial results flagged timed_out)")
+    s.add_argument("--parser", default="classic",
+                   help="classic | precedence | analyzing[:<chain-spec>] "
+                        "| multifield:<f1,f2,...>")
 
     st = sub.add_parser("stats", help="print the latest manifest")
     st.add_argument("--index", required=True)
@@ -138,9 +161,23 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"leaves": len(report), "ok": bool(report["ok"].all())}))
     elif args.cmd == "search":
         from .pipelines.search import fetch_doc_meta, search
-        from .queries import parse
+        from .queries import (parse, parse_analyzing, parse_multi_field,
+                              parse_precedence)
 
-        res = search(args.index, {0: parse(args.query)}, k=args.k,
+        if args.parser == "classic":
+            q = parse(args.query)
+        elif args.parser == "precedence":
+            q = parse_precedence(args.query)
+        elif args.parser.startswith("analyzing"):
+            chain = (args.parser.split(":", 1)[1]
+                     if ":" in args.parser else "standard")
+            q = parse_analyzing(args.query, chain)
+        elif args.parser.startswith("multifield:"):
+            q = parse_multi_field(
+                args.query, args.parser.split(":", 1)[1].split(","))
+        else:
+            raise SystemExit(f"unknown parser {args.parser!r}")
+        res = search(args.index, {0: q}, k=args.k,
                      algo=args.algo, similarity=args.similarity,
                      time_limit_s=args.time_limit)
         meta = fetch_doc_meta(args.index, res["docid"].to_pylist()).to_pandas()

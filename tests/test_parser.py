@@ -327,3 +327,21 @@ def test_precedence_dangling_connectors_lenient():
     assert parse_precedence("AND a") == parse("a")
     assert parse_precedence("OR a b") == parse("a b")
     assert parse_precedence("a AND") == parse("a")
+
+
+def test_cli_parse_with_dispatch():
+    from lucene_solr_old_ray.cli import parse_with
+    from lucene_solr_old_ray.queries import (
+        parse, parse_multi_field, parse_precedence)
+
+    assert parse_with("classic", "a AND b") == parse("a AND b")
+    assert parse_with("precedence", "a AND b OR c") == \
+        parse_precedence("a AND b OR c")
+    assert parse_with("analyzing:" + FOLD, "Über*") == \
+        __import__("lucene_solr_old_ray.queries", fromlist=["x"]
+                   ).parse_analyzing("Über*", FOLD)
+    assert parse_with("multifield:t,b", "x") == \
+        parse_multi_field("x", ("t", "b"))
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        parse_with("nope", "x")
