@@ -127,6 +127,17 @@ def build_suggester(
             .map_batches(cast_cols, batch_format="pyarrow")
         )
 
+    return _finish_suggest_sidecar(sorted_ds, tmp, out_dir, weight_col,
+                                   target_rows_per_file)
+
+
+def _finish_suggest_sidecar(sorted_ds, tmp: str, out_dir: str,
+                            weight_label: str,
+                            target_rows_per_file: int) -> str:
+    """Write a term-sorted (term, weight) Dataset as the suggest sidecar:
+    range-partitioned parquet + a footers-only manifest."""
+    import shutil
+
     # workers write the range partitions (terms are globally unique, so
     # block ranges are disjoint whatever the write order); rows per file
     # bounded so lookup loads stay partition-sized
@@ -151,11 +162,62 @@ def build_suggester(
                                "first": first, "last": lastg[-1].as_py()})
     manifest_files.sort(key=lambda f: (f["first"], f["last"]))
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump({"files": manifest_files, "weight": weight_col}, f)
+        json.dump({"files": manifest_files, "weight": weight_label}, f)
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
     return out_dir
+
+
+def build_suggester_from_documents(
+    entries_parquet: str, out_dir: str, *,
+    key_col: str = "key", weight_col: str = "weight",
+    target_rows_per_file: int = 1 << 18,
+) -> str:
+    """DocumentDictionary input adapter — re-expresses
+    ``suggest/src/java/.../DocumentDictionary.java:40-120``: each document
+    ROW contributes one suggestion (the stored ``key_col`` string, weight =
+    its numeric ``weight_col``; duplicate keys SUM their weights, the
+    TermFreqIterator fold over equal terms). Produces the same term-sorted
+    range-partitioned sidecar as :func:`build_suggester`, so
+    ``suggest_topk`` serves either source. The build is the same bounded
+    bucket-combine shuffle — nothing corpus-sized touches the driver."""
+    import shutil
+
+    import ray.data
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def combine(batch: pa.Table) -> pd.DataFrame:
+        t = batch[key_col].to_pandas().astype(str)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame({"term": t, "weight": w}).groupby(
+            "term", as_index=False).agg(weight=("weight", "sum"))
+        h = pd.util.hash_array(g["term"].to_numpy(dtype=object))
+        g["bucket"] = (h % _N_BUCKETS).astype(np.int64)
+        return g
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False).agg(
+            weight=("weight", "sum"))
+
+    def cast_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"term": batch["term"].cast(pa.string()),
+                         "weight": batch["weight"].cast(pa.int64())})
+
+    sorted_ds = (
+        ray.data.read_parquet(entries_parquet,
+                              columns=[key_col, weight_col])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .sort("term")
+        .map_batches(cast_cols, batch_format="pyarrow")
+    )
+    return _finish_suggest_sidecar(sorted_ds, tmp, out_dir, weight_col,
+                                   target_rows_per_file)
 
 
 class _Partition:

@@ -318,3 +318,33 @@ def test_suggest_stop_filter_trailing_stopword(ray_session, tmp_path):
     got = infix_lookup(d, "ghost a ", num=10)
     assert [(k, w) for k, w, _ in got] == [("ghost apparition", 10),
                                            ("ghost town", 8)]
+
+
+def test_document_dictionary_suggester(ray_session, tmp_path):
+    """DocumentDictionary adapter: suggestions come from stored rows
+    (key + numeric weight), duplicate keys sum, same sidecar contract."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.suggest import (
+        Suggester, build_suggester_from_documents)
+
+    entries = str(tmp_path / "titles.parquet")
+    pq.write_table(pa.table({
+        "key": pa.array(["spark core", "spark data", "spark core",
+                         "storm api", "sql engine"], pa.string()),
+        "weight": pa.array([10, 7, 5, 3, 20], pa.int64()),
+    }), entries)
+    sdir = build_suggester_from_documents(
+        entries, str(tmp_path / "sugg"), target_rows_per_file=2)
+    assert os.path.exists(os.path.join(sdir, "manifest.json"))
+    sg = Suggester(sdir)
+    got = sg.lookup("s", 10)
+    # duplicate 'spark core' summed to 15; weight-desc order
+    assert got == [("sql engine", 20), ("spark core", 15),
+                   ("spark data", 7), ("storm api", 3)]
+    assert sg.lookup("spark", 10) == [("spark core", 15),
+                                      ("spark data", 7)]
+    assert sg.lookup("zz", 10) == []
