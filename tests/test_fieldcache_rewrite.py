@@ -201,3 +201,27 @@ def test_rewrite_equals_index_mtq_randomized(ray_session, tmp_path_factory):
         via_dv = _hits(idx, FieldCacheRewriteQuery(
             replace(q, field=None), "w"))
         assert via_dv == via_index, q
+
+
+def test_wildcard_mask_equals_re_translation_fuzz():
+    """_wildcard_mask == the anchored-regex translation on random strings
+    and patterns (incl. %, _ literals that need LIKE escaping)."""
+    import random
+    import re as _re
+
+    from lucene_solr_old_ray.stages.search import _wildcard_mask
+
+    rng = random.Random(11)
+    alpha = "ab%_"
+    strs = np.asarray(
+        ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 5)))
+         for _ in range(60)], dtype=object)
+    for _ in range(60):
+        pat = "".join(rng.choice(alpha + "*?")
+                      for _ in range(rng.randint(1, 5)))
+        rx = _re.compile("".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pat) + r"\Z")
+        want = [rx.match(t) is not None for t in strs]
+        got = list(_wildcard_mask(strs, pat))
+        assert got == want, pat

@@ -345,3 +345,26 @@ def test_cli_parse_with_dispatch():
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         parse_with("nope", "x")
+
+
+def test_precedence_fuzz_never_crashes_and_preserves_atoms():
+    """Random connector/atom sequences: the precedence rewrite always
+    parses, and never loses or duplicates atom tokens."""
+    import random
+    import re as _re
+
+    from lucene_solr_old_ray.queries import parse_precedence, _prec_rewrite
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1"]
+    pieces = vocab + ["AND", "OR", "NOT", "+alpha", "-beta",
+                      '"big data"', "(gamma delta)", "f:beta", "pre*"]
+    for _ in range(200):
+        src = " ".join(rng.choice(pieces)
+                       for _ in range(rng.randint(1, 8)))
+        out = _prec_rewrite(src)
+        # atom words survive verbatim (connectors may be dropped/grouped)
+        for w in vocab:
+            assert len(_re.findall(rf"\b{w}\b", out)) == \
+                len(_re.findall(rf"\b{w}\b", src)), (src, out)
+        parse_precedence(src)  # must not raise
