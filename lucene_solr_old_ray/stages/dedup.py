@@ -1229,3 +1229,190 @@ def paragraph_dedup(sf_dir: str, min_chars: int = 20) -> pa.Table:
     out = (ds.map_batches(rewrite, batch_format="pyarrow")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- corpus-wide exact substring dedup (Lee et al. 2021 lineage) ---------
+
+# Whitespace-token windows: a doc's tokens are maximal \S+ runs (Python
+# str.split() semantics).  Window identity travels as TWO independent
+# 64-bit polynomial hashes over the per-token FNV-1a lanes, so a false
+# pair needs a simultaneous collision in both lanes (~2^-128): exact in
+# practice at any corpus size, fully vectorized.
+_SSD_KEYBASE = 1 << 21  # max tokens per doc for the packed (doc, start) key
+_SSD_BASE1 = np.uint64(0x100000001B3)           # FNV prime (odd)
+_SSD_BASE2 = np.uint64(0x9E3779B97F4A7C15)      # golden-ratio odd constant
+_SSD_RE = None  # compiled lazily per process
+
+
+def _ssd_tokens(text: str) -> list[str]:
+    global _SSD_RE
+    if _SSD_RE is None:
+        import re
+
+        _SSD_RE = re.compile(r"\S+")
+    return _SSD_RE.findall(text or "")
+
+
+def _ssd_mix(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer -> a second token-hash lane independent of
+    FNV-1a's byte recurrence (vectorized, uint64 wraparound)."""
+    with np.errstate(over="ignore"):
+        z = (h + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = np.multiply(z ^ (z >> np.uint64(30)),
+                        np.uint64(0xBF58476D1CE4E5B9), dtype=np.uint64)
+        z = np.multiply(z ^ (z >> np.uint64(27)),
+                        np.uint64(0x94D049BB133111EB), dtype=np.uint64)
+        return (z ^ (z >> np.uint64(31))).astype(np.uint64)
+
+
+def _ssd_powers(base: np.uint64, window: int) -> np.ndarray:
+    p = np.empty(window, dtype=np.uint64)
+    p[-1] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(window - 2, -1, -1):
+            p[i] = np.multiply(p[i + 1], base, dtype=np.uint64)
+    return p
+
+
+def _ssd_batch_windows(batch: pa.Table, window: int):
+    """All valid token-window starts of a batch -> (doc_ids_per_window,
+    start_idx_per_window, w1, w2 int64 hash lanes, tokens_per_doc,
+    token_lists).  Vocabulary-level token hashing (factorize once per
+    batch), window hashing via one sliding-window matmul per lane."""
+    docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch["text"].to_pylist()
+    tok_lists = [_ssd_tokens(t) for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists),
+                         count=len(tok_lists), dtype=np.int64)
+    flat = [t for toks in tok_lists for t in toks]
+    if flat:
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        uh = stable_hash64_batch(list(uniques))
+        h1 = uh[codes]
+        h2 = _ssd_mix(h1)
+    else:
+        h1 = h2 = np.empty(0, dtype=np.uint64)
+    n = len(h1)
+    m = n - window + 1
+    if m <= 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, e, counts, tok_lists
+    sw1 = np.lib.stride_tricks.sliding_window_view(h1, window)
+    sw2 = np.lib.stride_tricks.sliding_window_view(h2, window)
+    p1 = _ssd_powers(_SSD_BASE1, window)
+    p2 = _ssd_powers(_SSD_BASE2, window)
+    with np.errstate(over="ignore"):
+        w1 = np.multiply(sw1, p1, dtype=np.uint64).sum(
+            axis=1, dtype=np.uint64)
+        w2 = np.multiply(sw2, p2, dtype=np.uint64).sum(
+            axis=1, dtype=np.uint64)
+    # flat positions whose whole window lies inside one doc
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(n, dtype=np.int64) - starts[doc_of]
+    valid = np.nonzero((pos + window <= counts[doc_of]) &
+                       (np.arange(n) < m))[0]
+    return (docs[doc_of[valid]], pos[valid],
+            w1[valid].view(np.int64), w2[valid].view(np.int64),
+            counts, tok_lists)
+
+
+def substring_dedup(sf_dir: str, window: int = 50,
+                    write_to: str | None = None) -> pa.Table:
+    """Corpus-wide EXACT substring dedup — every duplicated run of
+    ``window`` whitespace tokens is removed from all but its FIRST
+    occurrence (lowest (doc_id, start token)), re-expressing the
+    suffix-array substring-dedup pass of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better") as a windowed-hash
+    groupby: a span duplicated for L >= window tokens yields L-window+1
+    duplicated windows whose union marks exactly that span.
+
+    Distribution shape (the 100-TB story): the map stage emits ONE row
+    per distinct window hash per batch (combiner), the groupby moves
+    those partials keyed on the 128-bit window hash, and only the
+    DUPLICATED-window owner table (bounded by the corpus's duplicated
+    content, not its size) broadcasts back for the rewrite pass —
+    the same two-step shape as exact_dedup/paragraph_dedup.  Unlike the
+    suffix-array original there is no corpus-wide sorted structure;
+    exactness comes from the double 64-bit window hash (collision
+    ~2^-128) plus first-owner tie-breaks identical to min (doc, start).
+
+    Output rows (doc_id asc): ``kept_text`` = surviving tokens rejoined
+    with single spaces (token-level op — original inter-token whitespace
+    is not preserved), ``dropped_tokens``, ``dup_windows`` (non-owner
+    duplicated window occurrences).  Docs shorter than ``window`` pass
+    through untouched.  ``write_to`` switches to the production sink:
+    rewritten docs stream to partitioned Parquet from the workers and a
+    1-row footer-counted summary returns."""
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    from ray.data.aggregate import Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        d, s, w1, w2, _, _ = _ssd_batch_windows(batch, window)
+        df = pd.DataFrame({"w1": w1, "w2": w2,
+                           "k": d * _SSD_KEYBASE + s})
+        g = df.groupby(["w1", "w2"], as_index=False).agg(
+            k=("k", "min"), c=("k", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    owners_pd = (
+        ds.map_batches(win_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Min("k", alias_name="k"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    # only duplicated windows need owner entries — the broadcast is the
+    # duplicated-content set, never the corpus's window vocabulary
+    owners_pd = owners_pd[owners_pd["c"] > 1][["w1", "w2", "k"]]
+    owner_ref = ray.put(owners_pd.reset_index(drop=True))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        owners = ray.get(owner_ref)
+        d, s, w1, w2, counts, tok_lists = _ssd_batch_windows(batch, window)
+        wins = pd.DataFrame({"w1": w1, "w2": w2, "d": d, "s": s})
+        hit = wins.merge(owners, on=["w1", "w2"], how="inner")
+        # non-owner occurrences mark their token range for removal
+        hit = hit[hit["d"] * _SSD_KEYBASE + hit["s"] != hit["k"]]
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        row_of = pd.Series(np.arange(len(docs)), index=docs)
+        rows_out = []
+        hd = hit["d"].to_numpy()
+        hs = hit["s"].to_numpy()
+        hrow = row_of[hd].to_numpy() if len(hit) else np.empty(
+            0, dtype=np.int64)
+        for r, (doc, toks) in enumerate(zip(docs, tok_lists)):
+            nt = len(toks)
+            mine = hs[hrow == r]
+            if len(mine):
+                diff = np.zeros(nt + 1, dtype=np.int64)
+                np.add.at(diff, mine, 1)
+                np.add.at(diff, np.minimum(mine + window, nt), -1)
+                drop = np.cumsum(diff[:-1]) > 0
+                kept = [t for t, dd in zip(toks, drop) if not dd]
+                rows_out.append({"doc_id": int(doc),
+                                 "kept_text": " ".join(kept),
+                                 "dropped_tokens": int(drop.sum()),
+                                 "dup_windows": int(len(mine))})
+            else:
+                rows_out.append({"doc_id": int(doc),
+                                 "kept_text": " ".join(toks),
+                                 "dropped_tokens": 0,
+                                 "dup_windows": 0})
+        return pa.Table.from_pandas(pd.DataFrame(rows_out),
+                                    preserve_index=False)
+
+    res = ds.map_batches(rewrite, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -32,3 +32,131 @@ def test_paragraph_dedup(ray_session, tmp_path):
     assert out.loc[2, "kept_text"].startswith("short\n\n")
     assert "unique beta" in out.loc[1, "kept_text"]
     assert out.loc[3, "kept_text"] == docs[3]
+
+
+def _naive_substring_dedup(docs, window):
+    """Single-process reference: windows keyed by their literal token
+    tuples (no hashing), first (doc, start) owner keeps, non-owner
+    occurrences mark [i, i+window) for removal."""
+    import re
+
+    occ = {}
+    toks_of = {}
+    for d, text in docs:
+        toks = re.findall(r"\S+", text or "")
+        toks_of[d] = toks
+        for i in range(len(toks) - window + 1):
+            occ.setdefault(tuple(toks[i:i + window]), []).append((d, i))
+    owner = {w: min(v) for w, v in occ.items() if len(v) > 1}
+    rows = []
+    for d, _text in docs:
+        toks = toks_of[d]
+        drop = [False] * len(toks)
+        dupw = 0
+        for i in range(len(toks) - window + 1):
+            own = owner.get(tuple(toks[i:i + window]))
+            if own is not None and own != (d, i):
+                dupw += 1
+                for j in range(i, i + window):
+                    drop[j] = True
+        kept = [t for t, m in zip(toks, drop) if not m]
+        rows.append({"doc_id": d, "kept_text": " ".join(kept),
+                     "dropped_tokens": sum(drop), "dup_windows": dupw})
+    rows.sort(key=lambda r: r["doc_id"])
+    return rows
+
+
+def test_substring_dedup_planted_spans(ray_session, tmp_path):
+    """A >window duplicated span is removed everywhere but its first
+    occurrence; internal repeats inside the owner doc also drop; short
+    docs pass through; output == the naive tuple-keyed reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.dedup import substring_dedup
+
+    span = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+    docs = [
+        (0, f"alpha start {span} alpha end unique tail zero"),
+        (1, f"beta lead-in {span} and then {span} beta close"),
+        (2, f"{span}"),
+        (3, "wholly unique words that never repeat anywhere else four"),
+        (4, "tiny doc"),
+        (5, ""),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    W = 8
+    out = substring_dedup(str(tmp_path), window=W).to_pandas()
+    ref = _naive_substring_dedup(docs, W)
+    assert out.to_dict("records") == ref
+    # first occurrence (doc 0) keeps the span verbatim
+    assert span in out.loc[0, "kept_text"]
+    # later docs lose it entirely
+    assert "quick brown fox" not in out.loc[1, "kept_text"]
+    assert out.loc[2, "kept_text"] == ""
+    # untouched docs
+    assert out.loc[3, "kept_text"] == docs[3][1]
+    assert out.loc[4, "kept_text"] == "tiny doc"
+    assert out.loc[5, "kept_text"] == ""
+
+
+def test_substring_dedup_matches_naive_on_corpus(ray_session):
+    """Exact equality vs the naive reference over the real sf0.001
+    documents table (hash lanes introduce no divergence)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.dedup import substring_dedup
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    W = 5
+    out = substring_dedup(sf, window=W).to_pandas()
+    ref = _naive_substring_dedup(docs, W)
+    assert out.to_dict("records") == ref
+    # token conservation: kept + dropped == original token count per doc
+    import re
+    for row, (d, text) in zip(ref, sorted(docs)):
+        assert row["doc_id"] == d
+        n_orig = len(re.findall(r"\S+", text or ""))
+        n_kept = len(row["kept_text"].split())
+        assert n_kept + row["dropped_tokens"] == n_orig
+
+
+def test_substring_dedup_sink_and_validation(ray_session, tmp_path):
+    """write_to= streams rewritten docs to partitioned Parquet with
+    content equal to the table form; window<2 raises."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lucene_solr_old_ray.stages.dedup import substring_dedup
+
+    span = "one two three four five six seven eight"
+    docs = [f"head {span} tail", f"{span} trailer words here", "unrelated"]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    table = substring_dedup(str(sf), window=6).to_pandas()
+    out_dir = tmp_path / "out"
+    summary = substring_dedup(str(sf), window=6,
+                              write_to=str(out_dir)).to_pandas()
+    assert summary.loc[0, "rows_written"] == len(docs)
+    written = pd.concat(
+        [pq.read_table(str(p)).to_pandas()
+         for p in sorted(out_dir.rglob("*.parquet"))],
+        ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        written[table.columns.tolist()], table)
+
+    with pytest.raises(ValueError):
+        substring_dedup(str(sf), window=1)
