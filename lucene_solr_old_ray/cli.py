@@ -122,6 +122,24 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--seq", action="store_true",
                     help="sequential doc ranges instead of round-robin")
 
+    dd = sub.add_parser("dedup", help="training-data dedup pass over "
+                        "documents.parquet -> partitioned Parquet sink")
+    dd.add_argument("--sf-dir", required=True,
+                    help="directory containing documents.parquet")
+    dd.add_argument("--method", required=True,
+                    choices=["exact", "paragraph", "substring"])
+    dd.add_argument("--out", required=True, help="output Parquet directory")
+    dd.add_argument("--window", type=int, default=50,
+                    help="substring: tokens per duplicated window")
+    dd.add_argument("--min-chars", type=int, default=20,
+                    help="paragraph: min block size eligible for dedup")
+
+    qa = sub.add_parser("quality", help="per-doc quality stats / lang-id "
+                        "over documents.parquet -> partitioned Parquet sink")
+    qa.add_argument("--sf-dir", required=True)
+    qa.add_argument("--kind", required=True, choices=["stats", "lang-id"])
+    qa.add_argument("--out", required=True)
+
     hl = sub.add_parser("highlight",
                         help="span-aware snippets for the top-k hits")
     hl.add_argument("--index", required=True)
@@ -237,6 +255,24 @@ def main(argv: list[str] | None = None) -> int:
             frag_size=args.frag_size, fragmenter=args.fragmenter)
         for row in t.to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "dedup":
+        from .stages.dedup import exact_dedup, paragraph_dedup, substring_dedup
+
+        if args.method == "exact":
+            t = exact_dedup(args.sf_dir, write_to=args.out)
+        elif args.method == "paragraph":
+            t = paragraph_dedup(args.sf_dir, min_chars=args.min_chars,
+                                write_to=args.out)
+        else:
+            t = substring_dedup(args.sf_dir, window=args.window,
+                                write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
+    elif args.cmd == "quality":
+        from .stages.textstats import lang_id, quality_stats
+
+        fn = quality_stats if args.kind == "stats" else lang_id
+        t = fn(args.sf_dir, write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "expunge":
         from .pipelines.deletes import expunge_deletes
 

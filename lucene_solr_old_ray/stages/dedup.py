@@ -1150,7 +1150,8 @@ def embedding_dedup_pairs(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def paragraph_dedup(sf_dir: str, min_chars: int = 20) -> pa.Table:
+def paragraph_dedup(sf_dir: str, min_chars: int = 20,
+                    write_to: str | None = None) -> pa.Table:
     """Paragraph-level exact dedup — the C4/RefinedWeb-style pass that
     drops REPEATED PARAGRAPHS corpus-wide while keeping each document
     (re-expresses the "remove duplicated substrings/lines" cleaning stage
@@ -1226,8 +1227,14 @@ def paragraph_dedup(sf_dir: str, min_chars: int = 20) -> pa.Table:
         return pa.Table.from_pandas(pd.DataFrame(out_rows),
                                     preserve_index=False)
 
-    out = (ds.map_batches(rewrite, batch_format="pyarrow")
-           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    res = ds.map_batches(rewrite, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = (res.to_pandas().sort_values("doc_id").reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

@@ -160,3 +160,49 @@ def test_substring_dedup_sink_and_validation(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         substring_dedup(str(sf), window=1)
+
+
+def test_paragraph_dedup_sink_and_cli(ray_session, tmp_path, capsys):
+    """paragraph_dedup write_to= matches the table form; the `dedup` CLI
+    subcommand drives the production sink end to end."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.cli import main
+    from lucene_solr_old_ray.stages.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter for the latest updates"
+    docs = [
+        f"unique alpha paragraph with enough characters\n\n{boiler}",
+        f"{boiler}\n\nunique beta paragraph with enough characters",
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    table = paragraph_dedup(str(sf)).to_pandas()
+    out_dir = tmp_path / "out"
+    summary = paragraph_dedup(str(sf), write_to=str(out_dir)).to_pandas()
+    assert summary.loc[0, "rows_written"] == len(docs)
+    written = pd.concat(
+        [pq.read_table(str(p)).to_pandas()
+         for p in sorted(out_dir.rglob("*.parquet"))],
+        ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(written[table.columns.tolist()], table)
+
+    cli_out = tmp_path / "cli_out"
+    rc = main(["dedup", "--sf-dir", str(sf), "--method", "paragraph",
+               "--out", str(cli_out)])
+    assert rc == 0
+    import json
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["rows_written"] == len(docs)
+    cli_written = pd.concat(
+        [pq.read_table(str(p)).to_pandas()
+         for p in sorted(cli_out.rglob("*.parquet"))],
+        ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(cli_written[table.columns.tolist()], table)
