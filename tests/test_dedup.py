@@ -206,3 +206,32 @@ def test_paragraph_dedup_sink_and_cli(ray_session, tmp_path, capsys):
          for p in sorted(cli_out.rglob("*.parquet"))],
         ignore_index=True).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(cli_written[table.columns.tolist()], table)
+
+
+def test_substring_dedup_randomized_vs_naive(ray_session, tmp_path):
+    """Seeded randomized corpora over a TINY vocabulary (dense window
+    collisions, heavy overlap unions, owner ties inside and across docs)
+    match the naive reference exactly for several window sizes."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.dedup import substring_dedup
+
+    rng = random.Random(0x5EED)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial, window in enumerate([2, 3, 5]):
+        docs = []
+        for d in range(40):
+            n = rng.randint(0, 30)
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+        sf = tmp_path / f"t{trial}"
+        sf.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }), str(sf / "documents.parquet"))
+        out = substring_dedup(str(sf), window=window).to_pandas()
+        ref = _naive_substring_dedup(docs, window)
+        assert out.to_dict("records") == ref, f"window={window}"
