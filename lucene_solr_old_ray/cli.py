@@ -134,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--min-chars", type=int, default=20,
                     help="paragraph: min block size eligible for dedup")
 
+    dc = sub.add_parser("decontaminate", help="flag/drop docs sharing any "
+                        "W-token run with an eval set (train-test overlap)")
+    dc.add_argument("--sf-dir", required=True)
+    dc.add_argument("--eval", required=True, dest="eval_path",
+                    help="parquet with a 'text' column (the eval set)")
+    dc.add_argument("--window", type=int, default=13)
+    dc.add_argument("--action", default="flag", choices=["flag", "filter"])
+    dc.add_argument("--out", required=True)
+
     qa = sub.add_parser("quality", help="per-doc quality stats / lang-id "
                         "over documents.parquet -> partitioned Parquet sink")
     qa.add_argument("--sf-dir", required=True)
@@ -266,6 +275,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             t = substring_dedup(args.sf_dir, window=args.window,
                                 write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
+    elif args.cmd == "decontaminate":
+        from .stages.dedup import decontaminate
+
+        t = decontaminate(args.sf_dir, args.eval_path, window=args.window,
+                          action=args.action, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "quality":
         from .stages.textstats import lang_id, quality_stats

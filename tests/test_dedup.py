@@ -235,3 +235,71 @@ def test_substring_dedup_randomized_vs_naive(ray_session, tmp_path):
         out = substring_dedup(str(sf), window=window).to_pandas()
         ref = _naive_substring_dedup(docs, window)
         assert out.to_dict("records") == ref, f"window={window}"
+
+
+def test_decontaminate_flag_filter_and_parquet_eval(ray_session, tmp_path):
+    """Docs sharing any W-token run with the eval set are flagged (count
+    == naive window-tuple overlap), filter mode drops them, and the eval
+    side loads from Parquet identically."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lucene_solr_old_ray.stages.dedup import decontaminate
+
+    secret = "what is the capital of freedonia answer sylvania"  # 8 toks
+    docs = [
+        (0, f"intro text {secret} outro text here"),
+        (1, "a wholly clean training document about compilers"),
+        (2, f"{secret} {secret}"),
+        (3, "short"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    }), str(sf / "documents.parquet"))
+    evals = [f"q: {secret}", "unrelated eval question entirely"]
+
+    W = 6
+    out = decontaminate(str(sf), evals, window=W).to_pandas()
+
+    # naive reference: window-tuple overlap counts
+    ev_wins = set()
+    for t in evals:
+        toks = re.findall(r"\S+", t)
+        for i in range(len(toks) - W + 1):
+            ev_wins.add(tuple(toks[i:i + W]))
+    for _, row in out.iterrows():
+        toks = re.findall(r"\S+", docs[int(row["doc_id"])][1])
+        n = sum(1 for i in range(len(toks) - W + 1)
+                if tuple(toks[i:i + W]) in ev_wins)
+        assert row["dirty_windows"] == n
+        assert row["contaminated"] == (n > 0)
+    assert out["contaminated"].tolist() == [True, False, True, False]
+
+    filt = decontaminate(str(sf), evals, window=W,
+                         action="filter").to_pandas()
+    assert filt["doc_id"].tolist() == [1, 3]
+    assert filt["text"].tolist() == [docs[1][1], docs[3][1]]
+
+    # eval set from Parquet == eval set from list
+    evp = tmp_path / "eval.parquet"
+    pq.write_table(pa.table({"text": pa.array(evals, pa.string())}),
+                   str(evp))
+    out2 = decontaminate(str(sf), str(evp), window=W).to_pandas()
+    assert out2.equals(out)
+
+    # sink form
+    out_dir = tmp_path / "out"
+    summary = decontaminate(str(sf), evals, window=W, action="filter",
+                            write_to=str(out_dir)).to_pandas()
+    assert summary.loc[0, "rows_written"] == 2
+
+    with pytest.raises(ValueError):
+        decontaminate(str(sf), evals, window=1)
+    with pytest.raises(ValueError):
+        decontaminate(str(sf), evals, action="purge")
