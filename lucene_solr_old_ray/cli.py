@@ -146,7 +146,8 @@ def main(argv: list[str] | None = None) -> int:
     qa = sub.add_parser("quality", help="per-doc quality stats / lang-id "
                         "over documents.parquet -> partitioned Parquet sink")
     qa.add_argument("--sf-dir", required=True)
-    qa.add_argument("--kind", required=True, choices=["stats", "lang-id"])
+    qa.add_argument("--kind", required=True,
+                    choices=["stats", "lang-id", "tokens"])
     qa.add_argument("--out", required=True)
 
     hl = sub.add_parser("highlight",
@@ -283,9 +284,10 @@ def main(argv: list[str] | None = None) -> int:
                           action=args.action, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "quality":
-        from .stages.textstats import lang_id, quality_stats
+        from .stages.textstats import lang_id, quality_stats, token_counts
 
-        fn = quality_stats if args.kind == "stats" else lang_id
+        fn = {"stats": quality_stats, "lang-id": lang_id,
+              "tokens": token_counts}[args.kind]
         t = fn(args.sf_dir, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "expunge":

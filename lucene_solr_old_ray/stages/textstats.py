@@ -384,3 +384,69 @@ def repetition_stats(sf_dir: str, top_ngram: int = 2,
     return pa.Table.from_pandas(
         out.sort_values("doc_id").reset_index(drop=True),
         preserve_index=False)
+
+
+# GPT-2-style pre-tokenizer (Radford et al. 2019, the public BPE split
+# regex): contractions, space-attached letter/number runs, space-attached
+# punctuation runs, and the trailing-whitespace lookahead.  Python-re
+# translation of the published pattern: \p{L} -> [^\W\d_] (Unicode
+# letters), \p{N} -> \d, "other" -> not-ws/not-letter/not-digit (which,
+# unlike \w-based classes, keeps underscore in the punctuation bucket as
+# the original does).
+_BPE_SPLIT = None
+
+
+def _bpe_pattern():
+    global _BPE_SPLIT
+    if _BPE_SPLIT is None:
+        import re
+
+        _BPE_SPLIT = re.compile(
+            r"'(?:[sdmt]|ll|ve|re)"
+            r"| ?[^\W\d_]+"
+            r"| ?\d+"
+            r"| ?(?:(?![^\W\d_])[^\s\d])+"
+            r"|\s+(?!\S)"
+            r"|\s+")
+    return _BPE_SPLIT
+
+
+def token_counts(sf_dir: str, write_to: str | None = None) -> pa.Table:
+    """Per-doc token counts under BOTH cheap pipeline tokenizations —
+    whitespace splits and the GPT-2-style BPE pre-tokenizer regex — plus
+    character count (the budget triple a training-data pipeline tracks
+    per document before a real tokenizer model runs).
+
+    One streaming map_batches pass (the regex engine runs in C per doc;
+    no shuffle); ``write_to`` streams per-doc rows to partitioned Parquet
+    with the 1-row footer-counted summary return."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        pat = _bpe_pattern()
+        texts = batch["text"].to_pylist()
+        ws = np.fromiter((len((t or "").split()) for t in texts),
+                         count=len(texts), dtype=np.int64)
+        bpe = np.fromiter(
+            (sum(1 for _ in pat.finditer(t or "")) for t in texts),
+            count=len(texts), dtype=np.int64)
+        chars = np.fromiter((len(t or "") for t in texts),
+                            count=len(texts), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"].to_numpy(
+                zero_copy_only=False), pa.int64()),
+            "ws_tokens": pa.array(ws, pa.int64()),
+            "bpe_tokens": pa.array(bpe, pa.int64()),
+            "n_chars": pa.array(chars, pa.int64()),
+        })
+
+    res = ds.map_batches(count, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

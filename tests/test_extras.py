@@ -335,3 +335,49 @@ def test_repetition_stats(ray_session, tmp_path):
     assert out.loc[2, "dup_line_frac"] == 0.0
     assert out.loc[2, "top_ngram_char_frac"] == 0.0
     assert out.loc[2, "dup_ngram_char_frac"] == 0.0
+
+
+def test_token_counts_bpe_pretokenizer(ray_session, tmp_path):
+    """GPT-2 pre-tokenizer split counts on hand-verified cases
+    (contractions, space attachment, inner-whitespace split-off,
+    trailing-space fold, underscore-as-punctuation, unicode letters),
+    plus whitespace/char lanes and the sink form."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.textstats import token_counts
+
+    cases = [
+        # (text, ws_tokens, bpe_tokens)
+        ("Hello world", 2, 2),            # [Hello][ world]
+        ("Hello, world!", 2, 4),          # [Hello][,][ world][!]
+        ("don't stop", 2, 3),             # [don]['t][ stop]
+        ("I've 2 apples", 3, 4),          # [I]['ve][ 2][ apples]
+        ("a  b", 2, 3),                   # [a][ ][ b] inner-run split-off
+        ("a  ", 1, 2),                    # [a][  ] trailing fold
+        ("x_y", 1, 3),                    # [x][_][y] _ is punctuation
+        ("abc123", 1, 2),                 # [abc][123]
+        ("café ñ", 2, 2),       # unicode letters in one run
+        ("", 0, 0),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(cases)), pa.int64()),
+        "text": pa.array([c[0] for c in cases], pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    out = token_counts(str(sf)).to_pandas()
+    assert out["ws_tokens"].tolist() == [c[1] for c in cases]
+    assert out["bpe_tokens"].tolist() == [c[2] for c in cases]
+    assert out["n_chars"].tolist() == [len(c[0]) for c in cases]
+
+    out_dir = tmp_path / "out"
+    summary = token_counts(str(sf), write_to=str(out_dir)).to_pandas()
+    assert summary.loc[0, "rows_written"] == len(cases)
+    written = pd.concat(
+        [pq.read_table(str(p)).to_pandas()
+         for p in sorted(out_dir.rglob("*.parquet"))],
+        ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(written[out.columns.tolist()], out)
