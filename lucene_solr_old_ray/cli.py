@@ -134,6 +134,16 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--min-chars", type=int, default=20,
                     help="paragraph: min block size eligible for dedup")
 
+    mx = sub.add_parser("mix", help="deterministic per-group down-sampling "
+                        "(data mixing) -> partitioned Parquet sink")
+    mx.add_argument("--sf-dir", required=True)
+    mx.add_argument("--rate", action="append", default=[],
+                    metavar="GROUP=R", help="per-group keep rate (repeat)")
+    mx.add_argument("--group-col", default="source")
+    mx.add_argument("--default-rate", type=float, default=1.0)
+    mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--out", required=True)
+
     dc = sub.add_parser("decontaminate", help="flag/drop docs sharing any "
                         "W-token run with an eval set (train-test overlap)")
     dc.add_argument("--sf-dir", required=True)
@@ -276,6 +286,17 @@ def main(argv: list[str] | None = None) -> int:
         else:
             t = substring_dedup(args.sf_dir, window=args.window,
                                 write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
+    elif args.cmd == "mix":
+        from .stages.mix import sample_mix
+
+        rates = {}
+        for spec in args.rate:
+            g, _, r = spec.rpartition("=")
+            rates[g] = float(r)
+        t = sample_mix(args.sf_dir, rates, group_col=args.group_col,
+                       default_rate=args.default_rate, seed=args.seed,
+                       write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "decontaminate":
         from .stages.dedup import decontaminate

@@ -1,0 +1,76 @@
+"""Deterministic data-mixing / down-sampling stage.
+
+A training-data pipeline rarely trains on its corpus as-is: each source
+(or language, or quality bucket) gets a target sampling rate and the mix
+must be REPRODUCIBLE — the same doc keeps or drops on every run, on any
+cluster size, regardless of partitioning (so resumed / re-sharded runs
+agree).  The standard trick is hash-based Bernoulli sampling: keep a doc
+iff ``hash(doc_id, seed) / 2^64 < rate[group]``.
+
+One streaming map_batches pass, no shuffle, nothing corpus-sized on the
+driver; rates arrive as a plain dict (tiny, serialized with the task).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_MIX_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix_hash(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64 over (doc_id XOR seed) -> uniform uint64 per doc,
+    vectorized and process-independent."""
+    with np.errstate(over="ignore"):
+        z = (doc_ids.astype(np.uint64) ^ np.uint64(seed)) + _MIX_GOLDEN
+        z = np.multiply(z ^ (z >> np.uint64(30)),
+                        np.uint64(0xBF58476D1CE4E5B9), dtype=np.uint64)
+        z = np.multiply(z ^ (z >> np.uint64(27)),
+                        np.uint64(0x94D049BB133111EB), dtype=np.uint64)
+        return (z ^ (z >> np.uint64(31))).astype(np.uint64)
+
+
+def sample_mix(sf_dir: str, rates: dict[str, float], group_col: str = "source",
+               default_rate: float = 1.0, seed: int = 0,
+               write_to: str | None = None) -> pa.Table:
+    """Down-sample ``documents.parquet`` to per-group target rates.
+
+    ``rates`` maps ``group_col`` values (e.g. source or lang) to keep
+    probabilities in [0, 1]; groups absent from the map use
+    ``default_rate``.  Keep decision: ``splitmix64(doc_id ^ seed) <
+    rate * 2^64`` — deterministic per (doc, seed), independent of batch
+    and partition boundaries, so two runs (or two cluster sizes) emit
+    the SAME row set.  Returns the kept rows (doc_id, group, text) or,
+    with ``write_to``, streams them to partitioned Parquet and returns
+    the 1-row footer-counted summary."""
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError("default_rate must be in [0, 1]")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", group_col, "text"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = pd.Series(batch[group_col].to_pylist())
+        r = groups.map(rates).fillna(default_rate).to_numpy(
+            dtype=np.float64)
+        # threshold in uint64 space; rate==1.0 keeps unconditionally
+        # (2^64 overflows uint64, so compare against the float domain)
+        u = _mix_hash(d, seed).astype(np.float64) / float(2 ** 64)
+        return batch.filter(pa.array(u < r))
+
+    res = ds.map_batches(keep, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

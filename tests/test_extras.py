@@ -381,3 +381,74 @@ def test_token_counts_bpe_pretokenizer(ray_session, tmp_path):
          for p in sorted(out_dir.rglob("*.parquet"))],
         ignore_index=True).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(written[out.columns.tolist()], out)
+
+
+def _splitmix64_py(x: int, seed: int) -> int:
+    """Independent pure-Python reimplementation of the mix hash rule."""
+    M = (1 << 64) - 1
+    z = ((x ^ seed) + 0x9E3779B97F4A7C15) & M
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+    return (z ^ (z >> 31)) & M
+
+
+def test_sample_mix_deterministic_rates(ray_session, tmp_path):
+    """Per-group keep rates: 1.0 keeps all, 0.0 keeps none, fractional
+    keeps exactly the hash-rule set (independent reimplementation);
+    decisions are partition-independent and seed-sensitive."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lucene_solr_old_ray.stages.mix import sample_mix
+
+    n = 300
+    sources = ["A", "B", "C"]
+    docs = [(i, sources[i % 3], f"doc body {i}") for i in range(n)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+        "source": pa.array([s for _, s, _ in docs], pa.string()),
+        "text": pa.array([t for _, _, t in docs], pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    rates = {"A": 1.0, "B": 0.0, "C": 0.5}
+    out = sample_mix(str(sf), rates, seed=7).to_pandas()
+    expected = [d for d, s, _ in docs
+                if _splitmix64_py(d, 7) / 2 ** 64 < rates[s]]
+    assert out["doc_id"].tolist() == expected
+    assert (out["source"] == "B").sum() == 0
+    assert (out["source"] == "A").sum() == 100
+    # C lands near half (hash uniformity over 100 draws)
+    c = int((out["source"] == "C").sum())
+    assert 30 <= c <= 70
+
+    # same seed -> identical set on a re-run; different seed -> different
+    out2 = sample_mix(str(sf), rates, seed=7).to_pandas()
+    pd.testing.assert_frame_equal(out2, out)
+    out3 = sample_mix(str(sf), rates, seed=8).to_pandas()
+    assert out3["doc_id"].tolist() != expected
+
+    # default_rate applies to unmapped groups
+    out4 = sample_mix(str(sf), {"B": 0.0}, default_rate=1.0,
+                      seed=7).to_pandas()
+    assert sorted(out4["source"].unique()) == ["A", "C"]
+    assert len(out4) == 200
+
+    # sink form matches the table form
+    out_dir = tmp_path / "out"
+    summary = sample_mix(str(sf), rates, seed=7,
+                         write_to=str(out_dir)).to_pandas()
+    assert summary.loc[0, "rows_written"] == len(out)
+    written = pd.concat(
+        [pq.read_table(str(p)).to_pandas()
+         for p in sorted(out_dir.rglob("*.parquet"))],
+        ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(written[out.columns.tolist()], out)
+
+    with pytest.raises(ValueError):
+        sample_mix(str(sf), {"A": 1.5})
+    with pytest.raises(ValueError):
+        sample_mix(str(sf), {}, default_rate=-0.1)
