@@ -1495,3 +1495,68 @@ def decontaminate(sf_dir: str, eval_texts, window: int = 13,
                          "out_dir": pa.array([write_to], pa.string())})
     out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def semdedup(sf_dir: str, n_clusters: int = 16, eps: float = 0.95,
+             seed: int = 42) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup over the embedding
+    table: k-means-cluster the embeddings, then within each cluster
+    greedily keep only examples whose cosine similarity to every
+    already-kept example is below ``eps``.  Candidates are visited in the
+    paper's keep-low-centroid-similarity order (similarity to the
+    cluster centroid ascending, vec_id tie-break), so the survivor of a
+    near-duplicate group is its most "peripheral" member — deterministic
+    given the seed.
+
+    Scale shape: centroids train on a bounded sample (the IVF training
+    contract, shared with :mod:`stages.ann`); assignment is one
+    streaming map_batches; the ONLY shuffle moves each embedding to its
+    cluster's group once (`groupby(cluster).map_groups`), and the
+    per-cluster O(m^2) pairwise pass is bounded by cluster size —
+    raise ``n_clusters`` to cap it (the paper's shape).  Returns
+    (vec_id, cluster, centroid_sim, keep) for every vector."""
+    import ray
+
+    from .ann import _normalized, _train_centroids
+
+    C = _train_centroids(sf_dir, n_clusters, seed)
+    c_ref = ray.put(C)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_l = ray.get(c_ref)
+        v = _normalized(np.asarray(batch["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        sims = v @ C_l.T
+        cl = np.argmax(sims, axis=1).astype(np.int64)
+        return batch.append_column(
+            "cluster", pa.array(cl)).append_column(
+            "centroid_sim", pa.array(sims[np.arange(len(cl)), cl]))
+
+    def cluster_pass(group: pd.DataFrame) -> pd.DataFrame:
+        v = _normalized(np.asarray(group["embedding"].tolist(),
+                                   dtype=np.float64))
+        order = np.lexsort((group["vec_id"].to_numpy(),
+                            group["centroid_sim"].to_numpy()))
+        keep = np.zeros(len(group), dtype=bool)
+        kept_rows: list[int] = []
+        for i in order:
+            if not kept_rows or float(
+                    np.max(v[kept_rows] @ v[i])) < eps:
+                keep[i] = True
+                kept_rows.append(i)
+        out = group[["vec_id", "cluster", "centroid_sim"]].copy()
+        out["keep"] = keep
+        return out
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cluster_pass, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

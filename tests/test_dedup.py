@@ -303,3 +303,66 @@ def test_decontaminate_flag_filter_and_parquet_eval(ray_session, tmp_path):
         decontaminate(str(sf), evals, window=1)
     with pytest.raises(ValueError):
         decontaminate(str(sf), evals, action="purge")
+
+
+def test_semdedup_matches_naive_reference(ray_session, tmp_path):
+    """SemDeDup flags == a single-process replication (same shared
+    centroid trainer, pure-numpy assignment + greedy pass); planted
+    near-identical vectors collapse to one peripheral survivor."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.ann import _normalized, _train_centroids
+    from lucene_solr_old_ray.stages.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(25, 16))
+    vecs = [base[i] for i in range(25)]
+    # plant 3 near-copies of vector 0 and 2 of vector 7
+    for src, n in [(0, 3), (7, 2)]:
+        for j in range(n):
+            vecs.append(base[src] + rng.normal(scale=1e-3, size=16))
+    vecs = np.asarray(vecs)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    }), str(sf / "embeddings.parquet"))
+
+    K, EPS, SEED = 4, 0.95, 42
+    out = semdedup(str(sf), n_clusters=K, eps=EPS, seed=SEED).to_pandas()
+
+    # naive reference sharing only the centroid trainer
+    C = _train_centroids(str(sf), K, SEED)
+    t = pq.read_table(str(sf / "embeddings.parquet"))
+    V = _normalized(np.asarray(t["embedding"].to_pylist(),
+                               dtype=np.float64))
+    ids = np.asarray(t["vec_id"].to_pylist())
+    sims = V @ C.T
+    cl = np.argmax(sims, axis=1)
+    csim = sims[np.arange(len(cl)), cl]
+    keep_ref = {}
+    for c in np.unique(cl):
+        rows = np.nonzero(cl == c)[0]
+        order = rows[np.lexsort((ids[rows], csim[rows]))]
+        kept = []
+        for i in order:
+            if not kept or max(float(V[j] @ V[i]) for j in kept) < EPS:
+                kept.append(i)
+                keep_ref[int(ids[i])] = True
+            else:
+                keep_ref[int(ids[i])] = False
+    assert out["keep"].tolist() == [keep_ref[int(v)]
+                                    for v in out["vec_id"]]
+    # each planted near-dup family keeps exactly one member
+    fam0 = [0, 25, 26, 27]
+    fam7 = [7, 28, 29]
+    kept = set(out[out["keep"]]["vec_id"].tolist())
+    assert len(kept & set(fam0)) == 1
+    assert len(kept & set(fam7)) == 1
+    # determinism
+    out2 = semdedup(str(sf), n_clusters=K, eps=EPS, seed=SEED).to_pandas()
+    assert out2.equals(out)
