@@ -134,6 +134,12 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--min-chars", type=int, default=20,
                     help="paragraph: min block size eligible for dedup")
 
+    cu = sub.add_parser("curate", help="document curation policy pass "
+                        "(C4 line cleaning / Gopher quality filter)")
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--policy", required=True, choices=["c4", "gopher"])
+    cu.add_argument("--out", required=True)
+
     mx = sub.add_parser("mix", help="deterministic per-group down-sampling "
                         "(data mixing) -> partitioned Parquet sink")
     mx.add_argument("--sf-dir", required=True)
@@ -286,6 +292,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             t = substring_dedup(args.sf_dir, window=args.window,
                                 write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
+    elif args.cmd == "curate":
+        from .stages.curation import c4_clean, gopher_quality_filter
+
+        fn = c4_clean if args.policy == "c4" else gopher_quality_filter
+        t = fn(args.sf_dir, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "mix":
         from .stages.mix import sample_mix

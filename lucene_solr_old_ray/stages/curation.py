@@ -1,0 +1,199 @@
+"""Document-curation policy passes — the published C4 and Gopher
+cleaning/filter rules over the signals this engine already computes.
+
+Both are ONE streaming ``map_batches`` pass over ``documents.parquet``
+(no shuffle, nothing corpus-sized on the driver) with the shared
+``write_to=`` partitioned-Parquet sink contract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_TERMINAL = (".", "!", "?", '"', "”")  # C4 terminal punctuation set
+
+# the Gopher stop-word requirement set (Rae et al. 2021 A1.1)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def c4_clean(sf_dir: str, min_words_per_line: int = 3,
+             min_sentences: int = 5,
+             write_to: str | None = None) -> pa.Table:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation AND have >= ``min_words_per_line``
+    words AND do not contain the word "javascript"; then drop the whole
+    document if the cleaned text has fewer than ``min_sentences``
+    sentences, or contains "lorem ipsum", or contains a curly brace
+    (code-in-prose signal).  The paper's bad-words page filter needs an
+    external word list and is intentionally not bundled; its span-level
+    dedup step is :func:`stages.dedup.substring_dedup`.
+
+    -> (doc_id, kept_text, n_lines_kept, n_lines_dropped, doc_kept)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            t = t or ""
+            kept_lines = []
+            dropped = 0
+            for ln in t.split("\n"):
+                s = ln.strip()
+                if not s:
+                    continue
+                ok = (s.endswith(_TERMINAL)
+                      and len(s.split()) >= min_words_per_line
+                      and "javascript" not in s.lower())
+                if ok:
+                    kept_lines.append(s)
+                else:
+                    dropped += 1
+            text = "\n".join(kept_lines)
+            low = text.lower()
+            n_sent = sum(text.count(p) for p in (".", "!", "?"))
+            doc_kept = (n_sent >= min_sentences
+                        and "lorem ipsum" not in low
+                        and "{" not in text)
+            rows.append({"doc_id": int(d), "kept_text": text,
+                         "n_lines_kept": len(kept_lines),
+                         "n_lines_dropped": dropped,
+                         "doc_kept": doc_kept})
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    res = ds.map_batches(clean, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# Gopher rule thresholds (Rae et al. 2021 A1.1), overridable per call
+GOPHER_DEFAULTS = {
+    "min_words": 50, "max_words": 100_000,
+    "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,       # '#' or '...' per word
+    "max_ellipsis_line_frac": 0.3,
+    "max_bullet_line_frac": 0.9,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_words": 2,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+    "max_top2gram_char_frac": 0.2,
+    "max_dup5gram_char_frac": 0.15,
+}
+
+
+def gopher_quality_filter(sf_dir: str, thresholds: dict | None = None,
+                          write_to: str | None = None) -> pa.Table:
+    """The Gopher quality-filter policy (Rae et al. 2021 A1.1) — each doc
+    keeps iff it passes every rule: word-count window, mean word length
+    window, symbol-to-word ratio ('#' and '...'), ellipsis-line and
+    bullet-line fractions, alphabetic-word fraction, the >=2-stop-words
+    requirement, and the repetition thresholds (duplicate-line fraction
+    and chars, top-2-gram coverage, duplicated-5-gram coverage — the
+    same formulas as :func:`stages.textstats.repetition_stats`).
+
+    -> (doc_id, keep, failed_rules) with ``failed_rules`` a comma-joined
+    rule-name string (empty when kept); thresholds overridable via the
+    ``thresholds`` dict (keys of ``GOPHER_DEFAULTS``)."""
+    from collections import Counter
+
+    th = dict(GOPHER_DEFAULTS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+        th.update(thresholds)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def judge(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            t = t or ""
+            words = t.split()
+            nw = len(words)
+            failed = []
+            if not (th["min_words"] <= nw <= th["max_words"]):
+                failed.append("word_count")
+            mean_len = (sum(len(w) for w in words) / nw) if nw else 0.0
+            if not (th["min_mean_word_len"] <= mean_len
+                    <= th["max_mean_word_len"]):
+                failed.append("mean_word_len")
+            n_sym = t.count("#") + t.count("...")
+            if nw and n_sym / nw > th["max_symbol_word_ratio"]:
+                failed.append("symbol_ratio")
+            lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+            if lines:
+                ell = sum(1 for ln in lines if ln.endswith("..."))
+                if ell / len(lines) > th["max_ellipsis_line_frac"]:
+                    failed.append("ellipsis_lines")
+                bul = sum(1 for ln in lines
+                          if ln.startswith(("-", "*", "•")))
+                if bul / len(lines) > th["max_bullet_line_frac"]:
+                    failed.append("bullet_lines")
+            if nw:
+                alpha = sum(1 for w in words
+                            if any(c.isalpha() for c in w))
+                if alpha / nw < th["min_alpha_word_frac"]:
+                    failed.append("alpha_words")
+            lowset = {w.lower().strip(".,;:!?") for w in words}
+            if sum(1 for s in _GOPHER_STOPS if s in lowset) \
+                    < th["min_stop_words"]:
+                failed.append("stop_words")
+            # repetition signals (repetition_stats formulas)
+            seen: set = set()
+            dup_lines = dup_chars = 0
+            for ln in lines:
+                if ln in seen:
+                    dup_lines += 1
+                    dup_chars += len(ln)
+                else:
+                    seen.add(ln)
+            tot_chars = sum(len(ln) for ln in lines)
+            if lines and dup_lines / len(lines) > th["max_dup_line_frac"]:
+                failed.append("dup_lines")
+            if tot_chars and dup_chars / tot_chars \
+                    > th["max_dup_line_char_frac"]:
+                failed.append("dup_line_chars")
+            wchars = sum(len(w) for w in words)
+            if nw >= 2 and wchars:
+                grams = Counter(tuple(words[i:i + 2])
+                                for i in range(nw - 1))
+                g, c = grams.most_common(1)[0]
+                if c > 1 and c * sum(len(w) for w in g) / wchars \
+                        > th["max_top2gram_char_frac"]:
+                    failed.append("top2gram")
+            if nw >= 5 and wchars:
+                grams = Counter(tuple(words[i:i + 5])
+                                for i in range(nw - 4))
+                covered = sum(cnt * sum(len(w) for w in g)
+                              for g, cnt in grams.items() if cnt > 1)
+                if min(1.0, covered / wchars) \
+                        > th["max_dup5gram_char_frac"]:
+                    failed.append("dup5gram")
+            rows.append({"doc_id": int(d), "keep": not failed,
+                         "failed_rules": ",".join(failed)})
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    res = ds.map_batches(judge, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -452,3 +452,85 @@ def test_sample_mix_deterministic_rates(ray_session, tmp_path):
         sample_mix(str(sf), {"A": 1.5})
     with pytest.raises(ValueError):
         sample_mix(str(sf), {}, default_rate=-0.1)
+
+
+def _write_docs(tmp_path, texts, name="sf"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / name
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(sf / "documents.parquet"))
+    return str(sf)
+
+
+def test_c4_clean_line_and_doc_rules(ray_session, tmp_path):
+    """C4 §2.2 rules: terminal-punctuation + min-words + javascript line
+    filters; lorem-ipsum / curly-brace / min-sentences doc drops."""
+    from lucene_solr_old_ray.stages.curation import c4_clean
+
+    good = "\n".join(
+        f"this is a perfectly normal sentence number {w}."
+        for w in ["one", "two", "three", "four", "five", "six"])
+    texts = [
+        good,
+        good + "\nno terminal punctuation here",          # line dropped
+        good + "\nshort.",                                # <3 words dropped
+        good + "\nplease enable javascript to continue.", # js line dropped
+        good + "\nthis page contains lorem ipsum filler text.",  # doc drop
+        good.replace("number one.", "number { one."),     # brace -> doc drop
+        "just one tiny sentence here.",                   # <5 sentences
+    ]
+    out = c4_clean(_write_docs(tmp_path, texts)).to_pandas()
+    assert out.loc[0, "doc_kept"] and out.loc[0, "kept_text"] == good
+    for i in (1, 2, 3):
+        assert out.loc[i, "n_lines_dropped"] == 1
+        assert out.loc[i, "kept_text"] == good
+        assert out.loc[i, "doc_kept"]
+    assert not out.loc[4, "doc_kept"]       # lorem ipsum
+    assert not out.loc[5, "doc_kept"]       # curly brace
+    assert not out.loc[6, "doc_kept"]       # too few sentences
+    assert out.loc[6, "n_lines_kept"] == 1  # the line itself was fine
+
+
+def test_gopher_quality_filter_rules(ray_session, tmp_path):
+    """Each Gopher A1.1 rule trips on a doc crafted to violate it while
+    the baseline doc passes every rule."""
+    from lucene_solr_old_ray.stages.curation import gopher_quality_filter
+
+    stops = "the and of that have with to be"
+    body = " ".join(f"alpha{i:02d}" for i in range(50))
+    good = f"{stops} {body}"                  # 58 distinct words
+    cases = {
+        "word_count": "the and of tiny doc",
+        "mean_word_len": stops + " " + " ".join(["a"] * 50),
+        "symbol_ratio": good + " " + " ".join(["#"] * 8),
+        "ellipsis_lines": "\n".join([f"{good}..."] * 3),
+        "bullet_lines": "\n".join([f"- {good}"] * 3),
+        "alpha_words": good + " " + " ".join(["123"] * 20),
+        "stop_words": " ".join(f"beta{i:02d}" for i in range(55)),
+        "dup_lines": "\n".join([good, good, good, stops]),
+        "top2gram": good + " " + "zig zag " * 25,
+        "dup5gram": good + " " + "one two three four five " * 4,
+    }
+    texts = [good] + list(cases.values())
+    out = gopher_quality_filter(_write_docs(tmp_path, texts)).to_pandas()
+    assert out.loc[0, "keep"] and out.loc[0, "failed_rules"] == ""
+    for i, rule in enumerate(cases, start=1):
+        assert not out.loc[i, "keep"], rule
+        assert rule in out.loc[i, "failed_rules"].split(","), (
+            rule, out.loc[i, "failed_rules"])
+
+    # threshold override + unknown-key validation
+    import pytest
+
+    relaxed = gopher_quality_filter(
+        _write_docs(tmp_path, [cases["word_count"]], name="sf2"),
+        thresholds={"min_words": 1, "min_stop_words": 1}).to_pandas()
+    assert relaxed.loc[0, "keep"]
+    with pytest.raises(ValueError):
+        gopher_quality_filter(str(tmp_path / "sf2"),
+                              thresholds={"bogus": 1})
