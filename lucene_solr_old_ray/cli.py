@@ -137,7 +137,8 @@ def main(argv: list[str] | None = None) -> int:
     cu = sub.add_parser("curate", help="document curation policy pass "
                         "(C4 line cleaning / Gopher quality filter)")
     cu.add_argument("--sf-dir", required=True)
-    cu.add_argument("--policy", required=True, choices=["c4", "gopher"])
+    cu.add_argument("--policy", required=True,
+                    choices=["c4", "gopher", "redact"])
     cu.add_argument("--out", required=True)
 
     mx = sub.add_parser("mix", help="deterministic per-group down-sampling "
@@ -294,9 +295,11 @@ def main(argv: list[str] | None = None) -> int:
                                 write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "curate":
-        from .stages.curation import c4_clean, gopher_quality_filter
+        from .stages.curation import (c4_clean, gopher_quality_filter,
+                                      redact_pii)
 
-        fn = c4_clean if args.policy == "c4" else gopher_quality_filter
+        fn = {"c4": c4_clean, "gopher": gopher_quality_filter,
+              "redact": redact_pii}[args.policy]
         t = fn(args.sf_dir, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "mix":

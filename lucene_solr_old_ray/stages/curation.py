@@ -197,3 +197,81 @@ def gopher_quality_filter(sf_dir: str, thresholds: dict | None = None,
                          "out_dir": pa.array([write_to], pa.string())})
     out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# PII / secret redaction for code corpora (The Stack / StarCoder-style
+# preprocessing): emails, IPv4 addresses, and high-entropy key-like
+# literals are replaced with stable placeholder tokens so models don't
+# memorize them.  Patterns compile once per process.
+_PII_PATTERNS = None
+
+
+def _pii_patterns():
+    global _PII_PATTERNS
+    if _PII_PATTERNS is None:
+        import re
+
+        _PII_PATTERNS = [
+            ("email", re.compile(
+                r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"),
+             "<EMAIL>"),
+            ("ipv4", re.compile(
+                r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+                r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"),
+             "<IP>"),
+            # AWS-style access key ids, then generic long hex/base64
+            # literals (>=32 chars, quote- or word-bounded)
+            ("aws_key", re.compile(r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b"),
+             "<KEY>"),
+            ("secret", re.compile(
+                r"\b(?=[A-Za-z0-9+/=_-]*[0-9])(?=[A-Za-z0-9+/=_-]*[A-Za-z])"
+                r"[A-Fa-f0-9]{32,}|"
+                r"\b(?=[A-Za-z0-9+/=]*[0-9])(?=[A-Za-z0-9+/=]*[a-z])"
+                r"(?=[A-Za-z0-9+/=]*[A-Z])[A-Za-z0-9+/=]{40,}\b"),
+             "<SECRET>"),
+            ("private_key", re.compile(
+                r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+                r"[\s\S]*?-----END [A-Z ]*PRIVATE KEY-----"),
+             "<PRIVATE_KEY>"),
+        ]
+    return _PII_PATTERNS
+
+
+def redact_pii(sf_dir: str, write_to: str | None = None) -> pa.Table:
+    """Replace emails, IPv4 addresses, AWS-style key ids, long
+    high-entropy hex/base64 literals and PEM private-key blocks with
+    placeholder tokens — the standard PII/secret scrub a source-code
+    training corpus runs before tokenization.  One streaming pass; the
+    per-kind replacement counts come back per doc so downstream stats
+    can audit the scrub.  -> (doc_id, redacted_text, n_email, n_ipv4,
+    n_aws_key, n_secret, n_private_key)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        pats = _pii_patterns()
+        rows = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            t = t or ""
+            counts = {}
+            # private-key blocks first (they contain base64 runs the
+            # generic secret pattern would otherwise shred)
+            for name, pat, repl in sorted(
+                    pats, key=lambda p: p[0] != "private_key"):
+                t, n = pat.subn(repl, t)
+                counts[name] = n
+            rows.append({"doc_id": int(d), "redacted_text": t,
+                         **{f"n_{k}": counts[k] for k, _, _ in pats}})
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    res = ds.map_batches(scrub, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
