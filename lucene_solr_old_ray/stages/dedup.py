@@ -1560,3 +1560,131 @@ def semdedup(sf_dir: str, n_clusters: int = 16, eps: float = 0.95,
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme) -----
+
+_WIN_BASE = np.uint64(1099511628211)
+
+
+def _winnow_doc(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Selected (position, fingerprint) pairs for one document: k-gram
+    polynomial hashes over codepoints, min per w-window with the robust
+    RIGHTMOST tie rule, consecutive duplicate selections collapsed —
+    guarantees any match of length >= w + k - 1 shares a fingerprint."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = len(cps) - k + 1
+    if n <= 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    sw = np.lib.stride_tricks.sliding_window_view(
+        cps.astype(np.uint64), k)
+    pw = _ssd_powers(_WIN_BASE, k)
+    with np.errstate(over="ignore"):
+        h = np.multiply(sw, pw, dtype=np.uint64).sum(axis=1,
+                                                     dtype=np.uint64)
+    m = n - w + 1
+    if m <= 0:
+        # document shorter than one window: select the global minimum
+        # (rightmost on ties), the paper's degenerate case
+        rev = h[::-1]
+        pos = len(h) - 1 - int(np.argmin(rev))
+        return (np.array([pos], dtype=np.int64),
+                h[[pos]].view(np.int64))
+    hw = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost argmin: argmin over the reversed window
+    idx = (w - 1) - np.argmin(hw[:, ::-1], axis=1)
+    pos = np.arange(m, dtype=np.int64) + idx
+    keep = np.ones(m, dtype=bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    pos = np.unique(pos[keep])
+    return pos, h[pos].view(np.int64)
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pa.Table:
+    """Per-doc winnowing fingerprints -> (doc_id, pos, fp) rows.  One
+    streaming pass; each doc's selection is local (no shuffle)."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fps(batch: pa.Table) -> pa.Table:
+        frames = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            pos, h = _winnow_doc(t or "", k, w)
+            frames.append(pd.DataFrame({
+                "doc_id": np.full(len(pos), int(d), dtype=np.int64),
+                "pos": pos, "fp": h}))
+        if not frames:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    out = (ds.map_batches(fps, batch_format="pyarrow")
+           .to_pandas().sort_values(["doc_id", "pos"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def winnow_matches(sf_dir: str, k: int = 5, w: int = 4,
+                   min_shared: int = 2) -> pa.Table:
+    """MOSS-style candidate pairs: docs sharing >= ``min_shared`` DISTINCT
+    winnowed fingerprints -> (doc_a, doc_b, n_shared).  Shape: the map
+    stage emits one (fp, doc) row per DISTINCT fingerprint per doc
+    (combiner), a bounded-bucket groupby meets the posting lists, and
+    per-fp pair expansion + the pair count reduce run inside the bucket —
+    the inverted-index candidate shape shared with jaccard_pairs."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        frames = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            _, h = _winnow_doc(t or "", k, w)
+            u = np.unique(h)
+            frames.append(pd.DataFrame({
+                "fp": u, "doc_id": np.full(len(u), int(d),
+                                           dtype=np.int64)}))
+        df = (pd.concat(frames, ignore_index=True) if frames
+              else pd.DataFrame({"fp": [], "doc_id": []}))
+        df["bucket"] = (df["fp"].to_numpy().astype(np.uint64)
+                        % np.uint64(_NBUCKETS)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_pairs_(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["fp", "doc_id"])
+        frames = []
+        for _, rows in g.groupby("fp", sort=False):
+            ids = rows["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            frames.append(pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]}))
+        if not frames:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "n_shared": pd.Series([], dtype="int64")})
+        pairs = pd.concat(frames, ignore_index=True)
+        out = pairs.groupby(["doc_a", "doc_b"], as_index=False).size()
+        out = out.rename(columns={"size": "n_shared"})
+        return out
+
+    parts = (
+        ds.map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs_, batch_format="pandas")
+        .to_pandas()
+    )
+    # a pair's shared fps can span buckets: one tiny final fold
+    out = (parts.groupby(["doc_a", "doc_b"], as_index=False)["n_shared"]
+           .sum())
+    out = out[out["n_shared"] >= min_shared]
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

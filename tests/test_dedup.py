@@ -366,3 +366,107 @@ def test_semdedup_matches_naive_reference(ray_session, tmp_path):
     # determinism
     out2 = semdedup(str(sf), n_clusters=K, eps=EPS, seed=SEED).to_pandas()
     assert out2.equals(out)
+
+
+def _naive_winnow(text, k, w):
+    """Independent pure-Python winnowing (Schleimer et al. 2003 fig. 5
+    semantics: min per window, rightmost tie, record once per position)."""
+    M = (1 << 64) - 1
+    B = 1099511628211
+    cps = [ord(c) for c in text]
+    n = len(cps) - k + 1
+    if n <= 0:
+        return []
+    hs = []
+    for i in range(n):
+        h = 0
+        for c in cps[i:i + k]:
+            h = (h * B + c) & M
+        hs.append(h)
+    sel = set()
+    m = n - w + 1
+    if m <= 0:
+        best = min(range(n), key=lambda i: (hs[i], -i))
+        return [(best, hs[best])]
+    for s in range(m):
+        win = hs[s:s + w]
+        mn = min(win)
+        pos = s + max(i for i, v in enumerate(win) if v == mn)
+        sel.add((pos, hs[pos]))
+    return sorted(sel)
+
+
+def test_winnow_fingerprints_vs_naive(ray_session, tmp_path):
+    """Engine winnowing selections == the naive reference (signed-view
+    of the same 64-bit hashes) on crafted and random texts, including
+    the shorter-than-one-window degenerate case."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.dedup import winnow_fingerprints
+
+    import random
+    rng = random.Random(3)
+    texts = [
+        "the winnowing algorithm selects minimum hashes per window",
+        "aaaaaaaaaaaa",               # all-equal hashes: rightmost ties
+        "tiny",                       # shorter than k
+        "abcdefg",                    # shorter than one window
+        "",
+    ] + ["".join(rng.choice("ab ") for _ in range(60)) for _ in range(5)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    K, W = 5, 4
+    out = winnow_fingerprints(str(sf), k=K, w=W).to_pandas()
+    for d, t in enumerate(texts):
+        ref = _naive_winnow(t, K, W)
+        got = out[out["doc_id"] == d]
+        assert got["pos"].tolist() == [p for p, _ in ref], f"doc {d}"
+        assert [int(np.uint64(f)) for f in
+                got["fp"].to_numpy().astype(np.int64).view(np.uint64)] \
+            == [h for _, h in ref], f"doc {d}"
+
+
+def test_winnow_matches_guarantee(ray_session, tmp_path):
+    """Docs sharing a substring of length >= w + k - 1 always share a
+    fingerprint (the winnowing guarantee); unrelated docs with
+    min_shared=2 don't pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from lucene_solr_old_ray.stages.dedup import winnow_matches
+
+    K, W = 5, 4
+    shared = "this exact shared passage is long enough"  # >> w+k-1 chars
+    texts = [
+        f"prefix one {shared} suffix alpha",
+        f"totally different lead-in {shared} and close",
+        "nothing in common with the others at all here",
+        "another unrelated document body with its own words",
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    out = winnow_matches(str(sf), k=K, w=W, min_shared=1).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+    strong = winnow_matches(str(sf), k=K, w=W, min_shared=3).to_pandas()
+    row = strong[(strong["doc_a"] == 0) & (strong["doc_b"] == 1)]
+    assert len(row) == 1 and row.iloc[0]["n_shared"] >= 3
+
+    with pytest.raises(ValueError):
+        winnow_matches(str(sf), min_shared=0)
+    from lucene_solr_old_ray.stages.dedup import winnow_fingerprints
+    with pytest.raises(ValueError):
+        winnow_fingerprints(str(sf), k=0)
