@@ -74,3 +74,143 @@ def sample_mix(sf_dir: str, rates: dict[str, float], group_col: str = "source",
                          "out_dir": pa.array([write_to], pa.string())})
     out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# --- DSIR: data selection via importance resampling (Xie et al. 2023) ----
+
+def _dsir_buckets(texts: list[str], n_buckets: int) -> np.ndarray:
+    """Flat hashed uni+bigram bucket stream for a list of texts plus the
+    per-text counts — lowercased whitespace words, FNV-1a unigram hashes,
+    mixed-pair bigram hashes, both folded mod ``n_buckets``."""
+    from .textstats import stable_hash64_batch
+
+    toks_per = [(t or "").lower().split() for t in texts]
+    counts = np.fromiter((max(0, 2 * len(tk) - 1) if tk else 0
+                          for tk in toks_per),
+                         count=len(toks_per), dtype=np.int64)
+    flat = [w for tk in toks_per for w in tk]
+    if not flat:
+        return np.empty(0, dtype=np.int64), counts
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uh = stable_hash64_batch(list(uniques))
+    h = uh[codes]
+    lens = np.fromiter((len(tk) for tk in toks_per),
+                       count=len(toks_per), dtype=np.int64)
+    ends = np.cumsum(lens)
+    # bigram hashes within each text: (h[i] * prime) xor h[i+1]
+    with np.errstate(over="ignore"):
+        bg_all = (h[:-1] * _MIX_GOLDEN) ^ h[1:]
+    keep = np.ones(max(0, len(h) - 1), dtype=bool)
+    if len(keep):
+        # pairs crossing text boundaries (empty texts collapse onto the
+        # previous boundary; clip keeps the index set in range)
+        bidx = ends[:-1] - 1
+        keep[bidx[(bidx >= 0) & (bidx < len(keep))]] = False
+    bg = bg_all[keep] if len(bg_all) else bg_all
+    buckets = np.concatenate([
+        h % np.uint64(n_buckets), bg % np.uint64(n_buckets)
+    ]).astype(np.int64)
+    # per-text bucket attribution: unigrams then bigrams, matching counts
+    return buckets, counts
+
+
+def dsir_select(sf_dir: str, target_texts, k: int,
+                n_buckets: int = 10_000, seed: int = 0,
+                scores_to: str | None = None) -> pa.Table:
+    """DSIR (Xie et al. 2023): select ``k`` corpus docs whose hashed
+    uni+bigram distribution importance-resamples toward a target set.
+
+    1. Bucket-count models: target counts build on the driver (the
+       target is the SMALL side, like decontaminate's eval set); raw
+       corpus counts come from ONE streaming partial pass (each batch
+       emits a (bucket, count) combiner table; a bounded groupby sums —
+       B buckets total, nothing corpus-sized).
+    2. Per-doc log importance weight: sum over the doc's hashed features
+       of log p_target(b) - log q_raw(b) (add-1-smoothed), vectorized
+       per batch via bincount-style segment sums.
+    3. Gumbel top-k: key = logw + Gumbel(splitmix64(doc_id ^ seed)) —
+       sampling WITHOUT replacement from the softmax of weights, yet
+       deterministic and partition-independent; per-batch k-bounded
+       partials reduce to the global k on the driver.
+
+    Returns the k selected rows (doc_id, logw, key) by key desc;
+    ``scores_to`` additionally streams ALL per-doc scores to Parquet.
+
+    Target texts: list of strings or a Parquet path with a ``text``
+    column."""
+    import ray
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if isinstance(target_texts, str):
+        import pyarrow.parquet as pq
+
+        target_texts = pq.read_table(
+            target_texts, columns=["text"])["text"].to_pylist()
+
+    tb, _ = _dsir_buckets(list(target_texts), n_buckets)
+    target_counts = np.bincount(tb, minlength=n_buckets).astype(np.float64)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def raw_partial(batch: pa.Table) -> pa.Table:
+        b, _ = _dsir_buckets(batch["text"].to_pylist(), n_buckets)
+        c = np.bincount(b, minlength=n_buckets)
+        nz = np.nonzero(c)[0]
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(c[nz], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    raw_pd = (ds.map_batches(raw_partial, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    raw_counts = np.zeros(n_buckets, dtype=np.float64)
+    raw_counts[raw_pd["bucket"].to_numpy()] = raw_pd["n"].to_numpy()
+
+    logp = np.log(target_counts + 1.0) - np.log(target_counts.sum()
+                                                + n_buckets)
+    logq = np.log(raw_counts + 1.0) - np.log(raw_counts.sum() + n_buckets)
+    llr_ref = ray.put((logp - logq).astype(np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        llr = ray.get(llr_ref)
+        texts = batch["text"].to_pylist()
+        b, counts = _dsir_buckets(texts, n_buckets)
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # buckets stream is all unigrams then all bigrams; rebuild the
+        # per-doc attribution from token counts
+        lens = np.array([len((t or "").lower().split()) for t in texts],
+                        dtype=np.int64)
+        uni_doc = np.repeat(np.arange(len(texts)), lens)
+        bi_doc = np.repeat(np.arange(len(texts)),
+                           np.maximum(0, lens - 1))
+        doc_of = np.concatenate([uni_doc, bi_doc])
+        logw = np.zeros(len(texts), dtype=np.float64)
+        if len(b):
+            np.add.at(logw, doc_of, llr[b])
+        u = (_mix_hash(docs, seed).astype(np.float64) + 1.0) / (2.0 ** 64
+                                                                + 2.0)
+        key = logw - np.log(-np.log(u))
+        t = pa.table({"doc_id": pa.array(docs, pa.int64()),
+                      "logw": pa.array(logw, pa.float64()),
+                      "key": pa.array(key, pa.float64())})
+        return t
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    if scores_to is not None:
+        from ..pipelines.sink import write_results
+
+        write_results(scored, scores_to)
+        scored = ray.data.read_parquet(scores_to)
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().nlargest(k, "key")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = scored.map_batches(topk_partial,
+                               batch_format="pyarrow").to_pandas()
+    out = parts.nlargest(k, "key").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

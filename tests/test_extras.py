@@ -583,3 +583,85 @@ def test_redact_pii_patterns_and_counts(ray_session, tmp_path):
     assert out.loc[5][["n_email", "n_ipv4", "n_aws_key", "n_secret",
                        "n_private_key"]].sum() == 0
     assert out.loc[6, "redacted_text"] == ""
+
+
+def test_dsir_select_matches_naive(ray_session, tmp_path):
+    """DSIR selection == a single-process replication (shared token-hash
+    kernel, independent loops for counts/weights/Gumbel keys); docs
+    resembling the target outrank the rest."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.mix import (_mix_hash, dsir_select)
+    from lucene_solr_old_ray.stages.textstats import stable_hash64_batch
+
+    rng = np.random.default_rng(5)
+    med = ["patient", "dose", "clinical", "trial", "symptom", "therapy"]
+    web = ["click", "subscribe", "offer", "deal", "shop", "banner"]
+    texts = []
+    for i in range(60):
+        vocab = med if i % 3 == 0 else web
+        texts.append(" ".join(rng.choice(vocab, size=20)))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(sf / "documents.parquet"))
+    target = [" ".join(rng.choice(med, size=30)) for _ in range(5)]
+
+    B, K, SEED = 512, 10, 3
+    out = dsir_select(str(sf), target, k=K, n_buckets=B,
+                      seed=SEED).to_pandas()
+
+    # naive replication
+    def feats(t):
+        toks = t.lower().split()
+        # exact Python ints: np.uint64 % python-int silently promotes to
+        # float64 and loses low bits
+        hs = [int(h) for h in stable_hash64_batch(toks)]
+        buckets = [h % B for h in hs]
+        G = 0x9E3779B97F4A7C15
+        M = (1 << 64) - 1
+        for a, b in zip(hs[:-1], hs[1:]):
+            buckets.append((((a * G) & M) ^ b) % B)
+        return buckets
+
+    tc = np.zeros(B)
+    for t in target:
+        for b in feats(t):
+            tc[b] += 1
+    rc = np.zeros(B)
+    for t in texts:
+        for b in feats(t):
+            rc[b] += 1
+    llr = (np.log(tc + 1) - np.log(tc.sum() + B)) - (
+        np.log(rc + 1) - np.log(rc.sum() + B))
+    keys = {}
+    logws = {}
+    for d, t in enumerate(texts):
+        lw = float(sum(llr[b] for b in feats(t)))
+        u = (float(_mix_hash(np.array([d]), SEED)[0]) + 1.0) / (
+            2.0 ** 64 + 2.0)
+        logws[d] = lw
+        keys[d] = lw - np.log(-np.log(u))
+    ref = sorted(keys, key=lambda d: -keys[d])[:K]
+    assert out["doc_id"].tolist() == ref
+    np.testing.assert_allclose(
+        out["logw"].to_numpy(),
+        np.array([logws[d] for d in ref]), rtol=1e-9)
+    # the selection leans heavily toward target-domain docs
+    assert sum(1 for d in ref if d % 3 == 0) >= 8
+
+    # scores sink covers every doc
+    scores_dir = tmp_path / "scores"
+    out2 = dsir_select(str(sf), target, k=K, n_buckets=B, seed=SEED,
+                       scores_to=str(scores_dir)).to_pandas()
+    assert out2["doc_id"].tolist() == ref
+    import pandas as pd
+    scored = pd.concat(
+        [pq.read_table(str(p)).to_pandas()
+         for p in sorted(scores_dir.rglob("*.parquet"))],
+        ignore_index=True)
+    assert len(scored) == len(texts)
