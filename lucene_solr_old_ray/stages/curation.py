@@ -275,3 +275,134 @@ def redact_pii(sf_dir: str, write_to: str | None = None) -> pa.Table:
                          "out_dir": pa.array([write_to], pa.string())})
     out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def perplexity_buckets(sf_dir: str, model_texts=None, top_n: int = 50_000,
+                       alpha: float = 0.4,
+                       head: float = 1 / 3, middle: float = 2 / 3,
+                       write_to: str | None = None) -> pa.Table:
+    """CCNet-style perplexity quality scoring (Wenzek et al. 2020):
+    score each doc's per-token log-perplexity under a bigram LM with
+    stupid backoff (alpha=0.4, Brants et al. 2007) and bucket the corpus
+    into head / middle / tail by the ``head``/``middle`` perplexity
+    quantiles — CCNet's Wikipedia-KenLM replaced by an in-corpus (or
+    caller-supplied ``model_texts``) n-gram model, so no external model
+    files are needed.
+
+    Distribution shape: unigram/bigram counts come from ONE streaming
+    combiner pass capped to the ``top_n`` most frequent bigrams (the
+    model is the broadcast side — bounded regardless of corpus size;
+    unigrams of the synthetic/code vocabulary are naturally bounded,
+    documented assumption); scoring is a second streaming pass with the
+    model read from the object store.  Unseen words score against an
+    OOV floor of 1/(tokens+V).
+
+    -> (doc_id, n_tokens, log_ppl, bucket) with bucket in
+    {head, middle, tail}; empty docs bucket as tail with NaN log_ppl.
+    The bucket cutoffs are GLOBAL quantiles of the score distribution
+    (computed on the driver here; the 100-TB shape swaps in a sampled
+    quantile over ``ds.random_sample`` — the scoring pass itself
+    streams either way)."""
+    import ray
+
+    from collections import Counter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def gram_partial(batch_texts) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch_texts:
+            toks = (t or "").lower().split()
+            uni.update(toks)
+            bi.update(zip(toks[:-1], toks[1:]))
+        rows = ([("u", w, "", c) for w, c in uni.items()]
+                + [("b", a, b, c) for (a, b), c in bi.items()])
+        return pa.table({
+            "kind": pa.array([r[0] for r in rows], pa.string()),
+            "w1": pa.array([r[1] for r in rows], pa.string()),
+            "w2": pa.array([r[2] for r in rows], pa.string()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    if model_texts is not None:
+        counts = gram_partial(list(model_texts)).to_pandas()
+        counts = counts.groupby(["kind", "w1", "w2"],
+                                as_index=False)["n"].sum()
+    else:
+        counts = (
+            ds.map_batches(
+                lambda b: gram_partial(b["text"].to_pylist()),
+                batch_format="pyarrow")
+            .groupby(["kind", "w1", "w2"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+    uni_pd = counts[counts["kind"] == "u"]
+    bi_pd = counts[counts["kind"] == "b"].nlargest(top_n, "n")
+    total = int(uni_pd["n"].sum())
+    V = len(uni_pd)
+    model = {
+        "uni": dict(zip(uni_pd["w1"], uni_pd["n"].astype(int))),
+        "bi": {(a, b): int(n) for a, b, n in
+               zip(bi_pd["w1"], bi_pd["w2"], bi_pd["n"])},
+        "total": total, "V": max(1, V),
+    }
+    m_ref = ray.put(model)
+    import math
+
+    def doc_logppl(toks, m) -> float:
+        uni, bi = m["uni"], m["bi"]
+        total, V = m["total"], m["V"]
+        floor = 1.0 / (total + V)
+        lp = 0.0
+        for i, w in enumerate(toks):
+            cu = uni.get(w, 0)
+            if i > 0:
+                cb = bi.get((toks[i - 1], w))
+                cprev = uni.get(toks[i - 1], 0)
+                if cb:
+                    lp += math.log(cb / cprev)
+                    continue
+                p = alpha * (cu / total) if cu else alpha * floor
+                lp += math.log(p)
+            else:
+                lp += math.log(cu / total) if cu else math.log(floor)
+        return -lp / len(toks)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(m_ref)
+        rows = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            toks = (t or "").lower().split()
+            rows.append({
+                "doc_id": int(d), "n_tokens": len(toks),
+                "log_ppl": doc_logppl(toks, m) if toks else float("nan"),
+            })
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    scored = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    finite = scored["log_ppl"].dropna()
+    q1 = finite.quantile(head) if len(finite) else float("inf")
+    q2 = finite.quantile(middle) if len(finite) else float("inf")
+
+    def bucket(v) -> str:
+        if pd.isna(v) or v > q2:
+            return "tail"
+        return "head" if v <= q1 else "middle"
+
+    scored["bucket"] = scored["log_ppl"].map(bucket)
+    scored = scored.sort_values("doc_id").reset_index(drop=True)
+    out_t = pa.Table.from_pandas(scored, preserve_index=False)
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(ray.data.from_arrow(out_t), write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    return out_t

@@ -665,3 +665,44 @@ def test_dsir_select_matches_naive(ray_session, tmp_path):
          for p in sorted(scores_dir.rglob("*.parquet"))],
         ignore_index=True)
     assert len(scored) == len(texts)
+
+
+def test_perplexity_buckets_exact_and_ordering(ray_session, tmp_path):
+    """Stupid-backoff bigram log-perplexity matches hand-computed values
+    under an explicit tiny model; in-corpus buckets rank fluent
+    (repeated-pattern) docs ahead of gibberish."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.curation import perplexity_buckets
+
+    docs = ["a b", "b b", "z z"]
+    sf = _write_docs(tmp_path, docs)
+    model = ["a b a b a b"]  # uni: a:3 b:3 (total 6, V 2); bi: ab:3 ba:2
+    out = perplexity_buckets(sf, model_texts=model).to_pandas()
+    floor = 1 / (6 + 2)
+    exp = [
+        -(math.log(3 / 6) + math.log(3 / 3)) / 2,          # seen bigram
+        -(math.log(3 / 6) + math.log(0.4 * 3 / 6)) / 2,    # backoff to uni
+        -(math.log(floor) + math.log(0.4 * floor)) / 2,    # OOV floor
+    ]
+    for i, e in enumerate(exp):
+        assert abs(out.loc[i, "log_ppl"] - e) < 1e-12, i
+    # buckets ordered by score: head <= middle <= tail
+    assert out["bucket"].tolist() == ["head", "middle", "tail"]
+
+    # in-corpus model: fluent repetitive docs score head, gibberish tail
+    fluent = "the quick brown fox jumps over the lazy dog again today"
+    corpus = [fluent] * 8 + [
+        "zq xv jk wq pl mn bt cd fg hr",   # unseen-pattern gibberish
+    ] + [fluent.replace("quick", "slow")] * 3
+    sf2 = _write_docs(tmp_path, corpus, name="sf2")
+    out2 = perplexity_buckets(sf2).to_pandas()
+    assert out2.loc[8, "bucket"] == "tail"      # the gibberish doc
+    assert (out2.loc[[0, 1, 2], "bucket"] == "head").all()
+    # empty docs -> NaN + tail
+    sf3 = _write_docs(tmp_path, ["", "a b a b"], name="sf3")
+    out3 = perplexity_buckets(sf3).to_pandas()
+    assert out3.loc[0, "bucket"] == "tail"
