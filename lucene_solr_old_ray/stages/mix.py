@@ -214,3 +214,79 @@ def dsir_select(sf_dir: str, target_texts, k: int,
                                batch_format="pyarrow").to_pandas()
     out = parts.nlargest(k, "key").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pack_plan(sf_dir: str, seq_len: int, eod_tokens: int = 1,
+              bucket_docs: int = 4096,
+              write_to: str | None = None) -> pa.Table:
+    """Concat-and-chunk sequence-packing PLAN — the standard pretraining
+    batch assembly: documents concatenate in doc_id order (each followed
+    by ``eod_tokens`` separator tokens) and the stream chunks into
+    fixed ``seq_len``-token training sequences.  This computes, per doc,
+    its global token interval and the sequence ids it lands in — the
+    metadata a packing data loader needs; whitespace tokens stand in for
+    the tokenizer (swap :func:`stages.textstats.token_counts`'s BPE lane
+    in for real runs).
+
+    Scale shape: token costs (NOT text) shuffle once keyed on
+    ``doc_id // bucket_docs``; per-bucket totals reduce to the driver
+    (tiny), prefix sums broadcast back, and each bucket group computes
+    its exact intra-bucket cumsum — so the driver holds one row per
+    bucket, never per doc.
+
+    -> per-doc (doc_id, n_tokens, token_start, token_end, seq_first,
+    seq_last); ``token_end`` excludes the doc's own EOD pad."""
+    import ray
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def costs(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.fromiter((len((t or "").split())
+                         for t in batch["text"].to_pylist()),
+                        count=len(d), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "bucket": pa.array(d // bucket_docs, pa.int64()),
+                         "cost": pa.array(n + eod_tokens, pa.int64())})
+
+    cost_ds = ds.map_batches(costs, batch_format="pyarrow")
+    bucket_pd = (cost_ds.groupby("bucket")
+                 .aggregate(Sum("cost", alias_name="total"))
+                 .to_pandas().sort_values("bucket"))
+    bases = np.concatenate([[0], np.cumsum(
+        bucket_pd["total"].to_numpy())[:-1]])
+    base_ref = ray.put(dict(zip(bucket_pd["bucket"].astype(int),
+                                bases.astype(int))))
+
+    def place(group: pd.DataFrame) -> pd.DataFrame:
+        bases_l = ray.get(base_ref)
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        start = bases_l[int(g.loc[0, "bucket"])] + np.concatenate(
+            [[0], np.cumsum(g["cost"].to_numpy())[:-1]])
+        end = start + g["n_tokens"].to_numpy()
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"], "n_tokens": g["n_tokens"],
+            "token_start": start, "token_end": end,
+            "seq_first": start // seq_len,
+            # empty docs occupy no tokens: their sequence is where the
+            # cursor stands (seq_last == seq_first)
+            "seq_last": np.maximum(start, end - 1) // seq_len,
+        })
+        return out
+
+    res = (cost_ds.groupby("bucket")
+           .map_groups(place, batch_format="pandas"))
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -706,3 +706,44 @@ def test_perplexity_buckets_exact_and_ordering(ray_session, tmp_path):
     sf3 = _write_docs(tmp_path, ["", "a b a b"], name="sf3")
     out3 = perplexity_buckets(sf3).to_pandas()
     assert out3.loc[0, "bucket"] == "tail"
+
+
+def test_pack_plan_matches_naive_cumsum(ray_session, tmp_path):
+    """Packing plan == the naive global concat-and-chunk cumsum across
+    bucket boundaries, including empty docs and multi-sequence spans."""
+    import numpy as np
+    import pytest
+
+    from lucene_solr_old_ray.stages.mix import pack_plan
+
+    rng = np.random.default_rng(9)
+    texts = []
+    for i in range(37):
+        n = int(rng.integers(0, 40))
+        texts.append(" ".join(f"t{j}" for j in range(n)))
+    texts[5] = ""        # empty doc mid-stream
+    sf = _write_docs(tmp_path, texts)
+
+    SEQ, EOD, BUCKET = 16, 1, 4   # small bucket forces many boundaries
+    out = pack_plan(sf, seq_len=SEQ, eod_tokens=EOD,
+                    bucket_docs=BUCKET).to_pandas()
+
+    cursor = 0
+    for d, t in enumerate(texts):
+        n = len(t.split())
+        row = out.loc[d]
+        assert row["n_tokens"] == n
+        assert row["token_start"] == cursor
+        assert row["token_end"] == cursor + n
+        assert row["seq_first"] == cursor // SEQ
+        last = max(cursor, cursor + n - 1)
+        assert row["seq_last"] == last // SEQ
+        cursor += n + EOD
+
+    # contiguity: next doc starts exactly EOD tokens after this one ends
+    ends = out["token_end"].to_numpy()
+    starts = out["token_start"].to_numpy()
+    assert (starts[1:] == ends[:-1] + EOD).all()
+
+    with pytest.raises(ValueError):
+        pack_plan(sf, seq_len=0)
