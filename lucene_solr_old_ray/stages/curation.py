@@ -406,3 +406,44 @@ def perplexity_buckets(sf_dir: str, model_texts=None, top_n: int = 50_000,
         return pa.table({"rows_written": pa.array([n], pa.int64()),
                          "out_dir": pa.array([write_to], pa.string())})
     return out_t
+
+
+def extract_html_text(sf_dir: str, write_to: str | None = None) -> pa.Table:
+    """HTML -> text extraction pass (the trafilatura-stage stand-in of a
+    web-corpus pipeline) reusing the engine's offset-exact
+    HTMLStripCharFilter: tags and entities strip, block tags break
+    lines, script/style/comments vanish; blank-line runs collapse to one
+    paragraph break and the result trims (doc-level extraction does not
+    need the char filter's offset fidelity).  One streaming pass ->
+    (doc_id, extracted_text, n_chars_in, n_chars_out)."""
+    import re
+
+    from ..functions.charfilter import html_strip
+
+    collapse = re.compile(r"\n{2,}")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            t = t or ""
+            stripped, _, _ = html_strip(t)
+            stripped = collapse.sub("\n\n", stripped).strip("\n")
+            rows.append({"doc_id": int(d), "extracted_text": stripped,
+                         "n_chars_in": len(t),
+                         "n_chars_out": len(stripped)})
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    res = ds.map_batches(extract, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

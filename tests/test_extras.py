@@ -747,3 +747,29 @@ def test_pack_plan_matches_naive_cumsum(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         pack_plan(sf, seq_len=0)
+
+
+def test_extract_html_text(ray_session, tmp_path):
+    """HTML extraction pass reuses the offset-exact HTMLStrip filter:
+    tags/entities/script vanish, block tags break lines."""
+    from lucene_solr_old_ray.stages.curation import extract_html_text
+
+    texts = [
+        "<html><body><p>Hello &amp; welcome.</p>"
+        "<script>var x = 1;</script><p>Second para.</p></body></html>",
+        "plain text stays as is",
+        "",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = extract_html_text(sf).to_pandas()
+    t0 = out.loc[0, "extracted_text"]
+    assert "Hello & welcome." in t0
+    assert "Second para." in t0
+    assert "<" not in t0 and "var x" not in t0
+    # block-level <p> produced a line break between the paragraphs, and
+    # blank-run collapse trimmed the leading tag newlines
+    assert t0.startswith("Hello")
+    assert t0.index("welcome.") < t0.index("\n") < t0.index("Second")
+    assert out.loc[1, "extracted_text"] == texts[1]
+    assert out.loc[2, "extracted_text"] == ""
+    assert (out["n_chars_out"] <= out["n_chars_in"]).all()
