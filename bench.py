@@ -187,6 +187,19 @@ def _measure_once() -> tuple[dict, int, int, float, float]:
     brute_topk(SF_DIR, k=10)
     q["ann_brute"] = round(time.perf_counter() - t0, 3)
 
+    # r5 curation additions: substring dedup + the policy passes
+    from lucene_solr_old_ray.stages.curation import (c4_clean,
+                                                     gopher_quality_filter)
+    from lucene_solr_old_ray.stages.dedup import substring_dedup
+
+    t0 = time.perf_counter()
+    substring_dedup(SF_DIR, window=20)
+    q["substring_dedup"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    gopher_quality_filter(SF_DIR)
+    c4_clean(SF_DIR)
+    q["curation_policies"] = round(time.perf_counter() - t0, 3)
+
     shutil.rmtree(idx, ignore_errors=True)
     return q, n_docs, n_postings, serve_p50_ms, serve_p95_ms
 
