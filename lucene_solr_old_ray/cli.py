@@ -138,7 +138,8 @@ def main(argv: list[str] | None = None) -> int:
                         "(C4 line cleaning / Gopher quality filter)")
     cu.add_argument("--sf-dir", required=True)
     cu.add_argument("--policy", required=True,
-                    choices=["c4", "gopher", "redact"])
+                    choices=["c4", "gopher", "redact", "license",
+                             "extract-html"])
     cu.add_argument("--out", required=True)
 
     mx = sub.add_parser("mix", help="deterministic per-group down-sampling "
@@ -295,11 +296,13 @@ def main(argv: list[str] | None = None) -> int:
                                 write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "curate":
-        from .stages.curation import (c4_clean, gopher_quality_filter,
-                                      redact_pii)
+        from .stages.curation import (c4_clean, detect_license,
+                                      extract_html_text,
+                                      gopher_quality_filter, redact_pii)
 
         fn = {"c4": c4_clean, "gopher": gopher_quality_filter,
-              "redact": redact_pii}[args.policy]
+              "redact": redact_pii, "license": detect_license,
+              "extract-html": extract_html_text}[args.policy]
         t = fn(args.sf_dir, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "mix":

@@ -447,3 +447,93 @@ def extract_html_text(sf_dir: str, write_to: str | None = None) -> pa.Table:
                          "out_dir": pa.array([write_to], pa.string())})
     out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# License detection for code corpora (The Stack-style permissive-license
+# filtering): SPDX identifiers first (authoritative), then distinctive
+# license-text phrases.  Compiled once per process.
+_LICENSE_PATTERNS = None
+
+
+def _license_patterns():
+    global _LICENSE_PATTERNS
+    if _LICENSE_PATTERNS is None:
+        import re
+
+        spdx = re.compile(
+            r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+(?:\s+(?:OR|AND|WITH)"
+            r"\s+[A-Za-z0-9.+-]+)*)", re.IGNORECASE)
+        phrases = [
+            ("MIT", re.compile(
+                r"permission is hereby granted,\s*free of charge",
+                re.IGNORECASE)),
+            ("Apache-2.0", re.compile(
+                r"licensed under the apache license,?\s*version 2\.0",
+                re.IGNORECASE)),
+            ("GPL-3.0", re.compile(
+                r"gnu general public license(?:[\s,]*(?:as published by"
+                r"[\s\S]{0,80})?version 3|\s*v3)", re.IGNORECASE)),
+            ("GPL-2.0", re.compile(
+                r"gnu general public license(?:[\s,]*(?:as published by"
+                r"[\s\S]{0,80})?version 2|\s*v2)", re.IGNORECASE)),
+            ("BSD-3-Clause", re.compile(
+                r"redistribution and use in source and binary forms"
+                r"[\s\S]{0,400}neither the name", re.IGNORECASE)),
+            ("BSD-2-Clause", re.compile(
+                r"redistribution and use in source and binary forms",
+                re.IGNORECASE)),
+            ("MPL-2.0", re.compile(
+                r"mozilla public license,?\s*v(?:ersion)?\.?\s*2\.0",
+                re.IGNORECASE)),
+            ("Unlicense", re.compile(
+                r"this is free and unencumbered software released into"
+                r" the public domain", re.IGNORECASE)),
+        ]
+        _LICENSE_PATTERNS = (spdx, phrases)
+    return _LICENSE_PATTERNS
+
+
+def detect_license(sf_dir: str, scan_chars: int = 4000,
+                   write_to: str | None = None) -> pa.Table:
+    """Heuristic per-file license detection for a source-code corpus —
+    the license-filter stage of The Stack lineage.  An explicit
+    ``SPDX-License-Identifier:`` tag wins (evidence="spdx", the
+    expression reported verbatim); otherwise the first matching
+    distinctive license phrase in the file head (``scan_chars``) decides
+    (evidence="phrase"; BSD-3 is probed before BSD-2, its proper
+    prefix); no match -> license="unknown".  One streaming pass ->
+    (doc_id, license, evidence)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def detect(batch: pa.Table) -> pa.Table:
+        spdx, phrases = _license_patterns()
+        rows = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            head = (t or "")[:scan_chars]
+            m = spdx.search(head)
+            if m:
+                rows.append({"doc_id": int(d),
+                             "license": m.group(1).strip(),
+                             "evidence": "spdx"})
+                continue
+            lic, ev = "unknown", "none"
+            for name, pat in phrases:
+                if pat.search(head):
+                    lic, ev = name, "phrase"
+                    break
+            rows.append({"doc_id": int(d), "license": lic,
+                         "evidence": ev})
+        return pa.Table.from_pandas(pd.DataFrame(rows),
+                                    preserve_index=False)
+
+    res = ds.map_batches(detect, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

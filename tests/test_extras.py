@@ -773,3 +773,34 @@ def test_extract_html_text(ray_session, tmp_path):
     assert out.loc[1, "extracted_text"] == texts[1]
     assert out.loc[2, "extracted_text"] == ""
     assert (out["n_chars_out"] <= out["n_chars_in"]).all()
+
+
+def test_detect_license(ray_session, tmp_path):
+    """SPDX tags win verbatim; distinctive phrases classify (BSD-3 probed
+    before its BSD-2 prefix); no evidence -> unknown."""
+    from lucene_solr_old_ray.stages.curation import detect_license
+
+    bsd3 = ("Redistribution and use in source and binary forms, with or "
+            "without modification, are permitted provided that ... "
+            "Neither the name of the project nor the names of its "
+            "contributors may be used")
+    texts = [
+        "# SPDX-License-Identifier: MIT\ndef f(): pass",
+        "// SPDX-License-Identifier: Apache-2.0 OR GPL-2.0\ncode();",
+        "/* Permission is hereby granted, free of charge, to any person "
+        "obtaining a copy of this software */",
+        "Licensed under the Apache License, Version 2.0 (the License);",
+        bsd3,
+        "Redistribution and use in source and binary forms only.",
+        "This is free and unencumbered software released into the public "
+        "domain.",
+        "plain code with no license marker at all",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = detect_license(sf).to_pandas()
+    assert out["license"].tolist() == [
+        "MIT", "Apache-2.0 OR GPL-2.0", "MIT", "Apache-2.0",
+        "BSD-3-Clause", "BSD-2-Clause", "Unlicense", "unknown"]
+    assert out["evidence"].tolist() == [
+        "spdx", "spdx", "phrase", "phrase", "phrase", "phrase",
+        "phrase", "none"]
