@@ -134,6 +134,44 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--min-chars", type=int, default=20,
                     help="paragraph: min block size eligible for dedup")
 
+    se = sub.add_parser("select", help="DSIR importance resampling toward "
+                        "a target-domain text set")
+    se.add_argument("--sf-dir", required=True)
+    se.add_argument("--target", required=True,
+                    help="parquet with a 'text' column (target domain)")
+    se.add_argument("-k", type=int, required=True)
+    se.add_argument("--buckets", type=int, default=10_000)
+    se.add_argument("--seed", type=int, default=0)
+    se.add_argument("--scores-out", default=None,
+                    help="optionally stream ALL per-doc scores here")
+
+    sd = sub.add_parser("semdedup", help="embedding-cluster semantic dedup")
+    sd.add_argument("--sf-dir", required=True)
+    sd.add_argument("--clusters", type=int, default=16)
+    sd.add_argument("--eps", type=float, default=0.95)
+    sd.add_argument("--seed", type=int, default=42)
+    sd.add_argument("--out", required=True)
+
+    wn = sub.add_parser("winnow", help="MOSS-style shared-fingerprint "
+                        "candidate pairs")
+    wn.add_argument("--sf-dir", required=True)
+    wn.add_argument("-k", type=int, default=5, help="k-gram length")
+    wn.add_argument("-w", type=int, default=4, help="window size")
+    wn.add_argument("--min-shared", type=int, default=2)
+
+    pp = sub.add_parser("perplexity", help="CCNet-style head/middle/tail "
+                        "perplexity buckets")
+    pp.add_argument("--sf-dir", required=True)
+    pp.add_argument("--top-n", type=int, default=50_000)
+    pp.add_argument("--out", required=True)
+
+    pk = sub.add_parser("pack", help="concat-and-chunk sequence-packing "
+                        "plan")
+    pk.add_argument("--sf-dir", required=True)
+    pk.add_argument("--seq-len", type=int, required=True)
+    pk.add_argument("--eod-tokens", type=int, default=1)
+    pk.add_argument("--out", required=True)
+
     cu = sub.add_parser("curate", help="document curation policy pass "
                         "(C4 line cleaning / Gopher quality filter)")
     cu.add_argument("--sf-dir", required=True)
@@ -294,6 +332,38 @@ def main(argv: list[str] | None = None) -> int:
         else:
             t = substring_dedup(args.sf_dir, window=args.window,
                                 write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
+    elif args.cmd == "select":
+        from .stages.mix import dsir_select
+
+        t = dsir_select(args.sf_dir, args.target, k=args.k,
+                        n_buckets=args.buckets, seed=args.seed,
+                        scores_to=args.scores_out)
+        for row in t.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "semdedup":
+        from .stages.dedup import semdedup
+
+        t = semdedup(args.sf_dir, n_clusters=args.clusters, eps=args.eps,
+                     seed=args.seed, write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
+    elif args.cmd == "winnow":
+        from .stages.dedup import winnow_matches
+
+        t = winnow_matches(args.sf_dir, k=args.k, w=args.w,
+                           min_shared=args.min_shared)
+        print(json.dumps({"pairs": t.num_rows}))
+    elif args.cmd == "perplexity":
+        from .stages.curation import perplexity_buckets
+
+        t = perplexity_buckets(args.sf_dir, top_n=args.top_n,
+                               write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
+    elif args.cmd == "pack":
+        from .stages.mix import pack_plan
+
+        t = pack_plan(args.sf_dir, seq_len=args.seq_len,
+                      eod_tokens=args.eod_tokens, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "curate":
         from .stages.curation import (c4_clean, detect_license,

@@ -1498,7 +1498,7 @@ def decontaminate(sf_dir: str, eval_texts, window: int = 13,
 
 
 def semdedup(sf_dir: str, n_clusters: int = 16, eps: float = 0.95,
-             seed: int = 42) -> pa.Table:
+             seed: int = 42, write_to: str | None = None) -> pa.Table:
     """SemDeDup (Abbas et al. 2023) — semantic dedup over the embedding
     table: k-means-cluster the embeddings, then within each cluster
     greedily keep only examples whose cosine similarity to every
@@ -1551,14 +1551,16 @@ def semdedup(sf_dir: str, n_clusters: int = 16, eps: float = 0.95,
         out["keep"] = keep
         return out
 
-    out = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster")
-        .map_groups(cluster_pass, batch_format="pandas")
-        .to_pandas()
-        .sort_values("vec_id")
-        .reset_index(drop=True)
-    )
+    res = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("cluster")
+           .map_groups(cluster_pass, batch_format="pandas"))
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("vec_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

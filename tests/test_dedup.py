@@ -366,6 +366,17 @@ def test_semdedup_matches_naive_reference(ray_session, tmp_path):
     # determinism
     out2 = semdedup(str(sf), n_clusters=K, eps=EPS, seed=SEED).to_pandas()
     assert out2.equals(out)
+    # sink form matches the table form
+    import pandas as pd
+    out_dir = tmp_path / "out"
+    summary = semdedup(str(sf), n_clusters=K, eps=EPS, seed=SEED,
+                       write_to=str(out_dir)).to_pandas()
+    assert summary.loc[0, "rows_written"] == len(out)
+    written = pd.concat(
+        [pq.read_table(str(p)).to_pandas()
+         for p in sorted(out_dir.rglob("*.parquet"))],
+        ignore_index=True).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(written[out.columns.tolist()], out)
 
 
 def _naive_winnow(text, k, w):
