@@ -1548,3 +1548,133 @@ SELECT CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
         JOIN pay ON pay.doc_id = tf.doc_id
         WHERE tf.term = '{term}')
 ) WHERE rank <= {k} ORDER BY rank"""
+
+
+# --- LLM-curation oracles (round-5 driver rows) ---------------------------
+
+def decontam_flags_sql(window: int = 13, eval_mod: int = 97) -> str:
+    """Oracle for stages/dedup.py::decontaminate(action="flag") with the
+    eval set = documents whose doc_id % eval_mod == 0 (the entry's
+    deterministic in-corpus eval slice).
+
+    Tokens are ``\\S+`` runs (str.split() semantics); a corpus document is
+    contaminated iff ANY of its ``window``-token runs appears in the eval
+    set's run set; ``dirty_windows`` counts every corpus window INSTANCE
+    that hits (duplicates in one doc each count, engine value_counts
+    semantics). The engine compares double-64-bit window hashes; the
+    oracle compares the window STRINGS — identical up to a ~2^-128
+    collision."""
+    w1 = window - 1
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM tk
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{w1}], ' ') AS gr
+  FROM ex WHERE i + {w1} <= len(t)
+),
+ev AS (SELECT DISTINCT gr FROM grams WHERE doc_id % {eval_mod} = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS dirty
+  FROM grams g JOIN ev ON ev.gr = g.gr GROUP BY g.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(COALESCE(h.dirty, 0) > 0 AS BIGINT) AS contaminated,
+       CAST(COALESCE(h.dirty, 0) AS BIGINT) AS dirty_windows
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def _splitmix64_ctes(seed: int, col: str = "doc_id") -> str:
+    """CTE chain computing splitmix64(col XOR seed) as UBIGINT column h —
+    bit-exact vs stages/mix.py::_mix_hash (verified: wrap-around multiplies
+    via UHUGEINT mod 2^64, logical shifts on UBIGINT)."""
+    m = 18446744073709551616  # 2^64
+    return f"""
+sm0 AS (
+  SELECT *, CAST((CAST(xor(CAST({col} AS UBIGINT), CAST({seed} AS UBIGINT))
+       AS UHUGEINT) + CAST(11400714819323198485 AS UHUGEINT))
+       % CAST({m} AS UHUGEINT) AS UBIGINT) AS z1
+  FROM documents
+),
+sm1 AS (
+  SELECT *, CAST((CAST(xor(z1, z1 >> 30) AS UHUGEINT)
+       * CAST(13787848793156543929 AS UHUGEINT))
+       % CAST({m} AS UHUGEINT) AS UBIGINT) AS z2
+  FROM sm0
+),
+sm2 AS (
+  SELECT *, CAST((CAST(xor(z2, z2 >> 27) AS UHUGEINT)
+       * CAST(10723151780598845931 AS UHUGEINT))
+       % CAST({m} AS UHUGEINT) AS UBIGINT) AS z3
+  FROM sm1
+),
+sm AS (SELECT *, xor(z3, z3 >> 31) AS h FROM sm2)"""
+
+
+def mix_sample_sql(rates: dict[str, float], default_rate: float,
+                   seed: int, group_col: str = "source") -> str:
+    """Oracle for stages/mix.py::sample_mix — keep a doc iff
+    splitmix64(doc_id ^ seed) / 2^64 < rate[group] (strict <, float64
+    division, round-to-nearest uint64->double cast on both sides)."""
+    case = " ".join(
+        f"WHEN '{g}' THEN CAST({r!r} AS DOUBLE)" for g, r in rates.items())
+    return f"""
+WITH {_splitmix64_ctes(seed)}
+SELECT doc_id, {group_col}, text FROM sm
+WHERE CAST(h AS DOUBLE) / 18446744073709551616.0 <
+      (CASE {group_col} {case} ELSE CAST({default_rate!r} AS DOUBLE) END)
+ORDER BY doc_id"""
+
+
+def paragraph_dedup_sql(boiler_a: str, boiler_b: str,
+                        min_chars: int = 20) -> str:
+    """Oracle for stages/dedup.py::paragraph_dedup over the DECORATED
+    corpus (__ray_entry__._paradedup_table): doc_id%3==0 prepends
+    boiler_a + blank line, doc_id%4==1 appends blank line + boiler_b.
+
+    Paragraphs = blank-line-separated blocks; blocks whose stripped text
+    is shorter than min_chars never dedup; otherwise the lowest
+    (doc_id*100000 + 0-based index) occurrence keeps, the rest drop.
+    The engine groups by sha256 of the stripped block; the oracle groups
+    by the stripped block string itself — same partition."""
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    nn = "chr(10) || chr(10)"
+    return f"""
+WITH deco AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN '{boiler_a}' || {nn} ELSE '' END)
+    || text ||
+    (CASE WHEN doc_id % 4 = 1 THEN {nn} || '{boiler_b}' ELSE '' END)
+    AS dtext
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, string_split(dtext, {nn}) AS ps FROM deco
+),
+ex AS (
+  SELECT doc_id, unnest(ps) AS p, generate_subscripts(ps, 1) AS i
+  FROM parts
+),
+ex2 AS (
+  SELECT doc_id, i, p, trim(p, {ws}) AS s FROM ex
+),
+own AS (
+  SELECT s, min(doc_id * 100000 + (i - 1)) AS owner, count(*) AS c
+  FROM ex2 WHERE length(s) >= {min_chars} GROUP BY s
+),
+kept AS (
+  SELECT e.doc_id, e.i, e.p,
+         (length(e.s) < {min_chars} OR o.c = 1
+          OR o.owner = e.doc_id * 100000 + (e.i - 1)) AS keep
+  FROM ex2 e
+  LEFT JOIN own o ON length(e.s) >= {min_chars} AND o.s = e.s
+)
+SELECT doc_id,
+  COALESCE(string_agg(p, {nn} ORDER BY i) FILTER (WHERE keep), '')
+    AS kept_text,
+  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped_paras
+FROM kept GROUP BY doc_id ORDER BY doc_id"""

@@ -1,0 +1,164 @@
+"""Round-5 FINAL driver-slot swaps: the LLM-curation operators get
+oracle-checked driver rows; the DISPLACED query entries keep their exact
+SQL-oracle checks alive here (the driver records only 50 entries — see the
+__ray_entry__ docstring).
+
+Displaced r5-final: classic_top10_or, bm25_shingle_top10,
+common_terms_top10 (their sqlgen generators stay; checked below).
+New r5-final: decontam_flags (GPT-3-style 13-gram train-test overlap),
+mix_sample (splitmix64 hash-Bernoulli mixing, bit-exact SQL twin),
+paragraph_dedup_kept (C4-style corpus-wide repeated-paragraph removal
+over a decorated corpus reconstructed identically in SQL).
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    import duckdb
+
+    c = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        p = os.path.join(SF, f"{t}.parquet")
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+def _assert_match(got, want: pd.DataFrame):
+    got = _canon(got.to_pandas() if hasattr(got, "to_pandas") else got)
+    want = _canon(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        if got[c].dtype == np.float64:
+            assert (got[c].to_numpy().astype(np.float32)
+                    == want[c].to_numpy().astype(np.float32)).all(), c
+        else:
+            assert got[c].tolist() == want[c].tolist(), c
+
+
+# --- displaced entries: oracle checks stay alive ---------------------------
+
+def test_displaced_classic_or_still_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import bool_query
+
+    idx = entry._index_for(SF)
+    res = search(idx, {0: bool_query(shoulds=["vector", "stream", "batch"])},
+                 k=10, similarity="classic")
+    res = entry._docid_to_doc_id(idx, res)
+    got = res.select(["rank", "doc_id", "score"])
+    got = got.set_column(0, "rank", got["rank"].cast(pa.int64()))
+    _assert_match(
+        got,
+        con.execute(g.classic_bool_or_sql(["vector", "stream", "batch"])).df())
+
+
+def test_displaced_common_terms_still_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.queries import CommonTermsQuery
+
+    got = entry._bm25_result(
+        entry._index_for(SF),
+        CommonTermsQuery(("dup", "join", "hash"), max_term_frequency=0.5))
+    _assert_match(
+        got,
+        con.execute(g.common_terms_sql(["dup", "join", "hash"],
+                                       max_term_frequency=0.5)).df())
+
+
+def test_displaced_shingle_still_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.queries import TermQuery
+
+    got = entry._bm25_result(
+        entry._index_for_analyzer(SF, "shingle", "-sh"),
+        TermQuery("spark window"))
+    _assert_match(got, con.execute(g.bm25_shingle_sql("spark window")).df())
+
+
+# --- new entries: sf0.001 oracle parity ------------------------------------
+
+def test_decontam_flags_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+
+    got = entry.queries()["decontam_flags"](SF)
+    want = con.execute(g.decontam_flags_sql(window=13, eval_mod=97)).df()
+    _assert_match(got, want)
+    # the eval slice itself must flag (every eval doc with >= 13 tokens)
+    df = got.to_pandas()
+    ev = df[df.doc_id % 97 == 0]
+    assert (ev.contaminated == 1).any()
+    assert int(df.dirty_windows.sum()) > 0
+
+
+def test_mix_sample_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+
+    got = entry.queries()["mix_sample"](SF)
+    want = con.execute(
+        g.mix_sample_sql(entry._MIX_RATES, 0.8, 12345)).df()
+    _assert_match(got, want)
+    df = got.to_pandas()
+    # rate 0.0 drops everything, rate 1.0 keeps everything
+    assert (df.source != "src3").all()
+    assert (df.source == "src2").sum() == 25
+
+
+def test_paragraph_dedup_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+
+    got = entry.queries()["paragraph_dedup_kept"](SF)
+    want = con.execute(
+        g.paragraph_dedup_sql(entry._PARA_A, entry._PARA_B,
+                              min_chars=20)).df()
+    _assert_match(got, want)
+    df = got.to_pandas().set_index("doc_id")
+    # doc 0 owns boilerplate A (keeps it); every later %3==0 doc drops it
+    assert df.loc[0, "kept_text"].startswith(entry._PARA_A)
+    assert df.loc[3, "dropped_paras"] >= 1
+    assert entry._PARA_A not in df.loc[3, "kept_text"]
+    # doc 1 owns boilerplate B; every later %4==1 doc drops it
+    assert df.loc[1, "kept_text"].endswith(entry._PARA_B)
+    assert entry._PARA_B not in df.loc[5, "kept_text"]
+
+
+def test_mix_hash_sql_twin_bit_exact(con):
+    """splitmix64 SQL chain == stages/mix.py::_mix_hash on raw uint64s."""
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.stages.mix import _mix_hash
+
+    want = _mix_hash(np.arange(500, dtype=np.uint64), 12345)
+    rows = con.execute(
+        "WITH " + g._splitmix64_ctes(12345).lstrip()
+        + " SELECT doc_id, h FROM sm ORDER BY doc_id").fetchall()
+    got = np.array([r[1] for r in rows], dtype=np.uint64)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    assert (got == want[ids]).all()
