@@ -199,6 +199,28 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--action", default="flag", choices=["flag", "filter"])
     dc.add_argument("--out", required=True)
 
+    pl = sub.add_parser("pipeline", help="composed curation chain "
+                        "(one streaming pass; dedup adds a staged "
+                        "checkpoint) -> partitioned Parquet sink")
+    pl.add_argument("--sf-dir", required=True)
+    pl.add_argument("--steps", required=True,
+                    help="ordered comma list from: extract_html,c4,gopher,"
+                         "license,redact,decontam,dedup,mix")
+    pl.add_argument("--rate", action="append", default=[],
+                    metavar="GROUP=R", help="mix step keep rate (repeat)")
+    pl.add_argument("--group-col", default="source")
+    pl.add_argument("--default-rate", type=float, default=1.0)
+    pl.add_argument("--seed", type=int, default=0)
+    pl.add_argument("--eval", dest="eval_path", default=None,
+                    help="decontam step eval parquet ('text' column)")
+    pl.add_argument("--window", type=int, default=13)
+    pl.add_argument("--allow-license", action="append", default=[],
+                    help="license step allowed id (repeat)")
+    pl.add_argument("--stage-dir", default=None,
+                    help="dedup stage-boundary dir (default: sibling "
+                         "of --out)")
+    pl.add_argument("--out", required=True)
+
     qa = sub.add_parser("quality", help="per-doc quality stats / lang-id "
                         "over documents.parquet -> partitioned Parquet sink")
     qa.add_argument("--sf-dir", required=True)
@@ -391,6 +413,33 @@ def main(argv: list[str] | None = None) -> int:
 
         t = decontaminate(args.sf_dir, args.eval_path, window=args.window,
                           action=args.action, write_to=args.out)
+        print(json.dumps(t.to_pylist()[0]))
+    elif args.cmd == "pipeline":
+        from .stages.curation_chain import curation_pipeline
+
+        rates = {}
+        for spec in args.rate:
+            g, _, r = spec.rpartition("=")
+            rates[g] = float(r)
+        steps = []
+        for name in [x.strip() for x in args.steps.split(",") if x.strip()]:
+            if name == "mix":
+                steps.append(("mix", {"rates": rates,
+                                      "group_col": args.group_col,
+                                      "default_rate": args.default_rate,
+                                      "seed": args.seed}))
+            elif name == "decontam":
+                if not args.eval_path:
+                    raise SystemExit("--eval is required for the "
+                                     "decontam step")
+                steps.append(("decontam", {"eval_texts": args.eval_path,
+                                           "window": args.window}))
+            elif name == "license":
+                steps.append(("license", {"allow": args.allow_license}))
+            else:
+                steps.append(name)
+        t = curation_pipeline(args.sf_dir, steps, write_to=args.out,
+                              stage_dir=args.stage_dir)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "quality":
         from .stages.textstats import lang_id, quality_stats, token_counts

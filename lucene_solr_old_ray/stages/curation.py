@@ -18,6 +18,41 @@ _TERMINAL = (".", "!", "?", '"', "”")  # C4 terminal punctuation set
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _c4_clean_batch(batch: pa.Table, min_words_per_line: int,
+                    min_sentences: int) -> pa.Table:
+    """One-row-per-input-row C4 line cleaning (shared by the standalone
+    pass and the composed curation_pipeline step)."""
+    rows = []
+    for d, t in zip(batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist()):
+        t = t or ""
+        kept_lines = []
+        dropped = 0
+        for ln in t.split("\n"):
+            s = ln.strip()
+            if not s:
+                continue
+            ok = (s.endswith(_TERMINAL)
+                  and len(s.split()) >= min_words_per_line
+                  and "javascript" not in s.lower())
+            if ok:
+                kept_lines.append(s)
+            else:
+                dropped += 1
+        text = "\n".join(kept_lines)
+        low = text.lower()
+        n_sent = sum(text.count(p) for p in (".", "!", "?"))
+        doc_kept = (n_sent >= min_sentences
+                    and "lorem ipsum" not in low
+                    and "{" not in text)
+        rows.append({"doc_id": int(d), "kept_text": text,
+                     "n_lines_kept": len(kept_lines),
+                     "n_lines_dropped": dropped,
+                     "doc_kept": doc_kept})
+    return pa.Table.from_pandas(pd.DataFrame(rows),
+                                preserve_index=False)
+
+
 def c4_clean(sf_dir: str, min_words_per_line: int = 3,
              min_sentences: int = 5,
              write_to: str | None = None) -> pa.Table:
@@ -33,39 +68,9 @@ def c4_clean(sf_dir: str, min_words_per_line: int = 3,
     -> (doc_id, kept_text, n_lines_kept, n_lines_dropped, doc_kept)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-
-    def clean(batch: pa.Table) -> pa.Table:
-        rows = []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            t = t or ""
-            kept_lines = []
-            dropped = 0
-            for ln in t.split("\n"):
-                s = ln.strip()
-                if not s:
-                    continue
-                ok = (s.endswith(_TERMINAL)
-                      and len(s.split()) >= min_words_per_line
-                      and "javascript" not in s.lower())
-                if ok:
-                    kept_lines.append(s)
-                else:
-                    dropped += 1
-            text = "\n".join(kept_lines)
-            low = text.lower()
-            n_sent = sum(text.count(p) for p in (".", "!", "?"))
-            doc_kept = (n_sent >= min_sentences
-                        and "lorem ipsum" not in low
-                        and "{" not in text)
-            rows.append({"doc_id": int(d), "kept_text": text,
-                         "n_lines_kept": len(kept_lines),
-                         "n_lines_dropped": dropped,
-                         "doc_kept": doc_kept})
-        return pa.Table.from_pandas(pd.DataFrame(rows),
-                                    preserve_index=False)
-
-    res = ds.map_batches(clean, batch_format="pyarrow")
+    res = ds.map_batches(
+        lambda b: _c4_clean_batch(b, min_words_per_line, min_sentences),
+        batch_format="pyarrow")
     if write_to is not None:
         from ..pipelines.sink import write_results
 
@@ -92,6 +97,83 @@ GOPHER_DEFAULTS = {
 }
 
 
+def _gopher_judge_batch(batch: pa.Table, th: dict) -> pa.Table:
+    """One-row-per-input-row Gopher rule evaluation (shared by the
+    standalone pass and the composed curation_pipeline step)."""
+    from collections import Counter
+
+    rows = []
+    for d, t in zip(batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist()):
+        t = t or ""
+        words = t.split()
+        nw = len(words)
+        failed = []
+        if not (th["min_words"] <= nw <= th["max_words"]):
+            failed.append("word_count")
+        mean_len = (sum(len(w) for w in words) / nw) if nw else 0.0
+        if not (th["min_mean_word_len"] <= mean_len
+                <= th["max_mean_word_len"]):
+            failed.append("mean_word_len")
+        n_sym = t.count("#") + t.count("...")
+        if nw and n_sym / nw > th["max_symbol_word_ratio"]:
+            failed.append("symbol_ratio")
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        if lines:
+            ell = sum(1 for ln in lines if ln.endswith("..."))
+            if ell / len(lines) > th["max_ellipsis_line_frac"]:
+                failed.append("ellipsis_lines")
+            bul = sum(1 for ln in lines
+                      if ln.startswith(("-", "*", "•")))
+            if bul / len(lines) > th["max_bullet_line_frac"]:
+                failed.append("bullet_lines")
+        if nw:
+            alpha = sum(1 for w in words
+                        if any(c.isalpha() for c in w))
+            if alpha / nw < th["min_alpha_word_frac"]:
+                failed.append("alpha_words")
+        lowset = {w.lower().strip(".,;:!?") for w in words}
+        if sum(1 for s in _GOPHER_STOPS if s in lowset) \
+                < th["min_stop_words"]:
+            failed.append("stop_words")
+        # repetition signals (repetition_stats formulas)
+        seen: set = set()
+        dup_lines = dup_chars = 0
+        for ln in lines:
+            if ln in seen:
+                dup_lines += 1
+                dup_chars += len(ln)
+            else:
+                seen.add(ln)
+        tot_chars = sum(len(ln) for ln in lines)
+        if lines and dup_lines / len(lines) > th["max_dup_line_frac"]:
+            failed.append("dup_lines")
+        if tot_chars and dup_chars / tot_chars \
+                > th["max_dup_line_char_frac"]:
+            failed.append("dup_line_chars")
+        wchars = sum(len(w) for w in words)
+        if nw >= 2 and wchars:
+            grams = Counter(tuple(words[i:i + 2])
+                            for i in range(nw - 1))
+            g, c = grams.most_common(1)[0]
+            if c > 1 and c * sum(len(w) for w in g) / wchars \
+                    > th["max_top2gram_char_frac"]:
+                failed.append("top2gram")
+        if nw >= 5 and wchars:
+            grams = Counter(tuple(words[i:i + 5])
+                            for i in range(nw - 4))
+            covered = sum(cnt * sum(len(w) for w in g)
+                          for g, cnt in grams.items() if cnt > 1)
+            if min(1.0, covered / wchars) \
+                    > th["max_dup5gram_char_frac"]:
+                failed.append("dup5gram")
+        rows.append({"doc_id": int(d), "keep": not failed,
+                     "failed_rules": ",".join(failed)})
+    return pa.Table.from_pandas(pd.DataFrame(rows),
+                                preserve_index=False)
+
+
+
 def gopher_quality_filter(sf_dir: str, thresholds: dict | None = None,
                           write_to: str | None = None) -> pa.Table:
     """The Gopher quality-filter policy (Rae et al. 2021 A1.1) — each doc
@@ -105,8 +187,6 @@ def gopher_quality_filter(sf_dir: str, thresholds: dict | None = None,
     -> (doc_id, keep, failed_rules) with ``failed_rules`` a comma-joined
     rule-name string (empty when kept); thresholds overridable via the
     ``thresholds`` dict (keys of ``GOPHER_DEFAULTS``)."""
-    from collections import Counter
-
     th = dict(GOPHER_DEFAULTS)
     if thresholds:
         unknown = set(thresholds) - set(th)
@@ -117,78 +197,8 @@ def gopher_quality_filter(sf_dir: str, thresholds: dict | None = None,
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
-    def judge(batch: pa.Table) -> pa.Table:
-        rows = []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            t = t or ""
-            words = t.split()
-            nw = len(words)
-            failed = []
-            if not (th["min_words"] <= nw <= th["max_words"]):
-                failed.append("word_count")
-            mean_len = (sum(len(w) for w in words) / nw) if nw else 0.0
-            if not (th["min_mean_word_len"] <= mean_len
-                    <= th["max_mean_word_len"]):
-                failed.append("mean_word_len")
-            n_sym = t.count("#") + t.count("...")
-            if nw and n_sym / nw > th["max_symbol_word_ratio"]:
-                failed.append("symbol_ratio")
-            lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
-            if lines:
-                ell = sum(1 for ln in lines if ln.endswith("..."))
-                if ell / len(lines) > th["max_ellipsis_line_frac"]:
-                    failed.append("ellipsis_lines")
-                bul = sum(1 for ln in lines
-                          if ln.startswith(("-", "*", "•")))
-                if bul / len(lines) > th["max_bullet_line_frac"]:
-                    failed.append("bullet_lines")
-            if nw:
-                alpha = sum(1 for w in words
-                            if any(c.isalpha() for c in w))
-                if alpha / nw < th["min_alpha_word_frac"]:
-                    failed.append("alpha_words")
-            lowset = {w.lower().strip(".,;:!?") for w in words}
-            if sum(1 for s in _GOPHER_STOPS if s in lowset) \
-                    < th["min_stop_words"]:
-                failed.append("stop_words")
-            # repetition signals (repetition_stats formulas)
-            seen: set = set()
-            dup_lines = dup_chars = 0
-            for ln in lines:
-                if ln in seen:
-                    dup_lines += 1
-                    dup_chars += len(ln)
-                else:
-                    seen.add(ln)
-            tot_chars = sum(len(ln) for ln in lines)
-            if lines and dup_lines / len(lines) > th["max_dup_line_frac"]:
-                failed.append("dup_lines")
-            if tot_chars and dup_chars / tot_chars \
-                    > th["max_dup_line_char_frac"]:
-                failed.append("dup_line_chars")
-            wchars = sum(len(w) for w in words)
-            if nw >= 2 and wchars:
-                grams = Counter(tuple(words[i:i + 2])
-                                for i in range(nw - 1))
-                g, c = grams.most_common(1)[0]
-                if c > 1 and c * sum(len(w) for w in g) / wchars \
-                        > th["max_top2gram_char_frac"]:
-                    failed.append("top2gram")
-            if nw >= 5 and wchars:
-                grams = Counter(tuple(words[i:i + 5])
-                                for i in range(nw - 4))
-                covered = sum(cnt * sum(len(w) for w in g)
-                              for g, cnt in grams.items() if cnt > 1)
-                if min(1.0, covered / wchars) \
-                        > th["max_dup5gram_char_frac"]:
-                    failed.append("dup5gram")
-            rows.append({"doc_id": int(d), "keep": not failed,
-                         "failed_rules": ",".join(failed)})
-        return pa.Table.from_pandas(pd.DataFrame(rows),
-                                    preserve_index=False)
-
-    res = ds.map_batches(judge, batch_format="pyarrow")
+    res = ds.map_batches(lambda b: _gopher_judge_batch(b, th),
+                         batch_format="pyarrow")
     if write_to is not None:
         from ..pipelines.sink import write_results
 
@@ -237,6 +247,27 @@ def _pii_patterns():
     return _PII_PATTERNS
 
 
+def _pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """One-row-per-input-row PII/secret scrub (shared by the standalone
+    pass and the composed curation_pipeline step)."""
+    pats = _pii_patterns()
+    rows = []
+    for d, t in zip(batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist()):
+        t = t or ""
+        counts = {}
+        # private-key blocks first (they contain base64 runs the
+        # generic secret pattern would otherwise shred)
+        for name, pat, repl in sorted(
+                pats, key=lambda p: p[0] != "private_key"):
+            t, n = pat.subn(repl, t)
+            counts[name] = n
+        rows.append({"doc_id": int(d), "redacted_text": t,
+                     **{f"n_{k}": counts[k] for k, _, _ in pats}})
+    return pa.Table.from_pandas(pd.DataFrame(rows),
+                                preserve_index=False)
+
+
 def redact_pii(sf_dir: str, write_to: str | None = None) -> pa.Table:
     """Replace emails, IPv4 addresses, AWS-style key ids, long
     high-entropy hex/base64 literals and PEM private-key blocks with
@@ -247,26 +278,7 @@ def redact_pii(sf_dir: str, write_to: str | None = None) -> pa.Table:
     n_aws_key, n_secret, n_private_key)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-
-    def scrub(batch: pa.Table) -> pa.Table:
-        pats = _pii_patterns()
-        rows = []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            t = t or ""
-            counts = {}
-            # private-key blocks first (they contain base64 runs the
-            # generic secret pattern would otherwise shred)
-            for name, pat, repl in sorted(
-                    pats, key=lambda p: p[0] != "private_key"):
-                t, n = pat.subn(repl, t)
-                counts[name] = n
-            rows.append({"doc_id": int(d), "redacted_text": t,
-                         **{f"n_{k}": counts[k] for k, _, _ in pats}})
-        return pa.Table.from_pandas(pd.DataFrame(rows),
-                                    preserve_index=False)
-
-    res = ds.map_batches(scrub, batch_format="pyarrow")
+    res = ds.map_batches(_pii_scrub_batch, batch_format="pyarrow")
     if write_to is not None:
         from ..pipelines.sink import write_results
 
@@ -493,6 +505,31 @@ def _license_patterns():
     return _LICENSE_PATTERNS
 
 
+def _license_detect_batch(batch: pa.Table, scan_chars: int) -> pa.Table:
+    """One-row-per-input-row license classification (shared by the
+    standalone pass and the composed curation_pipeline step)."""
+    spdx, phrases = _license_patterns()
+    rows = []
+    for d, t in zip(batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist()):
+        head = (t or "")[:scan_chars]
+        m = spdx.search(head)
+        if m:
+            rows.append({"doc_id": int(d),
+                         "license": m.group(1).strip(),
+                         "evidence": "spdx"})
+            continue
+        lic, ev = "unknown", "none"
+        for name, pat in phrases:
+            if pat.search(head):
+                lic, ev = name, "phrase"
+                break
+        rows.append({"doc_id": int(d), "license": lic,
+                     "evidence": ev})
+    return pa.Table.from_pandas(pd.DataFrame(rows),
+                                preserve_index=False)
+
+
 def detect_license(sf_dir: str, scan_chars: int = 4000,
                    write_to: str | None = None) -> pa.Table:
     """Heuristic per-file license detection for a source-code corpus —
@@ -505,30 +542,8 @@ def detect_license(sf_dir: str, scan_chars: int = 4000,
     (doc_id, license, evidence)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-
-    def detect(batch: pa.Table) -> pa.Table:
-        spdx, phrases = _license_patterns()
-        rows = []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            head = (t or "")[:scan_chars]
-            m = spdx.search(head)
-            if m:
-                rows.append({"doc_id": int(d),
-                             "license": m.group(1).strip(),
-                             "evidence": "spdx"})
-                continue
-            lic, ev = "unknown", "none"
-            for name, pat in phrases:
-                if pat.search(head):
-                    lic, ev = name, "phrase"
-                    break
-            rows.append({"doc_id": int(d), "license": lic,
-                         "evidence": ev})
-        return pa.Table.from_pandas(pd.DataFrame(rows),
-                                    preserve_index=False)
-
-    res = ds.map_batches(detect, batch_format="pyarrow")
+    res = ds.map_batches(lambda b: _license_detect_batch(b, scan_chars),
+                         batch_format="pyarrow")
     if write_to is not None:
         from ..pipelines.sink import write_results
 

@@ -1,0 +1,254 @@
+"""Composed curation pipeline — the end-to-end training-data pass a
+100-TB corpus actually runs: extract → clean → quality-filter →
+license-filter → redact → decontaminate → dedup → mix, as ONE streaming
+Ray Data pipeline instead of N separate jobs each re-reading the corpus.
+
+Every per-document step fuses into the same streaming flow (one
+``map_batches`` chain, no intermediate materialization, rows that any
+step drops never reach the next step's compute).  The one corpus-wide
+step — exact dedup — is a genuine pipeline breaker (its keep-first rule
+needs the global hash → min-doc owner map), so the chain lands the
+surviving stream at a durable Parquet STAGE BOUNDARY first (partitioned,
+resumable — the checkpoint shape a multi-day 100-TB run needs anyway),
+then dedups from the staged files: the groupby's second pass re-reads
+the (already heavily filtered) staged corpus, never the raw input.
+
+Step semantics re-use the exact batch cores of the standalone passes
+(`stages/curation.py`, `stages/mix.py`, `stages/dedup.py`), so a chained
+run is equal to running the individual operators in sequence — asserted
+in tests/test_curation_chain.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .curation import (
+    GOPHER_DEFAULTS,
+    _c4_clean_batch,
+    _gopher_judge_batch,
+    _license_detect_batch,
+    _pii_scrub_batch,
+)
+from .dedup import _decontam_mark_batch, _eval_window_ref
+from .mix import _mix_keep_batch
+
+# step registry: name -> (builder, doc). Builders return a Dataset
+# transformer fn(ds, params) -> ds; the running schema is always
+# (doc_id, text, lang, source).
+KNOWN_STEPS = ("extract_html", "c4", "gopher", "license", "redact",
+               "decontam", "dedup", "mix")
+
+
+def _replace_text(batch: pa.Table, new_text: pa.Array) -> pa.Table:
+    return batch.set_column(batch.schema.get_field_index("text"),
+                            "text", new_text.cast(pa.string()))
+
+
+def _step_extract_html(ds, params):
+    import re
+
+    from ..functions.charfilter import html_strip
+
+    def run(batch: pa.Table) -> pa.Table:
+        collapse = re.compile(r"\n{2,}")
+        texts = []
+        for t in batch["text"].to_pylist():
+            stripped, _, _ = html_strip(t or "")
+            texts.append(collapse.sub("\n\n", stripped).strip("\n"))
+        return _replace_text(batch, pa.array(texts, pa.string()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _step_c4(ds, params):
+    mwl = int(params.get("min_words_per_line", 3))
+    ms = int(params.get("min_sentences", 5))
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = _c4_clean_batch(batch, mwl, ms)
+        batch = _replace_text(batch, out["kept_text"].combine_chunks())
+        return batch.filter(out["doc_kept"].combine_chunks())
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _step_gopher(ds, params):
+    th = dict(GOPHER_DEFAULTS)
+    overrides = params.get("thresholds") or {}
+    unknown = set(overrides) - set(th)
+    if unknown:
+        raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
+    th.update(overrides)
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = _gopher_judge_batch(batch, th)
+        return batch.filter(out["keep"].combine_chunks())
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _step_license(ds, params):
+    allow = params.get("allow")
+    if not allow:
+        raise ValueError("license step needs params['allow'] = "
+                         "iterable of allowed license ids")
+    allow = frozenset(allow)
+    scan = int(params.get("scan_chars", 4000))
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = _license_detect_batch(batch, scan)
+        keep = pa.array([lic in allow for lic in out["license"].to_pylist()])
+        return batch.filter(keep)
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _step_redact(ds, params):
+    def run(batch: pa.Table) -> pa.Table:
+        out = _pii_scrub_batch(batch)
+        return _replace_text(batch, out["redacted_text"].combine_chunks())
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _step_decontam(ds, params):
+    ev = params.get("eval_texts")
+    if ev is None:
+        raise ValueError("decontam step needs params['eval_texts'] "
+                         "(list of strings or a Parquet path)")
+    window = int(params.get("window", 13))
+    bad_ref = _eval_window_ref(ev, window)
+    return ds.map_batches(
+        lambda b: _decontam_mark_batch(b, bad_ref, window, "filter"),
+        batch_format="pyarrow")
+
+
+def _step_mix(ds, params):
+    rates = params.get("rates") or {}
+    group_col = params.get("group_col", "source")
+    default_rate = float(params.get("default_rate", 1.0))
+    seed = int(params.get("seed", 0))
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError("default_rate must be in [0, 1]")
+    return ds.map_batches(
+        lambda b: _mix_keep_batch(b, rates, group_col, default_rate, seed),
+        batch_format="pyarrow")
+
+
+def _dedup_from_staged(stage_dir: str):
+    """Keep-first exact dedup over a staged Parquet directory: hash
+    combiner partials -> groupby (min owner, count) -> ONLY duplicated
+    hashes broadcast (bounded by duplicated content, the exact_dedup /
+    paragraph_dedup shape) -> streaming keep filter."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = ray.data.read_parquet(stage_dir)
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha256((t or "").encode()).hexdigest()
+                  for t in batch["text"].to_pylist()]
+        df = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(
+            zero_copy_only=False), "h": hashes})
+        g = df.groupby("h", as_index=False).agg(
+            doc_id=("doc_id", "min"), c=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    owners = (
+        ds.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    owners = owners[owners["c"] > 1]
+    owner_ref = ray.put(dict(zip(owners["h"], owners["doc_id"])))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        own = ray.get(owner_ref)
+        mask = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            o = own.get(hashlib.sha256((t or "").encode()).hexdigest())
+            mask.append(o is None or o == d)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_STEP_BUILDERS = {
+    "extract_html": _step_extract_html,
+    "c4": _step_c4,
+    "gopher": _step_gopher,
+    "license": _step_license,
+    "redact": _step_redact,
+    "decontam": _step_decontam,
+    "mix": _step_mix,
+}
+
+
+def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
+                      stage_dir: str | None = None) -> pa.Table:
+    """Run an ordered curation chain over ``documents.parquet``.
+
+    ``steps`` is an ordered list of step names or ``(name, params)``
+    pairs from: extract_html, c4, gopher, license, redact, decontam,
+    dedup, mix (any subset, any order; ``dedup`` may appear once).
+    Per-document steps fuse into one streaming pass; ``dedup`` stages the
+    surviving stream to partitioned Parquet first (``stage_dir``,
+    default ``<write_to>.stage_prededup`` — a sibling, never inside
+    ``write_to`` — or a /tmp dir), then continues from the staged
+    files.
+
+    With ``write_to``: survivors stream to partitioned Parquet and a
+    1-row summary returns (rows_written, out_dir, steps).  Without:
+    returns the surviving (doc_id, text, lang, source) rows sorted by
+    doc_id (small/test corpora only)."""
+    norm: list[tuple[str, dict]] = []
+    for st in steps:
+        name, params = (st, {}) if isinstance(st, str) else st
+        if name not in KNOWN_STEPS:
+            raise ValueError(f"unknown step {name!r}; known: {KNOWN_STEPS}")
+        norm.append((name, dict(params or {})))
+    if sum(1 for n, _ in norm if n == "dedup") > 1:
+        raise ValueError("dedup may appear at most once")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+    applied = []
+    for name, params in norm:
+        if name == "dedup":
+            from ..pipelines.sink import write_results
+
+            # SIBLING of write_to, never inside it: the final sink's
+            # deterministic overwrite clears write_to while the staged
+            # files are still the lazy chain's upstream
+            stage = stage_dir or (
+                write_to.rstrip("/") + ".stage_prededup" if write_to
+                else os.path.join("/tmp/lsor_chain_stage",
+                                  sf_dir.strip("/").replace("/", "_")))
+            write_results(ds, stage)
+            ds = _dedup_from_staged(stage)
+        else:
+            ds = _STEP_BUILDERS[name](ds, params)
+        applied.append(name)
+
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(ds, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string()),
+                         "steps": pa.array([",".join(applied)],
+                                           pa.string())})
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1425,6 +1425,48 @@ def substring_dedup(sf_dir: str, window: int = 50,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _eval_window_ref(eval_texts, window: int):
+    """Build the broadcast (sorted w1, w2) window-hash arrays for an eval
+    set (list of strings or a Parquet path with a ``text`` column) — the
+    small side of the decontamination broadcast join."""
+    if isinstance(eval_texts, str):
+        import pyarrow.parquet as pq
+
+        eval_texts = pq.read_table(
+            eval_texts, columns=["text"])["text"].to_pylist()
+    ev = pa.table({"doc_id": pa.array(range(len(eval_texts)), pa.int64()),
+                   "text": pa.array([t or "" for t in eval_texts],
+                                    pa.string())})
+    _, _, ew1, ew2, _, _ = _ssd_batch_windows(ev, window)
+    order = np.argsort(ew1, kind="stable")
+    return ray.put((ew1[order], ew2[order]))
+
+
+def _decontam_mark_batch(batch: pa.Table, bad_ref, window: int,
+                         action: str) -> pa.Table:
+    """Flag or filter one batch against the broadcast eval window-hash set
+    (shared by decontaminate and the composed curation_pipeline step)."""
+    bw1, bw2 = ray.get(bad_ref)
+    d, _s, w1, w2, _counts, _toks = _ssd_batch_windows(batch, window)
+    if len(bw1) and len(w1):
+        idx = np.searchsorted(bw1, w1)
+        idx = np.minimum(idx, len(bw1) - 1)
+        # lane-1 hit, confirmed on lane 2 (uniform hashes: duplicate
+        # w1 values with differing w2 are ~2^-64, but confirm anyway
+        # against the matched slot)
+        hit = (bw1[idx] == w1) & (bw2[idx] == w2)
+    else:
+        hit = np.zeros(len(w1), dtype=bool)
+    docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dirty = pd.Series(d[hit]).value_counts()
+    nd = dirty.reindex(docs, fill_value=0).to_numpy(dtype=np.int64)
+    if action == "flag":
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "contaminated": pa.array(nd > 0, pa.bool_()),
+                         "dirty_windows": pa.array(nd, pa.int64())})
+    return batch.filter(pa.array(nd == 0))
+
+
 def decontaminate(sf_dir: str, eval_texts, window: int = 13,
                   action: str = "flag",
                   write_to: str | None = None) -> pa.Table:
@@ -1448,45 +1490,14 @@ def decontaminate(sf_dir: str, eval_texts, window: int = 13,
         raise ValueError("window must be >= 2 tokens")
     if action not in ("flag", "filter"):
         raise ValueError("action must be 'flag' or 'filter'")
-    if isinstance(eval_texts, str):
-        import pyarrow.parquet as pq
-
-        eval_texts = pq.read_table(
-            eval_texts, columns=["text"])["text"].to_pylist()
-    ev = pa.table({"doc_id": pa.array(range(len(eval_texts)), pa.int64()),
-                   "text": pa.array([t or "" for t in eval_texts],
-                                    pa.string())})
-    _, _, ew1, ew2, _, _ = _ssd_batch_windows(ev, window)
-    order = np.argsort(ew1, kind="stable")
-    ew1s, ew2s = ew1[order], ew2[order]
-    bad_ref = ray.put((ew1s, ew2s))
+    bad_ref = _eval_window_ref(eval_texts, window)
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
-    def mark(batch: pa.Table) -> pa.Table:
-        bw1, bw2 = ray.get(bad_ref)
-        d, _s, w1, w2, _counts, _toks = _ssd_batch_windows(batch, window)
-        if len(bw1) and len(w1):
-            idx = np.searchsorted(bw1, w1)
-            idx = np.minimum(idx, len(bw1) - 1)
-            # lane-1 hit, confirmed on lane 2 (uniform hashes: duplicate
-            # w1 values with differing w2 are ~2^-64, but confirm anyway
-            # against the matched slot)
-            hit = (bw1[idx] == w1) & (bw2[idx] == w2)
-        else:
-            hit = np.zeros(len(w1), dtype=bool)
-        docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        dirty = pd.Series(d[hit]).value_counts()
-        nd = dirty.reindex(docs, fill_value=0).to_numpy(dtype=np.int64)
-        if action == "flag":
-            return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                             "contaminated": pa.array(nd > 0, pa.bool_()),
-                             "dirty_windows": pa.array(nd, pa.int64())})
-        return batch.filter(pa.array(nd == 0))
-
-    res = ds.map_batches(mark, batch_format="pyarrow")
+    res = ds.map_batches(
+        lambda b: _decontam_mark_batch(b, bad_ref, window, action),
+        batch_format="pyarrow")
     if write_to is not None:
         from ..pipelines.sink import write_results
 

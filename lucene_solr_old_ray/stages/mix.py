@@ -33,6 +33,19 @@ def _mix_hash(doc_ids: np.ndarray, seed: int) -> np.ndarray:
         return (z ^ (z >> np.uint64(31))).astype(np.uint64)
 
 
+def _mix_keep_batch(batch: pa.Table, rates: dict, group_col: str,
+                    default_rate: float, seed: int) -> pa.Table:
+    """Filter a batch to the kept mix rows (shared by the standalone pass
+    and the composed curation_pipeline step)."""
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    groups = pd.Series(batch[group_col].to_pylist())
+    r = groups.map(rates).fillna(default_rate).to_numpy(dtype=np.float64)
+    # threshold in uint64 space; rate==1.0 keeps unconditionally
+    # (2^64 overflows uint64, so compare against the float domain)
+    u = _mix_hash(d, seed).astype(np.float64) / float(2 ** 64)
+    return batch.filter(pa.array(u < r))
+
+
 def sample_mix(sf_dir: str, rates: dict[str, float], group_col: str = "source",
                default_rate: float = 1.0, seed: int = 0,
                write_to: str | None = None) -> pa.Table:
@@ -54,18 +67,9 @@ def sample_mix(sf_dir: str, rates: dict[str, float], group_col: str = "source",
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", group_col, "text"])
-
-    def keep(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        groups = pd.Series(batch[group_col].to_pylist())
-        r = groups.map(rates).fillna(default_rate).to_numpy(
-            dtype=np.float64)
-        # threshold in uint64 space; rate==1.0 keeps unconditionally
-        # (2^64 overflows uint64, so compare against the float domain)
-        u = _mix_hash(d, seed).astype(np.float64) / float(2 ** 64)
-        return batch.filter(pa.array(u < r))
-
-    res = ds.map_batches(keep, batch_format="pyarrow")
+    res = ds.map_batches(
+        lambda b: _mix_keep_batch(b, rates, group_col, default_rate, seed),
+        batch_format="pyarrow")
     if write_to is not None:
         from ..pipelines.sink import write_results
 

@@ -1,0 +1,189 @@
+"""Composed curation pipeline: chained-run == sequential standalone ops,
+dedup stage boundary, decontam filter, sink/resume shape."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.stages.curation_chain import curation_pipeline
+
+EMAIL = "dev@example.com"
+
+DOCS = [
+    # 0: clean prose, survives everything
+    (0, "the quick brown fox jumps over the lazy dog today.\n"
+        "we have agreed that the report is ready to ship now.\n"
+        "she said the numbers look fine and that we can go.\n"
+        "the team wrote five more tests for the parser today.\n"
+        "and that was the end of the long review meeting.", "en", "src0"),
+    # 1: duplicate of 0 (dedup victim; higher doc_id)
+    (1, "the quick brown fox jumps over the lazy dog today.\n"
+        "we have agreed that the report is ready to ship now.\n"
+        "she said the numbers look fine and that we can go.\n"
+        "the team wrote five more tests for the parser today.\n"
+        "and that was the end of the long review meeting.", "en", "src0"),
+    # 2: lines without terminal punctuation (C4 drops the doc)
+    (2, "no punctuation here at all\n"
+        "still no punctuation on this line\n"
+        "and none here either", "en", "src1"),
+    # 3: contains an email (redacted) and survives C4/gopher
+    (3, f"please contact {EMAIL} for all of the details today.\n"
+        "we have noted that the server is now up and stable.\n"
+        "the audit of the logs found nothing wrong at all.\n"
+        "and the final numbers have been sent to the board.\n"
+        "that should be the last of the changes for now.", "en", "src1"),
+    # 4: lorem ipsum (C4 doc-level drop)
+    (4, "lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+        "sed do eiusmod tempor incididunt ut labore et dolore.\n"
+        "ut enim ad minim veniam quis nostrud exercitation ull.\n"
+        "duis aute irure dolor in reprehenderit in voluptate.\n"
+        "excepteur sint occaecat cupidatat non proident sunt.", "en", "src2"),
+    # 5: matches the eval set (decontam victim): shares a 13-word run
+    (5, "the quick brown fox jumps over the lazy dog near the old barn today.\n"
+        "we have checked that all of the doors were locked last night.\n"
+        "the cats were fed and the lights were off by ten.\n"
+        "and that was all she wrote about the whole matter.\n"
+        "the rest of the story is for another long day.", "en", "src3"),
+]
+
+EVAL_TEXTS = [
+    "the quick brown fox jumps over the lazy dog near the old barn today",
+]
+
+GOPHER_LOOSE = {"min_words": 10, "min_stop_words": 1}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("chain_corpus")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in DOCS], pa.int64()),
+        "text": pa.array([r[1] for r in DOCS], pa.string()),
+        "lang": pa.array([r[2] for r in DOCS], pa.string()),
+        "source": pa.array([r[3] for r in DOCS], pa.string()),
+    }), os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_chain_equals_sequential_ops(ray_session, corpus):
+    """c4 -> gopher -> redact chained == the standalone ops in sequence."""
+    from lucene_solr_old_ray.stages.curation import (
+        c4_clean,
+        gopher_quality_filter,
+        redact_pii,
+    )
+
+    got = curation_pipeline(corpus, [
+        ("c4", {}),
+        ("gopher", {"thresholds": GOPHER_LOOSE}),
+        "redact",
+    ]).to_pandas()
+
+    # sequential reference: run each standalone op, compose by hand
+    c4 = c4_clean(corpus).to_pandas().set_index("doc_id")
+    keep1 = c4[c4.doc_kept]
+    # gopher judges the C4-CLEANED text: rebuild a corpus view
+    import pyarrow as pa_
+
+    from lucene_solr_old_ray.stages.curation import (
+        GOPHER_DEFAULTS,
+        _gopher_judge_batch,
+        _pii_scrub_batch,
+    )
+
+    th = dict(GOPHER_DEFAULTS)
+    th.update(GOPHER_LOOSE)
+    view = pa_.table({
+        "doc_id": pa_.array(keep1.index.to_numpy(), pa_.int64()),
+        "text": pa_.array(keep1.kept_text.tolist(), pa_.string())})
+    judged = _gopher_judge_batch(view, th).to_pandas().set_index("doc_id")
+    keep2 = keep1[judged.keep]
+    view2 = pa_.table({
+        "doc_id": pa_.array(keep2.index.to_numpy(), pa_.int64()),
+        "text": pa_.array(keep2.kept_text.tolist(), pa_.string())})
+    scrubbed = _pii_scrub_batch(view2).to_pandas().set_index("doc_id")
+
+    assert got.doc_id.tolist() == sorted(scrubbed.index.tolist())
+    want_text = scrubbed.loc[got.doc_id, "redacted_text"].tolist()
+    assert got.text.tolist() == want_text
+    # the email doc survived and is redacted; raw-email never in output
+    assert 3 in got.doc_id.tolist()
+    assert all(EMAIL not in t for t in got.text)
+    assert any("<EMAIL>" in t for t in got.text)
+    # C4 victims are gone
+    assert 2 not in got.doc_id.tolist()
+    assert 4 not in got.doc_id.tolist()
+    # standalone redact_pii agrees on the email count for doc 3
+    solo = redact_pii(corpus).to_pandas().set_index("doc_id")
+    assert solo.loc[3, "n_email"] == 1
+    # standalone gopher (same thresholds) was consulted via its shared core
+    g = gopher_quality_filter(corpus, thresholds=GOPHER_LOOSE).to_pandas()
+    assert set(g.columns) == {"doc_id", "keep", "failed_rules"}
+
+
+def test_chain_dedup_stage_and_decontam(ray_session, corpus, tmp_path):
+    """dedup drops the higher-doc_id duplicate via the stage boundary;
+    decontam drops the eval-overlapping doc; mix keeps rate-1.0 groups."""
+    out = str(tmp_path / "out")
+    summary = curation_pipeline(corpus, [
+        ("decontam", {"eval_texts": EVAL_TEXTS, "window": 13}),
+        "dedup",
+        ("mix", {"rates": {"src2": 1.0}, "default_rate": 1.0, "seed": 7}),
+    ], write_to=out).to_pandas()
+    assert summary.steps[0] == "decontam,dedup,mix"
+
+    got = pq.read_table(out).to_pandas().sort_values("doc_id")
+    # doc 5 shares a 13-token run with the eval set -> dropped
+    assert 5 not in got.doc_id.tolist()
+    # docs 0/1 are exact duplicates -> keep-first means doc 0 survives
+    assert 0 in got.doc_id.tolist()
+    assert 1 not in got.doc_id.tolist()
+    # everything else passes (no quality steps in this chain)
+    assert got.doc_id.tolist() == [0, 2, 3, 4]
+    # the stage boundary exists as a SIBLING dir with the pre-dedup rows
+    stage = out.rstrip("/") + ".stage_prededup"
+    assert os.path.isdir(stage)
+    staged = pq.read_table(stage).to_pandas()
+    assert sorted(staged.doc_id.tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_chain_validates_inputs(ray_session, corpus):
+    with pytest.raises(ValueError, match="unknown step"):
+        curation_pipeline(corpus, ["nope"])
+    with pytest.raises(ValueError, match="at most once"):
+        curation_pipeline(corpus, ["dedup", "dedup"])
+    with pytest.raises(ValueError, match="eval_texts"):
+        curation_pipeline(corpus, [("decontam", {})])
+    with pytest.raises(ValueError, match="allow"):
+        curation_pipeline(corpus, [("license", {})])
+    with pytest.raises(ValueError, match="rate"):
+        curation_pipeline(corpus, [("mix", {"rates": {"a": 1.5}})])
+
+
+def test_chain_license_and_extract_html(ray_session, tmp_path):
+    """license keeps only allowed ids; extract_html strips tags before
+    downstream steps see the text."""
+    d = str(tmp_path / "lic")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "<html><body>SPDX-License-Identifier: MIT\n"
+            "the body text is here.</body></html>",
+            "SPDX-License-Identifier: GPL-3.0\nsome gpl code",
+            "no license marker at all",
+        ], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+
+    got = curation_pipeline(d, [
+        "extract_html",
+        ("license", {"allow": ["MIT"]}),
+    ]).to_pandas()
+    assert got.doc_id.tolist() == [0]
+    assert "<body>" not in got.text[0]
+    assert "the body text is here." in got.text[0]
