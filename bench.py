@@ -200,6 +200,22 @@ def _measure_once() -> tuple[dict, int, int, float, float]:
     c4_clean(SF_DIR)
     q["curation_policies"] = round(time.perf_counter() - t0, 3)
 
+    # r5-final: redact + gopher + c4 FUSED into one streaming chain (one
+    # corpus read + one map_batches flow vs three separate jobs). Order
+    # puts the filters last (loose gopher thresholds keep the synthetic
+    # corpus flowing) so ALL policies compute over the full corpus — the
+    # honest fused-vs-separate comparison against curation_policies.
+    from lucene_solr_old_ray.stages.curation_chain import curation_pipeline
+
+    t0 = time.perf_counter()
+    curation_pipeline(SF_DIR, [
+        "redact",
+        ("gopher", {"thresholds": {"min_words": 1, "min_stop_words": 0}}),
+        ("c4", {}),
+    ], write_to="/tmp/lsor_bench_chain")
+    q["curation_chain"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree("/tmp/lsor_bench_chain", ignore_errors=True)
+
     shutil.rmtree(idx, ignore_errors=True)
     return q, n_docs, n_postings, serve_p50_ms, serve_p95_ms
 

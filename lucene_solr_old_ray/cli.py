@@ -205,7 +205,8 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--sf-dir", required=True)
     pl.add_argument("--steps", required=True,
                     help="ordered comma list from: extract_html,c4,gopher,"
-                         "license,redact,decontam,dedup,mix")
+                         "license,redact,decontam,dedup,mix,pack "
+                         "(pack must be last)")
     pl.add_argument("--rate", action="append", default=[],
                     metavar="GROUP=R", help="mix step keep rate (repeat)")
     pl.add_argument("--group-col", default="source")
@@ -216,6 +217,8 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--window", type=int, default=13)
     pl.add_argument("--allow-license", action="append", default=[],
                     help="license step allowed id (repeat)")
+    pl.add_argument("--seq-len", type=int, default=2048,
+                    help="pack step sequence length")
     pl.add_argument("--stage-dir", default=None,
                     help="dedup stage-boundary dir (default: sibling "
                          "of --out)")
@@ -436,6 +439,8 @@ def main(argv: list[str] | None = None) -> int:
                                            "window": args.window}))
             elif name == "license":
                 steps.append(("license", {"allow": args.allow_license}))
+            elif name == "pack":
+                steps.append(("pack", {"seq_len": args.seq_len}))
             else:
                 steps.append(name)
         t = curation_pipeline(args.sf_dir, steps, write_to=args.out,

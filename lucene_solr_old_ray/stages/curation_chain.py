@@ -1,6 +1,6 @@
 """Composed curation pipeline — the end-to-end training-data pass a
 100-TB corpus actually runs: extract → clean → quality-filter →
-license-filter → redact → decontaminate → dedup → mix, as ONE streaming
+license-filter → redact → decontaminate → dedup → mix → pack, as ONE streaming
 Ray Data pipeline instead of N separate jobs each re-reading the corpus.
 
 Every per-document step fuses into the same streaming flow (one
@@ -37,13 +37,13 @@ from .curation import (
     _pii_scrub_batch,
 )
 from .dedup import _decontam_mark_batch, _eval_window_ref
-from .mix import _mix_keep_batch
+from .mix import _mix_keep_batch, pack_plan_ds
 
 # step registry: name -> (builder, doc). Builders return a Dataset
 # transformer fn(ds, params) -> ds; the running schema is always
 # (doc_id, text, lang, source).
 KNOWN_STEPS = ("extract_html", "c4", "gopher", "license", "redact",
-               "decontam", "dedup", "mix")
+               "decontam", "dedup", "mix", "pack")
 
 
 def _replace_text(batch: pa.Table, new_text: pa.Array) -> pa.Table:
@@ -202,7 +202,9 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
 
     ``steps`` is an ordered list of step names or ``(name, params)``
     pairs from: extract_html, c4, gopher, license, redact, decontam,
-    dedup, mix (any subset, any order; ``dedup`` may appear once).
+    dedup, mix, pack (any subset, any order; ``dedup`` may appear once;
+    ``pack`` must be last — it turns the surviving documents into the
+    sequence-packing PLAN, the curate→pack preprocessing endgame).
     Per-document steps fuse into one streaming pass; ``dedup`` stages the
     surviving stream to partitioned Parquet first (``stage_dir``,
     default ``<write_to>.stage_prededup`` — a sibling, never inside
@@ -211,7 +213,8 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
 
     With ``write_to``: survivors stream to partitioned Parquet and a
     1-row summary returns (rows_written, out_dir, steps).  Without:
-    returns the surviving (doc_id, text, lang, source) rows sorted by
+    returns the surviving (doc_id, text, lang, source) rows — or the
+    per-doc packing plan when ``pack`` terminates the chain — sorted by
     doc_id (small/test corpora only)."""
     norm: list[tuple[str, dict]] = []
     for st in steps:
@@ -221,6 +224,9 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
         norm.append((name, dict(params or {})))
     if sum(1 for n, _ in norm if n == "dedup") > 1:
         raise ValueError("dedup may appear at most once")
+    if any(n == "pack" for n, _ in norm[:-1]):
+        raise ValueError("pack must be the LAST step (it changes the "
+                         "output schema from documents to the plan)")
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang", "source"])
@@ -238,6 +244,11 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
                                   sf_dir.strip("/").replace("/", "_")))
             write_results(ds, stage)
             ds = _dedup_from_staged(stage)
+        elif name == "pack":
+            ds = pack_plan_ds(ds, int(params.get("seq_len", 2048)),
+                              eod_tokens=int(params.get("eod_tokens", 1)),
+                              bucket_docs=int(params.get("bucket_docs",
+                                                         4096)))
         else:
             ds = _STEP_BUILDERS[name](ds, params)
         applied.append(name)

@@ -244,10 +244,31 @@ def pack_plan(sf_dir: str, seq_len: int, eod_tokens: int = 1,
 
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
-    from ray.data.aggregate import Sum
-
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    res = pack_plan_ds(ds, seq_len, eod_tokens=eod_tokens,
+                       bucket_docs=bucket_docs)
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pack_plan_ds(ds, seq_len: int, eod_tokens: int = 1,
+                 bucket_docs: int = 4096):
+    """Dataset-level packing plan (shared by :func:`pack_plan` and the
+    composed curation_pipeline's terminal ``pack`` step): the input is
+    any (doc_id, text, ...) Dataset; surviving docs concatenate in
+    doc_id order."""
+    import ray
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from ray.data.aggregate import Sum
 
     def costs(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -284,13 +305,5 @@ def pack_plan(sf_dir: str, seq_len: int, eod_tokens: int = 1,
         })
         return out
 
-    res = (cost_ds.groupby("bucket")
-           .map_groups(place, batch_format="pandas"))
-    if write_to is not None:
-        from ..pipelines.sink import write_results
-
-        n = write_results(res, write_to)
-        return pa.table({"rows_written": pa.array([n], pa.int64()),
-                         "out_dir": pa.array([write_to], pa.string())})
-    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return (cost_ds.groupby("bucket")
+            .map_groups(place, batch_format="pandas"))

@@ -187,3 +187,27 @@ def test_chain_license_and_extract_html(ray_session, tmp_path):
     assert got.doc_id.tolist() == [0]
     assert "<body>" not in got.text[0]
     assert "the body text is here." in got.text[0]
+
+
+def test_chain_pack_terminal(ray_session, corpus):
+    """curate -> pack: the terminal pack step plans over the SURVIVING
+    docs exactly as pack_plan would over a pre-filtered corpus."""
+    import numpy as np
+
+    from lucene_solr_old_ray.stages.curation_chain import curation_pipeline
+
+    got = curation_pipeline(corpus, [
+        ("mix", {"rates": {"src1": 0.0}, "default_rate": 1.0, "seed": 3}),
+        ("pack", {"seq_len": 16, "eod_tokens": 1}),
+    ]).to_pandas()
+    # src1 docs (2, 3) are gone; survivors planned in doc_id order
+    assert got.doc_id.tolist() == [0, 1, 4, 5]
+    n = got.n_tokens.to_numpy()
+    cost = n + 1
+    starts = np.concatenate([[0], np.cumsum(cost)[:-1]])
+    assert got.token_start.tolist() == starts.tolist()
+    assert got.token_end.tolist() == (starts + n).tolist()
+    assert got.seq_first.tolist() == (starts // 16).tolist()
+
+    with pytest.raises(ValueError, match="LAST"):
+        curation_pipeline(corpus, ["pack", "redact"])
