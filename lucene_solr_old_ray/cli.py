@@ -205,8 +205,8 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--sf-dir", required=True)
     pl.add_argument("--steps", required=True,
                     help="ordered comma list from: extract_html,c4,gopher,"
-                         "license,redact,decontam,dedup,mix,pack "
-                         "(pack must be last)")
+                         "license,redact,decontam,perplexity,dedup,mix,"
+                         "pack (pack must be last)")
     pl.add_argument("--rate", action="append", default=[],
                     metavar="GROUP=R", help="mix step keep rate (repeat)")
     pl.add_argument("--group-col", default="source")
@@ -219,6 +219,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="license step allowed id (repeat)")
     pl.add_argument("--seq-len", type=int, default=2048,
                     help="pack step sequence length")
+    pl.add_argument("--model", dest="model_path", default=None,
+                    help="perplexity step reference-LM parquet "
+                         "('text' column)")
+    pl.add_argument("--max-log-ppl", type=float, default=None,
+                    help="perplexity step keep cutoff")
     pl.add_argument("--stage-dir", default=None,
                     help="dedup stage-boundary dir (default: sibling "
                          "of --out)")
@@ -441,6 +446,13 @@ def main(argv: list[str] | None = None) -> int:
                 steps.append(("license", {"allow": args.allow_license}))
             elif name == "pack":
                 steps.append(("pack", {"seq_len": args.seq_len}))
+            elif name == "perplexity":
+                if not args.model_path or args.max_log_ppl is None:
+                    raise SystemExit("--model and --max-log-ppl are "
+                                     "required for the perplexity step")
+                steps.append(("perplexity",
+                              {"model_texts": args.model_path,
+                               "max_log_ppl": args.max_log_ppl}))
             else:
                 steps.append(name)
         t = curation_pipeline(args.sf_dir, steps, write_to=args.out,

@@ -289,6 +289,79 @@ def redact_pii(sf_dir: str, write_to: str | None = None) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _gram_counts_table(batch_texts) -> pa.Table:
+    """Unigram/bigram count partials for a list of texts (combiner shape
+    shared by perplexity_buckets and the chain's perplexity step)."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in batch_texts:
+        toks = (t or "").lower().split()
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    rows = ([("u", w, "", c) for w, c in uni.items()]
+            + [("b", a, b, c) for (a, b), c in bi.items()])
+    return pa.table({
+        "kind": pa.array([r[0] for r in rows], pa.string()),
+        "w1": pa.array([r[1] for r in rows], pa.string()),
+        "w2": pa.array([r[2] for r in rows], pa.string()),
+        "n": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _lm_from_counts(counts_pd, top_n: int) -> dict:
+    """Bigram stupid-backoff LM dict from a (kind, w1, w2, n) counts
+    frame — the bounded broadcast side (bigrams capped at top_n)."""
+    uni_pd = counts_pd[counts_pd["kind"] == "u"]
+    bi_pd = counts_pd[counts_pd["kind"] == "b"].nlargest(top_n, "n")
+    total = int(uni_pd["n"].sum())
+    return {
+        "uni": dict(zip(uni_pd["w1"], uni_pd["n"].astype(int))),
+        "bi": {(a, b): int(n) for a, b, n in
+               zip(bi_pd["w1"], bi_pd["w2"], bi_pd["n"])},
+        "total": total, "V": max(1, len(uni_pd)),
+    }
+
+
+def lm_from_texts(model_texts, top_n: int = 50_000) -> dict:
+    """Build the stupid-backoff LM from a SMALL reference text set (list
+    of strings or a Parquet path with a ``text`` column)."""
+    if isinstance(model_texts, str):
+        import pyarrow.parquet as pq
+
+        model_texts = pq.read_table(
+            model_texts, columns=["text"])["text"].to_pylist()
+    counts = _gram_counts_table(list(model_texts)).to_pandas()
+    counts = counts.groupby(["kind", "w1", "w2"], as_index=False)["n"].sum()
+    return _lm_from_counts(counts, top_n)
+
+
+def _doc_logppl(toks, m: dict, alpha: float) -> float:
+    """Per-token negative log-likelihood under the stupid-backoff bigram
+    LM (Brants et al. 2007) — exact formula shared by perplexity_buckets
+    and the chain's perplexity step."""
+    import math
+
+    uni, bi = m["uni"], m["bi"]
+    total, V = m["total"], m["V"]
+    floor = 1.0 / (total + V)
+    lp = 0.0
+    for i, w in enumerate(toks):
+        cu = uni.get(w, 0)
+        if i > 0:
+            cb = bi.get((toks[i - 1], w))
+            cprev = uni.get(toks[i - 1], 0)
+            if cb:
+                lp += math.log(cb / cprev)
+                continue
+            p = alpha * (cu / total) if cu else alpha * floor
+            lp += math.log(p)
+        else:
+            lp += math.log(cu / total) if cu else math.log(floor)
+    return -lp / len(toks)
+
+
 def perplexity_buckets(sf_dir: str, model_texts=None, top_n: int = 50_000,
                        alpha: float = 0.4,
                        head: float = 1 / 3, middle: float = 2 / 3,
@@ -317,73 +390,24 @@ def perplexity_buckets(sf_dir: str, model_texts=None, top_n: int = 50_000,
     streams either way)."""
     import ray
 
-    from collections import Counter
-
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-
-    def gram_partial(batch_texts) -> pa.Table:
-        uni: Counter = Counter()
-        bi: Counter = Counter()
-        for t in batch_texts:
-            toks = (t or "").lower().split()
-            uni.update(toks)
-            bi.update(zip(toks[:-1], toks[1:]))
-        rows = ([("u", w, "", c) for w, c in uni.items()]
-                + [("b", a, b, c) for (a, b), c in bi.items()])
-        return pa.table({
-            "kind": pa.array([r[0] for r in rows], pa.string()),
-            "w1": pa.array([r[1] for r in rows], pa.string()),
-            "w2": pa.array([r[2] for r in rows], pa.string()),
-            "n": pa.array([r[3] for r in rows], pa.int64()),
-        })
 
     from ray.data.aggregate import Sum
 
     if model_texts is not None:
-        counts = gram_partial(list(model_texts)).to_pandas()
-        counts = counts.groupby(["kind", "w1", "w2"],
-                                as_index=False)["n"].sum()
+        model = lm_from_texts(model_texts, top_n)
     else:
         counts = (
             ds.map_batches(
-                lambda b: gram_partial(b["text"].to_pylist()),
+                lambda b: _gram_counts_table(b["text"].to_pylist()),
                 batch_format="pyarrow")
             .groupby(["kind", "w1", "w2"])
             .aggregate(Sum("n", alias_name="n"))
             .to_pandas()
         )
-    uni_pd = counts[counts["kind"] == "u"]
-    bi_pd = counts[counts["kind"] == "b"].nlargest(top_n, "n")
-    total = int(uni_pd["n"].sum())
-    V = len(uni_pd)
-    model = {
-        "uni": dict(zip(uni_pd["w1"], uni_pd["n"].astype(int))),
-        "bi": {(a, b): int(n) for a, b, n in
-               zip(bi_pd["w1"], bi_pd["w2"], bi_pd["n"])},
-        "total": total, "V": max(1, V),
-    }
+        model = _lm_from_counts(counts, top_n)
     m_ref = ray.put(model)
-    import math
-
-    def doc_logppl(toks, m) -> float:
-        uni, bi = m["uni"], m["bi"]
-        total, V = m["total"], m["V"]
-        floor = 1.0 / (total + V)
-        lp = 0.0
-        for i, w in enumerate(toks):
-            cu = uni.get(w, 0)
-            if i > 0:
-                cb = bi.get((toks[i - 1], w))
-                cprev = uni.get(toks[i - 1], 0)
-                if cb:
-                    lp += math.log(cb / cprev)
-                    continue
-                p = alpha * (cu / total) if cu else alpha * floor
-                lp += math.log(p)
-            else:
-                lp += math.log(cu / total) if cu else math.log(floor)
-        return -lp / len(toks)
 
     def score(batch: pa.Table) -> pa.Table:
         m = ray.get(m_ref)
@@ -393,7 +417,8 @@ def perplexity_buckets(sf_dir: str, model_texts=None, top_n: int = 50_000,
             toks = (t or "").lower().split()
             rows.append({
                 "doc_id": int(d), "n_tokens": len(toks),
-                "log_ppl": doc_logppl(toks, m) if toks else float("nan"),
+                "log_ppl": _doc_logppl(toks, m, alpha) if toks
+                else float("nan"),
             })
         return pa.Table.from_pandas(pd.DataFrame(rows),
                                     preserve_index=False)

@@ -32,9 +32,11 @@ import ray.data
 from .curation import (
     GOPHER_DEFAULTS,
     _c4_clean_batch,
+    _doc_logppl,
     _gopher_judge_batch,
     _license_detect_batch,
     _pii_scrub_batch,
+    lm_from_texts,
 )
 from .dedup import _decontam_mark_batch, _eval_window_ref
 from .mix import _mix_keep_batch, pack_plan_ds
@@ -43,7 +45,7 @@ from .mix import _mix_keep_batch, pack_plan_ds
 # transformer fn(ds, params) -> ds; the running schema is always
 # (doc_id, text, lang, source).
 KNOWN_STEPS = ("extract_html", "c4", "gopher", "license", "redact",
-               "decontam", "dedup", "mix", "pack")
+               "decontam", "perplexity", "dedup", "mix", "pack")
 
 
 def _replace_text(batch: pa.Table, new_text: pa.Array) -> pa.Table:
@@ -57,6 +59,8 @@ def _step_extract_html(ds, params):
     from ..functions.charfilter import html_strip
 
     def run(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         collapse = re.compile(r"\n{2,}")
         texts = []
         for t in batch["text"].to_pylist():
@@ -72,6 +76,8 @@ def _step_c4(ds, params):
     ms = int(params.get("min_sentences", 5))
 
     def run(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         out = _c4_clean_batch(batch, mwl, ms)
         batch = _replace_text(batch, out["kept_text"].combine_chunks())
         return batch.filter(out["doc_kept"].combine_chunks())
@@ -88,6 +94,8 @@ def _step_gopher(ds, params):
     th.update(overrides)
 
     def run(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         out = _gopher_judge_batch(batch, th)
         return batch.filter(out["keep"].combine_chunks())
 
@@ -103,6 +111,8 @@ def _step_license(ds, params):
     scan = int(params.get("scan_chars", 4000))
 
     def run(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         out = _license_detect_batch(batch, scan)
         keep = pa.array([lic in allow for lic in out["license"].to_pylist()])
         return batch.filter(keep)
@@ -112,6 +122,8 @@ def _step_license(ds, params):
 
 def _step_redact(ds, params):
     def run(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         out = _pii_scrub_batch(batch)
         return _replace_text(batch, out["redacted_text"].combine_chunks())
 
@@ -145,6 +157,50 @@ def _step_mix(ds, params):
         batch_format="pyarrow")
 
 
+class _PerplexityFilter:
+    """Stateful actor-pool stage: the broadcast LM deserializes ONCE per
+    actor in ``__init__`` (the model-load-once pattern a real scorer —
+    KenLM, a classifier — needs), then ``__call__`` only scores. Keeps a
+    doc iff its stupid-backoff log-perplexity under the reference LM is
+    <= ``max_log_ppl`` (the CCNet head/middle cut as a FIXED cutoff —
+    mid-chain there is no quantile pass); empty docs drop."""
+
+    def __init__(self, model_ref, alpha: float, max_log_ppl: float):
+        self.m = ray.get(model_ref)
+        self.alpha = alpha
+        self.cut = max_log_ppl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mask = []
+        for t in batch["text"].to_pylist():
+            toks = (t or "").lower().split()
+            mask.append(bool(toks) and
+                        _doc_logppl(toks, self.m, self.alpha) <= self.cut)
+        return batch.filter(pa.array(mask))
+
+
+def _step_perplexity(ds, params):
+    model_texts = params.get("model_texts")
+    if model_texts is None:
+        raise ValueError("perplexity step needs params['model_texts'] "
+                         "(reference texts or a Parquet path) — the LM is "
+                         "the broadcast side, it cannot be built from the "
+                         "mid-chain stream")
+    if "max_log_ppl" not in params:
+        raise ValueError("perplexity step needs params['max_log_ppl'] "
+                         "(fixed keep cutoff)")
+    cut = float(params["max_log_ppl"])
+    alpha = float(params.get("alpha", 0.4))
+    model = lm_from_texts(model_texts, int(params.get("top_n", 50_000)))
+    m_ref = ray.put(model)
+    return ds.map_batches(
+        _PerplexityFilter, batch_format="pyarrow",
+        fn_constructor_args=(m_ref, alpha, cut),
+        concurrency=int(params.get("concurrency", 4)))
+
+
 def _dedup_from_staged(stage_dir: str):
     """Keep-first exact dedup over a staged Parquet directory: hash
     combiner partials -> groupby (min owner, count) -> ONLY duplicated
@@ -163,17 +219,23 @@ def _dedup_from_staged(stage_dir: str):
             doc_id=("doc_id", "min"), c=("doc_id", "size"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # duplicated hashes are filtered DATASET-side, so the driver (and the
+    # broadcast) holds only the duplicated-content set, never the corpus's
+    # full distinct-hash table
     owners = (
         ds.map_batches(hash_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"),
                    Sum("c", alias_name="c"))
+        .map_batches(lambda b: b.filter(
+            pa.compute.greater(b["c"], 1)), batch_format="pyarrow")
         .to_pandas()
     )
-    owners = owners[owners["c"] > 1]
     owner_ref = ray.put(dict(zip(owners["h"], owners["doc_id"])))
 
     def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
         own = ray.get(owner_ref)
         mask = []
         for d, t in zip(batch["doc_id"].to_pylist(),
@@ -192,6 +254,7 @@ _STEP_BUILDERS = {
     "license": _step_license,
     "redact": _step_redact,
     "decontam": _step_decontam,
+    "perplexity": _step_perplexity,
     "mix": _step_mix,
 }
 
@@ -202,7 +265,8 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
 
     ``steps`` is an ordered list of step names or ``(name, params)``
     pairs from: extract_html, c4, gopher, license, redact, decontam,
-    dedup, mix, pack (any subset, any order; ``dedup`` may appear once;
+    perplexity, dedup, mix, pack (any subset, any order; ``dedup`` may
+    appear once;
     ``pack`` must be last — it turns the surviving documents into the
     sequence-packing PLAN, the curate→pack preprocessing endgame).
     Per-document steps fuse into one streaming pass; ``dedup`` stages the

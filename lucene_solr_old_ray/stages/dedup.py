@@ -1191,16 +1191,18 @@ def paragraph_dedup(sf_dir: str, min_chars: int = 20,
 
     from ray.data.aggregate import Sum
 
+    # ONLY duplicated paragraphs need owner entries (unique ones always
+    # keep): the c>1 filter runs DATASET-side, so the driver pull and the
+    # broadcast are the boilerplate set, not the corpus's full paragraph
+    # vocabulary — the 100-TB-safe shape
     owners_pd = (
         ds.map_batches(para_partial, batch_format="pyarrow")
         .groupby("h")
         .aggregate(Min("k", alias_name="k"), Sum("c", alias_name="c"))
+        .map_batches(lambda b: b.filter(
+            pa.compute.greater(b["c"], 1)), batch_format="pyarrow")
         .to_pandas()
     )
-    # ONLY duplicated paragraphs need owner entries (unique ones always
-    # keep), so the broadcast is the boilerplate set, not the corpus's
-    # full paragraph vocabulary — the 100-TB-safe shape
-    owners_pd = owners_pd[owners_pd["c"] > 1]
     owner_ref = ray.put(dict(zip(owners_pd["h"], owners_pd["k"])))
 
     def rewrite(batch: pa.Table) -> pa.Table:

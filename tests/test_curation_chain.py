@@ -211,3 +211,28 @@ def test_chain_pack_terminal(ray_session, corpus):
 
     with pytest.raises(ValueError, match="LAST"):
         curation_pipeline(corpus, ["pack", "redact"])
+
+
+def test_chain_perplexity_actor_pool(ray_session, corpus):
+    """The stateful perplexity step keeps exactly the docs whose
+    stupid-backoff log-ppl under the reference LM is <= the cutoff —
+    cross-checked against perplexity_buckets' scores on the same LM."""
+    from lucene_solr_old_ray.stages.curation import perplexity_buckets
+
+    model_texts = [r[1] for r in DOCS if r[0] in (0, 3)]
+    scored = perplexity_buckets(
+        corpus, model_texts=model_texts).to_pandas().set_index("doc_id")
+    cut = float(scored.log_ppl.median())
+    want = sorted(scored[scored.log_ppl <= cut].index.tolist())
+
+    got = curation_pipeline(corpus, [
+        ("perplexity", {"model_texts": model_texts, "max_log_ppl": cut,
+                        "concurrency": 2}),
+    ]).to_pandas()
+    assert got.doc_id.tolist() == want
+
+    with pytest.raises(ValueError, match="model_texts"):
+        curation_pipeline(corpus, [("perplexity", {"max_log_ppl": 1.0})])
+    with pytest.raises(ValueError, match="max_log_ppl"):
+        curation_pipeline(corpus,
+                          [("perplexity", {"model_texts": model_texts})])
