@@ -49,6 +49,21 @@ def parse_with(parser_spec: str, query: str):
     raise SystemExit(f"unknown parser {parser_spec!r}")
 
 
+def _parse_rates(specs) -> dict:
+    """Parse repeated GROUP=R flags with clean errors (shared by the mix
+    and pipeline subcommands)."""
+    rates = {}
+    for spec in specs:
+        g, sep, r = spec.rpartition("=")
+        if not sep or not g:
+            raise SystemExit(f"--rate expects GROUP=R, got {spec!r}")
+        try:
+            rates[g] = float(r)
+        except ValueError:
+            raise SystemExit(f"--rate {spec!r}: {r!r} is not a number")
+    return rates
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lucene_solr_old_ray")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -408,10 +423,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "mix":
         from .stages.mix import sample_mix
 
-        rates = {}
-        for spec in args.rate:
-            g, _, r = spec.rpartition("=")
-            rates[g] = float(r)
+        rates = _parse_rates(args.rate)
         t = sample_mix(args.sf_dir, rates, group_col=args.group_col,
                        default_rate=args.default_rate, seed=args.seed,
                        write_to=args.out)
@@ -425,10 +437,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "pipeline":
         from .stages.curation_chain import curation_pipeline
 
-        rates = {}
-        for spec in args.rate:
-            g, _, r = spec.rpartition("=")
-            rates[g] = float(r)
+        rates = _parse_rates(args.rate)
         steps = []
         for name in [x.strip() for x in args.steps.split(",") if x.strip()]:
             if name == "mix":
@@ -443,6 +452,9 @@ def main(argv: list[str] | None = None) -> int:
                 steps.append(("decontam", {"eval_texts": args.eval_path,
                                            "window": args.window}))
             elif name == "license":
+                if not args.allow_license:
+                    raise SystemExit("--allow-license is required for "
+                                     "the license step")
                 steps.append(("license", {"allow": args.allow_license}))
             elif name == "pack":
                 steps.append(("pack", {"seq_len": args.seq_len}))

@@ -1561,7 +1561,10 @@ def decontam_flags_sql(window: int = 13, eval_mod: int = 97) -> str:
     contaminated iff ANY of its ``window``-token runs appears in the eval
     set's run set; ``dirty_windows`` counts every corpus window INSTANCE
     that hits (duplicates in one doc each count, engine value_counts
-    semantics). The engine compares double-64-bit window hashes; the
+    semantics). NOTE: RE2's \\s is ASCII-only while the engine splits on
+    Unicode whitespace — the oracle (like every oracle in this module) is
+    exact for the ASCII-whitespace testdata corpora; a corpus with NBSP /
+    vertical-tab separators would need a Unicode-class token regex here. The engine compares double-64-bit window hashes; the
     oracle compares the window STRINGS — identical up to a ~2^-128
     collision."""
     w1 = window - 1
@@ -1620,13 +1623,22 @@ def mix_sample_sql(rates: dict[str, float], default_rate: float,
     """Oracle for stages/mix.py::sample_mix — keep a doc iff
     splitmix64(doc_id ^ seed) / 2^64 < rate[group] (strict <, float64
     division, round-to-nearest uint64->double cast on both sides)."""
-    case = " ".join(
-        f"WHEN '{g}' THEN CAST({r!r} AS DOUBLE)" for g, r in rates.items())
+    if rates:
+        case = " ".join(
+            f"WHEN '{g}' THEN CAST({r!r} AS DOUBLE)"
+            for g, r in rates.items())
+        r_expr = (f"(CASE {group_col} {case} "
+                  f"ELSE CAST({default_rate!r} AS DOUBLE) END)")
+    else:
+        r_expr = f"CAST({default_rate!r} AS DOUBLE)"
     return f"""
-WITH {_splitmix64_ctes(seed)}
-SELECT doc_id, {group_col}, text FROM sm
-WHERE CAST(h AS DOUBLE) / 18446744073709551616.0 <
-      (CASE {group_col} {case} ELSE CAST({default_rate!r} AS DOUBLE) END)
+WITH {_splitmix64_ctes(seed)},
+rated AS (
+  SELECT doc_id, {group_col}, text, h, {r_expr} AS r
+  FROM sm
+)
+SELECT doc_id, {group_col}, text FROM rated
+WHERE r >= 1.0 OR CAST(h AS DOUBLE) / 18446744073709551616.0 < r
 ORDER BY doc_id"""
 
 
@@ -1640,7 +1652,9 @@ def paragraph_dedup_sql(boiler_a: str, boiler_b: str,
     is shorter than min_chars never dedup; otherwise the lowest
     (doc_id*100000 + 0-based index) occurrence keeps, the rest drop.
     The engine groups by sha256 of the stripped block; the oracle groups
-    by the stripped block string itself — same partition."""
+    by the stripped block string itself — same partition. trim() covers
+    the six ASCII whitespace chars (exact for the testdata corpora; the
+    engine's str.strip() also strips Unicode whitespace)."""
     ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     nn = "chr(10) || chr(10)"
     return f"""

@@ -231,6 +231,11 @@ def _dedup_from_staged(stage_dir: str):
             pa.compute.greater(b["c"], 1)), batch_format="pyarrow")
         .to_pandas()
     )
+    if owners.empty:
+        # no duplicated content (or upstream filtered everything):
+        # dedup is a no-op over the staged stream — an empty aggregate
+        # frame carries no columns, so guard before the zip
+        return ds
     owner_ref = ray.put(dict(zip(owners["h"], owners["doc_id"])))
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -292,8 +297,25 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
         raise ValueError("pack must be the LAST step (it changes the "
                          "output schema from documents to the plan)")
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang", "source"])
+    # read doc_id+text plus whatever optional meta columns the file has
+    # (mix needs its group_col; lang/source pass through when present —
+    # a (doc_id, text)-only corpus is valid for every other step)
+    import pyarrow.parquet as _pq
+
+    path = f"{sf_dir}/documents.parquet"
+    have = set(_pq.read_schema(path).names)
+    cols = [c for c in ("doc_id", "text", "lang", "source") if c in have]
+    for name, params in norm:
+        if name == "mix":
+            gc = params.get("group_col", "source")
+            if gc not in have:
+                raise ValueError(f"mix group_col {gc!r} not in corpus "
+                                 f"columns {sorted(have)}")
+            if gc not in cols:
+                cols.append(gc)
+    if not {"doc_id", "text"} <= have:
+        raise ValueError("corpus needs doc_id and text columns")
+    ds = ray.data.read_parquet(path, columns=cols)
     applied = []
     for name, params in norm:
         if name == "dedup":
@@ -301,11 +323,15 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
 
             # SIBLING of write_to, never inside it: the final sink's
             # deterministic overwrite clears write_to while the staged
-            # files are still the lazy chain's upstream
+            # files are still the lazy chain's upstream. The /tmp
+            # fallback is pid-suffixed so concurrent chains over the
+            # same corpus cannot clobber each other's staged files.
             stage = stage_dir or (
                 write_to.rstrip("/") + ".stage_prededup" if write_to
-                else os.path.join("/tmp/lsor_chain_stage",
-                                  sf_dir.strip("/").replace("/", "_")))
+                else os.path.join(
+                    "/tmp/lsor_chain_stage",
+                    f"{sf_dir.strip('/').replace('/', '_')}-"
+                    f"{os.getpid()}"))
             write_results(ds, stage)
             ds = _dedup_from_staged(stage)
         elif name == "pack":

@@ -40,10 +40,12 @@ def _mix_keep_batch(batch: pa.Table, rates: dict, group_col: str,
     d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     groups = pd.Series(batch[group_col].to_pylist())
     r = groups.map(rates).fillna(default_rate).to_numpy(dtype=np.float64)
-    # threshold in uint64 space; rate==1.0 keeps unconditionally
-    # (2^64 overflows uint64, so compare against the float domain)
+    # compare in the float domain (2^64 overflows uint64); hashes within
+    # ~2^10 of 2^64 round to u == 1.0, so rate >= 1.0 must short-circuit
+    # to honor the "rate 1.0 keeps unconditionally" contract (the SQL
+    # twin, sqlgen.mix_sample_sql, applies the same OR)
     u = _mix_hash(d, seed).astype(np.float64) / float(2 ** 64)
-    return batch.filter(pa.array(u < r))
+    return batch.filter(pa.array((r >= 1.0) | (u < r)))
 
 
 def sample_mix(sf_dir: str, rates: dict[str, float], group_col: str = "source",

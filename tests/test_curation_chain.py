@@ -236,3 +236,75 @@ def test_chain_perplexity_actor_pool(ray_session, corpus):
     with pytest.raises(ValueError, match="max_log_ppl"):
         curation_pipeline(corpus,
                           [("perplexity", {"model_texts": model_texts})])
+
+
+def test_chain_empty_after_filters_no_crash(ray_session, corpus, tmp_path):
+    """A chain whose upstream filters drop every row must flow an empty
+    result through dedup (and the sink), not crash on the empty owners
+    frame."""
+    out = str(tmp_path / "empty_out")
+    summary = curation_pipeline(corpus, [
+        ("mix", {"rates": {}, "default_rate": 0.0}),
+        "dedup",
+    ], write_to=out).to_pandas()
+    assert int(summary.rows_written[0]) == 0
+
+
+def test_chain_minimal_schema_corpus(ray_session, tmp_path):
+    """A (doc_id, text)-only corpus is valid for every step except mix,
+    whose missing group_col must raise a clean error."""
+    d = str(tmp_path / "mini")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["contact dev@example.com now", "plain"],
+                         pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = curation_pipeline(d, ["redact"]).to_pandas()
+    assert got.doc_id.tolist() == [0, 1]
+    assert "<EMAIL>" in got.text[0]
+    with pytest.raises(ValueError, match="group_col"):
+        curation_pipeline(d, [("mix", {"rates": {"x": 0.5}})])
+
+
+def test_mix_rate_one_keeps_unconditionally(ray_session):
+    """doc_id 3558559446808474027 hashes to 2^64-1 under seed 0, which
+    rounds to u == 1.0 in float64 — rate 1.0 must still keep it (the
+    short-circuit contract), and the SQL twin applies the same OR."""
+    import numpy as np
+
+    from lucene_solr_old_ray.stages.mix import _mix_hash, _mix_keep_batch
+
+    edge = 3558559446808474027
+    assert _mix_hash(np.array([edge]), 0)[0] == np.uint64(2**64 - 1)
+    batch = pa.table({"doc_id": pa.array([edge], pa.int64()),
+                      "source": pa.array(["s"], pa.string()),
+                      "text": pa.array(["x"], pa.string())})
+    kept = _mix_keep_batch(batch, {}, "source", 1.0, 0)
+    assert kept.num_rows == 1
+    dropped = _mix_keep_batch(batch, {}, "source", 0.999999, 0)
+    assert dropped.num_rows == 0
+    # SQL twin parity on the same edge row
+    import duckdb
+
+    from lucene_solr_old_ray import sqlgen as g
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT "
+                f"CAST({edge} AS BIGINT) AS doc_id, 's' AS source, "
+                "'x' AS text")
+    assert len(con.execute(g.mix_sample_sql({}, 1.0, 0)).fetchall()) == 1
+    assert len(con.execute(
+        g.mix_sample_sql({}, 0.999999, 0)).fetchall()) == 0
+
+
+def test_cli_rate_parsing_errors():
+    from lucene_solr_old_ray.cli import _parse_rates
+
+    assert _parse_rates(["a=0.5", "b=1"]) == {"a": 0.5, "b": 1.0}
+    with pytest.raises(SystemExit, match="GROUP=R"):
+        _parse_rates(["src0"])
+    with pytest.raises(SystemExit, match="GROUP=R"):
+        _parse_rates(["=0.5"])
+    with pytest.raises(SystemExit, match="not a number"):
+        _parse_rates(["a=fast"])
