@@ -220,8 +220,15 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--sf-dir", required=True)
     pl.add_argument("--steps", required=True,
                     help="ordered comma list from: extract_html,c4,gopher,"
-                         "license,redact,decontam,perplexity,dedup,mix,"
+                         "license,redact,decontam,perplexity,dedup,"
+                         "near_dedup,paragraph_dedup,substring_dedup,mix,"
                          "pack (pack must be last)")
+    pl.add_argument("--threshold", type=float, default=0.95,
+                    help="near_dedup step Jaccard threshold")
+    pl.add_argument("--min-chars", type=int, default=20,
+                    help="paragraph_dedup step minimum paragraph chars")
+    pl.add_argument("--ssd-window", type=int, default=50,
+                    help="substring_dedup step token window")
     pl.add_argument("--rate", action="append", default=[],
                     metavar="GROUP=R", help="mix step keep rate (repeat)")
     pl.add_argument("--group-col", default="source")
@@ -458,6 +465,15 @@ def main(argv: list[str] | None = None) -> int:
                 steps.append(("license", {"allow": args.allow_license}))
             elif name == "pack":
                 steps.append(("pack", {"seq_len": args.seq_len}))
+            elif name == "near_dedup":
+                steps.append(("near_dedup",
+                              {"threshold": args.threshold}))
+            elif name == "paragraph_dedup":
+                steps.append(("paragraph_dedup",
+                              {"min_chars": args.min_chars}))
+            elif name == "substring_dedup":
+                steps.append(("substring_dedup",
+                              {"window": args.ssd_window}))
             elif name == "perplexity":
                 if not args.model_path or args.max_log_ppl is None:
                     raise SystemExit("--model and --max-log-ppl are "

@@ -5,13 +5,15 @@ Ray Data pipeline instead of N separate jobs each re-reading the corpus.
 
 Every per-document step fuses into the same streaming flow (one
 ``map_batches`` chain, no intermediate materialization, rows that any
-step drops never reach the next step's compute).  The one corpus-wide
-step — exact dedup — is a genuine pipeline breaker (its keep-first rule
-needs the global hash → min-doc owner map), so the chain lands the
-surviving stream at a durable Parquet STAGE BOUNDARY first (partitioned,
-resumable — the checkpoint shape a multi-day 100-TB run needs anyway),
-then dedups from the staged files: the groupby's second pass re-reads
-the (already heavily filtered) staged corpus, never the raw input.
+step drops never reach the next step's compute).  The corpus-wide steps
+— exact dedup, MinHash near-dedup, paragraph dedup, substring dedup —
+are genuine pipeline breakers (each needs a global owner/pair pass over
+the surviving stream before it can filter or rewrite it), so the chain
+lands the surviving stream at a durable Parquet STAGE BOUNDARY first
+(partitioned, resumable — the checkpoint shape a multi-day 100-TB run
+needs anyway), then continues from the staged files: the global pass
+re-reads the (already heavily filtered) staged corpus, never the raw
+input.
 
 Step semantics re-use the exact batch cores of the standalone passes
 (`stages/curation.py`, `stages/mix.py`, `stages/dedup.py`), so a chained
@@ -24,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -38,14 +41,29 @@ from .curation import (
     _pii_scrub_batch,
     lm_from_texts,
 )
-from .dedup import _decontam_mark_batch, _eval_window_ref
+from .dedup import (
+    _decontam_mark_batch,
+    _eval_window_ref,
+    _para_owner_ref,
+    _para_rewrite_doc,
+    _ssd_owner_ref,
+    _ssd_rewrite_core,
+    minhash_lsh_pairs,
+)
 from .mix import _mix_keep_batch, pack_plan_ds
 
 # step registry: name -> (builder, doc). Builders return a Dataset
 # transformer fn(ds, params) -> ds; the running schema is always
 # (doc_id, text, lang, source).
 KNOWN_STEPS = ("extract_html", "c4", "gopher", "license", "redact",
-               "decontam", "perplexity", "dedup", "mix", "pack")
+               "decontam", "perplexity", "dedup", "near_dedup",
+               "paragraph_dedup", "substring_dedup", "mix", "pack")
+
+# corpus-wide steps: each needs a global pass over the surviving stream
+# before it can rewrite/filter it, so each stages the stream to a durable
+# Parquet boundary first and continues from the staged files
+BREAKER_STEPS = ("dedup", "near_dedup", "paragraph_dedup",
+                 "substring_dedup")
 
 
 def _replace_text(batch: pa.Table, new_text: pa.Array) -> pa.Table:
@@ -252,6 +270,92 @@ def _dedup_from_staged(stage_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _near_dedup_from_staged(stage_dir: str, params: dict):
+    """MinHash-LSH near-dedup over a staged Parquet directory: verified
+    near-dup pairs (LSH candidates + exact-Jaccard verify, the
+    `minhash_lsh_pairs` machinery reading the STAGED files) drop the
+    larger doc_id of every pair — the standard aggressive keep-lowest
+    rule (a transitive chain a~b~c drops both b and c even if a!~c).
+    The drop set is bounded by near-duplicate content and broadcasts
+    once; the keep filter streams."""
+    threshold = float(params.get("threshold", 0.95))
+    pairs = minhash_lsh_pairs(stage_dir,
+                              threshold=threshold,
+                              n_perm=int(params.get("n_perm", 128)),
+                              bands=int(params.get("bands", 16)))
+    ds = ray.data.read_parquet(stage_dir)
+    drop = np.unique(pairs["doc_b"].to_numpy())
+    if len(drop) == 0:
+        return ds
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        dr = ray.get(drop_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(dr, d)
+        hit = (idx < len(dr)) & (dr[np.minimum(idx, len(dr) - 1)] == d)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _paragraph_dedup_from_staged(stage_dir: str, params: dict):
+    """Keep-first paragraph-level exact dedup over a staged directory:
+    duplicated-paragraph owners from one combiner+groupby pass over the
+    staged files, then an in-place text rewrite that preserves the
+    chain's running schema (docs stay; boilerplate paragraphs drop from
+    all but their first (doc, index) occurrence)."""
+    min_chars = int(params.get("min_chars", 20))
+    owner_ref = _para_owner_ref(
+        ray.data.read_parquet(stage_dir, columns=["doc_id", "text"]),
+        min_chars)
+    ds = ray.data.read_parquet(stage_dir)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        owners = ray.get(owner_ref)
+        texts = [
+            _para_rewrite_doc(d, t, owners, min_chars)[0]
+            for d, t in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist())]
+        return _replace_text(batch, pa.array(texts, pa.string()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _substring_dedup_from_staged(stage_dir: str, params: dict):
+    """Keep-first exact substring dedup (Lee et al. 2021 lineage) over a
+    staged directory: duplicated >= ``window``-token runs drop from all
+    but their first (doc, start) occurrence; in-place text rewrite
+    (kept tokens rejoin with single spaces), schema preserved."""
+    window = int(params.get("window", 50))
+    if window < 2:
+        raise ValueError("substring_dedup window must be >= 2 tokens")
+    owner_ref = _ssd_owner_ref(
+        ray.data.read_parquet(stage_dir, columns=["doc_id", "text"]),
+        window)
+    ds = ray.data.read_parquet(stage_dir)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        owners = ray.get(owner_ref)
+        _, kept, _, _ = _ssd_rewrite_core(batch, owners, window)
+        return _replace_text(batch, pa.array(kept, pa.string()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+_BREAKERS_FROM_STAGED = {
+    "dedup": lambda stage, params: _dedup_from_staged(stage),
+    "near_dedup": _near_dedup_from_staged,
+    "paragraph_dedup": _paragraph_dedup_from_staged,
+    "substring_dedup": _substring_dedup_from_staged,
+}
+
 _STEP_BUILDERS = {
     "extract_html": _step_extract_html,
     "c4": _step_c4,
@@ -270,15 +374,18 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
 
     ``steps`` is an ordered list of step names or ``(name, params)``
     pairs from: extract_html, c4, gopher, license, redact, decontam,
-    perplexity, dedup, mix, pack (any subset, any order; ``dedup`` may
-    appear once;
+    perplexity, dedup, near_dedup, paragraph_dedup, substring_dedup,
+    mix, pack (any subset, any order; each corpus-wide dedup step may
+    appear at most once;
     ``pack`` must be last — it turns the surviving documents into the
     sequence-packing PLAN, the curate→pack preprocessing endgame).
-    Per-document steps fuse into one streaming pass; ``dedup`` stages the
-    surviving stream to partitioned Parquet first (``stage_dir``,
-    default ``<write_to>.stage_prededup`` — a sibling, never inside
-    ``write_to`` — or a /tmp dir), then continues from the staged
-    files.
+    Per-document steps fuse into one streaming pass; the corpus-wide
+    steps (dedup = doc-level exact, near_dedup = MinHash-LSH keep-lowest,
+    paragraph_dedup / substring_dedup = in-place boilerplate removal)
+    each stage the surviving stream to partitioned Parquet first
+    (``stage_dir``, default ``<write_to>.stage_prededup`` — a sibling,
+    never inside ``write_to`` — or a /tmp dir; later breaker occurrences
+    get a ``.<i>_<name>`` suffix), then continue from the staged files.
 
     With ``write_to``: survivors stream to partitioned Parquet and a
     1-row summary returns (rows_written, out_dir, steps).  Without:
@@ -291,8 +398,9 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
         if name not in KNOWN_STEPS:
             raise ValueError(f"unknown step {name!r}; known: {KNOWN_STEPS}")
         norm.append((name, dict(params or {})))
-    if sum(1 for n, _ in norm if n == "dedup") > 1:
-        raise ValueError("dedup may appear at most once")
+    for br in BREAKER_STEPS:
+        if sum(1 for n, _ in norm if n == br) > 1:
+            raise ValueError(f"{br} may appear at most once")
     if any(n == "pack" for n, _ in norm[:-1]):
         raise ValueError("pack must be the LAST step (it changes the "
                          "output schema from documents to the plan)")
@@ -317,8 +425,9 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
         raise ValueError("corpus needs doc_id and text columns")
     ds = ray.data.read_parquet(path, columns=cols)
     applied = []
+    breaker_i = 0
     for name, params in norm:
-        if name == "dedup":
+        if name in BREAKER_STEPS:
             from ..pipelines.sink import write_results
 
             # SIBLING of write_to, never inside it: the final sink's
@@ -332,8 +441,13 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
                     "/tmp/lsor_chain_stage",
                     f"{sf_dir.strip('/').replace('/', '_')}-"
                     f"{os.getpid()}"))
+            if breaker_i > 0:
+                # each breaker occurrence needs its own boundary — the
+                # previous staged files are still the lazy upstream
+                stage = f"{stage}.{breaker_i}_{name}"
+            breaker_i += 1
             write_results(ds, stage)
-            ds = _dedup_from_staged(stage)
+            ds = _BREAKERS_FROM_STAGED[name](stage, params)
         elif name == "pack":
             ds = pack_plan_ds(ds, int(params.get("seq_len", 2048)),
                               eod_tokens=int(params.get("eod_tokens", 1)),

@@ -50,13 +50,25 @@ _SHINGLE_SEED = np.uint64(0x9E3779B97F4A7C15)
 _SHINGLE_PRIME = np.uint64(0x100000001B3)
 
 
+def _docs_path(sf_dir: str) -> str:
+    """Resolve a corpus argument to what ``ray.data.read_parquet`` reads:
+    an sf testdata dir (containing ``documents.parquet``), or — for the
+    composed curation chain's staged boundaries — a directory of Parquet
+    part files (or one explicit ``.parquet`` path), any of which carries
+    (doc_id, text, ...) rows."""
+    import os
+
+    p = f"{sf_dir}/documents.parquet"
+    return p if os.path.isfile(p) else sf_dir
+
+
 def exact_dedup(sf_dir: str, write_to: str | None = None) -> pa.Table:
     """Keep-first per distinct text -> (doc_id=min over group, dup_count).
     ``write_to`` switches to the production shape: survivors stream to
     partitioned Parquet from the workers, a 1-row summary returns."""
     from ray.data.aggregate import Min, Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def hash_partial(batch: pa.Table) -> pa.Table:
@@ -173,7 +185,7 @@ def _verify_pairs_ds(
         vectorized (group-local bitmask + popcount when the group vocabulary
         is small, sorted-array intersects otherwise).
     The driver sees nothing bigger than the verified output."""
-    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    corpus = ray.data.read_parquet(_docs_path(sf_dir),
                                    columns=["doc_id", "text"])
 
     # dedupe candidate pairs ONCE (cross-band duplicates collapse here) and
@@ -416,7 +428,7 @@ def _prefix_filtered_pairs(
     output pairs."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def inst_rows(batch: pa.Table) -> pd.DataFrame:
@@ -520,7 +532,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     :func:`minhash_lsh_pairs`."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     # pass 1: global vocabulary (per-batch partial uniques -> driver union)
@@ -599,7 +611,7 @@ def jaccard_pairs_inverted(
     if prefix_filter:
         return _prefix_filtered_pairs(sf_dir, threshold, shingle_n=None)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -783,7 +795,7 @@ def minhash_lsh_pairs(
     import ray
 
     a, b = _perm_params(n_perm)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def sig_rows(batch: pa.Table) -> pa.Table:
@@ -899,7 +911,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     import ray
 
     pairs = jaccard_pairs_inverted(sf_dir, threshold=threshold)
-    corpus_ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    corpus_ids = ray.data.read_parquet(_docs_path(sf_dir),
                                        columns=["doc_id"])
     if pairs.num_rows == 0:
         out = corpus_ids.to_pandas().sort_values("doc_id")
@@ -1150,6 +1162,69 @@ def embedding_dedup_pairs(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _para_partial_batch(batch: pa.Table, min_chars: int) -> pa.Table:
+    """Per-batch paragraph-hash combiner: one (hash, min key, count) row
+    per distinct long-enough paragraph in the batch (key packs
+    (doc_id, paragraph index))."""
+    rows_h: list[str] = []
+    rows_key: list[int] = []
+    for d, t in zip(batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist()):
+        for i, p in enumerate((t or "").split("\n\n")):
+            if len(p.strip()) < min_chars:
+                continue
+            rows_h.append(
+                hashlib.sha256(p.strip().encode()).hexdigest())
+            rows_key.append(int(d) * 100_000 + i)
+    df = pd.DataFrame({"h": rows_h, "k": rows_key})
+    g = df.groupby("h", as_index=False).agg(k=("k", "min"),
+                                            c=("k", "size"))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def _para_owner_ref(ds, min_chars: int):
+    """First-occurrence owner map for DUPLICATED paragraphs only
+    (hash -> packed (doc_id, index) key), broadcast via ``ray.put``.
+    The c>1 filter runs DATASET-side, so the driver pull and the
+    broadcast hold only the boilerplate set, never the corpus's full
+    paragraph vocabulary."""
+    from ray.data.aggregate import Min, Sum
+
+    owners_pd = (
+        ds.map_batches(lambda b: _para_partial_batch(b, min_chars),
+                       batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("k", alias_name="k"), Sum("c", alias_name="c"))
+        .map_batches(lambda b: b.filter(
+            pa.compute.greater(b["c"], 1)), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if owners_pd.empty or "h" not in owners_pd.columns:
+        # no duplicated paragraphs anywhere (an empty aggregate frame
+        # carries no columns): every doc keeps all its paragraphs
+        return ray.put({})
+    return ray.put(dict(zip(owners_pd["h"], owners_pd["k"])))
+
+
+def _para_rewrite_doc(doc_id: int, text: str, owners: dict,
+                      min_chars: int) -> tuple[str, int]:
+    """Keep-first paragraph rewrite of one doc -> (kept_text, dropped)."""
+    kept: list[str] = []
+    dropped = 0
+    for i, p in enumerate((text or "").split("\n\n")):
+        s = p.strip()
+        if len(s) < min_chars:
+            kept.append(p)
+            continue
+        h = hashlib.sha256(s.encode()).hexdigest()
+        own = owners.get(h)
+        if own is None or own == int(doc_id) * 100_000 + i:
+            kept.append(p)
+        else:
+            dropped += 1
+    return "\n\n".join(kept), dropped
+
+
 def paragraph_dedup(sf_dir: str, min_chars: int = 20,
                     write_to: str | None = None) -> pa.Table:
     """Paragraph-level exact dedup — the C4/RefinedWeb-style pass that
@@ -1168,63 +1243,18 @@ def paragraph_dedup(sf_dir: str, min_chars: int = 20,
     owner table (hash -> first (doc, idx)) broadcasts back for the
     rewrite pass — same two-step shape as exact_dedup, nothing
     corpus-sized on the driver. -> (doc_id, kept_text, dropped_paras)."""
-    from ray.data.aggregate import Min
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
-
-    def para_partial(batch: pa.Table) -> pa.Table:
-        rows_h: list[str] = []
-        rows_key: list[int] = []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            for i, p in enumerate((t or "").split("\n\n")):
-                if len(p.strip()) < min_chars:
-                    continue
-                rows_h.append(
-                    hashlib.sha256(p.strip().encode()).hexdigest())
-                rows_key.append(int(d) * 100_000 + i)
-        df = pd.DataFrame({"h": rows_h, "k": rows_key})
-        g = df.groupby("h", as_index=False).agg(k=("k", "min"),
-                                                c=("k", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    from ray.data.aggregate import Sum
-
-    # ONLY duplicated paragraphs need owner entries (unique ones always
-    # keep): the c>1 filter runs DATASET-side, so the driver pull and the
-    # broadcast are the boilerplate set, not the corpus's full paragraph
-    # vocabulary — the 100-TB-safe shape
-    owners_pd = (
-        ds.map_batches(para_partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("k", alias_name="k"), Sum("c", alias_name="c"))
-        .map_batches(lambda b: b.filter(
-            pa.compute.greater(b["c"], 1)), batch_format="pyarrow")
-        .to_pandas()
-    )
-    owner_ref = ray.put(dict(zip(owners_pd["h"], owners_pd["k"])))
+    owner_ref = _para_owner_ref(ds, min_chars)
 
     def rewrite(batch: pa.Table) -> pa.Table:
         owners = ray.get(owner_ref)
         out_rows = []
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
-            kept: list[str] = []
-            dropped = 0
-            for i, p in enumerate((t or "").split("\n\n")):
-                s = p.strip()
-                if len(s) < min_chars:
-                    kept.append(p)
-                    continue
-                h = hashlib.sha256(s.encode()).hexdigest()
-                own = owners.get(h)
-                if own is None or own == int(d) * 100_000 + i:
-                    kept.append(p)
-                else:
-                    dropped += 1
+            kept_text, dropped = _para_rewrite_doc(d, t, owners, min_chars)
             out_rows.append({"doc_id": int(d),
-                             "kept_text": "\n\n".join(kept),
+                             "kept_text": kept_text,
                              "dropped_paras": dropped})
         return pa.Table.from_pandas(pd.DataFrame(out_rows),
                                     preserve_index=False)
@@ -1327,6 +1357,79 @@ def _ssd_batch_windows(batch: pa.Table, window: int):
             counts, tok_lists)
 
 
+def _ssd_owner_ref(ds, window: int):
+    """First-occurrence owner frame for DUPLICATED token windows only
+    ((w1, w2) double-hash -> packed min (doc_id, start) key), broadcast
+    via ``ray.put``; the c>1 cut bounds it by duplicated content."""
+    from ray.data.aggregate import Min, Sum
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        d, s, w1, w2, _, _ = _ssd_batch_windows(batch, window)
+        df = pd.DataFrame({"w1": w1, "w2": w2,
+                           "k": d * _SSD_KEYBASE + s})
+        g = df.groupby(["w1", "w2"], as_index=False).agg(
+            k=("k", "min"), c=("k", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    owners_pd = (
+        ds.map_batches(win_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Min("k", alias_name="k"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    if owners_pd.empty or "w1" not in owners_pd.columns:
+        owners_pd = pd.DataFrame({"w1": pd.Series([], dtype="int64"),
+                                  "w2": pd.Series([], dtype="int64"),
+                                  "k": pd.Series([], dtype="int64")})
+    else:
+        owners_pd = owners_pd[owners_pd["c"] > 1][["w1", "w2", "k"]]
+    return ray.put(owners_pd.reset_index(drop=True))
+
+
+def _ssd_rewrite_batch_marks(batch: pa.Table, owners: pd.DataFrame,
+                             window: int):
+    """Non-owner duplicated-window occurrences of a batch -> per-doc
+    removal marks. Returns (docs, tok_lists, hs, hrow): window starts
+    ``hs`` to remove, each attributed to batch row ``hrow``."""
+    d, s, w1, w2, _, tok_lists = _ssd_batch_windows(batch, window)
+    wins = pd.DataFrame({"w1": w1, "w2": w2, "d": d, "s": s})
+    hit = wins.merge(owners, on=["w1", "w2"], how="inner")
+    # non-owner occurrences mark their token range for removal
+    hit = hit[hit["d"] * _SSD_KEYBASE + hit["s"] != hit["k"]]
+    docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = pd.Series(np.arange(len(docs)), index=docs)
+    hs = hit["s"].to_numpy()
+    hrow = (row_of[hit["d"].to_numpy()].to_numpy() if len(hit)
+            else np.empty(0, dtype=np.int64))
+    return docs, tok_lists, hs, hrow
+
+
+def _ssd_rewrite_core(batch: pa.Table, owners: pd.DataFrame, window: int):
+    """Keep-first window rewrite of a batch -> (doc_ids, kept_texts,
+    dropped_token_counts, dup_window_counts); kept tokens rejoin with
+    single spaces (token-level op)."""
+    docs, tok_lists, hs, hrow = _ssd_rewrite_batch_marks(
+        batch, owners, window)
+    kept_texts: list[str] = []
+    dropped = np.zeros(len(docs), dtype=np.int64)
+    dupw = np.zeros(len(docs), dtype=np.int64)
+    for r, toks in enumerate(tok_lists):
+        nt = len(toks)
+        mine = hs[hrow == r]
+        if len(mine):
+            diff = np.zeros(nt + 1, dtype=np.int64)
+            np.add.at(diff, mine, 1)
+            np.add.at(diff, np.minimum(mine + window, nt), -1)
+            drop = np.cumsum(diff[:-1]) > 0
+            kept_texts.append(" ".join(
+                t for t, dd in zip(toks, drop) if not dd))
+            dropped[r] = int(drop.sum())
+            dupw[r] = len(mine)
+        else:
+            kept_texts.append(" ".join(toks))
+    return docs, kept_texts, dropped, dupw
+
+
 def substring_dedup(sf_dir: str, window: int = 50,
                     write_to: str | None = None) -> pa.Table:
     """Corpus-wide EXACT substring dedup — every duplicated run of
@@ -1356,65 +1459,17 @@ def substring_dedup(sf_dir: str, window: int = 50,
     1-row footer-counted summary returns."""
     if window < 2:
         raise ValueError("window must be >= 2 tokens")
-    from ray.data.aggregate import Min, Sum
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
-
-    def win_partial(batch: pa.Table) -> pa.Table:
-        d, s, w1, w2, _, _ = _ssd_batch_windows(batch, window)
-        df = pd.DataFrame({"w1": w1, "w2": w2,
-                           "k": d * _SSD_KEYBASE + s})
-        g = df.groupby(["w1", "w2"], as_index=False).agg(
-            k=("k", "min"), c=("k", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    owners_pd = (
-        ds.map_batches(win_partial, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(Min("k", alias_name="k"), Sum("c", alias_name="c"))
-        .to_pandas()
-    )
-    # only duplicated windows need owner entries — the broadcast is the
-    # duplicated-content set, never the corpus's window vocabulary
-    owners_pd = owners_pd[owners_pd["c"] > 1][["w1", "w2", "k"]]
-    owner_ref = ray.put(owners_pd.reset_index(drop=True))
+    owner_ref = _ssd_owner_ref(ds, window)
 
     def rewrite(batch: pa.Table) -> pa.Table:
         owners = ray.get(owner_ref)
-        d, s, w1, w2, counts, tok_lists = _ssd_batch_windows(batch, window)
-        wins = pd.DataFrame({"w1": w1, "w2": w2, "d": d, "s": s})
-        hit = wins.merge(owners, on=["w1", "w2"], how="inner")
-        # non-owner occurrences mark their token range for removal
-        hit = hit[hit["d"] * _SSD_KEYBASE + hit["s"] != hit["k"]]
-        docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        row_of = pd.Series(np.arange(len(docs)), index=docs)
-        rows_out = []
-        hd = hit["d"].to_numpy()
-        hs = hit["s"].to_numpy()
-        hrow = row_of[hd].to_numpy() if len(hit) else np.empty(
-            0, dtype=np.int64)
-        for r, (doc, toks) in enumerate(zip(docs, tok_lists)):
-            nt = len(toks)
-            mine = hs[hrow == r]
-            if len(mine):
-                diff = np.zeros(nt + 1, dtype=np.int64)
-                np.add.at(diff, mine, 1)
-                np.add.at(diff, np.minimum(mine + window, nt), -1)
-                drop = np.cumsum(diff[:-1]) > 0
-                kept = [t for t, dd in zip(toks, drop) if not dd]
-                rows_out.append({"doc_id": int(doc),
-                                 "kept_text": " ".join(kept),
-                                 "dropped_tokens": int(drop.sum()),
-                                 "dup_windows": int(len(mine))})
-            else:
-                rows_out.append({"doc_id": int(doc),
-                                 "kept_text": " ".join(toks),
-                                 "dropped_tokens": 0,
-                                 "dup_windows": 0})
-        return pa.Table.from_pandas(pd.DataFrame(rows_out),
-                                    preserve_index=False)
+        docs, kept, dropped, dupw = _ssd_rewrite_core(batch, owners, window)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": docs, "kept_text": kept,
+                          "dropped_tokens": dropped, "dup_windows": dupw}),
+            preserve_index=False)
 
     res = ds.map_batches(rewrite, batch_format="pyarrow")
     if write_to is not None:
@@ -1494,7 +1549,7 @@ def decontaminate(sf_dir: str, eval_texts, window: int = 13,
         raise ValueError("action must be 'flag' or 'filter'")
     bad_ref = _eval_window_ref(eval_texts, window)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     res = ds.map_batches(
@@ -1621,7 +1676,7 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pa.Table:
     streaming pass; each doc's selection is local (no shuffle)."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def fps(batch: pa.Table) -> pa.Table:
@@ -1655,7 +1710,7 @@ def winnow_matches(sf_dir: str, k: int = 5, w: int = 4,
     the inverted-index candidate shape shared with jaccard_pairs."""
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def fp_rows(batch: pa.Table) -> pa.Table:

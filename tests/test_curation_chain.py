@@ -298,6 +298,112 @@ def test_mix_rate_one_keeps_unconditionally(ray_session):
         g.mix_sample_sql({}, 0.999999, 0)).fetchall()) == 0
 
 
+SHARED_RUN = " ".join(f"tok{i}" for i in range(60))
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    """Corpus exercising every corpus-wide breaker: 0/4 exact dups,
+    1/2 MinHash near-dups, a shared paragraph (0 owns it, 3 repeats it),
+    and a shared 60-token run (1 owns it, 2 and 5 repeat it)."""
+    d = tmp_path_factory.mktemp("dup_corpus")
+    rows = [
+        (0, "unique alpha\n\nSHARED PARAGRAPH LONG ENOUGH TO DEDUP\n\n"
+            "omega tail", "en", "s0"),
+        (1, SHARED_RUN + " tail one", "en", "s0"),
+        (2, SHARED_RUN + " tail two", "en", "s1"),
+        (3, "other doc\n\nSHARED PARAGRAPH LONG ENOUGH TO DEDUP\n\n"
+            "closing words", "en", "s1"),
+        (4, "unique alpha\n\nSHARED PARAGRAPH LONG ENOUGH TO DEDUP\n\n"
+            "omega tail", "en", "s2"),
+        (5, "prefix words here " + SHARED_RUN + " suffix goes here",
+         "en", "s2"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+    }), os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_chain_near_dedup_keep_lowest(ray_session, dup_corpus):
+    """near_dedup drops the larger doc_id of every verified pair —
+    asserted against the standalone minhash_lsh_pairs output."""
+    from lucene_solr_old_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_corpus, threshold=0.8).to_pandas()
+    assert len(pairs) >= 2  # (0,4) exact and (1,2) near
+    want_drop = set(pairs.doc_b.tolist())
+    got = curation_pipeline(
+        dup_corpus, [("near_dedup", {"threshold": 0.8})]).to_pandas()
+    assert got.doc_id.tolist() == sorted(set(range(6)) - want_drop)
+    # survivors keep their text and meta columns untouched
+    assert list(got.columns) == ["doc_id", "text", "lang", "source"]
+    assert (got.set_index("doc_id").loc[0, "text"]
+            == "unique alpha\n\nSHARED PARAGRAPH LONG ENOUGH TO DEDUP\n\n"
+               "omega tail")
+
+
+def test_chain_paragraph_dedup_equals_standalone(ray_session, dup_corpus):
+    from lucene_solr_old_ray.stages.dedup import paragraph_dedup
+
+    solo = paragraph_dedup(dup_corpus, min_chars=10).to_pandas()
+    got = curation_pipeline(
+        dup_corpus, [("paragraph_dedup", {"min_chars": 10})]).to_pandas()
+    assert got.doc_id.tolist() == solo.doc_id.tolist()
+    assert got.text.tolist() == solo.kept_text.tolist()
+    # doc 0 owns the shared paragraph; docs 3 and 4 lose it
+    t = got.set_index("doc_id").text
+    assert "SHARED PARAGRAPH" in t[0]
+    assert "SHARED PARAGRAPH" not in t[3]
+    assert "SHARED PARAGRAPH" not in t[4]
+    assert list(got.columns) == ["doc_id", "text", "lang", "source"]
+
+
+def test_chain_substring_dedup_equals_standalone(ray_session, dup_corpus):
+    from lucene_solr_old_ray.stages.dedup import substring_dedup
+
+    solo = substring_dedup(dup_corpus, window=50).to_pandas()
+    got = curation_pipeline(
+        dup_corpus, [("substring_dedup", {"window": 50})]).to_pandas()
+    assert got.doc_id.tolist() == solo.doc_id.tolist()
+    assert got.text.tolist() == solo.kept_text.tolist()
+    # doc 1 owns the shared run; 2 and 5 lose the duplicated windows
+    t = got.set_index("doc_id").text
+    assert "tok0" in t[1]
+    assert "tok30" not in t[2]
+    assert "tok30" not in t[5]
+    with pytest.raises(ValueError, match=">= 2"):
+        curation_pipeline(dup_corpus, [("substring_dedup", {"window": 1})])
+
+
+def test_chain_multiple_breakers_compose(ray_session, dup_corpus, tmp_path):
+    """substring_dedup -> dedup: after the shared run is removed, docs 1
+    and 2 do NOT collapse (distinct tails) but 0 and 4 stay exact dups;
+    each breaker stages to its own boundary dir."""
+    out = str(tmp_path / "multi_out")
+    summary = curation_pipeline(dup_corpus, [
+        ("substring_dedup", {"window": 50}),
+        "dedup",
+    ], write_to=out).to_pandas()
+    assert summary.steps[0] == "substring_dedup,dedup"
+    got = pq.read_table(out).to_pandas().sort_values("doc_id")
+    # 0 owns, 4 drops (still byte-identical after the token rewrite)
+    assert 0 in got.doc_id.tolist()
+    assert 4 not in got.doc_id.tolist()
+    assert got.doc_id.tolist() == [0, 1, 2, 3, 5]
+    stage0 = out.rstrip("/") + ".stage_prededup"
+    stage1 = stage0 + ".1_dedup"
+    assert os.path.isdir(stage0) and os.path.isdir(stage1)
+    # second boundary holds the substring-rewritten survivors
+    staged1 = pq.read_table(stage1).to_pandas().set_index("doc_id")
+    assert "tok30" not in staged1.loc[2, "text"]
+    with pytest.raises(ValueError, match="at most once"):
+        curation_pipeline(dup_corpus, ["near_dedup", "near_dedup"])
+
+
 def test_cli_rate_parsing_errors():
     from lucene_solr_old_ray.cli import _parse_rates
 
