@@ -142,12 +142,16 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--sf-dir", required=True,
                     help="directory containing documents.parquet")
     dd.add_argument("--method", required=True,
-                    choices=["exact", "paragraph", "substring"])
+                    choices=["exact", "paragraph", "substring",
+                             "incremental"])
     dd.add_argument("--out", required=True, help="output Parquet directory")
     dd.add_argument("--window", type=int, default=50,
                     help="substring: tokens per duplicated window")
     dd.add_argument("--min-chars", type=int, default=20,
                     help="paragraph: min block size eligible for dedup")
+    dd.add_argument("--seen", default=None,
+                    help="incremental: previously-ingested corpus dir "
+                         "to dedup against")
 
     se = sub.add_parser("select", help="DSIR importance resampling toward "
                         "a target-domain text set")
@@ -200,6 +204,11 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--sf-dir", required=True)
     mx.add_argument("--rate", action="append", default=[],
                     metavar="GROUP=R", help="per-group keep rate (repeat)")
+    mx.add_argument("--budget", action="append", default=[],
+                    metavar="GROUP=TOKENS",
+                    help="per-group token budget (repeat; resolves to a "
+                         "keep rate from the group's token total — "
+                         "mutually exclusive with --rate)")
     mx.add_argument("--group-col", default="source")
     mx.add_argument("--default-rate", type=float, default=1.0)
     mx.add_argument("--seed", type=int, default=0)
@@ -374,13 +383,24 @@ def main(argv: list[str] | None = None) -> int:
         for row in t.to_pylist():
             print(json.dumps(row))
     elif args.cmd == "dedup":
-        from .stages.dedup import exact_dedup, paragraph_dedup, substring_dedup
+        from .stages.dedup import (
+            exact_dedup,
+            incremental_dedup,
+            paragraph_dedup,
+            substring_dedup,
+        )
 
         if args.method == "exact":
             t = exact_dedup(args.sf_dir, write_to=args.out)
         elif args.method == "paragraph":
             t = paragraph_dedup(args.sf_dir, min_chars=args.min_chars,
                                 write_to=args.out)
+        elif args.method == "incremental":
+            if not args.seen:
+                raise SystemExit("--seen is required for --method "
+                                 "incremental")
+            t = incremental_dedup(args.sf_dir, args.seen,
+                                  write_to=args.out)
         else:
             t = substring_dedup(args.sf_dir, window=args.window,
                                 write_to=args.out)
@@ -428,12 +448,22 @@ def main(argv: list[str] | None = None) -> int:
         t = fn(args.sf_dir, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "mix":
-        from .stages.mix import sample_mix
+        from .stages.mix import mix_to_token_budget, sample_mix
 
-        rates = _parse_rates(args.rate)
-        t = sample_mix(args.sf_dir, rates, group_col=args.group_col,
-                       default_rate=args.default_rate, seed=args.seed,
-                       write_to=args.out)
+        if args.budget and args.rate:
+            raise SystemExit("--rate and --budget are mutually exclusive")
+        if args.budget:
+            budgets = {g: int(v) for g, v in
+                       _parse_rates(args.budget).items()}
+            t = mix_to_token_budget(args.sf_dir, budgets,
+                                    group_col=args.group_col,
+                                    default_rate=args.default_rate,
+                                    seed=args.seed, write_to=args.out)
+        else:
+            rates = _parse_rates(args.rate)
+            t = sample_mix(args.sf_dir, rates, group_col=args.group_col,
+                           default_rate=args.default_rate, seed=args.seed,
+                           write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "decontaminate":
         from .stages.dedup import decontaminate

@@ -108,6 +108,86 @@ def exact_dedup(sf_dir: str, write_to: str | None = None) -> pa.Table:
 # --- shared hash-stream plumbing -------------------------------------------
 
 
+def incremental_dedup(sf_dir: str, seen_dir: str,
+                      write_to: str | None = None) -> pa.Table:
+    """Exact dedup of a NEW corpus shard against an EXISTING one — the
+    incremental-ingestion pass a continuously-growing training corpus
+    runs: a new doc drops iff its content sha256 already appears in the
+    previously-ingested corpus (``seen_dir``); duplicates WITHIN the new
+    shard are kept (run :func:`exact_dedup` for those — the two passes
+    compose).
+
+    Distribution shape: both corpora emit per-batch (hash, side) combiner
+    partials; one bounded-bucket groupby marks the new-shard hashes that
+    also appear on the seen side; ONLY the overlapping doc_ids come back
+    to the driver and broadcast for the streaming keep filter — the
+    shuffle moves hash rows, never content, and the broadcast is bounded
+    by the overlap, never by either corpus. -> kept (doc_id, text) rows,
+    or the 1-row sink summary with ``write_to``."""
+    ds_new = ray.data.read_parquet(_docs_path(sf_dir),
+                                   columns=["doc_id", "text"])
+    ds_seen = ray.data.read_parquet(_docs_path(seen_dir),
+                                    columns=["text"])
+
+    def new_rows(batch: pa.Table) -> pd.DataFrame:
+        h = [hashlib.sha256((t or "").encode()).hexdigest()
+             for t in batch["text"].to_pylist()]
+        df = pd.DataFrame({
+            "h": h,
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        df["g"] = [int(x[:8], 16) % _NBUCKETS for x in df["h"]]
+        return df
+
+    def seen_rows(batch: pa.Table) -> pd.DataFrame:
+        # combiner: one row per DISTINCT seen hash per batch
+        h = sorted({hashlib.sha256((t or "").encode()).hexdigest()
+                    for t in batch["text"].to_pylist()})
+        df = pd.DataFrame({"h": h})
+        df["doc_id"] = np.int64(-1)
+        df["g"] = [int(x[:8], 16) % _NBUCKETS for x in h]
+        return df
+
+    def overlap(g: pd.DataFrame) -> pd.DataFrame:
+        seen_h = set(g.loc[g["doc_id"] < 0, "h"])
+        hit = g[(g["doc_id"] >= 0) & g["h"].isin(seen_h)]
+        return pd.DataFrame({"doc_id": hit["doc_id"].to_numpy(
+            dtype=np.int64)})
+
+    hits = (
+        ds_new.map_batches(new_rows, batch_format="pyarrow")
+        .union(ds_seen.map_batches(seen_rows, batch_format="pyarrow"))
+        .groupby("g")
+        .map_groups(overlap, batch_format="pandas")
+        .to_pandas()
+    )
+    drop = (np.unique(hits["doc_id"].to_numpy(dtype=np.int64))
+            if len(hits) and "doc_id" in hits.columns
+            else np.empty(0, dtype=np.int64))
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        dr = ray.get(drop_ref)
+        if len(dr) == 0:
+            return batch
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(dr, d)
+        hit = (idx < len(dr)) & (dr[np.minimum(idx, len(dr) - 1)] == d)
+        return batch.filter(pa.array(~hit))
+
+    res = ds_new.map_batches(keep, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _unique_per_doc(d: np.ndarray, H: np.ndarray):
     """Distinct (doc, hash) pairs, sorted by (doc, hash) ->
     (docs int64, hashes uint64). ``d`` is batch-local doc index."""

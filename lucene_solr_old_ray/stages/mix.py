@@ -82,6 +82,60 @@ def sample_mix(sf_dir: str, rates: dict[str, float], group_col: str = "source",
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def mix_to_token_budget(sf_dir: str, budgets: dict[str, int],
+                        group_col: str = "source",
+                        default_rate: float = 1.0, seed: int = 0,
+                        write_to: str | None = None) -> pa.Table:
+    """Down-sample each group to a TARGET TOKEN COUNT instead of a fixed
+    rate — the way training mixes are actually specified ("200B tokens
+    of web, 50B of code").  One streaming combiner pass sums whitespace
+    tokens per group (constant-size partials — one row per group per
+    batch); the derived keep rate ``min(1, budget / total)`` then drives
+    the same deterministic splitmix64 hash-Bernoulli filter as
+    :func:`sample_mix`, so the kept set is reproducible across runs,
+    partitionings and cluster sizes, and the kept token count is within
+    sampling noise of the budget.  Groups absent from ``budgets`` use
+    ``default_rate``.  Returns the kept rows (or the sink summary), plus
+    the resolved per-group rates via the ``attrs``-free companion
+    :func:`token_budget_rates` for callers that need them."""
+    rates = token_budget_rates(sf_dir, budgets, group_col)
+    return sample_mix(sf_dir, rates, group_col=group_col,
+                      default_rate=default_rate, seed=seed,
+                      write_to=write_to)
+
+
+def token_budget_rates(sf_dir: str, budgets: dict[str, int],
+                       group_col: str = "source") -> dict[str, float]:
+    """Resolve per-group keep rates from token budgets: one streaming
+    (group, token-count) combiner pass + a group-count-sized groupby;
+    rate = min(1, budget / group_total) (empty groups keep rate 1.0)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0, got {b}")
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=[group_col, "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = np.fromiter((len((t or "").split())
+                         for t in batch["text"].to_pylist()),
+                        count=batch.num_rows, dtype=np.int64)
+        df = pd.DataFrame({group_col: batch[group_col].to_pylist(),
+                           "n": n})
+        g = df.groupby(group_col, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_col).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    tot = dict(zip(totals[group_col], totals["n"].astype(int)))
+    return {g: (min(1.0, b / tot[g]) if tot.get(g) else 1.0)
+            for g, b in budgets.items()}
+
+
 # --- DSIR: data selection via importance resampling (Xie et al. 2023) ----
 
 def _dsir_buckets(texts: list[str], n_buckets: int) -> np.ndarray:

@@ -481,3 +481,67 @@ def test_winnow_matches_guarantee(ray_session, tmp_path):
     from lucene_solr_old_ray.stages.dedup import winnow_fingerprints
     with pytest.raises(ValueError):
         winnow_fingerprints(str(sf), k=0)
+
+
+def test_incremental_dedup_against_seen_corpus(ray_session, tmp_path,
+                                               capsys):
+    """A new shard drops exactly the docs whose content already exists in
+    the previously-ingested corpus — verified against a DuckDB anti-join;
+    within-shard duplicates are kept (exact_dedup's job, the passes
+    compose); sink and CLI forms agree."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.cli import main
+    from lucene_solr_old_ray.stages.dedup import incremental_dedup
+
+    seen_texts = ["already ingested body one", "already ingested body two",
+                  "shared across shards"]
+    new_docs = [
+        (10, "brand new content alpha"),
+        (11, "already ingested body two"),   # drops (in seen)
+        (12, "shared across shards"),        # drops (in seen)
+        (13, "brand new content alpha"),     # within-shard dup: KEPT
+        (14, "brand new content beta"),
+    ]
+    seen = tmp_path / "seen"
+    new = tmp_path / "new"
+    seen.mkdir()
+    new.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(seen_texts)), pa.int64()),
+        "text": pa.array(seen_texts, pa.string()),
+    }), str(seen / "documents.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d for d, _ in new_docs], pa.int64()),
+        "text": pa.array([t for _, t in new_docs], pa.string()),
+    }), str(new / "documents.parquet"))
+
+    out = incremental_dedup(str(new), str(seen)).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT n.doc_id, n.text FROM "
+        f"read_parquet('{new}/documents.parquet') n WHERE n.text NOT IN "
+        f"(SELECT text FROM read_parquet('{seen}/documents.parquet')) "
+        f"ORDER BY n.doc_id").df()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert out.doc_id.tolist() == [10, 13, 14]
+
+    # reversed direction: seen docs 1 ("body two") and 2 ("shared") both
+    # appear in the new shard, so only doc 0 survives
+    out2 = incremental_dedup(str(seen), str(new)).to_pandas()
+    assert out2.doc_id.tolist() == [0]
+
+    # sink + CLI forms
+    sink_out = tmp_path / "sink_out"
+    summary = incremental_dedup(str(new), str(seen),
+                                write_to=str(sink_out)).to_pandas()
+    assert int(summary.rows_written[0]) == 3
+    rc = main(["dedup", "--sf-dir", str(new), "--method", "incremental",
+               "--seen", str(seen), "--out", str(tmp_path / "cli_out")])
+    assert rc == 0
+    import json
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["rows_written"] == 3

@@ -804,3 +804,47 @@ def test_detect_license(ray_session, tmp_path):
     assert out["evidence"].tolist() == [
         "spdx", "spdx", "phrase", "phrase", "phrase", "phrase",
         "phrase", "none"]
+
+
+def test_mix_to_token_budget(ray_session, tmp_path):
+    """Token-budget mixing resolves rate = min(1, budget/group_tokens)
+    and then keeps exactly the sample_mix set at those rates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.mix import (
+        mix_to_token_budget,
+        sample_mix,
+        token_budget_rates,
+    )
+
+    # group A: 100 docs x 10 tokens = 1000; B: 50 x 4 = 200; C: 20 x 2
+    rows = ([(i, "A", " ".join(["wa"] * 10)) for i in range(100)]
+            + [(200 + i, "B", " ".join(["wb"] * 4)) for i in range(50)]
+            + [(400 + i, "C", "wc wc") for i in range(20)])
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    budgets = {"A": 250, "B": 500, "D": 10}
+    rates = token_budget_rates(str(sf), budgets)
+    assert rates == {"A": 0.25, "B": 1.0, "D": 1.0}  # empty group -> 1.0
+
+    got = mix_to_token_budget(str(sf), budgets, seed=3).to_pandas()
+    want = sample_mix(str(sf), rates, seed=3).to_pandas()
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    # B (rate 1.0) and C (default_rate 1.0) keep everything
+    assert (got.source == "B").sum() == 50
+    assert (got.source == "C").sum() == 20
+    # A's kept token count lands near the 250 budget (hash uniformity)
+    a_tokens = int((got.source == "A").sum()) * 10
+    assert 100 <= a_tokens <= 400
+
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 0"):
+        token_budget_rates(str(sf), {"A": -1})
