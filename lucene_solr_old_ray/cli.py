@@ -240,6 +240,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="substring_dedup step token window")
     pl.add_argument("--rate", action="append", default=[],
                     metavar="GROUP=R", help="mix step keep rate (repeat)")
+    pl.add_argument("--budget", action="append", default=[],
+                    metavar="GROUP=TOKENS",
+                    help="mix step per-group token budget (repeat; "
+                         "resolves rates against the SURVIVING stream "
+                         "at the mix step's position — mutually "
+                         "exclusive with --rate)")
     pl.add_argument("--group-col", default="source")
     pl.add_argument("--default-rate", type=float, default=1.0)
     pl.add_argument("--seed", type=int, default=0)
@@ -478,10 +484,18 @@ def main(argv: list[str] | None = None) -> int:
         steps = []
         for name in [x.strip() for x in args.steps.split(",") if x.strip()]:
             if name == "mix":
-                steps.append(("mix", {"rates": rates,
-                                      "group_col": args.group_col,
-                                      "default_rate": args.default_rate,
-                                      "seed": args.seed}))
+                p = {"group_col": args.group_col,
+                     "default_rate": args.default_rate,
+                     "seed": args.seed}
+                if getattr(args, "budget", None):
+                    if args.rate:
+                        raise SystemExit("--rate and --budget are "
+                                         "mutually exclusive")
+                    p["budgets"] = {g: int(v) for g, v in
+                                    _parse_rates(args.budget).items()}
+                else:
+                    p["rates"] = rates
+                steps.append(("mix", p))
             elif name == "decontam":
                 if not args.eval_path:
                     raise SystemExit("--eval is required for the "

@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .textstats import _docs_path
+
 _TERMINAL = (".", "!", "?", '"', "”")  # C4 terminal punctuation set
 
 # the Gopher stop-word requirement set (Rae et al. 2021 A1.1)
@@ -66,7 +68,7 @@ def c4_clean(sf_dir: str, min_words_per_line: int = 3,
     dedup step is :func:`stages.dedup.substring_dedup`.
 
     -> (doc_id, kept_text, n_lines_kept, n_lines_dropped, doc_kept)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
     res = ds.map_batches(
         lambda b: _c4_clean_batch(b, min_words_per_line, min_sentences),
@@ -194,7 +196,7 @@ def gopher_quality_filter(sf_dir: str, thresholds: dict | None = None,
             raise ValueError(f"unknown threshold keys: {sorted(unknown)}")
         th.update(thresholds)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     res = ds.map_batches(lambda b: _gopher_judge_batch(b, th),
@@ -276,7 +278,7 @@ def redact_pii(sf_dir: str, write_to: str | None = None) -> pa.Table:
     per-kind replacement counts come back per doc so downstream stats
     can audit the scrub.  -> (doc_id, redacted_text, n_email, n_ipv4,
     n_aws_key, n_secret, n_private_key)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
     res = ds.map_batches(_pii_scrub_batch, batch_format="pyarrow")
     if write_to is not None:
@@ -390,7 +392,7 @@ def perplexity_buckets(sf_dir: str, model_texts=None, top_n: int = 50_000,
     streams either way)."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     from ray.data.aggregate import Sum
@@ -459,7 +461,7 @@ def extract_html_text(sf_dir: str, write_to: str | None = None) -> pa.Table:
 
     collapse = re.compile(r"\n{2,}")
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -565,7 +567,7 @@ def detect_license(sf_dir: str, scan_chars: int = 4000,
     (evidence="phrase"; BSD-3 is probed before BSD-2, its proper
     prefix); no match -> license="unknown".  One streaming pass ->
     (doc_id, license, evidence)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
     res = ds.map_batches(lambda b: _license_detect_batch(b, scan_chars),
                          batch_format="pyarrow")

@@ -50,7 +50,7 @@ from .dedup import (
     _ssd_rewrite_core,
     minhash_lsh_pairs,
 )
-from .mix import _mix_keep_batch, pack_plan_ds
+from .mix import _mix_keep_batch, pack_plan_ds, token_budget_rates
 
 # step registry: name -> (builder, doc). Builders return a Dataset
 # transformer fn(ds, params) -> ds; the running schema is always
@@ -157,6 +157,25 @@ def _step_decontam(ds, params):
     bad_ref = _eval_window_ref(ev, window)
     return ds.map_batches(
         lambda b: _decontam_mark_batch(b, bad_ref, window, "filter"),
+        batch_format="pyarrow")
+
+
+def _mix_budget_from_staged(stage_dir: str, params: dict):
+    """Token-budget mix as a chain breaker: per-group token totals come
+    from the STAGED surviving stream (so budgets resolve against what
+    earlier steps kept, not the raw corpus), rates = min(1,
+    budget/total), then the deterministic hash-Bernoulli keep filter
+    streams from the staged files."""
+    budgets = params["budgets"]
+    group_col = params.get("group_col", "source")
+    default_rate = float(params.get("default_rate", 1.0))
+    seed = int(params.get("seed", 0))
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError("default_rate must be in [0, 1]")
+    rates = token_budget_rates(stage_dir, budgets, group_col)
+    ds = ray.data.read_parquet(stage_dir)
+    return ds.map_batches(
+        lambda b: _mix_keep_batch(b, rates, group_col, default_rate, seed),
         batch_format="pyarrow")
 
 
@@ -381,7 +400,9 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
     sequence-packing PLAN, the curate→pack preprocessing endgame).
     Per-document steps fuse into one streaming pass; the corpus-wide
     steps (dedup = doc-level exact, near_dedup = MinHash-LSH keep-lowest,
-    paragraph_dedup / substring_dedup = in-place boilerplate removal)
+    paragraph_dedup / substring_dedup = in-place boilerplate removal,
+    and mix when given ``budgets`` — per-group token targets resolve to
+    rates against the SURVIVING stream, not the raw corpus)
     each stage the surviving stream to partitioned Parquet first
     (``stage_dir``, default ``<write_to>.stage_prededup`` — a sibling,
     never inside ``write_to`` — or a /tmp dir; later breaker occurrences
@@ -401,6 +422,15 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
     for br in BREAKER_STEPS:
         if sum(1 for n, _ in norm if n == br) > 1:
             raise ValueError(f"{br} may appear at most once")
+    for n_, p_ in norm:
+        if n_ == "mix" and p_.get("budgets"):
+            if p_.get("rates"):
+                raise ValueError("mix step takes rates OR budgets, "
+                                 "not both")
+            for g, b in p_["budgets"].items():
+                if b < 0:
+                    raise ValueError(f"budget for {g!r} must be >= 0, "
+                                     f"got {b}")
     if any(n == "pack" for n, _ in norm[:-1]):
         raise ValueError("pack must be the LAST step (it changes the "
                          "output schema from documents to the plan)")
@@ -427,7 +457,8 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
     applied = []
     breaker_i = 0
     for name, params in norm:
-        if name in BREAKER_STEPS:
+        if name in BREAKER_STEPS or (name == "mix"
+                                     and params.get("budgets")):
             from ..pipelines.sink import write_results
 
             # SIBLING of write_to, never inside it: the final sink's
@@ -447,7 +478,10 @@ def curation_pipeline(sf_dir: str, steps, write_to: str | None = None,
                 stage = f"{stage}.{breaker_i}_{name}"
             breaker_i += 1
             write_results(ds, stage)
-            ds = _BREAKERS_FROM_STAGED[name](stage, params)
+            if name == "mix":
+                ds = _mix_budget_from_staged(stage, params)
+            else:
+                ds = _BREAKERS_FROM_STAGED[name](stage, params)
         elif name == "pack":
             ds = pack_plan_ds(ds, int(params.get("seq_len", 2048)),
                               eod_tokens=int(params.get("eod_tokens", 1)),

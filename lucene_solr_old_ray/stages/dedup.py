@@ -39,7 +39,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.analysis import kept_stream_sorted
-from .textstats import stable_hash64_batch
+from .textstats import _docs_path, stable_hash64_batch
 
 # coarse shuffle-bucket count: Ray's groupby/map_groups pays per-GROUP
 # overhead, so millions of fine-grained keys are pathological — shuffle on
@@ -49,17 +49,6 @@ _NBUCKETS = 256
 _SHINGLE_SEED = np.uint64(0x9E3779B97F4A7C15)
 _SHINGLE_PRIME = np.uint64(0x100000001B3)
 
-
-def _docs_path(sf_dir: str) -> str:
-    """Resolve a corpus argument to what ``ray.data.read_parquet`` reads:
-    an sf testdata dir (containing ``documents.parquet``), or — for the
-    composed curation chain's staged boundaries — a directory of Parquet
-    part files (or one explicit ``.parquet`` path), any of which carries
-    (doc_id, text, ...) rows."""
-    import os
-
-    p = f"{sf_dir}/documents.parquet"
-    return p if os.path.isfile(p) else sf_dir
 
 
 def exact_dedup(sf_dir: str, write_to: str | None = None) -> pa.Table:

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from .textstats import _docs_path
+
 _MIX_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -67,7 +69,7 @@ def sample_mix(sf_dir: str, rates: dict[str, float], group_col: str = "source",
     if not (0.0 <= default_rate <= 1.0):
         raise ValueError("default_rate must be in [0, 1]")
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", group_col, "text"])
     res = ds.map_batches(
         lambda b: _mix_keep_batch(b, rates, group_col, default_rate, seed),
@@ -116,7 +118,7 @@ def token_budget_rates(sf_dir: str, budgets: dict[str, int],
         if b < 0:
             raise ValueError(f"budget for {g!r} must be >= 0, got {b}")
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=[group_col, "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -211,7 +213,7 @@ def dsir_select(sf_dir: str, target_texts, k: int,
     tb, _ = _dsir_buckets(list(target_texts), n_buckets)
     target_counts = np.bincount(tb, minlength=n_buckets).astype(np.float64)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def raw_partial(batch: pa.Table) -> pa.Table:
@@ -300,7 +302,7 @@ def pack_plan(sf_dir: str, seq_len: int, eod_tokens: int = 1,
 
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
     res = pack_plan_ds(ds, seq_len, eod_tokens=eod_tokens,
                        bucket_docs=bucket_docs)

@@ -22,6 +22,17 @@ from ..functions.analysis import (
     kept_stream_sorted,
 )
 
+
+def _docs_path(sf_dir: str) -> str:
+    """Resolve a corpus argument to what ``ray.data.read_parquet`` reads:
+    an sf testdata dir (containing ``documents.parquet``), a directory of
+    Parquet part files (a staged chain boundary), or one explicit
+    ``.parquet`` path — any of which carries (doc_id, text, ...) rows."""
+    import os
+
+    p = f"{sf_dir}/documents.parquet"
+    return p if os.path.isfile(p) else sf_dir
+
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
@@ -120,7 +131,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
 def quality_stats_ds(sf_dir: str):
     """Streaming Dataset variant of :func:`quality_stats` (for the
     production Parquet sink / downstream composition)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
     return ds.map_batches(quality_batch, batch_format="pyarrow")
 
@@ -144,7 +155,7 @@ def token_count_by_lang(sf_dir: str) -> pa.Table:
     """(lang, n_docs, n_tokens-kept) — partial counts per batch, tiny groupby."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "lang", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -236,7 +247,7 @@ def lang_id(sf_dir: str, write_to: str | None = None) -> pa.Table:
         return pa.table({"doc_id": ids,
                          "lang_guess": pa.array(guesses, pa.string())})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
     guessed = ds.map_batches(guess, batch_format="pyarrow")
     if write_to is not None:
@@ -302,7 +313,7 @@ def fingerprints_ds(sf_dir: str):
                          "rolling_hash": pa.array(rolls.view(np.int64), pa.int64()),
                          "simhash": pa.array(sims.view(np.int64), pa.int64())})
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
     return ds.map_batches(fp, batch_format="pyarrow")
 
@@ -327,7 +338,7 @@ def repetition_stats(sf_dir: str, top_ngram: int = 2,
     whitespace token stream. -> (doc_id, n_lines, the four fractions)."""
     from collections import Counter
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def batch_stats(batch: pa.Table) -> pa.Table:
@@ -420,7 +431,7 @@ def token_counts(sf_dir: str, write_to: str | None = None) -> pa.Table:
     One streaming map_batches pass (the regex engine runs in C per doc;
     no shuffle); ``write_to`` streams per-doc rows to partitioned Parquet
     with the 1-row footer-counted summary return."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = ray.data.read_parquet(_docs_path(sf_dir),
                                columns=["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:

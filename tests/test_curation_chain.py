@@ -414,3 +414,51 @@ def test_cli_rate_parsing_errors():
         _parse_rates(["=0.5"])
     with pytest.raises(SystemExit, match="not a number"):
         _parse_rates(["a=fast"])
+
+
+def test_chain_budget_mix_resolves_on_surviving_stream(
+        ray_session, tmp_path):
+    """A budgets-given mix step is a chain breaker: its per-group token
+    totals come from the docs earlier steps KEPT, so the resolved rate
+    differs from the raw-corpus rate; kept set equals the hash rule at
+    that post-filter rate."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from lucene_solr_old_ray.stages.mix import _mix_hash
+
+    d = str(tmp_path / "bm")
+    os.makedirs(d)
+    n = 120
+    rows = [(i, "A" if i % 2 == 0 else "B",
+             " ".join(["w"] * 10)) for i in range(n)]
+    pq_.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+
+    # step 1 halves group A by rate; step 2 budgets A's SURVIVORS
+    def u(doc, seed):
+        return float(_mix_hash(np.array([doc]), seed)[0]) / 2.0 ** 64
+
+    s1 = [r for r in rows if r[1] == "B" or u(r[0], 5) < 0.5]
+    surv_a_tokens = sum(10 for r in s1 if r[1] == "A")
+    budget = surv_a_tokens // 3
+    rate = min(1.0, budget / surv_a_tokens)
+    want = sorted(r[0] for r in s1
+                  if r[1] == "B" or u(r[0], 9) < rate)
+
+    got = curation_pipeline(d, [
+        ("mix", {"rates": {"A": 0.5}, "seed": 5}),
+        ("mix", {"budgets": {"A": budget}, "seed": 9}),
+    ]).to_pandas()
+    assert got.doc_id.tolist() == want
+    # the raw-corpus rate would differ: full A has twice the tokens
+    assert rate != min(1.0, budget / (60 * 10))
+
+    with pytest.raises(ValueError, match="not both"):
+        curation_pipeline(d, [("mix", {"budgets": {"A": 1},
+                                       "rates": {"A": 0.5}})])
+    with pytest.raises(ValueError, match=">= 0"):
+        curation_pipeline(d, [("mix", {"budgets": {"A": -2}})])
