@@ -291,7 +291,35 @@ def _verify_pairs_ds(
         .materialize()
     )
 
+    # the docs the verify actually needs — only candidate-pair ENDPOINTS
+    # ever ship a hash set, so the corpus tokenize pass below filters to
+    # them BEFORE analyzing (bounded by the candidate set; non-candidate
+    # docs cost nothing). The endpoint ids come back from the (already
+    # materialized) deduped pairs, so this is candidate-sized, and the
+    # broadcast is one sorted int64 array.
+    def endpoint_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": np.unique(np.concatenate(
+            [batch["a"].to_numpy(dtype=np.int64),
+             batch["b"].to_numpy(dtype=np.int64)]))})
+
+    ep = cand_ds.map_batches(endpoint_rows,
+                             batch_format="pandas").to_pandas()
+    if len(ep) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    need = np.unique(ep["doc_id"].to_numpy(dtype=np.int64))
+    need_ref = ray.put(need)
+
     def token_rows(batch: pa.Table) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(nd, d)
+        hit = (idx < len(nd)) & (nd[np.minimum(idx, len(nd) - 1)] == d)
+        if not hit.all():
+            batch = batch.filter(pa.array(hit))
         r = _hset_rows(batch, shingle_n)
         return pd.DataFrame({
             "doc_id": r["doc_id"].astype("int64"),
