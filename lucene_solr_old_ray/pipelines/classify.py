@@ -33,8 +33,6 @@ per-document ever reaches the driver except the final labels.
 
 from __future__ import annotations
 
-import math
-import os
 
 import numpy as np
 import pandas as pd

@@ -24,7 +24,6 @@ a cheap tail stage after search.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions import bm25

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import heapq
 import math
-import os
 
 import numpy as np
 import pandas as pd

@@ -19,7 +19,6 @@ engine's numeric fields are order-preserving int terms.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pandas as pd

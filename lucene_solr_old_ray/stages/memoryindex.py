@@ -27,7 +27,6 @@ import shutil
 import tempfile
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions import bm25
