@@ -31,7 +31,8 @@ def _ensure_ray(num_cpus: int | None):
 
 def parse_with(parser_spec: str, query: str):
     """--parser dispatch: classic | precedence | analyzing[:<chain-spec>]
-    | multifield:<f1,f2,...> -> a Query tree."""
+    | multifield:<f1,f2,...> | edismax[:<f1^b,f2^b>[:mm]] |
+    dismax[:<f1^b,...>[:mm]] -> a Query tree."""
     from .queries import (parse, parse_analyzing, parse_multi_field,
                           parse_precedence)
 
@@ -46,6 +47,19 @@ def parse_with(parser_spec: str, query: str):
     if parser_spec.startswith("multifield:"):
         return parse_multi_field(query,
                                  parser_spec.split(":", 1)[1].split(","))
+    if parser_spec.startswith(("edismax", "dismax")):
+        from .edismax import dismax_parse, edismax_parse
+
+        parts = parser_spec.split(":")
+        qf = {}
+        for f in (parts[1].split(",") if len(parts) > 1 and parts[1]
+                  else []):
+            name, _, boost = f.partition("^")
+            qf[name] = float(boost) if boost else 1.0
+        mm = parts[2] if len(parts) > 2 else None
+        if parts[0] == "edismax":
+            return edismax_parse(query, qf or None, mm=mm)
+        return dismax_parse(query, qf or None, mm=mm or "100%")
     raise SystemExit(f"unknown parser {parser_spec!r}")
 
 

@@ -1,0 +1,243 @@
+"""Solr DisMax / ExtendedDisMax dialect tests.
+
+mm-spec vectors port ``solr/core/src/test/org/apache/solr/util/
+SolrPluginUtilsTest.java::testMinShouldMatchCalculator`` exactly; the
+structural cases mirror TestExtendedDismaxParser semantics (qf dismax
+expansion, mm gating on explicit operators, pf/pf2/pf3 shingles, the
+escaped dismax dialect)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_old_ray.edismax import (
+    calculate_min_should_match as msm,
+)
+from lucene_solr_old_ray.edismax import (
+    dismax_parse,
+    edismax_parse,
+    split_clauses,
+)
+from lucene_solr_old_ray.queries import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanClause,
+    BooleanQuery,
+    DisjunctionMaxQuery,
+    PhraseQuery,
+    TermQuery,
+)
+
+
+def test_min_should_match_calculator_reference_vectors():
+    # zero is zero is zero
+    assert msm(5, "0") == 0
+    assert msm(5, "0%") == 0
+    assert msm(5, " -5 ") == 0
+    assert msm(5, "\n -100% \n") == 0
+    # basic integers
+    assert msm(5, " \n3\n ") == 3
+    assert msm(5, "-3") == 2
+    assert msm(3, "3") == 3
+    assert msm(3, "-3") == 0
+    assert msm(3, "5") == 3
+    assert msm(3, "-5") == 0
+    # positive percentages with rounding
+    assert msm(3, " \n25% \n") == 0
+    assert msm(4, "25%") == 1
+    assert msm(5, " 25% ") == 1
+    assert msm(10, "25%") == 2
+    # negative percentages with rounding
+    assert msm(3, " \n-25%\n ") == 3
+    assert msm(4, "-25%") == 3
+    assert msm(5, "-25%") == 4
+    assert msm(10, "-25%") == 8
+    # conditional
+    assert msm(1, "3<0") == 1
+    assert msm(2, "3<0") == 2
+    assert msm(3, "3<0") == 3
+    assert msm(4, "3<0") == 0
+    assert msm(5, "3<0") == 0
+    assert msm(1, "3<25%") == 1
+    assert msm(2, " 3\n<\n25% ") == 2
+    assert msm(3, "3<25%") == 3
+    assert msm(4, "\n 3 < \n25%\n ") == 1
+    assert msm(5, "3<25%") == 1
+    # multiple conditionals
+    assert msm(1, "\n3 < -25% 10 < -3 \n") == 1
+    assert msm(2, " 3 < -25% 10 < -3\n") == 2
+    assert msm(3, " 3 < -25% \n 10 < -3 \n") == 3
+    assert msm(4, " 3 < -25% 10 < -3 ") == 3
+    assert msm(5, " 3 < -25% 10 < -3") == 4
+    assert msm(6, "3<-25% 10<-3") == 5
+    assert msm(7, " 3 < -25% 10 < -3 ") == 6
+    assert msm(8, " 3 < -25% 10 \n < -3\n") == 6
+    assert msm(9, " 3 < -25% 10 < -3 \n") == 7
+    assert msm(10, " 3 < -25% 10 < -3") == 8
+    assert msm(11, "3<-25% 10<-3") == 8
+    assert msm(12, "3<-25% 10<-3") == 9
+    assert msm(100, "3<-25% 10<-3") == 97
+
+
+def test_qf_expansion_dismax_structure():
+    q = edismax_parse("hello world", qf={"content": 1.0, "path": 2.0},
+                      tie=0.3)
+    assert isinstance(q, BooleanQuery)
+    assert [c.occur for c in q.clauses] == [SHOULD, SHOULD]
+    for clause, word in zip(q.clauses, ("hello", "world")):
+        dm = clause.query
+        assert isinstance(dm, DisjunctionMaxQuery)
+        assert dm.tie_breaker == 0.3
+        assert set((d.term, d.field, d.boost) for d in dm.disjuncts) == {
+            (word, None, 1.0), (word, "path", 2.0)}
+
+
+def test_single_qf_field_skips_dismax_wrapper():
+    q = edismax_parse("hello", qf={"path": 3.0})
+    assert q == TermQuery("hello", boost=3.0, field="path")
+
+
+def test_mm_applies_without_operators_and_gates_on_them():
+    base = dict(qf={"content": 1.0})
+    q = edismax_parse("alpha beta gamma", mm="2", **base)
+    assert q.min_should_match == 2
+    # percentage spec
+    q = edismax_parse("alpha beta gamma delta", mm="75%", **base)
+    assert q.min_should_match == 3
+    # explicit + / - / OR / NOT disable mm (doMinMatched); AND does not
+    for text in ("+alpha beta gamma", "-alpha beta gamma",
+                 "alpha OR beta gamma", "alpha NOT beta gamma"):
+        q = edismax_parse(text, mm="2", **base)
+        assert getattr(q, "min_should_match", 0) == 0, text
+    q = edismax_parse("alpha AND beta", mm="2", **base)
+    # AND keeps the gate open; but MUST clauses leave no SHOULD clauses,
+    # so the resolved msm is 0 — exactly the reference outcome
+    assert getattr(q, "min_should_match", 0) == 0
+    # lowercase 'or' only gates when lowercase_operators is on
+    q = edismax_parse("alpha or beta gamma", mm="2", **base,
+                      lowercase_operators=True)
+    assert getattr(q, "min_should_match", 0) == 0
+
+
+def test_pf_pf2_pf3_shingles():
+    q = edismax_parse(
+        "big data sets", qf={"content": 1.0},
+        pf={"content": 2.0}, pf2={"path": 1.5}, pf3={"content": 1.0},
+        ps=1, ps2=0, tie=0.1)
+    extras = q.clauses[3:]
+    assert len(extras) == 3
+    whole, bigrams, trigram = (c.query for c in extras)
+    # pf: one whole phrase with slop=ps and the pf boost
+    assert whole == PhraseQuery(("big", "data", "sets"), slop=1, boost=2.0)
+    # pf2: two bigrams OR'd, slop=ps2, on the named field
+    assert isinstance(bigrams, BooleanQuery)
+    assert [c.query for c in bigrams.clauses] == [
+        PhraseQuery(("big", "data"), slop=0, boost=1.5, field="path"),
+        PhraseQuery(("data", "sets"), slop=0, boost=1.5, field="path")]
+    # pf3: exactly one trigram (== whole query), slop falls back to ps
+    assert trigram == PhraseQuery(("big", "data", "sets"), slop=1)
+
+
+def test_pf_skips_operators_fields_and_short_queries():
+    q = edismax_parse("alpha AND beta", qf={"content": 1.0},
+                      pf={"content": 1.0})
+    # AND is not a phrase word: phrase == (alpha, beta)
+    phrase_clauses = [c for c in q.clauses
+                      if isinstance(c.query, PhraseQuery)]
+    assert phrase_clauses[-1].query.terms == ("alpha", "beta")
+    # fielded / quoted clauses are excluded from the phrase words
+    q = edismax_parse('path:x "quoted words" alpha', qf={"content": 1.0},
+                      pf={"content": 1.0})
+    assert not any(isinstance(c.query, PhraseQuery)
+                   and c.query.terms != ("quoted", "words")
+                   for c in q.clauses)
+    # one-word queries never produce a phrase boost (minClauseSize=2)
+    q = edismax_parse("alpha", qf={"content": 1.0}, pf={"content": 1.0})
+    assert q == TermQuery("alpha")
+
+
+def test_bq_and_bf_append_should_clauses():
+    from lucene_solr_old_ray.queries import FunctionQuery
+
+    q = edismax_parse("alpha", qf={"content": 1.0},
+                      bq=("beta^2", TermQuery("gamma")),
+                      bf=("popularity",))
+    assert isinstance(q, BooleanQuery)
+    assert q.clauses[1].query == TermQuery("beta", boost=2.0)
+    assert q.clauses[2].query == TermQuery("gamma")
+    assert q.clauses[3].query == FunctionQuery("popularity")
+
+
+def test_dismax_dialect_treats_syntax_as_text():
+    # colons / AND are literal: 'spark:window' analyzes to two tokens ->
+    # an exact phrase; 'fast' a term; mm=100% forces both
+    q = dismax_parse("spark:window fast", qf={"content": 1.0}, mm="100%")
+    assert isinstance(q, BooleanQuery)
+    assert q.clauses[0].query == PhraseQuery(("spark", "window"))
+    assert q.clauses[1].query == TermQuery("fast")
+    assert q.min_should_match == 2
+    # +/- prefixes and quotes are the only live syntax; default mm=100%
+    # constrains the one optional clause
+    q = dismax_parse('+alpha -beta "big data"', qf={"content": 1.0})
+    assert [c.occur for c in q.clauses] == [MUST, MUST_NOT, SHOULD]
+    assert q.clauses[2].query == PhraseQuery(("big", "data"))
+    assert q.min_should_match == 1
+    q2 = dismax_parse('alpha "big data"', qf={"content": 1.0})
+    assert q2.min_should_match == 2
+
+
+def test_edismax_falls_back_to_escaped_parse():
+    # unbalanced quote / stray syntax must not raise
+    q = edismax_parse('spark:: AND (', qf={"content": 1.0}, mm="1")
+    assert q is not None
+
+
+def test_split_clauses_shapes():
+    cl = split_clauses('+lang:rust -"big data"~2 alpha^3 beta~1 OR')
+    assert [c["must"] for c in cl] == ["+", "-", "", "", ""]
+    assert cl[0]["field"] == "lang" and cl[0]["val"] == "rust"
+    assert cl[1]["is_phrase"] and cl[1]["val"] == "big data"
+    assert cl[2]["val"] == "alpha" and cl[3]["val"] == "beta"
+    assert cl[4]["is_bare"] and cl[4]["val"] == "OR"
+
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def edismax_index(ray_session, tmp_path_factory):
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    p = str(tmp_path_factory.mktemp("c") / "corpus.parquet")
+    generate_corpus(p, 300, seed=11, rows_per_group=100)
+    idx = str(tmp_path_factory.mktemp("i") / "idx")
+    build_index(CorpusSpec.source_code(p, with_path_field=True), idx,
+                target_docs_per_partition=100)
+    return idx
+
+
+def test_edismax_runs_through_the_engine(edismax_index):
+    from lucene_solr_old_ray.pipelines.search import search
+
+    q = edismax_parse("return class", qf={"content": 1.0, "path": 0.5},
+                      tie=0.2, mm="1", pf2={"content": 2.0})
+    res = search(edismax_index, {0: q}, k=K).to_pandas()
+    assert len(res) > 0
+    # equivalent hand-built tree scores identically (frozen dataclasses:
+    # same tree == same execution)
+    manual = BooleanQuery(
+        (
+            BooleanClause(SHOULD, DisjunctionMaxQuery(
+                (TermQuery("return"), TermQuery("return", 0.5, "path")),
+                0.2)),
+            BooleanClause(SHOULD, DisjunctionMaxQuery(
+                (TermQuery("class"), TermQuery("class", 0.5, "path")), 0.2)),
+            BooleanClause(SHOULD, PhraseQuery(("return", "class"),
+                                              boost=2.0)),
+        ),
+        min_should_match=1,
+    )
+    assert q == manual
+    res2 = search(edismax_index, {0: manual}, k=K).to_pandas()
+    assert res.equals(res2)
