@@ -1,0 +1,241 @@
+"""Solr StatsComponent + pivot facets as Ray Data partial aggregates.
+
+Re-expresses (NOT ports) two Solr analytics components over the engine's
+distributed leaf passes:
+
+- ``solr/core/src/java/org/apache/solr/handler/component/StatsValues
+  Factory.java`` (NumericStatsValues): per numeric field over the query's
+  match set — count, missing, min, max, sum, sumOfSquares, mean =
+  sum/count, stddev = sqrt((count*sumOfSquares - sum^2)/(count*(count-1)))
+  (``getStandardDeviation``, StatsValuesFactory.java:308), optionally
+  FACETED by other fields (``stats.facet``: the same stats per facet
+  value; accumulate() merges partials exactly as here).
+- ``solr/core/src/java/org/apache/solr/handler/component/PivotFacetHelper
+  .java`` (``facet.pivot=f1,f2,...``): hierarchical value counts — per
+  level the values order by count desc (ties by value, the index order of
+  facet.sort=count), ``mincount``/``limit`` apply per level, and each
+  selected parent constrains the next level's doc set (``doPivots``'
+  recursive subset). Missing values never emit a pivot row
+  (facet.missing=false default) but parents still count docs whose child
+  value is missing.
+
+Scale shape: one vectorized pass per leaf; partials are (facet value ->
+count/sum/min/max/...) rows — bounded by the value-dictionary size, never
+by the match set — and a tiny driver reduce finishes. Sums and sums of
+squares accumulate in int64 when the doc values are integral, so the
+derived doubles (mean/stddev) are bit-deterministic across any partition
+layout.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..queries import Query, collect_field_terms, collect_terms
+from ..state import manifest as mf
+from .analytics import _leaf_items
+from .search import _open_leaf, gather_stats
+from ..stages.search import execute
+
+
+def _gather(index_dir: str, query: Query):
+    manifest = mf.read_index_manifest(index_dir)
+    ctx = gather_stats(index_dir, manifest, sorted(collect_terms(query)),
+                       field_terms=sorted(collect_field_terms(query)))
+    return manifest, ctx
+
+
+def field_stats(
+    index_dir: str, query: Query, field: str,
+    facet_field: str | None = None,
+) -> pa.Table:
+    """StatsComponent stats for one NUMERIC doc-values ``field`` over the
+    query match set; with ``facet_field``, one row per facet value PLUS
+    the overall row (facet_value = '') — the stats.facet response shape.
+
+    -> (facet_value, count, missing, min, max, sum, sum_sq, mean, stddev),
+    sorted by facet_value with the overall row first.
+    """
+    manifest, ctx = _gather(index_dir, query)
+    ctx_ref = ray.put(ctx)
+    bcast = ray.put((query, field, facet_field))
+
+    def leaf_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        q, fld, facet = ray.get(bcast)
+        ctx_l = ray.get(ctx_ref)
+        frames = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            vals = pd.Series(leaf.doc_values(fld, docids))
+            present = vals.notna().to_numpy()
+            keys = (pd.Series(leaf.doc_values(facet, docids))
+                    .fillna("(missing)").astype(str)
+                    if facet else pd.Series(np.repeat("", len(docids))))
+            df = pd.DataFrame({"k": keys, "present": present})
+            v = pd.to_numeric(vals.where(pd.Series(present)), errors="coerce")
+            # integral doc values accumulate exactly in int64
+            iv = v.fillna(0).to_numpy(dtype=np.int64)
+            df["s"] = np.where(present, iv, 0)
+            df["ss"] = np.where(present, iv * iv, 0)
+            df["mn"] = np.where(present, iv, np.iinfo(np.int64).max)
+            df["mx"] = np.where(present, iv, np.iinfo(np.int64).min)
+            g = df.groupby("k", sort=False).agg(
+                count=("present", "sum"), missing=("present", "size"),
+                s=("s", "sum"), ss=("ss", "sum"),
+                mn=("mn", "min"), mx=("mx", "max")).reset_index()
+            g["missing"] = g["missing"] - g["count"]
+            if facet:
+                # every leaf also contributes the overall ('') partial
+                tot = g.drop(columns="k").agg({
+                    "count": "sum", "missing": "sum", "s": "sum",
+                    "ss": "sum", "mn": "min", "mx": "max"})
+                frames.append(pd.DataFrame([{"k": "", **tot.to_dict()}]))
+            frames.append(g)
+        if not frames:
+            return pd.DataFrame({
+                "k": pd.Series([], dtype=str),
+                "count": pd.Series([], dtype=np.int64),
+                "missing": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=np.int64),
+                "ss": pd.Series([], dtype=np.int64),
+                "mn": pd.Series([], dtype=np.int64),
+                "mx": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_stats, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0:
+        partials = pd.DataFrame({"k": [""], "count": [0], "missing": [0],
+                                 "s": [0], "ss": [0],
+                                 "mn": [np.iinfo(np.int64).max],
+                                 "mx": [np.iinfo(np.int64).min]})
+    merged = partials.groupby("k").agg(
+        count=("count", "sum"), missing=("missing", "sum"),
+        s=("s", "sum"), ss=("ss", "sum"),
+        mn=("mn", "min"), mx=("mx", "max")).reset_index()
+
+    def _std(c: int, s: int, ss: int) -> float:
+        # StatsValuesFactory.getStandardDeviation: 0.0 when count <= 1
+        if c <= 1:
+            return 0.0
+        return math.sqrt((c * float(ss) - float(s) * float(s))
+                         / (c * (c - 1.0)))
+
+    merged = merged.sort_values("k").reset_index(drop=True)
+    c = merged["count"].to_numpy(dtype=np.int64)
+    s = merged["s"].to_numpy(dtype=np.int64)
+    ss = merged["ss"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "facet_value": pa.array(merged["k"].tolist(), pa.string()),
+        "count": pa.array(c, pa.int64()),
+        "missing": pa.array(merged["missing"].to_numpy(np.int64)),
+        "min": pa.array([int(v) if n else None
+                         for v, n in zip(merged["mn"], c)], pa.int64()),
+        "max": pa.array([int(v) if n else None
+                         for v, n in zip(merged["mx"], c)], pa.int64()),
+        "sum": pa.array(s, pa.int64()),
+        "sum_sq": pa.array(ss, pa.int64()),
+        "mean": pa.array([float(si) / ci if ci else None
+                          for si, ci in zip(s, c)], pa.float64()),
+        "stddev": pa.array([_std(int(ci), int(si), int(ssi)) if ci else None
+                            for ci, si, ssi in zip(c, s, ss)], pa.float64()),
+    })
+
+
+def pivot_facets(
+    index_dir: str, query: Query, fields: list[str],
+    mincount: int = 1, limit: int = 100,
+) -> pa.Table:
+    """``facet.pivot`` over SORTED doc-values fields.  One leaf pass counts
+    full value tuples (missing child encoded separately so parent counts
+    stay faithful); the driver reduce applies per-level (count desc, value
+    asc) ordering with ``mincount``/``limit``, each selected parent
+    constraining its children — PivotFacetHelper.doPivots' recursion over
+    pre-aggregated tuple counts instead of per-value DocSet intersections.
+
+    -> one row per selected LEAF tuple: the field columns, each level's
+    count (``<field>_count``), and the leaf ``count`` (== the last level's
+    count) — the nested NamedList response flattened.
+    """
+    if not fields:
+        raise ValueError("pivot_facets needs at least one field")
+    manifest, ctx = _gather(index_dir, query)
+    ctx_ref = ray.put(ctx)
+    bcast = ray.put((query, list(fields)))
+    _MISS = "\x00missing"
+
+    def leaf_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        q, flds = ray.get(bcast)
+        ctx_l = ray.get(ctx_ref)
+        frames = []
+        for row in batch.to_dict("records"):
+            leaf = _open_leaf(index_dir, row)
+            docids, _ = execute(q, leaf, ctx_l)
+            if len(docids) == 0:
+                continue
+            df = pd.DataFrame({
+                f: pd.Series(leaf.doc_values(f, docids)).fillna(_MISS)
+                .astype(str) for f in flds})
+            g = df.groupby(flds, sort=False).size().rename("count")
+            frames.append(g.reset_index())
+        if not frames:
+            return pd.DataFrame({**{f: pd.Series([], dtype=str)
+                                    for f in flds},
+                                 "count": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    items = _leaf_items(manifest)
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    partials = ds.map_batches(leaf_counts, batch_format="pandas",
+                              batch_size=4).to_pandas()
+    if len(partials) == 0:
+        cols = {f: pa.array([], pa.string()) for f in fields}
+        cols.update({f"{f}_count": pa.array([], pa.int64())
+                     for f in fields[:-1]})
+        cols["count"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    tuples = partials.groupby(fields, sort=False)["count"].sum().reset_index()
+
+    def select(level: int, subset: pd.DataFrame) -> pd.DataFrame:
+        """Recursive per-level selection over the tuple counts."""
+        f = fields[level]
+        counts = (subset.groupby(f)["count"].sum().reset_index()
+                  .rename(columns={"count": "_c"}))
+        counts = counts[counts[f] != _MISS]
+        counts = counts[counts["_c"] >= mincount]
+        counts = counts.sort_values(["_c", f],
+                                    ascending=[False, True]).head(limit)
+        rows = []
+        for val, cnt in zip(counts[f], counts["_c"]):
+            if level == len(fields) - 1:
+                rows.append(pd.DataFrame({f: [val], "count": [int(cnt)]}))
+                continue
+            child = select(level + 1, subset[subset[f] == val])
+            if len(child) == 0:
+                continue
+            child.insert(0, f"{f}_count", int(cnt))
+            child.insert(0, f, val)
+            rows.append(child)
+        if not rows:
+            return pd.DataFrame()
+        return pd.concat(rows, ignore_index=True)
+
+    out = select(0, tuples)
+    if len(out) == 0:
+        cols = {f: pa.array([], pa.string()) for f in fields}
+        cols.update({f"{f}_count": pa.array([], pa.int64())
+                     for f in fields[:-1]})
+        cols["count"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,185 @@
+"""Round-5 FINAL second swap: StatsComponent + pivot facets get driver
+rows; the displaced entries keep their exact SQL-oracle checks here.
+
+Displaced: facet_sum_nchars (association-facet per-category sums — a
+strict subset of stats_nchars_by_lang's aggregation), filtered_top10
+(term-filter FilteredQuery — the FilteredQuery path stays live in
+dv_range_filtered_top10).
+New: stats_nchars_by_lang (Solr StatsValuesFactory stats + stats.facet),
+pivot_lang_source (facet.pivot two-level counts with mincount/limit).
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    import duckdb
+
+    c = duckdb.connect()
+    p = os.path.join(SF, "documents.parquet")
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+def _assert_match(got, want: pd.DataFrame, f32_floats: bool = True):
+    got = _canon(got.to_pandas() if hasattr(got, "to_pandas") else got)
+    want = _canon(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        if got[c].dtype == np.float64 and f32_floats:
+            assert (got[c].to_numpy().astype(np.float32)
+                    == want[c].to_numpy().astype(np.float32)).all(), c
+        else:
+            assert got[c].tolist() == want[c].tolist(), c
+
+
+# --- displaced entries: oracle checks stay alive ---------------------------
+
+def test_displaced_facet_sum_nchars_still_exact(ray_session, con):
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.pipelines.analytics import facet_sum_associations
+    from lucene_solr_old_ray.queries import TermQuery
+
+    t = facet_sum_associations(entry._index_for(SF), TermQuery("spark"),
+                               "source", "n_chars")
+    got = pa.table({"source": t["source"].cast(pa.string()),
+                    "sum_nchars": t["sum"].cast(pa.int64())})
+    want = con.execute(
+        f"WITH {g.base_ctes()} "
+        "SELECT d.source AS source, "
+        "CAST(SUM(d.n_chars) AS BIGINT) AS sum_nchars FROM documents d "
+        "WHERE d.doc_id IN "
+        "  (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+        "GROUP BY d.source ORDER BY d.source").df()
+    _assert_match(got, want)
+
+
+def test_displaced_filtered_top10_still_exact(ray_session, con):
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.queries import FilteredQuery, TermQuery
+
+    got = entry._bm25_result(
+        entry._index_for(SF),
+        FilteredQuery(TermQuery("spark"), TermQuery("window")))
+    want = con.execute(
+        g.bm25_sql(musts=["spark"], filter_terms=["window"])).df()
+    _assert_match(got, want)
+
+
+# --- new entries: sf0.001 oracle parity (bit-exact doubles) -----------------
+
+def test_stats_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["stats_nchars_by_lang"](SF)
+    want = con.execute(entry.oracle_sql()["stats_nchars_by_lang"]).df()
+    # int64 sums make the derived doubles bit-deterministic: compare exact
+    _assert_match(got, want, f32_floats=False)
+    df = got.to_pandas()
+    overall = df[df.facet_value == ""].iloc[0]
+    assert overall["count"] == df[df.facet_value != ""]["count"].sum()
+    assert (df["min"] <= df["max"]).all()
+
+
+def test_pivot_entry_oracle_exact(ray_session, con):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["pivot_lang_source"](SF)
+    want = con.execute(entry.oracle_sql()["pivot_lang_source"]).df()
+    _assert_match(got, want, f32_floats=False)
+    df = got.to_pandas()
+    # per-level limit=3 honored, child counts bounded by the parent count
+    assert df.groupby("lang")["source"].count().max() <= 3
+    assert df["lang"].nunique() <= 3
+    assert (df["count"] <= df["lang_count"]).all()
+    assert (df["count"] >= 2).all()  # mincount=2
+
+
+# --- solrstats unit semantics (Solr edge rules) -----------------------------
+
+def test_stats_stddev_and_missing_semantics(ray_session, tmp_path):
+    """count<=1 -> stddev 0.0 (StatsValuesFactory.getStandardDeviation);
+    docs missing the stats field count under `missing`, not in the
+    aggregates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.solrstats import field_stats
+    from lucene_solr_old_ray.queries import MatchAllDocsQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["alpha beta", "alpha", "gamma delta", "beta beta"],
+        "lang": ["en", "en", "de", "fr"],
+        "source": ["s0", "s0", "s1", "s1"],
+        "n_chars": pa.array([10, 30, None, 7], pa.int64()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.documents(str(tmp_path)), idx,
+                target_docs_per_partition=2)
+    t = field_stats(idx, MatchAllDocsQuery(), "n_chars",
+                    facet_field="lang").to_pandas()
+    overall = t[t.facet_value == ""].iloc[0]
+    assert overall["count"] == 3 and overall["missing"] == 1
+    assert overall["sum"] == 47 and overall["min"] == 7
+    de = t[t.facet_value == "de"].iloc[0]
+    assert de["count"] == 0 and de["missing"] == 1
+    fr = t[t.facet_value == "fr"].iloc[0]
+    assert fr["count"] == 1 and fr["stddev"] == 0.0  # count<=1 rule
+    en = t[t.facet_value == "en"].iloc[0]
+    import math
+    assert en["stddev"] == math.sqrt(
+        (2 * (100 + 900) - 40 * 40) / (2 * 1.0))
+
+
+def test_pivot_mincount_prunes_childless_parents(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.solrstats import pivot_facets
+    from lucene_solr_old_ray.queries import MatchAllDocsQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": ["w"] * 6,
+        "lang": ["en", "en", "en", "de", "de", "fr"],
+        "source": ["a", "a", "b", "c", "d", "e"],
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.documents(str(tmp_path)), idx,
+                target_docs_per_partition=3)
+    t = pivot_facets(idx, MatchAllDocsQuery(), ["lang", "source"],
+                     mincount=2, limit=10).to_pandas()
+    # only en/a reaches mincount=2 at the child level; de (count 2) has no
+    # child >= 2 so it vanishes entirely; fr (count 1) fails at level 1
+    assert t[["lang", "source"]].values.tolist() == [["en", "a"]]
+    assert t.iloc[0]["lang_count"] == 3 and t.iloc[0]["count"] == 2
