@@ -345,6 +345,26 @@ class FilteredQuery:
 
 
 @dataclass(frozen=True)
+class FunctionRangeQuery:
+    """Re-expresses Solr's ``{!frange}`` (``solr/core/src/java/org/apache/
+    solr/search/FunctionRangeQParserPlugin.java`` over ``solr/core/.../
+    function/ValueSourceRangeFilter.java``): the constant-score doc set
+    whose COMPUTED value ``source`` (a NUMERIC dv field name or any
+    ``functions/valuesource.py`` node) lies in [lower, upper] with
+    inclusive/exclusive bounds.  Missing numeric values evaluate to 0.0f —
+    the FieldCache default the reference's FunctionValues stream exposes —
+    so an frange spanning 0 matches docs without the field, exactly like
+    Solr.  Compose under FilteredQuery/BooleanQuery like any filter."""
+
+    source: object  # str NUMERIC dv field or a valuesource node
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermsFilterQuery:
     """Re-expresses ``lucene/queries/.../TermsFilter.java:60``: the doc set
     containing ANY of ``terms`` — constant score, no tf decode, cacheable

@@ -1120,6 +1120,26 @@ def _execute_raw(
         docs = np.flatnonzero(has).astype(np.int64)
         return docs, np.full(len(docs), np.float32(boost * q.boost),
                              dtype=np.float32)
+    from ..queries import FunctionRangeQuery
+
+    if isinstance(q, FunctionRangeQuery):
+        docs = np.arange(leaf.num_docs, dtype=np.int64)
+        if isinstance(q.source, str):
+            vals = leaf.dv_numeric_f32(q.source)
+        else:
+            from ..functions.valuesource import evaluate as vs_eval
+
+            vals = vs_eval(q.source, leaf, ctx, docs)
+        m = np.ones(leaf.num_docs, dtype=bool)
+        if q.lower is not None:
+            lo = np.float32(q.lower)
+            m &= (vals >= lo) if q.include_lower else (vals > lo)
+        if q.upper is not None:
+            hi = np.float32(q.upper)
+            m &= (vals <= hi) if q.include_upper else (vals < hi)
+        docs = docs[m]
+        return docs, np.full(len(docs), np.float32(boost * q.boost),
+                             dtype=np.float32)
     if isinstance(q, FieldCacheRangeFilterQuery):
         if q.kind == "numeric":
             from ..state import docvalues as dvals

@@ -104,3 +104,76 @@ def test_custom_score_through_topk_pipeline(fq_index):
     got = res.sort_values("rank")["docid"].tolist()
     assert got[0] == max(matched)
     assert set(got) == set(matched)
+
+
+# --- FunctionRangeQuery ({!frange}, ValueSourceRangeFilter) -----------------
+
+@pytest.fixture(scope="module")
+def frange_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fr")
+    n = 8
+    docs = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([f"needle w{i}" for i in range(n)], pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s0"] * n, pa.string()),
+        "n_chars": pa.array([5, 10, 15, 20, 25, 30, None, 40], pa.int64()),
+    })
+    pq.write_table(docs, str(d / "documents.parquet"))
+    idx = str(d / "idx")
+    build_index(CorpusSpec.documents(str(d)), idx,
+                target_docs_per_partition=4)
+    return idx
+
+
+def test_frange_matches_fieldcache_range(frange_index):
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import (
+        FieldCacheRangeFilterQuery,
+        FilteredQuery,
+        FunctionRangeQuery,
+    )
+
+    fr = FilteredQuery(TermQuery("needle"),
+                       FunctionRangeQuery("n_chars", 10, 30))
+    fc = FilteredQuery(TermQuery("needle"),
+                       FieldCacheRangeFilterQuery("n_chars", 10, 30,
+                                                  kind="numeric"))
+    a = search(frange_index, {0: fr}, k=10).to_pandas()
+    b = search(frange_index, {0: fc}, k=10).to_pandas()
+    assert a.equals(b) and len(a) == 5
+
+
+def test_frange_bounds_and_missing_value_rule(frange_index):
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import FunctionRangeQuery
+
+    def docs(q):
+        r = search(frange_index, {0: q}, k=20).to_pandas()
+        return sorted(r["docid"].tolist())
+
+    # exclusive bounds drop the endpoints
+    assert docs(FunctionRangeQuery("n_chars", 10, 30,
+                                   include_lower=False,
+                                   include_upper=False)) == [2, 3, 4]
+    # missing numeric evaluates to 0.0f (FieldCache default): a range
+    # spanning 0 matches the missing-value doc (docid 6), like Solr
+    assert 6 in docs(FunctionRangeQuery("n_chars", None, 6))
+    # open upper bound
+    assert docs(FunctionRangeQuery("n_chars", 25, None)) == [4, 5, 7]
+
+
+def test_frange_over_valuesource_node(frange_index):
+    from lucene_solr_old_ray.functions.valuesource import (
+        Const,
+        FloatField,
+        Sum,
+    )
+    from lucene_solr_old_ray.pipelines.search import search
+    from lucene_solr_old_ray.queries import FunctionRangeQuery
+
+    # n_chars + 100 in [110, 130] == n_chars in [10, 30]
+    shifted = Sum((FloatField("n_chars"), Const(100.0)))
+    r = search(frange_index,
+               {0: FunctionRangeQuery(shifted, 110, 130)}, k=20).to_pandas()
+    assert sorted(r["docid"].tolist()) == [1, 2, 3, 4, 5]
