@@ -239,3 +239,81 @@ def pivot_facets(
         cols["count"] = pa.array([], pa.int64())
         return pa.table(cols)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def terms_component(
+    index_dir: str, field: str | None = None, *,
+    prefix: str | None = None, regex: str | None = None,
+    lower: str | None = None, upper: str | None = None,
+    include_lower: bool = True, include_upper: bool = True,
+    mincount: int = 1, maxcount: int | None = None,
+    limit: int = 10, sort: str = "count",
+) -> pa.Table:
+    """Solr TermsComponent (``solr/core/src/java/org/apache/solr/handler/
+    component/TermsComponent.java``): enumerate a field's indexed terms
+    with their docFreq — ``terms.prefix`` / ``terms.regex`` (full-match) /
+    ``terms.lower``/``terms.upper`` bounds with include flags, then
+    ``terms.mincount``/``terms.maxcount`` and ``terms.limit`` under
+    ``terms.sort`` = ``count`` (df desc, term asc) or ``index`` (term asc).
+
+    Scale shape: one column-pruned Dataset read over the segments' term
+    dictionaries, every term predicate applied vectorized BEFORE the
+    df-sum shuffle (only surviving terms move), then k-bounded per-block
+    partials reduce exactly on the driver (df sums complete post-groupby,
+    so mincount/maxcount filter full counts).  -> (term, df).
+    """
+    import os
+
+    from ray.data.aggregate import Sum
+
+    man = mf.read_index_manifest(index_dir)
+    fname = "terms.parquet" if field is None else f"F.{field}.terms.parquet"
+    files = [os.path.join(index_dir, s["dir"], fname)
+             for s in man["segments"]]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    ds = ray.data.read_parquet(files, columns=["term", "df"])
+
+    anchored = f"^(?:{regex})$" if regex is not None else None
+
+    def pre_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch["term"]
+        if t.type != pa.string() and t.type != pa.large_string():
+            t = t.cast(pa.string())
+            batch = batch.set_column(batch.schema.get_field_index("term"),
+                                     "term", t)
+        m = pa.array(np.ones(batch.num_rows, dtype=bool))
+        if prefix is not None:
+            m = pc.and_(m, pc.starts_with(t, prefix))
+        if anchored is not None:
+            m = pc.and_(m, pc.match_substring_regex(t, anchored))
+        if lower is not None:
+            cmp = pc.greater_equal if include_lower else pc.greater
+            m = pc.and_(m, cmp(t, lower))
+        if upper is not None:
+            cmp = pc.less_equal if include_upper else pc.less
+            m = pc.and_(m, cmp(t, upper))
+        return batch.filter(m)
+
+    ds = ds.map_batches(pre_filter, batch_format="pyarrow")
+    merged = ds.groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["df"] >= mincount]
+        if maxcount is not None:
+            b = b[b["df"] <= maxcount]
+        if sort == "count":
+            b = b.sort_values(["df", "term"], ascending=[False, True])
+        else:
+            b = b.sort_values("term")
+        return b.head(limit)
+
+    parts = merged.map_batches(partial_topk,
+                               batch_format="pandas").to_pandas()
+    out = partial_topk(parts).reset_index(drop=True)
+    return pa.table({"term": pa.array(out["term"].tolist(), pa.string()),
+                     "df": pa.array(out["df"].to_numpy(np.int64))})

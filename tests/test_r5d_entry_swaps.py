@@ -183,3 +183,52 @@ def test_pivot_mincount_prunes_childless_parents(ray_session, tmp_path):
     # child >= 2 so it vanishes entirely; fr (count 1) fails at level 1
     assert t[["lang", "source"]].values.tolist() == [["en", "a"]]
     assert t.iloc[0]["lang_count"] == 3 and t.iloc[0]["count"] == 2
+
+
+# --- TermsComponent ---------------------------------------------------------
+
+def test_terms_component_vs_duckdb(ray_session, con):
+    """terms.prefix/bounds/regex enumeration matches the DuckDB term df
+    derivation (same toks stream the term_stats oracle proves)."""
+    import __ray_entry__ as entry
+    import lucene_solr_old_ray.sqlgen as g
+    from lucene_solr_old_ray.pipelines.solrstats import terms_component
+
+    idx = entry._index_for(SF)
+
+    got = terms_component(idx, prefix="s", limit=5, sort="count",
+                          mincount=2).to_pandas()
+    want = con.execute(
+        f"WITH {g.base_ctes()} "
+        "SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+        "WHERE term LIKE 's%' GROUP BY term HAVING df >= 2 "
+        "ORDER BY df DESC, term LIMIT 5").df()
+    _assert_match(got, want)
+
+    got = terms_component(idx, lower="m", upper="p", include_upper=False,
+                          limit=8, sort="index").to_pandas()
+    want = con.execute(
+        f"WITH {g.base_ctes()} "
+        "SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+        "WHERE term >= 'm' AND term < 'p' GROUP BY term "
+        "ORDER BY term LIMIT 8").df()
+    _assert_match(got, want)
+
+    got = terms_component(idx, regex="t.*e", limit=6).to_pandas()
+    want = con.execute(
+        f"WITH {g.base_ctes()} "
+        "SELECT term, count(DISTINCT doc_id) AS df FROM toks "
+        "WHERE regexp_full_match(term, 't.*e') GROUP BY term "
+        "ORDER BY df DESC, term LIMIT 6").df()
+    _assert_match(got, want)
+
+
+def test_terms_component_named_field(ray_session):
+    import __ray_entry__ as entry
+    from lucene_solr_old_ray.pipelines.solrstats import terms_component
+
+    got = terms_component(entry._index_for(SF), field="source",
+                          limit=30, sort="index").to_pandas()
+    assert (got["term"].str.startswith("src")).all()
+    assert got["term"].is_monotonic_increasing
+    assert (got["df"] > 0).all()
