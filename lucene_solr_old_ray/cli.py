@@ -226,6 +226,13 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--group-col", default="source")
     mx.add_argument("--default-rate", type=float, default=1.0)
     mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--cluster-balance", type=int, default=0,
+                    metavar="K", help="k-means cluster the EMBEDDING table "
+                    "into K clusters and down-sample per cluster instead "
+                    "of per group (semantic domain balancing)")
+    mx.add_argument("--target", default="equalize",
+                    help="with --cluster-balance: 'equalize' (cap at the "
+                         "smallest cluster) or an int rows-per-cluster cap")
     mx.add_argument("--out", required=True)
 
     dc = sub.add_parser("decontaminate", help="flag/drop docs sharing any "
@@ -468,11 +475,18 @@ def main(argv: list[str] | None = None) -> int:
         t = fn(args.sf_dir, write_to=args.out)
         print(json.dumps(t.to_pylist()[0]))
     elif args.cmd == "mix":
-        from .stages.mix import mix_to_token_budget, sample_mix
+        from .stages.mix import (cluster_balanced_sample,
+                                 mix_to_token_budget, sample_mix)
 
         if args.budget and args.rate:
             raise SystemExit("--rate and --budget are mutually exclusive")
-        if args.budget:
+        if args.cluster_balance:
+            tgt = (args.target if args.target == "equalize"
+                   else int(args.target))
+            t = cluster_balanced_sample(args.sf_dir, args.cluster_balance,
+                                        target=tgt, seed=args.seed,
+                                        write_to=args.out)
+        elif args.budget:
             budgets = {g: int(v) for g, v in
                        _parse_rates(args.budget).items()}
             t = mix_to_token_budget(args.sf_dir, budgets,

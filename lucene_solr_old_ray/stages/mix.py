@@ -138,6 +138,93 @@ def token_budget_rates(sf_dir: str, budgets: dict[str, int],
             for g, b in budgets.items()}
 
 
+def cluster_balanced_sample(
+    sf_dir: str, n_clusters: int = 16, target: "str | int | dict" = "equalize",
+    seed: int = 42, write_to: str | None = None,
+) -> pa.Table:
+    """Semantic domain balancing: k-means-cluster the embedding table and
+    down-sample each cluster to a target size — the cluster-proportional
+    curation pass used to de-skew web-scale mixes (the clustering shape of
+    SemDeDup/DoReMi-style pipelines, with the engine's deterministic
+    hash-Bernoulli keep rule so the kept set is identical on any cluster
+    size or partitioning).
+
+    ``target``: ``"equalize"`` caps every cluster at the SMALLEST
+    cluster's size; an int caps every cluster at that many rows; a dict
+    maps cluster id -> cap (absent clusters keep everything).  Keep
+    decision per row: ``splitmix64(vec_id ^ seed) / 2^64 < cap/size`` —
+    expected kept count = cap, exact reproducibility by construction.
+
+    Scale shape: centroids train on a bounded sample (the shared IVF
+    training contract); ONE streaming assignment pass stamps clusters; a
+    cluster-count-sized combiner resolves sizes (constant partials); the
+    final filter is another streaming pass.  No shuffle ever moves the
+    corpus; the driver holds only (n_clusters) rates.
+    -> kept (vec_id, cluster) rows, or the sink summary with write_to.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .ann import _normalized, _train_centroids
+
+    C = _train_centroids(sf_dir, n_clusters, seed)
+    c_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_l = ray.get(c_ref)
+        v = _normalized(np.asarray(batch["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        cl = np.argmax(v @ C_l.T, axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(cl),
+        })
+
+    assigned = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"cluster": batch["cluster"].to_numpy()})
+        g = df.groupby("cluster", as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sizes = (assigned.map_batches(size_partial, batch_format="pyarrow")
+             .groupby("cluster").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    size_of = dict(zip(sizes["cluster"].astype(int),
+                       sizes["n"].astype(int)))
+    if target == "equalize":
+        cap = min(size_of.values()) if size_of else 0
+        caps = {c: cap for c in size_of}
+    elif isinstance(target, int):
+        caps = {c: target for c in size_of}
+    elif isinstance(target, dict):
+        caps = {int(c): int(v) for c, v in target.items()}
+    else:
+        raise ValueError(f"unknown target {target!r}")
+    rates = {c: min(1.0, caps[c] / size_of[c]) if c in caps and size_of[c]
+             else 1.0 for c in size_of}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = batch["cluster"].to_numpy(zero_copy_only=False)
+        r = pd.Series(cl).map(rates).fillna(1.0).to_numpy(dtype=np.float64)
+        u = _mix_hash(d, seed).astype(np.float64) / float(2 ** 64)
+        return batch.filter(pa.array((r >= 1.0) | (u < r)))
+
+    res = assigned.map_batches(keep, batch_format="pyarrow")
+    if write_to is not None:
+        from ..pipelines.sink import write_results
+
+        n = write_results(res, write_to)
+        return pa.table({"rows_written": pa.array([n], pa.int64()),
+                         "out_dir": pa.array([write_to], pa.string())})
+    out = res.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # --- DSIR: data selection via importance resampling (Xie et al. 2023) ----
 
 def _dsir_buckets(texts: list[str], n_buckets: int) -> np.ndarray:

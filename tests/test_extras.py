@@ -860,3 +860,48 @@ def test_mix_to_token_budget(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match=">= 0"):
         token_budget_rates(str(sf), {"A": -1})
+
+
+def test_cluster_balanced_sample_exact_and_balanced(ray_session):
+    """cluster_balanced_sample == a single-process replication (same
+    centroids, same assignment, same splitmix64 keep rule), clusters cap
+    at the smallest cluster's size under 'equalize', and the kept set is
+    identical across repeated runs (hash determinism)."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.stages.ann import _normalized, _train_centroids
+    from lucene_solr_old_ray.stages.mix import (
+        _mix_hash,
+        cluster_balanced_sample,
+    )
+
+    got = cluster_balanced_sample(SF, n_clusters=4, seed=7).to_pandas()
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    X = _normalized(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+    C = _train_centroids(SF, 4, 7)
+    cl = np.argmax(X @ C.T, axis=1).astype(np.int64)
+    sizes = np.bincount(cl, minlength=4)
+    cap = sizes[sizes > 0].min()
+    rates = np.where(sizes > 0, np.minimum(1.0, cap / np.maximum(sizes, 1)),
+                     1.0)
+    u = _mix_hash(ids, 7).astype(np.float64) / float(2 ** 64)
+    keep = (rates[cl] >= 1.0) | (u < rates[cl])
+    want = sorted(ids[keep].tolist())
+    assert got["vec_id"].tolist() == want
+    assert got[["vec_id", "cluster"]].values.tolist() == sorted(
+        np.stack([ids[keep], cl[keep]], axis=1).tolist())
+    # balanced: the smallest cluster survives whole; others shrink toward it
+    kept_sizes = got.groupby("cluster").size()
+    full = {int(c) for c in range(4) if sizes[c] == cap}
+    assert any(int(kept_sizes.get(c, 0)) == cap for c in full)
+    # determinism across runs
+    again = cluster_balanced_sample(SF, n_clusters=4, seed=7).to_pandas()
+    assert again.equals(got)
+    # int target caps every cluster's EXPECTED size at the target
+    small = cluster_balanced_sample(SF, n_clusters=4, seed=7,
+                                    target=10).to_pandas()
+    assert set(small.vec_id) <= set(got.vec_id) | set(ids.tolist())
+    assert len(small) < len(ids)
