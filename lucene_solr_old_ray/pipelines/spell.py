@@ -163,3 +163,75 @@ def spell_suggest(
     })
     return pa.Table.from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def spell_collate(
+    index_dir: str,
+    terms: list[str],
+    *,
+    max_collations: int = 3,
+    max_tries: int = 10,
+    num_sug: int = 3,
+    max_edits: int = 2,
+    min_prefix: int = 1,
+    accuracy: float = 0.5,
+) -> pa.Table:
+    """Re-expresses (NOT ports) Solr's SpellCheckCollator
+    (``solr/core/src/java/org/apache/solr/spelling/SpellCheckCollator
+    .java`` + ``PossibilityIterator.java``): rewrite the user's query by
+    substituting per-term spelling suggestions, TRY each candidate
+    collation against the index, and keep only collations that actually
+    hit — the "did you mean, verified" feature.
+
+    - Terms present in the index keep themselves (SUGGEST_WHEN_NOT_IN
+      _INDEX: no suggestions are generated for them);
+    - candidate collations enumerate in rank-sum order (the
+      PossibilityIterator's ranked combination walk: sum of per-term
+      suggestion ranks ascending, lexicographic rank-vector tie-break),
+      capped at ``max_tries`` tries;
+    - every try is ONE batched distributed search (the engine's qid
+      fan-out), hits = the conjunction's total_hits;
+    - up to ``max_collations`` collations with hits >= 1 return, in try
+      order (the reference's discovery order).
+
+    -> (rank, collation, hits).
+    """
+    import itertools
+
+    from ..queries import bool_query
+    from .search import search
+
+    sug = spell_suggest(index_dir, terms, num_sug=num_sug,
+                        max_edits=max_edits, min_prefix=min_prefix,
+                        accuracy=accuracy).to_pandas()
+    per_term: list[list[str]] = []
+    for t in terms:
+        s = sug[sug["query"] == t]
+        if len(s) == 0:
+            per_term.append([t])  # in-index (or hopeless): keep the term
+        else:
+            per_term.append(s.sort_values("rank")["suggestion"].tolist())
+
+    # ranked combination walk: rank-vector sum ascending
+    combos = sorted(
+        itertools.product(*(range(len(p)) for p in per_term)),
+        key=lambda rv: (sum(rv), rv))[:max_tries]
+    candidates = [" ".join(per_term[i][r] for i, r in enumerate(rv))
+                  for rv in combos]
+    queries = {qid: bool_query(musts=c.split())
+               for qid, c in enumerate(candidates)}
+    res = search(index_dir, queries, k=1).to_pandas()
+    hits_of = dict(zip(res["qid"], res["total_hits"]))
+
+    rows = []
+    for qid, cand in enumerate(candidates):
+        h = int(hits_of.get(qid, 0))
+        if h >= 1 and cand != " ".join(terms):
+            rows.append((len(rows) + 1, cand, h))
+            if len(rows) >= max_collations:
+                break
+    return pa.table({
+        "rank": pa.array([r[0] for r in rows], pa.int64()),
+        "collation": pa.array([r[1] for r in rows], pa.string()),
+        "hits": pa.array([r[2] for r in rows], pa.int64()),
+    })

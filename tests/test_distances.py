@@ -115,3 +115,50 @@ def test_spell_suggest_distance_spi(ray_session, tmp_path):
         # scores non-increasing by rank
         s = got.sort_values("rank")["score"].to_numpy()
         assert (s[:-1] >= s[1:]).all(), dist
+
+
+def test_spell_collate_verified_rewrites(ray_session, tmp_path):
+    """SpellCheckCollator: collations substitute per-term suggestions in
+    rank-sum order and only verified (hits >= 1) rewrites return."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.spell import spell_collate
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = [
+        "sparse matrix kernel",
+        "sparse matrix solver",
+        "dense matrix kernel",
+        "sparse tensor kernel",
+    ]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(files=(p,), content_col="text",
+                           meta_cols=("doc_id",)), idx,
+                target_docs_per_partition=10)
+
+    # both terms misspelled: the verified collation corrects both and
+    # reports the conjunction's hit count (2 docs have sparse+matrix)
+    t = spell_collate(idx, ["sparze", "matrux"],
+                      max_collations=3).to_pandas()
+    assert len(t) >= 1
+    assert t.iloc[0]["collation"] == "sparse matrix"
+    assert t.iloc[0]["hits"] == 2
+    assert t["rank"].tolist() == list(range(1, len(t) + 1))
+
+    # an in-index term keeps itself; only the misspelled one rewrites
+    t = spell_collate(idx, ["tensor", "kernal"],
+                      max_collations=2).to_pandas()
+    assert t.iloc[0]["collation"] == "tensor kernel"
+    assert t.iloc[0]["hits"] == 1
+
+    # an unfixable conjunction yields no collation rows
+    t = spell_collate(idx, ["zzzzqq", "matrux"],
+                      max_collations=2, max_edits=1).to_pandas()
+    assert (t["collation"].str.contains("zzzzqq")).all() or len(t) == 0
