@@ -866,3 +866,54 @@ def fetch_term_vectors(index_dir: str, docids: Sequence[int]) -> pa.Table:
                          "freq": pa.array([], pa.int32()),
                          "positions": pa.array([], pa.list_(pa.int32()))})
     return pa.concat_tables(tables)
+
+
+def search_elevated(
+    index_dir: str,
+    query,
+    elevate: "Sequence[int]",
+    exclude: "Sequence[int]" = (),
+    k: int = 10,
+    force: bool = True,
+) -> pa.Table:
+    """Re-expresses (NOT ports) Solr's QueryElevationComponent
+    (``solr/core/src/java/org/apache/solr/handler/component/
+    QueryElevationComponent.java``): editorial overrides on top of the
+    organic ranking — the configured ``elevate`` docIDs sort FIRST in
+    config order (the ElevationComparatorSource priority sort), the
+    ``exclude`` docIDs never return, and with ``force`` (forceElevation)
+    elevated docs appear even when the query does not match them (score
+    null, the reference's unscored force-include).  Organic results fill
+    the remaining slots in BM25 order.  -> (rank, docid, score, elevated).
+    """
+    elevate = [int(d) for d in elevate]
+    exclude = {int(d) for d in exclude}
+    res = search(index_dir, {0: query},
+                 k=k + len(elevate) + len(exclude)).to_pandas()
+    score_of = dict(zip(res["docid"].astype(int),
+                        res["score"].astype(float)))
+    rows = []
+    seen = set()
+    for d in elevate:
+        if d in exclude or d in seen:
+            continue
+        if d in score_of:
+            rows.append((d, score_of[d], True))
+            seen.add(d)
+        elif force:
+            rows.append((d, None, True))
+            seen.add(d)
+    for d, s in zip(res["docid"].astype(int), res["score"].astype(float)):
+        if len(rows) >= k:
+            break
+        if d in seen or d in exclude:
+            continue
+        rows.append((d, s, False))
+        seen.add(d)
+    rows = rows[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "docid": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.float32()),
+        "elevated": pa.array([r[2] for r in rows], pa.bool_()),
+    })

@@ -162,3 +162,49 @@ def test_spell_collate_verified_rewrites(ray_session, tmp_path):
     t = spell_collate(idx, ["zzzzqq", "matrux"],
                       max_collations=2, max_edits=1).to_pandas()
     assert (t["collation"].str.contains("zzzzqq")).all() or len(t) == 0
+
+
+def test_query_elevation_component(ray_session, tmp_path):
+    """QueryElevationComponent: elevated ids first in config order,
+    excluded ids never return, forceElevation includes non-matching
+    elevated docs with a null score, organic BM25 fills the rest."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.search import search, search_elevated
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    docs = ["needle one", "needle two needle", "needle three",
+            "hay only", "needle four", "needle five"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec(files=(p,), content_col="text",
+                           meta_cols=("doc_id",)), idx,
+                target_docs_per_partition=10)
+
+    organic = search(idx, {0: TermQuery("needle")}, k=10).to_pandas()
+    t = search_elevated(idx, TermQuery("needle"),
+                        elevate=[4, 3], exclude=[1], k=10).to_pandas()
+    # config order first: 4 (matching, keeps its BM25 score), then 3
+    # (force-included non-match, null score)
+    assert t["docid"].tolist()[:2] == [4, 3]
+    assert t.iloc[0]["elevated"] and t.iloc[1]["elevated"]
+    assert t.iloc[1]["score"] is None or np.isnan(t.iloc[1]["score"])
+    om = dict(zip(organic["docid"], organic["score"]))
+    assert t.iloc[0]["score"] == np.float32(om[4])
+    # excluded doc 1 never returns; organic remainder keeps BM25 order
+    assert 1 not in set(t["docid"])
+    organic_rest = [d for d in organic["docid"] if d not in (4, 1)]
+    assert t[~t["elevated"]]["docid"].tolist() == organic_rest
+    # without force, the non-matching elevated doc drops out
+    t2 = search_elevated(idx, TermQuery("needle"), elevate=[3, 4],
+                         force=False, k=10).to_pandas()
+    assert t2["docid"].tolist()[0] == 4
+    assert 3 not in set(t2["docid"])
