@@ -317,3 +317,75 @@ def terms_component(
     out = partial_topk(parts).reset_index(drop=True)
     return pa.table({"term": pa.array(out["term"].tolist(), pa.string()),
                      "df": pa.array(out["df"].to_numpy(np.int64))})
+
+
+def term_vector_component(
+    index_dir: str, *,
+    query: Query | None = None, k: int = 10,
+    docids: "list[int] | None" = None,
+    tf: bool = True, df: bool = False, tf_idf: bool = False,
+    positions: bool = False, offsets: bool = False,
+    tv_all: bool = False,
+) -> pa.Table:
+    """Solr TermVectorComponent (``solr/core/src/java/org/apache/solr/
+    handler/component/TermVectorComponent.java:96-420``): per-document
+    term-vector report over either an explicit ``tv.docIds`` list or the
+    docList of a query's top-k hits — per (doc, term) the requested
+    subset of ``tv.tf`` (freq), ``tv.positions``, ``tv.offsets``,
+    ``tv.df`` (collection docFreq) and ``tv.tf_idf`` (the reference's
+    ``freq / df`` double, TermVectorComponent.java:398); ``tv.all``
+    switches every option on (``:164-170``).
+
+    Scale shape: the doc set is k-bounded, so this is a retrieval path,
+    not a scan — term vectors come from the doc-pruned tv.parquet
+    sidecar reads (``fetch_term_vectors``: row-group predicate on the
+    doc-major sort), and docFreq for the hit docs' distinct terms comes
+    from the same bounded term-dict stats exchange every query uses
+    (``gather_stats``), never a dictionary scan. Output rows sort by
+    (docid, term) — the reference's TermsEnum order within each doc of
+    the docList.
+    """
+    import pyarrow.compute as pc
+
+    from .search import fetch_term_vectors, search
+
+    if tv_all:
+        tf = positions = offsets = df = tf_idf = True
+    if docids is None:
+        if query is None:
+            raise ValueError("term_vector_component needs docids or a query")
+        hits = search(index_dir, [query], k=k)
+        docids = hits["docid"].to_pylist()
+    docids = sorted(set(int(d) for d in docids))
+    tvt = fetch_term_vectors(index_dir, docids)
+    if offsets and "start_offsets" not in tvt.column_names:
+        raise ValueError(
+            "tv.offsets needs the offsets lane "
+            "(CorpusSpec.store_tv_offsets=True)")
+    order = pc.sort_indices(
+        tvt, sort_keys=[("docid", "ascending"), ("term", "ascending")])
+    tvt = tvt.take(order)
+
+    cols: dict = {"docid": tvt["docid"], "term": tvt["term"]}
+    if tf:
+        cols["tf"] = tvt["freq"].cast(pa.int64())
+    if positions:
+        cols["positions"] = tvt["positions"]
+    if offsets:
+        cols["start_offsets"] = tvt["start_offsets"]
+        cols["end_offsets"] = tvt["end_offsets"]
+    if df or tf_idf:
+        man = mf.read_index_manifest(index_dir)
+        terms = sorted(set(tvt["term"].to_pylist()))
+        ctx = gather_stats(index_dir, man, terms)
+        dfs = np.array(
+            [ctx.term_stats.get(t, (0, 0))[0]
+             for t in tvt["term"].to_pylist()], dtype=np.int64)
+        if df:
+            cols["df"] = pa.array(dfs)
+        if tf_idf:
+            freqs = tvt["freq"].to_numpy().astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cols["tf_idf"] = pa.array(
+                    np.where(dfs > 0, freqs / dfs, 0.0))
+    return pa.table(cols)

@@ -232,3 +232,56 @@ def test_terms_component_named_field(ray_session):
     assert (got["term"].str.startswith("src")).all()
     assert got["term"].is_monotonic_increasing
     assert (got["df"] > 0).all()
+
+
+def test_term_vector_component(ray_session, tmp_path):
+    """TermVectorComponent semantics: tf = in-doc freq, df = collection
+    docFreq, tf_idf = freq/df (TermVectorComponent.java:398), positions/
+    offsets straight from the tv lanes; tv.all turns everything on; the
+    query path reports over the top-k docList."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.merge import merge_index
+    from lucene_solr_old_ray.pipelines.solrstats import term_vector_component
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["alpha beta alpha", "alpha gamma", "beta gamma gamma",
+                 "delta"],
+        "lang": ["en"] * 4,
+        "source": ["s0"] * 4,
+        "n_chars": pa.array([16, 11, 16, 5], pa.int64()),
+    }), p)
+    idx = str(tmp_path / "idx")
+    spec = CorpusSpec.documents(str(tmp_path))
+    spec = CorpusSpec(files=spec.files, content_col=spec.content_col,
+                      meta_cols=spec.meta_cols, store_term_vectors=True,
+                      store_tv_offsets=True)
+    build_index(spec, idx, target_docs_per_partition=2)
+    merge_index(idx, fan_in=8, strategy="local")
+
+    t = term_vector_component(idx, docids=[0, 1], tv_all=True).to_pandas()
+    assert list(zip(t["docid"], t["term"])) == [
+        (0, "alpha"), (0, "beta"), (1, "alpha"), (1, "gamma")]
+    assert t["tf"].tolist() == [2, 1, 1, 1]
+    # collection df: alpha in docs 0,1; beta in 0,2; gamma in 1,2
+    assert t["df"].tolist() == [2, 2, 2, 2]
+    assert t["tf_idf"].tolist() == [1.0, 0.5, 0.5, 0.5]
+    assert t["positions"].iloc[0].tolist() == [0, 2]
+    s, e = t["start_offsets"].iloc[0], t["end_offsets"].iloc[0]
+    assert [( int(a), int(b)) for a, b in zip(s, e)] == [(0, 5), (11, 16)]
+
+    # option gating: default is tf-only
+    lean = term_vector_component(idx, docids=[0])
+    assert lean.column_names == ["docid", "term", "tf"]
+
+    # query path: docList = top-k hits of the query
+    qt = term_vector_component(
+        idx, query=TermQuery("delta"), k=5, df=True).to_pandas()
+    assert qt["term"].tolist() == ["delta"]
+    assert qt["df"].tolist() == [1]
