@@ -824,6 +824,84 @@ def fetch_doc_meta(index_dir: str, docids: Sequence[int]) -> pa.Table:
     return pa.concat_tables(tables) if tables else pa.table({"docid": pa.array([], pa.int64())})
 
 
+@ray.remote(num_cpus=1)
+def _rtg_leaf_task(index_dir: str, leaves: list[dict], ids: list,
+                   key_field: str) -> "pa.Table":
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tables = []
+    for l in leaves:
+        path = os.path.join(index_dir, l["dir"], "docmap.parquet")
+        t = pq.read_table(path, filters=[(key_field, "in", ids)])
+        if t.num_rows == 0:
+            continue
+        # local row ordinal == docmap row position; recover it with a
+        # second bounded read of just the key column (positions align)
+        keys = pq.read_table(path, columns=[key_field])[key_field]
+        local = np.flatnonzero(pc.is_in(
+            keys, pa.array(ids, keys.type)).to_numpy(zero_copy_only=False))
+        dp = l.get("deletes")
+        if dp is not None:
+            live = np.load(os.path.join(index_dir, dp))
+            keep = live[local]
+            t, local = t.filter(pa.array(keep)), local[keep]
+        if t.num_rows:
+            t = t.append_column(
+                "docid", pa.array(local + l["doc_base"], pa.int64()))
+            tables.append(t)
+    return pa.concat_tables(tables) if tables else None
+
+
+def real_time_get(
+    index_dir: str, ids: Sequence, *,
+    key_field: str = "doc_id", fields: Sequence[str] | None = None,
+) -> pa.Table:
+    """Re-expresses (NOT ports) Solr's RealTimeGetComponent (``solr/core/
+    src/java/org/apache/solr/handler/component/RealTimeGetComponent.java``,
+    the ``/get?ids=...`` handler): fetch the LATEST live version of each
+    document by unique key. The reference consults the update log before
+    the searcher; this engine's update protocol is manifest generations
+    (updateDocument = tombstone + re-add publishing a new generation,
+    ``pipelines/deletes.py``), so the newest manifest IS the realtime
+    view — tombstoned versions are masked through liveDocs and, if a key
+    was re-added without a delete, the highest global docID (the newest
+    segment) wins, matching the reference's last-writer semantics.
+
+    Scale shape: a k-bounded retrieval, never a scan — per leaf one
+    key-predicate docmap read (row-group stats prune) fanned as plain Ray
+    tasks (control-plane work, same shape as gather_stats), then a tiny
+    driver reduce. Returns rows in REQUESTED id order (the /get response
+    contract); missing or deleted ids simply don't appear.
+    """
+    manifest = mf.read_index_manifest(index_dir)
+    leaves = _leaves(manifest)
+    req = list(dict.fromkeys(ids))
+    items = [{"dir": l["dir"], "doc_base": l["doc_base"],
+              "deletes": l.get("deletes")} for l in leaves]
+    n_tasks = min(8, len(items))
+    groups = [items[i::n_tasks] for i in range(n_tasks)]
+    parts = [t for t in ray.get([
+        _rtg_leaf_task.remote(index_dir, g, req, key_field)
+        for g in groups]) if t is not None]
+    if not parts:
+        return pa.table({key_field: pa.array([]),
+                         "docid": pa.array([], pa.int64())})
+    allt = pa.concat_tables(parts).to_pandas()
+    # last-writer-wins: keep the highest global docid per key, then the
+    # requested order
+    allt = (allt.sort_values("docid").groupby(key_field, as_index=False)
+            .last())
+    pos = {v: i for i, v in enumerate(req)}
+    allt = allt.sort_values(key_field,
+                            key=lambda c: c.map(pos)).reset_index(drop=True)
+    if fields is not None:
+        keep = [key_field] + [f for f in fields if f != key_field]
+        keep += ["docid"] if "docid" not in keep else []
+        allt = allt[[c for c in keep if c in allt.columns]]
+    return pa.Table.from_pandas(allt, preserve_index=False)
+
+
 def fetch_term_vectors(index_dir: str, docids: Sequence[int]) -> pa.Table:
     """Term-vector retrieval (IndexReader.getTermVector analogue) for a
     (small) set of global docIDs -> (docid, term, freq, positions).

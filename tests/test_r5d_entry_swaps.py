@@ -285,3 +285,60 @@ def test_term_vector_component(ray_session, tmp_path):
         idx, query=TermQuery("delta"), k=5, df=True).to_pandas()
     assert qt["term"].tolist() == ["delta"]
     assert qt["df"].tolist() == [1]
+
+
+def test_real_time_get(ray_session, tmp_path):
+    """RealTimeGetComponent semantics over manifest generations: latest
+    live version per unique key, requested order, deleted keys absent,
+    last-writer (highest docid) wins after a tombstone + re-add update."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_old_ray.pipelines.build_index import build_index
+    from lucene_solr_old_ray.pipelines.deletes import (add_documents,
+                                                       delete_by_query)
+    from lucene_solr_old_ray.pipelines.search import real_time_get
+    from lucene_solr_old_ray.queries import TermQuery
+    from lucene_solr_old_ray.sources.corpus import CorpusSpec
+
+    d0 = tmp_path / "gen0"
+    d0.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["alpha one", "needle oldversion", "gamma two"],
+        "lang": ["en", "en", "de"],
+        "source": ["s0", "s0", "s1"],
+    }), str(d0 / "documents.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(CorpusSpec.documents(str(d0)), idx,
+                target_docs_per_partition=2)
+
+    t = real_time_get(idx, [2, 0]).to_pandas()
+    assert t["doc_id"].tolist() == [2, 0]          # requested order
+    assert t["lang"].tolist() == ["de", "en"]
+    old_docid = int(real_time_get(idx, [1])["docid"][0].as_py())
+
+    # updateDocument = tombstone + re-add (a new manifest generation)
+    delete_by_query(idx, TermQuery("needle"))
+    d1 = tmp_path / "gen1"
+    d1.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": ["needle newversion"],
+        "lang": ["xx"],
+        "source": ["s9"],
+    }), str(d1 / "documents.parquet"))
+    add_documents(idx, CorpusSpec.documents(str(d1)))
+
+    t = real_time_get(idx, [1]).to_pandas()
+    assert t["lang"].tolist() == ["xx"]            # the NEW version
+    assert int(t["docid"][0]) > old_docid
+
+    # a delete without re-add disappears from /get
+    delete_by_query(idx, TermQuery("gamma"))
+    t = real_time_get(idx, [2, 1]).to_pandas()
+    assert t["doc_id"].tolist() == [1]
+
+    # field list projection keeps key + requested + docid
+    t = real_time_get(idx, [1], fields=["lang"])
+    assert t.column_names == ["doc_id", "lang", "docid"]
