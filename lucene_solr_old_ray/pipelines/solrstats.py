@@ -389,3 +389,152 @@ def term_vector_component(
                 cols["tf_idf"] = pa.array(
                     np.where(dfs > 0, freqs / dfs, 0.0))
     return pa.table(cols)
+
+
+# --- LukeRequestHandler ------------------------------------------------------
+
+_LUKE_POWS = 2 ** np.arange(63, dtype=np.int64)
+
+
+def luke_index_info(index_dir: str) -> dict:
+    """Solr LukeRequestHandler ``getIndexInfo`` (``solr/core/src/java/org/
+    apache/solr/handler/admin/LukeRequestHandler.java:551-570``): top-level
+    index metadata — numDocs, maxDoc, deletedDocs, segmentCount,
+    hasDeletions, plus this engine's manifest generation as the ``version``
+    analogue and the index root as ``directory``. Driver-only footer reads
+    (manifest JSON + per-leaf liveDocs bitmaps); no data files open.
+    """
+    import os
+
+    man = mf.read_index_manifest(index_dir)
+    leaves = _leaf_items(man)
+    max_doc = int(sum(l["num_docs"] for l in leaves))
+    deleted = 0
+    for l in leaves:
+        if l.get("deletes"):
+            live = np.load(os.path.join(l["deletes"]) if os.path.isabs(
+                l["deletes"]) else l["deletes"])
+            deleted += int(l["num_docs"] - int(live.sum()))
+    return {
+        "numDocs": max_doc - deleted,
+        "maxDoc": max_doc,
+        "deletedDocs": deleted,
+        "segmentCount": len(leaves),
+        "hasDeletions": deleted > 0,
+        "version": int(man.get("generation", 0)),
+        "directory": index_dir,
+    }
+
+
+def luke_field_report(
+    index_dir: str, field: str | None = None, *, num_terms: int = 10,
+) -> dict:
+    """Solr LukeRequestHandler ``getDetailedFieldInfo`` (``LukeRequest
+    Handler.java:593-638``): for one indexed field — ``distinct`` (total
+    term count), ``topTerms`` (the ``numTerms`` highest-docFreq terms,
+    TopTermQueue ``:702-760``; ties break term-ascending here for
+    determinism where the reference's PriorityQueue order is
+    insertion-dependent), and the log2 docFreq ``histogram``
+    (TermHistogram ``:677-698``: slot ``32 - nlz(max(0, df - 1))``,
+    bucket label ``2^slot``).
+
+    Scale shape (mirrors :func:`terms_component`): one column-pruned
+    Dataset read over the segments' term dictionaries, a (term -> df-sum)
+    groupby so composite docFreq matches MultiFields semantics, then each
+    block emits a BOUNDED partial (its top ``num_terms`` rows + a 63-slot
+    histogram + a distinct count) and the driver folds partials — nothing
+    vocabulary-sized ever lands on the driver.
+
+    Returns ``{"distinct": int, "top_terms": pa.Table(term, df),
+    "histogram": pa.Table(bucket, count)}``.
+    """
+    import os
+
+    from ray.data.aggregate import Sum
+
+    man = mf.read_index_manifest(index_dir)
+    from ..state.fields import fprefix
+
+    fname = fprefix(field) + "terms.parquet"
+    files = [os.path.join(index_dir, s["dir"], fname)
+             for s in man["segments"]]
+    files = [f for f in files if os.path.exists(f)]
+    empty = {
+        "distinct": 0,
+        "top_terms": pa.table({"term": pa.array([], pa.string()),
+                               "df": pa.array([], pa.int64())}),
+        "histogram": pa.table({"bucket": pa.array([], pa.int64()),
+                               "count": pa.array([], pa.int64())}),
+    }
+    if not files:
+        return empty
+    merged = (ray.data.read_parquet(files, columns=["term", "df"])
+              .groupby("term").aggregate(Sum("df", alias_name="df")))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dfv = batch["df"].to_numpy(np.int64)
+        slots = np.searchsorted(_LUKE_POWS, dfv, side="left")
+        hist = np.bincount(slots, minlength=63)
+        top = batch.sort_values(["df", "term"],
+                                ascending=[False, True]).head(num_terms)
+        rows = pd.DataFrame({
+            "kind": ["top"] * len(top),
+            "term": top["term"].astype(str).tolist(),
+            "df": top["df"].to_numpy(np.int64),
+            "slot": np.zeros(len(top), dtype=np.int64),
+        })
+        nz = np.nonzero(hist)[0]
+        hrows = pd.DataFrame({
+            "kind": ["hist"] * len(nz), "term": [""] * len(nz),
+            "df": hist[nz].astype(np.int64), "slot": nz.astype(np.int64),
+        })
+        drow = pd.DataFrame({"kind": ["distinct"], "term": [""],
+                             "df": np.array([len(batch)], dtype=np.int64),
+                             "slot": np.array([0], dtype=np.int64)})
+        return pd.concat([rows, hrows, drow], ignore_index=True)
+
+    parts = merged.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return empty
+    distinct = int(parts.loc[parts["kind"] == "distinct", "df"].sum())
+    h = (parts[parts["kind"] == "hist"].groupby("slot")["df"].sum()
+         .sort_index())
+    tops = parts[parts["kind"] == "top"].sort_values(
+        ["df", "term"], ascending=[False, True]).head(num_terms)
+    return {
+        "distinct": distinct,
+        "top_terms": pa.table({
+            "term": pa.array(tops["term"].tolist(), pa.string()),
+            "df": pa.array(tops["df"].to_numpy(np.int64))}),
+        "histogram": pa.table({
+            "bucket": pa.array((_LUKE_POWS[h.index.to_numpy()]).astype(
+                np.int64)),
+            "count": pa.array(h.to_numpy(np.int64))}),
+    }
+
+
+def luke_report(index_dir: str, *, fields: "list[str | None] | None" = None,
+                num_terms: int = 10) -> dict:
+    """Full Luke admin report: index info + per-field detail for every
+    indexed field (default content field reported under ``""``).
+    ``LukeRequestHandler.java:115-160`` (handleRequestBody: index info +
+    fl-selected field details)."""
+    import os
+
+    from ..state.fields import list_extra_fields
+
+    man = mf.read_index_manifest(index_dir)
+    if fields is None:
+        fields = [None]
+        extra: set[str] = set()
+        for s in man["segments"]:
+            d = os.path.join(index_dir, s["dir"])
+            if os.path.isdir(d):
+                extra.update(list_extra_fields(d))
+        fields += sorted(extra)
+    return {
+        "index": luke_index_info(index_dir),
+        "fields": {(f or ""): luke_field_report(index_dir, f,
+                                                num_terms=num_terms)
+                   for f in fields},
+    }
