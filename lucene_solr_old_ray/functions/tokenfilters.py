@@ -832,6 +832,58 @@ def run_chain_tee(texts: list, tokenizer: str,
     return out
 
 
+def run_chain_report(texts: list, spec: str,
+                     query: str | None = None) -> "pd.DataFrame":
+    """Solr FieldAnalysisRequestHandler analogue (``solr/core/src/java/org/
+    apache/solr/handler/FieldAnalysisRequestHandler.java`` +
+    ``AnalysisRequestHandlerBase.java:166-263``): run the analysis chain
+    one stage at a time and report the token stream AFTER EACH STAGE —
+    per token its text, absolute position (posIncr-accumulated,
+    ``:175-178``), the posIncr==0 ``inject`` flag and KeywordAttribute,
+    and, when ``query`` is given, ``match=True`` for index-side tokens
+    whose text equals any FULLY-analyzed query token
+    (``convertTokensToNamedLists``'s termsToMatch set, ``:208-255``).
+    The reference's ``positionHistory`` attribute is out of scope: this
+    batch re-expression snapshots whole streams per stage and does not
+    carry per-token identity across filters.
+
+    Stage 0 is the tokenizer; stage i>0 is named after filter step i.
+    Tokens within a stage list position-ascending (the reference sorts by
+    absolute position, ``:213``).  Driver-local debugging surface — the
+    input is one field value (or a few), never a corpus.
+    """
+    import pandas as pd
+
+    tokenizer, steps = parse_chain(spec)
+    to_match: set = set()
+    if query is not None:
+        to_match = set(run_chain([query], spec).terms().tolist())
+
+    rows = []
+
+    def snap(stage_ord: int, stage: str, st: _Stream) -> None:
+        terms = st.terms()
+        for i in np.lexsort((np.arange(len(terms)), st.positions,
+                             st.doc_ids)):
+            rows.append({
+                "doc": int(st.doc_ids[i]), "stage_ord": stage_ord,
+                "stage": stage, "token": str(terms[i]),
+                "position": int(st.positions[i]),
+                "inject": bool(st.inject[i]),
+                "keyword": bool(st.keyword[i]),
+                "match": str(terms[i]) in to_match,
+            })
+
+    st = _tokenize(texts, tokenizer)
+    snap(0, tokenizer, st)
+    for n, (name, args) in enumerate(steps, start=1):
+        st = _run_steps(st, [(name, args)])
+        snap(n, name if not args else f"{name}:{args}", st)
+    return pd.DataFrame(rows, columns=["doc", "stage_ord", "stage", "token",
+                                       "position", "inject", "keyword",
+                                       "match"])
+
+
 def _run_steps(st: _Stream, steps) -> _Stream:
     from .analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH
     for name, args in steps:

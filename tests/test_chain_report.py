@@ -1,0 +1,52 @@
+"""FieldAnalysisRequestHandler analogue: per-stage token snapshots with
+positions, flags, and query-match marking."""
+
+from lucene_solr_old_ray.functions.tokenfilters import (run_chain,
+                                                        run_chain_report)
+
+TEXT = "The Running runners ran quickly"
+SPEC = "chain:standard|lowercase|stop|stem:english"
+
+
+def test_stage_snapshots_and_position_holes():
+    df = run_chain_report([TEXT], SPEC)
+    assert df.stage.unique().tolist() == ["standard", "lowercase", "stop",
+                                          "stem:english"]
+    # tokenizer stage keeps case; lowercase stage folds it
+    assert df[df.stage == "standard"].token.tolist() == [
+        "The", "Running", "runners", "ran", "quickly"]
+    assert df[df.stage == "lowercase"].token.iloc[0] == "the"
+    # stop removes 'the' but keeps the position hole (posIncr accumulation,
+    # AnalysisRequestHandlerBase.java:175-178)
+    stop = df[df.stage == "stop"]
+    assert stop.token.tolist() == ["running", "runners", "ran", "quickly"]
+    assert stop.position.tolist() == [1, 2, 3, 4]
+    # final stage equals the one-shot chain result
+    final = df[df.stage_ord == df.stage_ord.max()]
+    st = run_chain([TEXT], SPEC)
+    assert final.token.tolist() == [str(t) for t in st.terms()]
+    assert final.position.tolist() == st.positions.tolist()
+
+
+def test_query_match_marks_analyzed_equality():
+    # 'Running' analyzes to 'run' through the same chain; only the stemmed
+    # index token matches (termsToMatch set,
+    # AnalysisRequestHandlerBase.java:208-255)
+    df = run_chain_report([TEXT], SPEC, query="Running")
+    assert not df[df.stage != "stem:english"].match.any()
+    stem = df[df.stage == "stem:english"]
+    assert stem[stem.match].token.tolist() == ["run"]
+
+
+def test_multiple_docs_and_inject_flag():
+    df = run_chain_report(["wi-fi device", "plain text"],
+                          "chain:standard|lowercase")
+    assert set(df.doc.unique()) == {0, 1}
+    # keyword_repeat injects a posIncr==0 duplicate -> inject flag surfaces
+    df2 = run_chain_report(["running"],
+                           "chain:standard|lowercase|keyword_repeat|"
+                           "stem:english|remove_duplicates")
+    last = df2[df2.stage_ord == df2.stage_ord.max()]
+    assert "running" in last.token.tolist()  # keyword-marked original kept
+    kr = df2[df2.stage == "keyword_repeat"]
+    assert kr.inject.any() and kr.keyword.any()
