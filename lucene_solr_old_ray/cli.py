@@ -305,6 +305,22 @@ def main(argv: list[str] | None = None) -> int:
     hl.add_argument("--fragmenter", default="span",
                     choices=["span", "simple", "null"])
 
+    lk = sub.add_parser("luke", help="LukeRequestHandler-style index "
+                        "report: info + per-field distinct/topTerms/"
+                        "docFreq histogram")
+    lk.add_argument("--index", required=True)
+    lk.add_argument("--field", default=None,
+                    help="one field (default: all indexed fields)")
+    lk.add_argument("--num-terms", type=int, default=10)
+
+    an = sub.add_parser("analyze", help="FieldAnalysisRequestHandler-style "
+                        "per-stage token report for a chain spec")
+    an.add_argument("--chain", required=True,
+                    help="chain spec, e.g. standard|lowercase|stem:english")
+    an.add_argument("--text", required=True)
+    an.add_argument("--query", default=None,
+                    help="mark index tokens matching this analyzed query")
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
 
@@ -577,6 +593,36 @@ def main(argv: list[str] | None = None) -> int:
         man = mf.read_index_manifest(args.index)
         print(json.dumps({"generation": man["generation"], "kind": man["kind"],
                           "leaves": len(man["segments"]), "stats": man["stats"]}))
+    elif args.cmd == "luke":
+        from .pipelines.solrstats import luke_report
+
+        fields = [args.field] if args.field else None
+        rep = luke_report(args.index, fields=fields,
+                          num_terms=args.num_terms)
+        out = {"index": rep["index"], "fields": {}}
+        for f, d in rep["fields"].items():
+            tt = d["top_terms"].to_pandas()
+            hh = d["histogram"].to_pandas()
+            out["fields"][f] = {
+                "distinct": d["distinct"],
+                "topTerms": dict(zip(tt["term"], tt["df"].astype(int))),
+                "histogram": dict(zip(hh["bucket"].astype(int),
+                                      hh["count"].astype(int))),
+            }
+        print(json.dumps(out))
+    elif args.cmd == "analyze":
+        from .functions.tokenfilters import run_chain_report
+
+        df = run_chain_report([args.text], f"chain:{args.chain}",
+                              query=args.query)
+        stages = []
+        for ordv in sorted(df["stage_ord"].unique()):
+            s = df[df["stage_ord"] == ordv]
+            stages.append({"stage": s["stage"].iloc[0], "tokens": [
+                {"text": r.token, "position": int(r.position),
+                 **({"match": True} if r.match else {})}
+                for r in s.itertuples()]})
+        print(json.dumps({"analysis": stages}))
     return 0
 
 
