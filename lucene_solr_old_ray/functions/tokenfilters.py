@@ -884,6 +884,57 @@ def run_chain_report(texts: list, spec: str,
                                        "match"])
 
 
+def run_document_analysis(docs: "list[dict]", field_chains: "dict[str, str]",
+                          key_field: str,
+                          query: str | None = None) -> "pd.DataFrame":
+    """Solr DocumentAnalysisRequestHandler analogue (``solr/core/src/java/
+    org/apache/solr/handler/DocumentAnalysisRequestHandler.java:198-260``):
+    per document (keyed by its unique-key field value) and per INDEXED
+    field (one with a chain in ``field_chains`` — unindexed fields skip,
+    ``:211-213``), report the per-stage index-side token stream via
+    :func:`run_chain_report`, with ``match`` marked against the query
+    analyzed through THAT FIELD's chain (``getQueryTokenSet``, ``:224``);
+    when a query is given, a ``side='query'`` report of the query's own
+    analysis through the field chain is included (``:231-238``).  A field
+    chain that fails on the arbitrary query text yields an empty match
+    set, mirroring the reference's swallowed analysis exceptions
+    (``:226-229``).
+
+    Returns one DataFrame with ``key``/``field``/``side`` prepended to the
+    :func:`run_chain_report` columns.
+    """
+    import pandas as pd
+
+    out = []
+    for doc in docs:
+        key = str(doc[key_field])
+        for fname, spec in field_chains.items():
+            if fname not in doc or doc[fname] is None:
+                continue
+            q = query
+            if query is not None:
+                try:
+                    qrep = run_chain_report([query], spec)
+                    qrep.insert(0, "side", "query")
+                    qrep.insert(0, "field", fname)
+                    qrep.insert(0, "key", key)
+                    out.append(qrep)
+                except Exception:
+                    # arbitrary query text vs every field chain: swallowed,
+                    # index report proceeds with an empty match set
+                    q = None
+            rep = run_chain_report([str(doc[fname])], spec, query=q)
+            rep.insert(0, "side", "index")
+            rep.insert(0, "field", fname)
+            rep.insert(0, "key", key)
+            out.append(rep)
+    cols = ["key", "field", "side", "doc", "stage_ord", "stage", "token",
+            "position", "inject", "keyword", "match"]
+    if not out:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(out, ignore_index=True)[cols]
+
+
 def _run_steps(st: _Stream, steps) -> _Stream:
     from .analysis import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH
     for name, args in steps:

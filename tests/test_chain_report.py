@@ -50,3 +50,28 @@ def test_multiple_docs_and_inject_flag():
     assert "running" in last.token.tolist()  # keyword-marked original kept
     kr = df2[df2.stage == "keyword_repeat"]
     assert kr.inject.any() and kr.keyword.any()
+
+
+def test_document_analysis_per_field_chains():
+    from lucene_solr_old_ray.functions.tokenfilters import (
+        run_document_analysis)
+
+    docs = [{"id": 1, "title": "Running Fast",
+             "body": "The runner was running", "price": 9}]
+    chains = {"title": "chain:standard|lowercase",
+              "body": "chain:standard|lowercase|stop|stem:english"}
+    df = run_document_analysis(docs, chains, "id", query="running")
+    assert set(df.key.unique()) == {"1"}
+    # unindexed field (no chain) skipped
+    assert set(df.field.unique()) == {"title", "body"}
+    # query analyzed per FIELD chain: matches 'running' verbatim on title
+    # (no stem), and the stemmed 'run' on body
+    ti = df[(df.field == "title") & (df.side == "index")]
+    assert ti[ti.match].token.tolist() == ["running"]
+    bi = df[(df.field == "body") & (df.side == "index")]
+    last = bi[bi.stage_ord == bi.stage_ord.max()]
+    assert last[last.match].token.tolist() == ["run"]
+    # query-side reports present for both fields
+    q = df[df.side == "query"]
+    assert set(q.field.unique()) == {"title", "body"}
+    assert "run" in q[q.field == "body"].token.tolist()
